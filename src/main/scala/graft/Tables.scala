@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
+  *
+  * All queries in this engine receive an `sfDir` (scale-factor directory) and
+  * pull tables through here, so the read path is uniform: vectorized parquet
+  * scan, column pruning + predicate pushdown decided by Catalyst. At cluster
+  * scale the same loaders work against any FS the Hadoop conf supports; no
+  * code change needed for HDFS/S3 paths.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Register every table as a temp view (the reference's
+    * `registerTempTable` surface, SQLQueryFastq.java:92) so arbitrary
+    * user SQL can run against them via `spark.sql`.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.4-§2.8) expressed over the
+  * harness tables: filters (F1), joins (J1 left-outer, J2 anti, semi),
+  * aggregations (A3 distinct, A5 count, A8 SQL aggregates), sorts/limits
+  * (O1/O2), set ops (§2.8 union), plus window/rollup extensions.
+  *
+  * Scale notes baked into each query:
+  *  - filters/projections are plain Catalyst expressions so parquet scans
+  *    get PushedFilters + pruned ReadSchema;
+  *  - dimension sides of joins (region/nation/customer at 1000× lineitem
+  *    smaller) are broadcast explicitly — no shuffle of the fact table;
+  *  - aggregates are algebraic (sum/count/min/max) so partial aggregation
+  *    (map-side combine) applies before the exchange;
+  *  - double-typed aggregates are rounded to 2 decimals so results are
+  *    stable under summation-order differences across partitionings.
+  */
+object Relational {
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A8/F1: TPC-H Q1 shape — groupBy two low-cardinality keys, algebraic
+    // aggregates only → partial agg + tiny shuffle regardless of input size.
+    "q01_agg_sum" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r2(sum("l_quantity")).as("sum_qty"),
+          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+          r2(avg("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // F1 + column pruning: predicate and 3-column projection must reach the
+    // parquet scan (PushedFilters / ReadSchema — verified in PlanSpec).
+    "q02_filter_project" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 30 && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    },
+
+    // Broadcast join: customer is ~100× smaller than orders → broadcast hash
+    // join, zero shuffle of the fact side at any scale where dim fits in mem.
+    "q03_join_broadcast" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), r2(sum("o_totalprice")).as("total"))
+    },
+
+    // J1: left outer join (the reference's only shuffle join,
+    // BlastNFilter.java:163-192 — contigs ⟕ hits, unmatched kept).
+    "q04_left_outer_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    },
+
+    // J2: anti join — the scalable replacement for the reference's
+    // collect()-to-driver id-list filter (FastaFilter.java:50-65).
+    "q05_anti_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // Semi join (EXISTS shape).
+    "q06_semi_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F").select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_acctbal")
+    },
+
+    // O1/O2: global sort + limit. Spark plans TakeOrderedAndProject —
+    // per-partition top-k then a single-partition merge, no full sort at scale.
+    "q07_sort_limit" -> { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), r2(col("o_totalprice")).as("price"))
+        .limit(50)
+    },
+
+    // A3: distinct (NormalizeRDD.java:103 / FastqFilter dedup family).
+    "q08_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
+    },
+
+    // Multi-way join: two broadcast dims + one shuffle join; Catalyst
+    // reorders/selects strategies, AQE re-plans at runtime.
+    "q09_multi_join" -> { (s, d) =>
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_orders"), r2(sum("o_totalprice")).as("total"))
+    },
+
+    // Window extension (§2.12 notes none in reference): top order per
+    // customer, deterministic tiebreak on key.
+    "q10_window_rank" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), r2(col("o_totalprice")).as("best_price"))
+    },
+
+    // §2.8 union (reference does it implicitly via glob reads).
+    "q11_union" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val hi = li.filter(col("l_quantity") >= 40).select(col("l_orderkey"), lit("hi").as("band"))
+      val lo = li.filter(col("l_quantity") <= 5).select(col("l_orderkey"), lit("lo").as("band"))
+      hi.unionAll(lo).groupBy("band").agg(count(lit(1)).as("n"))
+    },
+
+    // A8: exact distinct count (SQLQueryFastq.java:93's documented
+    // `count(DISTINCT sequence)` shape).
+    "q12_count_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             count(lit(1)).as("n_rows"))
+    },
+
+    // Conditional aggregation (pivot shape without the pivot operator).
+    "q13_case_agg" -> { (s, d) =>
+      Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
+    },
+
+    // Rollup (grouping-sets extension; NULL-filled subtotal rows).
+    "q14_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), r2(sum("l_quantity")).as("qty"))
+    },
+
+    // HAVING shape.
+    "q15_having" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 3)
+    },
+
+    // Scalar subquery against an exact aggregate (max is order-insensitive,
+    // so the derived threshold is bit-identical across engines).
+    "q16_scalar_subquery" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val threshold = o.agg(max("o_totalprice")).first().getDouble(0) * 0.9
+      o.filter(col("o_totalprice") > threshold)
+        .select(col("o_orderkey"), r2(col("o_totalprice")).as("price"))
+    },
+
+    // Date-part aggregation over timestamps (UTC session).
+    "q17_date_agg" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), r2(sum("o_totalprice")).as("total"))
+    },
+
+    // Join + agg + sort + limit combined (top-selling parts).
+    "q18_topk_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_partkey", "p_name")
+        .agg(r2(sum(col("l_extendedprice"))).as("revenue"), count(lit(1)).as("n_sold"))
+        .orderBy(col("n_sold").desc, col("p_partkey").asc)
+        .limit(100)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+         round(avg(l_quantity),2) AS avg_qty,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+         WHERE l_quantity > 30 AND l_shipdate < TIMESTAMP '1997-01-01'""",
+    "q03_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q04_left_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+    "q07_sort_limit" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""",
+    "q08_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q09_multi_join" ->
+      """SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q10_window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS best_price
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+               FROM orders) t WHERE rn = 1""",
+    "q11_union" ->
+      """SELECT band, count(*) AS n FROM (
+           SELECT l_orderkey, 'hi' AS band FROM lineitem WHERE l_quantity >= 40
+           UNION ALL
+           SELECT l_orderkey, 'lo' AS band FROM lineitem WHERE l_quantity <= 5
+         ) u GROUP BY band""",
+    "q12_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q13_case_agg" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+    "q14_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q15_having" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+         GROUP BY o_custkey HAVING count(*) >= 3""",
+    "q16_scalar_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
+         WHERE o_totalprice > (SELECT max(o_totalprice)*0.9 FROM orders)""",
+    "q17_date_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo,
+         count(*) AS n, round(sum(o_totalprice),2) AS total
+         FROM orders GROUP BY 1, 2""",
+    "q18_topk_join" ->
+      """SELECT p_partkey, p_name, round(sum(l_extendedprice),2) AS revenue, count(*) AS n_sold
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_partkey, p_name
+         ORDER BY n_sold DESC, p_partkey ASC LIMIT 100"""
+  )
+}
