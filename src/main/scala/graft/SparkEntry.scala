@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Q.Relational.queries, Q.Relational.oracles)
+      (Q.Relational.queries, Q.Relational.oracles),
+      (Q.Genomic.queries, Q.Genomic.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
