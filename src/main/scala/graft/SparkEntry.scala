@@ -14,7 +14,8 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Q.Relational.queries, Q.Relational.oracles),
-      (Q.Genomic.queries, Q.Genomic.oracles)
+      (Q.Genomic.queries, Q.Genomic.oracles),
+      (Q.LlmText.queries, Q.LlmText.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

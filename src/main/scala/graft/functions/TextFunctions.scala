@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + fingerprinting primitives for LLM-data-pipeline work
+  * (north-star extensions beyond the reference surface — BASELINE.json).
+  *
+  * Everything here is built from codegen'd built-in expressions (no UDFs)
+  * and has an exact DuckDB-SQL twin used by the oracle queries, so the
+  * same algorithm is computable on both engines bit-for-bit:
+  *  - hashing uses md5 hex strings (stable everywhere) rather than
+  *    engine-specific hash functions;
+  *  - per-list reductions (aggregate/list_sum) run in index order, so
+  *    double summation is deterministic.
+  *
+  * Scale: all of these are narrow per-row expressions — they pipeline
+  * inside whole-stage codegen with zero shuffle; the only shuffles in the
+  * dedup/similarity operators built on top are the ones their semantics
+  * require (candidate-pair joins, group-bys), never per-function.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties dropped (split-then-filter matches
+    * DuckDB `list_filter(regexp_split_to_array(trim(x),'\s+'), ...)`).
+    */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Word n-gram shingles (distinct), the unit of near-dup detection. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Whole-document fingerprint: md5 of the whitespace-normalized,
+    * lower-cased text (SURVEY.md north-star "document fingerprinting").
+    */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(c, "\\s+", " ")))
+
+  /** Rolling/min-sampled fingerprint: the minimum md5 over character
+    * 8-grams of the normalized text — a 1-hash winnowing sketch that is
+    * stable under local edits far from the minimizer.
+    */
+  def minShingleFingerprint(c: Column): Column = {
+    val norm = lower(regexp_replace(c, "\\s+", " "))
+    when(length(norm) < 8, md5(norm))
+      .otherwise(array_min(transform(
+        sequence(lit(1), length(norm) - 7),
+        i => md5(norm.substr(i, lit(8))))))
+  }
+
+  /** MinHash signature: for each seed j, the min md5("j:"++shingle).
+    * String-min over md5 hex is a perfectly serviceable hash family and —
+    * unlike murmur/xxhash — identical across engines.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { j =>
+      array_min(transform(shingleCol, s => md5(concat(lit(s"$j:"), s))))
+        .as(s"mh$j")
+    }
+
+  /** LSH band keys over a minhash signature: md5 of each band's
+    * concatenated rows. Docs sharing ANY band key become candidates.
+    */
+  def bandKeys(mh: Seq[Column], bands: Int): Column = {
+    val rows = mh.size / bands
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", mh.slice(b * rows, (b + 1) * rows): _*))
+    }: _*)
+  }
+
+  /** 16-bit SimHash over tokens, as a '0'/'1' string (bit 0 first).
+    * Bit b of token t = bit (b%4) of hex nibble b/4 of md5(t); the
+    * signature bit is 1 iff the sum of (2*bit-1) over tokens is > 0.
+    */
+  def simhash16(tokensCol: Column): Column = {
+    val bits = (0 until 16).map { b =>
+      val nib = b / 4 + 1 // 1-based hex char position in md5
+      val shift = 1 << (b % 4)
+      val weight = aggregate(tokensCol, lit(0), (acc, t) => {
+        // hex char → nibble value via ascii ('0'-'9' = 48-57, 'a'-'f' = 97-102)
+        val ch = ascii(md5(t).substr(lit(nib), lit(1)))
+        val nibVal = when(ch <= 57, ch - 48).otherwise(ch - 87)
+        val bit = (floor(nibVal.cast("double") / shift).cast("int") % 2)
+        acc + when(bit === 1, 1).otherwise(-1)
+      })
+      when(weight > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  private val StopWords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Count of stop-word tokens (occurrences, not distinct). */
+  def stopwordCount(tokensCol: Column): Column =
+    StopWords.map(w => size(filter(tokensCol, t => t === w)))
+      .reduce(_ + _)
+
+  /** Heuristic quality score in [0,1]:
+    * 0.5·min(n_tokens/100,1) + 0.3·stopword_ratio + 0.2·alpha_ratio.
+    */
+  def qualityScore(c: Column): Column = {
+    val toks = tokens(c)
+    val n = size(toks).cast("double")
+    val alpha = (length(regexp_replace(c, "[^a-zA-Z]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double"))
+    round(
+      least(n / 100.0, lit(1.0)) * 0.5 +
+        (stopwordCount(toks).cast("double") / greatest(n, lit(1.0))) * 0.3 +
+        alpha * 0.2,
+      4)
+  }
+
+  /** Language markers for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "les", "et", "des"))
+
+  /** Deterministic language ID: occurrence-count score per language,
+    * first language (in LangMarkers order) with the maximal score wins.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scores = LangMarkers.map { case (lang, ws) =>
+      lang -> ws.map(w => size(filter(toks, t => t === w))).reduce(_ + _)
+    }
+    // en wins ties over de over es over fr (stable priority chain).
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), elseCol) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        when(laterScores.map(s >= _).reduce(_ && _), lang).otherwise(elseCol)
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - the dot product is a narrow `zip_with`+`aggregate` expression
+  *    (index-ordered summation → deterministic), no UDF, stays in
+  *    codegen; norms are computed ONCE per vector before the pair join,
+  *    not per pair;
+  *  - brute force is quadratic and exists as the exactness baseline /
+  *    re-rank stage; callers bound one side (the query set), and Spark
+  *    broadcasts the smaller side;
+  *  - the scale path is sign-bit LSH bucketing: vectors only meet within
+  *    their bucket, turning O(n²) into O(Σ bucket²) with an equi-join
+  *    shuffle on the bucket key. More bits → smaller buckets; multi-probe
+  *    (flipping low-confidence bits) would raise recall — kept single-
+  *    table here for oracle parity.
+  */
+object Similarity {
+
+  /** Index-ordered double-precision dot product of two array columns. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity (use the norm-precomputing operators below for
+    * anything pairwise — this recomputes norms per call).
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Exact top-k neighbors for every vector in `queries` against `corpus`
+    * (both with columns id, embedding). Deterministic: ties broken by
+    * neighbor id on the ROUNDED similarity.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = withNorm(queries)
+    val c = withNorm(corpus)
+    val pairs = q.as("q")
+      .join(c.as("c"), col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        round(dot(col("q.embedding"), col("c.embedding")) /
+          (col("q.norm") * col("c.norm")), 4).as("cos"))
+    topK(pairs, k)
+  }
+
+  /** Sign-bit LSH bucket key: one '0'/'1' per leading dimension. */
+  def signBucket(embedding: Column, bits: Int): Column =
+    concat((1 to bits).map { i =>
+      when(element_at(embedding, i) >= 0, "1").otherwise("0")
+    }: _*)
+
+  /** Approximate top-k: vectors compete only within their sign-bit
+    * bucket (single probe table — recall < 1 by design).
+    */
+  def bucketedAnnTopK(vectors: DataFrame, k: Int, bits: Int = 4): DataFrame = {
+    val b = withNorm(vectors)
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+    val pairs = b.as("q")
+      .join(b.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        round(dot(col("q.embedding"), col("c.embedding")) /
+          (col("q.norm") * col("c.norm")), 4).as("cos"))
+    topK(pairs, k)
+  }
+}

@@ -1,0 +1,240 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over documents/embeddings:
+  * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force + LSH-bucketed ANN), and text analysis (lang-ID,
+  * quality scoring, token stats, fingerprints).
+  *
+  * Every oracle below is GENERATED from the same constants (shingle n,
+  * hash counts, marker words, score weights) the Scala operators use —
+  * one source of truth, two engines.
+  */
+object LlmText {
+
+  // ---- shared DuckDB fragments (twin of TextFunctions) ----
+  private val toksSql =
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')"
+
+  private def shinglesSql(n: Int): String =
+    s"list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}), " +
+      s"i -> array_to_string(toks[i:i+${n - 1}], ' ')))"
+
+  private val fpSql = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  private val NumHashes = 12
+  private val Bands = 4
+  private val ShingleN = 3
+
+  private def mhSql(j: Int): String =
+    s"list_min(list_transform(shs, x -> md5('$j:' || x)))"
+
+  private def simhashBitSql(b: Int): String = {
+    val nib = b / 4 + 1
+    val shift = 1 << (b % 4)
+    val ch = s"ascii(substr(md5(t), $nib, 1))"
+    val nibVal = s"CASE WHEN $ch <= 57 THEN $ch - 48 ELSE $ch - 87 END"
+    val bit = s"CAST(floor(($nibVal) / $shift) AS INTEGER) % 2"
+    s"CASE WHEN CAST(list_sum(list_transform(toks, " +
+      s"t -> CASE WHEN ($bit) = 1 THEN 1 ELSE -1 END)) AS INTEGER) > 0 " +
+      "THEN '1' ELSE '0' END"
+  }
+
+  private val simhashSql: String =
+    "concat(" + (0 until 16).map(simhashBitSql).mkString(", ") + ")"
+
+  private def langScoreSql(ws: Seq[String]): String =
+    ws.map(w => s"len(list_filter(toks, t -> t = '$w'))").mkString(" + ")
+
+  private val langCaseSql: String = {
+    val scores = TextFunctions.LangMarkers.map { case (l, ws) => (l, s"(${langScoreSql(ws)})") }
+    val branches = scores.init.zipWithIndex.map { case ((lang, s), i) =>
+      val later = scores.drop(i + 1).map(_._2)
+      s"WHEN ${later.map(o => s"$s >= $o").mkString(" AND ")} THEN '$lang'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE '${scores.last._1}' END"
+  }
+
+  private val stopSql = Seq("the", "a", "and", "of", "to", "in", "is")
+    .map(w => s"len(list_filter(toks, t -> t = '$w'))").mkString(" + ")
+
+  private val cosSql =
+    "round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup over a corpus with planted duplicates (the corpus
+    // unioned with itself): every fingerprint group has 2 copies.
+    "q30_exact_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.exactDedup(docs.unionAll(docs), "doc_id", "text")
+    },
+
+    // MinHash + LSH near-dup pairs (banded candidate join + exact verify).
+    "q31_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = ShingleN, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+    },
+
+    // Token statistics (whitespace + BPE-ish estimate).
+    "q32_token_stats" -> { (s, d) =>
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d)
+        .filter(TextFunctions.tokenCount(col("text")) > 0)
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_uniq"),
+          round(aggregate(toks, lit(0), (a, t) => a + length(t)).cast("double") /
+            size(toks), 4).as("avg_tok_len"),
+          ceil(length(col("text")) / 4.0).cast("int").as("bpe_est"))
+    },
+
+    // Document fingerprints: whole-doc md5 + min-sampled 8-gram sketch.
+    "q33_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.minShingleFingerprint(col("text")).as("min_fp"))
+    },
+
+    // SimHash buckets with >1 member = near-dup clusters.
+    "q34_simhash" -> { (s, d) =>
+      Dedup.simhashBuckets(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // Exact n-gram Jaccard pairs (shingle-share equi-join, no LSH).
+    "q35_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = ShingleN, threshold = 0.3)
+    },
+
+    // Brute-force cosine top-3 for a bounded query set (exact baseline).
+    "q36_cosine_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.bruteForceTopK(e.filter(col("id") < 50), e, 3)
+    },
+
+    // LSH-bucketed approximate top-3 (the scale path).
+    "q37_ann_bucket" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.bucketedAnnTopK(e, 3, bits = 4)
+    },
+
+    // Language-ID heuristic (marker-word scores, stable priority).
+    "q38_langid" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_guess"))
+    },
+
+    // Quality score in [0,1].
+    "q39_quality_score" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      s"""WITH u AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+          SELECT $fpSql AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+          FROM u GROUP BY 1""",
+    "q31_minhash_lsh" -> {
+      val mhCols = (0 until NumHashes).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
+      val rows = NumHashes / Bands
+      val bandSelects = (0 until Bands).map { b =>
+        val cols = (b * rows until (b + 1) * rows).map(j => s"mh$j").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM m"
+      }.mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          s AS (SELECT doc_id, ${shinglesSql(ShingleN)} AS shs FROM t),
+          s2 AS (SELECT doc_id, shs FROM s WHERE len(shs) > 0),
+          m AS (SELECT doc_id, $mhCols FROM s2),
+          bands AS ($bandSelects),
+          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          j AS (SELECT da, db,
+                  len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) * 1.0 AS inter,
+                  len(sa.shs) + len(sb.shs) AS tot
+                FROM cand JOIN s2 sa ON da = sa.doc_id JOIN s2 sb ON db = sb.doc_id)
+          SELECT da AS doc_a, db AS doc_b, round(inter/(tot-inter), 4) AS jaccard
+          FROM j WHERE round(inter/(tot-inter), 4) >= 0.5"""
+    },
+    "q32_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+          SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+            CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+            round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                  / len(toks), 4) AS avg_tok_len,
+            CAST(ceil(length(text) / 4.0) AS INTEGER) AS bpe_est
+          FROM t WHERE len(toks) > 0""",
+    "q33_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
+                     FROM documents)
+          SELECT doc_id, md5(nrm) AS fp,
+            CASE WHEN length(nrm) < 8 THEN md5(nrm)
+                 ELSE list_min(list_transform(generate_series(1, length(nrm)-7),
+                        i -> md5(substr(nrm, CAST(i AS INTEGER), 8)))) END AS min_fp
+          FROM n""",
+    "q34_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sig AS (SELECT doc_id, $simhashSql AS simhash FROM t)
+          SELECT simhash, count(*) AS n, min(doc_id) AS min_id
+          FROM sig GROUP BY simhash HAVING count(*) > 1""",
+    "q35_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          s AS (SELECT doc_id, ${shinglesSql(ShingleN)} AS shs FROM t),
+          s2 AS (SELECT doc_id, shs FROM s WHERE len(shs) > 0),
+          ex AS (SELECT doc_id, unnest(shs) AS sh FROM s2),
+          ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+                 FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          j AS (SELECT doc_a, doc_b,
+                  round(m * 1.0 / (len(sa.shs) + len(sb.shs) - m), 4) AS jaccard
+                FROM ov JOIN s2 sa ON doc_a = sa.doc_id JOIN s2 sb ON doc_b = sb.doc_id)
+          SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3""",
+    "q36_cosine_topk" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                     FROM embeddings),
+          p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos
+                FROM v q JOIN v c ON q.vec_id != c.vec_id WHERE q.vec_id < 50)
+          SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rn FROM p)
+          WHERE rn <= 3""",
+    "q37_ann_bucket" -> {
+      val bucket = "concat(" + (1 to 4).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm,
+                       $bucket AS bucket
+                     FROM embeddings),
+          p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos
+                FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id != c.vec_id)
+          SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rn FROM p)
+          WHERE rn <= 3"""
+    },
+    "q38_langid" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+          SELECT doc_id, $langCaseSql AS lang_guess FROM t""",
+    "q39_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+          SELECT doc_id,
+            round(least(len(toks) / 100.0, 1.0) * 0.5 +
+                  (($stopSql) * 1.0 / greatest(len(toks) * 1.0, 1.0)) * 0.3 +
+                  (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
+                   greatest(length(text), 1)) * 0.2,
+                  4) AS quality
+          FROM t"""
+  )
+}

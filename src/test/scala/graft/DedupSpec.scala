@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+      (3L, "completely different text about spark query engines and shuffles here"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactDedup groups exact duplicates, keeps min id") {
+    val out = Dedup.exactDedup(corpus, "doc_id", "text")
+      .orderBy("keeper").collect()
+    assert(out.length == 4) // 1&4 merged
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keeper") == 1L)
+  }
+
+  test("minhashLshPairs finds the planted near-duplicate and the exact dup") {
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical → jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc clean
+  }
+
+  test("ngramJaccardPairs agrees with minhash verify on exact dups") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+  }
+
+  test("bruteForceTopK ranks the planted nearest vector first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)), // closest to 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs.filter($"id" === 1L), vecs, 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 2L)
+    assert(top(0).getAs[Double]("cos") > 0.99)
+    assert(top.length == 2)
+  }
+
+  test("bucketedAnnTopK only pairs vectors within a sign bucket") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f, 0.5f, 0.5f, 0.1f)),
+      (2L, Array(0.9f, 0.8f, 0.4f, 0.6f, 0.2f)), // same bucket as 1
+      (3L, Array(-1.0f, 1.0f, 0.5f, 0.5f, 0.1f)) // different first sign bit
+    ).toDF("id", "embedding")
+    val out = Similarity.bucketedAnnTopK(vecs, 3, bits = 4).collect()
+    val partners = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(partners.toSet == Set((1L, 2L), (2L, 1L))) // 3 is isolated
+  }
+}
