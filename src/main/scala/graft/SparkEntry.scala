@@ -15,7 +15,8 @@ object SparkEntry {
     Seq(
       (Q.Relational.queries, Q.Relational.oracles),
       (Q.Genomic.queries, Q.Genomic.oracles),
-      (Q.LlmText.queries, Q.LlmText.oracles)
+      (Q.LlmText.queries, Q.LlmText.oracles),
+      (Q.DomainIO.queries, Q.DomainIO.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,116 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** FASTQ source/sink (SURVEY.md S1/K1; reference reads via hadoop-bam's
+  * FastqInputFormat at SQLQueryFastq.java:69 and writes via
+  * FastqOutputFormat at SQLQueryFastq.java:105).
+  *
+  * Record = 4 lines: `@name`, bases, `+`, quality. The Illumina header
+  * `instrument:run:flowcell:lane:tile:x:y read:filter:control:index` is
+  * parsed into typed columns exactly like the reference's projection
+  * (SQLQueryFastq.java:71-89).
+  *
+  * Splitting strategy: a FASTQ file cannot be split at an arbitrary byte
+  * offset by local inspection alone ('@' legally starts quality lines), so
+  *  - [[read]] keeps one task per file (`wholetext`) — zero-shuffle, and
+  *    at cluster scale FASTQ corpora arrive as many files (the
+  *    reference's own model: per-sample pairs), so per-file parallelism
+  *    is the natural partitioning;
+  *  - [[readSplittable]] handles the single-huge-file case: splittable
+  *    line scan + global line numbering + groupBy(line/4). One extra
+  *    shuffle, but every byte range of the file is read in parallel.
+  */
+object Fastq {
+
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("sequence", StringType),
+    StructField("quality", StringType),
+    StructField("read", IntegerType),
+    StructField("instrument", StringType),
+    StructField("runNumber", IntegerType),
+    StructField("flowcellId", StringType),
+    StructField("lane", IntegerType),
+    StructField("tile", IntegerType),
+    StructField("xpos", IntegerType),
+    StructField("ypos", IntegerType),
+    StructField("indexSequence", StringType),
+    StructField("filterPassed", BooleanType)))
+
+  /** Project (key, sequence, quality) into the full typed Read schema by
+    * parsing the Illumina header fields out of `key`.
+    */
+  private def project(raw: DataFrame): DataFrame = {
+    val head = split(col("key"), " ").getItem(0)
+    val tailCol = split(col("key"), " ").getItem(1)
+    val h = split(head, ":")
+    val t = split(tailCol, ":")
+    raw.select(
+      col("key"),
+      col("sequence"),
+      col("quality"),
+      t.getItem(0).cast("int").as("read"),
+      h.getItem(0).as("instrument"),
+      h.getItem(1).cast("int").as("runNumber"),
+      h.getItem(2).as("flowcellId"),
+      h.getItem(3).cast("int").as("lane"),
+      h.getItem(4).cast("int").as("tile"),
+      h.getItem(5).cast("int").as("xpos"),
+      h.getItem(6).cast("int").as("ypos"),
+      t.getItem(3).as("indexSequence"),
+      when(t.getItem(1) === "N", true)
+        .when(t.getItem(1) === "Y", false)
+        .otherwise(lit(null).cast("boolean")).as("filterPassed"))
+  }
+
+  /** Whole-file read: one task per file, records assembled by a single
+    * linear pass over the file's lines (typed flatMap — per-file parsing
+    * is inherently imperative, and a flatMap guarantees one O(n) pass;
+    * an expression-tree formulation risks re-evaluating the whole-file
+    * split inside a HOF lambda, which is quadratic).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.option("wholetext", "true").text(path).as[String]
+    val records = raw.flatMap { content =>
+      content.linesIterator.filter(_.nonEmpty).grouped(4).flatMap {
+        case Seq(name, seq, _, qual) =>
+          Some((name.stripPrefix("@"), seq, qual))
+        case _ => None // trailing partial record
+      }
+    }.toDF("key", "sequence", "quality")
+    project(records)
+  }
+
+  /** Splittable read for single huge files: parallel line scan, global
+    * line index, group each 4-line frame. Costs one shuffle on lineNo/4;
+    * correct for any split boundary because indices are global.
+    */
+  def readSplittable(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.sparkContext.textFile(path)
+      .zipWithIndex()
+      .map { case (l, i) => (i / 4, i % 4, l) }
+      .toDF("rec", "pos", "line")
+    val raw = lines.groupBy("rec").agg(
+      max(when(col("pos") === 0, regexp_replace(col("line"), "^@", ""))).as("key"),
+      max(when(col("pos") === 1, col("line"))).as("sequence"),
+      max(when(col("pos") === 3, col("line"))).as("quality"))
+    project(raw.select("key", "sequence", "quality"))
+  }
+
+  /** FASTQ sink: 4-line text records (K1). Unlike the reference's writer
+    * (which replaces every read name with the literal string "key",
+    * SQLQueryFastq.java:115-125 — SURVEY.md §7.4 quirk T4), real names
+    * are preserved.
+    */
+  def write(df: DataFrame, path: String): Unit =
+    df.select(concat(
+      lit("@"), col("key"), lit("\n"),
+      col("sequence"), lit("\n+\n"),
+      col("quality")).as("value"))
+      .write.mode("overwrite").text(path)
+}

@@ -1,0 +1,161 @@
+package graft
+
+import graft.io.{Fasta, Fastq, SamText}
+import graft.operators.Pipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** Fixture tests for the domain sources/sinks (FIXTURES.md cases:
+  * multi-line FASTA bodies, empty records, both name styles, desynced
+  * mate pairs, pairwise quality drop).
+  */
+class IoSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def writeFixture(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft_fixture_" + name)
+    Files.writeString(dir.resolve("data.txt"), content)
+    dir.toString
+  }
+
+  private val fastqFixture =
+    """@SAMPLE01:42:FLOWCELL1:1:1101:1001:2201 1:N:0:ACGT
+      |ACGTACGTACGT
+      |+
+      |IIIIIIIIIIII
+      |@SAMPLE01:42:FLOWCELL1:1:1101:1001:2201 2:Y:0:ACGT
+      |TTTTGGGGCCCC
+      |+
+      |@@@@IIII@@@@
+      |""".stripMargin
+
+  test("Fastq.read parses Illumina header fields") {
+    val df = Fastq.read(spark, writeFixture("fq", fastqFixture))
+    val rows = df.orderBy("read").collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getAs[String]("instrument") == "SAMPLE01")
+    assert(r1.getAs[Int]("runNumber") == 42)
+    assert(r1.getAs[String]("flowcellId") == "FLOWCELL1")
+    assert(r1.getAs[Int]("lane") == 1)
+    assert(r1.getAs[Int]("tile") == 1101)
+    assert(r1.getAs[Int]("xpos") == 1001)
+    assert(r1.getAs[Int]("ypos") == 2201)
+    assert(r1.getAs[Int]("read") == 1)
+    assert(r1.getAs[Boolean]("filterPassed")) // N → passed
+    assert(!rows(1).getAs[Boolean]("filterPassed")) // Y → failed
+    assert(r1.getAs[String]("sequence") == "ACGTACGTACGT")
+    assert(rows(1).getAs[String]("quality") == "@@@@IIII@@@@")
+  }
+
+  test("Fastq round-trip write → read preserves records") {
+    val dir = Files.createTempDirectory("graft_fq_rt").toString + "/out"
+    val df = Fastq.read(spark, writeFixture("fq2", fastqFixture))
+    Fastq.write(df, dir)
+    val back = Fastq.read(spark, dir)
+    assert(back.count() == 2)
+    assert(back.select("key", "sequence", "quality").collect().toSet ==
+      df.select("key", "sequence", "quality").collect().toSet)
+  }
+
+  test("Fastq.readSplittable agrees with Fastq.read") {
+    val dir = writeFixture("fq3", fastqFixture)
+    val a = Fastq.read(spark, dir).collect().toSet
+    val b = Fastq.readSplittable(spark, dir).collect().toSet
+    assert(a == b)
+  }
+
+  private val fastaFixture =
+    """>k141_1 flag=1 multi=2.0000 len=24
+      |ACGTACGTACGT
+      |ACGTACGTACGT
+      |>k141_2
+      |TTTTGGGGCCCCAAAA
+      |>
+      |>k141_3
+      |""".stripMargin
+
+  test("Fasta.read: multi-line bodies joined, empty records dropped, description split") {
+    val rows = Fasta.read(spark, writeFixture("fa", fastaFixture))
+      .orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("id") == "k141_1")
+    assert(rows(0).getAs[String]("description") == "flag=1 multi=2.0000 len=24")
+    assert(rows(0).getAs[String]("sequence") == "ACGTACGTACGTACGTACGTACGT")
+    assert(rows(1).getAs[String]("sequence") == "TTTTGGGGCCCCAAAA")
+    assert(rows(2).getAs[String]("sequence") == "") // header-only record kept, empty body
+  }
+
+  test("Fasta wrapped write round-trips") {
+    val dir = Files.createTempDirectory("graft_fa_rt").toString + "/out"
+    val df = Fasta.read(spark, writeFixture("fa2", fastaFixture))
+    Fasta.write(df, dir, wrap = 7)
+    val back = Fasta.read(spark, dir)
+    assert(back.select("id", "sequence").collect().toSet ==
+      df.select("id", "sequence").collect().toSet)
+  }
+
+  test("renameContigsUniq appends unique suffixes") {
+    import spark.implicits._
+    val df = Seq(("c1", "ACGT"), ("c1", "GGTT")).toDF("id", "sequence")
+    val out = Fasta.renameContigsUniq(df).collect()
+    assert(out.map(_.getString(0)).distinct.length == 2)
+    assert(out.forall(_.getString(0).startsWith("c1_")))
+  }
+
+  private val samFixture =
+    """@HD	VN:1.6
+      |@SQ	SN:ref	LN:100
+      |r1	77	*	0	0	*	*	0	0	ACGT	IIII
+      |r1	141	*	0	0	*	*	0	0	TTTT	IIII
+      |r2	0	ref	10	60	4M	*	0	0	GGGG	IIII
+      |r3	1101	ref	20	60	4M	*	0	0	CCCC	IIII
+      |""".stripMargin
+
+  test("SamText.read skips headers, derives flag bits") {
+    val df = SamText.read(spark, writeFixture("sam", samFixture))
+    assert(df.count() == 4)
+    val r1 = df.filter(col("readName") === "r1" && col("flag") === 77).first()
+    assert(r1.getAs[Boolean]("readUnmapped"))
+    assert(r1.getAs[Boolean]("firstOfPair"))
+    val r2 = df.filter(col("readName") === "r2").first()
+    assert(!r2.getAs[Boolean]("readUnmapped"))
+    assert(r2.getAs[Int]("start") == 10)
+    val r3 = df.filter(col("readName") === "r3").first()
+    assert(r3.getAs[Boolean]("duplicateRead")) // 1101 has bit 1024
+  }
+
+  test("SamText.toFastq adds mate suffixes (T3)") {
+    val df = SamText.read(spark, writeFixture("sam2", samFixture))
+    val keys = SamText.toFastq(df).select("key").collect().map(_.getString(0)).toSet
+    assert(keys.contains("r1/1") && keys.contains("r1/2") && keys.contains("r2"))
+  }
+
+  test("interleave pairs by name and drops desynced reads (T9/F6)") {
+    import spark.implicits._
+    val r1 = Seq(("a/1", "ACGT", "IIII"), ("b/1", "CCCC", "IIII"))
+      .toDF("key", "sequence", "quality")
+    val r2 = Seq(("a/2", "TTTT", "IIII"), ("c/2", "GGGG", "IIII"))
+      .toDF("key", "sequence", "quality")
+    val out = Pipeline.interleave(r1, r2)
+    val names = out.select("pairName").collect().map(_.getString(0))
+    assert(names.toSet == Set("a")) // b and c are desynced → dropped
+    assert(names.length == 2) // both mates of a survive
+  }
+
+  test("pairedQualityFilter drops the partner of a failing mate (F2 pairwise)") {
+    import spark.implicits._
+    val reads = Seq(
+      ("p/1", "ACGT", "IIII"), // good
+      ("p/2", "ACGT", "!!!!"), // bad → kills p/1 too
+      ("q/1", "ACGT", "IIII"),
+      ("q/2", "ACGT", "IIII")
+    ).toDF("key", "sequence", "quality")
+    val out = Pipeline.pairedQualityFilter(reads, minAvgQuality = 40.0,
+      lowQualThreshold = 40, maxLowQualCount = 2)
+    val keys = out.select("key").collect().map(_.getString(0)).toSet
+    assert(keys == Set("q/1", "q/2"))
+  }
+}
