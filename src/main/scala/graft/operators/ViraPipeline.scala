@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.functions.{Dna, DnaFunctions}
+import graft.io.Fasta
+import graft.pipe.Pipes
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's 8-stage pipeline (scripts/virapipe.sh:38-63 — SURVEY.md
+  * §3.2) collapsed into ONE SparkSession program: each stage is a Dataset
+  * transform, stage boundaries are Catalyst plan nodes instead of
+  * spark-submit + HDFS round-trips, and the external tools ride behind
+  * injectable [[graft.pipe.PipeStage]] commands (mock stand-ins by
+  * default; real BWA/MegaHit/blastn/hmmsearch in production).
+  *
+  * Scale: the only shuffles are the ones the semantics demand — the
+  * interleave pairing join, the k-mer aggregation, and the blast-filter
+  * join (exactly the reference's shuffle stages, §3.2 table). Everything
+  * else is narrow or a per-partition pipe.
+  */
+object ViraPipeline {
+
+  final case class Config(
+      k: Int = 16,
+      minc: Long = 0,
+      maxc: Long = 20,
+      minAvgQuality: Double = 0.0,
+      lowQualThreshold: Int = 0,
+      maxLowQualCount: Int = Int.MaxValue,
+      blastThreshold: Double = 70.0,
+      orfMinLen: Int = 2)
+
+  final case class Result(
+      aligned: DataFrame,
+      normalized: DataFrame,
+      contigs: DataFrame,
+      filteredContigs: DataFrame,
+      orfs: DataFrame,
+      hmmHits: DataFrame)
+
+  /** A1+F8+A3 digital normalization (NormalizeRDD.java:64-103), made
+    * deterministic: a read survives iff it is the MINIMUM-key read of at
+    * least one k-mer whose corpus-wide count lies in (minc, maxc)
+    * (reference keeps an arbitrary first-seen read per k-mer).
+    */
+  def digitalNormalize(reads: DataFrame, k: Int, minc: Long, maxc: Long): DataFrame = {
+    val keepers = reads
+      .filter(length(col("sequence")) >= k)
+      .select(col("key"), explode(DnaFunctions.kmersCol(col("sequence"), k)).as("kmer"))
+      .groupBy("kmer")
+      .agg(count(lit(1)).as("cnt"), min(col("key")).as("keeper"))
+      .filter(col("cnt") > minc && col("cnt") < maxc)
+      .select(col("keeper").as("key")).distinct()
+    reads.join(keepers, "key")
+  }
+
+  /** Serialize reads (key, sequence, quality) to 4-line FASTQ records,
+    * ordered deterministically for the pipe.
+    */
+  private def toFastqLines(reads: DataFrame): Dataset[String] = {
+    import reads.sparkSession.implicits._
+    reads.orderBy("key")
+      .select(concat(lit("@"), col("key"), lit("\n"), col("sequence"),
+        lit("\n+\n"), col("quality")).as("rec"))
+      .as[String]
+      .flatMap(_.split("\n"))
+  }
+
+  private def toFastaLines(df: DataFrame): Dataset[String] = {
+    import df.sparkSession.implicits._
+    df.orderBy("id")
+      .select(concat(lit(">"), col("id"), lit("\n"), col("sequence")).as("rec"))
+      .as[String]
+      .flatMap(_.split("\n"))
+  }
+
+  /** Parse SAM lines coming back from the aligner pipe. */
+  private def parseSam(spark: SparkSession, sam: Dataset[String]): DataFrame = {
+    val f = split(col("value"), "\t")
+    sam.toDF("value")
+      .filter(!col("value").startsWith("@"))
+      .select(
+        f.getItem(0).as("readName"),
+        f.getItem(1).cast("int").as("flag"),
+        f.getItem(9).as("sequence"),
+        f.getItem(10).as("quality"))
+  }
+
+  /** Run the full pipeline from paired FASTQ DataFrames (key, sequence,
+    * quality). Every stage's output is returned for inspection.
+    */
+  def run(spark: SparkSession, r1: DataFrame, r2: DataFrame,
+          cfg: Config = Config()): Result = {
+    import spark.implicits._
+
+    // 1. DecompressInterleave → name-keyed mate pairing (T9/J3/F6).
+    val interleaved = Pipeline.interleave(r1, r2)
+
+    // 1b. FastqFilter quality gate (F2/F3, pairwise).
+    val qualified =
+      if (cfg.minAvgQuality <= 0 && cfg.maxLowQualCount == Int.MaxValue) interleaved
+      else Pipeline.pairedQualityFilter(interleaved, cfg.minAvgQuality,
+        cfg.lowQualThreshold, cfg.maxLowQualCount)
+
+    // 2. AlignInterleavedMulti: BWA pipe, keep flag-77/141 pairs (F5).
+    val samLines = Pipes.alignBwa(spark,
+      toFastqLines(qualified.select("key", "sequence", "quality")))
+    val aligned = parseSam(spark, samLines)
+      .filter(col("flag").isin(77, 141))
+      .select(
+        concat(col("readName"),
+          when(col("flag") === 77, "/1").otherwise("/2")).as("key"),
+        col("sequence"), col("quality"))
+
+    // 3. NormalizeRDD: k-mer coverage-band digital normalization.
+    val normalized = digitalNormalize(aligned, cfg.k, cfg.minc, cfg.maxc)
+
+    // 4. FastqGroupper is a write-side concern (partitionBy on sample) —
+    //    see Pipeline.writeGroupedBySample; the dataflow continues fused.
+
+    // 5. Assemble: MegaHit pipe over FASTA-ified reads.
+    val readFasta = toFastaLines(normalized
+      .select(regexp_replace(col("key"), "[/ ].*$", "").as("id"), col("sequence"))
+      .dropDuplicates("id"))
+    val contigLines = Pipes.assembleMegahit(spark, readFasta)
+    val contigs0 = fastaLinesToContigs(spark, contigLines)
+
+    // 6. RenameContigsUniq (T5).
+    val contigs = Fasta.renameContigsUniq(contigs0)
+
+    // 7. BlastNFilter: blastn pipe → J1 left-outer join + F10 threshold.
+    val blastTsv = Pipes.blastn(spark, toFastaLines(contigs))
+    val f = split(col("value"), "\t")
+    val hits = blastTsv.toDF("value").select(
+      f.getItem(0).as("qseqid"),
+      f.getItem(2).cast("double").as("pident"),
+      f.getItem(6).cast("long").as("qstart"),
+      f.getItem(7).cast("long").as("qend"))
+    val filteredContigs = Pipeline.blastThresholdFilter(
+      contigs, hits, cfg.blastThreshold)
+
+    // 8. Protein/ORF + HMMSearch pipe.
+    val orfUdf = udf((id: String, s: String, minLen: Int) =>
+      Dna.sixFrameOrfs(id, s, minLen))
+    val orfs = filteredContigs
+      .select(explode(orfUdf(col("id"), col("sequence"), lit(cfg.orfMinLen))).as("o"))
+      .select(col("o.contigId").as("id"), col("o.strand"), col("o.frame"),
+        col("o.protein").as("sequence"))
+    val hmmLines = Pipes.hmmsearch(spark, toFastaLines(
+      orfs.select(concat_ws("_", col("id"), col("strand"), col("frame")).as("id"),
+        col("sequence")).dropDuplicates("id")))
+    val hmmHits = hmmLines.toDF("value")
+      .select(split(col("value"), " ").getItem(0).as("orf_id"))
+
+    Result(aligned, normalized, contigs, filteredContigs, orfs, hmmHits)
+  }
+
+  private def fastaLinesToContigs(spark: SparkSession, lines: Dataset[String]): DataFrame = {
+    import spark.implicits._
+    // Assembler output arrives as alternating >id / sequence lines from
+    // the pipe; reassemble per partition (mock emits records intact).
+    lines.mapPartitions { it =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var id: String = null
+      val body = new StringBuilder
+      def flush(): Unit = if (id != null) { buf += ((id, body.toString)); body.clear() }
+      it.foreach { l =>
+        if (l.startsWith(">")) { flush(); id = l.drop(1).split(" ")(0) }
+        else body.append(l)
+      }
+      flush()
+      buf.iterator
+    }.toDF("id", "sequence")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.pipe
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+
+/** External-tool pipe operator (SURVEY.md §2.10, P1-P4): stream a
+  * partition's records through a forked process, yield its stdout lines.
+  *
+  * This is the reference's signature pattern (BWA via JNI at
+  * AlignInterleaved.java:67-140; MegaHit/blastn/hmmsearch via
+  * ProcessBuilder at Assemble.java:106-177, BlastN.java:104-145,
+  * HMMSearch.java:82-163), re-expressed as `Dataset[String] ⇒
+  * Dataset[String]` so any record stream can flow through any
+  * line-oriented tool. The binary is injected, so tests run with
+  * coreutils stand-ins and production runs the real tools.
+  *
+  * Scale notes:
+  *  - one process per PARTITION, not per record — process spawn and tool
+  *    index loading amortize exactly like the reference's mapPartitions;
+  *  - stdin is fed from a separate thread while stdout is drained on the
+  *    task thread: no pipe-buffer deadlock on large partitions, and
+  *    records stream through without materializing the partition;
+  *  - partition count = process parallelism; callers `repartition(n)`
+  *    first to match the cluster's process budget (the reference's
+  *    `-partitions 100` before blastn, virapipe.sh:24).
+  */
+final case class PipeStage(cmd: Seq[String], env: Map[String, String] = Map.empty) {
+
+  def run(input: Dataset[String]): Dataset[String] = {
+    import input.sparkSession.implicits._
+    val command = cmd
+    val extraEnv = env
+    input.mapPartitions { records =>
+      if (records.isEmpty) Iterator.empty
+      else {
+        val pb = new ProcessBuilder(command: _*)
+        extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+
+        val writer = new Thread(() => {
+          val w = new BufferedWriter(new OutputStreamWriter(
+            proc.getOutputStream, StandardCharsets.UTF_8))
+          try records.foreach { r => w.write(r); w.newLine() }
+          finally w.close()
+        })
+        writer.setDaemon(true)
+        writer.start()
+
+        val out = new BufferedReader(new InputStreamReader(
+          proc.getInputStream, StandardCharsets.UTF_8))
+        Iterator.continually(out.readLine()).takeWhile(_ != null)
+      }
+    }
+  }
+
+  /** Pipe a single-string-column DataFrame; returns one `value` column. */
+  def runDf(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    run(df.select(col(df.columns.head)).as[String]).toDF("value")
+  }
+}
+
+/** Domain pipe wrappers with the reference tools' I/O contracts; every
+  * command is injectable (mock with coreutils in tests, real binaries in
+  * production).
+  */
+object Pipes {
+
+  /** P1 `align_bwa`: interleaved FASTQ lines in → SAM lines out
+    * (AlignInterleavedMulti.java:73-150). Default command is a
+    * deterministic mock: each 4-line record becomes one SAM line, flag
+    * 77 for `/1` mates and 141 for `/2` (the both-unmapped pair flags
+    * the reference keeps).
+    */
+  def alignBwa(spark: SparkSession, interleavedFastq: Dataset[String],
+               cmd: Option[Seq[String]] = None): Dataset[String] = {
+    val mock = Seq("awk",
+      "NR % 4 == 1 { name = substr($1, 2) } " +
+        "NR % 4 == 2 { seq = $0 } " +
+        "NR % 4 == 0 { flag = (name ~ /\\/1$/) ? 77 : 141; sub(/\\/[12]$/, \"\", name); " +
+        "print name \"\\t\" flag \"\\t*\\t0\\t0\\t*\\t*\\t0\\t0\\t\" seq \"\\t\" $0 }")
+    PipeStage(cmd.getOrElse(mock)).run(interleavedFastq)
+  }
+
+  /** P2 `assemble_megahit`: FASTA reads in → contig FASTA out
+    * (Assemble.java:106-177). Mock: pass-through renaming headers to
+    * `>contig_<n>` like an assembler's own numbering.
+    */
+  def assembleMegahit(spark: SparkSession, fasta: Dataset[String],
+                      cmd: Option[Seq[String]] = None): Dataset[String] = {
+    val mock = Seq("awk",
+      """/^>/ { n += 1; print ">contig_" n; next } { print }""")
+    PipeStage(cmd.getOrElse(mock)).run(fasta)
+  }
+
+  /** P3 `blastn`: FASTA in → outfmt-6 TSV out (BlastN.java:104-145).
+    * Mock: one hit per record, pident derived from sequence length.
+    */
+  def blastn(spark: SparkSession, fasta: Dataset[String],
+             cmd: Option[Seq[String]] = None): Dataset[String] = {
+    val mock = Seq("awk",
+      "/^>/ { id = substr($1, 2); next } " +
+        "{ print id \"\\tSUBJ\\t\" (50 + length($0) % 50) \".0\\t\" length($0) " +
+        "\"\\t0\\t0\\t1\\t\" length($0) \"\\t1\\t\" length($0) \"\\t0.001\\t100.0\" }")
+    PipeStage(cmd.getOrElse(mock)).run(fasta)
+  }
+
+  /** P4 `hmmsearch`: protein FASTA in → tblout-style lines out
+    * (HMMSearch.java:82-163). Mock: one domain hit per sequence.
+    */
+  def hmmsearch(spark: SparkSession, proteinFasta: Dataset[String],
+                cmd: Option[Seq[String]] = None): Dataset[String] = {
+    val mock = Seq("awk",
+      "/^>/ { id = substr($1, 2); next } " +
+        "{ print id \" - vFam_mock - 1e-5 \" length($0) \" 0.0\" }")
+    PipeStage(cmd.getOrElse(mock)).run(proteinFasta)
+  }
+}

@@ -102,6 +102,20 @@ object DomainIO {
       BlastTsv.write(hits, dir)
       Pipeline.blastThresholdFilter(contigs, BlastTsv.read(s, dir), 70.0)
         .select("id")
+    },
+
+    // P1-P4 machinery: stream records through a forked process (identity
+    // command) and parse them back — the pipe operator under oracle test.
+    "q54_pipe_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      val lines = Tables.documents(s, d)
+        .select(concat_ws("\t", col("doc_id"), md5(col("text"))).as("line"))
+        .as[String]
+      val piped = graft.pipe.PipeStage(Seq("cat")).run(lines)
+      val f = split(col("value"), "\t")
+      piped.toDF("value").select(
+        f.getItem(0).cast("long").as("doc_id"),
+        f.getItem(1).as("text_md5"))
     }
   )
 
@@ -153,6 +167,8 @@ object DomainIO {
          FROM contigs c LEFT JOIN hits h ON c.id = h.qseqid
          WHERE h.qseqid IS NULL
             OR (h.pident > 70.0 AND
-                CAST(h.qend - h.qstart + 1 AS DOUBLE) / length(c.sequence) * 100.0 > 70.0)"""
+                CAST(h.qend - h.qstart + 1 AS DOUBLE) / length(c.sequence) * 100.0 > 70.0)""",
+    "q54_pipe_roundtrip" ->
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents"
   )
 }

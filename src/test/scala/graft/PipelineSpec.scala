@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.ViraPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end mini pipeline (SURVEY.md §5 item 4): paired FASTQ →
+  * interleave → mock-BWA pipe → flag filter → digital normalize → mock
+  * assembler → contig rename → mock blastn + threshold filter → ORFs →
+  * mock hmmsearch — all in one SparkSession program with coreutils
+  * stand-ins for the native tools.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // 24-char sequences: mock blastn emits pident = 50 + len%50 = 74 > 70
+  // and full-length overlap, so contigs pass the threshold filter.
+  private val seqA = "ATGAAACCCTAAGGGTTTCCCGGA"
+  private val seqB = "ATGTTTAAACCCGGGTAACCCGGA"
+
+  private def pairedReads = {
+    import spark.implicits._
+    val r1 = Seq(
+      ("pairA/1", seqA, "I" * 24),
+      ("pairB/1", seqB, "I" * 24),
+      ("orphan/1", seqA, "I" * 24) // no mate → dropped by interleave
+    ).toDF("key", "sequence", "quality")
+    val r2 = Seq(
+      ("pairA/2", seqA, "I" * 24),
+      ("pairB/2", seqB, "I" * 24)
+    ).toDF("key", "sequence", "quality")
+    (r1, r2)
+  }
+
+  test("eight-stage pipeline runs end-to-end with mocked tools") {
+    val (r1, r2) = pairedReads
+    val res = ViraPipeline.run(spark, r1, r2,
+      ViraPipeline.Config(k = 4, minc = 0, maxc = 100, orfMinLen = 2))
+
+    // Stage 2: both pairs alignable, orphan dropped → 4 reads, flags 77/141.
+    assert(res.aligned.count() == 4)
+    val keys = res.aligned.select("key").collect().map(_.getString(0)).toSet
+    assert(keys == Set("pairA/1", "pairA/2", "pairB/1", "pairB/2"))
+
+    // Stage 3: all k-mer counts inside (0,100) → min-key reads survive.
+    assert(res.normalized.count() > 0)
+
+    // Stage 5-6: one contig per pair name, uuid-suffixed unique ids.
+    val contigIds = res.contigs.select("id").collect().map(_.getString(0))
+    assert(contigIds.length == 2)
+    assert(contigIds.distinct.length == 2)
+    assert(contigIds.forall(_.startsWith("contig_")))
+
+    // Stage 7: mock pident 74 > 70, overlap 100 > 70 → contigs retained.
+    assert(res.filteredContigs.count() == 2)
+
+    // Stage 8: both sequences carry a ≥2-aa ORF (ATG...stop) → ORFs and
+    // one hmm hit per distinct ORF id.
+    assert(res.orfs.count() > 0)
+    assert(res.hmmHits.count() > 0)
+  }
+
+  test("digitalNormalize drops reads whose k-mers are all outside the band") {
+    import spark.implicits._
+    // 'AAAA' k-mers appear 12 times (3 reads × 4 windows with k=4... the
+    // point: with maxc=3 the repeated-sequence reads' only kmer is too
+    // common, the distinct read survives via its unique kmers).
+    val reads = Seq(
+      ("r1", "AAAAAAA", "IIIIIII"),
+      ("r2", "AAAAAAA", "IIIIIII"),
+      ("r3", "AAAAAAA", "IIIIIII"),
+      ("r4", "ACGTACG", "IIIIIII")
+    ).toDF("key", "sequence", "quality")
+    val out = ViraPipeline.digitalNormalize(reads, k = 4, minc = 0, maxc = 3)
+      .select("key").collect().map(_.getString(0)).toSet
+    // AAAA count = 12 (>maxc) → r1-r3 all dropped; r4's kmers count 1 → kept.
+    assert(out == Set("r4"))
+  }
+
+  test("pipe stage handles empty partitions and large-ish streams") {
+    import spark.implicits._
+    val n = 5000
+    val ds = spark.range(n).map(i => s"line_$i").repartition(8)
+    val out = graft.pipe.PipeStage(Seq("cat")).run(ds)
+    assert(out.count() == n)
+  }
+}
