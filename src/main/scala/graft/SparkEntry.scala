@@ -16,7 +16,8 @@ object SparkEntry {
       (Q.Relational.queries, Q.Relational.oracles),
       (Q.Genomic.queries, Q.Genomic.oracles),
       (Q.LlmText.queries, Q.LlmText.oracles),
-      (Q.DomainIO.queries, Q.DomainIO.oracles)
+      (Q.DomainIO.queries, Q.DomainIO.oracles),
+      (Q.Events.queries, Q.Events.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

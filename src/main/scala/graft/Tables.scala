@@ -25,7 +25,18 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
+  /** The events table stores ts as TIMESTAMP(NANOS) — a parquet type
+    * Spark refuses outright (PARQUET_TYPE_ILLEGAL) unless read as a raw
+    * long. Read nanos as long, truncate to micros (identical to
+    * DuckDB's ns→us handling) and restore a naive timestamp.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000"))
+        .cast("timestamp_ntz"))
+  }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 
@@ -34,5 +45,8 @@ object Tables {
     * user SQL can run against them via `spark.sql`.
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

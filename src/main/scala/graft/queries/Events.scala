@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics in batch form over the `events` table —
+  * tumbling windows, sessionization, JSON prop extraction, funnels.
+  * The streaming twins (Structured Streaming with watermarks and
+  * mapGroupsWithState) live in [[graft.streaming.EventStreams]]; batch
+  * and stream share the same aggregation shapes, and these batch
+  * versions carry the DuckDB oracles.
+  */
+object Events {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour window per event type (streaming `window()` analog).
+    "q40_tumbling_window" -> { (s, d) =>
+      Tables.events(s, d)
+        // date_trunc yields LTZ; keep the naive type end-to-end (UTC session).
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    },
+
+    // Sessionization: a new session opens after a >30-minute gap; session
+    // id = cumulative count of gap-breaks per user (lag + running sum —
+    // the batch twin of mapGroupsWithState session state).
+    "q41_sessionize" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      val ev = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+    },
+
+    // JSON property extraction from the props column.
+    "q42_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+    },
+
+    // Funnel: users whose first view precedes their first click precedes
+    // their first purchase.
+    "q43_funnel" -> { (s, d) =>
+      val firsts = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      firsts.filter(col("t_view") < col("t_click") &&
+        col("t_click") < col("t_purchase"))
+        .select("user_id")
+    },
+
+    // Sliding-window style rate: events per type per day with a running
+    // 3-day average (window-frame aggregation over time buckets).
+    "q44_sliding_rate" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+      daily.withColumn("avg3", round(avg(col("n")).over(w), 2))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS win, event_type,
+              count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2""",
+    "q41_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events),
+         s AS (
+           SELECT user_id, value,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM g)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                count(*) AS n_events, round(sum(value), 2) AS total
+         FROM s GROUP BY 1, 2""",
+    "q42_json_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k, count(*) AS n
+         FROM events GROUP BY 1""",
+    "q43_funnel" ->
+      """WITH firsts AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           FROM events WHERE event_type IN ('view', 'click', 'purchase')
+           GROUP BY user_id)
+         SELECT user_id FROM firsts
+         WHERE t_view < t_click AND t_click < t_purchase""",
+    "q44_sliding_rate" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT day, event_type, n,
+                round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS avg3
+         FROM daily"""
+  )
+}

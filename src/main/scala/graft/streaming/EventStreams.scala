@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface over the `events` schema (north-star
+  * extension — the reference has NO streaming, SURVEY.md §2.12; the
+  * batch twins with DuckDB oracles are in graft.queries.Events).
+  *
+  * Scale notes: event-time windows + watermarks bound state size; the
+  * sessionizer keeps one small state object per active user key and
+  * emits sessions on timeout, so state scales with concurrent users,
+  * not event volume. Both run identically over Kafka/file streams —
+  * the source is a parameter.
+  */
+object EventStreams {
+
+  // The harness stores ts as TIMESTAMP(NANOS) — illegal for Spark's
+  // parquet reader unless read as a raw long (see Tables.events); the
+  // stream schema mirrors that and restores a naive timestamp.
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based event stream (parquet directory; swap for Kafka in prod). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
+  /** Watermarked sliding-window counts per event type — the streaming
+    * twin of q40/q44.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     slide: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      // Watermarks require TIMESTAMP (LTZ); the harness data is NTZ —
+      // UTC session makes the round-trip cast value-preserving.
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").cast("timestamp_ntz").as("win"),
+        col("event_type"), col("n"), col("total"))
+
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp,
+                              n_events: Long, total: Double)
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+
+  /** Stateful sessionization (flatMapGroupsWithState): a session closes
+    * after `gapMs` of user inactivity (processing-time timeout stands in
+    * for event-time close in this minimal form) — the streaming twin of
+    * q41's lag+cumsum batch sessionizer.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+      col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(user, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+}

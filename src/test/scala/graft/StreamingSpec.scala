@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming windowed aggregation, fed the sf0.001 events parquet as
+  * a file stream, must reproduce the batch q40 result exactly.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming windowedCounts matches the batch tumbling-window result") {
+    val dir = "/root/testdata/sf0.001"
+    // File streams need a directory to watch — stage the table in one.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = EventStreams.readEventStream(spark, streamDir.toString)
+    val agg = EventStreams.windowedCounts(stream)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("win_counts")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not terminate")
+
+    val streamed = spark.table("win_counts")
+      .select("win", "event_type", "n", "total")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.Events.queries("q40_tumbling_window")(spark, dir)
+      .select(col("win"), col("event_type"), col("n"), col("total"))
+      .collect().map(_.toSeq).toSet
+    val onlyStream = streamed -- batch
+    val onlyBatch = batch -- streamed
+    assert(onlyStream.isEmpty && onlyBatch.isEmpty,
+      s"onlyStream=${onlyStream.take(5)} onlyBatch=${onlyBatch.take(5)} " +
+        s"sizes=${streamed.size}/${batch.size}")
+  }
+
+  test("stateful sessionizer closes sessions on gap within a batch") {
+    import spark.implicits._
+    val base = 1700000000000L
+    val events = Seq(
+      (1L, new java.sql.Timestamp(base), 1.0),
+      (1L, new java.sql.Timestamp(base + 60 * 1000), 2.0), // same session
+      (1L, new java.sql.Timestamp(base + 45 * 60 * 1000), 3.0), // gap > 30min → new session
+      (2L, new java.sql.Timestamp(base), 5.0)
+    ).toDF("user_id", "ts", "value")
+
+    // Feed through a memory stream so flatMapGroupsWithState runs for real.
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)](
+      spark, 1)
+    ms.addData(events.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2))).toSeq: _*)
+    val streamDf = ms.toDF()
+      .select(col("_1").as("user_id"),
+        (col("_2") / 1000).cast("timestamp").as("ts"),
+        col("_3").as("value"))
+    val sessions = EventStreams.sessionize(spark, streamDf)
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessions")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // Within the batch, user 1's first session (2 events) closed when the
+    // 45-minute-later event arrived; open sessions are still in state.
+    val closed = spark.table("sessions").collect()
+    assert(closed.length == 1)
+    assert(closed(0).getAs[Long]("user_id") == 1L)
+    assert(closed(0).getAs[Long]("n_events") == 2L)
+    assert(closed(0).getAs[Double]("total") == 3.0)
+  }
+}
