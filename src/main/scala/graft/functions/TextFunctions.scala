@@ -29,15 +29,22 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** Word n-gram shingles (distinct), the unit of near-dup detection. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  /** Word n-gram shingles (distinct) from a MATERIALIZED tokens column.
+    * `toks` must be a projected attribute, not an inline expression — the
+    * slice lambda references it per shingle, and an inline tokenizer
+    * would re-run per element (O(shingles × len) per row).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) < n, array().cast("array<string>"))
         .otherwise(transform(
           sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+
+  /** Convenience form over raw text — fine for one-shot projections;
+    * hot paths should materialize tokens first (see Dedup operators).
+    */
+  def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
 
   /** Whole-document fingerprint: md5 of the whitespace-normalized,
     * lower-cased text (SURVEY.md north-star "document fingerprinting").
@@ -57,15 +64,19 @@ object TextFunctions {
         i => md5(norm.substr(i, lit(8))))))
   }
 
-  /** MinHash signature: for each seed j, the min md5("j:"++shingle).
-    * String-min over md5 hex is a perfectly serviceable hash family and —
-    * unlike murmur/xxhash — identical across engines.
+  /** MinHash signature from a MATERIALIZED md5-per-shingle column: hash
+    * function j is the 8-hex-char window of the digest starting at
+    * 1+2j — one md5 per shingle total ("one-permutation"-style family,
+    * 12× fewer digests than seed-prefixed hashing), identical across
+    * engines (md5 hex is stable everywhere, unlike murmur/xxhash).
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Seq[Column] =
+  def minhashFromHashes(hashesCol: Column, numHashes: Int): Seq[Column] = {
+    require(numHashes <= 12, "md5 hex has 32 chars: window start 1+2j+8 <= 33")
     (0 until numHashes).map { j =>
-      array_min(transform(shingleCol, s => md5(concat(lit(s"$j:"), s))))
+      array_min(transform(hashesCol, h => h.substr(lit(1 + 2 * j), lit(8))))
         .as(s"mh$j")
     }
+  }
 
   /** LSH band keys over a minhash signature: md5 of each band's
     * concatenated rows. Docs sharing ANY band key become candidates.
@@ -77,17 +88,19 @@ object TextFunctions {
     }: _*)
   }
 
-  /** 16-bit SimHash over tokens, as a '0'/'1' string (bit 0 first).
-    * Bit b of token t = bit (b%4) of hex nibble b/4 of md5(t); the
-    * signature bit is 1 iff the sum of (2*bit-1) over tokens is > 0.
+  /** 16-bit SimHash from a MATERIALIZED md5-per-token column, as a
+    * '0'/'1' string (bit 0 first). Bit b of token hash h = bit (b%4) of
+    * hex nibble b/4; the signature bit is 1 iff the sum of (2*bit-1)
+    * over tokens is > 0. Taking hashes pre-computed means one md5 per
+    * token instead of one per token per bit.
     */
-  def simhash16(tokensCol: Column): Column = {
+  def simhash16FromHashes(hashesCol: Column): Column = {
     val bits = (0 until 16).map { b =>
-      val nib = b / 4 + 1 // 1-based hex char position in md5
+      val nib = b / 4 + 1 // 1-based hex char position in the digest
       val shift = 1 << (b % 4)
-      val weight = aggregate(tokensCol, lit(0), (acc, t) => {
+      val weight = aggregate(hashesCol, lit(0), (acc, h) => {
         // hex char → nibble value via ascii ('0'-'9' = 48-57, 'a'-'f' = 97-102)
-        val ch = ascii(md5(t).substr(lit(nib), lit(1)))
+        val ch = ascii(h.substr(lit(nib), lit(1)))
         val nibVal = when(ch <= 57, ch - 48).otherwise(ch - 87)
         val bit = (floor(nibVal.cast("double") / shift).cast("int") % 2)
         acc + when(bit === 1, 1).otherwise(-1)

@@ -23,6 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Shared prologue: (id, distinct shingle array) with tokens
+    * MATERIALIZED in their own projection (an inline tokenizer would be
+    * re-evaluated per shingle by the slice lambda), and the input
+    * repartitioned to the session's parallelism — signature computation
+    * is CPU-heavy per row, and a corpus arriving as one small file would
+    * otherwise run on a single task.
+    */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("shs"))
+      .filter(size(col("shs")) > 0)
+
   /** A2/A3 exact dedup, deterministic: group rows by normalized-text
     * fingerprint, keep the minimum id per group (the reference keeps an
     * arbitrary first — `reduceByKey((a,b)=>a)`, FastqFilter.java:88-94).
@@ -41,31 +57,34 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"),
-        TextFunctions.shingles(col(textCol), shingleN).as("shs"))
-      .filter(size(col("shs")) > 0)
-
-    val mh = TextFunctions.minhashSignature(col("shs"), numHashes)
+    // Persisted: both sides of the band self-join and both verify joins
+    // read these — without caching, the whole signature pipeline would
+    // recompute once per branch.
+    val sh = shingled(docs, idCol, textCol, shingleN).persist()
+    val mh = TextFunctions.minhashFromHashes(col("hs"), numHashes)
     val banded = sh
-      .select(col("id"), col("shs"),
+      .select(col("id"), transform(col("shs"), s => md5(s)).as("hs"))
+      .select(col("id"),
         posexplode(TextFunctions.bandKeys(mh, bands)).as(Seq("band", "bkey")))
+      .persist()
 
-    // Candidate pairs: same (band, band-hash), id_a < id_b, deduped —
-    // the ONLY place two docs ever meet.
+    // Candidate pairs: same (band, band-hash), id_a < id_b, deduped.
+    // Only (id, band, bkey) rows cross this shuffle — the shingle arrays
+    // rejoin AFTER dedup, on the tiny candidate set.
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.shs").as("shs_a"), col("b.shs").as("shs_b"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    // Exact Jaccard on the candidate set (shingle arrays ride along the
-    // join — no second scan of the corpus).
+    // Exact Jaccard verify on the candidate set.
+    val withShs = cands
+      .join(sh.select(col("id"), col("shs").as("shs_a")), col("doc_a") === col("id")).drop("id")
+      .join(sh.select(col("id"), col("shs").as("shs_b")), col("doc_b") === col("id")).drop("id")
     val inter = size(array_intersect(col("shs_a"), col("shs_b"))).cast("double")
     val uni = (size(col("shs_a")) + size(col("shs_b"))).cast("double") - inter
-    cands
+    withShs
       .withColumn("jaccard", round(inter / uni, 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -76,8 +95,13 @@ object Dedup {
     */
   def simhashBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol).as("id"),
-        TextFunctions.simhash16(TextFunctions.tokens(col(textCol))).as("simhash"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      // materialize tokens, then ONE md5 per token — the 16 bit-
+      // aggregates reference the hash column, so an inline tokenizer or
+      // inline md5 would re-run 16× per row.
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"), transform(col("toks"), t => md5(t)).as("hs"))
+      .select(col("id"), TextFunctions.simhash16FromHashes(col("hs")).as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
       .filter(col("n") > 1)
@@ -88,12 +112,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"),
-        TextFunctions.shingles(col(textCol), shingleN).as("shs"))
-      .filter(size(col("shs")) > 0)
+    val sh = shingled(docs, idCol, textCol, shingleN).persist()
     val sizes = sh.select(col("id"), size(col("shs")).as("n"))
-    val ex = sh.select(col("id"), explode(col("shs")).as("sh"))
+    val ex = sh.select(col("id"), explode(col("shs")).as("sh")).persist()
 
     val overlap = ex.as("a")
       .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

@@ -35,8 +35,12 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    // Repartition to session parallelism: vector sets often arrive as one
+    // small file (single task), and the non-equi pair join streams the
+    // probe side without a shuffle — partition count IS the parallelism.
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
 
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")

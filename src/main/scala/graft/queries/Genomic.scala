@@ -46,6 +46,7 @@ object Genomic {
     // NormalizeRDD histogram, NormalizeRDD.java:64-94).
     "q21_kmer_band" -> { (s, d) =>
       Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism) // 1-file table → explode in parallel
         .filter(length(col("text")) >= 5)
         .select(explode(F.kmersCol(col("text"), 5)).as("kmer"))
         .groupBy("kmer").agg(count(lit(1)).as("cnt"))
@@ -101,6 +102,7 @@ object Genomic {
     "q28_normalize" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val keepers = docs
+        .repartition(s.sparkContext.defaultParallelism)
         .filter(length(col("text")) >= 8)
         .select(col("doc_id"), explode(F.kmersCol(col("text"), 8)).as("kmer"))
         .groupBy("kmer")

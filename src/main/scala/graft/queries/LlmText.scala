@@ -31,17 +31,19 @@ object LlmText {
   private val Bands = 4
   private val ShingleN = 3
 
+  // hash function j = 8-hex-char window of the per-shingle md5 at 1+2j
+  // (must mirror TextFunctions.minhashFromHashes exactly).
   private def mhSql(j: Int): String =
-    s"list_min(list_transform(shs, x -> md5('$j:' || x)))"
+    s"list_min(list_transform(hs, h -> substr(h, ${1 + 2 * j}, 8)))"
 
   private def simhashBitSql(b: Int): String = {
     val nib = b / 4 + 1
     val shift = 1 << (b % 4)
-    val ch = s"ascii(substr(md5(t), $nib, 1))"
+    val ch = s"ascii(substr(h, $nib, 1))"
     val nibVal = s"CASE WHEN $ch <= 57 THEN $ch - 48 ELSE $ch - 87 END"
     val bit = s"CAST(floor(($nibVal) / $shift) AS INTEGER) % 2"
-    s"CASE WHEN CAST(list_sum(list_transform(toks, " +
-      s"t -> CASE WHEN ($bit) = 1 THEN 1 ELSE -1 END)) AS INTEGER) > 0 " +
+    s"CASE WHEN CAST(list_sum(list_transform(hs, " +
+      s"h -> CASE WHEN ($bit) = 1 THEN 1 ELSE -1 END)) AS INTEGER) > 0 " +
       "THEN '1' ELSE '0' END"
   }
 
@@ -153,7 +155,8 @@ object LlmText {
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           s AS (SELECT doc_id, ${shinglesSql(ShingleN)} AS shs FROM t),
           s2 AS (SELECT doc_id, shs FROM s WHERE len(shs) > 0),
-          m AS (SELECT doc_id, $mhCols FROM s2),
+          hh AS (SELECT doc_id, shs, list_transform(shs, x -> md5(x)) AS hs FROM s2),
+          m AS (SELECT doc_id, $mhCols FROM hh),
           bands AS ($bandSelects),
           cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                    FROM bands a JOIN bands b
@@ -183,7 +186,8 @@ object LlmText {
           FROM n""",
     "q34_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          sig AS (SELECT doc_id, $simhashSql AS simhash FROM t)
+          hh AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM t),
+          sig AS (SELECT doc_id, $simhashSql AS simhash FROM hh)
           SELECT simhash, count(*) AS n, min(doc_id) AS min_id
           FROM sig GROUP BY simhash HAVING count(*) > 1""",
     "q35_ngram_jaccard" ->

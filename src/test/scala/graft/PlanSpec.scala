@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the optimizations the 100 TB design relies
+  * on must actually appear in the plan, not just be hoped for.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filter is pushed to the parquet scan and columns are pruned") {
+    val plan = planOf("q02_filter_project")
+    assert(plan.contains("PushedFilters: ["), plan.take(800))
+    assert(plan.contains("GreaterThan(l_quantity"), plan.take(800))
+    // Pruned read schema: only the 4 referenced columns, not all 11.
+    assert(!plan.contains("l_returnflag"), "scan should not read unused columns")
+  }
+
+  test("q03: dimension join is a broadcast hash join") {
+    val plan = planOf("q03_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("q05: anti join does not fall back to cartesian") {
+    val plan = planOf("q05_anti_join")
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q07: sort+limit plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf("q07_sort_limit")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the exchange") {
+    val plan = planOf("q01_agg_sum")
+    // Two HashAggregate nodes around one Exchange = partial + final.
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+    assert(plan.contains("Exchange"))
+  }
+
+  test("q31: LSH candidate join is an equi join, never a cartesian") {
+    val plan = planOf("q31_minhash_lsh")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("whole-stage codegen covers the scan+filter+project pipeline") {
+    // AQE finalizes the physical plan only on execution — run it first.
+    val df = SparkEntry.queries("q02_filter_project")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into one codegen stage
+    assert(plan.contains("*(1)"), plan.take(1200))
+  }
+}
