@@ -17,7 +17,8 @@ object SparkEntry {
       (Q.Genomic.queries, Q.Genomic.oracles),
       (Q.LlmText.queries, Q.LlmText.oracles),
       (Q.DomainIO.queries, Q.DomainIO.oracles),
-      (Q.Events.queries, Q.Events.oracles)
+      (Q.Events.queries, Q.Events.oracles),
+      (Q.Multimodal.queries, Q.Multimodal.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,110 @@
+package graft.plans
+
+import graft.functions.Dna
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hottest domain scalars — the
+  * preference ladder from SURVEY.md §7.3: built-in composition first,
+  * then a custom `Expression` with codegen (this file), then UDFs.
+  *
+  * `RevCompExpression` generates straight-line Java (no row boxing, no
+  * Scala closure dispatch) and stays inside whole-stage codegen;
+  * `KmerGenerator` is a true Catalyst Generator: it streams k-mers to
+  * the consumer without materializing the full substring array the
+  * `transform(sequence(...))` formulation builds per row.
+  */
+object NativeDna {
+
+  /** Codegen-ed revcomp core, shared by interpreted + generated paths.
+    * Public + static-shaped so generated code can call it.
+    */
+  def revcomp(s: UTF8String): UTF8String =
+    UTF8String.fromString(Dna.reverseComplement(s.toString))
+}
+
+/** X1 as a native unary expression with whole-stage codegen support. */
+case class RevCompExpression(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"revcomp_native requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "revcomp_native"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NativeDna.revcomp(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeDna.revcomp($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** X5 as a Catalyst Generator: one output row per k-mer, streamed —
+  * the `explode(transform(sequence(...)))` formulation materializes an
+  * O(len·k) array per row first; this emits substrings lazily.
+  */
+case class KmerGenerator(child: Expression, kExpr: Expression)
+    extends Expression with Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def elementSchema: StructType =
+    StructType(StructField("kmer", StringType) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val s = child.eval(input)
+    val kv = kExpr.eval(input)
+    if (s == null || kv == null) Iterator.empty
+    else {
+      val str = s.asInstanceOf[UTF8String].toString
+      val k = kv.asInstanceOf[Int]
+      if (str.length < k || k <= 0) Iterator.empty
+      else (0 to str.length - k).iterator.map { i =>
+        InternalRow(UTF8String.fromString(str.substring(i, i + k)))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
+/** Registration: both an extensions class (for
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`) and a
+  * runtime registry hook for already-built sessions.
+  */
+object NativeFunctions {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "revcomp_native" -> (exprs => RevCompExpression(exprs.head)),
+    "kmers_native" -> (exprs => KmerGenerator(exprs(0), exprs(1))))
+
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("revcomp_native"),
+      new ExpressionInfo(classOf[RevCompExpression].getName, "revcomp_native"),
+      (exprs: Seq[Expression]) => RevCompExpression(exprs.head)))
+    e.injectFunction((FunctionIdentifier("kmers_native"),
+      new ExpressionInfo(classOf[KmerGenerator].getName, "kmers_native"),
+      (exprs: Seq[Expression]) => KmerGenerator(exprs(0), exprs(1))))
+  }
+}

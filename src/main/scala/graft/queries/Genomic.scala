@@ -96,6 +96,18 @@ object Genomic {
         .groupBy("codon").agg(count(lit(1)).as("cnt"))
     },
 
+    // Native Catalyst expressions (plans.RevCompExpression codegen +
+    // plans.KmerGenerator streaming generator) reached from user SQL via
+    // LATERAL VIEW — capability the reference never had (§2.12).
+    "q27_native_exprs" -> { (s, d) =>
+      graft.plans.NativeFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT revcomp_native(kmer) AS rc_kmer, count(*) AS cnt
+           FROM documents LATERAL VIEW kmers_native(text, 6) t AS kmer
+           GROUP BY 1 HAVING count(*) > 10""")
+    },
+
     // §3.3 digital normalization, made deterministic: keep the MIN doc per
     // band-surviving k-mer (reference keeps an arbitrary first-seen read,
     // NormalizeRDD.java:87-92 — SURVEY.md §7.4 says fix, not replicate).
@@ -144,6 +156,12 @@ object Genomic {
                  FROM d WHERE length(dna) >= 3)
           SELECT substr(dna, CAST(i AS INTEGER), 3) AS codon, count(*) AS cnt
           FROM ex GROUP BY 1""",
+    "q27_native_exprs" ->
+      """WITH ex AS (SELECT text, unnest(generate_series(1, length(text)-5)) AS i
+                     FROM documents WHERE length(text) >= 6)
+         SELECT reverse(translate(substr(text, CAST(i AS INTEGER), 6),
+                  'ACGTacgt', 'TGCAtgca')) AS rc_kmer, count(*) AS cnt
+         FROM ex GROUP BY 1 HAVING count(*) > 10""",
     "q28_normalize" ->
       """WITH ex AS (SELECT doc_id, text, unnest(generate_series(1, length(text)-7)) AS i
                      FROM documents WHERE length(text) >= 8),

@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries (north-star surface): media as opaque
+  * `binary` payloads + typed metadata struct, with the decode step
+  * STUBBED deterministically (no image/audio libs in this container —
+  * the Spark-side plumbing: schema, binary encoding, per-partition
+  * batch decode, feature schema — is real and oracle-tested).
+  *
+  * The fake payload is the utf-8 encoding of the document text, so the
+  * DuckDB oracle can independently verify every derived value.
+  */
+object Multimodal {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary payload + metadata struct construction, verified on byte
+    // length and payload digest.
+    "q60_media_meta" -> { (s, d) =>
+      graft.operators.Multimodal.asMedia(Tables.documents(s, d))
+        .select(col("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          octet_length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+    },
+
+    // Stubbed decode + feature extraction over the binary column in
+    // per-partition batches (mapPartitions — the Scala analog of
+    // mapInPandas batch processing). Features recomputable from text.
+    "q61_media_features" -> { (s, d) =>
+      val media = graft.operators.Multimodal.asMedia(Tables.documents(s, d))
+      graft.operators.Multimodal.extractFeatures(media)
+        .select(col("doc_id"),
+          col("n_bytes"),
+          round(col("mean_byte"), 4).as("mean_byte"),
+          col("n_frames"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q60_media_meta" ->
+      """SELECT doc_id,
+              'fake/rgb8' AS format,
+              CAST(n_chars % 64 + 1 AS INTEGER) AS width,
+              CAST(n_chars % 48 + 1 AS INTEGER) AS height,
+              CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+              md5(text) AS payload_md5
+         FROM documents""",
+    "q61_media_features" ->
+      """SELECT doc_id,
+              CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+              round(CAST(list_sum(list_transform(split(text, ''), c -> ascii(c))) AS DOUBLE)
+                    / greatest(length(text), 1), 4) AS mean_byte,
+              CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS INTEGER) AS n_frames
+         FROM documents"""
+  )
+}

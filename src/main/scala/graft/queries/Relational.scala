@@ -177,6 +177,20 @@ object Relational {
         .agg(count(lit(1)).as("n"), r2(sum("o_totalprice")).as("total"))
     },
 
+    // F1/A8/O1 through the SQL SURFACE itself: register temp views and
+    // run user SQL — the reference's entire query lifecycle
+    // (SQLQueryFastq.java:91-99: registerTempTable + sqlContext.sql).
+    "q19_sql_surface" -> { (s, d) =>
+      graft.Tables.registerAll(s, d)
+      s.sql(
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                  round(sum(l_extendedprice), 2) AS total
+           FROM lineitem
+           WHERE l_quantity > 10
+           GROUP BY l_returnflag
+           ORDER BY l_returnflag""")
+    },
+
     // Join + agg + sort + limit combined (top-selling parts).
     "q18_topk_join" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
@@ -260,6 +274,11 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo,
          count(*) AS n, round(sum(o_totalprice),2) AS total
          FROM orders GROUP BY 1, 2""",
+    "q19_sql_surface" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                round(sum(l_extendedprice), 2) AS total
+         FROM lineitem WHERE l_quantity > 10
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q18_topk_join" ->
       """SELECT p_partkey, p_name, round(sum(l_extendedprice),2) AS revenue, count(*) AS n_sold
          FROM lineitem JOIN part ON l_partkey = p_partkey

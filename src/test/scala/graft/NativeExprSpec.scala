@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.Dna
+import graft.plans.NativeFunctions
+import org.scalatest.funsuite.AnyFunSuite
+
+class NativeExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("revcomp_native agrees with the pure implementation (codegen path)") {
+    NativeFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq("ACGT", "AACCGGTTN", "", "acgtn").toDF("s")
+    rows.createOrReplaceTempView("native_in")
+    val got = spark.sql("SELECT s, revcomp_native(s) AS rc FROM native_in").collect()
+    got.foreach { r =>
+      assert(r.getString(1) == Dna.reverseComplement(r.getString(0)))
+    }
+  }
+
+  test("kmers_native generator streams len-k+1 rows per input") {
+    NativeFunctions.register(spark)
+    import spark.implicits._
+    Seq("ACGTACGT", "AC", "").toDF("s").createOrReplaceTempView("native_in2")
+    val got = spark.sql(
+      """SELECT s, kmer FROM native_in2
+         LATERAL VIEW kmers_native(s, 3) t AS kmer""").collect()
+    // only the 8-char string yields kmers: 8-3+1 = 6
+    assert(got.length == 6)
+    assert(got.forall(_.getString(1).length == 3))
+    val expected = Dna.kmers("ACGTACGT", 3).toSet
+    assert(got.map(_.getString(1)).toSet == expected)
+  }
+
+  test("extensions class registers the same functions at session build") {
+    // smoke: the injector runs without error on a fresh builder config
+    // (full withExtensions sessions share the JVM; runtime registry is
+    // equivalent and already covered above)
+    val ext = new graft.plans.GraftExtensions
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    ext.apply(e) // must not throw
+  }
+}
