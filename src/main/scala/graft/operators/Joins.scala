@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators Spark lacks as primitives, composed Spark-first
+  * (SURVEY.md §7.3 preference: compose built-ins before custom plans).
+  */
+object Joins {
+
+  /** As-of join: for every left row, attach the single right row with
+    * the greatest `rightTime <= leftTime` for the same key (backward
+    * as-of, the market-data/event-enrichment classic).
+    *
+    * Implementation is the union-window trick — ONE shuffle on
+    * (key, time), no range-join explosion:
+    *   tag rows; union; last_value of the right payload over a
+    *   (key)-partitioned, time-ordered window; keep left rows.
+    * A sort-merge range join would re-shuffle both sides AND re-scan
+    * ranges; this streams each key's timeline once. Ties
+    * (rightTime == leftTime) count as matches; among equal-time right
+    * rows the one with the greatest tiebreak column wins
+    * (deterministic).
+    *
+    * `left`/`right` must share the key column name; right payload
+    * columns are returned with their own names (null when no earlier
+    * right row exists).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("_t", col(leftTime))
+      .withColumn("_is_left", lit(1))
+    val r = right.select(
+      (col(key) +: (col(rightTime).as("_t") +: payload.map(col))): _*)
+      .withColumn("_is_left", lit(0))
+
+    val leftCols = left.columns
+    val unioned = l.columns.foldLeft(r) { (acc, c) =>
+      if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
+    }
+    val both = payload.foldLeft(l) { (acc, c) =>
+      if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
+    }.select(unioned.columns.map(col): _*).unionByName(unioned)
+
+    // right rows sort BEFORE left rows at equal _t (so an equal-time
+    // right row is visible to the left row), and last_value ignoring
+    // nulls carries the latest right payload forward.
+    val w = Window.partitionBy(key)
+      .orderBy(col("_t").asc, col("_is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = payload.foldLeft(both) { (acc, c) =>
+      acc.withColumn(s"_asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_is_left") === 1)
+      .select((leftCols.map(col) ++
+        payload.map(c => col(s"_asof_$c").as(c))): _*)
+  }
+
+  /** Skew-safe equi join: salt the skewed (left) side's key into
+    * `saltFactor` sub-keys and explode the build side to match — turns
+    * one hot reducer into `saltFactor` even ones. (AQE's skew-join
+    * handles moderate skew automatically; salting is the explicit tool
+    * for pathological keys.)
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val salted = skewed.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+    val exploded = other.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+}

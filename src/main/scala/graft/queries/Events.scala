@@ -65,6 +65,23 @@ object Events {
         .select("user_id")
     },
 
+    // As-of join (operator Spark lacks; composed via the union-window
+    // trick, ONE shuffle): each click gets the user's most recent
+    // purchase at-or-before it. Oracle uses DuckDB's native ASOF JOIN.
+    "q45_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          round(col("value"), 2).as("purchase_value"))
+      graft.operators.Joins.asOfJoin(clicks, purchases, key = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("purchase_id", "purchase_value"))
+        .select("event_id", "user_id", "purchase_id", "purchase_value")
+    },
+
     // Sliding-window style rate: events per type per day with a running
     // 3-day average (window-frame aggregation over time buckets).
     "q44_sliding_rate" -> { (s, d) =>
@@ -110,6 +127,14 @@ object Events {
            GROUP BY user_id)
          SELECT user_id FROM firsts
          WHERE t_view < t_click AND t_click < t_purchase""",
+    "q45_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         purchases AS (SELECT user_id, ts, event_id AS purchase_id,
+                              round(value, 2) AS purchase_value
+                       FROM events WHERE event_type = 'purchase')
+         SELECT l.event_id, l.user_id, r.purchase_id, r.purchase_value
+         FROM clicks l ASOF LEFT JOIN purchases r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "q44_sliding_rate" ->
       """WITH daily AS (
            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n

@@ -161,6 +161,18 @@ object Relational {
         .filter(col("n_orders") >= 3)
     },
 
+    // Skew-tooling: salted join must produce exactly the plain-join
+    // result (the oracle IS the plain join) while spreading any hot key
+    // over saltFactor reducers.
+    "q46_salted_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.operators.Joins.saltedJoin(li, p, "l_partkey", saltFactor = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+    },
+
     // Scalar subquery against an exact aggregate (max is order-insensitive,
     // so the derived threshold is bit-identical across engines).
     "q16_scalar_subquery" -> { (s, d) =>
@@ -267,6 +279,10 @@ object Relational {
     "q15_having" ->
       """SELECT o_custkey, count(*) AS n_orders FROM orders
          GROUP BY o_custkey HAVING count(*) >= 3""",
+    "q46_salted_join" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity),2) AS qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
     "q16_scalar_subquery" ->
       """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
          WHERE o_totalprice > (SELECT max(o_totalprice)*0.9 FROM orders)""",

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("asOfJoin: hand-computed backward matches, ties, and no-match nulls") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", 100L), // after r@50 → matches 50
+      (2L, "u1", 50L),  // equal time → matches 50
+      (3L, "u1", 10L),  // before any right row → null
+      (4L, "u2", 99L)   // u2 has no right rows at all → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      ("u1", 50L, 500L, 1.5),
+      ("u1", 70L, 700L, 2.5) // later than event 1? no: 70 <= 100 → wins for event 1
+    ).toDF("user_id", "ts", "purchase_id", "purchase_value")
+
+    val out = Joins.asOfJoin(left, right, "user_id", "ts", "ts",
+      Seq("purchase_id", "purchase_value"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+
+    assert(out(1L) == 700L) // latest at-or-before 100
+    assert(out(2L) == 500L) // equal-time match
+    assert(out(3L) == -1L)
+    assert(out(4L) == -1L)
+  }
+
+  test("saltedJoin equals the plain join") {
+    import spark.implicits._
+    val skewed = (1 to 500).map(i => (i % 3 + 1, s"row$i")).toDF("k", "v")
+    val dim = Seq((1, "a"), (2, "b"), (3, "c"), (4, "unused")).toDF("k", "name")
+    val salted = Joins.saltedJoin(skewed, dim, "k", saltFactor = 5)
+      .groupBy("name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = skewed.join(dim, "k")
+      .groupBy("name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    a.write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("bkt_a")
+    b.write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("bkt_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      // co-located bucketed join: no hash-partitioning exchange on either side
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+}
