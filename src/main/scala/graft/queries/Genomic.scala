@@ -96,6 +96,19 @@ object Genomic {
         .groupBy("codon").agg(count(lit(1)).as("cnt"))
     },
 
+    // A6 via the custom typed Aggregator (UDAF surface, §2.12): one
+    // corpus-wide 64-slot codon histogram, partial-aggregated map-side,
+    // exploded back to rows — must equal the groupBy version (q26's
+    // oracle verifies exactly that).
+    "q29_codon_udaf" -> { (s, d) =>
+      import s.implicits._
+      val hist = dnaDocs(s, d)
+        .filter(length(col("dna")) >= 3)
+        .select(col("dna")).as[String]
+        .select(graft.functions.CodonAggregator.toColumn.name("hist"))
+      hist.select(explode(col("hist")).as(Seq("codon", "cnt")))
+    },
+
     // Native Catalyst expressions (plans.RevCompExpression codegen +
     // plans.KmerGenerator streaming generator) reached from user SQL via
     // LATERAL VIEW — capability the reference never had (§2.12).
@@ -151,6 +164,12 @@ object Genomic {
           SELECT doc_id, string_agg($codonCaseSql, '' ORDER BY i) AS protein
           FROM ex GROUP BY doc_id""",
     "q26_codon_count" ->
+      s"""WITH d AS ($dnaSql),
+          ex AS (SELECT dna, unnest(generate_series(1, length(dna)-2, 3)) AS i
+                 FROM d WHERE length(dna) >= 3)
+          SELECT substr(dna, CAST(i AS INTEGER), 3) AS codon, count(*) AS cnt
+          FROM ex GROUP BY 1""",
+    "q29_codon_udaf" ->
       s"""WITH d AS ($dnaSql),
           ex AS (SELECT dna, unnest(generate_series(1, length(dna)-2, 3)) AS i
                  FROM d WHERE length(dna) >= 3)
