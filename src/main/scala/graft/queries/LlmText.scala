@@ -137,6 +137,15 @@ object LlmText {
     "q39_quality_score" -> { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("quality"))
+    },
+
+    // The capstone: full curation pass (quality gate → lang filter →
+    // exact dedup → LSH near-dup removal), oracle-checked end to end.
+    "q70_curation" -> { (s, d) =>
+      graft.operators.Curation
+        .curate(Tables.documents(s, d), "doc_id", "text",
+          minQuality = 0.3, langs = Seq("en"), nearDupThreshold = 0.5)
+        .select("doc_id", "n_chars")
     }
   )
 
@@ -231,6 +240,44 @@ object LlmText {
     "q38_langid" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           SELECT doc_id, $langCaseSql AS lang_guess FROM t""",
+    "q70_curation" -> {
+      val qualitySql =
+        s"""round(least(len(toks) / 100.0, 1.0) * 0.5 +
+                 (($stopSql) * 1.0 / greatest(len(toks) * 1.0, 1.0)) * 0.3 +
+                 (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
+                  greatest(length(text), 1)) * 0.2, 4)"""
+      val mhCols = (0 until NumHashes).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
+      val rows = NumHashes / Bands
+      val bandSelects = (0 until Bands).map { b =>
+        val cols = (b * rows until (b + 1) * rows).map(j => s"mh$j").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM m"
+      }.mkString(" UNION ALL ")
+      s"""WITH t0 AS (SELECT doc_id, text, n_chars, $toksSql AS toks FROM documents),
+          q AS (SELECT doc_id, text, n_chars, toks,
+                       $qualitySql AS qual, $langCaseSql AS lang FROM t0),
+          gated AS (SELECT doc_id, text, n_chars, toks FROM q
+                    WHERE qual >= 0.3 AND lang = 'en'),
+          fp AS (SELECT $fpSql AS f, min(doc_id) AS keep
+                 FROM gated GROUP BY 1),
+          ex0 AS (SELECT g.doc_id, g.text, g.n_chars, g.toks
+                  FROM gated g JOIN fp ON g.doc_id = fp.keep),
+          s AS (SELECT doc_id, ${shinglesSql(ShingleN)} AS shs FROM ex0),
+          s2 AS (SELECT doc_id, shs FROM s WHERE len(shs) > 0),
+          hh AS (SELECT doc_id, shs, list_transform(shs, x -> md5(x)) AS hs FROM s2),
+          m AS (SELECT doc_id, $mhCols FROM hh),
+          bands AS ($bandSelects),
+          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          j AS (SELECT da, db,
+                  len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) * 1.0 AS inter,
+                  len(sa.shs) + len(sb.shs) AS tot
+                FROM cand JOIN s2 sa ON da = sa.doc_id JOIN s2 sb ON db = sb.doc_id),
+          dup AS (SELECT DISTINCT db FROM j
+                  WHERE round(inter/(tot-inter), 4) >= 0.5)
+          SELECT doc_id, n_chars FROM ex0
+          WHERE doc_id NOT IN (SELECT db FROM dup)"""
+    },
     "q39_quality_score" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
           SELECT doc_id,
