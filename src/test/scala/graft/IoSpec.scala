@@ -145,6 +145,35 @@ class IoSpec extends AnyFunSuite {
     assert(names.length == 2) // both mates of a survive
   }
 
+  test("writeGroupedBySample partitions output one directory per sample (K6/A4)") {
+    import spark.implicits._
+    val reads = Seq(
+      ("s1:1:FC:1:1:1:1", "ACGT", "IIII"),
+      ("s1:1:FC:1:1:1:2", "CCCC", "IIII"),
+      ("s2:1:FC:1:1:1:1", "GGGG", "IIII")
+    ).toDF("key", "sequence", "quality")
+    val out = Files.createTempDirectory("graft_grouped").toString + "/out"
+    Pipeline.writeGroupedBySample(reads, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("sample=")).sorted
+    assert(dirs.toSeq == Seq("sample=s1", "sample=s2"))
+    val s1 = spark.read.parquet(out).filter(col("sample") === "s1")
+    assert(s1.count() == 2)
+  }
+
+  test("forward/reverse split by name style (F7)") {
+    import spark.implicits._
+    val reads = Seq(
+      ("a 1:N:0:1", "ACGT", "IIII"), ("a 2:N:0:1", "TTTT", "IIII"),
+      ("b/1", "CCCC", "IIII"), ("b/2", "GGGG", "IIII")
+    ).toDF("key", "sequence", "quality")
+    val fwd = reads.filter(col("key").contains(" 1:N:0:") || col("key").endsWith("/1"))
+    val rev = reads.filter(col("key").contains(" 2:N:0:") || col("key").endsWith("/2"))
+    assert(fwd.count() == 2 && rev.count() == 2)
+    assert(fwd.select("key").collect().map(_.getString(0)).forall(k =>
+      k.contains(" 1:") || k.endsWith("/1")))
+  }
+
   test("pairedQualityFilter drops the partner of a failing mate (F2 pairwise)") {
     import spark.implicits._
     val reads = Seq(
