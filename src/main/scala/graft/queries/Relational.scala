@@ -161,6 +161,19 @@ object Relational {
         .filter(col("n_orders") >= 3)
     },
 
+    // Sketch aggregates (HLL cardinality + approximate quantiles):
+    // engine-specific sketches can't hash-match another engine, so this
+    // is a rows-only query — accuracy is asserted against exact values
+    // in SketchSpec instead.
+    "q47_sketches" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99"))
+    },
+
     // Skew-tooling: salted join must produce exactly the plain-join
     // result (the oracle IS the plain join) while spreading any hot key
     // over saltFactor reducers.

@@ -49,6 +49,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("partitioned writes enable partition pruning (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/li"
+    SparkEntry.queries("q02_filter_project")(spark, sf) // warm unrelated
+    graft.Tables.lineitem(spark, sf)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+      .select("l_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan.take(900))
+    assert(df.count() > 0)
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE finalizes the physical plan only on execution — run it first.
     val df = SparkEntry.queries("q02_filter_project")(spark, sf)
