@@ -54,6 +54,19 @@ object EventStreams {
       .select(col("window.start").cast("timestamp_ntz").as("win"),
         col("event_type"), col("n"), col("total"))
 
+  /** Streaming exactly-once dedup: duplicate records (same key) within
+    * the watermark horizon are dropped — the streaming twin of the batch
+    * exact-dedup operator, with state bounded by the watermark instead
+    * of growing with the stream.
+    */
+  def dedupStream(events: DataFrame, keyCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("_ts", col("ts").cast("timestamp"))
+      .withWatermark("_ts", watermark)
+      .dropDuplicates(keyCol, "_ts")
+      .drop("_ts")
+
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp,
                               n_events: Long, total: Double)

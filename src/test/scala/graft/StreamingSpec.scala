@@ -41,6 +41,29 @@ class StreamingSpec extends AnyFunSuite {
         s"sizes=${streamed.size}/${batch.size}")
   }
 
+  test("dedupStream drops duplicate event ids within the watermark") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    // duplicate the events file → every event_id arrives twice
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      streamDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      streamDir.resolve("b.parquet"))
+    val stream = EventStreams.readEventStream(spark, streamDir.toString)
+    val deduped = EventStreams.dedupStream(stream, "event_id")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not terminate")
+    val n = spark.table("dedup_stream").count()
+    val expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert(n == expected, s"deduped $n vs source $expected")
+  }
+
   test("stateful sessionizer closes sessions on gap within a batch") {
     import spark.implicits._
     val base = 1700000000000L
