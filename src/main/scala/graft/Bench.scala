@@ -32,13 +32,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the session (codegen, parquet footer cache, JIT) outside the
-    // timed region so measurements reflect steady-state throughput.
+    // timed region so measurements reflect steady-state throughput. The
+    // dedup warmup runs the full typed signature pass + band join once so
+    // the timed q31/q35 measure steady-state, not first-touch JIT; it is
+    // safe to re-run the same query because the dedup operators use
+    // localCheckpoint (per-invocation blocks), never the plan-equality
+    // CacheManager — the timed run recomputes from the parquet scan.
     Tables.lineitem(spark, sfDir).count()
     SparkEntry.queries("q01_agg_sum")(spark, sfDir).count()
+    SparkEntry.queries("q31_minhash_lsh")(spark, sfDir).count()
 
-    // ONE timed run per query: repeated runs would hit the CacheManager
-    // entries the dedup operators persist (plan-equality cache), which
-    // measures cache reads rather than cold throughput.
+    // ONE timed run per query (cold plan, warm JVM).
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

@@ -28,6 +28,17 @@ object DnaFunctions {
         sequence(lit(1), length(c) - (k - 1)),
         i => c.substr(i, lit(k))))
 
+  /** X5 via the native [[graft.plans.KmerGenerator]]: a true Catalyst
+    * Generator that streams one row per k-mer — no O(len·k) per-row array
+    * and no interpreted-HOF per-element re-evaluation, so this is the hot
+    * path for corpus-scale k-mer counting (q21/q28/digitalNormalize).
+    * Unlike [[kmersCol]] it IS the exploded form: select it directly.
+    */
+  def kmersExploded(spark: SparkSession, c: Column, k: Int): Column = {
+    graft.plans.NativeFunctions.register(spark)
+    call_function("kmers_native", c, lit(k))
+  }
+
   /** Non-overlapping codon triplets (step-3 k-mers) for A6/X8. */
   def codonsCol(c: Column): Column =
     when(length(c) < 3, array().cast("array<string>"))

@@ -60,15 +60,24 @@ object Dedup {
             val shs = (0 to toks.length - shingleN)
               .map(i => toks.slice(i, i + shingleN).mkString(" "))
               .distinct
-            val hs = shs.map(md5hex)
-            val mh = (0 until numHashes).map { j =>
-              var min: String = null
-              hs.foreach { h =>
-                val w = h.substring(2 * j, 2 * j + 8)
-                if (min == null || w < min) min = w
+            // Hash window j = hex chars [2j, 2j+8) of the shingle md5 =
+            // digest bytes [j, j+4). Lowercase-hex lexicographic order ==
+            // unsigned big-endian byte order, so the per-window MIN is an
+            // unsigned-int comparison on the raw digest — no per-shingle
+            // hex string, no per-(shingle, j) substring. Bit-identical to
+            // the oracle's substr(md5(x), 1+2j, 8) formulation.
+            val mins = Array.fill(numHashes)(Long.MaxValue)
+            shs.foreach { s =>
+              val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              var j = 0
+              while (j < numHashes) {
+                val w = ((d(j) & 0xffL) << 24) | ((d(j + 1) & 0xffL) << 16) |
+                  ((d(j + 2) & 0xffL) << 8) | (d(j + 3) & 0xffL)
+                if (w < mins(j)) mins(j) = w
+                j += 1
               }
-              min
             }
+            val mh = mins.map(w => f"$w%08x")
             val bandKeys = (0 until nBands).map { b =>
               md5hex(mh.slice(b * rows, (b + 1) * rows).mkString("|"))
             }
@@ -101,10 +110,13 @@ object Dedup {
     // CodegenFallback — interpreted per element — so the md5 + window-
     // min + band pipeline is 3-4× faster as JIT-compiled Scala. The
     // hash values are bit-identical (md5 hex), so the DuckDB oracle is
-    // unchanged. Persisted: both sides of the band self-join and both
-    // verify joins read this.
+    // unchanged. localCheckpoint (not persist): both band-join sides and
+    // both verify joins read the materialized blocks, and the blocks are
+    // reclaimed by the ContextCleaner once the result is dropped — no
+    // CacheManager entry survives the query (a long-lived session would
+    // otherwise accumulate one cached plan per invocation).
     val sh = signedDocs(docs, idCol, textCol, shingleN, numHashes, bands)
-      .persist()
+      .localCheckpoint()
     val banded = sh
       .select(col("id"), posexplode(col("bands")).as(Seq("band", "bkey")))
 
@@ -149,14 +161,34 @@ object Dedup {
   /** Exact n-gram Jaccard pairs above a threshold, via shingle-explode
     * co-grouping (no LSH, but still no cartesian product: only pairs that
     * SHARE at least one shingle are generated by the equi-join).
+    *
+    * `maxDf` caps shingle document frequency before the self-join: the
+    * join's output is O(Σ df²) over shingle frequencies, so one corpus-
+    * common shingle ("of the and", boilerplate headers) explodes a single
+    * reducer at scale. Shingles with df > maxDf are dropped from the
+    * shingle SET (numerator AND denominator — Jaccard is computed over
+    * the capped sets, and the oracle applies the identical cap). High-df
+    * shingles are non-discriminative by definition, so at sane caps the
+    * surviving pair set is unchanged; at 100× corpus scale this bound is
+    * what keeps the reducer input per shingle ≤ maxDf² rows.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, threshold: Double = 0.3): DataFrame = {
-    // typed signature pass (bands unused here) — same reasons as minhash
+                        shingleN: Int = 3, threshold: Double = 0.3,
+                        maxDf: Int = 1000): DataFrame = {
+    // typed signature pass (bands unused here) — same reasons as minhash;
+    // localCheckpoint for the same lifecycle reasons (sizes + both join
+    // branches read it; blocks are GC'd with the result, no CacheManager).
     val sh = signedDocs(docs, idCol, textCol, shingleN, 1, 1)
-      .select("id", "shs").persist()
-    val sizes = sh.select(col("id"), size(col("shs")).as("n"))
-    val ex = sh.select(col("id"), explode(col("shs")).as("sh")).persist()
+      .select("id", "shs").localCheckpoint()
+    val ex0 = sh.select(col("id"), explode(col("shs")).as("sh"))
+    // df-cap: one extra agg+join, both hash-partitioned on sh (the same
+    // key the self-join shuffles on), and it BOUNDS the self-join output.
+    val keptShingles = ex0.groupBy("sh")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select("sh")
+    val ex = ex0.join(keptShingles, "sh").localCheckpoint()
+    // Jaccard denominators over the CAPPED shingle sets.
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
 
     val overlap = ex.as("a")
       .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

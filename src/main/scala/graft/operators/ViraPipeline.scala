@@ -46,7 +46,8 @@ object ViraPipeline {
   def digitalNormalize(reads: DataFrame, k: Int, minc: Long, maxc: Long): DataFrame = {
     val keepers = reads
       .filter(length(col("sequence")) >= k)
-      .select(col("key"), explode(DnaFunctions.kmersCol(col("sequence"), k)).as("kmer"))
+      .select(col("key"),
+        DnaFunctions.kmersExploded(reads.sparkSession, col("sequence"), k).as("kmer"))
       .groupBy("kmer")
       .agg(count(lit(1)).as("cnt"), min(col("key")).as("keeper"))
       .filter(col("cnt") > minc && col("cnt") < maxc)

@@ -68,11 +68,23 @@ case class KmerGenerator(child: Expression, kExpr: Expression)
     val kv = kExpr.eval(input)
     if (s == null || kv == null) Iterator.empty
     else {
-      val str = s.asInstanceOf[UTF8String].toString
+      val u = s.asInstanceOf[UTF8String]
       val k = kv.asInstanceOf[Int]
-      if (str.length < k || k <= 0) Iterator.empty
-      else (0 to str.length - k).iterator.map { i =>
-        InternalRow(UTF8String.fromString(str.substring(i, i + k)))
+      val bytes = u.getBytes
+      if (k <= 0) Iterator.empty
+      else if (bytes.length == u.numChars()) {
+        // ASCII fast path: fromBytes wraps the shared array with an
+        // offset — one allocation per k-mer, no re-encode, no String.
+        if (bytes.length < k) Iterator.empty
+        else (0 to bytes.length - k).iterator.map { i =>
+          InternalRow(UTF8String.fromBytes(bytes, i, k))
+        }
+      } else {
+        val str = u.toString
+        if (str.length < k) Iterator.empty
+        else (0 to str.length - k).iterator.map { i =>
+          InternalRow(UTF8String.fromString(str.substring(i, i + k)))
+        }
       }
     }
   }

@@ -48,7 +48,7 @@ object Genomic {
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism) // 1-file table → explode in parallel
         .filter(length(col("text")) >= 5)
-        .select(explode(F.kmersCol(col("text"), 5)).as("kmer"))
+        .select(F.kmersExploded(s, col("text"), 5).as("kmer"))
         .groupBy("kmer").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > 5 && col("cnt") < 500)
     },
@@ -129,7 +129,7 @@ object Genomic {
       val keepers = docs
         .repartition(s.sparkContext.defaultParallelism)
         .filter(length(col("text")) >= 8)
-        .select(col("doc_id"), explode(F.kmersCol(col("text"), 8)).as("kmer"))
+        .select(col("doc_id"), F.kmersExploded(s, col("text"), 8).as("kmer"))
         .groupBy("kmer")
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
         .filter(col("cnt") > 2 && col("cnt") < 100)
