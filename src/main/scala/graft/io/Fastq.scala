@@ -66,14 +66,27 @@ object Fastq {
         .otherwise(lit(null).cast("boolean")).as("filterPassed"))
   }
 
+  /** One JVM String per file caps wholetext at 2 GiB and spikes task
+    * memory; past this size [[read]] auto-routes to [[readSplittable]].
+    */
+  val WholetextMaxBytes: Long = 256L * 1024 * 1024
+
   /** Whole-file read: one task per file, records assembled by a single
     * linear pass over the file's lines (typed flatMap — per-file parsing
     * is inherently imperative, and a flatMap guarantees one O(n) pass;
     * an expression-tree formulation risks re-evaluating the whole-file
     * split inside a HOF lambda, which is quadratic).
+    *
+    * Auto-routing: if any input file exceeds [[WholetextMaxBytes]] the
+    * read dispatches to [[readSplittable]] — wholetext holds each file
+    * as ONE JVM String (2 GiB hard ceiling, per-task memory spike), so
+    * big single files take the parallel line-scan path instead; callers
+    * never have to know which is which.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    if (maxInputFileBytes(spark, path) > WholetextMaxBytes)
+      return readSplittable(spark, path)
     val raw = spark.read.option("wholetext", "true").text(path).as[String]
     val records = raw.flatMap { content =>
       content.linesIterator.filter(_.nonEmpty).grouped(4).flatMap {
@@ -83,6 +96,20 @@ object Fastq {
       }
     }.toDF("key", "sequence", "quality")
     project(records)
+  }
+
+  /** Largest single file under `path` (glob, dir, or file) — driver-side
+    * listing only, no data read.
+    */
+  private def maxInputFileBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = top.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }
+    if (files.isEmpty) 0L else files.map(_.getLen).max
   }
 
   /** Splittable read for single huge files: parallel line scan, global

@@ -71,6 +71,25 @@ object Pipeline {
       .withColumnRenamed("_name", "pairName")
   }
 
+  /** F7: forward/reverse split (FastqFilter.java:80-87) — route reads to
+    * the R1/R2 outputs by name style: `/1`·`/2` suffixes or the Illumina
+    * `<name> 1:...`·`<name> 2:...` read field. Two narrow filters over
+    * one scan; no shuffle.
+    */
+  def splitForwardReverse(reads: DataFrame): (DataFrame, DataFrame) = {
+    val fwd = col("key").endsWith("/1") || col("key").rlike(" 1:")
+    val rev = col("key").endsWith("/2") || col("key").rlike(" 2:")
+    (reads.filter(fwd), reads.filter(rev))
+  }
+
+  /** F9: BLAST taxonomy filter (BlastN.java:147-152) — keep hits whose
+    * subject taxon is in the allowed set (the reference keeps viral
+    * taxa). A codegen'd IN-filter; pushes down to the scan when hits
+    * come from a columnar source.
+    */
+  def taxonomyFilter(hits: DataFrame, allowedTaxa: Seq[Int]): DataFrame =
+    hits.filter(col("staxid").isin(allowedTaxa: _*))
+
   /** T8+A4/K6: per-sample grouped write (FastqGroupper.java:63-109) —
     * the idiomatic replacement is a partitioned write: one directory per
     * sample, no groupByKey, no driver-side file handling.

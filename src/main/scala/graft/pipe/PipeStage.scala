@@ -21,8 +21,14 @@ import java.nio.charset.StandardCharsets
   *  - one process per PARTITION, not per record — process spawn and tool
   *    index loading amortize exactly like the reference's mapPartitions;
   *  - stdin is fed from a separate thread while stdout is drained on the
-  *    task thread: no pipe-buffer deadlock on large partitions, and
-  *    records stream through without materializing the partition;
+  *    task thread, and stderr is drained by a third thread (real tools —
+  *    BWA, MegaHit — write verbose progress to stderr; an undrained
+  *    stderr pipe fills its OS buffer and deadlocks the child): no
+  *    pipe-buffer deadlock on large partitions, and records stream
+  *    through without materializing the partition;
+  *  - after stdout is exhausted the exit code is checked — a non-zero
+  *    exit fails the task (with the stderr tail in the message) instead
+  *    of silently truncating output;
   *  - partition count = process parallelism; callers `repartition(n)`
   *    first to match the cluster's process budget (the reference's
   *    `-partitions 100` before blastn, virapipe.sh:24).
@@ -50,9 +56,42 @@ final case class PipeStage(cmd: Seq[String], env: Map[String, String] = Map.empt
         writer.setDaemon(true)
         writer.start()
 
+        // Drain stderr concurrently (tools log progress there; an
+        // undrained pipe deadlocks the child) keeping only a tail for
+        // the failure message.
+        val errTail = new java.util.concurrent.atomic.AtomicReference[String]("")
+        val errDrainer = new Thread(() => {
+          val e = new BufferedReader(new InputStreamReader(
+            proc.getErrorStream, StandardCharsets.UTF_8))
+          val tail = new scala.collection.mutable.ArrayDeque[String]()
+          var line = e.readLine()
+          while (line != null) {
+            tail.append(line)
+            if (tail.length > 20) tail.removeHead()
+            line = e.readLine()
+          }
+          errTail.set(tail.mkString("\n"))
+        })
+        errDrainer.setDaemon(true)
+        errDrainer.start()
+
         val out = new BufferedReader(new InputStreamReader(
           proc.getInputStream, StandardCharsets.UTF_8))
-        Iterator.continually(out.readLine()).takeWhile(_ != null)
+        // After stdout EOF, join the drainers and fail the task on a
+        // non-zero exit — a crashed tool must not pass off truncated
+        // stdout as a complete result.
+        Iterator.continually(out.readLine()).takeWhile(_ != null) ++
+          new Iterator[String] {
+            override def hasNext: Boolean = {
+              val code = proc.waitFor()
+              errDrainer.join(10000)
+              if (code != 0) throw new IllegalStateException(
+                s"pipe command '${command.mkString(" ")}' exited $code; " +
+                  s"stderr tail:\n${errTail.get()}")
+              false
+            }
+            override def next(): String = throw new NoSuchElementException
+          }
       }
     }
   }
@@ -97,15 +136,18 @@ object Pipes {
     PipeStage(cmd.getOrElse(mock)).run(fasta)
   }
 
-  /** P3 `blastn`: FASTA in → outfmt-6 TSV out (BlastN.java:104-145).
-    * Mock: one hit per record, pident derived from sequence length.
+  /** P3 `blastn`: FASTA in → outfmt-6 TSV out (BlastN.java:104-145),
+    * with a 13th staxid column (`-outfmt '6 std staxids'` — the taxonomy
+    * the reference filters on, BlastN.java:147-152). Mock: one hit per
+    * record, pident and staxid derived from sequence length.
     */
   def blastn(spark: SparkSession, fasta: Dataset[String],
              cmd: Option[Seq[String]] = None): Dataset[String] = {
     val mock = Seq("awk",
       "/^>/ { id = substr($1, 2); next } " +
         "{ print id \"\\tSUBJ\\t\" (50 + length($0) % 50) \".0\\t\" length($0) " +
-        "\"\\t0\\t0\\t1\\t\" length($0) \"\\t1\\t\" length($0) \"\\t0.001\\t100.0\" }")
+        "\"\\t0\\t0\\t1\\t\" length($0) \"\\t1\\t\" length($0) \"\\t0.001\\t100.0\\t\" " +
+        "(length($0) % 7) }")
     PipeStage(cmd.getOrElse(mock)).run(fasta)
   }
 

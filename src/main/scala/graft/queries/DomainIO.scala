@@ -116,6 +116,101 @@ object DomainIO {
       piped.toDF("value").select(
         f.getItem(0).cast("long").as("doc_id"),
         f.getItem(1).as("text_md5"))
+    },
+
+    // F7: forward/reverse split (FastqFilter.java:80-87) through a FASTQ
+    // round-trip — mates re-paired by joining the two split halves.
+    "q55_fwdrev_split" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val r1 = o.select(
+        concat_ws("", lit("r"), col("o_orderkey"), lit("/1")).as("key"),
+        dnaOf(col("o_orderkey")).as("sequence"),
+        qualOf(col("o_orderkey")).as("quality"))
+      val r2 = o.select(
+        concat_ws("", lit("r"), col("o_orderkey"), lit("/2")).as("key"),
+        graft.functions.DnaFunctions.revComp(dnaOf(col("o_orderkey"))).as("sequence"),
+        qualOf(col("o_orderkey")).as("quality"))
+      val dir = tmp(d, "fqsplit")
+      Fastq.write(r1.unionByName(r2), dir)
+      val back = Fastq.read(s, dir).select("key", "sequence", "quality")
+      val (fwd, rev) = Pipeline.splitForwardReverse(back)
+      fwd.select(regexp_replace(col("key"), "/1$", "").as("pair"),
+          col("sequence").as("fwd_seq"))
+        .join(rev.select(regexp_replace(col("key"), "/2$", "").as("pair"),
+          col("sequence").as("rev_seq")), "pair")
+    },
+
+    // T9/J3/F6: mate interleave from two FASTQ directories, name-keyed;
+    // 1-in-10 R2 mates are withheld so the desync-drop is oracle-checked.
+    "q56_interleave" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val r1 = c.select(
+        concat_ws("", lit("c"), col("c_custkey"), lit("/1")).as("key"),
+        dnaOf(col("c_custkey")).as("sequence"),
+        qualOf(col("c_custkey")).as("quality"))
+      val r2 = c.filter(col("c_custkey") % 10 =!= 0).select(
+        concat_ws("", lit("c"), col("c_custkey"), lit("/2")).as("key"),
+        graft.functions.DnaFunctions.revComp(dnaOf(col("c_custkey"))).as("sequence"),
+        qualOf(col("c_custkey")).as("quality"))
+      val dir1 = tmp(d, "il_r1")
+      val dir2 = tmp(d, "il_r2")
+      Fastq.write(r1, dir1)
+      Fastq.write(r2, dir2)
+      Pipeline.interleave(
+          Fastq.read(s, dir1).select("key", "sequence", "quality"),
+          Fastq.read(s, dir2).select("key", "sequence", "quality"))
+        .select(col("pairName").as("pair"), col("mate"), col("sequence"))
+    },
+
+    // K6/A4/T8: grouped per-sample write (FastqGroupper.java:63-109) as a
+    // partitionBy parquet write, read back and re-aggregated.
+    "q57_grouped_write" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val reads = c.select(
+        concat_ws("", lit("s"), col("c_nationkey"), lit(":r"), col("c_custkey")).as("key"),
+        dnaOf(col("c_custkey")).as("sequence"),
+        qualOf(col("c_custkey")).as("quality"))
+      val dir = tmp(d, "grouped")
+      Pipeline.writeGroupedBySample(reads, dir)
+      s.read.parquet(dir).groupBy("sample").agg(count(lit(1)).as("n"))
+    },
+
+    // T3: SAM → FASTQ projection (SamToFastq.java:47-68) through a SAM
+    // round-trip: pair flags become /1 · /2 mate suffixes.
+    "q58_sam_to_fastq" -> { (s, d) =>
+      val o = Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "O"))
+      val sam = o.select(
+        concat_ws("", lit("r"), col("o_orderkey")).as("readName"),
+        when(col("o_orderstatus") === "F", 77).otherwise(141).as("flag"),
+        lit("*").as("referenceName"), lit(0).as("start"), lit(0).as("mapq"),
+        lit("*").as("cigar"),
+        dnaOf(col("o_orderkey")).as("bases"),
+        qualOf(col("o_orderkey")).as("quality"))
+      val dir = tmp(d, "sam2fq")
+      SamText.write(sam, dir)
+      SamText.toFastq(SamText.read(s, dir))
+        .select("key", "sequence", "quality")
+    },
+
+    // F9: blastn pipe (13-column outfmt '6 std staxids' mock) → taxonomy
+    // filter + pident threshold (BlastN.java:147-152).
+    "q62_blast_taxonomy" -> { (s, d) =>
+      import s.implicits._
+      val contigs = Tables.part(s, d).select(
+        concat_ws("", lit("P"), col("p_partkey")).as("id"),
+        translate(regexp_replace(upper(col("p_name")), "[^A-Z]", ""),
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+          "ACGTACGTACGTACGTACGTACGTAC").as("sequence"))
+      val fastaLines = contigs
+        .select(concat(lit(">"), col("id"), lit("\n"), col("sequence")).as("rec"))
+        .as[String].flatMap(_.split("\n"))
+      val f = split(col("value"), "\t")
+      val hits = graft.pipe.Pipes.blastn(s, fastaLines).toDF("value").select(
+        f.getItem(0).as("qseqid"),
+        f.getItem(2).cast("double").as("pident"),
+        f.getItem(12).cast("int").as("staxid"))
+      Pipeline.taxonomyFilter(hits, Seq(1, 2, 4))
+        .filter(col("pident") > 55.0)
     }
   )
 
@@ -169,6 +264,44 @@ object DomainIO {
             OR (h.pident > 70.0 AND
                 CAST(h.qend - h.qstart + 1 AS DOUBLE) / length(c.sequence) * 100.0 > 70.0)""",
     "q54_pipe_roundtrip" ->
-      "SELECT doc_id, md5(text) AS text_md5 FROM documents"
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+    "q55_fwdrev_split" ->
+      """SELECT 'r' || o_orderkey AS pair,
+              translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'ACGTACGTAC') AS fwd_seq,
+              reverse(translate(
+                translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'ACGTACGTAC'),
+                'ACGTacgt', 'TGCAtgca')) AS rev_seq
+         FROM orders""",
+    "q56_interleave" ->
+      """WITH paired AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 != 0)
+         SELECT 'c' || c_custkey AS pair, CAST(1 AS INTEGER) AS mate,
+                translate(CAST(c_custkey AS VARCHAR), '0123456789', 'ACGTACGTAC') AS sequence
+         FROM paired
+         UNION ALL
+         SELECT 'c' || c_custkey, CAST(2 AS INTEGER),
+                reverse(translate(
+                  translate(CAST(c_custkey AS VARCHAR), '0123456789', 'ACGTACGTAC'),
+                  'ACGTacgt', 'TGCAtgca'))
+         FROM paired""",
+    "q57_grouped_write" ->
+      """SELECT 's' || c_nationkey AS sample, count(*) AS n
+         FROM customer GROUP BY 1""",
+    "q58_sam_to_fastq" ->
+      """SELECT 'r' || o_orderkey ||
+                (CASE WHEN o_orderstatus = 'F' THEN '/1' ELSE '/2' END) AS key,
+              translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'ACGTACGTAC') AS sequence,
+              translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'IJKLMNOPQH') AS quality
+         FROM orders WHERE o_orderstatus IN ('F', 'O')""",
+    "q62_blast_taxonomy" ->
+      """WITH contigs AS (
+           SELECT 'P' || p_partkey AS qseqid,
+                  length(regexp_replace(upper(p_name), '[^A-Z]', '', 'g')) AS len
+           FROM part)
+         SELECT qseqid,
+                50.0 + CAST(len % 50 AS DOUBLE) AS pident,
+                CAST(len % 7 AS INTEGER) AS staxid
+         FROM contigs
+         WHERE (len % 7) IN (1, 2, 4)
+           AND 50.0 + CAST(len % 50 AS DOUBLE) > 55.0"""
   )
 }

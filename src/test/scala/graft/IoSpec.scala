@@ -167,8 +167,7 @@ class IoSpec extends AnyFunSuite {
       ("a 1:N:0:1", "ACGT", "IIII"), ("a 2:N:0:1", "TTTT", "IIII"),
       ("b/1", "CCCC", "IIII"), ("b/2", "GGGG", "IIII")
     ).toDF("key", "sequence", "quality")
-    val fwd = reads.filter(col("key").contains(" 1:N:0:") || col("key").endsWith("/1"))
-    val rev = reads.filter(col("key").contains(" 2:N:0:") || col("key").endsWith("/2"))
+    val (fwd, rev) = Pipeline.splitForwardReverse(reads)
     assert(fwd.count() == 2 && rev.count() == 2)
     assert(fwd.select("key").collect().map(_.getString(0)).forall(k =>
       k.contains(" 1:") || k.endsWith("/1")))

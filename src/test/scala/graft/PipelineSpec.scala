@@ -84,4 +84,18 @@ class PipelineSpec extends AnyFunSuite {
     val out = graft.pipe.PipeStage(Seq("cat")).run(ds)
     assert(out.count() == n)
   }
+
+  test("pipe stage drains stderr and fails the task on non-zero exit") {
+    import spark.implicits._
+    val ds = spark.range(100).map(i => s"line_$i").repartition(1)
+    // Tool reads one line, logs to stderr, exits 3 — the stage must fail
+    // (not silently truncate) and surface the stderr tail.
+    val bad = graft.pipe.PipeStage(
+      Seq("sh", "-c", "head -n 1 > /dev/null; echo boom >&2; exit 3"))
+    val e = intercept[Exception] { bad.run(ds).collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(e).mkString("\n")
+    assert(all.contains("exited 3") && all.contains("boom"), all)
+  }
 }
