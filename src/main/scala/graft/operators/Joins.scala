@@ -19,9 +19,13 @@ object Joins {
     *   (key)-partitioned, time-ordered window; keep left rows.
     * A sort-merge range join would re-shuffle both sides AND re-scan
     * ranges; this streams each key's timeline once. Ties
-    * (rightTime == leftTime) count as matches; among equal-time right
-    * rows the one with the greatest tiebreak column wins
-    * (deterministic).
+    * (rightTime == leftTime) count as matches.
+    *
+    * Determinism: the payload travels as ONE struct column (all returned
+    * fields always come from the SAME right row — per-column carries
+    * could stitch fields from different rows through nulls), and the
+    * window tiebreaks equal-(key, rightTime) right rows by the payload
+    * struct's ordering, so the greatest payload wins reproducibly.
     *
     * `left`/`right` must share the key column name; right payload
     * columns are returned with their own names (null when no earlier
@@ -30,32 +34,34 @@ object Joins {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
+    val pStruct = struct(payload.map(col): _*)
+    val pType = right.select(pStruct.as("_p")).schema.head.dataType
+    val leftCols = left.columns
+
     val l = left.withColumn("_t", col(leftTime))
       .withColumn("_is_left", lit(1))
-    val r = right.select(
-      (col(key) +: (col(rightTime).as("_t") +: payload.map(col))): _*)
+      .withColumn("_p", lit(null).cast(pType))
+    val r0 = right.withColumn("_p", pStruct)
+      .select(col(key), col(rightTime).as("_t"), col("_p"))
       .withColumn("_is_left", lit(0))
-
-    val leftCols = left.columns
-    val unioned = l.columns.foldLeft(r) { (acc, c) =>
-      if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
+    val r = leftCols.foldLeft(r0) { (acc, c) =>
+      if (acc.columns.contains(c)) acc
+      else acc.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val both = payload.foldLeft(l) { (acc, c) =>
-      if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
-    }.select(unioned.columns.map(col): _*).unionByName(unioned)
+    val cols = leftCols ++ Seq("_t", "_is_left", "_p")
+    val both = l.select(cols.map(col): _*).unionByName(r.select(cols.map(col): _*))
 
     // right rows sort BEFORE left rows at equal _t (so an equal-time
-    // right row is visible to the left row), and last_value ignoring
-    // nulls carries the latest right payload forward.
+    // right row is visible to the left row); equal-time right rows sort
+    // by payload struct so `last` picks the greatest deterministically;
+    // last(ignoreNulls) carries the latest right payload forward.
     val w = Window.partitionBy(key)
-      .orderBy(col("_t").asc, col("_is_left").asc)
+      .orderBy(col("_t").asc, col("_is_left").asc, col("_p").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payload.foldLeft(both) { (acc, c) =>
-      acc.withColumn(s"_asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = both.withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
     carried.filter(col("_is_left") === 1)
       .select((leftCols.map(col) ++
-        payload.map(c => col(s"_asof_$c").as(c))): _*)
+        payload.map(c => col(s"_asof.$c").as(c))): _*)
   }
 
   /** Skew-safe equi join: salt the skewed (left) side's key into

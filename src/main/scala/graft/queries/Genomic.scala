@@ -30,10 +30,12 @@ object Genomic {
     * codon table the Scala implementation uses, so the oracle and the
     * engine share a single source of truth.
     */
-  private val codonCaseSql: String =
-    "CASE substr(dna, CAST(i AS INTEGER), 3) " +
+  private def codonCase(expr: String): String =
+    s"CASE $expr " +
       Dna.codonTable.toSeq.sorted.map { case (c, a) => s"WHEN '$c' THEN '$a'" }.mkString(" ") +
       " ELSE 'X' END"
+
+  private val codonCaseSql: String = codonCase("substr(dna, CAST(i AS INTEGER), 3)")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X1: reverse complement via codegen'd built-ins (translate+reverse).
@@ -75,8 +77,12 @@ object Genomic {
           udf((x: String) => Dna.translateDna(x)).apply(col("dna")).as("protein"))
     },
 
-    // X3/X4: six-frame ORF scan (generator → explode). Rows-only oracle:
-    // the codon-state machine is validated by DnaSpec fixtures instead.
+    // X3/X4: six-frame ORF scan (generator → explode). Oracle: the codon
+    // state machine is expressible with window functions — each stop
+    // codon closes the ORF opened at the FIRST start codon after the
+    // previous stop (the reference's non-overlap rule) — so DuckDB
+    // re-derives the same ORFs without a sequential scan. DnaSpec's 12
+    // fixtures validate the Scala machine independently.
     "q25_orf_sixframe" -> { (s, d) =>
       val orfs = udf((id: String, seq: String, minLen: Int) =>
         Dna.sixFrameOrfs(id, seq, minLen))
@@ -140,6 +146,53 @@ object Genomic {
   )
 
   val oracles: Map[String, String] = Map(
+    // X3/X4 as SQL: codons per (doc, strand, frame); stops pair with the
+    // first start after the previous stop (lag window); protein re-agged
+    // codon-by-codon through the shared 64-branch CASE. minLen = 2,
+    // positions 1-based on the frame-shifted sequence — both exactly as
+    // Dna.findOrfs computes them.
+    "q25_orf_sixframe" ->
+      s"""WITH d AS ($dnaSql),
+          d2 AS (SELECT doc_id, dna FROM d WHERE length(dna) >= 6),
+          strands AS (
+            SELECT doc_id, '+' AS strand, dna AS seq FROM d2
+            UNION ALL
+            SELECT doc_id, '-' AS strand,
+                   reverse(translate(dna, 'ACGT', 'TGCA')) AS seq FROM d2),
+          frames AS (
+            SELECT doc_id, strand, CAST(f AS INTEGER) AS frame,
+                   substr(seq, CAST(f AS INTEGER)) AS fseq
+            FROM strands, (SELECT unnest([1, 2, 3]) AS f)),
+          cod AS (
+            SELECT doc_id, strand, frame, fseq,
+                   CAST(unnest(generate_series(0, length(fseq) // 3 - 1)) AS INTEGER) AS ci
+            FROM frames WHERE length(fseq) >= 3),
+          cod2 AS (SELECT doc_id, strand, frame, ci,
+                          substr(fseq, ci * 3 + 1, 3) AS codon FROM cod),
+          stops AS (
+            SELECT doc_id, strand, frame, ci,
+                   lag(ci, 1, -1) OVER (PARTITION BY doc_id, strand, frame
+                                        ORDER BY ci) AS prev_stop
+            FROM cod2 WHERE codon IN ('TAA', 'TAG', 'TGA')),
+          starts AS (
+            SELECT doc_id, strand, frame, ci AS si FROM cod2
+            WHERE codon IN ('ATG', 'TTG', 'GTG', 'CTG')),
+          orfs AS (
+            SELECT s.doc_id, s.strand, s.frame, min(st.si) AS a, s.ci AS z
+            FROM stops s JOIN starts st
+              ON st.doc_id = s.doc_id AND st.strand = s.strand
+             AND st.frame = s.frame
+             AND st.si > s.prev_stop AND st.si < s.ci
+            GROUP BY s.doc_id, s.strand, s.frame, s.ci
+            HAVING s.ci - min(st.si) + 1 >= 2)
+          SELECT CAST(o.doc_id AS VARCHAR) AS contig_id, o.strand, o.frame,
+                 CAST(o.a * 3 + 1 AS INTEGER) AS start,
+                 CAST((o.z + 1) * 3 AS INTEGER) AS "end",
+                 string_agg(${codonCase("c.codon")}, '' ORDER BY c.ci) AS protein
+          FROM orfs o JOIN cod2 c
+            ON c.doc_id = o.doc_id AND c.strand = o.strand AND c.frame = o.frame
+           AND c.ci BETWEEN o.a AND o.z
+          GROUP BY o.doc_id, o.strand, o.frame, o.a, o.z""",
     "q20_revcomp" ->
       """SELECT doc_id, reverse(translate(text, 'ACGTacgt', 'TGCAtgca')) AS rc
          FROM documents""",

@@ -50,6 +50,11 @@ object Multimodal {
               CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
               md5(text) AS payload_md5
          FROM documents""",
+    // mean_byte parity caveat: the engine averages RAW UTF-8 bytes while
+    // this oracle averages per-character code points — identical only
+    // because the documents fixture is pure ASCII (1 byte == 1 char ==
+    // 1 code point; TESTDATA.md). A non-ASCII corpus would need a
+    // byte-iterating oracle instead.
     "q61_media_features" ->
       """SELECT doc_id,
               CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,

@@ -187,11 +187,14 @@ object Relational {
     },
 
     // Scalar subquery against an exact aggregate (max is order-insensitive,
-    // so the derived threshold is bit-identical across engines).
+    // so the derived threshold is bit-identical across engines). ONE
+    // Catalyst plan: the 1-row aggregate broadcast-cross-joins the scan —
+    // no driver-side action, no second job.
     "q16_scalar_subquery" -> { (s, d) =>
       val o = Tables.orders(s, d)
-      val threshold = o.agg(max("o_totalprice")).first().getDouble(0) * 0.9
-      o.filter(col("o_totalprice") > threshold)
+      val threshold = o.agg((max("o_totalprice") * 0.9).as("_threshold"))
+      o.crossJoin(broadcast(threshold))
+        .filter(col("o_totalprice") > col("_threshold"))
         .select(col("o_orderkey"), r2(col("o_totalprice")).as("price"))
     },
 

@@ -57,14 +57,16 @@ object EventStreams {
   /** Streaming exactly-once dedup: duplicate records (same key) within
     * the watermark horizon are dropped — the streaming twin of the batch
     * exact-dedup operator, with state bounded by the watermark instead
-    * of growing with the stream.
+    * of growing with the stream. `dropDuplicatesWithinWatermark` dedups
+    * on the KEY alone (a replay with the same key but different event
+    * time is still a duplicate), exactly the batch semantics.
     */
   def dedupStream(events: DataFrame, keyCol: String,
                   watermark: String = "1 hour"): DataFrame =
     events
       .withColumn("_ts", col("ts").cast("timestamp"))
       .withWatermark("_ts", watermark)
-      .dropDuplicates(keyCol, "_ts")
+      .dropDuplicatesWithinWatermark(keyCol)
       .drop("_ts")
 
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
@@ -74,18 +76,27 @@ object EventStreams {
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
 
   /** Stateful sessionization (flatMapGroupsWithState): a session closes
-    * after `gapMs` of user inactivity (processing-time timeout stands in
-    * for event-time close in this minimal form) — the streaming twin of
-    * q41's lag+cumsum batch sessionizer.
+    * after `gapMs` of user inactivity in EVENT time — sessions end when
+    * the watermark passes the session's last event + gap, so results are
+    * reproducible across replays regardless of processing speed (the
+    * production-correct form; a processing-time timeout would close
+    * sessions on wall-clock stalls). The streaming twin of q41's
+    * lag+cumsum batch sessionizer.
+    *
+    * State is one small object per ACTIVE user key — bounded by
+    * concurrent users, not event volume; the watermark bounds how long a
+    * silent key's state lives.
     */
   def sessionize(spark: SparkSession, events: DataFrame,
-                 gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+                 gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "30 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
     events.select(col("user_id"), col("ts").cast("timestamp").as("ts"),
       col("value")).as[Ev]
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -109,8 +120,14 @@ object EventStreams {
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
-            cur.foreach(state.update)
-            state.setTimeoutDuration(gapMs)
+            cur.foreach { s =>
+              state.update(s)
+              // Close when the WATERMARK passes last+gap (event time);
+              // the timeout must sit strictly beyond the current
+              // watermark or Spark rejects it.
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
             closed.result().iterator
           }
       }

@@ -100,4 +100,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed(0).getAs[Long]("n_events") == 2L)
     assert(closed(0).getAs[Double]("total") == 3.0)
   }
+
+  test("sessionizer closes sessions on event-time gaps across batches") {
+    import spark.implicits._
+    val base = 1700000000000L
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)](
+      spark, 2)
+    val streamDf = ms.toDF()
+      .select(col("_1").as("user_id"),
+        (col("_2") / 1000).cast("timestamp").as("ts"),
+        col("_3").as("value"))
+    val sessions = EventStreams.sessionize(spark, streamDf)
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessions_et")
+      .start()
+    // Batch 1: one 2-event session for user 7, still open at batch end.
+    ms.addData((7L, base, 1.0), (7L, base + 60 * 1000, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions_et").count() == 0)
+    // Batch 2: a 3-hours-later event (user 8) advances the watermark far
+    // past user 7's last+gap → the EventTimeTimeout closes the session
+    // even though user 7 never spoke again.
+    ms.addData((8L, base + 3 * 3600 * 1000L, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions_et")
+      .filter(col("user_id") === 7L).collect()
+    assert(closed.length == 1)
+    assert(closed(0).getAs[Long]("n_events") == 2L)
+    assert(closed(0).getAs[Double]("total") == 3.0)
+  }
 }
