@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.io.{BlastTsv, Fasta, Fastq, SamText}
+import graft.io.{Bam, BlastTsv, Fasta, Fastq, SamText}
 import graft.operators.Pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -192,6 +192,30 @@ object DomainIO {
         .select("key", "sequence", "quality")
     },
 
+    // S2/K5 complete: BAM BINARY write → read (BGZF + record codec from
+    // the public SAM v1 spec) → the same flag filter as the SAM-text twin
+    // q52, plus the seq/qual codecs under oracle test via bases/quality.
+    "q59_bam_roundtrip" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val bam = o.select(
+        concat_ws("", lit("r"), col("o_orderkey")).as("readName"),
+        when(col("o_orderstatus") === "F", 77)
+          .when(col("o_orderstatus") === "O", 141)
+          .otherwise(4).as("flag"),
+        lit("*").as("referenceName"),
+        lit(0).as("start"),
+        lit(0).as("mapq"),
+        lit("*").as("cigar"),
+        dnaOf(col("o_orderkey")).as("bases"),
+        qualOf(col("o_orderkey")).as("quality"))
+      val dir = tmp(d, "bam")
+      Bam.write(bam, dir)
+      Bam.read(s, dir)
+        .filter(col("flag").isin(77, 141))
+        .select(col("readName"), col("flag"), col("bases"), col("quality"),
+          col("readUnmapped"), col("firstOfPair"), col("secondOfPair"))
+    },
+
     // F9: blastn pipe (13-column outfmt '6 std staxids' mock) → taxonomy
     // filter + pident threshold (BlastN.java:147-152).
     "q62_blast_taxonomy" -> { (s, d) =>
@@ -291,6 +315,15 @@ object DomainIO {
                 (CASE WHEN o_orderstatus = 'F' THEN '/1' ELSE '/2' END) AS key,
               translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'ACGTACGTAC') AS sequence,
               translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'IJKLMNOPQH') AS quality
+         FROM orders WHERE o_orderstatus IN ('F', 'O')""",
+    "q59_bam_roundtrip" ->
+      """SELECT 'r' || o_orderkey AS "readName",
+              CAST(CASE WHEN o_orderstatus = 'F' THEN 77 ELSE 141 END AS INTEGER) AS flag,
+              translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'ACGTACGTAC') AS bases,
+              translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'IJKLMNOPQH') AS quality,
+              TRUE AS "readUnmapped",
+              (o_orderstatus = 'F') AS "firstOfPair",
+              (o_orderstatus = 'O') AS "secondOfPair"
          FROM orders WHERE o_orderstatus IN ('F', 'O')""",
     "q62_blast_taxonomy" ->
       """WITH contigs AS (
