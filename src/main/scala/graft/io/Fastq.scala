@@ -134,10 +134,12 @@ object Fastq {
     * SQLQueryFastq.java:115-125 — SURVEY.md §7.4 quirk T4), real names
     * are preserved.
     */
-  def write(df: DataFrame, path: String): Unit =
-    df.select(concat(
+  def write(df: DataFrame, path: String, compression: Option[String] = None): Unit = {
+    val w = df.select(concat(
       lit("@"), col("key"), lit("\n"),
       col("sequence"), lit("\n+\n"),
       col("quality")).as("value"))
-      .write.mode("overwrite").text(path)
+      .write.mode("overwrite")
+    compression.fold(w)(c => w.option("compression", c)).text(path)
+  }
 }

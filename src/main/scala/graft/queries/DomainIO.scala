@@ -140,8 +140,10 @@ object DomainIO {
           col("sequence").as("rev_seq")), "pair")
     },
 
-    // T9/J3/F6: mate interleave from two FASTQ directories, name-keyed;
-    // 1-in-10 R2 mates are withheld so the desync-drop is oracle-checked.
+    // T9/J3/F6 + S5: mate interleave from two GZIP-compressed FASTQ
+    // directories (the reference's actual input shape — paired .gz files,
+    // DecompressInterleave.java:78-139), name-keyed; 1-in-10 R2 mates
+    // are withheld so the desync-drop is oracle-checked.
     "q56_interleave" -> { (s, d) =>
       val c = Tables.customer(s, d)
       val r1 = c.select(
@@ -154,8 +156,8 @@ object DomainIO {
         qualOf(col("c_custkey")).as("quality"))
       val dir1 = tmp(d, "il_r1")
       val dir2 = tmp(d, "il_r2")
-      Fastq.write(r1, dir1)
-      Fastq.write(r2, dir2)
+      Fastq.write(r1, dir1, compression = Some("gzip"))
+      Fastq.write(r2, dir2, compression = Some("gzip"))
       Pipeline.interleave(
           Fastq.read(s, dir1).select("key", "sequence", "quality"),
           Fastq.read(s, dir2).select("key", "sequence", "quality"))
