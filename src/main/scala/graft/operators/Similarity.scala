@@ -83,4 +83,58 @@ object Similarity {
           (col("q.norm") * col("c.norm")), 4).as("cos"))
     topK(pairs, k)
   }
+
+  /** Embedding-cosine NEAR-DUP pairs (the dedup-family member of the
+    * similarity operators): sign-bucket candidate join — only vectors in
+    * the same bucket meet, O(Σ bucket²) not O(n²) — then the cosine
+    * threshold. Output (doc_a < doc_b, cos). Same recall caveat as
+    * [[bucketedAnnTopK]]: a near-dup pair split by a sign bit is missed;
+    * more bits ⇒ fewer candidates, multi-probe would raise recall.
+    */
+  def embeddingNearDupPairs(vectors: DataFrame, threshold: Double,
+                            bits: Int = 4): DataFrame = {
+    val b = withNorm(vectors)
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+    b.as("a")
+      .join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its
+    * nearest centroid's cell; queries probe ONLY their own cell —
+    * O(Σ cell²) work, one equi-join shuffle on the cell id, the inverted-
+    * file shape FAISS-style systems use.
+    *
+    * Centroids here are the `nCells` lowest-id vectors — deterministic so
+    * the DuckDB oracle can re-derive the exact assignment (production
+    * would plug k-means|| centroids into the same plumbing; the
+    * assignment broadcast + cell equi-join IS the scale architecture,
+    * the centroid source is a parameter). Assignment ties break toward
+    * the smaller centroid id on the ROUNDED cosine.
+    */
+  def ivfTopK(vectors: DataFrame, k: Int, nCells: Int = 8): DataFrame = {
+    val v = withNorm(vectors)
+    val cent = v.filter(col("id") < nCells)
+      .select(col("id").as("cid"), col("embedding").as("ce"), col("norm").as("cnorm"))
+    // tiny centroid table broadcast to every task — no shuffle to assign
+    val asg = v.crossJoin(broadcast(cent))
+      .withColumn("rc", round(dot(col("embedding"), col("ce")) /
+        (col("norm") * col("cnorm")), 4))
+    val w = Window.partitionBy("id").orderBy(col("rc").desc, col("cid").asc)
+    val cells = asg.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cid").as("cell"))
+    val b = v.join(cells, "id")
+    val pairs = b.as("q")
+      .join(b.as("c"),
+        col("q.cell") === col("c.cell") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        round(dot(col("q.embedding"), col("c.embedding")) /
+          (col("q.norm") * col("c.norm")), 4).as("cos"))
+    topK(pairs, k)
+  }
 }

@@ -29,6 +29,10 @@ object NativeDna {
     */
   def revcomp(s: UTF8String): UTF8String =
     UTF8String.fromString(Dna.reverseComplement(s.toString))
+
+  /** Codegen-ed codon translation core (X2). */
+  def translateDna(s: UTF8String): UTF8String =
+    UTF8String.fromString(Dna.translateDna(s.toString))
 }
 
 /** X1 as a native unary expression with whole-stage codegen support. */
@@ -47,6 +51,30 @@ case class RevCompExpression(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.NativeDna.revcomp($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** X2 as a native unary expression: the 64-entry codon table compiled
+  * into JIT-ed Scala, invoked from whole-stage-generated code — replaces
+  * the per-row Scala UDF (closure dispatch + row boxing) in q24.
+  */
+case class TranslateDnaExpression(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"translate_dna_native requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "translate_dna_native"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NativeDna.translateDna(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeDna.translateDna($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -101,6 +129,7 @@ case class KmerGenerator(child: Expression, kExpr: Expression)
 object NativeFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "revcomp_native" -> (exprs => RevCompExpression(exprs.head)),
+    "translate_dna_native" -> (exprs => TranslateDnaExpression(exprs.head)),
     "kmers_native" -> (exprs => KmerGenerator(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
@@ -115,6 +144,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("revcomp_native"),
       new ExpressionInfo(classOf[RevCompExpression].getName, "revcomp_native"),
       (exprs: Seq[Expression]) => RevCompExpression(exprs.head)))
+    e.injectFunction((FunctionIdentifier("translate_dna_native"),
+      new ExpressionInfo(classOf[TranslateDnaExpression].getName, "translate_dna_native"),
+      (exprs: Seq[Expression]) => TranslateDnaExpression(exprs.head)))
     e.injectFunction((FunctionIdentifier("kmers_native"),
       new ExpressionInfo(classOf[KmerGenerator].getName, "kmers_native"),
       (exprs: Seq[Expression]) => KmerGenerator(exprs(0), exprs(1))))

@@ -69,12 +69,15 @@ object Genomic {
           F.lowQualityCountCol(col("text"), 102).as("n_low"))
     },
 
-    // X2: codon translation of the DNA-subset of each document.
+    // X2: codon translation via the native codegen expression (the Scala
+    // UDF form costs closure dispatch + row boxing per row and breaks
+    // whole-stage codegen; TranslateDnaExpression stays inside it).
     "q24_translate_dna" -> { (s, d) =>
+      graft.plans.NativeFunctions.register(s)
       dnaDocs(s, d)
         .filter(length(col("dna")) >= 3)
         .select(col("doc_id"),
-          udf((x: String) => Dna.translateDna(x)).apply(col("dna")).as("protein"))
+          call_function("translate_dna_native", col("dna")).as("protein"))
     },
 
     // X3/X4: six-frame ORF scan (generator → explode). Oracle: the codon

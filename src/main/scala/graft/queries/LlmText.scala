@@ -134,6 +134,22 @@ object LlmText {
       Similarity.bucketedAnnTopK(e, 3, bits = 4)
     },
 
+    // Embedding-cosine near-dup pairs: the dedup-family member of the
+    // similarity stack (sign-bucket candidates + cosine threshold).
+    "q63_embed_neardup" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.embeddingNearDupPairs(e, threshold = 0.4, bits = 4)
+    },
+
+    // IVF-style ANN: deterministic coarse quantizer (lowest-id vectors as
+    // centroids), broadcast assignment, cell-equi-join probe.
+    "q64_ivf_ann" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.ivfTopK(e, 3, nCells = 8)
+    },
+
     // Language-ID heuristic (marker-word scores, stable priority).
     "q38_langid" -> { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -247,6 +263,40 @@ object LlmText {
                   ORDER BY cos DESC, neighbor_id) AS rn FROM p)
           WHERE rn <= 3"""
     },
+    "q63_embed_neardup" -> {
+      val bucket = "concat(" + (1 to 4).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm,
+                       $bucket AS bucket
+                     FROM embeddings)
+          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                 round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.4"""
+    },
+    "q64_ivf_ann" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                     FROM embeddings),
+          cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
+          asg AS (SELECT v.vec_id, c.cid,
+                    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm), 4) AS rc
+                  FROM v CROSS JOIN cent c),
+          cell AS (SELECT vec_id, cid AS cell FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY rc DESC, cid) AS rn FROM asg)
+                   WHERE rn = 1),
+          p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos
+                FROM v q JOIN cell qc ON q.vec_id = qc.vec_id
+                     JOIN cell cc ON qc.cell = cc.cell
+                     JOIN v c ON c.vec_id = cc.vec_id AND q.vec_id != c.vec_id)
+          SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rn FROM p)
+          WHERE rn <= 3""",
     "q38_langid" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           SELECT doc_id, $langCaseSql AS lang_guess FROM t""",
