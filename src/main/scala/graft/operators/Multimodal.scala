@@ -44,6 +44,35 @@ object Multimodal {
         (col("n_chars") % 64 + 1).cast("int").as("width"),
         (col("n_chars") % 48 + 1).cast("int").as("height")).as("meta"))
 
+  final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int,
+                         frame_md5: String)
+
+  /** Frame sampling over the binary payload: chunk into [[FrameBytes]]
+    * "frames", keep every `every`-th, emit per-frame digests — the
+    * video-frame-sampling plumbing (a real implementation would seek
+    * keyframes in the container; the chunk/sample/batch shape is what
+    * survives the swap). One narrow flatMap, no shuffle; payload bytes
+    * never leave the executor.
+    */
+  def sampleFrames(media: DataFrame, every: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord]
+      .mapPartitions { records =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        records.flatMap { r =>
+          val d = decodeStub(r.payload).bytes
+          val nFrames = math.ceil(d.length.toDouble / FrameBytes).toInt
+          (0 until nFrames by every).iterator.map { fi =>
+            val start = fi * FrameBytes
+            val end = math.min(start + FrameBytes, d.length)
+            val digest = md.digest(java.util.Arrays.copyOfRange(d, start, end))
+            Frame(r.doc_id, fi, end - start,
+              digest.map(b => f"$b%02x").mkString)
+          }
+        }
+      }
+  }
+
   /** Per-partition batch decode + feature extraction (byte stats and a
     * frame count from the stub's FrameBytes granularity) — the Scala
     * analog of a mapInPandas batch UDF.

@@ -38,6 +38,16 @@ object Multimodal {
           col("n_bytes"),
           round(col("mean_byte"), 4).as("mean_byte"),
           col("n_frames"))
+    },
+
+    // Frame sampling: every 3rd 256-byte "frame" of the payload, with a
+    // per-frame digest the oracle recomputes from the text (payload =
+    // utf-8 of ASCII text, so byte slices == character slices).
+    "q65_frame_sample" -> { (s, d) =>
+      val media = graft.operators.Multimodal.asMedia(
+        Tables.documents(s, d).filter(length(col("text")) > 0))
+      graft.operators.Multimodal.sampleFrames(media, every = 3)
+        .select("doc_id", "frame_idx", "n_bytes", "frame_md5")
     }
   )
 
@@ -50,6 +60,14 @@ object Multimodal {
               CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
               md5(text) AS payload_md5
          FROM documents""",
+    "q65_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+                  unnest(generate_series(0, CAST(ceil(length(text) / 256.0) AS BIGINT) - 1)) AS fi
+           FROM documents WHERE length(text) > 0)
+         SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+                CAST(length(substr(text, CAST(fi * 256 + 1 AS INTEGER), 256)) AS INTEGER) AS n_bytes,
+                md5(substr(text, CAST(fi * 256 + 1 AS INTEGER), 256)) AS frame_md5
+         FROM f WHERE fi % 3 = 0""",
     // mean_byte parity caveat: the engine averages RAW UTF-8 bytes while
     // this oracle averages per-character code points — identical only
     // because the documents fixture is pure ASCII (1 byte == 1 char ==
