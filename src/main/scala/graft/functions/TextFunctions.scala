@@ -110,6 +110,28 @@ object TextFunctions {
     concat(bits: _*)
   }
 
+  /** Non-distinct word bigram list from a MATERIALIZED tokens column
+    * (repetition signals need occurrence counts, so no de-dup here).
+    */
+  def bigramsFromTokens(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+
+  /** Occurrence count of the most frequent element of a MATERIALIZED
+    * array column. O(distinct × len) per row — bounded by document
+    * length, zero shuffle: repetition scoring stays a narrow projection
+    * however large the corpus is (the Gopher-style alternative of
+    * explode + groupBy would shuffle every token of a 100 TB corpus to
+    * answer a per-document question).
+    */
+  def topOccurrenceCount(arr: Column): Column =
+    coalesce(
+      array_max(transform(array_distinct(arr),
+        x => size(filter(arr, y => y === x)))),
+      lit(0))
+
   private val StopWords = Seq("the", "a", "and", "of", "to", "in", "is")
 
   /** Count of stop-word tokens (occurrences, not distinct). */

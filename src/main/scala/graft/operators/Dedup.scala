@@ -142,6 +142,55 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair graph: every node gets
+    * the MINIMUM doc id reachable from it — the cluster's canonical
+    * keeper — turning a pair list (from [[minhashLshPairs]] /
+    * [[ngramJaccardPairs]] / embedding near-dup) into per-document
+    * cluster assignments, the step a real dedup pass needs before it can
+    * drop rows.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Each round is ONE hash-partitioned
+    * aggregation keyed on the node id (the edge table is static and
+    * re-read; labels are the only moving table — narrow relative to the
+    * corpus since only paired docs appear). Convergence is detected by
+    * the label-sum action: labels only ever decrease, so an unchanged
+    * sum is a fixpoint — one cheap scalar agg per round instead of a
+    * change-count join. localCheckpoint per round truncates lineage so
+    * round N's plan doesn't replay rounds 1..N-1 (and the blocks are
+    * reclaimed by the ContextCleaner with the result — no CacheManager
+    * residue).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .unionAll(pairs
+        .select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id"), col("u").as("lbl"))
+      .groupBy("id").agg(min("lbl").as("lbl"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("lbl")).first().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy(col("u").as("nid")).agg(min("lbl").as("nlbl"))
+      labels = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val s = labels.agg(sum("lbl")).first().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** SimHash near-dup buckets: 16-bit signature over tokens; groups with
     * >1 member are near-dup clusters (plus rare 16-bit collisions).
     */

@@ -104,6 +104,60 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Lloyd k-means over embeddings — the clustering stage behind
+    * SemDeDup-style semantic dedup and IVF centroid training.
+    *
+    * Deterministic by construction so a second engine can replay it
+    * bit-for-bit: seeds are the `k` lowest-id vectors, assignment is
+    * argmax of the ROUNDED (4 dp) cosine with ties to the smaller
+    * centroid id, and updated centroid dimensions are rounded to 6 dp —
+    * quantizing away the ~1e-14 summation-order noise that would
+    * otherwise make a mean of doubles engine-dependent.
+    *
+    * Scale shape (billions of vectors): per iteration the k×dim centroid
+    * table is collected and BROADCAST (k ≪ n — the only driver traffic,
+    * the same loop structure Spark MLlib's KMeans uses), assignment is a
+    * narrow per-row argmax under the broadcast, and the update is one
+    * posexplode + (cluster, dim) hash aggregation with map-side partial
+    * means. No shuffle touches the vectors except that update agg.
+    */
+  def kmeansAssign(vectors: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = withNorm(vectors).localCheckpoint()
+
+    def assign(cent: DataFrame): DataFrame = {
+      val asg = v.crossJoin(broadcast(cent))
+        .withColumn("rc", round(dot(col("embedding"), col("ce")) /
+          (col("norm") * col("cnorm")), 4))
+      val w = Window.partitionBy("id").orderBy(col("rc").desc, col("cid").asc)
+      asg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id"), col("cid").as("cluster"), col("embedding"))
+    }
+
+    var cent = v.filter(col("id") < k)
+      .select(col("id").as("cid"), col("embedding").cast("array<double>").as("ce"),
+        col("norm").as("cnorm"))
+    var asg: DataFrame = null
+    for (_ <- 1 to iters) {
+      asg = assign(cent)
+      // per-dim mean, rounded to 6 dp for cross-engine determinism
+      val dims = asg
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      val newCent = dims.groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cluster").as("cid"),
+          transform(col("dm"), e => e.getField("m")).as("ce"))
+        .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      cent = spark.createDataset(newCent.toSeq).toDF("cid", "ce", "cnorm")
+    }
+    assign(cent).select(col("id").as("vec_id"), col("cluster"))
+  }
+
   /** IVF-style ANN: a coarse quantizer assigns every vector to its
     * nearest centroid's cell; queries probe ONLY their own cell —
     * O(Σ cell²) work, one equi-join shuffle on the cell id, the inverted-

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Corpus, Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -68,6 +68,32 @@ object LlmText {
 
   private val cosSql =
     "round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4)"
+
+  /** The shared minhash-LSH CTE chain (ends at relation `j` holding
+    * candidate pairs with intersection/total sizes) — used by q31 (pair
+    * list) and q66 (connected components over the pairs).
+    */
+  private val lshCtes: String = {
+    val mhCols = (0 until NumHashes).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
+    val rows = NumHashes / Bands
+    val bandSelects = (0 until Bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(j => s"mh$j").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM m"
+    }.mkString(" UNION ALL ")
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        s AS (SELECT doc_id, ${shinglesSql(ShingleN)} AS shs FROM t),
+        s2 AS (SELECT doc_id, shs FROM s WHERE len(shs) > 0),
+        hh AS (SELECT doc_id, shs, list_transform(shs, x -> md5(x)) AS hs FROM s2),
+        m AS (SELECT doc_id, $mhCols FROM hh),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        j AS (SELECT da, db,
+                len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) * 1.0 AS inter,
+                len(sa.shs) + len(sb.shs) AS tot
+              FROM cand JOIN s2 sa ON da = sa.doc_id JOIN s2 sb ON db = sb.doc_id)"""
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup over a corpus with planted duplicates (the corpus
@@ -150,6 +176,48 @@ object LlmText {
       Similarity.ivfTopK(e, 3, nCells = 8)
     },
 
+    // Near-dup CLUSTERS: connected components (iterative min-label
+    // propagation) over the LSH pair graph — pair list → per-doc
+    // canonical-keeper assignment, the step before rows can be dropped.
+    "q66_dedup_clusters" -> { (s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = ShingleN, numHashes = NumHashes, bands = Bands,
+          threshold = 0.5))
+    },
+
+    // Gopher-style repetition signals: fraction of occurrences covered
+    // by the most frequent token / bigram, distinct-token fraction.
+    // Narrow per-row expressions — zero shuffle.
+    "q67_repetition" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("toks"),
+          TextFunctions.bigramsFromTokens(col("toks")).as("bgs"))
+        .select(col("doc_id"),
+          round(TextFunctions.topOccurrenceCount(col("toks")).cast("double") /
+            size(col("toks")), 4).as("top_tok_frac"),
+          round(TextFunctions.topOccurrenceCount(col("bgs")).cast("double") /
+            size(col("bgs")), 4).as("top_bigram_frac"),
+          round(size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")), 4).as("uniq_frac"))
+    },
+
+    // TF-IDF top-3 terms per document (corpus-weighted keywording).
+    "q68_tfidf" -> { (s, d) =>
+      Corpus.tfidfTopK(Tables.documents(s, d), "doc_id", "text", 3)
+    },
+
+    // Lloyd k-means over embeddings (SemDeDup-style semantic clustering):
+    // deterministic seeds (lowest ids), 2 iterations, final assignment.
+    "q69_kmeans" -> { (s, d) =>
+      Similarity.kmeansAssign(
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding")),
+        k = 8, iters = 2)
+    },
+
     // Language-ID heuristic (marker-word scores, stable priority).
     "q38_langid" -> { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -177,29 +245,10 @@ object LlmText {
       s"""WITH u AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
           SELECT $fpSql AS fp, min(doc_id) AS keeper, count(*) AS n_copies
           FROM u GROUP BY 1""",
-    "q31_minhash_lsh" -> {
-      val mhCols = (0 until NumHashes).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
-      val rows = NumHashes / Bands
-      val bandSelects = (0 until Bands).map { b =>
-        val cols = (b * rows until (b + 1) * rows).map(j => s"mh$j").mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM m"
-      }.mkString(" UNION ALL ")
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          s AS (SELECT doc_id, ${shinglesSql(ShingleN)} AS shs FROM t),
-          s2 AS (SELECT doc_id, shs FROM s WHERE len(shs) > 0),
-          hh AS (SELECT doc_id, shs, list_transform(shs, x -> md5(x)) AS hs FROM s2),
-          m AS (SELECT doc_id, $mhCols FROM hh),
-          bands AS ($bandSelects),
-          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-                   FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-          j AS (SELECT da, db,
-                  len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) * 1.0 AS inter,
-                  len(sa.shs) + len(sb.shs) AS tot
-                FROM cand JOIN s2 sa ON da = sa.doc_id JOIN s2 sb ON db = sb.doc_id)
+    "q31_minhash_lsh" ->
+      s"""WITH $lshCtes
           SELECT da AS doc_a, db AS doc_b, round(inter/(tot-inter), 4) AS jaccard
-          FROM j WHERE round(inter/(tot-inter), 4) >= 0.5"""
-    },
+          FROM j WHERE round(inter/(tot-inter), 4) >= 0.5""",
     "q32_token_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
           SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -297,6 +346,76 @@ object LlmText {
           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY cos DESC, neighbor_id) AS rn FROM p)
           WHERE rn <= 3""",
+    "q66_dedup_clusters" ->
+      s"""WITH RECURSIVE $lshCtes,
+          pairs AS (SELECT da, db FROM j
+                    WHERE round(inter/(tot-inter), 4) >= 0.5),
+          edges AS (SELECT da AS u, db AS v FROM pairs
+                    UNION SELECT db, da FROM pairs),
+          nodes AS (SELECT DISTINCT u FROM edges),
+          reach(u, v) AS (SELECT u, u FROM nodes
+                          UNION
+                          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+          SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u""",
+    "q67_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+          b AS (SELECT doc_id, toks,
+                  list_transform(generate_series(1, len(toks)-1),
+                    i -> array_to_string(toks[i:i+1], ' ')) AS bgs
+                FROM t2)
+          SELECT doc_id,
+            round(CAST(list_max(list_transform(list_distinct(toks),
+                    x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+                  / len(toks), 4) AS top_tok_frac,
+            round(CAST(list_max(list_transform(list_distinct(bgs),
+                    x -> len(list_filter(bgs, y -> y = x)))) AS DOUBLE)
+                  / len(bgs), 4) AS top_bigram_frac,
+            round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+              AS uniq_frac
+          FROM b""",
+    "q68_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          nd AS (SELECT count(*) AS n_docs FROM documents),
+          sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 4) AS tfidf
+                 FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd)
+          SELECT doc_id, term, tf, tfidf, CAST(rn AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS rn FROM sc)
+          WHERE rn <= 3""",
+    "q69_kmeans" -> {
+      val k = 8
+      val iters = 2
+      val embDim = 64
+      def assignCte(name: String, centRel: String): String =
+        s"""$name AS (SELECT vec_id, cid AS cluster, e FROM (
+              SELECT v.vec_id, c.cid, v.e,
+                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                  round(list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm), 4) DESC,
+                  c.cid) AS rn
+              FROM v CROSS JOIN $centRel c) WHERE rn = 1)"""
+      val iterCtes = (0 until iters).map { i =>
+        assignCte(s"a$i", s"c$i") + ",\n" +
+          s"""u${i + 1} AS (SELECT cluster, CAST(t.i AS INTEGER) AS dim,
+                round(avg(e[CAST(t.i AS INTEGER)]), 6) AS m
+              FROM a$i CROSS JOIN range(1, ${embDim + 1}) t(i) GROUP BY 1, 2),
+              c${i + 1} AS (SELECT cid, ce,
+                  sqrt(list_dot_product(ce, ce)) AS cnrm
+                FROM (SELECT cluster AS cid, list(m ORDER BY dim) AS ce
+                      FROM u${i + 1} GROUP BY 1))"""
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+             FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < $k),
+          $iterCtes,
+          ${assignCte("af", s"c$iters")}
+          SELECT vec_id, cluster FROM af"""
+    },
     "q38_langid" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           SELECT doc_id, $langCaseSql AS lang_guess FROM t""",

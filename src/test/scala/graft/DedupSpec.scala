@@ -41,6 +41,41 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
   }
 
+  test("connectedComponents labels every node with the min reachable id") {
+    import spark.implicits._
+    // two components: {1,2,4} chained (1-2, 2-4) and {7,9}; 3/5 absent
+    val pairs = Seq((1L, 2L), (2L, 4L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 1 round)") {
+    import spark.implicits._
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == 12 && cc.forall(_._2 == 1L))
+  }
+
+  test("kmeansAssign separates two obvious clusters") {
+    import spark.implicits._
+    // ids 0,1 seed the two true groups; members sit near their seed
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f)),
+      (4L, Array(0.8f, 0.0f, 0.1f)),
+      (5L, Array(0.0f, 0.8f, 0.1f))
+    ).toDF("id", "embedding")
+    val asg = Similarity.kmeansAssign(vecs, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(asg(0L) == asg(2L) && asg(2L) == asg(4L))
+    assert(asg(1L) == asg(3L) && asg(3L) == asg(5L))
+    assert(asg(0L) != asg(1L))
+  }
+
   test("bruteForceTopK ranks the planted nearest vector first") {
     import spark.implicits._
     val vecs = Seq(
