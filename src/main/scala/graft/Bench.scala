@@ -17,7 +17,8 @@ object Bench {
     "q10_window_rank", "q12_count_distinct", "q18_topk_join",
     "q21_kmer_band", "q28_normalize", "q31_minhash_lsh",
     "q35_ngram_jaccard", "q36_cosine_topk", "q37_ann_bucket",
-    "q40_tumbling_window", "q41_sessionize", "q43_funnel")
+    "q40_tumbling_window", "q41_sessionize", "q43_funnel",
+    "q66_dedup_clusters", "q68_tfidf", "q69_kmeans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
