@@ -49,6 +49,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("q68: TF-IDF corpus size joins as a broadcast, term join stays equi") {
+    val plan = planOf("q68_tfidf")
+    // the 1-row N aggregate must broadcast, not shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("q69: k-means assignment joins centroids via broadcast only") {
+    val plan = planOf("q69_kmeans")
+    // final assignment: vectors × k broadcast centroids; the vector side
+    // must never shuffle for the assignment itself
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("q66: connected components' per-round joins are equi joins") {
+    val plan = planOf("q66_dedup_clusters")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("partitioned writes enable partition pruning (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/li"
     SparkEntry.queries("q02_filter_project")(spark, sf) // warm unrelated
