@@ -154,6 +154,22 @@ object TextFunctions {
       4)
   }
 
+  /** Scrubbing patterns — RE2-compatible (no backrefs/lookaround) so the
+    * same pattern strings run identically on Spark (java.util.regex) and
+    * the DuckDB oracle (RE2).
+    */
+  val UrlRe = "https?://\\S+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII/URL redaction: URLs then emails replaced by placeholder tags
+    * (URL first — a scrubbed `<URL>` can no longer feed the email
+    * pattern). Narrow codegen'd regexp_replace — zero shuffle.
+    */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, UrlRe, "<URL>"),
+      EmailRe, "<EMAIL>")
+
   /** Language markers for the n-gram/stopword language-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to"),

@@ -84,6 +84,32 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** Multi-probe variant of [[bucketedAnnTopK]]: each query probes its
+    * own sign bucket PLUS every bucket at Hamming distance 1 (one flipped
+    * bit) — the standard recall fix for sign-bit LSH: a true neighbor
+    * split from its query by a single low-confidence sign bit is found
+    * again. Candidate volume grows by ≤ (bits+1)× while staying
+    * O(Σ bucket²) — still an equi-join on the probe key, never all-pairs.
+    */
+  def multiProbeAnnTopK(vectors: DataFrame, k: Int, bits: Int = 4): DataFrame = {
+    val b = withNorm(vectors)
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+      .localCheckpoint() // both join sides read it; blocks GC with result
+    def flip(i: Int): Column = concat(
+      substring(col("bucket"), 1, i - 1),
+      when(substring(col("bucket"), i, 1) === "1", "0").otherwise("1"),
+      substring(col("bucket"), i + 1, bits - i))
+    val probes = b.withColumn("probe",
+      explode(array(col("bucket") +: (1 to bits).map(flip): _*)))
+    val pairs = probes.as("q")
+      .join(b.as("c"),
+        col("q.probe") === col("c.bucket") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        round(dot(col("q.embedding"), col("c.embedding")) /
+          (col("q.norm") * col("c.norm")), 4).as("cos"))
+    topK(pairs, k)
+  }
+
   /** Embedding-cosine NEAR-DUP pairs (the dedup-family member of the
     * similarity operators): sign-bucket candidate join — only vectors in
     * the same bucket meet, O(Σ bucket²) not O(n²) — then the cosine

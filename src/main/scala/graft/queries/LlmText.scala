@@ -218,6 +218,33 @@ object LlmText {
         k = 8, iters = 2)
     },
 
+    // PII/URL scrubbing: the fixture corpus carries no URLs/emails, so
+    // the query PLANTS one of each (derived from doc_id) before
+    // scrubbing — both engines construct identical text, making the
+    // redaction + count a real cross-engine regex-parity check.
+    "q71_scrub" -> { (s, d) =>
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          concat(lit("see http://example.com/doc/"),
+            col("doc_id").cast("string"), lit("?ref=a")),
+          concat(lit("mail user"), col("doc_id").cast("string"),
+            lit("@example.org"))).as("text"))
+      injected.select(col("doc_id"),
+        regexp_count(col("text"), lit(TextFunctions.UrlRe))
+          .cast("int").as("n_urls"),
+        regexp_count(col("text"), lit(TextFunctions.EmailRe))
+          .cast("int").as("n_emails"),
+        md5(TextFunctions.redact(col("text"))).as("redacted_md5"))
+    },
+
+    // Multi-probe ANN: each query probes its bucket + all Hamming-1
+    // buckets — the recall fix over q37's single probe.
+    "q72_ann_multiprobe" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.multiProbeAnnTopK(e, 3, bits = 4)
+    },
+
     // Language-ID heuristic (marker-word scores, stable priority).
     "q38_langid" -> { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -415,6 +442,44 @@ object LlmText {
           $iterCtes,
           ${assignCte("af", s"c$iters")}
           SELECT vec_id, cluster FROM af"""
+    },
+    "q71_scrub" -> {
+      val url = TextFunctions.UrlRe
+      val email = TextFunctions.EmailRe
+      s"""WITH inj AS (SELECT doc_id,
+              concat_ws(' ', text,
+                concat('see http://example.com/doc/', CAST(doc_id AS VARCHAR), '?ref=a'),
+                concat('mail user', CAST(doc_id AS VARCHAR), '@example.org')) AS text
+            FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '$url')) AS INTEGER) AS n_urls,
+            CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+            md5(regexp_replace(regexp_replace(text, '$url', '<URL>', 'g'),
+                               '$email', '<EMAIL>', 'g')) AS redacted_md5
+          FROM inj"""
+    },
+    "q72_ann_multiprobe" -> {
+      val bits = 4
+      val bucket = "concat(" + (1 to bits).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
+      val flips = (1 to bits).map { i =>
+        s"""SELECT vec_id, concat(substr(bucket, 1, ${i - 1}),
+              CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END,
+              substr(bucket, ${i + 1}, ${bits - i})) AS probe FROM v"""
+      }.mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm,
+               $bucket AS bucket
+             FROM embeddings),
+          probes AS (SELECT vec_id, bucket AS probe FROM v UNION ALL $flips),
+          p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos
+                FROM v q JOIN probes pr ON pr.vec_id = q.vec_id
+                     JOIN v c ON pr.probe = c.bucket AND q.vec_id != c.vec_id)
+          SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rn FROM p)
+          WHERE rn <= 3"""
     },
     "q38_langid" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)

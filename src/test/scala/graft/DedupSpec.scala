@@ -91,6 +91,28 @@ class DedupSpec extends AnyFunSuite {
     assert(top.length == 2)
   }
 
+  test("multiProbeAnnTopK recovers a neighbor split by one sign bit") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.01f, 1.0f, 0.5f, 0.5f, 0.1f)),
+      (2L, Array(-0.01f, 0.9f, 0.4f, 0.6f, 0.2f)) // near-identical, first sign differs
+    ).toDF("id", "embedding")
+    val single = Similarity.bucketedAnnTopK(vecs, 3, bits = 4).count()
+    val multi = Similarity.multiProbeAnnTopK(vecs, 3, bits = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(single == 0) // single probe misses the pair entirely
+    assert(multi.toSet == Set((1L, 2L), (2L, 1L))) // Hamming-1 probe finds it
+  }
+
+  test("redact replaces URLs and emails with placeholder tags") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val out = Seq("visit https://a.io/x?y=1 or mail bob.smith+a@ex-a.co.uk end")
+      .toDF("text")
+      .select(TextFunctions.redact(col("text"))).as[String].head()
+    assert(out == "visit <URL> or mail <EMAIL> end")
+  }
+
   test("bucketedAnnTopK only pairs vectors within a sign bucket") {
     import spark.implicits._
     val vecs = Seq(
