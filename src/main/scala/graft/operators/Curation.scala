@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   *   1. quality gate (narrow, drops junk before anything shuffles)
   *   2. language filter (narrow)
   *   3. exact dedup — one groupBy on the md5 fingerprint
-  *   4. near-dup removal — MinHash LSH pairs among the survivors;
-  *      of each verified pair the LARGER id is dropped (deterministic;
-  *      the canonical "keep first" rule)
+  *   4. near-dup removal — MinHash LSH pairs among the survivors,
+  *      resolved to clusters by [[Dedup.connectedComponents]]; each
+  *      cluster keeps ONLY its minimum id. Cluster-keeper semantics
+  *      beat naive pair-drop: in a component {1,2,3} with edges
+  *      (1,3),(2,3), pair-drop would keep both 1 and 2 even though
+  *      they are transitive near-dups of each other through 3
   *
   * Order matters at 100 TB: the narrow filters typically remove a large
   * fraction of the corpus before the two shuffling stages, and the LSH
@@ -35,10 +38,13 @@ object Curation {
       .select(idCol)
     val exactDeduped = gated.join(keeper, idCol)
 
-    // near-dup removal: drop the larger id of every verified LSH pair
-    val dupIds = Dedup
-      .minhashLshPairs(exactDeduped, idCol, textCol, threshold = nearDupThreshold)
-      .select(col("doc_b").as(idCol)).distinct()
-    exactDeduped.join(dupIds, Seq(idCol), "left_anti")
+    // near-dup removal: cluster the verified LSH pairs, keep each
+    // cluster's minimum id (docs absent from any pair keep themselves)
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(exactDeduped, idCol, textCol,
+        threshold = nearDupThreshold))
+    val dropIds = cc.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    exactDeduped.join(dropIds, Seq(idCol), "left_anti")
   }
 }

@@ -496,7 +496,7 @@ object LlmText {
         val cols = (b * rows until (b + 1) * rows).map(j => s"mh$j").mkString(", ")
         s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM m"
       }.mkString(" UNION ALL ")
-      s"""WITH t0 AS (SELECT doc_id, text, n_chars, $toksSql AS toks FROM documents),
+      s"""WITH RECURSIVE t0 AS (SELECT doc_id, text, n_chars, $toksSql AS toks FROM documents),
           q AS (SELECT doc_id, text, n_chars, toks,
                        $qualitySql AS qual, $langCaseSql AS lang FROM t0),
           gated AS (SELECT doc_id, text, n_chars, toks FROM q
@@ -517,10 +517,17 @@ object LlmText {
                   len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) * 1.0 AS inter,
                   len(sa.shs) + len(sb.shs) AS tot
                 FROM cand JOIN s2 sa ON da = sa.doc_id JOIN s2 sb ON db = sb.doc_id),
-          dup AS (SELECT DISTINCT db FROM j
-                  WHERE round(inter/(tot-inter), 4) >= 0.5)
+          pairs AS (SELECT da, db FROM j
+                    WHERE round(inter/(tot-inter), 4) >= 0.5),
+          edges AS (SELECT da AS u, db AS v FROM pairs
+                    UNION SELECT db, da FROM pairs),
+          nds AS (SELECT DISTINCT u FROM edges),
+          reach(u, v) AS (SELECT u, u FROM nds
+                          UNION
+                          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          dropids AS (SELECT u FROM reach GROUP BY u HAVING u != min(v))
           SELECT doc_id, n_chars FROM ex0
-          WHERE doc_id NOT IN (SELECT db FROM dup)"""
+          WHERE doc_id NOT IN (SELECT u FROM dropids)"""
     },
     "q39_quality_score" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
