@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   *    Catalyst plan, NOT a driver-side `.count()` action — one job).
   */
 object Corpus {
+
+  /** Deterministic hash sampling: keep a row iff
+    * `md5(id) mod 100 < pct`. No RNG — the sample is reproducible
+    * across runs, engines, and partitionings (the property training-mix
+    * pipelines need for resumable jobs and audits), and it is a narrow
+    * per-row filter that pushes through any plan. `pct` may vary per
+    * row (a Column), enabling stratified rates — e.g. by language or
+    * quality band.
+    */
+  def hashSampleFilter(id: Column, pct: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100) < pct
 
   /** Top-k terms per document by tf·idf (idf = ln(N/df)), deterministic:
     * ties on the rounded score break by term. Output:

@@ -245,6 +245,17 @@ object LlmText {
       Similarity.multiProbeAnnTopK(e, 3, bits = 4)
     },
 
+    // Deterministic hash sampling, stratified by language: md5(id)-mod
+    // gate, no RNG — reproducible across runs/engines/partitionings.
+    "q73_hash_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          TextFunctions.langId(col("text")).as("lang"))
+      docs.filter(graft.operators.Corpus.hashSampleFilter(col("doc_id"),
+          when(col("lang") === "en", lit(30)).otherwise(lit(80))))
+        .select("doc_id", "lang", "n_chars")
+    },
+
     // Language-ID heuristic (marker-word scores, stable priority).
     "q38_langid" -> { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -481,6 +492,12 @@ object LlmText {
                   ORDER BY cos DESC, neighbor_id) AS rn FROM p)
           WHERE rn <= 3"""
     },
+    "q73_hash_sample" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, $toksSql AS toks FROM documents),
+          l AS (SELECT doc_id, n_chars, $langCaseSql AS lang FROM t)
+          SELECT doc_id, lang, n_chars FROM l
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                < CASE WHEN lang = 'en' THEN 30 ELSE 80 END""",
     "q38_langid" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           SELECT doc_id, $langCaseSql AS lang_guess FROM t""",
