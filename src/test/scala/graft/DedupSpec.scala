@@ -76,6 +76,34 @@ class DedupSpec extends AnyFunSuite {
     assert(asg(0L) != asg(1L))
   }
 
+  test("curate keeps one doc per transitive near-dup component") {
+    import spark.implicits._
+    // 1 and 2 are both near-dups of 3 but NOT of each other directly;
+    // cluster-keeper semantics must still collapse all three to doc 1.
+    // (Text long enough to clear the 0.3 quality gate; en stopwords.)
+    val base = "the quick brown fox jumps over the lazy dog and then walks " +
+      "to the river bank where the water is cold and the trees are tall"
+    val docs = Seq(
+      (1L, base + " alpha beta gamma delta"),
+      (2L, base + " alpha beta epsilon zeta"),
+      (3L, base + " alpha beta gamma zeta"), // bridges 1 and 2
+      (4L, "completely different text about spark query engines and the " +
+        "shuffles that move data between the stages of a distributed plan " +
+        "while the optimizer is rewriting joins and the scans are pruned")
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Curation
+      .curate(docs, "doc_id", "text", minQuality = 0.3, langs = Seq("en"),
+        nearDupThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(4L))
+    assert(!kept.contains(3L))
+    // 2 must be dropped IF the LSH chain linked it through 3
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (pairs.contains((2L, 3L)) || pairs.contains((1L, 2L)))
+      assert(!kept.contains(2L), s"pairs=$pairs kept=$kept")
+  }
+
   test("bruteForceTopK ranks the planted nearest vector first") {
     import spark.implicits._
     val vecs = Seq(
