@@ -64,6 +64,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == expected, s"deduped $n vs source $expected")
   }
 
+  test("curateStream applies the batch quality/lang gates and dedups online") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    // plant an exact duplicate of doc 0 under a new id
+    val dup = docs.filter(col("doc_id") === 0L)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val staged = docs.unionAll(dup)
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_doc_stream").toString
+    staged.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(staged.schema).parquet(dir)
+    val curated = graft.streaming.DocStreams.curateStream(stream, "ts")
+    val q = curated.writeStream
+      .outputMode("append").format("memory")
+      .queryName("curate_stream").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not terminate")
+    val kept = spark.table("curate_stream")
+      .select("doc_id").as[Long].collect().toSet
+
+    // batch twin of the same gates: one keeper per fingerprint group
+    val gated = staged
+      .filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.3)
+      .filter(graft.functions.TextFunctions.langId(col("text")) === "en")
+    val batchKeepers = gated
+      .groupBy(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id").as[Long].collect().toSet
+    // within one micro-batch "first seen" is arrival-order, so compare
+    // group COUNTS plus the planted-dup collapse, not exact keeper ids
+    assert(kept.size == batchKeepers.size, s"${kept.size} vs ${batchKeepers.size}")
+    assert(!(kept.contains(0L) && kept.contains(100000L)), "dup not collapsed")
+  }
+
   test("stateful sessionizer closes sessions on gap within a batch") {
     import spark.implicits._
     val base = 1700000000000L
