@@ -7,26 +7,43 @@ import org.apache.spark.sql.functions._
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Scale design (100 TB / billions of vectors):
-  *  - the dot product is a narrow `zip_with`+`aggregate` expression
-  *    (index-ordered summation → deterministic), no UDF, stays in
-  *    codegen; norms are computed ONCE per vector before the pair join,
-  *    not per pair;
+  *  - the dot product is a native codegen'd expression
+  *    (plans.DotProductExpression — Catalyst HOFs are CodegenFallback,
+  *    i.e. interpreted per element; the native kernel is one JIT-ed
+  *    while-loop with the identical index-ordered double summation);
+  *    norms are computed ONCE per vector before the pair join, not per
+  *    pair;
   *  - brute force is quadratic and exists as the exactness baseline /
   *    re-rank stage; callers bound one side (the query set), and Spark
   *    broadcasts the smaller side;
   *  - the scale path is sign-bit LSH bucketing: vectors only meet within
   *    their bucket, turning O(n²) into O(Σ bucket²) with an equi-join
-  *    shuffle on the bucket key. More bits → smaller buckets; multi-probe
-  *    (flipping low-confidence bits) would raise recall — kept single-
-  *    table here for oracle parity.
+  *    shuffle on the bucket key. More bits → smaller buckets;
+  *    [[Similarity.multiProbeAnnTopK]] adds Hamming-1 probes for recall.
   */
 object Similarity {
 
-  /** Index-ordered double-precision dot product of two array columns. */
+  /** Index-ordered double-precision dot product of two array columns
+    * (portable HOF form — composes anywhere, no registration needed).
+    */
   def dot(x: Column, y: Column): Column =
     aggregate(
       zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Native codegen'd dot product (plans.DotProductExpression) —
+    * bit-identical to [[dot]] but JIT-compiled instead of interpreted
+    * per element (HOFs are CodegenFallback). The operators below
+    * register it per session and use this form: it is the O(n·dim)
+    * inner-loop kernel of every pairwise stage.
+    */
+  private def dotN(x: Column, y: Column): Column =
+    call_function("dot_native", x, y)
+
+  private def withNative(df: DataFrame): DataFrame = {
+    graft.plans.NativeFunctions.register(df.sparkSession)
+    df
+  }
 
   /** Cosine similarity (use the norm-precomputing operators below for
     * anything pairwise — this recomputes norms per call).
@@ -38,9 +55,9 @@ object Similarity {
     // Repartition to session parallelism: vector sets often arrive as one
     // small file (single task), and the non-equi pair join streams the
     // probe side without a shuffle — partition count IS the parallelism.
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    withNative(df).repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+        sqrt(dotN(col("embedding"), col("embedding"))).as("norm"))
 
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
@@ -58,7 +75,7 @@ object Similarity {
     val pairs = q.as("q")
       .join(c.as("c"), col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
-        round(dot(col("q.embedding"), col("c.embedding")) /
+        round(dotN(col("q.embedding"), col("c.embedding")) /
           (col("q.norm") * col("c.norm")), 4).as("cos"))
     topK(pairs, k)
   }
@@ -79,7 +96,7 @@ object Similarity {
       .join(b.as("c"),
         col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
-        round(dot(col("q.embedding"), col("c.embedding")) /
+        round(dotN(col("q.embedding"), col("c.embedding")) /
           (col("q.norm") * col("c.norm")), 4).as("cos"))
     topK(pairs, k)
   }
@@ -105,7 +122,7 @@ object Similarity {
       .join(b.as("c"),
         col("q.probe") === col("c.bucket") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
-        round(dot(col("q.embedding"), col("c.embedding")) /
+        round(dotN(col("q.embedding"), col("c.embedding")) /
           (col("q.norm") * col("c.norm")), 4).as("cos"))
     topK(pairs, k)
   }
@@ -125,7 +142,7 @@ object Similarity {
       .join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        round(dot(col("a.embedding"), col("b.embedding")) /
+        round(dotN(col("a.embedding"), col("b.embedding")) /
           (col("a.norm") * col("b.norm")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
@@ -154,7 +171,7 @@ object Similarity {
 
     def assign(cent: DataFrame): DataFrame = {
       val asg = v.crossJoin(broadcast(cent))
-        .withColumn("rc", round(dot(col("embedding"), col("ce")) /
+        .withColumn("rc", round(dotN(col("embedding"), col("ce")) /
           (col("norm") * col("cnorm")), 4))
       val w = Window.partitionBy("id").orderBy(col("rc").desc, col("cid").asc)
       asg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -176,7 +193,7 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cluster").as("cid"),
           transform(col("dm"), e => e.getField("m")).as("ce"))
-        .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
+        .withColumn("cnorm", sqrt(dotN(col("ce"), col("ce"))))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       cent = spark.createDataset(newCent.toSeq).toDF("cid", "ce", "cnorm")
@@ -202,7 +219,7 @@ object Similarity {
       .select(col("id").as("cid"), col("embedding").as("ce"), col("norm").as("cnorm"))
     // tiny centroid table broadcast to every task — no shuffle to assign
     val asg = v.crossJoin(broadcast(cent))
-      .withColumn("rc", round(dot(col("embedding"), col("ce")) /
+      .withColumn("rc", round(dotN(col("embedding"), col("ce")) /
         (col("norm") * col("cnorm")), 4))
     val w = Window.partitionBy("id").orderBy(col("rc").desc, col("cid").asc)
     val cells = asg.withColumn("rn", row_number().over(w))
@@ -213,7 +230,7 @@ object Similarity {
       .join(b.as("c"),
         col("q.cell") === col("c.cell") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
-        round(dot(col("q.embedding"), col("c.embedding")) /
+        round(dotN(col("q.embedding"), col("c.embedding")) /
           (col("q.norm") * col("c.norm")), 4).as("cos"))
     topK(pairs, k)
   }

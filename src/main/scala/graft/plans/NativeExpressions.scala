@@ -122,6 +122,87 @@ case class KmerGenerator(child: Expression, kExpr: Expression)
     copy(child = newChildren(0), kExpr = newChildren(1))
 }
 
+/** JIT-compiled vector kernel shared by the interpreted and generated
+  * paths of [[DotProductExpression]].
+  */
+object NativeVec {
+  /** Index-ordered double dot product — bit-identical to the
+    * `aggregate(zip_with(x, y, (p, q) => p*q), 0.0, _+_)` HOF
+    * formulation (same cast-then-multiply-then-add sequence, same
+    * order), including its null semantics: unequal lengths or a null
+    * element yield null.
+    */
+  def dot(l: org.apache.spark.sql.catalyst.util.ArrayData,
+          r: org.apache.spark.sql.catalyst.util.ArrayData,
+          lFloat: Boolean, rFloat: Boolean): java.lang.Double = {
+    val n = l.numElements()
+    if (n != r.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (l.isNullAt(i) || r.isNullAt(i)) return null
+      val x = if (lFloat) l.getFloat(i).toDouble else l.getDouble(i)
+      val y = if (rFloat) r.getFloat(i).toDouble else r.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** Native dot product over two array<float|double> columns.
+  *
+  * The `aggregate(zip_with(...))` HOF formulation is CodegenFallback —
+  * every element dispatches through interpreted lambda closures, the
+  * same trap that cost q21/q28 4-5× on k-mers. This expression compiles
+  * to one JIT-ed while-loop and stays inside whole-stage codegen — the
+  * hot kernel of every cosine operator (brute-force, ANN, IVF, k-means,
+  * embedding near-dup).
+  */
+case class DotProductExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_native requires ARRAY<FLOAT|DOUBLE> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_native"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    NativeVec.dot(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("dotRes")
+      s"""
+         |java.lang.Double $tmp = graft.plans.NativeVec.dot(
+         |  $l, $r, ${isFloat(left)}, ${isFloat(right)});
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: both an extensions class (for
   * `SparkSession.builder.withExtensions(new GraftExtensions)`) and a
   * runtime registry hook for already-built sessions.
@@ -130,7 +211,8 @@ object NativeFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "revcomp_native" -> (exprs => RevCompExpression(exprs.head)),
     "translate_dna_native" -> (exprs => TranslateDnaExpression(exprs.head)),
-    "kmers_native" -> (exprs => KmerGenerator(exprs(0), exprs(1))))
+    "kmers_native" -> (exprs => KmerGenerator(exprs(0), exprs(1))),
+    "dot_native" -> (exprs => DotProductExpression(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>
@@ -150,5 +232,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("kmers_native"),
       new ExpressionInfo(classOf[KmerGenerator].getName, "kmers_native"),
       (exprs: Seq[Expression]) => KmerGenerator(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("dot_native"),
+      new ExpressionInfo(classOf[DotProductExpression].getName, "dot_native"),
+      (exprs: Seq[Expression]) => DotProductExpression(exprs(0), exprs(1))))
   }
 }

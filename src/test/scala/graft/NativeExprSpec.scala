@@ -32,6 +32,29 @@ class NativeExprSpec extends AnyFunSuite {
     assert(got.map(_.getString(1)).toSet == expected)
   }
 
+  test("dot_native is bit-identical to the HOF dot product") {
+    NativeFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = Seq(
+      (Array(0.1f, -2.5f, 3.25f), Array(1.5f, 0.25f, -0.75f)),
+      (Array.empty[Float], Array.empty[Float]),
+      (Array(1.0f), Array(2.0f))
+    ).toDF("x", "y")
+    val hof = graft.operators.Similarity.dot(col("x"), col("y"))
+    val rows = vecs.select(hof.as("h"),
+      call_function("dot_native", col("x"), col("y")).as("n")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+    }
+    // mixed float/double sides (the k-means assignment shape)
+    val mixed = vecs.select(col("x"), col("y").cast("array<double>").as("y"))
+    val r2 = mixed.select(graft.operators.Similarity.dot(col("x"), col("y")).as("h"),
+      call_function("dot_native", col("x"), col("y")).as("n")).collect()
+    r2.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("extensions class registers the same functions at session build") {
     // smoke: the injector runs without error on a fresh builder config
     // (full withExtensions sessions share the JVM; runtime registry is
