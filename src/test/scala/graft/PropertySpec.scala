@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.{Dna, TextFunctions}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Randomized invariants (fixed seed → reproducible): the pure domain
+  * kernels hold their algebraic properties over arbitrary inputs, and
+  * the distributed connected-components agrees with a reference
+  * union-find on a random graph.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val rnd = new Random(20260812L)
+
+  private def randDna(n: Int): String =
+    (0 until n).map(_ => "ACGTN" (rnd.nextInt(5))).mkString
+
+  test("reverseComplement is an involution and preserves length") {
+    (1 to 200).foreach { _ =>
+      val s = randDna(rnd.nextInt(80))
+      val rc = Dna.reverseComplement(s)
+      assert(rc.length == s.length)
+      assert(Dna.reverseComplement(rc) == s)
+    }
+  }
+
+  test("kmers emits exactly len-k+1 windows, each a substring") {
+    (1 to 200).foreach { _ =>
+      val s = randDna(rnd.nextInt(40))
+      val k = 1 + rnd.nextInt(8)
+      val ks = Dna.kmers(s, k)
+      assert(ks.length == math.max(0, s.length - k + 1))
+      ks.zipWithIndex.foreach { case (m, i) =>
+        assert(m.length == k && s.substring(i, i + k) == m)
+      }
+    }
+  }
+
+  test("translateDna emits one residue per complete codon") {
+    (1 to 200).foreach { _ =>
+      val s = randDna(rnd.nextInt(60))
+      assert(Dna.translateDna(s).length == s.length / 3)
+    }
+  }
+
+  test("findOrfs output is in-bounds, starts on a start codon, meets minlen") {
+    val starts = Set("ATG", "TTG", "GTG", "CTG")
+    (1 to 100).foreach { _ =>
+      val s = randDna(30 + rnd.nextInt(120))
+      Dna.findOrfs("x", s, strand = "+", frame = 1, minLen = 5)
+        .foreach { orf =>
+          assert(orf.dna.length >= 3 * 5)
+          assert(starts.contains(orf.dna.substring(0, 3)))
+          assert(s.contains(orf.dna))
+        }
+    }
+  }
+
+  test("connectedComponents matches a reference union-find on a random graph") {
+    import spark.implicits._
+    val n = 60
+    val edges = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    // reference union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map(v => v -> {
+      // min id reachable = min over the component
+      val root = find(v.toInt)
+      nodes.filter(u => find(u.toInt) == root).min
+    }).toMap
+    val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
+  test("fingerprint is invariant to whitespace runs and case") {
+    import spark.implicits._
+    val pairs = (1 to 50).map { _ =>
+      val words = (1 to 1 + rnd.nextInt(8)).map(_ => randDna(1 + rnd.nextInt(6)))
+      val a = words.mkString(" ")
+      val b = words.map(w => if (rnd.nextBoolean()) w.toLowerCase else w)
+        .mkString("  \t")
+      (a, b)
+    }
+    val df = pairs.toDF("a", "b").select(
+      TextFunctions.fingerprint(lower(col("a"))).as("fa"),
+      TextFunctions.fingerprint(lower(col("b"))).as("fb"))
+    df.collect().foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+}
