@@ -87,6 +87,29 @@ object Dedup {
       }.toDF("id", "shs", "bands")
   }
 
+  /** Shingle-only typed pass: (id, distinct word n-grams) with NO digest
+    * work — the exact-Jaccard path needs the shingle strings themselves,
+    * so the md5-per-shingle the minhash signature pass pays would be
+    * wasted here (one digest per shingle ≈ 500k digests at sf0.1).
+    */
+  private def shingledDocs(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+          if (toks.length < shingleN) None
+          else Some((id, (0 to toks.length - shingleN)
+            .map(i => toks.slice(i, i + shingleN).mkString(" "))
+            .distinct))
+        }
+      }.toDF("id", "shs")
+  }
+
   /** A2/A3 exact dedup, deterministic: group rows by normalized-text
     * fingerprint, keep the minimum id per group (the reference keeps an
     * arbitrary first — `reduceByKey((a,b)=>a)`, FastqFilter.java:88-94).
@@ -224,11 +247,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.3,
                         maxDf: Int = 1000): DataFrame = {
-    // typed signature pass (bands unused here) — same reasons as minhash;
-    // localCheckpoint for the same lifecycle reasons (sizes + both join
+    // typed shingle pass (no digests — see shingledDocs); localCheckpoint
+    // for the same lifecycle reasons as minhash (sizes + both join
     // branches read it; blocks are GC'd with the result, no CacheManager).
-    val sh = signedDocs(docs, idCol, textCol, shingleN, 1, 1)
-      .select("id", "shs").localCheckpoint()
+    val sh = shingledDocs(docs, idCol, textCol, shingleN).localCheckpoint()
     val ex0 = sh.select(col("id"), explode(col("shs")).as("sh"))
     // df-cap: one extra agg+join, both hash-partitioned on sh (the same
     // key the self-join shuffles on), and it BOUNDS the self-join output.

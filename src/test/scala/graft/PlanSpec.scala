@@ -66,6 +66,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("q36: the cosine kernel is the native dot expression, not the HOF") {
+    val plan = planOf("q36_cosine_topk")
+    assert(plan.contains("dot_native"), plan.take(1200))
+  }
+
   test("q66: connected components' per-round joins are equi joins") {
     val plan = planOf("q66_dedup_clusters")
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
