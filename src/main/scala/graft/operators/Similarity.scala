@@ -173,9 +173,14 @@ object Similarity {
       val asg = v.crossJoin(broadcast(cent))
         .withColumn("rc", round(dotN(col("embedding"), col("ce")) /
           (col("norm") * col("cnorm")), 4))
-      val w = Window.partitionBy("id").orderBy(col("rc").desc, col("cid").asc)
-      asg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("id"), col("cid").as("cluster"), col("embedding"))
+      // argmax via hash-agg max_by (partial agg, no sort) — the ordering
+      // struct (rc, -cid) is UNIQUE per id, so ties on the rounded
+      // cosine resolve deterministically toward the smaller centroid id,
+      // matching the oracle's row_number(ORDER BY rc DESC, cid) exactly.
+      asg.groupBy("id")
+        .agg(
+          max_by(col("cid"), struct(col("rc"), -col("cid"))).as("cluster"),
+          first(col("embedding")).as("embedding"))
     }
 
     var cent = v.filter(col("id") < k)
@@ -221,10 +226,10 @@ object Similarity {
     val asg = v.crossJoin(broadcast(cent))
       .withColumn("rc", round(dotN(col("embedding"), col("ce")) /
         (col("norm") * col("cnorm")), 4))
-    val w = Window.partitionBy("id").orderBy(col("rc").desc, col("cid").asc)
-    val cells = asg.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("cid").as("cell"))
+    // hash-agg argmax (see kmeansAssign): unique (rc, -cid) ordering ⇒
+    // deterministic min-cid tiebreak, no sort-based window
+    val cells = asg.groupBy("id")
+      .agg(max_by(col("cid"), struct(col("rc"), -col("cid"))).as("cell"))
     val b = v.join(cells, "id")
     val pairs = b.as("q")
       .join(b.as("c"),
