@@ -64,6 +64,34 @@ object Joins {
         payload.map(c => col(s"_asof.$c").as(c))): _*)
   }
 
+  /** Range join (point-in-interval): match every left "point" row to
+    * the right interval rows containing it ([startCol, endCol], same
+    * `key`). The naive `ts BETWEEN s AND e` join has no equi condition
+    * on time, so Spark plans a per-key scan of ALL intervals (or a
+    * BroadcastNestedLoopJoin without the key) — quadratic at scale.
+    *
+    * This is the bucketized range-join shape warehouse engines use:
+    * every interval EXPLODES to the time bins it covers, every point
+    * maps to exactly one bin, the join becomes a hash equi-join on
+    * (key, bin), and the exact range predicate refines the candidates.
+    * Shuffled volume is O(points + Σ interval_bins); `binSeconds` near
+    * the median interval length keeps the explode factor small. No
+    * duplicate matches by construction: a point owns one bin and an
+    * interval covers each of its bins once.
+    */
+  def rangeJoinBinned(points: DataFrame, tsCol: String,
+                      intervals: DataFrame, startCol: String, endCol: String,
+                      key: String, binSeconds: Long): DataFrame = {
+    def bin(c: Column): Column =
+      floor(c.cast("timestamp").cast("long") / binSeconds)
+    val p = points.withColumn("_bin", bin(col(tsCol)))
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(bin(col(startCol)), bin(col(endCol)))))
+    p.join(iv, Seq(key, "_bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_bin")
+  }
+
   /** Skew-safe equi join: salt the skewed (left) side's key into
     * `saltFactor` sub-keys and explode the build side to match — turns
     * one hot reducer into `saltFactor` even ones. (AQE's skew-join

@@ -82,6 +82,20 @@ object Events {
         .select("event_id", "user_id", "purchase_id", "purchase_value")
     },
 
+    // Range join (point-in-interval) via time binning: each user's
+    // events joined into their first-30-minutes window — the binned
+    // equi-join shape, never a nested-loop range scan.
+    "q74_range_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val iv = ev.groupBy("user_id")
+        .agg(min(col("ts")).as("s"))
+        .withColumn("e", col("s") + expr("INTERVAL 30 MINUTES"))
+      graft.operators.Joins.rangeJoinBinned(
+        ev.select(col("user_id"), col("event_id"), col("ts")), "ts",
+        iv, "s", "e", "user_id", binSeconds = 600)
+        .groupBy("user_id").agg(count(lit(1)).as("n_in_window"))
+    },
+
     // Sliding-window style rate: events per type per day with a running
     // 3-day average (window-frame aggregation over time buckets).
     "q44_sliding_rate" -> { (s, d) =>
@@ -142,6 +156,15 @@ object Events {
          SELECT day, event_type, n,
                 round(avg(n) OVER (PARTITION BY event_type ORDER BY day
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS avg3
-         FROM daily"""
+         FROM daily""",
+    // epoch_us comparisons: the engine's timestamps are ns-truncated to
+    // µs, so the oracle compares in the µs domain too.
+    "q74_range_join" ->
+      """WITH iv AS (SELECT user_id, min(ts) AS s FROM events GROUP BY 1)
+         SELECT e.user_id, count(*) AS n_in_window
+         FROM events e JOIN iv ON e.user_id = iv.user_id
+         WHERE epoch_us(e.ts) >= epoch_us(iv.s)
+           AND epoch_us(e.ts) <= epoch_us(iv.s) + 1800000000
+         GROUP BY 1"""
   )
 }

@@ -7,6 +7,29 @@ import org.scalatest.funsuite.AnyFunSuite
 class JoinsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("rangeJoinBinned equals the naive range join, including bin edges") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // points straddling bin boundaries (bin = 600 s) and interval edges
+    val points = (0L until 40L).map(i => (i, "u" + (i % 3), ts(i * 137)))
+      .toDF("event_id", "user_id", "ts")
+    val intervals = Seq(
+      ("u0", ts(0), ts(600)),     // exactly one bin
+      ("u1", ts(599), ts(601)),   // crosses a bin boundary
+      ("u2", ts(1200), ts(4000)), // many bins
+      ("u0", ts(5000), ts(5100))  // empty interval (no points)
+    ).toDF("user_id", "s", "e")
+    val binned = Joins.rangeJoinBinned(points, "ts", intervals, "s", "e",
+      "user_id", binSeconds = 600)
+      .select("event_id", "s").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val naive = points.join(intervals, Seq("user_id"))
+      .filter(col("ts") >= col("s") && col("ts") <= col("e"))
+      .select("event_id", "s").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(binned == naive && naive.nonEmpty)
+  }
+
   test("asOfJoin: hand-computed backward matches, ties, and no-match nulls") {
     import spark.implicits._
     val left = Seq(
