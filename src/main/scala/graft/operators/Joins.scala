@@ -92,6 +92,29 @@ object Joins {
       .drop("_bin")
   }
 
+  /** Interval-overlap join: match left intervals [lStart, lEnd] to right
+    * intervals [rStart, rEnd] that OVERLAP them (same `key`). Both sides
+    * explode to their covered bins and meet on (key, bin); because an
+    * overlapping pair shares every bin in the overlap region, the match
+    * is kept only in the FIRST shared bin — `bin == max(bin(lStart),
+    * bin(rStart))`, which both sides necessarily cover — so each pair
+    * emits exactly once with NO distinct/dedup shuffle afterwards.
+    */
+  def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+                          right: DataFrame, rStart: String, rEnd: String,
+                          key: String, binSeconds: Long): DataFrame = {
+    def bin(c: Column): Column =
+      floor(c.cast("timestamp").cast("long") / binSeconds)
+    val l = left.withColumn("_bin",
+      explode(sequence(bin(col(lStart)), bin(col(lEnd)))))
+    val r = right.withColumn("_bin",
+      explode(sequence(bin(col(rStart)), bin(col(rEnd)))))
+    l.join(r, Seq(key, "_bin"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("_bin") === greatest(bin(col(lStart)), bin(col(rStart))))
+      .drop("_bin")
+  }
+
   /** Skew-safe equi join: salt the skewed (left) side's key into
     * `saltFactor` sub-keys and explode the build side to match — turns
     * one hot reducer into `saltFactor` even ones. (AQE's skew-join

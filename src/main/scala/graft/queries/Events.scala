@@ -96,6 +96,25 @@ object Events {
         .groupBy("user_id").agg(count(lit(1)).as("n_in_window"))
     },
 
+    // Interval-overlap join via the same binning machinery: per user,
+    // does the view-activity span overlap the click-activity span, and
+    // by how many (whole) seconds.
+    "q75_interval_overlap" -> { (s, d) =>
+      val spans = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      val views = spans.filter(col("event_type") === "view")
+        .select(col("user_id"), col("s").as("vs"), col("e").as("ve"))
+      val clicks = spans.filter(col("event_type") === "click")
+        .select(col("user_id"), col("s").as("cs"), col("e").as("ce"))
+      graft.operators.Joins.intervalOverlapJoin(
+        views, "vs", "ve", clicks, "cs", "ce", "user_id", binSeconds = 86400)
+        .select(col("user_id"),
+          (least(col("ve"), col("ce")).cast("timestamp").cast("long") -
+            greatest(col("vs"), col("cs")).cast("timestamp").cast("long"))
+            .as("overlap_sec"))
+    },
+
     // Sliding-window style rate: events per type per day with a running
     // 3-day average (window-frame aggregation over time buckets).
     "q44_sliding_rate" -> { (s, d) =>
@@ -157,6 +176,16 @@ object Events {
                 round(avg(n) OVER (PARTITION BY event_type ORDER BY day
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS avg3
          FROM daily""",
+    "q75_interval_overlap" ->
+      """WITH spans AS (SELECT user_id, event_type, min(ts) AS s, max(ts) AS e
+                        FROM events GROUP BY 1, 2),
+         v AS (SELECT user_id, s AS vs, e AS ve FROM spans WHERE event_type = 'view'),
+         c AS (SELECT user_id, s AS cs, e AS ce FROM spans WHERE event_type = 'click')
+         SELECT v.user_id,
+                CAST(epoch_us(least(ve, ce)) // 1000000
+                     - epoch_us(greatest(vs, cs)) // 1000000 AS BIGINT) AS overlap_sec
+         FROM v JOIN c ON v.user_id = c.user_id
+         WHERE epoch_us(vs) <= epoch_us(ce) AND epoch_us(cs) <= epoch_us(ve)""",
     // epoch_us comparisons: the engine's timestamps are ns-truncated to
     // µs, so the oracle compares in the µs domain too.
     "q74_range_join" ->

@@ -30,6 +30,31 @@ class JoinsSpec extends AnyFunSuite {
     assert(binned == naive && naive.nonEmpty)
   }
 
+  test("intervalOverlapJoin equals the naive overlap join, one row per pair") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // long intervals spanning MANY shared bins — dedup-by-first-bin must
+    // still emit each overlapping pair exactly once
+    val left = Seq(
+      ("u0", 1L, ts(0), ts(5000)),
+      ("u0", 2L, ts(6000), ts(7000)),
+      ("u1", 3L, ts(100), ts(200))
+    ).toDF("user_id", "lid", "ls", "le")
+    val right = Seq(
+      ("u0", 10L, ts(4000), ts(6500)), // overlaps 1 AND 2
+      ("u0", 11L, ts(9000), ts(9100)), // overlaps none
+      ("u1", 12L, ts(150), ts(400))    // overlaps 3
+    ).toDF("user_id", "rid", "rs", "re")
+    val binned = Joins.intervalOverlapJoin(left, "ls", "le", right, "rs", "re",
+      "user_id", binSeconds = 600)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = left.join(right, Seq("user_id"))
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(binned.sorted.toSeq == naive.sorted.toSeq) // exact multiset equality
+    assert(binned.toSet == Set((1L, 10L), (2L, 10L), (3L, 12L)))
+  }
+
   test("asOfJoin: hand-computed backward matches, ties, and no-match nulls") {
     import spark.implicits._
     val left = Seq(
