@@ -77,6 +77,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("q74/q75: binned range joins are hash equi joins, never nested loops") {
+    Seq("q74_range_join", "q75_interval_overlap").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(600)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(600)}")
+    }
+  }
+
   test("partitioned writes enable partition pruning (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/li"
     SparkEntry.queries("q02_filter_project")(spark, sf) // warm unrelated
