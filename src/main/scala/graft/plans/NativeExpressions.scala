@@ -33,6 +33,19 @@ object NativeDna {
   /** Codegen-ed codon translation core (X2). */
   def translateDna(s: UTF8String): UTF8String =
     UTF8String.fromString(Dna.translateDna(s.toString))
+
+  /** Unicode NFC normalization core — composes decomposed sequences
+    * (e + U+0301 → é) so visually-identical text hashes identically:
+    * the standard preprocessing step before exact/near dedup on
+    * multilingual corpora. ASCII fast path: bytes==chars means no
+    * combining sequences, return the input untouched (no String
+    * round-trip on the common case).
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    if (s.getBytes.length == s.numChars()) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** X1 as a native unary expression with whole-stage codegen support. */
@@ -75,6 +88,30 @@ case class TranslateDnaExpression(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.NativeDna.translateDna($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Unicode NFC normalization as a native unary expression (whole-stage
+  * codegen): text-pipeline preprocessing so canonically-equivalent
+  * strings fingerprint identically before dedup.
+  */
+case class NfcNormalizeExpression(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_native requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_native"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NativeDna.nfc(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeDna.nfc($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -212,7 +249,8 @@ object NativeFunctions {
     "revcomp_native" -> (exprs => RevCompExpression(exprs.head)),
     "translate_dna_native" -> (exprs => TranslateDnaExpression(exprs.head)),
     "kmers_native" -> (exprs => KmerGenerator(exprs(0), exprs(1))),
-    "dot_native" -> (exprs => DotProductExpression(exprs(0), exprs(1))))
+    "dot_native" -> (exprs => DotProductExpression(exprs(0), exprs(1))),
+    "nfc_native" -> (exprs => NfcNormalizeExpression(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>
@@ -235,5 +273,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("dot_native"),
       new ExpressionInfo(classOf[DotProductExpression].getName, "dot_native"),
       (exprs: Seq[Expression]) => DotProductExpression(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("nfc_native"),
+      new ExpressionInfo(classOf[NfcNormalizeExpression].getName, "nfc_native"),
+      (exprs: Seq[Expression]) => NfcNormalizeExpression(exprs.head)))
   }
 }

@@ -256,6 +256,22 @@ object LlmText {
         .select("doc_id", "lang", "n_chars")
     },
 
+    // Unicode NFC normalization (native codegen expression): the ASCII
+    // fixture gets a PLANTED decomposed sequence ("cafe" + combining
+    // acute U+0301) appended, so composition is observable — char count
+    // drops by one and the md5 changes — and both engines must compose
+    // identically per the Unicode standard.
+    "q76_nfc_normalize" -> { (s, d) =>
+      graft.plans.NativeFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" café")).as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("int").as("n_raw"),
+          length(call_function("nfc_native", col("raw"))).cast("int").as("n_nfc"),
+          md5(call_function("nfc_native", col("raw"))).as("nfc_md5"))
+    },
+
     // Language-ID heuristic (marker-word scores, stable priority).
     "q38_langid" -> { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -498,6 +514,14 @@ object LlmText {
           SELECT doc_id, lang, n_chars FROM l
           WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
                 < CASE WHEN lang = 'en' THEN 30 ELSE 80 END""",
+    "q76_nfc_normalize" ->
+      s"""WITH r AS (SELECT doc_id, text || ' cafe' || chr(769) AS raw
+                     FROM documents)
+          SELECT doc_id,
+            CAST(length(raw) AS INTEGER) AS n_raw,
+            CAST(length(nfc_normalize(raw)) AS INTEGER) AS n_nfc,
+            md5(nfc_normalize(raw)) AS nfc_md5
+          FROM r""",
     "q38_langid" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           SELECT doc_id, $langCaseSql AS lang_guess FROM t""",

@@ -55,6 +55,20 @@ class NativeExprSpec extends AnyFunSuite {
     r2.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("nfc_native composes decomposed sequences; ASCII passes through") {
+    NativeFunctions.register(spark)
+    import spark.implicits._
+    val decomposed = "café" // e + combining acute
+    val composed = "café"
+    val rows = Seq(decomposed, composed, "plain ascii").toDF("s")
+      .createOrReplaceTempView("nfc_in")
+    val got = spark.sql("SELECT s, nfc_native(s) AS n FROM nfc_in").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got(decomposed) == composed)
+    assert(got(composed) == composed)
+    assert(got("plain ascii") == "plain ascii")
+  }
+
   test("extensions class registers the same functions at session build") {
     // smoke: the injector runs without error on a fresh builder config
     // (full withExtensions sessions share the JVM; runtime registry is
