@@ -174,6 +174,20 @@ object Relational {
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99"))
     },
 
+    // The EXACT twin of q47's sketches: `percentile` (linear
+    // interpolation) is cross-engine deterministic, so unlike the
+    // approx forms it gets a full hash oracle (DuckDB quantile_cont
+    // uses the identical interpolation).
+    "q77_exact_quantiles" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("q25_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.99)"), 4).as("p99_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+    },
+
     // Skew-tooling: salted join must produce exactly the plain-join
     // result (the oracle IS the plain join) while spreading any hot key
     // over saltFactor reducers.
@@ -299,6 +313,13 @@ object Relational {
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity),2) AS qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
+    "q77_exact_quantiles" ->
+      """SELECT l_returnflag,
+              round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS q25_qty,
+              round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS median_qty,
+              round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 4) AS p99_qty,
+              round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS median_price
+         FROM lineitem GROUP BY l_returnflag""",
     "q16_scalar_subquery" ->
       """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
          WHERE o_totalprice > (SELECT max(o_totalprice)*0.9 FROM orders)""",
