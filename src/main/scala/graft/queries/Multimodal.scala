@@ -40,6 +40,20 @@ object Multimodal {
           col("n_frames"))
     },
 
+    // JSONL round-trip: documents → newline-delimited JSON → read back —
+    // the interchange format corpus pipelines actually ship. The hash
+    // oracle proves values survive the serialization untouched.
+    "q78_jsonl_roundtrip" -> { (s, d) =>
+      val dir = s"/tmp/graft_io/${new java.io.File(d).getName}/jsonl"
+      Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars")
+        .write.mode("overwrite").json(dir)
+      s.read.json(dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("text_md5"),
+          col("n_chars").cast("int").as("n_chars"))
+    },
+
     // Frame sampling: every 3rd 256-byte "frame" of the payload, with a
     // per-frame digest the oracle recomputes from the text (payload =
     // utf-8 of ASCII text, so byte slices == character slices).
@@ -59,6 +73,10 @@ object Multimodal {
               CAST(n_chars % 48 + 1 AS INTEGER) AS height,
               CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
               md5(text) AS payload_md5
+         FROM documents""",
+    "q78_jsonl_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+              CAST(n_chars AS INTEGER) AS n_chars
          FROM documents""",
     "q65_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,
