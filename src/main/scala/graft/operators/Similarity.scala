@@ -157,51 +157,53 @@ object Similarity {
     * quantizing away the ~1e-14 summation-order noise that would
     * otherwise make a mean of doubles engine-dependent.
     *
-    * Scale shape (billions of vectors): per iteration the k×dim centroid
-    * table is collected and BROADCAST (k ≪ n — the only driver traffic,
-    * the same loop structure Spark MLlib's KMeans uses), assignment is a
-    * narrow per-row argmax under the broadcast, and the update is one
-    * posexplode + (cluster, dim) hash aggregation with map-side partial
-    * means. No shuffle touches the vectors except that update agg.
+    * Scale shape (billions of vectors): the k×dim centroid table lives on
+    * the DRIVER between iterations (k ≪ n — the same driver traffic Spark
+    * MLlib's KMeans pays) and is baked into the assignment expression as
+    * k literal arrays, so assignment is a NARROW per-row argmax — k
+    * native dot products + one `array_max` over scored structs, ZERO
+    * joins and ZERO shuffles over the vectors. The only exchange per
+    * iteration is the centroid update: one posexplode + (cluster, dim)
+    * hash aggregation with map-side partial means, whose final output is
+    * just k×dim rows.
     */
   def kmeansAssign(vectors: DataFrame, k: Int, iters: Int = 2): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
     val v = withNorm(vectors).localCheckpoint()
 
-    def assign(cent: DataFrame): DataFrame = {
-      val asg = v.crossJoin(broadcast(cent))
-        .withColumn("rc", round(dotN(col("embedding"), col("ce")) /
-          (col("norm") * col("cnorm")), 4))
-      // argmax via hash-agg max_by (partial agg, no sort) — the ordering
-      // struct (rc, -cid) is UNIQUE per id, so ties on the rounded
-      // cosine resolve deterministically toward the smaller centroid id,
-      // matching the oracle's row_number(ORDER BY rc DESC, cid) exactly.
-      asg.groupBy("id")
-        .agg(
-          max_by(col("cid"), struct(col("rc"), -col("cid"))).as("cluster"),
-          first(col("embedding")).as("embedding"))
+    // Narrow per-row argmax over driver-held centroids: each centroid
+    // contributes struct(rc, -cid, cid); struct ordering is
+    // lexicographic, so array_max picks the greatest ROUNDED cosine and
+    // breaks ties toward the smaller centroid id — matching the oracle's
+    // row_number(ORDER BY rc DESC, cid) exactly. No Exchange anywhere.
+    def assign(cent: Array[(Long, Array[Double], Double)]): DataFrame = {
+      val scored = cent.map { case (cid, ce, cnorm) =>
+        struct(
+          round(dotN(col("embedding"), typedlit(ce.toSeq)) /
+            (col("norm") * lit(cnorm)), 4).as("rc"),
+          lit(-cid).as("negcid"), lit(cid).as("cid"))
+      }
+      v.withColumn("cluster", array_max(array(scored.toSeq: _*)).getField("cid"))
     }
 
-    var cent = v.filter(col("id") < k)
-      .select(col("id").as("cid"), col("embedding").cast("array<double>").as("ce"),
-        col("norm").as("cnorm"))
-    var asg: DataFrame = null
+    var cent: Array[(Long, Array[Double], Double)] = v.filter(col("id") < k)
+      .select(col("id"), col("embedding").cast("array<double>"), col("norm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     for (_ <- 1 to iters) {
-      asg = assign(cent)
       // per-dim mean, rounded to 6 dp for cross-engine determinism
-      val dims = asg
+      val dims = assign(cent)
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim")
         .agg(round(avg(col("x").cast("double")), 6).as("m"))
-      val newCent = dims.groupBy("cluster")
+      cent = dims.groupBy("cluster")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cluster").as("cid"),
-          transform(col("dm"), e => e.getField("m")).as("ce"))
-        .withColumn("cnorm", sqrt(dotN(col("ce"), col("ce"))))
+        .select(col("cluster"), transform(col("dm"), e => e.getField("m")))
         .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      cent = spark.createDataset(newCent.toSeq).toDF("cid", "ce", "cnorm")
+        .map { r =>
+          val ce = r.getSeq[Double](1).toArray
+          // index-ordered sum — bit-identical to the dotN the old plan used
+          (r.getLong(0), ce, math.sqrt(ce.foldLeft(0.0)((a, x) => a + x * x)))
+        }
     }
     assign(cent).select(col("id").as("vec_id"), col("cluster"))
   }

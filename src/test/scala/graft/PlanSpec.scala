@@ -57,12 +57,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
-  test("q69: k-means assignment joins centroids via broadcast only") {
+  test("q69: k-means assignment is narrow — no Exchange, no join at all") {
     val plan = planOf("q69_kmeans")
-    // final assignment: vectors × k broadcast centroids; the vector side
-    // must never shuffle for the assignment itself
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastExchange"), plan.take(1200))
+    // centroids are baked into the expression as literals; the final
+    // assignment over the vectors must be a pure map: zero shuffles,
+    // zero joins of any kind
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
