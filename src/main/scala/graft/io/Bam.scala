@@ -155,6 +155,8 @@ object Bam {
     if (fs.exists(hPath)) fs.delete(hPath, true)
     fs.mkdirs(hPath)
     val refsBc = spark.sparkContext.broadcast(refs)
+    val confBc = spark.sparkContext.broadcast(
+      new ConfCarrier(spark.sparkContext.hadoopConfiguration))
 
     df.select(col("readName"), col("flag").cast("int"),
         coalesce(col("referenceName"), lit("*")).as("referenceName"),
@@ -181,40 +183,81 @@ object Bam {
           head.put(nb).put(0.toByte)
           head.putInt(l)
         }
-        out.write(bgzfBlock(head.array(), head.array().length))
-        // records, batched into ≤60 KiB BGZF blocks
+        out.write(bgzfBlock(head.array(), 0, head.array().length))
+        // Records are a BYTE stream chunked into ≤60 KiB uncompressed
+        // BGZF payloads INDEPENDENT of record boundaries (BAM records may
+        // legally span blocks, spec §4.1) — a single long-read record can
+        // exceed any per-record batch, and BSIZE is uint16, so flushing on
+        // record boundaries could overflow a block. 60 KiB + worst-case
+        // deflate expansion + 26 bytes framing stays safely under 65536.
+        val chunk = 60 * 1024
         val batch = new java.io.ByteArrayOutputStream()
+        def drain(force: Boolean): Unit =
+          if (batch.size() >= chunk || (force && batch.size() > 0)) {
+            val bytes = batch.toByteArray
+            var off = 0
+            while (bytes.length - off >= chunk) {
+              out.write(bgzfBlock(bytes, off, chunk)); off += chunk
+            }
+            if (force && bytes.length > off) {
+              out.write(bgzfBlock(bytes, off, bytes.length - off)); off = bytes.length
+            }
+            batch.reset()
+            if (off < bytes.length) batch.write(bytes, off, bytes.length - off)
+          }
         rows.forEachRemaining { r =>
           batch.write(encodeRecord(localRefs, r.getString(0), r.getInt(1),
             r.getString(2), r.getInt(3), r.getInt(4), r.getString(5),
             r.getString(6), r.getString(7)))
-          if (batch.size() > 60 * 1024) {
-            out.write(bgzfBlock(batch.toByteArray, batch.size()))
-            batch.reset()
-          }
+          drain(force = false)
         }
-        if (batch.size() > 0) out.write(bgzfBlock(batch.toByteArray, batch.size()))
+        drain(force = true)
         out.write(BgzfEof)
 
         val filePath = new org.apache.hadoop.fs.Path(path, f"part-$part%05d.bam")
-        val fsw = filePath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // executor-side FS resolved from the SESSION's hadoop conf (not a
+        // bare `new Configuration()`, which would drop defaultFS/credential
+        // settings and only ever write to the local FS)
+        val fsw = filePath.getFileSystem(confBc.value.toConf)
         val stream = fsw.create(filePath, true)
         try stream.write(out.toByteArray) finally stream.close()
       }
   }
 
+  /** Serializable carrier for the driver's hadoopConfiguration (the
+    * Hadoop `Configuration` class itself is not `Serializable`).
+    */
+  private class ConfCarrier(@transient conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private val entries: Array[(String, String)] = {
+      val it = conf.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    def toConf: org.apache.hadoop.conf.Configuration = {
+      val c = new org.apache.hadoop.conf.Configuration(false)
+      entries.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+  }
+
   /** One gzip member with the BGZF BC extra subfield (spec §4.1.1). */
-  private def bgzfBlock(payload: Array[Byte], len: Int): Array[Byte] = {
+  private def bgzfBlock(payload: Array[Byte], off: Int, len: Int): Array[Byte] = {
     val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
-    deflater.setInput(payload, 0, len)
+    deflater.setInput(payload, off, len)
     deflater.finish()
     val cdata = new Array[Byte](len + 64)
     var n = 0
     while (!deflater.finished()) n += deflater.deflate(cdata, n, cdata.length - n)
     deflater.end()
     val crc = new CRC32()
-    crc.update(payload, 0, len)
+    crc.update(payload, off, len)
     val total = n + 26 // 12 hdr + 6 extra + cdata + 4 crc + 4 isize
+    // BSIZE is uint16 (= total - 1): the spec's hard 64 KiB block bound.
+    // Callers keep uncompressed payloads ≤ 60 KiB so this cannot trip.
+    require(total <= 65536,
+      s"BGZF block overflow: $total bytes compressed (payload len=$len)")
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     buf.put(0x1f.toByte).put(0x8b.toByte).put(8.toByte).put(4.toByte) // FEXTRA
     buf.putInt(0) // mtime
@@ -240,6 +283,12 @@ object Bam {
         .toSeq
     val seq = if (bases == null || bases == "*") "" else bases
     val lSeq = seq.length
+    // Catch length desync BEFORE allocating: a short quality would leave
+    // the tail as phred-0 zeros (corrupt but parseable), a long one would
+    // throw BufferOverflow mid-write and leave a partial file behind.
+    require(quality == null || quality == "*" || quality.length == lSeq,
+      s"quality length ${if (quality == null) -1 else quality.length} != " +
+        s"sequence length $lSeq for read '$name'")
     val size = 32 + nameBytes.length + 1 + 4 * cigarOps.length + (lSeq + 1) / 2 + lSeq
     val bb = ByteBuffer.allocate(4 + size).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(size)

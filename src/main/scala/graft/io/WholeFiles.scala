@@ -84,10 +84,23 @@ object WholeFiles {
       else {
         var nameEnd = 0
         while (nameEnd < 100 && raw(off + nameEnd) != 0) nameEnd += 1
-        val name = new String(raw, off, nameEnd, java.nio.charset.StandardCharsets.US_ASCII)
+        val name0 = new String(raw, off, nameEnd, java.nio.charset.StandardCharsets.US_ASCII)
+        // ustar long paths split into prefix (offset 345, 155 bytes) + name
+        val name =
+          if (new String(raw, off + 257, 5, java.nio.charset.StandardCharsets.US_ASCII) == "ustar") {
+            var pEnd = 0
+            while (pEnd < 155 && raw(off + 345 + pEnd) != 0) pEnd += 1
+            if (pEnd == 0) name0
+            else new String(raw, off + 345, pEnd,
+              java.nio.charset.StandardCharsets.US_ASCII) + "/" + name0
+          } else name0
+        // POSIX permits leading spaces (bsdtar/star emit them) and NULs in
+        // numeric fields — strip them BEFORE the octal scan, or a space-
+        // padded size parses as 0 and desyncs the whole header walk.
         val sizeField = new String(raw, off + 124, 12, java.nio.charset.StandardCharsets.US_ASCII)
         val size = java.lang.Long.parseLong(
-          sizeField.takeWhile(c => c >= '0' && c <= '7').trim match {
+          sizeField.dropWhile(c => c == ' ' || c == 0)
+            .takeWhile(c => c >= '0' && c <= '7') match {
             case "" => "0"
             case s => s
           }, 8).toInt

@@ -123,8 +123,12 @@ object Joins {
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
+    // Salt from a hash of the ROW's columns, not monotonically_increasing_id:
+    // the latter changes across task retries (harmless for correctness —
+    // every salt matches the exploded build side — but retry-unstable and
+    // opaque). Hashing all columns spreads even single-key hot spots.
     val salted = skewed.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+      pmod(hash(skewed.columns.map(col).toSeq: _*), lit(saltFactor)))
     val exploded = other.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(exploded, Seq(key, "_salt")).drop("_salt")
