@@ -24,14 +24,34 @@ import java.util.zip.{CRC32, Deflater, GZIPInputStream}
   *
   * Parallelism model: one task per file ([[read]] uses the binaryFile
   * source), matching [[Fastq.read]] — BAM corpora arrive as many
-  * per-sample files. [[write]] emits one BAM per partition with the
-  * header replicated into each file — exactly the reference's
+  * per-sample files — with an AUTO-ROUTE to [[readSplittable]] when any
+  * file exceeds 256 MiB: byte ranges are parallelized, each task scans
+  * to the first BGZF block magic in its range (chain-validated), aligns
+  * to the first alignment-record start (exact offset for the header
+  * range — the driver parses the header once — and a field-validated
+  * guess elsewhere, the hadoop-bam split model the reference relies on
+  * at SQLQueryBAM.java:63-66), and decodes exactly the records whose
+  * START block lies inside the range, spilling into following blocks
+  * for its tail record. A 300 GiB single BAM therefore fans out to
+  * ~4800 tasks instead of one. [[write]] emits one BAM per partition
+  * with the header replicated into each file — exactly the reference's
   * KeyIgnoringBAMOutputFormat header-broadcast design, minus the
-  * driver-side header mutation. A splittable single-huge-file reader
-  * would chunk on BGZF block magics; out of scope while whole-file
-  * parallelism covers the corpus layout.
+  * driver-side header mutation.
   */
 object Bam {
+
+  private type Rec = (String, Int, String, Int, Int, String, String, String)
+
+  /** Whole-file read auto-routes to the splittable path above this. */
+  private val SplitRouteBytes: Long = 256L << 20
+
+  /** Default split size for [[readSplittable]]. */
+  private val DefaultSplitBytes: Long = 64L << 20
+
+  /** Upper bound used when VALIDATING a guessed record start — a real
+    * block_size/l_seq beyond this marks the guess as garbage.
+    */
+  private val MaxRecordBytes: Int = 1 << 26
 
   private val SeqCode = "=ACMGRSVTWYHKDBN"
   private val CigarOps = "MIDNSHP=X"
@@ -51,19 +71,40 @@ object Bam {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    if (anyFileOver(spark, path, SplitRouteBytes))
+      return readSplittable(spark, path)
     val raw = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.bam").load(path)
       .select("content").as[Array[Byte]]
     val rows = raw.flatMap(parseBam)
       .toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
         "bases", "quality")
+    withDerivedCols(rows)
+  }
+
+  private def withDerivedCols(rows: DataFrame): DataFrame =
     rows
       .withColumn("length", length(col("bases")))
       .withColumn("readUnmapped", SamText.flagBit(col("flag"), 4))
       .withColumn("duplicateRead", SamText.flagBit(col("flag"), 1024))
       .withColumn("firstOfPair", SamText.flagBit(col("flag"), 64))
       .withColumn("secondOfPair", SamText.flagBit(col("flag"), 128))
+
+  private def listBams(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(hPath)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(hPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".bam"))
+      else Seq(st)
+    files.filter(_.getLen > 0).map(s => (s.getPath.toString, s.getLen))
+      .sortBy(_._1)
   }
+
+  private def anyFileOver(spark: SparkSession, path: String, bytes: Long): Boolean =
+    scala.util.Try(listBams(spark, path).exists(_._2 > bytes)).getOrElse(false)
 
   /** Decode one whole BAM file (BGZF → uncompressed BAM → records).
     * Exposed for spec-fixture tests.
@@ -87,56 +128,433 @@ object Bam {
       new String(nameBytes, 0, lName - 1, US_ASCII) // strip NUL
     }
 
-    new Iterator[(String, Int, String, Int, Int, String, String, String)] {
+    new Iterator[Rec] {
       override def hasNext: Boolean = bb.remaining() >= 4
-      override def next(): (String, Int, String, Int, Int, String, String, String) = {
-        val blockSize = bb.getInt
-        val end = bb.position() + blockSize
-        val refID = bb.getInt
-        val pos = bb.getInt // 0-based; -1 when unmapped
-        val lReadName = bb.get() & 0xff
-        val mapq = bb.get() & 0xff
-        bb.getShort // bin (index hint, unused)
-        val nCigar = bb.getShort & 0xffff
-        val flag = bb.getShort & 0xffff
-        val lSeq = bb.getInt
-        bb.getInt; bb.getInt; bb.getInt // next_refID, next_pos, tlen
-        val nameBytes = new Array[Byte](lReadName)
-        bb.get(nameBytes)
-        val name = new String(nameBytes, 0, lReadName - 1, US_ASCII)
-        val cigar =
-          if (nCigar == 0) "*"
-          else (0 until nCigar).map { _ =>
-            val v = bb.getInt
-            s"${v >>> 4}${CigarOps(v & 0xf)}"
-          }.mkString
-        val seqBytes = new Array[Byte]((lSeq + 1) / 2)
-        bb.get(seqBytes)
-        val bases =
-          if (lSeq == 0) "*"
-          else {
-            val sb = new StringBuilder(lSeq)
-            var i = 0
-            while (i < lSeq) {
-              val b = seqBytes(i / 2) & 0xff
-              sb.append(SeqCode(if (i % 2 == 0) b >>> 4 else b & 0xf))
-              i += 1
-            }
-            sb.toString
-          }
-        val qualBytes = new Array[Byte](lSeq)
-        bb.get(qualBytes)
-        val quality =
-          if (lSeq == 0 || (qualBytes(0) & 0xff) == 0xff) "*"
-          else {
-            val sb = new StringBuilder(lSeq)
-            qualBytes.foreach(q => sb.append((q + 33).toChar))
-            sb.toString
-          }
-        bb.position(end) // skip optional tags
-        val refName = if (refID < 0 || refID >= refs.length) "*" else refs(refID)
-        (name, flag, refName, pos + 1, mapq, cigar, bases, quality)
+      override def next(): Rec = decodeOneRecord(bb, refs)
+    }
+  }
+
+  /** Decode ONE alignment record from `bb` positioned at its block_size
+    * field; leaves the buffer positioned after the record's tags. Shared
+    * by the whole-file and splittable paths.
+    */
+  private def decodeOneRecord(bb: ByteBuffer, refs: IndexedSeq[String]): Rec = {
+    val blockSize = bb.getInt
+    val end = bb.position() + blockSize
+    val refID = bb.getInt
+    val pos = bb.getInt // 0-based; -1 when unmapped
+    val lReadName = bb.get() & 0xff
+    val mapq = bb.get() & 0xff
+    bb.getShort // bin (index hint, unused)
+    val nCigar = bb.getShort & 0xffff
+    val flag = bb.getShort & 0xffff
+    val lSeq = bb.getInt
+    bb.getInt; bb.getInt; bb.getInt // next_refID, next_pos, tlen
+    val nameBytes = new Array[Byte](lReadName)
+    bb.get(nameBytes)
+    val name = new String(nameBytes, 0, lReadName - 1, US_ASCII)
+    val cigar =
+      if (nCigar == 0) "*"
+      else (0 until nCigar).map { _ =>
+        val v = bb.getInt
+        s"${v >>> 4}${CigarOps(v & 0xf)}"
+      }.mkString
+    val seqBytes = new Array[Byte]((lSeq + 1) / 2)
+    bb.get(seqBytes)
+    val bases =
+      if (lSeq == 0) "*"
+      else {
+        val sb = new StringBuilder(lSeq)
+        var i = 0
+        while (i < lSeq) {
+          val b = seqBytes(i / 2) & 0xff
+          sb.append(SeqCode(if (i % 2 == 0) b >>> 4 else b & 0xf))
+          i += 1
+        }
+        sb.toString
       }
+    val qualBytes = new Array[Byte](lSeq)
+    bb.get(qualBytes)
+    val quality =
+      if (lSeq == 0 || (qualBytes(0) & 0xff) == 0xff) "*"
+      else {
+        val sb = new StringBuilder(lSeq)
+        qualBytes.foreach(q => sb.append((q + 33).toChar))
+        sb.toString
+      }
+    bb.position(end) // skip optional tags
+    val refName = if (refID < 0 || refID >= refs.length) "*" else refs(refID)
+    (name, flag, refName, pos + 1, mapq, cigar, bases, quality)
+  }
+
+  // ---------- splittable read ----------
+
+  /** Parallel read of large BAMs: one task per `splitBytes` byte range,
+    * split on BGZF block boundaries (records may span blocks — a task
+    * owns exactly the records whose START block lies in its range and
+    * reads past its end only for the tail record's spill). Correct for
+    * any spec-conformant BGZF BAM; single-member plain-gzip files (legal
+    * but not BGZF) must use [[read]].
+    */
+  def readSplittable(spark: SparkSession, path: String,
+                     splitBytes: Long = DefaultSplitBytes): DataFrame = {
+    import spark.implicits._
+    require(splitBytes >= (1 << 16), s"splitBytes must be >= 64 KiB, got $splitBytes")
+    val files = listBams(spark, path)
+    // ONE header parse per file on the driver (a few BGZF blocks each):
+    // ships refs + the exact first-record position to every task, so the
+    // header-containing range never guesses.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metas: Map[String, (IndexedSeq[String], Long, Int)] =
+      files.map { case (p, _) =>
+        p -> readHeaderMeta(fs, new org.apache.hadoop.fs.Path(p))
+      }.toMap
+    val ranges: Seq[(String, Long, Long)] = files.flatMap { case (p, len) =>
+      (0L until len by splitBytes).map(s => (p, s, math.min(s + splitBytes, len)))
+    }
+    val confBc = spark.sparkContext.broadcast(
+      new ConfCarrier(spark.sparkContext.hadoopConfiguration))
+    val metaBc = spark.sparkContext.broadcast(metas)
+    val rows = spark.sparkContext
+      .parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { case (p, s, e) =>
+        val (refs, firstBlock, firstOff) = metaBc.value(p)
+        decodeRange(confBc.value.toConf, p, s, e, refs, firstBlock, firstOff)
+      }
+      .toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
+        "bases", "quality")
+    withDerivedCols(rows)
+  }
+
+  /** Walk the BC extra subfields of a BGZF member header; returns the
+    * TOTAL block size (BSIZE+1) or -1 if `b(off..)` is not a valid BGZF
+    * block header within `avail` bytes.
+    */
+  private def bgzfBlockSize(b: Array[Byte], off: Int, avail: Int): Int = {
+    if (avail < 18) return -1
+    if ((b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b ||
+      b(off + 2) != 8 || (b(off + 3) & 0x04) == 0) return -1
+    val xlen = (b(off + 10) & 0xff) | ((b(off + 11) & 0xff) << 8)
+    if (avail < 12 + xlen) return -1
+    var p = off + 12
+    val endX = off + 12 + xlen
+    while (p + 4 <= endX) {
+      val slen = (b(p + 2) & 0xff) | ((b(p + 3) & 0xff) << 8)
+      if ((b(p) & 0xff) == 'B' && (b(p + 1) & 0xff) == 'C' && slen == 2) {
+        if (p + 6 > endX) return -1
+        val bsize = ((b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8)) + 1
+        return if (bsize >= 12 + xlen + 8) bsize else -1
+      }
+      p += 4 + slen
+    }
+    -1
+  }
+
+  /** Sequential BGZF member reader over a seekable stream: yields
+    * (compressed block offset, inflated payload) until EOF.
+    */
+  private final class BgzfCursor(in: org.apache.hadoop.fs.FSDataInputStream,
+                                 startOffset: Long, fileLen: Long) {
+    private var offset = startOffset
+    private var seeked = false
+    private val inflater = new java.util.zip.Inflater(true)
+
+    def next(): (Long, Array[Byte]) = {
+      if (offset + 28 > fileLen) return null // nothing smaller than the EOF block fits
+      if (!seeked) { in.seek(offset); seeked = true }
+      val hdr = new Array[Byte](12)
+      in.readFully(hdr, 0, 12)
+      val xlen = (hdr(10) & 0xff) | ((hdr(11) & 0xff) << 8)
+      require((hdr(0) & 0xff) == 0x1f && (hdr(1) & 0xff) == 0x8b &&
+        hdr(2) == 8 && (hdr(3) & 0x04) != 0,
+        s"not a BGZF block at offset $offset")
+      val extra = new Array[Byte](xlen)
+      in.readFully(extra, 0, xlen)
+      val joined = hdr ++ extra
+      val bsize = bgzfBlockSize(joined, 0, joined.length)
+      require(bsize > 0, s"BGZF block at $offset lacks a valid BC subfield")
+      val rest = new Array[Byte](bsize - 12 - xlen)
+      in.readFully(rest, 0, rest.length)
+      val isize = (rest(rest.length - 4) & 0xff) |
+        ((rest(rest.length - 3) & 0xff) << 8) |
+        ((rest(rest.length - 2) & 0xff) << 16) |
+        ((rest(rest.length - 1) & 0xff) << 24)
+      require(isize >= 0 && isize <= (1 << 17), s"implausible ISIZE $isize at $offset")
+      val out = new Array[Byte](isize)
+      if (isize > 0) {
+        inflater.reset()
+        inflater.setInput(rest, 0, rest.length - 8)
+        var n = 0
+        while (n < isize) {
+          val k = inflater.inflate(out, n, isize - n)
+          require(k > 0, s"bad deflate stream in BGZF block at $offset")
+          n += k
+        }
+      }
+      val o = offset
+      offset += bsize
+      (o, out)
+    }
+  }
+
+  /** Driver-side header parse: (reference names, compressed offset of the
+    * block containing the first alignment record, record offset within
+    * that block's payload). An empty BAM reports firstBlock=Long.MaxValue
+    * so every range decodes nothing.
+    */
+  private[graft] def readHeaderMeta(fs: org.apache.hadoop.fs.FileSystem,
+                                    path: org.apache.hadoop.fs.Path)
+      : (IndexedSeq[String], Long, Int) = {
+    val len = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    try {
+      val cursor = new BgzfCursor(in, 0, len)
+      var data = new Array[Byte](0)
+      val starts = scala.collection.mutable.ArrayBuffer[(Int, Int, Long)]() // (bufStart, bufEnd, comp)
+      def need(n: Int): Boolean = {
+        while (data.length < n) {
+          val blk = cursor.next()
+          if (blk == null) return false
+          if (blk._2.length > 0) {
+            starts += ((data.length, data.length + blk._2.length, blk._1))
+            data = data ++ blk._2
+          }
+        }
+        true
+      }
+      require(need(12), s"$path: truncated BAM header")
+      val bb = ByteBuffer.wrap(data, 0, 12).order(ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](4)
+      bb.get(magic)
+      require(new String(magic, 0, 3, US_ASCII) == "BAM" && magic(3) == 1,
+        s"$path is not a BAM file (bad magic)")
+      val lText = bb.getInt
+      require(need(12 + lText + 4), s"$path: truncated BAM header")
+      var p = 8 + lText
+      def i32(o: Int): Int = (data(o) & 0xff) | ((data(o + 1) & 0xff) << 8) |
+        ((data(o + 2) & 0xff) << 16) | ((data(o + 3) & 0xff) << 24)
+      val nRef = i32(p); p += 4
+      val refs = (0 until nRef).map { _ =>
+        require(need(p + 4), s"$path: truncated reference list")
+        val lName = i32(p)
+        require(need(p + 8 + lName), s"$path: truncated reference list")
+        val name = new String(data, p + 4, lName - 1, US_ASCII)
+        p += 8 + lName
+        name
+      }
+      if (!need(p + 1)) return (refs, Long.MaxValue, 0) // record-less BAM
+      val blk = starts.find(s => s._1 <= p && p < s._2).get
+      (refs, blk._3, p - blk._1)
+    } finally in.close()
+  }
+
+  /** First compressed offset in [s, e) that starts a BGZF block, found by
+    * magic scan + chain validation (the candidate's BSIZE must land on
+    * another valid block header or exactly on EOF); -1 if none.
+    */
+  private def scanForBlock(in: org.apache.hadoop.fs.FSDataInputStream,
+                           s: Long, e: Long, fileLen: Long): Long = {
+    val chunk = 1 << 20
+    val slack = 65536 + 18 // worst-case header+extra spans the chunk edge
+    var base = s
+    while (base < e) {
+      val scanLimit = math.min(chunk.toLong, e - base).toInt
+      val readLen = math.min(scanLimit.toLong + slack, fileLen - base).toInt
+      if (readLen < 28) return -1
+      val bytes = new Array[Byte](readLen)
+      in.readFully(base, bytes, 0, readLen)
+      var i = 0
+      while (i < scanLimit && i < readLen) {
+        if ((bytes(i) & 0xff) == 0x1f) {
+          val bsize = bgzfBlockSize(bytes, i, readLen - i)
+          if (bsize > 0) {
+            val nOff = base + i + bsize
+            if (nOff == fileLen) return base + i
+            if (nOff < fileLen) {
+              val h2len = math.min(4096L, fileLen - nOff).toInt
+              val h2 = new Array[Byte](h2len)
+              in.readFully(nOff, h2, 0, h2len)
+              if (bgzfBlockSize(h2, 0, h2len) > 0) return base + i
+            }
+          }
+        }
+        i += 1
+      }
+      base += scanLimit
+    }
+    -1
+  }
+
+  private def decodeRange(conf: org.apache.hadoop.conf.Configuration,
+                          pathStr: String, s: Long, e: Long,
+                          refs: IndexedSeq[String], firstBlock: Long,
+                          firstOff: Int): Iterator[Rec] = {
+    if (e <= firstBlock) return Iterator.empty
+    val path = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    val (startBlock, off0) =
+      if (s <= firstBlock) (firstBlock, firstOff)
+      else {
+        val b = scanForBlock(in, s, e, len)
+        if (b < 0) { in.close(); return Iterator.empty }
+        (b, -1) // -1 = record alignment unknown: guess
+      }
+    new BamRangeIterator(in, len, e, startBlock, off0, refs)
+  }
+
+  /** Decodes the records of one byte range. Keeps a compacting buffer of
+    * inflated payloads plus their block offsets; stops at the first
+    * record whose start block is outside the range.
+    */
+  private final class BamRangeIterator(
+      in: org.apache.hadoop.fs.FSDataInputStream, fileLen: Long,
+      rangeEnd: Long, startBlock: Long, firstOffInStart: Int,
+      refs: IndexedSeq[String]) extends Iterator[Rec] {
+
+    private val cursor = new BgzfCursor(in, startBlock, fileLen)
+    private var buf = new Array[Byte](1 << 20)
+    private var bufLen = 0
+    private val blkStart = scala.collection.mutable.ArrayBuffer[Int]()
+    private val blkEnd = scala.collection.mutable.ArrayBuffer[Int]()
+    private val blkComp = scala.collection.mutable.ArrayBuffer[Long]()
+    private var p = 0
+    private var closed = false
+    private var nextRec: Rec = _
+
+    locally {
+      if (firstOffInStart >= 0) p = firstOffInStart
+      else {
+        while (bufLen < (1 << 18) && pull()) {}
+        p = guessFirstRecord()
+      }
+      if (p < 0) finish() else advance()
+    }
+
+    override def hasNext: Boolean = nextRec != null
+    override def next(): Rec = {
+      val r = nextRec
+      advance()
+      r
+    }
+
+    private def finish(): Unit = {
+      nextRec = null
+      if (!closed) { closed = true; in.close() }
+    }
+
+    private def pull(): Boolean = {
+      val blk = cursor.next()
+      if (blk == null) return false
+      if (blk._2.length == 0) return pull() // EOF sentinel / empty blocks
+      if (bufLen + blk._2.length > buf.length) {
+        compact()
+        while (bufLen + blk._2.length > buf.length)
+          buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      }
+      blkStart += bufLen
+      blkEnd += bufLen + blk._2.length
+      blkComp += blk._1
+      System.arraycopy(blk._2, 0, buf, bufLen, blk._2.length)
+      bufLen += blk._2.length
+      true
+    }
+
+    /** Drop whole blocks wholly before the block containing `p` (block-
+      * aligned so offset→block mapping stays exact).
+      */
+    private def compact(): Unit = {
+      var drop = 0
+      while (drop < blkStart.length && blkEnd(drop) <= p) drop += 1
+      if (drop > 0) {
+        val shift = blkStart(drop)
+        System.arraycopy(buf, shift, buf, 0, bufLen - shift)
+        bufLen -= shift
+        p -= shift
+        blkStart.remove(0, drop); blkEnd.remove(0, drop); blkComp.remove(0, drop)
+        for (i <- blkStart.indices) { blkStart(i) -= shift; blkEnd(i) -= shift }
+      }
+    }
+
+    private def i32(o: Int): Int = (buf(o) & 0xff) | ((buf(o + 1) & 0xff) << 8) |
+      ((buf(o + 2) & 0xff) << 16) | ((buf(o + 3) & 0xff) << 24)
+
+    /** Compressed offset of the block containing buffer offset `q`. */
+    private def compOf(q: Int): Long = {
+      var i = blkStart.length - 1
+      while (i >= 0 && blkStart(i) > q) i -= 1
+      blkComp(i)
+    }
+
+    /** Field-plausibility check for a record start at `q`, chained
+      * `depth` records deep (names must be printable ASCII + NUL, sizes
+      * self-consistent, next record must validate too) — the standard
+      * split-guess validation, strong enough that a false positive
+      * inside spilled record bytes is vanishingly unlikely.
+      */
+    private def validAt(q: Int, depth: Int): Boolean = {
+      while (bufLen < q + 36 && pull()) {}
+      if (bufLen < q + 36) return false
+      val bs = i32(q)
+      if (bs < 32 || bs > MaxRecordBytes) return false
+      val refID = i32(q + 4)
+      if (refID < -1 || refID >= refs.length) return false
+      val pos = i32(q + 8)
+      if (pos < -1 || pos >= (1 << 29)) return false
+      val lName = buf(q + 12) & 0xff
+      if (lName < 2) return false
+      val nCigar = (buf(q + 16) & 0xff) | ((buf(q + 17) & 0xff) << 8)
+      val lSeq = i32(q + 20)
+      if (lSeq < 0 || lSeq > MaxRecordBytes) return false
+      if (32 + lName + 4L * nCigar + (lSeq + 1) / 2 + lSeq > bs) return false
+      while (bufLen < q + 36 + lName && pull()) {}
+      if (bufLen < q + 36 + lName) return false
+      var i = 0
+      while (i < lName - 1) {
+        val c = buf(q + 36 + i) & 0xff
+        if (c < 33 || c > 126) return false
+        i += 1
+      }
+      if (buf(q + 36 + lName - 1) != 0) return false
+      if (depth == 0) return true
+      val nxt = q + 4 + bs
+      while (bufLen < nxt + 4 && pull()) {}
+      if (bufLen == nxt) return true // clean EOF boundary
+      if (bufLen < nxt + 4) return false
+      validAt(nxt, depth - 1)
+    }
+
+    private def guessFirstRecord(): Int = {
+      var q = 0
+      while (q < bufLen || pull()) {
+        if (q < bufLen) {
+          if (compOf(q) >= rangeEnd) return -1 // first record start is beyond us
+          if (validAt(q, depth = 2)) return q
+          q += 1
+        }
+      }
+      -1
+    }
+
+    private def advance(): Unit = {
+      nextRec = null
+      if (closed) return
+      while (p >= bufLen && pull()) {}
+      if (p >= bufLen) { finish(); return }
+      if (compOf(p) >= rangeEnd) { finish(); return } // next range's record
+      while (bufLen < p + 4 && pull()) {}
+      if (bufLen < p + 4) { finish(); return }
+      val bs = i32(p)
+      while (bufLen < p + 4 + bs) {
+        if (!pull()) { finish(); throw new IllegalStateException(
+          s"truncated BAM record at decompressed offset $p (block ${compOf(p)})") }
+      }
+      val bb = ByteBuffer.wrap(buf, p, 4 + bs).order(ByteOrder.LITTLE_ENDIAN)
+      nextRec = decodeOneRecord(bb, refs)
+      p += 4 + bs
+      if (p > (1 << 21)) compact()
     }
   }
 

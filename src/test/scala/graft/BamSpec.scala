@@ -81,4 +81,51 @@ class BamSpec extends AnyFunSuite {
     assert(mapped.getAs[Int]("start") == 42)
     assert(mapped.getAs[String]("cigar") == "5M3S")
   }
+
+  private def bigBamFixture(n: Int): String = {
+    import spark.implicits._
+    // 600-base reads → records span the writer's 60 KiB BGZF chunking,
+    // so split alignment must cope with records crossing block borders.
+    val rng = new scala.util.Random(7)
+    val rows = (0 until n).map { i =>
+      val bases = Array.fill(600)("ACGT" (rng.nextInt(4))).mkString
+      val quals = Array.fill(600)(('!' + 2 + rng.nextInt(40)).toChar).mkString
+      (f"read_$i%06d", if (i % 3 == 0) 0 else 4,
+        if (i % 3 == 0) "chr1" else "*", if (i % 3 == 0) i + 1 else 0,
+        if (i % 3 == 0) 60 else 0, if (i % 3 == 0) "600M" else "*",
+        bases, quals)
+    }.toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
+      "bases", "quality")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bam_split").toString
+    Bam.write(rows.coalesce(1), s"$dir/bam", refs = Seq(("chr1", 10000000)))
+    dir
+  }
+
+  test("splittable read over >=2 splits is bit-identical to the whole-file read") {
+    val dir = bigBamFixture(800)
+    val cols = Seq("readName", "flag", "referenceName", "start", "mapq",
+      "cigar", "bases", "quality")
+    val whole = Bam.read(spark, s"$dir/bam")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    val bamFile = new java.io.File(s"$dir/bam").listFiles()
+      .filter(_.getName.endsWith(".bam")).head
+    assert(bamFile.length() > 3 * 65536, "fixture must span several BGZF blocks")
+    // 64 KiB splits (the minimum) force many ranges: mid-block cuts,
+    // ranges with no block start, header-range and guesser paths all hit.
+    val split = Bam.readSplittable(spark, bamFile.getAbsolutePath, splitBytes = 1 << 16)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(split.size == whole.size)
+    assert(split == whole) // same records in the same order = bit-identical
+  }
+
+  test("splittable read via a directory path and a coarse split matches too") {
+    val dir = bigBamFixture(120)
+    val cols = Seq("readName", "flag", "referenceName", "start", "mapq",
+      "cigar", "bases", "quality")
+    val whole = Bam.read(spark, s"$dir/bam")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    val split = Bam.readSplittable(spark, s"$dir/bam", splitBytes = 1 << 20)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(split == whole)
+  }
 }
