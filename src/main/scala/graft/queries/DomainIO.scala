@@ -237,6 +237,67 @@ object DomainIO {
         f.getItem(12).cast("int").as("staxid"))
       Pipeline.taxonomyFilter(hits, Seq(1, 2, 4))
         .filter(col("pident") > 55.0)
+    },
+
+    // S7+F12+P4: FASTA files scanned WHOLE (one row per file, empty
+    // files pruned), repartitioned so each file feeds ITS OWN forked
+    // process (the per-file pipe model, HMMSearch.java:82-163), hits
+    // parsed back and checked against the parquet-derived oracle.
+    "q79_wholefile_pipe" -> { (s, d) =>
+      import s.implicits._
+      val contigs = Tables.part(s, d).select(
+        concat_ws("", lit("P"), col("p_partkey")).as("id"),
+        translate(regexp_replace(upper(col("p_name")), "[^A-Z]", ""),
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+          "ACGTACGTACGTACGTACGTACGTAC").as("sequence"))
+        .filter(length(col("sequence")) > 0)
+      val dir = tmp(d, "wfpipe")
+      Fasta.write(contigs.repartition(4), dir) // several whole files
+      val files = graft.io.WholeFiles.readText(s, dir) // S7 + F12 pruning
+        .repartition(4, col("path")) // one pipe process per file
+      val lines = files
+        .select(explode(split(col("content"), "\n")).as("line"))
+        .filter(length(col("line")) > 0)
+        .as[String]
+      val f = split(col("value"), " ")
+      graft.pipe.Pipes.hmmsearch(s, lines).toDF("value").select(
+        f.getItem(0).as("id"),
+        f.getItem(5).cast("int").as("seq_len"))
+    },
+
+    // S5 write side under oracle test: members PACKED in-task into real
+    // .zip / .tar containers (alternating — both codecs exercised, the
+    // tar with bsdtar-style space-padded size fields), expanded back by
+    // expandArchives, every member digest-checked.
+    "q80_archive_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      val dir = tmp(d, "arch")
+      val root = new java.io.File(dir)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (root.exists()) rm(root)
+      root.mkdirs()
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("long"), col("text"))
+        .repartition(8)
+        .as[(Long, String)]
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          val entries = it.map { case (id, t) =>
+            (s"doc_$id.txt", t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }.toVector
+          if (entries.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val (name, bytes) =
+              if (pid % 2 == 0) (f"members-$pid%03d.zip", graft.io.WholeFiles.zipBytes(entries))
+              else (f"members-$pid%03d.tar", graft.io.WholeFiles.tarBytes(entries))
+            val fo = new java.io.FileOutputStream(new java.io.File(dir, name))
+            try fo.write(bytes) finally fo.close()
+          }
+        }
+      graft.io.WholeFiles.expandArchives(s, dir)
+        .select(col("entry"), md5(col("content")).as("content_md5"))
     }
   )
 
@@ -337,6 +398,13 @@ object DomainIO {
                 CAST(len % 7 AS INTEGER) AS staxid
          FROM contigs
          WHERE (len % 7) IN (1, 2, 4)
-           AND 50.0 + CAST(len % 50 AS DOUBLE) > 55.0"""
+           AND 50.0 + CAST(len % 50 AS DOUBLE) > 55.0""",
+    "q79_wholefile_pipe" ->
+      """SELECT 'P' || p_partkey AS id,
+              CAST(length(regexp_replace(upper(p_name), '[^A-Z]', '', 'g')) AS INTEGER) AS seq_len
+         FROM part
+         WHERE length(regexp_replace(upper(p_name), '[^A-Z]', '', 'g')) > 0""",
+    "q80_archive_roundtrip" ->
+      "SELECT 'doc_' || doc_id || '.txt' AS entry, md5(text) AS content_md5 FROM documents"
   )
 }
