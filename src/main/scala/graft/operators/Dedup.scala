@@ -276,11 +276,7 @@ object Dedup {
     // per branch, so it is deliberately NOT checkpointed (the r2 `ex`
     // checkpoint was a full extra materialization of the big table).
     val sh = shingledDocs(docs, idCol, textCol, shingleN).localCheckpoint()
-    // ONE hash exchange on sh serves the whole query: the df aggregation
-    // runs on top of it without its own shuffle, and the self-join's two
-    // sides are the identical partitioned subtree (ReusedExchange).
     val ex0 = sh.select(col("id"), explode(col("shs")).as("sh"))
-      .repartition(col("sh"))
     val dropped = ex0.groupBy("sh")
       .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
       .select("sh")
@@ -293,9 +289,10 @@ object Dedup {
       .select(col("id"),
         (col("n0") - coalesce(col("nd"), lit(0))).cast("long").as("n"))
 
-    // SHUFFLE_HASH: both sides are already partitioned on sh, so a hash
-    // join skips the two sort passes SMJ would add; per-partition build
-    // size is bounded by the df cap.
+    // Self-join sides are the identical subtree, so the sh exchange is
+    // planned once and reused (ReusedExchange); SHUFFLE_HASH skips the
+    // two sort passes SMJ would add — per-partition build size is
+    // bounded by the df cap, so the hash table is always safe.
     val overlap = ex.as("a").hint("SHUFFLE_HASH")
       .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))

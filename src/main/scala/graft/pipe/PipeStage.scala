@@ -109,6 +109,57 @@ final case class PipeStage(cmd: Seq[String], env: Map[String, String] = Map.empt
   */
 object Pipes {
 
+  /** Typed argv builder for REAL blastn, reproducing the reference's
+    * command line and defaults verbatim (BlastN.java:69-82 builds
+    * `-word_size 11 -gapopen 0 -gapextend 2 -penalty -1 -reward 1
+    * -max_target_seqs 10 -evalue 0.001`, task `megablast` switching to
+    * the shorter form at BlastN.java:112-115; virapipe.sh:21-25 runs it
+    * with `-num_threads 12`). `outfmt` defaults to the 13-column
+    * `6 std staxids` contract [[blastn]]'s parser expects. Pass the
+    * result as `cmd = Some(...)` to [[blastn]] to drive the real tool.
+    */
+  def blastnCmd(db: String, task: String = "blastn", bin: String = "blastn",
+                numThreads: Int = 1, wordSize: Int = 11, gapOpen: Int = 0,
+                gapExtend: Int = 2, penalty: Int = -1, reward: Int = 1,
+                maxTargetSeqs: Int = 10, evalue: Double = 0.001,
+                showGis: Boolean = false,
+                outfmt: String = "6 std staxids"): Seq[String] = {
+    val base = Seq(bin, "-db", db, "-num_threads", numThreads.toString)
+    val mid =
+      if (task.equalsIgnoreCase("megablast"))
+        Seq("-task", "megablast", "-word_size", wordSize.toString)
+      else
+        Seq("-word_size", wordSize.toString, "-gapopen", gapOpen.toString,
+          "-gapextend", gapExtend.toString, "-penalty", penalty.toString,
+          "-reward", reward.toString)
+    base ++ mid ++
+      Seq("-max_target_seqs", maxTargetSeqs.toString, "-evalue", evalue.toString) ++
+      (if (showGis) Seq("-show_gis") else Nil) ++
+      Seq("-outfmt", outfmt)
+  }
+
+  /** Typed argv builder for REAL MegaHit (Assemble.java:121 builds
+    * `megahit -t<t> -m<m> --12 /dev/stdin -o <dir>`; `-r` replaces
+    * `--12` for single-end, Assemble.java:74; defaults t=1, m=0.9,
+    * Assemble.java:77-78).
+    */
+  def megahitCmd(outDir: String = "/tmp/megahit_out", threads: Int = 1,
+                 memFraction: Double = 0.9, single: Boolean = false,
+                 bin: String = "megahit"): Seq[String] =
+    Seq(bin, s"-t$threads", s"-m$memFraction",
+      if (single) "-r" else "--12", "/dev/stdin", "-o", outDir)
+
+  /** Typed argv builder for REAL hmmsearch (HMMSearch.java:95 builds
+    * `hmmsearch --noali --cpu <t> -o <out> --tblout <table> <db>
+    * /dev/stdin`; default t=1, HMMSearch.java:64).
+    */
+  def hmmsearchCmd(db: String, out: String = "/dev/null",
+                   tblout: String = "/dev/stdout", cpu: Int = 1,
+                   noali: Boolean = true,
+                   bin: String = "hmmsearch"): Seq[String] =
+    Seq(bin) ++ (if (noali) Seq("--noali") else Nil) ++
+      Seq("--cpu", cpu.toString, "-o", out, "--tblout", tblout, db, "/dev/stdin")
+
   /** P1 `align_bwa`: interleaved FASTQ lines in → SAM lines out
     * (AlignInterleavedMulti.java:73-150). Default command is a
     * deterministic mock: each 4-line record becomes one SAM line, flag

@@ -67,6 +67,29 @@ class IoSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("Fastq.readSplittable: tiny splits cutting mid-record, hostile quality lines") {
+    // Quality lines that START with '@' and '+' — the probe must never
+    // take one for a record boundary; varied lengths force splits to cut
+    // records at every position.
+    val rng = new scala.util.Random(11)
+    val recs = (0 until 400).map { i =>
+      val n = 8 + rng.nextInt(40)
+      val seq = Array.fill(n)("ACGT" (rng.nextInt(4))).mkString
+      val qual = (if (i % 3 == 0) "@" else if (i % 3 == 1) "+" else "I") +
+        Array.fill(n - 1)(('!' + 1 + rng.nextInt(40)).toChar).mkString
+      s"@R$i:${i % 7} 1:N:0:AC\n$seq\n+\n$qual\n"
+    }.mkString
+    val dir = writeFixture("fq_split", recs)
+    val whole = Fastq.read(spark, dir)
+      .select("key", "sequence", "quality").collect().map(_.toSeq).toSeq
+    for (split <- Seq(256L, 1021L, 4096L)) {
+      val sp = Fastq.readSplittable(spark, dir, splitBytes = split)
+        .select("key", "sequence", "quality").collect().map(_.toSeq).toSeq
+      assert(sp.size == whole.size, s"split=$split")
+      assert(sp == whole, s"split=$split") // same records, same order
+    }
+  }
+
   private val fastaFixture =
     """>k141_1 flag=1 multi=2.0000 len=24
       |ACGTACGTACGT

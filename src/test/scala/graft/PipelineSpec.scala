@@ -98,4 +98,30 @@ class PipelineSpec extends AnyFunSuite {
     val all = messages(e).mkString("\n")
     assert(all.contains("exited 3") && all.contains("boom"), all)
   }
+
+  test("typed tool builders reproduce the reference default command lines") {
+    import graft.pipe.Pipes
+    // BlastN.java:69-82 defaults; blastn (non-megablast) long form :115
+    assert(Pipes.blastnCmd(db = "/database/blast/nt") == Seq(
+      "blastn", "-db", "/database/blast/nt", "-num_threads", "1",
+      "-word_size", "11", "-gapopen", "0", "-gapextend", "2",
+      "-penalty", "-1", "-reward", "1", "-max_target_seqs", "10",
+      "-evalue", "0.001", "-outfmt", "6 std staxids"))
+    // megablast short form (BlastN.java:113) at virapipe.sh thread count
+    assert(Pipes.blastnCmd(db = "/database/blast/hg", task = "megablast",
+      numThreads = 12) == Seq(
+      "blastn", "-db", "/database/blast/hg", "-num_threads", "12",
+      "-task", "megablast", "-word_size", "11", "-max_target_seqs", "10",
+      "-evalue", "0.001", "-outfmt", "6 std staxids"))
+    // Assemble.java:121 paired default; :74 single-end switch
+    assert(Pipes.megahitCmd(outDir = "/tmp/mh") == Seq(
+      "megahit", "-t1", "-m0.9", "--12", "/dev/stdin", "-o", "/tmp/mh"))
+    assert(Pipes.megahitCmd(outDir = "/tmp/mh", single = true,
+      threads = 10).take(4) == Seq("megahit", "-t10", "-m0.9", "-r"))
+    // HMMSearch.java:95 shape
+    assert(Pipes.hmmsearchCmd(db = "/database/hmmer/vFam-B_2014.hmm") == Seq(
+      "hmmsearch", "--noali", "--cpu", "1", "-o", "/dev/null",
+      "--tblout", "/dev/stdout", "/database/hmmer/vFam-B_2014.hmm",
+      "/dev/stdin"))
+  }
 }
