@@ -55,16 +55,27 @@ object Genomic {
         .filter(col("cnt") > 5 && col("cnt") < 500)
     },
 
-    // X6: mean of raw ASCII bytes (quality-score analog) via aggregate HOF.
+    // X6: mean code point (quality-score analog) via aggregate HOF. The
+    // fixture corpus is pure ASCII, so both engines PLANT a non-ASCII
+    // tail (2- and 3-byte UTF-8 chars) — code-point parity under
+    // multi-byte input is verified, not assumed.
     "q22_avg_ascii" -> { (s, d) =>
       Tables.documents(s, d)
         .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" é☃€"),
+            (col("doc_id") % 10).cast("string")).as("text"))
         .select(col("doc_id"), round(F.avgQualityCol(col("text")), 4).as("avg_q"))
     },
 
-    // X7: low-quality-count analog — chars below 'f' (code 102).
+    // X7: low-quality-count analog — chars below 'f' (code 102). Same
+    // planted non-ASCII tail as q22: multi-byte chars sit above any
+    // sane ASCII threshold and must count 0 in both engines.
     "q23_low_char_count" -> { (s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" é☃€"),
+            (col("doc_id") % 10).cast("string")).as("text"))
         .select(col("doc_id"),
           F.lowQualityCountCol(col("text"), 102).as("n_low"))
     },
@@ -205,14 +216,17 @@ object Genomic {
          SELECT substr(text, CAST(i AS INTEGER), 5) AS kmer, count(*) AS cnt
          FROM ex GROUP BY 1 HAVING count(*) > 5 AND count(*) < 500""",
     "q22_avg_ascii" ->
-      """SELECT doc_id,
-         round(CAST(list_sum(list_transform(split(text, ''), c -> ascii(c))) AS DOUBLE)
+      """WITH t AS (SELECT doc_id, text || ' é☃€' || (doc_id % 10) AS text
+                    FROM documents WHERE length(text) > 0)
+         SELECT doc_id,
+         round(CAST(list_sum(list_transform(split(text, ''), c -> unicode(c))) AS DOUBLE)
                / length(text), 4) AS avg_q
-         FROM documents WHERE length(text) > 0""",
+         FROM t""",
     "q23_low_char_count" ->
-      """SELECT doc_id,
-         CAST(list_sum(list_transform(split(text, ''), c -> CASE WHEN ascii(c) < 102 THEN 1 ELSE 0 END)) AS INTEGER) AS n_low
-         FROM documents""",
+      """WITH t AS (SELECT doc_id, text || ' é☃€' || (doc_id % 10) AS text FROM documents)
+         SELECT doc_id,
+         CAST(list_sum(list_transform(split(text, ''), c -> CASE WHEN unicode(c) < 102 THEN 1 ELSE 0 END)) AS INTEGER) AS n_low
+         FROM t""",
     "q24_translate_dna" ->
       s"""WITH d AS ($dnaSql),
           ex AS (SELECT doc_id, dna, unnest(generate_series(1, length(dna)-2, 3)) AS i

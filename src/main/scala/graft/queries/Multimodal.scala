@@ -31,8 +31,16 @@ object Multimodal {
     // Stubbed decode + feature extraction over the binary column in
     // per-partition batches (mapPartitions — the Scala analog of
     // mapInPandas batch processing). Features recomputable from text.
+    // Both engines PLANT a non-ASCII tail (2- and 3-byte UTF-8 chars):
+    // the engine sums RAW UTF-8 BYTES, and the oracle reconstructs the
+    // same byte sum from code points — byte semantics under multi-byte
+    // input is verified, not an ASCII-only assumption.
     "q61_media_features" -> { (s, d) =>
-      val media = graft.operators.Multimodal.asMedia(Tables.documents(s, d))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          concat(col("text"), lit(" é☃€"),
+            (col("doc_id") % 10).cast("string")).as("text"))
+      val media = graft.operators.Multimodal.asMedia(docs)
       graft.operators.Multimodal.extractFeatures(media)
         .select(col("doc_id"),
           col("n_bytes"),
@@ -86,17 +94,21 @@ object Multimodal {
                 CAST(length(substr(text, CAST(fi * 256 + 1 AS INTEGER), 256)) AS INTEGER) AS n_bytes,
                 md5(substr(text, CAST(fi * 256 + 1 AS INTEGER), 256)) AS frame_md5
          FROM f WHERE fi % 3 = 0""",
-    // mean_byte parity caveat: the engine averages RAW UTF-8 bytes while
-    // this oracle averages per-character code points — identical only
-    // because the documents fixture is pure ASCII (1 byte == 1 char ==
-    // 1 code point; TESTDATA.md). A non-ASCII corpus would need a
-    // byte-iterating oracle instead.
+    // BYTE-true oracle: the engine sums raw UTF-8 bytes, so the oracle
+    // reconstructs each character's UTF-8 byte sum from its code point
+    // (1/2/3/4-byte encodings) — with the planted multi-byte tail this
+    // fails loudly if either side silently mixes chars and bytes.
     "q61_media_features" ->
-      """SELECT doc_id,
-              CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
-              round(CAST(list_sum(list_transform(split(text, ''), c -> ascii(c))) AS DOUBLE)
-                    / greatest(length(text), 1), 4) AS mean_byte,
-              CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS INTEGER) AS n_frames
-         FROM documents"""
+      """WITH t AS (SELECT doc_id, text || ' é☃€' || (doc_id % 10) AS text FROM documents)
+         SELECT doc_id,
+              CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+              round(CAST(list_sum(list_transform(split(text, ''), c ->
+                  CASE WHEN unicode(c) < 128 THEN unicode(c)
+                       WHEN unicode(c) < 2048 THEN 320 + unicode(c) // 64 + unicode(c) % 64
+                       WHEN unicode(c) < 65536 THEN 480 + unicode(c) // 4096 + (unicode(c) // 64) % 64 + unicode(c) % 64
+                       ELSE 624 + unicode(c) // 262144 + (unicode(c) // 4096) % 64 + (unicode(c) // 64) % 64 + unicode(c) % 64 END)) AS DOUBLE)
+                    / greatest(octet_length(encode(text)), 1), 4) AS mean_byte,
+              CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER) AS n_frames
+         FROM t"""
   )
 }
