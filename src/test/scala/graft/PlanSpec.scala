@@ -67,6 +67,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("q35: candidate self-join is a shuffled hash join, never a sort-merge or cartesian") {
+    val plan = planOf("q35_ngram_jaccard")
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("q36: the cosine kernel is the native dot expression, not the HOF") {
     val plan = planOf("q36_cosine_topk")
     assert(plan.contains("dot_native"), plan.take(1200))
