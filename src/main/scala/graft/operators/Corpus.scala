@@ -32,6 +32,57 @@ object Corpus {
     (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % 100) < pct
 
+  /** Benchmark decontamination: flag corpus documents that share any
+    * word n-gram with an evaluation/benchmark set — the standard
+    * pre-training hygiene pass (eval text leaking into training data
+    * inflates benchmark scores).
+    *
+    * Scale shape: benchmark sets are SMALL relative to the corpus (MBs
+    * of eval text vs TBs of training text), so the benchmark's distinct
+    * shingle set is collected once and BROADCAST; the corpus side is
+    * then ONE typed narrow pass — tokenize, shingle, probe the
+    * in-memory hash set — with no join and no aggregation shuffle over
+    * the corpus (the only exchange is the parallelism repartition every
+    * typed pass here pays). Short documents (< n tokens) are kept with
+    * n_hits = 0. Output: (doc_id, n_hits = DISTINCT contaminated
+    * shingles, contaminated).
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    shingleN: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val benchSet: Set[String] = bench
+      .select(col(benchTextCol).as("text")).as[String]
+      .flatMap { text =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < shingleN) Iterator.empty
+        else (0 to toks.length - shingleN).iterator
+          .map(i => toks.slice(i, i + shingleN).mkString(" "))
+      }.distinct().collect().toSet
+    val bc = spark.sparkContext.broadcast(benchSet)
+    docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val set = bc.value
+        it.map { case (id, text) =>
+          val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+          var hits = 0
+          if (toks.length >= shingleN) {
+            val seen = new java.util.HashSet[String]()
+            var i = 0
+            while (i <= toks.length - shingleN) {
+              val s = toks.slice(i, i + shingleN).mkString(" ")
+              if (seen.add(s) && set.contains(s)) hits += 1
+              i += 1
+            }
+          }
+          (id, hits, hits > 0)
+        }
+      }.toDF("doc_id", "n_hits", "contaminated")
+  }
+
   /** Top-k terms per document by tf·idf (idf = ln(N/df)), deterministic:
     * ties on the rounded score break by term. Output:
     * (doc_id, term, tf, tfidf, rank).

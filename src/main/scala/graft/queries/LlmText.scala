@@ -291,6 +291,18 @@ object LlmText {
         .curate(Tables.documents(s, d), "doc_id", "text",
           minQuality = 0.3, langs = Seq("en"), nearDupThreshold = 0.5)
         .select("doc_id", "n_chars")
+    },
+
+    // Benchmark decontamination: every 50th document stands in for the
+    // eval set; docs sharing any word 5-gram with it are flagged (the
+    // eval docs flag themselves; planted near-dups of them flag too).
+    // Broadcast shingle set + one narrow corpus pass — no corpus join.
+    "q81_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Corpus.decontaminate(
+        docs, "doc_id", "text",
+        bench = docs.filter(col("doc_id") % 50 === 0), benchTextCol = "text",
+        shingleN = 5)
     }
   )
 
@@ -578,6 +590,19 @@ object LlmText {
                   (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
                    greatest(length(text), 1)) * 0.2,
                   4) AS quality
-          FROM t"""
+          FROM t""",
+    // shinglesSql is list_distinct, so count(*) over the join counts
+    // DISTINCT contaminated shingles — the engine's seen-set twin.
+    "q81_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          s AS (SELECT doc_id, ${shinglesSql(5)} AS shs FROM t),
+          bsh AS (SELECT DISTINCT unnest(shs) AS sh FROM s WHERE doc_id % 50 = 0),
+          ex AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+          h AS (SELECT ex.doc_id, count(*) AS n
+                FROM ex JOIN bsh USING (sh) GROUP BY ex.doc_id)
+          SELECT s.doc_id,
+                 CAST(coalesce(h.n, 0) AS INTEGER) AS n_hits,
+                 coalesce(h.n, 0) > 0 AS contaminated
+          FROM s LEFT JOIN h ON s.doc_id = h.doc_id"""
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Corpus, Dedup, Similarity}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -56,6 +56,32 @@ class DedupSpec extends AnyFunSuite {
     val cc = Dedup.connectedComponents(chain)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cc.length == 12 && cc.forall(_._2 == 1L))
+  }
+
+  test("decontaminate flags docs sharing an n-gram with the bench set, keeps short docs") {
+    val bench = {
+      import spark.implicits._
+      Seq("a quick brown fox jumps across the field").toDF("text")
+    }
+    val r = Corpus.decontaminate(corpus, "doc_id", "text", bench, "text", shingleN = 5)
+      .collect().map(x => (x.getLong(0), (x.getInt(1), x.getBoolean(2)))).toMap
+    assert(r.size == 5) // every doc present, including the 2-token one
+    // docs 1/2/4 share "quick brown fox jumps over"? NO — bench has
+    // "fox jumps across", so only 5-grams fully inside the shared span
+    // "quick brown fox jumps" (4 tokens) — too short. Shared 5-gram:
+    // none... use the actual overlap: "a quick brown fox jumps" is not
+    // in the docs ("the quick..."). So expect zero hits everywhere.
+    assert(r.values.forall(_ == (0, false)))
+    val bench2 = {
+      import spark.implicits._
+      Seq("notice the quick brown fox jumps over the lazy dog today").toDF("text")
+    }
+    val r2 = Corpus.decontaminate(corpus, "doc_id", "text", bench2, "text", shingleN = 5)
+      .collect().map(x => (x.getLong(0), (x.getInt(1), x.getBoolean(2)))).toMap
+    // "the quick brown fox jumps" ... "fox jumps over the lazy" ...
+    // 5-gram windows of the shared 9-token span: 5 distinct hits
+    assert(r2(1L) == (5, true) && r2(2L) == (5, true) && r2(4L) == (5, true))
+    assert(r2(3L) == (0, false) && r2(5L) == (0, false))
   }
 
   test("kmeansAssign separates two obvious clusters") {
