@@ -303,6 +303,28 @@ object LlmText {
         docs, "doc_id", "text",
         bench = docs.filter(col("doc_id") % 50 === 0), benchTextCol = "text",
         shingleN = 5)
+    },
+
+    // MEASURED ANN recall ("measure, don't guess"): top-3 recall of the
+    // single-probe and multi-probe LSH variants against the exact
+    // brute-force baseline, as one oracle-checked number per method —
+    // the documented single-probe recall caveat and the multi-probe fix
+    // become quantified, cross-engine-verified facts.
+    "q82_ann_recall" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(e, e, 3)
+        .select("query_id", "neighbor_id").localCheckpoint()
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      def row(ann: DataFrame, method: String): DataFrame =
+        ann.select("query_id", "neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(nExact)
+          .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
+      row(Similarity.bucketedAnnTopK(e, 3, bits = 4), "bucket")
+        .unionByName(row(Similarity.multiProbeAnnTopK(e, 3, bits = 4), "multiprobe"))
     }
   )
 
@@ -603,6 +625,46 @@ object LlmText {
           SELECT s.doc_id,
                  CAST(coalesce(h.n, 0) AS INTEGER) AS n_hits,
                  coalesce(h.n, 0) > 0 AS contaminated
-          FROM s LEFT JOIN h ON s.doc_id = h.doc_id"""
+          FROM s LEFT JOIN h ON s.doc_id = h.doc_id""",
+    "q82_ann_recall" -> {
+      val bits = 4
+      val bucket = "concat(" + (1 to bits).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
+      val flips = (1 to bits).map { i =>
+        s"""SELECT vec_id, concat(substr(bucket, 1, ${i - 1}),
+              CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END,
+              substr(bucket, ${i + 1}, ${bits - i})) AS probe FROM v"""
+      }.mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm,
+               $bucket AS bucket
+             FROM embeddings),
+          pe AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos
+                 FROM v q JOIN v c ON q.vec_id != c.vec_id),
+          exact AS (SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rn FROM pe) WHERE rn <= 3),
+          pb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos
+                 FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id != c.vec_id),
+          bk AS (SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rn FROM pb) WHERE rn <= 3),
+          probes AS (SELECT vec_id, bucket AS probe FROM v UNION ALL $flips),
+          pm AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos
+                 FROM v q JOIN probes pr ON pr.vec_id = q.vec_id
+                      JOIN v c ON pr.probe = c.bucket AND q.vec_id != c.vec_id),
+          mp AS (SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rn FROM pm) WHERE rn <= 3),
+          ne AS (SELECT count(*) AS n_exact FROM exact),
+          hb AS (SELECT count(*) AS n_hit FROM bk JOIN exact USING (query_id, neighbor_id)),
+          hm AS (SELECT count(*) AS n_hit FROM mp JOIN exact USING (query_id, neighbor_id))
+          SELECT 'bucket' AS method, ne.n_exact, hb.n_hit,
+                 round(hb.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hb, ne
+          UNION ALL
+          SELECT 'multiprobe' AS method, ne.n_exact, hm.n_hit,
+                 round(hm.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hm, ne"""
+    }
   )
 }
