@@ -210,9 +210,14 @@ object Dedup {
         .join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // pointer jump: lbl ← lbl(lbl) — equi join, halves remaining depth
+      // pointer jump: lbl ← lbl(lbl), an equi join that roughly doubles
+      // propagation reach per round. The jump table is the ROUND-START
+      // labels (already checkpointed — re-read from cached blocks), not
+      // `stepped`: jumping through `stepped` would recompute the
+      // neighbor-min join for the second branch, and lbl_old(y) ≤ y
+      // preserves the min-reachable invariant just the same.
       labels = stepped.as("x")
-        .join(stepped.select(col("id").as("jid"), col("lbl").as("jlbl")),
+        .join(labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
           col("x.lbl") === col("jid"), "left")
         .select(col("x.id").as("id"),
           least(col("x.lbl"), coalesce(col("jlbl"), col("x.lbl"))).as("lbl"))
