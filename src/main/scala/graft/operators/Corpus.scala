@@ -83,6 +83,35 @@ object Corpus {
       }.toDF("doc_id", "n_hits", "contaminated")
   }
 
+  /** Context-window chunking: split each document into fixed-size token
+    * windows with overlap — the preparation step before pretraining
+    * packing or RAG indexing. Boundaries are deterministic (chunk i
+    * covers tokens [i·step, i·step+chunkTokens), step = chunk − overlap;
+    * the final chunk may be shorter, empty docs yield no chunks), so a
+    * second engine reproduces them exactly. Entirely NARROW — tokenize,
+    * explode the per-doc chunk index range, slice — no shuffle at any
+    * scale; all expressions are codegen'd built-ins.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int = 128, overlapTokens: Int = 16): DataFrame = {
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunk, got $overlapTokens/$chunkTokens")
+    val step = chunkTokens - overlapTokens
+    docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        ceil(greatest(col("n") - overlapTokens, lit(1)).cast("double") / step).cast("int"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * step + 1, lit(chunkTokens)).as("carr"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("carr")).as("n_tokens"),
+        md5(concat_ws(" ", col("carr"))).as("chunk_md5"))
+  }
+
   /** Top-k terms per document by tf·idf (idf = ln(N/df)), deterministic:
     * ties on the rounded score break by term. Output:
     * (doc_id, term, tf, tfidf, rank).

@@ -325,6 +325,14 @@ object LlmText {
             round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
       row(Similarity.bucketedAnnTopK(e, 3, bits = 4), "bucket")
         .unionByName(row(Similarity.multiProbeAnnTopK(e, 3, bits = 4), "multiprobe"))
+    },
+
+    // Context-window chunking: 64-token windows with 8-token overlap,
+    // per-chunk token count + digest — deterministic boundaries both
+    // engines must reproduce (the pretraining-packing / RAG prep step).
+    "q83_chunking" -> { (s, d) =>
+      graft.operators.Corpus.chunk(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 8)
     }
   )
 
@@ -665,6 +673,23 @@ object LlmText {
           UNION ALL
           SELECT 'multiprobe' AS method, ne.n_exact, hm.n_hit,
                  round(hm.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hm, ne"""
-    }
+    },
+    // chunk i covers tokens [i*56, i*56+64); DuckDB list slicing is
+    // 1-based inclusive and clamps at the list end, matching Spark's
+    // slice(toks, start+1, 64).
+    "q83_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+          c AS (SELECT doc_id, toks,
+                  unnest(generate_series(0,
+                    CAST(ceil(greatest(n - 8, 1) / 56.0) AS BIGINT) - 1)) AS ci
+                FROM n),
+          s AS (SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+                  toks[ci*56 + 1 : ci*56 + 64] AS carr
+                FROM c)
+          SELECT doc_id, chunk_idx,
+                 CAST(len(carr) AS INTEGER) AS n_tokens,
+                 md5(array_to_string(carr, ' ')) AS chunk_md5
+          FROM s"""
   )
 }
