@@ -70,11 +70,25 @@ object Bam {
     * sources are drop-in interchangeable.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
+    val files = scala.util.Try(listBams(spark, path)).getOrElse(Seq.empty)
+    val (big, small) = files.partition(_._2 > SplitRouteBytes)
+    if (big.isEmpty)
+      return readWhole(spark, Seq(path), glob = true)
+    // MIXED routing: only the oversized files pay the splittable path
+    // (and its one driver-side header parse per file); the rest keep
+    // one-task-per-file semantics. A 10k-file corpus with one jumbo BAM
+    // does not header-parse 10k files on the driver.
+    val bigDf = big.map(f => readSplittable(spark, f._1)).reduce(_ unionByName _)
+    if (small.isEmpty) bigDf
+    else bigDf.unionByName(readWhole(spark, small.map(_._1), glob = false))
+  }
+
+  private def readWhole(spark: SparkSession, paths: Seq[String],
+                        glob: Boolean): DataFrame = {
     import spark.implicits._
-    if (anyFileOver(spark, path, SplitRouteBytes))
-      return readSplittable(spark, path)
-    val raw = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.bam").load(path)
+    val reader = spark.read.format("binaryFile")
+    val raw = (if (glob) reader.option("pathGlobFilter", "*.bam") else reader)
+      .load(paths: _*)
       .select("content").as[Array[Byte]]
     val rows = raw.flatMap(parseBam)
       .toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
@@ -102,9 +116,6 @@ object Bam {
     files.filter(_.getLen > 0).map(s => (s.getPath.toString, s.getLen))
       .sortBy(_._1)
   }
-
-  private def anyFileOver(spark: SparkSession, path: String, bytes: Long): Boolean =
-    scala.util.Try(listBams(spark, path).exists(_._2 > bytes)).getOrElse(false)
 
   /** Decode one whole BAM file (BGZF → uncompressed BAM → records).
     * Exposed for spec-fixture tests.
@@ -214,7 +225,7 @@ object Bam {
       (0L until len by splitBytes).map(s => (p, s, math.min(s + splitBytes, len)))
     }
     val confBc = spark.sparkContext.broadcast(
-      new ConfCarrier(spark.sparkContext.hadoopConfiguration))
+      new HadoopConfCarrier(spark.sparkContext.hadoopConfiguration))
     val metaBc = spark.sparkContext.broadcast(metas)
     val rows = spark.sparkContext
       .parallelize(ranges, math.max(1, ranges.size))
@@ -259,6 +270,12 @@ object Bam {
     private var offset = startOffset
     private var seeked = false
     private val inflater = new java.util.zip.Inflater(true)
+
+    /** Release the inflater's native zlib state deterministically —
+      * thousands of range tasks would otherwise only free it at GC
+      * finalization.
+      */
+    def close(): Unit = inflater.end()
 
     def next(): (Long, Array[Byte]) = {
       if (offset + 28 > fileLen) return null // nothing smaller than the EOF block fits
@@ -308,8 +325,8 @@ object Bam {
       : (IndexedSeq[String], Long, Int) = {
     val len = fs.getFileStatus(path).getLen
     val in = fs.open(path)
+    val cursor = new BgzfCursor(in, 0, len)
     try {
-      val cursor = new BgzfCursor(in, 0, len)
       var data = new Array[Byte](0)
       val starts = scala.collection.mutable.ArrayBuffer[(Int, Int, Long)]() // (bufStart, bufEnd, comp)
       def need(n: Int): Boolean = {
@@ -346,7 +363,7 @@ object Bam {
       if (!need(p + 1)) return (refs, Long.MaxValue, 0) // record-less BAM
       val blk = starts.find(s => s._1 <= p && p < s._2).get
       (refs, blk._3, p - blk._1)
-    } finally in.close()
+    } finally { cursor.close(); in.close() }
   }
 
   /** First compressed offset in [s, e) that starts a BGZF block, found by
@@ -442,7 +459,7 @@ object Bam {
 
     private def finish(): Unit = {
       nextRec = null
-      if (!closed) { closed = true; in.close() }
+      if (!closed) { closed = true; cursor.close(); in.close() }
     }
 
     private def pull(): Boolean = {
@@ -545,7 +562,13 @@ object Bam {
       if (p >= bufLen) { finish(); return }
       if (compOf(p) >= rangeEnd) { finish(); return } // next range's record
       while (bufLen < p + 4 && pull()) {}
-      if (bufLen < p + 4) { finish(); return }
+      if (bufLen < p + 4) {
+        // 1-3 stray bytes after the last record: truncation, not clean
+        // EOF — report it like any other mid-record cut would be.
+        finish()
+        throw new IllegalStateException(
+          s"truncated BAM: ${bufLen - p} dangling bytes after the last record")
+      }
       val bs = i32(p)
       while (bufLen < p + 4 + bs) {
         if (!pull()) { finish(); throw new IllegalStateException(
@@ -574,7 +597,7 @@ object Bam {
     fs.mkdirs(hPath)
     val refsBc = spark.sparkContext.broadcast(refs)
     val confBc = spark.sparkContext.broadcast(
-      new ConfCarrier(spark.sparkContext.hadoopConfiguration))
+      new HadoopConfCarrier(spark.sparkContext.hadoopConfiguration))
 
     df.select(col("readName"), col("flag").cast("int"),
         coalesce(col("referenceName"), lit("*")).as("referenceName"),
@@ -601,12 +624,12 @@ object Bam {
           head.put(nb).put(0.toByte)
           head.putInt(l)
         }
-        out.write(bgzfBlock(head.array(), 0, head.array().length))
-        // Records are a BYTE stream chunked into ≤60 KiB uncompressed
-        // BGZF payloads INDEPENDENT of record boundaries (BAM records may
-        // legally span blocks, spec §4.1) — a single long-read record can
-        // exceed any per-record batch, and BSIZE is uint16, so flushing on
-        // record boundaries could overflow a block. 60 KiB + worst-case
+        // Header AND records are one BYTE stream chunked into ≤60 KiB
+        // uncompressed BGZF payloads INDEPENDENT of logical boundaries
+        // (both the header and records may legally span blocks, spec
+        // §4.1) — a many-reference header or a single long-read record
+        // can exceed any one block, and BSIZE is uint16, so flushing on
+        // logical boundaries could overflow a block. 60 KiB + worst-case
         // deflate expansion + 26 bytes framing stays safely under 65536.
         val chunk = 60 * 1024
         val batch = new java.io.ByteArrayOutputStream()
@@ -623,6 +646,8 @@ object Bam {
             batch.reset()
             if (off < bytes.length) batch.write(bytes, off, bytes.length - off)
           }
+        batch.write(head.array())
+        drain(force = false)
         rows.forEachRemaining { r =>
           batch.write(encodeRecord(localRefs, r.getString(0), r.getInt(1),
             r.getString(2), r.getInt(3), r.getInt(4), r.getString(5),
@@ -642,23 +667,6 @@ object Bam {
       }
   }
 
-  /** Serializable carrier for the driver's hadoopConfiguration (the
-    * Hadoop `Configuration` class itself is not `Serializable`).
-    */
-  private class ConfCarrier(@transient conf: org.apache.hadoop.conf.Configuration)
-      extends Serializable {
-    private val entries: Array[(String, String)] = {
-      val it = conf.iterator()
-      val b = Array.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
-    def toConf: org.apache.hadoop.conf.Configuration = {
-      val c = new org.apache.hadoop.conf.Configuration(false)
-      entries.foreach { case (k, v) => c.set(k, v) }
-      c
-    }
-  }
 
   /** One gzip member with the BGZF BC extra subfield (spec §4.1.1). */
   private def bgzfBlock(payload: Array[Byte], off: Int, len: Int): Array[Byte] = {

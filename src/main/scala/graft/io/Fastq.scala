@@ -138,19 +138,12 @@ object Fastq {
     val ranges = files.flatMap { case (p, len) =>
       (0L until len by splitBytes).map(s => (p, s, math.min(s + splitBytes, len)))
     }
-    val confMap = spark.sparkContext.hadoopConfiguration
-    val confBc = spark.sparkContext.broadcast {
-      val it = confMap.iterator()
-      val b = Array.newBuilder[(String, String)]
-      while (it.hasNext) { val en = it.next(); b += (en.getKey -> en.getValue) }
-      b.result()
-    }
+    val confBc = spark.sparkContext.broadcast(
+      new HadoopConfCarrier(spark.sparkContext.hadoopConfiguration))
     val raw = spark.sparkContext
       .parallelize(ranges, math.max(1, ranges.size))
       .flatMap { case (p, s, e) =>
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        confBc.value.foreach { case (k, v) => conf.set(k, v) }
-        decodeFastqRange(conf, p, s, e)
+        decodeFastqRange(confBc.value.toConf, p, s, e)
       }
       .toDF("key", "sequence", "quality")
     project(raw)

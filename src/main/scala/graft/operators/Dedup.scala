@@ -296,8 +296,11 @@ object Dedup {
 
     // Self-join sides are the identical subtree, so the sh exchange is
     // planned once and reused (ReusedExchange); SHUFFLE_HASH skips the
-    // two sort passes SMJ would add — per-partition build size is
-    // bounded by the df cap, so the hash table is always safe.
+    // two sort passes SMJ would add. The build side is one partition of
+    // ex held in memory: the df cap bounds per-KEY skew, and overall
+    // partition volume is governed by shuffle.partitions — the standard
+    // SHJ sizing rule (raise partitions at larger corpora; SMJ would
+    // spill instead but pays the sorts).
     val overlap = ex.as("a").hint("SHUFFLE_HASH")
       .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))

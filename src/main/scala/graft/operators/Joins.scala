@@ -123,12 +123,19 @@ object Joins {
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
-    // Salt from a hash of the ROW's columns, not monotonically_increasing_id:
-    // the latter changes across task retries (harmless for correctness —
-    // every salt matches the exploded build side — but retry-unstable and
-    // opaque). Hashing all columns spreads even single-key hot spots.
+    // Salt = hash(hashable row columns, monotonically_increasing_id):
+    // the id term spreads even byte-identical duplicate rows (the
+    // classic hot-key shape — content-only hashing would send them all
+    // to ONE salt and defeat the salting), the column terms decorrelate
+    // adjacent ids, and the whole thing is deterministic for a
+    // deterministic input plan (mii is a pure function of partition id
+    // and row position). Map-typed columns are skipped — hash() rejects
+    // them.
+    val hashable = skewed.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
     val salted = skewed.withColumn("_salt",
-      pmod(hash(skewed.columns.map(col).toSeq: _*), lit(saltFactor)))
+      pmod(hash((hashable :+ monotonically_increasing_id()): _*), lit(saltFactor)))
     val exploded = other.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(exploded, Seq(key, "_salt")).drop("_salt")
