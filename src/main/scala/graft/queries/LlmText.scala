@@ -325,6 +325,8 @@ object LlmText {
             round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
       row(Similarity.bucketedAnnTopK(e, 3, bits = 4), "bucket")
         .unionByName(row(Similarity.multiProbeAnnTopK(e, 3, bits = 4), "multiprobe"))
+        .unionByName(row(Similarity.multiTableAnnTopK(e, 3, bits = 4,
+          tables = 16), "multitable"))
     },
 
     // Context-window chunking: 64-token windows with 8-token overlap,
@@ -636,8 +638,15 @@ object LlmText {
           FROM s LEFT JOIN h ON s.doc_id = h.doc_id""",
     "q82_ann_recall" -> {
       val bits = 4
+      val tables = 16
       val bucket = "concat(" + (1 to bits).map(i =>
         s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
+      // multi-table keys: table t reads dims [t*bits+1, (t+1)*bits]
+      val tkeys = "[" + (0 until tables).map { t =>
+        s"('$t:' || " + (1 to bits).map(i =>
+          s"(CASE WHEN e[${t * bits + i}] >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ") + ")"
+      }.mkString(", ") + "]"
       val flips = (1 to bits).map { i =>
         s"""SELECT vec_id, concat(substr(bucket, 1, ${i - 1}),
               CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END,
@@ -665,14 +674,27 @@ object LlmText {
           mp AS (SELECT query_id, neighbor_id FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY cos DESC, neighbor_id) AS rn FROM pm) WHERE rn <= 3),
+          tk AS (SELECT vec_id, unnest($tkeys) AS tkey FROM v),
+          tc AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+                 FROM tk a JOIN tk b ON a.tkey = b.tkey AND a.vec_id != b.vec_id),
+          pt AS (SELECT query_id, neighbor_id, $cosSql AS cos
+                 FROM tc JOIN v q ON tc.query_id = q.vec_id
+                         JOIN v c ON tc.neighbor_id = c.vec_id),
+          mt AS (SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rn FROM pt) WHERE rn <= 3),
           ne AS (SELECT count(*) AS n_exact FROM exact),
           hb AS (SELECT count(*) AS n_hit FROM bk JOIN exact USING (query_id, neighbor_id)),
-          hm AS (SELECT count(*) AS n_hit FROM mp JOIN exact USING (query_id, neighbor_id))
+          hm AS (SELECT count(*) AS n_hit FROM mp JOIN exact USING (query_id, neighbor_id)),
+          ht AS (SELECT count(*) AS n_hit FROM mt JOIN exact USING (query_id, neighbor_id))
           SELECT 'bucket' AS method, ne.n_exact, hb.n_hit,
                  round(hb.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hb, ne
           UNION ALL
           SELECT 'multiprobe' AS method, ne.n_exact, hm.n_hit,
-                 round(hm.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hm, ne"""
+                 round(hm.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hm, ne
+          UNION ALL
+          SELECT 'multitable' AS method, ne.n_exact, ht.n_hit,
+                 round(ht.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM ht, ne"""
     },
     // chunk i covers tokens [i*56, i*56+64); DuckDB list slicing is
     // 1-based inclusive and clamps at the list end, matching Spark's

@@ -158,6 +158,35 @@ class DedupSpec extends AnyFunSuite {
     assert(multi.toSet == Set((1L, 2L), (2L, 1L))) // Hamming-1 probe finds it
   }
 
+  test("multiTableAnnTopK finds a neighbor invisible to every probe of table 0") {
+    import spark.implicits._
+    // 8 dims, 2 tables of 4 bits. The pair agrees on dims 5-8 (table 1)
+    // but differs in sign on ALL of dims 1-4 (table 0) — Hamming distance
+    // 4, beyond any multi-probe of the single table; only an independent
+    // second table can pair them.
+    val vecs = Seq(
+      (1L, Array(0.1f, 0.1f, 0.1f, 0.1f, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(-0.1f, -0.1f, -0.1f, -0.1f, 0.9f, 1.1f, 0.9f, 1.1f))
+    ).toDF("id", "embedding")
+    assert(Similarity.multiProbeAnnTopK(vecs, 3, bits = 4).count() == 0)
+    val multi = Similarity.multiTableAnnTopK(vecs, 3, bits = 4, tables = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(multi.toSet == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("multiTableAnnTopK scores a multiply-colliding pair exactly once") {
+    import spark.implicits._
+    // identical sign patterns in both tables → the pair collides twice;
+    // the distinct() must collapse it to ONE scored candidate per direction
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(0.9f, 0.9f, 0.9f, 0.9f, 0.9f, 0.9f, 0.9f, 0.9f))
+    ).toDF("id", "embedding")
+    val out = Similarity.multiTableAnnTopK(vecs, 3, bits = 4, tables = 2).collect()
+    assert(out.length == 2) // one row per direction, not per collision
+    assert(out.forall(_.getAs[Double]("cos") > 0.99))
+  }
+
   test("redact replaces URLs and emails with placeholder tags") {
     import spark.implicits._
     import graft.functions.TextFunctions

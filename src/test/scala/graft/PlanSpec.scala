@@ -49,6 +49,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("multi-table ANN: candidate + scoring joins are equi joins, never cartesian") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val plan = graft.operators.Similarity.multiTableAnnTopK(e, 3, bits = 4, tables = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("q68: TF-IDF corpus size joins as a broadcast, term join stays equi") {
     val plan = planOf("q68_tfidf")
     // the 1-row N aggregate must broadcast, not shuffle
