@@ -2,8 +2,11 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Corpus-level term statistics for training-data curation.
   *
@@ -39,44 +42,52 @@ object Corpus {
     *
     * Scale shape: benchmark sets are SMALL relative to the corpus (MBs
     * of eval text vs TBs of training text), so the benchmark's distinct
-    * shingle set is collected once and BROADCAST; the corpus side is
-    * then ONE typed narrow pass — tokenize, shingle, probe the
-    * in-memory hash set — with no join and no aggregation shuffle over
-    * the corpus (the only exchange is the parallelism repartition every
-    * typed pass here pays). Short documents (< n tokens) are kept with
-    * n_hits = 0. Output: (doc_id, n_hits = DISTINCT contaminated
-    * shingles, contaminated).
+    * shingles are collected once as 64-bit XXH64 HASHES — not strings —
+    * and BROADCAST as one sorted `Array[Long]`: 8 bytes per shingle
+    * (~10× less driver/executor memory than the string form; a 100 MB
+    * eval suite with ~20M distinct 5-gram shingles broadcasts as
+    * ~160 MB of strings but only 16 MB of hashes, well under broadcast
+    * limits), probed by binary search with zero boxing. The corpus side
+    * is then ONE typed narrow pass — tokenize, shingle, hash, probe —
+    * with no join and no aggregation shuffle over the corpus (the only
+    * exchange is the parallelism repartition every typed pass here
+    * pays). An XXH64 collision would flag a clean shingle spuriously
+    * (P ≈ n²/2⁶⁵ — at 20M bench shingles ~1e-5, and the cost is one
+    * extra flagged doc, the safe direction for decontamination). Short
+    * documents (< n tokens) are kept with n_hits = 0. Output: (doc_id,
+    * n_hits = DISTINCT contaminated shingles, contaminated). The DuckDB
+    * oracle joins on shingle STRINGS — output equality across the two
+    * representations is itself verified per round (q81).
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,
                     shingleN: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val benchSet: Set[String] = bench
+    def shingleHashes(text: String): Iterator[Long] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < shingleN) Iterator.empty
+      else (0 to toks.length - shingleN).iterator.map { i =>
+        val s = UTF8String.fromString(toks.slice(i, i + shingleN).mkString(" "))
+        XxHash64Function.hash(s, StringType, 42L)
+      }
+    }
+    val benchHashes: Array[Long] = bench
       .select(col(benchTextCol).as("text")).as[String]
-      .flatMap { text =>
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-        if (toks.length < shingleN) Iterator.empty
-        else (0 to toks.length - shingleN).iterator
-          .map(i => toks.slice(i, i + shingleN).mkString(" "))
-      }.distinct().collect().toSet
-    val bc = spark.sparkContext.broadcast(benchSet)
+      .flatMap(shingleHashes)
+      .distinct().collect().sorted
+    val bc = spark.sparkContext.broadcast(benchHashes)
     docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
-        val set = bc.value
+        val sorted = bc.value
         it.map { case (id, text) =>
-          val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+          val seen = new java.util.HashSet[java.lang.Long]()
           var hits = 0
-          if (toks.length >= shingleN) {
-            val seen = new java.util.HashSet[String]()
-            var i = 0
-            while (i <= toks.length - shingleN) {
-              val s = toks.slice(i, i + shingleN).mkString(" ")
-              if (seen.add(s) && set.contains(s)) hits += 1
-              i += 1
-            }
+          shingleHashes(text).foreach { h =>
+            if (java.util.Arrays.binarySearch(sorted, h) >= 0 && seen.add(h))
+              hits += 1
           }
           (id, hits, hits > 0)
         }
