@@ -217,7 +217,8 @@ object Similarity {
     * hash aggregation with map-side partial means, whose final output is
     * just k×dim rows.
     */
-  def kmeansAssign(vectors: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+  def kmeansAssign(vectors: DataFrame, k: Int, iters: Int = 2,
+                   litMaxK: Int = 64): DataFrame = {
     val v = withNorm(vectors).localCheckpoint()
 
     // Narrow per-row argmax over driver-held centroids: each centroid
@@ -225,15 +226,30 @@ object Similarity {
     // lexicographic, so array_max picks the greatest ROUNDED cosine and
     // breaks ties toward the smaller centroid id — matching the oracle's
     // row_number(ORDER BY rc DESC, cid) exactly. No Exchange anywhere.
-    def assign(cent: Array[(Long, Array[Double], Double)]): DataFrame = {
-      val scored = cent.map { case (cid, ce, cnorm) =>
-        struct(
-          round(dotN(col("embedding"), typedlit(ce.toSeq)) /
-            (col("norm") * lit(cnorm)), 4).as("rc"),
-          lit(-cid).as("negcid"), lit(cid).as("cid"))
+    //
+    // Above `litMaxK` centroids the k inline literal expressions would
+    // blow past the codegen 64 KB method limit, so the identical argmax
+    // runs as ONE native expression (cosine_argmax_native) holding the
+    // whole centroid table as three foldable literals — still a narrow
+    // zero-Exchange map (the plan, centroids included, rides Spark's
+    // task-binary broadcast), bit-for-bit the literal path's rounding
+    // and tie-break (DedupSpec pins equality of the two paths).
+    def assign(cent: Array[(Long, Array[Double], Double)]): DataFrame =
+      if (cent.length <= litMaxK) {
+        val scored = cent.map { case (cid, ce, cnorm) =>
+          struct(
+            round(dotN(col("embedding"), typedlit(ce.toSeq)) /
+              (col("norm") * lit(cnorm)), 4).as("rc"),
+            lit(-cid).as("negcid"), lit(cid).as("cid"))
+        }
+        v.withColumn("cluster", array_max(array(scored.toSeq: _*)).getField("cid"))
+      } else {
+        v.withColumn("cluster", call_function("cosine_argmax_native",
+          col("embedding"), col("norm"),
+          typedlit(cent.map(_._1).toSeq),
+          typedlit(cent.map(_._2.toSeq).toSeq),
+          typedlit(cent.map(_._3).toSeq)))
       }
-      v.withColumn("cluster", array_max(array(scored.toSeq: _*)).getField("cid"))
-    }
 
     var cent: Array[(Long, Array[Double], Double)] = v.filter(col("id") < k)
       .select(col("id"), col("embedding").cast("array<double>"), col("norm"))

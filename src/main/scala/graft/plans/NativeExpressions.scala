@@ -185,6 +185,16 @@ object NativeVec {
     }
     java.lang.Double.valueOf(acc)
   }
+
+  /** HALF_UP rounding to 4 dp through the decimal string representation
+    * — the exact semantics of Spark's `round(x, 4)` on doubles
+    * (`Round` evaluates `BigDecimal.valueOf(x).setScale(4, HALF_UP)`),
+    * so kernels using this agree bit-for-bit with the SQL formulation.
+    */
+  def round4(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 }
 
 /** Native dot product over two array<float|double> columns.
@@ -240,6 +250,128 @@ case class DotProductExpression(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Driver-precomputed centroid table for [[CosineArgmaxExpression]]:
+  * one plain JVM object handed to generated code via `addReferenceObj`,
+  * so the generated method is O(1) in k — the literal-baked per-centroid
+  * argmax (k inline struct/round/dot expressions) blows past javac's
+  * 64 KB method limit around k ≈ 10²-10³, exactly the range an IVF
+  * coarse quantizer trains at. Rides the task-binary broadcast: Spark
+  * serializes the plan (centroid literals included) once per stage and
+  * broadcasts it, so executors receive the k×dim matrix once, not per
+  * task.
+  */
+final class CosineArgmaxKernel(ids: Array[Long], vecs: Array[Array[Double]],
+    norms: Array[Double], embIsFloat: Boolean) extends Serializable {
+
+  /** Argmax of round(cos, 4) with ties toward the smaller centroid id —
+    * replicating the literal path's `array_max` over
+    * `struct(rc, -cid, cid)` bit for bit (same cast-then-multiply dot
+    * order, same HALF_UP rounding). A dim-mismatched centroid scores
+    * null there and loses to any real score; all-null falls back to the
+    * smallest centroid id, as lexicographic max of (null, -cid) does.
+    */
+  def apply(e: org.apache.spark.sql.catalyst.util.ArrayData,
+            norm: Double): Long = {
+    val nDim = e.numElements()
+    var best = Double.NaN
+    var bestId = Long.MaxValue
+    var found = false
+    var ci = 0
+    while (ci < ids.length) {
+      val c = vecs(ci)
+      if (c.length == nDim) {
+        var acc = 0.0
+        var i = 0
+        while (i < nDim) {
+          val x = if (embIsFloat) e.getFloat(i).toDouble else e.getDouble(i)
+          acc += x * c(i)
+          i += 1
+        }
+        val rc = NativeVec.round4(acc / (norm * norms(ci)))
+        if (!found || rc > best || (rc == best && ids(ci) < bestId)) {
+          best = rc; bestId = ids(ci); found = true
+        }
+      }
+      ci += 1
+    }
+    if (found) bestId else ids.min
+  }
+}
+
+/** Narrow per-row cosine argmax over a driver-held centroid table —
+  * the large-k twin of the literal-baked k-means assignment (see
+  * [[graft.operators.Similarity.kmeansAssign]]). Children 3-5 must be
+  * FOLDABLE (centroid ids, vectors, norms as literals): they are
+  * evaluated once on the driver into a [[CosineArgmaxKernel]].
+  */
+case class CosineArgmaxExpression(emb: Expression, norm: Expression,
+    cids: Expression, cvecs: Expression, cnorms: Expression)
+    extends Expression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def children: Seq[Expression] = Seq(emb, norm, cids, cvecs, cnorms)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_argmax_native"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val embOk = emb.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (!embOk || norm.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        "cosine_argmax_native requires (ARRAY<FLOAT|DOUBLE>, DOUBLE, ...)")
+    else if (!(cids.foldable && cvecs.foldable && cnorms.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        "cosine_argmax_native centroid arguments must be literals")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val kernel: CosineArgmaxKernel = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val idArr = cids.eval(null).asInstanceOf[ArrayData].toLongArray()
+    val vecArr = cvecs.eval(null).asInstanceOf[ArrayData].toObjectArray(
+      ArrayType(DoubleType)).map(_.asInstanceOf[ArrayData].toDoubleArray())
+    val normArr = cnorms.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    require(idArr.length == vecArr.length && idArr.length == normArr.length,
+      s"centroid table arity mismatch: ${idArr.length}/${vecArr.length}/${normArr.length}")
+    val isFloat = emb.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    new CosineArgmaxKernel(idArr, vecArr, normArr, isFloat)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val e = emb.eval(input)
+    val n = norm.eval(input)
+    if (e == null || n == null) null
+    else kernel(e.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val kRef = ctx.addReferenceObj("argmaxKernel", kernel,
+      classOf[CosineArgmaxKernel].getName)
+    val embCode = emb.genCode(ctx)
+    val normCode = norm.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${embCode.code}
+        ${normCode.code}
+        boolean ${ev.isNull} = ${embCode.isNull} || ${normCode.isNull};
+        long ${ev.value} = -1L;
+        if (!${ev.isNull}) {
+          ${ev.value} = $kRef.apply(${embCode.value}, ${normCode.value});
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(emb = newChildren(0), norm = newChildren(1), cids = newChildren(2),
+      cvecs = newChildren(3), cnorms = newChildren(4))
+}
+
 /** Registration: both an extensions class (for
   * `SparkSession.builder.withExtensions(new GraftExtensions)`) and a
   * runtime registry hook for already-built sessions.
@@ -250,7 +382,9 @@ object NativeFunctions {
     "translate_dna_native" -> (exprs => TranslateDnaExpression(exprs.head)),
     "kmers_native" -> (exprs => KmerGenerator(exprs(0), exprs(1))),
     "dot_native" -> (exprs => DotProductExpression(exprs(0), exprs(1))),
-    "nfc_native" -> (exprs => NfcNormalizeExpression(exprs.head)))
+    "nfc_native" -> (exprs => NfcNormalizeExpression(exprs.head)),
+    "cosine_argmax_native" -> (exprs =>
+      CosineArgmaxExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>
@@ -276,5 +410,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("nfc_native"),
       new ExpressionInfo(classOf[NfcNormalizeExpression].getName, "nfc_native"),
       (exprs: Seq[Expression]) => NfcNormalizeExpression(exprs.head)))
+    e.injectFunction((FunctionIdentifier("cosine_argmax_native"),
+      new ExpressionInfo(classOf[CosineArgmaxExpression].getName, "cosine_argmax_native"),
+      (exprs: Seq[Expression]) =>
+        CosineArgmaxExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))))
   }
 }

@@ -187,6 +187,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Double]("cos") > 0.99))
   }
 
+  test("kmeansAssign broadcast-kernel path matches the literal path bit for bit") {
+    import spark.implicits._
+    // deterministic pseudo-random 3-dim vectors (never all-zero in range)
+    val vecs = (0L until 40L).map { i =>
+      (i, Array((i * 37 % 17 - 8).toFloat, (i * 53 % 19 - 9).toFloat,
+        (i * 71 % 23 - 11).toFloat))
+    }.toDF("id", "embedding")
+    def run(litMaxK: Int) =
+      Similarity.kmeansAssign(vecs, k = 10, iters = 2, litMaxK = litMaxK)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // litMaxK=1 forces every assignment through cosine_argmax_native
+    assert(run(64) == run(1))
+  }
+
+  test("kmeansAssign runs at k=256, past the literal codegen cap") {
+    import spark.implicits._
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 97) % 29 - 14).toFloat))
+    }.toDF("id", "embedding")
+    val out = Similarity.kmeansAssign(vecs, k = 256, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 300)
+    assert(out.forall { case (_, c) => c >= 0 && c < 256 }) // seeds are ids 0..255
+  }
+
   test("redact replaces URLs and emails with placeholder tags") {
     import spark.implicits._
     import graft.functions.TextFunctions

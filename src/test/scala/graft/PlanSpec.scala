@@ -77,6 +77,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("large-k k-means assignment stays narrow: one native argmax, no Exchange/Join") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val plan = graft.operators.Similarity.kmeansAssign(e, k = 100, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_argmax_native"), plan.take(1200))
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
   test("q35: candidate self-join is a shuffled hash join, never a sort-merge or cartesian") {
     val plan = planOf("q35_ngram_jaccard")
     assert(plan.contains("ShuffledHashJoin"), plan.take(1200))
