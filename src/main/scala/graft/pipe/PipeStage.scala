@@ -39,67 +39,80 @@ final case class PipeStage(cmd: Seq[String], env: Map[String, String] = Map.empt
     import input.sparkSession.implicits._
     val command = cmd
     val extraEnv = env
-    input.mapPartitions { records =>
-      if (records.isEmpty) Iterator.empty
-      else {
-        val pb = new ProcessBuilder(command: _*)
-        extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
-        pb.redirectErrorStream(false)
-        val proc = pb.start()
-
-        val writer = new Thread(() => {
-          val w = new BufferedWriter(new OutputStreamWriter(
-            proc.getOutputStream, StandardCharsets.UTF_8))
-          try records.foreach { r => w.write(r); w.newLine() }
-          finally w.close()
-        })
-        writer.setDaemon(true)
-        writer.start()
-
-        // Drain stderr concurrently (tools log progress there; an
-        // undrained pipe deadlocks the child) keeping only a tail for
-        // the failure message.
-        val errTail = new java.util.concurrent.atomic.AtomicReference[String]("")
-        val errDrainer = new Thread(() => {
-          val e = new BufferedReader(new InputStreamReader(
-            proc.getErrorStream, StandardCharsets.UTF_8))
-          val tail = new scala.collection.mutable.ArrayDeque[String]()
-          var line = e.readLine()
-          while (line != null) {
-            tail.append(line)
-            if (tail.length > 20) tail.removeHead()
-            line = e.readLine()
-          }
-          errTail.set(tail.mkString("\n"))
-        })
-        errDrainer.setDaemon(true)
-        errDrainer.start()
-
-        val out = new BufferedReader(new InputStreamReader(
-          proc.getInputStream, StandardCharsets.UTF_8))
-        // After stdout EOF, join the drainers and fail the task on a
-        // non-zero exit — a crashed tool must not pass off truncated
-        // stdout as a complete result.
-        Iterator.continually(out.readLine()).takeWhile(_ != null) ++
-          new Iterator[String] {
-            override def hasNext: Boolean = {
-              val code = proc.waitFor()
-              errDrainer.join(10000)
-              if (code != 0) throw new IllegalStateException(
-                s"pipe command '${command.mkString(" ")}' exited $code; " +
-                  s"stderr tail:\n${errTail.get()}")
-              false
-            }
-            override def next(): String = throw new NoSuchElementException
-          }
-      }
-    }
+    input.mapPartitions(records => PipeStage.pipeIterator(command, extraEnv, records))
   }
 
   /** Pipe a single-string-column DataFrame; returns one `value` column. */
   def runDf(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     run(df.select(col(df.columns.head)).as[String]).toDF("value")
+  }
+}
+
+object PipeStage {
+
+  /** Executor-side core of the pipe operator: fork `command`, feed
+    * `records` line-by-line from a writer thread, stream stdout back,
+    * drain stderr, and fail (never truncate) on a non-zero exit. Shared
+    * by the per-PARTITION path ([[PipeStage.run]]) and the per-GROUP
+    * path ([[Pipes.assembleMegahitGrouped]] — one process per
+    * `groupByKey` group, the reference's per-sample assembly shape).
+    */
+  def pipeIterator(command: Seq[String], extraEnv: Map[String, String],
+                   records: Iterator[String]): Iterator[String] = {
+    if (records.isEmpty) Iterator.empty
+    else {
+      val pb = new ProcessBuilder(command: _*)
+      extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+
+      val writer = new Thread(() => {
+        val w = new BufferedWriter(new OutputStreamWriter(
+          proc.getOutputStream, StandardCharsets.UTF_8))
+        try records.foreach { r => w.write(r); w.newLine() }
+        finally w.close()
+      })
+      writer.setDaemon(true)
+      writer.start()
+
+      // Drain stderr concurrently (tools log progress there; an
+      // undrained pipe deadlocks the child) keeping only a tail for
+      // the failure message.
+      val errTail = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val errDrainer = new Thread(() => {
+        val e = new BufferedReader(new InputStreamReader(
+          proc.getErrorStream, StandardCharsets.UTF_8))
+        val tail = new scala.collection.mutable.ArrayDeque[String]()
+        var line = e.readLine()
+        while (line != null) {
+          tail.append(line)
+          if (tail.length > 20) tail.removeHead()
+          line = e.readLine()
+        }
+        errTail.set(tail.mkString("\n"))
+      })
+      errDrainer.setDaemon(true)
+      errDrainer.start()
+
+      val out = new BufferedReader(new InputStreamReader(
+        proc.getInputStream, StandardCharsets.UTF_8))
+      // After stdout EOF, join the drainers and fail the task on a
+      // non-zero exit — a crashed tool must not pass off truncated
+      // stdout as a complete result.
+      Iterator.continually(out.readLine()).takeWhile(_ != null) ++
+        new Iterator[String] {
+          override def hasNext: Boolean = {
+            val code = proc.waitFor()
+            errDrainer.join(10000)
+            if (code != 0) throw new IllegalStateException(
+              s"pipe command '${command.mkString(" ")}' exited $code; " +
+                s"stderr tail:\n${errTail.get()}")
+            false
+          }
+          override def next(): String = throw new NoSuchElementException
+        }
+    }
   }
 }
 
@@ -185,6 +198,50 @@ object Pipes {
     val mock = Seq("awk",
       """/^>/ { n += 1; print ">contig_" n; next } { print }""")
     PipeStage(cmd.getOrElse(mock)).run(fasta)
+  }
+
+  /** P2 at the reference's actual granularity: one assembler process
+    * per SAMPLE group, not per partition (Assemble.java:106-177 runs
+    * megahit once per grouped read set and re-ingests that run's contig
+    * FASTA under the group's sample id). `reads(sampleCol, idCol,
+    * seqCol)` → (sample, contig_id, sequence): each group's reads are
+    * serialized to FASTA lines, streamed through its own forked process
+    * ([[PipeStage.pipeIterator]] — stdin fed from a writer thread,
+    * non-zero exit fails the task), and the emitted contig FASTA is
+    * parsed back with the group's sample attached.
+    *
+    * Scale shape: the `groupByKey` is ONE shuffle on the sample key —
+    * the same co-location the reference's `groupBy(sampleId)` pays —
+    * and groups stream through the child process without materializing
+    * (contig numbering is per-process, so downstream stats should be
+    * order-independent: counts, length sums, sequence-set digests).
+    * Skewed samples are the caller's to salt/split upstream.
+    */
+  def assembleMegahitGrouped(reads: DataFrame, sampleCol: String,
+                             idCol: String, seqCol: String,
+                             cmd: Option[Seq[String]] = None): DataFrame = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+    val mock = Seq("awk",
+      """/^>/ { n += 1; print ">contig_" n; next } { print }""")
+    val command = cmd.getOrElse(mock)
+    reads
+      .select(col(sampleCol).cast("string"), col(idCol).cast("string"),
+        col(seqCol).cast("string"))
+      .as[(String, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sample, group) =>
+        val fastaLines = group.flatMap { case (_, id, seq) =>
+          Iterator(s">$id", seq)
+        }
+        // one-line bodies in, header/body alternation out
+        var header: String = null
+        PipeStage.pipeIterator(command, Map.empty, fastaLines).flatMap { line =>
+          if (line.startsWith(">")) { header = line.substring(1); Iterator.empty }
+          else Iterator((sample, header, line))
+        }
+      }
+      .toDF("sample", "contig_id", "sequence")
   }
 
   /** P3 `blastn`: FASTA in → outfmt-6 TSV out (BlastN.java:104-145),

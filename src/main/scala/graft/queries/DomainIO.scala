@@ -265,6 +265,58 @@ object DomainIO {
         f.getItem(5).cast("int").as("seq_len"))
     },
 
+    // P1 under oracle test: interleaved FASTQ lines → BWA pipe
+    // (deterministic SAM-line mock) → SAM parse → flag-77/141
+    // both-unmapped keep → FASTQ re-emit with /1 · /2 mate suffixes —
+    // the reference's align contract end to end
+    // (AlignInterleavedMulti.java:114-149).
+    "q84_align_pipe" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val r1 = c.select(
+        concat_ws("", lit("c"), col("c_custkey"), lit("/1")).as("key"),
+        dnaOf(col("c_custkey")).as("sequence"),
+        qualOf(col("c_custkey")).as("quality"))
+      val r2 = c.select(
+        concat_ws("", lit("c"), col("c_custkey"), lit("/2")).as("key"),
+        graft.functions.DnaFunctions.revComp(dnaOf(col("c_custkey"))).as("sequence"),
+        qualOf(col("c_custkey")).as("quality"))
+      val fqLines = r1.unionByName(r2)
+        .select(concat(lit("@"), col("key"), lit("\n"), col("sequence"),
+          lit("\n+\n"), col("quality")).as("rec"))
+        .as[String].flatMap(_.split("\n"))
+      val f = split(col("value"), "\t")
+      graft.pipe.Pipes.alignBwa(s, fqLines).toDF("value").select(
+          f.getItem(0).as("name"),
+          f.getItem(1).cast("int").as("flag"),
+          f.getItem(9).as("sequence"),
+          f.getItem(10).as("quality"))
+        .filter(col("flag").isin(77, 141))
+        .select(
+          concat(col("name"),
+            when(col("flag") === 77, "/1").otherwise("/2")).as("key"),
+          col("sequence"), col("quality"))
+    },
+
+    // P2 under oracle test: per-sample grouped FASTA → ONE assembler
+    // process PER GROUP (Assemble.java:106-177's granularity) → contig
+    // FASTA re-ingest → order-independent per-sample stats (the mock
+    // assembler's contig numbering is per-process and order-dependent,
+    // so the oracle row aggregates counts, lengths, and a sorted
+    // sequence-digest set, none of which depend on numbering).
+    "q85_assemble_pipe" -> { (s, d) =>
+      val reads = Tables.customer(s, d).select(
+        concat_ws("", lit("s"), col("c_nationkey")).as("sample"),
+        concat_ws("", lit("c"), col("c_custkey")).as("id"),
+        dnaOf(col("c_custkey")).as("seq"))
+      graft.pipe.Pipes.assembleMegahitGrouped(reads, "sample", "id", "seq")
+        .groupBy("sample")
+        .agg(count(lit(1)).as("n_contigs"),
+          sum(length(col("sequence"))).cast("bigint").as("total_len"),
+          md5(concat_ws("",
+            array_sort(collect_list(md5(col("sequence")))))).as("seqs_md5"))
+    },
+
     // S5 write side under oracle test: members PACKED in-task into real
     // .zip / .tar containers (alternating — both codecs exercised, the
     // tar with bsdtar-style space-padded size fields), expanded back by
@@ -404,6 +456,26 @@ object DomainIO {
               CAST(length(regexp_replace(upper(p_name), '[^A-Z]', '', 'g')) AS INTEGER) AS seq_len
          FROM part
          WHERE length(regexp_replace(upper(p_name), '[^A-Z]', '', 'g')) > 0""",
+    "q84_align_pipe" ->
+      """SELECT 'c' || c_custkey || '/1' AS key,
+              translate(CAST(c_custkey AS VARCHAR), '0123456789', 'ACGTACGTAC') AS sequence,
+              translate(CAST(c_custkey AS VARCHAR), '0123456789', 'IJKLMNOPQH') AS quality
+         FROM customer
+         UNION ALL
+         SELECT 'c' || c_custkey || '/2',
+              reverse(translate(
+                translate(CAST(c_custkey AS VARCHAR), '0123456789', 'ACGTACGTAC'),
+                'ACGTacgt', 'TGCAtgca')),
+              translate(CAST(c_custkey AS VARCHAR), '0123456789', 'IJKLMNOPQH')
+         FROM customer""",
+    "q85_assemble_pipe" ->
+      """WITH r AS (SELECT 's' || c_nationkey AS sample,
+                  translate(CAST(c_custkey AS VARCHAR), '0123456789', 'ACGTACGTAC') AS seq
+             FROM customer)
+         SELECT sample, count(*) AS n_contigs,
+                CAST(sum(length(seq)) AS BIGINT) AS total_len,
+                md5(string_agg(md5(seq), '' ORDER BY md5(seq))) AS seqs_md5
+         FROM r GROUP BY sample""",
     "q80_archive_roundtrip" ->
       "SELECT 'doc_' || doc_id || '.txt' AS entry, md5(text) AS content_md5 FROM documents"
   )

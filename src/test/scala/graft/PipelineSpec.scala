@@ -99,6 +99,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(all.contains("exited 3") && all.contains("boom"), all)
   }
 
+  test("grouped assembly runs one process per sample: contig numbering restarts") {
+    import spark.implicits._
+    // 2 reads in sample sA, 1 in sB — per-group processes mean BOTH
+    // samples produce a contig_1 (a per-partition pipe would number
+    // straight through whenever groups share a partition).
+    val reads = Seq(
+      ("sA", "r1", seqA), ("sA", "r2", seqB), ("sB", "r3", seqA)
+    ).toDF("sample", "id", "seq")
+    val out = graft.pipe.Pipes
+      .assembleMegahitGrouped(reads, "sample", "id", "seq")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out.length == 3)
+    val bySample = out.groupBy(_._1)
+    assert(bySample("sA").map(_._2).sorted.toSeq == Seq("contig_1", "contig_2"))
+    assert(bySample("sB").map(_._2).toSeq == Seq("contig_1"))
+    // sequences pass through the mock assembler unchanged
+    assert(out.map(_._3).sorted.toSeq == Seq(seqA, seqA, seqB).sorted.toSeq)
+  }
+
   test("typed tool builders reproduce the reference default command lines") {
     import graft.pipe.Pipes
     // BlastN.java:69-82 defaults; blastn (non-megablast) long form :115
