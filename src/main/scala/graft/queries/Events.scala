@@ -15,6 +15,44 @@ import org.apache.spark.sql.functions._
 object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Batch/stream PARITY under the oracle (not just StreamingSpec):
+    // q40's windowed aggregation executed by Structured Streaming —
+    // file source → watermarked window agg → parquet file sink (append
+    // mode, Trigger.AvailableNow) → read back. Append mode only emits
+    // watermark-FINALIZED windows, so the staged input carries one
+    // __flush__ sentinel event 4h past max event time: the 2h-delay
+    // watermark then passes every real window while the sentinel's own
+    // window stays open and self-excludes. Oracle = q40's SQL, so the
+    // result set is proven identical across engines AND execution modes.
+    "q86_stream_parity" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"/tmp/graft_stream/${new java.io.File(d).getName}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val in = s"$base/in"
+      val out = s"$base/out"
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxTs + 4L * 3600L * 1000000000L).as("ts"),
+        lit(-1L).as("user_id"), lit("__flush__").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      raw.unionByName(sentinel).write.mode("overwrite").parquet(in)
+      val q = graft.streaming.EventStreams.windowedCounts(
+          graft.streaming.EventStreams.readEventStream(s, in))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).filter(col("event_type") =!= "__flush__")
+    },
+
     // Tumbling 1-hour window per event type (streaming `window()` analog).
     "q40_tumbling_window" -> { (s, d) =>
       Tables.events(s, d)
@@ -129,6 +167,12 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q40_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS win, event_type,
+              count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2""",
+    // q40's oracle verbatim: the streaming execution must reproduce the
+    // batch window aggregation exactly.
+    "q86_stream_parity" ->
       """SELECT date_trunc('hour', ts) AS win, event_type,
               count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2""",
