@@ -281,7 +281,15 @@ object Dedup {
     // per branch, so it is deliberately NOT checkpointed (the r2 `ex`
     // checkpoint was a full extra materialization of the big table).
     val sh = shingledDocs(docs, idCol, textCol, shingleN).localCheckpoint()
-    val ex0 = sh.select(col("id"), explode(col("shs")).as("sh"))
+    // Shingle strings become 64-bit XXH64 keys BEFORE any exchange: the
+    // df aggregation and the O(Σ df²) self-join then shuffle fixed-width
+    // (long, long) rows instead of ~30-byte strings — a constant-factor
+    // win on every exchange and hash probe in the plan's hot path. A
+    // collision merges two shingles into one key, perturbing one pair's
+    // overlap count by ±1 (P ≈ n²/2⁶⁵ over distinct shingles); the
+    // denominators stay exact (per-doc counts from the string sets).
+    val ex0 = sh.select(col("id"), explode(col("shs")).as("shStr"))
+      .select(col("id"), xxhash64(col("shStr")).as("sh"))
     val dropped = ex0.groupBy("sh")
       .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
       .select("sh")
