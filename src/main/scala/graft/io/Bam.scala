@@ -583,88 +583,124 @@ object Bam {
 
   // ---------- write ----------
 
-  /** Write a BAM file per partition, header (refs) replicated into each —
-    * the broadcast-header pattern (HDFSWriter.java:247-315). Expects the
+  /** Serialize one complete BAM byte stream: header (magic + SAM text +
+    * reference dictionary) then records, the whole stream chunked into
+    * ≤60 KiB uncompressed BGZF payloads INDEPENDENT of logical
+    * boundaries (header and records may legally span blocks, spec §4.1 —
+    * a many-reference header or one long-read record can exceed any
+    * single block, and BSIZE is uint16, so flushing on logical
+    * boundaries could overflow one). 60 KiB + worst-case deflate
+    * expansion + 26 bytes framing stays safely under 65536.
+    */
+  private def bamBytes(localRefs: Seq[(String, Int)],
+                       rows: Iterator[org.apache.spark.sql.Row]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val headerText = ("@HD\tVN:1.6\n" +
+      localRefs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString).getBytes(US_ASCII)
+    val head = ByteBuffer.allocate(12 + headerText.length +
+      localRefs.map(r => 8 + r._1.length + 1).sum).order(ByteOrder.LITTLE_ENDIAN)
+    head.put("BAM".getBytes(US_ASCII)).put(1.toByte)
+    head.putInt(headerText.length)
+    head.put(headerText)
+    head.putInt(localRefs.length)
+    localRefs.foreach { case (n, l) =>
+      val nb = n.getBytes(US_ASCII)
+      head.putInt(nb.length + 1)
+      head.put(nb).put(0.toByte)
+      head.putInt(l)
+    }
+    val chunk = 60 * 1024
+    val batch = new java.io.ByteArrayOutputStream()
+    def drain(force: Boolean): Unit =
+      if (batch.size() >= chunk || (force && batch.size() > 0)) {
+        val bytes = batch.toByteArray
+        var off = 0
+        while (bytes.length - off >= chunk) {
+          out.write(bgzfBlock(bytes, off, chunk)); off += chunk
+        }
+        if (force && bytes.length > off) {
+          out.write(bgzfBlock(bytes, off, bytes.length - off)); off = bytes.length
+        }
+        batch.reset()
+        if (off < bytes.length) batch.write(bytes, off, bytes.length - off)
+      }
+    batch.write(head.array())
+    drain(force = false)
+    rows.foreach { r =>
+      batch.write(encodeRecord(localRefs, r.getString(0), r.getInt(1),
+        r.getString(2), r.getInt(3), r.getInt(4), r.getString(5),
+        r.getString(6), r.getString(7)))
+      drain(force = false)
+    }
+    drain(force = true)
+    out.write(BgzfEof)
+    out.toByteArray
+  }
+
+  /** Write BAM output. Default: one BAM file per partition under `path`
+    * (a directory), header (refs) replicated into each — the
+    * broadcast-header pattern (HDFSWriter.java:247-315). Expects the
     * SAM-text sink's columns: readName, flag, referenceName, start, mapq,
     * cigar, bases, quality. `refs` = (name, length) per reference
     * sequence; records whose referenceName is absent write refID -1.
+    *
+    * `singleFile = true` writes `path` as ONE .bam file (the shape
+    * external single-file tools expect) and first VALIDATES + PATCHES
+    * the sequence dictionary against the data, as the reference's
+    * writer does per record (HDFSWriter.java:247-315): every reference
+    * name observed in the records joins the dictionary (provided-ref
+    * order preserved, observed-only names appended sorted), and each LN
+    * is raised to cover the furthest record end on it — so no record
+    * silently degrades to refID -1 and no LN undershoots its records.
+    * The final write is one task (`coalesce(1)`); use the default
+    * per-partition mode for anything too big to serialize through one
+    * writer.
     */
-  def write(df: DataFrame, path: String, refs: Seq[(String, Int)] = Nil): Unit = {
+  def write(df: DataFrame, path: String, refs: Seq[(String, Int)] = Nil,
+            singleFile: Boolean = false): Unit = {
     val spark = df.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(hPath)) fs.delete(hPath, true)
-    fs.mkdirs(hPath)
-    val refsBc = spark.sparkContext.broadcast(refs)
     val confBc = spark.sparkContext.broadcast(
       new HadoopConfCarrier(spark.sparkContext.hadoopConfiguration))
+    val proj = df.select(col("readName"), col("flag").cast("int"),
+      coalesce(col("referenceName"), lit("*")).as("referenceName"),
+      coalesce(col("start").cast("int"), lit(0)).as("start"),
+      coalesce(col("mapq").cast("int"), lit(0)).as("mapq"),
+      coalesce(col("cigar"), lit("*")).as("cigar"),
+      col("bases"), col("quality"))
 
-    df.select(col("readName"), col("flag").cast("int"),
-        coalesce(col("referenceName"), lit("*")).as("referenceName"),
-        coalesce(col("start").cast("int"), lit(0)).as("start"),
-        coalesce(col("mapq").cast("int"), lit(0)).as("mapq"),
-        coalesce(col("cigar"), lit("*")).as("cigar"),
-        col("bases"), col("quality"))
-      .foreachPartition { (rows: java.util.Iterator[org.apache.spark.sql.Row]) =>
+    if (singleFile) {
+      // dictionary patch: observed reference names + furthest record end
+      val observed = proj.filter(col("referenceName") =!= "*")
+        .groupBy("referenceName")
+        .agg(max(col("start") + length(col("bases"))).cast("int").as("end_max"))
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      val byName = observed.toMap
+      val patched = refs.map { case (n, l) => (n, math.max(l, byName.getOrElse(n, 0))) } ++
+        observed.filter { case (n, _) => !refs.exists(_._1 == n) }.sortBy(_._1)
+      val refsBc = spark.sparkContext.broadcast(patched)
+      proj.coalesce(1).foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val fsw = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(confBc.value.toConf)
+        val stream = fsw.create(new org.apache.hadoop.fs.Path(path), true)
+        try stream.write(bamBytes(refsBc.value, rows)) finally stream.close()
+      }
+    } else {
+      fs.mkdirs(hPath)
+      val refsBc = spark.sparkContext.broadcast(refs)
+      proj.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val part = TaskContext.getPartitionId()
-        val localRefs = refsBc.value
-        val out = new java.io.ByteArrayOutputStream()
-        // header payload
-        val headerText = ("@HD\tVN:1.6\n" +
-          localRefs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString).getBytes(US_ASCII)
-        val head = ByteBuffer.allocate(12 + headerText.length +
-          localRefs.map(r => 8 + r._1.length + 1).sum).order(ByteOrder.LITTLE_ENDIAN)
-        head.put("BAM".getBytes(US_ASCII)).put(1.toByte)
-        head.putInt(headerText.length)
-        head.put(headerText)
-        head.putInt(localRefs.length)
-        localRefs.foreach { case (n, l) =>
-          val nb = n.getBytes(US_ASCII)
-          head.putInt(nb.length + 1)
-          head.put(nb).put(0.toByte)
-          head.putInt(l)
-        }
-        // Header AND records are one BYTE stream chunked into ≤60 KiB
-        // uncompressed BGZF payloads INDEPENDENT of logical boundaries
-        // (both the header and records may legally span blocks, spec
-        // §4.1) — a many-reference header or a single long-read record
-        // can exceed any one block, and BSIZE is uint16, so flushing on
-        // logical boundaries could overflow a block. 60 KiB + worst-case
-        // deflate expansion + 26 bytes framing stays safely under 65536.
-        val chunk = 60 * 1024
-        val batch = new java.io.ByteArrayOutputStream()
-        def drain(force: Boolean): Unit =
-          if (batch.size() >= chunk || (force && batch.size() > 0)) {
-            val bytes = batch.toByteArray
-            var off = 0
-            while (bytes.length - off >= chunk) {
-              out.write(bgzfBlock(bytes, off, chunk)); off += chunk
-            }
-            if (force && bytes.length > off) {
-              out.write(bgzfBlock(bytes, off, bytes.length - off)); off = bytes.length
-            }
-            batch.reset()
-            if (off < bytes.length) batch.write(bytes, off, bytes.length - off)
-          }
-        batch.write(head.array())
-        drain(force = false)
-        rows.forEachRemaining { r =>
-          batch.write(encodeRecord(localRefs, r.getString(0), r.getInt(1),
-            r.getString(2), r.getInt(3), r.getInt(4), r.getString(5),
-            r.getString(6), r.getString(7)))
-          drain(force = false)
-        }
-        drain(force = true)
-        out.write(BgzfEof)
-
         val filePath = new org.apache.hadoop.fs.Path(path, f"part-$part%05d.bam")
         // executor-side FS resolved from the SESSION's hadoop conf (not a
         // bare `new Configuration()`, which would drop defaultFS/credential
         // settings and only ever write to the local FS)
         val fsw = filePath.getFileSystem(confBc.value.toConf)
         val stream = fsw.create(filePath, true)
-        try stream.write(out.toByteArray) finally stream.close()
+        try stream.write(bamBytes(refsBc.value, rows)) finally stream.close()
       }
+    }
   }
 
 

@@ -82,6 +82,35 @@ class BamSpec extends AnyFunSuite {
     assert(mapped.getAs[String]("cigar") == "5M3S")
   }
 
+  test("single-file write patches the dictionary and reads back as one file") {
+    import spark.implicits._
+    val rows = Seq(
+      ("r1", 0, "chr1", 100, 30, "4M", "ACGT", "IIII"),
+      ("r2", 0, "chrZ", 50, 30, "4M", "GGCC", "IIII"), // ref NOT in provided dict
+      ("r3", 4, "*", 0, 0, "*", "TTTT", "IIII")
+    ).toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
+      "bases", "quality").repartition(3) // multi-partition in, ONE file out
+    val dir = java.nio.file.Files.createTempDirectory("graft_bam_single").toString
+    val file = s"$dir/single.bam"
+    // provided LN 10 is too short for r1's end — must be patched up
+    Bam.write(rows, file, refs = Seq(("chr1", 10)), singleFile = true)
+    assert(new java.io.File(file).isFile, "expected ONE .bam file, not a directory")
+    val back = Bam.read(spark, file)
+      .select("readName", "referenceName", "start", "bases").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2), r.getString(3)))).toMap
+    assert(back.size == 3)
+    // observed-only chrZ joined the dictionary: the record did NOT
+    // silently degrade to refID -1 / "*" as the per-partition mode would
+    assert(back("r2") == (("chrZ", 50, "GGCC")))
+    assert(back("r1") == (("chr1", 100, "ACGT")))
+    assert(back("r3")._1 == "*")
+    // header SAM text carries the patched lengths (end bound start+len)
+    val gz = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(file))
+    val headStr = try new String(gz.readNBytes(4096), US_ASCII) finally gz.close()
+    assert(headStr.contains("SN:chr1\tLN:104"), headStr.take(300))
+    assert(headStr.contains("SN:chrZ\tLN:54"), headStr.take(300))
+  }
+
   private def bigBamFixture(n: Int): String = {
     import spark.implicits._
     // 600-base reads → records span the writer's 60 KiB BGZF chunking,
