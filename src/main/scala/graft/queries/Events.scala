@@ -14,43 +14,77 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Stage `events.parquet` plus one `__flush__` sentinel event 4h past
+    * max event time into a fresh stream-input directory, run `job` over
+    * it as a Structured Streaming query (parquet file sink, append mode,
+    * Trigger.AvailableNow), and read the sink back. The sentinel drives
+    * the watermark past every real window/session so append mode emits
+    * them all, while its own window/session stays open and self-excludes
+    * (user_id/event_id = -1, event_type = `__flush__`).
+    */
+  private def runStreamWithFlush(s: SparkSession, d: String, name: String)(
+      job: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = s"/tmp/graft_stream/${new java.io.File(d).getName}_$name"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    val in = s"$base/in"
+    val out = s"$base/out"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$d/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    val sentinel = s.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(maxTs + 4L * 3600L * 1000000000L).as("ts"),
+      lit(-1L).as("user_id"), lit("__flush__").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+    raw.unionByName(sentinel).write.mode("overwrite").parquet(in)
+    val q = job(graft.streaming.EventStreams.readEventStream(s, in))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Batch/stream PARITY under the oracle (not just StreamingSpec):
     // q40's windowed aggregation executed by Structured Streaming —
     // file source → watermarked window agg → parquet file sink (append
     // mode, Trigger.AvailableNow) → read back. Append mode only emits
-    // watermark-FINALIZED windows, so the staged input carries one
-    // __flush__ sentinel event 4h past max event time: the 2h-delay
-    // watermark then passes every real window while the sentinel's own
-    // window stays open and self-excludes. Oracle = q40's SQL, so the
-    // result set is proven identical across engines AND execution modes.
+    // watermark-FINALIZED windows, so the staged input carries the
+    // __flush__ sentinel: the 2h-delay watermark then passes every real
+    // window while the sentinel's own window stays open and
+    // self-excludes. Oracle = q40's SQL, so the result set is proven
+    // identical across engines AND execution modes.
     "q86_stream_parity" -> { (s, d) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val base = s"/tmp/graft_stream/${new java.io.File(d).getName}"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
+      runStreamWithFlush(s, d, "win")(
+        graft.streaming.EventStreams.windowedCounts(_))
+        .filter(col("event_type") =!= "__flush__")
+    },
+
+    // Batch/stream parity for the STATEFUL path: the event-time
+    // sessionizer (flatMapGroupsWithState + EventTimeTimeout) over the
+    // full events table. The sentinel advances the watermark 4h past max
+    // event time, so every real session's last+gap timeout fires in the
+    // trailing no-data micro-batch and append mode emits it; state is µs
+    // precise end-to-end (see EventStreams.SessionState). Oracle = the
+    // q41 lag+cumsum sessionization extended with per-session min/max ts
+    // — proving the stateful streaming execution reproduces the batch
+    // window-function derivation cross-engine.
+    "q87_session_stream" -> { (s, d) =>
+      runStreamWithFlush(s, d, "sess") { ev =>
+        graft.streaming.EventStreams.sessionize(s, ev).toDF()
       }
-      rm(new java.io.File(base))
-      val in = s"$base/in"
-      val out = s"$base/out"
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$d/events.parquet")
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
-      val sentinel = s.range(1).select(
-        lit(-1L).as("event_id"),
-        lit(maxTs + 4L * 3600L * 1000000000L).as("ts"),
-        lit(-1L).as("user_id"), lit("__flush__").as("event_type"),
-        lit(0.0).as("value"), lit("{}").as("props"))
-      raw.unionByName(sentinel).write.mode("overwrite").parquet(in)
-      val q = graft.streaming.EventStreams.windowedCounts(
-          graft.streaming.EventStreams.readEventStream(s, in))
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.read.parquet(out).filter(col("event_type") =!= "__flush__")
+        .filter(col("user_id") >= 0L)
+        .select(col("user_id"),
+          col("start_ts").cast("timestamp_ntz").as("start_ts"),
+          col("end_ts").cast("timestamp_ntz").as("end_ts"),
+          col("n_events"), round(col("total"), 2).as("total"))
     },
 
     // Tumbling 1-hour window per event type (streaming `window()` analog).
@@ -191,6 +225,26 @@ object Events {
          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                 count(*) AS n_events, round(sum(value), 2) AS total
          FROM s GROUP BY 1, 2""",
+    // q41's sessionization extended with per-session bounds; timestamps
+    // truncated to the µs domain both engines share (make_timestamp —
+    // the events table is ns-precision, the engine reads it as µs).
+    "q87_session_stream" ->
+      """WITH g AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT user_id,
+                make_timestamp(CAST(epoch_us(min(ts)) AS BIGINT)) AS start_ts,
+                make_timestamp(CAST(epoch_us(max(ts)) AS BIGINT)) AS end_ts,
+                count(*) AS n_events, round(sum(value), 2) AS total
+         FROM s GROUP BY user_id, sid""",
     "q42_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k, count(*) AS n
          FROM events GROUP BY 1""",

@@ -69,6 +69,14 @@ object LlmText {
   private val cosSql =
     "round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4)"
 
+  // Twin of TextFunctions.qualityScore (expects relations binding
+  // `text` and `toks`).
+  private val qualitySql =
+    s"""round(least(len(toks) / 100.0, 1.0) * 0.5 +
+             (($stopSql) * 1.0 / greatest(len(toks) * 1.0, 1.0)) * 0.3 +
+             (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
+              greatest(length(text), 1)) * 0.2, 4)"""
+
   /** The shared minhash-LSH CTE chain (ends at relation `j` holding
     * candidate pairs with intersection/total sizes) — used by q31 (pair
     * list) and q66 (connected components over the pairs).
@@ -335,6 +343,39 @@ object LlmText {
     "q83_chunking" -> { (s, d) =>
       graft.operators.Corpus.chunk(Tables.documents(s, d), "doc_id", "text",
         chunkTokens = 64, overlapTokens = 8)
+    },
+
+    // Online-curation parity (DocStreams under the oracle, not just
+    // StreamingSpec): the corpus staged TWICE into a file stream (every
+    // doc arrives two times) → streaming quality/lang gates →
+    // watermarked fingerprint dedup → parquet sink → read back. Dedup is
+    // not an aggregation, so append mode emits first-seen rows
+    // immediately (no flush sentinel needed) while the duplicate
+    // arrivals must collapse against dedup state. Corpus texts are
+    // unique (q30's fingerprint groups), so each group's survivor is
+    // deterministic and the oracle is simply the batch-gated corpus,
+    // once per doc.
+    "q88_curate_stream" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"/tmp/graft_stream/${new java.io.File(d).getName}_curate"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val in = s"$base/in"
+      val out = s"$base/out"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      docs.unionAll(docs).write.mode("overwrite").parquet(in)
+      val q = graft.streaming.DocStreams
+        .curateStream(s.readStream.schema(docs.schema).parquet(in), "ts")
+        .select("doc_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
     }
   )
 
@@ -569,12 +610,14 @@ object LlmText {
     "q38_langid" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           SELECT doc_id, $langCaseSql AS lang_guess FROM t""",
+    // The streaming gates are the batch gates; dedup collapses the two
+    // staged copies of every doc back to one row (texts are unique, so
+    // no cross-doc collapse) — the oracle is the gated corpus itself.
+    "q88_curate_stream" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+          g AS (SELECT doc_id, $qualitySql AS qual, $langCaseSql AS lang FROM t)
+          SELECT doc_id FROM g WHERE qual >= 0.3 AND lang = 'en'""",
     "q70_curation" -> {
-      val qualitySql =
-        s"""round(least(len(toks) / 100.0, 1.0) * 0.5 +
-                 (($stopSql) * 1.0 / greatest(len(toks) * 1.0, 1.0)) * 0.3 +
-                 (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
-                  greatest(length(text), 1)) * 0.2, 4)"""
       val mhCols = (0 until NumHashes).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
       val rows = NumHashes / Bands
       val bandSelects = (0 until Bands).map { b =>

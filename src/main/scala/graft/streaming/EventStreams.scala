@@ -69,11 +69,21 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(keyCol)
       .drop("_ts")
 
-  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
-  final case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp,
+  // State/output track event time in MICROSECONDS: the event tables are
+  // ns-precision (µs-truncated on read, see Tables.events), and a
+  // millisecond java.sql.Timestamp would silently drop the µs digits the
+  // cross-engine oracle compares (q87).
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
                               n_events: Long, total: Double)
 
-  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class Ev(user_id: Long, ts: Timestamp, tsUs: Long, value: Double)
+
+  private def usToTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Stateful sessionization (flatMapGroupsWithState): a session closes
     * after `gapMs` of user inactivity in EVENT time — sessions end when
@@ -91,7 +101,9 @@ object EventStreams {
                  gapMs: Long = 30 * 60 * 1000L,
                  watermark: String = "30 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
+    val gapUs = gapMs * 1000L
     events.select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+      unix_micros(col("ts").cast("timestamp")).as("tsUs"),
       col("value")).as[Ev]
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -101,20 +113,20 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(user, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, s.total))
+            Iterator.single(SessionOut(user, usToTimestamp(s.startUs),
+              usToTimestamp(s.lastUs), s.n, s.total))
           } else {
-            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            val sorted = evs.toSeq.sortBy(_.tsUs)
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = e.tsUs
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = t, n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
-                  closed += SessionOut(user, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n, s.total)
+                  closed += SessionOut(user, usToTimestamp(s.startUs),
+                    usToTimestamp(s.lastUs), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -124,9 +136,11 @@ object EventStreams {
               state.update(s)
               // Close when the WATERMARK passes last+gap (event time);
               // the timeout must sit strictly beyond the current
-              // watermark or Spark rejects it.
+              // watermark or Spark rejects it. Timeout granularity is ms;
+              // ceil so a µs-tail session never times out early.
               state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max((s.lastUs + 999L) / 1000L + gapMs,
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }
