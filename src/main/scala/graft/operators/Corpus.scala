@@ -123,6 +123,69 @@ object Corpus {
         md5(concat_ws(" ", col("carr"))).as("chunk_md5"))
   }
 
+  /** EXACT heavy hitters over the corpus token stream: every term whose
+    * frequency strictly exceeds N/k (N = total token occurrences) —
+    * the boilerplate/frequent-n-gram detection pass of corpus curation.
+    *
+    * Scale design (why not a plain groupBy-count): a full count shuffles
+    * one partial-aggregate row per DISTINCT term per partition — at open
+    * vocabulary (n-gram shingles, URLs) that exchange is the job. Here
+    * pass 1 runs a Misra-Gries(k) summary per partition in ONE narrow
+    * mapPartitions (k counters each, no shuffle). By the averaging
+    * argument, a term with global freq > N/k must exceed N_p/k in at
+    * least one partition, so the union of per-partition summary keys is
+    * a GUARANTEED superset of the heavy hitters; it is collected
+    * (≤ k·partitions short strings — the same bounded-driver-state trade
+    * as [[decontaminate]]'s broadcast bench set) and pass 2 exact-counts
+    * ONLY those candidates: a broadcast hash-set `isInCollection` probe
+    * gates the aggregation, so the exchange carries ≤ k·partitions terms
+    * no matter how large the vocabulary. The threshold compares
+    * `freq·k > N` in integers — no float edge. Output (term, freq) is
+    * exact and deterministic, so unlike a count-min sketch it needs no
+    * error bound: the oracle is plain GROUP BY / HAVING SQL.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k > 1, s"need k > 1, got $k")
+    val toks = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .as[String]
+    // Pass 1: per-partition Misra-Gries. Each row carries the partition
+    // id and the partition's token count (a null-term sentinel row per
+    // partition guarantees the count survives even if every counter was
+    // decremented away).
+    val summary: Array[(Int, String, Long)] = toks.mapPartitions { it =>
+      val counts = new java.util.HashMap[String, Long]()
+      var n = 0L
+      it.foreach { t =>
+        n += 1
+        val c = counts.get(t)
+        if (c != 0L) counts.put(t, c + 1)
+        else if (counts.size < k) counts.put(t, 1L)
+        else {
+          val e = counts.entrySet().iterator()
+          while (e.hasNext) {
+            val en = e.next()
+            if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1)
+          }
+        }
+      }
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      import scala.jdk.CollectionConverters._
+      Iterator.single((pid, null: String, n)) ++
+        counts.keySet().asScala.iterator.map(t => (pid, t, n))
+    }.collect()
+    val total = summary.collect { case (pid, null, n) => (pid, n) }
+      .toMap.values.sum
+    val candidates = summary.collect { case (_, t, _) if t != null => t }.distinct
+    // Pass 2: exact recount gated to the candidate superset.
+    toks.toDF("term")
+      .filter(col("term").isInCollection(candidates))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * k > total)
+  }
+
   /** Top-k terms per document by tf·idf (idf = ln(N/df)), deterministic:
     * ties on the rounded score break by term. Output:
     * (doc_id, term, tf, tfidf, rank).

@@ -274,6 +274,56 @@ object Similarity {
     assign(cent).select(col("id").as("vec_id"), col("cluster"))
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the memory lever of
+    * billion-vector search: 64-dim float32 (256 B) becomes 64 int8 codes
+    * + one scale (65 B), a 4× cut in what the pairwise stages shuffle,
+    * cache, and broadcast. codes[i] = round(x_i / scale), scale =
+    * max|x| / 127 (an all-zero vector quantizes to all-zero codes).
+    * Every step is a deterministic IEEE double op, so a second engine
+    * reproduces the codes BIT-FOR-BIT — quantization is oracle-checkable,
+    * unlike trained codebooks. Narrow per-row projection, no shuffle.
+    * (At production scale the amax/transform pair would fuse into one
+    * native expression pass; the HOF form here keeps the algebra
+    * visible and identical to the oracle's.)
+    */
+  def quantizeInt8(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("amax", array_max(transform(col("e"), x => abs(x))))
+      // internal name `scl` ≠ output name `scale`: a same-select lateral
+      // column alias would otherwise resolve the lambda's divisor to the
+      // ROUNDED output scale and shift codes on .5 boundaries
+      .select(col("id"), col("e"), col("amax"),
+        (col("amax") / 127.0).as("scl"))
+      .select(col("id"), round(col("scl"), 6).as("scale"),
+        when(col("amax") === 0d,
+          transform(col("e"), _ => lit(0)))
+          .otherwise(transform(col("e"), x => round(x / col("scl")).cast("int")))
+          .as("codes"))
+
+  /** Exact top-k in the QUANTIZED space: cosine over int8 codes. The
+    * per-vector scales cancel out of the cosine (cos(s_a·a, s_b·b) =
+    * cos(a, b)), and an int8 dot product at dim ≤ 2¹⁴ stays inside the
+    * exact-integer range of a double — so the scores are pure integer
+    * arithmetic + one sqrt/divide, bit-reproducible across engines, and
+    * the representation error vs float cosine is measurable (compare
+    * against [[bruteForceTopK]]). All-pairs like the float baseline —
+    * the scale path plugs the codes into the IVF/LSH candidate
+    * structures above and re-ranks with this scoring.
+    */
+  def int8TopK(vectors: DataFrame, k: Int): DataFrame = {
+    val v = withNative(quantizeInt8(vectors))
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), col("codes").cast("array<double>").as("q8"))
+      .withColumn("norm", sqrt(dotN(col("q8"), col("q8"))))
+    val pairs = v.as("q")
+      .join(v.as("c"), col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        round(dotN(col("q.q8"), col("c.q8")) /
+          (col("q.norm") * col("c.norm")), 4).as("cos"))
+    topK(pairs, k)
+  }
+
   /** IVF-style ANN: a coarse quantizer assigns every vector to its
     * nearest centroid's cell; queries probe ONLY their own cell —
     * O(Σ cell²) work, one equi-join shuffle on the cell id, the inverted-

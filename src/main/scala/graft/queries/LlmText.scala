@@ -345,6 +345,29 @@ object LlmText {
         chunkTokens = 64, overlapTokens = 8)
     },
 
+    // Exact heavy hitters (Misra-Gries candidates → gated exact
+    // recount): tokens holding > 1/30 of the corpus token stream.
+    "q89_heavy_hitters" -> { (s, d) =>
+      graft.operators.Corpus.heavyHitters(Tables.documents(s, d), "text", k = 30)
+    },
+
+    // int8 scalar quantization of the embedding column — codes must be
+    // bit-identical across engines (pure IEEE double ops + one shared
+    // rounding rule).
+    "q90_int8_quantize" -> { (s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding")))
+        .select(col("id").as("vec_id"), col("scale"), col("codes"))
+    },
+
+    // Top-3 cosine neighbors scored entirely in the quantized int8 space
+    // (scales cancel; integer dots are exact in doubles).
+    "q91_int8_topk" -> { (s, d) =>
+      Similarity.int8TopK(Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding")), 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos").as("qcos"))
+    },
+
     // Online-curation parity (DocStreams under the oracle, not just
     // StreamingSpec): the corpus staged TWICE into a file stream (every
     // doc arrives two times) → streaming quality/lang gates →
@@ -610,6 +633,45 @@ object LlmText {
     "q38_langid" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           SELECT doc_id, $langCaseSql AS lang_guess FROM t""",
+    // The sketch pass only PROPOSES candidates; the result is the exact
+    // GROUP BY — integer threshold freq*k > N, no float edge.
+    "q89_heavy_hitters" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+          s AS (SELECT unnest(toks) AS term FROM t),
+          n AS (SELECT count(*) AS nn FROM s)
+          SELECT term, count(*) AS freq FROM s, n
+          GROUP BY term, nn HAVING count(*) * 30 > nn""",
+
+    // Mirrors quantizeInt8 exactly: scale = amax/127 (unrounded) feeds
+    // the code rounding; the OUTPUT scale is rounded to 6 dp. The same
+    // x/(amax/127.0) expression shape matters — x*127/amax would round
+    // differently in the last ulp.
+    "q90_int8_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          s AS (SELECT vec_id, e,
+                  list_max(list_transform(e, x -> abs(x))) AS amax FROM v)
+          SELECT vec_id, round(amax / 127.0, 6) AS scale,
+            CASE WHEN amax = 0 THEN list_transform(e, x -> 0)
+                 ELSE list_transform(e, x -> CAST(round(x / (amax / 127.0)) AS INTEGER))
+            END AS codes
+          FROM s""",
+    "q91_int8_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          s AS (SELECT vec_id, e,
+                  list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+          q AS (SELECT vec_id,
+                  CASE WHEN amax = 0 THEN list_transform(e, x -> 0.0)
+                       ELSE list_transform(e, x -> CAST(round(x / (amax / 127.0)) AS DOUBLE))
+                  END AS c
+                FROM s),
+          n AS (SELECT vec_id, c, sqrt(list_dot_product(c, c)) AS nrm FROM q),
+          p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.c, c.c) / (q.nrm * c.nrm), 4) AS qcos
+                FROM n q JOIN n c ON q.vec_id != c.vec_id)
+          SELECT query_id, neighbor_id, qcos FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY qcos DESC, neighbor_id) AS rn FROM p) WHERE rn <= 3""",
+
     // The streaming gates are the batch gates; dedup collapses the two
     // staged copies of every doc back to one row (texts are unique, so
     // no cross-doc collapse) — the oracle is the gated corpus itself.

@@ -232,4 +232,51 @@ class DedupSpec extends AnyFunSuite {
     val partners = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
     assert(partners.toSet == Set((1L, 2L), (2L, 1L))) // 3 is isolated
   }
+
+  test("heavyHitters is exact above N/k across partitioned Misra-Gries passes") {
+    import spark.implicits._
+    // 100 tokens: alpha 60, beta 25, w1..w15 once each; spread over 7
+    // partitions so the per-partition summaries really decrement.
+    val words = Seq.fill(60)("alpha") ++ Seq.fill(25)("beta") ++
+      (1 to 15).map(i => s"w$i")
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      .repartition(7)
+    def hh(k: Int): Map[String, Long] =
+      Corpus.heavyHitters(docs, "text", k).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(hh(3) == Map("alpha" -> 60L)) // threshold 33.3: beta=25 excluded
+    assert(hh(5) == Map("alpha" -> 60L, "beta" -> 25L)) // threshold 20
+  }
+
+  test("quantizeInt8 codes round(x/scale) and zero vectors code to zero") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("id", "embedding")
+    val out = Similarity.quantizeInt8(vecs).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getSeq[Int](2)))).toMap
+    // amax=1 → scale=1/127; 0.5/scale=63.5 rounds away from zero to 64
+    assert(out(1L)._2 == Seq(64, -127, 32, 0))
+    assert(math.abs(out(1L)._1 - 1.0 / 127) < 1e-6)
+    assert(out(2L) == ((0.0, Seq(0, 0, 0, 0))))
+  }
+
+  test("int8TopK preserves the float-space nearest neighbor") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f, 0.05f)),
+      (2L, Array(0.9f, 0.12f, 0.01f, 0.04f)), // near-parallel to 1
+      (3L, Array(-0.2f, 1.0f, 0.3f, -0.5f)),
+      (4L, Array(-0.1f, 0.9f, 0.35f, -0.45f)) // near-parallel to 3
+    ).toDF("id", "embedding")
+    def rank1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("rank") === 1)
+        .collect().map(r =>
+          (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toMap
+    val q = rank1(Similarity.int8TopK(vecs, 1))
+    val f = rank1(Similarity.bruteForceTopK(vecs, vecs, 1))
+    assert(q == f && q == Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L))
+  }
 }
