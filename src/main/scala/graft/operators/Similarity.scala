@@ -324,6 +324,168 @@ object Similarity {
     topK(pairs, k)
   }
 
+  // ---------- Product quantization (PQ) ----------
+
+  /** Per-subspace codebook: (cid, centroid, ||centroid||²). Missing cids
+    * (emptied clusters) simply drop out, as in [[kmeansAssign]].
+    */
+  private type Codebook = Array[(Long, Array[Double], Double)]
+
+  /** Internal: base projection with per-subspace slices `sub_s` and
+    * squared norms `nv_s` (computed once, checkpointed — every training
+    * iteration and the scoring pass re-reads it).
+    */
+  private def pqBase(vectors: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val subs = (0 until m).map(s =>
+      slice(col("e"), s * dsub + 1, dsub).as(s"sub$s"))
+    val nvs = (0 until m).map(s => dotN(col(s"sub$s"), col(s"sub$s")).as(s"nv$s"))
+    withNative(vectors)
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), col("embedding").cast("array<double>").as("e"))
+      .select(col("id") +: subs: _*)
+      .select(col("id") +: (0 until m).map(s => col(s"sub$s")) ++: nvs: _*)
+      .localCheckpoint()
+  }
+
+  /** Narrow per-row argmin over the subspace codebook: squared L2 via
+    * the dot identity ‖v−c‖² = ‖v‖² + ‖c‖² − 2·v·c, ROUNDED to 4 dp with
+    * ties to the smaller cid (struct-max over (−dist, −cid, cid) — the
+    * exact mirror of the oracle's row_number ORDER BY dist, cid). Zero
+    * joins, zero shuffles — the kmeansAssign literal pattern.
+    */
+  private def pqAssign(s: Int, cents: Codebook): Column = {
+    val scored = cents.map { case (cid, ce, nc) =>
+      struct(
+        (-round(col(s"nv$s") + lit(nc) - lit(2.0) * dotN(col(s"sub$s"),
+          typedlit(ce.toSeq)), 4)).as("nd"),
+        lit(-cid).as("negcid"), lit(cid).as("cid"))
+    }
+    array_max(array(scored.toSeq: _*)).getField("cid")
+  }
+
+  /** Train per-subspace PQ codebooks with deterministic Lloyd iterations
+    * (seeds = the `ksub` lowest-id vectors' sub-slices; every rounding
+    * rule matches [[kmeansAssign]] so a second engine replays training
+    * bit-for-bit). Codebooks live on the driver — m·ksub·dsub doubles,
+    * KBs — exactly like the k-means centroid table; each iteration is
+    * one narrow m-way argmin pass plus ONE long-form (subspace, cluster,
+    * dim) mean aggregation with map-side partials.
+    */
+  def pqTrainCodebooks(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
+                       iters: Int = 1): Array[Codebook] = {
+    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val base = pqBase(vectors, m, dsub)
+    var books: Array[Codebook] = {
+      val seeds = base.filter(col("id") < ksub)
+        .select(col("id") +: (0 until m).map(s => col(s"sub$s")): _*)
+        .collect()
+      (0 until m).map { s =>
+        seeds.map { r =>
+          val ce = r.getSeq[Double](1 + s).toArray
+          (r.getLong(0), ce, ce.foldLeft(0.0)((a, x) => a + x * x))
+        }.sortBy(_._1): Codebook
+      }.toArray
+    }
+    for (_ <- 1 to iters) {
+      val asg = base.select(
+        col("id") +: (0 until m).map(s => col(s"sub$s")) ++:
+          (0 until m).map(s => pqAssign(s, books(s)).as(s"a$s")): _*)
+      val longForm = (0 until m).map { s =>
+        asg.select(lit(s).as("s"), col(s"a$s").as("cluster"),
+          posexplode(col(s"sub$s")).as(Seq("dim", "x")))
+      }.reduce(_ unionAll _)
+      val updated = longForm
+        .groupBy("s", "cluster", "dim")
+        .agg(round(avg(col("x")), 6).as("mv"))
+        .groupBy("s", "cluster")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("dm"))
+        .select(col("s"), col("cluster"),
+          transform(col("dm"), e => e.getField("mv")).as("ce"))
+        .collect()
+      books = (0 until m).map { s =>
+        updated.filter(_.getInt(0) == s).map { r =>
+          val ce = r.getSeq[Double](2).toArray
+          (r.getLong(1), ce, ce.foldLeft(0.0)((a, x) => a + x * x))
+        }.sortBy(_._1): Codebook
+      }.toArray
+    }
+    books
+  }
+
+  /** PQ encoding: each vector becomes m small codes (one centroid id per
+    * subspace) — 64 float32 dims collapse to 8 codes, the 32× memory
+    * lever of billion-vector indexes (FAISS's IVF-PQ storage layout).
+    * Output long form (id, subspace, code); encoding is a narrow
+    * zero-shuffle argmin pass per subspace.
+    */
+  def pqEncode(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
+               iters: Int = 1): DataFrame = {
+    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
+    val dsub = dim / m
+    val books = pqTrainCodebooks(vectors, m, ksub, iters)
+    val base = pqBase(vectors, m, dsub)
+    val coded = base.select(col("id"),
+      array((0 until m).map(s => pqAssign(s, books(s))): _*).as("codes"))
+    coded.select(col("id"),
+      posexplode(col("codes")).as(Seq("subspace", "code")))
+      .select(col("id"), col("subspace").cast("int").as("subspace"),
+        col("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query keeps its
+    * exact sub-vectors, the corpus side is REPRESENTED BY ITS CODES —
+    * distance ≈ Σ_s ‖q_s − centroid(code_s)‖², each term via the dot
+    * identity against a driver-held codebook literal (`element_at` on a
+    * cid-indexed lookup array — a per-row lookup, no join to any
+    * codebook table). Terms sum in subspace order, rounded once at the
+    * end; rank ascending with ties to the smaller neighbor id.
+    *
+    * All-pairs here (the flat-PQ exactness baseline, like
+    * [[bruteForceTopK]] for floats); the scale path gates pairs with the
+    * IVF cell equi-join of [[ivfTopK]] and scores survivors with this
+    * expression.
+    */
+  def pqAdcTopK(vectors: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
+                iters: Int = 1): DataFrame = {
+    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
+    val dsub = dim / m
+    val books = pqTrainCodebooks(vectors, m, ksub, iters)
+    val base = pqBase(vectors, m, dsub)
+    val coded = base.select(
+      col("id") +: (0 until m).map(s => pqAssign(s, books(s)).as(s"a$s")): _*)
+    // cid-indexed lookup literals; emptied cids keep a zero-vector slot
+    // that no code can reference
+    def ceTable(s: Int): Seq[Seq[Double]] = {
+      val t = Array.fill(ksub)(Seq.fill(dsub)(0.0))
+      books(s).foreach { case (cid, ce, _) => t(cid.toInt) = ce.toSeq }
+      t.toSeq
+    }
+    def ncTable(s: Int): Seq[Double] = {
+      val t = Array.fill(ksub)(0.0)
+      books(s).foreach { case (cid, _, nc) => t(cid.toInt) = nc }
+      t.toSeq
+    }
+    val terms = (0 until m).map { s =>
+      val ce = element_at(typedlit(ceTable(s)), col(s"a$s").cast("int") + 1)
+      val nc = element_at(typedlit(ncTable(s)), col(s"a$s").cast("int") + 1)
+      col(s"qnv$s") + nc - lit(2.0) * dotN(col(s"qsub$s"), ce)
+    }
+    val q = base.select(col("id").as("query_id") +:
+      (0 until m).flatMap(s => Seq(col(s"sub$s").as(s"qsub$s"),
+        col(s"nv$s").as(s"qnv$s"))): _*)
+    val c = coded.select(col("id").as("neighbor_id") +:
+      (0 until m).map(s => col(s"a$s")): _*)
+    val pairs = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(terms.reduce(_ + _), 4).as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-style ANN: a coarse quantizer assigns every vector to its
     * nearest centroid's cell; queries probe ONLY their own cell —
     * O(Σ cell²) work, one equi-join shuffle on the cell id, the inverted-

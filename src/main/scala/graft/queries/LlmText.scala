@@ -77,6 +77,46 @@ object LlmText {
              (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
               greatest(length(text), 1)) * 0.2, 4)"""
 
+  /** PQ training replayed in SQL (twin of Similarity.pqTrainCodebooks
+    * at m=8, ksub=16, iters=1): per subspace s the chain is seeds
+    * `cs0_s` (lowest-id sub-slices) → assignment `as0_s` (squared-L2
+    * via the dot identity, rounded 4 dp, ties to smaller cid) → mean
+    * update `u1_s`/`cs1_s` (6 dp) → final assignment `af_s`. Shared by
+    * q92 (codes) and q93 (ADC scoring).
+    */
+  private val pqM = 8
+  private val pqKsub = 16
+  private val pqDsub = 8
+  private val pqCtes: String = {
+    val subCols = (0 until pqM).map { s =>
+      val lo = s * pqDsub + 1
+      val hi = (s + 1) * pqDsub
+      s"e[$lo:$hi] AS sub$s, list_dot_product(e[$lo:$hi], e[$lo:$hi]) AS nv$s"
+    }.mkString(", ")
+    val perS = (0 until pqM).map { s =>
+      def assignSql(name: String, centRel: String, keep: String) =
+        s"""$name AS (SELECT vec_id, cid$keep FROM (
+              SELECT b.vec_id, c.cid, b.sub$s, b.nv$s,
+                row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                  round(b.nv$s + c.nc - 2 * list_dot_product(b.sub$s, c.ce), 4),
+                  c.cid) AS rn
+              FROM b CROSS JOIN $centRel c) WHERE rn = 1)"""
+      s"""cs0_$s AS (SELECT vec_id AS cid, sub$s AS ce, nv$s AS nc
+              FROM b WHERE vec_id < $pqKsub),
+          ${assignSql(s"as0_$s", s"cs0_$s", s", sub$s, nv$s")},
+          u1_$s AS (SELECT cid AS cluster, CAST(t.i AS INTEGER) AS dim,
+                round(avg(sub$s[CAST(t.i AS INTEGER)]), 6) AS mv
+              FROM as0_$s CROSS JOIN range(1, ${pqDsub + 1}) t(i) GROUP BY 1, 2),
+          cs1_$s AS (SELECT cid, ce, list_dot_product(ce, ce) AS nc FROM (
+              SELECT cluster AS cid, list(mv ORDER BY dim) AS ce
+              FROM u1_$s GROUP BY 1)),
+          ${assignSql(s"af_$s", s"cs1_$s", "")}"""
+    }.mkString(",\n")
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        b AS (SELECT vec_id, $subCols FROM v),
+        $perS"""
+  }
+
   /** The shared minhash-LSH CTE chain (ends at relation `j` holding
     * candidate pairs with intersection/total sizes) — used by q31 (pair
     * list) and q66 (connected components over the pairs).
@@ -366,6 +406,24 @@ object LlmText {
       Similarity.int8TopK(Tables.embeddings(s, d)
           .select(col("vec_id").as("id"), col("embedding")), 3)
         .select(col("query_id"), col("neighbor_id"), col("cos").as("qcos"))
+    },
+
+    // PQ encoding: deterministic per-subspace Lloyd codebooks (m=8
+    // subspaces over 64 dims, ksub=16, 1 iteration), every vector → 8
+    // codes. The oracle replays the ENTIRE training (seeds → assign →
+    // mean update → re-assign) in generated SQL, q69-style.
+    "q92_pq_encode" -> { (s, d) =>
+      Similarity.pqEncode(Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding")))
+        .select(col("id").as("vec_id"), col("subspace"), col("code"))
+    },
+
+    // Asymmetric-distance (ADC) top-3 over the PQ codes: exact query
+    // sub-vectors against code-represented corpus vectors.
+    "q93_pq_adc_topk" -> { (s, d) =>
+      Similarity.pqAdcTopK(Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding")), 3)
+        .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
     },
 
     // Online-curation parity (DocStreams under the oracle, not just
@@ -671,6 +729,34 @@ object LlmText {
           SELECT query_id, neighbor_id, qcos FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY qcos DESC, neighbor_id) AS rn FROM p) WHERE rn <= 3""",
+
+    "q92_pq_encode" -> {
+      val sel = (0 until pqM).map(s =>
+        s"SELECT vec_id, $s AS subspace, cid AS code FROM af_$s")
+        .mkString(" UNION ALL ")
+      s"""WITH $pqCtes
+          SELECT vec_id, CAST(subspace AS INTEGER) AS subspace, code
+          FROM ($sel)"""
+    },
+    // Term order matters: the engine sums the m subspace terms left to
+    // right before the single 4 dp rounding — the SQL chain is written
+    // in the same order, so the IEEE sums agree bit for bit.
+    "q93_pq_adc_topk" -> {
+      val joins = (0 until pqM).map(s =>
+        s"JOIN af_$s k$s ON k$s.vec_id = c.vec_id " +
+          s"JOIN cs1_$s t$s ON t$s.cid = k$s.cid").mkString(" ")
+      val termSql = (0 until pqM).map(s =>
+        s"(q.nv$s + t$s.nc - 2 * list_dot_product(q.sub$s, t$s.ce))")
+        .mkString(" + ")
+      s"""WITH $pqCtes,
+          adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              round($termSql, 4) AS adist
+            FROM b q JOIN b c ON q.vec_id != c.vec_id $joins)
+          SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adist, neighbor_id) AS rn FROM adc)
+          WHERE rn <= 3"""
+    },
 
     // The streaming gates are the batch gates; dedup collapses the two
     // staged copies of every doc back to one row (texts are unique, so

@@ -233,6 +233,27 @@ class DedupSpec extends AnyFunSuite {
     assert(partners.toSet == Set((1L, 2L), (2L, 1L))) // 3 is isolated
   }
 
+  test("pqAdcTopK finds each vector's planted near-twin from codes alone") {
+    import spark.implicits._
+    // three well-separated directions in dim 8, two vectors per
+    // direction (ids i and i+3, tiny magnitude jitter); the 4 seeds
+    // (ids 0-3) cover every direction
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f))
+    val vecs = (0 until 6).map { i =>
+      (i.toLong, dirs(i % 3).map(x => x * (1f + 0.01f * (i / 3))))
+    }.toDF("id", "embedding")
+    val top1 = Similarity.pqAdcTopK(vecs, 1, m = 2, ksub = 4, iters = 1)
+      .collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toMap
+    assert(top1 == Map(0L -> 3L, 3L -> 0L, 1L -> 4L, 4L -> 1L, 2L -> 5L, 5L -> 2L))
+    val codes = Similarity.pqEncode(vecs, m = 2, ksub = 4, iters = 1).collect()
+    assert(codes.length == 12) // 6 vectors x 2 subspaces
+    assert(codes.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 4))
+  }
+
   test("heavyHitters is exact above N/k across partitioned Misra-Gries passes") {
     import spark.implicits._
     // 100 tokens: alpha 60, beta 25, w1..w15 once each; spread over 7
