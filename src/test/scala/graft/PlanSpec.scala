@@ -114,6 +114,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ encode after training is narrow: literal-argmin map, no Exchange/Join") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val plan = graft.operators.Similarity.pqEncode(e, m = 8, ksub = 16, iters = 1)
+      .queryExecution.executedPlan.toString
+    // codebooks ride the expression as literals; encode reads the
+    // checkpointed base — zero shuffles, zero joins
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
+  test("heavy hitters recount: candidate gate adds no shuffle beyond the one aggregation") {
+    val docs = graft.Tables.documents(spark, sf)
+    val plan = graft.operators.Corpus.heavyHitters(docs, "text", k = 30)
+      .queryExecution.executedPlan.toString
+    // pass 2 = scan → explode → In-set filter → partial agg → ONE
+    // exchange → final agg; the broadcast-set gate must not join
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
   test("partitioned writes enable partition pruning (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/li"
     SparkEntry.queries("q02_filter_project")(spark, sf) // warm unrelated
