@@ -82,12 +82,13 @@ object LlmText {
     * `cs0_s` (lowest-id sub-slices) → assignment `as0_s` (squared-L2
     * via the dot identity, rounded 4 dp, ties to smaller cid) → mean
     * update `u1_s`/`cs1_s` (6 dp) → final assignment `af_s`. Shared by
-    * q92 (codes) and q93 (ADC scoring).
+    * q92 (codes), q93 (ADC scoring), and q82's pq_adc recall row; the
+    * chain assumes a CTE `v(vec_id, e DOUBLE[])` is already in scope.
     */
   private val pqM = 8
   private val pqKsub = 16
   private val pqDsub = 8
-  private val pqCtes: String = {
+  private val pqChain: String = {
     val subCols = (0 until pqM).map { s =>
       val lo = s * pqDsub + 1
       val hi = (s + 1) * pqDsub
@@ -112,9 +113,35 @@ object LlmText {
               FROM u1_$s GROUP BY 1)),
           ${assignSql(s"af_$s", s"cs1_$s", "")}"""
     }.mkString(",\n")
-    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        b AS (SELECT vec_id, $subCols FROM v),
+    // cosine-metric PQ: L2-normalize before slicing (twin of pqBase);
+    // needs v(vec_id, e DOUBLE[]) in scope
+    s"""vn0 AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS vnrm FROM v),
+        vn AS (SELECT vec_id,
+            CASE WHEN vnrm = 0 THEN e
+                 ELSE list_transform(e, x -> x / vnrm) END AS e
+          FROM vn0),
+        b AS (SELECT vec_id, $subCols FROM vn),
         $perS"""
+  }
+
+  /** ADC pair scoring + top-3 over the trained chain (needs `b` and the
+    * per-subspace `af_s`/`cs1_s` CTEs of [[pqChain]] in scope). Term
+    * order mirrors the engine's left-to-right subspace sum.
+    */
+  private val pqAdcTop3: String = {
+    val joins = (0 until pqM).map(s =>
+      s"JOIN af_$s k$s ON k$s.vec_id = c.vec_id " +
+        s"JOIN cs1_$s t$s ON t$s.cid = k$s.cid").mkString(" ")
+    val termSql = (0 until pqM).map(s =>
+      s"(q.nv$s + t$s.nc - 2 * list_dot_product(q.sub$s, t$s.ce))")
+      .mkString(" + ")
+    s"""adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            round($termSql, 4) AS adist
+          FROM b q JOIN b c ON q.vec_id != c.vec_id $joins),
+        adc3 AS (SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adist, neighbor_id) AS rn FROM adc)
+          WHERE rn <= 3)"""
   }
 
   /** The shared minhash-LSH CTE chain (ends at relation `j` holding
@@ -375,6 +402,9 @@ object LlmText {
         .unionByName(row(Similarity.multiProbeAnnTopK(e, 3, bits = 4), "multiprobe"))
         .unionByName(row(Similarity.multiTableAnnTopK(e, 3, bits = 4,
           tables = 16), "multitable"))
+        .unionByName(row(Similarity.pqAdcTopK(e, 3), "pq_adc"))
+        .unionByName(row(Similarity.pqRerankTopK(e, 3, shortlist = 160),
+          "pq_rerank"))
     },
 
     // Context-window chunking: 64-token windows with 8-token overlap,
@@ -734,7 +764,8 @@ object LlmText {
       val sel = (0 until pqM).map(s =>
         s"SELECT vec_id, $s AS subspace, cid AS code FROM af_$s")
         .mkString(" UNION ALL ")
-      s"""WITH $pqCtes
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          $pqChain
           SELECT vec_id, CAST(subspace AS INTEGER) AS subspace, code
           FROM ($sel)"""
     },
@@ -742,20 +773,10 @@ object LlmText {
     // right before the single 4 dp rounding — the SQL chain is written
     // in the same order, so the IEEE sums agree bit for bit.
     "q93_pq_adc_topk" -> {
-      val joins = (0 until pqM).map(s =>
-        s"JOIN af_$s k$s ON k$s.vec_id = c.vec_id " +
-          s"JOIN cs1_$s t$s ON t$s.cid = k$s.cid").mkString(" ")
-      val termSql = (0 until pqM).map(s =>
-        s"(q.nv$s + t$s.nc - 2 * list_dot_product(q.sub$s, t$s.ce))")
-        .mkString(" + ")
-      s"""WITH $pqCtes,
-          adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-              round($termSql, 4) AS adist
-            FROM b q JOIN b c ON q.vec_id != c.vec_id $joins)
-          SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rank
-          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                  ORDER BY adist, neighbor_id) AS rn FROM adc)
-          WHERE rn <= 3"""
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          $pqChain,
+          $pqAdcTop3
+          SELECT query_id, neighbor_id, adist, rank FROM adc3"""
     },
 
     // The streaming gates are the batch gates; dedup collapses the two
@@ -874,10 +895,26 @@ object LlmText {
           mt AS (SELECT query_id, neighbor_id FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY cos DESC, neighbor_id) AS rn FROM pt) WHERE rn <= 3),
+          $pqChain,
+          $pqAdcTop3,
+          adcS AS (SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist, neighbor_id) AS rn FROM adc) WHERE rn <= 160),
+          prr AS (SELECT a.query_id, a.neighbor_id, $cosSql AS cos
+                  FROM adcS a JOIN v q ON a.query_id = q.vec_id
+                       JOIN v c ON a.neighbor_id = c.vec_id),
+          pr3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rn FROM prr) WHERE rn <= 3),
           ne AS (SELECT count(*) AS n_exact FROM exact),
           hb AS (SELECT count(*) AS n_hit FROM bk JOIN exact USING (query_id, neighbor_id)),
           hm AS (SELECT count(*) AS n_hit FROM mp JOIN exact USING (query_id, neighbor_id)),
-          ht AS (SELECT count(*) AS n_hit FROM mt JOIN exact USING (query_id, neighbor_id))
+          ht AS (SELECT count(*) AS n_hit FROM mt JOIN exact USING (query_id, neighbor_id)),
+          hq AS (SELECT count(*) AS n_hit
+                 FROM (SELECT query_id, neighbor_id FROM adc3) a
+                 JOIN exact USING (query_id, neighbor_id)),
+          hr AS (SELECT count(*) AS n_hit
+                 FROM pr3 JOIN exact USING (query_id, neighbor_id))
           SELECT 'bucket' AS method, ne.n_exact, hb.n_hit,
                  round(hb.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hb, ne
           UNION ALL
@@ -885,7 +922,13 @@ object LlmText {
                  round(hm.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hm, ne
           UNION ALL
           SELECT 'multitable' AS method, ne.n_exact, ht.n_hit,
-                 round(ht.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM ht, ne"""
+                 round(ht.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM ht, ne
+          UNION ALL
+          SELECT 'pq_adc' AS method, ne.n_exact, hq.n_hit,
+                 round(hq.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hq, ne
+          UNION ALL
+          SELECT 'pq_rerank' AS method, ne.n_exact, hr.n_hit,
+                 round(hr.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hr, ne"""
     },
     // chunk i covers tokens [i*56, i*56+64); DuckDB list slicing is
     // 1-based inclusive and clamps at the list end, matching Spark's
