@@ -83,6 +83,44 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("heavyHitters equals the naive exact count on random token streams") {
+    import spark.implicits._
+    // zipf-ish skew: token t drawn as floor(sqrt(uniform)) over 12 ids
+    val words = (1 to 3000).map { _ =>
+      s"t${math.floor(math.sqrt(rnd.nextDouble() * 144)).toInt}"
+    }
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(11)
+    Seq(4, 10, 40).foreach { k =>
+      val got = graft.operators.Corpus.heavyHitters(docs, "text", k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val n = words.size
+      val naive = words.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }.toMap
+      assert(got == naive, s"k=$k")
+    }
+  }
+
+  test("int8 quantization error is bounded by half a quantum per dimension") {
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(16)((rnd.nextDouble() * 4 - 2).toFloat))
+    }
+    val out = graft.operators.Similarity.quantizeInt8(vecs.toDF("id", "embedding"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getSeq[Int](2)))).toMap
+    vecs.foreach { case (id, v) =>
+      val (scale, codes) = out(id)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      v.zip(codes).foreach { case (x, c) =>
+        // slop: the OUTPUT scale is rounded to 6 dp, codes used the
+        // unrounded one — up to 127 * 5e-7 of drift
+        assert(math.abs(x.toDouble - c * scale) <= scale / 2 + 1e-4,
+          s"id=$id x=$x c=$c scale=$scale")
+      }
+    }
+  }
+
   test("fingerprint is invariant to whitespace runs and case") {
     import spark.implicits._
     val pairs = (1 to 50).map { _ =>
