@@ -186,6 +186,63 @@ object Corpus {
       .filter(col("freq") * k > total)
   }
 
+  /** Inverted-index postings: one row per distinct term with document
+    * frequency and a digest of the doc-id-ORDERED posting list (the
+    * artifact a distributed index build materializes; the digest keeps
+    * the row narrow while still pinning the exact list cross-engine).
+    * One hash-partitioned aggregation; posting lists are per-term, so
+    * the build parallelizes over the vocabulary.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        min(col("doc_id")).as("first_doc"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(col("doc_id"))), _.cast("string"))))
+          .as("postings_md5"))
+
+  /** BM25 ranked retrieval for one query over the corpus — the lexical
+    * search twin of the embedding similarity family. Standard Okapi
+    * scoring: idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    * tf-saturation k1, length normalization b against the mean doc
+    * length.
+    *
+    * Scale shape: the per-(doc, term) aggregation is FILTERED TO THE
+    * QUERY TERMS before any shuffle (an `isin` gate on the exploded
+    * stream — the exchange carries only matching postings, not the
+    * vocabulary), df/N/avgdl join in as broadcast aggregates, and the
+    * final top-k is a TakeOrderedAndProject. Ties break by doc id on
+    * the 4 dp-rounded score.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qTerms = terms.filter(col("term").isInCollection(query))
+    val tf = qTerms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Top-k terms per document by tf·idf (idf = ln(N/df)), deterministic:
     * ties on the rounded score break by term. Output:
     * (doc_id, term, tf, tfidf, rank).

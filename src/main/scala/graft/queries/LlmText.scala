@@ -456,6 +456,19 @@ object LlmText {
         .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
     },
 
+    // BM25 ranked retrieval (lexical-search twin of the similarity
+    // family): top-10 docs for a 3-term query, Okapi k1=1.2 b=0.75.
+    "q94_bm25" -> { (s, d) =>
+      graft.operators.Corpus.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        query = Seq("spark", "fast", "query"), k = 10)
+    },
+
+    // Inverted-index postings: per-term df + digest of the ordered
+    // posting list.
+    "q95_inverted_index" -> { (s, d) =>
+      graft.operators.Corpus.invertedIndex(Tables.documents(s, d), "doc_id", "text")
+    },
+
     // Online-curation parity (DocStreams under the oracle, not just
     // StreamingSpec): the corpus staged TWICE into a file stream (every
     // doc arrives two times) → streaming quality/lang gates →
@@ -778,6 +791,30 @@ object LlmText {
           $pqAdcTop3
           SELECT query_id, neighbor_id, adist, rank FROM adc3"""
     },
+
+    // Scalar literals written as the same EXPRESSIONS the engine folds
+    // ((1.2 + 1), 0.25) so both sides compute identical doubles.
+    "q94_bm25" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+          dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+          st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+                 WHERE term IN ('spark', 'fast', 'query') GROUP BY 1, 2),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          sc AS (SELECT tf.doc_id,
+                   ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                     (tf.tf * (1.2 + 1)) /
+                     (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+                 FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                      CROSS JOIN st)
+          SELECT doc_id, round(sum(contrib), 4) AS score FROM sc
+          GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""",
+    "q95_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+                     FROM documents)
+          SELECT term, count(*) AS df, min(doc_id) AS first_doc,
+                 md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
+          FROM t GROUP BY 1""",
 
     // The streaming gates are the batch gates; dedup collapses the two
     // staged copies of every doc back to one row (texts are unique, so

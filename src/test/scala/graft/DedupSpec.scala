@@ -254,6 +254,24 @@ class DedupSpec extends AnyFunSuite {
     assert(codes.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 4))
   }
 
+  test("bm25 rewards tf and penalizes length; inverted index pins postings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark fast"),
+      (2L, "spark slow slow slow slow slow slow slow slow slow"),
+      (3L, "other words only here")
+    ).toDF("doc_id", "text")
+    val top = Corpus.bm25TopK(docs, "doc_id", "text",
+      query = Seq("spark", "fast"), k = 3).collect()
+    // doc 3 has no query terms → absent; doc 1 beats 2 (higher tf,
+    // matches the rare term, shorter)
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(top.head.getDouble(1) > top(1).getDouble(1))
+    val idx = Corpus.invertedIndex(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(idx("spark") == 2L && idx("slow") == 1L && idx("other") == 1L)
+  }
+
   test("heavyHitters is exact above N/k across partitioned Misra-Gries passes") {
     import spark.implicits._
     // 100 tokens: alpha 60, beta 25, w1..w15 once each; spread over 7

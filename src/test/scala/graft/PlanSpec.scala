@@ -136,6 +136,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(1200))
   }
 
+  test("q94: BM25 top-k plans as TakeOrderedAndProject with the query-term gate inline") {
+    val plan = planOf("q94_bm25")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    // the isin query-term filter must gate the exploded stream before
+    // any aggregation exchange (it appears as an IN predicate)
+    assert(plan.contains(" IN (") || plan.contains("INSET"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("partitioned writes enable partition pruning (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/li"
     SparkEntry.queries("q02_filter_project")(spark, sf) // warm unrelated
