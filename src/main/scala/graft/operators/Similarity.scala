@@ -398,13 +398,17 @@ object Similarity {
       }.toArray
     }
     for (_ <- 1 to iters) {
+      // ONE pass over the vectors: m argmins + a single posexplode of
+      // the re-concatenated vector, with (subspace, within-dim, cluster)
+      // derived from the flat position — not m unioned scans.
       val asg = base.select(
-        col("id") +: (0 until m).map(s => col(s"sub$s")) ++:
-          (0 until m).map(s => pqAssign(s, books(s)).as(s"a$s")): _*)
-      val longForm = (0 until m).map { s =>
-        asg.select(lit(s).as("s"), col(s"a$s").as("cluster"),
-          posexplode(col(s"sub$s")).as(Seq("dim", "x")))
-      }.reduce(_ unionAll _)
+        concat((0 until m).map(s => col(s"sub$s")): _*).as("full"),
+        array((0 until m).map(s => pqAssign(s, books(s))): _*).as("asgs"))
+      val longForm = asg
+        .select(col("asgs"), posexplode(col("full")).as(Seq("fdim", "x")))
+        .select((col("fdim") / dsub).cast("int").as("s"),
+          element_at(col("asgs"), (col("fdim") / dsub).cast("int") + 1).as("cluster"),
+          (col("fdim") % dsub).as("dim"), col("x"))
       val updated = longForm
         .groupBy("s", "cluster", "dim")
         .agg(round(avg(col("x")), 6).as("mv"))
