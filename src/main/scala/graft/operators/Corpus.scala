@@ -186,6 +186,55 @@ object Corpus {
       .filter(col("freq") * k > total)
   }
 
+  /** Sequence packing: lay the chunk stream out into fixed-size context
+    * windows by GLOBAL concatenation order (doc_id, chunk_idx) — the
+    * pretraining packing step. Each chunk gets its pack id, offset
+    * inside the pack, and whether it straddles a pack boundary.
+    *
+    * Packing needs a total order, but NOT a single-partition window
+    * (`Window.orderBy` with no partition key collapses to one task):
+    * this is the classic two-phase distributed prefix sum — range
+    * partition + sort by the order key, ONE tiny job collects the
+    * per-partition token totals (#partitions rows), their running sum
+    * broadcasts back as each partition's base offset, and a second
+    * narrow pass assigns offsets. The checkpoint pins the range
+    * boundaries so both passes see identical partitions.
+    */
+  def packChunks(chunks: DataFrame, window: Int): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    require(window > 0, s"need window > 0, got $window")
+    // RDD-level mapPartitionsWithIndex, NOT TaskContext.getPartitionId:
+    // the partition index must be bound at THIS rdd — a downstream
+    // coalesce() would pipeline several parent partitions into one task
+    // whose task-level partition id is the coalesced one, silently
+    // resetting every parent's base offset.
+    val sorted = chunks
+      .select(col("doc_id").cast("long"), col("chunk_idx").cast("int"),
+        col("n_tokens").cast("long"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("doc_id"), col("chunk_idx"))
+      .sortWithinPartitions("doc_id", "chunk_idx")
+      .as[(Long, Int, Long)]
+      .localCheckpoint() // pin the sampled range boundaries across jobs
+      .rdd
+    val partTotals = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(s += _._3)
+      Iterator.single((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val bases = partTotals.scanLeft(0L)(_ + _).dropRight(1)
+    val bc = spark.sparkContext.broadcast(bases)
+    sorted.mapPartitionsWithIndex { (pid, it) =>
+      var off = bc.value(pid)
+      it.map { case (d, c, n) =>
+        val start = off
+        off += n
+        (d, c, start / window, start % window, start % window + n > window)
+      }
+    }.toDF("doc_id", "chunk_idx", "pack_id", "pack_offset", "straddles")
+  }
+
   /** Inverted-index postings: one row per distinct term with document
     * frequency and a digest of the doc-id-ORDERED posting list (the
     * artifact a distributed index build materializes; the digest keeps

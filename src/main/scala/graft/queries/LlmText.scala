@@ -456,6 +456,16 @@ object LlmText {
         .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
     },
 
+    // Sequence packing: q83's chunks laid into 256-token context
+    // windows by global (doc_id, chunk_idx) order — distributed prefix
+    // sum, no single-partition window.
+    "q96_pack_chunks" -> { (s, d) =>
+      graft.operators.Corpus.packChunks(
+        graft.operators.Corpus.chunk(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 8),
+        window = 256)
+    },
+
     // BM25 ranked retrieval (lexical-search twin of the similarity
     // family): top-10 docs for a 3-term query, Okapi k1=1.2 b=0.75.
     "q94_bm25" -> { (s, d) =>
@@ -791,6 +801,28 @@ object LlmText {
           $pqAdcTop3
           SELECT query_id, neighbor_id, adist, rank FROM adc3"""
     },
+
+    // q83's chunk derivation + a windowed running sum; DuckDB's
+    // sum(BIGINT) OVER is HUGEINT, so casts pin the output types.
+    "q96_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+          c AS (SELECT doc_id, toks,
+                  unnest(generate_series(0,
+                    CAST(ceil(greatest(n - 8, 1) / 56.0) AS BIGINT) - 1)) AS ci
+                FROM n),
+          s AS (SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+                  len(toks[ci*56 + 1 : ci*56 + 64]) AS n_tokens
+                FROM c),
+          o AS (SELECT doc_id, chunk_idx, n_tokens,
+                  coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+                FROM s)
+          SELECT doc_id, chunk_idx,
+                 CAST(start // 256 AS BIGINT) AS pack_id,
+                 CAST(start % 256 AS BIGINT) AS pack_offset,
+                 (start % 256) + n_tokens > 256 AS straddles
+          FROM o""",
 
     // Scalar literals written as the same EXPRESSIONS the engine folds
     // ((1.2 + 1), 0.25) so both sides compute identical doubles.

@@ -121,6 +121,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packChunks matches a serial prefix sum regardless of input partitioning") {
+    import spark.implicits._
+    val rows = (0L until 50L).flatMap(d =>
+      (0 until 3).map(c => (d, c, 10L + (d % 7))))
+    val chunks = rows.toDF("doc_id", "chunk_idx", "n_tokens")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Corpus.packChunks(df, window = 64)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)),
+          (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val a = run(chunks.repartition(13))
+    val b = run(chunks.coalesce(1))
+    var off = 0L
+    val exp = rows.map { case (d, c, n) =>
+      val st = off
+      off += n
+      ((d, c), (st / 64, st % 64, st % 64 + n > 64))
+    }.toMap
+    assert(a == exp && b == exp)
+  }
+
   test("fingerprint is invariant to whitespace runs and case") {
     import spark.implicits._
     val pairs = (1 to 50).map { _ =>
