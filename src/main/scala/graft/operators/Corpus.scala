@@ -186,6 +186,39 @@ object Corpus {
       .filter(col("freq") * k > total)
   }
 
+  /** Training-mix rebalancing: downsample each stratum so the OUTPUT
+    * corpus matches target mixture weights (the domain/language mixing
+    * step of pretraining data assembly). The largest feasible output is
+    * T = min_s(n_s / w_s) (downsampling only — no replication), giving
+    * per-stratum keep-rates w_s·T/n_s; rows are gated by the same
+    * deterministic md5 filter as [[hashSampleFilter]] at 10⁻⁶ rate
+    * granularity, so the sample is reproducible across runs, engines,
+    * and partitionings. Strata absent from `weights` are dropped.
+    * One tiny counting aggregate (|strata| rows to the driver), then a
+    * narrow per-row gate — no shuffle of the corpus itself.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, stratumCol: String,
+                    weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "need positive weights")
+    val strata = weights.map(_._1)
+    val counts = docs.filter(col(stratumCol).isInCollection(strata))
+      .groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val t = weights.collect {
+      case (s, w) if counts.getOrElse(s, 0L) > 0L => counts(s) / w
+    }.min
+    val thresholds = weights.map { case (s, w) =>
+      val n = counts.getOrElse(s, 0L)
+      (s, if (n == 0) 0L else math.floor(1000000.0 * w * t / n).toLong)
+    }.toMap
+    val thrCol = strata.foldRight(lit(0L): Column) { (s, acc) =>
+      when(col(stratumCol) === s, lit(thresholds(s))).otherwise(acc)
+    }
+    docs.filter(col(stratumCol).isInCollection(strata))
+      .filter((conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L) < thrCol)
+  }
+
   /** Sequence packing: lay the chunk stream out into fixed-size context
     * windows by GLOBAL concatenation order (doc_id, chunk_idx) — the
     * pretraining packing step. Each chunk gets its pack id, offset

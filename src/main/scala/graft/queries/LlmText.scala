@@ -88,6 +88,10 @@ object LlmText {
   private val pqM = 8
   private val pqKsub = 16
   private val pqDsub = 8
+
+  /** q97 target mixture — one constant drives both engines. */
+  private val MixWeights = Seq(
+    ("en", 0.5), ("de", 0.15), ("es", 0.15), ("fr", 0.1), ("zh", 0.1))
   private val pqChain: String = {
     val subCols = (0 until pqM).map { s =>
       val lo = s * pqDsub + 1
@@ -456,6 +460,14 @@ object LlmText {
         .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
     },
 
+    // Training-mix rebalance: downsample per-language strata to a
+    // 50/15/15/10/10 target mixture with the deterministic md5 gate.
+    "q97_mixture_sample" -> { (s, d) =>
+      graft.operators.Corpus.mixtureSample(Tables.documents(s, d),
+        "doc_id", "lang", MixWeights)
+        .select(col("doc_id"), col("lang"))
+    },
+
     // Sequence packing: q83's chunks laid into 256-token context
     // windows by global (doc_id, chunk_idx) order — distributed prefix
     // sum, no single-partition window.
@@ -800,6 +812,22 @@ object LlmText {
           $pqChain,
           $pqAdcTop3
           SELECT query_id, neighbor_id, adist, rank FROM adc3"""
+    },
+
+    // Threshold arithmetic written in the engine's exact expression
+    // order (((1e6 * w) * t) / n) so the floor()ed gates agree.
+    "q97_mixture_sample" -> {
+      val vals = MixWeights.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+      s"""WITH w(lang, w) AS (VALUES $vals),
+          c AS (SELECT lang, count(*) AS n FROM documents
+                WHERE lang IN (SELECT lang FROM w) GROUP BY 1),
+          t AS (SELECT min(c.n / w.w) AS t FROM c JOIN w USING (lang)),
+          thr AS (SELECT c.lang,
+                    CAST(floor(1000000.0 * w.w * t.t / c.n) AS BIGINT) AS thr
+                  FROM c JOIN w USING (lang) CROSS JOIN t)
+          SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+          WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 1000000 < thr.thr"""
     },
 
     // q83's chunk derivation + a windowed running sum; DuckDB's
