@@ -673,9 +673,13 @@ object Bam {
 
     if (singleFile) {
       // dictionary patch: observed reference names + furthest record end
+      // null bases encode as "" (see encodeRecord) — coalesce so a
+      // reference whose every record has null bases aggregates to
+      // max(start + 0), not null (which would NPE the getInt below)
       val observed = proj.filter(col("referenceName") =!= "*")
         .groupBy("referenceName")
-        .agg(max(col("start") + length(col("bases"))).cast("int").as("end_max"))
+        .agg(max(col("start") + length(coalesce(col("bases"), lit(""))))
+          .cast("int").as("end_max"))
         .collect().map(r => (r.getString(0), r.getInt(1)))
       val byName = observed.toMap
       val patched = refs.map { case (n, l) => (n, math.max(l, byName.getOrElse(n, 0))) } ++

@@ -32,8 +32,15 @@ object Corpus {
     * quality band.
     */
   def hashSampleFilter(id: Column, pct: Column): Column =
+    hashGate(id, 100L, pct)
+
+  /** The determinism-critical md5 gate shared by [[hashSampleFilter]]
+    * (percent granularity) and [[mixtureSample]] (10⁻⁶ granularity):
+    * keep iff `md5(id) mod modulus < threshold`.
+    */
+  def hashGate(id: Column, modulus: Long, threshold: Column): Column =
     (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100) < pct
+      .cast("long") % modulus) < threshold
 
   /** Benchmark decontamination: flag corpus documents that share any
     * word n-gram with an evaluation/benchmark set — the standard
@@ -204,19 +211,24 @@ object Corpus {
     val counts = docs.filter(col(stratumCol).isInCollection(strata))
       .groupBy(stratumCol).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val t = weights.collect {
-      case (s, w) if counts.getOrElse(s, 0L) > 0L => counts(s) / w
-    }.min
-    val thresholds = weights.map { case (s, w) =>
-      val n = counts.getOrElse(s, 0L)
-      (s, if (n == 0) 0L else math.floor(1000000.0 * w * t / n).toLong)
-    }.toMap
-    val thrCol = strata.foldRight(lit(0L): Column) { (s, acc) =>
-      when(col(stratumCol) === s, lit(thresholds(s))).otherwise(acc)
+    if (counts.isEmpty) {
+      // no weighted stratum has any rows — the mixture is vacuously
+      // satisfied by the empty corpus (min over no strata is undefined)
+      docs.filter(lit(false))
+    } else {
+      val t = weights.collect {
+        case (s, w) if counts.getOrElse(s, 0L) > 0L => counts(s) / w
+      }.min
+      val thresholds = weights.map { case (s, w) =>
+        val n = counts.getOrElse(s, 0L)
+        (s, if (n == 0) 0L else math.floor(1000000.0 * w * t / n).toLong)
+      }.toMap
+      val thrCol = strata.foldRight(lit(0L): Column) { (s, acc) =>
+        when(col(stratumCol) === s, lit(thresholds(s))).otherwise(acc)
+      }
+      docs.filter(col(stratumCol).isInCollection(strata))
+        .filter(hashGate(col(idCol), 1000000L, thrCol))
     }
-    docs.filter(col(stratumCol).isInCollection(strata))
-      .filter((conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 1000000L) < thrCol)
   }
 
   /** Sequence packing: lay the chunk stream out into fixed-size context

@@ -158,6 +158,13 @@ object Similarity {
     */
   def multiTableAnnTopK(vectors: DataFrame, k: Int, bits: Int = 4,
                         tables: Int = 16): DataFrame = {
+    // enforce the documented precondition: a table slice past the
+    // vector length would read null → a CONSTANT key shared by every
+    // vector, silently degenerating that table's equi-join to all-pairs
+    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
+    require(tables * bits <= dim,
+      s"tables*bits = ${tables * bits} exceeds embedding dim $dim — " +
+        "excess tables would hash every vector to one constant bucket")
     val b = withNorm(vectors)
       .withColumn("keys", tableKeys(col("embedding"), bits, tables))
       .localCheckpoint() // probe table + both scoring sides read it
@@ -237,9 +244,16 @@ object Similarity {
     def assign(cent: Array[(Long, Array[Double], Double)]): DataFrame =
       if (cent.length <= litMaxK) {
         val scored = cent.map { case (cid, ce, cnorm) =>
+          // A zero-norm centroid (or row) has no defined cosine: its rc
+          // is null, which sorts below every real score in the struct
+          // ordering (and ANSI mode would otherwise THROW on the 0
+          // divisor). All-null falls back to the smallest cid via the
+          // -cid struct field — the kernel path mirrors both rules.
+          val denom = col("norm") * lit(cnorm)
           struct(
-            round(dotN(col("embedding"), typedlit(ce.toSeq)) /
-              (col("norm") * lit(cnorm)), 4).as("rc"),
+            when(denom === 0d, lit(null).cast("double"))
+              .otherwise(round(dotN(col("embedding"), typedlit(ce.toSeq)) /
+                denom, 4)).as("rc"),
             lit(-cid).as("negcid"), lit(cid).as("cid"))
         }
         v.withColumn("cluster", array_max(array(scored.toSeq: _*)).getField("cid"))
@@ -381,7 +395,15 @@ object Similarity {
     * dim) mean aggregation with map-side partials.
     */
   def pqTrainCodebooks(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
-                       iters: Int = 1): Array[Codebook] = {
+                       iters: Int = 1): Array[Codebook] =
+    pqPrepare(vectors, m, ksub, iters)._2
+
+  /** Build the checkpointed base ONCE and train on it — encode/score
+    * callers reuse the same base instead of paying the normalize+slice
+    * pass and a second checkpoint.
+    */
+  private def pqPrepare(vectors: DataFrame, m: Int, ksub: Int,
+                        iters: Int): (DataFrame, Array[Codebook]) = {
     val dim = vectors.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
@@ -424,7 +446,7 @@ object Similarity {
         }.sortBy(_._1): Codebook
       }.toArray
     }
-    books
+    (base, books)
   }
 
   /** PQ encoding: each vector becomes m small codes (one centroid id per
@@ -435,10 +457,7 @@ object Similarity {
     */
   def pqEncode(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
                iters: Int = 1): DataFrame = {
-    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
-    val dsub = dim / m
-    val books = pqTrainCodebooks(vectors, m, ksub, iters)
-    val base = pqBase(vectors, m, dsub)
+    val (base, books) = pqPrepare(vectors, m, ksub, iters)
     val coded = base.select(col("id"),
       array((0 until m).map(s => pqAssign(s, books(s))): _*).as("codes"))
     coded.select(col("id"),
@@ -462,10 +481,9 @@ object Similarity {
     */
   def pqAdcTopK(vectors: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
                 iters: Int = 1): DataFrame = {
-    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
-    val dsub = dim / m
-    val books = pqTrainCodebooks(vectors, m, ksub, iters)
-    val base = pqBase(vectors, m, dsub)
+    val (base, books) = pqPrepare(vectors, m, ksub, iters)
+    val dsub = books.head.headOption.map(_._2.length)
+      .getOrElse(vectors.select(size(col("embedding"))).head().getInt(0) / m)
     val coded = base.select(
       col("id") +: (0 until m).map(s => pqAssign(s, books(s)).as(s"a$s")): _*)
     // cid-indexed lookup literals; emptied cids keep a zero-vector slot

@@ -70,8 +70,15 @@ object PipeStage {
       val writer = new Thread(() => {
         val w = new BufferedWriter(new OutputStreamWriter(
           proc.getOutputStream, StandardCharsets.UTF_8))
+        // A child may legally exit before draining stdin (head-like
+        // tools): the resulting broken-pipe IOException just means
+        // "stop feeding" — it must terminate this thread promptly, not
+        // propagate (the exit-code check below decides success).
         try records.foreach { r => w.write(r); w.newLine() }
-        finally w.close()
+        catch { case _: java.io.IOException => () }
+        finally {
+          try w.close() catch { case _: java.io.IOException => () }
+        }
       })
       writer.setDaemon(true)
       writer.start()
@@ -104,6 +111,16 @@ object PipeStage {
         new Iterator[String] {
           override def hasNext: Boolean = {
             val code = proc.waitFor()
+            // Join the WRITER before this iterator is released: in the
+            // per-group path the upstream iterator is Spark's shared
+            // grouped-row iterator, and a still-running writer thread
+            // would race the framework's advance to the next group —
+            // silently feeding rows to the wrong process.
+            writer.join(10000)
+            if (writer.isAlive) throw new IllegalStateException(
+              s"pipe command '${command.mkString(" ")}' exited but its " +
+                "stdin writer is still running; refusing to release the " +
+                "input iterator")
             errDrainer.join(10000)
             if (code != 0) throw new IllegalStateException(
               s"pipe command '${command.mkString(" ")}' exited $code; " +

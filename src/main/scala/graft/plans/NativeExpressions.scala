@@ -266,12 +266,24 @@ final class CosineArgmaxKernel(ids: Array[Long], vecs: Array[Array[Double]],
   /** Argmax of round(cos, 4) with ties toward the smaller centroid id —
     * replicating the literal path's `array_max` over
     * `struct(rc, -cid, cid)` bit for bit (same cast-then-multiply dot
-    * order, same HALF_UP rounding). A dim-mismatched centroid scores
-    * null there and loses to any real score; all-null falls back to the
-    * smallest centroid id, as lexicographic max of (null, -cid) does.
+    * order, same HALF_UP rounding). Comparison uses SPARK's total order
+    * for doubles: NaN is GREATER than every real value and EQUAL to
+    * itself (an all-NaN embedding still scores NaN, and the literal
+    * array_max then prefers it / tie-breaks by cid — plain `>`/`==`
+    * would instead keep whichever came first in centroid order). A
+    * dim-mismatched OR zero-denominator centroid (zero-norm centroid
+    * or row — cosine undefined, and ANSI mode would throw on the 0
+    * divisor) scores null in the literal path and loses to any real
+    * score, so it is skipped here; all-null falls back to the smallest
+    * centroid id, as lexicographic max of (null, -cid) does.
     */
   def apply(e: org.apache.spark.sql.catalyst.util.ArrayData,
             norm: Double): Long = {
+    // Spark SQL double ordering: NaN greatest, NaN == NaN, -0.0 == 0.0.
+    def gtSpark(a: Double, b: Double): Boolean =
+      if (a.isNaN) !b.isNaN else if (b.isNaN) false else a > b
+    def eqSpark(a: Double, b: Double): Boolean =
+      (a.isNaN && b.isNaN) || a == b
     val nDim = e.numElements()
     var best = Double.NaN
     var bestId = Long.MaxValue
@@ -279,7 +291,8 @@ final class CosineArgmaxKernel(ids: Array[Long], vecs: Array[Array[Double]],
     var ci = 0
     while (ci < ids.length) {
       val c = vecs(ci)
-      if (c.length == nDim) {
+      val denom = norm * norms(ci)
+      if (c.length == nDim && denom != 0.0) {
         var acc = 0.0
         var i = 0
         while (i < nDim) {
@@ -287,8 +300,9 @@ final class CosineArgmaxKernel(ids: Array[Long], vecs: Array[Array[Double]],
           acc += x * c(i)
           i += 1
         }
-        val rc = NativeVec.round4(acc / (norm * norms(ci)))
-        if (!found || rc > best || (rc == best && ids(ci) < bestId)) {
+        val rc = NativeVec.round4(acc / denom)
+        if (!found || gtSpark(rc, best) ||
+          (eqSpark(rc, best) && ids(ci) < bestId)) {
           best = rc; bestId = ids(ci); found = true
         }
       }

@@ -36,13 +36,17 @@ object Events {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
-    val sentinel = s.range(1).select(
-      lit(-1L).as("event_id"),
-      lit(maxTs + 4L * 3600L * 1000000000L).as("ts"),
-      lit(-1L).as("user_id"), lit("__flush__").as("event_type"),
-      lit(0.0).as("value"), lit("{}").as("props"))
-    raw.unionByName(sentinel).write.mode("overwrite").parquet(in)
+    val maxRow = raw.agg(max(col("ts"))).head()
+    // empty table → max(ts) is null: stage as-is (nothing to flush)
+    val staged = if (maxRow.isNullAt(0)) raw else {
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxRow.getLong(0) + 4L * 3600L * 1000000000L).as("ts"),
+        lit(-1L).as("user_id"), lit("__flush__").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      raw.unionByName(sentinel)
+    }
+    staged.write.mode("overwrite").parquet(in)
     val q = job(graft.streaming.EventStreams.readEventStream(s, in))
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", s"$base/ckpt")

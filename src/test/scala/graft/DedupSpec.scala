@@ -212,6 +212,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall { case (_, c) => c >= 0 && c < 256 }) // seeds are ids 0..255
   }
 
+  test("kmeans literal and kernel paths agree when a centroid is the zero vector") {
+    import spark.implicits._
+    // seed id 0 is the zero vector → its cosine is undefined against
+    // every row: both paths must EXCLUDE it (null rc in the literal
+    // struct / skipped in the kernel) instead of throwing on the ANSI
+    // zero divisor or diverging on NaN ordering
+    val vecs = (0L until 40L).map { i =>
+      val arr =
+        if (i == 0) Array.fill(6)(0f)
+        else Array.tabulate(6)(d => (((i * 13 + d * 7) % 19) - 9).toFloat)
+      (i, arr)
+    }.toDF("id", "embedding")
+    def run(litMaxK: Int) =
+      Similarity.kmeansAssign(vecs, k = 3, iters = 1, litMaxK = litMaxK)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(64) == run(0))
+  }
+
   test("redact replaces URLs and emails with placeholder tags") {
     import spark.implicits._
     import graft.functions.TextFunctions
