@@ -91,6 +91,34 @@ object Events {
           col("n_events"), round(col("total"), 2).as("total"))
     },
 
+    // Stream-stream inner join under the oracle: clicks joined to the
+    // same user's purchases within 1h, executed by Structured Streaming
+    // (two watermarked streams, time-bounded join state) and checked
+    // against the batch time-bounded join SQL.
+    "q99_stream_join" -> { (s, d) =>
+      runStreamWithFlush(s, d, "ssj")(
+        graft.streaming.EventStreams.clickPurchaseJoin(_))
+    },
+
+    // 7-day rolling distinct users per day — the retention/DAU shape.
+    // Exact rolling distinct via contribution explode: each (day, user)
+    // row contributes to the 7 target days it is visible from, then one
+    // distinct aggregation per target day — no O(days²) self-join, and
+    // the day spine join is a broadcast.
+    "q98_rolling_dau" -> { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val spine = du.select("day").distinct()
+      val contrib = du
+        .select(explode(sequence(lit(0), lit(6))).as("off"),
+          col("day"), col("user_id"))
+        .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+      contrib.join(broadcast(spine), "day")
+        .groupBy("day")
+        .agg(count_distinct(col("user_id")).as("dau7"))
+        .select(col("day").cast("timestamp_ntz").as("day"), col("dau7"))
+    },
+
     // Tumbling 1-hour window per event type (streaming `window()` analog).
     "q40_tumbling_window" -> { (s, d) =>
       Tables.events(s, d)
@@ -249,6 +277,23 @@ object Events {
                 make_timestamp(CAST(epoch_us(max(ts)) AS BIGINT)) AS end_ts,
                 count(*) AS n_events, round(sum(value), 2) AS total
          FROM s GROUP BY user_id, sid""",
+    // time bounds compared in the µs domain both engines share
+    "q99_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND epoch_us(p.ts) >= epoch_us(c.ts)
+          AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""",
+    "q98_rolling_dau" ->
+      """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                            user_id
+                     FROM events),
+         sp AS (SELECT DISTINCT day FROM du),
+         r AS (SELECT s.day AS day, du.user_id
+               FROM sp s JOIN du
+                 ON du.day >= s.day - INTERVAL 6 DAY AND du.day <= s.day)
+         SELECT day, count(DISTINCT user_id) AS dau7 FROM r GROUP BY 1""",
     "q42_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k, count(*) AS n
          FROM events GROUP BY 1""",

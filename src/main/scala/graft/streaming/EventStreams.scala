@@ -79,6 +79,32 @@ object EventStreams {
 
   final case class Ev(user_id: Long, ts: Timestamp, tsUs: Long, value: Double)
 
+  /** Stream-stream INNER join: each click matched to the same user's
+    * purchases within `window` after the click. Both sides carry
+    * watermarks and the join predicate bounds event time in both
+    * directions, so Spark can expire join state (clicks older than
+    * watermark − window, purchases older than watermark) — the state
+    * stays bounded by the window horizon, not the stream length.
+    * Matches emit as soon as both rows arrive (inner join, append).
+    */
+  def clickPurchaseJoin(events: DataFrame, window: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val base = events.withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr(s"INTERVAL $window"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+  }
+
   private def usToTimestamp(us: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
