@@ -161,10 +161,14 @@ object Similarity {
     // enforce the documented precondition: a table slice past the
     // vector length would read null → a CONSTANT key shared by every
     // vector, silently degenerating that table's equi-join to all-pairs
-    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
-    require(tables * bits <= dim,
-      s"tables*bits = ${tables * bits} exceeds embedding dim $dim — " +
-        "excess tables would hash every vector to one constant bucket")
+    // (an empty input has nothing to degenerate — skip the probe)
+    vectors.select(size(col("embedding")).as("d")).limit(1).collect()
+      .foreach { r =>
+        val dim = if (r.isNullAt(0)) 0 else r.getInt(0)
+        require(tables * bits <= dim,
+          s"tables*bits = ${tables * bits} exceeds embedding dim $dim — " +
+            "excess tables would hash every vector to one constant bucket")
+      }
     val b = withNorm(vectors)
       .withColumn("keys", tableKeys(col("embedding"), bits, tables))
       .localCheckpoint() // probe table + both scoring sides read it
@@ -246,8 +250,9 @@ object Similarity {
         val scored = cent.map { case (cid, ce, cnorm) =>
           // A zero-norm centroid (or row) has no defined cosine: its rc
           // is null, which sorts below every real score in the struct
-          // ordering (and ANSI mode would otherwise THROW on the 0
-          // divisor). All-null falls back to the smallest cid via the
+          // ordering (and Spark 4 ANSI mode — empirically — THROWS
+          // DIVIDE_BY_ZERO even for double division on the 0 divisor).
+          // All-null falls back to the smallest cid via the
           // -cid struct field — the kernel path mirrors both rules.
           val denom = col("norm") * lit(cnorm)
           struct(
@@ -403,7 +408,7 @@ object Similarity {
     * pass and a second checkpoint.
     */
   private def pqPrepare(vectors: DataFrame, m: Int, ksub: Int,
-                        iters: Int): (DataFrame, Array[Codebook]) = {
+                        iters: Int): (DataFrame, Array[Codebook], Int) = {
     val dim = vectors.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
@@ -446,7 +451,7 @@ object Similarity {
         }.sortBy(_._1): Codebook
       }.toArray
     }
-    (base, books)
+    (base, books, dsub)
   }
 
   /** PQ encoding: each vector becomes m small codes (one centroid id per
@@ -457,7 +462,7 @@ object Similarity {
     */
   def pqEncode(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
                iters: Int = 1): DataFrame = {
-    val (base, books) = pqPrepare(vectors, m, ksub, iters)
+    val (base, books, _) = pqPrepare(vectors, m, ksub, iters)
     val coded = base.select(col("id"),
       array((0 until m).map(s => pqAssign(s, books(s))): _*).as("codes"))
     coded.select(col("id"),
@@ -481,9 +486,7 @@ object Similarity {
     */
   def pqAdcTopK(vectors: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
                 iters: Int = 1): DataFrame = {
-    val (base, books) = pqPrepare(vectors, m, ksub, iters)
-    val dsub = books.head.headOption.map(_._2.length)
-      .getOrElse(vectors.select(size(col("embedding"))).head().getInt(0) / m)
+    val (base, books, dsub) = pqPrepare(vectors, m, ksub, iters)
     val coded = base.select(
       col("id") +: (0 until m).map(s => pqAssign(s, books(s)).as(s"a$s")): _*)
     // cid-indexed lookup literals; emptied cids keep a zero-vector slot

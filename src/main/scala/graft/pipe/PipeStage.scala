@@ -67,6 +67,14 @@ object PipeStage {
       pb.redirectErrorStream(false)
       val proc = pb.start()
 
+      // Kill switch for the writer: once the child has exited there is
+      // no point feeding more stdin, and the writer must stop touching
+      // `records` BEFORE this iterator is released (in the per-group
+      // path `records` is Spark's shared grouped-row iterator — a
+      // still-running writer would race the framework's advance to the
+      // next group). The flag stops the writer at the next record
+      // boundary; the unbounded join below then guarantees it is done.
+      val stopFeeding = new java.util.concurrent.atomic.AtomicBoolean(false)
       val writer = new Thread(() => {
         val w = new BufferedWriter(new OutputStreamWriter(
           proc.getOutputStream, StandardCharsets.UTF_8))
@@ -74,7 +82,12 @@ object PipeStage {
         // tools): the resulting broken-pipe IOException just means
         // "stop feeding" — it must terminate this thread promptly, not
         // propagate (the exit-code check below decides success).
-        try records.foreach { r => w.write(r); w.newLine() }
+        try {
+          while (!stopFeeding.get() && records.hasNext) {
+            val r = records.next()
+            w.write(r); w.newLine()
+          }
+        }
         catch { case _: java.io.IOException => () }
         finally {
           try w.close() catch { case _: java.io.IOException => () }
@@ -111,16 +124,13 @@ object PipeStage {
         new Iterator[String] {
           override def hasNext: Boolean = {
             val code = proc.waitFor()
-            // Join the WRITER before this iterator is released: in the
-            // per-group path the upstream iterator is Spark's shared
-            // grouped-row iterator, and a still-running writer thread
-            // would race the framework's advance to the next group —
-            // silently feeding rows to the wrong process.
-            writer.join(10000)
-            if (writer.isAlive) throw new IllegalStateException(
-              s"pipe command '${command.mkString(" ")}' exited but its " +
-                "stdin writer is still running; refusing to release the " +
-                "input iterator")
+            // Stop the writer at its next record boundary and WAIT for
+            // it (unbounded: if it is blocked inside records.next() on
+            // a slow upstream, correctness requires waiting it out —
+            // releasing the shared grouped-row iterator while another
+            // thread still reads it would corrupt the next group).
+            stopFeeding.set(true)
+            writer.join()
             errDrainer.join(10000)
             if (code != 0) throw new IllegalStateException(
               s"pipe command '${command.mkString(" ")}' exited $code; " +

@@ -308,8 +308,16 @@ final class CosineArgmaxKernel(ids: Array[Long], vecs: Array[Array[Double]],
       }
       ci += 1
     }
-    if (found) bestId else ids.min
+    if (found) bestId else fallback
   }
+
+  /** The literal path's all-null fallback (lexicographic max of
+    * (null, -cid) structs): the smallest centroid id. Used both when
+    * every centroid is excluded and when the row's embedding/norm is
+    * null (dot_native over a null-element array) — the literal structs
+    * all score null rc there too, so parity demands a cid, not null.
+    */
+  val fallback: Long = if (ids.isEmpty) -1L else ids.min
 }
 
 /** Narrow per-row cosine argmax over a driver-held centroid table —
@@ -357,7 +365,9 @@ case class CosineArgmaxExpression(emb: Expression, norm: Expression,
   override def eval(input: InternalRow): Any = {
     val e = emb.eval(input)
     val n = norm.eval(input)
-    if (e == null || n == null) null
+    // null embedding/norm: the literal path's structs all score null rc
+    // and array_max still yields the smallest cid — mirror it
+    if (e == null || n == null) kernel.fallback
     else kernel(e.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       n.asInstanceOf[Double])
   }
@@ -372,11 +382,10 @@ case class CosineArgmaxExpression(emb: Expression, norm: Expression,
       code"""
         ${embCode.code}
         ${normCode.code}
-        boolean ${ev.isNull} = ${embCode.isNull} || ${normCode.isNull};
-        long ${ev.value} = -1L;
-        if (!${ev.isNull}) {
-          ${ev.value} = $kRef.apply(${embCode.value}, ${normCode.value});
-        }
+        boolean ${ev.isNull} = false;
+        long ${ev.value} = (${embCode.isNull} || ${normCode.isNull})
+          ? $kRef.fallback()
+          : $kRef.apply(${embCode.value}, ${normCode.value});
       """)
   }
 

@@ -47,12 +47,20 @@ object Events {
       raw.unionByName(sentinel)
     }
     staged.write.mode("overwrite").parquet(in)
-    val q = job(graft.streaming.EventStreams.readEventStream(s, in))
+    val stream = job(graft.streaming.EventStreams.readEventStream(s, in))
+    val q = stream
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", s"$base/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.read.parquet(out)
+    // zero input rows → the sink may never commit a file; read with the
+    // stream's schema so the empty case yields an empty frame, not a
+    // schema-inference failure
+    val hasParts = Option(new java.io.File(out).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (hasParts) s.read.parquet(out)
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      stream.schema)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -106,8 +114,11 @@ object Events {
     // distinct aggregation per target day — no O(days²) self-join, and
     // the day spine join is a broadcast.
     "q98_rolling_dau" -> { (s, d) =>
+      // both the spine and the contribution explode read du — checkpoint
+      // so the scan+distinct shuffle runs once
       val du = Tables.events(s, d)
         .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .localCheckpoint()
       val spine = du.select("day").distinct()
       val contrib = du
         .select(explode(sequence(lit(0), lit(6))).as("off"),
