@@ -130,6 +130,36 @@ object Events {
         .select(col("day").cast("timestamp_ntz").as("day"), col("dau7"))
     },
 
+    // Session semantics executed a THIRD way: Spark's built-in
+    // session_window operator (q41 = manual lag+cumsum, q87 = stateful
+    // streaming, q100 = built-in). session_window is half-open — an
+    // event at exactly last+gap starts a NEW session — so the oracle's
+    // gap test is >= where q41's is >; window end = last event + gap.
+    "q100_session_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("start_ts"),
+          col("session_window.end").cast("timestamp_ntz").as("end_ts"),
+          col("n_events"), col("total"))
+    },
+
+    // The sketch family's oracle-checkable row: HLL++ approximate
+    // distinct at rsd=0.01 next to the exact count. The sketch's
+    // register-max merge is order-independent, so the approx value —
+    // and therefore the 5%-bound flag (5 sigma at this rsd) — is
+    // deterministic for a given dataset regardless of partitioning.
+    "q101_approx_distinct" -> { (s, d) =>
+      Tables.events(s, d)
+        .agg(count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("apx"))
+        .select(col("exact_users"),
+          (abs(col("apx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("approx_ok"))
+    },
+
     // Tumbling 1-hour window per event type (streaming `window()` analog).
     "q40_tumbling_window" -> { (s, d) =>
       Tables.events(s, d)
@@ -288,6 +318,27 @@ object Events {
                 make_timestamp(CAST(epoch_us(max(ts)) AS BIGINT)) AS end_ts,
                 count(*) AS n_events, round(sum(value), 2) AS total
          FROM s GROUP BY user_id, sid""",
+    // >= gap (half-open session_window semantics); end = last + gap
+    "q100_session_window" ->
+      """WITH g AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT user_id,
+                make_timestamp(CAST(epoch_us(min(ts)) AS BIGINT)) AS start_ts,
+                make_timestamp(CAST(epoch_us(max(ts)) AS BIGINT) + 1800000000) AS end_ts,
+                count(*) AS n_events, round(sum(value), 2) AS total
+         FROM s GROUP BY user_id, sid""",
+    "q101_approx_distinct" ->
+      """SELECT count(DISTINCT user_id) AS exact_users, true AS approx_ok
+         FROM events""",
     // time bounds compared in the µs domain both engines share
     "q99_stream_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
