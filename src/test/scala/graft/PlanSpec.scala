@@ -145,6 +145,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q98: rolling-DAU day-spine join is a broadcast, contribution side never cartesian") {
+    val plan = planOf("q98_rolling_dau")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("partitioned writes enable partition pruning (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/li"
     SparkEntry.queries("q02_filter_project")(spark, sf) // warm unrelated
