@@ -132,9 +132,9 @@ object Events {
 
     // Session semantics executed a THIRD way: Spark's built-in
     // session_window operator (q41 = manual lag+cumsum, q87 = stateful
-    // streaming, q100 = built-in). session_window is half-open — an
-    // event at exactly last+gap starts a NEW session — so the oracle's
-    // gap test is >= where q41's is >; window end = last event + gap.
+    // streaming, q100 = built-in). Empirically (Spark 4.1.2) an event
+    // at EXACTLY last+gap still merges — the boundary is > gap, same
+    // as q41's — and the window end is last event + gap.
     "q100_session_window" -> { (s, d) =>
       Tables.events(s, d)
         .withColumn("ts", col("ts").cast("timestamp"))
@@ -156,8 +156,10 @@ object Events {
         .agg(count_distinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.01).as("apx"))
         .select(col("exact_users"),
-          (abs(col("apx") - col("exact_users")).cast("double") /
-            col("exact_users") <= 0.05).as("approx_ok"))
+          // empty table: 0/0 would throw under ANSI; vacuously ok
+          when(col("exact_users") === 0L, lit(true))
+            .otherwise(abs(col("apx") - col("exact_users")).cast("double") /
+              col("exact_users") <= 0.05).as("approx_ok"))
     },
 
     // Tumbling 1-hour window per event type (streaming `window()` analog).
@@ -318,12 +320,13 @@ object Events {
                 make_timestamp(CAST(epoch_us(max(ts)) AS BIGINT)) AS end_ts,
                 count(*) AS n_events, round(sum(value), 2) AS total
          FROM s GROUP BY user_id, sid""",
-    // >= gap (half-open session_window semantics); end = last + gap
+    // > gap (an exact-gap event still merges, verified on Spark 4.1.2);
+    // end = last + gap
     "q100_session_window" ->
       """WITH g AS (
            SELECT user_id, ts, value,
                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
                        THEN 1 ELSE 0 END AS is_new
            FROM events),
          s AS (
