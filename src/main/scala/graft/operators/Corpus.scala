@@ -193,6 +193,51 @@ object Corpus {
       .filter(col("freq") * k > total)
   }
 
+  /** Exact duplicate-SPAN detection — the substring-level dedup pass
+    * (document-level dedup misses boilerplate repeated INSIDE otherwise
+    * unique documents; arXiv:2107.06499 removes such spans corpus-wide).
+    * Every k-token shingle occurring more than once in the corpus marks
+    * its non-FIRST occurrences (first = global (doc_id, pos) order, the
+    * deterministic keeper) as duplicated positions; adjacent positions
+    * merge into maximal spans (gaps-and-islands), each reported as
+    * (doc_id, span_start, span_end, n_shingles) in token coordinates —
+    * the removal list a cleaning pass consumes.
+    *
+    * Scale shape: one shuffle on the shingle key for the global
+    * occurrence ranking (windowed rank + count, map-side nothing to
+    * combine but the key space is the corpus shingle stream, exactly
+    * the decontaminate/heavy-hitter volume), then one per-doc window
+    * for the span merge. No joins, no driver state.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 5): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $shingleN), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $shingleN)))"))
+        .as(Seq("pos", "shingle")))
+    val byShingle = Window.partitionBy("shingle").orderBy("doc_id", "pos")
+    val dup = sh
+      .withColumn("rn", row_number().over(byShingle))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("cnt") > 1 && col("rn") > 1)
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("newisl",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") - lag(col("pos"), 1).over(byDoc) > 1, 1).otherwise(0))
+      .withColumn("isl",
+        sum(col("newisl")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + shingleN - 1).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_shingles"))
+  }
+
   /** Training-mix rebalancing: downsample each stratum so the OUTPUT
     * corpus matches target mixture weights (the domain/language mixing
     * step of pretraining data assembly). The largest feasible output is

@@ -460,6 +460,13 @@ object LlmText {
         .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
     },
 
+    // Exact duplicate-span detection: non-first occurrences of repeated
+    // 5-token shingles merged into maximal removable spans.
+    "q102_dup_spans" -> { (s, d) =>
+      graft.operators.Corpus.duplicateSpans(Tables.documents(s, d),
+        "doc_id", "text", shingleN = 5)
+    },
+
     // Training-mix rebalance: downsample per-language strata to a
     // 50/15/15/10/10 target mixture with the deterministic md5 gate.
     "q97_mixture_sample" -> { (s, d) =>
@@ -813,6 +820,35 @@ object LlmText {
           $pqAdcTop3
           SELECT query_id, neighbor_id, adist, rank FROM adc3"""
     },
+
+    // Same keeper rule (global (doc_id, pos) rank 1 survives) and the
+    // same gaps-and-islands merge, in window SQL.
+    "q102_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+          sh0 AS (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks) - 4)) AS i
+                  FROM f),
+          sh AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                   array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER) + 4], ' ') AS shingle
+                 FROM sh0),
+          flg AS (SELECT doc_id, pos,
+                    row_number() OVER (PARTITION BY shingle ORDER BY doc_id, pos) AS rn,
+                    count(*) OVER (PARTITION BY shingle) AS cnt
+                  FROM sh),
+          d AS (SELECT doc_id, pos FROM flg WHERE cnt > 1 AND rn > 1),
+          isl AS (SELECT doc_id, pos,
+                    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                           OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+                         THEN 1 ELSE 0 END AS newisl
+                  FROM d),
+          isl2 AS (SELECT doc_id, pos,
+                     sum(newisl) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+                   FROM isl)
+          SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+                 count(*) AS n_shingles
+          FROM isl2 GROUP BY doc_id, g""",
 
     // Threshold arithmetic written in the engine's exact expression
     // order (((1e6 * w) * t) / n) so the floor()ed gates agree.

@@ -272,6 +272,27 @@ class DedupSpec extends AnyFunSuite {
     assert(codes.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 4))
   }
 
+  test("duplicateSpans flags non-first shingle occurrences merged into maximal spans") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f x y z w v u"), // keeper of "a b c d e f"
+      (2L, "p q a b c d e f r s t"), // repeats it at token 2
+      (3L, "m n o m n o m n o m n o") // too short for a 5-shingle repeat? 12 toks
+    ).toDF("doc_id", "text")
+    val spans = Corpus.duplicateSpans(docs, "doc_id", "text", shingleN = 5)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getLong(3))))
+    // doc 2: shingles at pos 2 ("a b c d e") and 3 ("b c d e f") are
+    // duplicates of doc 1's pos 0/1 → one merged span covering tokens
+    // 2..7, two shingles
+    assert(spans.contains((2L, (2, 7, 2L))))
+    // doc 1 is the keeper — no span starts there from that run
+    assert(!spans.exists { case (d, (s, _, _)) => d == 1L && s == 0 })
+    // doc 3's period-3 self repetition: "m n o m n o" at pos 0 repeats
+    // at pos 3, etc. — the non-first occurrences merge into one span
+    val d3 = spans.filter(_._1 == 3L)
+    assert(d3.nonEmpty && d3.forall { case (_, (s, e, _)) => s >= 1 && e <= 11 })
+  }
+
   test("bm25 rewards tf and penalizes length; inverted index pins postings") {
     import spark.implicits._
     val docs = Seq(
