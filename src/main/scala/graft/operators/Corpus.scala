@@ -238,6 +238,29 @@ object Corpus {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_shingles"))
   }
 
+  /** Apply [[duplicateSpans]]: drop every token inside a duplicated
+    * span and re-materialize the cleaned document (digest + kept-token
+    * count — the digest pins the exact surviving token sequence
+    * cross-engine without shipping full texts). Span token-ranges
+    * explode to (doc_id, pos) removal rows; the kept tokens are a
+    * LEFT ANTI equi-join away, then one per-doc aggregation rebuilds
+    * the ordered sequence.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 5): DataFrame = {
+    val rm = duplicateSpans(docs, idCol, textCol, shingleN)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    toks.join(rm, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            e => e.getField("tok")))).as("clean_md5"))
+  }
+
   /** Training-mix rebalancing: downsample each stratum so the OUTPUT
     * corpus matches target mixture weights (the domain/language mixing
     * step of pretraining data assembly). The largest feasible output is

@@ -467,6 +467,13 @@ object LlmText {
         "doc_id", "text", shingleN = 5)
     },
 
+    // ... and the removal consumer: cleaned-document digests after
+    // dropping every duplicated span.
+    "q103_span_removal" -> { (s, d) =>
+      graft.operators.Corpus.removeDuplicateSpans(Tables.documents(s, d),
+        "doc_id", "text", shingleN = 5)
+    },
+
     // Training-mix rebalance: downsample per-language strata to a
     // 50/15/15/10/10 target mixture with the deterministic md5 gate.
     "q97_mixture_sample" -> { (s, d) =>
@@ -849,6 +856,36 @@ object LlmText {
           SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
                  count(*) AS n_shingles
           FROM isl2 GROUP BY doc_id, g""",
+
+    // Span ranges expand to token-level removal rows (DISTINCT — the
+    // overlapping shingles share tokens), ANTI-joined off the token
+    // stream; string_agg ORDER BY pos == the engine's sorted collect.
+    "q103_span_removal" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+          sh0 AS (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks) - 4)) AS i
+                  FROM f),
+          sh AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                   array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER) + 4], ' ') AS shingle
+                 FROM sh0),
+          flg AS (SELECT doc_id, pos,
+                    row_number() OVER (PARTITION BY shingle ORDER BY doc_id, pos) AS rn,
+                    count(*) OVER (PARTITION BY shingle) AS cnt
+                  FROM sh),
+          d AS (SELECT doc_id, pos FROM flg WHERE cnt > 1 AND rn > 1),
+          rm AS (SELECT DISTINCT doc_id, CAST(pos + j AS INTEGER) AS pos
+                 FROM d, generate_series(0, 4) AS s(j)),
+          tk0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+                  FROM t),
+          tk AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                   toks[CAST(i AS INTEGER)] AS tok
+                 FROM tk0),
+          kept AS (SELECT tk.doc_id, tk.pos, tk.tok
+                   FROM tk ANTI JOIN rm USING (doc_id, pos))
+          SELECT doc_id, count(*) AS n_kept,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+          FROM kept GROUP BY 1""",
 
     // Threshold arithmetic written in the engine's exact expression
     // order (((1e6 * w) * t) / n) so the floor()ed gates agree.

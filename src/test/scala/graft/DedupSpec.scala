@@ -291,6 +291,12 @@ class DedupSpec extends AnyFunSuite {
     // at pos 3, etc. — the non-first occurrences merge into one span
     val d3 = spans.filter(_._1 == 3L)
     assert(d3.nonEmpty && d3.forall { case (_, (s, e, _)) => s >= 1 && e <= 11 })
+
+    // removal consumer: doc 2 loses tokens 2..7 (keeps "p q r s t"),
+    // doc 1 (the keeper) keeps all 12
+    val cleaned = Corpus.removeDuplicateSpans(docs, "doc_id", "text", shingleN = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cleaned(2L) == 5L && cleaned(1L) == 12L)
   }
 
   test("bm25 rewards tf and penalizes length; inverted index pins postings") {
