@@ -198,8 +198,9 @@ object Corpus {
     * unique documents; arXiv:2107.06499 removes such spans corpus-wide).
     * Every k-token shingle occurring more than once in the corpus marks
     * its non-FIRST occurrences (first = global (doc_id, pos) order, the
-    * deterministic keeper) as duplicated positions; adjacent positions
-    * merge into maximal spans (gaps-and-islands), each reported as
+    * deterministic keeper) as duplicated positions; positions whose
+    * token ranges touch or overlap merge into maximal DISJOINT spans
+    * (gaps-and-islands on coverage), each reported as
     * (doc_id, span_start, span_end, n_shingles) in token coordinates —
     * the removal list a cleaning pass consumes.
     *
@@ -219,16 +220,21 @@ object Corpus {
           s"i -> concat_ws(' ', slice(toks, i + 1, $shingleN)))"))
         .as(Seq("pos", "shingle")))
     val byShingle = Window.partitionBy("shingle").orderBy("doc_id", "pos")
+    // rn > 1 alone selects non-first occurrences (a singleton shingle's
+    // only row has rn = 1) — no second count window needed
     val dup = sh
       .withColumn("rn", row_number().over(byShingle))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("cnt") > 1 && col("rn") > 1)
+      .filter(col("rn") > 1)
       .select("doc_id", "pos")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // islands break on TOKEN-coverage gaps: flagged positions p1 < p2
+    // cover contiguous-or-overlapping token ranges iff p2 <= p1 + N, so
+    // a gap > N starts a new span — anything tighter emits overlapping
+    // span rows, breaking the disjoint "maximal spans" contract
     dup
       .withColumn("newisl",
         when(lag(col("pos"), 1).over(byDoc).isNull ||
-          col("pos") - lag(col("pos"), 1).over(byDoc) > 1, 1).otherwise(0))
+          col("pos") - lag(col("pos"), 1).over(byDoc) > shingleN, 1).otherwise(0))
       .withColumn("isl",
         sum(col("newisl")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "isl")
@@ -253,12 +259,18 @@ object Corpus {
         explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     val toks = docs.select(col(idCol).as("doc_id"),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
-    toks.join(rm, Seq("doc_id", "pos"), "left_anti")
+    val cleaned = toks.join(rm, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         md5(concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
             e => e.getField("tok")))).as("clean_md5"))
+    // keep fully-deduplicated (and token-less) docs visible as
+    // n_kept = 0 / null digest instead of silently dropping them
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(cleaned, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("clean_md5"))
   }
 
   /** Training-mix rebalancing: downsample each stratum so the OUTPUT

@@ -840,13 +840,12 @@ object LlmText {
                    array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER) + 4], ' ') AS shingle
                  FROM sh0),
           flg AS (SELECT doc_id, pos,
-                    row_number() OVER (PARTITION BY shingle ORDER BY doc_id, pos) AS rn,
-                    count(*) OVER (PARTITION BY shingle) AS cnt
+                    row_number() OVER (PARTITION BY shingle ORDER BY doc_id, pos) AS rn
                   FROM sh),
-          d AS (SELECT doc_id, pos FROM flg WHERE cnt > 1 AND rn > 1),
+          d AS (SELECT doc_id, pos FROM flg WHERE rn > 1),
           isl AS (SELECT doc_id, pos,
                     CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-                           OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+                           OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
                          THEN 1 ELSE 0 END AS newisl
                   FROM d),
           isl2 AS (SELECT doc_id, pos,
@@ -870,10 +869,9 @@ object LlmText {
                    array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER) + 4], ' ') AS shingle
                  FROM sh0),
           flg AS (SELECT doc_id, pos,
-                    row_number() OVER (PARTITION BY shingle ORDER BY doc_id, pos) AS rn,
-                    count(*) OVER (PARTITION BY shingle) AS cnt
+                    row_number() OVER (PARTITION BY shingle ORDER BY doc_id, pos) AS rn
                   FROM sh),
-          d AS (SELECT doc_id, pos FROM flg WHERE cnt > 1 AND rn > 1),
+          d AS (SELECT doc_id, pos FROM flg WHERE rn > 1),
           rm AS (SELECT DISTINCT doc_id, CAST(pos + j AS INTEGER) AS pos
                  FROM d, generate_series(0, 4) AS s(j)),
           tk0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
@@ -882,10 +880,12 @@ object LlmText {
                    toks[CAST(i AS INTEGER)] AS tok
                  FROM tk0),
           kept AS (SELECT tk.doc_id, tk.pos, tk.tok
-                   FROM tk ANTI JOIN rm USING (doc_id, pos))
-          SELECT doc_id, count(*) AS n_kept,
-                 md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
-          FROM kept GROUP BY 1""",
+                   FROM tk ANTI JOIN rm USING (doc_id, pos)),
+          agg AS (SELECT doc_id, count(*) AS n_kept,
+                    md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+                  FROM kept GROUP BY 1)
+          SELECT t.doc_id, coalesce(agg.n_kept, 0) AS n_kept, agg.clean_md5
+          FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""",
 
     // Threshold arithmetic written in the engine's exact expression
     // order (((1e6 * w) * t) / n) so the floor()ed gates agree.

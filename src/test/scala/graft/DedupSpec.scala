@@ -277,7 +277,7 @@ class DedupSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "a b c d e f x y z w v u"), // keeper of "a b c d e f"
       (2L, "p q a b c d e f r s t"), // repeats it at token 2
-      (3L, "m n o m n o m n o m n o") // too short for a 5-shingle repeat? 12 toks
+      (3L, "m n o m n o m n o m n o") // period-3 self-repetition (positive case)
     ).toDF("doc_id", "text")
     val spans = Corpus.duplicateSpans(docs, "doc_id", "text", shingleN = 5)
       .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getLong(3))))
