@@ -423,19 +423,83 @@ object Corpus {
     */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tfidfScored(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "tfidf", "rank")
+  }
+
+  /** Shared TF-IDF scoring stage of [[tfidfTopK]] / [[tfidfTopKAgg]]:
+    * (doc_id, term, tf, tfidf).
+    */
+  private[operators] def tfidfScored(docs: DataFrame, idCol: String,
+                                     textCol: String): DataFrame = {
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("tfidf").desc, col("term").asc)
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
-      .select("doc_id", "term", "tf", "tfidf", "rank")
   }
+
+  /** Top-k terms per doc computed with a BOUNDED-BUFFER typed
+    * Aggregator instead of a window sort — the skew-safe top-k shape:
+    * `row_number().over(Window.partitionBy(g).orderBy(...))` SORTS each
+    * group in full (O(n log n) per group, spilling on a hot key), while
+    * an aggregator carries at most k rows per group through partial
+    * aggregation — map-side combine trims to k BEFORE the exchange, so
+    * a group with 10⁹ rows ships ~k·partitions rows, not 10⁹. Identical
+    * output to [[tfidfTopK]] (same total order (tfidf desc, term asc);
+    * q104 is verified against q68's oracle verbatim).
+    */
+  def tfidfTopKAgg(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val topk = udaf(new TopKTermsAggregator(k))
+    tfidfScored(docs, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(topk(col("term"), col("tf"), col("tfidf")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("i", "e")))
+      // tuple encoder field names: _1 = term, _2 = tf, _3 = tfidf
+      .select(col("doc_id"), col("e._1").as("term"), col("e._2").as("tf"),
+        col("e._3").as("tfidf"), (col("i") + 1).cast("int").as("rank"))
+  }
+}
+
+/** Bounded top-k buffer for [[Corpus.tfidfTopKAgg]]: both the partial
+  * (reduce) and merge paths trim to k under the total order
+  * (tfidf desc, term asc), so no buffer anywhere — executor, shuffle,
+  * or final — ever holds more than k entries per group. k is tiny, so
+  * sort-and-take beats a heap on constant factors and stays allocation-
+  * simple for the encoder.
+  */
+final class TopKTermsAggregator(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (String, Long, Double), Seq[(String, Long, Double)],
+      Seq[(String, Long, Double)]] {
+  import org.apache.spark.sql.Encoder
+
+  private def trim(xs: Seq[(String, Long, Double)]): Seq[(String, Long, Double)] =
+    xs.sortBy { case (term, _, tfidf) => (-tfidf, term) }.take(k)
+
+  override def zero: Seq[(String, Long, Double)] = Seq.empty
+  override def reduce(b: Seq[(String, Long, Double)],
+                      a: (String, Long, Double)): Seq[(String, Long, Double)] =
+    trim(b :+ a)
+  override def merge(x: Seq[(String, Long, Double)],
+                     y: Seq[(String, Long, Double)]): Seq[(String, Long, Double)] =
+    trim(x ++ y)
+  override def finish(r: Seq[(String, Long, Double)]): Seq[(String, Long, Double)] = r
+  override def bufferEncoder: Encoder[Seq[(String, Long, Double)]] =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Seq[(String, Long, Double)]]()
+  override def outputEncoder: Encoder[Seq[(String, Long, Double)]] =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Seq[(String, Long, Double)]]()
 }

@@ -92,6 +92,23 @@ object LlmText {
   /** q97 target mixture — one constant drives both engines. */
   private val MixWeights = Seq(
     ("en", 0.5), ("de", 0.15), ("es", 0.15), ("fr", 0.1), ("zh", 0.1))
+
+  /** Shared by q68 (window-sort implementation) and q104 (bounded-
+    * buffer aggregator implementation) — one oracle, two engines, two
+    * execution strategies.
+    */
+  private val tfidfTop3Sql =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 4) AS tfidf
+               FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd)
+        SELECT doc_id, term, tf, tfidf, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS rn FROM sc)
+        WHERE rn <= 3"""
   private val pqChain: String = {
     val subCols = (0 until pqM).map { s =>
       val lo = s * pqDsub + 1
@@ -460,6 +477,15 @@ object LlmText {
         .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
     },
 
+    // q68 recomputed through the bounded-buffer typed Aggregator (the
+    // skew-safe top-k-per-group shape: <= k rows per group survive the
+    // map side, no full window sort) — same oracle as q68 proves the
+    // two implementations identical.
+    "q104_topk_agg" -> { (s, d) =>
+      graft.operators.Corpus.tfidfTopKAgg(Tables.documents(s, d),
+        "doc_id", "text", k = 3)
+    },
+
     // Exact duplicate-span detection: non-first occurrences of repeated
     // 5-token shingles merged into maximal removable spans.
     "q102_dup_spans" -> { (s, d) =>
@@ -673,18 +699,10 @@ object LlmText {
             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
               AS uniq_frac
           FROM b""",
-    "q68_tfidf" ->
-      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
-          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
-          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-          nd AS (SELECT count(*) AS n_docs FROM documents),
-          sc AS (SELECT tf.doc_id, tf.term, tf.tf,
-                   round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 4) AS tfidf
-                 FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd)
-          SELECT doc_id, term, tf, tfidf, CAST(rn AS INTEGER) AS rank
-          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                  ORDER BY tfidf DESC, term) AS rn FROM sc)
-          WHERE rn <= 3""",
+    "q68_tfidf" -> tfidfTop3Sql,
+    // identical oracle: the aggregator must reproduce the window-sort
+    // derivation exactly
+    "q104_topk_agg" -> tfidfTop3Sql,
     "q69_kmeans" -> {
       val k = 8
       val iters = 2

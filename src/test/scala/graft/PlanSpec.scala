@@ -151,6 +151,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("q104: aggregator top-k has partial combine and no window sort") {
+    val plan = planOf("q104_topk_agg")
+    // the bounded-buffer aggregator replaces the per-group window sort;
+    // partial ObjectHashAggregate trims to k before the exchange
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(1200))
+  }
+
   test("partitioned writes enable partition pruning (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/li"
     SparkEntry.queries("q02_filter_project")(spark, sf) // warm unrelated
