@@ -205,8 +205,8 @@ object Corpus {
     * the removal list a cleaning pass consumes.
     *
     * Scale shape: one shuffle on the shingle key for the global
-    * occurrence ranking (windowed rank + count, map-side nothing to
-    * combine but the key space is the corpus shingle stream, exactly
+    * occurrence ranking (a single windowed rank — map-side nothing to
+    * combine, but the key space is the corpus shingle stream, exactly
     * the decontaminate/heavy-hitter volume), then one per-doc window
     * for the span merge. No joins, no driver state.
     */
@@ -267,7 +267,9 @@ object Corpus {
             e => e.getField("tok")))).as("clean_md5"))
     // keep fully-deduplicated (and token-less) docs visible as
     // n_kept = 0 / null digest instead of silently dropping them
-    docs.select(col(idCol).as("doc_id")).distinct()
+    // (no distinct: one output row per input doc row, like the oracle's
+    // LEFT JOIN — and no extra exchange)
+    docs.select(col(idCol).as("doc_id"))
       .join(cleaned, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         col("clean_md5"))
@@ -485,13 +487,41 @@ final class TopKTermsAggregator(k: Int)
       Seq[(String, Long, Double)]] {
   import org.apache.spark.sql.Encoder
 
+  // Terms compare as UNSIGNED UTF-8 BYTES — the order Spark's
+  // UTF8String sort and DuckDB's binary string comparison share.
+  // Scala's String ordering compares UTF-16 code units, which flips
+  // supplementary-plane vs compatibility-range terms and would break
+  // the "identical to the window sort / oracle" contract on ties.
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private val ord: Ordering[(String, Long, Double)] =
+    (p: (String, Long, Double), q: (String, Long, Double)) => {
+      val c = java.lang.Double.compare(q._3, p._3) // tfidf desc
+      if (c != 0) c else utf8Compare(p._1, q._1) // term asc (utf-8)
+    }
+
   private def trim(xs: Seq[(String, Long, Double)]): Seq[(String, Long, Double)] =
-    xs.sortBy { case (term, _, tfidf) => (-tfidf, term) }.take(k)
+    xs.sorted(ord).take(k)
 
   override def zero: Seq[(String, Long, Double)] = Seq.empty
   override def reduce(b: Seq[(String, Long, Double)],
                       a: (String, Long, Double)): Seq[(String, Long, Double)] =
-    trim(b :+ a)
+    // buffer stays sorted (trim's output): once full, a row at or past
+    // the k-th entry can never enter — skip the append + re-sort on the
+    // hot path (the overwhelming majority of rows in a skewed group)
+    if (b.length >= k && ord.compare(a, b.last) >= 0) b
+    else trim(b :+ a)
   override def merge(x: Seq[(String, Long, Double)],
                      y: Seq[(String, Long, Double)]): Seq[(String, Long, Double)] =
     trim(x ++ y)
