@@ -413,8 +413,18 @@ object Corpus {
       .withColumn("contrib",
         col("idf") * (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    // Pin the IEEE reduction order: contribs fold left-to-right in term
+    // order (array_sort on the (term, contrib) struct, terms unique per
+    // doc) before the single 4 dp rounding. A plain sum() aggregates in
+    // partition-arrival order, and a last-ulp difference vs the oracle's
+    // own order could flip the rounded score — same rule as pqAdc's
+    // subspace-ordered term sum. The per-doc lists are |query|-bounded
+    // (≤ a handful of terms), so the HOF fold is trivially cheap.
     scored.groupBy("doc_id")
-      .agg(round(sum(col("contrib")), 4).as("score"))
+      .agg(array_sort(collect_list(struct(col("term"), col("contrib")))).as("cs"))
+      .select(col("doc_id"),
+        round(aggregate(col("cs"), lit(0.0),
+          (acc, e) => acc + e.getField("contrib")), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }

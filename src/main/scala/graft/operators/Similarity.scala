@@ -51,11 +51,20 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Repartition up to session parallelism ONLY when the input arrives
+    * with fewer partitions (the one-small-file case — a single task
+    * would own every per-row kernel, and the non-equi pair joins stream
+    * the probe side without a shuffle, so partition count IS the
+    * parallelism). An input already at/above parallelism — the normal
+    * state of a large table — keeps its partitioning: no exchange.
+    */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   private def withNorm(df: DataFrame): DataFrame =
-    // Repartition to session parallelism: vector sets often arrive as one
-    // small file (single task), and the non-equi pair join streams the
-    // probe side without a shuffle — partition count IS the parallelism.
-    withNative(df).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    ensureParallelism(withNative(df))
       .select(col("id"), col("embedding"),
         sqrt(dotN(col("embedding"), col("embedding"))).as("norm"))
 
@@ -160,14 +169,19 @@ object Similarity {
                         tables: Int = 16): DataFrame = {
     // enforce the documented precondition: a table slice past the
     // vector length would read null → a CONSTANT key shared by every
-    // vector, silently degenerating that table's equi-join to all-pairs
-    // (an empty input has nothing to degenerate — skip the probe)
-    vectors.select(size(col("embedding")).as("d")).limit(1).collect()
+    // vector, silently degenerating that table's equi-join to all-pairs.
+    // Checked against min(size(embedding)) — one tiny agg — so a
+    // mixed-dimension input can't slip a short vector past an
+    // arbitrary-first-row probe (an empty input has nothing to
+    // degenerate — min is null, skip)
+    vectors.agg(min(size(col("embedding"))).as("d")).collect()
       .foreach { r =>
-        val dim = if (r.isNullAt(0)) 0 else r.getInt(0)
-        require(tables * bits <= dim,
-          s"tables*bits = ${tables * bits} exceeds embedding dim $dim — " +
-            "excess tables would hash every vector to one constant bucket")
+        if (!r.isNullAt(0)) {
+          val dim = r.getInt(0)
+          require(tables * bits <= dim,
+            s"tables*bits = ${tables * bits} exceeds min embedding dim $dim — " +
+              "excess tables would hash every vector to one constant bucket")
+        }
       }
     val b = withNorm(vectors)
       .withColumn("keys", tableKeys(col("embedding"), bits, tables))
@@ -331,15 +345,19 @@ object Similarity {
     * structures above and re-ranks with this scoring.
     */
   def int8TopK(vectors: DataFrame, k: Int): DataFrame = {
-    val v = withNative(quantizeInt8(vectors))
-      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    val v = ensureParallelism(withNative(quantizeInt8(vectors)))
       .select(col("id"), col("codes").cast("array<double>").as("q8"))
       .withColumn("norm", sqrt(dotN(col("q8"), col("q8"))))
+    // zero-norm guard (same rule as kmeansAssign): a zero vector
+    // quantizes to all-zero codes, and NaN cosines would sort above
+    // every real score (or raise DIVIDE_BY_ZERO under ANSI) — null
+    // ranks last under desc ordering in both engines
     val pairs = v.as("q")
       .join(v.as("c"), col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
-        round(dotN(col("q.q8"), col("c.q8")) /
-          (col("q.norm") * col("c.norm")), 4).as("cos"))
+        when(col("q.norm") * col("c.norm") === 0d, lit(null))
+          .otherwise(round(dotN(col("q.q8"), col("c.q8")) /
+            (col("q.norm") * col("c.norm")), 4)).as("cos"))
     topK(pairs, k)
   }
 
@@ -363,8 +381,7 @@ object Similarity {
     val subs = (0 until m).map(s =>
       slice(col("e"), s * dsub + 1, dsub).as(s"sub$s"))
     val nvs = (0 until m).map(s => dotN(col(s"sub$s"), col(s"sub$s")).as(s"nv$s"))
-    withNative(vectors)
-      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    ensureParallelism(withNative(vectors))
       .select(col("id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(dotN(col("e"), col("e"))))
       .select(col("id"),
@@ -414,14 +431,21 @@ object Similarity {
     val dsub = dim / m
     val base = pqBase(vectors, m, dsub)
     var books: Array[Codebook] = {
-      val seeds = base.filter(col("id") < ksub)
+      // the ACTUAL ksub lowest-id vectors — not `id < ksub`, which
+      // silently under-seeds (or empties) on non-contiguous/non-zero-based
+      // ids — with cids re-indexed densely 0..|seeds|-1 by id rank:
+      // pqAdcTopK's cid-indexed lookup literals and the SQL oracle's
+      // row_number()-1 seed cids both rely on dense cids
+      val seeds = base.orderBy(col("id")).limit(ksub)
         .select(col("id") +: (0 until m).map(s => col(s"sub$s")): _*)
         .collect()
+        .sortBy(_.getLong(0))
+      require(seeds.nonEmpty, "PQ training needs a non-empty vector set")
       (0 until m).map { s =>
-        seeds.map { r =>
+        seeds.zipWithIndex.map { case (r, cid) =>
           val ce = r.getSeq[Double](1 + s).toArray
-          (r.getLong(0), ce, ce.foldLeft(0.0)((a, x) => a + x * x))
-        }.sortBy(_._1): Codebook
+          (cid.toLong, ce, ce.foldLeft(0.0)((a, x) => a + x * x))
+        }: Codebook
       }.toArray
     }
     for (_ <- 1 to iters) {

@@ -55,12 +55,17 @@ object ViraPipeline {
     reads.join(keepers, "key")
   }
 
-  /** Serialize reads (key, sequence, quality) to 4-line FASTQ records,
-    * ordered deterministically for the pipe.
+  /** Serialize reads (key, sequence, quality) to 4-line FASTQ records.
+    * PARTITION-LOCAL sort only: each pipe process consumes one
+    * partition, so per-partition determinism is all the tools need —
+    * a global orderBy would range-shuffle the entire read set before
+    * the hottest stage (the reference streams partition-local too,
+    * AlignInterleaved.java:67-140), a cluster-wide sort for nothing
+    * at 100 TB.
     */
   private def toFastqLines(reads: DataFrame): Dataset[String] = {
     import reads.sparkSession.implicits._
-    reads.orderBy("key")
+    reads.sortWithinPartitions("key")
       .select(concat(lit("@"), col("key"), lit("\n"), col("sequence"),
         lit("\n+\n"), col("quality")).as("rec"))
       .as[String]
@@ -69,7 +74,7 @@ object ViraPipeline {
 
   private def toFastaLines(df: DataFrame): Dataset[String] = {
     import df.sparkSession.implicits._
-    df.orderBy("id")
+    df.sortWithinPartitions("id")
       .select(concat(lit(">"), col("id"), lit("\n"), col("sequence")).as("rec"))
       .as[String]
       .flatMap(_.split("\n"))

@@ -123,8 +123,9 @@ object LlmText {
                   round(b.nv$s + c.nc - 2 * list_dot_product(b.sub$s, c.ce), 4),
                   c.cid) AS rn
               FROM b CROSS JOIN $centRel c) WHERE rn = 1)"""
-      s"""cs0_$s AS (SELECT vec_id AS cid, sub$s AS ce, nv$s AS nc
-              FROM b WHERE vec_id < $pqKsub),
+      s"""cs0_$s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                sub$s AS ce, nv$s AS nc
+              FROM (SELECT * FROM b ORDER BY vec_id LIMIT $pqKsub)),
           ${assignSql(s"as0_$s", s"cs0_$s", s", sub$s, nv$s")},
           u1_$s AS (SELECT cid AS cluster, CAST(t.i AS INTEGER) AS dim,
                 round(avg(sub$s[CAST(t.i AS INTEGER)]), 6) AS mv
@@ -444,11 +445,14 @@ object LlmText {
 
     // int8 scalar quantization of the embedding column — codes must be
     // bit-identical across engines (pure IEEE double ops + one shared
-    // rounding rule).
+    // rounding rule). Codes are posexploded to (vec_id, dim, code)
+    // scalar rows (q92's shape) so the harness can sort/hash them —
+    // array-typed result columns are unhashable driver-side.
     "q90_int8_quantize" -> { (s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d)
           .select(col("vec_id").as("id"), col("embedding")))
-        .select(col("id").as("vec_id"), col("scale"), col("codes"))
+        .select(col("id").as("vec_id"), col("scale"),
+          posexplode(col("codes")).as(Seq("dim", "code")))
     },
 
     // Top-3 cosine neighbors scored entirely in the quantized int8 space
@@ -800,16 +804,22 @@ object LlmText {
     // Mirrors quantizeInt8 exactly: scale = amax/127 (unrounded) feeds
     // the code rounding; the OUTPUT scale is rounded to 6 dp. The same
     // x/(amax/127.0) expression shape matters — x*127/amax would round
-    // differently in the last ulp.
+    // differently in the last ulp. One (vec_id, dim, code) row per
+    // element, matching the engine's posexplode (dim is 0-based).
     "q90_int8_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
           s AS (SELECT vec_id, e,
-                  list_max(list_transform(e, x -> abs(x))) AS amax FROM v)
-          SELECT vec_id, round(amax / 127.0, 6) AS scale,
-            CASE WHEN amax = 0 THEN list_transform(e, x -> 0)
-                 ELSE list_transform(e, x -> CAST(round(x / (amax / 127.0)) AS INTEGER))
-            END AS codes
-          FROM s""",
+                  list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+          c AS (SELECT vec_id, round(amax / 127.0, 6) AS scale,
+                  CASE WHEN amax = 0 THEN list_transform(e, x -> 0)
+                       ELSE list_transform(e, x -> CAST(round(x / (amax / 127.0)) AS INTEGER))
+                  END AS codes
+                FROM s),
+          x AS (SELECT vec_id, scale, codes,
+                  unnest(generate_series(1, len(codes))) AS i FROM c)
+          SELECT vec_id, scale, CAST(i - 1 AS INTEGER) AS dim,
+            codes[i] AS code
+          FROM x""",
     "q91_int8_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
           s AS (SELECT vec_id, e,
@@ -821,7 +831,9 @@ object LlmText {
                 FROM s),
           n AS (SELECT vec_id, c, sqrt(list_dot_product(c, c)) AS nrm FROM q),
           p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                  round(list_dot_product(q.c, c.c) / (q.nrm * c.nrm), 4) AS qcos
+                  CASE WHEN q.nrm * c.nrm = 0 THEN NULL
+                       ELSE round(list_dot_product(q.c, c.c) / (q.nrm * c.nrm), 4)
+                  END AS qcos
                 FROM n q JOIN n c ON q.vec_id != c.vec_id)
           SELECT query_id, neighbor_id, qcos FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
@@ -952,14 +964,17 @@ object LlmText {
           tf AS (SELECT doc_id, term, count(*) AS tf FROM t
                  WHERE term IN ('spark', 'fast', 'query') GROUP BY 1, 2),
           df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-          sc AS (SELECT tf.doc_id,
+          sc AS (SELECT tf.doc_id, tf.term,
                    ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
                      (tf.tf * (1.2 + 1)) /
                      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
                  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
-                      CROSS JOIN st)
-          SELECT doc_id, round(sum(contrib), 4) AS score FROM sc
-          GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""",
+                      CROSS JOIN st),
+          -- left fold in term order = the engine's pinned IEEE sum order
+          sc2 AS (SELECT doc_id, list(contrib ORDER BY term) AS cs
+                  FROM sc GROUP BY 1)
+          SELECT doc_id, round(list_reduce(cs, (a, b) -> a + b), 4) AS score
+          FROM sc2 ORDER BY score DESC, doc_id LIMIT 10""",
     "q95_inverted_index" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
                      FROM documents)
