@@ -162,16 +162,37 @@ object Relational {
     },
 
     // Sketch aggregates (HLL cardinality + approximate quantiles):
-    // engine-specific sketches can't hash-match another engine, so this
-    // is a rows-only query — accuracy is asserted against exact values
-    // in SketchSpec instead.
+    // engine-specific sketch VALUES can't hash-match another engine, so
+    // — q101-style — the output is the exact values plus boolean
+    // within-bounds flags for the sketches (the oracle emits the same
+    // exacts + literal true). HLL at rsd 0.01 gets a 5% bound (5
+    // sigma); percentile_approx at accuracy 1000 has rank error ≤ 0.1%
+    // of n, so a 5% relative-value bound is generous for these smooth
+    // price distributions. Register-max HLL merge and per-group GK
+    // sketch compaction are order-insensitive enough that the FLAGS are
+    // deterministic even where the raw sketch values wobble a last ulp.
     "q47_sketches" -> { (s, d) =>
+      def relOk(apx: Column, exact: Column): Column =
+        when(exact === 0d, apx === 0d)
+          .otherwise(abs(apx - exact) / abs(exact) <= 0.05)
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99"))
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("_apx_parts"),
+          expr("percentile(l_extendedprice, 0.5)").as("_p50_exact"),
+          expr("percentile(l_extendedprice, 0.99)").as("_p99_exact"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("_p50_apx"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
+            .as("_p99_apx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          round(col("_p50_exact"), 4).as("p50_exact"),
+          round(col("_p99_exact"), 4).as("p99_exact"),
+          relOk(col("_apx_parts").cast("double"),
+            col("exact_parts").cast("double")).as("hll_ok"),
+          relOk(col("_p50_apx"), col("_p50_exact")).as("p50_ok"),
+          relOk(col("_p99_apx"), col("_p99_exact")).as("p99_ok"))
     },
 
     // The EXACT twin of q47's sketches: `percentile` (linear
@@ -313,6 +334,16 @@ object Relational {
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity),2) AS qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
+    // q47: exact values hash-compare; the sketch accuracy flags are
+    // literal true on the oracle side (q101 pattern — the engine side
+    // computes them from the actual sketches).
+    "q47_sketches" ->
+      """SELECT l_returnflag,
+              count(DISTINCT l_partkey) AS exact_parts,
+              round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50_exact,
+              round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 4) AS p99_exact,
+              true AS hll_ok, true AS p50_ok, true AS p99_ok
+         FROM lineitem GROUP BY l_returnflag""",
     "q77_exact_quantiles" ->
       """SELECT l_returnflag,
               round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS q25_qty,

@@ -4,28 +4,33 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Sketch aggregates can't hash-match a foreign engine (different sketch
-  * internals), so their accuracy is asserted against exact values here.
+  * internals), so q47 emits exact values + boolean within-bounds flags
+  * (q101 pattern). This spec pins the flag semantics: every flag true on
+  * real data, and the exact columns agree with an independent exact
+  * aggregation.
   */
 class SketchSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct within 5% of exact; p50/p99 within the value range") {
+  test("q47: sketch flags all true; exact columns match a direct exact agg") {
     val li = Tables.lineitem(spark, sf)
-    val approx = SparkEntry.queries("q47_sketches")(spark, sf)
+    val rows = SparkEntry.queries("q47_sketches")(spark, sf)
       .collect().map(r => r.getString(0) -> r).toMap
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("n"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50x"))
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50x"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99x"))
       .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == exact.keySet)
     exact.foreach { case (flag, e) =>
-      val a = approx(flag)
-      val rel = math.abs(a.getLong(1).toDouble - e.getLong(1)) / e.getLong(1)
-      assert(rel < 0.05, s"$flag HLL error $rel")
-      val p50 = a.getDouble(2)
-      assert(math.abs(p50 - e.getDouble(2)) / e.getDouble(2) < 0.05,
-        s"$flag p50 $p50 vs ${e.getDouble(2)}")
-      assert(a.getDouble(3) >= p50) // p99 >= p50
+      val a = rows(flag)
+      assert(a.getLong(1) == e.getLong(1), s"$flag exact_parts")
+      assert(a.getDouble(2) == e.getDouble(2), s"$flag p50_exact")
+      assert(a.getDouble(3) == e.getDouble(3), s"$flag p99_exact")
+      assert(a.getBoolean(4), s"$flag hll_ok")
+      assert(a.getBoolean(5), s"$flag p50_ok")
+      assert(a.getBoolean(6), s"$flag p99_ok")
     }
   }
 }
