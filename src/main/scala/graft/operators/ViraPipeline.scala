@@ -63,7 +63,7 @@ object ViraPipeline {
     * AlignInterleaved.java:67-140), a cluster-wide sort for nothing
     * at 100 TB.
     */
-  private def toFastqLines(reads: DataFrame): Dataset[String] = {
+  private[graft] def toFastqLines(reads: DataFrame): Dataset[String] = {
     import reads.sparkSession.implicits._
     reads.sortWithinPartitions("key")
       .select(concat(lit("@"), col("key"), lit("\n"), col("sequence"),
@@ -72,7 +72,7 @@ object ViraPipeline {
       .flatMap(_.split("\n"))
   }
 
-  private def toFastaLines(df: DataFrame): Dataset[String] = {
+  private[graft] def toFastaLines(df: DataFrame): Dataset[String] = {
     import df.sparkSession.implicits._
     df.sortWithinPartitions("id")
       .select(concat(lit(">"), col("id"), lit("\n"), col("sequence")).as("rec"))

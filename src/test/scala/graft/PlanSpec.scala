@@ -172,6 +172,49 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("pipe feed: FASTQ/FASTA serialization sorts within partitions, no range Exchange") {
+    import org.apache.spark.sql.functions.col
+    val reads = graft.Tables.customer(spark, sf).select(
+      col("c_custkey").cast("string").as("key"),
+      org.apache.spark.sql.functions.lit("ACGT").as("sequence"),
+      org.apache.spark.sql.functions.lit("IIII").as("quality"))
+    val plan = graft.operators.ViraPipeline.toFastqLines(reads)
+      .queryExecution.executedPlan.toString
+    // sortWithinPartitions = Sort with global=false; a global orderBy
+    // would insert Exchange rangepartitioning before the pipe stage
+    assert(!plan.contains("rangepartitioning"), plan.take(1200))
+    assert(plan.contains("Sort"), plan.take(1200))
+    val fplan = graft.operators.ViraPipeline.toFastaLines(
+        reads.select(col("key").as("id"), col("sequence")))
+      .queryExecution.executedPlan.toString
+    assert(!fplan.contains("rangepartitioning"), fplan.take(1200))
+  }
+
+  test("similarity: no repartition Exchange when input is already well-partitioned") {
+    import org.apache.spark.sql.functions.col
+    val p = spark.sparkContext.defaultParallelism
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    // pre-partitioned at session parallelism: ensureParallelism must
+    // be a no-op — no RoundRobinPartitioning exchange in the plan
+    val well = e.repartition(p).cache()
+    well.count()
+    val plan = graft.operators.Similarity.bruteForceTopK(well, well, 3)
+      .queryExecution.executedPlan.toString
+    // the cached input's own repartition lineage prints inside the
+    // InMemoryRelation block — only the LIVE plan above the cache scan
+    // must be free of a gate-inserted round-robin exchange
+    val live = plan.take(math.max(plan.indexOf("InMemoryTableScan"), 0))
+    assert(live.nonEmpty, plan.take(400))
+    assert(!live.contains("RoundRobinPartitioning"), live.take(1500))
+    well.unpersist()
+    // single-partition input: the gate must still repartition
+    val narrow = e.coalesce(1)
+    val plan1 = graft.operators.Similarity.bruteForceTopK(narrow, narrow, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan1.contains("RoundRobinPartitioning"), plan1.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE finalizes the physical plan only on execution — run it first.
     val df = SparkEntry.queries("q02_filter_project")(spark, sf)
