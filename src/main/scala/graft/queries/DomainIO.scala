@@ -26,6 +26,43 @@ object DomainIO {
     translate(c.cast("string"), "0123456789", "IJKLMNOPQH")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 via DataSourceV2: same fixture as q50, read through
+    // graft.io.v2.FastqSource with a PRUNED projection — quality (and
+    // 9 header fields) never materialize in the scan
+    // (SupportsPushDownRequiredColumns; V2IoSpec asserts the read
+    // schema, this row asserts the values).
+    "q105_fastq_v2_pruned" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val mate = when(col("l_linenumber") % 2 === 1, 1).otherwise(2)
+      val fq = li.select(
+        concat_ws("",
+          lit("M01:"), col("l_orderkey"), lit(":FC1:2:1101:"),
+          col("l_partkey"), lit(":"), col("l_linenumber"),
+          lit(" "), mate, lit(":N:0:ACGT")).as("key"),
+        dnaOf(col("l_partkey")).as("sequence"),
+        qualOf(col("l_partkey")).as("quality"))
+      val dir = tmp(d, "fastq_v2")
+      Fastq.write(fq, dir)
+      s.read.format(classOf[graft.io.v2.FastqSource].getName).load(dir)
+        .select("key", "sequence", "read")
+    },
+
+    // S3 via DataSourceV2: q51's fixture through graft.io.v2.FastaSource
+    // with the body column pruned away — only ids and descriptions are
+    // ever built.
+    "q106_fasta_v2_pruned" -> { (s, d) =>
+      val p = Tables.part(s, d)
+      val contigs = p.select(
+        concat_ws("", lit("P"), col("p_partkey")).as("id"),
+        translate(regexp_replace(upper(col("p_name")), "[^A-Z]", ""),
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+          "ACGTACGTACGTACGTACGTACGTAC").as("sequence"))
+      val dir = tmp(d, "fasta_v2")
+      Fasta.write(contigs, dir, wrap = 10)
+      s.read.format(classOf[graft.io.v2.FastaSource].getName).load(dir)
+        .select("id", "description")
+    },
+
     // S1+K1+T1: FASTQ write → read → Illumina-header projection.
     "q50_fastq_roundtrip" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
@@ -354,6 +391,15 @@ object DomainIO {
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_fastq_v2_pruned" ->
+      """SELECT 'M01:' || l_orderkey || ':FC1:2:1101:' || l_partkey || ':' ||
+                l_linenumber || ' ' || (CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 2 END) ||
+                ':N:0:ACGT' AS key,
+              translate(CAST(l_partkey AS VARCHAR), '0123456789', 'ACGTACGTAC') AS sequence,
+              CAST(CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 2 END AS INTEGER) AS "read"
+         FROM lineitem""",
+    "q106_fasta_v2_pruned" ->
+      """SELECT 'P' || p_partkey AS id, '' AS description FROM part""",
     "q50_fastq_roundtrip" ->
       """SELECT 'M01:' || l_orderkey || ':FC1:2:1101:' || l_partkey || ':' ||
                 l_linenumber || ' ' || (CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 2 END) ||
