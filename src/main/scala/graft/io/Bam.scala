@@ -238,6 +238,120 @@ object Bam {
     withDerivedCols(rows)
   }
 
+  /** Region query `rname:[start,end]` (1-based inclusive, SAM
+    * convention) over a COORDINATE-SORTED BAM, without a .bai. Beyond
+    * the reference's surface (SQLQueryBAM.java reads whole files): a
+    * cheap distributed probe pass decodes ONE record per byte range to
+    * learn the range's first (refId, pos); a range survives only if its
+    * [first-key, next-range-first-key] interval can overlap the region,
+    * so the BGZF blocks of pruned ranges are never inflated by the main
+    * decode job. `maxSpan` plays the BAI linear index's role for
+    * records that START before the region but span into it: the region
+    * lower bound is extended by maxSpan, and records longer than
+    * maxSpan starting more than maxSpan before `start` may be missed
+    * (the same granularity contract an index chunk gives). If the probe
+    * finds the file NOT coordinate-sorted, every range is kept — plain
+    * scan + filter, correct but unpruned.
+    */
+  def readRegion(spark: SparkSession, path: String, rname: String,
+                 start: Int, end: Int,
+                 splitBytes: Long = DefaultSplitBytes,
+                 maxSpan: Int = 16384): DataFrame = {
+    import spark.implicits._
+    val (_, surviving, metas) =
+      regionPlan(spark, path, rname, start, end, splitBytes, maxSpan)
+    val confBc = spark.sparkContext.broadcast(
+      new HadoopConfCarrier(spark.sparkContext.hadoopConfiguration))
+    val metaBc = spark.sparkContext.broadcast(metas)
+    val rows = spark.sparkContext
+      .parallelize(surviving, math.max(1, surviving.size))
+      .flatMap { case (p, s, e) =>
+        val (refs, firstBlock, firstOff) = metaBc.value(p)
+        decodeRange(confBc.value.toConf, p, s, e, refs, firstBlock, firstOff)
+      }
+      .toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
+        "bases", "quality")
+    // reference span consumed by the alignment = Σ lengths of
+    // M/D/N/=/X ops ('*' or all-clipped cigars span 0 → treated as 1)
+    val nums = regexp_extract_all(col("cigar"), lit("(\\d+)[MDN=X]"), lit(1))
+    val span = aggregate(transform(nums, x => x.cast("int")), lit(0),
+      (a, x) => a + x)
+    withDerivedCols(rows)
+      .filter(col("referenceName") === rname &&
+        col("start") <= end &&
+        col("start") + greatest(span, lit(1)) - 1 >= start)
+  }
+
+  private def lexLe(a: (Int, Int), b: (Int, Int)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+
+  /** The pruning half of [[readRegion]], exposed for plan tests:
+    * returns (all ranges, surviving ranges, per-file header meta).
+    */
+  private[graft] def regionPlan(spark: SparkSession, path: String,
+      rname: String, start: Int, end: Int, splitBytes: Long, maxSpan: Int)
+      : (Seq[(String, Long, Long)], Seq[(String, Long, Long)],
+         Map[String, (IndexedSeq[String], Long, Int)]) = {
+    require(splitBytes >= (1 << 16), s"splitBytes must be >= 64 KiB, got $splitBytes")
+    val files = listBams(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metas: Map[String, (IndexedSeq[String], Long, Int)] =
+      files.map { case (p, _) =>
+        p -> readHeaderMeta(fs, new org.apache.hadoop.fs.Path(p))
+      }.toMap
+    val ranges: Seq[(String, Long, Long)] = files.flatMap { case (p, len) =>
+      (0L until len by splitBytes).map(s => (p, s, math.min(s + splitBytes, len)))
+    }
+    val confBc = spark.sparkContext.broadcast(
+      new HadoopConfCarrier(spark.sparkContext.hadoopConfiguration))
+    val metaBc = spark.sparkContext.broadcast(metas)
+    // distributed probe: decode exactly ONE record per range (a couple
+    // of blocks each); unmapped/unknown refs key as MaxValue — the slot
+    // coordinate sort gives them (end of file)
+    val probes: Map[(String, Long), Option[(Int, Int)]] = spark.sparkContext
+      .parallelize(ranges, math.max(1, ranges.size))
+      .map { case (p, s, e) =>
+        val (refs, fb, fo) = metaBc.value(p)
+        val refIdx = refs.zipWithIndex.toMap
+        val it = decodeRange(confBc.value.toConf, p, s, e, refs, fb, fo)
+        val first =
+          if (it.hasNext) {
+            val r = it.next()
+            Some((refIdx.getOrElse(r._3, Int.MaxValue), r._4))
+          } else None
+        it match { case b: BamRangeIterator => b.closeEarly(); case _ => }
+        ((p, s), first)
+      }.collect().toMap
+    val surviving = files.flatMap { case (p, _) =>
+      val frs = ranges.filter(_._1 == p)
+      val los = frs.map(r => probes((p, r._2)))
+      val defined = los.flatten
+      val isSorted = defined.size < 2 ||
+        defined.sliding(2).forall {
+          case Seq(a, b) => lexLe(a, b)
+          case _ => true
+        }
+      val refIdx = metas(p)._1.zipWithIndex.toMap
+      if (!isSorted) frs // unsorted: keep all (scan + filter, no pruning)
+      else if (!refIdx.contains(rname)) Seq.empty // unknown ref: no rows
+      else {
+        val ri = refIdx(rname)
+        val regionLo = (ri, math.max(1, start - maxSpan))
+        val regionHi = (ri, end)
+        frs.indices.flatMap { i =>
+          los(i).flatMap { lo =>
+            val hi = los.drop(i + 1).collectFirst { case Some(k) => k }
+              .getOrElse((Int.MaxValue, Int.MaxValue))
+            if (lexLe(lo, regionHi) && lexLe(regionLo, hi)) Some(frs(i))
+            else None
+          }
+        }
+      }
+    }
+    (ranges, surviving, metas)
+  }
+
   /** Walk the BC extra subfields of a BGZF member header; returns the
     * TOTAL block size (BSIZE+1) or -1 if `b(off..)` is not a valid BGZF
     * block header within `avail` bytes.
@@ -461,6 +575,9 @@ object Bam {
       nextRec = null
       if (!closed) { closed = true; cursor.close(); in.close() }
     }
+
+    /** Release the stream without draining (probe reads one record). */
+    def closeEarly(): Unit = finish()
 
     private def pull(): Boolean = {
       val blk = cursor.next()

@@ -63,6 +63,30 @@ object DomainIO {
         .select("id", "description")
     },
 
+    // S2 region query: coordinate-sorted single-file BAM → readRegion
+    // prunes out-of-region BGZF ranges via the distributed one-record
+    // probe (BamSpec asserts the pruning; this row asserts the values
+    // against a straight SQL reconstruction of the region).
+    "q107_bam_region" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val bam = o.select(
+        concat_ws("", lit("r"), col("o_orderkey")).as("readName"),
+        lit(0).as("flag"),
+        lit("chr1").as("referenceName"),
+        (col("o_orderkey") + 1).cast("int").as("start"),
+        lit(60).as("mapq"),
+        concat(length(dnaOf(col("o_orderkey"))).cast("string"), lit("M"))
+          .as("cigar"),
+        dnaOf(col("o_orderkey")).as("bases"),
+        qualOf(col("o_orderkey")).as("quality"))
+        .repartition(1).sortWithinPartitions("start", "readName")
+      val file = tmp(d, "bam_region.bam")
+      Bam.write(bam, file, refs = Seq(("chr1", 200000)), singleFile = true)
+      Bam.readRegion(s, file, "chr1", 500, 900, splitBytes = 1L << 16,
+          maxSpan = 64)
+        .select(col("readName"), col("start"), col("bases"))
+    },
+
     // S1+K1+T1: FASTQ write → read → Illumina-header projection.
     "q50_fastq_roundtrip" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
@@ -400,6 +424,16 @@ object DomainIO {
          FROM lineitem""",
     "q106_fasta_v2_pruned" ->
       """SELECT 'P' || p_partkey AS id, '' AS description FROM part""",
+    // region overlap in the 1-based inclusive domain: pos <= 900 and
+    // pos + len(bases) - 1 >= 500 (cigar is all-M, span = |bases|)
+    "q107_bam_region" ->
+      """SELECT 'r' || o_orderkey AS "readName",
+              CAST(o_orderkey + 1 AS INTEGER) AS "start",
+              translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'ACGTACGTAC') AS bases
+         FROM orders
+         WHERE (o_orderkey + 1) <= 900
+           AND (o_orderkey + 1) +
+               length(translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'ACGTACGTAC')) - 1 >= 500""",
     "q50_fastq_roundtrip" ->
       """SELECT 'M01:' || l_orderkey || ':FC1:2:1101:' || l_partkey || ':' ||
                 l_linenumber || ' ' || (CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 2 END) ||

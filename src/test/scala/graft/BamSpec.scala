@@ -157,4 +157,71 @@ class BamSpec extends AnyFunSuite {
       .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
     assert(split == whole)
   }
+
+  test("region read prunes out-of-region ranges and equals scan+filter") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val n = 4000
+    val rows = (0 until n).map { i =>
+      val len = 80 + rng.nextInt(40)
+      val bases = Array.fill(len)("ACGT"(rng.nextInt(4))).mkString
+      val quals = Array.fill(len)(('!' + 2 + rng.nextInt(40)).toChar).mkString
+      (f"r$i%06d", 0, "chr1", i * 25 + 1, 60, s"${len}M", bases, quals)
+    }.toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
+      "bases", "quality")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bam_region").toString
+    val file = s"$dir/sorted.bam"
+    Bam.write(rows.coalesce(1), file, refs = Seq(("chr1", 200000)),
+      singleFile = true)
+    assert(new java.io.File(file).length() > 5 * 65536,
+      "fixture must span several BGZF blocks")
+    val (all, surviving, _) =
+      Bam.regionPlan(spark, file, "chr1", 30000, 40000, 1L << 16, 16384)
+    assert(all.size >= 8, s"want many ranges, got ${all.size}")
+    // out-of-region ranges are never handed to the decode job — their
+    // BGZF blocks are never inflated
+    assert(surviving.size < all.size, s"${surviving.size} of ${all.size} survive")
+    assert(surviving.nonEmpty)
+    val got = Bam.readRegion(spark, file, "chr1", 30000, 40000,
+        splitBytes = 1 << 16)
+      .select("readName", "start").collect().map(_.toSeq).toSet
+    val want = Bam.readSplittable(spark, file, splitBytes = 1 << 16)
+      .filter(col("referenceName") === "chr1" &&
+        col("start") <= 40000 &&
+        col("start") + length(col("bases")) - 1 >= 30000)
+      .select("readName", "start").collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // records spanning INTO the region from before its start are kept
+    assert(got.exists(r => r(1).asInstanceOf[Int] < 30000))
+    // unknown reference on a sorted file: zero ranges, zero rows
+    val (_, none, _) = Bam.regionPlan(spark, file, "chrX", 1, 100, 1L << 16, 16384)
+    assert(none.isEmpty)
+    // a SHUFFLED (not coordinate-sorted) file: the probe sees
+    // non-monotone first-record keys, keeps every range, and the result
+    // still equals scan+filter (correct, just unpruned)
+    val shuffled = scala.util.Random.shuffle((0 until n).toList).zipWithIndex
+      .map { case (pos, i) =>
+        val len = 80 + rng.nextInt(40)
+        val bases = Array.fill(len)("ACGT"(rng.nextInt(4))).mkString
+        val quals = Array.fill(len)(('!' + 2 + rng.nextInt(40)).toChar).mkString
+        (f"s$i%06d", 0, "chr1", pos * 25 + 1, 60, s"${len}M", bases, quals)
+      }.toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
+        "bases", "quality")
+    val ufile = s"$dir/shuffled.bam"
+    Bam.write(shuffled.coalesce(1), ufile, refs = Seq(("chr1", 200000)),
+      singleFile = true)
+    val (uall, usurv, _) =
+      Bam.regionPlan(spark, ufile, "chr1", 30000, 40000, 1L << 16, 16384)
+    assert(uall.size >= 3)
+    assert(usurv == uall, "unsorted file must keep every range")
+    val ugot = Bam.readRegion(spark, ufile, "chr1", 30000, 40000,
+        splitBytes = 1 << 16)
+      .select("readName", "start").collect().map(_.toSeq).toSet
+    val uwant = Bam.readSplittable(spark, ufile, splitBytes = 1 << 16)
+      .filter(col("start") <= 40000 &&
+        col("start") + length(col("bases")) - 1 >= 30000)
+      .select("readName", "start").collect().map(_.toSeq).toSet
+    assert(ugot == uwant)
+  }
 }
