@@ -40,9 +40,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * end. Compressed files are not byte-addressable → one partition per
   * file, codec-decoded.
   *
-  * Usage: `spark.read.format(classOf[FastqSource].getName).load(path)`.
+  * Usage: `spark.read.format("fastq").load(path)` (registered via
+  * DataSourceRegister) or the full class name.
   */
-class FastqSource extends TableProvider {
+class FastqSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "fastq"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = Fastq.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -348,7 +351,9 @@ private[v2] class FastqPartitionReader(conf: Configuration, part: RangePartition
   * `select(id)` skips body-line String construction entirely — on a
   * contig/reference FASTA the body is ~99% of the bytes.
   */
-class FastaSource extends TableProvider {
+class FastaSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "fasta"
   val schema: StructType = FastaSource.schema
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = schema
   override def getTable(s: StructType, partitioning: Array[Transform],

@@ -98,6 +98,13 @@ class V2IoSpec extends AnyFunSuite {
       Seq("k141_1", "k141_2", "k141_3", "k141_4"))
   }
 
+  test("short names resolve through DataSourceRegister") {
+    val fq = writeFixture("fq_short", hostileFastq)
+    assert(spark.read.format("fastq").load(fq).count() == 300)
+    val fa = writeFixture("fa_short", fastaFixture)
+    assert(spark.read.format("fasta").load(fa).count() == 4)
+  }
+
   test("v2 FASTA: splittable read of a larger corpus matches v1 under tiny splits") {
     val rng = new scala.util.Random(5)
     val recs = (0 until 200).map { i =>
