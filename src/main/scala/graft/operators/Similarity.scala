@@ -284,10 +284,15 @@ object Similarity {
           typedlit(cent.map(_._3).toSeq)))
       }
 
-    var cent: Array[(Long, Array[Double], Double)] = v.filter(col("id") < k)
+    // seeds = the ACTUAL k lowest-id vectors (not `id < k`, which
+    // under-seeds on non-contiguous/non-zero-based ids — same rule as
+    // pqPrepare); cids stay the real ids, so tie-breaks keep their order
+    var cent: Array[(Long, Array[Double], Double)] = v.orderBy(col("id")).limit(k)
       .select(col("id"), col("embedding").cast("array<double>"), col("norm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    require(cent.nonEmpty, "k-means needs a non-empty vector set")
     for (_ <- 1 to iters) {
       // per-dim mean, rounded to 6 dp for cross-engine determinism
       val dims = assign(cent)
@@ -305,6 +310,41 @@ object Similarity {
         }
     }
     assign(cent).select(col("id").as("vec_id"), col("cluster"))
+  }
+
+  /** SemDeDup-style semantic deduplication (the published recipe:
+    * k-means the embeddings, then prune near-identical pairs WITHIN each
+    * cluster): vectors cluster via [[kmeansAssign]] (deterministic — a
+    * second engine replays it bit-for-bit), within-cluster pairs score
+    * rounded cosine, and for every pair ≥ `threshold` the LARGER id is
+    * marked removed (deterministic keeper rule). Output: one row per
+    * vector — (vec_id, cluster, removed).
+    *
+    * Scale shape: the pairwise stage is a cluster-key equi-join, never
+    * an n² cross — O(Σ c²) within clusters, which is the technique's own
+    * working set (k grows with the corpus to bound c). Zero-norm vectors
+    * have no defined cosine → null → never removed (same guard as
+    * kmeansAssign / int8TopK).
+    */
+  def semDedup(vectors: DataFrame, k: Int, iters: Int = 2,
+               threshold: Double = 0.4): DataFrame = {
+    val assigned = kmeansAssign(vectors, k, iters)
+    val b = withNorm(vectors)
+      .join(assigned, col("id") === col("vec_id"))
+      .select(col("id"), col("embedding"), col("norm"), col("cluster"))
+    val removed = b.as("a")
+      .join(b.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .select(col("b.id").as("rid"),
+        when(col("a.norm") * col("b.norm") === 0d, lit(null).cast("double"))
+          .otherwise(round(dotN(col("a.embedding"), col("b.embedding")) /
+            (col("a.norm") * col("b.norm")), 4)).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("rid").as("vec_id")).distinct()
+      .withColumn("removed", lit(true))
+    assigned.join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("removed"), lit(false)).as("removed"))
   }
 
   /** Symmetric per-vector int8 scalar quantization — the memory lever of
@@ -585,7 +625,8 @@ object Similarity {
     */
   def ivfTopK(vectors: DataFrame, k: Int, nCells: Int = 8): DataFrame = {
     val v = withNorm(vectors)
-    val cent = v.filter(col("id") < nCells)
+    // the nCells lowest-id vectors (not `id < nCells` — see kmeansAssign)
+    val cent = v.orderBy(col("id")).limit(nCells)
       .select(col("id").as("cid"), col("embedding").as("ce"), col("norm").as("cnorm"))
     // tiny centroid table broadcast to every task — no shuffle to assign
     val asg = v.crossJoin(broadcast(cent))

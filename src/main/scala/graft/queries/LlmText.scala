@@ -93,6 +93,41 @@ object LlmText {
   private val MixWeights = Seq(
     ("en", 0.5), ("de", 0.15), ("es", 0.15), ("fr", 0.1), ("zh", 0.1))
 
+  /** Replays Similarity.kmeansAssign in DuckDB SQL — shared by q69 and
+    * q108 (SemDeDup). Emits the CTE chain `v, c0, a0/u1/c1, ..., af`
+    * (af = final assignment: vec_id, cluster, e). Seeds are the k
+    * LOWEST-id vectors (ORDER BY/LIMIT — the engine's rule, robust to
+    * non-contiguous ids), centroid means round to 6 dp, assignment is
+    * argmax of the 4 dp-rounded cosine with ties to the smaller cid.
+    */
+  private def kmeansSqlCtes(k: Int, iters: Int, embDim: Int = 64): String = {
+    def assignCte(name: String, centRel: String): String =
+      s"""$name AS (SELECT vec_id, cid AS cluster, e FROM (
+            SELECT v.vec_id, c.cid, v.e,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                round(list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm), 4) DESC,
+                c.cid) AS rn
+            FROM v CROSS JOIN $centRel c) WHERE rn = 1)"""
+    val iterCtes = (0 until iters).map { i =>
+      assignCte(s"a$i", s"c$i") + ",\n" +
+        s"""u${i + 1} AS (SELECT cluster, CAST(t.i AS INTEGER) AS dim,
+              round(avg(e[CAST(t.i AS INTEGER)]), 6) AS m
+            FROM a$i CROSS JOIN range(1, ${embDim + 1}) t(i) GROUP BY 1, 2),
+            c${i + 1} AS (SELECT cid, ce,
+                sqrt(list_dot_product(ce, ce)) AS cnrm
+              FROM (SELECT cluster AS cid, list(m ORDER BY dim) AS ce
+                    FROM u${i + 1} GROUP BY 1))"""
+    }.mkString(",\n")
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+               FROM (SELECT * FROM v ORDER BY vec_id LIMIT $k)),
+        $iterCtes,
+        ${assignCte("af", s"c$iters")}"""
+  }
+
   /** Shared by q68 (window-sort implementation) and q104 (bounded-
     * buffer aggregator implementation) — one oracle, two engines, two
     * execution strategies.
@@ -313,6 +348,17 @@ object LlmText {
         Tables.embeddings(s, d)
           .select(col("vec_id").as("id"), col("embedding")),
         k = 8, iters = 2)
+    },
+
+    // SemDeDup: deterministic k-means clusters + within-cluster cosine
+    // pruning — the larger id of every >= 0.4 pair is flagged removed.
+    // One row per vector, full hash oracle (the SQL replays the
+    // clustering via the shared kmeans CTE chain).
+    "q108_semdedup" -> { (s, d) =>
+      Similarity.semDedup(
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding")),
+        k = 8, iters = 2, threshold = 0.4)
     },
 
     // PII/URL scrubbing: the fixture corpus carries no URLs/emails, so
@@ -659,7 +705,8 @@ object LlmText {
                        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                              CAST(embedding AS DOUBLE[]))) AS nrm
                      FROM embeddings),
-          cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
+          cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+                   FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
           asg AS (SELECT v.vec_id, c.cid,
                     round(list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm), 4) AS rc
                   FROM v CROSS JOIN cent c),
@@ -707,36 +754,23 @@ object LlmText {
     // identical oracle: the aggregator must reproduce the window-sort
     // derivation exactly
     "q104_topk_agg" -> tfidfTop3Sql,
-    "q69_kmeans" -> {
-      val k = 8
-      val iters = 2
-      val embDim = 64
-      def assignCte(name: String, centRel: String): String =
-        s"""$name AS (SELECT vec_id, cid AS cluster, e FROM (
-              SELECT v.vec_id, c.cid, v.e,
-                row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                  round(list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm), 4) DESC,
-                  c.cid) AS rn
-              FROM v CROSS JOIN $centRel c) WHERE rn = 1)"""
-      val iterCtes = (0 until iters).map { i =>
-        assignCte(s"a$i", s"c$i") + ",\n" +
-          s"""u${i + 1} AS (SELECT cluster, CAST(t.i AS INTEGER) AS dim,
-                round(avg(e[CAST(t.i AS INTEGER)]), 6) AS m
-              FROM a$i CROSS JOIN range(1, ${embDim + 1}) t(i) GROUP BY 1, 2),
-              c${i + 1} AS (SELECT cid, ce,
-                  sqrt(list_dot_product(ce, ce)) AS cnrm
-                FROM (SELECT cluster AS cid, list(m ORDER BY dim) AS ce
-                      FROM u${i + 1} GROUP BY 1))"""
-      }.mkString(",\n")
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                     CAST(embedding AS DOUBLE[]))) AS nrm
-             FROM embeddings),
-          c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < $k),
-          $iterCtes,
-          ${assignCte("af", s"c$iters")}
-          SELECT vec_id, cluster FROM af"""
-    },
+    "q69_kmeans" ->
+      s"""WITH ${kmeansSqlCtes(8, 2)}
+          SELECT vec_id, cluster FROM af""",
+    // SemDeDup: replayed k-means (the af CTE) + within-cluster cosine
+    // pairs; the larger id of each >= 0.4 pair is removed
+    "q108_semdedup" ->
+      s"""WITH ${kmeansSqlCtes(8, 2)},
+          wc AS (SELECT a.vec_id, a.cluster, a.e, v.nrm
+                 FROM af a JOIN v USING (vec_id)),
+          rm AS (SELECT DISTINCT b.vec_id
+                 FROM wc a JOIN wc b
+                   ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                 WHERE a.nrm * b.nrm <> 0
+                   AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.4)
+          SELECT af.vec_id, af.cluster,
+                 (rm.vec_id IS NOT NULL) AS removed
+          FROM af LEFT JOIN rm ON af.vec_id = rm.vec_id""",
     "q71_scrub" -> {
       val url = TextFunctions.UrlRe
       val email = TextFunctions.EmailRe

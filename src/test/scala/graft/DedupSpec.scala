@@ -363,4 +363,38 @@ class DedupSpec extends AnyFunSuite {
     val f = rank1(Similarity.bruteForceTopK(vecs, vecs, 1))
     assert(q == f && q == Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L))
   }
+
+  test("semDedup: removed == larger ids of within-cluster pairs >= threshold (brute check)") {
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val threshold = 0.2
+    val out = Similarity.semDedup(e, k = 8, iters = 2, threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val clusters = Similarity.kmeansAssign(e, k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one row per input vector, cluster column equals kmeansAssign
+    assert(out.length == clusters.size)
+    out.foreach { case (id, c, _) => assert(clusters(id) == c) }
+    // brute-force the removal rule driver-side with the engine's
+    // rounding (HALF_UP to 4 dp, the round() semantics)
+    val vecs = e.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) Double.NaN
+      else BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && clusters(ia) == clusters(ib)
+      c = cos(va, vb) if !c.isNaN && c >= threshold
+    } yield ib).toSet
+    assert(expected.nonEmpty, "fixture must contain within-cluster near-dups")
+    assert(out.filter(_._3).map(_._1).toSet == expected)
+  }
 }
