@@ -215,6 +215,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan1.contains("RoundRobinPartitioning"), plan1.take(1500))
   }
 
+  test("q108: semDedup pair stage is a cluster-key equi join, never cartesian") {
+    val plan = planOf("q108_semdedup")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE finalizes the physical plan only on execution — run it first.
     val df = SparkEntry.queries("q02_filter_project")(spark, sf)
