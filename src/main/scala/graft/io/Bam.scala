@@ -258,11 +258,9 @@ object Bam {
                  splitBytes: Long = DefaultSplitBytes,
                  maxSpan: Int = 16384): DataFrame = {
     import spark.implicits._
-    val (_, surviving, metas) =
-      regionPlan(spark, path, rname, start, end, splitBytes, maxSpan)
-    val confBc = spark.sparkContext.broadcast(
-      new HadoopConfCarrier(spark.sparkContext.hadoopConfiguration))
-    val metaBc = spark.sparkContext.broadcast(metas)
+    // reuse the probe pass's broadcasts for the decode job
+    val (_, surviving, metaBc, confBc) =
+      regionPlanBc(spark, path, rname, start, end, splitBytes, maxSpan)
     val rows = spark.sparkContext
       .parallelize(surviving, math.max(1, surviving.size))
       .flatMap { case (p, s, e) =>
@@ -292,6 +290,16 @@ object Bam {
       rname: String, start: Int, end: Int, splitBytes: Long, maxSpan: Int)
       : (Seq[(String, Long, Long)], Seq[(String, Long, Long)],
          Map[String, (IndexedSeq[String], Long, Int)]) = {
+    val (all, surviving, metaBc, _) =
+      regionPlanBc(spark, path, rname, start, end, splitBytes, maxSpan)
+    (all, surviving, metaBc.value)
+  }
+
+  private def regionPlanBc(spark: SparkSession, path: String,
+      rname: String, start: Int, end: Int, splitBytes: Long, maxSpan: Int)
+      : (Seq[(String, Long, Long)], Seq[(String, Long, Long)],
+         org.apache.spark.broadcast.Broadcast[Map[String, (IndexedSeq[String], Long, Int)]],
+         org.apache.spark.broadcast.Broadcast[HadoopConfCarrier]) = {
     require(splitBytes >= (1 << 16), s"splitBytes must be >= 64 KiB, got $splitBytes")
     val files = listBams(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -323,8 +331,12 @@ object Bam {
         it match { case b: BamRangeIterator => b.closeEarly(); case _ => }
         ((p, s), first)
       }.collect().toMap
+    // one pass over the ranges list (grouped per file), and the
+    // next-defined-key lookup precomputed as a suffix scan — both
+    // linear in |ranges|, so planning stays cheap at millions of ranges
+    val byFile = ranges.groupBy(_._1)
     val surviving = files.flatMap { case (p, _) =>
-      val frs = ranges.filter(_._1 == p)
+      val frs = byFile.getOrElse(p, Seq.empty)
       val los = frs.map(r => probes((p, r._2)))
       val defined = los.flatten
       val isSorted = defined.size < 2 ||
@@ -339,17 +351,23 @@ object Bam {
         val ri = refIdx(rname)
         val regionLo = (ri, math.max(1, start - maxSpan))
         val regionHi = (ri, end)
+        // nextDefined(i) = first defined key at index > i
+        val nextDefined = new Array[(Int, Int)](los.length)
+        var nxt = (Int.MaxValue, Int.MaxValue)
+        for (i <- los.indices.reverse) {
+          nextDefined(i) = nxt
+          los(i).foreach(k => nxt = k)
+        }
         frs.indices.flatMap { i =>
           los(i).flatMap { lo =>
-            val hi = los.drop(i + 1).collectFirst { case Some(k) => k }
-              .getOrElse((Int.MaxValue, Int.MaxValue))
-            if (lexLe(lo, regionHi) && lexLe(regionLo, hi)) Some(frs(i))
+            if (lexLe(lo, regionHi) && lexLe(regionLo, nextDefined(i)))
+              Some(frs(i))
             else None
           }
         }
       }
     }
-    (ranges, surviving, metas)
+    (ranges, surviving, metaBc, confBc)
   }
 
   /** Walk the BC extra subfields of a BGZF member header; returns the

@@ -165,7 +165,7 @@ object Fastq {
     project(raw.select("key", "sequence", "quality"))
   }
 
-  private def listFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
+  private[io] def listFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val top = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)

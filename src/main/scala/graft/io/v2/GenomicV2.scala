@@ -84,20 +84,12 @@ private[v2] object RangePlanner {
   }
 
   /** Driver-side listing → byte-range partitions; compressed files get
-    * one whole-file partition (not byte-addressable).
+    * one whole-file partition (not byte-addressable). Listing rules
+    * (glob/dir, hidden-file filter, len>0, path order) are the v1
+    * reader's own `Fastq.listFiles` — one copy, no drift.
     */
   def plan(spark: SparkSession, path: String, splitBytes: Long): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val top = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    val files = top.flatMap { st =>
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith("."))
-      else Seq(st)
-    }.filter(_.getLen > 0).map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
-    files.flatMap { case (f, len) =>
+    Fastq.listFiles(spark, path).flatMap { case (f, len) =>
       if (isCompressed(f)) Seq(RangePartition(f, 0L, Long.MaxValue, compressed = true))
       else (0L until len by splitBytes)
         .map(s => RangePartition(f, s, math.min(s + splitBytes, len), compressed = false))

@@ -57,10 +57,30 @@ object Similarity {
     * the probe side without a shuffle, so partition count IS the
     * parallelism). An input already at/above parallelism — the normal
     * state of a large table — keeps its partitioning: no exchange.
+    *
+    * The `df.rdd.getNumPartitions` probe is taken ONLY for scan-shaped
+    * inputs: under AQE, converting a derived DataFrame (join/agg
+    * output) to an RDD finalizes the adaptive plan by EXECUTING its
+    * upstream stages — the expensive lineage would run twice. A derived
+    * input already has shuffle.partitions-sized partitioning, which is
+    * exactly the healthy state the gate looks for, so it skips the
+    * probe and the repartition entirely.
     */
   private def ensureParallelism(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    val derived = df.queryExecution.optimizedPlan.find {
+      case _: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.Sort |
+           _: lp.RepartitionByExpression => true
+      // coalesce = Repartition(shuffle=false): NARROWS partitions, so it
+      // is exactly the under-parallel case the probe must still catch
+      case r: lp.Repartition if r.shuffle => true
+      case _ => false
+    }.isDefined
+    if (derived) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
   }
 
   private def withNorm(df: DataFrame): DataFrame =
@@ -170,21 +190,19 @@ object Similarity {
     // enforce the documented precondition: a table slice past the
     // vector length would read null → a CONSTANT key shared by every
     // vector, silently degenerating that table's equi-join to all-pairs.
-    // Checked against min(size(embedding)) — one tiny agg — so a
-    // mixed-dimension input can't slip a short vector past an
-    // arbitrary-first-row probe (an empty input has nothing to
-    // degenerate — min is null, skip)
-    vectors.agg(min(size(col("embedding"))).as("d")).collect()
-      .foreach { r =>
-        if (!r.isNullAt(0)) {
-          val dim = r.getInt(0)
-          require(tables * bits <= dim,
-            s"tables*bits = ${tables * bits} exceeds min embedding dim $dim — " +
-              "excess tables would hash every vector to one constant bucket")
-        }
-      }
+    // Checked IN-PASS (a lazy raise_error branch on the keys column, so
+    // the first short vector fails the job with a clear message) — a
+    // driver-side min(size) aggregate would be a second full scan of
+    // the input just to validate a dimension.
+    val keysChecked =
+      when(size(col("embedding")) < tables * bits,
+        raise_error(concat(
+          lit(s"tables*bits = ${tables * bits} exceeds embedding dim "),
+          size(col("embedding")).cast("string"),
+          lit(" — excess tables would hash every vector to one constant bucket"))))
+        .otherwise(tableKeys(col("embedding"), bits, tables))
     val b = withNorm(vectors)
-      .withColumn("keys", tableKeys(col("embedding"), bits, tables))
+      .withColumn("keys", keysChecked)
       .localCheckpoint() // probe table + both scoring sides read it
     val probes = b.select(col("id"), explode(col("keys")).as("tkey"))
     val cand = probes.as("q")
