@@ -224,4 +224,37 @@ class BamSpec extends AnyFunSuite {
       .select("readName", "start").collect().map(_.toSeq).toSet
     assert(ugot == uwant)
   }
+
+  test("property: random regions on the sorted file always equal scan+filter") {
+    import spark.implicits._
+    // reuse one sorted multi-block fixture for 6 random regions
+    val rng = new scala.util.Random(29)
+    val n = 4000
+    val rows = (0 until n).map { i =>
+      val len = 80 + rng.nextInt(40)
+      val bases = Array.fill(len)("ACGT"(rng.nextInt(4))).mkString
+      val quals = Array.fill(len)(('!' + 2 + rng.nextInt(40)).toChar).mkString
+      (f"r$i%06d", 0, "chr1", i * 25 + 1, 60, s"${len}M", bases, quals)
+    }.toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
+      "bases", "quality")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bam_prop").toString
+    val file = s"$dir/sorted.bam"
+    Bam.write(rows.coalesce(1), file, refs = Seq(("chr1", 200000)),
+      singleFile = true)
+    val full = Bam.readSplittable(spark, file, splitBytes = 1 << 16)
+      .select("readName", "start", "bases").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    for (t <- 0 until 6) {
+      // spans from empty (beyond data) to nearly-whole-file
+      val lo = 1 + rng.nextInt(120000)
+      val hi = lo + rng.nextInt(40000)
+      val got = Bam.readRegion(spark, file, "chr1", lo, hi,
+          splitBytes = 1 << 16)
+        .select("readName", "start").collect().map(_.toSeq).toSet
+      val want = full.filter { case (_, s, b) =>
+        s <= hi && s + b.length - 1 >= lo
+      }.map(r => Seq(r._1, r._2)).toSet
+      assert(got == want, s"region [$lo,$hi]")
+    }
+  }
 }
