@@ -42,6 +42,36 @@ object Corpus {
     (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % modulus) < threshold
 
+  /** Hashing-trick linear text scorer — the execution shape of a
+    * fastText-style quality classifier (hash each token to a weight,
+    * score = mean token weight + bias), with md5-derived weights
+    * standing in for trained ones so BOTH engines compute the identical
+    * model: w(t) = (md5₃₂(t) mod 2001 − 1000) / 1000 ∈ [−1, 1] (the
+    * [[hashGate]] md5 pattern, q73-proven cross-engine). Swapping in
+    * trained weights = replacing `w` with a broadcast-map lookup; the
+    * plan shape is unchanged.
+    *
+    * Scale: ONE narrow codegen'd pass — tokenize, per-token weight via
+    * a HOF transform, left-fold in token order (pinned IEEE sum order,
+    * the bm25/pqAdc rule), divide, round. No shuffle, no UDF, pushes
+    * through any plan. The sigmoid is deliberately omitted: libm exp()
+    * may differ across engines in the last ulp and flip a 4 dp
+    * rounding; the LINEAR score is exact IEEE arithmetic.
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        bias: Double = 0.0): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    def w(t: Column): Column =
+      ((conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 2001 - 1000)
+        .cast("double")) / 1000.0
+    val ws = transform(toks, t => w(t))
+    val total = aggregate(ws, lit(0.0), (a, x) => a + x)
+    docs.select(col(idCol),
+      size(toks).cast("int").as("n_tokens"),
+      round(when(size(toks) === 0, lit(bias))
+        .otherwise(lit(bias) + total / size(toks)), 4).as("lin_score"))
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any
     * word n-gram with an evaluation/benchmark set — the standard
     * pre-training hygiene pass (eval text leaking into training data

@@ -361,6 +361,14 @@ object LlmText {
         k = 8, iters = 2, threshold = 0.4)
     },
 
+    // Hashing-trick linear quality scorer (fastText-shaped): md5-derived
+    // per-token weights, mean + bias, token-order IEEE fold — one
+    // narrow pass, full hash oracle.
+    "q109_hashed_linear" -> { (s, d) =>
+      Corpus.hashedLinearScore(Tables.documents(s, d), "doc_id", "text",
+        bias = 0.1)
+    },
+
     // PII/URL scrubbing: the fixture corpus carries no URLs/emails, so
     // the query PLANTS one of each (derived from doc_id) before
     // scrubbing — both engines construct identical text, making the
@@ -771,6 +779,21 @@ object LlmText {
           SELECT af.vec_id, af.cluster,
                  (rm.vec_id IS NOT NULL) AS removed
           FROM af LEFT JOIN rm ON af.vec_id = rm.vec_id""",
+    // weights fold left-to-right in TOKEN ORDER on both engines (same
+    // tokenization → same order → identical IEEE sum); list_reduce on
+    // an empty list errors, so the CASE guards short docs
+    "q109_hashed_linear" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          w AS (SELECT doc_id, len(toks) AS n,
+                  list_transform(toks, tk ->
+                    CAST((CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 2001 - 1000)
+                         AS DOUBLE) / 1000.0) AS ws
+                FROM t)
+          SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+                 round(CASE WHEN n = 0 THEN 0.1
+                       ELSE 0.1 + list_reduce(ws, (a, b) -> a + b) / n END, 4)
+                   AS lin_score
+          FROM w""",
     "q71_scrub" -> {
       val url = TextFunctions.UrlRe
       val email = TextFunctions.EmailRe

@@ -221,6 +221,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("q109: hashed linear scorer is one narrow pass — no Exchange, no join") {
+    val plan = planOf("q109_hashed_linear")
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE finalizes the physical plan only on execution — run it first.
     val df = SparkEntry.queries("q02_filter_project")(spark, sf)
