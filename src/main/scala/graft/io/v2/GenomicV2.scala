@@ -50,10 +50,10 @@ class FastqSource extends TableProvider
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new FastqTable(properties.get("path"),
-      Option(properties.get("splitBytes")).map(_.toLong).getOrElse(64L << 20))
+      Option(properties.get("splitBytes")).map(_.toLong))
 }
 
-private[v2] class FastqTable(path: String, splitBytes: Long)
+private[v2] class FastqTable(path: String, splitBytes: Option[Long])
     extends Table with SupportsRead {
   require(path != null, "FastqSource needs .load(path)")
   override def name(): String = s"fastq($path)"
@@ -64,7 +64,7 @@ private[v2] class FastqTable(path: String, splitBytes: Long)
     new FastqScanBuilder(path, splitBytes)
 }
 
-private[v2] class FastqScanBuilder(path: String, splitBytes: Long)
+private[v2] class FastqScanBuilder(path: String, splitBytes: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = Fastq.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -86,9 +86,15 @@ private[v2] object RangePlanner {
   /** Driver-side listing → byte-range partitions; compressed files get
     * one whole-file partition (not byte-addressable). Listing rules
     * (glob/dir, hidden-file filter, len>0, path order) are the v1
-    * reader's own `Fastq.listFiles` — one copy, no drift.
+    * reader's own `Fastq.listFiles` — one copy, no drift. Split size
+    * defaults to the session's `spark.sql.files.maxPartitionBytes`
+    * (what every other source honors); the `splitBytes` option
+    * overrides it.
     */
-  def plan(spark: SparkSession, path: String, splitBytes: Long): Array[InputPartition] = {
+  def plan(spark: SparkSession, path: String,
+           splitOpt: Option[Long]): Array[InputPartition] = {
+    val splitBytes = splitOpt.getOrElse(
+      spark.sessionState.conf.filesMaxPartitionBytes)
     Fastq.listFiles(spark, path).flatMap { case (f, len) =>
       if (isCompressed(f)) Seq(RangePartition(f, 0L, Long.MaxValue, compressed = true))
       else (0L until len by splitBytes)
@@ -184,7 +190,7 @@ private[v2] final class PrunedLineScanner(in: java.io.InputStream, startOffset: 
   }
 }
 
-private[v2] class FastqScan(path: String, splitBytes: Long, required: StructType)
+private[v2] class FastqScan(path: String, splitBytes: Option[Long], required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -351,7 +357,7 @@ class FastaSource extends TableProvider
   override def getTable(s: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new FastaTable(properties.get("path"),
-      Option(properties.get("splitBytes")).map(_.toLong).getOrElse(64L << 20))
+      Option(properties.get("splitBytes")).map(_.toLong))
 }
 
 object FastaSource {
@@ -361,7 +367,7 @@ object FastaSource {
     StructField("sequence", StringType)))
 }
 
-private[v2] class FastaTable(path: String, splitBytes: Long)
+private[v2] class FastaTable(path: String, splitBytes: Option[Long])
     extends Table with SupportsRead {
   require(path != null, "FastaSource needs .load(path)")
   override def name(): String = s"fasta($path)"
@@ -372,7 +378,7 @@ private[v2] class FastaTable(path: String, splitBytes: Long)
     new FastaScanBuilder(path, splitBytes)
 }
 
-private[v2] class FastaScanBuilder(path: String, splitBytes: Long)
+private[v2] class FastaScanBuilder(path: String, splitBytes: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = FastaSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -380,7 +386,7 @@ private[v2] class FastaScanBuilder(path: String, splitBytes: Long)
   override def build(): Scan = new FastaScan(path, splitBytes, required)
 }
 
-private[v2] class FastaScan(path: String, splitBytes: Long, required: StructType)
+private[v2] class FastaScan(path: String, splitBytes: Option[Long], required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
