@@ -114,8 +114,7 @@ object Corpus {
       .flatMap(shingleHashes)
       .distinct().collect().sorted
     val bc = spark.sparkContext.broadcast(benchHashes)
-    docs
-      .repartition(spark.sparkContext.defaultParallelism)
+    Parallelism.ensure(docs)
       .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val sorted = bc.value

@@ -36,8 +36,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = numHashes / nBands
-    docs
-      .repartition(spark.sparkContext.defaultParallelism)
+    Parallelism.ensure(docs)
       .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -96,8 +95,7 @@ object Dedup {
                            shingleN: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .repartition(spark.sparkContext.defaultParallelism)
+    Parallelism.ensure(docs)
       .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -237,8 +235,7 @@ object Dedup {
     * >1 member are near-dup clusters (plus rare 16-bit collisions).
     */
   def simhashBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    Parallelism.ensure(docs)
       // materialize tokens, then ONE md5 per token — the 16 bit-
       // aggregates reference the hash column, so an inline tokenizer or
       // inline md5 would re-run 16× per row.

@@ -58,30 +58,12 @@ object Similarity {
     * parallelism). An input already at/above parallelism — the normal
     * state of a large table — keeps its partitioning: no exchange.
     *
-    * The `df.rdd.getNumPartitions` probe is taken ONLY for scan-shaped
-    * inputs: under AQE, converting a derived DataFrame (join/agg
-    * output) to an RDD finalizes the adaptive plan by EXECUTING its
-    * upstream stages — the expensive lineage would run twice. A derived
-    * input already has shuffle.partitions-sized partitioning, which is
-    * exactly the healthy state the gate looks for, so it skips the
-    * probe and the repartition entirely.
+    * Shared gate: [[Parallelism.ensure]] (scan-shaped inputs probe the
+    * partition count; derived inputs skip both the AQE-finalizing probe
+    * and the repartition).
     */
-  private def ensureParallelism(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.{logical => lp}
-    val derived = df.queryExecution.optimizedPlan.find {
-      case _: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.Sort |
-           _: lp.RepartitionByExpression => true
-      // coalesce = Repartition(shuffle=false): NARROWS partitions, so it
-      // is exactly the under-parallel case the probe must still catch
-      case r: lp.Repartition if r.shuffle => true
-      case _ => false
-    }.isDefined
-    if (derived) df
-    else {
-      val p = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-    }
-  }
+  private def ensureParallelism(df: DataFrame): DataFrame =
+    Parallelism.ensure(df)
 
   private def withNorm(df: DataFrame): DataFrame =
     ensureParallelism(withNative(df))
