@@ -87,6 +87,29 @@ object DomainIO {
         .select(col("readName"), col("start"), col("bases"))
     },
 
+    // T5 under oracle test (q101 flag pattern): uuid() values can't
+    // hash-match another engine, so the row emits exact counts plus
+    // deterministic structural flags — every renamed id is unique,
+    // carries the uuid format, and preserves its original prefix.
+    "q110_rename_contigs" -> { (s, d) =>
+      val contigs = Tables.part(s, d).select(
+        concat_ws("", lit("P"), col("p_partkey")).as("id"),
+        lit("ACGT").as("sequence"))
+      val renamed = Fasta.renameContigsUniq(contigs)
+      val uuidRe =
+        "^P[0-9]+_[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+      renamed.agg(
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("id")).as("_n_ids"),
+          bool_and(col("id").rlike(uuidRe)).as("format_ok"),
+          count_distinct(regexp_extract(col("id"), "^(P[0-9]+)_", 1))
+            .as("_n_prefixes"))
+        .select(col("n_rows"),
+          (col("_n_ids") === col("n_rows")).as("ids_unique"),
+          col("format_ok"),
+          (col("_n_prefixes") === col("n_rows")).as("prefixes_preserved"))
+    },
+
     // S1+K1+T1: FASTQ write → read → Illumina-header projection.
     "q50_fastq_roundtrip" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
@@ -424,6 +447,10 @@ object DomainIO {
          FROM lineitem""",
     "q106_fasta_v2_pruned" ->
       """SELECT 'P' || p_partkey AS id, '' AS description FROM part""",
+    "q110_rename_contigs" ->
+      """SELECT count(*) AS n_rows, true AS ids_unique, true AS format_ok,
+              true AS prefixes_preserved
+         FROM part""",
     // region overlap in the 1-based inclusive domain: pos <= 900 and
     // pos + len(bases) - 1 >= 500 (cigar is all-M, span = |bases|)
     "q107_bam_region" ->
