@@ -225,6 +225,42 @@ class BamSpec extends AnyFunSuite {
     assert(ugot == uwant)
   }
 
+  test("region read over a DIRECTORY of sorted per-part BAMs prunes per file") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    // two range-disjoint sorted files in one dir (the range-partitioned
+    // write shape): regions inside file 1's span must prune ALL of file 2
+    val dir = java.nio.file.Files.createTempDirectory("graft_bam_multi").toString
+    def mk(file: String, lo: Int, n: Int): Unit = {
+      val rows = (0 until n).map { i =>
+        val len = 80 + rng.nextInt(40)
+        val bases = Array.fill(len)("ACGT"(rng.nextInt(4))).mkString
+        val quals = Array.fill(len)(('!' + 2 + rng.nextInt(40)).toChar).mkString
+        (f"r${lo + i * 25}%07d", 0, "chr1", lo + i * 25, 60, s"${len}M", bases, quals)
+      }.toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
+        "bases", "quality")
+      Bam.write(rows.coalesce(1), s"$dir/$file",
+        refs = Seq(("chr1", 300000)), singleFile = true)
+    }
+    mk("part-0.bam", 1, 2000)      // spans [1, ~50000]
+    mk("part-1.bam", 100001, 2000) // spans [100001, ~150000]
+    val (all, surviving, _) =
+      Bam.regionPlan(spark, dir, "chr1", 10000, 20000, 1L << 16, 16384)
+    assert(all.exists(_._1.contains("part-1")), "both files must range")
+    assert(!surviving.exists(_._1.contains("part-1")),
+      "file 2 is wholly out of region — every range of it must prune")
+    assert(surviving.nonEmpty)
+    val got = Bam.readRegion(spark, dir, "chr1", 10000, 20000,
+        splitBytes = 1 << 16)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).collect()(0).getLong(0)
+    val want = Bam.readSplittable(spark, dir, splitBytes = 1 << 16)
+      .filter(col("start") <= 20000 &&
+        col("start") + length(col("bases")) - 1 >= 10000)
+      .count()
+    assert(got == want && got > 0)
+  }
+
   test("property: random regions on the sorted file always equal scan+filter") {
     import spark.implicits._
     // reuse one sorted multi-block fixture for 6 random regions

@@ -57,6 +57,19 @@ class V2IoSpec extends AnyFunSuite {
     assert(v2.nonEmpty)
   }
 
+  test("v2 FASTQ: bz2 single-partition fallback equals v1") {
+    val dir = Files.createTempDirectory("graft_v2_bz2")
+    val out = new org.apache.hadoop.io.compress.BZip2Codec()
+    out.setConf(new org.apache.hadoop.conf.Configuration())
+    val os = out.createOutputStream(
+      Files.newOutputStream(dir.resolve("data.fastq.bz2")))
+    os.write(hostileFastq.getBytes("US-ASCII")); os.close()
+    val v1 = Fastq.read(spark, dir.toString).collect().map(_.toSeq).toSet
+    val v2 = readV2(classOf[FastqSource], dir.toString).collect().map(_.toSeq).toSet
+    assert(v2 == v1)
+    assert(v2.nonEmpty)
+  }
+
   test("v2 FASTQ: select(sequence) prunes the scan to one column") {
     val dir = writeFixture("fq_prune", hostileFastq)
     val df = readV2(classOf[FastqSource], dir).select("sequence")
