@@ -51,10 +51,14 @@ object Corpus {
     * trained weights = replacing `w` with a broadcast-map lookup; the
     * plan shape is unchanged.
     *
-    * Scale: ONE narrow codegen'd pass — tokenize, per-token weight via
-    * a HOF transform, left-fold in token order (pinned IEEE sum order,
-    * the bm25/pqAdc rule), divide, round. No shuffle, no UDF, pushes
-    * through any plan. The sigmoid is deliberately omitted: libm exp()
+    * Scale: ONE narrow pass — tokenize, per-token weight via a HOF
+    * transform, left-fold in token order (pinned IEEE sum order, the
+    * bm25/pqAdc rule), divide, round. No shuffle; nothing leaves the
+    * row. The HOF lambdas are CodegenFallback (interpreted) — at
+    * production scale the same fold moves into a typed mapPartitions
+    * pass (the minhash-signature precedent) or one native Expression;
+    * the oracle contract (md5₃₂ weights, token-order sum) is the
+    * portable part. The sigmoid is deliberately omitted: libm exp()
     * may differ across engines in the last ulp and flip a 4 dp
     * rounding; the LINEAR score is exact IEEE arithmetic.
     */
