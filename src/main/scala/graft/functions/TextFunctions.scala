@@ -21,10 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens with empties dropped (split-then-filter matches
-    * DuckDB `list_filter(regexp_split_to_array(trim(x),'\s+'), ...)`).
+  /** Whitespace tokens with empties dropped (matches DuckDB
+    * `list_filter(regexp_split_to_array(trim(x),'\s+'), ...)`).
+    * NATIVE codegen expression: the HOF form
+    * (`filter(split(trim(c)), lambda)`) was CodegenFallback — the
+    * per-element predicate interpreted AND the fallback broke
+    * whole-stage codegen for the whole enclosing projection, a tax on
+    * every text query. Semantics are bit-identical (TokensSpec pins
+    * equality against the HOF form on hostile inputs).
     */
   def tokens(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.TokensExpression(
+        org.apache.spark.sql.graft.Bridge.expression(c)))
+
+  /** The pre-native HOF form — kept as the reference semantics for
+    * TokensSpec's equivalence check.
+    */
+  private[graft] def tokensHof(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => t =!= "")
 
   def tokenCount(c: Column): Column = size(tokens(c))

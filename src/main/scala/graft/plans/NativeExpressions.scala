@@ -46,6 +46,28 @@ object NativeDna {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
   }
+
+  /** Whitespace tokenization core — EXACTLY
+    * `filter(split(trim(c), "\\s+"), _ != "")`: trim strips 0x20 spaces
+    * only (the StringTrim rule), the split is Java regex `\s+` (ASCII
+    * whitespace classes), empties drop. One compiled-regex pass per row;
+    * the shared pattern is stateless and thread-safe.
+    */
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+  def tokens(s: UTF8String): GenericArrayData = {
+    val parts = wsPattern.split(s.trim().toString, -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) n += 1; i += 1 }
+    val out = new Array[Any](n)
+    var j = 0
+    i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) { out(j) = UTF8String.fromString(parts(i)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** X1 as a native unary expression with whole-stage codegen support. */
@@ -64,6 +86,34 @@ case class RevCompExpression(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.NativeDna.revcomp($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whitespace tokenizer as a native codegen expression. The HOF form
+  * (`filter(split(...), lambda)`) is CodegenFallback: the per-element
+  * predicate interprets AND the fallback breaks whole-stage codegen for
+  * the entire enclosing projection — every text query paid that. This
+  * stays inside the fused stage and runs one compiled-regex pass per
+  * row. Registered as `tokens_native`; [[graft.functions.TextFunctions
+  * .tokens]] builds it directly.
+  */
+case class TokensExpression(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tokens_native requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokens_native"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NativeDna.tokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeDna.tokens($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -406,6 +456,7 @@ object NativeFunctions {
     "kmers_native" -> (exprs => KmerGenerator(exprs(0), exprs(1))),
     "dot_native" -> (exprs => DotProductExpression(exprs(0), exprs(1))),
     "nfc_native" -> (exprs => NfcNormalizeExpression(exprs.head)),
+    "tokens_native" -> (exprs => TokensExpression(exprs.head)),
     "cosine_argmax_native" -> (exprs =>
       CosineArgmaxExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))))
 
@@ -433,6 +484,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("nfc_native"),
       new ExpressionInfo(classOf[NfcNormalizeExpression].getName, "nfc_native"),
       (exprs: Seq[Expression]) => NfcNormalizeExpression(exprs.head)))
+    e.injectFunction((FunctionIdentifier("tokens_native"),
+      new ExpressionInfo(classOf[TokensExpression].getName, "tokens_native"),
+      (exprs: Seq[Expression]) => TokensExpression(exprs.head)))
     e.injectFunction((FunctionIdentifier("cosine_argmax_native"),
       new ExpressionInfo(classOf[CosineArgmaxExpression].getName, "cosine_argmax_native"),
       (exprs: Seq[Expression]) =>

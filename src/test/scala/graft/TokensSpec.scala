@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native tokens expression must be BIT-IDENTICAL to the HOF form
+  * it replaced — same trim rule (0x20 spaces only), same Java-regex
+  * `\s+` split classes, same empty-drop, same null propagation.
+  */
+class TokensSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("native tokens == HOF tokens on hostile inputs") {
+    import spark.implicits._
+    val hostile = Seq(
+      "plain words here",
+      "  leading and trailing  ",
+      "tab\tseparated\twords",
+      "newline\nseparated",
+      "\r\n mixed \t\f whitespace  here ",
+      "", " ", "\t", "\n\n\n",
+      "one",
+      "unicode café 中文 words",
+      "nbsp is-not-ascii-whitespace",   // \s does NOT match U+00A0
+      "many     spaces      between",
+      "trailing-tab\t",
+      "\ta\tb\t")
+      .toDF("text")
+    val both = hostile.select(
+      TextFunctions.tokens(col("text")).as("native"),
+      TextFunctions.tokensHof(col("text")).as("hof"))
+    val rows = both.collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+    }
+    // null propagates as null through both
+    val n = Seq[Option[String]](None).toDF("text").select(
+      TextFunctions.tokens(col("text")).as("native"),
+      TextFunctions.tokensHof(col("text")).as("hof")).collect()(0)
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("tokens stays inside whole-stage codegen (the point of the rewrite)") {
+    import spark.implicits._
+    // parquet-backed input: a literal Seq constant-folds to a
+    // LocalTableScan with no codegen stage to inspect
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok").toString + "/t"
+    Seq(("a b c", 1), ("d e", 2)).toDF("text", "n").write.parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("n") > 0)
+      .select(size(TextFunctions.tokens(col("text"))).as("k"), col("n"))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(800))
+    // SQL surface too
+    graft.plans.NativeFunctions.register(spark)
+    val viaSql = spark.sql("SELECT tokens_native('  x  y ') AS t")
+      .collect()(0).getSeq[String](0)
+    assert(viaSql == Seq("x", "y"))
+  }
+}
