@@ -46,15 +46,31 @@ object DnaFunctions {
         sequence(lit(1), length(c) - 2, lit(3)),
         i => c.substr(i, lit(3))))
 
-  /** X6 as built-ins: mean of raw ASCII bytes via an aggregate HOF —
-    * narrow, no shuffle, stays in codegen.
+  /** X6 NATIVE: mean of raw code points — one byte loop per read inside
+    * whole-stage codegen. The aggregate-HOF form allocated one
+    * single-char string + one interpreted lambda eval PER BASE and
+    * ejected the projection from codegen; at 100 TB of reads this is
+    * the hottest scalar in the quality-filter path. Bit-compatible with
+    * the HOF twin (QualitySpec pins equality, incl. the empty-string
+    * null from the divide-by-zero rule).
     */
   def avgQualityCol(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.AvgQualityExpression(
+        org.apache.spark.sql.graft.Bridge.expression(c)))
+
+  /** X7 NATIVE: count of code points below `t` — same one-pass loop. */
+  def lowQualityCountCol(c: Column, t: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.LowQualityCountExpression(
+        org.apache.spark.sql.graft.Bridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(t)))
+
+  /** Pre-native HOF twins — reference semantics for QualitySpec. */
+  private[graft] def avgQualityHof(c: Column): Column =
     aggregate(split(c, ""), lit(0L), (acc, ch) => acc + ascii(ch))
       .cast("double") / length(c)
-
-  /** X7 as built-ins: count of chars whose code point is below `t`. */
-  def lowQualityCountCol(c: Column, t: Int): Column =
+  private[graft] def lowQualityCountHof(c: Column, t: Int): Column =
     aggregate(split(c, ""), lit(0),
       (acc, ch) => acc + when(ascii(ch) < t && length(ch) > 0, 1).otherwise(0))
 

@@ -47,6 +47,54 @@ object NativeDna {
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
   }
 
+  /** Quality-string cores (X6/X7) — EXACT twins of the HOF forms
+    * `aggregate(split(c, ""), 0, acc + ascii(ch))` etc.: ascii() is the
+    * code point of the (single-code-point) element, so both loops step
+    * by CODE POINT. ASCII fast path sums bytes directly (the Phred+33
+    * domain); the general path walks code points.
+    */
+  def qualityCodePointSum(s: UTF8String): Long = {
+    val nb = s.numBytes()
+    if (nb == s.numChars()) {
+      val b = s.getBytes
+      var sum = 0L
+      var i = 0
+      while (i < nb) { sum += (b(i) & 0xff); i += 1 }
+      sum
+    } else {
+      val str = s.toString
+      var sum = 0L
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        sum += cp
+        i += Character.charCount(cp)
+      }
+      sum
+    }
+  }
+
+  def lowQualityCount(s: UTF8String, t: Int): Int = {
+    val nb = s.numBytes()
+    if (nb == s.numChars()) {
+      val b = s.getBytes
+      var n = 0
+      var i = 0
+      while (i < nb) { if ((b(i) & 0xff) < t) n += 1; i += 1 }
+      n
+    } else {
+      val str = s.toString
+      var n = 0
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        if (cp < t) n += 1
+        i += Character.charCount(cp)
+      }
+      n
+    }
+  }
+
   /** Whitespace tokenization core — EXACTLY
     * `filter(split(trim(c), "\\s+"), _ != "")`: trim strips 0x20 spaces
     * only (the StringTrim rule), the split is Java regex `\s+` (ASCII
@@ -117,6 +165,78 @@ case class TokensExpression(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** X6 as a native expression: mean Phred score = code-point sum /
+  * numChars, one byte loop per read instead of a per-char
+  * split("")+aggregate HOF (which allocated one single-char string AND
+  * one interpreted lambda eval per base — at 100 TB of reads, the
+  * hottest scalar in the quality-filter path). NULL on the empty
+  * string — a deliberate improvement over the HOF form, whose
+  * sum/length(=0) division THREW under Spark 4's default ANSI mode
+  * (the try_divide semantics are the safe ones for a data-quality
+  * scalar).
+  */
+case class AvgQualityExpression(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"avg_quality_native requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "avg_quality_native"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    if (n == 0) null
+    else NativeDna.qualityCodePointSum(s).toDouble / n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      int n$$ = $c.numChars();
+      if (n$$ == 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = (double) graft.plans.NativeDna.qualityCodePointSum($c) / n$$;
+      }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** X7 as a native expression: count of code points below the threshold
+  * (same one-pass loop as [[AvgQualityExpression]]).
+  */
+case class LowQualityCountExpression(child: Expression, threshold: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def left: Expression = child
+  override def right: Expression = threshold
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && threshold.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"low_quality_count_native requires (STRING, INT), got " +
+        s"(${child.dataType.catalogString}, ${threshold.dataType.catalogString})")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "low_quality_count_native"
+
+  override protected def nullSafeEval(s: Any, t: Any): Any =
+    NativeDna.lowQualityCount(s.asInstanceOf[UTF8String], t.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, t) => s"graft.plans.NativeDna.lowQualityCount($s, $t)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(child = newLeft, threshold = newRight)
 }
 
 /** X2 as a native unary expression: the 64-entry codon table compiled
@@ -457,6 +577,9 @@ object NativeFunctions {
     "dot_native" -> (exprs => DotProductExpression(exprs(0), exprs(1))),
     "nfc_native" -> (exprs => NfcNormalizeExpression(exprs.head)),
     "tokens_native" -> (exprs => TokensExpression(exprs.head)),
+    "avg_quality_native" -> (exprs => AvgQualityExpression(exprs.head)),
+    "low_quality_count_native" -> (exprs =>
+      LowQualityCountExpression(exprs(0), exprs(1))),
     "cosine_argmax_native" -> (exprs =>
       CosineArgmaxExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))))
 
@@ -487,6 +610,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("tokens_native"),
       new ExpressionInfo(classOf[TokensExpression].getName, "tokens_native"),
       (exprs: Seq[Expression]) => TokensExpression(exprs.head)))
+    e.injectFunction((FunctionIdentifier("avg_quality_native"),
+      new ExpressionInfo(classOf[AvgQualityExpression].getName, "avg_quality_native"),
+      (exprs: Seq[Expression]) => AvgQualityExpression(exprs.head)))
+    e.injectFunction((FunctionIdentifier("low_quality_count_native"),
+      new ExpressionInfo(classOf[LowQualityCountExpression].getName, "low_quality_count_native"),
+      (exprs: Seq[Expression]) => LowQualityCountExpression(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("cosine_argmax_native"),
       new ExpressionInfo(classOf[CosineArgmaxExpression].getName, "cosine_argmax_native"),
       (exprs: Seq[Expression]) =>

@@ -42,6 +42,31 @@ class TokensSpec extends AnyFunSuite {
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
+  test("native avg_quality / low_quality_count == HOF twins on non-empty strings") {
+    import spark.implicits._
+    val cases = Seq("IIIIIIII", "!#%&", "I", "@@@@IIII@@@@",
+      "mixed unicode é≤").toDF("q")
+    val both = cases.select(
+      graft.functions.DnaFunctions.avgQualityCol(col("q")).as("a_nat"),
+      graft.functions.DnaFunctions.avgQualityHof(col("q")).as("a_hof"),
+      graft.functions.DnaFunctions.lowQualityCountCol(col("q"), 40).as("c_nat"),
+      graft.functions.DnaFunctions.lowQualityCountHof(col("q"), 40).as("c_hof"))
+    both.collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), r.toString)
+      assert(r.getInt(2) == r.getInt(3), r.toString)
+    }
+  }
+
+  test("native avg_quality: empty string is NULL (the HOF form THREW under ANSI)") {
+    import spark.implicits._
+    val r = Seq("").toDF("q").select(
+      graft.functions.DnaFunctions.avgQualityCol(col("q")).as("a"),
+      graft.functions.DnaFunctions.lowQualityCountCol(col("q"), 40).as("c"))
+      .collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getInt(1) == 0)
+  }
+
   test("tokens stays inside whole-stage codegen (the point of the rewrite)") {
     import spark.implicits._
     // parquet-backed input: a literal Seq constant-folds to a
