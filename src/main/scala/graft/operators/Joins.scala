@@ -49,7 +49,8 @@ object Joins {
       else acc.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val cols = leftCols ++ Seq("_t", "_is_left", "_p")
-    val both = l.select(cols.map(col): _*).unionByName(r.select(cols.map(col): _*))
+    val both = l.select(cols.map(col).toSeq: _*)
+      .unionByName(r.select(cols.map(col).toSeq: _*))
 
     // right rows sort BEFORE left rows at equal _t (so an equal-time
     // right row is visible to the left row); equal-time right rows sort
@@ -61,7 +62,7 @@ object Joins {
     val carried = both.withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
     carried.filter(col("_is_left") === 1)
       .select((leftCols.map(col) ++
-        payload.map(c => col(s"_asof.$c").as(c))): _*)
+        payload.map(c => col(s"_asof.$c").as(c))).toSeq: _*)
   }
 
   /** Range join (point-in-interval): match every left "point" row to
