@@ -312,6 +312,51 @@ object Similarity {
     assign(cent).select(col("id").as("vec_id"), col("cluster"))
   }
 
+  /** Binary (1-bit sign) quantization — the memory-extreme end of the
+    * quantization ladder (float32 → int8 → PQ → binary): dim bits per
+    * vector, packed into 32-bit blocks stored as longs (block values
+    * stay in [0, 2³²) so no sign-bit arithmetic differs across
+    * engines). A 64-dim float32 vector (256 B) becomes 8 B — the shape
+    * billion-vector first-pass filters keep fully in memory. Narrow
+    * per-row map, no shuffle; bit j of block b = sign(e[32b+j]) ≥ 0.
+    */
+  def binaryQuantize(vectors: DataFrame): DataFrame =
+    vectors.select(col("id"),
+      transform(
+        sequence(lit(0),
+          floor((size(col("embedding")) + 31) / 32).cast("int") - 1),
+        b => aggregate(
+          sequence(lit(0),
+            least(lit(31), size(col("embedding")) - b * 32 - 1)),
+          lit(0L),
+          (acc, j) => acc +
+            when(col("embedding").getItem(b * 32 + j) >= 0,
+              call_function("shiftleft", lit(1L), j)).otherwise(0L)))
+        .as("codes"))
+
+  /** Exact Hamming top-k in the binary code space: xor + bit_count per
+    * 32-bit block, summed — pure integer arithmetic, so unlike every
+    * cosine variant the distances (and the oracle hash) are exact with
+    * no rounding contract. All-pairs over the 8-byte codes by design,
+    * like [[int8TopK]]: the code-space scan IS the operator (at 10⁹
+    * vectors the codes table is ~8 GB — scanned, not shuffled; the
+    * bucketed ANN structures above feed it candidate lists instead).
+    * Ties break (distance asc, neighbor_id asc).
+    */
+  def hammingTopK(vectors: DataFrame, k: Int): DataFrame = {
+    val v = Parallelism.ensure(binaryQuantize(vectors))
+    val pairs = v.as("q")
+      .join(v.as("c"), col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        aggregate(
+          zip_with(col("q.codes"), col("c.codes"),
+            (x, y) => bit_count(x.bitwiseXOR(y))),
+          lit(0), (acc, d) => acc + d).as("hamming"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** SemDeDup-style semantic deduplication (the published recipe:
     * k-means the embeddings, then prune near-identical pairs WITHIN each
     * cluster): vectors cluster via [[kmeansAssign]] (deterministic — a

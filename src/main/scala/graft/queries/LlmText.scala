@@ -350,6 +350,24 @@ object LlmText {
         k = 8, iters = 2)
     },
 
+    // Binary (1-bit) quantization — codes posexploded to scalar rows
+    // (q90's shape); 32-bit blocks keep the values engine-portable.
+    "q111_binary_quantize" -> { (s, d) =>
+      Similarity.binaryQuantize(Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding")))
+        .select(col("id").as("vec_id"),
+          posexplode(col("codes")).as(Seq("block", "code")))
+    },
+
+    // Exact Hamming top-3 in the binary code space: integer distances,
+    // full hash oracle with NO rounding contract anywhere.
+    "q112_hamming_topk" -> { (s, d) =>
+      Similarity.hammingTopK(Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding")), 3)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"),
+          col("rank").cast("int").as("rank"))
+    },
+
     // SemDeDup: deterministic k-means clusters + within-cluster cosine
     // pruning — the larger id of every >= 0.4 pair is flagged removed.
     // One row per vector, full hash oracle (the SQL replays the
@@ -779,6 +797,35 @@ object LlmText {
           SELECT af.vec_id, af.cluster,
                  (rm.vec_id IS NOT NULL) AS removed
           FROM af LEFT JOIN rm ON af.vec_id = rm.vec_id""",
+    // 64-dim embeddings → two 32-bit blocks; bit j of block b set iff
+    // e[32b + j] >= 0 (1-based list indexing in DuckDB)
+    "q111_binary_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          c AS (SELECT vec_id, b.b AS block,
+                  list_reduce(list_transform(range(1, 33),
+                    j -> CASE WHEN e[32 * b.b + j] >= 0
+                              THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END),
+                    (a, x) -> a | x) AS code
+                FROM v CROSS JOIN (SELECT unnest([0, 1]) AS b) b)
+          SELECT vec_id, CAST(block AS INTEGER) AS block, code FROM c""",
+    "q112_hamming_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          c AS (SELECT vec_id,
+                  list_transform([0, 1], b ->
+                    list_reduce(list_transform(range(1, 33),
+                      j -> CASE WHEN e[32 * b + j] >= 0
+                                THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END),
+                      (a, x) -> a | x)) AS codes
+                FROM v),
+          p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                  CAST(bit_count(CAST(xor(q.codes[1], n.codes[1]) AS BIGINT)) +
+                       bit_count(CAST(xor(q.codes[2], n.codes[2]) AS BIGINT))
+                       AS INTEGER) AS hamming
+                FROM c q JOIN c n ON q.vec_id != n.vec_id)
+          SELECT query_id, neighbor_id, hamming, CAST(rn AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY hamming ASC, neighbor_id ASC) AS rn FROM p)
+          WHERE rn <= 3""",
     // weights fold left-to-right in TOKEN ORDER on both engines (same
     // tokenization → same order → identical IEEE sum); list_reduce on
     // an empty list errors, so the CASE guards short docs

@@ -227,6 +227,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(1200))
   }
 
+  test("q111: binary quantization is one narrow map — no Exchange, no join") {
+    val plan = planOf("q111_binary_quantize")
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE finalizes the physical plan only on execution — run it first.
     val df = SparkEntry.queries("q02_filter_project")(spark, sf)
