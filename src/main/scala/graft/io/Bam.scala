@@ -217,7 +217,7 @@ object Bam {
     // header-containing range never guesses.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val metas: Map[String, (IndexedSeq[String], Long, Int)] =
+    val metas: Map[String, HeaderMeta] =
       files.map { case (p, _) =>
         p -> readHeaderMeta(fs, new org.apache.hadoop.fs.Path(p))
       }.toMap
@@ -230,7 +230,7 @@ object Bam {
     val rows = spark.sparkContext
       .parallelize(ranges, math.max(1, ranges.size))
       .flatMap { case (p, s, e) =>
-        val (refs, firstBlock, firstOff) = metaBc.value(p)
+        val (refs, firstBlock, firstOff, _) = metaBc.value(p)
         decodeRange(confBc.value.toConf, p, s, e, refs, firstBlock, firstOff)
       }
       .toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
@@ -249,9 +249,19 @@ object Bam {
     * records that START before the region but span into it: the region
     * lower bound is extended by maxSpan, and records longer than
     * maxSpan starting more than maxSpan before `start` may be missed
-    * (the same granularity contract an index chunk gives). If the probe
-    * finds the file NOT coordinate-sorted, every range is kept — plain
-    * scan + filter, correct but unpruned.
+    * (the same granularity contract an index chunk gives).
+    *
+    * Sortedness detection: the @HD SO header tag is AUTHORITATIVE when
+    * present — `SO:coordinate` enables pruning (cross-checked against
+    * the probe keys: if they contradict the header, every range is
+    * kept), any other declared SO disables it (full scan + filter,
+    * correct but unpruned). When no SO tag is declared the probe keys
+    * alone decide, and that path is BEST-EFFORT: the probe sees only
+    * the FIRST record of each byte range, so a file sorted across
+    * ranges but shuffled within them is indistinguishable from sorted
+    * and would be pruned incorrectly — write coordinate-sorted BAMs
+    * with `sortOrder = Some("coordinate")` (or an SO-tagging tool) to
+    * get the guaranteed path.
     */
   def readRegion(spark: SparkSession, path: String, rname: String,
                  start: Int, end: Int,
@@ -264,7 +274,7 @@ object Bam {
     val rows = spark.sparkContext
       .parallelize(surviving, math.max(1, surviving.size))
       .flatMap { case (p, s, e) =>
-        val (refs, firstBlock, firstOff) = metaBc.value(p)
+        val (refs, firstBlock, firstOff, _) = metaBc.value(p)
         decodeRange(confBc.value.toConf, p, s, e, refs, firstBlock, firstOff)
       }
       .toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
@@ -289,7 +299,7 @@ object Bam {
   private[graft] def regionPlan(spark: SparkSession, path: String,
       rname: String, start: Int, end: Int, splitBytes: Long, maxSpan: Int)
       : (Seq[(String, Long, Long)], Seq[(String, Long, Long)],
-         Map[String, (IndexedSeq[String], Long, Int)]) = {
+         Map[String, HeaderMeta]) = {
     val (all, surviving, metaBc, _) =
       regionPlanBc(spark, path, rname, start, end, splitBytes, maxSpan)
     (all, surviving, metaBc.value)
@@ -298,13 +308,13 @@ object Bam {
   private def regionPlanBc(spark: SparkSession, path: String,
       rname: String, start: Int, end: Int, splitBytes: Long, maxSpan: Int)
       : (Seq[(String, Long, Long)], Seq[(String, Long, Long)],
-         org.apache.spark.broadcast.Broadcast[Map[String, (IndexedSeq[String], Long, Int)]],
+         org.apache.spark.broadcast.Broadcast[Map[String, HeaderMeta]],
          org.apache.spark.broadcast.Broadcast[HadoopConfCarrier]) = {
     require(splitBytes >= (1 << 16), s"splitBytes must be >= 64 KiB, got $splitBytes")
     val files = listBams(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val metas: Map[String, (IndexedSeq[String], Long, Int)] =
+    val metas: Map[String, HeaderMeta] =
       files.map { case (p, _) =>
         p -> readHeaderMeta(fs, new org.apache.hadoop.fs.Path(p))
       }.toMap
@@ -320,7 +330,7 @@ object Bam {
     val probes: Map[(String, Long), Option[(Int, Int)]] = spark.sparkContext
       .parallelize(ranges, math.max(1, ranges.size))
       .map { case (p, s, e) =>
-        val (refs, fb, fo) = metaBc.value(p)
+        val (refs, fb, fo, _) = metaBc.value(p)
         val refIdx = refs.zipWithIndex.toMap
         val it = decodeRange(confBc.value.toConf, p, s, e, refs, fb, fo)
         val first =
@@ -339,11 +349,23 @@ object Bam {
       val frs = byFile.getOrElse(p, Seq.empty)
       val los = frs.map(r => probes((p, r._2)))
       val defined = los.flatten
-      val isSorted = defined.size < 2 ||
+      val probesMonotone = defined.size < 2 ||
         defined.sliding(2).forall {
           case Seq(a, b) => lexLe(a, b)
           case _ => true
         }
+      // Pruning policy (see readRegion scaladoc): the @HD SO tag is
+      // AUTHORITATIVE when present — SO:coordinate allows pruning (the
+      // probe must still agree: a header lying about sortedness would
+      // otherwise drop records), any other declared SO forbids it. With
+      // no SO declared, the probe alone decides — BEST-EFFORT: it sees
+      // one record per byte range, so a file unsorted only WITHIN
+      // ranges passes undetected.
+      val isSorted = metas(p)._4 match {
+        case Some("coordinate") => probesMonotone
+        case Some(_) => false
+        case None => probesMonotone
+      }
       val refIdx = metas(p)._1.zipWithIndex.toMap
       if (!isSorted) frs // unsorted: keep all (scan + filter, no pruning)
       else if (!refIdx.contains(rname)) Seq.empty // unknown ref: no rows
@@ -452,9 +474,16 @@ object Bam {
     * that block's payload). An empty BAM reports firstBlock=Long.MaxValue
     * so every range decodes nothing.
     */
+  /** Per-file header metadata: (reference names, BGZF block offset of
+    * the first record, offset within that block, @HD SO tag value if
+    * declared). The SO tag drives region-query pruning policy — see
+    * [[readRegion]].
+    */
+  private[graft] type HeaderMeta = (IndexedSeq[String], Long, Int, Option[String])
+
   private[graft] def readHeaderMeta(fs: org.apache.hadoop.fs.FileSystem,
                                     path: org.apache.hadoop.fs.Path)
-      : (IndexedSeq[String], Long, Int) = {
+      : HeaderMeta = {
     val len = fs.getFileStatus(path).getLen
     val in = fs.open(path)
     val cursor = new BgzfCursor(in, 0, len)
@@ -480,6 +509,14 @@ object Bam {
         s"$path is not a BAM file (bad magic)")
       val lText = bb.getInt
       require(need(12 + lText + 4), s"$path: truncated BAM header")
+      // @HD SO tag (sort-order declaration) from the SAM-text header —
+      // optional per spec; absent ⇒ None
+      val soTag: Option[String] = {
+        val text = new String(data, 8, lText, US_ASCII)
+        text.linesIterator.find(_.startsWith("@HD")).flatMap { hd =>
+          hd.split('\t').find(_.startsWith("SO:")).map(_.drop(3))
+        }
+      }
       var p = 8 + lText
       def i32(o: Int): Int = (data(o) & 0xff) | ((data(o + 1) & 0xff) << 8) |
         ((data(o + 2) & 0xff) << 16) | ((data(o + 3) & 0xff) << 24)
@@ -492,9 +529,9 @@ object Bam {
         p += 8 + lName
         name
       }
-      if (!need(p + 1)) return (refs, Long.MaxValue, 0) // record-less BAM
+      if (!need(p + 1)) return (refs, Long.MaxValue, 0, soTag) // record-less BAM
       val blk = starts.find(s => s._1 <= p && p < s._2).get
-      (refs, blk._3, p - blk._1)
+      (refs, blk._3, p - blk._1, soTag)
     } finally { cursor.close(); in.close() }
   }
 
@@ -728,9 +765,11 @@ object Bam {
     * expansion + 26 bytes framing stays safely under 65536.
     */
   private def bamBytes(localRefs: Seq[(String, Int)],
-                       rows: Iterator[org.apache.spark.sql.Row]): Array[Byte] = {
+                       rows: Iterator[org.apache.spark.sql.Row],
+                       sortOrder: Option[String]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    val headerText = ("@HD\tVN:1.6\n" +
+    val so = sortOrder.map(v => s"\tSO:$v").getOrElse("")
+    val headerText = (s"@HD\tVN:1.6$so\n" +
       localRefs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString).getBytes(US_ASCII)
     val head = ByteBuffer.allocate(12 + headerText.length +
       localRefs.map(r => 8 + r._1.length + 1).sum).order(ByteOrder.LITTLE_ENDIAN)
@@ -778,6 +817,10 @@ object Bam {
     * SAM-text sink's columns: readName, flag, referenceName, start, mapq,
     * cigar, bases, quality. `refs` = (name, length) per reference
     * sequence; records whose referenceName is absent write refID -1.
+    * `sortOrder` (e.g. Some("coordinate")) declares the @HD SO tag —
+    * the writer does NOT verify it; declare coordinate only for data
+    * actually coordinate-sorted, which gives [[readRegion]] its
+    * guaranteed pruning path.
     *
     * `singleFile = true` writes `path` as ONE .bam file (the shape
     * external single-file tools expect) and first VALIDATES + PATCHES
@@ -792,7 +835,8 @@ object Bam {
     * writer.
     */
   def write(df: DataFrame, path: String, refs: Seq[(String, Int)] = Nil,
-            singleFile: Boolean = false): Unit = {
+            singleFile: Boolean = false,
+            sortOrder: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -824,7 +868,8 @@ object Bam {
         val fsw = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(confBc.value.toConf)
         val stream = fsw.create(new org.apache.hadoop.fs.Path(path), true)
-        try stream.write(bamBytes(refsBc.value, rows)) finally stream.close()
+        try stream.write(bamBytes(refsBc.value, rows, sortOrder))
+        finally stream.close()
       }
     } else {
       fs.mkdirs(hPath)
@@ -837,7 +882,8 @@ object Bam {
         // settings and only ever write to the local FS)
         val fsw = filePath.getFileSystem(confBc.value.toConf)
         val stream = fsw.create(filePath, true)
-        try stream.write(bamBytes(refsBc.value, rows)) finally stream.close()
+        try stream.write(bamBytes(refsBc.value, rows, sortOrder))
+        finally stream.close()
       }
     }
   }

@@ -301,6 +301,18 @@ private[v2] class FastqPartitionReader(conf: Configuration, part: RangePartition
   // replicate graft.io.Fastq.project's parse + null semantics exactly:
   // head = key.split(" ")(0) → h = head.split(":"); t = second space
   // token split on ":" (null when absent); int casts null on non-numeric
+
+  /** v1 parity for int fields: the v1 projection goes through a SQL
+    * string→int CAST, which trimAll()s then parses via UTF8String.toInt
+    * — whitespace-tolerant (" 5" parses), unlike a bare Scala
+    * toIntOption. Route through the identical UTF8String sequence so
+    * both readers agree on every input.
+    */
+  private def castInt(s: String): Any = {
+    val out = new UTF8String.IntWrapper
+    if (UTF8String.fromString(s).trimAll().toInt(out)) Int.box(out.value) else null
+  }
+
   private def buildRow(key: String, seq: String, qual: String): InternalRow = {
     var h: Array[String] = null
     var t: Array[String] = null
@@ -312,11 +324,11 @@ private[v2] class FastqPartitionReader(conf: Configuration, part: RangePartition
     def hs(i: Int): Any =
       if (h != null && i < h.length) UTF8String.fromString(h(i)) else null
     def hi(i: Int): Any =
-      if (h != null && i < h.length) h(i).toIntOption.map(Int.box).orNull else null
+      if (h != null && i < h.length) castInt(h(i)) else null
     def ts(i: Int): Any =
       if (t != null && i < t.length) UTF8String.fromString(t(i)) else null
     def ti(i: Int): Any =
-      if (t != null && i < t.length) t(i).toIntOption.map(Int.box).orNull else null
+      if (t != null && i < t.length) castInt(t(i)) else null
     val vals = fields.map {
       case "key"        => if (key != null) UTF8String.fromString(key) else null
       case "sequence"   => if (seq != null) UTF8String.fromString(seq) else null

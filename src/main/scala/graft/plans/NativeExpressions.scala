@@ -196,14 +196,21 @@ case class AvgQualityExpression(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      int n$$ = $c.numChars();
-      if (n$$ == 0) {
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, not a fixed local: with a non-nullable child the code
+      // isn't wrapped in its own block, and two instances in one codegen
+      // scope would redeclare the variable (janino error → silent
+      // interpreted fallback)
+      val n = ctx.freshName("n")
+      s"""
+      int $n = $c.numChars();
+      if ($n == 0) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = (double) graft.plans.NativeDna.qualityCodePointSum($c) / n$$;
+        ${ev.value} = (double) graft.plans.NativeDna.qualityCodePointSum($c) / $n;
       }
-    """)
+    """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

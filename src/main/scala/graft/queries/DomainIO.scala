@@ -81,7 +81,8 @@ object DomainIO {
         qualOf(col("o_orderkey")).as("quality"))
         .repartition(1).sortWithinPartitions("start", "readName")
       val file = tmp(d, "bam_region.bam")
-      Bam.write(bam, file, refs = Seq(("chr1", 200000)), singleFile = true)
+      Bam.write(bam, file, refs = Seq(("chr1", 200000)), singleFile = true,
+        sortOrder = Some("coordinate"))
       Bam.readRegion(s, file, "chr1", 500, 900, splitBytes = 1L << 16,
           maxSpan = 64)
         .select(col("readName"), col("start"), col("bases"))

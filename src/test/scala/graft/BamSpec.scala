@@ -261,6 +261,48 @@ class BamSpec extends AnyFunSuite {
     assert(got == want && got > 0)
   }
 
+  test("@HD SO tag drives region-pruning policy") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    def rowsDf(n: Int) = (0 until n).map { i =>
+      val len = 80 + rng.nextInt(40)
+      val bases = Array.fill(len)("ACGT"(rng.nextInt(4))).mkString
+      val quals = Array.fill(len)(('!' + 2 + rng.nextInt(40)).toChar).mkString
+      (f"r$i%06d", 0, "chr1", i * 25 + 1, 60, s"${len}M", bases, quals)
+    }.toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
+      "bases", "quality")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bam_so").toString
+
+    // SO:coordinate on genuinely sorted data: pruning active
+    val cfile = s"$dir/coord.bam"
+    Bam.write(rowsDf(4000).coalesce(1), cfile, refs = Seq(("chr1", 200000)),
+      singleFile = true, sortOrder = Some("coordinate"))
+    val (call, csurv, cmeta) =
+      Bam.regionPlan(spark, cfile, "chr1", 30000, 40000, 1L << 16, 16384)
+    assert(cmeta.values.head._4.contains("coordinate"))
+    assert(csurv.size < call.size && csurv.nonEmpty)
+
+    // SO:queryname is an AUTHORITATIVE negative: same (sorted!) bytes,
+    // but the declaration forbids pruning — every range is kept even
+    // though the probe keys are monotone
+    val qfile = s"$dir/qname.bam"
+    Bam.write(rowsDf(4000).coalesce(1), qfile, refs = Seq(("chr1", 200000)),
+      singleFile = true, sortOrder = Some("queryname"))
+    val (qall, qsurv, qmeta) =
+      Bam.regionPlan(spark, qfile, "chr1", 30000, 40000, 1L << 16, 16384)
+    assert(qmeta.values.head._4.contains("queryname"))
+    assert(qsurv == qall, "declared non-coordinate SO must disable pruning")
+    // and the read still returns the correct region rows (scan + filter)
+    val got = Bam.readRegion(spark, qfile, "chr1", 30000, 40000,
+        splitBytes = 1 << 16)
+      .select("readName").collect().map(_.getString(0)).toSet
+    val want = Bam.readSplittable(spark, qfile, splitBytes = 1 << 16)
+      .filter(col("start") <= 40000 &&
+        col("start") + length(col("bases")) - 1 >= 30000)
+      .select("readName").collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("property: random regions on the sorted file always equal scan+filter") {
     import spark.implicits._
     // reuse one sorted multi-block fixture for 6 random regions
