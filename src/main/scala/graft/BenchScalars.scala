@@ -34,6 +34,22 @@ object BenchScalars {
     }
     val text = spark.read.parquet(txtDir)
     val qual = spark.read.parquet(qualDir)
+    // 64-dim vectors + a pre-packed code pair per row for the binary
+    // quantization / Hamming kernels
+    val vecDir = "/tmp/graft_scalar_bench/vec"
+    if (!new java.io.File(vecDir + "/_SUCCESS").exists()) {
+      spark.range(n).select(
+        transform(sequence(lit(1), lit(64)),
+          i => (pmod(col("id") * i, lit(997)) - 498).cast("double")).as("e"))
+        .write.mode("overwrite").parquet(vecDir)
+    }
+    val vec = spark.read.parquet(vecDir)
+    graft.plans.NativeFunctions.register(spark)
+    val codes = vec.select(
+      call_function("binary_quantize_native", col("e")).as("x"),
+      call_function("binary_quantize_native",
+        transform(col("e"), v => -v)).as("y"))
+      .localCheckpoint()
 
     def timed(f: => Unit): Double = {
       def once(): Double = {
@@ -54,7 +70,28 @@ object BenchScalars {
       "low_qual_native" -> timed(
         qual.select(sum(DnaFunctions.lowQualityCountCol(col("q"), 40))).collect()),
       "low_qual_hof" -> timed(
-        qual.select(sum(DnaFunctions.lowQualityCountHof(col("q"), 40))).collect()))
+        qual.select(sum(DnaFunctions.lowQualityCountHof(col("q"), 40))).collect()),
+      "binary_quantize_native" -> timed(
+        vec.select(sum(element_at(
+          call_function("binary_quantize_native", col("e")), 1))).collect()),
+      "binary_quantize_hof" -> timed(
+        vec.select(sum(element_at(
+          transform(
+            sequence(lit(0), floor((size(col("e")) + 31) / 32).cast("int") - 1),
+            b => aggregate(
+              sequence(lit(0), least(lit(31), size(col("e")) - b * 32 - 1)),
+              lit(0L),
+              (acc, j) => acc +
+                when(col("e").getItem(b * 32 + j) >= 0,
+                  call_function("shiftleft", lit(1L), j)).otherwise(0L))),
+          1))).collect()),
+      "hamming_native" -> timed(
+        codes.select(sum(
+          call_function("hamming_native", col("x"), col("y")))).collect()),
+      "hamming_hof" -> timed(
+        codes.select(sum(aggregate(
+          zip_with(col("x"), col("y"), (a, b) => bit_count(a.bitwiseXOR(b))),
+          lit(0), (acc, d) => acc + d))).collect()))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scalar_kernels","unit":"sec","rows":$n,"queries":$qs}""")

@@ -167,31 +167,43 @@ object Similarity {
     * equi-joins back to the checkpointed vectors for the native-dot
     * scoring pass.
     */
-  def multiTableAnnTopK(vectors: DataFrame, k: Int, bits: Int = 4,
-                        tables: Int = 16): DataFrame = {
-    // enforce the documented precondition: a table slice past the
-    // vector length would read null → a CONSTANT key shared by every
-    // vector, silently degenerating that table's equi-join to all-pairs.
-    // Checked IN-PASS (a lazy raise_error branch on the keys column, so
-    // the first short vector fails the job with a clear message) — a
-    // driver-side min(size) aggregate would be a second full scan of
-    // the input just to validate a dimension.
-    val keysChecked =
-      when(size(col("embedding")) < tables * bits,
-        raise_error(concat(
-          lit(s"tables*bits = ${tables * bits} exceeds embedding dim "),
-          size(col("embedding")).cast("string"),
-          lit(" — excess tables would hash every vector to one constant bucket"))))
-        .otherwise(tableKeys(col("embedding"), bits, tables))
-    val b = withNorm(vectors)
-      .withColumn("keys", keysChecked)
-      .localCheckpoint() // probe table + both scoring sides read it
+  /** Table keys with the documented precondition enforced: a table
+    * slice past the vector length would read null → a CONSTANT key
+    * shared by every vector, silently degenerating that table's
+    * equi-join to all-pairs. Checked IN-PASS (a lazy raise_error branch
+    * on the keys column, so the first short vector fails the job with a
+    * clear message) — a driver-side min(size) aggregate would be a
+    * second full scan of the input just to validate a dimension.
+    */
+  private def tableKeysChecked(bits: Int, tables: Int): Column =
+    when(size(col("embedding")) < tables * bits,
+      raise_error(concat(
+        lit(s"tables*bits = ${tables * bits} exceeds embedding dim "),
+        size(col("embedding")).cast("string"),
+        lit(" — excess tables would hash every vector to one constant bucket"))))
+      .otherwise(tableKeys(col("embedding"), bits, tables))
+
+  /** Distinct candidate pairs from a base carrying a `keys` column:
+    * explode into a skinny (id, tkey) probe table, self equi-join on
+    * tkey (never all-pairs), distinct so a pair colliding in several
+    * tables downstream-scores ONCE. Shared by [[multiTableAnnTopK]] and
+    * [[binaryPrefilterTopK]].
+    */
+  private def multiTableCandidates(b: DataFrame): DataFrame = {
     val probes = b.select(col("id"), explode(col("keys")).as("tkey"))
-    val cand = probes.as("q")
+    probes.as("q")
       .join(probes.as("c"),
         col("q.tkey") === col("c.tkey") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"))
       .distinct()
+  }
+
+  def multiTableAnnTopK(vectors: DataFrame, k: Int, bits: Int = 4,
+                        tables: Int = 16): DataFrame = {
+    val b = withNorm(vectors)
+      .withColumn("keys", tableKeysChecked(bits, tables))
+      .localCheckpoint() // probe table + both scoring sides read it
+    val cand = multiTableCandidates(b)
     val scored = cand
       .join(b.select(col("id").as("query_id"),
         col("embedding").as("qe"), col("norm").as("qn")), "query_id")
@@ -319,42 +331,96 @@ object Similarity {
     * engines). A 64-dim float32 vector (256 B) becomes 8 B — the shape
     * billion-vector first-pass filters keep fully in memory. Narrow
     * per-row map, no shuffle; bit j of block b = sign(e[32b+j]) ≥ 0.
+    * The pack loop is a native codegen'd expression
+    * (plans.BinaryQuantizeExpression — the HOF form was nested
+    * CodegenFallback lambdas, and packed a zero-length embedding into
+    * two spurious blocks via sequence(0,-1)); a zero-length embedding
+    * yields a zero-length codes array.
     */
   def binaryQuantize(vectors: DataFrame): DataFrame =
-    vectors.select(col("id"),
-      transform(
-        sequence(lit(0),
-          floor((size(col("embedding")) + 31) / 32).cast("int") - 1),
-        b => aggregate(
-          sequence(lit(0),
-            least(lit(31), size(col("embedding")) - b * 32 - 1)),
-          lit(0L),
-          (acc, j) => acc +
-            when(col("embedding").getItem(b * 32 + j) >= 0,
-              call_function("shiftleft", lit(1L), j)).otherwise(0L)))
-        .as("codes"))
+    withNative(vectors).select(col("id"),
+      call_function("binary_quantize_native", col("embedding")).as("codes"))
+
+  /** Native xor+popcount Hamming kernel over packed code arrays
+    * (plans.HammingDistanceExpression — JIT-ed while-loop, not
+    * interpreted per-block HOF dispatch). Callers must have native
+    * functions registered (binaryQuantize does).
+    */
+  private def hammingN(x: Column, y: Column): Column =
+    call_function("hamming_native", x, y)
 
   /** Exact Hamming top-k in the binary code space: xor + bit_count per
     * 32-bit block, summed — pure integer arithmetic, so unlike every
     * cosine variant the distances (and the oracle hash) are exact with
     * no rounding contract. All-pairs over the 8-byte codes by design,
-    * like [[int8TopK]]: the code-space scan IS the operator (at 10⁹
-    * vectors the codes table is ~8 GB — scanned, not shuffled; the
-    * bucketed ANN structures above feed it candidate lists instead).
-    * Ties break (distance asc, neighbor_id asc).
+    * like [[int8TopK]]: the code-space scan IS the EXACTNESS BASELINE
+    * (at 10⁹ vectors the codes table is ~8 GB — scanned, not shuffled,
+    * but still n² pair evaluations); [[binaryPrefilterTopK]] is the
+    * composed production path that gates these distances with ANN
+    * candidates instead. Ties break (distance asc, neighbor_id asc).
     */
   def hammingTopK(vectors: DataFrame, k: Int): DataFrame = {
     val v = Parallelism.ensure(binaryQuantize(vectors))
     val pairs = v.as("q")
       .join(v.as("c"), col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
-        aggregate(
-          zip_with(col("q.codes"), col("c.codes"),
-            (x, y) => bit_count(x.bitwiseXOR(y))),
-          lit(0), (acc, d) => acc + d).as("hamming"))
+        hammingN(col("q.codes"), col("c.codes")).as("hamming"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("hamming").asc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Candidate-gated binary search — the composed production shape for
+    * the 1-bit rung, mirroring [[pqRerankTopK]]'s funnel: multi-table
+    * ANN candidates (equi-join on table keys, never all-pairs) →
+    * cheap native-Hamming pruning over the 8-byte codes down to a
+    * `shortlist` per query → exact float cosine re-rank of the
+    * shortlist only. At 10⁹ vectors every stage is an equi-join or a
+    * narrow map: candidate volume is O(L · Σ bucket²), Hamming scores
+    * 8-byte codes (not 256-byte floats), and the expensive exact
+    * cosines touch shortlist·n pairs instead of n² — the published
+    * billion-scale recipe (binary prefilter + re-rank) the quantization
+    * ladder exists for. q82's binary_prefilter row measures the
+    * composed recall against the exact baseline: on the random-gaussian
+    * 64-dim fixture (the 1-bit code's information-bound WORST case, same
+    * story as pq_adc's 0.14) the 16-table candidate stage alone ceilings
+    * at 0.912 recall (~322 candidates/query), and the Hamming prefilter
+    * retains 0.768/0.836/0.886 of the exact top-3 at shortlist
+    * 64/96/160 — 97% of the candidate-stage ceiling while exact-scoring
+    * half the candidate volume; structured embeddings separate far
+    * better in Hamming space and need smaller shortlists.
+    */
+  def binaryPrefilterTopK(vectors: DataFrame, k: Int, shortlist: Int = 64,
+                          bits: Int = 4, tables: Int = 16): DataFrame = {
+    // one checkpointed base read three ways: exploded table keys feed
+    // the candidate join, packed codes feed the Hamming prefilter, and
+    // the float embedding+norm feed the exact re-rank
+    val b = withNorm(vectors)
+      .withColumn("keys", tableKeysChecked(bits, tables))
+      .withColumn("codes",
+        call_function("binary_quantize_native", col("embedding")))
+      .localCheckpoint()
+    val cand = multiTableCandidates(b)
+    val ham = cand
+      .join(b.select(col("id").as("query_id"), col("codes").as("qc")),
+        "query_id")
+      .join(b.select(col("id").as("neighbor_id"), col("codes").as("cc")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        hammingN(col("qc"), col("cc")).as("hamming"))
+    val wS = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val short = ham.withColumn("hrank", row_number().over(wS))
+      .filter(col("hrank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val scored = short
+      .join(b.select(col("id").as("query_id"),
+        col("embedding").as("qe"), col("norm").as("qn")), "query_id")
+      .join(b.select(col("id").as("neighbor_id"),
+        col("embedding").as("ce"), col("norm").as("cn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotN(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos"))
+    topK(scored, k)
   }
 
   /** SemDeDup-style semantic deduplication (the published recipe:

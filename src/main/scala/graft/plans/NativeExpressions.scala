@@ -363,6 +363,59 @@ object NativeVec {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Binary (1-bit sign) pack loop — EXACT twin of the HOF formulation
+    * in [[graft.operators.Similarity.binaryQuantize]]'s original
+    * `transform(sequence(...), aggregate(...))` form: ceil(n/32) 32-bit
+    * blocks as longs (values in [0, 2³²)), bit j of block b set iff
+    * element 32b+j >= 0 (-0.0 and +0.0 both set; NaN and NULL elements
+    * leave the bit 0 — `when(x >= 0, ...).otherwise(0)` semantics).
+    * A zero-length embedding packs to a zero-length codes array (the
+    * HOF form's floor((0+31)/32)-1 = -1 fed sequence(0,-1) = [0,-1] —
+    * two spurious zero blocks; advisor finding, fixed here).
+    */
+  def binaryQuantize(e: org.apache.spark.sql.catalyst.util.ArrayData,
+                     isFloat: Boolean): GenericArrayData = {
+    val n = e.numElements()
+    val nBlocks = (n + 31) / 32
+    val out = new Array[Any](nBlocks)
+    var b = 0
+    while (b < nBlocks) {
+      var code = 0L
+      val lim = math.min(32, n - b * 32)
+      var j = 0
+      while (j < lim) {
+        val i = b * 32 + j
+        if (!e.isNullAt(i)) {
+          val x = if (isFloat) e.getFloat(i).toDouble else e.getDouble(i)
+          if (x >= 0) code |= (1L << j)
+        }
+        j += 1
+      }
+      out(b) = java.lang.Long.valueOf(code)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hamming distance over packed code arrays — EXACT twin of the
+    * `aggregate(zip_with(a, b, bit_count(xor)), 0, _+_)` HOF form,
+    * null semantics included: unequal lengths (zip_with pads with
+    * nulls) or a null element yield null.
+    */
+  def hamming(l: org.apache.spark.sql.catalyst.util.ArrayData,
+              r: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Integer = {
+    val n = l.numElements()
+    if (n != r.numElements()) return null
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (l.isNullAt(i) || r.isNullAt(i)) return null
+      acc += java.lang.Long.bitCount(l.getLong(i) ^ r.getLong(i))
+      i += 1
+    }
+    java.lang.Integer.valueOf(acc)
+  }
+
   /** HALF_UP rounding to 4 dp through the decimal string representation
     * — the exact semantics of Spark's `round(x, 4)` on doubles
     * (`Round` evaluates `BigDecimal.valueOf(x).setScale(4, HALF_UP)`),
@@ -419,6 +472,87 @@ case class DotProductExpression(left: Expression, right: Expression)
          |  $l, $r, ${isFloat(left)}, ${isFloat(right)});
          |if ($tmp == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Binary (1-bit sign) quantization as a native codegen expression —
+  * the pack loop of the quantization ladder's memory-extreme rung. The
+  * HOF form (`transform(sequence(...), aggregate(sequence(...), ...))`)
+  * is CodegenFallback: TWO nested interpreted lambda evals per packed
+  * bit plus a materialized index array per block. This compiles to one
+  * JIT-ed while-loop inside whole-stage codegen (BenchScalars measures
+  * the gap).
+  */
+case class BinaryQuantizeExpression(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"binary_quantize_native requires ARRAY<FLOAT|DOUBLE>, got " +
+        child.dataType.catalogString)
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "binary_quantize_native"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NativeVec.binaryQuantize(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.NativeVec.binaryQuantize($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance over two packed code arrays (array<long>) as a
+  * native codegen expression: one xor+popcount while-loop replacing the
+  * interpreted `aggregate(zip_with(...))` HOF — the inner kernel of
+  * binary-code search, where per-element interpreted dispatch costs 4×+
+  * (BenchScalars).
+  */
+case class HammingDistanceExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming_native requires ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hamming_native"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    NativeVec.hamming(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("hammRes")
+      s"""
+         |java.lang.Integer $tmp = graft.plans.NativeVec.hamming($l, $r);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.intValue(); }
        """.stripMargin
     })
 
@@ -588,7 +722,10 @@ object NativeFunctions {
     "low_quality_count_native" -> (exprs =>
       LowQualityCountExpression(exprs(0), exprs(1))),
     "cosine_argmax_native" -> (exprs =>
-      CosineArgmaxExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))))
+      CosineArgmaxExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))),
+    "binary_quantize_native" -> (exprs => BinaryQuantizeExpression(exprs.head)),
+    "hamming_native" -> (exprs =>
+      HammingDistanceExpression(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>
@@ -627,5 +764,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineArgmaxExpression].getName, "cosine_argmax_native"),
       (exprs: Seq[Expression]) =>
         CosineArgmaxExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))))
+    e.injectFunction((FunctionIdentifier("binary_quantize_native"),
+      new ExpressionInfo(classOf[BinaryQuantizeExpression].getName, "binary_quantize_native"),
+      (exprs: Seq[Expression]) => BinaryQuantizeExpression(exprs.head)))
+    e.injectFunction((FunctionIdentifier("hamming_native"),
+      new ExpressionInfo(classOf[HammingDistanceExpression].getName, "hamming_native"),
+      (exprs: Seq[Expression]) => HammingDistanceExpression(exprs(0), exprs(1))))
   }
 }

@@ -368,6 +368,19 @@ object LlmText {
           col("rank").cast("int").as("rank"))
     },
 
+    // Candidate-gated binary search — the COMPOSED production shape for
+    // the 1-bit rung (multi-table ANN candidates → native-Hamming
+    // shortlist → exact cosine re-rank, pqRerankTopK's funnel); the
+    // oracle replays all three stages, so the candidate join, the
+    // integer Hamming pruning, and the re-rank are each under hash test.
+    "q113_binary_prefilter" -> { (s, d) =>
+      Similarity.binaryPrefilterTopK(Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding")),
+        3, shortlist = 64)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("int").as("rank"))
+    },
+
     // SemDeDup: deterministic k-means clusters + within-cluster cosine
     // pruning — the larger id of every >= 0.4 pair is flagged removed.
     // One row per vector, full hash oracle (the SQL replays the
@@ -499,6 +512,8 @@ object LlmText {
         .unionByName(row(Similarity.pqAdcTopK(e, 3), "pq_adc"))
         .unionByName(row(Similarity.pqRerankTopK(e, 3, shortlist = 160),
           "pq_rerank"))
+        .unionByName(row(Similarity.binaryPrefilterTopK(e, 3, shortlist = 160),
+          "binary_prefilter"))
     },
 
     // Context-window chunking: 64-token windows with 8-token overlap,
@@ -826,6 +841,48 @@ object LlmText {
           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY hamming ASC, neighbor_id ASC) AS rn FROM p)
           WHERE rn <= 3""",
+    // the composed funnel replayed stage by stage: 16-table candidate
+    // join → integer Hamming shortlist (64/query) → exact cosine top-3
+    "q113_binary_prefilter" -> {
+      val bits = 4
+      val tables = 16
+      val tkeys = "[" + (0 until tables).map { t =>
+        s"('$t:' || " + (1 to bits).map(i =>
+          s"(CASE WHEN e[${t * bits + i}] >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ") + ")"
+      }.mkString(", ") + "]"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+             FROM embeddings),
+          tk AS (SELECT vec_id, unnest($tkeys) AS tkey FROM v),
+          tc AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+                 FROM tk a JOIN tk b ON a.tkey = b.tkey AND a.vec_id != b.vec_id),
+          bc AS (SELECT vec_id,
+                  list_transform([0, 1], blk ->
+                    list_reduce(list_transform(range(1, 33),
+                      j -> CASE WHEN e[32 * blk + j] >= 0
+                                THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END),
+                      (a, x) -> a | x)) AS codes
+                FROM v),
+          hm AS (SELECT t.query_id, t.neighbor_id,
+                  bit_count(CAST(xor(cq.codes[1], cn.codes[1]) AS BIGINT)) +
+                  bit_count(CAST(xor(cq.codes[2], cn.codes[2]) AS BIGINT)) AS hamming
+                FROM tc t JOIN bc cq ON t.query_id = cq.vec_id
+                          JOIN bc cn ON t.neighbor_id = cn.vec_id),
+          sl AS (SELECT query_id, neighbor_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY hamming, neighbor_id) AS rn FROM hm)
+                WHERE rn <= 64),
+          sc AS (SELECT s.query_id, s.neighbor_id,
+                  round(list_dot_product(q.e, n.e) / (q.nrm * n.nrm), 4) AS cos
+                FROM sl s JOIN v q ON s.query_id = q.vec_id
+                          JOIN v n ON s.neighbor_id = n.vec_id)
+          SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
+          WHERE rn <= 3"""
+    },
     // weights fold left-to-right in TOKEN ORDER on both engines (same
     // tokenization → same order → identical IEEE sum); list_reduce on
     // an empty list errors, so the CASE guards short docs
@@ -1213,6 +1270,28 @@ object LlmText {
           pr3 AS (SELECT query_id, neighbor_id FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY cos DESC, neighbor_id) AS rn FROM prr) WHERE rn <= 3),
+          bcq AS (SELECT vec_id,
+                  list_transform([0, 1], blk ->
+                    list_reduce(list_transform(range(1, 33),
+                      j -> CASE WHEN e[32 * blk + j] >= 0
+                                THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END),
+                      (a, x) -> a | x)) AS codes
+                FROM v),
+          bhm AS (SELECT t.query_id, t.neighbor_id,
+                  bit_count(CAST(xor(cq.codes[1], cn.codes[1]) AS BIGINT)) +
+                  bit_count(CAST(xor(cq.codes[2], cn.codes[2]) AS BIGINT)) AS hamming
+                FROM tc t JOIN bcq cq ON t.query_id = cq.vec_id
+                          JOIN bcq cn ON t.neighbor_id = cn.vec_id),
+          bsl AS (SELECT query_id, neighbor_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY hamming, neighbor_id) AS rn FROM bhm)
+                WHERE rn <= 160),
+          bsc AS (SELECT s.query_id, s.neighbor_id, $cosSql AS cos
+                  FROM bsl s JOIN v q ON s.query_id = q.vec_id
+                             JOIN v c ON s.neighbor_id = c.vec_id),
+          bp3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rn FROM bsc) WHERE rn <= 3),
           ne AS (SELECT count(*) AS n_exact FROM exact),
           hb AS (SELECT count(*) AS n_hit FROM bk JOIN exact USING (query_id, neighbor_id)),
           hm AS (SELECT count(*) AS n_hit FROM mp JOIN exact USING (query_id, neighbor_id)),
@@ -1221,7 +1300,9 @@ object LlmText {
                  FROM (SELECT query_id, neighbor_id FROM adc3) a
                  JOIN exact USING (query_id, neighbor_id)),
           hr AS (SELECT count(*) AS n_hit
-                 FROM pr3 JOIN exact USING (query_id, neighbor_id))
+                 FROM pr3 JOIN exact USING (query_id, neighbor_id)),
+          hbp AS (SELECT count(*) AS n_hit
+                 FROM bp3 JOIN exact USING (query_id, neighbor_id))
           SELECT 'bucket' AS method, ne.n_exact, hb.n_hit,
                  round(hb.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hb, ne
           UNION ALL
@@ -1235,7 +1316,10 @@ object LlmText {
                  round(hq.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hq, ne
           UNION ALL
           SELECT 'pq_rerank' AS method, ne.n_exact, hr.n_hit,
-                 round(hr.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hr, ne"""
+                 round(hr.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hr, ne
+          UNION ALL
+          SELECT 'binary_prefilter' AS method, ne.n_exact, hbp.n_hit,
+                 round(hbp.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hbp, ne"""
     },
     // chunk i covers tokens [i*56, i*56+64); DuckDB list slicing is
     // 1-based inclusive and clamps at the list end, matching Spark's

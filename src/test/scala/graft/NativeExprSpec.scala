@@ -69,6 +69,70 @@ class NativeExprSpec extends AnyFunSuite {
     assert(got("plain ascii") == "plain ascii")
   }
 
+  test("binary_quantize_native matches the HOF pack loop; empty packs to empty") {
+    NativeFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the ORIGINAL HOF formulation (kept here as the independent twin)
+    def hofQuantize(e: org.apache.spark.sql.Column) =
+      transform(
+        sequence(lit(0), floor((size(e) + 31) / 32).cast("int") - 1),
+        b => aggregate(
+          sequence(lit(0), least(lit(31), size(e) - b * 32 - 1)),
+          lit(0L),
+          (acc, j) => acc +
+            when(e.getItem(b * 32 + j) >= 0,
+              call_function("shiftleft", lit(1L), j)).otherwise(0L)))
+    val rng = new scala.util.Random(5)
+    // 64-dim (exact blocks), 40-dim (partial tail block), 1-dim
+    val data = Seq(64, 40, 1).map(d => Tuple1(Array.fill(d)(rng.nextFloat() - 0.5f)))
+    val df = data.toDF("e")
+    val rows = df.select(
+      hofQuantize(col("e")).as("h"),
+      call_function("binary_quantize_native", col("e")).as("n")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+    // zero-length: HOF had the sequence(0,-1) bug (two spurious blocks);
+    // native packs to a zero-length array
+    val empty = Seq(Tuple1(Array.empty[Float])).toDF("e")
+      .select(call_function("binary_quantize_native", col("e")).as("n"))
+      .collect()
+    assert(empty(0).getSeq[Long](0).isEmpty)
+    // null element leaves its bit 0 (when(null >= 0).otherwise(0) twin)
+    val withNull = Seq(Tuple1(Array[java.lang.Float](1.0f, null, -1.0f, 2.0f)))
+      .toDF("e")
+      .select(call_function("binary_quantize_native", col("e")).as("n"))
+      .collect()
+    assert(withNull(0).getSeq[Long](0) == Seq(0x9L)) // bits 0 and 3 only
+  }
+
+  test("hamming_native matches the HOF xor/popcount fold, null semantics included") {
+    NativeFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def hofHamming(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(x, y, (a, b) => bit_count(a.bitwiseXOR(b))),
+        lit(0), (acc, d) => acc + d)
+    val rng = new scala.util.Random(11)
+    val data = (0 until 50).map { _ =>
+      (Array.fill(2)(rng.nextLong() & 0xffffffffL),
+        Array.fill(2)(rng.nextLong() & 0xffffffffL))
+    }
+    val df = data.toDF("x", "y")
+    val rows = df.select(hofHamming(col("x"), col("y")).as("h"),
+      call_function("hamming_native", col("x"), col("y")).as("n")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // unequal lengths: zip_with pads with null → HOF yields null; so
+    // must the native kernel
+    val uneq = Seq((Array(1L, 2L), Array(1L))).toDF("x", "y")
+      .select(hofHamming(col("x"), col("y")).as("h"),
+        call_function("hamming_native", col("x"), col("y")).as("n"))
+      .collect()
+    assert(uneq(0).isNullAt(0) && uneq(0).isNullAt(1))
+  }
+
   test("extensions class registers the same functions at session build") {
     // smoke: the injector runs without error on a fresh builder config
     // (full withExtensions sessions share the JVM; runtime registry is

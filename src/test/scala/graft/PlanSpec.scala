@@ -59,6 +59,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("binary prefilter: every stage of the composed funnel is an equi join, never cartesian") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val plan = graft.operators.Similarity
+      .binaryPrefilterTopK(e, 3, shortlist = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // the Hamming kernel in the plan is the native expression, not a HOF
+    assert(plan.contains("hamming_native"), plan.take(1200))
+  }
+
   test("q68: TF-IDF corpus size joins as a broadcast, term join stays equi") {
     val plan = planOf("q68_tfidf")
     // the 1-row N aggregate must broadcast, not shuffle
