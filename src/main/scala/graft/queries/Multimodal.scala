@@ -5,46 +5,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries (north-star surface): media as opaque
-  * `binary` payloads + typed metadata struct, with the decode step
-  * STUBBED deterministically (no image/audio libs in this container —
-  * the Spark-side plumbing: schema, binary encoding, per-partition
-  * batch decode, feature schema — is real and oracle-tested).
+  * `binary` payloads + typed metadata struct, with a REAL pure-JVM
+  * decode step (graft.operators.Multimodal.Png — chunk walk, CRC
+  * verification, inflate, row unfiltering; cross-validated against
+  * javax.imageio in MultimodalSpec).
   *
-  * The fake payload is the utf-8 encoding of the document text, so the
-  * DuckDB oracle can independently verify every derived value.
+  * Fixture rule (shared with the oracle): each document renders to a
+  * valid 8-bit grayscale PNG whose pixels are the text's UTF-8 bytes
+  * '.'-padded to 64-wide rows. The queries then DECODE those payloads
+  * and emit parsed headers / pixel digests / pixel statistics — values
+  * the DuckDB oracle recomputes arithmetically from the text, so both
+  * the encoder and the decoder are under hash test: a misread IHDR, a
+  * bad CRC, or a mis-unfiltered row breaks the match.
   */
 object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Binary payload + metadata struct construction, verified on byte
-    // length and payload digest.
+    // REAL header parse + decoded-pixel digest: every field below comes
+    // out of the PNG decoder, not the construction metadata.
     "q60_media_meta" -> { (s, d) =>
-      graft.operators.Multimodal.asMedia(Tables.documents(s, d))
+      val media = graft.operators.Multimodal.asMedia(Tables.documents(s, d))
+      graft.operators.Multimodal.parseMeta(media)
         .select(col("doc_id"),
-          col("meta.format").as("format"),
-          col("meta.width").as("width"),
-          col("meta.height").as("height"),
-          octet_length(col("payload")).as("n_bytes"),
-          md5(col("payload")).as("payload_md5"))
+          lit("image/png").as("format"),
+          col("width"), col("height"),
+          col("bit_depth"), col("color_type"),
+          col("n_pixels"), col("pixel_md5"))
     },
 
-    // Stubbed decode + feature extraction over the binary column in
-    // per-partition batches (mapPartitions — the Scala analog of
-    // mapInPandas batch processing). Features recomputable from text.
-    // Both engines PLANT a non-ASCII tail (2- and 3-byte UTF-8 chars):
-    // the engine sums RAW UTF-8 BYTES, and the oracle reconstructs the
-    // same byte sum from code points — byte semantics under multi-byte
-    // input is verified, not an ASCII-only assumption.
+    // Batch decode + feature extraction over the binary column
+    // (mapPartitions — the Scala analog of mapInPandas batch
+    // processing). Both engines PLANT a non-ASCII tail (2- and 3-byte
+    // UTF-8 chars): the pixel buffer is RAW UTF-8 BYTES plus padding,
+    // and the oracle reconstructs the byte sum from code points — byte
+    // semantics under multi-byte input is verified end to end THROUGH
+    // the PNG round-trip.
     "q61_media_features" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"),
+        .select(col("doc_id"),
           concat(col("text"), lit(" é☃€"),
             (col("doc_id") % 10).cast("string")).as("text"))
       val media = graft.operators.Multimodal.asMedia(docs)
       graft.operators.Multimodal.extractFeatures(media)
         .select(col("doc_id"),
-          col("n_bytes"),
-          round(col("mean_byte"), 4).as("mean_byte"),
+          col("n_pixels"),
+          round(col("mean_pixel"), 4).as("mean_pixel"),
           col("n_frames"))
     },
 
@@ -62,9 +67,9 @@ object Multimodal {
           col("n_chars").cast("int").as("n_chars"))
     },
 
-    // Frame sampling: every 3rd 256-byte "frame" of the payload, with a
-    // per-frame digest the oracle recomputes from the text (payload =
-    // utf-8 of ASCII text, so byte slices == character slices).
+    // Frame sampling: every 3rd 256-byte "frame" of the DECODED pixel
+    // buffer, with a per-frame digest the oracle recomputes from the
+    // padded-text rule (ASCII fixture ⇒ byte slices == char slices).
     "q65_frame_sample" -> { (s, d) =>
       val media = graft.operators.Multimodal.asMedia(
         Tables.documents(s, d).filter(length(col("text")) > 0))
@@ -73,42 +78,57 @@ object Multimodal {
     }
   )
 
+  // pixel rule in SQL (ASCII text): 64-wide rows, '.'-padded
+  private val plenSql =
+    "CAST(greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1) * 64 AS INTEGER)"
+
   val oracles: Map[String, String] = Map(
     "q60_media_meta" ->
-      """SELECT doc_id,
-              'fake/rgb8' AS format,
-              CAST(n_chars % 64 + 1 AS INTEGER) AS width,
-              CAST(n_chars % 48 + 1 AS INTEGER) AS height,
-              CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
-              md5(text) AS payload_md5
-         FROM documents""",
+      s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix FROM documents)
+         SELECT doc_id,
+              'image/png' AS format,
+              64 AS width,
+              CAST(length(pix) / 64 AS INTEGER) AS height,
+              8 AS bit_depth,
+              0 AS color_type,
+              CAST(length(pix) AS INTEGER) AS n_pixels,
+              md5(pix) AS pixel_md5
+         FROM p""",
     "q78_jsonl_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5,
               CAST(n_chars AS INTEGER) AS n_chars
          FROM documents""",
     "q65_frame_sample" ->
-      """WITH f AS (SELECT doc_id, text,
-                  unnest(generate_series(0, CAST(ceil(length(text) / 256.0) AS BIGINT) - 1)) AS fi
-           FROM documents WHERE length(text) > 0)
+      s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix
+           FROM documents WHERE length(text) > 0),
+         f AS (SELECT doc_id, pix,
+                  unnest(generate_series(0, CAST(ceil(length(pix) / 256.0) AS BIGINT) - 1)) AS fi
+           FROM p)
          SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
-                CAST(length(substr(text, CAST(fi * 256 + 1 AS INTEGER), 256)) AS INTEGER) AS n_bytes,
-                md5(substr(text, CAST(fi * 256 + 1 AS INTEGER), 256)) AS frame_md5
+                CAST(length(substr(pix, CAST(fi * 256 + 1 AS INTEGER), 256)) AS INTEGER) AS n_bytes,
+                md5(substr(pix, CAST(fi * 256 + 1 AS INTEGER), 256)) AS frame_md5
          FROM f WHERE fi % 3 = 0""",
-    // BYTE-true oracle: the engine sums raw UTF-8 bytes, so the oracle
+    // BYTE-true oracle THROUGH the codec: the engine sums decoded
+    // pixels (raw UTF-8 bytes + 0x2e padding), so the oracle
     // reconstructs each character's UTF-8 byte sum from its code point
-    // (1/2/3/4-byte encodings) — with the planted multi-byte tail this
-    // fails loudly if either side silently mixes chars and bytes.
+    // (1/2/3/4-byte encodings) plus 46 per pad byte — with the planted
+    // multi-byte tail this fails loudly if either side silently mixes
+    // chars and bytes anywhere in the encode→decode pipeline.
     "q61_media_features" ->
-      """WITH t AS (SELECT doc_id, text || ' é☃€' || (doc_id % 10) AS text FROM documents)
+      """WITH t AS (SELECT doc_id, text || ' é☃€' || (doc_id % 10) AS text FROM documents),
+         m AS (SELECT doc_id,
+                  octet_length(encode(text)) AS nb,
+                  greatest(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 1) * 64 AS np,
+                  list_sum(list_transform(split(text, ''), c ->
+                    CASE WHEN unicode(c) < 128 THEN unicode(c)
+                         WHEN unicode(c) < 2048 THEN 320 + unicode(c) // 64 + unicode(c) % 64
+                         WHEN unicode(c) < 65536 THEN 480 + unicode(c) // 4096 + (unicode(c) // 64) % 64 + unicode(c) % 64
+                         ELSE 624 + unicode(c) // 262144 + (unicode(c) // 4096) % 64 + (unicode(c) // 64) % 64 + unicode(c) % 64 END)) AS bytesum
+           FROM t)
          SELECT doc_id,
-              CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-              round(CAST(list_sum(list_transform(split(text, ''), c ->
-                  CASE WHEN unicode(c) < 128 THEN unicode(c)
-                       WHEN unicode(c) < 2048 THEN 320 + unicode(c) // 64 + unicode(c) % 64
-                       WHEN unicode(c) < 65536 THEN 480 + unicode(c) // 4096 + (unicode(c) // 64) % 64 + unicode(c) % 64
-                       ELSE 624 + unicode(c) // 262144 + (unicode(c) // 4096) % 64 + (unicode(c) // 64) % 64 + unicode(c) % 64 END)) AS DOUBLE)
-                    / greatest(octet_length(encode(text)), 1), 4) AS mean_byte,
-              CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER) AS n_frames
-         FROM t"""
+              CAST(np AS INTEGER) AS n_pixels,
+              round(CAST(bytesum + 46 * (np - nb) AS DOUBLE) / np, 4) AS mean_pixel,
+              CAST(ceil(np / 256.0) AS INTEGER) AS n_frames
+         FROM m"""
   )
 }
