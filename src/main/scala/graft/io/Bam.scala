@@ -40,7 +40,7 @@ import java.util.zip.{CRC32, Deflater, GZIPInputStream}
   */
 object Bam {
 
-  private type Rec = (String, Int, String, Int, Int, String, String, String)
+  private[graft] type Rec = (String, Int, String, Int, Int, String, String, String)
 
   /** Whole-file read auto-routes to the splittable path above this. */
   private val SplitRouteBytes: Long = 256L << 20
@@ -104,7 +104,7 @@ object Bam {
       .withColumn("firstOfPair", SamText.flagBit(col("flag"), 64))
       .withColumn("secondOfPair", SamText.flagBit(col("flag"), 128))
 
-  private def listBams(spark: SparkSession, path: String): Seq[(String, Long)] = {
+  private[graft] def listBams(spark: SparkSession, path: String): Seq[(String, Long)] = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(hPath)
@@ -572,7 +572,7 @@ object Bam {
     -1
   }
 
-  private def decodeRange(conf: org.apache.hadoop.conf.Configuration,
+  private[graft] def decodeRange(conf: org.apache.hadoop.conf.Configuration,
                           pathStr: String, s: Long, e: Long,
                           refs: IndexedSeq[String], firstBlock: Long,
                           firstOff: Int): Iterator[Rec] = {
@@ -590,6 +590,13 @@ object Bam {
       }
     new BamRangeIterator(in, len, e, startBlock, off0, refs)
   }
+
+  /** Early-terminate a [[decodeRange]] iterator (releases its stream);
+    * no-op for exhausted or foreign iterators. For callers outside this
+    * object — BamRangeIterator itself is private.
+    */
+  private[graft] def closeEarly(it: Iterator[Rec]): Unit =
+    it match { case b: BamRangeIterator => b.closeEarly(); case _ => }
 
   /** Decodes the records of one byte range. Keeps a compacting buffer of
     * inflated payloads plus their block offsets; stops at the first

@@ -255,7 +255,8 @@ object Similarity {
     * just k×dim rows.
     */
   def kmeansAssign(vectors: DataFrame, k: Int, iters: Int = 2,
-                   litMaxK: Int = 64): DataFrame = {
+                   litMaxK: Int = 64,
+                   sampledSeeding: Boolean = false): DataFrame = {
     val v = withNorm(vectors).localCheckpoint()
 
     // Narrow per-row argmax over driver-held centroids: each centroid
@@ -296,14 +297,19 @@ object Similarity {
           typedlit(cent.map(_._3).toSeq)))
       }
 
-    // seeds = the ACTUAL k lowest-id vectors (not `id < k`, which
-    // under-seeds on non-contiguous/non-zero-based ids — same rule as
-    // pqPrepare); cids stay the real ids, so tie-breaks keep their order
-    var cent: Array[(Long, Array[Double], Double)] = v.orderBy(col("id")).limit(k)
-      .select(col("id"), col("embedding").cast("array<double>"), col("norm"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1)
+    // default seeds = the ACTUAL k lowest-id vectors (not `id < k`,
+    // which under-seeds on non-contiguous/non-zero-based ids — same
+    // rule as pqPrepare); cids stay the real ids, so tie-breaks keep
+    // their order. `sampledSeeding` swaps in the hash-sampled
+    // farthest-point seeds (see [[sampledSeeds]]) behind the same
+    // oracle-replayable contract.
+    var cent: Array[(Long, Array[Double], Double)] =
+      if (sampledSeeding) sampledSeeds(v, k)
+      else v.orderBy(col("id")).limit(k)
+        .select(col("id"), col("embedding").cast("array<double>"), col("norm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
     require(cent.nonEmpty, "k-means needs a non-empty vector set")
     for (_ <- 1 to iters) {
       // per-dim mean, rounded to 6 dp for cross-engine determinism
@@ -322,6 +328,56 @@ object Similarity {
         }
     }
     assign(cent).select(col("id").as("vec_id"), col("cluster"))
+  }
+
+  /** Production-quality DETERMINISTIC seeding (the k-means‖ recipe made
+    * replayable): lowest-id seeding is deterministic but quality-poor
+    * on real data — adjacent ids correlate (same crawl batch, same
+    * shard), so the k lowest ids can all land in one region and Lloyd
+    * needs many iterations to recover. This seeds like k-means‖
+    * instead, with every source of randomness replaced by a hash:
+    *
+    *  1. SAMPLE: the `max(4k, 32)` vectors with the smallest
+    *     `md5(id)` hex — a deterministic pseudo-random sample any
+    *     engine reproduces with ORDER BY md5(cast(id as varchar)), id
+    *     (zero-norm vectors excluded: no defined cosine).
+    *  2. REFINE (farthest-point): seed 1 is the smallest-hash
+    *     candidate; each next seed is the candidate MINIMIZING its
+    *     maximum rounded-cosine similarity to the seeds chosen so far
+    *     (= farthest under the cosine metric), ties to the smaller id.
+    *
+    * The candidate pool is O(k) rows — the collect is the same bounded
+    * driver traffic as the centroid table itself; the refine loop is
+    * O(k²·dim) driver arithmetic on that pool, microseconds at any
+    * real k. SemDeDup quality at scale is seed-sensitive (q108's
+    * motivation); q114 pins this path with a full hash oracle that
+    * replays sample + refine + Lloyd in SQL.
+    */
+  private def sampledSeeds(v: DataFrame, k: Int): Array[(Long, Array[Double], Double)] = {
+    val poolSize = math.max(4 * k, 32)
+    val pool = v.filter(col("norm") =!= 0d)
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy(col("h"), col("id"))
+      .limit(poolSize)
+      .select(col("id"), col("embedding").cast("array<double>"), col("norm"), col("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2), r.getString(3)))
+    require(pool.nonEmpty, "k-means sampled seeding needs a non-zero-norm vector")
+    def cos(a: (Long, Array[Double], Double, String),
+            b: (Long, Array[Double], Double, String)): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a._2.length) { acc += a._2(i) * b._2(i); i += 1 }
+      graft.plans.NativeVec.round4(acc / (a._3 * b._3))
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(pool.minBy(p => (p._4, p._1)))
+    while (chosen.size < k && chosen.size < pool.length) {
+      val next = pool.iterator
+        .filterNot(p => chosen.exists(_._1 == p._1))
+        .minBy(c => (chosen.iterator.map(s => cos(c, s)).max, c._1))
+      chosen += next
+    }
+    chosen.map(c => (c._1, c._2, c._3)).sortBy(_._1).toArray
   }
 
   /** Binary (1-bit sign) quantization — the memory-extreme end of the
@@ -438,8 +494,10 @@ object Similarity {
     * kmeansAssign / int8TopK).
     */
   def semDedup(vectors: DataFrame, k: Int, iters: Int = 2,
-               threshold: Double = 0.4): DataFrame = {
-    val assigned = kmeansAssign(vectors, k, iters)
+               threshold: Double = 0.4,
+               sampledSeeding: Boolean = false): DataFrame = {
+    val assigned = kmeansAssign(vectors, k, iters,
+      sampledSeeding = sampledSeeding)
     val b = withNorm(vectors)
       .join(assigned, col("id") === col("vec_id"))
       .select(col("id"), col("embedding"), col("norm"), col("cluster"))

@@ -88,6 +88,34 @@ object DomainIO {
         .select(col("readName"), col("start"), col("bases"))
     },
 
+    // S2 region query through the DSv2 source: the SAME region, but the
+    // probe plan + residual predicate ride `.option("region", ...)` —
+    // the v2 filter story for a coordinate format (q107's oracle, so
+    // the two paths are pinned equal through one hash).
+    "q115_bam_v2_region" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val bam = o.select(
+        concat_ws("", lit("r"), col("o_orderkey")).as("readName"),
+        lit(0).as("flag"),
+        lit("chr1").as("referenceName"),
+        (col("o_orderkey") + 1).cast("int").as("start"),
+        lit(60).as("mapq"),
+        concat(length(dnaOf(col("o_orderkey"))).cast("string"), lit("M"))
+          .as("cigar"),
+        dnaOf(col("o_orderkey")).as("bases"),
+        qualOf(col("o_orderkey")).as("quality"))
+        .repartition(1).sortWithinPartitions("start", "readName")
+      val file = tmp(d, "bam_v2_region.bam")
+      Bam.write(bam, file, refs = Seq(("chr1", 200000)), singleFile = true,
+        sortOrder = Some("coordinate"))
+      s.read.format("bam")
+        .option("region", "chr1:500-900")
+        .option("splitBytes", (1L << 16).toString)
+        .option("maxSpan", "64")
+        .load(file)
+        .select(col("readName"), col("start"), col("bases"))
+    },
+
     // T5 under oracle test (q101 flag pattern): uuid() values can't
     // hash-match another engine, so the row emits exact counts plus
     // deterministic structural flags — every renamed id is unique,
@@ -455,6 +483,15 @@ object DomainIO {
     // region overlap in the 1-based inclusive domain: pos <= 900 and
     // pos + len(bases) - 1 >= 500 (cigar is all-M, span = |bases|)
     "q107_bam_region" ->
+      """SELECT 'r' || o_orderkey AS "readName",
+              CAST(o_orderkey + 1 AS INTEGER) AS "start",
+              translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'ACGTACGTAC') AS bases
+         FROM orders
+         WHERE (o_orderkey + 1) <= 900
+           AND (o_orderkey + 1) +
+               length(translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'ACGTACGTAC')) - 1 >= 500""",
+    // q107's oracle verbatim: the v1 and v2 region paths must agree
+    "q115_bam_v2_region" ->
       """SELECT 'r' || o_orderkey AS "readName",
               CAST(o_orderkey + 1 AS INTEGER) AS "start",
               translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'ACGTACGTAC') AS bases

@@ -93,14 +93,18 @@ object LlmText {
   private val MixWeights = Seq(
     ("en", 0.5), ("de", 0.15), ("es", 0.15), ("fr", 0.1), ("zh", 0.1))
 
-  /** Replays Similarity.kmeansAssign in DuckDB SQL — shared by q69 and
-    * q108 (SemDeDup). Emits the CTE chain `v, c0, a0/u1/c1, ..., af`
-    * (af = final assignment: vec_id, cluster, e). Seeds are the k
-    * LOWEST-id vectors (ORDER BY/LIMIT — the engine's rule, robust to
-    * non-contiguous ids), centroid means round to 6 dp, assignment is
-    * argmax of the 4 dp-rounded cosine with ties to the smaller cid.
+  /** Replays Similarity.kmeansAssign in DuckDB SQL — shared by q69,
+    * q108 (SemDeDup) and q114 (sampled seeding). Emits the CTE chain
+    * `v, c0, a0/u1/c1, ..., af` (af = final assignment: vec_id,
+    * cluster, e). Default seeds are the k LOWEST-id vectors (ORDER
+    * BY/LIMIT — the engine's rule, robust to non-contiguous ids);
+    * `sampled = true` replays the deterministic k-means‖-style seeding
+    * instead (md5-hash sample of max(4k,32) → farthest-point refine,
+    * Similarity.sampledSeeds). Centroid means round to 6 dp, assignment
+    * is argmax of the 4 dp-rounded cosine with ties to the smaller cid.
     */
-  private def kmeansSqlCtes(k: Int, iters: Int, embDim: Int = 64): String = {
+  private def kmeansSqlCtes(k: Int, iters: Int, embDim: Int = 64,
+                            sampled: Boolean = false): String = {
     def assignCte(name: String, centRel: String): String =
       s"""$name AS (SELECT vec_id, cid AS cluster, e FROM (
             SELECT v.vec_id, c.cid, v.e,
@@ -108,6 +112,35 @@ object LlmText {
                 round(list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm), 4) DESC,
                 c.cid) AS rn
             FROM v CROSS JOIN $centRel c) WHERE rn = 1)"""
+    // seed relation: lowest-id (default) or hash-sample + farthest-point
+    val seedCtes =
+      if (!sampled)
+        s"""c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+               FROM (SELECT * FROM v ORDER BY vec_id LIMIT $k))"""
+      else {
+        val pool = math.max(4 * k, 32)
+        // MATERIALIZED: each seeds CTE is referenced three times by the
+        // next refine stage — inlined, the k-stage chain re-evaluates
+        // the base 3^k times (DuckDB inlines single-reference CTEs and
+        // may inline multi-reference ones); materializing keeps the
+        // oracle linear in k
+        val refine = (1 until k).map { i =>
+          s"""p$i AS MATERIALIZED (SELECT c.vec_id,
+                  max(round(list_dot_product(c.e, s.e) / (c.nrm * s.nrm), 4)) AS dmax
+                FROM cand c, seeds${i - 1} s
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM seeds${i - 1})
+                GROUP BY c.vec_id),
+              pick$i AS MATERIALIZED (SELECT vec_id FROM p$i ORDER BY dmax, vec_id LIMIT 1),
+              seeds$i AS MATERIALIZED (SELECT * FROM seeds${i - 1} UNION ALL
+                SELECT c.vec_id, c.e, c.nrm FROM cand c JOIN pick$i USING (vec_id))"""
+        }.mkString(",\n")
+        s"""cand AS MATERIALIZED (SELECT vec_id, e, nrm, md5(CAST(vec_id AS VARCHAR)) AS h
+               FROM v WHERE nrm <> 0
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pool),
+            seeds0 AS MATERIALIZED (SELECT vec_id, e, nrm FROM cand ORDER BY h, vec_id LIMIT 1),
+            $refine,
+            c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM seeds${k - 1})"""
+      }
     val iterCtes = (0 until iters).map { i =>
       assignCte(s"a$i", s"c$i") + ",\n" +
         s"""u${i + 1} AS (SELECT cluster, CAST(t.i AS INTEGER) AS dim,
@@ -122,8 +155,7 @@ object LlmText {
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
            FROM embeddings),
-        c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
-               FROM (SELECT * FROM v ORDER BY vec_id LIMIT $k)),
+        $seedCtes,
         $iterCtes,
         ${assignCte("af", s"c$iters")}"""
   }
@@ -390,6 +422,18 @@ object LlmText {
         Tables.embeddings(s, d)
           .select(col("vec_id").as("id"), col("embedding")),
         k = 8, iters = 2, threshold = 0.4)
+    },
+
+    // SemDeDup with PRODUCTION seeding: deterministic k-means‖-style
+    // seeds (md5-hash sample → farthest-point refine) instead of the
+    // lowest-id rule — SemDeDup quality at scale is seed-sensitive, and
+    // the oracle replays the ENTIRE seeding (sample, k-1 refine steps)
+    // plus Lloyd plus the dedup pass in generated SQL.
+    "q114_semdedup_sampled" -> { (s, d) =>
+      Similarity.semDedup(
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding")),
+        k = 8, iters = 2, threshold = 0.4, sampledSeeding = true)
     },
 
     // Hashing-trick linear quality scorer (fastText-shaped): md5-derived
@@ -802,6 +846,20 @@ object LlmText {
     // pairs; the larger id of each >= 0.4 pair is removed
     "q108_semdedup" ->
       s"""WITH ${kmeansSqlCtes(8, 2)},
+          wc AS (SELECT a.vec_id, a.cluster, a.e, v.nrm
+                 FROM af a JOIN v USING (vec_id)),
+          rm AS (SELECT DISTINCT b.vec_id
+                 FROM wc a JOIN wc b
+                   ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                 WHERE a.nrm * b.nrm <> 0
+                   AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.4)
+          SELECT af.vec_id, af.cluster,
+                 (rm.vec_id IS NOT NULL) AS removed
+          FROM af LEFT JOIN rm ON af.vec_id = rm.vec_id""",
+    // identical dedup pass over the SAMPLED-seed clustering: the only
+    // delta vs q108 is the seed CTE chain (hash sample + farthest-point)
+    "q114_semdedup_sampled" ->
+      s"""WITH ${kmeansSqlCtes(8, 2, sampled = true)},
           wc AS (SELECT a.vec_id, a.cluster, a.e, v.nrm
                  FROM af a JOIN v USING (vec_id)),
           rm AS (SELECT DISTINCT b.vec_id

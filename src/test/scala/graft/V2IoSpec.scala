@@ -130,4 +130,68 @@ class V2IoSpec extends AnyFunSuite {
     val v2 = readV2(classOf[FastaSource], dir, 512L).collect().map(_.toSeq).toSet
     assert(v2 == v1)
   }
+
+  private def bamFixture(sortOrder: Option[String]): String = {
+    import spark.implicits._
+    val rng = new scala.util.Random(43)
+    val rows = (0 until 3000).map { i =>
+      val len = 80 + rng.nextInt(40)
+      val bases = Array.fill(len)("ACGT"(rng.nextInt(4))).mkString
+      val quals = Array.fill(len)(('!' + 2 + rng.nextInt(40)).toChar).mkString
+      (f"r$i%06d", 0, "chr1", i * 25 + 1, 60, s"${len}M", bases, quals)
+    }.toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
+      "bases", "quality")
+    val dir = Files.createTempDirectory("graft_v2_bam").toString
+    val file = s"$dir/data.bam"
+    graft.io.Bam.write(rows.coalesce(1), file, refs = Seq(("chr1", 200000)),
+      singleFile = true, sortOrder = sortOrder)
+    file
+  }
+
+  test("v2 BAM: rows equal v1 readSplittable across split sizes") {
+    val file = bamFixture(None)
+    val cols = Seq("readName", "flag", "referenceName", "start", "mapq",
+      "cigar", "bases", "quality")
+    val v1 = graft.io.Bam.readSplittable(spark, file, splitBytes = 1 << 16)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    for (split <- Seq(1L << 16, 64L << 20)) {
+      val v2 = spark.read.format("bam")
+        .option("splitBytes", split.toString).load(file)
+        .collect().map(_.toSeq).toSet
+      assert(v2 == v1, s"split=$split")
+    }
+  }
+
+  test("v2 BAM: region option plans only surviving ranges and equals v1 readRegion") {
+    val file = bamFixture(Some("coordinate"))
+    val v2df = spark.read.format("bam")
+      .option("region", "chr1:30000-40000")
+      .option("splitBytes", (1L << 16).toString)
+      .load(file)
+    // region pushdown visible in the plan: fewer partitions than the
+    // plain scan has ranges
+    val plain = spark.read.format("bam")
+      .option("splitBytes", (1L << 16).toString).load(file)
+    val scansOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    val regionParts = scansOf(v2df).head.inputRDD.getNumPartitions
+    val plainParts = scansOf(plain).head.inputRDD.getNumPartitions
+    assert(regionParts < plainParts,
+      s"region scan must prune ranges: $regionParts vs $plainParts")
+    val got = v2df.select("readName", "start").collect().map(_.toSeq).toSet
+    val want = graft.io.Bam.readRegion(spark, file, "chr1", 30000, 40000,
+        splitBytes = 1 << 16)
+      .select("readName", "start").collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("v2 BAM: column pruning reaches the scan's read schema") {
+    val file = bamFixture(None)
+    val df = spark.read.format("bam").load(file).select("readName", "start")
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("readName", "start"),
+      scans.head.scan.description())
+    assert(df.count() == 3000)
+  }
 }
