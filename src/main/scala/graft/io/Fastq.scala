@@ -49,9 +49,11 @@ object Fastq {
     StructField("filterPassed", BooleanType)))
 
   /** Project (key, sequence, quality) into the full typed Read schema by
-    * parsing the Illumina header fields out of `key`.
+    * parsing the Illumina header fields out of `key`. Works on batch AND
+    * streaming frames (pure narrow expressions) — the streaming FASTQ
+    * source ([[graft.streaming.GenomicStreams]]) shares it.
     */
-  private def project(raw: DataFrame): DataFrame = {
+  private[graft] def project(raw: DataFrame): DataFrame = {
     val head = split(col("key"), " ").getItem(0)
     val tailCol = split(col("key"), " ").getItem(1)
     val h = split(head, ":")

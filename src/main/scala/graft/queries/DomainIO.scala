@@ -116,6 +116,43 @@ object DomainIO {
         .select(col("readName"), col("start"), col("bases"))
     },
 
+    // S1 STREAMING twin under the oracle (the genomic analog of q86's
+    // events parity): the q50 FASTQ fixture ingested by Structured
+    // Streaming — binaryFile file-stream source → the batch reader's
+    // own parse+projection (GenomicStreams.readFastqStream) → parquet
+    // sink (append, Trigger.AvailableNow) → read back. Stateless
+    // narrow transform ⇒ no watermark needed; oracle = q50-style SQL,
+    // so batch reader, stream reader, and both engines are pinned to
+    // one hash.
+    "q116_fastq_stream" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val li = Tables.lineitem(s, d)
+      val mate = when(col("l_linenumber") % 2 === 1, 1).otherwise(2)
+      val fq = li.select(
+        concat_ws("",
+          lit("M01:"), col("l_orderkey"), lit(":FC1:2:1101:"),
+          col("l_partkey"), lit(":"), col("l_linenumber"),
+          lit(" "), mate, lit(":N:0:ACGT")).as("key"),
+        dnaOf(col("l_partkey")).as("sequence"),
+        qualOf(col("l_partkey")).as("quality"))
+      val base = tmp(d, "fastq_stream")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      Fastq.write(fq, s"$base/in")
+      val stream = graft.streaming.GenomicStreams
+        .readFastqStream(s, s"$base/in")
+        .select("key", "sequence", "read")
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.schema(stream.schema).parquet(s"$base/out")
+    },
+
     // T5 under oracle test (q101 flag pattern): uuid() values can't
     // hash-match another engine, so the row emits exact counts plus
     // deterministic structural flags — every renamed id is unique,
@@ -490,6 +527,15 @@ object DomainIO {
          WHERE (o_orderkey + 1) <= 900
            AND (o_orderkey + 1) +
                length(translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'ACGTACGTAC')) - 1 >= 500""",
+    // q50's key/sequence/read projection: the streaming reader must
+    // reproduce the batch reader's parse bit-for-bit
+    "q116_fastq_stream" ->
+      """SELECT 'M01:' || l_orderkey || ':FC1:2:1101:' || l_partkey || ':' ||
+                l_linenumber || ' ' || (CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 2 END) ||
+                ':N:0:ACGT' AS key,
+              translate(CAST(l_partkey AS VARCHAR), '0123456789', 'ACGTACGTAC') AS sequence,
+              CAST(CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 2 END AS INTEGER) AS "read"
+         FROM lineitem""",
     // q107's oracle verbatim: the v1 and v2 region paths must agree
     "q115_bam_v2_region" ->
       """SELECT 'r' || o_orderkey AS "readName",

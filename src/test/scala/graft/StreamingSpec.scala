@@ -166,4 +166,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed(0).getAs[Long]("n_events") == 2L)
     assert(closed(0).getAs[Double]("total") == 3.0)
   }
+
+  test("streaming FASTQ ingestion equals the batch reader (full schema)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    // hostile quality lines ('@'/'+' leads) + multi-file input: the
+    // per-file parse must match the batch reader on every column
+    val recs = (0 until 120).map { i =>
+      val n = 8 + rng.nextInt(30)
+      val seq = Array.fill(n)("ACGT"(rng.nextInt(4))).mkString
+      val qual = (if (i % 3 == 0) "@" else "+") +
+        Array.fill(n - 1)(('!' + 1 + rng.nextInt(40)).toChar).mkString
+      (s"M9:$i:FC:2:11:$i:${i * 3} ${1 + i % 2}:N:0:GG", seq, qual)
+    }.toDF("key", "sequence", "quality").repartition(3)
+    val base = java.nio.file.Files.createTempDirectory("graft_fq_stream").toString
+    graft.io.Fastq.write(recs, s"$base/in")
+    val stream = graft.streaming.GenomicStreams.readFastqStream(spark, s"$base/in")
+    val q = stream.writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.schema(stream.schema).parquet(s"$base/out")
+      .collect().map(_.toSeq).toSet
+    val want = graft.io.Fastq.read(spark, s"$base/in")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.size == 120)
+  }
 }
