@@ -550,8 +550,9 @@ object Similarity {
     * arithmetic + one sqrt/divide, bit-reproducible across engines, and
     * the representation error vs float cosine is measurable (compare
     * against [[bruteForceTopK]]). All-pairs like the float baseline —
-    * the scale path plugs the codes into the IVF/LSH candidate
-    * structures above and re-ranks with this scoring.
+    * the EXACTNESS BASELINE of the int8 space; the composed production
+    * path is [[int8PrefilterTopK]] (multi-table ANN candidates scored
+    * with exactly this expression, never n²).
     */
   def int8TopK(vectors: DataFrame, k: Int): DataFrame = {
     val v = ensureParallelism(withNative(quantizeInt8(vectors)))
@@ -568,6 +569,44 @@ object Similarity {
           .otherwise(round(dotN(col("q.q8"), col("c.q8")) /
             (col("q.norm") * col("c.norm")), 4)).as("cos"))
     topK(pairs, k)
+  }
+
+  /** Candidate-gated int8 search — the composed production shape for
+    * the int8 rung, closing the same gap [[binaryPrefilterTopK]] closes
+    * for binary codes: multi-table ANN candidates (equi-join, never
+    * all-pairs), scored entirely in the QUANTIZED int8 space (the
+    * 4×-smaller representation is what the scoring stage reads — at
+    * 10⁹ vectors that is the difference between a 256 GB and a 1 TB
+    * working set), ranked by the rounded int8 cosine with the same
+    * zero-norm guard and tie rules as [[int8TopK]]. Exactly int8TopK's
+    * scores on exactly the candidate pairs — so recall is bounded by
+    * the candidate stage and the scoring error by the measured
+    * int8-vs-float gap, both already quantified (q82's multitable row,
+    * q91 vs q36).
+    */
+  def int8PrefilterTopK(vectors: DataFrame, k: Int, bits: Int = 4,
+                        tables: Int = 16): DataFrame = {
+    // one checkpointed base: float embedding builds the table keys,
+    // int8 codes (+ their norm) carry the scoring
+    val q8 = quantizeInt8(vectors)
+      .select(col("id"), col("codes").cast("array<double>").as("q8"))
+    val b = withNorm(vectors)
+      .withColumn("keys", tableKeysChecked(bits, tables))
+      .join(q8, "id")
+      .withColumn("n8", sqrt(dotN(col("q8"), col("q8"))))
+      .select(col("id"), col("keys"), col("q8"), col("n8"))
+      .localCheckpoint()
+    val cand = multiTableCandidates(b)
+    val scored = cand
+      .join(b.select(col("id").as("query_id"),
+        col("q8").as("qq"), col("n8").as("qn")), "query_id")
+      .join(b.select(col("id").as("neighbor_id"),
+        col("q8").as("cq"), col("n8").as("cn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qn") * col("cn") === 0d, lit(null))
+          .otherwise(round(dotN(col("qq"), col("cq")) /
+            (col("qn") * col("cn")), 4)).as("cos"))
+    topK(scored, k)
   }
 
   // ---------- Product quantization (PQ) ----------

@@ -594,6 +594,17 @@ object LlmText {
         .select(col("query_id"), col("neighbor_id"), col("cos").as("qcos"))
     },
 
+    // Candidate-gated int8 search — the int8 rung's composed production
+    // shape (q113's funnel with int8-cosine scoring): multi-table ANN
+    // candidates, scored entirely in the quantized space. The oracle
+    // replays candidates + quantization + scoring.
+    "q117_int8_prefilter" -> { (s, d) =>
+      Similarity.int8PrefilterTopK(Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding")), 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos").as("qcos"),
+          col("rank").cast("int").as("rank"))
+    },
+
     // PQ encoding: deterministic per-subspace Lloyd codebooks (m=8
     // subspaces over 64 dims, ksub=16, 1 iteration), every vector → 8
     // codes. The oracle replays the ENTIRE training (seeds → assign →
@@ -1057,6 +1068,39 @@ object LlmText {
           SELECT query_id, neighbor_id, qcos FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY qcos DESC, neighbor_id) AS rn FROM p) WHERE rn <= 3""",
+    // q91's int8 scoring restricted to the 16-table candidate pairs
+    // (q113's tc chain) — the composed funnel replayed stage by stage
+    "q117_int8_prefilter" -> {
+      val bits = 4
+      val tables = 16
+      val tkeys = "[" + (0 until tables).map { t =>
+        s"('$t:' || " + (1 to bits).map(i =>
+          s"(CASE WHEN e[${t * bits + i}] >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ") + ")"
+      }.mkString(", ") + "]"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          tk AS (SELECT vec_id, unnest($tkeys) AS tkey FROM v),
+          tc AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+                 FROM tk a JOIN tk b ON a.tkey = b.tkey AND a.vec_id != b.vec_id),
+          s AS (SELECT vec_id, e,
+                  list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+          q AS (SELECT vec_id,
+                  CASE WHEN amax = 0 THEN list_transform(e, x -> 0.0)
+                       ELSE list_transform(e, x -> CAST(round(x / (amax / 127.0)) AS DOUBLE))
+                  END AS c
+                FROM s),
+          n AS (SELECT vec_id, c, sqrt(list_dot_product(c, c)) AS nrm FROM q),
+          p AS (SELECT t.query_id, t.neighbor_id,
+                  CASE WHEN q.nrm * c.nrm = 0 THEN NULL
+                       ELSE round(list_dot_product(q.c, c.c) / (q.nrm * c.nrm), 4)
+                  END AS qcos
+                FROM tc t JOIN n q ON t.query_id = q.vec_id
+                          JOIN n c ON t.neighbor_id = c.vec_id)
+          SELECT query_id, neighbor_id, qcos, CAST(rn AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY qcos DESC, neighbor_id) AS rn FROM p)
+          WHERE rn <= 3"""
+    },
 
     "q92_pq_encode" -> {
       val sel = (0 until pqM).map(s =>

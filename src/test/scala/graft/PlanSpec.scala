@@ -72,6 +72,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("hamming_native"), plan.take(1200))
   }
 
+  test("int8 prefilter: candidate + scoring joins are equi joins, never cartesian") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val plan = graft.operators.Similarity.int8PrefilterTopK(e, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("q68: TF-IDF corpus size joins as a broadcast, term join stays equi") {
     val plan = planOf("q68_tfidf")
     // the 1-row N aggregate must broadcast, not shuffle
