@@ -251,6 +251,13 @@ object Bam {
     * maxSpan starting more than maxSpan before `start` may be missed
     * (the same granularity contract an index chunk gives).
     *
+    * INDEXED fast path: when every input file has a sibling `.bai`
+    * (written by [[write]] with `index = true`, or any conformant
+    * indexer), pruning comes from the index instead — bin chunks ∩
+    * linear-index lower bound, no probe pass, and long-spanning records
+    * are bounded EXACTLY by their bins (the `maxSpan` contract below
+    * applies only to the probe path).
+    *
     * Sortedness detection: the @HD SO header tag is AUTHORITATIVE when
     * present — `SO:coordinate` enables pruning (cross-checked against
     * the probe keys: if they contradict the header, every range is
@@ -266,28 +273,97 @@ object Bam {
   def readRegion(spark: SparkSession, path: String, rname: String,
                  start: Int, end: Int,
                  splitBytes: Long = DefaultSplitBytes,
-                 maxSpan: Int = 16384): DataFrame = {
-    import spark.implicits._
-    // reuse the probe pass's broadcasts for the decode job
-    val (_, surviving, metaBc, confBc) =
-      regionPlanBc(spark, path, rname, start, end, splitBytes, maxSpan)
-    val rows = spark.sparkContext
-      .parallelize(surviving, math.max(1, surviving.size))
-      .flatMap { case (p, s, e) =>
-        val (refs, firstBlock, firstOff, _) = metaBc.value(p)
-        decodeRange(confBc.value.toConf, p, s, e, refs, firstBlock, firstOff)
-      }
-      .toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
-        "bases", "quality")
-    // reference span consumed by the alignment = Σ lengths of
-    // M/D/N/=/X ops ('*' or all-clipped cigars span 0 → treated as 1)
+                 maxSpan: Int = 16384): DataFrame =
+    readRegionViaBai(spark, path, rname, start, end).getOrElse {
+      import spark.implicits._
+      // reuse the probe pass's broadcasts for the decode job
+      val (_, surviving, metaBc, confBc) =
+        regionPlanBc(spark, path, rname, start, end, splitBytes, maxSpan)
+      val rows = spark.sparkContext
+        .parallelize(surviving, math.max(1, surviving.size))
+        .flatMap { case (p, s, e) =>
+          val (refs, firstBlock, firstOff, _) = metaBc.value(p)
+          decodeRange(confBc.value.toConf, p, s, e, refs, firstBlock, firstOff)
+        }
+        .toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
+          "bases", "quality")
+      regionFilter(withDerivedCols(rows), rname, start, end)
+    }
+
+  /** The residual region predicate: reference span consumed by the
+    * alignment = Σ lengths of M/D/N/=/X ops ('*' or all-clipped cigars
+    * span 0 → treated as 1). Shared by the probe and BAI paths (and
+    * mirrored in io.v2.BamV2's in-reader filter).
+    */
+  private def regionFilter(df: DataFrame, rname: String,
+                           start: Int, end: Int): DataFrame = {
     val nums = regexp_extract_all(col("cigar"), lit("(\\d+)[MDN=X]"), lit(1))
     val span = aggregate(transform(nums, x => x.cast("int")), lit(0),
       (a, x) => a + x)
-    withDerivedCols(rows)
-      .filter(col("referenceName") === rname &&
-        col("start") <= end &&
-        col("start") + greatest(span, lit(1)) - 1 >= start)
+    df.filter(col("referenceName") === rname &&
+      col("start") <= end &&
+      col("start") + greatest(span, lit(1)) - 1 >= start)
+  }
+
+  /** The .bai fast path of [[readRegion]]: when EVERY input file has a
+    * sibling `<file>.bai`, region pruning comes from the index — bins ∩
+    * linear-index lower bound → merged chunk list ([[Bai.chunksFor]]) —
+    * with NO probe decode pass, and the bin scheme bounds long-spanning
+    * records exactly (no `maxSpan` granularity contract). Each chunk
+    * becomes one decode task starting at the chunk's exact virtual
+    * offset (block-aligned merging guarantees no record decodes twice).
+    * None ⇒ some file lacks an index, caller falls back to the probe
+    * plan. Returns the same filtered alignment frame as the probe path.
+    */
+  private def readRegionViaBai(spark: SparkSession, path: String,
+      rname: String, start: Int, end: Int): Option[DataFrame] = {
+    import spark.implicits._
+    val planned = baiRegionPlan(spark, path, rname, start, end)
+    if (planned.isEmpty) return None
+    val (metas, ranges) = planned.get
+    val confBc = spark.sparkContext.broadcast(
+      new HadoopConfCarrier(spark.sparkContext.hadoopConfiguration))
+    val metaBc = spark.sparkContext.broadcast(metas)
+    val rows = spark.sparkContext
+      .parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { case (p, s, e, off) =>
+        val (refs, _, _, _) = metaBc.value(p)
+        decodeRange(confBc.value.toConf, p, s, e, refs, s, off)
+      }
+      .toDF("readName", "flag", "referenceName", "start", "mapq", "cigar",
+        "bases", "quality")
+    Some(regionFilter(withDerivedCols(rows), rname, start, end))
+  }
+
+  /** The driver half of the .bai path, exposed for plan tests: per-file
+    * header metas + chunk-derived decode ranges (path, compressed
+    * start, compressed end, uoffset of the first record). None when any
+    * input file lacks a sibling `.bai`.
+    */
+  private[graft] def baiRegionPlan(spark: SparkSession, path: String,
+      rname: String, start: Int, end: Int)
+      : Option[(Map[String, HeaderMeta], Seq[(String, Long, Long, Int)])] = {
+    val files = listBams(spark, path)
+    if (files.isEmpty) return None
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!files.forall { case (p, _) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p + ".bai")) }) return None
+    val metas: Map[String, HeaderMeta] = files.map { case (p, _) =>
+      p -> readHeaderMeta(fs, new org.apache.hadoop.fs.Path(p))
+    }.toMap
+    val ranges: Seq[(String, Long, Long, Int)] = files.flatMap { case (p, _) =>
+      val rid = metas(p)._1.indexOf(rname)
+      if (rid < 0) Seq.empty
+      else {
+        val in = fs.open(new org.apache.hadoop.fs.Path(p + ".bai"))
+        val idx = try Bai.parse(in.readAllBytes()) finally in.close()
+        Bai.chunksFor(idx, rid, start - 1, end).map { c =>
+          (p, c.beg >>> 16, (c.end >>> 16) + 1, (c.beg & 0xffff).toInt)
+        }
+      }
+    }
+    Some((metas, ranges))
   }
 
   private def lexLe(a: (Int, Int), b: (Int, Int)): Boolean =
@@ -771,9 +847,31 @@ object Bam {
     * boundaries could overflow one). 60 KiB + worst-case deflate
     * expansion + 26 bytes framing stays safely under 65536.
     */
+  /** When indexing, bamBytes also returns the ingredients of the BAI:
+    * per MAPPED record (refId, beg0, end0 — 0-based half-open — plus
+    * its uncompressed byte span), the compressed offset of each BGZF
+    * block (blocks are exact 60 KiB uncompressed slices, so uncompressed
+    * offset → block index is a division), and the compressed size of the
+    * data stream (the virtual-offset sentinel past the last record).
+    */
+  private final class IndexFeed {
+    val records = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Long, Long)]()
+    val blockComp = scala.collection.mutable.ArrayBuffer[Long]()
+    var dataEnd: Long = 0L
+    val uncompPerBlock: Int = 60 * 1024
+
+    def virtualOffset(u: Long): Long = {
+      val b = (u / uncompPerBlock).toInt
+      val comp = if (b < blockComp.length) blockComp(b) else dataEnd
+      val within = if (b < blockComp.length) u % uncompPerBlock else 0L
+      (comp << 16) | within
+    }
+  }
+
   private def bamBytes(localRefs: Seq[(String, Int)],
                        rows: Iterator[org.apache.spark.sql.Row],
-                       sortOrder: Option[String]): Array[Byte] = {
+                       sortOrder: Option[String],
+                       feed: Option[IndexFeed] = None): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val so = sortOrder.map(v => s"\tSO:$v").getOrElse("")
     val headerText = (s"@HD\tVN:1.6$so\n" +
@@ -791,31 +889,68 @@ object Bam {
       head.putInt(l)
     }
     val chunk = 60 * 1024
+    val refIdx = localRefs.map(_._1).zipWithIndex.toMap
     val batch = new java.io.ByteArrayOutputStream()
+    var uncomp = 0L
     def drain(force: Boolean): Unit =
       if (batch.size() >= chunk || (force && batch.size() > 0)) {
         val bytes = batch.toByteArray
         var off = 0
         while (bytes.length - off >= chunk) {
+          feed.foreach(_.blockComp += out.size().toLong)
           out.write(bgzfBlock(bytes, off, chunk)); off += chunk
         }
         if (force && bytes.length > off) {
+          feed.foreach(_.blockComp += out.size().toLong)
           out.write(bgzfBlock(bytes, off, bytes.length - off)); off = bytes.length
         }
         batch.reset()
         if (off < bytes.length) batch.write(bytes, off, bytes.length - off)
       }
     batch.write(head.array())
+    uncomp += head.array().length
     drain(force = false)
     rows.foreach { r =>
-      batch.write(encodeRecord(localRefs, r.getString(0), r.getInt(1),
+      val enc = encodeRecord(localRefs, r.getString(0), r.getInt(1),
         r.getString(2), r.getInt(3), r.getInt(4), r.getString(5),
-        r.getString(6), r.getString(7)))
+        r.getString(6), r.getString(7))
+      feed.foreach { f =>
+        val rid = refIdx.getOrElse(r.getString(2), -1)
+        if (rid >= 0) {
+          val beg0 = r.getInt(3) - 1
+          val end0 = beg0 + math.max(cigarRefSpan(r.getString(5)), 1)
+          f.records += ((rid, beg0, end0, uncomp, uncomp + enc.length))
+        }
+      }
+      batch.write(enc)
+      uncomp += enc.length
       drain(force = false)
     }
     drain(force = true)
+    feed.foreach(_.dataEnd = out.size().toLong)
     out.write(BgzfEof)
     out.toByteArray
+  }
+
+  /** Reference span consumed by a CIGAR (Σ M/D/N/=/X op lengths) — the
+    * byte-loop twin of [[readRegion]]'s regexp fold; '*' or all-clipped
+    * spans 0.
+    */
+  private[graft] def cigarRefSpan(cigar: String): Int = {
+    if (cigar == null) return 0
+    var i = 0
+    var n = 0
+    var span = 0
+    while (i < cigar.length) {
+      val c = cigar.charAt(i)
+      if (c >= '0' && c <= '9') n = n * 10 + (c - '0')
+      else {
+        if (c == 'M' || c == 'D' || c == 'N' || c == '=' || c == 'X') span += n
+        n = 0
+      }
+      i += 1
+    }
+    span
   }
 
   /** Write BAM output. Default: one BAM file per partition under `path`
@@ -843,7 +978,11 @@ object Bam {
     */
   def write(df: DataFrame, path: String, refs: Seq[(String, Int)] = Nil,
             singleFile: Boolean = false,
-            sortOrder: Option[String] = None): Unit = {
+            sortOrder: Option[String] = None,
+            index: Boolean = false): Unit = {
+    require(!index || (singleFile && sortOrder.contains("coordinate")),
+      "index=true requires singleFile=true and sortOrder=Some(\"coordinate\") " +
+        "— a BAI is only meaningful for one coordinate-sorted file")
     val spark = df.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -871,12 +1010,24 @@ object Bam {
       val patched = refs.map { case (n, l) => (n, math.max(l, byName.getOrElse(n, 0))) } ++
         observed.filter { case (n, _) => !refs.exists(_._1 == n) }.sortBy(_._1)
       val refsBc = spark.sparkContext.broadcast(patched)
+      val withIndex = index
       proj.coalesce(1).foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val fsw = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(confBc.value.toConf)
+        val feed = if (withIndex) Some(new IndexFeed) else None
         val stream = fsw.create(new org.apache.hadoop.fs.Path(path), true)
-        try stream.write(bamBytes(refsBc.value, rows, sortOrder))
+        try stream.write(bamBytes(refsBc.value, rows, sortOrder, feed))
         finally stream.close()
+        // sibling .bai from the per-record positions + virtual offsets
+        // the serializer just fed back
+        feed.foreach { f =>
+          val bai = Bai.serialize(refsBc.value.length,
+            f.records.map(r =>
+              (r._1, r._2, r._3,
+                f.virtualOffset(r._4), f.virtualOffset(r._5))).toSeq)
+          val bs = fsw.create(new org.apache.hadoop.fs.Path(path + ".bai"), true)
+          try bs.write(bai) finally bs.close()
+        }
       }
     } else {
       fs.mkdirs(hPath)

@@ -69,26 +69,10 @@ private[v2] object BamV2 {
     (m.group(1), m.group(2).toInt, m.group(3).toInt)
   }
 
-  /** Reference span consumed by a CIGAR: Σ lengths of M/D/N/=/X ops —
-    * the byte-loop twin of readRegion's
-    * `regexp_extract_all(cigar, (\d+)[MDN=X])` fold ('*' or all-clipped
-    * spans 0; the caller treats 0 as 1).
+  /** Reference span consumed by a CIGAR — [[Bam.cigarRefSpan]] ('*' or
+    * all-clipped spans 0; the caller treats 0 as 1).
     */
-  def refSpan(cigar: String): Int = {
-    var i = 0
-    var n = 0
-    var span = 0
-    while (i < cigar.length) {
-      val c = cigar.charAt(i)
-      if (c >= '0' && c <= '9') n = n * 10 + (c - '0')
-      else {
-        if (c == 'M' || c == 'D' || c == 'N' || c == '=' || c == 'X') span += n
-        n = 0
-      }
-      i += 1
-    }
-    span
-  }
+  def refSpan(cigar: String): Int = Bam.cigarRefSpan(cigar)
 }
 
 private[v2] class BamTable(path: String, splitBytes: Option[Long],
@@ -139,12 +123,21 @@ private[v2] class BamScan(path: String, splitOpt: Option[Long],
     region match {
       case Some(r) =>
         val (rname, s, e) = BamV2.parseRegion(r)
-        val (_, surviving, metas) = Bam.regionPlan(spark, path, rname, s, e,
-          splitBytes, maxSpanOpt.getOrElse(16384))
-        surviving.map { case (p, st, en) =>
-          val (refs, fb, fo, _) = metas(p)
-          BamPartition(p, st, en, refs, fb, fo)
-        }.toArray[InputPartition]
+        // .bai fast path first (same preference as Bam.readRegion):
+        // chunk-derived ranges start at exact record virtual offsets
+        Bam.baiRegionPlan(spark, path, rname, s, e) match {
+          case Some((metas, ranges)) =>
+            ranges.map { case (p, st, en, off) =>
+              BamPartition(p, st, en, metas(p)._1, st, off)
+            }.toArray[InputPartition]
+          case None =>
+            val (_, surviving, metas) = Bam.regionPlan(spark, path, rname, s, e,
+              splitBytes, maxSpanOpt.getOrElse(16384))
+            surviving.map { case (p, st, en) =>
+              val (refs, fb, fo, _) = metas(p)
+              BamPartition(p, st, en, refs, fb, fo)
+            }.toArray[InputPartition]
+        }
       case None =>
         val files = Bam.listBams(spark, path)
         val fs = new org.apache.hadoop.fs.Path(path)

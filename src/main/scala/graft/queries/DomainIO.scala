@@ -116,6 +116,33 @@ object DomainIO {
         .select(col("readName"), col("start"), col("bases"))
     },
 
+    // S2 region query through the BAI INDEX: the writer emits a sibling
+    // .bai (bins + 16kbp linear index from the serializer's virtual
+    // offsets), and readRegion routes through Bai.chunksFor — no probe
+    // pass, exact long-record bounds. Same oracle as q107/q115, so the
+    // probe, v2-option, and indexed paths are pinned to one hash.
+    "q118_bam_bai_region" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val bam = o.select(
+        concat_ws("", lit("r"), col("o_orderkey")).as("readName"),
+        lit(0).as("flag"),
+        lit("chr1").as("referenceName"),
+        (col("o_orderkey") + 1).cast("int").as("start"),
+        lit(60).as("mapq"),
+        concat(length(dnaOf(col("o_orderkey"))).cast("string"), lit("M"))
+          .as("cigar"),
+        dnaOf(col("o_orderkey")).as("bases"),
+        qualOf(col("o_orderkey")).as("quality"))
+        .repartition(1).sortWithinPartitions("start", "readName")
+      val file = tmp(d, "bam_bai_region.bam")
+      Bam.write(bam, file, refs = Seq(("chr1", 200000)), singleFile = true,
+        sortOrder = Some("coordinate"), index = true)
+      require(Bam.baiRegionPlan(s, file, "chr1", 500, 900).isDefined,
+        "q118 must exercise the indexed path")
+      Bam.readRegion(s, file, "chr1", 500, 900)
+        .select(col("readName"), col("start"), col("bases"))
+    },
+
     // S1 STREAMING twin under the oracle (the genomic analog of q86's
     // events parity): the q50 FASTQ fixture ingested by Structured
     // Streaming — binaryFile file-stream source → the batch reader's
@@ -536,6 +563,15 @@ object DomainIO {
               translate(CAST(l_partkey AS VARCHAR), '0123456789', 'ACGTACGTAC') AS sequence,
               CAST(CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 2 END AS INTEGER) AS "read"
          FROM lineitem""",
+    // q107's oracle verbatim: probe, v2-option, and BAI paths agree
+    "q118_bam_bai_region" ->
+      """SELECT 'r' || o_orderkey AS "readName",
+              CAST(o_orderkey + 1 AS INTEGER) AS "start",
+              translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'ACGTACGTAC') AS bases
+         FROM orders
+         WHERE (o_orderkey + 1) <= 900
+           AND (o_orderkey + 1) +
+               length(translate(CAST(o_orderkey AS VARCHAR), '0123456789', 'ACGTACGTAC')) - 1 >= 500""",
     // q107's oracle verbatim: the v1 and v2 region paths must agree
     "q115_bam_v2_region" ->
       """SELECT 'r' || o_orderkey AS "readName",
