@@ -18,7 +18,8 @@ object SparkEntry {
       (Q.LlmText.queries, Q.LlmText.oracles),
       (Q.DomainIO.queries, Q.DomainIO.oracles),
       (Q.Events.queries, Q.Events.oracles),
-      (Q.Multimodal.queries, Q.Multimodal.oracles)
+      (Q.Multimodal.queries, Q.Multimodal.oracles),
+      (Q.Web.queries, Q.Web.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

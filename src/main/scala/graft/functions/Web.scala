@@ -1,0 +1,249 @@
+package graft.functions
+
+/** Web-corpus scalar cores: HTML→text extraction and URL
+  * canonicalization — the two per-document scalars a Common-Crawl-style
+  * ingestion pipeline runs on every record before any dedup/quality
+  * stage. Pure JVM string passes (no regex backtracking, no external
+  * libs) so the Catalyst wrappers in
+  * [[graft.plans.NativeExpressions]] stay inside whole-stage codegen.
+  *
+  * The reference engine has no web ingestion at all (its sources are
+  * genomic: SURVEY.md §2.1); these follow the published extraction
+  * rules (strip script/style/comments, block tags break lines, decode
+  * entities, collapse whitespace) rather than any particular library.
+  */
+object Web {
+
+  /** Tags whose open OR close breaks a line in the extracted text —
+    * the HTML block-level elements (plus `br` and `title`). Everything
+    * else (span, a, b, em, …) separates words with a single space.
+    */
+  private val BlockTags: Set[String] = Set(
+    "p", "div", "br", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul",
+    "ol", "tr", "table", "title", "article", "section", "blockquote",
+    "pre", "header", "footer", "nav", "hr", "form", "dl", "dt", "dd")
+
+  /** Extract readable text from HTML. Deterministic rules, in order:
+    *  1. `<!-- … -->` comments, `<script>…</script>` and
+    *     `<style>…</style>` elements (case-insensitive, attributes
+    *     allowed) are dropped entirely; unterminated ones drop to EOF —
+    *     truncated pages never leak raw javascript into the corpus.
+    *  2. Every other tag is replaced by a separator: newline for block
+    *     tags ([[BlockTags]]), space otherwise. `>` inside quoted
+    *     attribute values does not end a tag.
+    *  3. Character entities decode: the named five (&amp; &lt; &gt;
+    *     &quot; &apos;) plus &nbsp; (→ space) and numeric `&#NNN;` /
+    *     `&#xHH;`. Unknown entities pass through literally.
+    *  4. Whitespace normalizes: runs of spaces/tabs/CR collapse to one
+    *     space, lines trim, empty lines drop, lines join with `\n`.
+    */
+  def htmlToText(html: String): String = {
+    if (html == null) return null
+    val n = html.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (tagNameAt(html, i) == "script") {
+          i = skipElement(html, i, "script")
+        } else if (tagNameAt(html, i) == "style") {
+          i = skipElement(html, i, "style")
+        } else {
+          val name = tagNameAt(html, i)
+          out.append(if (BlockTags.contains(name)) '\n' else ' ')
+          i = skipTag(html, i)
+        }
+      } else if (c == '&') {
+        val (decoded, next) = decodeEntity(html, i)
+        out.append(decoded)
+        i = next
+      } else {
+        out.append(c)
+        i += 1
+      }
+    }
+    normalizeWhitespace(out.toString)
+  }
+
+  /** Lower-cased element name of the tag opening at `i` (which must
+    * point at '<'); "" when it is not a well-formed tag start.
+    */
+  private def tagNameAt(html: String, i: Int): String = {
+    var j = i + 1
+    val n = html.length
+    if (j < n && html.charAt(j) == '/') j += 1
+    val start = j
+    while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
+    if (j == start) "" else html.substring(start, j).toLowerCase
+  }
+
+  /** Index just past the '>' closing the tag at `i`; quote-aware so a
+    * literal '>' inside an attribute value does not terminate it.
+    * Unterminated tag → EOF.
+    */
+  private def skipTag(html: String, i: Int): Int = {
+    var j = i + 1
+    val n = html.length
+    var quote: Char = 0
+    while (j < n) {
+      val c = html.charAt(j)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return j + 1
+      j += 1
+    }
+    n
+  }
+
+  /** Index just past `</name…>` for a content-swallowing element
+    * (script/style) whose open tag starts at `i`. Unterminated → EOF.
+    */
+  private def skipElement(html: String, i: Int, name: String): Int = {
+    val bodyStart = skipTag(html, i)
+    val n = html.length
+    var j = bodyStart
+    while (j < n) {
+      if (html.charAt(j) == '<' && j + 1 < n && html.charAt(j + 1) == '/' &&
+        tagNameAt(html, j) == name) return skipTag(html, j)
+      j += 1
+    }
+    n
+  }
+
+  /** Decode the entity starting at `i` ('&'); returns (replacement,
+    * next index). Unknown/unterminated entities return the literal '&'
+    * and advance one char.
+    */
+  private def decodeEntity(html: String, i: Int): (String, Int) = {
+    val n = html.length
+    val semi = html.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 10) return ("&", i + 1)
+    val body = html.substring(i + 1, semi)
+    val rep = body match {
+      case "amp" => "&"
+      case "lt" => "<"
+      case "gt" => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case "nbsp" => " "
+      case num if num.startsWith("#x") || num.startsWith("#X") =>
+        try String.valueOf(Integer.parseInt(num.substring(2), 16).toChar)
+        catch { case _: Exception => null }
+      case num if num.startsWith("#") =>
+        try String.valueOf(Integer.parseInt(num.substring(1)).toChar)
+        catch { case _: Exception => null }
+      case _ => null
+    }
+    if (rep == null) ("&", i + 1) else (rep, semi + 1)
+  }
+
+  private def normalizeWhitespace(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var pendingNewline = false
+    var emittedAny = false
+    var lineHasContent = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\n') { pendingNewline = true; pendingSpace = false }
+      else if (c == ' ' || c == '\t' || c == '\r') pendingSpace = true
+      else {
+        if (pendingNewline && lineHasContent) { out.append('\n'); lineHasContent = false }
+        else if (pendingSpace && lineHasContent) out.append(' ')
+        pendingNewline = false; pendingSpace = false
+        out.append(c)
+        lineHasContent = true
+        emittedAny = true
+      }
+      i += 1
+    }
+    if (emittedAny) out.toString else ""
+  }
+
+  /** Query parameters dropped by [[canonicalizeUrl]]: per-click
+    * tracking identifiers that make byte-identical pages look like
+    * distinct URLs — the first-stage dedup killer in any crawl.
+    */
+  private val TrackingParams: Set[String] =
+    Set("fbclid", "gclid", "msclkid", "ref", "ref_src")
+  private def isTracking(key: String): Boolean =
+    TrackingParams.contains(key) || key.startsWith("utm_")
+
+  /** Canonicalize an http(s) URL for URL-level dedup. Deterministic
+    * rules: lowercase scheme and host; drop the default port (`:80`
+    * http, `:443` https); drop the `#fragment`; drop tracking query
+    * params ([[TrackingParams]] + `utm_*`); sort surviving params by
+    * (key, value) byte order; empty path → `/`; empty surviving query →
+    * no `?`. Non-http(s) inputs (no `://`) pass through trimmed — the
+    * caller decides what to do with mailto:/ftp:/garbage rows.
+    */
+  def canonicalizeUrl(url: String): String = {
+    if (url == null) return null
+    val s = url.trim
+    val schemeEnd = s.indexOf("://")
+    if (schemeEnd <= 0) return s
+    val scheme = s.substring(0, schemeEnd).toLowerCase
+    var rest = s.substring(schemeEnd + 3)
+    val frag = rest.indexOf('#')
+    if (frag >= 0) rest = rest.substring(0, frag)
+    val pathStart = rest.indexOf('/')
+    val qStart = rest.indexOf('?')
+    val authEnd =
+      if (pathStart < 0 && qStart < 0) rest.length
+      else if (pathStart < 0) qStart
+      else if (qStart < 0) pathStart
+      else math.min(pathStart, qStart)
+    var auth = rest.substring(0, authEnd)
+    val afterAuth = rest.substring(authEnd)
+    // userinfo@ survives untouched; only the host:port half normalizes
+    val at = auth.lastIndexOf('@')
+    val (userinfo, hostPort) =
+      if (at >= 0) (auth.substring(0, at + 1), auth.substring(at + 1))
+      else ("", auth)
+    val colon = hostPort.lastIndexOf(':')
+    val (host, port) =
+      if (colon >= 0 && hostPort.substring(colon + 1).forall(_.isDigit))
+        (hostPort.substring(0, colon), hostPort.substring(colon + 1))
+      else (hostPort, "")
+    val defaultPort = (scheme == "http" && port == "80") ||
+      (scheme == "https" && port == "443")
+    auth = userinfo + host.toLowerCase +
+      (if (port.nonEmpty && !defaultPort) ":" + port else "")
+    val (path0, query) = {
+      val q = afterAuth.indexOf('?')
+      if (q < 0) (afterAuth, "")
+      else (afterAuth.substring(0, q), afterAuth.substring(q + 1))
+    }
+    val path = if (path0.isEmpty) "/" else path0
+    val kept = query.split("&").filter(_.nonEmpty).filter { p =>
+      val k = p.indexOf('=') match {
+        case -1 => p
+        case e => p.substring(0, e)
+      }
+      !isTracking(k.toLowerCase)
+    }
+    val sorted = kept.sortWith { (a, b) =>
+      val c = compareBytes(a, b); c < 0
+    }
+    scheme + "://" + auth + path +
+      (if (sorted.nonEmpty) "?" + sorted.mkString("&") else "")
+  }
+
+  private def compareBytes(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val d = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    ab.length - bb.length
+  }
+}

@@ -116,6 +116,17 @@ object NativeDna {
     }
     new GenericArrayData(out)
   }
+
+  /** Web-corpus cores ([[graft.functions.Web]]): single-pass HTML→text
+    * and URL canonicalization, codegen-callable like the rest of this
+    * object. Both run once per crawled document — the hottest scalars
+    * of a web-ingestion pipeline after tokenization.
+    */
+  def htmlToText(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.functions.Web.htmlToText(s.toString))
+
+  def canonicalUrl(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.functions.Web.canonicalizeUrl(s.toString))
 }
 
 /** X1 as a native unary expression with whole-stage codegen support. */
@@ -706,6 +717,56 @@ case class CosineArgmaxExpression(emb: Expression, norm: Expression,
       cvecs = newChildren(3), cnorms = newChildren(4))
 }
 
+/** HTML→text extraction as a native unary expression
+  * ([[graft.functions.Web.htmlToText]] rules). A per-document string
+  * pass this size written as SQL string functions would be a tower of
+  * regexp_replace calls (each a separate compiled-regex traversal);
+  * here it is one scan per document and the projection stays fused.
+  */
+case class HtmlToTextExpression(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_to_text_native requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_to_text_native"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NativeDna.htmlToText(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeDna.htmlToText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** URL canonicalization as a native unary expression
+  * ([[graft.functions.Web.canonicalizeUrl]] rules) — the key-building
+  * scalar of URL-level dedup, run once per crawl record.
+  */
+case class CanonicalizeUrlExpression(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"canonicalize_url_native requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canonicalize_url_native"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NativeDna.canonicalUrl(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeDna.canonicalUrl($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: both an extensions class (for
   * `SparkSession.builder.withExtensions(new GraftExtensions)`) and a
   * runtime registry hook for already-built sessions.
@@ -725,7 +786,10 @@ object NativeFunctions {
       CosineArgmaxExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))),
     "binary_quantize_native" -> (exprs => BinaryQuantizeExpression(exprs.head)),
     "hamming_native" -> (exprs =>
-      HammingDistanceExpression(exprs(0), exprs(1))))
+      HammingDistanceExpression(exprs(0), exprs(1))),
+    "html_to_text_native" -> (exprs => HtmlToTextExpression(exprs.head)),
+    "canonicalize_url_native" -> (exprs =>
+      CanonicalizeUrlExpression(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>
@@ -770,5 +834,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("hamming_native"),
       new ExpressionInfo(classOf[HammingDistanceExpression].getName, "hamming_native"),
       (exprs: Seq[Expression]) => HammingDistanceExpression(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("html_to_text_native"),
+      new ExpressionInfo(classOf[HtmlToTextExpression].getName, "html_to_text_native"),
+      (exprs: Seq[Expression]) => HtmlToTextExpression(exprs.head)))
+    e.injectFunction((FunctionIdentifier("canonicalize_url_native"),
+      new ExpressionInfo(classOf[CanonicalizeUrlExpression].getName, "canonicalize_url_native"),
+      (exprs: Seq[Expression]) => CanonicalizeUrlExpression(exprs.head)))
   }
 }

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import graft.io.Warc
+import graft.operators.{Web => W}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-ingestion queries (north-star surface — the crawl side of an LLM
+  * data pipeline): WARC round-trip with HTML→text extraction, URL-level
+  * dedup over canonicalized URLs, and FineWeb-style boilerplate removal
+  * by global line frequency.
+  *
+  * Fixture rule (shared with the oracles): deterministic HTML/URLs/
+  * boilerplate are generated from the `documents` parquet, so DuckDB
+  * can reconstruct every expected output arithmetically — the WARC
+  * writer, gzip-member reader, HTTP envelope parser, HTML extractor,
+  * and URL canonicalizer are all under hash test.
+  */
+object Web {
+
+  private def tmp(d: String, name: String): String =
+    s"/tmp/graft_io/${new java.io.File(d).getName}/$name"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // WARC round-trip: documents render to HTML (title + h1 with an
+    // entity + body paragraph + script/style/comment junk), write as
+    // one-gzip-member-per-record .warc.gz files, read back, parse the
+    // HTTP envelope, extract text natively. The oracle reconstructs
+    // uri/status/text straight from the parquet — junk leaking into the
+    // text, a broken member boundary, or a bad Content-Length all break
+    // the hash.
+    "q119_warc_roundtrip" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p{color:red}</style></head><body>"),
+        lit("<script>var x = 1 < 2;</script><h1>Doc &amp; "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><!-- hidden --></body></html>"))
+      val recs = docs.select(
+        concat(lit("http://corpus.example/doc/"), col("doc_id")).as("uri"),
+        lit("2020-01-01T00:00:00Z").as("date"),
+        lit("text/html").as("contentType"),
+        encode(html, "UTF-8").as("body"))
+      val dir = tmp(d, "warc_roundtrip")
+      Warc.write(recs, dir)
+      Warc.read(s, dir)
+        .filter(col("warcType") === "response")
+        .select(col("targetUri").as("uri"),
+          col("httpStatus").cast("int").as("status"),
+          W.htmlToText(decode(col("body"), "UTF-8")).as("text_out"))
+    },
+
+    // URL-level dedup: half the rows carry the messy variant (uppercase
+    // scheme/host, default port, tracking params, fragment, unsorted
+    // params), half the clean one; canonicalization must fold both onto
+    // one key so each path groups ALL its doc_ids. The oracle builds
+    // the canonical form directly.
+    "q120_url_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val messy = when(col("doc_id") % 2 === 0,
+        concat(lit("HTTP://Corpus.EXAMPLE:80/page/"), col("doc_id") % 250,
+          lit("?utm_source=feed&b=2&a=1#frag")))
+        .otherwise(
+          concat(lit("http://corpus.example/page/"), col("doc_id") % 250,
+            lit("?b=2&utm_campaign=x&a=1")))
+      W.urlDedup(docs.select(col("doc_id"), messy.as("url")),
+          "doc_id", "url")
+        .select(col("canonical_url"), col("keeper_id"),
+          col("n_dups").cast("long").as("n_dups"))
+    },
+
+    // FineWeb-style boilerplate removal: every document gains a
+    // corpus-wide navigation line, a per-source header (~1/5 of the
+    // corpus each), and a corpus-wide footer around its unique content;
+    // lines in more than 5 distinct documents drop, survivors rebuild
+    // in order. The oracle replays the frequency count + filter +
+    // ordered reassembly in SQL.
+    "q121_line_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val boiler = docs.select(col("doc_id"),
+        concat(
+          lit("NAVIGATION MENU\n"),
+          lit("site "), col("source"), lit(" header\n"),
+          col("text"),
+          lit("\ncopyright footer")).as("text2"))
+      W.lineDedup(boiler, "doc_id", "text2", maxDocs = 5)
+        .select(col("doc_id"), col("clean_text"), col("n_kept"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q119_warc_roundtrip" ->
+      """SELECT 'http://corpus.example/doc/' || doc_id AS uri,
+              CAST(200 AS INTEGER) AS status,
+              'Doc ' || doc_id || chr(10) ||
+              'Doc & ' || doc_id || chr(10) || text AS text_out
+         FROM documents""",
+    "q120_url_dedup" ->
+      """SELECT 'http://corpus.example/page/' || (doc_id % 250) || '?a=1&b=2'
+                AS canonical_url,
+              MIN(doc_id) AS keeper_id,
+              CAST(COUNT(*) AS BIGINT) AS n_dups
+         FROM documents
+         GROUP BY 1""",
+    "q121_line_dedup" ->
+      """WITH docs2 AS (
+           SELECT doc_id,
+                  string_split('NAVIGATION MENU' || chr(10) ||
+                               'site ' || source || ' header' || chr(10) ||
+                               text || chr(10) ||
+                               'copyright footer', chr(10)) AS ls
+           FROM documents),
+         lines AS (
+           SELECT doc_id, unnest(ls) AS ln,
+                  generate_subscripts(ls, 1) AS pos
+           FROM docs2),
+         freq AS (
+           SELECT ln, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY ln)
+         SELECT l.doc_id,
+                string_agg(l.ln, chr(10) ORDER BY l.pos) AS clean_text,
+                CAST(COUNT(*) AS BIGINT) AS n_kept
+         FROM lines l JOIN freq f ON l.ln = f.ln
+         WHERE f.nd <= 5
+         GROUP BY l.doc_id"""
+  )
+}

@@ -256,6 +256,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(1200))
   }
 
+  test("q120: url dedup is canonicalize + ONE hash aggregation, no join") {
+    val plan = planOf("q120_url_dedup")
+    assert(plan.contains("canonicalize_url_native"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+    // exactly one exchange: the partial -> final aggregation boundary
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(1200))
+  }
+
+  test("q121: line dedup joins on the hash key equi-join, never cartesian") {
+    val plan = planOf("q121_line_dedup")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+  }
+
+  test("html_to_text stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.operators.Web.htmlToText(
+        concat(lit("<p>"), col("text"), lit("</p>"))).as("t"))
+      .filter(length(col("t")) > 0)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(1200))
+    assert(plan.contains("html_to_text_native"), plan.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE finalizes the physical plan only on execution — run it first.
     val df = SparkEntry.queries("q02_filter_project")(spark, sf)

@@ -1,0 +1,125 @@
+package graft
+
+import graft.functions.{Web => WebFn}
+import graft.operators.{Web => WebOp}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HTML→text and URL canonicalization scalar rules, plus the
+  * line-frequency boilerplate-removal and URL-dedup operators checked
+  * against brute-force Scala recomputation.
+  */
+class WebSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("htmlToText: tags, entities, script/style/comments, whitespace") {
+    assert(WebFn.htmlToText("<p>hello</p>") == "hello")
+    assert(WebFn.htmlToText("<b>a</b><i>b</i>") == "a b")
+    assert(WebFn.htmlToText("<p>a</p><p>b</p>") == "a\nb")
+    assert(WebFn.htmlToText("x<br>y") == "x\ny")
+    assert(WebFn.htmlToText("<script>var a = 1 < 2;</script>rest") == "rest")
+    assert(WebFn.htmlToText("<SCRIPT src='x'>junk</SCRIPT>kept") == "kept")
+    assert(WebFn.htmlToText("<style>p{}</style>kept") == "kept")
+    // comments are invisible — no separator (matches browser rendering)
+    assert(WebFn.htmlToText("a<!-- no --->b<!-- unterminated") == "ab")
+    assert(WebFn.htmlToText("&amp;&lt;&gt;&quot;&apos;") == "&<>\"'")
+    assert(WebFn.htmlToText("a&nbsp;b") == "a b")
+    assert(WebFn.htmlToText("&#65;&#x42;") == "AB")
+    assert(WebFn.htmlToText("fish &chips; &#zz;") == "fish &chips; &#zz;")
+    // '>' inside a quoted attribute does not close the tag
+    assert(WebFn.htmlToText("""<a href="x>y">link</a>""") == "link")
+    // whitespace collapses, blank lines drop
+    assert(WebFn.htmlToText("<p>  a   b  </p>\n\n<p>\t</p><p>c</p>") == "a b\nc")
+    assert(WebFn.htmlToText("<script>only junk</script>") == "")
+    // unterminated script swallows to EOF — nothing leaks
+    assert(WebFn.htmlToText("ok<script>trailing") == "ok")
+  }
+
+  test("canonicalizeUrl: scheme/host case, ports, params, fragment") {
+    assert(WebFn.canonicalizeUrl("HTTP://Example.COM:80/a") ==
+      "http://example.com/a")
+    assert(WebFn.canonicalizeUrl("https://example.com:443/") ==
+      "https://example.com/")
+    assert(WebFn.canonicalizeUrl("http://example.com:8080/a") ==
+      "http://example.com:8080/a")
+    assert(WebFn.canonicalizeUrl("http://example.com") ==
+      "http://example.com/")
+    assert(WebFn.canonicalizeUrl("http://example.com/a#frag") ==
+      "http://example.com/a")
+    assert(WebFn.canonicalizeUrl("http://example.com/a?b=2&a=1") ==
+      "http://example.com/a?a=1&b=2")
+    assert(WebFn.canonicalizeUrl(
+      "http://example.com/a?utm_source=x&gclid=1&q=z") ==
+      "http://example.com/a?q=z")
+    assert(WebFn.canonicalizeUrl("http://example.com/a?utm_source=x") ==
+      "http://example.com/a")
+    assert(WebFn.canonicalizeUrl("http://u:p@Example.com/a") ==
+      "http://u:p@example.com/a")
+    // non-URL rows pass through trimmed
+    assert(WebFn.canonicalizeUrl("  not a url  ") == "not a url")
+    assert(WebFn.canonicalizeUrl("mailto:x@y.z") == "mailto:x@y.z")
+  }
+
+  test("native expressions equal the Scala cores through a projection") {
+    import spark.implicits._
+    val rows = Seq(
+      "<p>Hello &amp; <b>world</b></p><script>x</script>",
+      "<h1>T</h1><p>body text</p>",
+      "plain")
+    val urls = Seq(
+      "HTTP://A.B:80/x?utm_source=s&b=2&a=1#f",
+      "https://c.d/e",
+      "nonsense")
+    val got = rows.toDF("h")
+      .select(WebOp.htmlToText(col("h")).as("t")).as[String].collect()
+    assert(got.toSeq == rows.map(WebFn.htmlToText))
+    val gotU = urls.toDF("u")
+      .select(WebOp.canonicalizeUrl(col("u")).as("c")).as[String].collect()
+    assert(gotU.toSeq == urls.map(WebFn.canonicalizeUrl))
+  }
+
+  test("lineDedup drops over-threshold lines and rebuilds in order") {
+    import spark.implicits._
+    // 8 docs: 'COMMON' in all 8, 'semi' in 3, content unique
+    val docs = (0 until 8).map { i =>
+      (i.toLong, s"COMMON\n${if (i < 3) "semi\n" else ""}content $i\nend $i")
+    }.toDF("id", "text")
+    val out = WebOp.lineDedup(docs, "id", "text", maxDocs = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.length == 8)
+    out.foreach { case (id, text, n) =>
+      assert(text == s"content $id\nend $id", s"doc $id")
+      assert(n == 2L)
+    }
+    // threshold 4 lets the 3-doc 'semi' line through
+    val loose = WebOp.lineDedup(docs, "id", "text", maxDocs = 4)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(loose(0)._2 == "semi\ncontent 0\nend 0")
+    assert(loose(5)._2 == "content 5\nend 5")
+  }
+
+  test("lineDedup: a fully-boilerplate document disappears") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "SAME\nSAME2"), (2L, "SAME\nSAME2"), (3L, "SAME\nSAME2"),
+      (4L, "SAME\nunique")).toDF("id", "text")
+    val out = WebOp.lineDedup(docs, "id", "text", maxDocs = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(4L))
+    assert(out(0)._2 == "unique")
+  }
+
+  test("urlDedup groups all variants of a canonical url") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "HTTP://X.com:80/a?b=2&a=1"),
+      (2L, "http://x.com/a?a=1&b=2#frag"),
+      (3L, "http://x.com/a?a=1&b=2&utm_source=s"),
+      (4L, "http://x.com/other")).toDF("id", "url")
+    val out = WebOp.urlDedup(df, "id", "url")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("http://x.com/a?a=1&b=2", 1L, 3L),
+      ("http://x.com/other", 4L, 1L)))
+  }
+}
