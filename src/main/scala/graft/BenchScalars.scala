@@ -58,6 +58,13 @@ object BenchScalars {
       val first = once(); math.min(first, once())
     }
     import graft.functions.{DnaFunctions, TextFunctions}
+    def htmlOf(t: org.apache.spark.sql.Column) = concat(
+      lit("<html><head><title>T</title><style>p{color:red}</style></head>" +
+        "<body><script>var x = 1 < 2;</script><p>"),
+      t, lit("</p><!-- c --></body></html>"))
+    def urlOf(t: org.apache.spark.sql.Column) = concat(
+      lit("HTTP://Corpus.EXAMPLE:80/p/"), xxhash64(t),
+      lit("?utm_source=feed&b=2&a=1#frag"))
     val results = Seq(
       "tokens_native" -> timed(
         text.select(sum(size(TextFunctions.tokens(col("text"))))).collect()),
@@ -91,7 +98,39 @@ object BenchScalars {
       "hamming_hof" -> timed(
         codes.select(sum(aggregate(
           zip_with(col("x"), col("y"), (a, b) => bit_count(a.bitwiseXOR(b))),
-          lit(0), (acc, d) => acc + d))).collect()))
+          lit(0), (acc, d) => acc + d))).collect()),
+      // html_to_text: one native scan per document vs the regexp_replace
+      // tower a SQL user would write (7 compiled-regex traversals +
+      // entity decodes; approximate semantics — throughput comparator,
+      // not an equality twin)
+      "html_to_text_native" -> timed(
+        text.select(sum(length(call_function("html_to_text_native",
+          htmlOf(col("text")))))).collect()),
+      "html_to_text_regex" -> timed {
+        val h = htmlOf(col("text"))
+        val r1 = regexp_replace(h, "(?is)<script[^>]*>.*?</script>", " ")
+        val r2 = regexp_replace(r1, "(?is)<style[^>]*>.*?</style>", " ")
+        val r3 = regexp_replace(r2, "(?s)<!--.*?-->", "")
+        val r4 = regexp_replace(r3,
+          "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|title)[^>]*>", "\n")
+        val r5 = regexp_replace(r4, "<[^>]*>", " ")
+        val r6 = regexp_replace(regexp_replace(regexp_replace(r5,
+          "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+        val r7 = trim(regexp_replace(r6, "[ \t\r]+", " "))
+        text.select(sum(length(r7))).collect()
+      },
+      // canonicalize_url: native parse vs the partial regex pipeline
+      // (fragment + tracking-param strip + lowercase; cannot sort
+      // params — regex alone cannot express full canonicalization)
+      "canonicalize_url_native" -> timed(
+        text.select(sum(length(call_function("canonicalize_url_native",
+          urlOf(col("text")))))).collect()),
+      "canonicalize_url_regex" -> timed {
+        val u = urlOf(col("text"))
+        val r1 = regexp_replace(u, "#.*$", "")
+        val r2 = regexp_replace(r1, "(?i)[?&](utm_[^&#]*|fbclid=[^&#]*)", "?")
+        text.select(sum(length(lower(r2)))).collect()
+      })
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scalar_kernels","unit":"sec","rows":$n,"queries":$qs}""")

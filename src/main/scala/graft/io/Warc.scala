@@ -49,6 +49,9 @@ object Warc {
       col("contentType").cast("string"), col("body").cast("binary"))
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite semantics: a previous run with MORE partitions would
+    // otherwise leave stale part files the reader happily unions in
+    if (fs.exists(hPath)) fs.delete(hPath, true)
     fs.mkdirs(hPath)
     proj.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
