@@ -40,7 +40,11 @@ object Bench {
     */
   private val headlineR6 = Seq(
     "q94_bm25", "q96_pack_chunks", "q103_span_removal",
-    "q107_bam_region", "q108_semdedup")
+    "q107_bam_region", "q108_semdedup",
+    // the web-ingestion family (q119 times its WARC write + gzip-member
+    // read + native extraction end-to-end; q121 the line-frequency
+    // dedup's agg + anti-join + reassembly)
+    "q119_warc_roundtrip", "q121_line_dedup")
 
   private val headline = headlineR5 ++ headlineR6
 

@@ -71,6 +71,47 @@ object Web {
           col("n_dups").cast("long").as("n_dups"))
     },
 
+    // STREAMING twin of q119 (the crawl analog of q116's FASTQ
+    // parity): the same WARC fixture ingested by Structured Streaming
+    // — binaryFile file-stream → the batch reader's exact record parse
+    // → native extraction → parquet sink (append, Trigger.AvailableNow)
+    // → read back. Stateless narrow transform ⇒ no watermark; oracle is
+    // q119's verbatim, so batch reader, stream reader, and both engines
+    // pin to one hash.
+    "q122_warc_stream" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, d)
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p{color:red}</style></head><body>"),
+        lit("<script>var x = 1 < 2;</script><h1>Doc &amp; "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><!-- hidden --></body></html>"))
+      val recs = docs.select(
+        concat(lit("http://corpus.example/doc/"), col("doc_id")).as("uri"),
+        lit("2020-01-01T00:00:00Z").as("date"),
+        lit("text/html").as("contentType"),
+        encode(html, "UTF-8").as("body"))
+      val base = tmp(d, "warc_stream")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      Warc.write(recs, s"$base/in")
+      val stream = graft.streaming.WebStreams.readWarcStream(s, s"$base/in")
+        .filter(col("warcType") === "response")
+        .select(col("targetUri").as("uri"),
+          col("httpStatus").cast("int").as("status"),
+          W.htmlToText(decode(col("body"), "UTF-8")).as("text_out"))
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.schema(stream.schema).parquet(s"$base/out")
+    },
+
     // FineWeb-style boilerplate removal: every document gains a
     // corpus-wide navigation line, a per-source header (~1/5 of the
     // corpus each), and a corpus-wide footer around its unique content;
@@ -92,6 +133,12 @@ object Web {
 
   val oracles: Map[String, String] = Map(
     "q119_warc_roundtrip" ->
+      """SELECT 'http://corpus.example/doc/' || doc_id AS uri,
+              CAST(200 AS INTEGER) AS status,
+              'Doc ' || doc_id || chr(10) ||
+              'Doc & ' || doc_id || chr(10) || text AS text_out
+         FROM documents""",
+    "q122_warc_stream" ->
       """SELECT 'http://corpus.example/doc/' || doc_id AS uri,
               CAST(200 AS INTEGER) AS status,
               'Doc ' || doc_id || chr(10) ||

@@ -193,4 +193,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.size == 120)
   }
+
+  test("streaming WARC ingestion equals the batch reader (full schema)") {
+    import spark.implicits._
+    val recs = (0 until 40).map { i =>
+      (s"http://t.example/$i", "2020-01-01T00:00:00Z", "text/html",
+        s"<p>doc $i</p>".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }.toDF("uri", "date", "contentType", "body").repartition(3)
+    val base = java.nio.file.Files.createTempDirectory("graft_warc_stream").toString
+    graft.io.Warc.write(recs, s"$base/in")
+    val stream = graft.streaming.WebStreams.readWarcStream(spark, s"$base/in")
+    val q = stream.writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row): Seq[Any] =
+      r.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      }
+    val got = spark.read.schema(stream.schema).parquet(s"$base/out")
+      .collect().map(key).toSet
+    val want = graft.io.Warc.read(spark, s"$base/in")
+      .collect().map(key).toSet
+    assert(got == want)
+    // 40 responses + 3 warcinfo leaders (one per written file)
+    assert(got.size == 43)
+  }
 }
