@@ -65,6 +65,9 @@ object BenchScalars {
     def urlOf(t: org.apache.spark.sql.Column) = concat(
       lit("HTTP://Corpus.EXAMPLE:80/p/"), xxhash64(t),
       lit("?utm_source=feed&b=2&a=1#frag"))
+    // 100 literal patterns over the fixture's vocab shape (wN + number);
+    // roughly a third actually occur
+    val blockPats = (0 until 100).map(i => s"w${i % 30}${(i * 37) % 1000}")
     val results = Seq(
       "tokens_native" -> timed(
         text.select(sum(size(TextFunctions.tokens(col("text"))))).collect()),
@@ -130,7 +133,20 @@ object BenchScalars {
         val r1 = regexp_replace(u, "#.*$", "")
         val r2 = regexp_replace(r1, "(?i)[?&](utm_[^&#]*|fbclid=[^&#]*)", "?")
         text.select(sum(length(lower(r2)))).collect()
-      })
+      },
+      // blocklist sweep, K=100 literal patterns: one Aho-Corasick pass
+      // (mapPartitions, broadcast automaton) vs one alternation regex —
+      // the regex is already the GENEROUS comparator (the naive form is
+      // K separate scans), and the automaton's per-document cost is
+      // K-independent while the alternation NFA degrades with K
+      "blocklist_automaton" -> timed {
+        val withId = text.withColumn("id", monotonically_increasing_id())
+        graft.operators.Blocklist.hits(withId, "id", "text", blockPats)
+          .agg(sum("n_hits")).collect()
+      },
+      "blocklist_regex_alt" -> timed(
+        text.select(sum(regexp_count(col("text"),
+          lit(blockPats.mkString("(", "|", ")"))))).collect()))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scalar_kernels","unit":"sec","rows":$n,"queries":$qs}""")

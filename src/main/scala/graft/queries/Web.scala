@@ -128,10 +128,36 @@ object Web {
           lit("\ncopyright footer")).as("text2"))
       W.lineDedup(boiler, "doc_id", "text2", maxDocs = 5)
         .select(col("doc_id"), col("clean_text"), col("n_kept"))
+    },
+
+    // Aho-Corasick blocklist sweep: K patterns in ONE automaton pass
+    // per document (vs K regex scans). The oracle recomputes each
+    // pattern's substring-occurrence count by replace-arithmetic —
+    // exact here because the patterns are borderless words in a
+    // space-separated corpus (no overlapping matches to diverge on).
+    "q123_blocklist" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Blocklist.hits(docs, "doc_id", "text", BlockPatterns)
+        .select(col("doc_id"), col("n_hits"),
+          col("n_matched").cast("int").as("n_matched"))
     }
   )
 
+  private val BlockPatterns =
+    Seq("spark", "join", "window", "filter", "merge", "stream")
+
   val oracles: Map[String, String] = Map(
+    "q123_blocklist" -> {
+      val hitTerms = BlockPatterns.map(p =>
+        s"(length(text) - length(replace(text, '$p', ''))) / ${p.length}")
+        .mkString(" + ")
+      val matchTerms = BlockPatterns.map(p =>
+        s"(CASE WHEN text LIKE '%$p%' THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""SELECT doc_id,
+              CAST($hitTerms AS BIGINT) AS n_hits,
+              CAST($matchTerms AS INTEGER) AS n_matched
+         FROM documents"""
+    },
     "q119_warc_roundtrip" ->
       """SELECT 'http://corpus.example/doc/' || doc_id AS uri,
               CAST(200 AS INTEGER) AS status,
