@@ -134,6 +134,66 @@ object Corpus {
       }.toDF("doc_id", "n_hits", "contaminated")
   }
 
+  /** Bloom-gated decontamination — the [[decontaminate]] semantics at
+    * the scale where the benchmark shingle set itself no longer fits a
+    * raw broadcast (multi-benchmark suites × paraphrase expansions reach
+    * 10⁸-10⁹ shingles: 8 B/hash ≈ GBs exact, vs ~10 bits/item in a
+    * bloom at 1% FPP — a 6× cut that also skips the driver-side sorted
+    * array). Three stages, none driver-bound:
+    *
+    *  1. the bench shingle-hash set stays a DISTRIBUTED table; only its
+    *     bloom sketch (mergeable, built by per-partition aggregation) is
+    *     collected and shipped into the scan;
+    *  2. a NARROW prefilter keeps only doc shingles the bloom admits —
+    *     Spark's own codegen'd `BloomFilterMightContain` (the expression
+    *     behind its runtime row-group filters), so the 99%+ clean
+    *     shingle stream dies before any exchange;
+    *  3. surviving candidates are CONFIRMED by an equi-join against the
+    *     exact bench table — bloom false positives drop here, making the
+    *     output EXACTLY [[decontaminate]]'s (the oracle is the same
+    *     exact-join SQL; fpp only tunes how much traffic reaches the
+    *     join, never the result).
+    *
+    * Hash parity: both sides key on `xxhash64(shingle)` (seed 42, the
+    * built-in's default) and the bloom stores those longs via `putLong`,
+    * so `mightContainLong` probes the identical key space.
+    */
+  def bloomDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         shingleN: Int = 5, fpp: Double = 0.01): DataFrame = {
+    def shingleHashes(df: DataFrame, id: Column, text: Column): DataFrame =
+      df.select(id.as("doc_id"), TextFunctions.tokens(text).as("toks"))
+        .select(col("doc_id"),
+          explode(TextFunctions.shinglesFromTokens(col("toks"), shingleN))
+            .as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    // Reused thrice (size, sketch build, confirm join): pin it so the
+    // bench corpus is tokenized once, on executors.
+    val benchSh = shingleHashes(bench, lit(0L), col(benchTextCol))
+      .select("sh").distinct().localCheckpoint()
+    val nBench = benchSh.count()
+    val bloomBytes = {
+      val bf = benchSh.stat.bloomFilter("sh", math.max(nBench, 1L), fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes),
+        org.apache.spark.sql.graft.Bridge.expression(col("sh"))))
+    val confirmed = shingleHashes(docs, col(idCol).cast("long"), col(textCol))
+      .filter(mightContain)
+      .join(benchSh, "sh") // exact confirm: FPs die here
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("hits"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).cast("int").as("n_hits"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Context-window chunking: split each document into fixed-size token
     * windows with overlap — the preparation step before pretraining
     * packing or RAG indexing. Boundaries are deterministic (chunk i

@@ -531,6 +531,19 @@ object LlmText {
         shingleN = 5)
     },
 
+    // Bloom-gated decontamination: same exact semantics as q81, but the
+    // bench set stays distributed and only its bloom sketch ships into
+    // the scan; fpp=0.2 deliberately forces false positives at this SF
+    // so the exact-confirm join is provably load-bearing (the oracle is
+    // the exact-join SQL — FPs must not survive).
+    "q124_bloom_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Corpus.bloomDecontaminate(
+        docs, "doc_id", "text",
+        bench = docs.filter(col("doc_id") % 37 === 0), benchTextCol = "text",
+        shingleN = 5, fpp = 0.2)
+    },
+
     // MEASURED ANN recall ("measure, don't guess"): top-3 recall of the
     // single-probe and multi-probe LSH variants against the exact
     // brute-force baseline, as one oracle-checked number per method —
@@ -1307,6 +1320,19 @@ object LlmText {
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           s AS (SELECT doc_id, ${shinglesSql(5)} AS shs FROM t),
           bsh AS (SELECT DISTINCT unnest(shs) AS sh FROM s WHERE doc_id % 50 = 0),
+          ex AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+          h AS (SELECT ex.doc_id, count(*) AS n
+                FROM ex JOIN bsh USING (sh) GROUP BY ex.doc_id)
+          SELECT s.doc_id,
+                 CAST(coalesce(h.n, 0) AS INTEGER) AS n_hits,
+                 coalesce(h.n, 0) > 0 AS contaminated
+          FROM s LEFT JOIN h ON s.doc_id = h.doc_id""",
+    // Bloom FPs are eliminated by the confirm join, so the oracle is the
+    // same exact-join shape as q81's — fpp never appears in it.
+    "q124_bloom_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          s AS (SELECT doc_id, ${shinglesSql(5)} AS shs FROM t),
+          bsh AS (SELECT DISTINCT unnest(shs) AS sh FROM s WHERE doc_id % 37 = 0),
           ex AS (SELECT doc_id, unnest(shs) AS sh FROM s),
           h AS (SELECT ex.doc_id, count(*) AS n
                 FROM ex JOIN bsh USING (sh) GROUP BY ex.doc_id)

@@ -84,6 +84,36 @@ class DedupSpec extends AnyFunSuite {
     assert(r2(3L) == (0, false) && r2(5L) == (0, false))
   }
 
+  test("bloomDecontaminate matches exact decontaminate, even at absurd fpp") {
+    val bench = {
+      import spark.implicits._
+      Seq("notice the quick brown fox jumps over the lazy dog today").toDF("text")
+    }
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), (x.getInt(1), x.getBoolean(2)))).toMap
+    val exact = asMap(Corpus.decontaminate(corpus, "doc_id", "text", bench, "text", 5))
+    // fpp 0.5 floods the prefilter with false positives — the confirm
+    // join must still produce the exact result
+    for (fpp <- Seq(0.01, 0.5)) {
+      val b = asMap(Corpus.bloomDecontaminate(
+        corpus, "doc_id", "text", bench, "text", 5, fpp = fpp))
+      assert(b == exact, s"fpp=$fpp")
+    }
+  }
+
+  test("bloomDecontaminate plan: codegen'd might_contain prefilter + equi-join confirm") {
+    val bench = {
+      import spark.implicits._
+      Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    }
+    val df = Corpus.bloomDecontaminate(corpus, "doc_id", "text", bench, "text", 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom prefilter missing from plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "confirm must be an equi-join")
+  }
+
   test("kmeansAssign separates two obvious clusters") {
     import spark.implicits._
     // ids 0,1 seed the two true groups; members sit near their seed
