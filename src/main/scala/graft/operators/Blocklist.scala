@@ -52,6 +52,46 @@ object Blocklist {
       }
       (hits, seen.cardinality())
     }
+
+    /** Redact every character covered by ANY pattern match: each maximal
+      * covered run collapses to a single `marker` char. Union-of-spans
+      * semantics — order-independent (no "replace pattern 1 first"
+      * ambiguity), nesting-safe (a pattern inside a longer match adds no
+      * second marker), and one automaton pass regardless of K. Returns
+      * (redacted text, n_runs, n_covered_chars).
+      */
+    def redact(text: String, marker: Char): (String, Int, Int) = {
+      val n = text.length
+      val covered = new java.util.BitSet(n)
+      var node = 0
+      var i = 0
+      while (i < n) {
+        val c = text.charAt(i)
+        var f = node
+        while (f != 0 && !gotoMap(f).contains(c)) f = fail(f)
+        node = gotoMap(f).getOrElse(c, 0)
+        val out = outputs(node)
+        var j = 0
+        while (j < out.length) {
+          covered.set(i - patterns(out(j)).length + 1, i + 1)
+          j += 1
+        }
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder(n)
+      var runs = 0
+      var nCov = 0
+      var inRun = false
+      var k = 0
+      while (k < n) {
+        if (covered.get(k)) {
+          nCov += 1
+          if (!inRun) { sb.append(marker); runs += 1; inRun = true }
+        } else { sb.append(text.charAt(k)); inRun = false }
+        k += 1
+      }
+      (sb.toString, runs, nCov)
+    }
   }
 
   /** Build the automaton from a bounded pattern list. Empty patterns
@@ -116,5 +156,27 @@ object Blocklist {
         }
       }
       .toDF(idCol, "n_hits", "n_matched")
+  }
+
+  /** Redaction pass — the PII/banned-term scrub stage: every character
+    * covered by any blocklist match is removed, each maximal covered run
+    * replaced by one `marker` char. Same narrow broadcast-automaton
+    * shape as [[hits]]; output (id, clean_text, n_spans, n_redacted).
+    */
+  def scrub(docs: DataFrame, idCol: String, textCol: String,
+            patterns: Seq[String], marker: Char = '█'): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val acBc = spark.sparkContext.broadcast(compile(patterns))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = acBc.value
+        it.map { case (id, text) =>
+          val (clean, runs, nCov) = ac.redact(if (text == null) "" else text, marker)
+          (id, clean, runs, nCov)
+        }
+      }
+      .toDF(idCol, "clean_text", "n_spans", "n_redacted")
   }
 }

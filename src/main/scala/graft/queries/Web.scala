@@ -140,6 +140,18 @@ object Web {
       graft.operators.Blocklist.hits(docs, "doc_id", "text", BlockPatterns)
         .select(col("doc_id"), col("n_hits"),
           col("n_matched").cast("int").as("n_matched"))
+    },
+
+    // Redaction twin of q123: union-of-covered-spans scrub. The oracle
+    // replays it as nested replace() — exact under the same corpus
+    // property (word patterns never overlap or adjoin, so every covered
+    // run is one match span, and marker substitution per occurrence
+    // equals run-collapse).
+    "q125_blocklist_scrub" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Blocklist.scrub(docs, "doc_id", "text", BlockPatterns)
+        .select(col("doc_id"), col("clean_text"), col("n_spans"),
+          col("n_redacted"))
     }
   )
 
@@ -156,6 +168,21 @@ object Web {
       s"""SELECT doc_id,
               CAST($hitTerms AS BIGINT) AS n_hits,
               CAST($matchTerms AS INTEGER) AS n_matched
+         FROM documents"""
+    },
+    "q125_blocklist_scrub" -> {
+      val cleanExpr = BlockPatterns.foldLeft("text") { (acc, p) =>
+        s"replace($acc, '$p', '█')"
+      }
+      val spanTerms = BlockPatterns.map(p =>
+        s"(length(text) - length(replace(text, '$p', ''))) / ${p.length}")
+        .mkString(" + ")
+      val redTerms = BlockPatterns.map(p =>
+        s"(length(text) - length(replace(text, '$p', '')))").mkString(" + ")
+      s"""SELECT doc_id,
+              $cleanExpr AS clean_text,
+              CAST($spanTerms AS INTEGER) AS n_spans,
+              CAST($redTerms AS INTEGER) AS n_redacted
          FROM documents"""
     },
     "q119_warc_roundtrip" ->

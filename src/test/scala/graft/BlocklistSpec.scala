@@ -58,6 +58,62 @@ class BlocklistSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L, 2), (2L, 0L, 0), (3L, 0L, 0)))
   }
 
+  private def bruteRedact(text: String, pats: Seq[String], marker: Char): (String, Int, Int) = {
+    val covered = Array.fill(text.length)(false)
+    pats.foreach { p =>
+      var i = text.indexOf(p)
+      while (i >= 0) {
+        (i until i + p.length).foreach(covered(_) = true)
+        i = text.indexOf(p, i + 1)
+      }
+    }
+    val sb = new StringBuilder
+    var runs = 0
+    var prev = false
+    covered.zipWithIndex.foreach { case (cv, i) =>
+      if (cv) { if (!prev) { sb += marker; runs += 1 } }
+      else sb += text.charAt(i)
+      prev = cv
+    }
+    (sb.toString, runs, covered.count(identity))
+  }
+
+  test("redact equals brute union-of-spans on adversarial inputs") {
+    val cases = Seq(
+      (Seq("aa"), "aaaa"),                         // one merged run
+      (Seq("a", "aa", "aaa"), "xaaaax"),           // nesting ladder
+      (Seq("he", "she", "his", "hers"), "ushers"), // overlapping chain
+      (Seq("ab", "ba"), "ababab"),                 // full coverage
+      (Seq("spark", "ark"), "sparks and arks"),    // nested + standalone
+      (Seq("xyz"), "untouched text"))              // zero redaction
+    cases.foreach { case (pats, text) =>
+      val ac = Blocklist.compile(pats)
+      assert(ac.redact(text, '#') == bruteRedact(text, pats, '#'),
+        s"$pats on '$text'")
+    }
+  }
+
+  test("property: random redactions match brute force") {
+    val rng = new scala.util.Random(7)
+    val pats = Seq("ab", "abc", "ca", "aa", "b")
+    val ac = Blocklist.compile(pats)
+    for (_ <- 0 until 300) {
+      val text = Array.fill(5 + rng.nextInt(60))("abc"(rng.nextInt(3))).mkString
+      assert(ac.redact(text, '#') == bruteRedact(text, pats, '#'), text)
+    }
+  }
+
+  test("scrub() DataFrame wrapper redacts per document, null-safe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "keep spark secret join ok"), (2L, "clean"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = Blocklist.scrub(docs, "doc_id", "text", Seq("spark", "join"), '#')
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "keep # secret # ok", 2, 9), (2L, "clean", 0, 0), (3L, "", 0, 0)))
+  }
+
   test("compile rejects empty patterns") {
     intercept[IllegalArgumentException](Blocklist.compile(Seq("ok", "")))
     intercept[IllegalArgumentException](Blocklist.compile(Nil))
