@@ -19,7 +19,8 @@ object SparkEntry {
       (Q.DomainIO.queries, Q.DomainIO.oracles),
       (Q.Events.queries, Q.Events.oracles),
       (Q.Multimodal.queries, Q.Multimodal.oracles),
-      (Q.Web.queries, Q.Web.oracles)
+      (Q.Web.queries, Q.Web.oracles),
+      (Q.Layout.queries, Q.Layout.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Layout => L}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout family: the operators that decide how 100 TB sits on
+  * disk (z-order clustering, bucketed tables) — verified through the
+  * same oracle gate as the query operators. The z-value math is exact
+  * cross-engine arithmetic; the layout side effects (file clustering,
+  * shuffle-free joins) are pinned by LayoutSpec/PlanSpec.
+  */
+object Layout {
+
+  private val ZBits = 16
+  // 2024-01-01T00:00:00Z — the events table's epoch
+  private val Epoch = 1704067200L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Morton z-value over (user_id, minutes-since-epoch), the clustering
+    // key zorderWrite lays files out by. Pure shift/mask arithmetic in
+    // one codegen'd projection — the oracle replays it bit for bit.
+    "q126_zorder_key" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val minutes = floor((unix_timestamp(col("ts")) - Epoch) / 60).cast("long")
+      ev.select(col("event_id"),
+        L.zValue(Seq((col("user_id"), ZBits), (minutes, ZBits))).as("zkey"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q126_zorder_key" -> {
+      val u = s"(user_id & ${(1L << ZBits) - 1})"
+      val m = s"(CAST(floor((floor(epoch(ts)) - $Epoch) / 60) AS BIGINT) & ${(1L << ZBits) - 1})"
+      val terms = (0 until ZBits).flatMap { j =>
+        Seq(s"((($u >> $j) & 1) << ${2 * j})",
+            s"((($m >> $j) & 1) << ${2 * j + 1})")
+      }
+      s"""SELECT event_id, ${terms.mkString(" | ")} AS zkey
+         FROM events"""
+    }
+  )
+}

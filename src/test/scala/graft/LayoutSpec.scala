@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: the z-value math against a reference Morton
+  * interleave, and the on-disk clustering claim itself — per-file
+  * min/max ranges (exactly what a stats-aware reader prunes with) must
+  * be tight on BOTH dimensions under z-order, vs one dimension under a
+  * linear sort.
+  */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def mortonRef(vals: Seq[(Long, Int)]): Long = {
+    var out = 0L
+    var pos = 0
+    val maxBits = vals.map(_._2).max
+    for (j <- 0 until maxBits; (v, b) <- vals) {
+      if (j < b) {
+        out |= (((v & ((1L << b) - 1)) >> j) & 1L) << pos
+        pos += 1
+      }
+    }
+    out
+  }
+
+  test("zValue matches the reference Morton interleave, unequal widths included") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = Seq.fill(200)((rng.nextLong().abs % 70000, rng.nextLong().abs % 70000))
+    for (dims <- Seq(Seq(16, 16), Seq(8, 16), Seq(5, 3))) {
+      val df = rows.toDF("x", "y")
+        .select(col("x"), col("y"),
+          Layout.zValue(Seq((col("x"), dims(0)), (col("y"), dims(1)))).as("z"))
+      df.collect().foreach { r =>
+        val expect = mortonRef(Seq((r.getLong(0), dims(0)), (r.getLong(1), dims(1))))
+        assert(r.getLong(2) == expect, s"(${r.getLong(0)}, ${r.getLong(1)}) @ $dims")
+      }
+    }
+  }
+
+  test("zValue rejects over-budget and empty dimension lists") {
+    intercept[IllegalArgumentException](Layout.zValue(Nil))
+    intercept[IllegalArgumentException](
+      Layout.zValue(Seq((lit(1L), 32), (lit(1L), 32))))
+  }
+
+  /** Files a stats-aware reader would open for `lo <= col <= hi`: those
+    * whose actual per-file [min,max] intersects the box.
+    */
+  private def filesHit(dir: String, c: String, lo: Long, hi: Long): (Int, Int) = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val hit = files.count { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
+      r.getLong(0) <= hi && r.getLong(1) >= lo
+    }
+    (hit, files.length)
+  }
+
+  test("z-order prunes on both dimensions; linear layout only on its sort key") {
+    import spark.implicits._
+    // 128x128 grid — every (x, y) cell once, in row-major (y-sorted) order
+    val grid = (0 until 16384).map(i => (i.toLong % 128, i.toLong / 128))
+      .toDF("x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val linDir = java.nio.file.Files.createTempDirectory("linear").toString
+    Layout.zorderWrite(grid, Seq(("x", 7), ("y", 7)), zDir, numFiles = 16)
+    Layout.linearWrite(grid, "x", linDir, numFiles = 16)
+
+    // y-only box: invisible to the x-sorted layout, local on the z-curve
+    val (zY, zTotal) = filesHit(zDir, "y", 0, 7)
+    val (linY, linTotal) = filesHit(linDir, "y", 0, 7)
+    assert(linY == linTotal, "x-sorted layout cannot prune a y filter")
+    assert(zY * 2 < zTotal, s"z-order should prune most files on y: $zY/$zTotal")
+
+    // x-only box: linear prunes hard, z-order still prunes meaningfully
+    val (zX, _) = filesHit(zDir, "x", 0, 7)
+    val (linX, _) = filesHit(linDir, "x", 0, 7)
+    assert(linX * 2 < linTotal)
+    assert(zX * 2 < zTotal, s"z-order should prune on x too: $zX/$zTotal")
+  }
+}
