@@ -73,6 +73,30 @@ object Layout {
       .drop("_zkey")
       .write.mode("overwrite").options(options).parquet(path)
 
+  /** Bucketed-table write: hash-partition rows into `numBuckets` files
+    * per key AND record that layout in the catalog, so every later join
+    * or aggregation on `keyCol` between same-bucketed tables runs with
+    * ZERO exchange — the shuffle is paid once at write time, amortized
+    * over every subsequent query (the canonical fact⋈dim co-location
+    * strategy at 100 TB, where re-shuffling the fact table per query is
+    * the dominant cost). Buckets are also key-sorted: modern Spark only
+    * trusts that ordering behind the legacy
+    * `bucketedTableScan.outputOrdering` flag, so a PARTITION-LOCAL sort
+    * remains in merge joins — a cheap pass over pre-sorted runs, no
+    * exchange. LayoutSpec asserts exactly that plan shape.
+    */
+  def bucketWrite(df: DataFrame, table: String, keyCol: String,
+                  numBuckets: Int): Unit =
+    // Pre-partition on the SAME hash the bucketing uses so each task
+    // holds exactly one bucket → ONE file per bucket. With multiple
+    // files per bucket Spark keeps per-bucket sortedness unknown and
+    // re-sorts under every merge join; one file per bucket is what lets
+    // the read side trust sortBy and skip the sort entirely.
+    df.repartition(numBuckets, col(keyCol))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
+
   /** Comparison baseline: the same write clustered on a SINGLE column —
     * what a one-dimensional `ORDER BY` layout gives you.
     */

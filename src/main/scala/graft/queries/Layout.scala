@@ -26,6 +26,24 @@ object Layout {
       val minutes = floor((unix_timestamp(col("ts")) - Epoch) / 60).cast("long")
       ev.select(col("event_id"),
         L.zValue(Seq((col("user_id"), ZBits), (minutes, ZBits))).as("zkey"))
+    },
+
+    // Bucketed fact⋈dim: both sides written bucketBy(custkey) once, the
+    // join itself exchange-free (LayoutSpec pins the plan). Result is
+    // plain SQL — the layout changes the plan, never the answer.
+    "q127_bucketed_join" -> { (s, d) =>
+      L.bucketWrite(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "graft_bkt_orders", "o_custkey", 8)
+      L.bucketWrite(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        "graft_bkt_customer", "c_custkey", 8)
+      s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
     }
   )
 
@@ -39,6 +57,12 @@ object Layout {
       }
       s"""SELECT event_id, ${terms.mkString(" | ")} AS zkey
          FROM events"""
-    }
+    },
+    "q127_bucketed_join" ->
+      """SELECT c_mktsegment,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment"""
   )
 }

@@ -61,6 +61,45 @@ class LayoutSpec extends AnyFunSuite {
     (hit, files.length)
   }
 
+  test("bucketed join: zero exchange — the shuffle was paid at write time") {
+    import spark.implicits._
+    val fact = (1L to 2000L).map(i => (i, i % 97, i * 1.5)).toDF("id", "k", "v")
+    val dim = (0L until 97L).map(k => (k, s"seg${k % 5}")).toDF("dk", "seg")
+    Layout.bucketWrite(fact, "graft_test_fact", "k", 4)
+    Layout.bucketWrite(dim, "graft_test_dim", "dk", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_test_fact")
+        .join(spark.table("graft_test_dim"), col("k") === col("dk"))
+        .groupBy("seg").agg(sum("v").as("sv"))
+      // inspect the plan BEFORE execution — post-AQE toString repeats
+      // the tree as "Initial Plan", defeating section splitting
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.linesIterator.take(8).mkString("\n"))
+      // ONE exchange for the final groupBy(seg) is legitimate and sits
+      // ABOVE the join in the printed tree; the JOIN subtree (everything
+      // after the SortMergeJoin line) must not shuffle or sort either
+      // bucketed side
+      val joinSection = plan.split("SortMergeJoin")(1)
+      assert(!joinSection.contains("Exchange"),
+        "bucketed join sides must not re-shuffle")
+      // Spark ≥3.1 does not trust bucket sortedness by default (it sits
+      // behind spark.sql.legacy.bucketedTableScan.outputOrdering), so a
+      // merge-join sort remains — but it must be PARTITION-LOCAL
+      // ("false" global flag): a cheap in-memory pass over pre-sorted
+      // runs, not a range-exchange global sort.
+      assert(joinSection.linesIterator.filter(_.contains("Sort "))
+        .forall(_.contains("false, 0")),
+        "any residual merge-join sort must be partition-local")
+      assert(joined.collect().length == 5)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_test_fact")
+      spark.sql("DROP TABLE IF EXISTS graft_test_dim")
+    }
+  }
+
   test("z-order prunes on both dimensions; linear layout only on its sort key") {
     import spark.implicits._
     // 128x128 grid — every (x, y) cell once, in row-major (y-sorted) order
