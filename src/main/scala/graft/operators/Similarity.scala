@@ -743,6 +743,31 @@ object Similarity {
         col("code"))
   }
 
+  /** Per-subspace ADC distance terms against cid-indexed lookup
+    * literals (`element_at` on a driver-held array — a per-row lookup,
+    * no join to any codebook table). Emptied cids keep a zero-vector
+    * slot that no code can reference. References `qnv$s`/`qsub$s` on
+    * the query side and `a$s` codes on the corpus side.
+    */
+  private def adcTerms(books: Array[Codebook], m: Int, ksub: Int,
+                       dsub: Int): Seq[Column] = {
+    def ceTable(s: Int): Seq[Seq[Double]] = {
+      val t = Array.fill(ksub)(Seq.fill(dsub)(0.0))
+      books(s).foreach { case (cid, ce, _) => t(cid.toInt) = ce.toSeq }
+      t.toSeq
+    }
+    def ncTable(s: Int): Seq[Double] = {
+      val t = Array.fill(ksub)(0.0)
+      books(s).foreach { case (cid, _, nc) => t(cid.toInt) = nc }
+      t.toSeq
+    }
+    (0 until m).map { s =>
+      val ce = element_at(typedlit(ceTable(s)), col(s"a$s").cast("int") + 1)
+      val nc = element_at(typedlit(ncTable(s)), col(s"a$s").cast("int") + 1)
+      col(s"qnv$s") + nc - lit(2.0) * dotN(col(s"qsub$s"), ce)
+    }
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query keeps its
     * exact sub-vectors, the corpus side is REPRESENTED BY ITS CODES —
     * distance ≈ Σ_s ‖q_s − centroid(code_s)‖², each term via the dot
@@ -761,23 +786,7 @@ object Similarity {
     val (base, books, dsub) = pqPrepare(vectors, m, ksub, iters)
     val coded = base.select(
       col("id") +: (0 until m).map(s => pqAssign(s, books(s)).as(s"a$s")): _*)
-    // cid-indexed lookup literals; emptied cids keep a zero-vector slot
-    // that no code can reference
-    def ceTable(s: Int): Seq[Seq[Double]] = {
-      val t = Array.fill(ksub)(Seq.fill(dsub)(0.0))
-      books(s).foreach { case (cid, ce, _) => t(cid.toInt) = ce.toSeq }
-      t.toSeq
-    }
-    def ncTable(s: Int): Seq[Double] = {
-      val t = Array.fill(ksub)(0.0)
-      books(s).foreach { case (cid, _, nc) => t(cid.toInt) = nc }
-      t.toSeq
-    }
-    val terms = (0 until m).map { s =>
-      val ce = element_at(typedlit(ceTable(s)), col(s"a$s").cast("int") + 1)
-      val nc = element_at(typedlit(ncTable(s)), col(s"a$s").cast("int") + 1)
-      col(s"qnv$s") + nc - lit(2.0) * dotN(col(s"qsub$s"), ce)
-    }
+    val terms = adcTerms(books, m, ksub, dsub)
     val q = base.select(col("id").as("query_id") +:
       (0 until m).flatMap(s => Seq(col(s"sub$s").as(s"qsub$s"),
         col(s"nv$s").as(s"qnv$s"))): _*)
@@ -852,5 +861,81 @@ object Similarity {
         round(dotN(col("q.embedding"), col("c.embedding")) /
           (col("q.norm") * col("c.norm")), 4).as("cos"))
     topK(pairs, k)
+  }
+
+  /** IVF-ADC with exact re-rank — THE billion-scale composition (the
+    * FAISS IVFADC recipe): the coarse quantizer bounds WHO is compared
+    * (one equi-join on the cell id — Σ|cell|² candidate pairs, never
+    * n²), PQ codes bound WHAT EACH COMPARISON COSTS (ADC over m small
+    * codes against driver-held lookup literals — no float vectors, no
+    * codebook join), and the full-precision vectors are touched only
+    * for the final `shortlist` exact re-rank per query. Every stage is
+    * an equi-join or a narrow projection; the quantization ladder's
+    * three rungs (coarse cells, PQ codes, floats) each do exactly the
+    * work they are cheapest at. `nProbe` is the recall/cost knob every
+    * IVF system exposes: queries probe their nProbe nearest cells
+    * (corpus vectors keep one home cell, so candidate pairs stay
+    * unique and candidate volume scales linearly in nProbe).
+    *
+    * Same deterministic contracts as the parts it composes ([[ivfTopK]]
+    * cells, [[pqAdcTopK]] ADC terms and ordering, [[pqRerankTopK]]
+    * re-rank), so the DuckDB oracle replays the full funnel stage by
+    * stage (q128).
+    */
+  def ivfAdcRerankTopK(vectors: DataFrame, k: Int, nCells: Int = 8,
+                       nProbe: Int = 1, shortlist: Int = 16, m: Int = 8,
+                       ksub: Int = 16, iters: Int = 1): DataFrame = {
+    // reused by the coarse assignment AND the final re-rank
+    val v = withNorm(vectors).localCheckpoint()
+    val cent = v.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cid"), col("embedding").as("ce"),
+        col("norm").as("cnorm"))
+    val wProbe = Window.partitionBy("id")
+      .orderBy(col("rc").desc, col("cid").asc)
+    // ONE broadcast assignment pass, materialized as the skinny
+    // (id, cell, crn) table (n·nProbe rows of three longs) that BOTH
+    // consumers below read — without pinning it, the cross-join subtree
+    // would execute twice
+    val ranked = v.crossJoin(broadcast(cent))
+      .withColumn("rc", round(dotN(col("embedding"), col("ce")) /
+        (col("norm") * col("cnorm")), 4))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nProbe)
+      .select(col("id"), col("cid").as("cell"), col("crn"))
+      .localCheckpoint()
+    // corpus side: every vector lives in exactly ONE cell (its argmax —
+    // crn 1)…
+    val cells = ranked.filter(col("crn") === 1).select("id", "cell")
+    // …queries PROBE their nProbe nearest cells — the recall knob
+    // (pairs stay unique: a corpus vector can meet a query through its
+    // single home cell only)
+    val probes = ranked.select("id", "cell")
+    val (base, books, dsub) = pqPrepare(vectors, m, ksub, iters)
+    val coded = base.select(
+      col("id") +: (0 until m).map(s => pqAssign(s, books(s)).as(s"a$s")): _*)
+    val q = base.join(probes, "id").select(
+      col("id").as("query_id") +: col("cell") +:
+        (0 until m).flatMap(s => Seq(col(s"sub$s").as(s"qsub$s"),
+          col(s"nv$s").as(s"qnv$s"))): _*)
+    val c = coded.join(cells, "id").select(
+      col("id").as("neighbor_id") +: col("cell").as("ncell") +:
+        (0 until m).map(s => col(s"a$s")): _*)
+    val adc = q.join(c,
+        col("cell") === col("ncell") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(adcTerms(books, m, ksub, dsub).reduce(_ + _), 4).as("adist"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val short = adc.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val scored = short
+      .join(v.select(col("id").as("query_id"),
+        col("embedding").as("qe"), col("norm").as("qn")), "query_id")
+      .join(v.select(col("id").as("neighbor_id"),
+        col("embedding").as("ne"), col("norm").as("nn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotN(col("qe"), col("ne")) / (col("qn") * col("nn")), 4).as("cos"))
+    topK(scored, k)
   }
 }

@@ -571,6 +571,8 @@ object LlmText {
           "pq_rerank"))
         .unionByName(row(Similarity.binaryPrefilterTopK(e, 3, shortlist = 160),
           "binary_prefilter"))
+        .unionByName(row(Similarity.ivfAdcRerankTopK(e, 3, nCells = 8,
+          nProbe = 4, shortlist = 64), "ivf_adc_rerank"))
     },
 
     // Context-window chunking: 64-token windows with 8-token overlap,
@@ -634,6 +636,19 @@ object LlmText {
       Similarity.pqAdcTopK(Tables.embeddings(s, d)
           .select(col("vec_id").as("id"), col("embedding")), 3)
         .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+    },
+
+    // IVF-ADC with exact re-rank — the FAISS IVFADC composition: coarse
+    // cells bound WHO is compared, PQ codes bound what each comparison
+    // costs, floats touched only for the shortlist re-rank. The oracle
+    // replays the full funnel: cells + codebook training + gated ADC +
+    // re-rank, stage by stage.
+    "q128_ivf_adc_rerank" -> { (s, d) =>
+      Similarity.ivfAdcRerankTopK(Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding")), 3,
+          nCells = 8, nProbe = 2, shortlist = 16)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("int").as("rank"))
     },
 
     // q68 recomputed through the bounded-buffer typed Aggregator (the
@@ -1133,6 +1148,52 @@ object LlmText {
           $pqAdcTop3
           SELECT query_id, neighbor_id, adist, rank FROM adc3"""
     },
+    // The composed IVFADC funnel, stage by stage: q64's cell CTEs gate
+    // the ADC pair join (same code joins/terms as q93), a shortlist
+    // rank bounds the re-rank, and the final cosine ordering mirrors
+    // the engine's topK (cos DESC, neighbor ASC).
+    "q128_ivf_adc_rerank" -> {
+      val joins = (0 until pqM).map(s =>
+        s"JOIN af_$s k$s ON k$s.vec_id = c.vec_id " +
+          s"JOIN cs1_$s t$s ON t$s.cid = k$s.cid").mkString(" ")
+      val termSql = (0 until pqM).map(s =>
+        s"(q.nv$s + t$s.nc - 2 * list_dot_product(q.sub$s, t$s.ce))")
+        .mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          $pqChain,
+          vv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+          cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+                   FROM (SELECT * FROM vv ORDER BY vec_id LIMIT 8)),
+          asg AS (SELECT vv.vec_id, c.cid,
+                    round(list_dot_product(vv.e, c.ce) / (vv.nrm * c.cnrm), 4) AS rc
+                  FROM vv CROSS JOIN cent c),
+          cell AS (SELECT vec_id, cid AS cell FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY rc DESC, cid) AS rn FROM asg)
+                   WHERE rn = 1),
+          probe AS (SELECT vec_id, cid AS cell FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY rc DESC, cid) AS rn FROM asg)
+                   WHERE rn <= 2),
+          adcg AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    round($termSql, 4) AS adist
+                  FROM b q JOIN probe qc ON q.vec_id = qc.vec_id
+                       JOIN cell cc ON qc.cell = cc.cell
+                       JOIN b c ON c.vec_id = cc.vec_id AND q.vec_id != c.vec_id
+                       $joins),
+          sl AS (SELECT query_id, neighbor_id FROM
+                   (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adist, neighbor_id) AS rn FROM adcg)
+                 WHERE rn <= 16),
+          rr AS (SELECT sl.query_id, sl.neighbor_id,
+                   round(list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm), 4) AS cos
+                 FROM sl JOIN vv qv ON sl.query_id = qv.vec_id
+                      JOIN vv cv ON sl.neighbor_id = cv.vec_id)
+          SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rn FROM rr)
+          WHERE rn <= 3"""
+    },
 
     // Same keeper rule (global (doc_id, pos) rank 1 survives) and the
     // same gaps-and-islands merge, in window SQL.
@@ -1356,6 +1417,14 @@ object LlmText {
               CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END,
               substr(bucket, ${i + 1}, ${bits - i})) AS probe FROM v"""
       }.mkString(" UNION ALL ")
+      // IVF-gated ADC (the q128 funnel): code joins + term sum, aliased
+      // iv* to stay clear of pqAdcTop3's CTE-local k/t aliases
+      val ivfJoins = (0 until pqM).map(s =>
+        s"JOIN af_$s ivk$s ON ivk$s.vec_id = c.vec_id " +
+          s"JOIN cs1_$s ivt$s ON ivt$s.cid = ivk$s.cid").mkString(" ")
+      val ivfTermSql = (0 until pqM).map(s =>
+        s"(q.nv$s + ivt$s.nc - 2 * list_dot_product(q.sub$s, ivt$s.ce))")
+        .mkString(" + ")
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm,
@@ -1420,6 +1489,35 @@ object LlmText {
           bp3 AS (SELECT query_id, neighbor_id FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY cos DESC, neighbor_id) AS rn FROM bsc) WHERE rn <= 3),
+          ic AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+                 FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+          ias AS (SELECT v.vec_id, c.cid,
+                    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm), 4) AS rc
+                  FROM v CROSS JOIN ic c),
+          icell AS (SELECT vec_id, cid AS cell FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY rc DESC, cid) AS rn FROM ias)
+                   WHERE rn = 1),
+          iprobe AS (SELECT vec_id, cid AS cell FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY rc DESC, cid) AS rn FROM ias)
+                   WHERE rn <= 4),
+          gadc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    round($ivfTermSql, 4) AS adist
+                  FROM b q JOIN iprobe qc ON q.vec_id = qc.vec_id
+                       JOIN icell cc ON qc.cell = cc.cell
+                       JOIN b c ON c.vec_id = cc.vec_id AND q.vec_id != c.vec_id
+                       $ivfJoins),
+          isl AS (SELECT query_id, neighbor_id FROM
+                   (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adist, neighbor_id) AS rn FROM gadc)
+                 WHERE rn <= 64),
+          irr AS (SELECT s.query_id, s.neighbor_id, $cosSql AS cos
+                  FROM isl s JOIN v q ON s.query_id = q.vec_id
+                       JOIN v c ON s.neighbor_id = c.vec_id),
+          ir3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rn FROM irr) WHERE rn <= 3),
           ne AS (SELECT count(*) AS n_exact FROM exact),
           hb AS (SELECT count(*) AS n_hit FROM bk JOIN exact USING (query_id, neighbor_id)),
           hm AS (SELECT count(*) AS n_hit FROM mp JOIN exact USING (query_id, neighbor_id)),
@@ -1430,7 +1528,9 @@ object LlmText {
           hr AS (SELECT count(*) AS n_hit
                  FROM pr3 JOIN exact USING (query_id, neighbor_id)),
           hbp AS (SELECT count(*) AS n_hit
-                 FROM bp3 JOIN exact USING (query_id, neighbor_id))
+                 FROM bp3 JOIN exact USING (query_id, neighbor_id)),
+          hiv AS (SELECT count(*) AS n_hit
+                 FROM ir3 JOIN exact USING (query_id, neighbor_id))
           SELECT 'bucket' AS method, ne.n_exact, hb.n_hit,
                  round(hb.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hb, ne
           UNION ALL
@@ -1447,7 +1547,10 @@ object LlmText {
                  round(hr.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hr, ne
           UNION ALL
           SELECT 'binary_prefilter' AS method, ne.n_exact, hbp.n_hit,
-                 round(hbp.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hbp, ne"""
+                 round(hbp.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hbp, ne
+          UNION ALL
+          SELECT 'ivf_adc_rerank' AS method, ne.n_exact, hiv.n_hit,
+                 round(hiv.n_hit * 1.0 / ne.n_exact, 4) AS recall FROM hiv, ne"""
     },
     // chunk i covers tokens [i*56, i*56+64); DuckDB list slicing is
     // 1-based inclusive and clamps at the list end, matching Spark's

@@ -281,6 +281,24 @@ class DedupSpec extends AnyFunSuite {
     assert(partners.toSet == Set((1L, 2L), (2L, 1L))) // 3 is isolated
   }
 
+  test("ivfAdcRerankTopK funnel recovers exact top-1 through cells+codes+rerank") {
+    import spark.implicits._
+    // three separated directions, two vectors each — the twin is the
+    // exact nearest neighbor and must survive the full funnel
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f))
+    val vecs = (0 until 6).map { i =>
+      (i.toLong, dirs(i % 3).map(x => x * (1f + 0.01f * (i / 3))))
+    }.toDF("id", "embedding")
+    val top1 = Similarity.ivfAdcRerankTopK(vecs, 1, nCells = 3, nProbe = 1,
+        shortlist = 2, m = 2, ksub = 4, iters = 1)
+      .collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toMap
+    assert(top1 == Map(0L -> 3L, 3L -> 0L, 1L -> 4L, 4L -> 1L, 2L -> 5L, 5L -> 2L))
+  }
+
   test("pqAdcTopK finds each vector's planted near-twin from codes alone") {
     import spark.implicits._
     // three well-separated directions in dim 8, two vectors per

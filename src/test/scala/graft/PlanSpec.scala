@@ -82,6 +82,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("IVF-ADC rerank: cell gate, ADC, and re-rank are all equi joins, never cartesian") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val plan = graft.operators.Similarity
+      .ivfAdcRerankTopK(e, 3, nCells = 8, nProbe = 2, shortlist = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // the cell-assignment pass is checkpointed before plan capture, so
+    // the only joins left are the candidate/scoring equi-joins — no
+    // nested loop anywhere
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("q68: TF-IDF corpus size joins as a broadcast, term join stays equi") {
     val plan = planOf("q68_tfidf")
     // the 1-row N aggregate must broadcast, not shuffle
