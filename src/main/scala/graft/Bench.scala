@@ -44,7 +44,10 @@ object Bench {
     // the web-ingestion family (q119 times its WARC write + gzip-member
     // read + native extraction end-to-end; q121 the line-frequency
     // dedup's agg + anti-join + reassembly)
-    "q119_warc_roundtrip", "q121_line_dedup")
+    "q119_warc_roundtrip", "q121_line_dedup",
+    // round-6 closing batch: the sketch-gated confirm join and the
+    // composed IVFADC funnel — both heavy, both worth a trend line
+    "q124_bloom_decontaminate", "q128_ivf_adc_rerank")
 
   private val headline = headlineR5 ++ headlineR6
 

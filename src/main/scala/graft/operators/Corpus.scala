@@ -575,6 +575,126 @@ object Corpus {
       .select(col("doc_id"), col("e._1").as("term"), col("e._2").as("tf"),
         col("e._3").as("tfidf"), (col("i") + 1).cast("int").as("rank"))
   }
+
+  /** Corpus-trained bigram language-model score — the "perplexity
+    * filter" of published curation pipelines (CCNet/Gopher filter on a
+    * KenLM score; the execution shape is identical): TRAIN n-gram
+    * counts over the corpus with hash aggregations, then SCORE each
+    * document by joining its bigrams against the count tables.
+    *
+    * The per-bigram term is an integer surrogate for the smoothed
+    * log-probability: `(c12 * 1_000_000) div (c1 + V)` — corpus bigram
+    * count over add-one-smoothed first-token count, scaled and floored.
+    * Keeping every quantity in exact BIGINT arithmetic makes the score
+    * bit-identical across engines (a float log would hash-mismatch on
+    * summation order); rank order of documents — all a filter consumes
+    * — is preserved for fixed document length.
+    *
+    * Scale shape (100 TB): train = two hash-partitioned aggregations
+    * (partial agg collapses repeats before each exchange); vocabulary
+    * size V joins in as a broadcast 1-row aggregate (a plan, not a
+    * driver action); scoring = equi-joins on the (w1,w2) / w1 keys the
+    * aggregations already hash by — co-partitioned shuffle joins at
+    * open vocab, broadcast if the vocab is bounded (AQE decides).
+    * Nothing is all-pairs; nothing collects.
+    */
+  def ngramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val bigrams = toks.select(col("doc_id"), explode(
+        when(size(col("toks")) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+            i => struct(element_at(col("toks"), i + 1).as("w1"),
+              element_at(col("toks"), i + 2).as("w2"))))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // per-doc bigram multiplicities: the one explode-width exchange
+    val docBg = bigrams.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("m"))
+    // corpus model: bigram and unigram counts + vocabulary size
+    val c12 = docBg.groupBy("w1", "w2").agg(sum("m").as("c12"))
+    val uni = toks.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    docBg
+      .join(c12, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("term", expr("(c12 * 1000000L) div (c1 + v)"))
+      .groupBy("doc_id")
+      .agg(sum(col("m") * col("term")).as("lm_score"),
+        sum("m").as("n_bigrams"))
+  }
+
+  final case class RepetitionSignals(doc_id: Long, total_lines: Long,
+                                     dup_lines: Long, total_line_chars: Long,
+                                     dup_line_chars: Long,
+                                     top_bigram_count: Long, n_bigrams: Long,
+                                     max_token_run: Long)
+
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021
+    * §A1.1: "repetitious documents are typically low quality") — the
+    * per-document tagger every published curation pipeline runs before
+    * corpus-level dedup:
+    *
+    *   - duplicate-LINE stats: of the `\n`-separated lines, how many
+    *     are repeats of an earlier line, and how many characters sit in
+    *     those repeats (`dup_lines`/`total_lines`,
+    *     `dup_line_chars`/`total_line_chars` are the Gopher fractions —
+    *     emitted as exact integer numerator/denominator so the
+    *     cross-engine compare has no float hazard);
+    *   - `top_bigram_count`/`n_bigrams`: occurrences of the most
+    *     frequent word bigram (Gopher's "top n-gram fraction");
+    *   - `max_token_run`: the longest run of the SAME token repeated
+    *     back-to-back (catches `spam spam spam ...` degeneration that
+    *     bigram fractions dilute on long documents).
+    *
+    * Scale shape: everything is per-document, so this is ONE narrow
+    * mapPartitions pass — no explode, no shuffle, no state beyond a
+    * per-doc hash map (documents are bounded; the map is line/bigram
+    * cardinality within one doc). At 100 TB this is the ideal operator:
+    * embarrassingly parallel over whatever partitioning the scan
+    * produced. Tokenization matches [[TextFunctions.tokens]]
+    * (whitespace split, empties dropped).
+    */
+  def repetitionSignals(docs: DataFrame): org.apache.spark.sql.Dataset[RepetitionSignals] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val lines = text.split("\n", -1)
+          val lineCounts = new java.util.HashMap[String, Int]()
+          lines.foreach(l => lineCounts.merge(l, 1, (a, b) => a + b))
+          var dupLines = 0L; var totalLineChars = 0L; var dupLineChars = 0L
+          lineCounts.forEach { (l, c) =>
+            dupLines += c - 1
+            totalLineChars += c.toLong * l.length
+            dupLineChars += (c - 1).toLong * l.length
+          }
+          val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+          val bigramCounts = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i + 1 < toks.length) {
+            bigramCounts.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+            i += 1
+          }
+          var topBigram = 0L
+          bigramCounts.forEach { (_, c) => if (c > topBigram) topBigram = c.toLong }
+          var maxRun = 0L; var run = 0L
+          i = 0
+          while (i < toks.length) {
+            run = if (i > 0 && toks(i) == toks(i - 1)) run + 1 else 1
+            if (run > maxRun) maxRun = run
+            i += 1
+          }
+          RepetitionSignals(id, lines.length.toLong, dupLines, totalLineChars,
+            dupLineChars, topBigram, math.max(0, toks.length - 1).toLong,
+            maxRun)
+        }
+      }
+  }
 }
 
 /** Bounded top-k buffer for [[Corpus.tfidfTopKAgg]]: both the partial

@@ -231,6 +231,31 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** The composed end-to-end fuzzy-dedup pass — what a pipeline user
+    * actually calls: [[minhashLshPairs]] (band-collision candidates +
+    * exact Jaccard verify) → [[connectedComponents]] (cluster labels) →
+    * drop every document that is not its cluster's canonical keeper
+    * (the minimum doc id). Returns the SURVIVING rows of `docs`,
+    * schema unchanged.
+    *
+    * Scale shape: the pair graph and label table only contain documents
+    * that collided in some band — a small fraction of the corpus — so
+    * the final prune is a left-anti equi-join against a skinny loser
+    * list (broadcast when it fits, shuffle otherwise; AQE decides).
+    * The corpus itself is scanned once for signatures and once for the
+    * prune; nothing all-pairs, nothing driver-side.
+    */
+  def fuzzyDedup(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, shingleN, numHashes,
+      bands, threshold)
+    val losers = connectedComponents(pairs)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as("__loser_id"))
+    docs.join(losers, col(idCol) === col("__loser_id"), "left_anti")
+  }
+
   /** SimHash near-dup buckets: 16-bit signature over tokens; groups with
     * >1 member are near-dup clusters (plus rare 16-bit collisions).
     */

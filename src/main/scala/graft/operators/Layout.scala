@@ -86,7 +86,17 @@ object Layout {
     * exchange. LayoutSpec asserts exactly that plan shape.
     */
   def bucketWrite(df: DataFrame, table: String, keyCol: String,
-                  numBuckets: Int): Unit =
+                  numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // `overwrite` only replaces tables the CATALOG knows about. With the
+    // default in-memory catalog, a previous JVM's warehouse directory
+    // survives while its catalog entry does not, and saveAsTable then
+    // refuses the "new" table because the location exists. Drop both.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     // Pre-partition on the SAME hash the bucketing uses so each task
     // holds exactly one bucket → ONE file per bucket. With multiple
     // files per bucket Spark keeps per-bucket sortedness unknown and
@@ -96,6 +106,7 @@ object Layout {
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, keyCol).sortBy(keyCol)
       .saveAsTable(table)
+  }
 
   /** Comparison baseline: the same write clustered on a SINGLE column —
     * what a one-dimensional `ORDER BY` layout gives you.

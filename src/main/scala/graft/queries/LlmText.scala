@@ -736,6 +736,46 @@ object LlmText {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.read.parquet(out)
+    },
+
+    // Gopher-style repetition tagger (q130): duplicate-line stats, top
+    // word-bigram occurrences, and the longest same-token run — one
+    // narrow zero-shuffle mapPartitions pass (PlanSpec pins the
+    // no-Exchange property). The corpus has no newlines, so the fixture
+    // PLANTS line structure: every ' value ' becomes a line break
+    // (left-to-right non-overlapping replace in both engines), giving
+    // real duplicate lines over the small vocabulary. All eight outputs
+    // are exact integers — the Gopher fractions ship as
+    // numerator/denominator pairs, so the compare has no float hazard.
+    "q130_repetition_signals" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("replace(text, ' value ', chr(10))").as("text"))
+      graft.operators.Corpus.repetitionSignals(docs).toDF()
+    },
+
+    // Corpus-trained bigram LM score (q131) — the perplexity-filter
+    // execution shape: train bigram/unigram counts over the corpus
+    // (hash aggs), score each doc by joining its bigrams back against
+    // the model (equi-joins on the agg keys; V ships as a broadcast
+    // 1-row aggregate). The smoothed per-bigram term is an exact
+    // integer ((c12 * 1e6) div (c1 + V)), so the cross-engine compare
+    // has no float-summation hazard.
+    "q131_ngram_lm_score" -> { (s, d) =>
+      graft.operators.Corpus.ngramLmScore(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("lm_score"), col("n_bigrams"))
+    },
+
+    // End-to-end fuzzy dedup (q132): the composed pass a user calls —
+    // LSH candidates → Jaccard verify → connected components → drop
+    // non-canonical cluster members. Emits the SURVIVING corpus; the
+    // oracle replays the full funnel (recursive-CTE components) and
+    // prunes relationally.
+    "q132_fuzzy_dedup" -> { (s, d) =>
+      Dedup.fuzzyDedup(Tables.documents(s, d), "doc_id", "text",
+        shingleN = ShingleN, numHashes = NumHashes, bands = Bands,
+        threshold = 0.5)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
     }
   )
 
@@ -1568,6 +1608,95 @@ object LlmText {
           SELECT doc_id, chunk_idx,
                  CAST(len(carr) AS INTEGER) AS n_tokens,
                  md5(array_to_string(carr, ' ')) AS chunk_md5
-          FROM s"""
+          FROM s""",
+
+    // q130: replay the planted-newline fixture, then compute the Gopher
+    // signals relationally — line stats from a (doc, line) group-by,
+    // top-bigram from a (doc, bigram) group-by, max token run via the
+    // gaps-and-islands window (i - row_number within (doc, token)).
+    // The engine computes all of this in one narrow per-doc pass; the
+    // oracle's explodes/windows are the semantics spec, not the plan.
+    "q130_repetition_signals" ->
+      s"""WITH d AS (SELECT doc_id, replace(text, ' value ', chr(10)) AS text
+           FROM documents),
+         l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d),
+         lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+           FROM l GROUP BY doc_id, line),
+         la AS (SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS total_lines,
+                  CAST(sum(c - 1) AS BIGINT) AS dup_lines,
+                  CAST(sum(c * len) AS BIGINT) AS total_line_chars,
+                  CAST(sum((c - 1) * len) AS BIGINT) AS dup_line_chars
+           FROM lc GROUP BY doc_id),
+         tok AS (SELECT doc_id, $toksSql AS toks FROM d),
+         tv AS (SELECT doc_id,
+                  unnest(generate_series(1, len(toks))) AS i, toks FROM tok),
+         tw AS (SELECT doc_id, i, toks[CAST(i AS INTEGER)] AS w FROM tv),
+         bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bigram
+           FROM tw a JOIN tw b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         bgc AS (SELECT doc_id, bigram, count(*) AS c
+           FROM bg GROUP BY doc_id, bigram),
+         bga AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count,
+                  CAST(sum(c) AS BIGINT) AS n_bigrams
+           FROM bgc GROUP BY doc_id),
+         isl AS (SELECT doc_id, w,
+                  i - row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS g
+           FROM tw),
+         rc AS (SELECT doc_id, count(*) AS runlen
+           FROM isl GROUP BY doc_id, w, g),
+         ra AS (SELECT doc_id, CAST(max(runlen) AS BIGINT) AS max_token_run
+           FROM rc GROUP BY doc_id)
+         SELECT la.doc_id, la.total_lines, la.dup_lines, la.total_line_chars,
+              la.dup_line_chars,
+              CAST(coalesce(bga.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+              CAST(coalesce(bga.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              CAST(coalesce(ra.max_token_run, 0) AS BIGINT) AS max_token_run
+         FROM la LEFT JOIN bga ON la.doc_id = bga.doc_id
+                 LEFT JOIN ra ON la.doc_id = ra.doc_id""",
+
+    // q131: replay the train-then-score bigram LM relationally. The
+    // `//` is floor division on BIGINTs (operands positive), matching
+    // Spark's `div`; every aggregate casts back to BIGINT (DuckDB sums
+    // to HUGEINT).
+    "q131_ngram_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         tv AS (SELECT doc_id,
+                  unnest(generate_series(1, len(toks))) AS i, toks FROM tok),
+         tw AS (SELECT doc_id, i, toks[CAST(i AS INTEGER)] AS w FROM tv),
+         bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+           FROM tw a JOIN tw b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         docbg AS (SELECT doc_id, w1, w2, count(*) AS m
+           FROM bg GROUP BY doc_id, w1, w2),
+         c12 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c12
+           FROM docbg GROUP BY w1, w2),
+         uni AS (SELECT w AS w1, count(*) AS c1 FROM tw GROUP BY w),
+         voc AS (SELECT count(*) AS v FROM uni)
+         SELECT d.doc_id,
+              CAST(sum(d.m * ((c12.c12 * 1000000) // (uni.c1 + voc.v))) AS BIGINT) AS lm_score,
+              CAST(sum(d.m) AS BIGINT) AS n_bigrams
+         FROM docbg d
+         JOIN c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+         JOIN uni ON d.w1 = uni.w1
+         CROSS JOIN voc
+         GROUP BY d.doc_id""",
+
+    // q132: q66's replayed funnel (LSH + recursive-CTE reachability)
+    // extended by the prune — survivors are documents that are not a
+    // non-canonical member of any cluster.
+    "q132_fuzzy_dedup" ->
+      s"""WITH RECURSIVE $lshCtes,
+          pairs AS (SELECT da, db FROM j
+                    WHERE round(inter/(tot-inter), 4) >= 0.5),
+          edges AS (SELECT da AS u, db AS v FROM pairs
+                    UNION SELECT db, da FROM pairs),
+          nodes AS (SELECT DISTINCT u FROM edges),
+          reach(u, v) AS (SELECT u, u FROM nodes
+                          UNION
+                          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+          losers AS (SELECT doc_id FROM cl WHERE cluster_id <> doc_id)
+          SELECT d.doc_id, md5(d.text) AS text_md5
+          FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+          WHERE l.doc_id IS NULL"""
   )
 }

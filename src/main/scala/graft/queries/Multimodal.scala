@@ -75,6 +75,25 @@ object Multimodal {
         Tables.documents(s, d).filter(length(col("text")) > 0))
       graft.operators.Multimodal.sampleFrames(media, every = 3)
         .select("doc_id", "frame_idx", "n_bytes", "frame_md5")
+    },
+
+    // AUDIO modality (REAL decode, r6): text renders to a valid mono
+    // PCM16 WAV (sample rule: byte*257 - 16384), the feature pass
+    // DECODES the RIFF stream and emits duration / energy / zero-
+    // crossing / peak stats plus a decimate-by-4 re-encode→re-decode
+    // round trip. Integer aggregates are exact; rms is one sqrt over
+    // the same exact integer on both engines. The oracle recomputes
+    // every sample arithmetically, so encoder AND decoder are under
+    // the hash: a misread fmt chunk, a byte-order slip, or a bad pad
+    // skip breaks the match.
+    "q129_audio_features" -> { (s, d) =>
+      val media = graft.operators.Audio.asAudio(
+        Tables.documents(s, d).filter(length(col("text")) > 0))
+      graft.operators.Audio.extractFeatures(media, every = 4)
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("sum_sq"),
+          round(col("rms"), 4).as("rms"),
+          col("zero_crossings"), col("peak"), col("dec_n"), col("dec_sum"))
     }
   )
 
@@ -108,6 +127,40 @@ object Multimodal {
                 CAST(length(substr(pix, CAST(fi * 256 + 1 AS INTEGER), 256)) AS INTEGER) AS n_bytes,
                 md5(substr(pix, CAST(fi * 256 + 1 AS INTEGER), 256)) AS frame_md5
          FROM f WHERE fi % 3 = 0""",
+    // Audio oracle: replay the sample rule per character (ASCII fixture
+    // ⇒ bytes == chars), aggregate with exact integer arithmetic, and
+    // count sign changes with a lag window. i is 1-based here; the
+    // engine decimates 0-based indices 0,4,8,... ⇒ i % 4 = 1.
+    "q129_audio_features" ->
+      """WITH s AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+           FROM documents WHERE length(text) > 0),
+         v AS (SELECT doc_id, i,
+                  ascii(substr(text, CAST(i AS INTEGER), 1)) * 257 - 16384 AS smp
+           FROM s),
+         a AS (SELECT doc_id,
+                  count(*) AS n,
+                  sum(CAST(smp AS BIGINT) * smp) AS sum_sq,
+                  max(abs(smp)) AS peak,
+                  sum(CASE WHEN i % 4 = 1 THEN CAST(smp AS BIGINT) ELSE 0 END) AS dec_sum,
+                  count(CASE WHEN i % 4 = 1 THEN 1 END) AS dec_n
+           FROM v GROUP BY doc_id),
+         z AS (SELECT doc_id, count(*) AS zc FROM (
+                  SELECT doc_id, smp,
+                         lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                  FROM v)
+               WHERE prev IS NOT NULL AND smp * prev < 0
+               GROUP BY doc_id)
+         SELECT a.doc_id,
+              CAST(16000 AS INTEGER) AS sample_rate,
+              CAST(a.n AS INTEGER) AS n_samples,
+              a.n / 16.0 AS duration_ms,
+              a.sum_sq AS sum_sq,
+              round(sqrt(CAST(a.sum_sq AS DOUBLE) / a.n), 4) AS rms,
+              CAST(coalesce(z.zc, 0) AS INTEGER) AS zero_crossings,
+              CAST(a.peak AS INTEGER) AS peak,
+              CAST(a.dec_n AS INTEGER) AS dec_n,
+              a.dec_sum AS dec_sum
+         FROM a LEFT JOIN z USING (doc_id)""",
     // BYTE-true oracle THROUGH the codec: the engine sums decoded
     // pixels (raw UTF-8 bytes + 0x2e padding), so the oracle
     // reconstructs each character's UTF-8 byte sum from its code point

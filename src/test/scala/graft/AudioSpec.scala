@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.Audio
+import graft.operators.Audio.Wav
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.ByteArrayInputStream
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** The WAV codec under independent test — same doctrine as
+  * MultimodalSpec's PNG coverage: the decoder must read files the JDK's
+  * OWN javax.sound encoder wrote (and vice versa), not just our
+  * encoder's output, so a self-consistently-wrong codec cannot pass.
+  */
+class AudioSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def shorts(xs: Int*): Array[Short] = xs.map(_.toShort).toArray
+
+  test("WAV encode → decode round-trips samples, rate, and format fields") {
+    val rng = new scala.util.Random(29)
+    for (n <- Seq(0, 1, 7, 1024)) {
+      val s = Array.fill(n)((rng.nextInt(65536) - 32768).toShort)
+      val pcm = Wav.decode(Wav.encodePcm16(16000, s))
+      assert(pcm.sampleRate == 16000 && pcm.channels == 1 && pcm.bitsPerSample == 16)
+      assert(java.util.Arrays.equals(pcm.samples, s), s"n=$n")
+    }
+  }
+
+  test("decoder reads the JDK AudioSystem encoder's WAVs") {
+    val rng = new scala.util.Random(31)
+    val s = Array.fill(777)((rng.nextInt(65536) - 32768).toShort)
+    val bytes = new Array[Byte](s.length * 2)
+    var i = 0
+    while (i < s.length) { // little-endian int16, as the fmt below declares
+      bytes(2 * i) = (s(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(22050f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, s.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    val pcm = Wav.decode(out.toByteArray)
+    assert(pcm.sampleRate == 22050)
+    assert(java.util.Arrays.equals(pcm.samples, s), "JDK-encoded WAV decoded wrong")
+  }
+
+  test("JDK AudioSystem parses our encoder's output") {
+    val s = shorts(100, -200, 300, -32768, 32767)
+    val ais = AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(Wav.encodePcm16(8000, s)))
+    val f = ais.getFormat
+    assert(f.getSampleRate == 8000f && f.getChannels == 1 &&
+      f.getSampleSizeInBits == 16 && !f.isBigEndian)
+    assert(ais.getFrameLength == s.length.toLong)
+  }
+
+  test("decoder skips ancillary chunks and honors odd-length padding") {
+    val s = shorts(1, -2, 3)
+    val canonical = Wav.encodePcm16(16000, s)
+    // splice a 3-byte LIST chunk (odd → 1 pad byte) between fmt and data
+    val fmtEnd = 12 + 8 + 16
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 'x', 'y', 'z', 0)
+    val spliced = canonical.take(fmtEnd) ++ extra ++ canonical.drop(fmtEnd)
+    // patch the RIFF size for the inserted bytes (LE int at offset 4)
+    val riffLen = (spliced.length - 8)
+    spliced(4) = (riffLen & 0xff).toByte
+    spliced(5) = ((riffLen >> 8) & 0xff).toByte
+    spliced(6) = ((riffLen >> 16) & 0xff).toByte
+    spliced(7) = ((riffLen >> 24) & 0xff).toByte
+    val pcm = Wav.decode(spliced)
+    assert(java.util.Arrays.equals(pcm.samples, s))
+  }
+
+  test("truncated, non-RIFF, and unsupported-format streams fail loudly") {
+    val good = Wav.encodePcm16(16000, shorts(5, 6))
+    assertThrows[IllegalArgumentException](Wav.decode(good.take(30)))
+    assertThrows[IllegalArgumentException](Wav.decode("not a wav at all".getBytes))
+    val stereo = good.clone() // channels lives at offset 22 (LE short)
+    stereo(22) = 2
+    assertThrows[IllegalArgumentException](Wav.decode(stereo))
+  }
+
+  test("sample rule: sign structure makes word boundaries zero crossings") {
+    val s = Audio.samplesOf("ab cd")
+    // letters (>=64) map positive, space (32) negative
+    assert(s(0) > 0 && s(1) > 0 && s(2) < 0 && s(3) > 0 && s(4) > 0)
+    assert(Audio.samplesOf("").isEmpty)
+  }
+
+  test("extractFeatures matches a hand computation through the codec") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab a"), (2L, "x")).toDF("doc_id", "text")
+    val feats = Audio.extractFeatures(Audio.asAudio(docs), every = 4)
+      .collect().map(f => f.doc_id -> f).toMap
+
+    // doc 1: bytes 97 98 32 97 → samples 8545 8802 -8160 8545
+    val f1 = feats(1L)
+    assert(f1.sample_rate == 16000 && f1.n_samples == 4)
+    assert(f1.duration_ms == 4 * 1000.0 / 16000)
+    val expSq = List(8545, 8802, -8160, 8545).map(v => v.toLong * v).sum
+    assert(f1.sum_sq == expSq)
+    assert(f1.rms == math.sqrt(expSq.toDouble / 4))
+    assert(f1.zero_crossings == 2) // + + − + → two sign changes
+    assert(f1.peak == 8802)
+    assert(f1.dec_n == 1 && f1.dec_sum == 8545L) // decimation keeps index 0
+
+    val f2 = feats(2L) // byte 120 → sample 126*... = 120*257-16384 = 14456
+    assert(f2.n_samples == 1 && f2.zero_crossings == 0 && f2.peak == 14456)
+    assert(f2.dec_n == 1 && f2.dec_sum == 14456L)
+  }
+
+  test("asAudio payloads carry typed metadata and decode to the rule") {
+    import spark.implicits._
+    val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val row = Audio.asAudio(docs).select("doc_id", "payload", "meta.format",
+      "meta.sample_rate", "meta.n_samples").head()
+    assert(row.getLong(0) == 7L && row.getString(2) == "audio/wav")
+    assert(row.getInt(3) == 16000 && row.getInt(4) == 11)
+    val pcm = Wav.decode(row.getAs[Array[Byte]](1))
+    assert(java.util.Arrays.equals(pcm.samples, Audio.samplesOf("hello world")))
+  }
+}
