@@ -263,6 +263,14 @@ object Relational {
         .agg(r2(sum(col("l_extendedprice"))).as("revenue"), count(lit(1)).as("n_sold"))
         .orderBy(col("n_sold").desc, col("p_partkey").asc)
         .limit(100)
+    },
+
+    // Column profiling (q133): per-column counts/range/exact-median for
+    // four lineitem columns in ONE aggregation pass (multi-distinct via
+    // a single Expand; the 1-row result explodes to a row per column).
+    "q133_profile" -> { (s, d) =>
+      graft.operators.Profile.summarize(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
     }
   )
 
@@ -367,6 +375,22 @@ object Relational {
       """SELECT p_partkey, p_name, round(sum(l_extendedprice),2) AS revenue, count(*) AS n_sold
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_partkey, p_name
-         ORDER BY n_sold DESC, p_partkey ASC LIMIT 100"""
+         ORDER BY n_sold DESC, p_partkey ASC LIMIT 100""",
+    // q133: per-column profile — quantile_cont is DuckDB's exact
+    // interpolated median, the same p·(n−1) definition as Spark's
+    // percentile (parity already pinned by q15).
+    "q133_profile" -> {
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+              count(*) AS n_rows,
+              count(*) - count($c) AS n_nulls,
+              count(DISTINCT $c) AS n_distinct,
+              CAST(min($c) AS DOUBLE) AS min_v,
+              CAST(max($c) AS DOUBLE) AS max_v,
+              round(quantile_cont(CAST($c AS DOUBLE), 0.5), 4) AS p50
+         FROM lineitem"""
+      }.mkString(" UNION ALL ")
+    }
   )
 }
