@@ -626,6 +626,52 @@ object Corpus {
         sum("m").as("n_bigrams"))
   }
 
+  /** Snapshot merge (upsert) — the corpus-refresh primitive: a recrawl
+    * or re-annotation produces an `updates` table (same schema);
+    * updated ids replace their current rows, new ids append, untouched
+    * rows pass through. MERGE INTO without a table format: the output
+    * is the new corpus snapshot to write.
+    *
+    * Scale shape: ONE left-anti equi-join of the corpus against the
+    * update KEYS (skinny — only the id column ships) plus a union. The
+    * updates side of a refresh is typically a small fraction of the
+    * corpus, so the anti-join broadcasts (AQE decides; at 100 TB the
+    * 100-TB side is never re-shuffled when the key list fits). No
+    * full-outer wide rows, no driver state.
+    */
+  def snapshotMerge(current: DataFrame, updates: DataFrame,
+                    idCol: String): DataFrame =
+    updates.unionByName(
+      current.join(updates.select(col(idCol)), Seq(idCol), "left_anti"))
+
+  /** Quantile binning — curriculum/stratification bucketing: assign
+    * each row the decile (or k-ile) of `valueCol`, the step that turns
+    * a continuous quality score into the discrete training-mix strata
+    * that [[mixtureSample]] consumes.
+    *
+    * Scale shape: the WRONG way is `ntile() OVER (ORDER BY v)` — a
+    * global sort through one partition. Instead the k−1 exact cut
+    * points compute in one aggregation (a percentile over the value
+    * column), ship as a broadcast 1-row table, and the assignment is a
+    * narrow codegen'd comparison chain — no global sort, no window,
+    * nothing driver-side. Bin b = #{cuts strictly below the value},
+    * so ties land deterministically in the lower bin on any engine.
+    */
+  def quantileBins(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 bins, got $k")
+    val ps = (1 until k).map(i => i.toDouble / k)
+    val cuts = df.agg(
+      expr(s"percentile($valueCol, array(${ps.mkString(",")}))").as("__cuts"))
+    val cutCols = (0 until k - 1).map(i =>
+      element_at(col("__cuts"), i + 1).as(s"__cut$i"))
+    val binExpr = (0 until k - 1)
+      .map(i => (col(valueCol) > col(s"__cut$i")).cast("int"))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(cuts.select(cutCols: _*)))
+      .withColumn("bin", binExpr)
+      .drop((0 until k - 1).map(i => s"__cut$i"): _*)
+  }
+
   final case class RepetitionSignals(doc_id: Long, total_lines: Long,
                                      dup_lines: Long, total_line_chars: Long,
                                      dup_line_chars: Long,

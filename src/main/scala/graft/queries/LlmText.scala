@@ -776,6 +776,32 @@ object LlmText {
         shingleN = ShingleN, numHashes = NumHashes, bands = Bands,
         threshold = 0.5)
         .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    },
+
+    // Quantile binning (q134): length deciles via broadcast exact cut
+    // points + a codegen'd comparison chain — the scale-correct form of
+    // ntile() (no global sort, no single-partition window). Ties land
+    // in the lower bin (bin = #cuts strictly below) on both engines.
+    "q134_quantile_bins" -> { (s, d) =>
+      graft.operators.Corpus.quantileBins(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "n_chars", 10)
+        .select(col("doc_id"), col("n_chars"), col("bin"))
+    },
+
+    // Snapshot merge (q135): a synthetic recrawl — every doc_id % 3
+    // gets a revised text, every doc_id % 7 spawns a brand-new doc —
+    // upserted into the corpus: updates win, new ids append, the rest
+    // pass through one skinny anti-join.
+    "q135_snapshot_merge" -> { (s, d) =>
+      val cur = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val upd = cur.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" [v2]")).as("text"))
+        .unionByName(cur.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(col("text"), lit(" [new]")).as("text")))
+      graft.operators.Corpus.snapshotMerge(cur, upd, "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
     }
   )
 
@@ -1697,6 +1723,36 @@ object LlmText {
           losers AS (SELECT doc_id FROM cl WHERE cluster_id <> doc_id)
           SELECT d.doc_id, md5(d.text) AS text_md5
           FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
-          WHERE l.doc_id IS NULL"""
+          WHERE l.doc_id IS NULL""",
+
+    // q134: quantile_cont over a fraction list is DuckDB's exact
+    // interpolated percentile array — the same p·(n−1) definition as
+    // Spark's percentile(col, array(...)). Cut values are non-integer
+    // except when the rank lands exactly on a data point, so integer
+    // n_chars can never sit inside a 1-ulp cross-engine gap.
+    "q134_quantile_bins" -> {
+      val ps = (1 until 10).map(i => s"0.$i").mkString(", ")
+      val terms = (1 to 9)
+        .map(i => s"(CASE WHEN d.n_chars > c.cuts[$i] THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH c AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), [$ps]) AS cuts
+           FROM documents)
+         SELECT d.doc_id, d.n_chars, CAST($terms AS INTEGER) AS bin
+         FROM documents d, c"""
+    },
+
+    // q135: updates ∪ (current ⟂ update-keys) — the anti-join spelled
+    // relationally.
+    "q135_snapshot_merge" ->
+      """WITH cur AS (SELECT doc_id, text FROM documents),
+         upd AS (SELECT doc_id, text || ' [v2]' AS text FROM documents
+                 WHERE doc_id % 3 = 0
+                 UNION ALL
+                 SELECT doc_id + 100000, text || ' [new]' FROM documents
+                 WHERE doc_id % 7 = 0)
+         SELECT doc_id, md5(text) AS text_md5 FROM upd
+         UNION ALL
+         SELECT c.doc_id, md5(c.text) FROM cur c
+         LEFT JOIN upd u ON c.doc_id = u.doc_id WHERE u.doc_id IS NULL"""
   )
 }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Corpus
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("quantileBins: quartiles of 1..8 land 2 rows per bin, ties go low") {
+    import spark.implicits._
+    val df = (1 to 8).map(i => (i.toLong, i)).toDF("id", "v")
+    val bins = Corpus.quantileBins(df, "v", 4)
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    // cuts at p=0.25/0.5/0.75 of 1..8 → 2.75, 4.5, 6.25
+    assert(bins == Map(1 -> 0, 2 -> 0, 3 -> 1, 4 -> 1, 5 -> 2, 6 -> 2,
+      7 -> 3, 8 -> 3))
+    // a value exactly ON a cut goes to the lower bin: cuts of 1..5 at
+    // k=2 → median 3; 3 > 3 is false → bin 0
+    val odd = (1 to 5).map(i => (i.toLong, i)).toDF("id", "v")
+    val b3 = Corpus.quantileBins(odd, "v", 2)
+      .filter($"v" === 3).select("bin").head().getInt(0)
+    assert(b3 == 0)
+  }
+
+  test("quantileBins: no global sort, no window — broadcast cuts only") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i)).toDF("id", "v")
+    val plan = Corpus.quantileBins(df, "v", 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort in plan:\n$plan")
+  }
+
+  test("snapshotMerge: updates win, inserts append, rest pass through") {
+    import spark.implicits._
+    val cur = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val upd = Seq((2L, "TWO"), (9L, "nine")).toDF("doc_id", "text")
+    val got = Corpus.snapshotMerge(cur, upd, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "one", 2L -> "TWO", 3L -> "three", 9L -> "nine"))
+  }
+
+  test("snapshotMerge ships only the key column into the anti-join") {
+    import spark.implicits._
+    val cur = Seq((1L, "one")).toDF("doc_id", "text")
+    val upd = Seq((2L, "x")).toDF("doc_id", "text")
+    val plan = Corpus.snapshotMerge(cur, upd, "doc_id")
+      .queryExecution.optimizedPlan.toString
+    // the anti-join's right side must be the projected key, not the
+    // full update rows
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+  }
+}
