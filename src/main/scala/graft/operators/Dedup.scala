@@ -231,6 +231,52 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Incremental (cross-corpus) fuzzy dedup — the production mode at
+    * 100 TB: you never re-dedup the full corpus; each new crawl batch
+    * dedups AGAINST the existing corpus. Returns the rows of `newDocs`
+    * that are NOT a near-duplicate (band collision + exact Jaccard ≥
+    * `threshold`) of any `history` document.
+    *
+    * Scale shape: the band join is BIPARTITE — new-batch band keys
+    * against history band keys only (no new×new, no history×history
+    * pairs), so the candidate volume scales with the batch, not the
+    * corpus. The history side's signatures are recomputed here from
+    * text; in a deployed pipeline they are computed once and stored
+    * (they are exactly the `signedDocs` output), making the per-batch
+    * cost: sign the batch + one equi-join into the stored band table +
+    * verify joins on the candidate set. The final prune is a left-anti
+    * equi-join on the batch side. Nothing rescans history per batch
+    * beyond the band-key join.
+    */
+  def incrementalDedup(newDocs: DataFrame, history: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                       threshold: Double = 0.5): DataFrame = {
+    val newSigned = signedDocs(newDocs, idCol, textCol, shingleN, numHashes, bands)
+      .localCheckpoint()
+    val histSigned = signedDocs(history, idCol, textCol, shingleN, numHashes, bands)
+      .localCheckpoint()
+    def banded(df: DataFrame) =
+      df.select(col("id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+    val cands = banded(newSigned).as("n")
+      .join(banded(histSigned).as("h"),
+        col("n.band") === col("h.band") && col("n.bkey") === col("h.bkey"))
+      .select(col("n.id").as("new_id"), col("h.id").as("hist_id"))
+      .dropDuplicates("new_id", "hist_id")
+    val withShs = cands
+      .join(newSigned.select(col("id"), col("shs").as("shs_n")),
+        col("new_id") === col("id")).drop("id")
+      .join(histSigned.select(col("id"), col("shs").as("shs_h")),
+        col("hist_id") === col("id")).drop("id")
+    val inter = size(array_intersect(col("shs_n"), col("shs_h"))).cast("double")
+    val uni = (size(col("shs_n")) + size(col("shs_h"))).cast("double") - inter
+    val dupNew = withShs
+      .withColumn("jaccard", round(inter / uni, 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id")).distinct()
+    newDocs.join(dupNew, newDocs(idCol) === dupNew("new_id"), "left_anti")
+  }
+
   /** The composed end-to-end fuzzy-dedup pass — what a pipeline user
     * actually calls: [[minhashLshPairs]] (band-collision candidates +
     * exact Jaccard verify) → [[connectedComponents]] (cluster labels) →

@@ -237,19 +237,28 @@ object LlmText {
     * candidate pairs with intersection/total sizes) — used by q31 (pair
     * list) and q66 (connected components over the pairs).
     */
-  private val lshCtes: String = {
+  /** Signature CTE chain (tokens → shingles → minhash → band keys) over
+    * an arbitrary (doc_id, text) relation, name-prefixed so two corpora
+    * can be signed in one statement (q136 signs history AND the new
+    * batch). Ends at `<p>s2` (shingle sets) and `<p>bands` (band keys).
+    */
+  private def sigCtesFor(src: String, p: String): String = {
     val mhCols = (0 until NumHashes).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")
     val rows = NumHashes / Bands
     val bandSelects = (0 until Bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(j => s"mh$j").mkString(", ")
-      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM m"
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM ${p}m"
     }.mkString(" UNION ALL ")
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        s AS (SELECT doc_id, ${shinglesSql(ShingleN)} AS shs FROM t),
-        s2 AS (SELECT doc_id, shs FROM s WHERE len(shs) > 0),
-        hh AS (SELECT doc_id, shs, list_transform(shs, x -> md5(x)) AS hs FROM s2),
-        m AS (SELECT doc_id, $mhCols FROM hh),
-        bands AS ($bandSelects),
+    s"""${p}t AS (SELECT doc_id, $toksSql AS toks FROM $src),
+        ${p}s AS (SELECT doc_id, ${shinglesSql(ShingleN)} AS shs FROM ${p}t),
+        ${p}s2 AS (SELECT doc_id, shs FROM ${p}s WHERE len(shs) > 0),
+        ${p}hh AS (SELECT doc_id, shs, list_transform(shs, x -> md5(x)) AS hs FROM ${p}s2),
+        ${p}m AS (SELECT doc_id, $mhCols FROM ${p}hh),
+        ${p}bands AS ($bandSelects)"""
+  }
+
+  private val lshCtes: String =
+    s"""${sigCtesFor("documents", "")},
         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                  FROM bands a JOIN bands b
                  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -257,7 +266,6 @@ object LlmText {
                 len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) * 1.0 AS inter,
                 len(sa.shs) + len(sb.shs) AS tot
               FROM cand JOIN s2 sa ON da = sa.doc_id JOIN s2 sb ON db = sb.doc_id)"""
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup over a corpus with planted duplicates (the corpus
@@ -801,6 +809,27 @@ object LlmText {
           .select((col("doc_id") + 100000L).as("doc_id"),
             concat(col("text"), lit(" [new]")).as("text")))
       graft.operators.Corpus.snapshotMerge(cur, upd, "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    },
+
+    // Incremental dedup (q136): a synthetic crawl batch — every
+    // doc_id % 10 is an exact re-crawl of a history doc (must drop),
+    // every doc_id % 13 arrives token-REVERSED (3-shingle sets are
+    // disjoint from the original's ⇒ genuinely new, must survive) —
+    // deduped against the full corpus as history. The band join is
+    // bipartite (batch × history only); the oracle signs both corpora
+    // with the prefixed CTE chain and replays the funnel.
+    "q136_incremental_dedup" -> { (s, d) =>
+      val hist = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val newDocs = hist.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+        .unionByName(hist.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat_ws(" ", reverse(TextFunctions.tokens(col("text"))))
+              .as("text")))
+      Dedup.incrementalDedup(newDocs, hist, "doc_id", "text",
+        shingleN = ShingleN, numHashes = NumHashes, bands = Bands,
+        threshold = 0.5)
         .select(col("doc_id"), md5(col("text")).as("text_md5"))
     }
   )
@@ -1753,6 +1782,33 @@ object LlmText {
          SELECT doc_id, md5(text) AS text_md5 FROM upd
          UNION ALL
          SELECT c.doc_id, md5(c.text) FROM cur c
-         LEFT JOIN upd u ON c.doc_id = u.doc_id WHERE u.doc_id IS NULL"""
+         LEFT JOIN upd u ON c.doc_id = u.doc_id WHERE u.doc_id IS NULL""",
+
+    // q136: sign the history corpus (h-prefix) and the synthetic batch
+    // (n-prefix) with the same signature chain, candidates are the
+    // BIPARTITE band collisions, verify is exact Jaccard, survivors are
+    // batch docs with no verified history match.
+    "q136_incremental_dedup" ->
+      s"""WITH nd AS (SELECT doc_id + 200000 AS doc_id, text FROM documents
+                 WHERE doc_id % 10 = 0
+                 UNION ALL
+                 SELECT doc_id + 300000 AS doc_id,
+                        array_to_string(list_reverse($toksSql), ' ') AS text
+                 FROM documents WHERE doc_id % 13 = 0),
+         ${sigCtesFor("documents", "h")},
+         ${sigCtesFor("nd", "n")},
+         cand AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS hid
+                  FROM nbands a JOIN hbands b
+                  ON a.band = b.band AND a.bkey = b.bkey),
+         jj AS (SELECT nid,
+                  len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) * 1.0 AS inter,
+                  len(sa.shs) + len(sb.shs) AS tot
+                FROM cand JOIN ns2 sa ON nid = sa.doc_id
+                          JOIN hs2 sb ON hid = sb.doc_id),
+         dups AS (SELECT DISTINCT nid FROM jj
+                  WHERE round(inter/(tot-inter), 4) >= 0.5)
+         SELECT d.doc_id, md5(d.text) AS text_md5
+         FROM nd d LEFT JOIN dups ON d.doc_id = dups.nid
+         WHERE dups.nid IS NULL"""
   )
 }

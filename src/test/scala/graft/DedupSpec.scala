@@ -445,4 +445,40 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture must contain within-cluster near-dups")
     assert(out.filter(_._3).map(_._1).toSet == expected)
   }
+
+  test("incrementalDedup drops batch docs near-duplicating history only") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely different sentence about spark execution plans"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // exact copy of history doc 1 → must drop
+      (101L, "the quick brown fox jumps over the lazy dog again and again"),
+      // near-copy (one token changed) → must drop at 0.5
+      (102L, "the quick brown fox jumps over the lazy cat again and again"),
+      // unrelated → must survive
+      (103L, "completely novel content sharing no shingles with anything"),
+      // near-dup of ANOTHER BATCH doc but nothing in history → survives
+      // (the pass is bipartite: batch×history only, never batch×batch)
+      (104L, "completely novel content sharing no shingles with anybody"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, hist, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(103L, 104L), s"got $kept")
+  }
+
+  test("fuzzyDedup keeps cluster minima and all unpaired docs") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "aa bb cc dd ee ff gg hh ii jj"),
+      (3L, "aa bb cc dd ee ff gg hh ii jj"), // exact dup, smaller id wins
+      (9L, "zz yy xx ww vv uu tt ss rr qq"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.fuzzyDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 9L), s"got $kept")
+  }
 }
