@@ -248,14 +248,45 @@ object Dedup {
     * equi-join on the batch side. Nothing rescans history per batch
     * beyond the band-key join.
     */
+  /** The persistable signature table of a corpus: `(id, shs, bands)` —
+    * exactly what [[incrementalDedupAgainstSignatures]] consumes as its
+    * history side. A deployed pipeline writes this ONCE per corpus
+    * snapshot (parquet, partitioned however the corpus is) and appends
+    * each accepted batch's signatures, so per-batch dedup never
+    * re-reads, re-tokenizes, or re-hashes the corpus text.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 12,
+                        bands: Int = 4): DataFrame =
+    signedDocs(docs, idCol, textCol, shingleN, numHashes, bands)
+
   def incrementalDedup(newDocs: DataFrame, history: DataFrame,
                        idCol: String, textCol: String,
                        shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
-                       threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5): DataFrame =
+    incrementalDedupAgainstSignatures(newDocs,
+      // both the band explode and the shingle-verify join read the
+      // signature table — materialize so the signing pass runs once
+      // (a STORED signature table pays only a parquet re-scan instead)
+      minhashSignatures(history, idCol, textCol, shingleN, numHashes, bands)
+        .localCheckpoint(),
+      idCol, textCol, shingleN, numHashes, bands, threshold)
+
+  /** [[incrementalDedup]] with the history side already signed — the
+    * deployed form: `histSignatures` is a stored [[minhashSignatures]]
+    * table (typically read straight from parquet), so the per-batch
+    * cost is signing the batch + one band equi-join into the stored
+    * table + Jaccard verify on the candidates.
+    */
+  def incrementalDedupAgainstSignatures(newDocs: DataFrame,
+                                        histSignatures: DataFrame,
+                                        idCol: String, textCol: String,
+                                        shingleN: Int = 3, numHashes: Int = 12,
+                                        bands: Int = 4,
+                                        threshold: Double = 0.5): DataFrame = {
     val newSigned = signedDocs(newDocs, idCol, textCol, shingleN, numHashes, bands)
       .localCheckpoint()
-    val histSigned = signedDocs(history, idCol, textCol, shingleN, numHashes, bands)
-      .localCheckpoint()
+    val histSigned = histSignatures
     def banded(df: DataFrame) =
       df.select(col("id"), posexplode(col("bands")).as(Seq("band", "bkey")))
     val cands = banded(newSigned).as("n")

@@ -469,6 +469,31 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(103L, 104L), s"got $kept")
   }
 
+  test("incrementalDedup against PERSISTED signatures equals the direct pass") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely different sentence about spark execution plans"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again"),
+      (103L, "completely novel content sharing no shingles with anything"))
+      .toDF("doc_id", "text")
+    val sigDir = java.nio.file.Files
+      .createTempDirectory("graft_sigs").toString + "/sigs"
+    // write the corpus signatures once, reload from disk — the deployed
+    // round trip (signature schema survives parquet)
+    Dedup.minhashSignatures(hist, "doc_id", "text")
+      .write.mode("overwrite").parquet(sigDir)
+    val fromDisk = Dedup.incrementalDedupAgainstSignatures(
+      batch, spark.read.parquet(sigDir), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val direct = Dedup.incrementalDedup(batch, hist, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fromDisk == direct && fromDisk == Set(103L), s"got $fromDisk")
+  }
+
   test("fuzzyDedup keeps cluster minima and all unpaired docs") {
     val spark = SparkTestSession.spark
     import spark.implicits._
