@@ -626,6 +626,29 @@ object Corpus {
         sum("m").as("n_bigrams"))
   }
 
+  /** Deterministic per-stratum take: exactly `min(k, |stratum|)` rows
+    * per stratum, chosen by md5-of-id rank — the fixed-COUNT sibling of
+    * [[mixtureSample]]'s fixed-RATE sampling (eval-set carving, per-
+    * language caps, debugging slices). No RNG: the same rows come back
+    * on every run, engine, and partitioning.
+    *
+    * Scale shape: one shuffle on the stratum key + a partition-local
+    * sort for the row_number window. For a stratum skewed enough that
+    * sorting it hurts, the bounded top-k Aggregator (q104's shape,
+    * [[tfidfTopKAgg]]) is the drop-in alternative — it was measured
+    * winning under a 70%-hot key; at typical stratum counts the window
+    * form is simpler and equivalent.
+    */
+  def stratifiedTake(docs: DataFrame, idCol: String, stratumCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"bad take size $k")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Snapshot merge (upsert) — the corpus-refresh primitive: a recrawl
     * or re-annotation produces an `updates` table (same schema);
     * updated ids replace their current rows, new ids append, untouched

@@ -108,6 +108,41 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Small-file compaction — the table-maintenance pass every long-run
+    * ingestion needs: streaming sinks and per-batch appends accumulate
+    * files far below the efficient scan size (vs
+    * `spark.sql.files.maxPartitionBytes`), and at 100 TB the resulting
+    * task-per-tiny-file overhead dominates scan time. Rewrites `path`
+    * to `out` in `ceil(totalBytes / targetBytes)` files.
+    *
+    * Scale shape: `coalesce`, not `repartition` — compaction does not
+    * need a shuffle, only fewer output tasks; coalesce merges existing
+    * partitions narrowly (each output task reads several input files
+    * sequentially). The tradeoff (coalesced file sizes track the input
+    * distribution rather than balancing perfectly) is the right one
+    * for maintenance passes; a layout CHANGE (clustering) is
+    * [[zorderWrite]]/[[linearWrite]]'s job, which do pay the shuffle.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long, out: String): Int = {
+    require(targetBytes > 0, s"bad target size $targetBytes")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listFiles(p, true) match {
+      case it =>
+        var s = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) s += f.getLen
+        }
+        s
+    }
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(path).coalesce(n)
+      .write.mode("overwrite").parquet(out)
+    n
+  }
+
   /** Comparison baseline: the same write clustered on a SINGLE column —
     * what a one-dimensional `ORDER BY` layout gives you.
     */

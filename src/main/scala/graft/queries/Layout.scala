@@ -44,6 +44,21 @@ object Layout {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("total"))
+    },
+
+    // Small-file compaction (q138): fragment the corpus into 64 tiny
+    // files (a streaming sink's aftermath), compact back to a handful
+    // with the narrow coalesce pass, read the compacted table and hash
+    // every row — maintenance must never change content. LayoutSpec
+    // asserts the file-count arithmetic.
+    "q138_compaction" -> { (s, d) =>
+      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/compact"
+      Tables.documents(s, d).select("doc_id", "text", "n_chars")
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$base/small")
+      L.compact(s, s"$base/small", targetBytes = 8L << 20, s"$base/out")
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
     }
   )
 
@@ -63,6 +78,10 @@ object Layout {
               CAST(count(*) AS BIGINT) AS n_orders,
               round(sum(o_totalprice), 2) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment"""
+         GROUP BY c_mktsegment""",
+    // q138: compaction is pure maintenance — the content hash must be
+    // exactly the source table's.
+    "q138_compaction" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents"""
   )
 }

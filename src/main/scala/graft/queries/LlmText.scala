@@ -831,6 +831,15 @@ object LlmText {
         shingleN = ShingleN, numHashes = NumHashes, bands = Bands,
         threshold = 0.5)
         .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    },
+
+    // Stratified take (q139): exactly 40 docs per language, selected by
+    // md5-of-id rank — the fixed-COUNT sibling of q97's fixed-rate
+    // mixture sampling. No RNG; the same rows on every run and engine.
+    "q139_stratified_take" -> { (s, d) =>
+      graft.operators.Corpus.stratifiedTake(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", k = 40)
     }
   )
 
@@ -1809,6 +1818,15 @@ object LlmText {
                   WHERE round(inter/(tot-inter), 4) >= 0.5)
          SELECT d.doc_id, md5(d.text) AS text_md5
          FROM nd d LEFT JOIN dups ON d.doc_id = dups.nid
-         WHERE dups.nid IS NULL"""
+         WHERE dups.nid IS NULL""",
+
+    // q139: the same md5-rank window, relationally.
+    "q139_stratified_take" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 40"""
   )
 }

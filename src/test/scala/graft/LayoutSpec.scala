@@ -122,4 +122,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(linX * 2 < linTotal)
     assert(zX * 2 < zTotal, s"z-order should prune on x too: $zX/$zTotal")
   }
+
+  test("compact merges a fragmented table to ceil(bytes/target) files, content intact") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (1 to 5000).map(i => (i.toLong, s"row $i payload"))
+      .toDF("id", "s")
+    df.repartition(32).write.mode("overwrite").parquet(s"$base/small")
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/small") == 32)
+    val totalBytes = new java.io.File(s"$base/small").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = totalBytes / 3 // force a 4-file result via the ceil
+    val n = Layout.compact(spark, s"$base/small", target, s"$base/out")
+    assert(n == ((totalBytes + target - 1) / target).toInt)
+    assert(parquetFiles(s"$base/out") == n, "one file per coalesced partition")
+    val got = spark.read.parquet(s"$base/out").as[(Long, String)].collect().toSet
+    assert(got == df.as[(Long, String)].collect().toSet, "content must be unchanged")
+  }
 }
