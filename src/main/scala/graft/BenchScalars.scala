@@ -146,7 +146,45 @@ object BenchScalars {
       },
       "blocklist_regex_alt" -> timed(
         text.select(sum(regexp_count(col("text"),
-          lit(blockPats.mkString("(", "|", ")"))))).collect()))
+          lit(blockPats.mkString("(", "|", ")"))))).collect()),
+      // Gopher repetition tagger: the one-pass mapPartitions form
+      // (q130's operator — per-doc hash maps, zero shuffle) vs the
+      // relational composition a SQL user would write (line explode +
+      // bigram window + gaps-and-islands runs: three shuffled branches
+      // re-joined on doc_id)
+      "repetition_tagger_onepass" -> timed {
+        val withId = text.withColumn("doc_id", monotonically_increasing_id())
+        graft.operators.Corpus.repetitionSignals(withId)
+          .agg(sum("top_bigram_count"), sum("max_token_run")).collect()
+      },
+      "repetition_tagger_relational" -> timed {
+        import org.apache.spark.sql.expressions.Window
+        val d = text.withColumn("doc_id", monotonically_increasing_id())
+        val lines = d.select(col("doc_id"),
+            explode(split(col("text"), "\n", -1)).as("line"))
+          .groupBy("doc_id", "line")
+          .agg(count(lit(1)).as("c"), first(length(col("line"))).as("len"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("total_lines"), sum(col("c") - 1).as("dup_lines"),
+            sum(col("c") * col("len")).as("total_line_chars"),
+            sum((col("c") - 1) * col("len")).as("dup_line_chars"))
+        val tw = d.select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.tokens(col("text")))
+            .as(Seq("i", "w")))
+        val seqW = Window.partitionBy("doc_id").orderBy("i")
+        val bg = tw.withColumn("w2", lead(col("w"), 1).over(seqW))
+          .filter(col("w2").isNotNull)
+          .groupBy("doc_id", "w", "w2").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("top_bigram_count"),
+            sum("c").as("n_bigrams"))
+        val runs = tw.withColumn("g",
+            col("i") - row_number().over(
+              Window.partitionBy("doc_id", "w").orderBy("i")))
+          .groupBy("doc_id", "w", "g").agg(count(lit(1)).as("runlen"))
+          .groupBy("doc_id").agg(max("runlen").as("max_token_run"))
+        lines.join(bg, Seq("doc_id"), "left").join(runs, Seq("doc_id"), "left")
+          .agg(sum("top_bigram_count"), sum("max_token_run")).collect()
+      })
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scalar_kernels","unit":"sec","rows":$n,"queries":$qs}""")
