@@ -67,6 +67,22 @@ object Multimodal {
           col("n_chars").cast("int").as("n_chars"))
     },
 
+    // ORC round-trip (q137): the second columnar interchange format
+    // Spark ships natively (predicate pushdown, column pruning, zlib
+    // striping — the warehouse-exchange sibling of parquet). Same
+    // doctrine as q78: write, read back, hash the values through the
+    // format.
+    "q137_orc_roundtrip" -> { (s, d) =>
+      val dir = s"/tmp/graft_io/${new java.io.File(d).getName}/orc"
+      Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars", "lang")
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .filter(col("n_chars") > 100) // pushed into the ORC scan
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"), col("lang"))
+    },
+
     // Frame sampling: every 3rd 256-byte "frame" of the DECODED pixel
     // buffer, with a per-frame digest the oracle recomputes from the
     // padded-text rule (ASCII fixture ⇒ byte slices == char slices).
@@ -117,6 +133,9 @@ object Multimodal {
       """SELECT doc_id, md5(text) AS text_md5,
               CAST(n_chars AS INTEGER) AS n_chars
          FROM documents""",
+    "q137_orc_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars, lang
+         FROM documents WHERE n_chars > 100""",
     "q65_frame_sample" ->
       s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix
            FROM documents WHERE length(text) > 0),

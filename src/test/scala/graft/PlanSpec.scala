@@ -20,6 +20,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("l_returnflag"), "scan should not read unused columns")
   }
 
+  test("q137: filter is pushed to the ORC scan and columns are pruned") {
+    val plan = planOf("q137_orc_roundtrip")
+    assert(plan.contains("PushedFilters: ["), plan.take(800))
+    assert(plan.contains("GreaterThan(n_chars"), plan.take(800))
+    assert(!plan.contains("source"), "scan should not read unused columns")
+  }
+
   test("q03: dimension join is a broadcast hash join") {
     val plan = planOf("q03_join_broadcast")
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
