@@ -44,6 +44,17 @@ object BenchScalars {
         .write.mode("overwrite").parquet(vecDir)
     }
     val vec = spark.read.parquet(vecDir)
+    // 8-field JSON metadata bags for the variant parse-once probe
+    val jsonDir = "/tmp/graft_scalar_bench/json"
+    if (!new java.io.File(jsonDir + "/_SUCCESS").exists()) {
+      spark.range(n).select(
+        concat(lit("{"),
+          concat_ws(",", (0 until 8).map(i =>
+            concat(lit(s""""f$i":"""), pmod(col("id") * (i + 1), lit(9973)))): _*),
+          lit("}")).as("j"))
+        .write.mode("overwrite").parquet(jsonDir)
+    }
+    val js = spark.read.parquet(jsonDir)
     graft.plans.NativeFunctions.register(spark)
     val codes = vec.select(
       call_function("binary_quantize_native", col("e")).as("x"),
@@ -157,6 +168,22 @@ object BenchScalars {
         graft.operators.Corpus.repetitionSignals(withId)
           .agg(sum("top_bigram_count"), sum("max_token_run")).collect()
       },
+      // variant parse-once/extract-many (q140's doctrine) vs
+      // get_json_object, which re-parses the JSON string per extraction:
+      // 4 typed reads from an 8-field metadata bag. The two-step select
+      // keeps the parse single (CollapseProject won't inline an alias
+      // referenced 4 times).
+      "variant_parse_once_x4" -> timed(
+        js.select(parse_json(col("j")).as("v"))
+          .select((0 until 4).map(i =>
+            variant_get(col("v"), s"$$.f$i", "long").as(s"x$i")): _*)
+          .select(sum(col("x0") + col("x1") + col("x2") + col("x3")))
+          .collect()),
+      "get_json_object_x4" -> timed(
+        js.select((0 until 4).map(i =>
+          get_json_object(col("j"), s"$$.f$i").cast("long").as(s"x$i")): _*)
+          .select(sum(col("x0") + col("x1") + col("x2") + col("x3")))
+          .collect()),
       "repetition_tagger_relational" -> timed {
         import org.apache.spark.sql.expressions.Window
         val d = text.withColumn("doc_id", monotonically_increasing_id())

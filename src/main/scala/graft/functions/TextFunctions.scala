@@ -60,6 +60,17 @@ object TextFunctions {
     */
   def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
 
+  /** Every n-gram OCCURRENCE in order (no dedup) — the counting twin of
+    * [[shinglesFromTokens]]: set semantics fit similarity signatures,
+    * occurrence semantics fit frequency analysis (heavy hitters,
+    * duplicate spans). Same materialized-tokens contract.
+    */
+  def allShinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
   /** Whole-document fingerprint: md5 of the whitespace-normalized,
     * lower-cased text (SURVEY.md north-star "document fingerprinting").
     */

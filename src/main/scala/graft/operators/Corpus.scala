@@ -244,6 +244,44 @@ object Corpus {
     * exact and deterministic, so unlike a count-min sketch it needs no
     * error bound: the oracle is plain GROUP BY / HAVING SQL.
     */
+  /** Absolute-threshold heavy hitters: every term with freq ≥ minCount,
+    * exact — [[heavyHitters]]'s sibling for the OTHER threshold form.
+    * Misra-Gries needs ~N/minCount counters to guarantee an absolute
+    * threshold (unbounded as the corpus grows past the threshold); a
+    * count-min sketch's memory is fixed by (eps, confidence) alone, and
+    * it only ever OVERestimates, so `estimate ≥ minCount` admits every
+    * true heavy hitter plus a small false-positive fringe — which the
+    * exact recount then kills. The [[bloomDecontaminate]] doctrine
+    * applied to counting: pass 1 is one aggregation collapsing to a
+    * ~100 KB mergeable sketch on the driver (commutative element-wise
+    * merge — deterministic under any partition order), pass 2 broadcasts
+    * it as a map-side gate so the exchange carries only near-threshold
+    * terms, never the open vocabulary. The sketch probe is a Scala udf
+    * by necessity (Spark ships BloomFilterMightContain but no CMS probe
+    * expression); output is exact, so the oracle is plain
+    * GROUP BY / HAVING — no error bound in the contract.
+    */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String, minCount: Long,
+                      shingleN: Int = 1, eps: Double = 1e-3,
+                      confidence: Double = 0.99): DataFrame = {
+    require(minCount > 0, s"need minCount > 0, got $minCount")
+    require(shingleN >= 1, s"need shingleN >= 1, got $shingleN")
+    // tokens materialized BEFORE the shingle lambda references them
+    // (TextFunctions doctrine: an inline tokenizer re-runs per element)
+    val toks = docs
+      .select(TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(explode(
+        if (shingleN == 1) col("toks")
+        else TextFunctions.allShinglesFromTokens(col("toks"), shingleN))
+        .as("term"))
+    val cms = toks.stat.countMinSketch("term", eps, confidence, seed = 42)
+    val bc = docs.sparkSession.sparkContext.broadcast(cms)
+    val mightBeHeavy = udf((t: String) => bc.value.estimateCount(t) >= minCount)
+    toks.filter(mightBeHeavy(col("term")))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+  }
+
   def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

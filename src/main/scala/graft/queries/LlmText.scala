@@ -597,6 +597,18 @@ object LlmText {
       graft.operators.Corpus.heavyHitters(Tables.documents(s, d), "text", k = 30)
     },
 
+    // CMS-gated heavy hitters (q141): q89's absolute-threshold sibling
+    // over the OPEN key space — 3-gram occurrences (~16k distinct here;
+    // unbounded on a real crawl), where Misra-Gries would need N/minCount
+    // counters. A fixed-size count-min sketch (overestimates only — no
+    // false negatives) gates the exchange to near-threshold terms; the
+    // exact recount kills the FP fringe, so the output needs no error
+    // bound and the oracle is plain GROUP BY / HAVING.
+    "q141_cms_heavy_hitters" -> { (s, d) =>
+      graft.operators.Corpus.cmsHeavyHitters(Tables.documents(s, d), "text",
+        minCount = 5, shingleN = 3)
+    },
+
     // int8 scalar quantization of the embedding column — codes must be
     // bit-identical across engines (pure IEEE double ops + one shared
     // rounding rule). Codes are posexploded to (vec_id, dim, code)
@@ -1162,6 +1174,16 @@ object LlmText {
           n AS (SELECT count(*) AS nn FROM s)
           SELECT term, count(*) AS freq FROM s, n
           GROUP BY term, nn HAVING count(*) * 30 > nn""",
+
+    // q141: every 3-gram OCCURRENCE (no per-doc dedup — the counting
+    // semantics), threshold as plain HAVING; the engine's sketch is an
+    // internal prefilter that cannot change the exact output.
+    "q141_cms_heavy_hitters" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+          g AS (SELECT unnest(list_transform(generate_series(1, len(toks)-2),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS term FROM t)
+          SELECT term, count(*) AS freq FROM g
+          GROUP BY term HAVING count(*) >= 5""",
 
     // Mirrors quantizeInt8 exactly: scale = amax/127 (unrounded) feeds
     // the code rounding; the OUTPUT scale is rounded to 6 dp. The same

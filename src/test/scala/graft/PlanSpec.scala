@@ -27,6 +27,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("source"), "scan should not read unused columns")
   }
 
+  test("q140: props is parsed into VARIANT once, not once per extraction") {
+    val plan = planOf("q140_variant_extract")
+    assert("parseJson".r.findAllIn(plan).size == 1, plan.take(1200))
+    assert("variant_get".r.findAllIn(plan).size == 3, plan.take(1200))
+  }
+
+  test("q141: the CMS gate filters BEFORE the single aggregation exchange") {
+    val plan = planOf("q141_cms_heavy_hitters")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one exchange, got $exchanges")
+    val gate = plan.indexOf("UDF")
+    val exchange = plan.indexOf("Exchange")
+    assert(gate >= 0, "sketch-probe filter missing from the plan")
+    // executedPlan prints top-down: the gate must sit BELOW the exchange
+    // (later in the string) = upstream of it at runtime
+    assert(gate > exchange, "gate must run map-side, before the shuffle")
+  }
+
   test("q03: dimension join is a broadcast hash join") {
     val plan = planOf("q03_join_broadcast")
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))

@@ -33,4 +33,31 @@ class SketchSpec extends AnyFunSuite {
       assert(a.getBoolean(6), s"$flag p99_ok")
     }
   }
+
+  test("cmsHeavyHitters is exact even under an aggressively lossy sketch") {
+    import spark.implicits._
+    // skewed synthetic corpus: token tN appears ~1000/N times
+    val docs = (1 to 60).flatMap(n => Seq.fill(1000 / n)(s"t$n"))
+      .grouped(37).map(_.mkString(" ")).toSeq.toDF("text")
+      .repartition(8)
+    val exact = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t").count().filter(col("count") >= 25)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // eps=0.5 -> width ~6: massive collisions, many false positives —
+    // the exact-confirm pass must still produce exactly the true set
+    val got = graft.operators.Corpus.cmsHeavyHitters(docs, "text",
+        minCount = 25, eps = 0.5, confidence = 0.9)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty && got == exact)
+  }
+
+  test("cmsHeavyHitters shingle form matches a relational recount") {
+    import spark.implicits._
+    val docs = Seq("a b c a b c a b c", "a b c d e", "x y", "").toDF("text")
+    val got = graft.operators.Corpus.cmsHeavyHitters(docs, "text",
+        minCount = 2, shingleN = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "a b c" occurs 3x in doc1 + 1x in doc2; "b c a"/"c a b" 2x each
+    assert(got == Map("a b c" -> 4L, "b c a" -> 2L, "c a b" -> 2L))
+  }
 }
