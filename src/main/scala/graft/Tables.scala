@@ -25,17 +25,27 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  /** The events table stores ts as TIMESTAMP(NANOS) — a parquet type
-    * Spark refuses outright (PARQUET_TYPE_ILLEGAL) unless read as a raw
-    * long. Read nanos as long, truncate to micros (identical to
-    * DuckDB's ns→us handling) and restore a naive timestamp.
+  /** The events table's `ts` physical type has varied across driver
+    * testdata generations: TIMESTAMP(NANOS) (a parquet type Spark
+    * refuses outright — PARQUET_TYPE_ILLEGAL — unless read as a raw
+    * long) in some, TIMESTAMP(MICROS) in others. Adapt to whichever is
+    * on disk: nanos-as-long is truncated to micros (identical to
+    * DuckDB's ns→us handling); a real timestamp is cast straight to
+    * timestamp_ntz (session TZ is pinned to UTC everywhere, so the
+    * wall-clock value is unchanged).
     */
   def events(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000"))
-        .cast("timestamp_ntz"))
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

@@ -33,15 +33,19 @@ object Events {
     rm(new java.io.File(base))
     val in = s"$base/in"
     val out = s"$base/out"
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$d/events.parquet")
+    // Normalize through the batch loader (ts → timestamp_ntz regardless
+    // of the on-disk physical type — see Tables.events), so the staged
+    // stream input always carries a µs timestamp and the sentinel math
+    // is type-stable across testdata generations.
+    val raw = Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     val maxRow = raw.agg(max(col("ts"))).head()
     // empty table → max(ts) is null: stage as-is (nothing to flush)
     val staged = if (maxRow.isNullAt(0)) raw else {
+      val flushTs = maxRow.getAs[java.time.LocalDateTime](0).plusHours(4)
       val sentinel = s.range(1).select(
         lit(-1L).as("event_id"),
-        lit(maxRow.getLong(0) + 4L * 3600L * 1000000000L).as("ts"),
+        lit(flushTs).as("ts"),
         lit(-1L).as("user_id"), lit("__flush__").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
       raw.unionByName(sentinel)

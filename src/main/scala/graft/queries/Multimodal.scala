@@ -173,12 +173,12 @@ object Multimodal {
               CAST(16000 AS INTEGER) AS sample_rate,
               CAST(a.n AS INTEGER) AS n_samples,
               a.n / 16.0 AS duration_ms,
-              a.sum_sq AS sum_sq,
+              CAST(a.sum_sq AS BIGINT) AS sum_sq,
               round(sqrt(CAST(a.sum_sq AS DOUBLE) / a.n), 4) AS rms,
               CAST(coalesce(z.zc, 0) AS INTEGER) AS zero_crossings,
               CAST(a.peak AS INTEGER) AS peak,
               CAST(a.dec_n AS INTEGER) AS dec_n,
-              a.dec_sum AS dec_sum
+              CAST(a.dec_sum AS BIGINT) AS dec_sum
          FROM a LEFT JOIN z USING (doc_id)""",
     // BYTE-true oracle THROUGH the codec: the engine sums decoded
     // pixels (raw UTF-8 bytes + 0x2e padding), so the oracle

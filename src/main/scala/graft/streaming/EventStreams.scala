@@ -19,23 +19,28 @@ import java.sql.Timestamp
   */
 object EventStreams {
 
-  // The harness stores ts as TIMESTAMP(NANOS) — illegal for Spark's
-  // parquet reader unless read as a raw long (see Tables.events); the
-  // stream schema mirrors that and restores a naive timestamp.
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-based event stream (parquet directory; swap for Kafka in prod). */
+  /** File-based event stream (parquet directory; swap for Kafka in prod).
+    *
+    * `readStream` needs an explicit schema, and the harness's `ts`
+    * physical type has varied across testdata generations (see
+    * Tables.events): TIMESTAMP(NANOS) — illegal for Spark's parquet
+    * reader unless read as a raw long — in some, TIMESTAMP(MICROS) in
+    * others. Probe the on-disk schema with one footer read (metadata
+    * only, no data scan) and normalize `ts` to timestamp_ntz either way,
+    * exactly mirroring the batch loader so stream/batch parity oracles
+    * compare like for like.
+    */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val fileSchema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(fileSchema).parquet(dir)
+    fileSchema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   /** Watermarked sliding-window counts per event type — the streaming
