@@ -687,6 +687,38 @@ object Corpus {
       .drop("__rank")
   }
 
+  /** Exact global position under a total order — the deterministic
+    * corpus-shuffle primitive: training-data assembly needs every
+    * document's position in a reproducible pseudo-random order (shard
+    * assignment, pack boundaries, resumable epochs), and the naive
+    * `row_number() OVER (ORDER BY …)` funnels the corpus through ONE
+    * partition. Here the order is established distributedly: a range
+    * exchange on the sort key (sampled boundaries, contiguous key
+    * ranges per partition), a partition-local sort, then
+    * `zipWithIndex` — which runs one lightweight count-per-partition
+    * job and assigns consecutive indices with per-partition offsets,
+    * never collecting data. Positions are 0-based, dense, and globally
+    * ordered by `sortCols` across partitions.
+    *
+    * Callers pass a UNIQUE sort key (e.g. `md5(id)` with `id` as
+    * tiebreaker) — a total order is what makes the result reproducible
+    * across runs, engines, and partition counts.
+    */
+  def globalOrderIndex(df: DataFrame, sortCols: Seq[Column],
+                       posCol: String = "pos"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val out = sorted.schema.add(posCol, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, out)
+  }
+
   /** Snapshot merge (upsert) — the corpus-refresh primitive: a recrawl
     * or re-annotation produces an `updates` table (same schema);
     * updated ids replace their current rows, new ids append, untouched

@@ -152,4 +152,27 @@ object Layout {
     df.repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").options(options).parquet(path)
+
+  /** Hive-style partitioned write — the COARSEST pruning lever: rows
+    * land in `col=value/` directories, and a later filter on a
+    * partition column eliminates whole directories during PLANNING
+    * (`PartitionFilters` on the scan node — zero files opened, zero
+    * footers read), strictly stronger than row-group stats pruning.
+    * The canonical 100 TB layout for low-cardinality query dimensions:
+    * date, language, source.
+    *
+    * Rows are pre-shuffled on the partition columns so each task holds
+    * complete partition values — without it, every one of T tasks can
+    * hold rows of every one of P values and the write emits up to T×P
+    * files (the classic partitioned-write small-file explosion). The
+    * tradeoff: a genuinely hot partition value serializes into one
+    * task's file; callers with known-hot values add a salt column to
+    * the repartition (not the directory layout) to split those writes.
+    */
+  def partitionedWrite(df: DataFrame, partCols: Seq[String],
+                       path: String): Unit = {
+    require(partCols.nonEmpty, "partitionedWrite needs partition columns")
+    df.repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+  }
 }

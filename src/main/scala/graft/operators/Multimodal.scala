@@ -299,6 +299,55 @@ object Multimodal {
       }
   }
 
+  final case class ResizedImage(doc_id: Long, out_width: Int, out_height: Int,
+                                out_n_pixels: Int, out_md5: String,
+                                out_sum: Long)
+
+  /** Nearest-neighbor downsample by an integer `factor` THROUGH the
+    * codec, twice: decode the payload, sample pixel (r·factor,
+    * c·factor) for every output position, RE-ENCODE the result as a
+    * fresh PNG, RE-DECODE it, and emit digest + exact pixel sum from
+    * the second decode — so the encoder is exercised on dimensions the
+    * fixture rule never produces (32-wide rows) and a bug in either
+    * codec direction breaks the oracle hash. Output dims are
+    * ceil(in/factor) (positions 0, factor, 2·factor, … < in).
+    *
+    * This is the image-preprocessing shape of a multimodal training
+    * pipeline (thumbnail/low-res variants for dedup and filtering): one
+    * narrow mapPartitions pass, codec state amortized per partition,
+    * payload bytes never touching the driver — swap the sampling loop
+    * for a real resampling kernel and the plumbing is unchanged.
+    */
+  def resizeNearest(media: DataFrame, factor: Int): Dataset[ResizedImage] = {
+    require(factor > 0, s"bad resize factor $factor")
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord]
+      .mapPartitions { records =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        records.map { r =>
+          val img = Png.decode(r.payload)
+          val ow = (img.width + factor - 1) / factor
+          val oh = (img.height + factor - 1) / factor
+          val small = new Array[Byte](ow * oh)
+          var rr = 0
+          while (rr < oh) {
+            var cc = 0
+            while (cc < ow) {
+              small(rr * ow + cc) = img.pixels(rr * factor * img.width + cc * factor)
+              cc += 1
+            }
+            rr += 1
+          }
+          val out = Png.decode(Png.encodeGray(ow, oh, small))
+          var s = 0L
+          var i = 0
+          while (i < out.pixels.length) { s += (out.pixels(i) & 0xff); i += 1 }
+          ResizedImage(r.doc_id, out.width, out.height, out.pixels.length,
+            md.digest(out.pixels).map(b => f"$b%02x").mkString, s)
+        }
+      }
+  }
+
   /** Per-partition batch decode + feature extraction (pixel stats and a
     * frame count) — the Scala analog of a mapInPandas batch UDF, now
     * over genuinely decoded image data.

@@ -59,6 +59,38 @@ object Layout {
       L.compact(s, s"$base/small", targetBytes = 8L << 20, s"$base/out")
       s.read.parquet(s"$base/out")
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
+    },
+
+    // Hive-partitioned layout (q142): write documents into lang=…/
+    // directories, read back through a partition-column filter. The
+    // filter prunes DIRECTORIES at planning time (LayoutSpec pins
+    // PartitionFilters on the scan and asserts only the lang=en
+    // directory's files are read); the oracle proves the surviving
+    // content is exactly the WHERE lang='en' rows.
+    "q142_partitioned_prune" -> { (s, d) =>
+      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/bylang"
+      L.partitionedWrite(Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars", "lang"), Seq("lang"), base)
+      s.read.parquet(base)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"), col("lang"))
+    },
+
+    // Range-sorted layout (q146): linearWrite clusters the corpus on
+    // n_chars (range exchange → contiguous, partition-locally sorted
+    // files), then a band filter reads it back. Parquet min/max stats
+    // per file/row-group are TIGHT on the sort column, so the scan
+    // skips every file outside the band (LayoutSpec asserts the
+    // per-file ranges are pairwise disjoint — the property pruning
+    // relies on); the oracle proves the band's content exactly.
+    "q146_sorted_layout" -> { (s, d) =>
+      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/bychars"
+      L.linearWrite(Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars"), "n_chars", base, numFiles = 8)
+      s.read.parquet(base)
+        .filter(col("n_chars").between(150, 350))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
     }
   )
 
@@ -82,6 +114,12 @@ object Layout {
     // q138: compaction is pure maintenance — the content hash must be
     // exactly the source table's.
     "q138_compaction" ->
-      """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents"""
+      """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
+    "q142_partitioned_prune" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars, lang
+         FROM documents WHERE lang = 'en'""",
+    "q146_sorted_layout" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars
+         FROM documents WHERE n_chars BETWEEN 150 AND 350"""
   )
 }

@@ -852,6 +852,20 @@ object LlmText {
       graft.operators.Corpus.stratifiedTake(
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         "doc_id", "lang", k = 40)
+    },
+
+    // Deterministic corpus shuffle (q147): every document's exact
+    // 0-based position in the md5-of-id pseudo-random total order —
+    // shard/pack assignment for training epochs. The order is
+    // established DISTRIBUTEDLY (range exchange + partition-local sort
+    // + zipWithIndex offsets), never through one partition; the oracle
+    // replays it as a window row_number, proving the distributed
+    // position assignment equals the single-engine total order.
+    "q147_global_shuffle" -> { (s, d) =>
+      graft.operators.Corpus.globalOrderIndex(
+        Tables.documents(s, d).select(col("doc_id")),
+        Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+        .select(col("doc_id"), col("pos"))
     }
   )
 
@@ -1849,6 +1863,15 @@ object LlmText {
                   row_number() OVER (PARTITION BY lang
                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents)
-         WHERE rn <= 40"""
+         WHERE rn <= 40""",
+
+    // q147: the distributed position assignment replayed as one global
+    // window — identical total order (md5 hex is ASCII, so string
+    // collation agrees byte-for-byte across engines).
+    "q147_global_shuffle" ->
+      """SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   - 1 AS BIGINT) AS pos
+         FROM documents"""
   )
 }

@@ -83,6 +83,48 @@ object Multimodal {
           col("n_chars"), col("lang"))
     },
 
+    // CSV round-trip (q145): the third interchange format — RFC-4180
+    // quoting (quoteAll + '"' escape, so embedded commas and quotes
+    // double-quote correctly), explicit read schema (inference is a
+    // scale anti-pattern: it costs an extra full scan and can flip
+    // types between batches). The hash oracle proves values survive
+    // the text encoding untouched.
+    "q145_csv_roundtrip" -> { (s, d) =>
+      val dir = s"/tmp/graft_io/${new java.io.File(d).getName}/csv"
+      Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .option("escape", "\"")
+        .csv(dir)
+      s.read
+        .option("header", "true").option("escape", "\"")
+        .schema("doc_id LONG, text STRING, lang STRING, n_chars LONG")
+        .csv(dir)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("n_chars"))
+    },
+
+    // Schema evolution (q148): two corpus snapshots written at
+    // different schema versions — v2 adds a `quality` column — read
+    // back as ONE table via mergeSchema. The old snapshot's rows
+    // surface the new column as NULL; nothing is rewritten (the
+    // 100 TB property: adding a column must not touch existing files).
+    // The oracle recomputes the merged view relationally.
+    "q148_schema_evolution" -> { (s, d) =>
+      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/schevo"
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$base/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("n_chars").as("quality"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/v1", s"$base/v2")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("quality"))
+    },
+
     // Frame sampling: every 3rd 256-byte "frame" of the DECODED pixel
     // buffer, with a per-frame digest the oracle recomputes from the
     // padded-text rule (ASCII fixture ⇒ byte slices == char slices).
@@ -110,6 +152,19 @@ object Multimodal {
           col("duration_ms"), col("sum_sq"),
           round(col("rms"), 4).as("rms"),
           col("zero_crossings"), col("peak"), col("dec_n"), col("dec_sum"))
+    },
+
+    // Image RESIZE through the codec, twice (r7): decode → nearest-
+    // neighbor ÷2 → re-encode (32-wide rows, dimensions the fixture
+    // rule never produces) → re-decode → digest + exact pixel sum. The
+    // oracle re-derives every sampled pixel arithmetically from the
+    // padded-text rule, so a stride slip, a mis-encoded IHDR, or a bad
+    // row filter on EITHER codec pass breaks the hash.
+    "q143_image_resize" -> { (s, d) =>
+      val media = graft.operators.Multimodal.asMedia(Tables.documents(s, d))
+      graft.operators.Multimodal.resizeNearest(media, factor = 2)
+        .select("doc_id", "out_width", "out_height", "out_n_pixels",
+          "out_md5", "out_sum")
     }
   )
 
@@ -136,6 +191,13 @@ object Multimodal {
     "q137_orc_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars, lang
          FROM documents WHERE n_chars > 100""",
+    "q145_csv_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, n_chars
+         FROM documents""",
+    "q148_schema_evolution" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+              CASE WHEN doc_id % 2 = 1 THEN n_chars END AS quality
+         FROM documents""",
     "q65_frame_sample" ->
       s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix
            FROM documents WHERE length(text) > 0),
@@ -180,6 +242,31 @@ object Multimodal {
               CAST(a.dec_n AS INTEGER) AS dec_n,
               CAST(a.dec_sum AS BIGINT) AS dec_sum
          FROM a LEFT JOIN z USING (doc_id)""",
+    // Resize oracle: replay the ÷2 nearest-neighbor sampling over the
+    // padded-text pixel rule (ASCII fixture ⇒ byte == char). Sampled
+    // rows r = 0,2,…,h-1 and cols c = 0,2,…,62 reassemble in row-major
+    // order; md5 of that string equals md5 of the decoded pixel bytes,
+    // and the pixel sum is exact integer arithmetic on both engines.
+    "q143_image_resize" ->
+      s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix FROM documents),
+         rr AS (SELECT doc_id, pix,
+                  unnest(generate_series(0, CAST(length(pix)/64 AS BIGINT) - 1, 2)) AS r
+           FROM p),
+         cc AS (SELECT doc_id, pix, r, unnest(generate_series(0, 62, 2)) AS c
+           FROM rr),
+         s AS (SELECT doc_id,
+                  string_agg(substr(pix, CAST(r*64 + c + 1 AS INTEGER), 1),
+                             '' ORDER BY r, c) AS rs,
+                  sum(ascii(substr(pix, CAST(r*64 + c + 1 AS INTEGER), 1))) AS psum
+           FROM cc GROUP BY doc_id)
+         SELECT doc_id,
+              32 AS out_width,
+              CAST(length(rs)/32 AS INTEGER) AS out_height,
+              CAST(length(rs) AS INTEGER) AS out_n_pixels,
+              md5(rs) AS out_md5,
+              CAST(psum AS BIGINT) AS out_sum
+         FROM s""",
+
     // BYTE-true oracle THROUGH the codec: the engine sums decoded
     // pixels (raw UTF-8 bytes + 0x2e padding), so the oracle
     // reconstructs each character's UTF-8 byte sum from its code point

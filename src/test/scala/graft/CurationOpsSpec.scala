@@ -51,4 +51,39 @@ class CurationOpsSpec extends AnyFunSuite {
     // full update rows
     assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
   }
+
+  test("globalOrderIndex: dense 0..n-1 positions in total order, any partition count") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ids = scala.util.Random.shuffle((0L until 997L).toList)
+    val df = ids.toDF("id").repartition(13)
+    val expected = ids.sorted
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString, i))
+    for (parts <- Seq("3", "32")) {
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        val got = Corpus.globalOrderIndex(df,
+          Seq(md5(col("id").cast("string")), col("id")))
+          .collect().map(r => (r.getLong(1), r.getLong(0)))
+          .sortBy(_._1)
+        assert(got.map(_._1).toSeq == (0L until 997L),
+          "positions must be dense 0..n-1")
+        assert(got.map(_._2).toSeq == expected,
+          s"order must match the md5 total order at $parts partitions")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
+  }
+
+  test("globalOrderIndex establishes order with a range exchange, not one partition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 100L).toDF("id")
+    val sorted = df.repartitionByRange(4, md5(col("id").cast("string")))
+      .sortWithinPartitions(md5(col("id").cast("string")))
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"no range exchange:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-partition funnel:\n$plan")
+  }
 }

@@ -123,6 +123,62 @@ class LayoutSpec extends AnyFunSuite {
     assert(zX * 2 < zTotal, s"z-order should prune on x too: $zX/$zTotal")
   }
 
+  test("partitionedWrite prunes directories at planning time, one file per value") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (i.toLong, s"payload $i", s"g${i % 5}"))
+      .toDF("id", "s", "g")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hivepart").toString
+    Layout.partitionedWrite(df, Seq("g"), dir)
+    // one directory per value, exactly one file inside each (the
+    // pre-repartition prevents the T×P small-file explosion)
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("g="))
+    assert(partDirs.length == 5, partDirs.map(_.getName).mkString(","))
+    partDirs.foreach { p =>
+      assert(p.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${p.getName} should hold exactly one file")
+    }
+    val q = spark.read.parquet(dir).filter(col("g") === "g3")
+    // pruning happens during PLANNING: the scan node carries the
+    // predicate as a PartitionFilter, and the files actually selected
+    // are only the g=g3 directory's
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.nonEmpty, "filter must reach partitionFilters")
+    // pruning is a PLANNING act: the file index, asked with the scan's
+    // own partition filters, must hand back only the g=g3 directory
+    // (q.inputFiles would lie here — it lists the unfiltered relation)
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters.filterNot(_.references.isEmpty), Nil)
+      .flatMap(_.files).map(_.getPath.toString)
+    assert(selected.nonEmpty && selected.forall(_.contains("/g=g3/")),
+      s"only g=g3 files may be selected: ${selected.take(3).mkString(",")}")
+    assert(q.count() == 600)
+  }
+
+  test("linearWrite per-file ranges on the sort column are pairwise disjoint") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val df = Seq.fill(4000)(rng.nextInt(100000).toLong).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_linear").toString
+    Layout.linearWrite(df, "v", dir, numFiles = 8)
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("v")), max(col("v"))).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"file ranges overlap: hi=$hi lo=$lo")
+      case _ =>
+    }
+  }
+
   test("compact merges a fragmented table to ceil(bytes/target) files, content intact") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString

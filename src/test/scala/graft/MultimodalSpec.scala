@@ -84,4 +84,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(2L).mean_pixel == ('x'.toInt * 200 + '.'.toInt * 56) / 256.0)
     assert(feats(2L).n_frames == 1)
   }
+
+  test("resizeNearest samples (r·f, c·f) through a second codec round trip") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefghij" * 20), // 200 chars → 4 rows of 64
+      (2L, "short"),           // 1 row
+      (3L, "y" * 129)          // 3 rows — odd height exercises the ceil
+    ).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs)
+    for (f <- Seq(2, 3)) {
+      val got = Multimodal.resizeNearest(media, factor = f).collect()
+        .map(r => r.doc_id -> r).toMap
+      docs.as[(Long, String)].collect().foreach { case (id, text) =>
+        val pix = Multimodal.pixelsOf(text)
+        val h = pix.length / 64
+        val ow = (64 + f - 1) / f
+        val oh = (h + f - 1) / f
+        val expect = for (r <- 0 until oh; c <- 0 until ow)
+          yield pix(r * f * 64 + c * f)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val r = got(id)
+        assert(r.out_width == ow && r.out_height == oh, s"doc $id factor $f")
+        assert(r.out_n_pixels == ow * oh)
+        assert(r.out_md5 ==
+          md.digest(expect.toArray).map(b => f"$b%02x").mkString,
+          s"doc $id factor $f digest")
+        assert(r.out_sum == expect.map(_ & 0xff).map(_.toLong).sum)
+      }
+    }
+    intercept[IllegalArgumentException](Multimodal.resizeNearest(media, 0))
+  }
 }
