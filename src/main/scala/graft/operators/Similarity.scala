@@ -642,11 +642,28 @@ object Similarity {
 
   /** Narrow per-row argmin over the subspace codebook: squared L2 via
     * the dot identity ‖v−c‖² = ‖v‖² + ‖c‖² − 2·v·c, ROUNDED to 4 dp with
-    * ties to the smaller cid (struct-max over (−dist, −cid, cid) — the
-    * exact mirror of the oracle's row_number ORDER BY dist, cid). Zero
-    * joins, zero shuffles — the kmeansAssign literal pattern.
+    * ties to the smaller cid (the exact mirror of the oracle's
+    * row_number ORDER BY dist, cid). Zero joins, zero shuffles.
+    *
+    * Runs as ONE native expression (l2_argmin_native) holding the whole
+    * codebook — the literal struct-max form ([[pqAssignLit]]) is
+    * semantically identical but inlines m·ksub struct/round/dot nodes
+    * into a single projection, and BenchFunnel measured its ANALYSIS +
+    * CODEGEN cost dominating the composed funnel (pqEncode ≈8 s on
+    * 2 000 rows, nearly all plan compilation). DedupSpec pins the two
+    * paths equal row-for-row on fixed books.
     */
-  private def pqAssign(s: Int, cents: Codebook): Column = {
+  private def pqAssign(s: Int, cents: Codebook): Column =
+    call_function("l2_argmin_native", col(s"sub$s"), col(s"nv$s"),
+      typedlit(cents.map(_._1).toSeq),
+      typedlit(cents.map(_._2.toSeq).toSeq),
+      typedlit(cents.map(_._3).toSeq))
+
+  /** The literal struct-max form of [[pqAssign]] — kept as the
+    * executable specification the native kernel is tested against
+    * (same doctrine as kmeansAssign's litMaxK dual path).
+    */
+  private[operators] def pqAssignLit(s: Int, cents: Codebook): Column = {
     val scored = cents.map { case (cid, ce, nc) =>
       struct(
         (-round(col(s"nv$s") + lit(nc) - lit(2.0) * dotN(col(s"sub$s"),
@@ -724,6 +741,21 @@ object Similarity {
       }.toArray
     }
     (base, books, dsub)
+  }
+
+  /** Encode against FIXED codebooks through either assignment path —
+    * the parity harness for the native kernel (DedupSpec pins
+    * native == literal row-for-row on the same books).
+    */
+  private[graft] def pqEncodeWith(vectors: DataFrame, books: Array[Codebook],
+                                  m: Int, useLit: Boolean): DataFrame = {
+    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
+    val base = pqBase(vectors, m, dim / m)
+    val assign: (Int, Codebook) => Column =
+      if (useLit) pqAssignLit else pqAssign
+    base.select(col("id"),
+      posexplode(array((0 until m).map(s => assign(s, books(s))): _*))
+        .as(Seq("subspace", "code")))
   }
 
   /** PQ encoding: each vector becomes m small codes (one centroid id per

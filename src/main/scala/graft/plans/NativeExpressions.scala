@@ -717,6 +717,136 @@ case class CosineArgmaxExpression(emb: Expression, norm: Expression,
       cvecs = newChildren(3), cnorms = newChildren(4))
 }
 
+/** Driver-precomputed codebook for [[L2ArgminExpression]] — the
+  * squared-L2 twin of [[CosineArgmaxKernel]], for PQ subspace
+  * assignment. The literal path (ksub inline struct/round/dot
+  * expressions PER SUBSPACE — m·ksub struct nodes in one projection)
+  * is correct but its analysis + codegen cost dominates small-input
+  * runs: BenchFunnel measured pqEncode at ~8 s on 2 000 rows, nearly
+  * all of it plan compilation. One kernel call per subspace collapses
+  * the tree to O(m).
+  */
+final class L2ArgminKernel(ids: Array[Long], vecs: Array[Array[Double]],
+    normsSq: Array[Double], subIsFloat: Boolean) extends Serializable {
+
+  /** Argmax of nd = −round(nv + ‖c‖² − 2·v·c, 4) with ties toward the
+    * smaller centroid id — replicating the literal `array_max` over
+    * `struct(nd, -cid, cid)` bit for bit: same dot accumulation order,
+    * same HALF_UP rounding ([[NativeVec.round4]]), Spark's total order
+    * for doubles (NaN greatest, NaN == NaN). A dim-mismatched centroid
+    * scores null in the literal path (dot_native returns null) and
+    * loses to every real score, so it is skipped; all-null falls back
+    * to the smallest centroid id, as lexicographic max of (null, -cid)
+    * does.
+    */
+  def apply(s: org.apache.spark.sql.catalyst.util.ArrayData,
+            nv: Double): Long = {
+    def gtSpark(a: Double, b: Double): Boolean =
+      if (a.isNaN) !b.isNaN else if (b.isNaN) false else a > b
+    def eqSpark(a: Double, b: Double): Boolean =
+      (a.isNaN && b.isNaN) || a == b
+    val nDim = s.numElements()
+    var best = Double.NaN
+    var bestId = Long.MaxValue
+    var found = false
+    var ci = 0
+    while (ci < ids.length) {
+      val c = vecs(ci)
+      if (c.length == nDim) {
+        var acc = 0.0
+        var i = 0
+        while (i < nDim) {
+          val x = if (subIsFloat) s.getFloat(i).toDouble else s.getDouble(i)
+          acc += x * c(i)
+          i += 1
+        }
+        val nd = -NativeVec.round4(nv + normsSq(ci) - 2.0 * acc)
+        if (!found || gtSpark(nd, best) ||
+          (eqSpark(nd, best) && ids(ci) < bestId)) {
+          best = nd; bestId = ids(ci); found = true
+        }
+      }
+      ci += 1
+    }
+    if (found) bestId else fallback
+  }
+
+  def fallback: Long = if (ids.isEmpty) -1L else ids.min
+}
+
+/** Narrow per-row squared-L2 argmin over a driver-held subspace
+  * codebook — PQ assignment as ONE expression node instead of ksub
+  * inlined struct terms (see [[L2ArgminKernel]]). Children 2-4 must be
+  * FOLDABLE (centroid ids, vectors, squared norms as literals): they
+  * are evaluated once on the driver into the kernel.
+  */
+case class L2ArgminExpression(sub: Expression, nv: Expression,
+    cids: Expression, cvecs: Expression, cnormsSq: Expression)
+    extends Expression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def children: Seq[Expression] = Seq(sub, nv, cids, cvecs, cnormsSq)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_argmin_native"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val subOk = sub.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (!subOk || nv.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        "l2_argmin_native requires (ARRAY<FLOAT|DOUBLE>, DOUBLE, ...)")
+    else if (!(cids.foldable && cvecs.foldable && cnormsSq.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        "l2_argmin_native codebook arguments must be literals")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val kernel: L2ArgminKernel = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val idArr = cids.eval(null).asInstanceOf[ArrayData].toLongArray()
+    val vecArr = cvecs.eval(null).asInstanceOf[ArrayData].toObjectArray(
+      ArrayType(DoubleType)).map(_.asInstanceOf[ArrayData].toDoubleArray())
+    val normArr = cnormsSq.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    require(idArr.length == vecArr.length && idArr.length == normArr.length,
+      s"codebook arity mismatch: ${idArr.length}/${vecArr.length}/${normArr.length}")
+    val isFloat = sub.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    new L2ArgminKernel(idArr, vecArr, normArr, isFloat)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val s = sub.eval(input)
+    val n = nv.eval(input)
+    if (s == null || n == null) kernel.fallback
+    else kernel(s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val kRef = ctx.addReferenceObj("l2ArgminKernel", kernel,
+      classOf[L2ArgminKernel].getName)
+    val subCode = sub.genCode(ctx)
+    val nvCode = nv.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${subCode.code}
+        ${nvCode.code}
+        boolean ${ev.isNull} = false;
+        long ${ev.value} = (${subCode.isNull} || ${nvCode.isNull})
+          ? $kRef.fallback()
+          : $kRef.apply(${subCode.value}, ${nvCode.value});
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(sub = newChildren(0), nv = newChildren(1), cids = newChildren(2),
+      cvecs = newChildren(3), cnormsSq = newChildren(4))
+}
+
 /** HTML→text extraction as a native unary expression
   * ([[graft.functions.Web.htmlToText]] rules). A per-document string
   * pass this size written as SQL string functions would be a tower of
@@ -784,6 +914,8 @@ object NativeFunctions {
       LowQualityCountExpression(exprs(0), exprs(1))),
     "cosine_argmax_native" -> (exprs =>
       CosineArgmaxExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))),
+    "l2_argmin_native" -> (exprs =>
+      L2ArgminExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))),
     "binary_quantize_native" -> (exprs => BinaryQuantizeExpression(exprs.head)),
     "hamming_native" -> (exprs =>
       HammingDistanceExpression(exprs(0), exprs(1))),
@@ -828,6 +960,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineArgmaxExpression].getName, "cosine_argmax_native"),
       (exprs: Seq[Expression]) =>
         CosineArgmaxExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))))
+    e.injectFunction((FunctionIdentifier("l2_argmin_native"),
+      new ExpressionInfo(classOf[L2ArgminExpression].getName, "l2_argmin_native"),
+      (exprs: Seq[Expression]) =>
+        L2ArgminExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))))
     e.injectFunction((FunctionIdentifier("binary_quantize_native"),
       new ExpressionInfo(classOf[BinaryQuantizeExpression].getName, "binary_quantize_native"),
       (exprs: Seq[Expression]) => BinaryQuantizeExpression(exprs.head)))

@@ -260,6 +260,21 @@ class DedupSpec extends AnyFunSuite {
     assert(run(64) == run(0))
   }
 
+  test("PQ assignment: l2_argmin_native matches the literal struct-max path") {
+    import spark.implicits._
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(16)(d => ((i * 31 + d * 97) % 29 - 14).toFloat))
+    }.toDF("id", "embedding")
+    // fixed books (whatever training produced — parity is about the
+    // ASSIGNMENT step, so both paths must read the same codebooks)
+    val books = Similarity.pqTrainCodebooks(vecs, m = 4, ksub = 8, iters = 1)
+    def run(useLit: Boolean) =
+      Similarity.pqEncodeWith(vecs, books, m = 4, useLit = useLit)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(useLit = false) == run(useLit = true))
+  }
+
   test("redact replaces URLs and emails with placeholder tags") {
     import spark.implicits._
     import graft.functions.TextFunctions
