@@ -18,9 +18,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       // Drop any stale output first: a failing query must NOT leave a
       // previous run's parquet behind to be compared as if current.
       val dest = new java.io.File(s"$outDir/$name")
@@ -34,9 +35,16 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // SELF-LABELING summary (r6 lesson: a testdata schema change made 17
+    // queries vanish from the correctness report SILENTLY — absent rows
+    // read as "not declared" rather than "broken"). One stdout line makes
+    // a partial run visible in the round artifacts themselves.
+    println(s"""{"verify_declared":${selected.size},"verify_failed":[${
+      failed.map("\"" + _ + "\"").mkString(",")}]}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

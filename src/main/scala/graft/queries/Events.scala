@@ -14,15 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** Stage `events.parquet` plus one `__flush__` sentinel event 4h past
-    * max event time into a fresh stream-input directory, run `job` over
-    * it as a Structured Streaming query (parquet file sink, append mode,
-    * Trigger.AvailableNow), and read the sink back. The sentinel drives
-    * the watermark past every real window/session so append mode emits
-    * them all, while its own window/session stays open and self-excludes
-    * (user_id/event_id = -1, event_type = `__flush__`).
+  /** Stage `events.parquet` plus one sentinel event PER `sentinelTypes`
+    * entry, 4h past max event time, into a fresh stream-input
+    * directory, run `job` over it as a Structured Streaming query
+    * (parquet file sink, append mode, Trigger.AvailableNow), and read
+    * the sink back. The sentinels drive the watermark past every real
+    * window/session so append mode emits them all, while their own
+    * windows/sessions stay open and self-exclude (user_id/event_id =
+    * -1; default event_type `__flush__`).
+    *
+    * Queries that filter the stream by event_type BEFORE the join need
+    * TYPED sentinels (e.g. Seq("click", "purchase")): Catalyst pushes
+    * deterministic filters below EventTimeWatermark, so an untyped
+    * sentinel is dropped before it ever reaches the watermark operator
+    * and the stream's tail stays unemittable — found by q149, whose
+    * last `window + delay` of outer-join nulls silently went missing
+    * under the `__flush__` sentinel.
     */
-  private def runStreamWithFlush(s: SparkSession, d: String, name: String)(
+  private def runStreamWithFlush(s: SparkSession, d: String, name: String,
+      sentinelTypes: Seq[String] = Seq("__flush__"))(
       job: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val base = s"/tmp/graft_stream/${new java.io.File(d).getName}_$name"
@@ -43,12 +53,14 @@ object Events {
     // empty table → max(ts) is null: stage as-is (nothing to flush)
     val staged = if (maxRow.isNullAt(0)) raw else {
       val flushTs = maxRow.getAs[java.time.LocalDateTime](0).plusHours(4)
-      val sentinel = s.range(1).select(
-        lit(-1L).as("event_id"),
-        lit(flushTs).as("ts"),
-        lit(-1L).as("user_id"), lit("__flush__").as("event_type"),
-        lit(0.0).as("value"), lit("{}").as("props"))
-      raw.unionByName(sentinel)
+      val sentinels = sentinelTypes.map { tpe =>
+        s.range(1).select(
+          lit(-1L).as("event_id"),
+          lit(flushTs).as("ts"),
+          lit(-1L).as("user_id"), lit(tpe).as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      }.reduce(_ unionByName _)
+      raw.unionByName(sentinels)
     }
     staged.write.mode("overwrite").parquet(in)
     val stream = job(graft.streaming.EventStreams.readEventStream(s, in))
@@ -110,6 +122,22 @@ object Events {
     "q99_stream_join" -> { (s, d) =>
       runStreamWithFlush(s, d, "ssj")(
         graft.streaming.EventStreams.clickPurchaseJoin(_))
+    },
+
+    // Stream-stream LEFT OUTER join (q149): unmatched clicks emit with
+    // NULL purchase columns only once the watermark proves conversion
+    // impossible. TYPED sentinels (one click, one purchase at user -1)
+    // pass the per-side type filters and push both watermark operators
+    // 4h past max event time, so every real click's 1h join window has
+    // provably closed and append mode emits the full outer result; the
+    // sentinel pair matches only itself and is dropped by the user_id
+    // filter. Oracle = the batch LEFT JOIN, proving watermark-deferred
+    // null emission converges to exactly the batch outer-join
+    // semantics.
+    "q149_stream_outer_join" -> { (s, d) =>
+      runStreamWithFlush(s, d, "ssoj", Seq("click", "purchase"))(
+        graft.streaming.EventStreams.clickPurchaseOuterJoin(_))
+        .filter(col("user_id") >= 0L)
     },
 
     // 7-day rolling distinct users per day — the retention/DAU shape.
@@ -374,6 +402,13 @@ object Events {
          FROM events c JOIN events p
            ON c.user_id = p.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND epoch_us(p.ts) >= epoch_us(c.ts)
+          AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""",
+    "q149_stream_outer_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
           AND epoch_us(p.ts) >= epoch_us(c.ts)
           AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""",
     "q98_rolling_dau" ->

@@ -110,6 +110,44 @@ object EventStreams {
       .select(col("click_id"), col("purchase_id"), col("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER click⋈purchase — the stateful case the
+    * inner join doesn't cover: an unmatched click can only be emitted
+    * (with NULL purchase columns) once the WATERMARK proves no matching
+    * purchase can still arrive — its join-window has closed. Same
+    * two-sided time bounds as [[clickPurchaseJoin]], so state stays
+    * bounded by the window horizon; the null rows trail real time by
+    * the watermark delay, which is exactly the semantics a late-data-
+    * tolerant attribution pipeline wants (count a click as unconverted
+    * only when conversion is provably impossible).
+    */
+  def clickPurchaseOuterJoin(events: DataFrame, window: String = "1 hour",
+                             watermark: String = "2 hours"): DataFrame = {
+    val base = events.withColumn("ts", col("ts").cast("timestamp"))
+    // Watermark-progress caveat: each side's watermark operator tracks
+    // the max event time of rows reaching IT — and Catalyst pushes the
+    // deterministic type filter below EventTimeWatermark regardless of
+    // where it is written, so each side's watermark advances only on
+    // events of ITS OWN type. In production both types flow
+    // continuously; a replay/backfill harness must feed both sides'
+    // tails (see q149's typed sentinels — an untyped flush sentinel is
+    // filtered out before the watermark ever sees it, silently freezing
+    // the last window+delay of null emissions).
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr(s"INTERVAL $window"),
+      "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+  }
+
   private def usToTimestamp(us: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)

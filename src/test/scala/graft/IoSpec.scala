@@ -209,4 +209,33 @@ class IoSpec extends AnyFunSuite {
     val keys = out.select("key").collect().map(_.getString(0)).toSet
     assert(keys == Set("q/1", "q/2"))
   }
+
+  test("Tables.events adapts to long-nanos AND timestamp ts physical types") {
+    // The driver's events.parquet has shipped ts as TIMESTAMP(NANOS)
+    // (readable only as a raw long) in some testdata generations and
+    // TIMESTAMP(MICROS) in others; the r6 gate lost 17 queries to the
+    // switch. Both layouts must load to the same timestamp_ntz values.
+    import spark.implicits._
+    val base = "2024-03-01T12:34:56.789012" // µs precision
+    val micros = java.time.LocalDateTime.parse(base)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + 789012L
+
+    val nanoDir = Files.createTempDirectory("graft_ev_nanos").toString
+    Seq((1L, micros * 1000L, 7L, "view", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$nanoDir/events.parquet")
+
+    val tsDir = Files.createTempDirectory("graft_ev_micros").toString
+    Seq((1L, java.time.LocalDateTime.parse(base), 7L, "view", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tsDir/events.parquet")
+
+    for (d <- Seq(nanoDir, tsDir)) {
+      val df = Tables.events(spark, d)
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType, s"dir $d")
+      val got = df.select(col("ts").cast("string")).head().getString(0)
+      assert(got == "2024-03-01 12:34:56.789012", s"dir $d: $got")
+    }
+  }
 }
