@@ -845,6 +845,59 @@ object LlmText {
         .select(col("doc_id"), md5(col("text")).as("text_md5"))
     },
 
+    // STREAMING incremental fuzzy dedup (q152): two micro-batches flow
+    // through foreachBatch — batch0 (reversed-token variants, mostly
+    // novel vs the corpus) then batch1 (verbatim copies of batch0 under
+    // new ids). Batch1 can only die against batch0's ACCEPTED
+    // signatures, so the oracle — which replays both dedup rounds with
+    // the history grown by batch0's survivors — proves the signature
+    // accumulation across micro-batches, not just per-batch dedup.
+    // Files are staged with 60s-apart mtimes + maxFilesPerTrigger=1 to
+    // pin micro-batch order.
+    "q152_stream_incdedup" -> { (s, d) =>
+      val base = s"/tmp/graft_stream/${new java.io.File(d).getName}_incdedup"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val b0 = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat_ws(" ", reverse(TextFunctions.tokens(col("text"))))
+            .as("text"))
+      val b1 = b0.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val inDir = new java.io.File(s"$base/in")
+        inDir.mkdirs()
+        val dest = new java.io.File(inDir, s"$name.parquet")
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        dest.setLastModified(mtime)
+      }
+      val t0 = 1700000000000L // fixed mtimes: deterministic batch order
+      stage(b0, "batch0", t0)
+      stage(b1, "batch1", t0 + 60000L)
+      val histSig = Dedup.minhashSignatures(docs, "doc_id", "text",
+        ShingleN, NumHashes, Bands)
+      graft.streaming.DocStreams.incrementalDedupStream(s, s"$base/in",
+        s"$base/out", s"$base/ckpt", histSig,
+        ShingleN, NumHashes, Bands, threshold = 0.5)
+      val hasParts = Option(new java.io.File(s"$base/out").listFiles())
+        .exists(_.exists(_.getName.endsWith(".parquet")))
+      val res =
+        if (hasParts) s.read.schema("doc_id LONG, text STRING")
+          .parquet(s"$base/out")
+        else s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, text STRING"))
+      res.select(col("doc_id"), md5(col("text")).as("text_md5"))
+    },
+
     // Stratified take (q139): exactly 40 docs per language, selected by
     // md5-of-id rank — the fixed-COUNT sibling of q97's fixed-rate
     // mixture sampling. No RNG; the same rows on every run and engine.
@@ -1855,6 +1908,56 @@ object LlmText {
          SELECT d.doc_id, md5(d.text) AS text_md5
          FROM nd d LEFT JOIN dups ON d.doc_id = dups.nid
          WHERE dups.nid IS NULL""",
+
+    // q152: both dedup rounds replayed — round 1 (batch0 vs corpus
+    // signatures), then round 2 (batch1 vs corpus ∪ batch0-SURVIVOR
+    // signatures). The h2-prefixed history union is the signature
+    // accumulation under test.
+    "q152_stream_incdedup" ->
+      s"""WITH nd0 AS (SELECT doc_id + 300000 AS doc_id,
+                   array_to_string(list_reverse($toksSql), ' ') AS text
+                 FROM documents WHERE doc_id % 13 = 0),
+         nd1 AS (SELECT doc_id + 100000 AS doc_id, text FROM nd0),
+         ${sigCtesFor("documents", "h")},
+         ${sigCtesFor("nd0", "n")},
+         ${sigCtesFor("nd1", "m")},
+         cand0 AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS hid
+                   FROM nbands a JOIN hbands b
+                   ON a.band = b.band AND a.bkey = b.bkey),
+         jj0 AS (SELECT nid,
+                   len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) * 1.0 AS inter,
+                   len(sa.shs) + len(sb.shs) AS tot
+                 FROM cand0 JOIN ns2 sa ON nid = sa.doc_id
+                            JOIN hs2 sb ON hid = sb.doc_id),
+         dups0 AS (SELECT DISTINCT nid FROM jj0
+                   WHERE round(inter/(tot-inter), 4) >= 0.5),
+         s0 AS (SELECT d.doc_id, d.text FROM nd0 d
+                LEFT JOIN dups0 ON d.doc_id = dups0.nid
+                WHERE dups0.nid IS NULL),
+         h2bands AS (SELECT * FROM hbands
+                     UNION ALL
+                     SELECT * FROM nbands
+                     WHERE doc_id IN (SELECT doc_id FROM s0)),
+         h2shs AS (SELECT doc_id, shs FROM hs2
+                   UNION ALL
+                   SELECT doc_id, shs FROM ns2
+                   WHERE doc_id IN (SELECT doc_id FROM s0)),
+         cand1 AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS hid
+                   FROM mbands a JOIN h2bands b
+                   ON a.band = b.band AND a.bkey = b.bkey),
+         jj1 AS (SELECT nid,
+                   len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) * 1.0 AS inter,
+                   len(sa.shs) + len(sb.shs) AS tot
+                 FROM cand1 JOIN ms2 sa ON nid = sa.doc_id
+                            JOIN h2shs sb ON hid = sb.doc_id),
+         dups1 AS (SELECT DISTINCT nid FROM jj1
+                   WHERE round(inter/(tot-inter), 4) >= 0.5),
+         s1 AS (SELECT d.doc_id, d.text FROM nd1 d
+                LEFT JOIN dups1 ON d.doc_id = dups1.nid
+                WHERE dups1.nid IS NULL)
+         SELECT doc_id, md5(text) AS text_md5 FROM s0
+         UNION ALL
+         SELECT doc_id, md5(text) AS text_md5 FROM s1""",
 
     // q139: the same md5-rank window, relationally.
     "q139_stratified_take" ->

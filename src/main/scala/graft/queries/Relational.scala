@@ -147,6 +147,36 @@ object Relational {
           sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
     },
 
+    // The ACTUAL pivot operator (q150) — q13 is the conditional-agg
+    // twin; this is the `Dataset.pivot` relational surface, with the
+    // pivot values given explicitly (at scale, never let pivot infer
+    // values: that is an extra distinct scan AND a nondeterministic
+    // column order). Missing cells coalesce to 0 to match the
+    // conditional-agg oracle.
+    "q150_pivot" -> { (s, d) =>
+      Tables.orders(s, d).groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    },
+
+    // Set operators beyond UNION (q151): INTERSECT/EXCEPT distinct
+    // semantics — both implement as hash aggregates over a shuffle on
+    // the full row, the same scale shape as q08's distinct.
+    "q151_set_ops" -> { (s, d) =>
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val heavy = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("o_orderkey"))
+      urgent.intersect(heavy).withColumn("band", lit("both"))
+        .unionByName(urgent.except(heavy).withColumn("band", lit("urgent_only")))
+    },
+
     // Rollup (grouping-sets extension; NULL-filled subtotal rows).
     "q14_rollup" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -332,6 +362,18 @@ object Relational {
          CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
          CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
          FROM orders GROUP BY o_orderpriority""",
+    "q150_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+    "q151_set_ops" ->
+      """WITH u AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+              h AS (SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_quantity >= 45)
+         SELECT o_orderkey, 'both' AS band FROM (SELECT * FROM u INTERSECT SELECT * FROM h)
+         UNION ALL
+         SELECT o_orderkey, 'urgent_only' AS band FROM (SELECT * FROM u EXCEPT SELECT * FROM h)""",
     "q14_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",

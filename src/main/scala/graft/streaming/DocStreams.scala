@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming twin of the batch curation gates (operators/Curation):
@@ -15,11 +15,61 @@ import org.apache.spark.sql.functions._
   *    fingerprint: state is bounded by the watermark horizon, not by
   *    corpus size — the property that keeps a year-long ingest from
   *    accumulating unbounded dedup state;
-  *  - the LSH near-dup stage stays batch: pairwise similarity needs a
-  *    corpus-wide view, so production runs it as a periodic compaction
-  *    over the streamed-in bronze table ([[graft.operators.Curation]]).
+  *  - NEAR-dup dedup bridges to the batch operator via
+  *    [[incrementalDedupStream]]: each micro-batch runs the bipartite
+  *    band join against the accumulated signature table (foreachBatch —
+  *    the standard stream→batch-operator bridge), so fuzzy dedup keeps
+  *    up with the stream without ever re-signing the corpus.
   */
 object DocStreams {
+
+  /** Streaming fuzzy dedup: each arriving micro-batch of (doc_id, text)
+    * is deduped against the ACCUMULATED history —
+    * [[graft.operators.Dedup.incrementalDedupAgainstSignatures]] per
+    * batch — survivors append to `outDir`, and the survivors' OWN
+    * signatures join the history so later batches dedup against
+    * everything accepted so far. State is the skinny signature table
+    * (id, shingle hashes, band keys), never the corpus text; in a
+    * deployed pipeline it lives as a parquet table the job appends to
+    * ([[graft.operators.Dedup.minhashSignatures]]), exactly as here but
+    * across restarts.
+    *
+    * Batch-internal near-dups survive (the bipartite property, as in
+    * the batch operator) — within-batch dedup composes separately.
+    * Processes `inDir` files one per micro-batch in arrival (mtime)
+    * order; blocks until the available input drains
+    * (Trigger.AvailableNow).
+    */
+  def incrementalDedupStream(spark: SparkSession, inDir: String,
+                             outDir: String, checkpoint: String,
+                             initialSignatures: DataFrame,
+                             shingleN: Int = 3, numHashes: Int = 12,
+                             bands: Int = 4,
+                             threshold: Double = 0.5): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    var hist = initialSignatures.localCheckpoint()
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors = graft.operators.Dedup
+          .incrementalDedupAgainstSignatures(batch, hist, "doc_id", "text",
+            shingleN, numHashes, bands, threshold)
+          .localCheckpoint()
+        survivors.write.mode("append").parquet(outDir)
+        hist = hist.unionByName(graft.operators.Dedup
+          .minhashSignatures(survivors, "doc_id", "text",
+            shingleN, numHashes, bands))
+          .localCheckpoint()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 
   /** Online curation gates over a streaming documents source with an
     * event-time column `tsCol`. Emits the curated append stream.
