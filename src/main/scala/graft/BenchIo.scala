@@ -66,6 +66,39 @@ object BenchIo {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"io_scan","unit":"sec","reads":$nReads,"bytes":$bytes,"queries":$qs}""")
+
+    // ---- parquet codec probe: the storage-cost lever at 100 TB ----
+    // Same corpus written under each codec; measures write time, bytes
+    // on disk, and a full-scan aggregate. The tradeoff being measured:
+    // zstd buys real bytes (≈ network + storage + scan-IO at scale) for
+    // CPU at write time; snappy is the decode-cheap default. Recorded
+    // in BASELINE.md next to the scan probes.
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_IO_DOCS", "1000000").toInt
+    val corpus = spark.range(nDocs.toLong).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 40).map(i =>
+          concat(lit(s"tok$i"), pmod(col("id") + i * 31, lit(997)))): _*)
+        .as("text"))
+      .localCheckpoint()
+    val codecRows = Seq("uncompressed", "snappy", "zstd").map { codec =>
+      val cdir = s"/tmp/graft_io_bench/codec_$codec"
+      val w = timed {
+        corpus.write.mode("overwrite")
+          .option("compression", codec).parquet(cdir)
+      }
+      val cbytes = new java.io.File(cdir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val r = timed {
+        spark.read.parquet(cdir)
+          .select(sum(length(col("text")))).collect()
+      }
+      (codec, w, cbytes, r)
+    }
+    val cs = codecRows.map { case (c, w, b, r) =>
+      s""""$c":{"write_sec":$w,"bytes":$b,"scan_sec":$r}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"io_codec","unit":"sec","docs":$nDocs,"codecs":$cs}""")
     spark.stop()
   }
 }
