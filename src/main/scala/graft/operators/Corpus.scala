@@ -100,22 +100,23 @@ object Corpus {
     * oracle joins on shingle STRINGS — output equality across the two
     * representations is itself verified per round (q81).
     */
+  private def tokenShingleHashes(text: String, shingleN: Int): Iterator[Long] = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < shingleN) Iterator.empty
+    else (0 to toks.length - shingleN).iterator.map { i =>
+      val s = UTF8String.fromString(toks.slice(i, i + shingleN).mkString(" "))
+      XxHash64Function.hash(s, StringType, 42L)
+    }
+  }
+
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,
                     shingleN: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def shingleHashes(text: String): Iterator[Long] = {
-      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-      if (toks.length < shingleN) Iterator.empty
-      else (0 to toks.length - shingleN).iterator.map { i =>
-        val s = UTF8String.fromString(toks.slice(i, i + shingleN).mkString(" "))
-        XxHash64Function.hash(s, StringType, 42L)
-      }
-    }
     val benchHashes: Array[Long] = bench
       .select(col(benchTextCol).as("text")).as[String]
-      .flatMap(shingleHashes)
+      .flatMap(tokenShingleHashes(_, shingleN))
       .distinct().collect().sorted
     val bc = spark.sparkContext.broadcast(benchHashes)
     Parallelism.ensure(docs)
@@ -125,13 +126,46 @@ object Corpus {
         it.map { case (id, text) =>
           val seen = new java.util.HashSet[java.lang.Long]()
           var hits = 0
-          shingleHashes(text).foreach { h =>
+          tokenShingleHashes(text, shingleN).foreach { h =>
             if (java.util.Arrays.binarySearch(sorted, h) >= 0 && seen.add(h))
               hits += 1
           }
           (id, hits, hits > 0)
         }
       }.toDF("doc_id", "n_hits", "contaminated")
+  }
+
+  /** Contamination SCORING — [[decontaminate]]'s graded sibling: the
+    * binary gate answers "touched the eval set at all?", but curation
+    * policy usually wants the OVERLAP FRACTION (drop ≥ X% contaminated,
+    * keep-but-tag below). Emits per-doc distinct-shingle totals and
+    * bench hits; callers derive the ratio. Same scale shape as the
+    * gate: sorted-array broadcast, one narrow pass, no shuffle.
+    */
+  def contaminationScore(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         shingleN: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val benchHashes: Array[Long] = bench
+      .select(col(benchTextCol).as("text")).as[String]
+      .flatMap(tokenShingleHashes(_, shingleN))
+      .distinct().collect().sorted
+    val bc = spark.sparkContext.broadcast(benchHashes)
+    Parallelism.ensure(docs)
+      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val sorted = bc.value
+        it.map { case (id, text) =>
+          val all = new java.util.HashSet[java.lang.Long]()
+          val hit = new java.util.HashSet[java.lang.Long]()
+          tokenShingleHashes(text, shingleN).foreach { h =>
+            all.add(h)
+            if (java.util.Arrays.binarySearch(sorted, h) >= 0) hit.add(h)
+          }
+          (id, all.size, hit.size)
+        }
+      }.toDF("doc_id", "n_shingles", "n_hits")
   }
 
   /** Bloom-gated decontamination — the [[decontaminate]] semantics at

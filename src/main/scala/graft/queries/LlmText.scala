@@ -898,6 +898,43 @@ object LlmText {
       res.select(col("doc_id"), md5(col("text")).as("text_md5"))
     },
 
+    // Contamination SCORING (q153): the graded sibling of q81's binary
+    // gate — per-doc overlap FRACTION against the eval-set shingles
+    // (curation policy drops ≥X%, tags below). Same broadcast sorted-
+    // hash-set narrow pass; the ratio derives from distinct-shingle
+    // counts both engines compute independently.
+    "q153_contamination_score" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Corpus.contaminationScore(docs, "doc_id", "text",
+        bench = docs.filter(col("doc_id") % 50 === 0), benchTextCol = "text",
+        shingleN = 5)
+        .select(col("doc_id"),
+          col("n_shingles").cast("int").as("n_shingles"),
+          col("n_hits").cast("int").as("n_hits"),
+          when(col("n_shingles") === 0, lit(0.0))
+            .otherwise(round(col("n_hits").cast("double") /
+              col("n_shingles"), 4)).as("contamination"))
+    },
+
+    // MAD outlier flags (q154): robust per-language outlier detection
+    // on doc length — median and median-absolute-deviation are the
+    // curation-grade robust stats (means/stddevs break on the heavy
+    // tails this filter exists to catch). Two tiny per-lang aggregates
+    // broadcast back; the flag pass is narrow.
+    "q154_mad_outliers" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val med = docs.groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val dev = docs.join(broadcast(med), "lang")
+        .withColumn("adev", abs(col("n_chars") - col("med")))
+      val mad = dev.groupBy("lang")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("adev") / nullif(col("mad"), lit(0.0)), 4).as("mad_score"),
+          (col("adev") > lit(3.0) * col("mad")).as("outlier"))
+    },
+
     // Stratified take (q139): exactly 40 docs per language, selected by
     // md5-of-id rank — the fixed-COUNT sibling of q97's fixed-rate
     // mixture sampling. No RNG; the same rows on every run and engine.
@@ -1958,6 +1995,39 @@ object LlmText {
          SELECT doc_id, md5(text) AS text_md5 FROM s0
          UNION ALL
          SELECT doc_id, md5(text) AS text_md5 FROM s1""",
+
+    // q153: shingle-set overlap fraction, on strings (engine hashes —
+    // q81 proves the representations agree).
+    "q153_contamination_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          s AS (SELECT doc_id, ${shinglesSql(5)} AS shs FROM t),
+          bsh AS (SELECT DISTINCT unnest(shs) AS sh FROM s WHERE doc_id % 50 = 0),
+          ex AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+          h AS (SELECT ex.doc_id, count(*) AS n
+                FROM ex JOIN bsh USING (sh) GROUP BY ex.doc_id)
+          SELECT s.doc_id,
+                 CAST(len(shs) AS INTEGER) AS n_shingles,
+                 CAST(coalesce(h.n, 0) AS INTEGER) AS n_hits,
+                 CASE WHEN len(shs) = 0 THEN 0.0
+                      ELSE round(CAST(coalesce(h.n, 0) AS DOUBLE) / len(shs), 4)
+                 END AS contamination
+          FROM s LEFT JOIN h ON s.doc_id = h.doc_id""",
+
+    // q154: the same two robust aggregates relationally (quantile_cont
+    // interpolates exactly as Spark's percentile — parity pinned since
+    // q133).
+    "q154_mad_outliers" ->
+      """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+                    FROM documents GROUP BY lang),
+          d AS (SELECT doc_id, documents.lang, n_chars,
+                   abs(n_chars - med) AS adev
+                FROM documents JOIN m ON documents.lang = m.lang),
+          md AS (SELECT lang, quantile_cont(adev, 0.5) AS mad
+                 FROM d GROUP BY lang)
+          SELECT doc_id, d.lang, n_chars,
+                 round(adev / nullif(mad, 0), 4) AS mad_score,
+                 adev > 3 * mad AS outlier
+          FROM d JOIN md ON d.lang = md.lang""",
 
     // q139: the same md5-rank window, relationally.
     "q139_stratified_take" ->

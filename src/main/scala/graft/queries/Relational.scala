@@ -184,6 +184,14 @@ object Relational {
         .agg(count(lit(1)).as("n"), r2(sum("l_quantity")).as("qty"))
     },
 
+    // CUBE (q155): all 2^k grouping sets — rollup's full-lattice
+    // sibling, one Expand + hash agg (never k separate scans).
+    "q155_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), r2(sum("l_quantity")).as("qty"))
+    },
+
     // HAVING shape.
     "q15_having" -> { (s, d) =>
       Tables.orders(s, d)
@@ -377,6 +385,9 @@ object Relational {
     "q14_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q155_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q15_having" ->
       """SELECT o_custkey, count(*) AS n_orders FROM orders
          GROUP BY o_custkey HAVING count(*) >= 3""",
