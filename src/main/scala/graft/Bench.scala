@@ -49,7 +49,16 @@ object Bench {
     // composed IVFADC funnel — both heavy, both worth a trend line
     "q124_bloom_decontaminate", "q128_ivf_adc_rerank")
 
-  private val headline = headlineR5 ++ headlineR6
+  /** r7 additions: the heaviest operators shipped this round — the
+    * double-codec image resize, the zipWithIndex global shuffle, and
+    * the foreachBatch streaming incremental dedup (each timed
+    * end-to-end including its fixture staging, consistent round over
+    * round).
+    */
+  private val headlineR7 = Seq(
+    "q143_image_resize", "q147_global_shuffle", "q152_stream_incdedup")
+
+  private val headline = headlineR5 ++ headlineR6 ++ headlineR7
 
   /** 1/5/15-minute load averages as a JSON array ("[]" off-Linux). */
   private def loadavg(): String =

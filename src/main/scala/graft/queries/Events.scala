@@ -124,6 +124,21 @@ object Events {
         graft.streaming.EventStreams.clickPurchaseJoin(_))
     },
 
+    // Streaming exactly-once dedup under the oracle (q156): the input
+    // stream is SELF-UNIONED — every event arrives twice in the same
+    // micro-batch (an at-least-once bus replay) — and
+    // dropDuplicatesWithinWatermark(event_id) must emit each exactly
+    // once. Oracle = the plain events table: output == input proves
+    // the replay was fully absorbed.
+    "q156_stream_dedup" -> { (s, d) =>
+      runStreamWithFlush(s, d, "sdd") { ev =>
+        graft.streaming.EventStreams.dedupStream(
+          ev.unionByName(ev), "event_id")
+      }
+        .filter(col("event_type") =!= "__flush__")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    },
+
     // Stream-stream LEFT OUTER join (q149): unmatched clicks emit with
     // NULL purchase columns only once the watermark proves conversion
     // impossible. TYPED sentinels (one click, one purchase at user -1)
@@ -411,6 +426,11 @@ object Events {
            ON c.user_id = p.user_id
           AND epoch_us(p.ts) >= epoch_us(c.ts)
           AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""",
+    // q156: every event exactly once — the doubled stream collapses
+    // back to the plain table.
+    "q156_stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+         FROM events""",
     "q98_rolling_dau" ->
       """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                             user_id
