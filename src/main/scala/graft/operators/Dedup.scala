@@ -163,6 +163,48 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Pair-recall diagnostic for [[minhashLshPairs]] — the quality
+    * number a fuzzy-dedup deployment tunes bands/hashes against: of all
+    * TRUE near-dup pairs (exact all-pairs Jaccard ≥ threshold), what
+    * fraction did the banded candidate join surface? LSH's verify stage
+    * recomputes exact Jaccard on candidates, so found ⊆ exact and the
+    * ratio IS recall (precision is 1.0 by construction).
+    *
+    * The exact baseline is an O(n²) self-join — a LABELED exactness
+    * baseline (the bruteForceTopK doctrine), for calibration runs on
+    * samples, never the production path.
+    */
+  def lshPairRecall(docs: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                    threshold: Double = 0.5): DataFrame = {
+    val sh = signedDocs(docs, idCol, textCol, shingleN, numHashes, bands)
+      .localCheckpoint()
+    def jaccardPairs(pairs: DataFrame): DataFrame = {
+      val inter = size(array_intersect(col("shs_a"), col("shs_b"))).cast("double")
+      val uni = (size(col("shs_a")) + size(col("shs_b"))).cast("double") - inter
+      pairs.withColumn("jaccard", round(inter / uni, 4))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+    }
+    val exact = jaccardPairs(
+      sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+          col("a.shs").as("shs_a"), col("b.shs").as("shs_b")))
+      .localCheckpoint()
+    val banded = sh.select(col("id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+    val found = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .join(exact, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_exact"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_exact"), 4).as("recall"))
+  }
+
   /** Connected components over a near-dup pair graph: every node gets
     * the MINIMUM doc id reachable from it — the cluster's canonical
     * keeper — turning a pair list (from [[minhashLshPairs]] /

@@ -281,6 +281,16 @@ object LlmText {
         shingleN = ShingleN, numHashes = NumHashes, bands = Bands, threshold = 0.5)
     },
 
+    // LSH pair recall (q157): the tuning number for bands/hashes — of
+    // all TRUE near-dup pairs (exact all-pairs Jaccard ≥ 0.5, a labeled
+    // O(n²) exactness baseline), what fraction did the band join
+    // surface? found ⊆ exact by construction, so the ratio IS recall.
+    "q157_lsh_pair_recall" -> { (s, d) =>
+      Dedup.lshPairRecall(Tables.documents(s, d), "doc_id", "text",
+        shingleN = ShingleN, numHashes = NumHashes, bands = Bands,
+        threshold = 0.5)
+    },
+
     // Token statistics (whitespace + BPE-ish estimate).
     "q32_token_stats" -> { (s, d) =>
       val toks = TextFunctions.tokens(col("text"))
@@ -968,6 +978,21 @@ object LlmText {
       s"""WITH $lshCtes
           SELECT da AS doc_a, db AS doc_b, round(inter/(tot-inter), 4) AS jaccard
           FROM j WHERE round(inter/(tot-inter), 4) >= 0.5""",
+    // q157: exact all-pairs baseline vs the band join's found pairs.
+    "q157_lsh_pair_recall" ->
+      s"""WITH $lshCtes,
+          found AS (SELECT da, db FROM j
+                    WHERE round(inter/(tot-inter), 4) >= 0.5),
+          exj AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                    len(list_filter(a.shs, x -> list_contains(b.shs, x))) * 1.0 AS inter,
+                    len(a.shs) + len(b.shs) AS tot
+                  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id),
+          exact AS (SELECT da, db FROM exj
+                    WHERE round(inter/(tot-inter), 4) >= 0.5)
+          SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+                 CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+                 round((SELECT count(*) FROM found) * 1.0 /
+                       (SELECT count(*) FROM exact), 4) AS recall""",
     "q32_token_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
           SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,

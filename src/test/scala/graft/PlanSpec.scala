@@ -61,6 +61,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("q10: rank<=k filter activates Spark's WindowGroupLimit pushdown") {
+    // Spark 3.5+ infers a per-group limit from row_number()<=k filters
+    // (InferWindowGroupLimit): each partition keeps only k rows per
+    // group BEFORE the window sort/exchange. This built-in covers the
+    // rank-top-k pattern — the reason the engine does NOT ship a custom
+    // rewrite rule for it (Spark-first doctrine); the bounded
+    // TopKTermsAggregator (q104) remains the tool for the SKEWED case
+    // the pushdown doesn't fix (one hot group still sorts on one core).
+    val plan = planOf("q10_window_rank")
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+  }
+
+  test("q154: both robust-stat joins broadcast — the corpus is never re-shuffled") {
+    val plan = planOf("q154_mad_outliers")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"),
+      "per-lang stat tables must broadcast, not shuffle the corpus")
+  }
+
+  test("q155: CUBE plans as one Expand + hash agg, not 2^k scans") {
+    val plan = planOf("q155_cube")
+    assert(plan.contains("Expand"), plan.take(1200))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      "the lattice must come from ONE scan")
+  }
+
   test("q01: aggregation is partial (map-side combine) before the exchange") {
     val plan = planOf("q01_agg_sum")
     // Two HashAggregate nodes around one Exchange = partial + final.
