@@ -124,6 +124,27 @@ object Events {
         graft.streaming.EventStreams.clickPurchaseJoin(_))
     },
 
+    // Stream-STATIC join (q158): the enrichment shape — a streaming
+    // fact joined per micro-batch to a static dimension (stateless,
+    // append-safe; at scale the dim broadcasts and re-resolves per
+    // batch, which is how slowly-changing lookups stay fresh without
+    // restarting the query). Purchases enrich with the customer
+    // segment keyed by user_id mod 150; the aggregation happens on the
+    // sink read-back — a streaming groupBy would need update mode, and
+    // the enrichment itself is the feature under test.
+    "q158_stream_static_join" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      runStreamWithFlush(s, d, "ssj2") { ev =>
+        ev.filter(col("event_type") === "purchase")
+          .withColumn("c_custkey", pmod(col("user_id"), lit(150L)) + 1L)
+          .join(broadcast(cust), "c_custkey")
+          .select(col("event_id"), col("c_mktsegment"), col("value"))
+      }
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    },
+
     // Streaming exactly-once dedup under the oracle (q156): the input
     // stream is SELF-UNIONED — every event arrives twice in the same
     // micro-batch (an at-least-once bus replay) — and
@@ -431,6 +452,13 @@ object Events {
     "q156_stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value, props
          FROM events""",
+    "q158_stream_static_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 2) AS total
+         FROM events e JOIN customer c
+           ON c.c_custkey = (e.user_id % 150) + 1
+         WHERE e.event_type = 'purchase'
+         GROUP BY c_mktsegment""",
     "q98_rolling_dau" ->
       """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                             user_id

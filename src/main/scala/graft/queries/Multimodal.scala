@@ -83,6 +83,35 @@ object Multimodal {
           col("n_chars"), col("lang"))
     },
 
+    // Corrupt-record ingestion (q159): real crawls ship malformed
+    // lines, and FAILFAST-on-everything loses the batch. PERMISSIVE
+    // mode with an explicit _corrupt_record column quarantines bad
+    // lines as rows instead of killing the job — every 10th document
+    // is staged as truncated JSON; good rows must survive intact and
+    // bad rows must land in quarantine with NULL fields, never
+    // silently vanish. (Explicit schema as always: inference over a
+    // corrupt corpus is both a second scan and a coin flip.)
+    "q159_corrupt_jsonl" -> { (s, d) =>
+      val dir = s"/tmp/graft_io/${new java.io.File(d).getName}/cjsonl"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("text"), col("n_chars")))
+            .as("line"))
+        // deterministic corruption: ids ending in 0 truncate mid-JSON
+        // (every full object is far longer than 20 chars, so the prefix
+        // is always malformed)
+        .select(when(col("doc_id") % 10 === 0, substring(col("line"), 1, 20))
+          .otherwise(col("line")).as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read
+        .schema("doc_id LONG, text STRING, n_chars LONG, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"),
+          col("_corrupt_record").isNotNull.as("quarantined"))
+    },
+
     // CSV round-trip (q145): the third interchange format — RFC-4180
     // quoting (quoteAll + '"' escape, so embedded commas and quotes
     // double-quote correctly), explicit read schema (inference is a
@@ -194,6 +223,16 @@ object Multimodal {
     "q145_csv_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, n_chars
          FROM documents""",
+    // q159: good rows survive intact; every planted-bad row lands in
+    // quarantine with NULL fields — none silently vanish.
+    "q159_corrupt_jsonl" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars,
+              false AS quarantined
+         FROM documents WHERE doc_id % 10 != 0
+         UNION ALL
+         SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+              CAST(NULL AS BIGINT), true
+         FROM documents WHERE doc_id % 10 = 0""",
     "q148_schema_evolution" ->
       """SELECT doc_id, md5(text) AS text_md5,
               CASE WHEN doc_id % 2 = 1 THEN n_chars END AS quality
