@@ -721,6 +721,25 @@ object Corpus {
       .drop("__rank")
   }
 
+  /** [[stratifiedTake]] through a bounded typed Aggregator — the
+    * SKEW-SAFE twin (the q104-over-q68 doctrine applied to sampling):
+    * the window form sorts every stratum's full row set, so one
+    * giant stratum (80% English) serializes a huge sort on one
+    * reducer; here the map side keeps ≤ k (md5, id) pairs per stratum
+    * per partition, the exchange carries ≤ k·partitions·|strata| tiny
+    * pairs, and no full sort exists anywhere. Identical output rows —
+    * the same md5-rank rule, the same oracle.
+    */
+  def stratifiedTakeAgg(docs: DataFrame, idCol: String, stratumCol: String,
+                        k: Int): DataFrame = {
+    require(k > 0, s"bad take size $k")
+    val minK = udaf(new BoundedMinKAggregator(k))
+    docs.groupBy(col(stratumCol))
+      .agg(minK(md5(col(idCol).cast("string")), col(idCol)).as("__ids"))
+      .select(col(stratumCol), explode(col("__ids")).as(idCol))
+      .select(col(idCol), col(stratumCol))
+  }
+
   /** Exact global position under a total order — the deterministic
     * corpus-shuffle primitive: training-data assembly needs every
     * document's position in a reproducible pseudo-random order (shard
@@ -928,4 +947,42 @@ final class TopKTermsAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[(String, Long, Double)]] =
     org.apache.spark.sql.catalyst.encoders
       .ExpressionEncoder[Seq[(String, Long, Double)]]()
+}
+
+/** Bounded "k smallest (md5, id) pairs" Aggregator — the map-side
+  * buffer of [[Corpus.stratifiedTakeAgg]]. The hex md5 is lowercase
+  * ASCII, so Scala string comparison, UTF8String order, and DuckDB
+  * binary collation all agree; ties (impossible for distinct ids, but
+  * contractually) break on the id. Buffer is kept sorted so the hot
+  * path (a row past the k-th entry in an already-full buffer) is one
+  * comparison, no allocation.
+  */
+final class BoundedMinKAggregator(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (String, Long), Seq[(String, Long)], Seq[Long]] {
+  import org.apache.spark.sql.Encoder
+
+  private val ord: Ordering[(String, Long)] =
+    (p: (String, Long), q: (String, Long)) => {
+      val c = p._1.compareTo(q._1) // ASCII hex: byte order == char order
+      if (c != 0) c else java.lang.Long.compare(p._2, q._2)
+    }
+
+  private def trim(xs: Seq[(String, Long)]): Seq[(String, Long)] =
+    xs.sorted(ord).take(k)
+
+  override def zero: Seq[(String, Long)] = Seq.empty
+  override def reduce(b: Seq[(String, Long)],
+                      a: (String, Long)): Seq[(String, Long)] =
+    if (b.length >= k && ord.compare(a, b.last) >= 0) b
+    else trim(b :+ a)
+  override def merge(x: Seq[(String, Long)],
+                     y: Seq[(String, Long)]): Seq[(String, Long)] =
+    trim(x ++ y)
+  override def finish(r: Seq[(String, Long)]): Seq[Long] = r.map(_._2)
+  override def bufferEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Seq[(String, Long)]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }

@@ -954,6 +954,19 @@ object LlmText {
         "doc_id", "lang", k = 40)
     },
 
+    // Stratified take, skew-safe form (q160): q139's documented
+    // weakness made real — the window form sorts every stratum's full
+    // row set (one giant stratum serializes a huge sort on one
+    // reducer); the bounded typed Aggregator keeps ≤ k (md5, id) pairs
+    // per stratum per partition, so the exchange carries tiny pairs
+    // and no full sort exists. Same md5-rank rule, same oracle as
+    // q139 — the two implementations are proven identical.
+    "q160_stratified_take_agg" -> { (s, d) =>
+      graft.operators.Corpus.stratifiedTakeAgg(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", k = 40)
+    },
+
     // Deterministic corpus shuffle (q147): every document's exact
     // 0-based position in the md5-of-id pseudo-random total order —
     // shard/pack assignment for training epochs. The order is
@@ -2056,6 +2069,16 @@ object LlmText {
 
     // q139: the same md5-rank window, relationally.
     "q139_stratified_take" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 40""",
+
+    // q160: identical rule to q139 — the aggregator must reproduce the
+    // window sort exactly.
+    "q160_stratified_take_agg" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,
                   row_number() OVER (PARTITION BY lang

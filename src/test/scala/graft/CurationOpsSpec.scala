@@ -52,6 +52,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
   }
 
+  test("stratifiedTakeAgg reproduces the window form exactly, without a Window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "lang")
+    val viaWindow = Corpus.stratifiedTake(docs, "doc_id", "lang", k = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaAgg = Corpus.stratifiedTakeAgg(docs, "doc_id", "lang", k = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaAgg == viaWindow)
+    val plan = Corpus.stratifiedTakeAgg(docs, "doc_id", "lang", k = 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"agg form must not plan a Window:\n$plan")
+  }
+
   test("globalOrderIndex: dense 0..n-1 positions in total order, any partition count") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
