@@ -153,6 +153,76 @@ object Layout {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").options(options).parquet(path)
 
+  /** Manifest-committed snapshot write — the core trick of every table
+    * format (Iceberg/Delta/Hudi) reduced to its primitive: data files
+    * land under `dir/data/` with unique names, then ONE manifest file
+    * (the atomic unit) lists exactly the files of this snapshot.
+    * Readers resolve the manifest first and read only its files, so
+    *  - a writer crash mid-job leaves orphan data files but NO torn
+    *    table (the manifest never referenced them);
+    *  - overwrite is atomic: the new manifest replaces the old in one
+    *    rename, and in-flight readers of the old manifest keep a
+    *    consistent old view (their files are still on disk until a
+    *    vacuum);
+    *  - time travel falls out: old manifests name old snapshots.
+    * On an object store this is the ONLY way to get atomic multi-file
+    * commits — directory listings are neither atomic nor consistent.
+    * Returns the snapshot id.
+    */
+  def snapshotWrite(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapId = {
+      // next id = max existing + 1 (single-writer assumption; a real
+      // catalog arbitrates concurrent committers)
+      val existing = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "manifest-*.json")))
+        .getOrElse(Array.empty)
+        .map(_.getPath.getName.stripPrefix("manifest-").stripSuffix(".json").toLong)
+      if (existing.isEmpty) 1L else existing.max + 1L
+    }
+    val dataDir = s"$dir/data/snap-$snapId"
+    df.write.mode("overwrite").parquet(dataDir)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(p => s"data/snap-$snapId/${p.getName}")
+      .sorted
+    val manifest = files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    // write-then-rename: the manifest appears atomically or not at all
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".manifest-$snapId.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"manifest-$snapId.json"))
+    snapId
+  }
+
+  /** Read a manifest-committed snapshot: latest by default, or a pinned
+    * `snapshotId` (time travel). Only manifest-listed files are read —
+    * orphans from crashed writers and files of other snapshots are
+    * invisible, whatever the directory listing says.
+    */
+  def snapshotRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   snapshotId: Long = -1L): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "manifest-*.json")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("manifest-").stripSuffix(".json").toLong)
+    require(manifests.nonEmpty, s"no snapshot manifest under $dir")
+    val snap = if (snapshotId > 0) snapshotId else manifests.max
+    require(manifests.contains(snap), s"snapshot $snap not found under $dir")
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val files = body.stripPrefix("[").stripSuffix("]").split(",")
+      .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .map(f => s"$dir/$f")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** Hive-style partitioned write — the COARSEST pruning lever: rows
     * land in `col=value/` directories, and a later filter on a
     * partition column eliminates whole directories during PLANNING

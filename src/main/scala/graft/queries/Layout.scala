@@ -77,6 +77,27 @@ object Layout {
           col("n_chars"), col("lang"))
     },
 
+    // Manifest snapshots (q161): two snapshot writes to the same table
+    // dir — v1's data files remain on disk (no vacuum), yet the reader
+    // resolves the latest manifest and sees ONLY v2 (half the docs,
+    // uppercased lang). The oracle pins the v2 content; LayoutSpec pins
+    // time travel (snapshot 1 still readable) and orphan invisibility.
+    "q161_snapshot_manifest" -> { (s, d) =>
+      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snaptbl"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val docs = Tables.documents(s, d)
+      L.snapshotWrite(docs.select("doc_id", "text", "lang"), base)
+      L.snapshotWrite(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), upper(col("lang")).as("lang")),
+        base)
+      L.snapshotRead(s, base)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"))
+    },
+
     // Range-sorted layout (q146): linearWrite clusters the corpus on
     // n_chars (range exchange → contiguous, partition-locally sorted
     // files), then a band filter reads it back. Parquet min/max stats
@@ -120,6 +141,9 @@ object Layout {
          FROM documents WHERE lang = 'en'""",
     "q146_sorted_layout" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
-         FROM documents WHERE n_chars BETWEEN 150 AND 350"""
+         FROM documents WHERE n_chars BETWEEN 150 AND 350""",
+    "q161_snapshot_manifest" ->
+      """SELECT doc_id, md5(text) AS text_md5, upper(lang) AS lang
+         FROM documents WHERE doc_id % 2 = 0"""
   )
 }

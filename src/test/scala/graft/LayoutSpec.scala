@@ -179,6 +179,31 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot manifests: atomic overwrite, time travel, orphan invisibility") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val v1 = (1L to 100L).map(i => (i, s"v1-$i")).toDF("id", "s")
+    val v2 = (1L to 50L).map(i => (i, s"v2-$i")).toDF("id", "s")
+    val id1 = Layout.snapshotWrite(v1, dir)
+    val id2 = Layout.snapshotWrite(v2, dir)
+    assert(id1 == 1L && id2 == 2L)
+    // latest read sees ONLY v2, though v1's files are still on disk
+    assert(Layout.snapshotRead(spark, dir).as[(Long, String)].collect().toSet ==
+      v2.as[(Long, String)].collect().toSet)
+    // time travel: the pinned old snapshot is fully intact
+    assert(Layout.snapshotRead(spark, dir, snapshotId = 1L)
+      .as[(Long, String)].collect().toSet ==
+      v1.as[(Long, String)].collect().toSet)
+    // a crashed writer's orphan data file is invisible to every reader
+    val orphanDir = new java.io.File(s"$dir/data/snap-99")
+    orphanDir.mkdirs()
+    (1L to 5L).map(i => (i + 1000L, "orphan")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data/snap-99")
+    assert(Layout.snapshotRead(spark, dir).filter(col("s") === "orphan").count() == 0)
+    intercept[IllegalArgumentException](
+      Layout.snapshotRead(spark, dir, snapshotId = 99L))
+  }
+
   test("compact merges a fragmented table to ceil(bytes/target) files, content intact") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
