@@ -223,6 +223,54 @@ object Layout {
     spark.read.parquet(files.toIndexedSeq: _*)
   }
 
+  /** Vacuum a manifest-committed table: delete every data file NOT
+    * referenced by the `keep` most recent manifests, and the dropped
+    * manifests themselves. The reason vacuum is safe here and unsafe
+    * with directory-listing tables: readers resolve a manifest first,
+    * so the reachable-file set is exact — crashed-writer orphans and
+    * retired snapshots are provably dead. `keep >= 1`; in production
+    * the keep horizon is a TIME bound covering the longest-running
+    * reader, since a reader pinned to a vacuumed snapshot loses its
+    * files. Returns the number of data files deleted.
+    */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, dir: String,
+             keep: Int = 1): Int = {
+    require(keep >= 1, s"must keep at least 1 snapshot, got $keep")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "manifest-*.json")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("manifest-").stripSuffix(".json").toLong)
+      .sorted
+    require(manifests.nonEmpty, s"no snapshot manifest under $dir")
+    val keepIds = manifests.takeRight(keep).toSet
+    val live: Set[String] = keepIds.flatMap { snap =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      body.stripPrefix("[").stripSuffix("]").split(",")
+        .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet
+    }
+    var deleted = 0
+    val dataRoot = new org.apache.hadoop.fs.Path(dir, "data")
+    if (fs.exists(dataRoot)) {
+      val it = fs.listFiles(dataRoot, true)
+      val dead = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toString.stripPrefix(
+          fs.makeQualified(root).toString + "/")
+        if (f.isFile && !live.contains(rel)) dead += f.getPath
+      }
+      dead.foreach { p => if (fs.delete(p, false)) deleted += 1 }
+    }
+    manifests.dropRight(keep).foreach { snap =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"), false)
+    }
+    deleted
+  }
+
   /** Hive-style partitioned write — the COARSEST pruning lever: rows
     * land in `col=value/` directories, and a later filter on a
     * partition column eliminates whole directories during PLANNING

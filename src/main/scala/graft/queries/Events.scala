@@ -124,6 +124,62 @@ object Events {
         graft.streaming.EventStreams.clickPurchaseJoin(_))
     },
 
+    // Checkpoint RECOVERY (q162): the same windowed aggregation run as
+    // TWO separate streaming queries sharing one checkpoint — run 1
+    // consumes the first half of the timeline and stops; run 2 starts
+    // fresh from the checkpoint, consumes the rest (+ flush sentinel).
+    // Windows spanning the restart boundary must merge state recovered
+    // from the checkpoint with run-2 events, and append mode must emit
+    // every window exactly once across both runs. Oracle = the batch
+    // aggregation over the whole table: any double-emit, gap, or lost
+    // state breaks the hash.
+    "q162_stream_recovery" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"/tmp/graft_stream/${new java.io.File(d).getName}_recov"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+      val maxRow = ev.agg(max(col("ts"))).head()
+      val flushTs = maxRow.getAs[java.time.LocalDateTime](0).plusHours(4)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"), lit(flushTs).as("ts"),
+        lit(-1L).as("user_id"), lit("__flush__").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        new java.io.File(s"$base/in").mkdirs()
+        val dest = new java.io.File(s"$base/in/$name.parquet")
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        dest.setLastModified(mtime)
+      }
+      def runOnce(): Unit = {
+        val stream = graft.streaming.EventStreams.readEventStream(s, s"$base/in")
+        val q = graft.streaming.EventStreams.windowedCounts(stream)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val t0 = 1700000000000L
+      stage(ev.filter(col("ts") < cut), "half0", t0)
+      runOnce() // first run: early windows finalize and emit
+      stage(ev.filter(col("ts") >= cut).unionByName(sentinel), "half1",
+        t0 + 60000L)
+      runOnce() // restart from checkpoint: boundary + late windows emit
+      s.read.parquet(s"$base/out")
+        .filter(col("event_type") =!= "__flush__")
+        .select("win", "event_type", "n", "total")
+    },
+
     // Stream-STATIC join (q158): the enrichment shape — a streaming
     // fact joined per micro-batch to a static dimension (stateless,
     // append-safe; at scale the dim broadcasts and re-resolves per
@@ -459,6 +515,12 @@ object Events {
            ON c.c_custkey = (e.user_id % 150) + 1
          WHERE e.event_type = 'purchase'
          GROUP BY c_mktsegment""",
+    // q162: exactly the batch aggregation — emitted once across the
+    // two checkpoint-sharing runs.
+    "q162_stream_recovery" ->
+      """SELECT date_trunc('hour', ts) AS win, event_type,
+              count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2""",
     "q98_rolling_dau" ->
       """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                             user_id

@@ -204,6 +204,29 @@ class LayoutSpec extends AnyFunSuite {
       Layout.snapshotRead(spark, dir, snapshotId = 99L))
   }
 
+  test("vacuum deletes only unreachable data files; the kept snapshot is whole") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val v1 = (1L to 100L).map(i => (i, s"v1-$i")).toDF("id", "s")
+    val v2 = (1L to 50L).map(i => (i, s"v2-$i")).toDF("id", "s")
+    Layout.snapshotWrite(v1, dir)
+    Layout.snapshotWrite(v2, dir)
+    // plant a crashed-writer orphan too
+    new java.io.File(s"$dir/data/snap-77").mkdirs()
+    (1L to 3L).toDF("id").withColumn("s", lit("orphan"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data/snap-77")
+    val deleted = Layout.vacuum(spark, dir, keep = 1)
+    assert(deleted > 0, "v1 + orphan files must be reclaimed")
+    // latest snapshot fully intact after vacuum
+    assert(Layout.snapshotRead(spark, dir).as[(Long, String)].collect().toSet ==
+      v2.as[(Long, String)].collect().toSet)
+    // the vacuumed snapshot is gone as a coherent unit
+    intercept[IllegalArgumentException](
+      Layout.snapshotRead(spark, dir, snapshotId = 1L))
+    // vacuum again: nothing left to reclaim (idempotent)
+    assert(Layout.vacuum(spark, dir, keep = 1) == 0)
+  }
+
   test("compact merges a fragmented table to ceil(bytes/target) files, content intact") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
