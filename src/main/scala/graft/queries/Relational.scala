@@ -192,6 +192,36 @@ object Relational {
         .agg(count(lit(1)).as("n"), r2(sum("l_quantity")).as("qty"))
     },
 
+    // Bivariate statistics (q163): correlation + sample covariance per
+    // group — the profiling step that finds which quality signals are
+    // redundant. One partial-aggregable pass (corr/covar are algebraic:
+    // sums of x, y, xy, x², y² merge associatively — map-side combine
+    // applies exactly as for sum/count).
+    "q163_corr_stats" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+            .as("cov_qty_disc"))
+    },
+
+    // UNPIVOT (q164): pivot's inverse — wide per-status counts melt
+    // back to (priority, status, n) long form. Spark's unpivot is a
+    // narrow Expand (rows × k), no shuffle beyond the q13-style agg
+    // that feeds it.
+    "q164_unpivot" -> { (s, d) =>
+      Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("F"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("O"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("P"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")),
+          "o_orderstatus", "n")
+    },
+
     // HAVING shape.
     "q15_having" -> { (s, d) =>
       Tables.orders(s, d)
@@ -388,6 +418,22 @@ object Relational {
     "q155_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q163_corr_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+              round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+              round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+         FROM lineitem GROUP BY l_returnflag""",
+    "q164_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority,
+              CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+              CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+              CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+              FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, 'F' AS o_orderstatus, f AS n FROM w
+         UNION ALL
+         SELECT o_orderpriority, 'O', o FROM w
+         UNION ALL
+         SELECT o_orderpriority, 'P', p FROM w""",
     "q15_having" ->
       """SELECT o_custkey, count(*) AS n_orders FROM orders
          GROUP BY o_custkey HAVING count(*) >= 3""",
