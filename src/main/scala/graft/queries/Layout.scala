@@ -98,6 +98,26 @@ object Layout {
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"))
     },
 
+    // Time travel under the oracle (q165): after the q161-style double
+    // write, a reader PINNED to snapshot 1 sees the complete original
+    // corpus — byte-for-byte — even though the table's latest state is
+    // the halved v2. (q161 pins the latest-read; this pins the pinned
+    // read through the same hash gate.)
+    "q165_snapshot_time_travel" -> { (s, d) =>
+      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snaptbl2"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val docs = Tables.documents(s, d)
+      L.snapshotWrite(docs.select("doc_id", "text", "lang"), base)
+      L.snapshotWrite(docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "lang"), base)
+      L.snapshotRead(s, base, snapshotId = 1L)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"))
+    },
+
     // Range-sorted layout (q146): linearWrite clusters the corpus on
     // n_chars (range exchange → contiguous, partition-locally sorted
     // files), then a band filter reads it back. Parquet min/max stats
@@ -144,6 +164,8 @@ object Layout {
          FROM documents WHERE n_chars BETWEEN 150 AND 350""",
     "q161_snapshot_manifest" ->
       """SELECT doc_id, md5(text) AS text_md5, upper(lang) AS lang
-         FROM documents WHERE doc_id % 2 = 0"""
+         FROM documents WHERE doc_id % 2 = 0""",
+    "q165_snapshot_time_travel" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang FROM documents"""
   )
 }

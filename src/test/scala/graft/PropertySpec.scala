@@ -155,4 +155,40 @@ class PropertySpec extends AnyFunSuite {
       TextFunctions.fingerprint(lower(col("b"))).as("fb"))
     df.collect().foreach(r => assert(r.getString(0) == r.getString(1)))
   }
+
+  test("BoundedMinKAggregator equals a sorted take under any partitioning") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    for (trial <- 1 to 3) {
+      val n = 200 + rnd.nextInt(300)
+      val ids = Random.shuffle((0L until 1000L).toList).take(n)
+      val docs = ids.map(i => (i, s"g${i % 4}")).toDF("doc_id", "lang")
+        .repartition(1 + rnd.nextInt(15) + trial)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(i: Long) =
+        md.digest(i.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val expect = ids.groupBy(i => s"g${i % 4}").flatMap { case (g, xs) =>
+        xs.sortBy(i => (h(i), i)).take(9).map(i => (i, g))
+      }.toSet
+      val got = Corpus.stratifiedTakeAgg(docs, "doc_id", "lang", k = 9)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == expect, s"trial $trial n=$n")
+    }
+  }
+
+  test("resizeNearest at factor 1 is the identity through a second codec pass") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = (1 to 10)
+      .map(i => (i.toLong, randDna(1 + rnd.nextInt(300))))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs)
+    val metas = Multimodal.parseMeta(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    Multimodal.resizeNearest(media, factor = 1).collect().foreach { r =>
+      val m = metas(r.doc_id)
+      assert(r.out_width == 64 && r.out_height == m.height)
+      assert(r.out_md5 == m.pixel_md5, s"doc ${r.doc_id}")
+    }
+  }
 }
