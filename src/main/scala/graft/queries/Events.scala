@@ -124,6 +124,20 @@ object Events {
         graft.streaming.EventStreams.clickPurchaseJoin(_))
     },
 
+    // Rows-frame rolling aggregate (q166): per-user trailing-3 sum in
+    // event order — the explicit ROWS BETWEEN frame (q98's rolling DAU
+    // uses a range self-join; this is the window-frame form). Ordered
+    // by (ts, event_id) so ties are deterministic cross-engine.
+    "q166_rolling_window" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("roll3"))
+    },
+
     // Checkpoint RECOVERY (q162): the same windowed aggregation run as
     // TWO separate streaming queries sharing one checkpoint — run 1
     // consumes the first half of the timeline and stops; run 2 starts
@@ -515,6 +529,12 @@ object Events {
            ON c.c_custkey = (e.user_id % 150) + 1
          WHERE e.event_type = 'purchase'
          GROUP BY c_mktsegment""",
+    "q166_rolling_window" ->
+      """SELECT event_id, user_id,
+              round(sum(value) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll3
+         FROM events""",
     // q162: exactly the batch aggregation — emitted once across the
     // two checkpoint-sharing runs.
     "q162_stream_recovery" ->

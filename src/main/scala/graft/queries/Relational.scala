@@ -207,6 +207,22 @@ object Relational {
             .as("cov_qty_disc"))
     },
 
+    // Window-function suite (q167): the ranking family beyond q10's
+    // row_number — dense_rank, percent_rank, ntile quartiles, and
+    // first_value, all over one partition spec (ONE window sort
+    // serves all four; Catalyst groups same-spec window exprs).
+    "q167_window_suite" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        dense_rank().over(w).as("drank"),
+        round(percent_rank().over(w), 4).as("prank"),
+        ntile(4).over(w).as("quartile"),
+        first_value(col("o_orderkey")).over(w).as("top_key"))
+    },
+
     // UNPIVOT (q164): pivot's inverse — wide per-status counts melt
     // back to (priority, status, n) long form. Spark's unpivot is a
     // narrow Expand (rows × k), no shuffle beyond the q13-style agg
@@ -423,6 +439,15 @@ object Relational {
               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
               round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
          FROM lineitem GROUP BY l_returnflag""",
+    "q167_window_suite" ->
+      """SELECT o_orderkey, o_orderpriority,
+              CAST(dense_rank() OVER win AS INTEGER) AS drank,
+              round(percent_rank() OVER win, 4) AS prank,
+              CAST(ntile(4) OVER win AS INTEGER) AS quartile,
+              first_value(o_orderkey) OVER win AS top_key
+         FROM orders
+         WINDOW win AS (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey)""",
     "q164_unpivot" ->
       """WITH w AS (SELECT o_orderpriority,
               CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
