@@ -192,6 +192,19 @@ object Relational {
         .agg(count(lit(1)).as("n"), r2(sum("l_quantity")).as("qty"))
     },
 
+    // GROUPING() disambiguation (q168): rollup subtotal rows carry
+    // NULL in the rolled-up column — indistinguishable from a genuine
+    // NULL group without the grouping flag. The flags make subtotal
+    // rows self-describing, which any BI layer over a 2^k lattice
+    // needs.
+    "q168_grouping_id" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+    },
+
     // Bivariate statistics (q163): correlation + sample covariance per
     // group — the profiling step that finds which quality signals are
     // redundant. One partial-aggregable pass (corr/covar are algebraic:
@@ -434,6 +447,11 @@ object Relational {
     "q155_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q168_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+              CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+              CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q163_corr_stats" ->
       """SELECT l_returnflag, count(*) AS n,
               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
