@@ -124,6 +124,63 @@ object Events {
         graft.streaming.EventStreams.clickPurchaseJoin(_))
     },
 
+    // Streaming MATERIALIZED VIEW (q169): update-mode aggregation →
+    // foreachBatch upsert → manifest-snapshot table — the classic
+    // incrementally-maintained rollup, composed from three shipped
+    // primitives (update-mode streaming agg emits the keys whose
+    // cumulative value changed this micro-batch; Corpus.snapshotMerge
+    // upserts them; Layout.snapshotWrite commits each version
+    // atomically). Two time-split micro-batches force a real second
+    // upsert over recovered agg state; the final snapshot must equal
+    // the batch aggregation over everything.
+    "q169_stream_matview" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"/tmp/graft_stream/${new java.io.File(d).getName}_mv"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        new java.io.File(s"$base/in").mkdirs()
+        val dest = new java.io.File(s"$base/in/$name.parquet")
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        dest.setLastModified(mtime)
+      }
+      val t0 = 1700000000000L
+      stage(ev.filter(col("ts") < cut), "half0", t0)
+      stage(ev.filter(col("ts") >= cut), "half1", t0 + 60000L)
+      val tbl = s"$base/mv"
+      val stream = graft.streaming.EventStreams.readEventStream(s, s"$base/in",
+        Map("maxFilesPerTrigger" -> "1")) // one file per micro-batch
+      val q = stream
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val current =
+            if (new java.io.File(tbl).exists())
+              graft.operators.Layout.snapshotRead(s, tbl)
+            else batch.limit(0)
+          graft.operators.Layout.snapshotWrite(
+            graft.operators.Corpus.snapshotMerge(current, batch, "event_type"),
+            tbl)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.operators.Layout.snapshotRead(s, tbl)
+    },
+
     // Rows-frame rolling aggregate (q166): per-user trailing-3 sum in
     // event order — the explicit ROWS BETWEEN frame (q98's rolling DAU
     // uses a range self-join; this is the window-frame form). Ordered
@@ -529,6 +586,10 @@ object Events {
            ON c.c_custkey = (e.user_id % 150) + 1
          WHERE e.event_type = 'purchase'
          GROUP BY c_mktsegment""",
+    // q169: the materialized view must equal the batch rollup.
+    "q169_stream_matview" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY event_type""",
     "q166_rolling_window" ->
       """SELECT event_id, user_id,
               round(sum(value) OVER (PARTITION BY user_id

@@ -30,10 +30,11 @@ object EventStreams {
     * exactly mirroring the batch loader so stream/batch parity oracles
     * compare like for like.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  def readEventStream(spark: SparkSession, dir: String,
+                      options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(dir).schema
-    val raw = spark.readStream.schema(fileSchema).parquet(dir)
+    val raw = spark.readStream.schema(fileSchema).options(options).parquet(dir)
     fileSchema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts",
