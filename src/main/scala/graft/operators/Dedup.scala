@@ -390,6 +390,47 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
       .filter(col("n") > 1)
 
+  /** SimHash near-dup PAIRS within a Hamming radius — the Manku/Google
+    * block-index recipe on the 16-bit signature [[simhashBuckets]]
+    * computes (q34 finds only EXACT signature collisions): split the
+    * signature into 4 blocks of 4 bits; by pigeonhole, any pair within
+    * Hamming distance ≤ 3 matches EXACTLY on at least one block, so an
+    * equi-join per (block index, block bits) surfaces every candidate
+    * and the 16-bit Hamming verify keeps the true pairs. Scale shape:
+    * |blocks| equi-joins' worth of candidates (never all pairs),
+    * shuffle keys are (block, 4 bits); a production 64-bit simhash
+    * uses 16-bit blocks — same plan, bigger keys, sparser buckets.
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          radius: Int = 2): DataFrame = {
+    require(radius >= 1 && radius <= 3,
+      s"radius $radius outside the 4-block pigeonhole guarantee (1..3)")
+    val sig = Parallelism.ensure(docs)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"), transform(col("toks"), t => md5(t)).as("hs"))
+      .select(col("id"), TextFunctions.simhash16FromHashes(col("hs")).as("sim"))
+      .localCheckpoint()
+    val blocks = sig.select(col("id"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("sim"), b * 4 + 1, 4)): _*)).as(Seq("blk", "key")))
+    val cands = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val ham = (0 until 16).map(i =>
+      when(substring(col("sim_a"), i + 1, 1) =!=
+        substring(col("sim_b"), i + 1, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    cands
+      .join(sig.select(col("id"), col("sim").as("sim_a")), col("doc_a") === col("id")).drop("id")
+      .join(sig.select(col("id"), col("sim").as("sim_b")), col("doc_b") === col("id")).drop("id")
+      .withColumn("hamming", ham.cast("int"))
+      .filter(col("hamming") <= radius)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Exact n-gram Jaccard pairs above a threshold, via shingle-explode
     * co-grouping (no LSH, but still no cartesian product: only pairs that
     * SHARE at least one shingle are generated by the equi-join).

@@ -281,6 +281,16 @@ object LlmText {
         shingleN = ShingleN, numHashes = NumHashes, bands = Bands, threshold = 0.5)
     },
 
+    // SimHash near-dup pairs within Hamming radius 2 (q170): the
+    // Manku block-index recipe over q34's signature — 4-bit blocks,
+    // pigeonhole candidate join, exact 16-bit Hamming verify. q34
+    // only finds exact signature collisions; this is the radius
+    // search real simhash dedup runs.
+    "q170_simhash_pairs" -> { (s, d) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        radius = 2)
+    },
+
     // LSH pair recall (q157): the tuning number for bands/hashes — of
     // all TRUE near-dup pairs (exact all-pairs Jaccard ≥ 0.5, a labeled
     // O(n²) exactness baseline), what fraction did the band join
@@ -991,6 +1001,20 @@ object LlmText {
       s"""WITH $lshCtes
           SELECT da AS doc_a, db AS doc_b, round(inter/(tot-inter), 4) AS jaccard
           FROM j WHERE round(inter/(tot-inter), 4) >= 0.5""",
+    // q170: same signature CTE as q34; block-join candidates, exact
+    // Hamming verify. The oracle takes the all-pairs shortcut (correct
+    // by the pigeonhole argument the engine's block join implements).
+    "q170_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          hh AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM t),
+          sig AS (SELECT doc_id, $simhashSql AS sim FROM hh),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_filter(range(1, 17), i ->
+                    substr(a.sim, CAST(i AS INTEGER), 1) !=
+                    substr(b.sim, CAST(i AS INTEGER), 1))) AS INTEGER) AS hamming
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 2""",
+
     // q157: exact all-pairs baseline vs the band join's found pairs.
     "q157_lsh_pair_recall" ->
       s"""WITH $lshCtes,
