@@ -192,6 +192,23 @@ object Relational {
         .agg(count(lit(1)).as("n"), r2(sum("l_quantity")).as("qty"))
     },
 
+    // Null-safe join (q171): `<=>` treats NULL as a joinable key value
+    // (standard `=` drops NULL keys silently — the classic lost-rows
+    // bug when a dimension key is nullable). Orders with status P get
+    // a planted NULL key and must still find their dimension row.
+    "q171_nullsafe_join" -> { (s, d) =>
+      val facts = Tables.orders(s, d)
+        .select(nullif(col("o_orderstatus"), lit("P")).as("k"),
+          col("o_totalprice"))
+      val dim = Tables.orders(s, d)
+        .select(nullif(col("o_orderstatus"), lit("P")).as("dk"))
+        .distinct()
+        .withColumn("label", coalesce(col("dk"), lit("UNKNOWN")))
+      facts.join(dim, facts("k") <=> dim("dk"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), r2(sum("o_totalprice")).as("total"))
+    },
+
     // GROUPING() disambiguation (q168): rollup subtotal rows carry
     // NULL in the rolled-up column — indistinguishable from a genuine
     // NULL group without the grouping flag. The flags make subtotal
@@ -447,6 +464,13 @@ object Relational {
     "q155_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q171_nullsafe_join" ->
+      """WITH f AS (SELECT nullif(o_orderstatus, 'P') AS k, o_totalprice FROM orders),
+              d AS (SELECT DISTINCT nullif(o_orderstatus, 'P') AS dk FROM orders)
+         SELECT coalesce(dk, 'UNKNOWN') AS label,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM f JOIN d ON f.k IS NOT DISTINCT FROM d.dk
+         GROUP BY 1""",
     "q168_grouping_id" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
               CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
