@@ -887,6 +887,108 @@ object Corpus {
         }
       }
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * Efraimidis–Spirtes A-ES key (IPL 2006, public algorithm): give
+    * each row the key ln(u) / w for a per-row uniform u ∈ (0, 1] and
+    * weight w > 0; the k rows with the LARGEST keys are distributed
+    * exactly as sequential weighted draws without replacement. u is
+    * md5-derived (the [[hashGate]] idiom — first 8 hex chars, so u =
+    * (h + 1) / 2³², never zero), which makes the sample reproducible
+    * across runs, engines, and partitionings — no RNG state.
+    *
+    * Scale shape: one narrow pass computes the key, then orderBy+limit
+    * plans TakeOrderedAndProject — per-partition top-k heaps and a
+    * single k-row merge, never a global sort. Ties are broken by id;
+    * with 32-bit hash entropy per row, key collisions at the boundary
+    * are the only cross-engine risk and require ln(u)/w to collide to
+    * the last double ulp.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"sample size $k must be positive")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h + 1).cast("double") / lit(4294967296.0) // 2^32
+    Parallelism.ensure(df)
+      .filter(col(weightCol) > 0)
+      .select(col(idCol).as("id"), col(weightCol).cast("double").as("w"),
+        (log(u) / col(weightCol)).as("skey"))
+      .orderBy(col("skey").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Byte-pair-encoding tokenizer TRAINING (Sennrich et al., ACL 2016 —
+    * the public BPE recipe): starting from characters, repeatedly count
+    * adjacent symbol pairs over the word vocabulary (weighted by word
+    * frequency), merge the most frequent pair everywhere (left-to-right,
+    * non-overlapping), `merges` times. Returns the learned merge table
+    * — one row per round: (round, lhs, rhs, merged, cnt), exact
+    * integers, deterministic tiebreak (count desc, then pair asc).
+    *
+    * The scale insight BPE training rests on: after ONE corpus pass
+    * (the word-count aggregation), every iteration runs on the VOCAB
+    * table (|distinct words|, ~10⁵-10⁶ rows at any corpus size), not
+    * the corpus — so 100 TB of text costs one aggregation plus
+    * `merges` vocab-sized rounds. Symbol sequences are kept as a
+    * delimited string ("(t)(h)(e)"): pair extraction is one
+    * regexp_extract_all and applying a merge is one literal `replace`
+    * per round — and string replace's left-to-right non-overlap
+    * semantics are exactly BPE's merge-application rule (both engines
+    * share it, so the oracle replays training verbatim). Only words
+    * matching `^[a-z]+$` after lowercasing train (parens stay
+    * meta-characters). Per round, ONE 1-row argmax comes to the driver
+    * (the k-means centroid-fetch contract); the vocab is
+    * localCheckpoint'd per round so each round's plan stays flat.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 64,
+      s"merges $merges outside sane bounds (1..64)")
+    val spark = docs.sparkSession
+    val chars = filter(split(col("word"), ""), c => c =!= "")
+    var vocab = Parallelism.ensure(docs)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(lower(col("tok")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        concat_ws("", transform(chars, c => concat(lit("("), c, lit(")"))))
+          .as("repr"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val syms = regexp_extract_all(col("repr"), lit("\\([a-z]+\\)"), lit(0))
+      val best = vocab
+        .select(col("cnt"), syms.as("syms"))
+        .select(col("cnt"), explode(when(size(col("syms")) > 1,
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("s1"),
+              element_at(col("syms"), i + 1).as("s2"))))
+          .otherwise(array())).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("s1").asc, col("s2").asc)
+        .limit(1)
+        .collect() // exactly one row (or none) — bounded driver fetch
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        val (s1, s2, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        val i1 = s1.substring(1, s1.length - 1)
+        val i2 = s2.substring(1, s2.length - 1)
+        learned += ((r, i1, i2, i1 + i2, c))
+        vocab = vocab
+          .withColumn("repr",
+            replace(col("repr"), lit(s1 + s2), lit("(" + i1 + i2 + ")")))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("round", "lhs", "rhs", "merged", "cnt")
+  }
 }
 
 /** Bounded top-k buffer for [[Corpus.tfidfTopKAgg]]: both the partial

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large text corpora (north-star surface:
@@ -429,6 +429,97 @@ object Dedup {
       .withColumn("hamming", ham.cast("int"))
       .filter(col("hamming") <= radius)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Edit-distance similarity join: every pair within Levenshtein
+    * distance ≤ `maxDist`, WITHOUT the all-pairs comparison — the
+    * PassJoin partition scheme (Li/Deng/Feng, ICDE 2011; public
+    * algorithm): split each string into `maxDist + 1` contiguous
+    * segments. If ed(s, t) ≤ d, each edit touches at most one of s's
+    * d + 1 segments, so at least one segment survives UNEDITED and
+    * appears verbatim in t — start position shifted by at most d (each
+    * insertion/deletion before it moves it one place). Candidates
+    * therefore come from an equi-join between every string's own
+    * segments (anchor side, keyed (anchor length, segment index,
+    * segment text)) and every length/index/shift-compatible substring
+    * of the other strings (probe side, same key); the exact Levenshtein
+    * verify then runs only on candidate pairs.
+    *
+    * Scale shape: probe fan-out is (d+1)·(2d+1)² keys per row (18 at
+    * d = 1, 75 at d = 2) — constant, independent of corpus size; both
+    * sides shuffle skinny (key, id) rows and every join is an
+    * equi-join, never a cartesian (PlanSpec-asserted). Template-heavy
+    * corpora where one segment value is shared by many strings
+    * ("Customer#0000…" prefixes) hot-spot that key's reducer exactly
+    * like any skewed join key — AQE skew-split applies, and Ed-Join's
+    * content-based segment selection is the published refinement.
+    *
+    * Strings shorter than d + 1 characters cannot fill d + 1 non-empty
+    * segments and are dropped (bucket ultra-short strings separately;
+    * the oracle applies the same floor).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"maxDist $maxDist outside the supported segment range (1..3)")
+    val d = maxDist
+    val k = d + 1
+    // (id, s) reused by the anchor explode, the probe explode, and the
+    // two verify joins — one materialization, per-invocation blocks.
+    val base = Parallelism.ensure(df)
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) >= k)
+      .localCheckpoint()
+    val len = length(col("s"))
+    // Even split of a length-L string into k segments (first L mod k
+    // segments one char longer); all Column arithmetic, so the explode
+    // stays inside codegen. 1-based positions for substr.
+    def segLen(l: Column, i: Int): Column =
+      floor(l.cast("double") / k).cast("int") +
+        when(lit(i) < l % k, 1).otherwise(0)
+    def segStart(l: Column, i: Int): Column =
+      (lit(i) * floor(l.cast("double") / k).cast("int") +
+        least(lit(i), l % k) + 1).cast("int")
+
+    val anchors = base.select(col("id"),
+      explode(array((0 until k).map { i =>
+        struct(len.as("al"), lit(i).as("seg"),
+          col("s").substr(segStart(len, i), segLen(len, i)).as("piece"))
+      }: _*)).as("key"))
+
+    // Probe side: for each possible anchor length La = len + delta
+    // (|delta| ≤ d), segment index i, and shift in [-d, d], the window
+    // of THIS string where that anchor segment could sit verbatim.
+    val probeKeys = for {
+      delta <- -d to d
+      i <- 0 until k
+      shift <- -d to d
+    } yield {
+      val la = len + delta
+      val pl = segLen(la, i)
+      val ps = segStart(la, i) + shift
+      when(la >= k && ps >= 1 && ps + pl - 1 <= len,
+        struct(la.as("al"), lit(i).as("seg"),
+          col("s").substr(ps, pl).as("piece")))
+    }
+    val probes = base.select(col("id"),
+      explode(filter(array(probeKeys: _*), x => x.isNotNull)).as("key"))
+      .dropDuplicates("id", "key")
+
+    val cands = anchors.as("a")
+      .join(probes.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    cands
+      .join(base.select(col("id"), col("s").as("s_a")),
+        col("id_a") === col("id")).drop("id")
+      .join(base.select(col("id"), col("s").as("s_b")),
+        col("id_b") === col("id")).drop("id")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= d)
+      .select("id_a", "id_b", "dist")
   }
 
   /** Exact n-gram Jaccard pairs above a threshold, via shingle-explode

@@ -222,6 +222,24 @@ object Relational {
           grouping(col("l_linestatus")).cast("int").as("g_ls"))
     },
 
+    // Arbitrary GROUPING SETS (q173): the lattice rollup/cube can't
+    // express — (flag, status), (flag), (status), but NOT the grand
+    // total. One scan + one Expand (3 replicas) + one hash agg, same
+    // physical shape as cube with a smaller lattice; grouping flags
+    // make the mixed NULLs self-describing (q168's rule: flags must
+    // live inside the agg).
+    "q173_grouping_sets" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          r2(sum("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+    },
+
     // Bivariate statistics (q163): correlation + sample covariance per
     // group — the profiling step that finds which quality signals are
     // redundant. One partial-aggregable pass (corr/covar are algebraic:
@@ -476,6 +494,14 @@ object Relational {
               CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
               CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q173_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+              round(sum(l_quantity), 2) AS sum_qty,
+              CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+              CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), (l_linestatus))""",
     "q163_corr_stats" ->
       """SELECT l_returnflag, count(*) AS n,
               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,

@@ -152,8 +152,53 @@ object Web {
       graft.operators.Blocklist.scrub(docs, "doc_id", "text", BlockPatterns)
         .select(col("doc_id"), col("clean_text"), col("n_spans"),
           col("n_redacted"))
+    },
+
+    // PageRank over a deterministic link graph (the crawl-quality
+    // prior): node = document, out-links from a fixed arithmetic rule
+    // with VARIABLE out-degree 1..3 (regular graphs have uniform rank —
+    // no signal). 5 power iterations, damping 0.85; the oracle replays
+    // every iteration as a chained CTE, so the join+agg update rule is
+    // under the hash, not just the final ordering.
+    "q175_pagerank" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).cast("long").as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n"),
+          explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .filter(col("j") <= lit(1) + col("doc_id") % 3)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + col("j") * 7) % col("n")).as("dst"))
+      graft.operators.Graph.pageRank(docs, edges, idCol = "doc_id")
+        .select(col("id").as("doc_id"), round(col("r"), 8).as("rank"))
     }
   )
+
+  /** q175's oracle: the identical 5 power iterations as chained CTEs —
+    * generated by the same loop shape the engine runs, so iteration
+    * count, damping, teleport, and the leak-free in-degree handling all
+    * replay in SQL.
+    */
+  private def pageRankOracle(iterations: Int): String = {
+    val ctes = Seq(
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)",
+      """e AS (SELECT d.doc_id AS src, (d.doc_id * 31 + j.j * 7) % nn.n AS dst
+              FROM documents d, nn, (VALUES (1), (2), (3)) AS j(j)
+              WHERE j.j <= 1 + d.doc_id % 3)""",
+      "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1)",
+      "r0 AS (SELECT d.doc_id AS id, 1.0 / nn.n AS r FROM documents d, nn)") ++
+      (1 to iterations).map { i =>
+        s"""r$i AS (SELECT d.doc_id AS id,
+               0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.c, 0.0) AS r
+             FROM documents d LEFT JOIN (
+               SELECT e.dst AS dst, SUM(p.r / deg.outdeg) AS c
+               FROM e JOIN r${i - 1} p ON e.src = p.id
+                      JOIN deg ON deg.src = e.src
+               GROUP BY e.dst) s ON d.doc_id = s.dst)"""
+      }
+    s"WITH ${ctes.mkString(",\n")}\n" +
+      s"SELECT id AS doc_id, round(r, 8) AS rank FROM r$iterations"
+  }
 
   private val BlockPatterns =
     Seq("spark", "join", "window", "filter", "merge", "stream")
@@ -223,6 +268,7 @@ object Web {
                 CAST(COUNT(*) AS BIGINT) AS n_kept
          FROM lines l JOIN freq f ON l.ln = f.ln
          WHERE f.nd <= 5
-         GROUP BY l.doc_id"""
+         GROUP BY l.doc_id""",
+    "q175_pagerank" -> pageRankOracle(5)
   )
 }

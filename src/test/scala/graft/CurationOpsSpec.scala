@@ -100,4 +100,53 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("rangepartitioning"), s"no range exchange:\n$plan")
     assert(!plan.contains("SinglePartition"), s"single-partition funnel:\n$plan")
   }
+
+  test("weightedSample matches the A-ES key computed by hand") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, 10L + i % 17)).toDF("id", "w")
+    val got = Corpus.weightedSample(df, "id", "w", k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    def key(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      math.log((h + 1).toDouble / 4294967296.0) / w
+    }
+    val exp = (1L to 200L).map(i => (i, key(i, 10L + i % 17)))
+      .sortBy { case (id, k) => (-k, id) }.take(20)
+    assert(got.map(_._1).toSeq == exp.map(_._1))
+    got.zip(exp).foreach { case ((_, kg), (_, ke)) =>
+      assert(math.abs(kg - ke) < 1e-12)
+    }
+  }
+
+  test("weightedSample with k >= n returns every positive-weight row") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 0L), (3L, 7L)).toDF("id", "w")
+    val got = Corpus.weightedSample(df, "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L)) // zero-weight row dropped
+  }
+
+  test("bpeTrain learns hand-computable merges with the tiebreak rule") {
+    import spark.implicits._
+    // vocab: aa×3, ab×2 → round 1 merges (a,a) cnt 3, round 2 (a,b) cnt 2,
+    // then no pairs remain → early stop.
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
+    val out = Corpus.bpeTrain(docs, "text", merges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1, "a", "a", "aa", 3L), (2, "a", "b", "ab", 2L)))
+  }
+
+  test("bpeTrain applies merges left-to-right non-overlapping") {
+    import spark.implicits._
+    // "aaa"×2: round 1 pair (a,a) counts BOTH adjacencies (cnt 4), the
+    // merge rewrites (a)(a)(a) → (aa)(a), so round 2 is (aa,a) cnt 2.
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val out = Corpus.bpeTrain(docs, "text", merges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1, "aa", 4L), (2, "aaa", 2L)))
+  }
 }

@@ -521,4 +521,48 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(3L, 9L), s"got $kept")
   }
+
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("editDistancePairs equals the brute-force Levenshtein join " +
+    "(random substitutions, deletions, insertions)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefgh"
+    def randStr(n: Int) =
+      (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val basestrs = (0 until 40).map(i => (i.toLong, randStr(12 + rnd.nextInt(8))))
+    val mutated = basestrs.flatMap { case (id, s) =>
+      val pos = rnd.nextInt(s.length)
+      val sub = s.updated(pos, alpha(rnd.nextInt(alpha.length)))
+      val del = s.take(pos) + s.drop(pos + 1)
+      val ins = s.take(pos) + alpha(rnd.nextInt(alpha.length)) + s.drop(pos)
+      Seq((id + 100L, sub), (id + 200L, del), (id + 300L, ins))
+    }
+    val all = basestrs ++ mutated
+    val df = all.toDF("id", "s")
+    for (d <- 1 to 2) {
+      val got = Dedup.editDistancePairs(df, "id", "s", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val exp = (for {
+        (i1, s1) <- all; (i2, s2) <- all if i1 < i2
+        dist = lev(s1, s2) if dist <= d
+      } yield (i1, i2, dist)).toSet
+      assert(got == exp,
+        s"d=$d missed ${exp -- got}, extra ${got -- exp}")
+    }
+  }
 }
