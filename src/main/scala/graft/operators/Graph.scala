@@ -55,14 +55,17 @@ object Graph {
       .localCheckpoint()
     val teleport = lit((1.0 - damping) / nCount)
     var ranks = n.select(col("id"), lit(1.0 / nCount).as("r")).localCheckpoint()
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = e.join(ranks, e("src") === ranks("id"))
         .groupBy(col("dst"))
         .agg(sum(col("r") / col("outdeg")).as("c"))
       ranks = n.join(contrib, n("id") === contrib("dst"), "left")
         .select(col("id"),
           (teleport + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
-        .localCheckpoint()
+      // checkpoint INTERMEDIATE vectors only (truncates the growing
+      // lineage); the last iteration stays lazy so callers compose it
+      // without an extra materialization.
+      if (i < iterations) ranks = ranks.localCheckpoint()
     }
     ranks
   }

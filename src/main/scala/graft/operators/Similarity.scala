@@ -970,4 +970,87 @@ object Similarity {
         round(dotN(col("qe"), col("ne")) / (col("qn") * col("nn")), 4).as("cos"))
     topK(scored, k)
   }
+
+  /** Principal-component projection (PCA whitening's first step) —
+    * project every embedding onto the top eigenvector of the sample
+    * covariance. The published two-phase shape (MLlib's
+    * computeGramianMatrix): ONE distributed pass accumulates per
+    * partition the count, the coordinate sums, and the d×d outer-
+    * product sums (numPartitions × (d² + d + 1) doubles to the driver
+    * — bounded like the k-means centroid fetch); the driver derives
+    * the covariance C = G/n − μμᵀ and runs a FIXED number of power
+    * iterations from the deterministic uniform start (fixed count, not
+    * a convergence test — both engines run the identical arithmetic,
+    * so tiny FP differences in C stay tiny in v instead of changing
+    * the iteration count). Projection is then a narrow broadcast map:
+    * (x − μ)·v = x·v − μ·v, one native dot per row against the literal
+    * eigenvector, no per-row centering pass.
+    *
+    * Scale: the corpus is read twice (gram pass, projection pass),
+    * shuffled never. d is bounded (d² driver floats — 64² here; the
+    * same contract breaks down gracefully: at d = 4096, 128 MB per
+    * partition message says use a sketched/blocked gram instead).
+    */
+  def pcaProject(vecs: DataFrame, idCol: String, vecCol: String,
+                 iterations: Int = 30): DataFrame = {
+    require(iterations >= 1 && iterations <= 200,
+      s"iterations $iterations outside sane bounds")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = Parallelism.ensure(withNative(vecs))
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint() // gram pass + projection pass read it
+    val stats = base.select(col("v")).as[Seq[Double]].mapPartitions { it =>
+      var n = 0L; var d = -1
+      var s: Array[Double] = null; var g: Array[Double] = null
+      it.foreach { vec =>
+        if (d < 0) { d = vec.length; s = new Array(d); g = new Array(d * d) }
+        require(vec.length == d, s"dimension mismatch: ${vec.length} vs $d")
+        n += 1
+        var i = 0
+        while (i < d) {
+          val xi = vec(i); s(i) += xi
+          var j = 0
+          while (j < d) { g(i * d + j) += xi * vec(j); j += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty
+      else Iterator.single((n, s.toSeq, g.toSeq))
+    }.collect()
+    require(stats.nonEmpty, "pcaProject needs at least one vector")
+    val d = stats.head._2.length
+    var n = 0L
+    val s = new Array[Double](d); val g = new Array[Double](d * d)
+    stats.foreach { case (pn, ps, pg) =>
+      n += pn
+      var i = 0
+      while (i < d) { s(i) += ps(i); i += 1 }
+      var k = 0
+      while (k < d * d) { g(k) += pg(k); k += 1 }
+    }
+    val mu = s.map(_ / n)
+    val c = Array.tabulate(d * d)(k => g(k) / n - mu(k / d) * mu(k % d))
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iterations) {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += c(i * d + j) * v(j); j += 1 }
+        w(i) = acc; i += 1
+      }
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      require(nrm > 0, "power iteration collapsed (zero covariance)")
+      v = w.map(_ / nrm)
+    }
+    val shift = mu.zip(v).map { case (m, vi) => m * vi }.sum
+    val vLit = array(v.map(lit).toIndexedSeq: _*)
+    // + 0.0 collapses IEEE −0.0 (a tiny negative rounded to zero) onto
+    // +0.0 — engines disagree on the zero's sign, and the driver's
+    // compare is textual
+    base.select(col("id"),
+      (round(dotN(col("v"), vLit) - shift, 4) + lit(0.0)).as("pc1"))
+  }
 }

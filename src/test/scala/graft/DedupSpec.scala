@@ -522,6 +522,42 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(3L, 9L), s"got $kept")
   }
 
+  test("pcaProject recovers the dominant axis (vs local reference)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // points spread along direction (3, 1, 0, 0) with small off-axis
+    // jitter — PC1 must capture the (3, 1) axis
+    val data = (0 until 60).map { i =>
+      val t = (i - 30).toDouble
+      (i.toLong, Seq(3.0 * t + (i % 3) * 0.1, t - (i % 5) * 0.1,
+        (i % 7) * 0.05, (i % 2) * 0.05).map(_.toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity.pcaProject(df, "vec_id", "embedding", iterations = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // local reference: identical mean/covariance/power-iteration math
+    val n = data.size
+    val d = 4
+    val xs = data.map(_._2.map(_.toDouble).toArray)
+    val mu = (0 until d).map(j => xs.map(_(j)).sum / n).toArray
+    val c = Array.tabulate(d, d)((i, j) =>
+      xs.map(x => x(i) * x(j)).sum / n - mu(i) * mu(j))
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to 30) {
+      val w = (0 until d).map(i => (0 until d).map(j => c(i)(j) * v(j)).sum).toArray
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val shift = mu.zip(v).map { case (m, vi) => m * vi }.sum
+    data.foreach { case (id, e) =>
+      val exp = e.map(_.toDouble).zip(v).map { case (x, vi) => x * vi }.sum - shift
+      // the operator rounds pc1 to 4 decimals — compare at that grain
+      assert(math.abs(got(id) - exp) < 1e-4, s"id $id")
+    }
+    // the axis itself: |v| along (3,1)/sqrt(10) dominates
+    assert(math.abs(math.abs(v(0)) - 3.0 / math.sqrt(10)) < 0.01)
+  }
+
   private def lev(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => i)
     for (j <- 1 to b.length) {

@@ -348,6 +348,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("html_to_text_native"), plan.take(1200))
   }
 
+  test("q172: edit-distance candidate + verify joins are equi joins, never cartesian") {
+    val plan = planOf("q172_editdist_pairs")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("q174: weighted sample plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q174_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+  }
+
+  test("q175: the PageRank iteration joins on equi keys, never cartesian") {
+    // assert on the operator's own plan (the q175 FIXTURE derives its
+    // edges with a legitimate 1-row broadcast cross join for |V|)
+    import spark.implicits._
+    val nodes = (0L to 19L).toDF("id")
+    val edges = (0L to 19L).map(i => (i, (i * 3 + 1) % 20)).toDF("src", "dst")
+    val plan = graft.operators.Graph.pageRank(nodes, edges, iterations = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE finalizes the physical plan only on execution — run it first.
     val df = SparkEntry.queries("q02_filter_project")(spark, sf)
