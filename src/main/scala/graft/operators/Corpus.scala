@@ -918,6 +918,42 @@ object Corpus {
       .limit(k)
   }
 
+  /** Topic terms per embedding cluster — the c-TF-IDF shape (BERTopic's
+    * topic-representation step, public recipe): treat each cluster as
+    * one pseudo-document, score term t in cluster c by
+    * tf(t, c) · ln(k / df(t)) where df counts CLUSTERS containing t,
+    * and keep the top-k terms per cluster. Composes [[graft.operators
+    * .Similarity.kmeansAssign]] (the clustering) with the corpus term
+    * statistics — embeddings decide WHO groups, text explains WHY.
+    *
+    * Scale shape: one term explode + two hash aggregations (both
+    * vocab-bounded after the first), a broadcast 1-row k, and the
+    * BOUNDED top-k Aggregator per cluster (≤ k rows per cluster per
+    * partition survive the map side — no window sort over the vocab;
+    * q104's skew-safe shape). `clusters` must expose (id, cluster).
+    */
+  def clusterTopTerms(docs: DataFrame, clusters: DataFrame, idCol: String,
+                      textCol: String, k: Int): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val j = terms.join(
+      clusters.select(col("id").as("doc_id"), col("cluster")), "doc_id")
+    val ctf = j.groupBy("cluster", "term").agg(count(lit(1)).as("tf"))
+    val cdf = ctf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nc = ctf.select("cluster").distinct()
+      .agg(count(lit(1)).as("n_clusters"))
+    val scored = ctf.join(cdf, "term")
+      .crossJoin(broadcast(nc))
+      .withColumn("score",
+        round(col("tf") * log(col("n_clusters").cast("double") / col("df")), 4))
+    val topk = udaf(new TopKTermsAggregator(k))
+    scored.groupBy("cluster")
+      .agg(topk(col("term"), col("tf"), col("score")).as("top"))
+      .select(col("cluster"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("cluster"), col("e._1").as("term"), col("e._2").as("tf"),
+        col("e._3").as("score"), (col("i") + 1).cast("int").as("rank"))
+  }
+
   /** Byte-pair-encoding tokenizer TRAINING (Sennrich et al., ACL 2016 —
     * the public BPE recipe): starting from characters, repeatedly count
     * adjacent symbol pairs over the word vocabulary (weighted by word
@@ -988,6 +1024,36 @@ object Corpus {
     }
     import spark.implicits._
     learned.toSeq.toDF("round", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** BPE tokenizer APPLICATION — encode the corpus with a learned merge
+    * table ([[bpeTrain]]'s output, ordered). The inference-side twin of
+    * training, and the shape matters: the merge list is a driver-held
+    * constant (≤ merges rows), so encoding is ONE narrow zero-shuffle
+    * pass — each document renders its lowercased `^[a-z]+$` words as
+    * the paren-delimited symbol string (words joined by a space, which
+    * no "(x)(y)" pattern can span, so one doc-level replace equals
+    * per-word application), then applies the merges as chained literal
+    * `replace`s in training order. Token count = surviving "(" count.
+    * Non-alpha tokens are out of the trained alphabet and excluded
+    * from both counts (same contract as training).
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 64,
+      s"merge table size ${merges.size} outside sane bounds (1..64)")
+    val words = filter(
+      transform(TextFunctions.tokens(col(textCol)), t => lower(t)),
+      w => w.rlike("^[a-z]+$"))
+    val parenRepr = (w: Column) => concat(lit("("),
+      concat_ws(")(", filter(split(w, ""), c => c =!= "")), lit(")"))
+    val repr0 = concat_ws(" ", transform(words, parenRepr))
+    val encoded = merges.foldLeft(repr0) { case (c, (l, r)) =>
+      replace(c, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+    docs.select(col(idCol).as("doc_id"), size(words).as("n_words"),
+      (length(encoded) - length(replace(encoded, lit("("), lit(""))))
+        .cast("int").as("n_bpe"))
   }
 }
 

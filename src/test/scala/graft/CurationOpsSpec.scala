@@ -140,6 +140,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, "a", "a", "aa", 3L), (2, "a", "b", "ab", 2L)))
   }
 
+  test("bpeEncode applies the merge table in order, word-locally") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab aa"), (2L, "aab xy2 b")).toDF("doc_id", "text")
+    val rows = Corpus.bpeEncode(docs, "doc_id", "text",
+      Seq(("a", "a"), ("a", "b")))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    // doc 1: aa→(aa), ab→(ab), aa→(aa) = 3 tokens / 3 words
+    assert(rows(1L) == ((3, 3)))
+    // doc 2: aab→(aa)(b) after merge 1 only (no "(a)(b)" remains);
+    // "xy2" is non-alpha (excluded); "b" stays one symbol → 3 tokens / 2 words
+    assert(rows(2L) == ((2, 3)))
+  }
+
   test("bpeTrain applies merges left-to-right non-overlapping") {
     import spark.implicits._
     // "aaa"×2: round 1 pair (a,a) counts BOTH adjacencies (cnt 4), the
