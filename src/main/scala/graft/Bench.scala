@@ -56,7 +56,13 @@ object Bench {
     * round).
     */
   private val headlineR7 = Seq(
-    "q143_image_resize", "q147_global_shuffle", "q152_stream_incdedup")
+    "q143_image_resize", "q147_global_shuffle", "q152_stream_incdedup",
+    // round-7 closing batch: the segment-join edit-distance dedup, the
+    // iterative PageRank, BPE training (driver-looped vocab rounds),
+    // the gram-pass PCA projection, and the c-TF-IDF composition —
+    // each a distinct heavy shape worth a trend line
+    "q172_editdist_pairs", "q175_pagerank", "q176_bpe_train",
+    "q177_pca_project", "q178_cluster_topics")
 
   private val headline = headlineR5 ++ headlineR6 ++ headlineR7
 

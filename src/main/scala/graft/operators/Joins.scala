@@ -116,6 +116,32 @@ object Joins {
       .drop("_bin")
   }
 
+  /** SCD-2 point-in-time join: enrich each fact with the dimension
+    * VERSION that was valid at the fact's timestamp (the slowly-
+    * changing-dimension type-2 lookup every warehouse needs — joining
+    * on the key alone silently multiplies facts by version count, or
+    * attributes them to today's attributes).
+    *
+    * Scale shape: this is deliberately a plain EQUI-join on the
+    * dimension key with the validity window as a residual predicate —
+    * NOT a range join. Version count per key is small and bounded (a
+    * dimension row changes a handful of times), so the equi-join's
+    * per-key fan-out is bounded and Catalyst plans a hash/sort-merge
+    * join, never a BNLJ (PlanSpec-asserted); [[rangeJoinBinned]] is
+    * the tool when there is NO selective key and only the interval
+    * relates the sides. Half-open windows `[from, to)` make versions
+    * non-overlapping and exhaustive; facts outside every window drop
+    * (inner semantics) — the caller can left-join against the output
+    * to audit orphans.
+    */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, key: String,
+                      tsCol: String, fromCol: String,
+                      toCol: String): DataFrame =
+    facts.join(dim,
+      facts(key) === dim(key) &&
+        facts(tsCol) >= dim(fromCol) && facts(tsCol) < dim(toCol))
+      .drop(dim(key))
+
   /** Skew-safe equi join: salt the skewed (left) side's key into
     * `saltFactor` sub-keys and explode the build side to match — turns
     * one hot reducer into `saltFactor` even ones. (AQE's skew-join

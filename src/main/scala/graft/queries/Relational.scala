@@ -240,6 +240,35 @@ object Relational {
           grouping(col("l_linestatus")).cast("int").as("g_ls"))
     },
 
+    // SCD-2 point-in-time join (q180): each order enriched with the
+    // customer-segment VERSION valid on its order date — equi-join on
+    // the key, validity window as residual (never a range/BNL join;
+    // version count per key is bounded). Three synthetic versions per
+    // customer with half-open windows covering 1992-1998.
+    "q180_scd2_join" -> { (s, d) =>
+      def ts(x: String) = lit(x).cast("timestamp")
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("key"), col("c_mktsegment"),
+          explode(array(
+            struct(lit("").as("sfx"),
+              ts("1990-01-01").as("vfrom"), ts("1994-01-01").as("vto")),
+            struct(lit("_v2").as("sfx"),
+              ts("1994-01-01").as("vfrom"), ts("1996-07-01").as("vto")),
+            struct(lit("_v3").as("sfx"),
+              ts("1996-07-01").as("vfrom"), ts("2000-01-01").as("vto"))))
+            .as("v"))
+        .select(col("key"),
+          concat(col("c_mktsegment"), col("v.sfx")).as("segment"),
+          col("v.vfrom"), col("v.vto"))
+      val facts = Tables.orders(s, d)
+        .select(col("o_custkey").as("key"), col("o_orderdate"),
+          col("o_totalprice"))
+      graft.operators.Joins
+        .pointInTimeJoin(facts, dim, "key", "o_orderdate", "vfrom", "vto")
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_orders"), r2(sum("o_totalprice")).as("total"))
+    },
+
     // Bivariate statistics (q163): correlation + sample covariance per
     // group — the profiling step that finds which quality signals are
     // redundant. One partial-aggregable pass (corr/covar are algebraic:
@@ -502,6 +531,21 @@ object Relational {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                  (l_returnflag), (l_linestatus))""",
+    "q180_scd2_join" ->
+      """WITH dim AS (
+           SELECT c_custkey AS key, c_mktsegment || sfx AS segment,
+                  CAST(vfrom AS TIMESTAMP) AS vfrom,
+                  CAST(vto AS TIMESTAMP) AS vto
+           FROM customer,
+                (VALUES ('', '1990-01-01', '1994-01-01'),
+                        ('_v2', '1994-01-01', '1996-07-01'),
+                        ('_v3', '1996-07-01', '2000-01-01'))
+                  AS v(sfx, vfrom, vto))
+         SELECT d.segment, count(*) AS n_orders,
+                round(sum(o.o_totalprice), 2) AS total
+         FROM orders o JOIN dim d ON o.o_custkey = d.key
+           AND o.o_orderdate >= d.vfrom AND o.o_orderdate < d.vto
+         GROUP BY 1""",
     "q163_corr_stats" ->
       """SELECT l_returnflag, count(*) AS n,
               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
