@@ -69,4 +69,41 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts on an undirected graph (edges given as
+    * directed rows; symmetrized and de-duplicated here) — the classic
+    * local clustering / link-farm signal for web-graph curation.
+    *
+    * Scale shape: DEGREE-ORDERED orientation (direct each edge from
+    * its (degree, id)-smaller endpoint) before the wedge join — the
+    * published trick that bounds every out-degree by O(√m), making the
+    * wedge join O(m^1.5) total instead of Σdeg² (a star node's hub
+    * would otherwise explode one reducer; oriented, the hub gets
+    * out-degree ~√m no matter its in-degree). Orientation by (deg, id)
+    * is a total order, so each triangle {p,q,r} materializes exactly
+    * once as the wedge p→q→r closed by p→r. Wedge and closure are
+    * equi-joins on node ids — no cartesian anywhere.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val raw = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val sym = raw.union(raw.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint() // read by the degree agg AND both join sides
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    val o = sym
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .filter(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+      .select(col("u").as("a"), col("v").as("b"))
+      .localCheckpoint() // three self-join arms
+    val wedges = o.as("e1").join(o.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    wedges.join(o.as("e3"),
+        col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -171,6 +171,26 @@ object Web {
           ((col("doc_id") * 31 + col("j") * 7) % col("n")).as("dst"))
       graft.operators.Graph.pageRank(docs, edges, idCol = "doc_id")
         .select(col("id").as("doc_id"), round(col("r"), 8).as("rank"))
+    },
+
+    // Triangle counting (q181): per-node triangle membership on an
+    // undirected graph (ring + chord edges guarantee triangles; a hash
+    // edge family adds irregular degree). The engine runs the
+    // degree-ordered orientation; the oracle takes the canonical
+    // a<b<c triple-join shortcut — same triangle set, so agreement
+    // hash-proves the oriented wedge join loses/duplicates nothing.
+    "q181_triangles" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).cast("long").as("n"))
+      val raw = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n"),
+          explode(array(
+            (col("doc_id") + 1) % col("n"),
+            (col("doc_id") + 2) % col("n"),
+            (col("doc_id") * 31 + 7) % col("n"))).as("dst"))
+        .select(col("doc_id").as("src"), col("dst"))
+      graft.operators.Graph.triangleCounts(raw)
+        .select(col("node").as("doc_id"), col("n_triangles"))
     }
   )
 
@@ -269,6 +289,22 @@ object Web {
          FROM lines l JOIN freq f ON l.ln = f.ln
          WHERE f.nd <= 5
          GROUP BY l.doc_id""",
-    "q175_pagerank" -> pageRankOracle(5)
+    "q175_pagerank" -> pageRankOracle(5),
+    "q181_triangles" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         raw AS (
+           SELECT doc_id AS u, (doc_id + 1) % nn.n AS v FROM documents, nn
+           UNION ALL SELECT doc_id, (doc_id + 2) % nn.n FROM documents, nn
+           UNION ALL SELECT doc_id, (doc_id * 31 + 7) % nn.n FROM documents, nn),
+         sym AS (SELECT u, v FROM raw WHERE u <> v
+                 UNION SELECT v, u FROM raw WHERE u <> v),
+         ce AS (SELECT u AS a, v AS b FROM sym WHERE u < v),
+         tri AS (SELECT e1.a, e1.b, e2.b AS c
+                 FROM ce e1 JOIN ce e2 ON e1.b = e2.a
+                            JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+         GROUP BY 1"""
   )
 }

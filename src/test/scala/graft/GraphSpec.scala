@@ -39,6 +39,17 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(got(3L) - 0.15 / 4) < 1e-12)
   }
 
+  test("triangleCounts: K4 membership, star is triangle-free, reverse dups collapse") {
+    import spark.implicits._
+    val k4 = for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong)
+    val star = (10L to 15L).map(i => (9L, i))
+    val edges = (k4 ++ star ++ Seq((1L, 0L), (0L, 1L))).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every K4 node sits in C(3,2)=3 triangles; star nodes in none
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $got")
+  }
+
   test("pageRank on a cycle is uniform (mass conserved, no dangling)") {
     import spark.implicits._
     val nodes = (0L to 4L).toDF("id")

@@ -245,4 +245,50 @@ class LayoutSpec extends AnyFunSuite {
     val got = spark.read.parquet(s"$base/out").as[(Long, String)].collect().toSet
     assert(got == df.as[(Long, String)].collect().toSet, "content must be unchanged")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Rows the parquet scan EMITS for a point lookup = rows in the row
+    * groups that survived footer-level filtering (record-level parquet
+    * filtering is off by default, so this is the row-group-skip meter).
+    * Scan+filter plans have no exchange ⇒ no AQE wrapper ⇒ the
+    * FileSourceScanExec is reachable in the executed plan.
+    */
+  private def scanRows(dir: String, key: String): Long = {
+    val df = spark.read.parquet(dir).filter(col("key") === key)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no FileSourceScanExec in plan")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("bloomWrite: point lookup skips row groups that min/max cannot prune") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val n = 200000
+    // md5 keys: random w.r.t. row order, so every row group's [min, max]
+    // spans the whole key domain — stats pruning is useless by design
+    val df = (0 until n).map(i => (i.toLong, md5hex(i.toString)))
+      .toDF("id", "key")
+    Layout.bloomWrite(df.repartition(2), Seq("key"), s"$base/bloom",
+      expectedNdv = n, rowGroupBytes = 256 * 1024)
+    df.repartition(2).write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .option("parquet.enable.dictionary", "false")
+      .parquet(s"$base/plain")
+    val k = md5hex("12345")
+    val plain = scanRows(s"$base/plain", k)
+    val bloom = scanRows(s"$base/bloom", k)
+    // correctness first: both find exactly the one row
+    assert(spark.read.parquet(s"$base/bloom")
+      .filter(col("key") === k).count() == 1)
+    // plain layout reads essentially everything (no stats help)...
+    assert(plain >= n * 9L / 10, s"plain scan read only $plain of $n")
+    // ...bloom layout reads a small fraction (most row groups skipped)
+    assert(bloom <= plain / 4, s"bloom $bloom vs plain $plain")
+  }
 }

@@ -377,6 +377,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("q181: wedge and closure joins are equi joins, never cartesian") {
+    import spark.implicits._
+    val edges = (0L to 19L).map(i => (i, (i * 3 + 1) % 20)).toDF("src", "dst")
+    val plan = graft.operators.Graph.triangleCounts(edges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE finalizes the physical plan only on execution — run it first.
     val df = SparkEntry.queries("q02_filter_project")(spark, sf)
