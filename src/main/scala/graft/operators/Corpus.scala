@@ -1026,6 +1026,82 @@ object Corpus {
     learned.toSeq.toDF("round", "lhs", "rhs", "merged", "cnt")
   }
 
+  /** Per-slice KL divergence against the whole-corpus token
+    * distribution — the training-mix MONITOR: when one source's
+    * KL(P_source ‖ P_corpus) drifts, that slice's language stopped
+    * looking like the mixture (dataset shift, scraper breakage, a
+    * contaminated dump). Definition per slice s:
+    * Σ_t p_s(t) · ln(p_s(t) / p(t)) over s's terms (p(t) from the full
+    * corpus, so every term of s has p(t) > 0 — no smoothing needed).
+    *
+    * Scale shape: one token explode into a (slice, term) partial agg,
+    * one vocab-sized re-agg for corpus counts, an equi-join on term,
+    * broadcast 1-row totals; the divergence itself is a |slices|-row
+    * final agg. All counts exact integers; only the final sum is
+    * floating (rounded).
+    */
+  def sourceDivergence(docs: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val terms = Parallelism.ensure(docs)
+      .select(col(groupCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val cg = terms.groupBy("source", "term").agg(count(lit(1)).as("cg"))
+    val ct = cg.groupBy("term").agg(sum("cg").as("ct"))
+    val ng = cg.groupBy("source").agg(sum("cg").as("ng"))
+    val nt = ct.agg(sum("ct").as("nt"))
+    cg.join(ct, "term")
+      .join(broadcast(ng), "source")
+      .crossJoin(broadcast(nt))
+      .withColumn("contrib",
+        (col("cg").cast("double") / col("ng")) *
+          log((col("cg").cast("double") * col("nt")) /
+            (col("ng").cast("double") * col("ct"))))
+      .groupBy("source")
+      // + 0.0 collapses a −0.0 from rounding a tiny negative FP sum
+      .agg((round(sum("contrib"), 6) + lit(0.0)).as("kl"),
+        max("ng").as("n_tokens"))
+  }
+
+  /** PMI collocations (phrase mining): the top-k adjacent word pairs
+    * by pointwise mutual information ln(p(ab) / (p(a)·p(b))) with a
+    * minimum pair count (PMI is noise below a support floor — the
+    * standard Church–Hanks recipe). The phrases a tokenizer or
+    * stop-phrase list should know about.
+    *
+    * Scale shape: bigram explode → partial-agg counts; unigram counts
+    * likewise; two equi-joins on the word keys; broadcast 1-row
+    * totals; TakeOrderedAndProject for the top-k. The PMI operand is a
+    * ratio of exact integer counts evaluated with one fixed operation
+    * order, so both engines compute bit-identical doubles.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+                      k: Int): DataFrame = {
+    val toks = Parallelism.ensure(docs)
+      .select(TextFunctions.tokens(col(textCol)).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+    val bi = toks.select(explode(when(size(col("ts")) > 1,
+        transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2"))))
+      .otherwise(array())).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val nu = uni.agg(sum("cu").as("nu"))
+    val nb = bi.agg(sum("cb").as("nb"))
+    bi.filter(col("cb") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .withColumn("pmi", round(log(
+        (col("cb").cast("double") / col("nb")) /
+          ((col("c1").cast("double") / col("nu")) *
+            (col("c2").cast("double") / col("nu")))), 4) + lit(0.0))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select("w1", "w2", "cb", "pmi")
+  }
+
   /** BPE tokenizer APPLICATION — encode the corpus with a learned merge
     * table ([[bpeTrain]]'s output, ordered). The inference-side twin of
     * training, and the shape matters: the merge list is a driver-held

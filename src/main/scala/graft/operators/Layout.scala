@@ -143,6 +143,40 @@ object Layout {
     n
   }
 
+  /** Snapshot DIFF — change-data capture between two committed
+    * snapshots of a [[snapshotWrite]] table: one row per changed key,
+    * labeled insert / delete / update (the Delta-CDF-style feed a
+    * downstream incremental pipeline consumes instead of re-reading
+    * the whole table). Keys are assumed unique per snapshot (the
+    * [[graft.operators.Corpus.snapshotMerge]] invariant).
+    *
+    * Scale shape: each side collapses to a skinny (key, row-hash)
+    * projection at the scan (the md5 runs map-side, full rows never
+    * shuffle), then ONE full-outer equi-join on the key decides the
+    * label: only-right = insert, only-left = delete, hash-mismatch =
+    * update, hash-equal rows drop. NULL column values hash via a
+    * sentinel so NULL vs 'null' vs absent stay distinct.
+    */
+  def snapshotDiff(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   fromId: Long, toId: Long, keyCol: String): DataFrame = {
+    val from = snapshotRead(spark, dir, fromId)
+    val to = snapshotRead(spark, dir, toId)
+    require(from.columns.sorted.sameElements(to.columns.sorted),
+      "snapshot schemas differ — diff is defined per column set")
+    val dataCols = from.columns.sorted.filter(_ != keyCol)
+    def hashed(df: DataFrame): DataFrame = df.select(
+      col(keyCol).as("key"),
+      md5(concat_ws("\u0001", dataCols.toIndexedSeq.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as("h"))
+    hashed(from).as("f")
+      .join(hashed(to).as("t"), col("f.key") === col("t.key"), "full_outer")
+      .select(coalesce(col("f.key"), col("t.key")).as("key"),
+        when(col("f.key").isNull, "insert")
+          .when(col("t.key").isNull, "delete")
+          .when(col("f.h") =!= col("t.h"), "update").as("change_type"))
+      .filter(col("change_type").isNotNull)
+  }
+
   /** Parquet BLOOM-FILTER layout: write with a split-block bloom filter
     * per requested column (parquet-mr's native feature — public format
     * spec), so point lookups on high-cardinality UNSORTED columns can

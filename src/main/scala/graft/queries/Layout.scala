@@ -103,6 +103,34 @@ object Layout {
     // corpus — byte-for-byte — even though the table's latest state is
     // the halved v2. (q161 pins the latest-read; this pins the pinned
     // read through the same hash gate.)
+    // Snapshot diff / CDC (q182): v2 deletes every doc_id % 3 == 0,
+    // rewrites text for surviving % 5 == 0, inserts shifted copies for
+    // % 7 == 0 — the diff must label exactly those keys. The oracle
+    // derives the change set arithmetically, so the full-outer
+    // hash-compare join (and the snapshot machinery under it) is what
+    // is being proven.
+    "q182_snapshot_diff" -> { (s, d) =>
+      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snapdiff"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val docs = Tables.documents(s, d)
+      L.snapshotWrite(docs.select("doc_id", "text", "lang"), base)
+      val v2 = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit("!")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+            col("lang")))
+      L.snapshotWrite(v2, base)
+      L.snapshotDiff(s, base, 1L, 2L, "doc_id")
+        .select(col("key").as("doc_id"), col("change_type"))
+    },
+
     "q165_snapshot_time_travel" -> { (s, d) =>
       val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snaptbl2"
       def rm(f: java.io.File): Unit = {
@@ -166,6 +194,14 @@ object Layout {
       """SELECT doc_id, md5(text) AS text_md5, upper(lang) AS lang
          FROM documents WHERE doc_id % 2 = 0""",
     "q165_snapshot_time_travel" ->
-      """SELECT doc_id, md5(text) AS text_md5, lang FROM documents"""
+      """SELECT doc_id, md5(text) AS text_md5, lang FROM documents""",
+    "q182_snapshot_diff" ->
+      """SELECT doc_id + 100000 AS doc_id, 'insert' AS change_type
+         FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT doc_id, 'delete' FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id, 'update' FROM documents
+         WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0"""
   )
 }
