@@ -371,4 +371,80 @@ object Multimodal {
         }
       }
   }
+
+  final case class AHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** 8×8 average hash (aHash — the classic public perceptual-hash
+    * recipe): decode, nearest-sample an 8×8 grid (row i*h/8, col
+    * j*w/8), set bit (i, j) iff the sample exceeds the grid mean. The
+    * threshold compare is pure integers (p·64 > Σp), so the hash is
+    * bit-reproducible across engines; emitted as four 16-bit blocks —
+    * exactly the [[graft.operators.Dedup.simhashNearDupPairs]] block
+    * layout, so radius-≤3 search pigeonholes on one exact block.
+    * One narrow mapPartitions pass; payload bytes never leave the
+    * executor.
+    */
+  def aHash(media: DataFrame): Dataset[AHash] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord]
+      .mapPartitions { records =>
+        records.map { r =>
+          val img = Png.decode(r.payload)
+          val w = img.width
+          val h = img.height
+          val s = new Array[Int](64)
+          var sum = 0L
+          var i = 0
+          while (i < 8) {
+            var j = 0
+            while (j < 8) {
+              val p = img.pixels((i * h / 8) * w + (j * w / 8)) & 0xff
+              s(i * 8 + j) = p
+              sum += p
+              j += 1
+            }
+            i += 1
+          }
+          val b = new Array[Int](4)
+          var k = 0
+          while (k < 64) {
+            if (s(k) * 64L > sum) b(k / 16) |= 1 << (k % 16)
+            k += 1
+          }
+          AHash(r.doc_id, b(0), b(1), b(2), b(3))
+        }
+      }
+  }
+
+  /** Perceptual near-duplicate IMAGE pairs within aHash Hamming
+    * `radius` — the multimodal dedup twin of the text-side SimHash
+    * radius search: 4 blocks of 16 bits, pigeonhole candidate
+    * equi-join (any pair within Hamming ≤ 3 agrees on ≥ 1 whole
+    * block), exact 64-bit Hamming verify via xor + bit_count. Never
+    * all-pairs; the shuffle carries (id, block, 16 bits).
+    */
+  def imageNearDupPairs(media: DataFrame, radius: Int = 3): DataFrame = {
+    require(radius >= 0 && radius <= 3,
+      s"radius $radius outside the 4-block pigeonhole guarantee (0..3)")
+    val hs = aHash(media).toDF().localCheckpoint()
+    val blocks = hs.select(col("doc_id").as("id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("blk", "key")))
+    val cands = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val ham = (0 to 3).map(k =>
+      bit_count(col(s"a$k").bitwiseXOR(col(s"x$k")))).reduce(_ + _)
+    cands
+      .join(hs.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("b0").as("x0"),
+        col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3")), "doc_b")
+      .withColumn("hamming", ham.cast("int"))
+      .filter(col("hamming") <= radius)
+      .select("doc_a", "doc_b", "hamming")
+  }
 }

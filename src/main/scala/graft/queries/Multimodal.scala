@@ -194,12 +194,67 @@ object Multimodal {
       graft.operators.Multimodal.resizeNearest(media, factor = 2)
         .select("doc_id", "out_width", "out_height", "out_n_pixels",
           "out_md5", "out_sum")
+    },
+
+    // Perceptual image dedup (q185): aHash over DECODED pixels, Manku
+    // block-index pairs within Hamming 3. The fixture plants a
+    // one-character pixel mutation (id + 100000 copies), so most
+    // planted pairs land at small nonzero distance; the oracle is the
+    // ALL-PAIRS replay from the pixel rule, so the block join's
+    // completeness AND the decode→hash path are both under the hash.
+    "q185_image_neardup" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val mut = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(substring(col("text"), 1, 99), lit("Z"),
+            substring(col("text"), 101, 1000000)).as("text"))
+      val media = graft.operators.Multimodal.asMedia(docs.unionByName(mut))
+      graft.operators.Multimodal.imageNearDupPairs(media, radius = 3)
     }
   )
 
   // pixel rule in SQL (ASCII text): 64-wide rows, '.'-padded
   private val plenSql =
     "CAST(greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1) * 64 AS INTEGER)"
+
+  /** q185's oracle: the aHash arithmetic replayed from the pixel rule
+    * over the mutated corpus, then the ALL-PAIRS Hamming shortcut —
+    * agreement hash-proves the engine's decode→hash path and the block
+    * join's completeness at radius ≤ 3. Generated: 64 sample terms,
+    * the integer mean compare (p·64 > Σp), four 16-bit block sums.
+    */
+  private def aHashOracle: String = {
+    def pTerm(i: Int, j: Int) =
+      s"ascii(substr(pix, CAST((($i * h) // 8) * 64 + ${8 * j + 1} AS INTEGER), 1))"
+    val pCols = (for { i <- 0 until 8; j <- 0 until 8 } yield
+      s"${pTerm(i, j)} AS p${i * 8 + j}").mkString(", ")
+    val sumExpr = (0 until 64).map(k => s"p$k").mkString(" + ")
+    def blockExpr(k: Int) = (0 until 16).map { o =>
+      val idx = 16 * k + o
+      s"(CASE WHEN p$idx * 64 > s64 THEN ${1 << o} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id,
+                 substr(text, 1, 99) || 'Z' || substr(text, 101) AS text
+          FROM documents WHERE doc_id % 2 = 0),
+        px AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix,
+                 CAST(greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1)
+                   AS INTEGER) AS h
+               FROM corpus),
+        ps AS (SELECT doc_id, $pCols FROM px),
+        ss AS (SELECT *, $sumExpr AS s64 FROM ps),
+        hh AS (SELECT doc_id,
+                 ${blockExpr(0)} AS b0, ${blockExpr(1)} AS b1,
+                 ${blockExpr(2)} AS b2, ${blockExpr(3)} AS b3 FROM ss),
+        pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                   AS INTEGER) AS hamming
+               FROM hh a JOIN hh b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM pp WHERE hamming <= 3"""
+  }
 
   val oracles: Map[String, String] = Map(
     "q60_media_meta" ->
@@ -305,6 +360,8 @@ object Multimodal {
               md5(rs) AS out_md5,
               CAST(psum AS BIGINT) AS out_sum
          FROM s""",
+
+    "q185_image_neardup" -> aHashOracle,
 
     // BYTE-true oracle THROUGH the codec: the engine sums decoded
     // pixels (raw UTF-8 bytes + 0x2e padding), so the oracle
