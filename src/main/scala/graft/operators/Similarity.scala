@@ -91,6 +91,32 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** nDCG@k — the retrieval-quality metric that, unlike recall, also
+    * scores the ORDER of the returned neighbors: graded relevance
+    * rel = k+1−true_rank for the ground truth's top-k, DCG over the
+    * retrieved ranking's positions with the standard 1/log₂(pos+1)
+    * discount, normalized by the ideal DCG. Both inputs are topK-shaped
+    * frames (query_id, neighbor_id, rank); a retrieved neighbor
+    * outside the truth's top-k scores 0.
+    *
+    * Scale shape: one equi-join on (query, neighbor) + a per-query
+    * agg; log₂ is written as ln(x)/ln(2) so both engines evaluate the
+    * identical expression tree (rounded at 4dp).
+    */
+  def ndcgAtK(retrieved: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val rel = truth.select(col("query_id"), col("neighbor_id"),
+      (lit(k + 1) - col("rank")).cast("double").as("rel"))
+    val idcg = (1 to k).map(p =>
+      (k + 1 - p).toDouble / (math.log(p + 1.0) / math.log(2.0))).sum
+    retrieved.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(rel, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("term", coalesce(col("rel"), lit(0.0)) /
+        (log(col("rank") + lit(1.0)) / log(lit(2.0))))
+      .groupBy("query_id")
+      .agg((round(sum("term") / idcg, 4) + lit(0.0)).as("ndcg"))
+  }
+
   /** Sign-bit LSH bucket key: one '0'/'1' per leading dimension. */
   def signBucket(embedding: Column, bits: Int): Column =
     concat((1 to bits).map { i =>
