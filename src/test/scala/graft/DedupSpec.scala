@@ -588,9 +588,17 @@ class DedupSpec extends AnyFunSuite {
       val ins = s.take(pos) + alpha(rnd.nextInt(alpha.length)) + s.drop(pos)
       Seq((id + 100L, sub), (id + 200L, del), (id + 300L, ins))
     }
-    val all = basestrs ++ mutated
+    // double mutations land some pairs at distance 2-3, exercising the
+    // d=3 four-segment path with real shifts
+    val doubled = basestrs.take(10).map { case (id, s) =>
+      val p1 = rnd.nextInt(s.length)
+      val del = s.take(p1) + s.drop(p1 + 1)
+      val p2 = rnd.nextInt(del.length)
+      (id + 400L, del.take(p2) + alpha(rnd.nextInt(alpha.length)) + del.drop(p2))
+    }
+    val all = basestrs ++ mutated ++ doubled
     val df = all.toDF("id", "s")
-    for (d <- 1 to 2) {
+    for (d <- 1 to 3) {
       val got = Dedup.editDistancePairs(df, "id", "s", maxDist = d)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       val exp = (for {
