@@ -1102,6 +1102,60 @@ object Corpus {
       .select("w1", "w2", "cb", "pmi")
   }
 
+  /** DSIR-style importance scores for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling" —
+    * public recipe): score every document by its hashed-bigram
+    * log-likelihood ratio between a TARGET slice's feature
+    * distribution and the raw corpus's,
+    * Σ_f ln( p̂_target(f) / p̂_raw(f) ) with add-one smoothing over
+    * `buckets` hashed features — then keep the top-k (the importance-
+    * resampling step degenerates to top-k under deterministic
+    * contracts; swap in [[weightedSample]] with exp(score) weights for
+    * the sampled variant). The hashed feature space is what makes this
+    * tractable: both "LMs" are `buckets`-row count tables, not open
+    * vocabularies.
+    *
+    * Scale shape: one bigram explode feeding BOTH count aggregations
+    * (bounded output: ≤ `buckets` rows each — broadcast back), one
+    * narrow re-pass scoring each bigram against the broadcast tables,
+    * a per-doc agg, TakeOrderedAndProject. The per-feature operand is
+    * one double division of two exact integer products (fits a long at
+    * any count ≤ ~3×10⁹ × buckets; widen to DECIMAL past that), so
+    * only the per-doc sum is order-sensitive — rounded.
+    */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 targetFilter: Column, buckets: Int, k: Int): DataFrame = {
+    require(buckets >= 2 && k >= 1, s"bad buckets=$buckets k=$k")
+    val bg = Parallelism.ensure(docs)
+      .select(col(idCol).as("doc_id"), targetFilter.as("is_target"),
+        TextFunctions.tokens(col(textCol)).as("ts"))
+      .select(col("doc_id"), col("is_target"),
+        explode(when(size(col("ts")) > 1,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "),
+              element_at(col("ts"), i + 1))))
+          .otherwise(array())).as("bigram"))
+      .withColumn("b",
+        conv(substring(md5(col("bigram")), 1, 8), 16, 10).cast("long")
+          % buckets)
+      .localCheckpoint() // feeds both count aggs AND the scoring pass
+    val cr = bg.groupBy("b").agg(count(lit(1)).as("cr"))
+    val ct = bg.filter(col("is_target")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = cr.agg(sum("cr").as("nr")).crossJoin(ct.agg(sum("ct").as("nt")))
+    bg.join(broadcast(cr), "b")
+      .join(broadcast(ct), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("term", log(
+        ((coalesce(col("ct"), lit(0L)) + 1) * (col("nr") + buckets))
+          .cast("double") /
+          ((col("cr") + 1) * (col("nt") + buckets)).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(sum("term"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** BPE tokenizer APPLICATION — encode the corpus with a learned merge
     * table ([[bpeTrain]]'s output, ordered). The inference-side twin of
     * training, and the shape matters: the merge list is a driver-held
