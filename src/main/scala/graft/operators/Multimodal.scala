@@ -372,6 +372,88 @@ object Multimodal {
       }
   }
 
+  /** Deterministic multi-frame "video" fixture: `nFrames` complete
+    * PNGs concatenated into one payload (the simplest real container —
+    * every frame is an independently decodable image). Frame f's
+    * pixels are the document's pixel row rotated left by f, so each
+    * frame differs and the oracle can re-derive every frame digest
+    * from the text rule.
+    */
+  def asVideo(docs: DataFrame, nFrames: Int): DataFrame = {
+    require(nFrames >= 1, s"bad frame count $nFrames")
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val pix = pixelsOf(text)
+          val h = pix.length / ImgWidth
+          val frames = (0 until nFrames).map { f =>
+            val rot = new Array[Byte](pix.length)
+            var i = 0
+            while (i < pix.length) { rot(i) = pix((i + f) % pix.length); i += 1 }
+            Png.encodeGray(ImgWidth, h, rot)
+          }
+          val buf = new Array[Byte](frames.map(_.length).sum)
+          var off = 0
+          frames.foreach { fb =>
+            System.arraycopy(fb, 0, buf, off, fb.length); off += fb.length
+          }
+          (id, buf)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  final case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
+                              height: Int, frame_md5: String)
+
+  /** REAL container frame sampling: walk the concatenated-PNG stream
+    * STRUCTURALLY — each image spans its signature through its IEND
+    * chunk, so frame boundaries come from the chunk walk, never from
+    * magic-byte scanning (the 8-byte signature can legitimately occur
+    * inside deflate data). Every `every`-th frame is decoded with the
+    * real codec and its PIXELS digested — a bad boundary, a corrupt
+    * chunk length, or a decoder fault all break the digest. One narrow
+    * flatMap; payload bytes never leave the executor. (A production
+    * container swaps the chunk walk for an index/atom parser — the
+    * decode-every-kth-keyframe shape is unchanged.)
+    */
+  def sampleVideoFrames(video: DataFrame, every: Int): Dataset[VideoFrame] = {
+    require(every >= 1, s"bad sampling stride $every")
+    import video.sparkSession.implicits._
+    video.select(col("doc_id"), col("payload")).as[MediaRecord]
+      .mapPartitions { records =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        records.flatMap { r =>
+          val bytes = r.payload
+          val bounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var off = 0
+          while (off < bytes.length) {
+            val start = off
+            require(bytes.length - off > 8, s"truncated container at $off")
+            off += 8 // signature (validated by the per-frame decode)
+            var done = false
+            while (!done) {
+              require(bytes.length - off >= 12, s"truncated chunk at $off")
+              val len = ((bytes(off) & 0xff) << 24) |
+                ((bytes(off + 1) & 0xff) << 16) |
+                ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+              val typ = new String(bytes, off + 4, 4, "US-ASCII")
+              off += 12 + len
+              if (typ == "IEND") done = true
+            }
+            bounds += ((start, off))
+          }
+          bounds.zipWithIndex.iterator.collect {
+            case ((s0, e0), fi) if fi % every == 0 =>
+              val img = Png.decode(java.util.Arrays.copyOfRange(bytes, s0, e0))
+              VideoFrame(r.doc_id, fi, img.width, img.height,
+                md.digest(img.pixels).map(b => f"$b%02x").mkString)
+          }
+        }
+      }
+  }
+
   final case class AHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
 
   /** 8×8 average hash (aHash — the classic public perceptual-hash

@@ -210,6 +210,18 @@ object Multimodal {
             substring(col("text"), 101, 1000000)).as("text"))
       val media = graft.operators.Multimodal.asMedia(docs.unionByName(mut))
       graft.operators.Multimodal.imageNearDupPairs(media, radius = 3)
+    },
+
+    // REAL video-container frame sampling (q189): 3 complete PNGs per
+    // payload (frame f = pixels rotated left by f), structural chunk
+    // walk to find frame boundaries, real decode of every 2nd frame,
+    // digest over DECODED pixels — boundaries, codec, and sampling all
+    // under the oracle hash (frames 0 and 2).
+    "q189_video_frames" -> { (s, d) =>
+      val video = graft.operators.Multimodal.asVideo(
+        Tables.documents(s, d), nFrames = 3)
+      graft.operators.Multimodal.sampleVideoFrames(video, every = 2)
+        .toDF()
     }
   )
 
@@ -362,6 +374,19 @@ object Multimodal {
          FROM s""",
 
     "q185_image_neardup" -> aHashOracle,
+
+    // q189: frame f = pixel string rotated left by f; sampled frames 0
+    // and 2 of 3. md5 over the rotated ASCII string equals md5 over
+    // the decoded pixel bytes (ASCII fixture).
+    "q189_video_frames" ->
+      s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix
+                     FROM documents),
+          f AS (SELECT doc_id, pix, unnest([0, 2]) AS fi FROM p)
+          SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+                 64 AS width,
+                 CAST(length(pix) / 64 AS INTEGER) AS height,
+                 md5(substr(pix, fi + 1) || substr(pix, 1, fi)) AS frame_md5
+          FROM f""",
 
     // BYTE-true oracle THROUGH the codec: the engine sums decoded
     // pixels (raw UTF-8 bytes + 0x2e padding), so the oracle
