@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console UNPREFIXED: the driver
+// extracts graft.Bench's one-line JSON by parsing stdout lines, and
+// sbt's default logger strategy prepends "[info] " to every forked
+// line, which has broken that parse since round 1.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -128,7 +128,13 @@ object Bench {
         (name, best, runs)
       }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the FINAL line inside the driver's
+    // 2000-char output-tail window (r6's full-precision line overflowed
+    // it and the driver recorded parsed:null); the full-precision
+    // per-run times go out on their own earlier line for forensics.
+    def r3(v: Double): String =
+      if (v < 0) "-1.0" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val rawRuns = results.map { case (k, _, rs) =>
       "\"" + k + "\":[" + rs.mkString(",") + "]"
@@ -142,10 +148,14 @@ object Bench {
     // lineitem rows). The claims these rows prove are asserted on
     // uniform TPC-H data everywhere else.
     val skew = benchSkew(spark, sfDir)
-    val sk = skew.map { case (k, v) => "\"" + k + "\":" + v }
+    val sk = skew.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val loadAfter = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","subtotal_r5set":$subtotalR5,"queries":$qs,"runs":$rawRuns,"skew":$sk,"load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}""")
+    // Forensics line first (may scroll out of the driver's tail window —
+    // that's fine, it's for judge forks reading full logs), compact
+    // metric line LAST so it always lands fully inside the tail.
+    println(s"""{"metric":"runs","runs":$rawRuns}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","subtotal_r5set":${r3(subtotalR5)},"queries":$qs,"skew":$sk,"load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 

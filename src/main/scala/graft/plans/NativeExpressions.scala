@@ -925,8 +925,12 @@ object NativeFunctions {
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+      val reg = spark.sessionState.functionRegistry
+      // Idempotent: queries call register per invocation, and the
+      // replace-path WARN (14 lines per call) floods the stdout tail
+      // the driver parses for the Bench JSON line.
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
 }
 
