@@ -1185,6 +1185,90 @@ object Corpus {
       (length(encoded) - length(replace(encoded, lit("("), lit(""))))
         .cast("int").as("n_bpe"))
   }
+
+  /** Per-domain quality quota (the C4/RefinedWeb curation move): keep at
+    * most `cap` documents per `domainCol` value, ranked by `qualityCol`
+    * descending with `idCol` as the deterministic tiebreak. Web corpora
+    * are dominated by a few mega-domains; capping per-domain is how
+    * production pipelines stop one site from owning the training mix.
+    *
+    * Scale shape: one hash partition per domain + a per-group rank that
+    * Spark's WindowGroupLimit pushes below the final sort — each task
+    * keeps only `cap` rows per domain before anything wide happens. A
+    * pathologically hot domain is exactly the skew case
+    * [[stratifiedTakeAgg]]'s bounded aggregator covers; this window form
+    * is the readable default.
+    */
+  def domainCap(docs: DataFrame, domainCol: String, qualityCol: String,
+                idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"bad cap $cap")
+    val w = Window.partitionBy(domainCol)
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    Parallelism.ensure(docs)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= cap)
+  }
+
+  /** Population stability index between a reference and a current
+    * sample of `valueCol` — the industry-standard drift monitor for
+    * quality-score and length distributions ([[sourceDivergence]] is
+    * its per-term KL sibling). Fixed-width bins (deterministic edges —
+    * no data-dependent quantiles), counts smoothed by +0.5 so empty
+    * bins stay finite, PSI = Σ (p−q)·ln(p/q) over nBins+1 bins (the
+    * last catches overflow ≥ nBins·binWidth).
+    *
+    * Scale shape: each side is one narrow bin projection + a tiny
+    * (nBins-row) aggregation; the bin join is broadcast-sized by
+    * construction. Emits one row per bin plus the PSI total on each —
+    * the per-bin (p, q) breakdown is what a drift dashboard plots.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               binWidth: Double, nBins: Int): DataFrame = {
+    require(binWidth > 0 && nBins >= 1, s"bad bins $binWidth/$nBins")
+    def binned(df: DataFrame): DataFrame =
+      Parallelism.ensure(df).select(
+        least(floor(col(valueCol) / binWidth), lit(nBins)).cast("int")
+          .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+    // Dense bin spine (0..nBins) so both sides report every bin even
+    // when one side's count is zero — smoothing needs the empty rows.
+    val spine = ref.sparkSession.range(0, nBins + 1)
+      .select(col("id").cast("int").as("bin"))
+    def share(df: DataFrame, name: String): DataFrame = {
+      val tot = df.agg(sum("n").as("tot"))
+      spine.join(df, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("bin"),
+          ((col("n") + lit(0.5)) / (col("tot") + lit(0.5) * (nBins + 1)))
+            .as(name))
+    }
+    val p = share(binned(ref), "p")
+    val q = share(binned(cur), "q")
+    val terms = p.join(q, "bin")
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+    val psi = terms.agg((round(sum("term"), 6) + lit(0.0)).as("psi"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("bin"), (round(col("p"), 6) + lit(0.0)).as("p"),
+        (round(col("q"), 6) + lit(0.0)).as("q"), col("psi"))
+  }
+
+  /** Tokenizer fertility by language: tokens emitted per character —
+    * the statistic multilingual-tokenizer audits track (a language with
+    * high fertility pays more sequence length for the same text).
+    * Exact integer token/char sums; one narrow pass + a |langs|-row
+    * aggregation using the native codegen tokenizer.
+    */
+  def tokenFertility(docs: DataFrame, langCol: String,
+                     textCol: String): DataFrame =
+    Parallelism.ensure(docs)
+      .select(col(langCol).as("lang"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("toks"),
+        length(col(textCol)).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(sum("toks").as("n_tokens"), sum("chars").as("n_chars"),
+        (round(sum("toks").cast("double") / sum("chars"), 6) + lit(0.0))
+          .as("fertility"))
 }
 
 /** Bounded top-k buffer for [[Corpus.tfidfTopKAgg]]: both the partial

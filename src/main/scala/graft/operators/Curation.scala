@@ -47,4 +47,36 @@ object Curation {
       .select(col("doc_id").as(idCol))
     exactDeduped.join(dropIds, Seq(idCol), "left_anti")
   }
+
+  /** Email pattern shared by redaction and counting — kept to syntax
+    * both Java regex (Spark) and RE2 (DuckDB oracle) read identically.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NNN-NNN-NNNN phone shape, word-bounded so longer digit runs don't
+    * shed false matches.
+    */
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII redaction — the release gate every public training corpus runs
+    * before anything ships: emails then phone numbers replaced by typed
+    * placeholder tokens, with per-document match counts for the audit
+    * trail. Deliberately regex-scoped (the deterministic, replayable
+    * tier); entity-level PII (names, addresses) is a model pass that
+    * sits OUTSIDE the reproducible pipeline and consumes this one's
+    * output. Phones are counted after email redaction, matching the
+    * sequential replace pipeline (digits inside an email never
+    * double-count).
+    *
+    * Scale shape: one narrow per-row pass, no shuffle — pushes through
+    * any plan like the quality/langid gates.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val deEmailed = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("int")
+        .as("n_emails"),
+      regexp_count(deEmailed, lit(PhonePattern)).cast("int").as("n_phones"),
+      md5(regexp_replace(deEmailed, PhonePattern, "<PHONE>")).as("clean_md5"))
+  }
 }

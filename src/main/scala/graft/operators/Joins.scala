@@ -167,4 +167,34 @@ object Joins {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(exploded, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Time-weighted average of `valCol` per `keyCol` — the metered-
+    * quantity statistic (sensor readings, account balances, rate
+    * limits): each observation holds until the next one, so its weight
+    * is the microseconds until the key's next event, and
+    * TWA = Σ vᵢ·Δtᵢ / Σ Δtᵢ. The plain mean over-counts bursts; TWA is
+    * what "average level over the observation window" actually means.
+    * The key's last event has no successor and carries zero weight.
+    * Keys with a single event (no elapsed time) are dropped.
+    *
+    * Scale shape: ONE shuffle on the key + a partition-local time sort
+    * for the lead() window — each key's timeline streams once, the same
+    * shape as [[asOfJoin]]. Ties on ts are ordered by event id so the
+    * integration order is deterministic.
+    */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(idCol).asc)
+    // NTZ-safe: unix_micros wants TIMESTAMP; under the UTC session the
+    // cast is the identity on the microsecond value.
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    events
+      .withColumn("_dt", lead(us, 1).over(w) - us)
+      .filter(col("_dt").isNotNull)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("_dt").as("span_us"),
+        (round(sum(col(valCol) * col("_dt")) / sum(col("_dt")), 4) + lit(0.0))
+          .as("twa"))
+  }
 }

@@ -1079,4 +1079,101 @@ object Similarity {
     base.select(col("id"),
       (round(dotN(col("v"), vLit) - shift, 4) + lit(0.0)).as("pc1"))
   }
+
+  /** Hard-negative mining for contrastive/retrieval training: for every
+    * vector, the top-k most-similar vectors with a DIFFERENT `label` —
+    * the near-misses that teach an encoder the decision boundary
+    * (random negatives are trivially far; the informative ones are the
+    * similar-but-wrong ones).
+    *
+    * Composed as the scale shape from day one (the pqRerank doctrine —
+    * no all-pairs rung): multi-table sign-LSH candidates
+    * ([[multiTableAnnTopK]]'s generator, L independent tables, never
+    * all-pairs), the label gate applied to the candidate list, then the
+    * exact cosine re-rank over survivors. Input columns: id, embedding,
+    * label.
+    */
+  def hardNegativesTopK(vectors: DataFrame, k: Int, bits: Int = 4,
+                        tables: Int = 16): DataFrame = {
+    val b = ensureParallelism(withNative(vectors))
+      .select(col("id"), col("embedding"), col("label"),
+        sqrt(dotN(col("embedding"), col("embedding"))).as("norm"))
+      .withColumn("keys", tableKeysChecked(bits, tables))
+      .localCheckpoint() // probe table + both scoring sides read it
+    val cand = multiTableCandidates(b)
+    val scored = cand
+      .join(b.select(col("id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("label").as("qlabel")), "query_id")
+      .join(b.select(col("id").as("neighbor_id"), col("embedding").as("ce"),
+        col("norm").as("cn"), col("label").as("neg_label")), "neighbor_id")
+      .filter(col("qlabel") =!= col("neg_label"))
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        round(dotN(col("qe"), col("ce")) / (col("qn") * col("cn")), 4)
+          .as("cos"))
+    topK(scored, k)
+  }
+
+  /** Maximal-marginal-relevance selection: from the `poolK` most-
+    * query-similar candidates, greedily pick `k` that balance relevance
+    * against redundancy — round r takes
+    * argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), ties by id.
+    * The diversity-aware cut applied to retrieval shortlists and
+    * training-set selection (a top-k of near-duplicates wastes its
+    * slots; MMR forces coverage).
+    *
+    * Scale shape: the candidate pool (k×poolK-bounded, like the k-means
+    * centroid table) is built by ONE distributed top-poolK pass against
+    * the full corpus; each greedy round is then a narrow pass over the
+    * checkpointed pool — sim-to-selected is `greatest` over ≤ k literal
+    * vectors (driver-held, the kmeansAssign doctrine), and the argmax
+    * is a 1-row TakeOrderedAndProject. Never a pairwise join over the
+    * corpus; all scores rounded at 4dp before comparison so the greedy
+    * trajectory is reproducible cross-engine.
+    */
+  def mmrSelect(vectors: DataFrame, queryId: Long, poolK: Int, k: Int,
+                lambda: Double): DataFrame = {
+    require(k >= 1 && poolK >= k, s"bad k/poolK $k/$poolK")
+    val base = withNorm(vectors)
+    val qRow = base.filter(col("id") === queryId)
+      .select(col("embedding"), col("norm")).head()
+    val qe = array(qRow.getSeq[Float](0).map(lit).toIndexedSeq: _*)
+    val qn = qRow.getDouble(1)
+    val pool = base.filter(col("id") =!= queryId)
+      .select(col("id"), col("embedding"), col("norm"),
+        round(dotN(col("embedding"), qe) / (col("norm") * qn), 4).as("rel"))
+      .orderBy(col("rel").desc, col("id").asc).limit(poolK)
+      .localCheckpoint() // k narrow rounds re-read it
+    var selected = Vector.empty[(Long, Seq[Float], Double, Double)]
+    for (_ <- 1 to k) {
+      val chosenIds = selected.map(_._1)
+      val sims = selected.map { case (_, se, sn, _) =>
+        round(dotN(col("embedding"),
+          array(se.map(lit).toIndexedSeq: _*)) / (col("norm") * sn), 4)
+      }
+      val penalty = sims match {
+        case Seq() => lit(0.0)
+        case Seq(one) => one // greatest() requires >= 2 args
+        case many => greatest(many: _*)
+      }
+      val next = pool
+        .filter(if (chosenIds.isEmpty) lit(true)
+          else !col("id").isin(chosenIds: _*))
+        .withColumn("mmr",
+          round(lit(lambda) * col("rel") - lit(1.0 - lambda) * penalty, 4))
+        .orderBy(col("mmr").desc, col("id").asc).limit(1)
+        .select(col("id"), col("embedding"), col("norm"), col("rel"),
+          col("mmr")).head()
+      selected = selected :+ ((next.getLong(0), next.getSeq[Float](1),
+        next.getDouble(2), next.getDouble(4)))
+    }
+    val rows = selected.zipWithIndex.map { case ((id, _, _, mmr), i) =>
+      (i + 1, id, mmr)
+    }
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sel = rows.toDF("rank", "vec_id", "mmr")
+    sel.join(pool.select(col("id").as("vec_id"), col("rel")), "vec_id")
+      .select(col("rank").cast("int"), col("vec_id"),
+        (col("rel") + lit(0.0)).as("rel"), (col("mmr") + lit(0.0)).as("mmr"))
+  }
 }

@@ -488,6 +488,14 @@ object Events {
           variant_get(col("v"), "$.k", "int").as("k"),
           variant_get(col("v"), "$.k", "string").as("k_str"),
           variant_get(col("v"), "$.missing", "int").as("k_missing"))
+    },
+
+    // Time-weighted average per user — each reading holds until the
+    // next one (metered-quantity semantics); one shuffle on the key,
+    // timeline streamed once through a lead() window.
+    "q194_twa" -> { (s, d) =>
+      graft.operators.Joins.timeWeightedAvg(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value")
     }
   )
 
@@ -668,6 +676,20 @@ object Events {
               CAST(json_extract(props, '$.k') AS INTEGER) AS k,
               CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
               CAST(json_extract(props, '$.missing') AS INTEGER) AS k_missing
-         FROM events"""
+         FROM events""",
+    // q194: lead() integration replayed in the µs domain; the last
+    // event per user has no successor and carries zero weight;
+    // single-event users drop out (no elapsed time).
+    "q194_twa" ->
+      """WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS us
+                    FROM events),
+         dt AS (SELECT user_id, value,
+                  lead(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) - us AS d
+                FROM x)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+              CAST(sum(d) AS BIGINT) AS span_us,
+              round(sum(value * d) / sum(d), 4) + 0.0 AS twa
+         FROM dt WHERE d IS NOT NULL GROUP BY user_id"""
   )
 }

@@ -432,6 +432,29 @@ object Relational {
     "q133_profile" -> { (s, d) =>
       graft.operators.Profile.summarize(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
+    },
+
+    // Entity resolution (q193): the customer file with planted noisy
+    // duplicates (every 10th record re-keyed, one name character
+    // dropped, balance shifted by 0.05), blocked on (nation, segment),
+    // Fellegi-Sunter-style tiered scoring: exact name +4 XOR typo-band
+    // levenshtein 1-2 +3, balance within 0.10 +2; matches at score >= 5.
+    // The planted pairs land at exactly 3 + 2 = 5.
+    "q193_entity_res" -> { (s, d) =>
+      import graft.operators.EntityResolution._
+      val base = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").as("nation"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("segment"))
+      val dups = base.filter(col("id") % 10 === 0).select(
+        (col("id") + 1000000).as("id"),
+        concat(substring(col("name"), 1, 8), substring(col("name"), 10, 32))
+          .as("name"),
+        col("nation"), (col("bal") + lit(0.05)).as("bal"), col("segment"))
+      resolve(base.unionByName(dups), "id", Seq("nation", "segment"),
+        Seq(exactRule("name", 4), fuzzyRule("name", 3, maxDist = 2),
+          numericRule("bal", 2, tol = 0.10)),
+        threshold = 5)
     }
   )
 
@@ -627,6 +650,30 @@ object Relational {
               round(quantile_cont(CAST($c AS DOUBLE), 0.5), 4) AS p50
          FROM lineitem"""
       }.mkString(" UNION ALL ")
-    }
+    },
+
+    // q193: fixture + blocking + tiered scoring replayed; the balance
+    // comparison is the same raw-double abs-diff both sides (identical
+    // IEEE operand bits => identical compare, no rounding involved).
+    "q193_entity_res" ->
+      """WITH base AS (SELECT c_custkey AS id, c_name AS name,
+               c_nationkey AS nation, c_acctbal AS bal,
+               c_mktsegment AS segment FROM customer),
+         dups AS (SELECT id + 1000000 AS id,
+                  substr(name, 1, 8) || substr(name, 10) AS name,
+                  nation, bal + 0.05 AS bal, segment
+                FROM base WHERE id % 10 = 0),
+         r AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+         p AS (SELECT a.id AS id_a, b.id AS id_b,
+                 (CASE WHEN a.name = b.name THEN 4 ELSE 0 END) +
+                 (CASE WHEN levenshtein(a.name, b.name) BETWEEN 1 AND 2
+                       THEN 3 ELSE 0 END) +
+                 (CASE WHEN abs(a.bal - b.bal) <= 0.10 THEN 2 ELSE 0 END)
+                   AS score
+               FROM r a JOIN r b
+               ON a.nation = b.nation AND a.segment = b.segment
+                  AND a.id < b.id)
+         SELECT id_a, id_b, CAST(score AS INTEGER) AS score
+         FROM p WHERE score >= 5"""
   )
 }

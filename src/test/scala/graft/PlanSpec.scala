@@ -386,6 +386,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("q190: domain cap activates WindowGroupLimit — per-group rank pruned map-side") {
+    val plan = planOf("q190_domain_cap")
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+  }
+
+  test("q191: hard-negative funnel is candidate-gated equi joins, never cartesian") {
+    val plan = planOf("q191_hard_negatives")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("q192: PII redaction is one narrow pass — no Exchange, no join") {
+    val plan = planOf("q192_pii_redact")
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
+  test("q193: entity-resolution blocking is a hash equi join, never cartesian") {
+    val plan = planOf("q193_entity_res")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // the residual comparators (levenshtein, abs-diff) ride the equi
+    // join as a post-join condition, not a join strategy change
+    assert(plan.contains("Join"), plan.take(1200))
+  }
+
+  test("q194: TWA is ONE shuffle on the key + a partition-local window sort") {
+    val plan = planOf("q194_twa")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one hash exchange, got $exchanges\n" +
+      plan.take(1500))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "TWA must not global-sort")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE finalizes the physical plan only on execution — run it first.
     val df = SparkEntry.queries("q02_filter_project")(spark, sf)
