@@ -596,4 +596,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Shingle CONTAINMENT pairs — the asymmetric sibling of
+    * [[ngramJaccardPairs]] (Broder's C(A,B) = |S(A)∩S(B)| / |S(A)|):
+    * a short document quoted whole inside a long one scores near 1.0
+    * on containment while its Jaccard stays tiny (the union is
+    * dominated by the long side), so threshold-Jaccard dedup
+    * systematically misses quote/excerpt duplication. Emits both
+    * directions per candidate pair (`cont_ab` = fraction of A inside B,
+    * `cont_ba` the reverse); rows survive when either direction clears
+    * the threshold.
+    *
+    * Identical scale shape to the Jaccard operator: XXH64 shingle keys,
+    * df cap, one reused SHUFFLE_HASH self-join — never all-pairs.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.8,
+                       maxDf: Int = 1000): DataFrame = {
+    val sh = shingledDocs(docs, idCol, textCol, shingleN).localCheckpoint()
+    val ex0 = sh.select(col("id"), explode(col("shs")).as("shStr"))
+      .select(col("id"), xxhash64(col("shStr")).as("sh"))
+    val dropped = ex0.groupBy("sh")
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      .select("sh")
+    val ex = ex0.join(dropped, Seq("sh"), "left_anti")
+    val droppedPerDoc = ex0.join(dropped, Seq("sh"))
+      .groupBy("id").agg(count(lit(1)).as("nd"))
+    val sizes = sh.select(col("id"), size(col("shs")).as("n0"))
+      .join(droppedPerDoc, Seq("id"), "left")
+      .select(col("id"),
+        (col("n0") - coalesce(col("nd"), lit(0))).cast("long").as("n"))
+    val overlap = ex.as("a").hint("SHUFFLE_HASH")
+      .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("m"))
+    overlap
+      .join(sizes.as("sa"), col("doc_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.id"))
+      .withColumn("cont_ab",
+        round(col("m").cast("double") / col("sa.n").cast("double"), 4))
+      .withColumn("cont_ba",
+        round(col("m").cast("double") / col("sb.n").cast("double"), 4))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+      .select("doc_a", "doc_b", "cont_ab", "cont_ba")
+  }
 }

@@ -197,4 +197,23 @@ object Joins {
         (round(sum(col(valCol) * col("_dt")) / sum(col("_dt")), 4) + lit(0.0))
           .as("twa"))
   }
+
+  /** First-order Markov transition mining over per-key event timelines
+    * (clickstream path analysis): count (state → next-state) steps and
+    * the per-source transition probability. The per-key lead() is the
+    * only wide stage over the raw events — the transition matrix itself
+    * is |types|² rows, so the probability window is a no-op at scale.
+    */
+  def transitionCounts(events: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(idCol).asc)
+    val steps = events
+      .withColumn("next_type", lead(col(typeCol), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val pw = Window.partitionBy("from_type")
+    steps.withColumn("p",
+      round(col("n").cast("double") / sum("n").over(pw), 4) + lit(0.0))
+  }
 }

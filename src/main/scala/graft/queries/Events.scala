@@ -496,6 +496,13 @@ object Events {
     "q194_twa" -> { (s, d) =>
       graft.operators.Joins.timeWeightedAvg(Tables.events(s, d),
         "user_id", "ts", "event_id", "value")
+    },
+
+    // First-order Markov transitions over per-user timelines: the
+    // clickstream path matrix with per-source probabilities.
+    "q195_transitions" -> { (s, d) =>
+      graft.operators.Joins.transitionCounts(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type")
     }
   )
 
@@ -690,6 +697,20 @@ object Events {
          SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
               CAST(sum(d) AS BIGINT) AS span_us,
               round(sum(value * d) / sum(d), 4) + 0.0 AS twa
-         FROM dt WHERE d IS NOT NULL GROUP BY user_id"""
+         FROM dt WHERE d IS NOT NULL GROUP BY user_id""",
+    // q195: the same lead() timeline, (type -> next type) counts and
+    // per-source probabilities.
+    "q195_transitions" ->
+      """WITH x AS (SELECT event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id) AS next_type
+              FROM events),
+         c AS (SELECT event_type AS from_type, next_type,
+                 count(*) AS n
+               FROM x WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, next_type, CAST(n AS BIGINT) AS n,
+              round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) + 0.0
+                AS p
+         FROM c"""
   )
 }

@@ -421,6 +421,13 @@ class PlanSpec extends AnyFunSuite {
       "TWA must not global-sort")
   }
 
+  test("q198: containment self-join is a shuffled hash join, never cartesian") {
+    val plan = planOf("q198_containment")
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), "SHUFFLE_HASH hint must hold")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE finalizes the physical plan only on execution — run it first.
     val df = SparkEntry.queries("q02_filter_project")(spark, sf)
