@@ -1253,6 +1253,28 @@ object Corpus {
         (round(col("q"), 6) + lit(0.0)).as("q"), col("psi"))
   }
 
+  /** Skip-gram pair extraction — the word2vec training-data pass:
+    * every (token, following-token-within-`window`) pair, counted over
+    * the corpus, support floor applied. The k lead() branches share one
+    * per-doc positional shuffle (identical subtrees ⇒ ReusedExchange);
+    * the pair aggregation is the only other wide stage, with map-side
+    * partial counts collapsing the heavy head of the Zipf curve before
+    * the exchange.
+    */
+  def skipgramPairs(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int, minCount: Long): DataFrame = {
+    require(window >= 1, s"bad window $window")
+    val toks = Parallelism.ensure(docs)
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val pairs = (1 to window).map { k =>
+      toks.select(col("tok").as("a"), lead(col("tok"), k).over(w).as("b"))
+    }.reduce(_ unionAll _).filter(col("b").isNotNull)
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Tokenizer fertility by language: tokens emitted per character —
     * the statistic multilingual-tokenizer audits track (a language with
     * high fertility pays more sequence length for the same text).

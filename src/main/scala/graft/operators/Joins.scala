@@ -216,4 +216,47 @@ object Joins {
     steps.withColumn("p",
       round(col("n").cast("double") / sum("n").over(pw), 4) + lit(0.0))
   }
+
+  /** Retention cohort matrix — the product-analytics staple: users
+    * grouped by first-seen week, distinct-active-user counts at each
+    * week offset from their cohort. Two hash aggregations + one
+    * equi-join on the user key; the matrix itself is
+    * |cohorts|·|offsets| rows.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val cohorts = events.groupBy(col(userCol).as("u"))
+      .agg(date_trunc("week", min(col(tsCol))).as("cw"))
+    val active = events
+      .select(col(userCol).as("u"), date_trunc("week", col(tsCol)).as("aw"))
+      .distinct()
+    active.join(cohorts, "u")
+      .select(col("u"), col("cw"),
+        ((unix_micros(col("aw").cast("timestamp")) -
+          unix_micros(col("cw").cast("timestamp"))) / lit(604800000000L))
+          .cast("int").as("week_offset"))
+      .groupBy(col("cw").cast("date").as("cohort_week"), col("week_offset"))
+      .agg(countDistinct("u").as("n_users"))
+  }
+
+  /** Conversion latency: time from a user's first `fromType` event to
+    * their first LATER `toType` event, summarized as exact interpolated
+    * percentiles (q77's definition — parity with the oracle's
+    * quantile_cont is pinned). Per-user conditional mins in ONE
+    * aggregation pass, then a single global percentile row.
+    */
+  def conversionLatency(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, fromType: String,
+                        toType: String): DataFrame = {
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val perUser = events.groupBy(col(userCol))
+      .agg(min(when(col(typeCol) === fromType, us)).as("t_from"),
+        min(when(col(typeCol) === toType, us)).as("t_to"))
+      .filter(col("t_from").isNotNull && col("t_to").isNotNull &&
+        col("t_to") > col("t_from"))
+      .select(((col("t_to") - col("t_from")) / lit(1e6)).as("lat_s"))
+    perUser.agg(count(lit(1)).as("n_converted"),
+      (round(expr("percentile(lat_s, 0.5)"), 4) + lit(0.0)).as("p50_s"),
+      (round(expr("percentile(lat_s, 0.9)"), 4) + lit(0.0)).as("p90_s"))
+  }
 }

@@ -1113,6 +1113,23 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** MRR@k — mean-reciprocal-rank's per-query row: 1/rank of the FIRST
+    * retrieved neighbor that appears anywhere in the ground truth's
+    * top-k, 0 when none does. The metric that matters when one good
+    * hit suffices (question answering, known-item search), next to
+    * recall (q82, how many) and nDCG (q187, in what order). Both
+    * inputs are topK-shaped frames (query_id, neighbor_id, rank); one
+    * membership equi-join + a per-query aggregation.
+    */
+  def mrrAtK(retrieved: DataFrame, truth: DataFrame): DataFrame =
+    retrieved.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(truth.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg((round(coalesce(
+        lit(1.0) / min(when(col("hit") === 1, col("rank"))), lit(0.0)), 4)
+        + lit(0.0)).as("rr"))
+
   /** Maximal-marginal-relevance selection: from the `poolK` most-
     * query-similar candidates, greedily pick `k` that balance relevance
     * against redundancy — round r takes

@@ -503,6 +503,21 @@ object Events {
     "q195_transitions" -> { (s, d) =>
       graft.operators.Joins.transitionCounts(Tables.events(s, d),
         "user_id", "ts", "event_id", "event_type")
+    },
+
+    // Retention cohort matrix (q207): users by first-seen week,
+    // distinct-active counts per week offset.
+    "q207_retention_cohorts" -> { (s, d) =>
+      graft.operators.Joins.retentionCohorts(Tables.events(s, d),
+        "user_id", "ts")
+    },
+
+    // Conversion latency (q208): first 'view' to first later
+    // 'purchase' per user, exact interpolated p50/p90.
+    "q208_convert_latency" -> { (s, d) =>
+      graft.operators.Joins.conversionLatency(Tables.events(s, d),
+        "user_id", "ts", "event_type", fromType = "view",
+        toType = "purchase")
     }
   )
 
@@ -711,6 +726,33 @@ object Events {
          SELECT from_type, next_type, CAST(n AS BIGINT) AS n,
               round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) + 0.0
                 AS p
-         FROM c"""
+         FROM c""",
+    // q207: ISO-Monday week truncation both engines; offsets are exact
+    // multiples of 7 days in the NTZ µs domain.
+    "q207_retention_cohorts" ->
+      """WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+                    FROM events GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+               FROM events)
+         SELECT cw AS cohort_week,
+              CAST((epoch_us(aw) - epoch_us(cw)) / 604800000000 AS INTEGER)
+                AS week_offset,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
+    // q208: conditional-min funnel endpoints, exact interpolated
+    // percentiles (quantile_cont == Spark percentile, pinned by q15).
+    "q208_convert_latency" ->
+      """WITH u AS (SELECT user_id,
+              min(CASE WHEN event_type = 'view'
+                       THEN epoch_us(ts) END) AS tf,
+              min(CASE WHEN event_type = 'purchase'
+                       THEN epoch_us(ts) END) AS tt
+            FROM events GROUP BY 1),
+         l AS (SELECT (tt - tf) / 1e6 AS lat_s FROM u
+               WHERE tf IS NOT NULL AND tt IS NOT NULL AND tt > tf)
+         SELECT CAST(count(*) AS BIGINT) AS n_converted,
+              round(quantile_cont(lat_s, 0.5), 4) + 0.0 AS p50_s,
+              round(quantile_cont(lat_s, 0.9), 4) + 0.0 AS p90_s
+         FROM l"""
   )
 }
