@@ -1,0 +1,172 @@
+package graft
+
+import graft.operators.{Corpus, Dedup, EntityResolution, Joins, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computable edge cases for the linkage/analytics batch
+  * (q186, q190-q208) — the oracle rows prove corpus-scale agreement;
+  * these pin the semantics the oracles can't isolate: blocking
+  * boundaries, zero-weight timelines, view-group retirement, the MMR
+  * redundancy penalty, and the miss path of MRR.
+  */
+class LinkageAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("entity resolution: typo dup matches; identical name outside the block never meets") {
+    import spark.implicits._
+    import EntityResolution._
+    val recs = Seq(
+      (1L, "Ada Lovelace", 1, 100.00, "A"),
+      (2L, "Ada Lovelaze", 1, 100.05, "A"), // typo dup, same block
+      (3L, "Ada Lovelace", 2, 100.00, "A"), // identical name, other block
+      (4L, "Zz Unrelated", 1, 500.00, "A")
+    ).toDF("id", "name", "nation", "bal", "segment")
+    val out = resolve(recs, "id", Seq("nation", "segment"),
+      Seq(exactRule("name", 4), fuzzyRule("name", 3, 2),
+        numericRule("bal", 2, 0.10)),
+      threshold = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (1,2): lev 1 (+3) + bal 0.05 (+2) = 5 — match.
+    // (1,3): would score 4+2=6 but blocks differ — never compared.
+    assert(out == Set((1L, 2L, 5)))
+  }
+
+  test("entity resolution: exact and fuzzy name tiers are mutually exclusive") {
+    import spark.implicits._
+    import EntityResolution._
+    val recs = Seq(
+      (1L, "Same Name", 1, 0.0, "A"),
+      (2L, "Same Name", 1, 0.0, "A")
+    ).toDF("id", "name", "nation", "bal", "segment")
+    val out = resolve(recs, "id", Seq("nation"),
+      Seq(exactRule("name", 4), fuzzyRule("name", 3, 2),
+        numericRule("bal", 2, 0.10)), threshold = 1).collect()
+    // exact 4 + bal 2 = 6; the fuzzy tier must NOT add its 3 (lev = 0).
+    assert(out.map(_.getInt(2)).toSeq == Seq(6))
+  }
+
+  test("TWA: holds-until-next integration; single-event keys drop") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      (1L, 1L, ts(0), 10.0),   // 10 for 30 s
+      (2L, 1L, ts(30), 40.0),  // 40 for 10 s
+      (3L, 1L, ts(40), 99.0),  // last event: zero weight
+      (4L, 2L, ts(0), 7.0)     // single event: no elapsed time
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Joins.timeWeightedAvg(ev, "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.length == 1)
+    val (u, n, span, twa) = out.head
+    // (10*30 + 40*10) / 40 = 700/40 = 17.5
+    assert(u == 1L && n == 2 && span == 40000000L && twa == 17.5)
+  }
+
+  test("delta-agg IVM: retired groups drop, new groups appear") {
+    import spark.implicits._
+    val prev = Seq(("a", 2L, 30L), ("b", 1L, 5L))
+      .toDF("source", "n", "total")
+    val changes = Seq(
+      ("D", "b", Some(5L), None: Option[Long]),     // b retires (n -> 0)
+      ("U", "a", Some(10L), Some(12L)),             // a: total 30 -> 32
+      ("I", "c", None: Option[Long], Some(7L))      // c is born
+    ).toDF("op", "source", "v_old", "v_new")
+    val out = graft.operators.Layout
+      .deltaAggMaintain(prev, changes, "source", "op", "v_old", "v_new")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("a", 2L, 32L), ("c", 1L, 7L)))
+  }
+
+  test("MMR: the redundancy penalty beats pure relevance") {
+    import spark.implicits._
+    // query 0 at e1; 1 and 2 are near-duplicates of each other, 3 is
+    // equally relevant to the query but far from 1 — the case where
+    // redundancy must decide (a near-dup that is ALSO more relevant
+    // legitimately wins MMR; that is not this fixture).
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.436f, 0f, 0f)),
+      (2L, Seq(0.89f, 0.44f, 0f, 0f)),  // rel slightly below 1's, sim~1
+      (3L, Seq(0.9f, -0.436f, 0f, 0f))  // same rel as 1, sim(3,1) ~ 0.62
+    ).toDF("id", "embedding")
+    val picks = Similarity.mmrSelect(vecs, 0L, poolK = 3, k = 2, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // pure top-2 relevance would take (1, 2); MMR's second pick must be 3.
+    assert(picks == Seq(1L, 3L))
+  }
+
+  test("MRR: miss scores 0, hit scores 1/first-hit-rank") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("query_id", "neighbor_id", "rank")
+    val retrieved = Seq(
+      (1L, 99L, 1), (1L, 11L, 2), // first hit at rank 2
+      (2L, 98L, 1), (2L, 97L, 2)  // total miss
+    ).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.mrrAtK(retrieved, truth)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out == Map(1L -> 0.5, 2L -> 0.0))
+  }
+
+  test("PSI: identical halves score 0, a shifted distribution scores > 0") {
+    import spark.implicits._
+    val ref = (1 to 200).map(i => i % 100 * 10).toDF("v")
+    val same = Corpus.psiDrift(ref, ref, "v", binWidth = 100, nBins = 9)
+      .select("psi").head().getDouble(0)
+    assert(same == 0.0)
+    val shifted = (1 to 200).map(i => i % 100 * 10 + 300).toDF("v")
+    val drift = Corpus.psiDrift(ref, shifted, "v", binWidth = 100, nBins = 9)
+      .select("psi").head().getDouble(0)
+    assert(drift > 0.1, s"expected drift, got $drift")
+  }
+
+  test("skip-grams: hand counts and the reused positional exchange") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a b"), (2L, "a b")).toDF("doc_id", "text")
+    val df = Corpus.skipgramPairs(docs, "doc_id", "text",
+      window = 2, minCount = 2)
+    val out = df.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // (a,b): doc1 pos1->2, pos4->5, doc2 -> 3; (b,c): 1; (a,c) skip: 1 ...
+    assert(out == Map(("a", "b") -> 3L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "lead branches must share the positional exchange:\n" + plan.take(1500))
+  }
+
+  test("containment: a planted excerpt scores ~1 while its Jaccard stays low") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.8).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    // 8 of the short doc's 8 shingles appear in the long doc.
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(3) == 1.0) // cont_ba: short fully inside long
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.0).collect()
+    assert(jac.head.getDouble(2) < 0.25, "Jaccard must miss the excerpt")
+  }
+
+  test("transitions: probabilities sum to 1 per source state") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      (1L, 1L, ts(0), "a"), (2L, 1L, ts(1), "b"), (3L, 1L, ts(2), "a"),
+      (4L, 2L, ts(0), "a"), (5L, 2L, ts(1), "c")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Joins.transitionCounts(ev, "user_id", "ts", "event_id",
+      "event_type")
+    val byFrom = out.groupBy("from_type").agg(sum("p").as("sp"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(byFrom("a") == 1.0 && byFrom("b") == 1.0)
+    val ab = out.filter(col("from_type") === "a" && col("next_type") === "b")
+      .head()
+    assert(ab.getLong(2) == 1L && ab.getDouble(3) == 0.5)
+  }
+}
