@@ -15,9 +15,12 @@ object Probe {
       val t0 = System.nanoTime(); val n = f
       println(f"[probe] $label n=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val df = SparkEntry.queries(name)(spark, sf)
-    t(s"$name r1")(df.count()); t(s"$name r2")(df.count())
-    if (args.length > 2 && args(2) == "explain") df.explain("formatted")
+    // Construction included in the timing (matches Bench): iterative
+    // operators do eager checkpoint work while building the plan.
+    t(s"$name r1")(SparkEntry.queries(name)(spark, sf).count())
+    t(s"$name r2")(SparkEntry.queries(name)(spark, sf).count())
+    if (args.length > 2 && args(2) == "explain")
+      SparkEntry.queries(name)(spark, sf).explain("formatted")
     spark.stop()
   }
 }

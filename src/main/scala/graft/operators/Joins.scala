@@ -65,6 +65,30 @@ object Joins {
         payload.map(c => col(s"_asof.$c").as(c))).toSeq: _*)
   }
 
+  /** [[asOfJoin]] with a staleness bound (pandas merge_asof
+    * `tolerance`): the latest `rightTime <= leftTime` match is kept
+    * only when it is at most `toleranceSec` old — otherwise the payload
+    * is null, exactly as if no match existed. Null-out after the as-of
+    * IS the exact semantics: as-of already picks the LATEST eligible
+    * right row, and every other candidate is older still, so none can
+    * be inside a tolerance the latest one missed. Same single-shuffle
+    * union-window plan as [[asOfJoin]].
+    */
+  def asOfJoinWithin(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     payload: Seq[String], toleranceSec: Long): DataFrame = {
+    val withT = right.withColumn("_asof_t", col(rightTime))
+    val joined = asOfJoin(left, withT, key, leftTime, rightTime,
+      payload :+ "_asof_t")
+    val fresh = col("_asof_t").isNotNull &&
+      unix_micros(col(leftTime).cast("timestamp")) -
+        unix_micros(col("_asof_t").cast("timestamp")) <=
+        toleranceSec * 1000000L
+    payload.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(fresh, col(c)))
+    }.drop("_asof_t")
+  }
+
   /** Range join (point-in-interval): match every left "point" row to
     * the right interval rows containing it ([startCol, endCol], same
     * `key`). The naive `ts BETWEEN s AND e` join has no equi condition

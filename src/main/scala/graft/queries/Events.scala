@@ -512,6 +512,25 @@ object Events {
         "user_id", "ts")
     },
 
+    // Tolerance as-of (q209): q45's enrichment, but a purchase older
+    // than 24h does not count — merge_asof `tolerance` semantics
+    // (null-out after the as-of IS exact: every other candidate is
+    // older than the latest one).
+    "q209_asof_tolerance" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          round(col("value"), 2).as("purchase_value"))
+      graft.operators.Joins.asOfJoinWithin(clicks, purchases,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = Seq("purchase_id", "purchase_value"),
+        toleranceSec = 86400L)
+        .select("event_id", "user_id", "purchase_id", "purchase_value")
+    },
+
     // Conversion latency (q208): first 'view' to first later
     // 'purchase' per user, exact interpolated p50/p90.
     "q208_convert_latency" -> { (s, d) =>
@@ -739,6 +758,23 @@ object Events {
                 AS week_offset,
               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
+    // q209: DuckDB ASOF + the same null-out-when-stale CASE.
+    "q209_asof_tolerance" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                         WHERE event_type = 'click'),
+         purchases AS (SELECT user_id, ts, event_id AS purchase_id,
+                              round(value, 2) AS purchase_value
+                       FROM events WHERE event_type = 'purchase')
+         SELECT l.event_id, l.user_id,
+              CASE WHEN r.ts IS NOT NULL
+                    AND epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000
+                   THEN r.purchase_id END AS purchase_id,
+              CASE WHEN r.ts IS NOT NULL
+                    AND epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000
+                   THEN r.purchase_value END AS purchase_value
+         FROM clicks l ASOF LEFT JOIN purchases r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+
     // q208: conditional-min funnel endpoints, exact interpolated
     // percentiles (quantile_cont == Spark percentile, pinned by q15).
     "q208_convert_latency" ->

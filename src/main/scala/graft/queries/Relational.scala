@@ -455,6 +455,39 @@ object Relational {
         Seq(exactRule("name", 4), fuzzyRule("name", 3, maxDist = 2),
           numericRule("bal", 2, tol = 0.10)),
         threshold = 5)
+    },
+
+    // Golden-record survivorship (q210): the step AFTER matching —
+    // match pairs close transitively (connectedComponents, so chained
+    // matches land in one cluster), unmatched records keep themselves,
+    // and each cluster emits one golden record by rule: min-id member's
+    // name/segment, max balance, member count. The oracle replays the
+    // ER scoring + a recursive transitive closure + arg_min rules.
+    "q210_survivorship" -> { (s, d) =>
+      import graft.operators.EntityResolution._
+      val base = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").as("nation"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("segment"))
+      val dups = base.filter(col("id") % 10 === 0).select(
+        (col("id") + 1000000).as("id"),
+        concat(substring(col("name"), 1, 8), substring(col("name"), 10, 32))
+          .as("name"),
+        col("nation"), (col("bal") + lit(0.05)).as("bal"), col("segment"))
+      val recs = base.unionByName(dups)
+      val matches = resolve(recs, "id", Seq("nation", "segment"),
+        Seq(exactRule("name", 4), fuzzyRule("name", 3, maxDist = 2),
+          numericRule("bal", 2, tol = 0.10)), threshold = 5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val cc = graft.operators.Dedup.connectedComponents(matches)
+        .select(col("doc_id").as("id"), col("cluster_id"))
+      recs.join(cc, Seq("id"), "left")
+        .withColumn("cluster", coalesce(col("cluster_id"), col("id")))
+        .groupBy(col("cluster").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          expr("min_by(name, id)").as("name"),
+          max("bal").as("max_bal"),
+          expr("min_by(segment, id)").as("segment"))
     }
   )
 
@@ -674,6 +707,47 @@ object Relational {
                ON a.nation = b.nation AND a.segment = b.segment
                   AND a.id < b.id)
          SELECT id_a, id_b, CAST(score AS INTEGER) AS score
-         FROM p WHERE score >= 5"""
+         FROM p WHERE score >= 5""",
+
+    // q210: ER scoring replayed, then a recursive transitive closure
+    // (q66's reach shape), singletons self-clustered, arg_min
+    // survivorship rules. max_bal is the raw double — identical operand
+    // bits both engines, no rounding involved.
+    "q210_survivorship" ->
+      """WITH RECURSIVE
+         base AS (SELECT c_custkey AS id, c_name AS name,
+               c_nationkey AS nation, c_acctbal AS bal,
+               c_mktsegment AS segment FROM customer),
+         dups AS (SELECT id + 1000000 AS id,
+                  substr(name, 1, 8) || substr(name, 10) AS name,
+                  nation, bal + 0.05 AS bal, segment
+                FROM base WHERE id % 10 = 0),
+         r AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+         p AS (SELECT a.id AS id_a, b.id AS id_b,
+                 (CASE WHEN a.name = b.name THEN 4 ELSE 0 END) +
+                 (CASE WHEN levenshtein(a.name, b.name) BETWEEN 1 AND 2
+                       THEN 3 ELSE 0 END) +
+                 (CASE WHEN abs(a.bal - b.bal) <= 0.10 THEN 2 ELSE 0 END)
+                   AS score
+               FROM r a JOIN r b
+               ON a.nation = b.nation AND a.segment = b.segment
+                  AND a.id < b.id),
+         m AS (SELECT id_a, id_b FROM p WHERE score >= 5),
+         edges AS (SELECT id_a AS u, id_b AS v FROM m
+                   UNION SELECT id_b, id_a FROM m),
+         en AS (SELECT DISTINCT u FROM edges),
+         reach(u, v) AS (SELECT u, u FROM en
+                         UNION
+                         SELECT t.u, e.v FROM reach t
+                         JOIN edges e ON t.v = e.u),
+         cl AS (SELECT u AS id, min(v) AS cluster FROM reach GROUP BY u),
+         wc AS (SELECT r.*, coalesce(cl.cluster, r.id) AS cluster
+                FROM r LEFT JOIN cl ON r.id = cl.id)
+         SELECT cluster AS cluster_id,
+              CAST(count(*) AS BIGINT) AS n_members,
+              arg_min(name, id) AS name,
+              max(bal) AS max_bal,
+              arg_min(segment, id) AS segment
+         FROM wc GROUP BY cluster"""
   )
 }
