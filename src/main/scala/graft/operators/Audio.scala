@@ -215,4 +215,42 @@ object Audio {
         }
       }
   }
+
+  final case class AudioFrame(doc_id: Long, frame_idx: Int, n_samples: Int,
+                              energy: Long, peak: Int)
+
+  /** Frame-level energy analysis over the DECODED stream: the PCM cut
+    * into non-overlapping `frameLen`-sample windows (the trailing
+    * partial frame kept with its true length), each emitting exact
+    * integer energy Σs² and peak |s| — the voice-activity-detection /
+    * segmentation primitive every audio curation pipeline runs before
+    * anything model-shaped. One narrow mapPartitions pass; output fans
+    * out ceil(n/frameLen) skinny rows per clip.
+    */
+  def frameEnergies(media: DataFrame, frameLen: Int): Dataset[AudioFrame] = {
+    require(frameLen > 0, s"bad frame length $frameLen")
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[AudioRecord]
+      .mapPartitions { records =>
+        records.flatMap { r =>
+          val s = Wav.decode(r.payload).samples
+          val nFrames = (s.length + frameLen - 1) / frameLen
+          (0 until nFrames).iterator.map { fi =>
+            val start = fi * frameLen
+            val end = math.min(start + frameLen, s.length)
+            var e = 0L
+            var peak = 0
+            var i = start
+            while (i < end) {
+              val v = s(i).toInt
+              e += v.toLong * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
+            }
+            AudioFrame(r.doc_id, fi, end - start, e, peak)
+          }
+        }
+      }
+  }
 }

@@ -372,6 +372,55 @@ object Multimodal {
       }
   }
 
+  final case class Patch(doc_id: Long, patch_row: Int, patch_col: Int,
+                         pix_sum: Long, patch_md5: String)
+
+  /** ViT-style patchification: the DECODED image cut into a
+    * non-overlapping `size`×`size` grid (full patches only — the edge
+    * remainder is dropped, the common ViT preprocessing choice), each
+    * patch emitted with its exact pixel sum and a digest of its bytes
+    * in row-major order. This is the token-ization step of a
+    * vision-transformer data pipeline; swap the digest for a linear
+    * projection and the plumbing is unchanged.
+    *
+    * One narrow mapPartitions pass — codec per partition, payloads
+    * never at the driver, output fans out h/size × w/size rows per
+    * image (skinny: two ints, a long, a hex string).
+    */
+  def imagePatches(media: DataFrame, size: Int): Dataset[Patch] = {
+    require(size > 0, s"bad patch size $size")
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord]
+      .mapPartitions { records =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        records.flatMap { r =>
+          val img = Png.decode(r.payload)
+          val pRows = img.height / size
+          val pCols = img.width / size
+          val buf = new Array[Byte](size * size)
+          for {
+            pr <- (0 until pRows).iterator
+            pc <- (0 until pCols).iterator
+          } yield {
+            var s = 0L
+            var i = 0
+            while (i < size) {
+              var j = 0
+              while (j < size) {
+                val b = img.pixels((pr * size + i) * img.width + pc * size + j)
+                buf(i * size + j) = b
+                s += (b & 0xff)
+                j += 1
+              }
+              i += 1
+            }
+            Patch(r.doc_id, pr, pc, s,
+              md.digest(buf).map(b => f"$b%02x").mkString)
+          }
+        }
+      }
+  }
+
   /** Deterministic multi-frame "video" fixture: `nFrames` complete
     * PNGs concatenated into one payload (the simplest real container —
     * every frame is an independently decodable image). Frame f's

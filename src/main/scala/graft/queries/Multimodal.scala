@@ -212,6 +212,24 @@ object Multimodal {
       graft.operators.Multimodal.imageNearDupPairs(media, radius = 3)
     },
 
+    // ViT patchification (q211): the decoded image cut into a 4x4
+    // non-overlapping grid (full patches only), exact pixel sum +
+    // digest per patch — the vision-transformer token-ization step.
+    // The oracle re-derives every patch byte from the padded-text rule.
+    "q211_image_patches" -> { (s, d) =>
+      val media = graft.operators.Multimodal.asMedia(Tables.documents(s, d))
+      graft.operators.Multimodal.imagePatches(media, size = 4).toDF()
+    },
+
+    // Audio frame energies (q212): 64-sample non-overlapping windows
+    // over the DECODED PCM (trailing partial frame kept) with exact
+    // integer energy and peak — the VAD/segmentation primitive.
+    "q212_audio_frames" -> { (s, d) =>
+      val media = graft.operators.Audio.asAudio(
+        Tables.documents(s, d).filter(length(col("text")) > 0))
+      graft.operators.Audio.frameEnergies(media, frameLen = 64).toDF()
+    },
+
     // REAL video-container frame sampling (q189): 3 complete PNGs per
     // payload (frame f = pixels rotated left by f), structural chunk
     // walk to find frame boundaries, real decode of every 2nd frame,
@@ -268,7 +286,55 @@ object Multimodal {
         SELECT doc_a, doc_b, hamming FROM pp WHERE hamming <= 3"""
   }
 
+  /** q211's oracle: every patch byte re-derived from the padded-text
+    * pixel rule — 4 row substrings concatenated per patch, ascii sums
+    * for the exact pixel total, md5 over the same bytes (ASCII fixture
+    * ⇒ byte slices == char slices).
+    */
+  private def patchOracle: String = {
+    val rowTerms = (0 until 4).map(ri =>
+      s"substr(pix, CAST((pr * 4 + $ri) * 64 + pc * 4 + 1 AS INTEGER), 4)")
+      .mkString(" || ")
+    s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix,
+             CAST($plenSql / 64 AS BIGINT) AS h
+           FROM documents),
+        g AS (SELECT doc_id, pix,
+                unnest(generate_series(0, h // 4 - 1)) AS pr
+              FROM p WHERE h >= 4),
+        gc AS (SELECT doc_id, pix, pr,
+                 unnest(generate_series(0, 15)) AS pc
+               FROM g),
+        pb AS (SELECT doc_id, CAST(pr AS INTEGER) AS patch_row,
+                 CAST(pc AS INTEGER) AS patch_col,
+                 ($rowTerms) AS bytes
+               FROM gc)
+        SELECT doc_id, patch_row, patch_col,
+             CAST(list_sum(list_transform(generate_series(1, 16),
+               i -> ascii(substr(bytes, CAST(i AS INTEGER), 1)))) AS BIGINT)
+               AS pix_sum,
+             md5(bytes) AS patch_md5
+        FROM pb"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q211_image_patches" -> patchOracle,
+
+    // q212: the sample rule replayed, frames by integer division of the
+    // 0-based sample index, exact integer energy/peak per frame.
+    "q212_audio_frames" ->
+      """WITH s AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS i,
+               text
+             FROM documents WHERE length(text) > 0),
+         v AS (SELECT doc_id,
+                 CAST((i - 1) // 64 AS INTEGER) AS frame_idx,
+                 ascii(substr(text, CAST(i AS INTEGER), 1)) * 257 - 16384
+                   AS smp
+               FROM s)
+         SELECT doc_id, frame_idx,
+              CAST(count(*) AS INTEGER) AS n_samples,
+              CAST(sum(CAST(smp AS BIGINT) * smp) AS BIGINT) AS energy,
+              CAST(max(abs(smp)) AS INTEGER) AS peak
+         FROM v GROUP BY 1, 2""",
     "q60_media_meta" ->
       s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix FROM documents)
          SELECT doc_id,
