@@ -1275,6 +1275,25 @@ object Corpus {
       .filter(col("n") >= minCount)
   }
 
+  /** Contrastive batch construction — the data-prep step for
+    * CLIP-style training where every batch member is every other
+    * member's in-batch negative: a reproducible pseudo-random total
+    * order ([[globalOrderIndex]]'s md5 rule, so batches are stable
+    * across runs/engines/partitionings), cut into fixed `batchSize`
+    * groups with within-batch positions. Composability is the point:
+    * the order is established distributedly (range exchange +
+    * zipWithIndex), never through one partition.
+    */
+  def contrastiveBatches(pairs: DataFrame, idCol: String,
+                         batchSize: Int): DataFrame = {
+    require(batchSize >= 2, s"bad batch size $batchSize")
+    globalOrderIndex(pairs,
+      Seq(md5(col(idCol).cast("string")), col(idCol)))
+      .withColumn("batch_id", (col("pos") / batchSize).cast("long"))
+      .withColumn("pos_in_batch", pmod(col("pos"), lit(batchSize)).cast("int"))
+      .drop("pos")
+  }
+
   /** Tokenizer fertility by language: tokens emitted per character —
     * the statistic multilingual-tokenizer audits track (a language with
     * high fertility pays more sequence length for the same text).

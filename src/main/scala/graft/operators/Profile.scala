@@ -53,4 +53,52 @@ object Profile {
     }
     one.select(explode(array(structs: _*)).as("s")).select("s.*")
   }
+
+  /** One named data-quality constraint: a DataFrame whose row count IS
+    * the violation count. Builders below produce the classic four;
+    * arbitrary predicates compose the same way.
+    */
+  final case class Check(name: String, violations: DataFrame)
+
+  /** NULLs in a declared-NOT-NULL column. */
+  def notNull(df: DataFrame, c: String): Check =
+    Check(s"not_null($c)", df.filter(col(c).isNull))
+
+  /** Rows belonging to a duplicated key group (0 = the column is a
+    * key). Counted as ROWS, not keys: the number a cleanup job must
+    * touch.
+    */
+  def unique(df: DataFrame, c: String): Check = {
+    val dupKeys = df.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).select(col(c))
+    Check(s"unique($c)", df.join(dupKeys, Seq(c), "left_semi"))
+  }
+
+  /** Child rows whose non-null foreign key misses the parent key set —
+    * one anti join on the key.
+    */
+  def foreignKey(child: DataFrame, fk: String, parent: DataFrame,
+                 pk: String): Check =
+    Check(s"fk($fk->$pk)",
+      child.filter(col(fk).isNotNull)
+        .join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti"))
+
+  /** Values outside [lo, hi] (NULLs don't violate a range check). */
+  def inRange(df: DataFrame, c: String, lo: Double, hi: Double): Check =
+    Check(s"range($c)",
+      df.filter(col(c).isNotNull && (col(c) < lo || col(c) > hi)))
+
+  /** Audit report: one row per constraint with its violation count —
+    * the data-quality gate a pipeline asserts before publishing a
+    * snapshot. Each check is one independent aggregation / anti-join
+    * over its own table (no cross-check coupling); the report is
+    * |checks| rows.
+    */
+  def constraintAudit(checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no constraints to audit")
+    checks.map { ch =>
+      ch.violations.agg(count(lit(1)).as("violations"))
+        .select(lit(ch.name).as("check_name"), col("violations"))
+    }.reduce(_ unionByName _)
+  }
 }

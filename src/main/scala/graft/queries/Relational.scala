@@ -457,6 +457,23 @@ object Relational {
         threshold = 5)
     },
 
+    // Constraint audit (q214): the data-quality gate before publishing
+    // a snapshot — key uniqueness, NOT NULL, two foreign keys, and two
+    // range checks, each an independent agg/anti-join; |checks| rows.
+    "q214_constraint_audit" -> { (s, d) =>
+      import graft.operators.Profile._
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val lineitem = Tables.lineitem(s, d)
+      constraintAudit(Seq(
+        unique(orders, "o_orderkey"),
+        notNull(customer, "c_name"),
+        foreignKey(orders, "o_custkey", customer, "c_custkey"),
+        foreignKey(lineitem, "l_orderkey", orders, "o_orderkey"),
+        inRange(lineitem, "l_quantity", 1, 40),
+        inRange(customer, "c_acctbal", 0, 1e9)))
+    },
+
     // Golden-record survivorship (q210): the step AFTER matching —
     // match pairs close transitively (connectedComponents, so chained
     // matches land in one cluster), unmatched records keep themselves,
@@ -708,6 +725,38 @@ object Relational {
                   AND a.id < b.id)
          SELECT id_a, id_b, CAST(score AS INTEGER) AS score
          FROM p WHERE score >= 5""",
+
+    // q214: each check replayed as its own scalar count.
+    "q214_constraint_audit" ->
+      """SELECT 'unique(o_orderkey)' AS check_name,
+              CAST(coalesce((SELECT sum(n) FROM (
+                SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+                HAVING count(*) > 1)), 0) AS BIGINT) AS violations
+         UNION ALL
+         SELECT 'not_null(c_name)',
+              (SELECT count(*) FROM customer WHERE c_name IS NULL)
+         UNION ALL
+         SELECT 'fk(o_custkey->c_custkey)',
+              (SELECT count(*) FROM orders o
+               WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                 SELECT 1 FROM customer c
+                 WHERE c.c_custkey = o.o_custkey))
+         UNION ALL
+         SELECT 'fk(l_orderkey->o_orderkey)',
+              (SELECT count(*) FROM lineitem l
+               WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+                 SELECT 1 FROM orders o
+                 WHERE o.o_orderkey = l.l_orderkey))
+         UNION ALL
+         SELECT 'range(l_quantity)',
+              (SELECT count(*) FROM lineitem
+               WHERE l_quantity IS NOT NULL
+                 AND (l_quantity < 1 OR l_quantity > 40))
+         UNION ALL
+         SELECT 'range(c_acctbal)',
+              (SELECT count(*) FROM customer
+               WHERE c_acctbal IS NOT NULL
+                 AND (c_acctbal < 0 OR c_acctbal > 1000000000.0))""",
 
     // q210: ER scoring replayed, then a recursive transitive closure
     // (q66's reach shape), singletons self-clustered, arg_min
