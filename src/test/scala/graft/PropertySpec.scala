@@ -191,4 +191,64 @@ class PropertySpec extends AnyFunSuite {
       assert(r.out_md5 == m.pixel_md5, s"doc ${r.doc_id}")
     }
   }
+
+  test("containmentPairs equals brute-force set containment on random corpora") {
+    import spark.implicits._
+    // small alphabet forces shared shingles; no df cap in the brute
+    // model, so keep maxDf above any possible df
+    val words = Seq("a", "b", "c", "d")
+    val docs = (0L until 20L).map { i =>
+      (i, (0 until 4 + rnd.nextInt(12)).map(_ =>
+        words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length < 3) Set.empty
+      else (0 to toks.length - 3).map(i => toks.slice(i, i + 3)
+        .mkString(" ")).toSet
+    }
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = shingles(ta); sb = shingles(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      m = (sa intersect sb).size if m > 0
+      ca = BigDecimal(m.toDouble / sa.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      cb = BigDecimal(m.toDouble / sb.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if math.max(ca, cb) >= 0.5
+    } yield (ia, ib, ca, cb)).toSet
+    val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 3, threshold = 0.5, maxDf = 100000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+  }
+
+  test("timeWeightedAvg equals a serial integration on random timelines") {
+    import spark.implicits._
+    val ev = (0 until 120).map { i =>
+      (i.toLong, (i % 6).toLong,
+        new java.sql.Timestamp(rnd.nextInt(100000).toLong * 1000),
+        (rnd.nextInt(1000) + 1) / 10.0)
+    }
+    val got = graft.operators.Joins
+      .timeWeightedAvg(ev.toDF("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val expected = ev.groupBy(_._2).flatMap { case (u, rows) =>
+      val line = rows.sortBy(r => (r._3.getTime, r._1))
+      val steps = line.zip(line.tail).map { case (a, b) =>
+        (a._4, (b._3.getTime - a._3.getTime) * 1000L)
+      }
+      val span = steps.map(_._2).sum
+      if (span <= 0 && steps.isEmpty) None
+      else Some(u -> (steps.length.toLong, span,
+        BigDecimal(steps.map(s => s._1 * s._2).sum / span)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0))
+    }
+    assert(got == expected)
+  }
 }
