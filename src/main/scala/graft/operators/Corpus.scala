@@ -1294,6 +1294,29 @@ object Corpus {
       .drop("pos")
   }
 
+  /** Length-bucketed batching — the padding-minimizing batch layout:
+    * documents bucketed by token-length band (`binTokens` wide), each
+    * bucket cut into `batchSize` batches along the md5 pseudo-random
+    * order. Batching similar lengths together is what keeps padding
+    * waste down in training and dynamic batching; the md5 order keeps
+    * batch membership reproducible. One shuffle on the bucket key +
+    * per-bucket window.
+    */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, textCol: String,
+                          binTokens: Int, batchSize: Int): DataFrame = {
+    require(binTokens >= 1 && batchSize >= 1, "bad bin/batch size")
+    val w = Window.partitionBy("len_bin")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    Parallelism.ensure(docs)
+      .select(col(idCol).as("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).as("n_tokens"))
+      .withColumn("len_bin", (col("n_tokens") / binTokens).cast("int"))
+      .withColumn("_rn", row_number().over(w) - 1)
+      .select(col("doc_id"), col("n_tokens"), col("len_bin"),
+        (col("_rn") / batchSize).cast("int").as("batch_in_bin"),
+        pmod(col("_rn"), lit(batchSize)).cast("int").as("pos_in_batch"))
+  }
+
   /** Tokenizer fertility by language: tokens emitted per character —
     * the statistic multilingual-tokenizer audits track (a language with
     * high fertility pays more sequence length for the same text).

@@ -64,7 +64,9 @@ object Graph {
           (teleport + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
       // checkpoint INTERMEDIATE vectors only (truncates the growing
       // lineage); the last iteration stays lazy so callers compose it
-      // without an extra materialization.
+      // without an extra materialization. (Probed r7: lazy eager=false
+      // checkpoints do NOT help here — the cost is the iteration's own
+      // shuffle jobs, not the checkpoint barrier.)
       if (i < iterations) ranks = ranks.localCheckpoint()
     }
     ranks

@@ -1130,6 +1130,35 @@ object Similarity {
         lit(1.0) / min(when(col("hit") === 1, col("rank"))), lit(0.0)), 4)
         + lit(0.0)).as("rr"))
 
+  /** Reciprocal-rank fusion — the standard hybrid-search combiner
+    * (Cormack et al.): given several per-query rankings (topK-shaped
+    * frames: query_id, neighbor_id, rank), score each candidate
+    * Σ 1/(c + rank) over the lists it appears in and keep the fused
+    * top-k. Rank-based fusion needs no score calibration between
+    * retrievers (BM25 scores and cosines are not comparable; ranks
+    * are), which is why RRF is the default in hybrid lexical+vector
+    * search.
+    *
+    * Scale shape: a union of skinny rank rows + one hash aggregation
+    * on (query, candidate) + the per-query top-k window — no retriever
+    * internals touched. Fused scores are rounded (6dp) before the
+    * ordering so the boundary cannot flap cross-engine; ties break by
+    * neighbor id.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty && k >= 1, "need rankings and k >= 1")
+    val scored = rankings.map(_.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("rank")))
+      .reduce(_ unionAll _)
+      .groupBy("query_id", "neighbor_id")
+      .agg((round(sum(lit(1.0) / (lit(c) + col("rank"))), 6) + lit(0.0))
+        .as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    scored.withColumn("fused_rank", row_number().over(w).cast("int"))
+      .filter(col("fused_rank") <= k)
+  }
+
   /** Maximal-marginal-relevance selection: from the `poolK` most-
     * query-similar candidates, greedily pick `k` that balance relevance
     * against redundancy — round r takes
