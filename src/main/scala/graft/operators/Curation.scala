@@ -48,6 +48,45 @@ object Curation {
     exactDeduped.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** The FULL production corpus pass — every curation stage composed
+    * in pipeline order, cheapest-narrow first, each stage an operator
+    * that also stands alone:
+    *
+    *   1. quality + language gate (narrow)       [[curate]]
+    *   2. exact dedup (fingerprint groupBy)      [[curate]]
+    *   3. fuzzy dedup (MinHash LSH + CC keepers) [[curate]]
+    *   4. benchmark decontamination (broadcast shingle set, narrow)
+    *   5. per-domain quality cap (WindowGroupLimit)
+    *   6. target mixture sampling (md5 gate, narrow)
+    *   7. PII redaction (narrow) — last, so audit counts describe the
+    *      rows that actually ship
+    *
+    * The stage order is the scale argument: narrow gates drop the bulk
+    * before anything shuffles; the two shuffling stages (exact + fuzzy
+    * dedup) run on survivors; everything after them is narrow or
+    * per-group. Output: one row per shipped document with its source,
+    * lang, length, PII audit counts, and cleaned-text digest.
+    */
+  def fullPipeline(docs: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String, langCol: String,
+                   minQuality: Double, langs: Seq[String],
+                   nearDupThreshold: Double, bench: DataFrame,
+                   domainCap: Int,
+                   mixture: Seq[(String, Double)]): DataFrame = {
+    val curated = curate(docs, idCol, textCol, minQuality, langs,
+      nearDupThreshold)
+    val contaminated = Corpus
+      .decontaminate(curated, idCol, textCol, bench, textCol)
+      .filter(col("contaminated")).select(col("doc_id").as(idCol))
+    val clean = curated.join(contaminated, Seq(idCol), "left_anti")
+    val capped = Corpus.domainCap(clean, sourceCol, "n_chars", idCol,
+      domainCap).drop("rank")
+    val mixed = Corpus.mixtureSample(capped, idCol, langCol, mixture)
+    mixed.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      col(langCol).as("lang"), col("n_chars"))
+      .join(redactPii(mixed, idCol, textCol), "doc_id")
+  }
+
   /** Email pattern shared by redaction and counting — kept to syntax
     * both Java regex (Spark) and RE2 (DuckDB oracle) read identically.
     */
