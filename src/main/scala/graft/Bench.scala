@@ -65,8 +65,10 @@ object Bench {
     "q177_pca_project", "q178_cluster_topics",
     // the heaviest of the curation/linkage batch: the ANN-gated
     // hard-negative funnel, the blocked+levenshtein entity resolution,
-    // and the shingle-containment self-join
-    "q191_hard_negatives", "q193_entity_res", "q198_containment")
+    // the shingle-containment self-join, and the seven-stage
+    // end-to-end corpus pass (the showpiece composition)
+    "q191_hard_negatives", "q193_entity_res", "q198_containment",
+    "q217_full_pipeline")
 
   private val headline = headlineR5 ++ headlineR6 ++ headlineR7
 

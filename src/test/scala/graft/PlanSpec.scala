@@ -428,6 +428,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "SHUFFLE_HASH hint must hold")
   }
 
+  test("q215: RRF fusion adds one aggregation over the retriever unions, no join") {
+    val plan = planOf("q215_rrf_fusion")
+    // fusion itself is union + agg + window; the only joins in the plan
+    // belong to the retrievers (equi joins on the bucket keys)
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("q217: the seven-stage pipeline plans without a cartesian anywhere") {
+    val plan = planOf("q217_full_pipeline")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE finalizes the physical plan only on execution — run it first.
     val df = SparkEntry.queries("q02_filter_project")(spark, sf)
