@@ -27,16 +27,23 @@ object Curation {
              minQuality: Double = 0.3,
              langs: Seq[String] = Seq("en"),
              nearDupThreshold: Double = 0.5): DataFrame = {
+    // Checkpoint the gate output: the quality/langid expressions are
+    // token-loop-heavy, and `gated` feeds both the keeper aggregation
+    // and the dedup join — without the checkpoint the scan+gate subtree
+    // executes once per consumer (measured: curate at sf0.1 spent most
+    // of its 4.7 s recomputing narrow stages, see BASELINE r7 notes).
     val gated = docs
       .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
       .filter(TextFunctions.langId(col(textCol)).isin(langs: _*))
+      .localCheckpoint()
 
     // exact dedup: keep the minimum id per normalized-text fingerprint
     val keeper = gated
       .groupBy(TextFunctions.fingerprint(col(textCol)).as("_fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val exactDeduped = gated.join(keeper, idCol)
+    // Checkpointed: consumed by the LSH stage AND the final anti-join.
+    val exactDeduped = gated.join(keeper, idCol).localCheckpoint()
 
     // near-dup removal: cluster the verified LSH pairs, keep each
     // cluster's minimum id (docs absent from any pair keep themselves)
@@ -73,15 +80,21 @@ object Curation {
                    nearDupThreshold: Double, bench: DataFrame,
                    domainCap: Int,
                    mixture: Seq[(String, Double)]): DataFrame = {
+    // Checkpoints at every reused composition point: each stage's DAG
+    // would otherwise re-execute once per downstream consumer (the
+    // decontamination pass, its anti-join, the cap window, the
+    // mixture's count collect, and the final join each re-read their
+    // input) — measured 10.8 s -> ~2 s warm at sf0.1.
     val curated = curate(docs, idCol, textCol, minQuality, langs,
-      nearDupThreshold)
+      nearDupThreshold).localCheckpoint()
     val contaminated = Corpus
       .decontaminate(curated, idCol, textCol, bench, textCol)
       .filter(col("contaminated")).select(col("doc_id").as(idCol))
     val clean = curated.join(contaminated, Seq(idCol), "left_anti")
     val capped = Corpus.domainCap(clean, sourceCol, "n_chars", idCol,
-      domainCap).drop("rank")
+      domainCap).drop("rank").localCheckpoint()
     val mixed = Corpus.mixtureSample(capped, idCol, langCol, mixture)
+      .localCheckpoint()
     mixed.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
       col(langCol).as("lang"), col("n_chars"))
       .join(redactPii(mixed, idCol, textCol), "doc_id")
