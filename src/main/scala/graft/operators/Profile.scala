@@ -54,6 +54,53 @@ object Profile {
     one.select(explode(array(structs: _*)).as("s")).select("s.*")
   }
 
+  /** Pairwise correlation matrix over `cols` in ONE aggregation pass —
+    * all C(k,2) Pearson coefficients as algebraic aggregates sharing a
+    * single shuffle (k columns cost one job, not k² scans); the 1-row
+    * result explodes to a row per pair. Rounded at 4dp (+0.0 collapses
+    * IEEE −0.0) so the cross-engine compare is stable.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      (round(corr(col(a), col(b)), 4) + lit(0.0)).as(s"__${a}__$b")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val structs = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__${a}__$b").as("r"))
+    }
+    one.select(explode(array(structs: _*)).as("s")).select("s.*")
+  }
+
+  /** Winsorized group statistics — the robust-mean preprocessing move:
+    * per group, values clamped into the exact interpolated [pLo, pHi]
+    * percentile band before averaging, so a handful of extremes stops
+    * dominating the mean (MAD flags outliers, q154; winsorizing
+    * NEUTRALIZES them without dropping rows). Two passes over the
+    * group: one percentile aggregation (|groups| rows, broadcast
+    * back), one clamp + mean.
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valCol: String,
+                      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band $pLo/$pHi")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, $pLo)").as("lo"),
+        expr(s"percentile($valCol, $pHi)").as("hi"))
+    df.join(broadcast(bounds), groupCol)
+      .select(col(groupCol),
+        greatest(col("lo"), least(col("hi"), col(valCol))).as("w"),
+        col("lo"), col("hi"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        (round(min("lo"), 4) + lit(0.0)).as("lo"),
+        (round(min("hi"), 4) + lit(0.0)).as("hi"),
+        (round(avg("w"), 4) + lit(0.0)).as("wins_mean"))
+  }
+
   /** One named data-quality constraint: a DataFrame whose row count IS
     * the violation count. Builders below produce the classic four;
     * arbitrary predicates compose the same way.

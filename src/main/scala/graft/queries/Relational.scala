@@ -457,6 +457,22 @@ object Relational {
         threshold = 5)
     },
 
+    // Winsorized group stats (q218): values clamped into the exact
+    // [p01, p99] band before averaging — the robust mean that
+    // neutralizes extremes without dropping rows (q154's MAD flags
+    // them; this is the complementary fix).
+    "q218_winsorize" -> { (s, d) =>
+      graft.operators.Profile.winsorizedStats(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice", pLo = 0.01, pHi = 0.99)
+    },
+
+    // Correlation matrix (q219): all 6 pairwise Pearson coefficients
+    // over 4 lineitem measures in ONE aggregation pass.
+    "q219_corr_matrix" -> { (s, d) =>
+      graft.operators.Profile.corrMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
+
     // Constraint audit (q214): the data-quality gate before publishing
     // a snapshot — key uniqueness, NOT NULL, two foreign keys, and two
     // range checks, each an independent agg/anti-join; |checks| rows.
@@ -725,6 +741,31 @@ object Relational {
                   AND a.id < b.id)
          SELECT id_a, id_b, CAST(score AS INTEGER) AS score
          FROM p WHERE score >= 5""",
+
+    // q218: quantile_cont == Spark percentile (pinned by q15); same
+    // clamp + mean arithmetic.
+    "q218_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01) AS lo,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS hi
+             FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+              round(min(b.lo), 4) + 0.0 AS lo,
+              round(min(b.hi), 4) + 0.0 AS hi,
+              round(avg(greatest(b.lo, least(b.hi, l.l_extendedprice))), 4)
+                + 0.0 AS wins_mean
+         FROM lineitem l JOIN b USING (l_returnflag)
+         GROUP BY 1""",
+
+    // q219: per-pair corr (sample Pearson both engines, parity pinned
+    // by q163).
+    "q219_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      (for { i <- cols.indices; j <- (i + 1) until cols.size } yield
+        s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+              round(corr(${cols(i)}, ${cols(j)}), 4) + 0.0 AS r
+         FROM lineitem""").mkString(" UNION ALL ")
+    },
 
     // q214: each check replayed as its own scalar count.
     "q214_constraint_audit" ->
