@@ -89,6 +89,37 @@ object Joins {
     }.drop("_asof_t")
   }
 
+  /** Gap-fill / resample to a regular grid: one row per key per day
+    * between the key's first and last event, carrying the day's last
+    * observed value forward ([[asOfJoin]] against a generated daily
+    * spine — the time-series regularization every dashboard and
+    * feature-store pipeline runs before joins on aligned time).
+    *
+    * Scale shape: the spine generates from a |keys|-row aggregate
+    * (sequence + explode — fan-out is days-per-key, data-proportional),
+    * and the fill is the as-of union-window: ONE shuffle on the key.
+    */
+  def gapFillDaily(events: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String): DataFrame = {
+    val bounds = events.groupBy(col(keyCol))
+      .agg(date_trunc("day", min(col(tsCol))).as("_d0"),
+        date_trunc("day", max(col(tsCol))).as("_d1"))
+    val spine = bounds.select(col(keyCol),
+      explode(sequence(col("_d0"), col("_d1"),
+        expr("interval 1 day"))).as("day"))
+    // fill value = last event with ts <= end-of-day == as-of at
+    // day + 1d - 1µs; equivalently as-of on the day truncation of the
+    // event against the spine day works only for same-day events, so
+    // join on the raw timeline: right time = ts, left time = day end.
+    val dayEnd = spine.withColumn("_day_end",
+      col("day") + expr("interval 1 day") - expr("interval 1 microsecond"))
+    asOfJoin(dayEnd,
+      events.select(col(keyCol), col(tsCol), col(valCol).as("fill_value")),
+      keyCol, "_day_end", tsCol, Seq("fill_value"))
+      .select(col(keyCol), col("day").cast("date").as("day"),
+        col("fill_value"))
+  }
+
   /** Range join (point-in-interval): match every left "point" row to
     * the right interval rows containing it ([startCol, endCol], same
     * `key`). The naive `ts BETWEEN s AND e` join has no equi condition

@@ -531,6 +531,16 @@ object Events {
         .select("event_id", "user_id", "purchase_id", "purchase_value")
     },
 
+    // Gap-fill to a daily grid (q220): one row per user per day
+    // between their first and last event, last observed value carried
+    // forward — as-of against a generated spine, the time-series
+    // regularization move.
+    "q220_gapfill" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        round(col("value"), 2).as("value"))
+      graft.operators.Joins.gapFillDaily(ev, "user_id", "ts", "value")
+    },
+
     // Conversion latency (q208): first 'view' to first later
     // 'purchase' per user, exact interpolated p50/p90.
     "q208_convert_latency" -> { (s, d) =>
@@ -774,6 +784,24 @@ object Events {
                    THEN r.purchase_value END AS purchase_value
          FROM clicks l ASOF LEFT JOIN purchases r
            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+
+    // q220: generated spine + ASOF at each day's last microsecond.
+    "q220_gapfill" ->
+      """WITH b AS (SELECT user_id, date_trunc('day', min(ts)) AS d0,
+                      date_trunc('day', max(ts)) AS d1
+                    FROM events GROUP BY 1),
+         spine AS (SELECT user_id,
+                     unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                       CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS day
+                   FROM b),
+         sp AS (SELECT user_id, day,
+                  day + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND AS de
+                FROM spine),
+         ev AS (SELECT user_id, ts, round(value, 2) AS fill_value
+                FROM events)
+         SELECT s.user_id, CAST(s.day AS DATE) AS day, e.fill_value
+         FROM sp s ASOF LEFT JOIN ev e
+           ON s.user_id = e.user_id AND s.de >= e.ts""",
 
     // q208: conditional-min funnel endpoints, exact interpolated
     // percentiles (quantile_cont == Spark percentile, pinned by q15).
