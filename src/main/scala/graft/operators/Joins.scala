@@ -272,6 +272,34 @@ object Joins {
       round(col("n").cast("double") / sum("n").over(pw), 4) + lit(0.0))
   }
 
+  /** Order-n path mining — [[transitionCounts]]'s longer-memory
+    * sibling: every n-step consecutive event-type path per key, counted
+    * corpus-wide with the top-k kept. The discovery tool behind funnel
+    * design (transitions say what follows one state; paths expose the
+    * actual multi-step routes users take). Same single per-key window
+    * shuffle — the n−1 lead() columns share one (key, time) sort — and
+    * a TakeOrderedAndProject top-k, never a global sort.
+    */
+  def pathCounts(events: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String, typeCol: String, steps: Int,
+                 k: Int): DataFrame = {
+    require(steps >= 2 && k >= 1, s"bad steps/k $steps/$k")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(idCol).asc)
+    val withSteps = (1 until steps).foldLeft(events) { (df, i) =>
+      df.withColumn(s"_s$i", lead(col(typeCol), i).over(w))
+    }
+    val stepCols = (1 until steps).map(i => col(s"_s$i"))
+    withSteps
+      // a null at the LAST lead implies nulls at all shorter horizons,
+      // so one filter suffices (and runs on the materialized column —
+      // window expressions are not allowed inside a filter directly)
+      .filter(stepCols.last.isNotNull)
+      .withColumn("path",
+        concat_ws(">", (col(typeCol) +: stepCols): _*))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc).limit(k)
+  }
+
   /** Retention cohort matrix — the product-analytics staple: users
     * grouped by first-seen week, distinct-active-user counts at each
     * week offset from their cohort. Two hash aggregations + one

@@ -531,6 +531,13 @@ object Events {
         .select("event_id", "user_id", "purchase_id", "purchase_value")
     },
 
+    // Path mining (q221): top-10 3-step event-type routes — the
+    // multi-step sibling of q195's transition matrix.
+    "q221_path_mining" -> { (s, d) =>
+      graft.operators.Joins.pathCounts(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type", steps = 3, k = 10)
+    },
+
     // Gap-fill to a daily grid (q220): one row per user per day
     // between their first and last event, last observed value carried
     // forward — as-of against a generated spine, the time-series
@@ -784,6 +791,20 @@ object Events {
                    THEN r.purchase_value END AS purchase_value
          FROM clicks l ASOF LEFT JOIN purchases r
            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+
+    // q221: two leads over the same per-user window, deterministic
+    // (n desc, path) top-10.
+    "q221_path_mining" ->
+      """WITH x AS (SELECT event_type,
+                lead(event_type, 1) OVER w AS t1,
+                lead(event_type, 2) OVER w AS t2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id)),
+         p AS (SELECT event_type || '>' || t1 || '>' || t2 AS path
+               FROM x WHERE t2 IS NOT NULL)
+         SELECT path, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
 
     // q220: generated spine + ASOF at each day's last microsecond.
     "q220_gapfill" ->
