@@ -153,6 +153,37 @@ class LinkageAnalyticsSpec extends AnyFunSuite {
     assert(jac.head.getDouble(2) < 0.25, "Jaccard must miss the excerpt")
   }
 
+  test("gap-fill: every day between first and last is present, value carried forward") {
+    import spark.implicits._
+    def ts(day: Int, sec: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 00:00:${sec}%02d")
+    val ev = Seq(
+      (1L, ts(1, 10), 1.0), (2L, ts(1, 20), 2.0), // day 1 ends at 2.0
+      (3L, ts(4, 0), 9.0)                          // days 2,3 carry 2.0
+    ).toDF("event_id", "ts", "value").withColumn("user_id", lit(7L))
+    val out = graft.operators.Joins
+      .gapFillDaily(ev, "user_id", "ts", "value")
+      .orderBy("day").collect()
+      .map(r => (r.getDate(1).toString, r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 2.0), ("2024-01-02", 2.0),
+      ("2024-01-03", 2.0), ("2024-01-04", 9.0)))
+  }
+
+  test("path mining: routes never cross key boundaries") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      (1L, 1L, ts(0), "a"), (2L, 1L, ts(1), "b"), (3L, 1L, ts(2), "c"),
+      (4L, 2L, ts(0), "x"), (5L, 2L, ts(1), "y"), (6L, 2L, ts(2), "z")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.operators.Joins.pathCounts(ev, "user_id", "ts",
+      "event_id", "event_type", steps = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // exactly one complete 3-path per user; no a>b>x style cross-user mix
+    assert(out == Set(("a>b>c", 1L), ("x>y>z", 1L)))
+  }
+
   test("transitions: probabilities sum to 1 per source state") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
