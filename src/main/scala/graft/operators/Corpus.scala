@@ -1225,10 +1225,15 @@ object Corpus {
   def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
                binWidth: Double, nBins: Int): DataFrame = {
     require(binWidth > 0 && nBins >= 1, s"bad bins $binWidth/$nBins")
+    // Clamped on BOTH ends: bin nBins catches overflow (≥ nBins·width)
+    // and bin 0 additionally absorbs underflow (negative values), so
+    // every row lands on the 0..nBins spine — an unclamped negative bin
+    // would silently vanish from the spine join while still inflating
+    // the totals the smoothing divides by, understating PSI.
     def binned(df: DataFrame): DataFrame =
       Parallelism.ensure(df).select(
-        least(floor(col(valueCol) / binWidth), lit(nBins)).cast("int")
-          .as("bin"))
+        greatest(least(floor(col(valueCol) / binWidth), lit(nBins)), lit(0))
+          .cast("int").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n"))
     // Dense bin spine (0..nBins) so both sides report every bin even
     // when one side's count is zero — smoothing needs the empty rows.

@@ -376,11 +376,19 @@ object Layout {
     * still need the recompute path.
     *
     * `changes` columns: `op` ('I' | 'D' | 'U'), the group key, `valOld`
-    * (null for inserts), `valNew` (null for deletes).
+    * (null for inserts), `valNew` (null for deletes). `prevAgg` must
+    * hold the materialized view as (keyCol, countCol, sumCol) —
+    * `countCol`/`sumCol` name its count and sum columns (default
+    * `n`/`total`) and the maintained output reuses the same names.
     */
   def deltaAggMaintain(prevAgg: DataFrame, changes: DataFrame,
                        keyCol: String, opCol: String, oldCol: String,
-                       newCol: String): DataFrame = {
+                       newCol: String, countCol: String = "n",
+                       sumCol: String = "total"): DataFrame = {
+    require(prevAgg.columns.contains(countCol) &&
+      prevAgg.columns.contains(sumCol),
+      s"prevAgg must carry the view's ($countCol, $sumCol) aggregate " +
+        s"columns; has ${prevAgg.columns.mkString(", ")}")
     val delta = changes.groupBy(keyCol).agg(
       sum(when(col(opCol) === "I", 1L)
         .when(col(opCol) === "D", -1L).otherwise(0L)).as("_dn"),
@@ -389,10 +397,10 @@ object Layout {
         .otherwise(col(newCol) - col(oldCol))).as("_dsum"))
     prevAgg.join(delta, Seq(keyCol), "full_outer")
       .select(col(keyCol),
-        (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
-          .as("n"),
-        (coalesce(col("total"), lit(0L)) + coalesce(col("_dsum"), lit(0L)))
-          .as("total"))
-      .filter(col("n") > 0)
+        (coalesce(col(countCol), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+          .as(countCol),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("_dsum"), lit(0L)))
+          .as(sumCol))
+      .filter(col(countCol) > 0)
   }
 }

@@ -1180,8 +1180,10 @@ object Similarity {
                 lambda: Double): DataFrame = {
     require(k >= 1 && poolK >= k, s"bad k/poolK $k/$poolK")
     val base = withNorm(vectors)
-    val qRow = base.filter(col("id") === queryId)
-      .select(col("embedding"), col("norm")).head()
+    val qRows = base.filter(col("id") === queryId)
+      .select(col("embedding"), col("norm")).take(1)
+    require(qRows.nonEmpty, s"mmrSelect: query id $queryId not in `vectors`")
+    val qRow = qRows(0)
     val qe = array(qRow.getSeq[Float](0).map(lit).toIndexedSeq: _*)
     val qn = qRow.getDouble(1)
     val pool = base.filter(col("id") =!= queryId)
@@ -1190,7 +1192,11 @@ object Similarity {
       .orderBy(col("rel").desc, col("id").asc).limit(poolK)
       .localCheckpoint() // k narrow rounds re-read it
     var selected = Vector.empty[(Long, Seq[Float], Double, Double)]
-    for (_ <- 1 to k) {
+    var exhausted = false
+    // A pool smaller than k (corpus < k+1 vectors) exhausts early —
+    // return the picks made so far rather than crashing on an empty
+    // argmax row.
+    while (selected.length < k && !exhausted) {
       val chosenIds = selected.map(_._1)
       val sims = selected.map { case (_, se, sn, _) =>
         round(dotN(col("embedding"),
@@ -1201,16 +1207,20 @@ object Similarity {
         case Seq(one) => one // greatest() requires >= 2 args
         case many => greatest(many: _*)
       }
-      val next = pool
+      val nextRows = pool
         .filter(if (chosenIds.isEmpty) lit(true)
           else !col("id").isin(chosenIds: _*))
         .withColumn("mmr",
           round(lit(lambda) * col("rel") - lit(1.0 - lambda) * penalty, 4))
         .orderBy(col("mmr").desc, col("id").asc).limit(1)
         .select(col("id"), col("embedding"), col("norm"), col("rel"),
-          col("mmr")).head()
-      selected = selected :+ ((next.getLong(0), next.getSeq[Float](1),
-        next.getDouble(2), next.getDouble(4)))
+          col("mmr")).take(1)
+      if (nextRows.isEmpty) exhausted = true
+      else {
+        val next = nextRows(0)
+        selected = selected :+ ((next.getLong(0), next.getSeq[Float](1),
+          next.getDouble(2), next.getDouble(4)))
+      }
     }
     val rows = selected.zipWithIndex.map { case ((id, _, _, mmr), i) =>
       (i + 1, id, mmr)

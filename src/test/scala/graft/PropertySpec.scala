@@ -244,7 +244,11 @@ class PropertySpec extends AnyFunSuite {
         (a._4, (b._3.getTime - a._3.getTime) * 1000L)
       }
       val span = steps.map(_._2).sum
-      if (span <= 0 && steps.isEmpty) None
+      // single-event keys (no intervals) produce no row; a zero-span
+      // nonempty timeline (all events tied) would be a null-twa row —
+      // unreachable here (20 distinct random seconds per key), so the
+      // model simply skips both rather than dividing by zero
+      if (steps.isEmpty || span <= 0) None
       else Some(u -> (steps.length.toLong, span,
         BigDecimal(steps.map(s => s._1 * s._2).sum / span)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0))
