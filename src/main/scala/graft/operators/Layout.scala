@@ -25,6 +25,108 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Per-file column statistics carried in a v2 snapshot manifest:
+    * min/max of the non-null values (None when the file is all-null
+    * for the column) plus the Spark catalog type, which decides the
+    * comparison domain (numeric types compare as BigDecimal; strings,
+    * dates, and timestamps compare lexicographically — exact for ISO
+    * date/timestamp renderings and ASCII strings).
+    */
+  final case class ColStat(min: Option[String], max: Option[String],
+                           tpe: String)
+
+  /** The pruning predicate algebra [[snapshotRead]] evaluates against
+    * manifest file stats at PLANNING time — the Iceberg/Delta idea
+    * reduced to its primitive: a file whose [min, max] range cannot
+    * satisfy the predicate is never opened (no footer read, no task).
+    * Deliberately the residual-free subset (comparisons, BETWEEN, IN,
+    * AND/OR) where file-level may-match is exactly decidable from
+    * ranges; [[Layout.toColumn]] derives the row-level Spark filter
+    * from the SAME predicate so pruning and filtering can never
+    * disagree. No IS NULL leaf: comparisons never match null rows, so
+    * an all-null file is safely prunable and null-count bookkeeping
+    * stays out of the manifest.
+    */
+  sealed trait StatPred
+  object StatPred {
+    final case class Lt(column: String, v: Any) extends StatPred
+    final case class Le(column: String, v: Any) extends StatPred
+    final case class Gt(column: String, v: Any) extends StatPred
+    final case class Ge(column: String, v: Any) extends StatPred
+    final case class Eq(column: String, v: Any) extends StatPred
+    final case class Between(column: String, lo: Any, hi: Any) extends StatPred
+    final case class In(column: String, vs: Seq[Any]) extends StatPred
+    final case class And(ps: Seq[StatPred]) extends StatPred
+    final case class Or(ps: Seq[StatPred]) extends StatPred
+  }
+
+  /** One manifest row: the file's table-relative path and its column
+    * stats (empty for v1 manifests / files written without stats).
+    */
+  final case class FileEntry(path: String,
+                             stats: Map[String, ColStat] = Map.empty)
+
+  import StatPred._
+
+  private def numericType(tpe: String): Boolean = {
+    val t = tpe.toLowerCase
+    t.startsWith("decimal") || Set("tinyint", "smallint", "int", "bigint",
+      "float", "double").contains(t)
+  }
+
+  private def cmp(statVal: String, v: Any, tpe: String): Int =
+    if (numericType(tpe)) BigDecimal(statVal).compare(BigDecimal(v.toString))
+    else statVal.compareTo(v.toString)
+
+  private def leafColumn(p: StatPred): String = p match {
+    case Lt(c, _) => c; case Le(c, _) => c; case Gt(c, _) => c
+    case Ge(c, _) => c; case Eq(c, _) => c; case Between(c, _, _) => c
+    case In(c, _) => c
+    case _ => throw new IllegalArgumentException(s"not a leaf: $p")
+  }
+
+  /** CAN this file contain a row satisfying `p`, judging only by its
+    * manifest stats? Missing stats for a referenced column ⇒ true
+    * (cannot prune); an all-null file ⇒ false for any comparison leaf.
+    */
+  def mayMatch(stats: Map[String, ColStat], p: StatPred): Boolean = p match {
+    case And(ps) => ps.forall(mayMatch(stats, _))
+    case Or(ps) => ps.exists(mayMatch(stats, _))
+    case leaf =>
+      stats.get(leafColumn(leaf)) match {
+        case None => true
+        case Some(ColStat(Some(mn), Some(mx), t)) => leaf match {
+          case Lt(_, v) => cmp(mn, v, t) < 0
+          case Le(_, v) => cmp(mn, v, t) <= 0
+          case Gt(_, v) => cmp(mx, v, t) > 0
+          case Ge(_, v) => cmp(mx, v, t) >= 0
+          case Eq(_, v) => cmp(mn, v, t) <= 0 && cmp(mx, v, t) >= 0
+          case Between(_, lo, hi) =>
+            cmp(mx, lo, t) >= 0 && cmp(mn, hi, t) <= 0
+          case In(_, vs) =>
+            vs.exists(v => cmp(mn, v, t) <= 0 && cmp(mx, v, t) >= 0)
+          case _ => true
+        }
+        case Some(_) => false // all-null file: comparisons match nothing
+      }
+  }
+
+  /** The row-level Spark filter equivalent of `p` — derived from the
+    * same predicate the file pruning used, so the two tiers agree by
+    * construction.
+    */
+  def toColumn(p: StatPred): Column = p match {
+    case Lt(c, v) => col(c) < lit(v)
+    case Le(c, v) => col(c) <= lit(v)
+    case Gt(c, v) => col(c) > lit(v)
+    case Ge(c, v) => col(c) >= lit(v)
+    case Eq(c, v) => col(c) === lit(v)
+    case Between(c, lo, hi) => col(c).between(lit(lo), lit(hi))
+    case In(c, vs) => col(c).isin(vs: _*)
+    case And(ps) => ps.map(toColumn).reduce(_ && _)
+    case Or(ps) => ps.map(toColumn).reduce(_ || _)
+  }
+
   /** Morton z-value of the given (column, bits) dimensions as ONE
     * codegen-friendly Column: bit j of dimension i lands at the j-th
     * interleave slot (round-robin over dimensions that still have bits
@@ -234,58 +336,230 @@ object Layout {
     * commits — directory listings are neither atomic nor consistent.
     * Returns the snapshot id.
     */
-  def snapshotWrite(df: DataFrame, dir: String): Long = {
+  def snapshotWrite(df: DataFrame, dir: String,
+                    statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snapId = {
-      // next id = max existing + 1 (single-writer assumption; a real
-      // catalog arbitrates concurrent committers)
-      val existing = Option(fs.globStatus(
-        new org.apache.hadoop.fs.Path(dir, "manifest-*.json")))
-        .getOrElse(Array.empty)
-        .map(_.getPath.getName.stripPrefix("manifest-").stripSuffix(".json").toLong)
-      if (existing.isEmpty) 1L else existing.max + 1L
-    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // next id = max existing + 1 (single-writer assumption; a real
+    // catalog arbitrates concurrent committers)
+    val ids = listSnapshotIds(fs, dir)
+    val snapId = if (ids.isEmpty) 1L else ids.max + 1L
     val dataDir = s"$dir/data/snap-$snapId"
     df.write.mode("overwrite").parquet(dataDir)
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
-      .map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-      .map(p => s"data/snap-$snapId/${p.getName}")
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
       .sorted
-    val manifest = files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
-    // write-then-rename: the manifest appears atomically or not at all
+    val stats =
+      if (statsCols.isEmpty) Map.empty[String, Map[String, ColStat]]
+      else collectFileStats(spark, dataDir, statsCols)
+    writeManifest(fs, dir, snapId, names.toIndexedSeq.map(n =>
+      FileEntry(s"data/snap-$snapId/$n", stats.getOrElse(n, Map.empty))))
+    snapId
+  }
+
+  /** Row-level DELETE on a manifest-committed table — the takedown /
+    * right-to-be-forgotten operation every corpus store needs. Commits
+    * a NEW snapshot whose manifest reuses every file the stats prove
+    * untouched VERBATIM (no rewrite amplification — the old bytes are
+    * never copied) and rewrites only the files that may hold matching
+    * rows, with the matching rows dropped (SQL DELETE semantics: a
+    * row is deleted only where the predicate is TRUE; null-predicate
+    * rows survive). Composes with [[vacuum]] (old files stay live only
+    * while an old manifest references them) and time travel (the
+    * pre-delete snapshot remains readable until vacuumed).
+    *
+    * Returns (new snapshot id, number of files rewritten). Stats
+    * columns of the current manifest are re-collected for the
+    * rewritten files, so subsequent pruned reads keep working.
+    */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  pred: StatPred): (Long, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val entries = readManifestEntries(fs, dir, ids.max)
+    val (touched, untouched) = entries.partition(e => mayMatch(e.stats, pred))
+    val snapId = ids.max + 1L
+    if (touched.isEmpty) {
+      // nothing can match: the new snapshot is the old file set
+      writeManifest(fs, dir, snapId, entries)
+      return (snapId, 0)
+    }
+    val survivors = spark.read
+      .parquet(touched.map(e => s"$dir/${e.path}"): _*)
+      .filter(!coalesce(toColumn(pred), lit(false)))
+    val dataDir = s"$dir/data/snap-$snapId"
+    survivors.write.mode("overwrite").parquet(dataDir)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    val statsCols = entries.flatMap(_.stats.keys).distinct
+    val stats =
+      if (statsCols.isEmpty) Map.empty[String, Map[String, ColStat]]
+      else collectFileStats(spark, dataDir, statsCols)
+    writeManifest(fs, dir, snapId,
+      untouched ++ names.toIndexedSeq.map(n =>
+        FileEntry(s"data/snap-$snapId/$n", stats.getOrElse(n, Map.empty))))
+    (snapId, touched.size)
+  }
+
+  /** Distributed per-file min/max collection for the manifest: one
+    * column-pruned pass over the just-written files, grouped by the
+    * `_metadata.file_name` hidden column — numFiles × statsCols scalars
+    * to the driver (bounded like the centroid fetches), full rows never
+    * leave the executors. Values serialize through a string cast; see
+    * [[ColStat]] for the comparison contract.
+    */
+  private def collectFileStats(spark: org.apache.spark.sql.SparkSession,
+                               dataDir: String, statsCols: Seq[String])
+      : Map[String, Map[String, ColStat]] = {
+    val df = spark.read.parquet(dataDir)
+    val types = statsCols.map { c =>
+      require(df.columns.contains(c), s"stats column $c not in schema")
+      c -> df.schema(c).dataType.catalogString
+    }.toMap
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    val rows = df
+      .select(col("_metadata.file_name").as("_fname") +:
+        statsCols.map(col): _*)
+      .groupBy("_fname").agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      r.getString(0) -> statsCols.map { c =>
+        c -> ColStat(Option(r.getAs[String](s"mn_$c")),
+          Option(r.getAs[String](s"mx_$c")), types(c))
+      }.toMap
+    }.toMap
+  }
+
+  private def listSnapshotIds(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: String): Array[Long] =
+    Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "manifest-*.json")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("manifest-").stripSuffix(".json")
+        .toLong)
+
+  /** Manifest serialization. v1 (no stats): a bare JSON array of
+    * relative paths — the format pre-stats tables on disk already use.
+    * v2 (any stats): {"format":2,"files":[{"path":…,"stats":{col:
+    * {"min":…,"max":…,"type":…}}}]}. Committed write-then-rename
+    * either way, so the manifest appears atomically or not at all.
+    */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: String, snapId: Long,
+                            entries: Seq[FileEntry]): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val body =
+      if (entries.forall(_.stats.isEmpty))
+        JsonMethods.compact(JsonMethods.render(entries.map(_.path)))
+      else {
+        val files = entries.map { e =>
+          ("path" -> e.path) ~
+            ("stats" -> e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
+              c -> (("min" -> st.min) ~ ("max" -> st.max) ~
+                ("type" -> st.tpe))
+            }.toMap)
+        }
+        JsonMethods.compact(JsonMethods.render(
+          ("format" -> 2) ~ ("files" -> files)))
+      }
     val tmp = new org.apache.hadoop.fs.Path(dir, s".manifest-$snapId.json.tmp")
     val out = fs.create(tmp, true)
-    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"manifest-$snapId.json"))
-    snapId
+  }
+
+  private def readManifestEntries(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: String, snap: Long): Seq[FileEntry] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    JsonMethods.parse(body) match {
+      case JArray(vs) => // v1: bare path array
+        vs.collect { case JString(p) => FileEntry(p) }
+      case obj: JObject =>
+        (obj \ "files") match {
+          case JArray(fs2) => fs2.collect { case f: JObject =>
+            val path = (f \ "path") match {
+              case JString(p) => p
+              case other => sys.error(s"bad manifest path: $other")
+            }
+            val stats = (f \ "stats") match {
+              case JObject(cols) => cols.map { case (c, st) =>
+                def s(k: String): Option[String] = (st \ k) match {
+                  case JString(v) => Some(v)
+                  case _ => None
+                }
+                c -> ColStat(s("min"), s("max"), s("type").getOrElse("string"))
+              }.toMap
+              case _ => Map.empty[String, ColStat]
+            }
+            FileEntry(path, stats)
+          }
+          case other => sys.error(s"bad manifest files list: $other")
+        }
+      case other => sys.error(s"bad manifest body: $other")
+    }
   }
 
   /** Read a manifest-committed snapshot: latest by default, or a pinned
     * `snapshotId` (time travel). Only manifest-listed files are read —
     * orphans from crashed writers and files of other snapshots are
     * invisible, whatever the directory listing says.
+    *
+    * With `prune`, files whose manifest stats prove they cannot hold a
+    * matching row are dropped at PLANNING time — never opened, no
+    * footer read, no task — and the equivalent row-level filter is
+    * applied on top (file pruning bounds which files open; the filter
+    * keeps row-level exactness). Strictly stronger than parquet
+    * footer-stats skipping on an object store: pruning happens before
+    * any per-file round trip. [[snapshotFiles]] exposes the surviving
+    * list for tests and maintenance jobs.
     */
   def snapshotRead(spark: org.apache.spark.sql.SparkSession, dir: String,
-                   snapshotId: Long = -1L): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifests = Option(fs.globStatus(
-      new org.apache.hadoop.fs.Path(dir, "manifest-*.json")))
-      .getOrElse(Array.empty)
-      .map(_.getPath.getName.stripPrefix("manifest-").stripSuffix(".json").toLong)
-    require(manifests.nonEmpty, s"no snapshot manifest under $dir")
-    val snap = if (snapshotId > 0) snapshotId else manifests.max
-    require(manifests.contains(snap), s"snapshot $snap not found under $dir")
-    val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"))
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val files = body.stripPrefix("[").stripSuffix("]").split(",")
-      .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .map(f => s"$dir/$f")
-    spark.read.parquet(files.toIndexedSeq: _*)
+                   snapshotId: Long = -1L,
+                   prune: Option[StatPred] = None): DataFrame = {
+    val all = snapshotFiles(spark, dir, snapshotId, None)
+    val kept = prune match {
+      case None => all
+      case Some(_) => snapshotFiles(spark, dir, snapshotId, prune)
+    }
+    // every file pruned: keep the scan schema by reading the full list
+    // (the row filter below still yields zero rows)
+    val files = (if (kept.isEmpty) all else kept).map(e => s"$dir/${e.path}")
+    val base = spark.read.parquet(files: _*)
+    prune match {
+      case Some(p) if kept.isEmpty => base.filter(lit(false))
+      case Some(p) => base.filter(toColumn(p))
+      case None => base
+    }
+  }
+
+  /** The manifest entries a (possibly pruned) snapshot read resolves
+    * to — the observable planning decision.
+    */
+  def snapshotFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    snapshotId: Long = -1L,
+                    prune: Option[StatPred] = None): Seq[FileEntry] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val snap = if (snapshotId > 0) snapshotId else ids.max
+    require(ids.contains(snap), s"snapshot $snap not found under $dir")
+    val entries = readManifestEntries(fs, dir, snap)
+    prune match {
+      case None => entries
+      case Some(p) => entries.filter(e => mayMatch(e.stats, p))
+    }
   }
 
   /** Vacuum a manifest-committed table: delete every data file NOT
@@ -303,19 +577,11 @@ object Layout {
     require(keep >= 1, s"must keep at least 1 snapshot, got $keep")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifests = Option(fs.globStatus(
-      new org.apache.hadoop.fs.Path(dir, "manifest-*.json")))
-      .getOrElse(Array.empty)
-      .map(_.getPath.getName.stripPrefix("manifest-").stripSuffix(".json").toLong)
-      .sorted
+    val manifests = listSnapshotIds(fs, dir).sorted
     require(manifests.nonEmpty, s"no snapshot manifest under $dir")
     val keepIds = manifests.takeRight(keep).toSet
     val live: Set[String] = keepIds.flatMap { snap =>
-      val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"))
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      body.stripPrefix("[").stripSuffix("]").split(",")
-        .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet
+      readManifestEntries(fs, dir, snap).map(_.path).toSet
     }
     var deleted = 0
     val dataRoot = new org.apache.hadoop.fs.Path(dir, "data")

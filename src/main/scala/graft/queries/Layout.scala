@@ -162,6 +162,56 @@ object Layout {
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
     },
 
+    // Stats-pruned snapshot read (q222): snapshotWrite records per-file
+    // n_chars min/max in the manifest (the table clustered on n_chars so
+    // ranges are tight), then a BETWEEN read prunes files at PLANNING
+    // time — no footer opened, no task — before the row filter lands.
+    // The oracle pins the band's exact content; LayoutSpec pins that
+    // only stats-surviving files open.
+    "q222_stats_pruned_read" -> { (s, d) =>
+      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snapstats"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      L.snapshotWrite(Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"),
+        base, statsCols = Seq("n_chars"))
+      L.snapshotRead(s, base,
+        prune = Some(L.StatPred.Between("n_chars", 150L, 350L)))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
+    },
+
+    // Row-level delete on a snapshot table (q223): deleteWhere commits
+    // a new manifest that reuses every stats-untouched file verbatim and
+    // rewrites only the files that may hold matching rows. The oracle is
+    // the NOT-matching corpus — full-table hash equality proves the
+    // delete dropped exactly the predicate rows; LayoutSpec pins the
+    // no-rewrite-amplification property (untouched files byte-identical)
+    // and pre-delete time travel.
+    "q223_snapshot_delete" -> { (s, d) =>
+      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snapdel"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      L.snapshotWrite(Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars", "lang")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"),
+        base, statsCols = Seq("n_chars"))
+      L.deleteWhere(s, base, L.StatPred.And(Seq(
+        L.StatPred.Between("n_chars", 150L, 350L),
+        L.StatPred.In("lang", Seq("en", "de")))))
+      L.snapshotRead(s, base)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"), col("lang"))
+    },
+
     // Incremental view maintenance (q186): the per-source (count, sum)
     // view maintained from a CDC change feed (deletes every 10th doc,
     // updates every kept 7th, inserts re-keyed 9ths) in O(|changes|) —
@@ -215,6 +265,15 @@ object Layout {
     "q146_sorted_layout" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars BETWEEN 150 AND 350""",
+    "q222_stats_pruned_read" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars
+         FROM documents WHERE n_chars BETWEEN 150 AND 350""",
+    // q223: full-table hash equality against the NOT-deleted rows (SQL
+    // DELETE semantics — only predicate-TRUE rows go).
+    "q223_snapshot_delete" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars, lang
+         FROM documents
+         WHERE NOT (n_chars BETWEEN 150 AND 350 AND lang IN ('en', 'de'))""",
     "q161_snapshot_manifest" ->
       """SELECT doc_id, md5(text) AS text_md5, upper(lang) AS lang
          FROM documents WHERE doc_id % 2 = 0""",

@@ -227,6 +227,110 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.vacuum(spark, dir, keep = 1) == 0)
   }
 
+  test("mayMatch: range logic, missing stats, all-null files, And/Or/In") {
+    import Layout.StatPred._
+    val st = Map("v" -> Layout.ColStat(Some("100"), Some("200"), "bigint"))
+    assert(Layout.mayMatch(st, Between("v", 150L, 350L)))
+    assert(!Layout.mayMatch(st, Between("v", 201L, 350L)))
+    assert(!Layout.mayMatch(st, Lt("v", 100L)) && Layout.mayMatch(st, Le("v", 100L)))
+    assert(!Layout.mayMatch(st, Gt("v", 200L)) && Layout.mayMatch(st, Ge("v", 200L)))
+    assert(Layout.mayMatch(st, Eq("v", 150L)) && !Layout.mayMatch(st, Eq("v", 99L)))
+    assert(Layout.mayMatch(st, In("v", Seq(1L, 150L))) &&
+      !Layout.mayMatch(st, In("v", Seq(1L, 99L))))
+    // conjunct that excludes prunes the And; Or survives on any arm
+    assert(!Layout.mayMatch(st, And(Seq(Ge("v", 100L), Gt("v", 200L)))))
+    assert(Layout.mayMatch(st, Or(Seq(Gt("v", 200L), Le("v", 100L)))))
+    // no stats for the column: cannot prune
+    assert(Layout.mayMatch(Map.empty, Eq("v", 5L)))
+    // all-null file: no comparison can match
+    assert(!Layout.mayMatch(Map("v" -> Layout.ColStat(None, None, "bigint")),
+      Ge("v", 0L)))
+    // string stats compare lexicographically
+    val ss = Map("lang" -> Layout.ColStat(Some("de"), Some("es"), "string"))
+    assert(Layout.mayMatch(ss, Eq("lang", "en")) &&
+      !Layout.mayMatch(ss, Eq("lang", "fr")))
+  }
+
+  test("stats-pruned snapshot read opens exactly the range-surviving files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    val df = (1L to 2000L).map(i => (i, i % 977)).toDF("id", "v")
+    Layout.snapshotWrite(df.repartitionByRange(8, col("v"))
+      .sortWithinPartitions("v"), dir, statsCols = Seq("v"))
+    val pred = Layout.StatPred.Between("v", 100L, 250L)
+    val all = Layout.snapshotFiles(spark, dir)
+    val kept = Layout.snapshotFiles(spark, dir, prune = Some(pred))
+    assert(kept.size < all.size, s"pruning must drop files: ${kept.size}/${all.size}")
+    // ground truth: exactly the files whose PHYSICAL [min,max] hits the band
+    val expect = all.filter { e =>
+      val r = spark.read.parquet(s"$dir/${e.path}")
+        .agg(min(col("v")), max(col("v"))).head()
+      r.getLong(1) >= 100L && r.getLong(0) <= 250L
+    }.map(_.path).toSet
+    assert(kept.map(_.path).toSet == expect)
+    // pruned read content == full read + filter
+    val got = Layout.snapshotRead(spark, dir, prune = Some(pred))
+      .as[(Long, Long)].collect().toSet
+    assert(got == df.filter(col("v").between(100, 250))
+      .as[(Long, Long)].collect().toSet)
+    // every file pruned: schema survives, zero rows, no error
+    assert(Layout.snapshotRead(spark, dir,
+      prune = Some(Layout.StatPred.Gt("v", 10000L))).count() == 0)
+    // a stats-less (v1) manifest cannot prune — and still reads fine
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_stats2").toString
+    Layout.snapshotWrite(df, dir2)
+    assert(Layout.snapshotFiles(spark, dir2, prune = Some(pred)).size ==
+      Layout.snapshotFiles(spark, dir2).size)
+  }
+
+  test("deleteWhere rewrites only touched files; untouched bytes identical; time travel intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString
+    val df = (1L to 2000L).map(i => (i, i % 977, if (i % 7 == 0) null else s"s${i % 5}"))
+      .toDF("id", "v", "tag")
+    Layout.snapshotWrite(df.repartitionByRange(8, col("v"))
+      .sortWithinPartitions("v"), dir, statsCols = Seq("v"))
+    val before = Layout.snapshotFiles(spark, dir)
+    def fileBytes(p: String): String = {
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/$p"))
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    }
+    val beforeHashes = before.map(e => e.path -> fileBytes(e.path)).toMap
+    val pred = Layout.StatPred.Between("v", 100L, 250L)
+    val expectTouched = before.filter(e => Layout.mayMatch(e.stats, pred))
+    val (newId, rewritten) = Layout.deleteWhere(spark, dir, pred)
+    assert(newId == 2L && rewritten == expectTouched.size && rewritten < before.size)
+    val after = Layout.snapshotFiles(spark, dir)
+    // untouched entries reused VERBATIM — same paths, same bytes
+    val untouched = before.filterNot(e => Layout.mayMatch(e.stats, pred))
+    untouched.foreach { e =>
+      assert(after.exists(_.path == e.path), s"untouched ${e.path} must survive")
+      assert(fileBytes(e.path) == beforeHashes(e.path),
+        s"untouched ${e.path} must be byte-identical")
+    }
+    // touched files are gone from the new manifest; replacements live in snap-2
+    expectTouched.foreach(e => assert(!after.exists(_.path == e.path)))
+    assert(after.exists(_.path.startsWith("data/snap-2/")))
+    // content: exactly the NOT-matching rows
+    val got = Layout.snapshotRead(spark, dir)
+      .select("id", "v", "tag").as[(Long, Long, Option[String])].collect().toSet
+    val expect = df.filter(!col("v").between(100, 250))
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got == expect)
+    // rewritten files carry fresh stats: a pruned read still prunes
+    assert(Layout.snapshotFiles(spark, dir,
+      prune = Some(Layout.StatPred.Gt("v", 900L))).size < after.size)
+    // the pre-delete snapshot time-travels until vacuumed
+    assert(Layout.snapshotRead(spark, dir, snapshotId = 1L).count() == 2000L)
+    // null-predicate rows survive a delete (SQL DELETE semantics)
+    Layout.deleteWhere(spark, dir, Layout.StatPred.Eq("tag", "s0"))
+    val tags = Layout.snapshotRead(spark, dir).select("tag")
+      .as[Option[String]].collect()
+    assert(!tags.contains(Some("s0")) && tags.contains(None))
+  }
+
   test("compact merges a fragmented table to ceil(bytes/target) files, content intact") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
