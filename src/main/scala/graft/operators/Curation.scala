@@ -20,38 +20,54 @@ import org.apache.spark.sql.functions._
   * Order matters at 100 TB: the narrow filters typically remove a large
   * fraction of the corpus before the two shuffling stages, and the LSH
   * stage only ever joins band-collision candidates.
+  *
+  * Composition points pin through [[Staging.pin]]: `staging = None`
+  * keeps the fast executor-lifetime `localCheckpoint` tier;
+  * `staging = Some(dir)` routes them through durable manifest-snapshot
+  * tables so the pipeline survives executor preemption (the returned
+  * frame's lineage then references only committed staged tables, never
+  * in-memory blocks — see StreamingSpec's kill-the-blocks proof).
   */
 object Curation {
 
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double = 0.3,
              langs: Seq[String] = Seq("en"),
-             nearDupThreshold: Double = 0.5): DataFrame = {
-    // Checkpoint the gate output: the quality/langid expressions are
+             nearDupThreshold: Double = 0.5,
+             staging: Option[String] = None): DataFrame = {
+    // Pin the gate output: the quality/langid expressions are
     // token-loop-heavy, and `gated` feeds both the keeper aggregation
-    // and the dedup join — without the checkpoint the scan+gate subtree
+    // and the dedup join — without the pin the scan+gate subtree
     // executes once per consumer (measured: curate at sf0.1 spent most
     // of its 4.7 s recomputing narrow stages, see BASELINE r7 notes).
-    val gated = docs
+    val gated = Staging.pin(docs
       .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
-      .filter(TextFunctions.langId(col(textCol)).isin(langs: _*))
-      .localCheckpoint()
+      .filter(TextFunctions.langId(col(textCol)).isin(langs: _*)),
+      staging, "gated")
 
     // exact dedup: keep the minimum id per normalized-text fingerprint
     val keeper = gated
       .groupBy(TextFunctions.fingerprint(col(textCol)).as("_fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    // Checkpointed: consumed by the LSH stage AND the final anti-join.
-    val exactDeduped = gated.join(keeper, idCol).localCheckpoint()
+    // Pinned: consumed by the LSH stage AND the final anti-join.
+    val exactDeduped = Staging.pin(gated.join(keeper, idCol),
+      staging, "exact_deduped")
 
     // near-dup removal: cluster the verified LSH pairs, keep each
     // cluster's minimum id (docs absent from any pair keep themselves)
     val cc = Dedup.connectedComponents(
       Dedup.minhashLshPairs(exactDeduped, idCol, textCol,
         threshold = nearDupThreshold))
-    val dropIds = cc.filter(col("doc_id") =!= col("cluster_id"))
+    val dropIds0 = cc.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
+    // Durable mode also stages the drop list: connectedComponents pins
+    // its iterations with localCheckpoint internally, and without this
+    // pin the final anti-join's lineage would still hang off those
+    // executor-lifetime blocks.
+    val dropIds =
+      if (staging.isEmpty) dropIds0
+      else Staging.pin(dropIds0, staging, "drop_ids")
     exactDeduped.join(dropIds, Seq(idCol), "left_anti")
   }
 
@@ -79,22 +95,26 @@ object Curation {
                    minQuality: Double, langs: Seq[String],
                    nearDupThreshold: Double, bench: DataFrame,
                    domainCap: Int,
-                   mixture: Seq[(String, Double)]): DataFrame = {
-    // Checkpoints at every reused composition point: each stage's DAG
-    // would otherwise re-execute once per downstream consumer (the
+                   mixture: Seq[(String, Double)],
+                   staging: Option[String] = None): DataFrame = {
+    // Pins at every reused composition point: each stage's DAG would
+    // otherwise re-execute once per downstream consumer (the
     // decontamination pass, its anti-join, the cap window, the
     // mixture's count collect, and the final join each re-read their
-    // input) — measured 10.8 s -> ~2 s warm at sf0.1.
-    val curated = curate(docs, idCol, textCol, minQuality, langs,
-      nearDupThreshold).localCheckpoint()
+    // input) — measured 10.8 s -> ~2 s warm at sf0.1. With a staging
+    // root, the pins are durable snapshot tables instead of
+    // executor-lifetime blocks (see [[Staging]]).
+    val curated = Staging.pin(curate(docs, idCol, textCol, minQuality,
+      langs, nearDupThreshold, staging.map(s => s"$s/curate")),
+      staging, "curated")
     val contaminated = Corpus
       .decontaminate(curated, idCol, textCol, bench, textCol)
       .filter(col("contaminated")).select(col("doc_id").as(idCol))
     val clean = curated.join(contaminated, Seq(idCol), "left_anti")
-    val capped = Corpus.domainCap(clean, sourceCol, "n_chars", idCol,
-      domainCap).drop("rank").localCheckpoint()
-    val mixed = Corpus.mixtureSample(capped, idCol, langCol, mixture)
-      .localCheckpoint()
+    val capped = Staging.pin(Corpus.domainCap(clean, sourceCol, "n_chars",
+      idCol, domainCap).drop("rank"), staging, "capped")
+    val mixed = Staging.pin(Corpus.mixtureSample(capped, idCol, langCol,
+      mixture), staging, "mixed")
     mixed.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
       col(langCol).as("lang"), col("n_chars"))
       .join(redactPii(mixed, idCol, textCol), "doc_id")

@@ -40,21 +40,22 @@ object Graph {
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, idCol: String = "id",
                srcCol: String = "src", dstCol: String = "dst",
-               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 5, damping: Double = 0.85,
+               staging: Option[String] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations $iterations outside sane bounds (1..50)")
-    val n = Parallelism.ensure(nodes)
-      .select(col(idCol).cast("long").as("id"))
-      .localCheckpoint()
+    val n = Staging.pin(Parallelism.ensure(nodes)
+      .select(col(idCol).cast("long").as("id")), staging, "nodes")
     val nCount = n.count() // one scalar to the driver
     require(nCount > 0, "pageRank needs at least one node")
     val deg = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("outdeg"))
-    val e = edges
+    val e = Staging.pin(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .join(deg.select(col(srcCol).cast("long").as("src"), col("outdeg")), "src")
-      .localCheckpoint()
+      .join(deg.select(col(srcCol).cast("long").as("src"), col("outdeg")), "src"),
+      staging, "edges")
     val teleport = lit((1.0 - damping) / nCount)
-    var ranks = n.select(col("id"), lit(1.0 / nCount).as("r")).localCheckpoint()
+    var ranks = Staging.pin(n.select(col("id"), lit(1.0 / nCount).as("r")),
+      staging, "ranks-0")
     for (i <- 1 to iterations) {
       val contrib = e.join(ranks, e("src") === ranks("id"))
         .groupBy(col("dst"))
@@ -62,12 +63,14 @@ object Graph {
       ranks = n.join(contrib, n("id") === contrib("dst"), "left")
         .select(col("id"),
           (teleport + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
-      // checkpoint INTERMEDIATE vectors only (truncates the growing
-      // lineage); the last iteration stays lazy so callers compose it
-      // without an extra materialization. (Probed r7: lazy eager=false
+      // pin INTERMEDIATE vectors only (truncates the growing lineage);
+      // the last iteration stays lazy so callers compose it without an
+      // extra materialization. (Probed r7: lazy eager=false
       // checkpoints do NOT help here — the cost is the iteration's own
-      // shuffle jobs, not the checkpoint barrier.)
-      if (i < iterations) ranks = ranks.localCheckpoint()
+      // shuffle jobs, not the checkpoint barrier.) In staged mode every
+      // round is a durable restart point: a preempted run re-reads
+      // ranks-i instead of re-iterating from ranks-0.
+      if (i < iterations) ranks = Staging.pin(ranks, staging, s"ranks-$i")
     }
     ranks
   }

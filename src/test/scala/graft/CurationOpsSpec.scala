@@ -162,4 +162,40 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
     assert(out.toSeq == Seq((1, "aa", 4L), (2, "aaa", 2L)))
   }
+
+  test("staged curate survives losing every checkpoint block AND the source table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a corpus with exact dups (every 3rd id repeats text) and quality
+    // spread, written to disk so "the source dies" is a real event
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stage_src").toString
+    val staging = java.nio.file.Files.createTempDirectory("graft_stage_dir").toString
+    val docs = (1L to 200L).map { i =>
+      val words = "the quick brown fox jumps over the lazy dog and runs to town in the morning"
+      (i, s"doc ${i % 67} $words $words")
+    }.toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(srcDir)
+    val expect = graft.operators.Curation
+      .curate(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val staged = graft.operators.Curation
+      .curate(spark.read.parquet(srcDir), "doc_id", "text",
+        staging = Some(staging))
+    // staged mode materialized durable snapshot tables per stage
+    assert(new java.io.File(s"$staging/gated/manifest-1.json").exists())
+    assert(new java.io.File(s"$staging/exact_deduped/manifest-1.json").exists())
+    // executor preemption: every localCheckpoint block dies …
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    // … and so does the source table
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(srcDir))
+    // the staged pipeline's lineage references only committed staged
+    // tables — it still evaluates, and to the same answer
+    val got = staged.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expect && got.nonEmpty)
+  }
 }
