@@ -939,9 +939,20 @@ object Similarity {
     * cells, [[pqAdcTopK]] ADC terms and ordering, [[pqRerankTopK]]
     * re-rank), so the DuckDB oracle replays the full funnel stage by
     * stage (q128).
+    *
+    * Defaults are MEASURED, not guessed (BenchRecall's sweep, published
+    * in BASELINE.md): on the gaussian worst case — random vectors give
+    * the coarse quantizer almost no locality signal — (nCells=16,
+    * nProbe=12, shortlist=256) is the cheapest sweep point clearing
+    * 0.9 top-3 recall (0.91 at sf0.01; the old r7 default nProbe=4/8,
+    * shortlist=64 measured 0.64). The probe fraction is high BECAUSE
+    * the fixture is adversarial: clustered real embeddings concentrate
+    * neighbors in few cells and want nProbe well under nCells — sweep
+    * on a sample before trusting any smaller setting, and treat
+    * low-probe configurations as coarse prefilters, not retrieval.
     */
-  def ivfAdcRerankTopK(vectors: DataFrame, k: Int, nCells: Int = 8,
-                       nProbe: Int = 1, shortlist: Int = 16, m: Int = 8,
+  def ivfAdcRerankTopK(vectors: DataFrame, k: Int, nCells: Int = 16,
+                       nProbe: Int = 12, shortlist: Int = 256, m: Int = 8,
                        ksub: Int = 16, iters: Int = 1): DataFrame = {
     // reused by the coarse assignment AND the final re-rank
     val v = withNorm(vectors).localCheckpoint()

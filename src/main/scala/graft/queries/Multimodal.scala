@@ -134,6 +134,29 @@ object Multimodal {
           col("lang"), col("n_chars"))
     },
 
+    // Avro round-trip (q224): the row-oriented interchange format —
+    // the Kafka/schema-registry bus format — through the repo's own
+    // container codec (Spark ships no built-in avro source; io.Avro
+    // sits on the public Avro Java API). Write one container per
+    // partition with an embedded schema, read back file-parallel, and
+    // additionally round-trip the embeddings table so [null,T] unions
+    // AND float arrays go under the hash (array semantics proven
+    // element-exact by the avg_dim0 aggregate).
+    "q224_avro_roundtrip" -> { (s, d) =>
+      val dir = s"/tmp/graft_io/${new java.io.File(d).getName}/avro"
+      graft.io.Avro.write(Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "n_chars"), s"$dir/docs")
+      graft.io.Avro.write(Tables.embeddings(s, d)
+        .select("vec_id", "embedding"), s"$dir/emb")
+      val emb = graft.io.Avro.read(s, s"$dir/emb")
+        .select((round(avg(element_at(col("embedding"), 1)), 6) + lit(0.0))
+          .as("avg_dim0"))
+      graft.io.Avro.read(s, s"$dir/docs")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("n_chars"))
+        .crossJoin(broadcast(emb))
+    },
+
     // Schema evolution (q148): two corpus snapshots written at
     // different schema versions — v2 adds a `quality` column — read
     // back as ONE table via mergeSchema. The old snapshot's rows
@@ -369,6 +392,14 @@ object Multimodal {
     "q148_schema_evolution" ->
       """SELECT doc_id, md5(text) AS text_md5,
               CASE WHEN doc_id % 2 = 1 THEN n_chars END AS quality
+         FROM documents""",
+    // q224: documents hashed through the Avro container, the embedding
+    // array's first-dimension mean broadcast onto every row (float
+    // arrays under the hash without array-typed result columns).
+    "q224_avro_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, n_chars,
+              (SELECT round(avg(CAST(embedding[1] AS DOUBLE)), 6) + 0.0
+               FROM embeddings) AS avg_dim0
          FROM documents""",
     "q65_frame_sample" ->
       s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix

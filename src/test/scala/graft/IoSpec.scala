@@ -238,4 +238,38 @@ class IoSpec extends AnyFunSuite {
       assert(got == "2024-03-01 12:34:56.789012", s"dir $d: $got")
     }
   }
+
+  test("Avro container round-trip: primitives, nulls, bytes, float arrays") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_avro").toString
+    val rows = (1 to 100).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) null else s"text-$i,\"quoted\"\nline",
+        i * 0.5f,
+        if (i % 5 == 0) null else Array.fill(4)((i % 17).toByte),
+        Seq.tabulate(3)(j => i * 1.0f + j),
+        i % 2 == 0)
+    }.toDF("id", "s", "f", "b", "vec", "flag")
+      .repartition(5) // multiple container files
+    graft.io.Avro.write(rows, dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".avro")) == 5)
+    val back = graft.io.Avro.read(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)).toSeq ==
+      rows.schema.map(f => (f.name, f.dataType)).toSeq)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("s"), col("f"), hex(col("b")).as("b"),
+        col("vec"), col("flag"))
+      .collect().map(_.toSeq.map {
+        case s: Seq[_] => s.toList
+        case v => v
+      }).toSet
+    assert(canon(back) == canon(rows))
+    // unsupported Spark types are rejected loudly, not mis-encoded
+    intercept[IllegalArgumentException] {
+      graft.io.Avro.write(
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+          .toDF("id", "ts"), s"$dir/bad")
+    }
+  }
 }
