@@ -154,6 +154,43 @@ object Web {
           col("n_redacted"))
     },
 
+    // Streaming scrub twin (q225): the q125 blocklist scrub + q192 PII
+    // redaction composed as ONE stateless mapped stream over planted
+    // documents (emails on doc_id%3, phones on doc_id%4) — the online
+    // moderation path. The oracle replays the batch composition
+    // (replace-arithmetic scrub, then the sequential email→phone regex
+    // pass over the scrubbed text), so stream/batch parity is under the
+    // hash, q88-style.
+    "q225_scrub_stream" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"/tmp/graft_stream/${new java.io.File(d).getName}_scrub"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val in = s"$base/in"
+      val out = s"$base/out"
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" call 555-"),
+              lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+              lit("-4321 today"))).otherwise(lit(""))).as("text"))
+      planted.write.mode("overwrite").parquet(in)
+      val q = graft.streaming.DocStreams
+        .scrubStream(s.readStream.schema(planted.schema).parquet(in),
+          BlockPatterns)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    },
+
     // PageRank over a deterministic link graph (the crawl-quality
     // prior): node = document, out-links from a fixed arithmetic rule
     // with VARIABLE out-degree 1..3 (regular graphs have uniform rank —
@@ -249,6 +286,46 @@ object Web {
               CAST($spanTerms AS INTEGER) AS n_spans,
               CAST($redTerms AS INTEGER) AS n_redacted
          FROM documents"""
+    },
+    // q225: replant (q192's rule), re-scrub (q125's replace
+    // arithmetic), then the sequential email→phone PII pass on the
+    // scrubbed text — the whole online moderation row re-derived.
+    "q225_scrub_stream" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+      val cleanExpr = BlockPatterns.foldLeft("text") { (acc, p) =>
+        s"replace($acc, '$p', '█')"
+      }
+      val spanTerms = BlockPatterns.map(p =>
+        s"(length(text) - length(replace(text, '$p', ''))) / ${p.length}")
+        .mkString(" + ")
+      val redTerms = BlockPatterns.map(p =>
+        s"(length(text) - length(replace(text, '$p', '')))").mkString(" + ")
+      s"""WITH planted AS (SELECT doc_id,
+               text ||
+               (CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com now' ELSE '' END) ||
+               (CASE WHEN doc_id % 4 = 0
+                     THEN ' call 555-'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-4321 today' ELSE '' END) AS text
+             FROM documents),
+          s AS (SELECT doc_id, $cleanExpr AS ct,
+                  CAST($spanTerms AS INTEGER) AS n_spans,
+                  CAST($redTerms AS INTEGER) AS n_redacted
+                FROM planted),
+          r AS (SELECT doc_id, ct, n_spans, n_redacted,
+                  regexp_replace(ct, '$email', '<EMAIL>', 'g') AS de
+                FROM s)
+          SELECT doc_id, n_spans, n_redacted,
+               CAST(len(regexp_extract_all(ct, '$email')) AS INTEGER)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(de, '$phone')) AS INTEGER)
+                 AS n_phones,
+               md5(regexp_replace(de, '$phone', '<PHONE>', 'g'))
+                 AS clean_md5
+          FROM r"""
     },
     "q119_warc_roundtrip" ->
       """SELECT 'http://corpus.example/doc/' || doc_id AS uri,

@@ -71,6 +71,36 @@ object DocStreams {
     q.awaitTermination()
   }
 
+  /** Online content scrubbing — the moderation path of the curation
+    * story (the batch pair q125 blocklist scrub + q192 PII redaction as
+    * ONE mapped stream): each arriving document goes through the
+    * broadcast Aho-Corasick blocklist scrub, then the sequential
+    * email→phone PII redaction over the scrubbed text, emitting the
+    * audit row (span/redaction/PII counts + cleaned digest) per doc.
+    *
+    * Entirely STATELESS — a narrow per-row map with no watermark and no
+    * state store, so it composes in front of any stateful stage and
+    * scales like the batch taggers (zero shuffle). Hash-equal to the
+    * batch composition by construction: same automaton, same
+    * [[graft.operators.Curation.EmailPattern]]/PhonePattern replace
+    * order (q225 pins the parity under the oracle).
+    */
+  def scrubStream(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+    val scrubbed = graft.operators.Blocklist
+      .scrub(docs, "doc_id", "text", patterns)
+    val deEmailed = regexp_replace(col("clean_text"),
+      graft.operators.Curation.EmailPattern, "<EMAIL>")
+    scrubbed.select(col("doc_id"), col("n_spans"), col("n_redacted"),
+      regexp_count(col("clean_text"),
+        lit(graft.operators.Curation.EmailPattern)).cast("int")
+        .as("n_emails"),
+      regexp_count(deEmailed,
+        lit(graft.operators.Curation.PhonePattern)).cast("int")
+        .as("n_phones"),
+      md5(regexp_replace(deEmailed,
+        graft.operators.Curation.PhonePattern, "<PHONE>")).as("clean_md5"))
+  }
+
   /** Online curation gates over a streaming documents source with an
     * event-time column `tsCol`. Emits the curated append stream.
     */

@@ -98,6 +98,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(!(kept.contains(0L) && kept.contains(100000L)), "dup not collapsed")
   }
 
+  test("scrubStream matches the batch scrub+redact composition and holds NO state") {
+    import spark.implicits._
+    val patterns = Seq("spark", "join", "stream")
+    val docs = Seq(
+      (1L, "a spark job with a stream inside and user@mail.example.com"),
+      (2L, "call 555-123-4321 to join the sparkstream team"),
+      (3L, "nothing to scrub here")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scrub_stream").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.DocStreams
+      .scrubStream(spark.readStream.schema(docs.schema).parquet(dir), patterns)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scrub_stream").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not terminate")
+    // stateless by construction: no state-store operators in the plan
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "scrubStream must not allocate streaming state")
+    val got = spark.table("scrub_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5)))).toMap
+    // batch twin: the identical operator composition over a batch frame
+    val batch = graft.streaming.DocStreams.scrubStream(docs, patterns)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5)))).toMap
+    assert(got == batch)
+    // spot-check the audit row: doc 1 scrubs 2 spans and redacts 1 email
+    assert(got(1L)._1 == 2 && got(1L)._3 == 1)
+    // doc 2: "join" inside "sparkstream"? — 'spark'+'stream' adjoin into
+    // ONE covered run after 'join' matched separately; phone redacted
+    assert(got(2L)._4 == 1)
+  }
+
   test("stateful sessionizer closes sessions on gap within a batch") {
     import spark.implicits._
     val base = 1700000000000L
