@@ -26,14 +26,42 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Per-file column statistics carried in a v2 snapshot manifest:
-    * min/max of the non-null values (None when the file is all-null
-    * for the column) plus the Spark catalog type, which decides the
-    * comparison domain (numeric types compare as BigDecimal; strings,
-    * dates, and timestamps compare lexicographically — exact for ISO
-    * date/timestamp renderings and ASCII strings).
+    * BOUNDS on the non-null values (None/None when the file is
+    * all-null for the column) plus the Spark catalog type, which
+    * decides the comparison domain (numeric types compare as
+    * BigDecimal; strings, dates, and timestamps compare
+    * lexicographically — exact for ISO date/timestamp renderings and
+    * ASCII strings).
+    *
+    * Bounds, not exact extremes: long string values are TRUNCATED
+    * before they enter the manifest (the Iceberg trick — a manifest
+    * carrying whole documents as "stats" would cost more to read than
+    * it prunes): min truncates to a prefix (a valid lower bound) and
+    * max truncates to the prefix with its last character incremented
+    * (a valid upper bound). Pruning stays conservative-correct either
+    * way; [[StatsTruncateLen]] bounds the manifest entry size.
     */
   final case class ColStat(min: Option[String], max: Option[String],
                            tpe: String)
+
+  /** Max stored length for string stats values (chars). */
+  val StatsTruncateLen = 64
+
+  private def truncateLower(s: String): String =
+    if (s.length <= StatsTruncateLen) s else s.substring(0, StatsTruncateLen)
+
+  /** Shortest prefix-increment ≥ every string with prefix `s` — falls
+    * back to the untruncated value if every prefix char is already
+    * Char.MaxValue (practically unreachable).
+    */
+  private def truncateUpper(s: String): String =
+    if (s.length <= StatsTruncateLen) s
+    else {
+      val p = s.substring(0, StatsTruncateLen).toCharArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+      if (i < 0) s else { p(i) = (p(i) + 1).toChar; new String(p, 0, i + 1) }
+    }
 
   /** The pruning predicate algebra [[snapshotRead]] evaluates against
     * manifest file stats at PLANNING time — the Iceberg/Delta idea
@@ -359,6 +387,78 @@ object Layout {
     snapId
   }
 
+  /** APPEND a batch to a manifest-committed table — the incremental
+    * ingestion primitive: new data files land under the new snapshot's
+    * directory and the committed manifest is the PREVIOUS file list
+    * plus the new files, so every prior file is reused verbatim (an
+    * append never rewrites a byte of existing data) and readers of the
+    * old manifest keep their consistent view. Stats columns default to
+    * whatever the table already tracks, so pruned reads keep working
+    * across appends without re-stating the contract per batch.
+    * Returns the new snapshot id.
+    */
+  def snapshotAppend(df: DataFrame, dir: String,
+                     statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    val prev: Seq[FileEntry] =
+      if (ids.isEmpty) Nil else readManifestEntries(fs, dir, ids.max)
+    val snapId = (if (ids.isEmpty) 0L else ids.max) + 1L
+    val dataDir = s"$dir/data/snap-$snapId"
+    df.write.mode("overwrite").parquet(dataDir)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    val cols =
+      if (statsCols.nonEmpty) statsCols
+      else prev.flatMap(_.stats.keys).distinct
+    val stats =
+      if (cols.isEmpty) Map.empty[String, Map[String, ColStat]]
+      else collectFileStats(spark, dataDir, cols)
+    writeManifest(fs, dir, snapId,
+      prev ++ names.toIndexedSeq.map(n =>
+        FileEntry(s"data/snap-$snapId/$n", stats.getOrElse(n, Map.empty))))
+    snapId
+  }
+
+  /** Compact a manifest-committed table's small files — [[compact]]'s
+    * sibling INSIDE the snapshot contract: the accumulated files of the
+    * latest snapshot (typically many per-batch appends) are rewritten
+    * into ceil(totalBytes / targetBytes) files and committed as a new
+    * snapshot; content is untouched (pure maintenance), the pre-compact
+    * snapshot stays readable until vacuumed, and stats re-collect so
+    * pruned reads survive the rewrite. Narrow coalesce — compaction
+    * needs fewer output tasks, not a shuffle. Returns (new snapshot id,
+    * file count before, file count after).
+    */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      targetBytes: Long): (Long, Int, Int) = {
+    require(targetBytes > 0, s"bad target size $targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val entries = readManifestEntries(fs, dir, ids.max)
+    val totalBytes = entries.map(e =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${e.path}")).getLen).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val snapId = ids.max + 1L
+    val dataDir = s"$dir/data/snap-$snapId"
+    spark.read.parquet(entries.map(e => s"$dir/${e.path}"): _*)
+      .coalesce(n)
+      .write.mode("overwrite").parquet(dataDir)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    val cols = entries.flatMap(_.stats.keys).distinct
+    val stats =
+      if (cols.isEmpty) Map.empty[String, Map[String, ColStat]]
+      else collectFileStats(spark, dataDir, cols)
+    writeManifest(fs, dir, snapId, names.toIndexedSeq.map(nm =>
+      FileEntry(s"data/snap-$snapId/$nm", stats.getOrElse(nm, Map.empty))))
+    (snapId, entries.size, names.length)
+  }
+
   /** Row-level DELETE on a manifest-committed table — the takedown /
     * right-to-be-forgotten operation every corpus store needs. Commits
     * a NEW snapshot whose manifest reuses every file the stats prove
@@ -430,8 +530,13 @@ object Layout {
       .collect()
     rows.map { r =>
       r.getString(0) -> statsCols.map { c =>
-        c -> ColStat(Option(r.getAs[String](s"mn_$c")),
-          Option(r.getAs[String](s"mx_$c")), types(c))
+        val isStr = types(c) == "string"
+        c -> ColStat(
+          Option(r.getAs[String](s"mn_$c"))
+            .map(v => if (isStr) truncateLower(v) else v),
+          Option(r.getAs[String](s"mx_$c"))
+            .map(v => if (isStr) truncateUpper(v) else v),
+          types(c))
       }.toMap
     }.toMap
   }

@@ -212,6 +212,71 @@ object Layout {
           col("n_chars"), col("lang"))
     },
 
+    // Incremental append commits (q227): the ingestion write mode —
+    // three per-batch appends, each committing prior files verbatim
+    // plus the new batch (no byte of existing data rewritten; LayoutSpec
+    // pins entry reuse). The oracle is the whole corpus: appends must
+    // compose to exactly the union.
+    "q227_snapshot_append" -> { (s, d) =>
+      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snapapp"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      (0L to 2L).foreach { m =>
+        L.snapshotAppend(docs.filter(col("doc_id") % 3 === m), base,
+          statsCols = Seq("n_chars"))
+      }
+      L.snapshotRead(s, base)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
+    },
+
+    // Snapshot compaction (q228): many per-batch append files rewritten
+    // into a handful under a NEW committed snapshot — pure maintenance
+    // (the oracle pins content unchanged), stats re-collected so pruned
+    // reads survive, pre-compact snapshot time-travelable until vacuum.
+    "q228_snapshot_compact" -> { (s, d) =>
+      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snapcomp"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      (0L to 7L).foreach { m =>
+        L.snapshotAppend(docs.filter(col("doc_id") % 8 === m)
+          .repartition(4), base, statsCols = Seq("n_chars"))
+      }
+      L.compactSnapshot(s, base, targetBytes = 64L << 20)
+      L.snapshotRead(s, base)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
+    },
+
+    // Streaming snapshot sink (q229): micro-batches committed as atomic
+    // table snapshots (one snapshotAppend per batch, idempotent under
+    // foreachBatch replay via batch markers) — the Delta-style streaming
+    // table-ingestion path on the engine's own manifest primitive. The
+    // oracle is the staged corpus: the drained table must hold exactly
+    // what the stream carried.
+    "q229_stream_snapshot_sink" -> { (s, d) =>
+      val base = s"/tmp/graft_stream/${new java.io.File(d).getName}_snapsink"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      docs.repartition(4).write.mode("overwrite").parquet(s"$base/in")
+      graft.streaming.TableStreams.snapshotSink(
+        s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+        s"$base/tbl", s"$base/ckpt", statsCols = Seq("n_chars"))
+      L.snapshotRead(s, s"$base/tbl")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
+    },
+
     // Incremental view maintenance (q186): the per-source (count, sum)
     // view maintained from a CDC change feed (deletes every 10th doc,
     // updates every kept 7th, inserts re-keyed 9ths) in O(|changes|) —
@@ -268,6 +333,15 @@ object Layout {
     "q222_stats_pruned_read" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars BETWEEN 150 AND 350""",
+    // q227/q228/q229: append composition, compaction, and the streaming
+    // sink are all pure table plumbing — content must hash to exactly
+    // the source corpus.
+    "q227_snapshot_append" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
+    "q228_snapshot_compact" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
+    "q229_stream_snapshot_sink" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
     // q223: full-table hash equality against the NOT-deleted rows (SQL
     // DELETE semantics — only predicate-TRUE rows go).
     "q223_snapshot_delete" ->

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.operators.Layout
+import org.apache.spark.sql.DataFrame
+
+/** Streaming ingestion INTO a manifest-committed snapshot table — the
+  * Delta-style streaming table sink reduced to the engine's own
+  * primitive: each micro-batch commits one [[Layout.snapshotAppend]],
+  * so the table advances one atomic snapshot per batch, readers always
+  * see a complete committed prefix of the stream, and time travel /
+  * diff / vacuum all apply to the live ingestion table.
+  *
+  * Exactly-once table state under retries: `foreachBatch` is
+  * at-least-once (a batch re-runs if the commit raced a crash), so
+  * each commit writes a `_batch-<id>` marker AFTER its manifest
+  * commit and a replayed batch whose marker exists is skipped — the
+  * transactional-idempotence trick every table-format streaming sink
+  * uses (Delta records txn ids in the log; the marker file is that
+  * record). A crash BETWEEN manifest commit and marker write re-runs
+  * the batch once; the re-run re-appends over the previous attempt's
+  * manifest — callers needing hard exactly-once under that window
+  * vacuum by batch key downstream, and the window is one rename wide.
+  */
+object TableStreams {
+
+  /** Drain `stream` (Trigger.AvailableNow — one file per micro-batch
+    * when the source is configured so) into the snapshot table at
+    * `dir`, one snapshot per batch. Returns when the available input
+    * is fully committed.
+    */
+  def snapshotSink(stream: DataFrame, dir: String, checkpoint: String,
+                   statsCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(dir, s"_batch-$batchId")
+        if (!fs.exists(marker)) {
+          Layout.snapshotAppend(batch, dir, statsCols)
+          fs.create(marker, true).close()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -331,6 +331,111 @@ class LayoutSpec extends AnyFunSuite {
     assert(!tags.contains(Some("s0")) && tags.contains(None))
   }
 
+  test("snapshotAppend reuses prior entries verbatim; pruning and time travel hold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_app").toString
+    val all = (1L to 1000L).map(i => (i, i % 499)).toDF("id", "v")
+    Layout.snapshotAppend(all.filter(col("v") < 250)
+      .repartitionByRange(4, col("v")).sortWithinPartitions("v"),
+      dir, statsCols = Seq("v"))
+    val after1 = Layout.snapshotFiles(spark, dir)
+    // statsCols defaulting: the second append inherits the table's cols
+    Layout.snapshotAppend(all.filter(col("v") >= 250)
+      .repartitionByRange(4, col("v")).sortWithinPartitions("v"), dir)
+    val after2 = Layout.snapshotFiles(spark, dir)
+    // prior entries appear VERBATIM (paths + stats), new files added
+    assert(after2.take(after1.size) == after1)
+    assert(after2.size > after1.size)
+    assert(after2.drop(after1.size).forall(_.stats.contains("v")),
+      "appended files must inherit the stats contract")
+    // content composes to the union
+    assert(Layout.snapshotRead(spark, dir).as[(Long, Long)].collect().toSet ==
+      all.as[(Long, Long)].collect().toSet)
+    // pruning spans both appends' files
+    val kept = Layout.snapshotFiles(spark, dir,
+      prune = Some(Layout.StatPred.Between("v", 200L, 300L)))
+    assert(kept.nonEmpty && kept.size < after2.size)
+    // time travel: snapshot 1 is only the first batch
+    assert(Layout.snapshotRead(spark, dir, snapshotId = 1L).count() ==
+      all.filter(col("v") < 250).count())
+  }
+
+  test("compactSnapshot: fewer files, content intact, stats survive, old snapshot readable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scomp").toString
+    val all = (1L to 2000L).map(i => (i, i % 977)).toDF("id", "v")
+    (0L to 7L).foreach { m =>
+      Layout.snapshotAppend(all.filter(col("id") % 8 === m).repartition(4),
+        dir, statsCols = Seq("v"))
+    }
+    val before = Layout.snapshotFiles(spark, dir)
+    val (snapId, nBefore, nAfter) =
+      Layout.compactSnapshot(spark, dir, targetBytes = 64L << 20)
+    assert(nBefore == before.size && nAfter < nBefore && snapId == 9L)
+    val after = Layout.snapshotFiles(spark, dir)
+    assert(after.size == nAfter &&
+      after.forall(_.path.startsWith(s"data/snap-$snapId/")))
+    assert(after.forall(_.stats.contains("v")), "stats re-collected")
+    assert(Layout.snapshotRead(spark, dir).as[(Long, Long)].collect().toSet ==
+      all.as[(Long, Long)].collect().toSet)
+    // the fragmented snapshot is still pinned-readable until vacuumed
+    assert(Layout.snapshotRead(spark, dir, snapshotId = 8L).count() == 2000L)
+    // vacuum reclaims the fragments; the compacted table is whole
+    assert(Layout.vacuum(spark, dir, keep = 1) >= nBefore)
+    assert(Layout.snapshotRead(spark, dir).count() == 2000L)
+  }
+
+  test("string stats are truncated BOUNDS, never whole document values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_trunc").toString
+    val docs = (1L to 200L).map { i =>
+      (i, f"doc-$i%04d-" + ("lorem ipsum " * 40) + i)
+    }.toDF("id", "body")
+    Layout.snapshotWrite(docs.repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id"), dir, statsCols = Seq("body"))
+    val entries = Layout.snapshotFiles(spark, dir)
+    entries.foreach { e =>
+      val st = e.stats("body")
+      assert(st.min.get.length <= Layout.StatsTruncateLen,
+        s"min not truncated: ${st.min.get.length} chars")
+      assert(st.max.get.length <= Layout.StatsTruncateLen,
+        s"max not truncated: ${st.max.get.length} chars")
+    }
+    // truncation keeps bounds CONSERVATIVE: every actual value's file
+    // must still may-match an equality probe for that value
+    val sample = docs.filter(col("id").isin(1L, 77L, 200L))
+      .collect().map(_.getString(1))
+    sample.foreach { v =>
+      assert(entries.exists(e =>
+        Layout.mayMatch(e.stats, Layout.StatPred.Eq("body", v))),
+        "a real value was pruned away by truncated stats")
+    }
+  }
+
+  test("streaming snapshot sink: replayed batches are skipped via markers") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val docs = (1L to 400L).map(i => (i, s"d$i")).toDF("id", "s")
+    docs.repartition(4).write.mode("overwrite").parquet(s"$base/in")
+    graft.streaming.TableStreams.snapshotSink(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      s"$base/tbl", s"$base/ckpt1")
+    val snaps1 = Layout.snapshotFiles(spark, s"$base/tbl").size
+    val content1 = Layout.snapshotRead(spark, s"$base/tbl")
+      .as[(Long, String)].collect().toSet
+    assert(content1 == docs.as[(Long, String)].collect().toSet)
+    // a FRESH checkpoint replays every batch id from 0 — the markers
+    // must make each replay a no-op (exactly-once table state)
+    graft.streaming.TableStreams.snapshotSink(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      s"$base/tbl", s"$base/ckpt2")
+    assert(Layout.snapshotFiles(spark, s"$base/tbl").size == snaps1)
+    assert(Layout.snapshotRead(spark, s"$base/tbl")
+      .as[(Long, String)].collect().toSet == content1)
+  }
+
   test("compact merges a fragmented table to ceil(bytes/target) files, content intact") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
