@@ -88,11 +88,14 @@ object Layout {
     final case class Or(ps: Seq[StatPred]) extends StatPred
   }
 
-  /** One manifest row: the file's table-relative path and its column
-    * stats (empty for v1 manifests / files written without stats).
+  /** One manifest row: the file's table-relative path, its column
+    * stats (empty for v1 manifests / files written without stats), and
+    * its row count (recorded whenever stats are collected — the
+    * metadata that makes `count(*)` a manifest read instead of a scan).
     */
   final case class FileEntry(path: String,
-                             stats: Map[String, ColStat] = Map.empty)
+                             stats: Map[String, ColStat] = Map.empty,
+                             rows: Option[Long] = None)
 
   import StatPred._
 
@@ -380,10 +383,10 @@ object Layout {
       .filter(_.endsWith(".parquet"))
       .sorted
     val stats =
-      if (statsCols.isEmpty) Map.empty[String, Map[String, ColStat]]
+      if (statsCols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
       else collectFileStats(spark, dataDir, statsCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(n =>
-      FileEntry(s"data/snap-$snapId/$n", stats.getOrElse(n, Map.empty))))
+      entryFor(s"data/snap-$snapId", n, stats)))
     snapId
   }
 
@@ -414,11 +417,11 @@ object Layout {
       if (statsCols.nonEmpty) statsCols
       else prev.flatMap(_.stats.keys).distinct
     val stats =
-      if (cols.isEmpty) Map.empty[String, Map[String, ColStat]]
+      if (cols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
       else collectFileStats(spark, dataDir, cols)
     writeManifest(fs, dir, snapId,
       prev ++ names.toIndexedSeq.map(n =>
-        FileEntry(s"data/snap-$snapId/$n", stats.getOrElse(n, Map.empty))))
+        entryFor(s"data/snap-$snapId", n, stats)))
     snapId
   }
 
@@ -452,10 +455,10 @@ object Layout {
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
     val cols = entries.flatMap(_.stats.keys).distinct
     val stats =
-      if (cols.isEmpty) Map.empty[String, Map[String, ColStat]]
+      if (cols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
       else collectFileStats(spark, dataDir, cols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(nm =>
-      FileEntry(s"data/snap-$snapId/$nm", stats.getOrElse(nm, Map.empty))))
+      entryFor(s"data/snap-$snapId", nm, stats)))
     (snapId, entries.size, names.length)
   }
 
@@ -497,11 +500,11 @@ object Layout {
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
     val statsCols = entries.flatMap(_.stats.keys).distinct
     val stats =
-      if (statsCols.isEmpty) Map.empty[String, Map[String, ColStat]]
+      if (statsCols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
       else collectFileStats(spark, dataDir, statsCols)
     writeManifest(fs, dir, snapId,
       untouched ++ names.toIndexedSeq.map(n =>
-        FileEntry(s"data/snap-$snapId/$n", stats.getOrElse(n, Map.empty))))
+        entryFor(s"data/snap-$snapId", n, stats)))
     (snapId, touched.size)
   }
 
@@ -514,7 +517,7 @@ object Layout {
     */
   private def collectFileStats(spark: org.apache.spark.sql.SparkSession,
                                dataDir: String, statsCols: Seq[String])
-      : Map[String, Map[String, ColStat]] = {
+      : Map[String, (Map[String, ColStat], Long)] = {
     val df = spark.read.parquet(dataDir)
     val types = statsCols.map { c =>
       require(df.columns.contains(c), s"stats column $c not in schema")
@@ -522,14 +525,15 @@ object Layout {
     }.toMap
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"mn_$c"),
-      max(col(c)).cast("string").as(s"mx_$c")))
+      max(col(c)).cast("string").as(s"mx_$c"))) :+
+      count(lit(1)).as("_nrows")
     val rows = df
       .select(col("_metadata.file_name").as("_fname") +:
         statsCols.map(col): _*)
       .groupBy("_fname").agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.map { r =>
-      r.getString(0) -> statsCols.map { c =>
+      r.getString(0) -> ((statsCols.map { c =>
         val isStr = types(c) == "string"
         c -> ColStat(
           Option(r.getAs[String](s"mn_$c"))
@@ -537,9 +541,17 @@ object Layout {
           Option(r.getAs[String](s"mx_$c"))
             .map(v => if (isStr) truncateUpper(v) else v),
           types(c))
-      }.toMap
+      }.toMap, r.getAs[Long]("_nrows")))
     }.toMap
   }
+
+  private def entryFor(relDir: String, name: String,
+                       stats: Map[String, (Map[String, ColStat], Long)])
+      : FileEntry =
+    stats.get(name) match {
+      case Some((cs, n)) => FileEntry(s"$relDir/$name", cs, Some(n))
+      case None => FileEntry(s"$relDir/$name")
+    }
 
   private def listSnapshotIds(fs: org.apache.hadoop.fs.FileSystem,
                               dir: String): Array[Long] =
@@ -566,6 +578,7 @@ object Layout {
       else {
         val files = entries.map { e =>
           ("path" -> e.path) ~
+            ("rows" -> e.rows) ~
             ("stats" -> e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
               c -> (("min" -> st.min) ~ ("max" -> st.max) ~
                 ("type" -> st.tpe))
@@ -607,7 +620,12 @@ object Layout {
               }.toMap
               case _ => Map.empty[String, ColStat]
             }
-            FileEntry(path, stats)
+            val rows = (f \ "rows") match {
+              case JInt(n) => Some(n.toLong)
+              case JLong(n) => Some(n)
+              case _ => None
+            }
+            FileEntry(path, stats, rows)
           }
           case other => sys.error(s"bad manifest files list: $other")
         }
@@ -665,6 +683,59 @@ object Layout {
       case None => entries
       case Some(p) => entries.filter(e => mayMatch(e.stats, p))
     }
+  }
+
+  /** Resolve the snapshot current AS OF `timestampMs` — time-based time
+    * travel (the id-pinned form's calendar sibling): the newest
+    * manifest whose COMMIT time (the atomic rename's mtime) is ≤ the
+    * asked instant. Errors if the table has no snapshot that old.
+    */
+  def snapshotAsOf(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   timestampMs: Long): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val eligible = ids.filter { id =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir,
+        s"manifest-$id.json")).getModificationTime <= timestampMs
+    }
+    require(eligible.nonEmpty,
+      s"no snapshot committed at or before $timestampMs under $dir")
+    eligible.max
+  }
+
+  /** ROLL BACK to `snapshotId` by committing a NEW manifest with the
+    * old snapshot's exact file list — undo as a forward commit, so
+    * history is preserved (the bad snapshot stays inspectable until
+    * vacuumed) and concurrent readers never see a manifest disappear.
+    * Returns the new snapshot id.
+    */
+  def rollbackTo(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 snapshotId: Long): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.contains(snapshotId),
+      s"snapshot $snapshotId not found under $dir")
+    val entries = readManifestEntries(fs, dir, snapshotId)
+    val newId = ids.max + 1L
+    writeManifest(fs, dir, newId, entries)
+    newId
+  }
+
+  /** `count(*)` from manifest metadata alone when every file carries a
+    * recorded row count (any stats-collecting write records them) —
+    * zero files opened; falls back to a distributed count otherwise.
+    * The table-format trick that turns the most common query into a
+    * manifest read.
+    */
+  def snapshotCount(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    snapshotId: Long = -1L): Long = {
+    val entries = snapshotFiles(spark, dir, snapshotId)
+    if (entries.nonEmpty && entries.forall(_.rows.isDefined))
+      entries.map(_.rows.get).sum
+    else snapshotRead(spark, dir, snapshotId).count()
   }
 
   /** Vacuum a manifest-committed table: delete every data file NOT

@@ -212,6 +212,33 @@ object Layout {
           col("n_chars"), col("lang"))
     },
 
+    // Z-order + manifest stats (q230): the two layout levers composed —
+    // files clustered along the (doc_id, n_chars) Morton curve, so the
+    // manifest's per-file min/max are tight on BOTH dimensions at once,
+    // and a conjunctive two-band predicate prunes files at planning
+    // time on either dim (LayoutSpec pins both single-dim prunes; a
+    // linear sort can only serve one). The oracle is the plain
+    // two-band WHERE.
+    "q230_zorder_pruned_read" -> { (s, d) =>
+      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snapz"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+        .withColumn("_z", L.zValue(Seq((col("doc_id"), 16),
+          (col("n_chars"), 16))))
+        .repartitionByRange(8, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+      L.snapshotWrite(docs, base, statsCols = Seq("doc_id", "n_chars"))
+      L.snapshotRead(s, base, prune = Some(L.StatPred.And(Seq(
+        L.StatPred.Between("doc_id", 100L, 300L),
+        L.StatPred.Between("n_chars", 150L, 350L)))))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
+    },
+
     // Incremental append commits (q227): the ingestion write mode —
     // three per-batch appends, each committing prior files verbatim
     // plus the new batch (no byte of existing data rewritten; LayoutSpec
@@ -338,6 +365,10 @@ object Layout {
     // the source corpus.
     "q227_snapshot_append" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
+    "q230_zorder_pruned_read" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars
+         FROM documents
+         WHERE doc_id BETWEEN 100 AND 300 AND n_chars BETWEEN 150 AND 350""",
     "q228_snapshot_compact" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
     "q229_stream_snapshot_sink" ->

@@ -412,6 +412,64 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotAsOf, rollbackTo, and metadata-only counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    val v1 = (1L to 100L).map(i => (i, i % 7)).toDF("id", "v")
+    val v2 = (1L to 40L).map(i => (i, i % 7)).toDF("id", "v")
+    Layout.snapshotWrite(v1, dir, statsCols = Seq("v"))
+    val t1 = new java.io.File(s"$dir/manifest-1.json").lastModified()
+    Thread.sleep(1100)
+    Layout.snapshotWrite(v2, dir, statsCols = Seq("v"))
+    // as-of between the commits resolves snapshot 1; now resolves 2
+    assert(Layout.snapshotAsOf(spark, dir, t1 + 500) == 1L)
+    assert(Layout.snapshotAsOf(spark, dir, System.currentTimeMillis()) == 2L)
+    intercept[IllegalArgumentException](Layout.snapshotAsOf(spark, dir, t1 - 10000))
+    // metadata-only count: every entry carries rows (stats were
+    // collected), so no files open
+    assert(Layout.snapshotFiles(spark, dir).forall(_.rows.isDefined))
+    assert(Layout.snapshotCount(spark, dir) == 40L)
+    assert(Layout.snapshotCount(spark, dir, snapshotId = 1L) == 100L)
+    // rollback: a FORWARD commit restoring v1's file list; history kept
+    val rb = Layout.rollbackTo(spark, dir, 1L)
+    assert(rb == 3L)
+    assert(Layout.snapshotRead(spark, dir).count() == 100L)
+    assert(Layout.snapshotRead(spark, dir, snapshotId = 2L).count() == 40L)
+    // stats-less (v1 manifest) tables fall back to a real count
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_asof2").toString
+    Layout.snapshotWrite(v2, dir2)
+    assert(Layout.snapshotCount(spark, dir2) == 40L)
+  }
+
+  test("z-ordered snapshot prunes files on BOTH stat dimensions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zsnap").toString
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(4000)((rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    val df = rows.toDF("id", "x", "y")
+      .withColumn("_z", Layout.zValue(Seq((col("x"), 10), (col("y"), 10))))
+      .repartitionByRange(16, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+    Layout.snapshotWrite(df, dir, statsCols = Seq("x", "y"))
+    val all = Layout.snapshotFiles(spark, dir).size
+    val px = Layout.snapshotFiles(spark, dir,
+      prune = Some(Layout.StatPred.Between("x", 0L, 127L))).size
+    val py = Layout.snapshotFiles(spark, dir,
+      prune = Some(Layout.StatPred.Between("y", 0L, 127L))).size
+    // the z-curve keeps BOTH dimensions' per-file ranges tight — a
+    // narrow band on either axis must drop files (a linear sort serves
+    // only its own sort column)
+    assert(px < all, s"x-band pruned nothing: $px/$all")
+    assert(py < all, s"y-band pruned nothing: $py/$all")
+    val both = Layout.snapshotRead(spark, dir, prune = Some(
+      Layout.StatPred.And(Seq(Layout.StatPred.Between("x", 0L, 127L),
+        Layout.StatPred.Between("y", 0L, 127L)))))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(both == rows.filter(r => r._2 <= 127 && r._3 <= 127).toSet)
+  }
+
   test("streaming snapshot sink: replayed batches are skipped via markers") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
