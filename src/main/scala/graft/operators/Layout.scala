@@ -649,7 +649,8 @@ object Layout {
     */
   def snapshotRead(spark: org.apache.spark.sql.SparkSession, dir: String,
                    snapshotId: Long = -1L,
-                   prune: Option[StatPred] = None): DataFrame = {
+                   prune: Option[StatPred] = None,
+                   mergeSchema: Boolean = false): DataFrame = {
     val all = snapshotFiles(spark, dir, snapshotId, None)
     val kept = prune match {
       case None => all
@@ -658,7 +659,16 @@ object Layout {
     // every file pruned: keep the scan schema by reading the full list
     // (the row filter below still yields zero rows)
     val files = (if (kept.isEmpty) all else kept).map(e => s"$dir/${e.path}")
-    val base = spark.read.parquet(files: _*)
+    // mergeSchema: appends may have widened the schema (added columns);
+    // the default parquet read takes one file's schema and would
+    // silently drop the new column from old-file rows' view — schema
+    // evolution on a snapshot table needs the union schema (new columns
+    // surface as NULL on pre-widening files, nothing rewritten: the
+    // q148 property inside the snapshot contract)
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true")
+      else spark.read
+    val base = reader.parquet(files: _*)
     prune match {
       case Some(p) if kept.isEmpty => base.filter(lit(false))
       case Some(p) => base.filter(toColumn(p))

@@ -470,6 +470,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(both == rows.filter(r => r._2 <= 127 && r._3 <= 127).toSet)
   }
 
+  test("schema evolution across appends: union schema, old rows NULL-filled") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sevo").toString
+    Layout.snapshotWrite((1L to 50L).map(i => (i, s"t$i")).toDF("id", "text"),
+      dir)
+    // the v2 batch ships a new `quality` column; nothing is rewritten
+    Layout.snapshotAppend((51L to 80L).map(i => (i, s"t$i", i * 0.1))
+      .toDF("id", "text", "quality"), dir)
+    val merged = Layout.snapshotRead(spark, dir, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq == Seq("id", "quality", "text"))
+    val rows = merged.select("id", "quality")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows.size == 80 && rows(1L).isEmpty && rows(80L).contains(8.0))
+  }
+
   test("streaming snapshot sink: replayed batches are skipped via markers") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
