@@ -158,6 +158,105 @@ object Layout {
     case Or(ps) => ps.map(toColumn).reduce(_ || _)
   }
 
+  /** Catalyst → StatPred compilation: the pushdown bridge that lets a
+    * caller prune with a plain Spark `Column` filter ([[
+    * snapshotReadWhere]]) instead of hand-building predicates. Only
+    * shapes whose file-level may-match is exactly decidable compile
+    * (comparisons either way around, IN over literals, AND/OR);
+    * anything else returns None — and partial compilation stays SOUND:
+    * an AND keeps its compilable conjuncts (pruning with a predicate
+    * subset only widens the kept-file set), while an OR compiles only
+    * if every branch does (dropping an OR branch could prune files the
+    * branch would have kept).
+    */
+  def toStatPred(filter: Column): Option[StatPred] =
+    fromPredNode(org.apache.spark.sql.graft.Bridge.predicateTree(filter))
+
+  private def fromPredNode(n: org.apache.spark.sql.graft.Bridge.PredNode)
+      : Option[StatPred] = {
+    import org.apache.spark.sql.graft.Bridge._
+    def attrName(x: PredNode): Option[String] = x match {
+      case PredAttr(name) => Some(name)
+      case _ => None
+    }
+    def litValue(x: PredNode): Option[Any] = x match {
+      case PredLit(null) => None // null comparisons match nothing; no leaf
+      case PredLit(d: org.apache.spark.sql.types.Decimal) =>
+        Some(d.toBigDecimal)
+      case PredLit(v) => Some(v)
+      case _ => None
+    }
+    // attr-op-literal, or the mirrored literal-op-attr with `flip`
+    def leaf(l: PredNode, r: PredNode,
+             mk: (String, Any) => StatPred,
+             flip: (String, Any) => StatPred): Option[StatPred] =
+      (for {c <- attrName(l); v <- litValue(r)} yield mk(c, v))
+        .orElse(for {c <- attrName(r); v <- litValue(l)} yield flip(c, v))
+    n match {
+      case PredFunc("and", Seq(l, r)) =>
+        (fromPredNode(l), fromPredNode(r)) match {
+          case (Some(a), Some(b)) => Some(StatPred.And(Seq(a, b)))
+          case (Some(a), None) => Some(a)
+          case (None, Some(b)) => Some(b)
+          case _ => None
+        }
+      case PredFunc("or", Seq(l, r)) =>
+        for {a <- fromPredNode(l); b <- fromPredNode(r)}
+          yield StatPred.Or(Seq(a, b))
+      case PredFunc(">", Seq(l, r)) => leaf(l, r, Gt.apply, Lt.apply)
+      case PredFunc(">=", Seq(l, r)) => leaf(l, r, Ge.apply, Le.apply)
+      case PredFunc("<", Seq(l, r)) => leaf(l, r, Lt.apply, Gt.apply)
+      case PredFunc("<=", Seq(l, r)) => leaf(l, r, Le.apply, Ge.apply)
+      case PredFunc("=", Seq(l, r)) => leaf(l, r, Eq.apply, Eq.apply)
+      case PredFunc("in", a +: vs) if vs.nonEmpty =>
+        val lits = vs.map(litValue)
+        for {c <- attrName(a); _ <- if (lits.forall(_.isDefined)) Some(())
+                                    else None}
+          yield In(c, lits.map(_.get))
+      case _ => None
+    }
+  }
+
+  /** [[snapshotRead]] with the natural Spark API: ONE `Column` filter
+    * drives both tiers — the compilable part prunes files at planning
+    * time via [[toStatPred]], and the FULL original filter applies
+    * row-level, so arbitrary predicates stay exact (an unsupported
+    * filter simply prunes nothing). This is the pushdown contract a
+    * DataSource V2 `SupportsPushDownFilters` implementation would
+    * expose, without re-implementing the parquet reader.
+    */
+  def snapshotReadWhere(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, filter: Column,
+                        snapshotId: Long = -1L,
+                        mergeSchema: Boolean = false): DataFrame = {
+    val pred = toStatPred(filter)
+    val all = snapshotFiles(spark, dir, snapshotId)
+    val kept = pred match {
+      case None => all
+      case Some(p) => all.filter(e => mayMatch(e.stats, p))
+    }
+    val files = (if (kept.isEmpty) all else kept).map(e => s"$dir/${e.path}")
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true")
+      else spark.read
+    val base = reader.parquet(files: _*)
+    if (kept.isEmpty) base.filter(lit(false)) else base.filter(filter)
+  }
+
+  /** The kept-file count [[snapshotReadWhere]] would resolve — the
+    * observable planning decision for tests and EXPLAIN-style tooling.
+    */
+  def snapshotFilesWhere(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, filter: Column,
+                         snapshotId: Long = -1L): Seq[FileEntry] = {
+    val pred = toStatPred(filter)
+    val all = snapshotFiles(spark, dir, snapshotId)
+    pred match {
+      case None => all
+      case Some(p) => all.filter(e => mayMatch(e.stats, p))
+    }
+  }
+
   /** Morton z-value of the given (column, bits) dimensions as ONE
     * codegen-friendly Column: bit j of dimension i lands at the j-th
     * interleave slot (round-robin over dimensions that still have bits

@@ -239,6 +239,33 @@ object Layout {
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
     },
 
+    // Column-filter pushdown (q231): the natural Spark API over the
+    // stats machinery — ONE plain Column filter drives both tiers
+    // (toStatPred compiles the prunable part for planning-time file
+    // pruning; the full filter applies row-level). The predicate mixes
+    // a band, an IN list, and a non-compilable md5 gate: pruning must
+    // stay sound under partial compilation, and the oracle pins the
+    // exact surviving rows.
+    "q231_pushdown_read" -> { (s, d) =>
+      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snappush"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      L.snapshotWrite(Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars", "lang")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"),
+        base, statsCols = Seq("n_chars", "lang"))
+      L.snapshotReadWhere(s, base,
+        col("n_chars").between(150, 350) &&
+          col("lang").isin("en", "de") &&
+          substring(md5(col("doc_id").cast("string")), 1, 1) =!= "f")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"), col("lang"))
+    },
+
     // Incremental append commits (q227): the ingestion write mode —
     // three per-batch appends, each committing prior files verbatim
     // plus the new batch (no byte of existing data rewritten; LayoutSpec
@@ -369,6 +396,11 @@ object Layout {
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents
          WHERE doc_id BETWEEN 100 AND 300 AND n_chars BETWEEN 150 AND 350""",
+    "q231_pushdown_read" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars, lang
+         FROM documents
+         WHERE n_chars BETWEEN 150 AND 350 AND lang IN ('en', 'de')
+           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) != 'f'""",
     "q228_snapshot_compact" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
     "q229_stream_snapshot_sink" ->

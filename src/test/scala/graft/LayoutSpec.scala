@@ -470,6 +470,47 @@ class LayoutSpec extends AnyFunSuite {
     assert(both == rows.filter(r => r._2 <= 127 && r._3 <= 127).toSet)
   }
 
+  test("toStatPred compiles Column filters soundly; snapshotReadWhere prunes and stays exact") {
+    import spark.implicits._
+    import graft.operators.Layout.StatPred._
+    def compile(c: org.apache.spark.sql.Column) = Layout.toStatPred(c)
+    // comparisons both ways around; BETWEEN desugars to an And
+    assert(compile(col("v") > 5).contains(Gt("v", 5)))
+    assert(compile(lit(5) > col("v")).contains(Lt("v", 5)))
+    assert(compile(col("v").between(1, 9)).contains(
+      Layout.StatPred.And(Seq(Ge("v", 1), Le("v", 9)))))
+    assert(compile(col("s").isin("a", "b")).contains(In("s", Seq("a", "b"))))
+    // partial And keeps the compilable conjunct (sound: widens, never narrows)
+    assert(compile(col("v") > 5 && abs(col("v")) < 3).contains(Gt("v", 5)))
+    // Or is all-or-nothing (dropping a branch could prune its files)
+    assert(compile(col("v") > 5 || abs(col("v")) < 3).isEmpty)
+    assert(compile(abs(col("v")) < 3).isEmpty)
+    // IS NULL-ish literals never compile (comparisons don't match null)
+    assert(compile(col("v") === lit(null)).isEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_push").toString
+    val df = (1L to 2000L).map(i => (i, i % 977)).toDF("id", "v")
+    Layout.snapshotWrite(df.repartitionByRange(8, col("v"))
+      .sortWithinPartitions("v"), dir, statsCols = Seq("v"))
+    val all = Layout.snapshotFiles(spark, dir).size
+    val f = col("v").between(100L, 250L) && (col("id") % 3 =!= 0)
+    // prunes exactly like the hand-built band (the % conjunct is
+    // non-compilable and must not block pruning)
+    assert(Layout.snapshotFilesWhere(spark, dir, f).size ==
+      Layout.snapshotFiles(spark, dir,
+        prune = Some(Between("v", 100L, 250L))).size)
+    assert(Layout.snapshotFilesWhere(spark, dir, f).size < all)
+    // rows are the FULL filter's rows, not just the compilable part's
+    val got = Layout.snapshotReadWhere(spark, dir, f)
+      .as[(Long, Long)].collect().toSet
+    assert(got == df.filter(f).as[(Long, Long)].collect().toSet)
+    // a fully non-compilable filter: no pruning, still exact
+    val g = (col("id") * 7 % 11) === 3
+    assert(Layout.snapshotFilesWhere(spark, dir, g).size == all)
+    assert(Layout.snapshotReadWhere(spark, dir, g).count() ==
+      df.filter(g).count())
+  }
+
   test("schema evolution across appends: union schema, old rows NULL-filled") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sevo").toString
