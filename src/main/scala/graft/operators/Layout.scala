@@ -689,7 +689,17 @@ object Layout {
     val tmp = new org.apache.hadoop.fs.Path(dir, s".manifest-$snapId.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"manifest-$snapId.json"))
+    val dest = new org.apache.hadoop.fs.Path(dir, s"manifest-$snapId.json")
+    // optimistic concurrency: a second writer that raced to the same id
+    // must fail loudly, not silently clobber a committed snapshot.
+    // (Best-effort on local FS, where rename() overwrites — HDFS-style
+    // rename refuses an existing dest; a real catalog arbitrates ids.)
+    if (fs.exists(dest)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot $snapId already committed under $dir — concurrent writer?")
+    }
+    fs.rename(tmp, dest)
   }
 
   private def readManifestEntries(fs: org.apache.hadoop.fs.FileSystem,
@@ -884,6 +894,12 @@ object Layout {
     manifests.dropRight(keep).foreach { snap =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"), false)
     }
+    // crashed-writer manifest temps are dead by definition (the commit
+    // rename never happened) — reclaim them with the data orphans
+    Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, ".manifest-*.json.tmp")))
+      .getOrElse(Array.empty)
+      .foreach(f => fs.delete(f.getPath, false))
     deleted
   }
 

@@ -225,6 +225,12 @@ class LayoutSpec extends AnyFunSuite {
       Layout.snapshotRead(spark, dir, snapshotId = 1L))
     // vacuum again: nothing left to reclaim (idempotent)
     assert(Layout.vacuum(spark, dir, keep = 1) == 0)
+    // a crashed writer's manifest temp (commit rename never happened)
+    // is reclaimed by vacuum alongside the data orphans
+    val tmp = new java.io.File(s"$dir/.manifest-9.json.tmp")
+    java.nio.file.Files.write(tmp.toPath, "[]".getBytes)
+    Layout.vacuum(spark, dir, keep = 1)
+    assert(!tmp.exists(), "crashed-writer manifest temp must be reclaimed")
   }
 
   test("mayMatch: range logic, missing stats, all-null files, And/Or/In") {
