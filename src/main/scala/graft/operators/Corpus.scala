@@ -316,6 +316,68 @@ object Corpus {
       .filter(col("freq") >= minCount)
   }
 
+  /** T5/UL2-style span corruption — the denoising-objective prep pass:
+    * a deterministic per-position noise mask (md5 of "docId:position",
+    * the mixture-gate arithmetic, so both engines replay it bit for
+    * bit) marks ~`noisePct`% of tokens; each MAXIMAL noise run
+    * collapses to one `<extra_id_k>` sentinel in the model input, and
+    * the target is the sentinel-prefixed run contents in order —
+    * exactly the published seq-to-seq denoising layout given a noise
+    * mask. Emits digests + audit counts rather than the (long) pair
+    * strings.
+    *
+    * Scale shape: ONE narrow mapPartitions pass (the repetition-tagger
+    * shape) — no shuffle, no per-token explode; the run-collapse is a
+    * linear walk per document.
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  noisePct: Int = 15): DataFrame = {
+    require(noisePct >= 1 && noisePct <= 99, s"bad noisePct $noisePct")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Parallelism.ensure(docs)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(s: String): String =
+          md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        it.map { case (id, text0) =>
+          val text = if (text0 == null) "" else text0
+          val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+          val in = new StringBuilder
+          val tgt = new StringBuilder
+          var spans = 0
+          var nNoise = 0
+          var inRun = false
+          var i = 0
+          while (i < toks.length) {
+            val h = java.lang.Long.parseLong(
+              md5hex(s"$id:${i + 1}").substring(0, 8), 16)
+            if (h % 100 < noisePct) {
+              if (!inRun) {
+                if (in.nonEmpty) in.append(' ')
+                in.append("<extra_id_").append(spans).append('>')
+                if (tgt.nonEmpty) tgt.append(' ')
+                tgt.append("<extra_id_").append(spans).append('>')
+                spans += 1
+                inRun = true
+              }
+              tgt.append(' ').append(toks(i))
+              nNoise += 1
+            } else {
+              if (in.nonEmpty) in.append(' ')
+              in.append(toks(i))
+              inRun = false
+            }
+            i += 1
+          }
+          (id, md5hex(in.toString), md5hex(tgt.toString), spans, nNoise)
+        }
+      }
+      .toDF(idCol, "input_md5", "target_md5", "n_spans", "n_noise")
+  }
+
   def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -163,6 +163,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, "aa", 4L), (2, "aaa", 2L)))
   }
 
+  test("spanCorrupt: audit counts consistent, clean docs pass through, empty docs survive") {
+    import spark.implicits._
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = ((1L to 50L).map(i => (i, s"alpha beta gamma delta epsilon zeta tok$i more words here")) :+
+      (99L, "") :+ (100L, "   ")).toDF("doc_id", "text")
+    val out = Corpus.spanCorrupt(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out.size == 52)
+    out.foreach { case (id, (inMd5, tgtMd5, spans, noise)) =>
+      assert(spans <= noise, s"doc $id: more spans than noise tokens")
+      if (noise == 0) {
+        // clean doc: target empty, input is the tokens rejoined
+        assert(tgtMd5 == md5(""), s"doc $id")
+        if (id <= 50L) assert(inMd5 != md5(""), s"doc $id")
+      } else assert(spans >= 1)
+    }
+    // empty / whitespace-only docs: both sides hash the empty string
+    assert(out(99L) == ((md5(""), md5(""), 0, 0)))
+    assert(out(100L) == ((md5(""), md5(""), 0, 0)))
+    // the mask is deterministic: same input, same digests on a re-run
+    val again = Corpus.spanCorrupt(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out.map { case (k, v) => k -> v._1 })
+  }
+
   test("staged curate survives losing every checkpoint block AND the source table") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
