@@ -316,6 +316,62 @@ object Corpus {
       .filter(col("freq") >= minCount)
   }
 
+  /** Deterministic train/val/test split by hash bucket — the
+    * reproducible alternative to `randomSplit` (which reshuffles per
+    * run and per partitioning): `md5(key) mod 10⁶` lands each row in
+    * the first named bucket whose cumulative fraction covers it, so
+    * membership is a pure function of the key — stable across runs,
+    * engines, partitionings, and incremental corpus growth (a new
+    * document never moves an old one between splits). One narrow
+    * projection, zero shuffle.
+    */
+  def hashSplit(docs: DataFrame, keyCol: String,
+                fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "need positive fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    val cums = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * 1000000.0))
+    // ascending threshold chain; the last bucket absorbs rounding
+    var e: Column = lit(fractions.last._1)
+    fractions.zip(cums).init.reverse.foreach { case ((name, _), cum) =>
+      e = when(u < lit(cum), lit(name)).otherwise(e)
+    }
+    docs.withColumn("split", e)
+  }
+
+  /** NEAR-DUP-LEAKAGE-AWARE split: assign whole near-duplicate
+    * CLUSTERS to splits, not documents — with a per-document split, a
+    * train doc's near-duplicate can land in test and the eval leaks
+    * (the classic contamination failure hash-splitting alone cannot
+    * prevent). Clusters come from the engine's own LSH + transitive
+    * closure ([[Dedup.minhashLshPairs]] → connectedComponents, the
+    * q66 machinery); documents in no pair are their own cluster; then
+    * [[hashSplit]] on the CLUSTER id puts every member of a cluster on
+    * the same side. Emits (id, cluster_id, split).
+    *
+    * Scale shape: the LSH band equi-join + pointer-jumping CC are the
+    * proven q66 path; the split itself is a narrow projection, and the
+    * cluster join ships only (id, cluster_id) longs.
+    */
+  def clusterSplit(docs: DataFrame, idCol: String, textCol: String,
+                   fractions: Seq[(String, Double)],
+                   shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs, idCol, textCol,
+        shingleN = shingleN, numHashes = numHashes, bands = bands,
+        threshold = threshold))
+    val clusters = docs.select(col(idCol))
+      .join(cc.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    hashSplit(clusters, "cluster_id", fractions)
+  }
+
   /** T5/UL2-style span corruption — the denoising-objective prep pass:
     * a deterministic per-position noise mask (md5 of "docId:position",
     * the mixture-gate arithmetic, so both engines replay it bit for

@@ -163,6 +163,53 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, "aa", 4L), (2, "aaa", 2L)))
   }
 
+  test("hashSplit is stable under partitioning; clusterSplit keeps near-dups on one side") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"unique document body number $i with words " +
+      s"alpha$i beta$i gamma$i delta$i")).toDF("doc_id", "text")
+    val splits = Corpus.hashSplit(docs.select("doc_id"), "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val frac = splits.values.groupBy(identity).view.mapValues(_.size / 500.0)
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"$frac")
+    assert(frac.keySet == Set("train", "val", "test"))
+    // membership is a pure function of the key — partitioning invariant
+    val again = Corpus.hashSplit(docs.repartition(17).select("doc_id"),
+      "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == splits)
+
+    // plant near-duplicate pairs: each 9000-block doc duplicates doc i
+    // with one token changed — LSH must cluster them, and the split
+    // must put both on the SAME side even though their own ids hash to
+    // different buckets
+    val dups = (1L to 40L).map { i =>
+      (9000L + i, s"unique document body number $i with words " +
+        s"alpha$i beta$i gamma$i CHANGED")
+    }.toDF("doc_id", "text")
+    val cs = Corpus.clusterSplit(docs.unionByName(dups), "doc_id", "text",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = cs.map(r => r._1 -> r._3).toMap
+    val clusterOf = cs.map(r => r._1 -> r._2).toMap
+    var clustered = 0
+    (1L to 40L).foreach { i =>
+      if (clusterOf(i) == clusterOf(9000L + i)) {
+        clustered += 1
+        assert(byId(i) == byId(9000L + i),
+          s"near-dup pair ($i, ${9000 + i}) split across sides")
+      }
+    }
+    assert(clustered > 20, s"LSH clustered only $clustered/40 planted pairs")
+    // sanity: the planted-pair docs' own ids would NOT all have agreed
+    val naive = Corpus.hashSplit(docs.unionByName(dups).select("doc_id"),
+      "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 40L).exists(i => naive(i) != naive(9000L + i)),
+      "fixture too easy: naive split never disagrees")
+  }
+
   test("spanCorrupt: audit counts consistent, clean docs pass through, empty docs survive") {
     import spark.implicits._
     def md5(s: String): String =
