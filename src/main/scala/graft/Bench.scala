@@ -70,7 +70,16 @@ object Bench {
     "q191_hard_negatives", "q193_entity_res", "q198_containment",
     "q217_full_pipeline")
 
-  private val headline = headlineR5 ++ headlineR6 ++ headlineR7
+  /** r8 additions: the round's heaviest new shapes — the stats-pruned
+    * snapshot read (timed end-to-end with its clustered fixture write,
+    * the q119 convention), the narrow single-pass span corruption, and
+    * the LSH+CC cluster-aware split.
+    */
+  private val headlineR8 = Seq(
+    "q222_stats_pruned_read", "q232_span_corruption", "q234_cluster_split")
+
+  private val headline =
+    headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8
 
   /** 1/5/15-minute load averages as a JSON array ("[]" off-Linux). */
   private def loadavg(): String =
