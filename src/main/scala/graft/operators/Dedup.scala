@@ -640,4 +640,63 @@ object Dedup {
       .filter(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
       .select("doc_a", "doc_b", "cont_ab", "cont_ba")
   }
+
+  /** EXACT substring dedup — the published remove-repeated-passages
+    * pass (boilerplate, licenses, templated pages repeated verbatim
+    * across a crawl): every token position covered by a `w`-token
+    * window whose content occurs ≥ 2 times ANYWHERE in the corpus
+    * (other documents or elsewhere in the same one) is CUT from the
+    * document; the survivors re-join in order. Suffix-array systems
+    * find the same regions single-node; the Spark-natural equivalent
+    * is rolling `w`-gram keys + one count aggregation:
+    *
+    *   1. narrow gram pass — (doc, start, md5(w-gram)) skinny rows;
+    *   2. ONE hash aggregation finds duplicated gram VALUES (map-side
+    *      partial count collapses the unique tail);
+    *   3. marked starts expand to covered positions (explode bounded
+    *      by |duplicated regions|·w, not corpus size);
+    *   4. anti-join + ordered reassembly per document.
+    *
+    * Emits (id, clean_md5, n_tokens, n_cut) — digests, not the
+    * rebuilt text.
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int = 20): DataFrame = {
+    require(w >= 2, s"window $w too small")
+    val toks = Parallelism.ensure(docs)
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("toks"))
+      .localCheckpoint() // grams AND the reassembly read it
+    // guard: Spark's sequence(1, n) steps BACKWARD when n < 1, so docs
+    // shorter than the window must yield an empty gram array, not
+    // descending indices
+    val grams = toks.select(col("id"),
+        posexplode(when(size(col("toks")) >= w, transform(
+          sequence(lit(1), size(col("toks")) - (w - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(w))))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("id"), (col("pos") + 1).as("i"), col("col").as("g"))
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("g")
+    val covered = grams.join(dup, "g")
+      .select(col("id"), explode(sequence(col("i"), col("i") + (w - 1)))
+        .as("j"))
+      .distinct()
+    val positions = toks.select(col("id"),
+        posexplode(col("toks")).as(Seq("p", "tok")))
+      .select(col("id"), (col("p") + 1).as("j"), col("tok"))
+    val kept = positions.join(covered, Seq("id", "j"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(
+          struct(col("j"), col("tok")))), s => s.getField("tok")))
+          .as("clean"))
+    toks.select(col("id"), size(col("toks")).as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        md5(coalesce(col("clean"), lit(""))).as("clean_md5"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_cut"))
+  }
 }

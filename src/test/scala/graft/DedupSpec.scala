@@ -609,4 +609,36 @@ class DedupSpec extends AnyFunSuite {
         s"d=$d missed ${exp -- got}, extra ${got -- exp}")
     }
   }
+
+  test("substringDedup cuts cross-doc and within-doc repeats, keeps unique text") {
+    import spark.implicits._
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shared = (1 to 6).map(i => s"boiler$i").mkString(" ") // 6-token run
+    val u1 = (1 to 8).map(i => s"aa$i").mkString(" ")
+    val u2 = (1 to 8).map(i => s"bb$i").mkString(" ")
+    val u3 = (1 to 9).map(i => s"cc$i").mkString(" ")
+    val rep = (1 to 5).map(i => s"rr$i").mkString(" ") // repeats within doc 4
+    val docs = Seq(
+      (1L, s"$u1 $shared"),
+      (2L, s"$shared $u2"),
+      (3L, u3),
+      (4L, s"$rep $rep"),
+      (5L, "short doc")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // the shared 6-token run is covered in both docs (every position of
+    // it sits under a duplicated 5-gram); the unique prefixes survive
+    assert(out(1L) == ((md5(u1), 14, 6)))
+    assert(out(2L) == ((md5(u2), 14, 6)))
+    // fully unique doc: untouched
+    assert(out(3L) == ((md5(u3), 9, 0)))
+    // within-doc repeat: "rr1..rr5 rr1..rr5" — the 5-gram (rr1..rr5)
+    // occurs at starts 1 and 6, covering ALL 10 positions
+    assert(out(4L) == ((md5(""), 10, 10)))
+    // shorter than the window: no grams, nothing cut
+    assert(out(5L)._2 == 2 && out(5L)._3 == 0)
+  }
 }

@@ -33,6 +33,19 @@ class PlanSpec extends AnyFunSuite {
     assert("variant_get".r.findAllIn(plan).size == 3, plan.take(1200))
   }
 
+  test("q232/q233: span corruption and hash split are narrow — no key shuffle, no join") {
+    // both are per-row passes; a hash/range exchange would mean the
+    // operator materialized per-token or per-bucket state it doesn't
+    // need. (Parallelism.ensure's round-robin spread of a single-file
+    // source is allowed — it moves rows, not keys.)
+    for (q <- Seq("q232_span_corruption", "q233_hash_split")) {
+      val plan = planOf(q)
+      assert(!plan.contains("hashpartitioning"), s"$q: ${plan.take(1200)}")
+      assert(!plan.contains("rangepartitioning"), s"$q: ${plan.take(1200)}")
+      assert(!plan.contains("Join"), s"$q: ${plan.take(1200)}")
+    }
+  }
+
   test("q141: the CMS gate filters BEFORE the single aggregation exchange") {
     val plan = planOf("q141_cms_heavy_hitters")
     val exchanges = "Exchange".r.findAllIn(plan).size
