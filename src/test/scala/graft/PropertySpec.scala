@@ -226,6 +226,38 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.size}, expected ${expected.size}")
   }
 
+  test("substringDedup equals a brute-force window model on random corpora") {
+    import spark.implicits._
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val w = 3
+    // tiny alphabet forces plenty of cross- and within-doc repeats
+    val docs = (1L to 60L).map { id =>
+      val n = 4 + rnd.nextInt(12)
+      (id, Seq.fill(n)("t" + rnd.nextInt(6)).mkString(" "))
+    }
+    val got = graft.operators.Dedup
+      .substringDedup(docs.toDF("doc_id", "text"), "doc_id", "text", w = w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // brute force: count every w-gram occurrence corpus-wide, cover,
+    // cut, rejoin
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val counts = toks.values.flatMap(_.sliding(w).filter(_.size == w)
+      .map(_.mkString(" "))).groupBy(identity).view.mapValues(_.size).toMap
+    docs.foreach { case (id, _) =>
+      val ts = toks(id)
+      val covered = ts.indices.flatMap { i =>
+        if (i + w <= ts.size && counts(ts.slice(i, i + w).mkString(" ")) >= 2)
+          i until (i + w) else Seq.empty
+      }.toSet
+      val kept = ts.indices.filterNot(covered).map(ts)
+      val expect = (md5(kept.mkString(" ")), ts.size, covered.size)
+      assert(got(id) == expect, s"doc $id: ${got(id)} vs $expect")
+    }
+  }
+
   test("timeWeightedAvg equals a serial integration on random timelines") {
     import spark.implicits._
     val ev = (0 until 120).map { i =>
