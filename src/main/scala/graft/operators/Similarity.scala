@@ -1124,6 +1124,74 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Margin-based pair mining — the published parallel-corpus /
+    * bitext-mining criterion (the ratio-margin scoring used by
+    * large-scale mined corpora): raw cosine over-selects hubs (vectors
+    * close to EVERYTHING), so a candidate pair (x, y) scores
+    *
+    *   margin(x, y) = cos(x, y) / ((knnAvg(x) + knnAvg(y)) / 2)
+    *
+    * where knnAvg is each side's average similarity to its own k
+    * nearest cross-side candidates — a hub's denominator is high and
+    * its margins collapse. Kept pairs are MUTUAL best-margin matches
+    * over the threshold (forward ∩ backward, the standard
+    * intersection), ties to the smaller partner id.
+    *
+    * Sides come from `label % 2` (even = source, odd = target);
+    * candidates are multi-table LSH-gated (the [[hardNegativesTopK]]
+    * composition — never all-pairs), so candidate volume scales with
+    * collision counts, and every later stage is a per-side window or
+    * equi-join on ids. Denominators assume broadly positive top-k
+    * similarities (the published setting); a corpus where a side's
+    * knnAvg goes non-positive needs recalibration, not this score.
+    */
+  def marginMinePairs(vectors: DataFrame, k: Int = 4,
+                      threshold: Double = 1.0, bits: Int = 4,
+                      tables: Int = 16): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val b = ensureParallelism(withNative(vectors))
+      .select(col("id"), col("embedding"), col("label"),
+        sqrt(dotN(col("embedding"), col("embedding"))).as("norm"))
+      .withColumn("keys", tableKeysChecked(bits, tables))
+      .withColumn("side", pmod(col("label"), lit(2)))
+      .localCheckpoint() // probe table + both scoring sides read it
+    val scored = multiTableCandidates(b)
+      .join(b.select(col("id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("side").as("qside")), "query_id")
+      .join(b.select(col("id").as("neighbor_id"), col("embedding").as("ce"),
+        col("norm").as("cn"), col("side").as("cside")), "neighbor_id")
+      .filter(col("qside") === 0 && col("cside") === 1)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        round(dotN(col("qe"), col("ce")) / (col("qn") * col("cn")), 4)
+          .as("cos"))
+      .localCheckpoint() // knn averages + margins + both argmaxes read it
+    def knnAvg(side: String, other: String): DataFrame = {
+      val w = Window.partitionBy(side)
+        .orderBy(col("cos").desc, col(other).asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy(side)
+        .agg((round(avg(col("cos")), 6) + lit(0.0)).as(s"den_$side"))
+    }
+    val m = scored
+      .join(knnAvg("src_id", "tgt_id"), "src_id")
+      .join(knnAvg("tgt_id", "src_id"), "tgt_id")
+      .withColumn("margin", round(col("cos") /
+        ((col("den_src_id") + col("den_tgt_id")) / 2), 4) + lit(0.0))
+      .localCheckpoint() // forward and backward argmaxes both read it
+    val wf = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    val wb = Window.partitionBy("tgt_id")
+      .orderBy(col("margin").desc, col("src_id").asc)
+    val fwd = m.withColumn("rn", row_number().over(wf))
+      .filter(col("rn") === 1).drop("rn")
+    val bwd = m.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id"))
+    fwd.join(bwd, Seq("src_id", "tgt_id"), "left_semi")
+      .filter(col("margin") >= threshold)
+      .select("src_id", "tgt_id", "cos", "margin")
+  }
+
   /** MRR@k — mean-reciprocal-rank's per-query row: 1/rank of the FIRST
     * retrieved neighbor that appears anywhere in the ground truth's
     * top-k, 0 when none does. The metric that matters when one good

@@ -200,4 +200,33 @@ class LinkageAnalyticsSpec extends AnyFunSuite {
       .head()
     assert(ab.getLong(2) == 1L && ab.getDouble(3) == 0.5)
   }
+
+  test("margin mining: mutual matching, planted identical pair mined, deterministic") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val d = 64
+    def vec(): Seq[Float] = Seq.fill(d)(rng.nextGaussian().toFloat)
+    // even ids/labels = source side, odd = target side; plant one
+    // IDENTICAL cross-side pair (ids 100/101) that must be mined
+    val planted = vec()
+    val rows = (0L until 60L).map(i => (i, vec(), i.toInt % 2)) ++
+      Seq((100L, planted, 0), (101L, planted, 1))
+    val out = Similarity.marginMinePairs(
+      rows.toDF("id", "embedding", "label"), k = 4, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    // mutual best-margin matching: a partial matching — no side repeats
+    assert(out.map(_._1).distinct.length == out.length, "src repeated")
+    assert(out.map(_._2).distinct.length == out.length, "tgt repeated")
+    val p = out.find(r => r._1 == 100L)
+    assert(p.exists(_._2 == 101L), s"planted identical pair not mined: $out")
+    assert(p.exists(_._3 == 1.0), "identical vectors must score cos 1.0")
+    assert(p.exists(_._4 > 1.0), "identical pair's margin must clear 1")
+    // deterministic: an identical second run mines the identical set
+    val again = Similarity.marginMinePairs(
+      rows.toDF("id", "embedding", "label"), k = 4, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(again.toSet == out.toSet)
+  }
 }
