@@ -46,6 +46,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q235/q236: substring dedup and margin mining plan without a cartesian") {
+    for (q <- Seq("q235_substring_dedup", "q236_margin_mining")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(1200)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(1200)}")
+    }
+  }
+
   test("q141: the CMS gate filters BEFORE the single aggregation exchange") {
     val plan = planOf("q141_cms_heavy_hitters")
     val exchanges = "Exchange".r.findAllIn(plan).size
