@@ -171,6 +171,66 @@ object Joins {
       .drop("_bin")
   }
 
+  /** Interval CONCURRENCY curve — how many intervals are open at every
+    * boundary instant: the peak-concurrent-sessions / capacity-planning
+    * question over event intervals, and byte-for-byte the same
+    * algorithm as per-base read-depth in genomics (samtools depth):
+    * each interval contributes (+1 at start, −1 at end), and the
+    * running sum of boundary deltas in time order IS the curve.
+    * Half-open [start, end): an interval releasing at t is processed
+    * before one acquiring at t (deltas sort −1 first), so touching
+    * intervals never double-count.
+    *
+    * A global running sum is the textbook case where `Window.orderBy`
+    * without a partition key collapses to ONE task — this is instead
+    * the two-phase distributed prefix sum (the [[Corpus.packChunks]]
+    * shape): range-partition + sort the boundary events, ONE tiny job
+    * collects per-partition (Σdelta, count) — #partitions scalars —
+    * whose running totals broadcast back as each partition's depth and
+    * position bases; a second narrow pass emits the running depth. A
+    * timestamp's ties may straddle a range boundary, so the final
+    * depth per instant is taken at the globally-last tie (max_by on
+    * the global position), which is order-independent.
+    * Emits one (t, depth) row per distinct boundary instant.
+    */
+  def concurrencyCurve(intervals: DataFrame, startCol: String,
+                       endCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = intervals.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ev = intervals.select(col(startCol).as("t"), lit(1).as("delta"))
+      .unionAll(intervals.select(col(endCol).as("t"), lit(-1).as("delta")))
+    // pinned: the stats pass and the emit pass must see identical
+    // partitions (range boundaries are sampled)
+    val sorted = ev.repartitionByRange(n, col("t"), col("delta"))
+      .sortWithinPartitions("t", "delta")
+      .localCheckpoint()
+    val deltaIdx = sorted.schema.fieldIndex("delta")
+    val stats = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; var c = 0L
+      it.foreach { r => s += r.getInt(deltaIdx); c += 1 }
+      Iterator((i, s, c))
+    }.collect().sortBy(_._1)
+    val depthBases = stats.map(_._2).scanLeft(0L)(_ + _)
+    val posBases = stats.map(_._3).scanLeft(0L)(_ + _)
+    val basesBc = spark.sparkContext.broadcast((depthBases, posBases))
+    val outSchema = sorted.schema
+      .add("depth", LongType, nullable = false)
+      .add("pos", LongType, nullable = false)
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var depth = basesBc.value._1(i)
+      var pos = basesBc.value._2(i)
+      it.map { r =>
+        depth += r.getInt(deltaIdx); pos += 1
+        Row.fromSeq(r.toSeq :+ depth :+ pos)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+      .groupBy("t")
+      .agg(max_by(col("depth"), col("pos")).as("depth"))
+  }
+
   /** SCD-2 point-in-time join: enrich each fact with the dimension
     * VERSION that was valid at the fact's timestamp (the slowly-
     * changing-dimension type-2 lookup every warehouse needs — joining

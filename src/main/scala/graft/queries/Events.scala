@@ -554,10 +554,41 @@ object Events {
       graft.operators.Joins.conversionLatency(Tables.events(s, d),
         "user_id", "ts", "event_type", fromType = "view",
         toType = "purchase")
+    },
+
+    // Interval concurrency curve (q238): open-interval count at every
+    // boundary instant (peak concurrent sessions; the same +1/−1
+    // prefix-sum algorithm as genomic read depth). Intervals derived
+    // arithmetically from events ([ts, ts + 1 + id%300) seconds, epoch
+    // integers, half-open); the oracle replays the boundary events and
+    // the running sum with the identical (t, delta) ordering.
+    "q238_concurrency_curve" -> { (s, d) =>
+      val iv = Tables.events(s, d).select(
+        unix_timestamp(col("ts")).as("start_s"),
+        (unix_timestamp(col("ts")) + 1 + pmod(col("event_id"), lit(300)))
+          .as("end_s"))
+      graft.operators.Joins.concurrencyCurve(iv, "start_s", "end_s")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    // q238: boundary deltas + global running sum ordered (t, delta) —
+    // −1 before +1 at a shared instant (half-open intervals) — final
+    // depth per instant at the last tie (arg_max on position).
+    "q238_concurrency_curve" ->
+      """WITH iv AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT) + 1 + event_id % 300 AS e
+             FROM events),
+          ev AS (SELECT s AS t, 1 AS delta FROM iv
+                 UNION ALL SELECT e, -1 FROM iv),
+          r AS (SELECT t,
+                  sum(delta) OVER (ORDER BY t, delta
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS depth,
+                  row_number() OVER (ORDER BY t, delta) AS pos
+                FROM ev)
+          SELECT t, CAST(arg_max(depth, pos) AS BIGINT) AS depth
+          FROM r GROUP BY t""",
     "q40_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS win, event_type,
               count(*) AS n, round(sum(value), 2) AS total

@@ -226,6 +226,30 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.size}, expected ${expected.size}")
   }
 
+  test("concurrencyCurve equals a serial sweep on random intervals, any partitioning") {
+    import spark.implicits._
+    // heavy tie pressure: many intervals share boundary instants
+    val iv = (0 until 400).map { _ =>
+      val s = rnd.nextInt(200).toLong
+      (s, s + 1 + rnd.nextInt(40))
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = graft.operators.Joins
+        .concurrencyCurve(iv.toDF("s", "e").repartition(parts), "s", "e")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // serial model: process deltas in (t, delta) order, record the
+      // depth after each instant's last event
+      val deltas = iv.flatMap { case (s, e) => Seq((s, 1), (e, -1)) }
+        .sorted
+      var depth = 0L
+      val expect = scala.collection.mutable.Map.empty[Long, Long]
+      deltas.foreach { case (t, d) => depth += d; expect(t) = depth }
+      assert(got == expect.toMap, s"parts=$parts")
+      // every interval closes: the curve returns to zero at the end
+      assert(got(got.keys.max) == 0L)
+    }
+  }
+
   test("substringDedup equals a brute-force window model on random corpora") {
     import spark.implicits._
     def md5(s: String): String =
