@@ -1124,6 +1124,49 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Embedding OUTLIER audit — the cluster-distance curation signal
+    * ([[SemDeDup]]'s complement: SemDeDup prunes points too CLOSE to a
+    * cluster-mate; this flags points too FAR from every cluster — OCR
+    * garbage, wrong-language strays, embedding failures): k-means
+    * assignment, then each vector's cosine to its OWN cluster's mean
+    * (per-dim average of the final members, 6 dp — the centroid-update
+    * arithmetic), then a within-cluster percent_rank; the lowest
+    * `outlierFrac` of each cluster flags as outliers. Per-cluster
+    * ranking matters: a globally-uniform cutoff would flag whole
+    * TIGHT clusters before any stray in a loose one.
+    *
+    * Scale shape: the assignment is the narrow zero-Exchange
+    * [[kmeansAssign]] map; the centroid means are one posexplode
+    * aggregation (k·d rows); scoring is a broadcast join against the
+    * k-row centroid table; the rank is a per-cluster window.
+    */
+  def embeddingOutliers(vectors: DataFrame, k: Int = 8, iters: Int = 2,
+                        outlierFrac: Double = 0.05): DataFrame = {
+    require(outlierFrac > 0 && outlierFrac < 1, s"bad frac $outlierFrac")
+    val v = withNorm(vectors).localCheckpoint()
+    val a = v.join(kmeansAssign(vectors, k, iters)
+      .withColumnRenamed("vec_id", "id"), "id").localCheckpoint()
+    val cent = a
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cluster"),
+        transform(col("dm"), e => e.getField("m")).as("ce"))
+      .withColumn("cnorm", sqrt(dotN(col("ce"), col("ce"))))
+    val scored = a.join(broadcast(cent), "cluster")
+      .select(col("id"), col("cluster"),
+        (round(dotN(col("embedding"), col("ce")) /
+          (col("norm") * col("cnorm")), 4) + lit(0.0)).as("cos"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("cos").asc, col("id").asc)
+    scored.withColumn("pr0", percent_rank().over(w))
+      .select(col("id").as("vec_id"), col("cluster"), col("cos"),
+        (round(col("pr0"), 6) + lit(0.0)).as("prank"),
+        (col("pr0") < outlierFrac).as("is_outlier"))
+  }
+
   /** Margin-based pair mining — the published parallel-corpus /
     * bitext-mining criterion (the ratio-margin scoring used by
     * large-scale mined corpora): raw cosine over-selects hubs (vectors

@@ -201,6 +201,33 @@ class LinkageAnalyticsSpec extends AnyFunSuite {
     assert(ab.getLong(2) == 1L && ab.getDouble(3) == 0.5)
   }
 
+  test("embedding outliers: a planted stray flags; tight-cluster members don't") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val d = 64
+    // two tight clusters around orthogonal axes + one stray pointing
+    // into the (negated) first axis — far from BOTH centroids
+    def around(axis: Int, eps: Double): Seq[Float] =
+      Seq.tabulate(d)(j => ((if (j == axis) 1.0 else 0.0) +
+        eps * rng.nextGaussian()).toFloat)
+    // interleaved ids: the k lowest-id seeds (0, 1) land in DIFFERENT
+    // clusters, so the assignment recovers the two real groups
+    val rows = (0L until 40L).map(i =>
+      (i, around((i % 2).toInt, 0.05))) :+
+      ((99L, Seq.tabulate(d)(j => if (j == 0) -1.0f else 0.0f)))
+    val out = Similarity.embeddingOutliers(
+      rows.toDF("id", "embedding"), k = 2, iters = 2, outlierFrac = 0.06)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getBoolean(4)))).toMap
+    assert(out(99L)._2, s"stray not flagged: ${out(99L)}")
+    assert(out(99L)._1 < 0.5, "stray must score far from its centroid")
+    // at most the per-cluster bottom band flags (pr < 0.06 admits the
+    // lowest couple of ranks per ~20-member cluster)
+    assert(out.count(_._2._2) <= 4, s"${out.filter(_._2._2)}")
+    assert(out.filterNot(_._1 == 99L).values.forall(_._1 > 0.9),
+      "tight members sit near their centroid")
+  }
+
   test("margin mining: mutual matching, planted identical pair mined, deterministic") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
