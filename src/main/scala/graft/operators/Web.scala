@@ -28,6 +28,24 @@ object Web {
     org.apache.spark.sql.graft.Bridge.column(
       CanonicalizeUrlExpression(org.apache.spark.sql.graft.Bridge.expression(url)))
 
+  /** Out-link extraction — the crawl-graph construction step between
+    * WARC ingestion and [[Graph.pageRank]]: every absolute http(s)
+    * `href` attribute value, one (id, href) row per occurrence
+    * (multiplicity preserved — parallel links are real edges to a
+    * rank computation). Deliberately regex-scoped like the PII tier
+    * (deterministic, replayable); relative-URL resolution needs the
+    * page's base URI and sits with the fetch layer. One narrow
+    * projection + explode, no shuffle; compose with
+    * [[canonicalizeUrl]] before grouping into an edge table.
+    */
+  def extractLinks(pages: DataFrame, idCol: String,
+                   htmlCol: String): DataFrame =
+    pages.select(col(idCol),
+        explode(regexp_extract_all(col(htmlCol),
+          lit("href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))).as("href"))
+      .filter(col("href").startsWith("http://") ||
+        col("href").startsWith("https://"))
+
   /** URL-level dedup — the FIRST dedup stage of every published crawl
     * pipeline (it runs before fetching content is even considered):
     * canonicalize, group, keep the minimum id (the engine-wide

@@ -191,6 +191,26 @@ object Web {
       s.read.parquet(out)
     },
 
+    // Out-link extraction (q240): render each document as an HTML page
+    // whose anchors encode q175's EXACT edge arithmetic, then extract
+    // hrefs back with the regex tier — extraction must reproduce the
+    // planted ground truth edge for edge (the WARC→link-graph step
+    // that feeds pageRank, closed under the oracle).
+    "q240_link_extraction" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).cast("long").as("n"))
+      val pages = docs.crossJoin(broadcast(n)).select(col("doc_id"),
+        concat(lit("<html><body><p>page "), col("doc_id"),
+          lit(" & more</p>"),
+          concat_ws("", transform(
+            sequence(lit(1), (lit(1) + pmod(col("doc_id"), lit(3))).cast("int")),
+            j => concat(lit("<a class='x' href=\"http://corpus.example/doc/"),
+              ((col("doc_id") * 31 + j * 7) % col("n")).cast("string"),
+              lit("\">link</a>")))),
+          lit("<a href='#frag'>skip</a></body></html>")).as("html"))
+      graft.operators.Web.extractLinks(pages, "doc_id", "html")
+    },
+
     // PageRank over a deterministic link graph (the crawl-quality
     // prior): node = document, out-links from a fixed arithmetic rule
     // with VARIABLE out-degree 1..3 (regular graphs have uniform rank —
@@ -261,6 +281,16 @@ object Web {
     Seq("spark", "join", "window", "filter", "merge", "stream")
 
   val oracles: Map[String, String] = Map(
+    // q240: the oracle is the PLANTED ground truth (q175's edge
+    // arithmetic) — equality proves the regex tier loses/duplicates
+    // nothing; the in-page '#frag' anchor must not survive.
+    "q240_link_extraction" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         SELECT d.doc_id,
+              'http://corpus.example/doc/' ||
+                CAST((d.doc_id * 31 + j.j * 7) % nn.n AS VARCHAR) AS href
+         FROM documents d, nn, (VALUES (1), (2), (3)) AS j(j)
+         WHERE j.j <= 1 + d.doc_id % 3""",
     "q123_blocklist" -> {
       val hitTerms = BlockPatterns.map(p =>
         s"(length(text) - length(replace(text, '$p', ''))) / ${p.length}")
