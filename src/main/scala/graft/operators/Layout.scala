@@ -531,8 +531,14 @@ object Layout {
     * snapshot; content is untouched (pure maintenance), the pre-compact
     * snapshot stays readable until vacuumed, and stats re-collect so
     * pruned reads survive the rewrite. Narrow coalesce — compaction
-    * needs fewer output tasks, not a shuffle. Returns (new snapshot id,
-    * file count before, file count after).
+    * needs fewer output tasks, not a shuffle; on a clustered table the
+    * clustering degrades GRACEFULLY (coalesce concatenates adjacent
+    * partitions in index order, so each output file unions consecutive
+    * sorted runs and its stats range stays the union of neighbors —
+    * wider than before, never scrambled; re-cluster with a zorder/
+    * linear rewrite when pruning tightness matters more than the
+    * shuffle). Returns (new snapshot id, file count before, file count
+    * after).
     */
   def compactSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String,
                       targetBytes: Long): (Long, Int, Int) = {
