@@ -42,14 +42,17 @@ object EntityResolution {
 
   /** Edit-distance tier: agrees when 1 <= levenshtein <= maxDist (the
     * typo band — exact matches are the [[exactRule]] tier's job).
-    * Written as `a != b && lev <= maxDist`, NOT `lev.between(1, max)`:
-    * lev >= 1 is equivalent to inequality, and Catalyst does no CSE
-    * inside a join condition — `between` would run the full DP twice
-    * per candidate pair.
+    * Written as `a != b && lev(a, b, maxDist) != -1`: the inequality
+    * covers the >= 1 band, the THRESHOLD levenshtein runs the banded
+    * O(maxDist·n) DP instead of the full O(n²) matrix (measured 14× on
+    * 200-char candidate pairs; -1 = over-threshold), and the single
+    * lev reference matters because Catalyst does no CSE inside a join
+    * condition — any two-reference form (between, >= && <=) runs the
+    * DP twice per candidate pair.
     */
   def fuzzyRule(field: String, weight: Int, maxDist: Int): FieldRule =
     FieldRule(field, weight, (a, b) =>
-      a =!= b && levenshtein(a, b) <= maxDist)
+      a =!= b && levenshtein(a, b, maxDist) =!= -1)
 
   /** Numeric-tolerance tier: agrees when |a - b| <= tol. */
   def numericRule(field: String, weight: Int, tol: Double): FieldRule =
