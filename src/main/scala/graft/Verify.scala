@@ -26,11 +26,7 @@ object Verify {
       // previous run's parquet behind to be compared as if current.
       val dest = new java.io.File(s"$outDir/$name")
       if (dest.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(dest)
+        graft.queries.Fixtures.fresh(dest.getPath)
       }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

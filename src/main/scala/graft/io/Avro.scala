@@ -189,6 +189,12 @@ object Avro {
         val reader = new DataFileReader[GenericRecord](
           new FsInput(new org.apache.hadoop.fs.Path(file), confBc.value.toConf),
           new GenericDatumReader[GenericRecord](schema))
+        // a limit/take that stops pulling mid-file would otherwise leak
+        // the open stream until executor GC — close on task completion
+        // regardless of how far the iterator got
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] {
+          _ => try reader.close() catch { case _: Throwable => () }
+        })
         new Iterator[Row] {
           private var closed = false
           def hasNext: Boolean = {

@@ -105,9 +105,58 @@ object Layout {
       "float", "double").contains(t)
   }
 
-  private def cmp(statVal: String, v: Any, tpe: String): Int =
-    if (numericType(tpe)) BigDecimal(statVal).compare(BigDecimal(v.toString))
+  /** Non-finite float/double stats order like Spark's sort:
+    * -Infinity < finite < Infinity < NaN (max() propagates NaN as
+    * greatest, so a NaN-bearing file's max stat IS the string "NaN" —
+    * BigDecimal alone would throw on every later pruned read).
+    */
+  private def numRank(s: String): Int = s match {
+    case "NaN" => 2
+    case "Infinity" => 1
+    case "-Infinity" => -1
+    case _ => 0
+  }
+
+  /** Timestamp/date predicate values normalize to epoch micros/days
+    * before comparison: Spark's cast-to-string stat rendering trims
+    * trailing fractional zeros ("2024-01-01 00:00:00") while
+    * java.sql.Timestamp.toString always appends ".0" and Instant uses
+    * the ISO 'T'/'Z' form — a raw string compare would mis-prune files
+    * that contain matching rows.
+    */
+  private def toMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case d: java.util.Date => d.getTime * 1000L
+    case s: String =>
+      val norm = s.trim.replace('T', ' ').stripSuffix("Z")
+      val ts = java.sql.Timestamp.valueOf(
+        if (norm.contains(' ')) norm else norm + " 00:00:00")
+      ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+    case other =>
+      throw new IllegalArgumentException(s"not a timestamp value: $other")
+  }
+
+  private def toDays(v: Any): Long = v match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case s: String => java.time.LocalDate.parse(s.trim.take(10)).toEpochDay
+    case other =>
+      throw new IllegalArgumentException(s"not a date value: $other")
+  }
+
+  private def cmp(statVal: String, v: Any, tpe: String): Int = {
+    val t = tpe.toLowerCase
+    if (numericType(t)) {
+      val (ra, rb) = (numRank(statVal), numRank(v.toString))
+      if (ra != 0 || rb != 0) ra.compare(rb)
+      else BigDecimal(statVal).compare(BigDecimal(v.toString))
+    }
+    else if (t == "timestamp" || t == "timestamp_ntz")
+      toMicros(statVal).compare(toMicros(v))
+    else if (t == "date") toDays(statVal).compare(toDays(v))
     else statVal.compareTo(v.toString)
+  }
 
   private def leafColumn(p: StatPred): String = p match {
     case Lt(c, _) => c; case Le(c, _) => c; case Gt(c, _) => c
@@ -138,7 +187,11 @@ object Layout {
             vs.exists(v => cmp(mn, v, t) <= 0 && cmp(mx, v, t) >= 0)
           case _ => true
         }
-        case Some(_) => false // all-null file: comparisons match nothing
+        // BOTH bounds absent = all-null file: comparisons match nothing
+        case Some(ColStat(None, None, _)) => false
+        // a half-populated stat (foreign writer, hand edit) proves
+        // nothing — fall back to cannot-prune, never to drop
+        case Some(_) => true
       }
   }
 
@@ -766,10 +819,13 @@ object Layout {
                    snapshotId: Long = -1L,
                    prune: Option[StatPred] = None,
                    mergeSchema: Boolean = false): DataFrame = {
+    // ONE manifest resolution (glob + open + parse); pruning filters
+    // the loaded entries in memory — on an object store the manifest
+    // round-trip is exactly the cost this path exists to minimize
     val all = snapshotFiles(spark, dir, snapshotId, None)
     val kept = prune match {
       case None => all
-      case Some(_) => snapshotFiles(spark, dir, snapshotId, prune)
+      case Some(p) => all.filter(e => mayMatch(e.stats, p))
     }
     // every file pruned: keep the scan schema by reading the full list
     // (the row filter below still yields zero rows)

@@ -1133,7 +1133,12 @@ object Similarity {
     * arithmetic), then a within-cluster percent_rank; the lowest
     * `outlierFrac` of each cluster flags as outliers. Per-cluster
     * ranking matters: a globally-uniform cutoff would flag whole
-    * TIGHT clusters before any stray in a loose one.
+    * TIGHT clusters before any stray in a loose one. Percentile
+    * flagging is RELATIVE by design — every multi-member cluster's
+    * bottom band flags (frac is the knob, not a cleanliness test) —
+    * but a vector sitting exactly on its centroid (4 dp cos = 1.0,
+    * notably every singleton cluster, whose percent_rank is 0) is
+    * never an outlier and is excluded explicitly.
     *
     * Scale shape: the assignment is the narrow zero-Exchange
     * [[kmeansAssign]] map; the centroid means are one posexplode
@@ -1164,7 +1169,7 @@ object Similarity {
     scored.withColumn("pr0", percent_rank().over(w))
       .select(col("id").as("vec_id"), col("cluster"), col("cos"),
         (round(col("pr0"), 6) + lit(0.0)).as("prank"),
-        (col("pr0") < outlierFrac).as("is_outlier"))
+        (col("pr0") < outlierFrac && col("cos") < 1.0).as("is_outlier"))
   }
 
   /** Margin-based pair mining — the published parallel-corpus /

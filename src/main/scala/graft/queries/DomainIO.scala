@@ -162,12 +162,7 @@ object DomainIO {
           lit(" "), mate, lit(":N:0:ACGT")).as("key"),
         dnaOf(col("l_partkey")).as("sequence"),
         qualOf(col("l_partkey")).as("quality"))
-      val base = tmp(d, "fastq_stream")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(tmp(d, "fastq_stream"))
       Fastq.write(fq, s"$base/in")
       val stream = graft.streaming.GenomicStreams
         .readFastqStream(s, s"$base/in")

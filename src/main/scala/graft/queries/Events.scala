@@ -35,12 +35,7 @@ object Events {
       sentinelTypes: Seq[String] = Seq("__flush__"))(
       job: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val base = s"/tmp/graft_stream/${new java.io.File(d).getName}_$name"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(base))
+    val base = Fixtures.fresh(s"/tmp/graft_stream/${new java.io.File(d).getName}_$name")
     val in = s"$base/in"
     val out = s"$base/out"
     // Normalize through the batch loader (ts → timestamp_ntz regardless
@@ -135,12 +130,7 @@ object Events {
     // the batch aggregation over everything.
     "q169_stream_matview" -> { (s, d) =>
       import org.apache.spark.sql.streaming.Trigger
-      val base = s"/tmp/graft_stream/${new java.io.File(d).getName}_mv"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(s"/tmp/graft_stream/${new java.io.File(d).getName}_mv")
       val ev = Tables.events(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
       val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
@@ -206,12 +196,7 @@ object Events {
     // state breaks the hash.
     "q162_stream_recovery" -> { (s, d) =>
       import org.apache.spark.sql.streaming.Trigger
-      val base = s"/tmp/graft_stream/${new java.io.File(d).getName}_recov"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(s"/tmp/graft_stream/${new java.io.File(d).getName}_recov")
       val ev = Tables.events(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
       val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")

@@ -83,12 +83,7 @@ object Layout {
     // uppercased lang). The oracle pins the v2 content; LayoutSpec pins
     // time travel (snapshot 1 still readable) and orphan invisibility.
     "q161_snapshot_manifest" -> { (s, d) =>
-      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snaptbl"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snaptbl")
       val docs = Tables.documents(s, d)
       L.snapshotWrite(docs.select("doc_id", "text", "lang"), base)
       L.snapshotWrite(docs.filter(col("doc_id") % 2 === 0)
@@ -110,12 +105,7 @@ object Layout {
     // hash-compare join (and the snapshot machinery under it) is what
     // is being proven.
     "q182_snapshot_diff" -> { (s, d) =>
-      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snapdiff"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapdiff")
       val docs = Tables.documents(s, d)
       L.snapshotWrite(docs.select("doc_id", "text", "lang"), base)
       val v2 = docs.filter(col("doc_id") % 3 =!= 0)
@@ -132,12 +122,7 @@ object Layout {
     },
 
     "q165_snapshot_time_travel" -> { (s, d) =>
-      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snaptbl2"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snaptbl2")
       val docs = Tables.documents(s, d)
       L.snapshotWrite(docs.select("doc_id", "text", "lang"), base)
       L.snapshotWrite(docs.filter(col("doc_id") % 2 === 0)
@@ -169,12 +154,7 @@ object Layout {
     // The oracle pins the band's exact content; LayoutSpec pins that
     // only stats-surviving files open.
     "q222_stats_pruned_read" -> { (s, d) =>
-      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snapstats"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapstats")
       L.snapshotWrite(Tables.documents(s, d)
         .select("doc_id", "text", "n_chars")
         .repartitionByRange(8, col("n_chars"))
@@ -193,12 +173,7 @@ object Layout {
     // no-rewrite-amplification property (untouched files byte-identical)
     // and pre-delete time travel.
     "q223_snapshot_delete" -> { (s, d) =>
-      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snapdel"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapdel")
       L.snapshotWrite(Tables.documents(s, d)
         .select("doc_id", "text", "n_chars", "lang")
         .repartitionByRange(8, col("n_chars"))
@@ -220,12 +195,7 @@ object Layout {
     // linear sort can only serve one). The oracle is the plain
     // two-band WHERE.
     "q230_zorder_pruned_read" -> { (s, d) =>
-      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snapz"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapz")
       val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
         .withColumn("_z", L.zValue(Seq((col("doc_id"), 16),
           (col("n_chars"), 16))))
@@ -247,12 +217,7 @@ object Layout {
     // stay sound under partial compilation, and the oracle pins the
     // exact surviving rows.
     "q231_pushdown_read" -> { (s, d) =>
-      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snappush"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snappush")
       L.snapshotWrite(Tables.documents(s, d)
         .select("doc_id", "text", "n_chars", "lang")
         .repartitionByRange(8, col("n_chars"))
@@ -272,12 +237,7 @@ object Layout {
     // pins entry reuse). The oracle is the whole corpus: appends must
     // compose to exactly the union.
     "q227_snapshot_append" -> { (s, d) =>
-      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snapapp"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapapp")
       val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
       (0L to 2L).foreach { m =>
         L.snapshotAppend(docs.filter(col("doc_id") % 3 === m), base,
@@ -292,12 +252,7 @@ object Layout {
     // (the oracle pins content unchanged), stats re-collected so pruned
     // reads survive, pre-compact snapshot time-travelable until vacuum.
     "q228_snapshot_compact" -> { (s, d) =>
-      val base = s"/tmp/graft_io/${new java.io.File(d).getName}/snapcomp"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapcomp")
       val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
       (0L to 7L).foreach { m =>
         L.snapshotAppend(docs.filter(col("doc_id") % 8 === m)
@@ -315,12 +270,7 @@ object Layout {
     // oracle is the staged corpus: the drained table must hold exactly
     // what the stream carried.
     "q229_stream_snapshot_sink" -> { (s, d) =>
-      val base = s"/tmp/graft_stream/${new java.io.File(d).getName}_snapsink"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(s"/tmp/graft_stream/${new java.io.File(d).getName}_snapsink")
       val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
       docs.repartition(4).write.mode("overwrite").parquet(s"$base/in")
       graft.streaming.TableStreams.snapshotSink(

@@ -92,12 +92,7 @@ object Web {
         lit("2020-01-01T00:00:00Z").as("date"),
         lit("text/html").as("contentType"),
         encode(html, "UTF-8").as("body"))
-      val base = tmp(d, "warc_stream")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(tmp(d, "warc_stream"))
       Warc.write(recs, s"$base/in")
       val stream = graft.streaming.WebStreams.readWarcStream(s, s"$base/in")
         .filter(col("warcType") === "response")
@@ -163,12 +158,7 @@ object Web {
     // hash, q88-style.
     "q225_scrub_stream" -> { (s, d) =>
       import org.apache.spark.sql.streaming.Trigger
-      val base = s"/tmp/graft_stream/${new java.io.File(d).getName}_scrub"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = Fixtures.fresh(s"/tmp/graft_stream/${new java.io.File(d).getName}_scrub")
       val in = s"$base/in"
       val out = s"$base/out"
       val planted = Tables.documents(s, d).select(col("doc_id"),

@@ -27,15 +27,37 @@ object TableStreams {
     * when the source is configured so) into the snapshot table at
     * `dir`, one snapshot per batch. Returns when the available input
     * is fully committed.
+    *
+    * Markers are keyed by (checkpoint identity, batch id) — batch ids
+    * alone would be a data-loss trap: a job restarted with a FRESH
+    * checkpoint renumbers batches from 0 over a possibly-different
+    * file split, and bare `_batch-0..N` markers from the old run would
+    * silently skip genuinely new data (Delta keys txn ids by app
+    * identity for exactly this reason). Same checkpoint ⇒ same prefix
+    * ⇒ replays dedupe; new checkpoint ⇒ new prefix ⇒ everything
+    * commits (appending again whatever the old run already wrote —
+    * at-least-once across checkpoint changes, exactly-once within a
+    * checkpoint lineage; don't point two different checkpoints at one
+    * table unless re-appends are acceptable).
     */
+  /** The marker prefix for a checkpoint lineage — exposed so tests and
+    * maintenance tooling can reason about a table's committed batches.
+    */
+  def sinkId(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+
   def snapshotSink(stream: DataFrame, dir: String, checkpoint: String,
                    statsCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.streaming.Trigger
+    val id = sinkId(checkpoint)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(dir, s"_batch-$batchId")
+        val marker = new org.apache.hadoop.fs.Path(dir,
+          s"_batch-$id-$batchId")
         if (!fs.exists(marker)) {
           Layout.snapshotAppend(batch, dir, statsCols)
           fs.create(marker, true).close()

@@ -263,11 +263,7 @@ class CurationOpsSpec extends AnyFunSuite {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     // … and so does the source table
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(srcDir))
+    graft.queries.Fixtures.fresh(srcDir)
     // the staged pipeline's lineage references only committed staged
     // tables — it still evaluates, and to the same answer
     val got = staged.select("doc_id").as[Long].collect().sorted.toSeq

@@ -98,13 +98,7 @@ class JoinsSpec extends AnyFunSuite {
     // catalog doesn't know them) block saveAsTable — clear first
     for (t <- Seq("bkt_a", "bkt_b")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = new java.io.File(s"spark-warehouse/$t")
-      if (dir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-        }
-        rm(dir)
-      }
+      graft.queries.Fixtures.fresh(s"spark-warehouse/$t")
     }
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")

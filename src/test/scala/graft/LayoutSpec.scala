@@ -255,6 +255,32 @@ class LayoutSpec extends AnyFunSuite {
     val ss = Map("lang" -> Layout.ColStat(Some("de"), Some("es"), "string"))
     assert(Layout.mayMatch(ss, Eq("lang", "en")) &&
       !Layout.mayMatch(ss, Eq("lang", "fr")))
+    // non-finite double stats: NaN sorts greatest (Spark max semantics),
+    // and must not crash BigDecimal parsing
+    val nan = Map("score" -> Layout.ColStat(Some("0.5"), Some("NaN"), "double"))
+    assert(Layout.mayMatch(nan, Gt("score", 0.9)))
+    assert(!Layout.mayMatch(nan, Lt("score", 0.5)))
+    assert(Layout.mayMatch(
+      Map("score" -> Layout.ColStat(Some("-Infinity"), Some("1.0"), "double")),
+      Lt("score", -1e308)))
+    // timestamp literals normalize to micros: Timestamp.toString's ".0"
+    // suffix and Instant's ISO form both equal the cast-to-string stat
+    val ts = Map("ts" -> Layout.ColStat(
+      Some("2024-01-01 00:00:00"), Some("2024-01-01 00:00:00"), "timestamp"))
+    assert(Layout.mayMatch(ts,
+      Eq("ts", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
+    assert(Layout.mayMatch(ts,
+      Eq("ts", java.time.Instant.parse("2024-01-01T00:00:00Z"))))
+    assert(!Layout.mayMatch(ts,
+      Eq("ts", java.sql.Timestamp.valueOf("2024-01-01 00:00:01"))))
+    // date stats likewise
+    val dt = Map("d" -> Layout.ColStat(
+      Some("2024-03-01"), Some("2024-03-10"), "date"))
+    assert(Layout.mayMatch(dt, Eq("d", java.sql.Date.valueOf("2024-03-05"))))
+    assert(!Layout.mayMatch(dt, Eq("d", java.sql.Date.valueOf("2024-04-01"))))
+    // a half-populated stat proves nothing: fall back to cannot-prune
+    assert(Layout.mayMatch(
+      Map("v" -> Layout.ColStat(Some("5"), None, "bigint")), Eq("v", 99L)))
   }
 
   test("stats-pruned snapshot read opens exactly the range-surviving files") {
@@ -532,28 +558,38 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows.size == 80 && rows(1L).isEmpty && rows(80L).contains(8.0))
   }
 
-  test("streaming snapshot sink: replayed batches are skipped via markers") {
+  test("streaming snapshot sink: markers dedupe per checkpoint lineage") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val docs = (1L to 400L).map(i => (i, s"d$i")).toDF("id", "s")
     docs.repartition(4).write.mode("overwrite").parquet(s"$base/in")
-    graft.streaming.TableStreams.snapshotSink(
+    def run(ckpt: String): Unit = graft.streaming.TableStreams.snapshotSink(
       spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
-      s"$base/tbl", s"$base/ckpt1")
-    val snaps1 = Layout.snapshotFiles(spark, s"$base/tbl").size
+      s"$base/tbl", ckpt)
+    run(s"$base/ckpt1")
     val content1 = Layout.snapshotRead(spark, s"$base/tbl")
       .as[(Long, String)].collect().toSet
     assert(content1 == docs.as[(Long, String)].collect().toSet)
-    // a FRESH checkpoint replays every batch id from 0 — the markers
-    // must make each replay a no-op (exactly-once table state)
-    graft.streaming.TableStreams.snapshotSink(
-      spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
-      s"$base/tbl", s"$base/ckpt2")
-    assert(Layout.snapshotFiles(spark, s"$base/tbl").size == snaps1)
-    assert(Layout.snapshotRead(spark, s"$base/tbl")
-      .as[(Long, String)].collect().toSet == content1)
+    val count1 = Layout.snapshotRead(spark, s"$base/tbl").count()
+    // same checkpoint: AvailableNow finds nothing new — no change
+    run(s"$base/ckpt1")
+    assert(Layout.snapshotRead(spark, s"$base/tbl").count() == count1)
+    // a DIFFERENT checkpoint is a new lineage: its batches must NOT be
+    // skipped by the old lineage's markers (the data-loss trap bare
+    // batch-id markers would create) — everything re-appends
+    run(s"$base/ckpt2")
+    assert(Layout.snapshotRead(spark, s"$base/tbl").count() == 2 * count1)
+    // replay WITHIN a lineage: pre-planting ckpt3's own markers makes
+    // every one of its batches a no-op (exactly-once per lineage)
+    val id3 = graft.streaming.TableStreams.sinkId(s"$base/ckpt3")
+    (0 to 3).foreach { b =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/tbl/_batch-$id3-$b"),
+        Array.empty[Byte])
+    }
+    run(s"$base/ckpt3")
+    assert(Layout.snapshotRead(spark, s"$base/tbl").count() == 2 * count1)
   }
 
   test("compact merges a fragmented table to ceil(bytes/target) files, content intact") {
