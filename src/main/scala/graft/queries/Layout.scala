@@ -231,6 +231,28 @@ object Layout {
           col("n_chars"), col("lang"))
     },
 
+    // TIMESTAMP stats pruning (q241): events time-clustered into a
+    // snapshot with ts min/max in the manifest, then a one-week band
+    // read prunes files at planning time — the time-travel-queries-
+    // on-event-data shape. Timestamp stats render via cast-to-string
+    // (no trailing '.0') while predicate literals are
+    // java.sql.Timestamp: the epoch-micros normalization in cmp() is
+    // exactly what this row keeps honest.
+    "q241_ts_stats_pruned" -> { (s, d) =>
+      val base = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/snapts")
+      L.snapshotWrite(Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "value")
+        .repartitionByRange(8, col("ts"))
+        .sortWithinPartitions("ts"),
+        base, statsCols = Seq("ts"))
+      L.snapshotRead(s, base, prune = Some(L.StatPred.Between("ts",
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-17 00:00:00"))))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          round(col("value"), 2).as("value"))
+    },
+
     // Incremental append commits (q227): the ingestion write mode —
     // three per-batch appends, each committing prior files verbatim
     // plus the new batch (no byte of existing data rewritten; LayoutSpec
@@ -342,6 +364,11 @@ object Layout {
     // the source corpus.
     "q227_snapshot_append" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
+    "q241_ts_stats_pruned" ->
+      """SELECT event_id, ts, user_id, round(value, 2) AS value
+         FROM events
+         WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                      AND TIMESTAMP '2024-01-17 00:00:00'""",
     "q230_zorder_pruned_read" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents
