@@ -520,6 +520,23 @@ class LayoutSpec extends AnyFunSuite {
     // IS NULL-ish literals never compile (comparisons don't match null)
     assert(compile(col("v") === lit(null)).isEmpty)
 
+    // timestamp literals survive the ColumnNode walk as external values
+    // and compare via the epoch normalization
+    val t0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    assert(compile(col("ts") > lit(t0)).contains(Gt("ts", t0)))
+    val tsDir = java.nio.file.Files.createTempDirectory("graft_push_ts").toString
+    val tsDf = (0L until 200L).map(i =>
+      (i, java.sql.Timestamp.valueOf(f"2024-01-${1 + (i / 7).toInt}%02d 06:00:00")))
+      .toDF("id", "ts")
+    Layout.snapshotWrite(tsDf.repartitionByRange(6, col("ts"))
+      .sortWithinPartitions("ts"), tsDir, statsCols = Seq("ts"))
+    val tsAll = Layout.snapshotFiles(spark, tsDir).size
+    val tsF = col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    assert(Layout.snapshotFilesWhere(spark, tsDir, tsF).size < tsAll,
+      "timestamp band must prune files")
+    assert(Layout.snapshotReadWhere(spark, tsDir, tsF).count() ==
+      tsDf.filter(tsF).count())
+
     val dir = java.nio.file.Files.createTempDirectory("graft_push").toString
     val df = (1L to 2000L).map(i => (i, i % 977)).toDF("id", "v")
     Layout.snapshotWrite(df.repartitionByRange(8, col("v"))
