@@ -135,6 +135,42 @@ object Profile {
     Check(s"range($c)",
       df.filter(col(c).isNotNull && (col(c) < lo || col(c) > hi)))
 
+  /** Foreign-key DISCOVERY by distinct-value containment — the
+    * metadata-inference pass over an undocumented lake: a candidate
+    * (child.col → parent.col) relationship is scored by what fraction
+    * of the child's distinct non-null values appear among the parent's
+    * (the inclusion-dependency measure every schema-discovery system
+    * ranks by; [[foreignKey]] is its enforcement sibling once a
+    * relationship is declared). Emits one row per candidate with the
+    * distinct counts, the containment, and an is_fk verdict at
+    * `threshold` (< 1.0 tolerates the dirty keys real lakes have).
+    *
+    * Scale shape per candidate: two skinny distinct aggregations + one
+    * left-semi equi-join on the distinct CHILD keys — never on rows;
+    * candidates audit independently (the report unions |pairs| rows).
+    */
+  def fkDiscovery(pairs: Seq[(String, DataFrame, String, DataFrame, String)],
+                  threshold: Double = 0.99): DataFrame = {
+    require(pairs.nonEmpty, "no candidate pairs")
+    pairs.map { case (name, child, childCol, parent, parentCol) =>
+      val c = child.filter(col(childCol).isNotNull)
+        .select(col(childCol).cast("string").as("k")).distinct()
+        .localCheckpoint() // counted AND joined
+      val p = parent.filter(col(parentCol).isNotNull)
+        .select(col(parentCol).cast("string").as("k")).distinct()
+      val nChild = c.agg(count(lit(1)).as("n_child"))
+      val nHit = c.join(p, Seq("k"), "left_semi")
+        .agg(count(lit(1)).as("n_contained"))
+      nChild.crossJoin(nHit)
+        .select(lit(name).as("candidate"), col("n_child"),
+          col("n_contained"),
+          (round(col("n_contained").cast("double") /
+            greatest(col("n_child").cast("double"), lit(1.0)), 4) + lit(0.0))
+            .as("containment"))
+        .withColumn("is_fk", col("containment") >= threshold)
+    }.reduce(_ unionByName _)
+  }
+
   /** Audit report: one row per constraint with its violation count —
     * the data-quality gate a pipeline asserts before publishing a
     * snapshot. Each check is one independent aggregation / anti-join

@@ -490,6 +490,28 @@ object Relational {
         inRange(customer, "c_acctbal", 0, 1e9)))
     },
 
+    // FK discovery (q242): inclusion-dependency scoring over an
+    // undocumented lake — distinct-value containment ranks candidate
+    // (child → parent) relationships. Three real TPC-H FKs must score
+    // 1.0 and verdict true; the decoy (part.p_size → nation key) has
+    // overlapping small-int domains but poor containment and must NOT
+    // pass. The oracle replays every containment as scalar subqueries.
+    "q242_fk_discovery" -> { (s, d) =>
+      graft.operators.Profile.fkDiscovery(Seq(
+        ("orders.o_custkey->customer.c_custkey",
+          Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        ("customer.c_nationkey->nation.n_nationkey",
+          Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        ("part.p_size->nation.n_nationkey",
+          Tables.part(s, d), "p_size",
+          Tables.nation(s, d), "n_nationkey")))
+    },
+
     // Golden-record survivorship (q210): the step AFTER matching —
     // match pairs close transitively (connectedComponents, so chained
     // matches land in one cluster), unmatched records keep themselves,
@@ -525,6 +547,42 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // q242: each candidate's containment replayed as distinct-count
+    // scalar subqueries over string-cast keys (matching the operator's
+    // type-erasing cast).
+    "q242_fk_discovery" -> {
+      def row(name: String, ct: String, cc: String, pt: String,
+              pc: String): String =
+        s"""SELECT '$name' AS candidate,
+              (SELECT CAST(count(DISTINCT CAST($cc AS VARCHAR)) AS BIGINT)
+               FROM $ct WHERE $cc IS NOT NULL) AS n_child,
+              (SELECT CAST(count(*) AS BIGINT) FROM
+                 (SELECT DISTINCT CAST($cc AS VARCHAR) AS k FROM $ct
+                  WHERE $cc IS NOT NULL) c
+               WHERE c.k IN (SELECT CAST($pc AS VARCHAR) FROM $pt
+                             WHERE $pc IS NOT NULL)) AS n_contained,
+              0.0 AS containment, false AS is_fk"""
+      // containment/is_fk recomputed in the outer select so the inner
+      // rows stay readable
+      s"""WITH raw AS (
+            ${row("orders.o_custkey->customer.c_custkey",
+              "orders", "o_custkey", "customer", "c_custkey")}
+            UNION ALL
+            ${row("lineitem.l_orderkey->orders.o_orderkey",
+              "lineitem", "l_orderkey", "orders", "o_orderkey")}
+            UNION ALL
+            ${row("customer.c_nationkey->nation.n_nationkey",
+              "customer", "c_nationkey", "nation", "n_nationkey")}
+            UNION ALL
+            ${row("part.p_size->nation.n_nationkey",
+              "part", "p_size", "nation", "n_nationkey")})
+          SELECT candidate, n_child, n_contained,
+               round(n_contained * 1.0 / greatest(n_child, 1), 4) + 0.0
+                 AS containment,
+               round(n_contained * 1.0 / greatest(n_child, 1), 4) >= 0.99
+                 AS is_fk
+          FROM raw"""
+    },
     "q01_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,
