@@ -271,5 +271,16 @@ class IoSpec extends AnyFunSuite {
         Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
           .toDF("id", "ts"), s"$dir/bad")
     }
+    // empty partitions produce header-only containers; the read side
+    // (including its schema resolution from the FIRST file, which may
+    // be record-free) survives them
+    val sparseDir = Files.createTempDirectory("graft_avro_sparse").toString
+    graft.io.Avro.write(
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+        .repartition(40), sparseDir)
+    val sparse = graft.io.Avro.read(spark, sparseDir)
+    assert(sparse.count() == 10)
+    assert(sparse.select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 10L))
   }
 }
