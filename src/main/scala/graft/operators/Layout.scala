@@ -51,16 +51,32 @@ object Layout {
     if (s.length <= StatsTruncateLen) s else s.substring(0, StatsTruncateLen)
 
   /** Shortest prefix-increment ≥ every string with prefix `s` — falls
-    * back to the untruncated value if every prefix char is already
-    * Char.MaxValue (practically unreachable).
+    * back to the untruncated value if every prefix code point is
+    * already MAX_CODE_POINT (practically unreachable). Surrogate-aware
+    * twice over: the cut never splits a surrogate pair (a dangling high
+    * surrogate compares BELOW the supplementary code point it opened,
+    * breaking the upper-bound contract), and the increment runs in
+    * code-point space, jumping the [U+D800, U+DFFF] gap rather than
+    * fabricating an unpaired surrogate.
     */
-  private def truncateUpper(s: String): String =
+  private[graft] def truncateUpper(s: String): String =
     if (s.length <= StatsTruncateLen) s
     else {
-      val p = s.substring(0, StatsTruncateLen).toCharArray
-      var i = p.length - 1
-      while (i >= 0 && p(i) == Char.MaxValue) i -= 1
-      if (i < 0) s else { p(i) = (p(i) + 1).toChar; new String(p, 0, i + 1) }
+      val cut =
+        if (Character.isHighSurrogate(s.charAt(StatsTruncateLen - 1)) &&
+            Character.isLowSurrogate(s.charAt(StatsTruncateLen)))
+          StatsTruncateLen - 1
+        else StatsTruncateLen
+      val cps = s.substring(0, cut).codePoints.toArray
+      var i = cps.length - 1
+      while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
+      if (i < 0) s
+      else {
+        val next = cps(i) + 1
+        val bumped = if (next >= 0xD800 && next <= 0xDFFF) 0xE000 else next
+        val out = cps.take(i) :+ bumped
+        new String(out, 0, out.length)
+      }
     }
 
   /** The pruning predicate algebra [[snapshotRead]] evaluates against
@@ -124,15 +140,32 @@ object Layout {
     * the ISO 'T'/'Z' form — a raw string compare would mis-prune files
     * that contain matching rows.
     */
+  /** The zone stat STRINGS were rendered in: Spark's cast-to-string
+    * uses spark.sql.session.timeZone, NOT the JVM default — parsing
+    * them back through Timestamp.valueOf (JVM zone) would shift every
+    * bound by the offset whenever the two differ and silently mis-prune
+    * files. Resolved per call: planning runs on the driver with the
+    * session active.
+    */
+  private def sessionZone: java.time.ZoneId =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => Option(s.conf.get("spark.sql.session.timeZone", null)))
+      .map(java.time.ZoneId.of(_))
+      .getOrElse(java.time.ZoneId.systemDefault())
+
   private def toMicros(v: Any): Long = v match {
     case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
     case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
     case d: java.util.Date => d.getTime * 1000L
     case s: String =>
-      val norm = s.trim.replace('T', ' ').stripSuffix("Z")
-      val ts = java.sql.Timestamp.valueOf(
-        if (norm.contains(' ')) norm else norm + " 00:00:00")
-      ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+      val norm = s.trim.replace(' ', 'T')
+      val iso = if (norm.contains('T')) norm else norm + "T00:00:00"
+      // 'Z'-suffixed strings are instants (match the Instant branch);
+      // zoneless ones are session-zone wall clocks (match the stats)
+      val inst =
+        if (iso.endsWith("Z")) java.time.Instant.parse(iso)
+        else java.time.LocalDateTime.parse(iso).atZone(sessionZone).toInstant
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
     case other =>
       throw new IllegalArgumentException(s"not a timestamp value: $other")
   }
@@ -155,7 +188,27 @@ object Layout {
     else if (t == "timestamp" || t == "timestamp_ntz")
       toMicros(statVal).compare(toMicros(v))
     else if (t == "date") toDays(statVal).compare(toDays(v))
-    else statVal.compareTo(v.toString)
+    else cmpCodePoints(statVal, v.toString)
+  }
+
+  /** Lexicographic CODE-POINT comparison — Spark orders strings as
+    * UTF8String binary, which is code-point order, while Java's
+    * String.compareTo orders UTF-16 code units: for supplementary-plane
+    * characters (surrogate pairs sort below U+E000 in code-unit order)
+    * the two disagree, and a wrong order here wrongly PRUNES a file
+    * that contains a matching row.
+    */
+  private def cmpCodePoints(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
   }
 
   private def leafColumn(p: StatPred): String = p match {
@@ -288,7 +341,9 @@ object Layout {
       case None => all
       case Some(p) => all.filter(e => mayMatch(e.stats, p))
     }
-    val files = (if (kept.isEmpty) all else kept).map(e => s"$dir/${e.path}")
+    // zero survivors: one file for schema, never the full list
+    val files = (if (kept.isEmpty) all.take(1) else kept)
+      .map(e => s"$dir/${e.path}")
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
@@ -606,7 +661,12 @@ object Layout {
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val snapId = ids.max + 1L
     val dataDir = s"$dir/data/snap-$snapId"
-    spark.read.parquet(entries.map(e => s"$dir/${e.path}"): _*)
+    // mergeSchema: the table supports schema-widening appends; a
+    // single-file inferred schema here would silently DROP the widened
+    // columns from every rewritten file — permanent loss from an
+    // operation documented as content-neutral
+    spark.read.option("mergeSchema", "true")
+      .parquet(entries.map(e => s"$dir/${e.path}"): _*)
       .coalesce(n)
       .write.mode("overwrite").parquet(dataDir)
     val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
@@ -649,7 +709,9 @@ object Layout {
       writeManifest(fs, dir, snapId, entries)
       return (snapId, 0)
     }
-    val survivors = spark.read
+    // mergeSchema for the same reason as compactSnapshot: rewritten
+    // files must keep columns a schema-widening append introduced
+    val survivors = spark.read.option("mergeSchema", "true")
       .parquet(touched.map(e => s"$dir/${e.path}"): _*)
       .filter(!coalesce(toColumn(pred), lit(false)))
     val dataDir = s"$dir/data/snap-$snapId"
@@ -827,9 +889,12 @@ object Layout {
       case None => all
       case Some(p) => all.filter(e => mayMatch(e.stats, p))
     }
-    // every file pruned: keep the scan schema by reading the full list
-    // (the row filter below still yields zero rows)
-    val files = (if (kept.isEmpty) all else kept).map(e => s"$dir/${e.path}")
+    // every file pruned: keep the scan schema from ONE file — planning
+    // a scan over the full list just for schema would pay the exact
+    // per-file cost pruning exists to avoid (the lit(false) filter
+    // below still yields zero rows)
+    val files = (if (kept.isEmpty) all.take(1) else kept)
+      .map(e => s"$dir/${e.path}")
     // mergeSchema: appends may have widened the schema (added columns);
     // the default parquet read takes one file's schema and would
     // silently drop the new column from old-file rows' view — schema

@@ -40,9 +40,16 @@ object Web {
     */
   def extractLinks(pages: DataFrame, idCol: String,
                    htmlCol: String): DataFrame =
+    // (?<![\w-]) keeps data-href/xhref out (\b alone passes data-href:
+    // '-h' is a word boundary); the alternation pairs quotes properly,
+    // so href="a' can never capture across mismatched quotes — the
+    // captured value keeps its quotes and is stripped below
     pages.select(col(idCol),
         explode(regexp_extract_all(col(htmlCol),
-          lit("href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))).as("href"))
+          lit("(?i)(?<![\\w-])href\\s*=\\s*(\"[^\"]*\"|'[^']*')"),
+          lit(1))).as("q"))
+      .select(col(idCol),
+        expr("substring(q, 2, length(q) - 2)").as("href"))
       .filter(col("href").startsWith("http://") ||
         col("href").startsWith("https://"))
 

@@ -673,4 +673,132 @@ class LayoutSpec extends AnyFunSuite {
     // ...bloom layout reads a small fraction (most row groups skipped)
     assert(bloom <= plain / 4, s"bloom $bloom vs plain $plain")
   }
+
+  test("timestamp stats prune correctly when session TZ differs from JVM default") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val dir = java.nio.file.Files.createTempDirectory("graft_tz").toString
+      // one file holding instants 10:00Z..10:59Z; stats render as NY
+      // wall clocks ("06:xx:00") — parsing them back in the JVM zone
+      // would shift every bound by the offset
+      val rows = (0 until 60).map { m =>
+        (m.toLong, java.sql.Timestamp.from(
+          java.time.Instant.parse(f"2024-06-15T10:$m%02d:00Z")))
+      }.toDF("id", "ts")
+      Layout.snapshotWrite(rows.coalesce(1), dir, statsCols = Seq("ts"))
+      val mid = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-06-15T10:30:00Z"))
+      val kept = Layout.snapshotFiles(spark, dir,
+        prune = Some(Layout.StatPred.Ge("ts", mid)))
+      assert(kept.size == 1,
+        "file wrongly pruned: stat strings parsed in the wrong zone")
+      // a probe genuinely past the max still prunes
+      val past = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-06-15T12:00:00Z"))
+      assert(Layout.snapshotFiles(spark, dir,
+        prune = Some(Layout.StatPred.Ge("ts", past))).isEmpty)
+      // 'Z'-suffixed string probes are instants, matching the Instant
+      // branch — not session wall clocks
+      assert(Layout.snapshotFiles(spark, dir,
+        prune = Some(Layout.StatPred.Ge("ts", "2024-06-15T10:30:00Z"))).size == 1)
+      assert(Layout.snapshotFiles(spark, dir,
+        prune = Some(Layout.StatPred.Ge("ts", "2024-06-15T12:00:00Z"))).isEmpty)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("deleteWhere and compactSnapshot keep schema-widened columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen").toString
+    Layout.snapshotAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      dir, statsCols = Seq("id"))
+    Layout.snapshotAppend(
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "extra"), dir)
+    Layout.compactSnapshot(spark, dir, targetBytes = 64L << 20)
+    val afterCompact = Layout.snapshotRead(spark, dir, mergeSchema = true)
+    assert(afterCompact.columns.contains("extra"),
+      "compaction dropped a schema-widened column")
+    assert(afterCompact.filter(col("extra").isNotNull).count() == 2)
+    Layout.deleteWhere(spark, dir, Layout.StatPred.Eq("id", 3L))
+    val afterDelete = Layout.snapshotRead(spark, dir, mergeSchema = true)
+    assert(afterDelete.columns.contains("extra"),
+      "deleteWhere dropped a schema-widened column")
+    assert(afterDelete.count() == 3)
+    assert(afterDelete.filter(col("extra").isNotNull)
+      .select("id", "v", "extra").as[(Long, String, Long)]
+      .collect().toSet == Set((4L, "d", 40L)))
+  }
+
+  test("string stats order by code point, not UTF-16 code units") {
+    // max = U+1F600 (a surrogate pair); probe = U+E000 — ABOVE the
+    // surrogate range in code-unit order but BELOW U+1F600 in
+    // code-point (UTF8String binary) order. A code-unit compare would
+    // wrongly prune the file that contains the match.
+    val stats = Map("s" ->
+      Layout.ColStat(Some("a"), Some("\ud83d\ude00"), "string"))
+    assert(Layout.mayMatch(stats, Layout.StatPred.Eq("s", "\ue000")))
+    // genuinely above the max still prunes
+    assert(!Layout.mayMatch(stats,
+      Layout.StatPred.Eq("s", "\ud83d\ude01x")))
+  }
+
+  private def cpCompare(a: String, b: String): Int = {
+    val (xa, xb) = (a.codePoints().toArray, b.codePoints().toArray)
+    val n = math.min(xa.length, xb.length)
+    var i = 0
+    while (i < n) {
+      if (xa(i) != xb(i)) return Integer.compare(xa(i), xb(i))
+      i += 1
+    }
+    Integer.compare(xa.length, xb.length)
+  }
+
+  private def wellFormed(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp >= 0xD800 && cp <= 0xDFFF) return false
+      i += Character.charCount(cp)
+    }
+    true
+  }
+
+  test("truncateUpper is surrogate-aware and stays a true upper bound") {
+    // a surrogate pair straddles the truncation cut: chars 63,64 are
+    // ONE code point — cutting between them would leave a dangling
+    // high surrogate that compares BELOW the code point it opened
+    val s1 = "x" * (Layout.StatsTruncateLen - 1) + "\ud83d\ude00" + "tail"
+    val u1 = Layout.truncateUpper(s1)
+    assert(cpCompare(u1, s1) >= 0, "not an upper bound under pair cut")
+    assert(wellFormed(u1), "emitted an unpaired surrogate")
+    // incrementing U+D7FF must jump the surrogate gap to U+E000
+    val s2 = "y" * (Layout.StatsTruncateLen - 1) + "\ud7ff" + "tail"
+    val u2 = Layout.truncateUpper(s2)
+    assert(cpCompare(u2, s2) >= 0)
+    assert(wellFormed(u2))
+    assert(u2.last == '\ue000', s"expected gap jump, got ${u2.last.toInt}")
+  }
+
+  test("fully-pruned snapshot read plans ONE file for schema, not the table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptyprune").toString
+    val df = (1L to 1000L).map(i => (i, i * 2)).toDF("id", "v")
+    Layout.snapshotWrite(df.repartitionByRange(8, col("id"))
+      .sortWithinPartitions("id"), dir, statsCols = Seq("id"))
+    val nFiles = Layout.snapshotFiles(spark, dir).size
+    assert(nFiles > 1)
+    // inputFiles reads the OPTIMIZED plan: the lit(false) filter lets
+    // PropagateEmptyRelation drop the scan entirely, so <= 1 (0 when
+    // eliminated, 1 if a future Spark keeps the scan) — never nFiles
+    val out = Layout.snapshotReadWhere(spark, dir, col("id") > 5000L)
+    assert(out.count() == 0)
+    assert(out.inputFiles.length <= 1,
+      s"schema fallback planned ${out.inputFiles.length} of $nFiles files")
+    assert(out.schema.fieldNames.toSeq == Seq("id", "v"))
+    val out2 = Layout.snapshotRead(spark, dir,
+      prune = Some(Layout.StatPred.Gt("id", 5000L)))
+    assert(out2.count() == 0 && out2.inputFiles.length <= 1)
+    assert(out2.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
 }

@@ -122,4 +122,21 @@ class WebSpec extends AnyFunSuite {
       ("http://x.com/a?a=1&b=2", 1L, 3L),
       ("http://x.com/other", 4L, 1L)))
   }
+
+  test("extractLinks: attribute boundary and paired quotes") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, """<a href="http://a.com/1">x</a> <a data-href="http://evil.com/d">y</a>"""),
+      (2L, """<a xhref="http://evil.com/x">n</a> <a HREF='http://b.com/2'>u</a>"""),
+      (3L, """<a href="http://broken.com/m'>bad</a>"""),
+      (4L, """<a href = "https://c.com/3">s</a> <a href='#frag'>f</a>""")
+    ).toDF("id", "html")
+    val out = WebOp.extractLinks(pages, "id", "html")
+      .as[(Long, String)].collect().toSet
+    // data-href/xhref are different attributes; the mismatched-quote
+    // page must capture NOTHING (the old single-class regex captured
+    // across the quote mismatch); case-insensitive HREF counts
+    assert(out == Set((1L, "http://a.com/1"), (2L, "http://b.com/2"),
+      (4L, "https://c.com/3")))
+  }
 }
