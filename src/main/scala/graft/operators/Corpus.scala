@@ -372,6 +372,47 @@ object Corpus {
     hashSplit(clusters, "cluster_id", fractions)
   }
 
+  /** Fill-in-the-middle (FIM) transformation — the infilling-objective
+    * prep pass for code/text models: each document splits into
+    * (prefix, middle, suffix) at two DETERMINISTIC cut points (md5 of
+    * "docId:f1/f2" — the [[hashSplit]] arithmetic, so both engines
+    * replay the cuts bit for bit) and re-serializes with sentinels in
+    * PSM order (`<PRE>p<SUF>s<MID>m`) or SPM order
+    * (`<SUF>s<PRE>p<MID>m`), chosen 50/50 by a third hash — the
+    * published practice of mixing both orderings in one corpus.
+    * Documents shorter than `minLen` pass through unchanged with mode
+    * 'none' (FIM on tiny fragments wastes sentinel budget). Cut points
+    * guarantee all three parts non-empty: prefix [1..c1], middle
+    * [c1+1..c2], suffix [c2+1..len] with 1 ≤ c1 < c2 < len.
+    *
+    * One narrow codegen'd projection — zero shuffle, zero UDF; at 100
+    * TB this runs at scan speed alongside the other per-doc taggers.
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+                   minLen: Int = 8): DataFrame = {
+    require(minLen >= 4, s"minLen $minLen too small for three parts")
+    def h(tag: String): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(tag))),
+        1, 8), 16, 10).cast("long")
+    val l = length(col(textCol))
+    val c1 = (lit(1) + h(":f1") % (l - 2)).cast("int")
+    val c2 = (c1 + 1 + h(":f2") % (l - c1 - 1)).cast("int")
+    val prefix = col(textCol).substr(lit(1), c1)
+    val middle = col(textCol).substr(c1 + 1, c2 - c1)
+    val suffix = col(textCol).substr(c2 + 1, l - c2)
+    val psm = concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+      lit("<MID>"), middle)
+    val spm = concat(lit("<SUF>"), suffix, lit("<PRE>"), prefix,
+      lit("<MID>"), middle)
+    docs.select(col(idCol),
+      when(l < minLen, lit("none"))
+        .when(h(":f3") % 2 === 0, lit("psm"))
+        .otherwise(lit("spm")).as("mode"),
+      when(l < minLen, col(textCol))
+        .when(h(":f3") % 2 === 0, psm)
+        .otherwise(spm).as("fim_text"))
+  }
+
   /** T5/UL2-style span corruption — the denoising-objective prep pass:
     * a deterministic per-position noise mask (md5 of "docId:position",
     * the mixture-gate arithmetic, so both engines replay it bit for

@@ -75,6 +75,109 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label-propagation community detection (LPA) on an
+    * undirected graph — the near-linear community baseline for
+    * link-farm / topic-cluster discovery on web corpora.
+    *
+    * Deterministic by construction, unlike the textbook asynchronous
+    * variant: every node starts labeled with its own id; each round
+    * ALL nodes simultaneously adopt the label most frequent among
+    * their neighbors' previous-round labels, ties broken toward the
+    * SMALLEST label. Synchronous update + total tie order makes the
+    * result a pure function of (edges, iterations) — replayable
+    * cross-engine, which is what puts a community detector under a SQL
+    * oracle at all. Fixed iteration count (no convergence test); on
+    * bipartite-ish regions synchronous LPA can oscillate, and a fixed
+    * count simply reports round k's labeling.
+    *
+    * Scale shape per round: ONE equi-join of the label vector against
+    * the symmetrized edge table + a (node, label) count aggregation +
+    * a bounded argmax via `min(struct(-count, label))` — skinny long
+    * rows throughout, no window sort, no collect. Label vectors are
+    * pinned per round ([[Staging.pin]]: localCheckpoint, or durable
+    * manifest snapshots under `staging`) to truncate lineage.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+                       dstCol: String = "dst", iterations: Int = 3,
+                       staging: Option[String] = None): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations $iterations outside sane bounds (1..50)")
+    val raw = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val sym = Staging.pin(
+      raw.union(raw.select(col("v").as("u"), col("u").as("v"))).distinct(),
+      staging, "lpa-edges")
+    var labels = Staging.pin(
+      sym.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("label")),
+      staging, "lpa-labels-0")
+    for (i <- 1 to iterations) {
+      val nb = sym.join(labels, sym("u") === labels("id"))
+        .select(col("v").as("node"), col("label"))
+      labels = nb.groupBy("node", "label")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node").as("id"), col("m.l").as("label"))
+      if (i < iterations)
+        labels = Staging.pin(labels, staging, s"lpa-labels-$i")
+    }
+    labels
+  }
+
+  /** Multi-source BFS hop distances on an undirected graph — "how far
+    * is every page from a trusted seed set", the TrustRank-style
+    * distance prior, and the reachability primitive (nodes beyond
+    * `maxDepth` hops, or unreachable, are absent from the result).
+    *
+    * Frontier iteration: round d's frontier is the set of nodes first
+    * reached at distance d; each round expands it by ONE equi-join
+    * against the symmetrized edge table, then an anti-join against the
+    * settled distance table keeps only genuinely new nodes (so a node's
+    * distance is final the round it appears — BFS optimality). The
+    * frontier SHRINKS to empty on exhaustion and the loop exits early;
+    * per-round driver checks are one count scalar each. Settled and
+    * frontier tables are pinned per round (lineage truncation, or
+    * durable restart points under `staging`).
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+                   idCol: String = "id", srcCol: String = "src",
+                   dstCol: String = "dst", maxDepth: Int = 5,
+                   staging: Option[String] = None): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 50,
+      s"maxDepth $maxDepth outside sane bounds (1..50)")
+    val raw = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val sym = Staging.pin(
+      raw.union(raw.select(col("v").as("u"), col("u").as("v"))).distinct(),
+      staging, "bfs-edges")
+    var settled = Staging.pin(
+      sources.select(col(idCol).cast("long").as("id")).distinct()
+        .select(col("id"), lit(0).as("dist")),
+      staging, "bfs-settled-0")
+    var frontier = settled
+    var d = 0
+    var exhausted = false
+    while (d < maxDepth && !exhausted) {
+      d += 1
+      val next = Staging.pin(
+        frontier.join(sym, frontier("id") === sym("u"))
+          .select(col("v").as("id")).distinct()
+          .join(settled, Seq("id"), "left_anti")
+          .select(col("id"), lit(d).as("dist")),
+        staging, s"bfs-frontier-$d")
+      if (next.isEmpty) exhausted = true
+      else {
+        settled = Staging.pin(settled.unionByName(next), staging,
+          s"bfs-settled-$d")
+        frontier = next
+      }
+    }
+    settled
+  }
+
   /** Per-node triangle counts on an undirected graph (edges given as
     * directed rows; symmetrized and de-duplicated here) — the classic
     * local clustering / link-farm signal for web-graph curation.

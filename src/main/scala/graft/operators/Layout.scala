@@ -104,14 +104,49 @@ object Layout {
     final case class Or(ps: Seq[StatPred]) extends StatPred
   }
 
+  /** Per-file BLOOM filter carried in the manifest — the equality-
+    * pruning complement to min/max [[ColStat]] ranges: on a high-
+    * cardinality key that is NOT clustered (every file's [min,max]
+    * spans the whole domain), ranges prune nothing, but a ~1 KB bloom
+    * per file answers "can this file contain key = v?" at PLANNING
+    * time with a small false-positive rate and ZERO false negatives —
+    * a point lookup on a 100 TB table opens O(1) files instead of all
+    * of them. This is Iceberg/Delta's per-file bloom idea reduced to
+    * the manifest primitive.
+    *
+    * Hash contract: the build side hashes the NATIVE column value with
+    * Spark's codegen'd `xxhash64` (seed 42); probes replay the same
+    * function driver-side via catalyst's `XxHash64Function`, with the
+    * probe value coerced to the recorded column type first — the two
+    * sides share one implementation and cannot drift. Positions are
+    * Kirsch-Mitzenmacher double hashing from the hash's two 32-bit
+    * halves: pos_i = (hi + i·lo) mod m.
+    */
+  final case class BloomStat(m: Int, k: Int, tpe: String,
+                             bits: java.util.BitSet) {
+    /** Zero false negatives: false ⇒ the key is provably absent. */
+    def mightContain(hash: Long): Boolean = {
+      val g1 = hash >>> 32
+      val g2 = hash & 0xFFFFFFFFL
+      var i = 0
+      while (i < k) {
+        if (!bits.get(((g1 + i * g2) % m).toInt)) return false
+        i += 1
+      }
+      true
+    }
+  }
+
   /** One manifest row: the file's table-relative path, its column
-    * stats (empty for v1 manifests / files written without stats), and
-    * its row count (recorded whenever stats are collected — the
-    * metadata that makes `count(*)` a manifest read instead of a scan).
+    * stats (empty for v1 manifests / files written without stats), its
+    * row count (recorded whenever stats are collected — the metadata
+    * that makes `count(*)` a manifest read instead of a scan), and its
+    * per-column bloom filters (empty unless the write asked for them).
     */
   final case class FileEntry(path: String,
                              stats: Map[String, ColStat] = Map.empty,
-                             rows: Option[Long] = None)
+                             rows: Option[Long] = None,
+                             blooms: Map[String, BloomStat] = Map.empty)
 
   import StatPred._
 
@@ -222,10 +257,86 @@ object Layout {
     * manifest stats? Missing stats for a referenced column ⇒ true
     * (cannot prune); an all-null file ⇒ false for any comparison leaf.
     */
-  def mayMatch(stats: Map[String, ColStat], p: StatPred): Boolean = p match {
-    case And(ps) => ps.forall(mayMatch(stats, _))
-    case Or(ps) => ps.exists(mayMatch(stats, _))
-    case leaf =>
+  def mayMatch(stats: Map[String, ColStat], p: StatPred): Boolean =
+    mayMatchEntry(stats, Map.empty, p)
+
+  /** [[mayMatch]] over a full manifest entry: the range tier AND the
+    * bloom tier must both allow the file — either alone can prune, a
+    * false positive in one is caught by the other, and both are
+    * conservative (never drop a file that could match).
+    */
+  def mayMatch(e: FileEntry, p: StatPred): Boolean =
+    mayMatchEntry(e.stats, e.blooms, p)
+
+  private def mayMatchEntry(stats: Map[String, ColStat],
+                            blooms: Map[String, BloomStat],
+                            p: StatPred): Boolean = p match {
+    case And(ps) => ps.forall(mayMatchEntry(stats, blooms, _))
+    case Or(ps) => ps.exists(mayMatchEntry(stats, blooms, _))
+    case leaf => rangeMayMatch(stats, leaf) && bloomMayMatch(blooms, leaf)
+  }
+
+  /** Bloom tier: only equality shapes consult the filter (ranges have
+    * no membership question to ask). A value that cannot be coerced to
+    * the recorded column type, or a column with no bloom, never prunes.
+    */
+  private def bloomMayMatch(blooms: Map[String, BloomStat],
+                            leaf: StatPred): Boolean = leaf match {
+    case Eq(c, v) => blooms.get(c) match {
+      case Some(b) =>
+        bloomProbeHash(v, b.tpe).forall(b.mightContain)
+      case None => true
+    }
+    case In(c, vs) => blooms.get(c) match {
+      case Some(b) =>
+        vs.exists(v => bloomProbeHash(v, b.tpe).forall(b.mightContain))
+      case None => true
+    }
+    case _ => true
+  }
+
+  /** The probe side of the bloom hash contract: coerce the predicate
+    * value to the recorded column type, then hash through the SAME
+    * catalyst function the build side's `xxhash64` codegen uses.
+    * None = cannot decide the rendering (bloom silently ignored —
+    * range stats still apply).
+    */
+  private def bloomProbeHash(v: Any, tpe: String): Option[Long] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    def asLong: Option[Long] = v match {
+      case l: Long => Some(l); case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
+      case bi: BigInt if bi.isValidLong => Some(bi.toLong)
+      case s: String => s.toLongOption
+      case _ => None
+    }
+    tpe.toLowerCase match {
+      case "bigint" =>
+        asLong.map(XxHash64Function.hash(_, LongType, 42L))
+      case "int" => asLong.collect {
+        case l if l.isValidInt => XxHash64Function.hash(l.toInt, IntegerType, 42L)
+      }
+      case "smallint" => asLong.collect {
+        case l if l >= Short.MinValue && l <= Short.MaxValue =>
+          XxHash64Function.hash(l.toShort, ShortType, 42L)
+      }
+      case "tinyint" => asLong.collect {
+        case l if l >= Byte.MinValue && l <= Byte.MaxValue =>
+          XxHash64Function.hash(l.toByte, ByteType, 42L)
+      }
+      case "string" => v match {
+        case s: String => Some(XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          StringType, 42L))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def rangeMayMatch(stats: Map[String, ColStat],
+                            leaf: StatPred): Boolean =
       stats.get(leafColumn(leaf)) match {
         case None => true
         case Some(ColStat(Some(mn), Some(mx), t)) => leaf match {
@@ -246,7 +357,6 @@ object Layout {
         // nothing — fall back to cannot-prune, never to drop
         case Some(_) => true
       }
-  }
 
   /** The row-level Spark filter equivalent of `p` — derived from the
     * same predicate the file pruning used, so the two tiers agree by
@@ -339,7 +449,7 @@ object Layout {
     val all = snapshotFiles(spark, dir, snapshotId)
     val kept = pred match {
       case None => all
-      case Some(p) => all.filter(e => mayMatch(e.stats, p))
+      case Some(p) => all.filter(e => mayMatch(e, p))
     }
     // zero survivors: one file for schema, never the full list
     val files = (if (kept.isEmpty) all.take(1) else kept)
@@ -361,7 +471,7 @@ object Layout {
     val all = snapshotFiles(spark, dir, snapshotId)
     pred match {
       case None => all
-      case Some(p) => all.filter(e => mayMatch(e.stats, p))
+      case Some(p) => all.filter(e => mayMatch(e, p))
     }
   }
 
@@ -575,7 +685,8 @@ object Layout {
     * Returns the snapshot id.
     */
   def snapshotWrite(df: DataFrame, dir: String,
-                    statsCols: Seq[String] = Nil): Long = {
+                    statsCols: Seq[String] = Nil,
+                    bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -592,8 +703,11 @@ object Layout {
     val stats =
       if (statsCols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
       else collectFileStats(spark, dataDir, statsCols)
+    val blooms =
+      if (bloomCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
+      else collectFileBlooms(spark, dataDir, bloomCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(n =>
-      entryFor(s"data/snap-$snapId", n, stats)))
+      entryFor(s"data/snap-$snapId", n, stats, blooms)))
     snapId
   }
 
@@ -608,7 +722,8 @@ object Layout {
     * Returns the new snapshot id.
     */
   def snapshotAppend(df: DataFrame, dir: String,
-                     statsCols: Seq[String] = Nil): Long = {
+                     statsCols: Seq[String] = Nil,
+                     bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -623,12 +738,18 @@ object Layout {
     val cols =
       if (statsCols.nonEmpty) statsCols
       else prev.flatMap(_.stats.keys).distinct
+    val bCols =
+      if (bloomCols.nonEmpty) bloomCols
+      else prev.flatMap(_.blooms.keys).distinct
     val stats =
       if (cols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
       else collectFileStats(spark, dataDir, cols)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
+      else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId,
       prev ++ names.toIndexedSeq.map(n =>
-        entryFor(s"data/snap-$snapId", n, stats)))
+        entryFor(s"data/snap-$snapId", n, stats, blooms)))
     snapId
   }
 
@@ -672,11 +793,15 @@ object Layout {
     val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
     val cols = entries.flatMap(_.stats.keys).distinct
+    val bCols = entries.flatMap(_.blooms.keys).distinct
     val stats =
       if (cols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
       else collectFileStats(spark, dataDir, cols)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
+      else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(nm =>
-      entryFor(s"data/snap-$snapId", nm, stats)))
+      entryFor(s"data/snap-$snapId", nm, stats, blooms)))
     (snapId, entries.size, names.length)
   }
 
@@ -702,7 +827,7 @@ object Layout {
     val ids = listSnapshotIds(fs, dir)
     require(ids.nonEmpty, s"no snapshot manifest under $dir")
     val entries = readManifestEntries(fs, dir, ids.max)
-    val (touched, untouched) = entries.partition(e => mayMatch(e.stats, pred))
+    val (touched, untouched) = entries.partition(e => mayMatch(e, pred))
     val snapId = ids.max + 1L
     if (touched.isEmpty) {
       // nothing can match: the new snapshot is the old file set
@@ -719,12 +844,144 @@ object Layout {
     val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
     val statsCols = entries.flatMap(_.stats.keys).distinct
+    val bCols = entries.flatMap(_.blooms.keys).distinct
     val stats =
       if (statsCols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
       else collectFileStats(spark, dataDir, statsCols)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
+      else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId,
       untouched ++ names.toIndexedSeq.map(n =>
-        entryFor(s"data/snap-$snapId", n, stats)))
+        entryFor(s"data/snap-$snapId", n, stats, blooms)))
+    (snapId, touched.size)
+  }
+
+  /** MERGE a source batch INTO a manifest-committed table — the
+    * Delta/Iceberg `MERGE INTO` reduced to the manifest primitive, and
+    * the write shape every CDC-ingestion pipeline needs: one commit
+    * that applies updates, inserts, and deletes together.
+    *
+    * Semantics (keys = `keyCols`, source columns aligned to the target
+    * schema by name):
+    *  - source row matches a target key  → the source row REPLACES the
+    *    target row (update), unless `deleteWhen` holds on the source
+    *    row, in which case the target row is dropped (delete);
+    *  - source row matches nothing       → inserted (never when
+    *    `deleteWhen` holds — a delete marker for an absent key is a
+    *    no-op, the CDC-replay convention);
+    *  - target row matches no source key → carried unchanged.
+    * Source keys are assumed unique per batch (CDC compaction upstream);
+    * duplicate source keys produce duplicate rows, as in SQL MERGE.
+    *
+    * Scale shape: the source's per-key-column [min,max] box is computed
+    * in ONE aggregation and compiled to a conjunctive [[StatPred]], so
+    * only files whose manifest stats intersect the box are rewritten —
+    * every other file is reused VERBATIM in the new manifest (no
+    * rewrite amplification), exactly the [[deleteWhere]] contract. The
+    * rewrite itself is one shuffle join on the keys between the touched
+    * files and the source; untouched files provably hold no source key,
+    * so inserts computed against the touched subset are globally
+    * correct. Returns (new snapshot id, files rewritten).
+    */
+  def mergeInto(spark: org.apache.spark.sql.SparkSession, dir: String,
+                source: DataFrame, keyCols: Seq[String],
+                deleteWhen: Option[Column] = None): (Long, Int) = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val entries = readManifestEntries(fs, dir, ids.max)
+    val snapId = ids.max + 1L
+
+    // the source's key box: one bounded aggregation (2·|keys| scalars)
+    val boundsRow = source.agg(
+      min(col(keyCols.head)), max(col(keyCols.head)) +:
+        keyCols.tail.flatMap(c => Seq(min(col(c)), max(col(c)))): _*).head
+    val boundPreds = keyCols.zipWithIndex.flatMap { case (c, i) =>
+      (Option(boundsRow.get(2 * i)), Option(boundsRow.get(2 * i + 1))) match {
+        case (Some(lo), Some(hi)) => Some(Between(c, lo, hi))
+        case _ => None // all-null key side: no bound, cannot prune on c
+      }
+    }
+    val sourceEmpty = source.isEmpty
+    // two-tier touched-file resolution (the Delta findTouchedFiles
+    // shape): the manifest box prunes candidates for free, then ONE
+    // column-pruned scan of the candidates' key columns semi-joined
+    // with the source keys decides EXACTLY which files hold a source
+    // key — an insert-heavy batch whose keys land outside every file
+    // (the common CDC case) rewrites nothing it doesn't have to.
+    val candidates =
+      if (sourceEmpty) Nil
+      else if (boundPreds.isEmpty) entries // degenerate: cannot prune
+      else entries.filter(e => mayMatch(e, And(boundPreds)))
+    val touched =
+      if (candidates.isEmpty) Nil
+      else {
+        val hit = spark.read.option("mergeSchema", "true")
+          .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
+          .select(col("_metadata.file_name").as("_f") +:
+            keyCols.map(col): _*)
+          .join(source.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_semi")
+          .select("_f").distinct()
+          .collect().map(_.getString(0)).toSet
+        candidates.filter(e => hit.contains(
+          e.path.substring(e.path.lastIndexOf('/') + 1)))
+      }
+    val untouched = entries.filterNot(touched.contains)
+
+    val inserts = deleteWhen match {
+      case Some(d) => source.filter(!coalesce(d, lit(false)))
+      case None => source
+    }
+    if (touched.isEmpty) {
+      // no file can hold a source key: pure-insert merge (or no-op)
+      if (sourceEmpty || inserts.isEmpty) {
+        writeManifest(fs, dir, snapId, entries)
+        return (snapId, 0)
+      }
+    }
+    val target =
+      if (touched.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(e => s"$dir/${e.path}"): _*))
+    // carried = touched-file rows whose key the source does not claim;
+    // the source side contributes updates and inserts in one pass
+    val merged = target match {
+      case Some(t) =>
+        val carried = t.join(source.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+        // align by name: extra source columns (delete markers, CDC
+        // metadata) are dropped; target columns the source lacks
+        // (schema-widened) surface as null on inserted rows
+        val common = t.columns.filter(inserts.columns.contains(_))
+        carried.unionByName(inserts.select(common.map(col).toIndexedSeq: _*),
+          allowMissingColumns = true)
+      case None if entries.nonEmpty =>
+        // pure-insert merge: align to the table schema (one footer read)
+        val tCols = spark.read
+          .parquet(s"$dir/${entries.head.path}").columns
+        val common = tCols.filter(inserts.columns.contains(_))
+        inserts.select(common.map(col).toIndexedSeq: _*)
+      case None => inserts
+    }
+    val dataDir = s"$dir/data/snap-$snapId"
+    merged.write.mode("overwrite").parquet(dataDir)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    val statsCols = entries.flatMap(_.stats.keys).distinct
+    val bCols = entries.flatMap(_.blooms.keys).distinct
+    val stats =
+      if (statsCols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
+      else collectFileStats(spark, dataDir, statsCols)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
+      else collectFileBlooms(spark, dataDir, bCols)
+    writeManifest(fs, dir, snapId,
+      untouched ++ names.toIndexedSeq.map(n =>
+        entryFor(s"data/snap-$snapId", n, stats, blooms)))
     (snapId, touched.size)
   }
 
@@ -765,13 +1022,94 @@ object Layout {
     }.toMap
   }
 
-  private def entryFor(relDir: String, name: String,
-                       stats: Map[String, (Map[String, ColStat], Long)])
-      : FileEntry =
-    stats.get(name) match {
-      case Some((cs, n)) => FileEntry(s"$relDir/$name", cs, Some(n))
-      case None => FileEntry(s"$relDir/$name")
+  /** Distributed per-file bloom construction: one column-pruned pass
+    * sizes each (file, column) from its approximate NDV (m = next pow2
+    * of ndv × bitsPerKey, floored at 1024 bits, capped at 2^20 — ~128
+    * KiB worst case per file, ~1 KiB typical), then one pass per
+    * column hashes values with codegen'd `xxhash64`, derives the k
+    * double-hashed positions IN SQL (so they provably match the
+    * driver-side probe arithmetic), and collect_set's the distinct set
+    * bits per file — bounded by m, never by row count. Full rows never
+    * reach the driver.
+    *
+    * Restricted to integral and string columns: those are the types
+    * whose probe-side value coercion is unambiguous ([[bloomProbeHash]]).
+    */
+  private def collectFileBlooms(spark: org.apache.spark.sql.SparkSession,
+                                dataDir: String, bloomCols: Seq[String],
+                                bitsPerKey: Int = 10, k: Int = 4)
+      : Map[String, Map[String, BloomStat]] = {
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(dataDir)
+    val types = bloomCols.map { c =>
+      require(df.columns.contains(c), s"bloom column $c not in schema")
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[StringType] || dt == LongType ||
+        dt == IntegerType || dt == ShortType || dt == ByteType,
+        s"bloom column $c: unsupported type ${dt.catalogString} " +
+          "(integral and string only)")
+      c -> dt.catalogString
+    }.toMap
+    val ndvAggs = bloomCols.map(c =>
+      approx_count_distinct(col(c)).as(s"nd_$c"))
+    val ndvRows = df
+      .select(col("_metadata.file_name").as("_f") +: bloomCols.map(col): _*)
+      .groupBy("_f").agg(ndvAggs.head, ndvAggs.tail: _*)
+      .collect()
+    def sizeFor(ndv: Long): Int = {
+      val want = math.max(1024L, ndv * bitsPerKey.toLong)
+      math.min(1L << 20, java.lang.Long.highestOneBit(
+        math.max(1L, want - 1)) << 1).toInt
     }
+    val mFor: Map[(String, String), Int] = ndvRows.flatMap { r =>
+      val f = r.getString(0)
+      bloomCols.map(c => (f, c) -> sizeFor(r.getAs[Long](s"nd_$c")))
+    }.toMap
+    bloomCols.map { c =>
+      import spark.implicits._
+      val mDf = broadcast(ndvRows.map(r => (r.getString(0),
+        mFor((r.getString(0), c)).toLong)).toSeq.toDF("_f", "_m"))
+      val h = xxhash64(col(c))
+      val g1 = shiftrightunsigned(col("h"), 32)
+      val g2 = col("h").bitwiseAND(lit(0xFFFFFFFFL))
+      val positions = array((0 until k).map(i =>
+        pmod(g1 + lit(i.toLong) * g2, col("_m")).cast("int")): _*)
+      val rows = df.filter(col(c).isNotNull)
+        .select(col("_metadata.file_name").as("_f"), h.as("h"))
+        .join(mDf, "_f")
+        .select(col("_f"), explode(positions).as("p"))
+        .groupBy("_f").agg(collect_set(col("p")).as("ps"))
+        .collect()
+      c -> rows.map { r =>
+        val f = r.getString(0)
+        val m = mFor((f, c))
+        val bits = new java.util.BitSet(m)
+        r.getSeq[Int](1).foreach(bits.set)
+        f -> BloomStat(m, k, types(c), bits)
+      }.toMap
+    }.toMap.transpose_
+  }
+
+  /** Regroup col -> (file -> bloom) into file -> (col -> bloom). */
+  implicit private class BloomRegroup(
+      val byCol: Map[String, Map[String, BloomStat]]) {
+    def transpose_ : Map[String, Map[String, BloomStat]] =
+      byCol.toSeq
+        .flatMap { case (c, m) => m.map { case (f, b) => (f, c, b) } }
+        .groupBy(_._1)
+        .map { case (f, xs) => f -> xs.map(x => x._2 -> x._3).toMap }
+  }
+
+  private def entryFor(relDir: String, name: String,
+                       stats: Map[String, (Map[String, ColStat], Long)],
+                       blooms: Map[String, Map[String, BloomStat]] =
+                         Map.empty): FileEntry = {
+    val bl = blooms.getOrElse(name, Map.empty)
+    stats.get(name) match {
+      case Some((cs, n)) => FileEntry(s"$relDir/$name", cs, Some(n), bl)
+      case None => FileEntry(s"$relDir/$name", blooms = bl)
+    }
+  }
 
   private def listSnapshotIds(fs: org.apache.hadoop.fs.FileSystem,
                               dir: String): Array[Long] =
@@ -793,15 +1131,22 @@ object Layout {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val body =
-      if (entries.forall(_.stats.isEmpty))
+      if (entries.forall(e => e.stats.isEmpty && e.blooms.isEmpty))
         JsonMethods.compact(JsonMethods.render(entries.map(_.path)))
       else {
         val files = entries.map { e =>
-          ("path" -> e.path) ~
+          val base = ("path" -> e.path) ~
             ("rows" -> e.rows) ~
             ("stats" -> e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
               c -> (("min" -> st.min) ~ ("max" -> st.max) ~
                 ("type" -> st.tpe))
+            }.toMap)
+          if (e.blooms.isEmpty) base
+          else base ~ ("blooms" -> e.blooms.toSeq.sortBy(_._1)
+            .map { case (c, b) =>
+              c -> (("m" -> b.m) ~ ("k" -> b.k) ~ ("type" -> b.tpe) ~
+                ("bits" -> java.util.Base64.getEncoder
+                  .encodeToString(b.bits.toByteArray)))
             }.toMap)
         }
         JsonMethods.compact(JsonMethods.render(
@@ -855,7 +1200,22 @@ object Layout {
               case JLong(n) => Some(n)
               case _ => None
             }
-            FileEntry(path, stats, rows)
+            val blooms = (f \ "blooms") match {
+              case JObject(cols) => cols.flatMap { case (c, b) =>
+                def i(key: String): Option[Int] = (b \ key) match {
+                  case JInt(n) => Some(n.toInt); case _ => None
+                }
+                def s(key: String): Option[String] = (b \ key) match {
+                  case JString(v) => Some(v); case _ => None
+                }
+                for {m <- i("m"); kk <- i("k"); t <- s("type")
+                     bits <- s("bits")}
+                  yield c -> BloomStat(m, kk, t, java.util.BitSet.valueOf(
+                    java.util.Base64.getDecoder.decode(bits)))
+              }.toMap
+              case _ => Map.empty[String, BloomStat]
+            }
+            FileEntry(path, stats, rows, blooms)
           }
           case other => sys.error(s"bad manifest files list: $other")
         }
@@ -887,7 +1247,7 @@ object Layout {
     val all = snapshotFiles(spark, dir, snapshotId, None)
     val kept = prune match {
       case None => all
-      case Some(p) => all.filter(e => mayMatch(e.stats, p))
+      case Some(p) => all.filter(e => mayMatch(e, p))
     }
     // every file pruned: keep the scan schema from ONE file — planning
     // a scan over the full list just for schema would pay the exact
@@ -927,8 +1287,61 @@ object Layout {
     val entries = readManifestEntries(fs, dir, snap)
     prune match {
       case None => entries
-      case Some(p) => entries.filter(e => mayMatch(e.stats, p))
+      case Some(p) => entries.filter(e => mayMatch(e, p))
     }
+  }
+
+  /** The table's committed snapshot ids, ascending — the DESCRIBE
+    * HISTORY primitive, and the offset domain for incremental
+    * consumption ([[snapshotChangesSince]]).
+    */
+  def snapshotIds(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listSnapshotIds(fs, dir).sorted.toSeq
+  }
+
+  /** The rows ADDED between two snapshots — every row in a data file
+    * the target manifest lists but the base manifest does not. This is
+    * FILE-level change capture, resolved purely from two manifest
+    * reads (no data diffed, no shuffle): for append-only tables it is
+    * exactly the appended rows — the incremental-consumption feed a
+    * downstream pipeline tails. After a rewriting commit (delete /
+    * compact / merge) the added files also carry rewritten old rows;
+    * consumers needing row-level insert/update/delete labels use
+    * [[snapshotDiff]], which pays a key join for that precision.
+    *
+    * `sinceSnapshotId` ≤ 0 means "from the beginning" (all files of
+    * the target snapshot); `toSnapshotId` ≤ 0 means the latest.
+    */
+  def snapshotChangesSince(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, sinceSnapshotId: Long,
+                           toSnapshotId: Long = -1L,
+                           mergeSchema: Boolean = false): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val to = if (toSnapshotId > 0) toSnapshotId else ids.max
+    require(ids.contains(to), s"snapshot $to not found under $dir")
+    val target = readManifestEntries(fs, dir, to)
+    val basePaths =
+      if (sinceSnapshotId <= 0) Set.empty[String]
+      else {
+        require(ids.contains(sinceSnapshotId),
+          s"snapshot $sinceSnapshotId not found under $dir")
+        readManifestEntries(fs, dir, sinceSnapshotId).map(_.path).toSet
+      }
+    val added = target.filterNot(e => basePaths.contains(e.path))
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true")
+      else spark.read
+    if (added.nonEmpty) reader.parquet(added.map(e => s"$dir/${e.path}"): _*)
+    else if (target.nonEmpty)
+      // no change: schema from ONE file, zero rows
+      reader.parquet(s"$dir/${target.head.path}").filter(lit(false))
+    else spark.emptyDataFrame
   }
 
   /** Resolve the snapshot current AS OF `timestampMs` — time-based time

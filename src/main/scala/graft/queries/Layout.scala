@@ -253,6 +253,59 @@ object Layout {
           round(col("value"), 2).as("value"))
     },
 
+    // Manifest BLOOM pruning (q243): the equality complement to q222's
+    // range stats — the table is hash-scattered on doc_id (every
+    // file's [min,max] spans the whole domain, so range stats prune
+    // NOTHING), yet a point lookup opens only the file(s) whose
+    // manifest bloom might contain the key. The probe key is derived
+    // arithmetically (max/2 rounded down to an existing id) so the
+    // oracle replays it exactly; LayoutSpec pins the files-opened
+    // count and the zero-false-negative property.
+    "q243_bloom_pruned_read" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapbloom")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      // hash-scatter: clustering by anything BUT doc_id makes range
+      // stats useless on it — the bloom is the only pruner
+      L.snapshotWrite(docs.repartition(8, md5(col("text"))),
+        base, statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+      // explicit floor: DuckDB ROUNDS double→BIGINT casts while Spark
+      // truncates — floor() agrees on both engines
+      val half = docs.agg(floor(max(col("doc_id")) / 2)).head.getLong(0)
+      val probe = docs.filter(col("doc_id") <= half)
+        .agg(max(col("doc_id"))).head.getLong(0)
+      L.snapshotRead(s, base, prune = Some(L.StatPred.Eq("doc_id", probe)))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
+    },
+
+    // MERGE INTO (q244): one CDC batch — updates (%10==3, text+'!'),
+    // inserts (re-keyed %13==0), delete markers (%10==7) — applied in
+    // ONE snapshot commit through the stats-bounded rewrite. The oracle
+    // recomputes the post-merge table arithmetically, so hash equality
+    // proves the three-way semantics (replace / insert / drop, with
+    // extra CDC marker columns stripped); LayoutSpec pins the
+    // no-rewrite-amplification side.
+    "q244_merge_into" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapmerge")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars", "lang")
+      L.snapshotWrite(docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), base, statsCols = Seq("doc_id"))
+      val updates = docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), concat(col("text"), lit("!")).as("text"),
+          (col("n_chars") + 1).as("n_chars"), col("lang"),
+          lit("U").as("_op"))
+      val ins = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          col("n_chars"), col("lang"), lit("I").as("_op"))
+      val dels = docs.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), col("text"), col("n_chars"), col("lang"),
+          lit("D").as("_op"))
+      L.mergeInto(s, base, updates.unionByName(ins).unionByName(dels),
+        Seq("doc_id"), deleteWhen = Some(col("_op") === "D"))
+      L.snapshotRead(s, base)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"), col("lang"))
+    },
+
     // Incremental append commits (q227): the ingestion write mode —
     // three per-batch appends, each committing prior files verbatim
     // plus the new batch (no byte of existing data rewritten; LayoutSpec
@@ -282,6 +335,28 @@ object Layout {
       }
       L.compactSnapshot(s, base, targetBytes = 64L << 20)
       L.snapshotRead(s, base)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
+    },
+
+    // Incremental table consumption (q245): the CONSUMER mirror of the
+    // q229 sink — three append commits tailed through the checkpointed
+    // offset loop, each snapshot's added rows handed over exactly once
+    // in commit order (two manifest reads per step, no data diffed).
+    // The accumulated feed must equal the whole corpus; LayoutSpec pins
+    // resumability (a second consume processes ONLY what committed
+    // since) and the replay window.
+    "q245_incremental_consume" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapinc")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      (0L to 2L).foreach { m =>
+        L.snapshotAppend(docs.filter(col("doc_id") % 3 === m), base,
+          statsCols = Seq("n_chars"))
+      }
+      val acc = s"$base/_consumed"
+      graft.streaming.TableStreams.consumeSnapshots(s, base, s"$base/_ckpt") {
+        (delta, _) => delta.write.mode("append").parquet(acc)
+      }
+      s.read.parquet(acc)
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
     },
 
@@ -364,6 +439,24 @@ object Layout {
     // the source corpus.
     "q227_snapshot_append" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
+    "q245_incremental_consume" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
+    "q244_merge_into" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars, lang FROM (
+           SELECT doc_id, text || '!' AS text, n_chars + 1 AS n_chars, lang
+           FROM documents WHERE doc_id % 10 = 3
+           UNION ALL
+           SELECT doc_id, text, n_chars, lang
+           FROM documents WHERE doc_id % 10 NOT IN (3, 7)
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text, n_chars, lang
+           FROM documents WHERE doc_id % 13 = 0)""",
+    "q243_bloom_pruned_read" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars
+         FROM documents
+         WHERE doc_id = (SELECT max(doc_id) FROM documents
+                         WHERE doc_id <= (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT)
+                                          FROM documents))""",
     "q241_ts_stats_pruned" ->
       """SELECT event_id, ts, user_id, round(value, 2) AS value
          FROM events

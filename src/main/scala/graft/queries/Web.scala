@@ -220,6 +220,49 @@ object Web {
         .select(col("id").as("doc_id"), round(col("r"), 8).as("rank"))
     },
 
+    // Label propagation (q246): deterministic synchronous LPA over a
+    // planted block-community graph (intra-block ring chords only, so
+    // ground-truth communities exist) — 3 rounds, ties toward the
+    // smallest label. The oracle unrolls every round as a chained
+    // count+argmax CTE, so the simultaneous-update semantics and the
+    // tie order are both under the hash.
+    "q246_label_propagation" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).cast("long").as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n"),
+          explode(array(lit(1), lit(2))).as("j"))
+        .select(col("doc_id").as("src"),
+          (floor(col("doc_id") / 50) * 50 +
+            pmod(col("doc_id") % 50 + col("j"), lit(50))).cast("long").as("dst"),
+          col("n"))
+        .filter(col("dst") < col("n") && col("dst") =!= col("src"))
+        .select("src", "dst")
+      graft.operators.Graph.labelPropagation(edges, iterations = 3)
+        .select(col("id").as("doc_id"), col("label"))
+    },
+
+    // Multi-source BFS (q247): hop distances from a sparse seed set
+    // (doc_id % 97 == 0) over the ring+chord graph, depth-capped at 4 —
+    // nodes first reached deeper (or never) are ABSENT, pinning the
+    // frontier/anti-join semantics. The oracle is a depth-bounded
+    // recursive CTE taking min hop count per node.
+    "q247_bfs_distances" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).cast("long").as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n"),
+          explode(array(
+            (col("doc_id") + 1) % col("n"),
+            (col("doc_id") + 2) % col("n"),
+            (col("doc_id") * 31 + 7) % col("n"))).as("dst"))
+        .select(col("doc_id").as("src"), col("dst"))
+      val sources = docs.filter(col("doc_id") % 97 === 0)
+      graft.operators.Graph.bfsDistances(edges, sources,
+        idCol = "doc_id", maxDepth = 4)
+        .select(col("id").as("doc_id"), col("dist"))
+    },
+
     // Triangle counting (q181): per-node triangle membership on an
     // undirected graph (ring + chord edges guarantee triangles; a hash
     // edge family adds irregular degree). The engine runs the
@@ -265,6 +308,36 @@ object Web {
       }
     s"WITH ${ctes.mkString(",\n")}\n" +
       s"SELECT id AS doc_id, round(r, 8) AS rank FROM r$iterations"
+  }
+
+  /** q246's oracle: the 3 LPA rounds unrolled as chained CTEs — each
+    * round joins the previous labeling to the symmetric edge table,
+    * counts (node, label), and takes the argmax with ties toward the
+    * smallest label (row_number ORDER BY count DESC, label ASC ≡ the
+    * engine's min(struct(-count, label))).
+    */
+  private def lpaOracle(iterations: Int): String = {
+    val vExpr = "(doc_id // 50) * 50 + ((doc_id % 50) + j) % 50"
+    val rounds = (1 to iterations).map { k =>
+      val prev = if (k == 1) "l0" else s"r${k - 1}"
+      s"""r$k AS MATERIALIZED (
+           SELECT node, label FROM (
+             SELECT s.v AS node, l.label AS label,
+                    row_number() OVER (PARTITION BY s.v
+                      ORDER BY count(*) DESC, l.label ASC) AS rn
+             FROM sym s JOIN $prev l ON s.u = l.node
+             GROUP BY s.v, l.label) t WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       raw AS MATERIALIZED (
+         SELECT doc_id AS u, $vExpr AS v
+         FROM documents, nn, (VALUES (1), (2)) AS js(j)
+         WHERE $vExpr < nn.n AND $vExpr <> doc_id),
+       sym AS MATERIALIZED (
+         SELECT u, v FROM raw UNION SELECT v AS u, u AS v FROM raw),
+       l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym),
+       $rounds
+       SELECT node AS doc_id, label FROM r$iterations"""
   }
 
   private val BlockPatterns =
@@ -387,6 +460,26 @@ object Web {
          WHERE f.nd <= 5
          GROUP BY l.doc_id""",
     "q175_pagerank" -> pageRankOracle(5),
+    "q246_label_propagation" -> lpaOracle(3),
+    // q247: depth-bounded recursive BFS — min hop count per reached
+    // node; UNION (not UNION ALL) dedups (node, d) pairs so the
+    // recursion is frontier-sized, not path-counting.
+    "q247_bfs_distances" ->
+      """WITH RECURSIVE
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         raw AS MATERIALIZED (
+           SELECT doc_id AS u, (doc_id + 1) % nn.n AS v FROM documents, nn
+           UNION ALL SELECT doc_id, (doc_id + 2) % nn.n FROM documents, nn
+           UNION ALL SELECT doc_id, (doc_id * 31 + 7) % nn.n FROM documents, nn),
+         sym AS MATERIALIZED (
+           SELECT u, v FROM raw WHERE u <> v
+           UNION SELECT v AS u, u AS v FROM raw WHERE u <> v),
+         walk(node, d) AS (
+           SELECT doc_id AS node, 0 AS d FROM documents WHERE doc_id % 97 = 0
+           UNION
+           SELECT s.v AS node, w.d + 1 AS d
+           FROM walk w JOIN sym s ON s.u = w.node WHERE w.d < 4)
+         SELECT node AS doc_id, min(d) AS dist FROM walk GROUP BY node""",
     "q181_triangles" ->
       """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
          raw AS (

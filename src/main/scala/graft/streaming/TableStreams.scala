@@ -48,6 +48,54 @@ object TableStreams {
       .digest(checkpoint.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
 
+  /** The CONSUMER side of the streaming-table story — tail a snapshot
+    * table incrementally, the Delta-streaming-source shape on the
+    * engine's own manifest primitive: each committed snapshot id is an
+    * offset; a call processes every snapshot past the checkpoint's
+    * stored offset IN ORDER, handing `process` the snapshot's added
+    * rows ([[Layout.snapshotChangesSince]] — resolved from two
+    * manifest reads, no data diffed), and durably advances the offset
+    * AFTER the callback returns. Crash between callback and offset
+    * write replays that one snapshot — at-least-once delivery with
+    * exactly-once easily recovered by idempotent/marker-keyed sinks
+    * (the mirror of [[snapshotSink]]'s one-rename window). Polling
+    * this in a loop is the deployment mode; each call drains whatever
+    * has committed since the last. Returns the snapshots processed.
+    *
+    * Why not a file-glob `readStream` over the data directory: data
+    * files land BEFORE their manifest commits, so a directory-watching
+    * source would consume uncommitted (possibly orphaned) files —
+    * manifest-driven discovery is what makes the feed transactional.
+    */
+  def consumeSnapshots(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, checkpoint: String)
+                      (process: (DataFrame, Long) => Unit): Int = {
+    val ckPath = new org.apache.hadoop.fs.Path(checkpoint)
+    val fs = ckPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(ckPath)
+    val offPath = new org.apache.hadoop.fs.Path(checkpoint, "_graft_offset")
+    val last: Long =
+      if (fs.exists(offPath)) {
+        val in = fs.open(offPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      } else 0L
+    val ids = Layout.snapshotIds(spark, dir)
+    val todo = ids.filter(_ > last)
+    var prev = ids.filter(_ <= last).lastOption.getOrElse(0L)
+    todo.foreach { sid =>
+      process(Layout.snapshotChangesSince(spark, dir, prev, sid), sid)
+      // durable offset: write-then-rename, atomic like a manifest commit
+      val tmp = new org.apache.hadoop.fs.Path(checkpoint, "._graft_offset.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(sid.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(offPath, false)
+      fs.rename(tmp, offPath)
+      prev = sid
+    }
+    todo.size
+  }
+
   def snapshotSink(stream: DataFrame, dir: String, checkpoint: String,
                    statsCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.streaming.Trigger

@@ -269,4 +269,47 @@ class CurationOpsSpec extends AnyFunSuite {
     val got = staged.select("doc_id").as[Long].collect().sorted.toSeq
     assert(got == expect && got.nonEmpty)
   }
+
+  test("fimTransform: lossless three-part split, sentinels ordered, short docs pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "tiny"), // < minLen: untouched
+      (4L, "exactly8")
+    ).toDF("doc_id", "text")
+    val out = Corpus.fimTransform(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(3L) == ("none", "tiny"))
+    val texts = Map(1L -> "abcdefghijklmnopqrstuvwxyz",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      4L -> "exactly8")
+    Seq(1L, 2L, 4L).foreach { id =>
+      val (mode, fim) = out(id)
+      assert(mode == "psm" || mode == "spm", s"doc $id mode $mode")
+      // parse back by sentinels and check losslessness + non-emptiness
+      val (p, s, m) =
+        if (mode == "psm") {
+          val a = fim.stripPrefix("<PRE>").split("<SUF>", 2)
+          val b = a(1).split("<MID>", 2)
+          (a(0), b(0), b(1))
+        } else {
+          val a = fim.stripPrefix("<SUF>").split("<PRE>", 2)
+          val b = a(1).split("<MID>", 2)
+          (b(0), a(0), b(1))
+        }
+      assert(p.nonEmpty && m.nonEmpty && s.nonEmpty, s"doc $id empty part")
+      assert(p + m + s == texts(id), s"doc $id not lossless: '$p'+'$m'+'$s'")
+    }
+    // determinism
+    val again = Corpus.fimTransform(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(again == out)
+    // both orderings appear over a larger sample (the 50/50 hash gate)
+    val many = (1L to 200L).map(i => (i, "x" * 20)).toDF("doc_id", "text")
+    val modes = Corpus.fimTransform(many, "doc_id", "text")
+      .select("mode").as[String].collect()
+    assert(modes.count(_ == "psm") > 50 && modes.count(_ == "spm") > 50)
+  }
 }

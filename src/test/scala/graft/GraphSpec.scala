@@ -50,6 +50,57 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $got")
   }
 
+  test("labelPropagation: two planted cliques converge to two labels, ties go small") {
+    import spark.implicits._
+    // two K4 cliques {0..3} and {10..13} joined by ONE bridge edge —
+    // LPA must keep them as separate communities labeled by each
+    // clique's smallest id
+    val cliqueA = for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong)
+    val cliqueB = for { a <- 10 to 13; b <- 10 to 13 if a < b } yield (a.toLong, b.toLong)
+    val edges = (cliqueA ++ cliqueB ++ Seq((3L, 10L))).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).map(got).toSet.size == 1, s"clique A split: $got")
+    assert((10L to 13L).map(got).toSet.size == 1, s"clique B split: $got")
+    assert(got(0L) != got(11L), s"cliques merged: $got")
+    // determinism: same inputs, same labeling
+    val again = Graph.labelPropagation(edges, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
+  test("labelPropagation round semantics: synchronous update, min-label ties") {
+    import spark.implicits._
+    // path 0-1-2: after ONE synchronous round every node adopts its
+    // neighbors' min initial label: 0<-1, 1<-0 (ties 0,2 -> 0), 2<-1
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 0L, 2L -> 1L), s"got $got")
+  }
+
+  test("bfsDistances: hop distances, depth cap, unreachable absent") {
+    import spark.implicits._
+    // a path 0-1-2-3-4-5-6 plus an isolated pair 100-101
+    val edges = ((0L to 5L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
+      .toDF("src", "dst")
+    val sources = Seq(0L).toDF("doc_id")
+    val got = Graph.bfsDistances(edges, sources, idCol = "doc_id",
+      maxDepth = 4).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // distances 0..4 present; 5,6 beyond the cap; 100/101 unreachable
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4), s"got $got")
+    // multi-source: nearest seed wins
+    val got2 = Graph.bfsDistances(edges, Seq(0L, 6L).toDF("doc_id"),
+      idCol = "doc_id", maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2(3L) == 3 && got2(4L) == 2 && got2(5L) == 1 && got2(6L) == 0)
+    // early exhaustion: a tiny component stops before maxDepth
+    val got3 = Graph.bfsDistances(edges, Seq(100L).toDF("doc_id"),
+      idCol = "doc_id", maxDepth = 50)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got3 == Map(100L -> 0, 101L -> 1))
+  }
+
   test("pageRank on a cycle is uniform (mass conserved, no dangling)") {
     import spark.implicits._
     val nodes = (0L to 4L).toDF("id")

@@ -247,7 +247,7 @@ class LayoutSpec extends AnyFunSuite {
     assert(!Layout.mayMatch(st, And(Seq(Ge("v", 100L), Gt("v", 200L)))))
     assert(Layout.mayMatch(st, Or(Seq(Gt("v", 200L), Le("v", 100L)))))
     // no stats for the column: cannot prune
-    assert(Layout.mayMatch(Map.empty, Eq("v", 5L)))
+    assert(Layout.mayMatch(Map.empty[String, Layout.ColStat], Eq("v", 5L)))
     // all-null file: no comparison can match
     assert(!Layout.mayMatch(Map("v" -> Layout.ColStat(None, None, "bigint")),
       Ge("v", 0L)))
@@ -778,6 +778,185 @@ class LayoutSpec extends AnyFunSuite {
     assert(cpCompare(u2, s2) >= 0)
     assert(wellFormed(u2))
     assert(u2.last == '\ue000', s"expected gap jump, got ${u2.last.toInt}")
+  }
+
+  test("manifest blooms prune point lookups where range stats cannot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    // ids hash-scattered across 8 files: every file's [min,max] spans
+    // ~the whole domain, so range stats alone keep ALL files
+    val df = (1L to 4000L).map(i => (i, s"s$i")).toDF("id", "s")
+      .repartition(8, md5(col("s")))
+    Layout.snapshotWrite(df, dir, statsCols = Seq("id"),
+      bloomCols = Seq("id", "s"))
+    val all = Layout.snapshotFiles(spark, dir)
+    assert(all.size == 8)
+    assert(all.forall(_.blooms.keySet == Set("id", "s")))
+    // zero false negatives: for a sample of PRESENT keys, the file
+    // that actually holds the key always survives pruning — the
+    // pruned read returns the row
+    (1L to 4000L by 397L).foreach { probe =>
+      val out = Layout.snapshotRead(spark, dir,
+        prune = Some(Layout.StatPred.Eq("id", probe)))
+      assert(out.count() == 1, s"bloom false-negative on id=$probe")
+    }
+    // pruning power: a point lookup keeps FEW files (the holder +
+    // possible false positives), never all 8 — range stats would keep 8
+    val keptCounts = (1L to 4000L by 397L).map { probe =>
+      Layout.snapshotFiles(spark, dir,
+        prune = Some(Layout.StatPred.Eq("id", probe))).size
+    }
+    assert(keptCounts.forall(_ >= 1))
+    assert(keptCounts.sum <= keptCounts.size * 3,
+      s"bloom barely prunes: kept $keptCounts of 8 files each")
+    // absent keys: most lookups prune everything (FPR is small)
+    val absentKept = (100001L to 100040L).map { probe =>
+      Layout.snapshotFiles(spark, dir,
+        prune = Some(Layout.StatPred.Eq("id", probe))).size
+    }
+    assert(absentKept.count(_ == 0) >= 35,
+      s"absent-key FPR too high: $absentKept")
+    // string-typed bloom probes through the same contract
+    val sOut = Layout.snapshotRead(spark, dir,
+      prune = Some(Layout.StatPred.Eq("s", "s1234")))
+    assert(sOut.count() == 1)
+    assert(Layout.snapshotFiles(spark, dir,
+      prune = Some(Layout.StatPred.Eq("s", "s1234"))).size <= 3)
+    // IN probes: union of the per-value verdicts
+    val inKept = Layout.snapshotFiles(spark, dir,
+      prune = Some(Layout.StatPred.In("id", Seq(5L, 2000L))))
+    assert(inKept.nonEmpty && inKept.size <= 6)
+    val inOut = Layout.snapshotRead(spark, dir,
+      prune = Some(Layout.StatPred.In("id", Seq(5L, 2000L))))
+    assert(inOut.count() == 2)
+  }
+
+  test("blooms survive append, delete, and compaction maintenance") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom2").toString
+    val a = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v").repartition(2)
+    Layout.snapshotWrite(a, dir, statsCols = Seq("id"), bloomCols = Seq("id"))
+    // append WITHOUT restating bloomCols: inherited from the table
+    val b = (1001L to 2000L).map(i => (i, s"v$i")).toDF("id", "v").repartition(2)
+    Layout.snapshotAppend(b, dir)
+    val afterApp = Layout.snapshotFiles(spark, dir)
+    assert(afterApp.forall(_.blooms.contains("id")),
+      "append dropped the table's bloom contract")
+    assert(Layout.snapshotRead(spark, dir,
+      prune = Some(Layout.StatPred.Eq("id", 1500L))).count() == 1)
+    // delete rewrites re-collect blooms on the rewritten files
+    Layout.deleteWhere(spark, dir, Layout.StatPred.Eq("id", 1500L))
+    val afterDel = Layout.snapshotFiles(spark, dir)
+    assert(afterDel.forall(_.blooms.contains("id")))
+    assert(Layout.snapshotRead(spark, dir,
+      prune = Some(Layout.StatPred.Eq("id", 1500L))).count() == 0)
+    assert(Layout.snapshotRead(spark, dir,
+      prune = Some(Layout.StatPred.Eq("id", 777L))).count() == 1)
+    // compaction re-collects blooms for the coalesced files
+    Layout.compactSnapshot(spark, dir, targetBytes = 64L << 20)
+    val afterComp = Layout.snapshotFiles(spark, dir)
+    assert(afterComp.forall(_.blooms.contains("id")))
+    assert(Layout.snapshotRead(spark, dir,
+      prune = Some(Layout.StatPred.Eq("id", 777L))).count() == 1)
+  }
+
+  test("mergeInto: stats-bounded rewrite, untouched files byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val target = (1L to 800L).map(i => (i, s"v$i", i % 7))
+      .toDF("id", "v", "g")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    Layout.snapshotWrite(target, dir, statsCols = Seq("id"))
+    val before = Layout.snapshotFiles(spark, dir)
+    val bytesBefore = before.map(e => e.path ->
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/${e.path}")).toSeq).toMap
+    // a NARROW CDC batch: keys 190..215 (update evens, delete 200-209,
+    // insert 2000/2001) — the id box touches only 1-2 of 8 range files
+    val src = ((190L to 215L).map { i =>
+      val op = if (i >= 200 && i <= 209) "D"
+               else if (i % 2 == 0) "U" else "SKIP"
+      (i, s"upd$i", i % 7, op)
+    }.filter(_._4 != "SKIP") ++ Seq((2000L, "new0", 0L, "I"),
+      (2001L, "new1", 1L, "I")))
+      .toDF("id", "v", "g", "_op")
+    val (_, rewritten) = Layout.mergeInto(spark, dir, src, Seq("id"),
+      deleteWhen = Some(col("_op") === "D"))
+    assert(rewritten <= 2, s"stats should bound the rewrite, got $rewritten")
+    val after = Layout.snapshotFiles(spark, dir)
+    // untouched files reused verbatim — same path, same bytes
+    val reused = after.map(_.path).toSet intersect before.map(_.path).toSet
+    assert(reused.size == before.size - rewritten)
+    reused.foreach { p =>
+      assert(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/$p")).toSeq == bytesBefore(p),
+        s"untouched file $p was rewritten")
+    }
+    val out = Layout.snapshotRead(spark, dir)
+      .as[(Long, String, Long)].collect().toMap2
+    // updates replaced, deletes gone, inserts present, rest carried
+    assert(out(190L) == "upd190" && out(214L) == "upd214")
+    (200L to 209L).foreach(i => assert(!out.contains(i), s"$i not deleted"))
+    assert(out(2000L) == "new0" && out(2001L) == "new1")
+    assert(out(191L) == "v191" && out(1L) == "v1" && out(800L) == "v800")
+    // counts: 800 - 10 deleted + 2 inserted
+    assert(out.size == 792)
+    // the CDC marker column must not leak into the table
+    assert(!Layout.snapshotRead(spark, dir, mergeSchema = true)
+      .columns.contains("_op"))
+    // a delete marker for an ABSENT key is a no-op
+    val src2 = Seq((99999L, "x", 0L, "D")).toDF("id", "v", "g", "_op")
+    Layout.mergeInto(spark, dir, src2, Seq("id"),
+      deleteWhen = Some(col("_op") === "D"))
+    assert(Layout.snapshotRead(spark, dir).count() == 792)
+  }
+
+  private implicit class PairsToMap(
+      val xs: Array[(Long, String, Long)]) {
+    def toMap2: Map[Long, String] = xs.map(t => t._1 -> t._2).toMap
+  }
+
+  test("consumeSnapshots: ordered exactly-once offsets, resume picks up only new commits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_consume").toString
+    val ck = s"$dir/_ck"
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"v$i")).toDF("id", "v")
+    Layout.snapshotAppend(batch(1, 100), dir)
+    Layout.snapshotAppend(batch(101, 200), dir)
+    var seen = Vector.empty[(Long, Set[Long])]
+    val n1 = graft.streaming.TableStreams.consumeSnapshots(spark, dir, ck) {
+      (df, sid) => seen :+= (sid, df.select("id").as[Long].collect().toSet)
+    }
+    assert(n1 == 2)
+    assert(seen.map(_._1) == Vector(1L, 2L), "snapshots must arrive in order")
+    assert(seen(0)._2 == (1L to 100L).toSet)
+    assert(seen(1)._2 == (101L to 200L).toSet)
+    // drained: nothing new, nothing processed
+    assert(graft.streaming.TableStreams.consumeSnapshots(spark, dir, ck) {
+      (_, _) => fail("no snapshot should be delivered")
+    } == 0)
+    // resume: only the commit since the last consume is delivered
+    Layout.snapshotAppend(batch(201, 250), dir)
+    seen = Vector.empty
+    val n2 = graft.streaming.TableStreams.consumeSnapshots(spark, dir, ck) {
+      (df, sid) => seen :+= (sid, df.select("id").as[Long].collect().toSet)
+    }
+    assert(n2 == 1 && seen.head._1 == 3L)
+    assert(seen.head._2 == (201L to 250L).toSet)
+    // a FRESH checkpoint replays from the beginning (offsets are
+    // per-lineage, like the sink's markers)
+    var total = 0L
+    graft.streaming.TableStreams.consumeSnapshots(spark, dir, s"$dir/_ck2") {
+      (df, _) => total += df.count()
+    }
+    assert(total == 250L)
+    // changes-since across a REWRITING commit: added files only
+    Layout.deleteWhere(spark, dir, Layout.StatPred.Eq("id", 150L))
+    val afterDelete = Layout.snapshotChangesSince(spark, dir, 3L)
+    // the rewritten file(s) reappear minus the deleted row; nothing
+    // from untouched files
+    assert(!afterDelete.select("id").as[Long].collect().contains(150L))
   }
 
   test("fully-pruned snapshot read plans ONE file for schema, not the table") {
