@@ -898,7 +898,7 @@ object Layout {
     // the source's key box: one bounded aggregation (2·|keys| scalars)
     val boundsRow = source.agg(
       min(col(keyCols.head)), max(col(keyCols.head)) +:
-        keyCols.tail.flatMap(c => Seq(min(col(c)), max(col(c)))): _*).head
+        keyCols.tail.flatMap(c => Seq(min(col(c)), max(col(c)))): _*).head()
     val boundPreds = keyCols.zipWithIndex.flatMap { case (c, i) =>
       (Option(boundsRow.get(2 * i)), Option(boundsRow.get(2 * i + 1))) match {
         case (Some(lo), Some(hi)) => Some(Between(c, lo, hi))
@@ -1300,6 +1300,34 @@ object Layout {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     listSnapshotIds(fs, dir).sorted.toSeq
+  }
+
+  /** The table's commit history as a DataFrame — DESCRIBE HISTORY:
+    * one row per snapshot with its commit time (the manifest rename's
+    * mtime), file count, and total row count (null when any file was
+    * written without stats). Resolved entirely from manifests — no
+    * data file opened.
+    */
+  def snapshotHistory(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    ids.sorted.map { sid =>
+      val entries = readManifestEntries(fs, dir, sid)
+      val mtime = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(dir, s"manifest-$sid.json"))
+        .getModificationTime
+      val rows =
+        if (entries.nonEmpty && entries.forall(_.rows.isDefined))
+          Some(entries.flatMap(_.rows).sum)
+        else if (entries.isEmpty) Some(0L)
+        else None
+      (sid, new java.sql.Timestamp(mtime), entries.size, rows)
+    }.toSeq
+      .toDF("snapshot_id", "committed_at", "n_files", "n_rows")
   }
 
   /** The rows ADDED between two snapshots — every row in a data file

@@ -270,9 +270,9 @@ object Layout {
         base, statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
       // explicit floor: DuckDB ROUNDS double→BIGINT casts while Spark
       // truncates — floor() agrees on both engines
-      val half = docs.agg(floor(max(col("doc_id")) / 2)).head.getLong(0)
+      val half = docs.agg(floor(max(col("doc_id")) / 2)).head().getLong(0)
       val probe = docs.filter(col("doc_id") <= half)
-        .agg(max(col("doc_id"))).head.getLong(0)
+        .agg(max(col("doc_id"))).head().getLong(0)
       L.snapshotRead(s, base, prune = Some(L.StatPred.Eq("doc_id", probe)))
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
     },
@@ -360,6 +360,30 @@ object Layout {
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
     },
 
+    // Incrementally-maintained view over the table feed (q249): the
+    // q245 consumption loop COMPOSED with q186's delta algebra — each
+    // consumed snapshot folds into a per-source (count, sum) view in
+    // O(|delta|), never a recompute. The oracle recomputes the view
+    // from the whole corpus, so equality proves the fold chain (three
+    // folds at sf gen: empty view → batch-0 → +batch-1 → +batch-2).
+    "q249_incremental_mv" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapmv")
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      (0L to 2L).foreach { m =>
+        L.snapshotAppend(docs.filter(col("doc_id") % 3 === m), base)
+      }
+      var view = docs.limit(0).groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total"))
+      graft.streaming.TableStreams.consumeSnapshots(s, base, s"$base/_ckpt") {
+        (delta, _) =>
+          val changes = delta.select(lit("I").as("op"), col("source"),
+            lit(null).cast("long").as("v_old"), col("n_chars").as("v_new"))
+          view = L.deltaAggMaintain(view, changes,
+            "source", "op", "v_old", "v_new").localCheckpoint()
+      }
+      view
+    },
+
     // Streaming snapshot sink (q229): micro-batches committed as atomic
     // table snapshots (one snapshotAppend per batch, idempotent under
     // foreachBatch replay via batch markers) — the Delta-style streaming
@@ -441,6 +465,10 @@ object Layout {
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
     "q245_incremental_consume" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
+    "q249_incremental_mv" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS total
+         FROM documents GROUP BY source""",
     "q244_merge_into" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars, lang FROM (
            SELECT doc_id, text || '!' AS text, n_chars + 1 AS n_chars, lang

@@ -242,6 +242,26 @@ object Web {
         .select(col("id").as("doc_id"), col("label"))
     },
 
+    // Personalized PageRank (q250): teleport restricted to the
+    // doc_id % 50 == 0 seed set over q175's graph — rank concentrates
+    // around seeds and decays with link distance (TrustRank's seeded
+    // quality prior). The oracle unrolls the seeded update rule per
+    // round, so the personalization vector, init, and decay are all
+    // under the hash.
+    "q250_personalized_pagerank" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).cast("long").as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n"),
+          explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .filter(col("j") <= lit(1) + col("doc_id") % 3)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + col("j") * 7) % col("n")).as("dst"))
+      graft.operators.Graph.personalizedPageRank(docs, edges,
+        seeds = docs.filter(col("doc_id") % 50 === 0), idCol = "doc_id")
+        .select(col("id").as("doc_id"), round(col("r"), 8).as("rank"))
+    },
+
     // Multi-source BFS (q247): hop distances from a sparse seed set
     // (doc_id % 97 == 0) over the ring+chord graph, depth-capped at 4 —
     // nodes first reached deeper (or never) are ABSENT, pinning the
@@ -305,6 +325,35 @@ object Web {
                FROM e JOIN r${i - 1} p ON e.src = p.id
                       JOIN deg ON deg.src = e.src
                GROUP BY e.dst) s ON d.doc_id = s.dst)"""
+      }
+    s"WITH ${ctes.mkString(",\n")}\n" +
+      s"SELECT id AS doc_id, round(r, 8) AS rank FROM r$iterations"
+  }
+
+  /** q250's oracle: the seeded update rule unrolled — p(v) = 1/|S| on
+    * seeds else 0, r₀ = p, rᵢ = 0.15·p + 0.85·Σ in-contributions.
+    */
+  private def pprOracle(iterations: Int): String = {
+    val ctes = Seq(
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)",
+      """e AS (SELECT d.doc_id AS src, (d.doc_id * 31 + j.j * 7) % nn.n AS dst
+              FROM documents d, nn, (VALUES (1), (2), (3)) AS j(j)
+              WHERE j.j <= 1 + d.doc_id % 3)""",
+      "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1)",
+      """sc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents
+              WHERE doc_id % 50 = 0)""",
+      """p AS (SELECT d.doc_id AS id,
+            CASE WHEN d.doc_id % 50 = 0 THEN 1.0 / sc.c ELSE 0.0 END AS p
+          FROM documents d, sc)""",
+      "r0 AS (SELECT id, p AS r FROM p)") ++
+      (1 to iterations).map { i =>
+        s"""r$i AS (SELECT p.id AS id,
+               0.15 * p.p + 0.85 * COALESCE(s.c, 0.0) AS r
+             FROM p LEFT JOIN (
+               SELECT e.dst AS dst, SUM(q.r / deg.outdeg) AS c
+               FROM e JOIN r${i - 1} q ON e.src = q.id
+                      JOIN deg ON deg.src = e.src
+               GROUP BY e.dst) s ON p.id = s.dst)"""
       }
     s"WITH ${ctes.mkString(",\n")}\n" +
       s"SELECT id AS doc_id, round(r, 8) AS rank FROM r$iterations"
@@ -461,6 +510,7 @@ object Web {
          GROUP BY l.doc_id""",
     "q175_pagerank" -> pageRankOracle(5),
     "q246_label_propagation" -> lpaOracle(3),
+    "q250_personalized_pagerank" -> pprOracle(5),
     // q247: depth-bounded recursive BFS — min hop count per reached
     // node; UNION (not UNION ALL) dedups (node, d) pairs so the
     // recursion is frontier-sized, not path-counting.

@@ -50,6 +50,41 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $got")
   }
 
+  private def refPersonalized(n: Int, edges: Seq[(Long, Long)],
+                              seeds: Set[Long], iters: Int,
+                              d: Double): Map[Long, Double] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val p = (0 until n).map(i =>
+      i.toLong -> (if (seeds(i.toLong)) 1.0 / seeds.size else 0.0)).toMap
+    var r = p
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        r(u) / out(u) }.sum).toMap
+      r = (0 until n).map { i =>
+        i.toLong -> ((1 - d) * p(i.toLong) + d * in.getOrElse(i.toLong, 0.0))
+      }.toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank matches the seeded reference; mass stays near seeds") {
+    import spark.implicits._
+    // path 0->1->2->3 plus a disconnected pair 10->11; seed = {0}
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+    val nodes = (Seq(0L, 1L, 2L, 3L, 10L, 11L)).toDF("id")
+    val seeds = Seq(0L).toDF("id")
+    val got = Graph.personalizedPageRank(nodes, edges.toDF("src", "dst"),
+      seeds, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exp = refPersonalized(4, edges.take(3), Set(0L), 5, 0.85)
+    Seq(0L, 1L, 2L, 3L).foreach(id =>
+      assert(math.abs(got(id) - exp(id)) < 1e-12, s"node $id"))
+    // nodes unreachable from the seed set hold ZERO personalized rank
+    assert(got(10L) == 0.0 && got(11L) == 0.0)
+    // rank decays with distance from the seed along the path
+    assert(got(0L) > got(1L) && got(1L) > got(2L) && got(2L) > got(3L))
+  }
+
   test("labelPropagation: two planted cliques converge to two labels, ties go small") {
     import spark.implicits._
     // two K4 cliques {0..3} and {10..13} joined by ONE bridge edge —

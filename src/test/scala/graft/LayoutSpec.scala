@@ -959,6 +959,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(!afterDelete.select("id").as[Long].collect().contains(150L))
   }
 
+  test("snapshotHistory: one row per commit, metadata-only row counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    Layout.snapshotWrite((1L to 100L).toDF("id").repartition(2), dir,
+      statsCols = Seq("id"))
+    Layout.snapshotAppend((101L to 150L).toDF("id").repartition(1), dir)
+    Layout.deleteWhere(spark, dir, Layout.StatPred.Eq("id", 120L))
+    val hist = Layout.snapshotHistory(spark, dir)
+      .orderBy("snapshot_id")
+      .as[(Long, java.sql.Timestamp, Int, Option[Long])].collect()
+    assert(hist.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(hist(0)._4.contains(100L))
+    assert(hist(1)._4.contains(150L))
+    assert(hist(2)._4.contains(149L), s"post-delete count: ${hist(2)._4}")
+    assert(hist(1)._3 == hist(0)._3 + 1, "append adds one file")
+    // commit times are monotonic
+    assert(hist.sliding(2).forall(w => !w(1)._2.before(w(0)._2)))
+  }
+
   test("fully-pruned snapshot read plans ONE file for schema, not the table") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_emptyprune").toString
