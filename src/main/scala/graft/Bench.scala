@@ -78,8 +78,15 @@ object Bench {
   private val headlineR8 = Seq(
     "q222_stats_pruned_read", "q232_span_corruption", "q234_cluster_split")
 
+  /** r9 additions: the bloom-pruned point lookup (fixture write + NDV
+    * sizing + lookup, end-to-end), the three-way MERGE commit, and the
+    * iterative label-propagation rounds — the round's heavy new shapes.
+    */
+  private val headlineR9 = Seq(
+    "q243_bloom_pruned_read", "q244_merge_into", "q246_label_propagation")
+
   private val headline =
-    headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8
+    headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9
 
   /** 1/5/15-minute load averages as a JSON array ("[]" off-Linux). */
   private def loadavg(): String =

@@ -83,6 +83,33 @@ object BenchLayout {
     println(s"""{"probe":"stats_pruned","files_opened":$prunedFiles,"rows":$nPruned,"sec":${r3(tPruned)}}""")
     println(s"""{"probe":"count_star_scan","files_opened":$allFiles,"rows":$c1,"sec":${r3(tCountScan)}}""")
     println(s"""{"probe":"count_star_metadata","files_opened":0,"rows":$c2,"sec":${r3(tCountMeta)}}""")
+
+    // ---- manifest blooms: point lookup on a HASH-SCATTERED key ----
+    // ids scattered across 64 files by an unrelated hash: every file's
+    // [min,max] spans ~the whole id domain, so range stats keep all 64
+    // files and the bloom tier is the ONLY planning-time pruner.
+    val bDir = java.nio.file.Files.createTempDirectory("graft_benchbloom").toString
+    spark.range(n)
+      .select(col("id"), md5(col("id").cast("string")).as("payload"))
+      .repartition(64, col("payload"))
+      .write.mode("overwrite").parquet(s"$bDir/raw") // just to reuse files
+    Layout.snapshotWrite(
+      spark.read.parquet(s"$bDir/raw"), bDir,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    Layout.snapshotRead(spark, bDir).count() // warm
+    val probeId = 1234567L
+    val eq = Layout.StatPred.Eq("id", probeId)
+    val bloomKept = Layout.snapshotFiles(spark, bDir,
+      prune = Some(eq)).size
+    val (tPoint, nPoint) = timed(
+      Layout.snapshotRead(spark, bDir)
+        .filter(Layout.toColumn(eq)).count())
+    val (tBloom, nBloom) = timed(
+      Layout.snapshotRead(spark, bDir, prune = Some(eq)).count())
+    assert(nPoint == nBloom && nPoint == 1L,
+      s"bloom pruning changed the answer: $nPoint vs $nBloom")
+    println(s"""{"probe":"point_lookup_scan","files_opened":64,"rows":$nPoint,"sec":${r3(tPoint)}}""")
+    println(s"""{"probe":"point_lookup_bloom","files_opened":$bloomKept,"rows":$nBloom,"sec":${r3(tBloom)}}""")
     spark.stop()
   }
 }

@@ -805,6 +805,63 @@ object Layout {
     (snapId, entries.size, names.length)
   }
 
+  /** OPTIMIZE-style clustering rewrite of a manifest-committed table —
+    * Delta/Iceberg's `OPTIMIZE [ZORDER BY]` inside the snapshot
+    * contract: the table's current content is re-laid-out along the
+    * given dimensions (one dim → range-sorted linear clustering;
+    * several → Morton z-order interleave, [[zValue]]) and committed as
+    * a new snapshot with stats and blooms RE-COLLECTED, so manifest
+    * min/max go from domain-wide (post-append fragmentation) back to
+    * tight and every subsequent pruned read pays fewer file opens.
+    * Content-neutral like compaction; the pre-rewrite snapshot
+    * time-travels until vacuum. Returns the new snapshot id.
+    *
+    * Scale shape: one range exchange on the cluster key (+ the narrow
+    * z-value projection) and a partition-local sort — the standard
+    * one-time layout job every subsequent scan amortizes; `zBits`
+    * bounds the interleave budget per dimension.
+    */
+  def optimizeClustered(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, dims: Seq[String],
+                        numFiles: Int = 0, zBits: Int = 16): Long = {
+    require(dims.nonEmpty, "optimizeClustered needs at least one dimension")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val entries = readManifestEntries(fs, dir, ids.max)
+    val snapId = ids.max + 1L
+    val n = if (numFiles > 0) numFiles else math.max(1, entries.size)
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(entries.map(e => s"$dir/${e.path}"): _*)
+    val clustered =
+      if (dims.size == 1)
+        base.repartitionByRange(n, col(dims.head))
+          .sortWithinPartitions(dims.head)
+      else {
+        val z = zValue(dims.map(c => (col(c), zBits)))
+        base.withColumn("_graft_z", z)
+          .repartitionByRange(n, col("_graft_z"))
+          .sortWithinPartitions("_graft_z")
+          .drop("_graft_z")
+      }
+    val dataDir = s"$dir/data/snap-$snapId"
+    clustered.write.mode("overwrite").parquet(dataDir)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    val statsCols = entries.flatMap(_.stats.keys).distinct
+    val bCols = entries.flatMap(_.blooms.keys).distinct
+    val stats =
+      if (statsCols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
+      else collectFileStats(spark, dataDir, statsCols)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
+      else collectFileBlooms(spark, dataDir, bCols)
+    writeManifest(fs, dir, snapId, names.toIndexedSeq.map(nm =>
+      entryFor(s"data/snap-$snapId", nm, stats, blooms)))
+    snapId
+  }
+
   /** Row-level DELETE on a manifest-committed table — the takedown /
     * right-to-be-forgotten operation every corpus store needs. Commits
     * a NEW snapshot whose manifest reuses every file the stats prove

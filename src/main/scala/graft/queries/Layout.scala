@@ -277,6 +277,24 @@ object Layout {
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
     },
 
+    // OPTIMIZE clustering rewrite (q251): a fragmented table (eight
+    // hash-scattered appends — every file's n_chars range spans the
+    // whole domain) re-laid-out by optimizeClustered; content must
+    // hash unchanged, and LayoutSpec pins that a band prune which kept
+    // ALL files before the rewrite keeps a strict minority after.
+    "q251_optimize_rewrite" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapopt")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      (0L to 3L).foreach { m =>
+        L.snapshotAppend(docs.filter(col("doc_id") % 4 === m)
+          .repartition(2, md5(col("text"))), base,
+          statsCols = Seq("n_chars"))
+      }
+      L.optimizeClustered(s, base, Seq("n_chars"))
+      L.snapshotRead(s, base)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
+    },
+
     // MERGE INTO (q244): one CDC batch — updates (%10==3, text+'!'),
     // inserts (re-keyed %13==0), delete markers (%10==7) — applied in
     // ONE snapshot commit through the stats-bounded rewrite. The oracle
@@ -464,6 +482,8 @@ object Layout {
     "q227_snapshot_append" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
     "q245_incremental_consume" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
+    "q251_optimize_rewrite" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
     "q249_incremental_mv" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n,

@@ -978,6 +978,43 @@ class LayoutSpec extends AnyFunSuite {
     assert(hist.sliding(2).forall(w => !w(1)._2.before(w(0)._2)))
   }
 
+  test("optimizeClustered: fragmented ranges become tight, blooms survive, content neutral") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_opt").toString
+    // four appends, each hash-scattered: every file's id range spans
+    // ~the whole domain
+    (0L to 3L).foreach { m =>
+      Layout.snapshotAppend(
+        (1L to 2000L).filter(_ % 4 == m).map(i => (i, s"v$i")).toDF("id", "v")
+          .repartition(2, md5(col("v"))),
+        dir, statsCols = Seq("id"), bloomCols = Seq("id"))
+    }
+    val band = Layout.StatPred.Between("id", 100L, 200L)
+    val keptBefore = Layout.snapshotFiles(spark, dir, prune = Some(band)).size
+    val totalBefore = Layout.snapshotFiles(spark, dir).size
+    assert(keptBefore == totalBefore, "fragmented ranges should not prune")
+    val hashBefore = Layout.snapshotRead(spark, dir)
+      .agg(sum(conv(md5(concat_ws("|", col("id"), col("v")))
+        .substr(1, 8), 16, 10).cast("long"))).head().getLong(0)
+    Layout.optimizeClustered(spark, dir, Seq("id"))
+    val after = Layout.snapshotFiles(spark, dir)
+    val keptAfter = Layout.snapshotFiles(spark, dir, prune = Some(band)).size
+    assert(keptAfter * 2 < after.size,
+      s"rewrite should make the band prune: $keptAfter of ${after.size}")
+    // content-neutral
+    val hashAfter = Layout.snapshotRead(spark, dir)
+      .agg(sum(conv(md5(concat_ws("|", col("id"), col("v")))
+        .substr(1, 8), 16, 10).cast("long"))).head().getLong(0)
+    assert(hashAfter == hashBefore)
+    assert(Layout.snapshotRead(spark, dir).count() == 2000)
+    // blooms re-collected on the rewritten files
+    assert(after.forall(_.blooms.contains("id")))
+    assert(Layout.snapshotRead(spark, dir,
+      prune = Some(Layout.StatPred.Eq("id", 777L))).count() == 1)
+    // pre-rewrite snapshot still time-travels
+    assert(Layout.snapshotRead(spark, dir, snapshotId = 4L).count() == 2000)
+  }
+
   test("fully-pruned snapshot read plans ONE file for schema, not the table") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_emptyprune").toString
