@@ -301,7 +301,7 @@ object Layout {
     * None = cannot decide the rendering (bloom silently ignored —
     * range stats still apply).
     */
-  private def bloomProbeHash(v: Any, tpe: String): Option[Long] = {
+  private[graft] def bloomProbeHash(v: Any, tpe: String): Option[Long] = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     def asLong: Option[Long] = v match {
@@ -1358,6 +1358,58 @@ object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     listSnapshotIds(fs, dir).sorted.toSeq
   }
+
+  /** min/max/count answered from the MANIFEST ALONE — the
+    * metadata-only aggregate pushdown ([[snapshotCount]]'s sibling for
+    * extremes): per-file min/max stats are exact for numeric, date,
+    * and timestamp columns (strings may be truncated bounds, so they
+    * are refused rather than silently wrong), so the table-wide
+    * extremes are a fold over manifest entries — zero data files
+    * opened, zero tasks, O(files) driver work at ANY data scale.
+    * All-null files (no bounds) are skipped, as min/max ignores nulls.
+    * Errors loudly if any file lacks stats for the column or any row
+    * count is missing — falling back to a silent full scan would
+    * defeat the contract.
+    *
+    * Returns one row: (min_<col>, max_<col>, n_rows), typed via a cast
+    * through the recorded catalog type.
+    */
+  def snapshotMinMax(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, column: String,
+                     snapshotId: Long = -1L): DataFrame = {
+    val entries = snapshotFiles(spark, dir, snapshotId)
+    require(entries.nonEmpty, s"empty snapshot under $dir")
+    require(entries.forall(_.stats.contains(column)),
+      s"column $column lacks manifest stats on some files — " +
+        "metadata aggregate unavailable")
+    require(entries.forall(_.rows.isDefined),
+      "row counts missing from some manifest entries")
+    val tpe = entries.head.stats(column).tpe
+    require(numericType(tpe) || tpe == "date" ||
+      tpe == "timestamp" || tpe == "timestamp_ntz",
+      s"metadata min/max exact only for numeric/date/timestamp " +
+        s"columns; $column is $tpe (string bounds may be truncated)")
+    val bounds = entries.flatMap { e =>
+      val st = e.stats(column)
+      for {mn <- st.min; mx <- st.max} yield (mn, mx)
+    }
+    require(bounds.nonEmpty, s"all files all-null for $column")
+    val mn = bounds.map(_._1).minBy(v => cmpKey(v, tpe))
+    val mx = bounds.map(_._2).maxBy(v => cmpKey(v, tpe))
+    val n = entries.flatMap(_.rows).sum
+    spark.range(1).select(
+      lit(mn).cast(tpe).as(s"min_$column"),
+      lit(mx).cast(tpe).as(s"max_$column"),
+      lit(n).as("n_rows"))
+  }
+
+  /** Orderable key for a stat string under its catalog type — reuses
+    * the exact [[cmp]] domains (BigDecimal / epoch micros / days).
+    */
+  private def cmpKey(v: String, tpe: String): BigDecimal =
+    if (numericType(tpe)) BigDecimal(v)
+    else if (tpe == "date") BigDecimal(toDays(v))
+    else BigDecimal(toMicros(v))
 
   /** The table's commit history as a DataFrame — DESCRIBE HISTORY:
     * one row per snapshot with its commit time (the manifest rename's

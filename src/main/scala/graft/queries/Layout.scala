@@ -277,6 +277,19 @@ object Layout {
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
     },
 
+    // Metadata-only min/max (q252): the table-wide extremes and row
+    // count answered from the MANIFEST alone — zero data files opened,
+    // zero tasks (snapshotCount's sibling for extremes; exact because
+    // numeric stats are never truncated). The oracle computes the same
+    // aggregates the hard way.
+    "q252_metadata_minmax" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapmeta")
+      L.snapshotWrite(Tables.documents(s, d)
+        .select("doc_id", "n_chars").repartition(8), base,
+        statsCols = Seq("n_chars"))
+      L.snapshotMinMax(s, base, "n_chars")
+    },
+
     // OPTIMIZE clustering rewrite (q251): a fragmented table (eight
     // hash-scattered appends — every file's n_chars range spans the
     // whole domain) re-laid-out by optimizeClustered; content must
@@ -485,6 +498,11 @@ object Layout {
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
     "q251_optimize_rewrite" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
+    "q252_metadata_minmax" ->
+      """SELECT CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+              CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+              CAST(count(*) AS BIGINT) AS n_rows
+         FROM documents""",
     "q249_incremental_mv" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n,
               CAST(sum(n_chars) AS BIGINT) AS total

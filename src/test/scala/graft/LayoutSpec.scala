@@ -831,6 +831,45 @@ class LayoutSpec extends AnyFunSuite {
     assert(inOut.count() == 2)
   }
 
+  test("bloom probe hash equals Spark's codegen'd xxhash64 for every supported type") {
+    import spark.implicits._
+    // the whole bloom contract rests on this parity: the build side
+    // hashes with the xxhash64 EXPRESSION, probes replay driver-side
+    val rng = new scala.util.Random(11)
+    val longs = Seq(0L, -1L, Long.MaxValue, Long.MinValue) ++
+      Seq.fill(40)(rng.nextLong())
+    val sparkLongs = longs.toDF("v").select(col("v"), xxhash64(col("v")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    longs.foreach { v =>
+      assert(Layout.bloomProbeHash(v, "bigint").contains(sparkLongs(v)),
+        s"long $v")
+    }
+    val strs = Seq("", "a", "héllo wörld", "😀 emoji",
+      "x" * 300) ++ Seq.fill(40)(rng.nextString(rng.nextInt(30)))
+    val sparkStrs = strs.distinct.toDF("v")
+      .select(col("v"), xxhash64(col("v")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.distinct.foreach { v =>
+      assert(Layout.bloomProbeHash(v, "string").contains(sparkStrs(v)),
+        s"string ${v.take(20)}")
+    }
+    val ints = Seq(0, -1, Int.MaxValue, Int.MinValue) ++
+      Seq.fill(20)(rng.nextInt())
+    val sparkInts = ints.toDF("v").select(col("v"), xxhash64(col("v")).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    ints.foreach { v =>
+      // probes arrive as Long from StatPred literals; coercion must
+      // land on the int hash, not the long hash
+      assert(Layout.bloomProbeHash(v.toLong, "int").contains(sparkInts(v)),
+        s"int $v")
+    }
+    // out-of-range coercions and unsupported types never prune
+    // (None -> mightContain defaults to true)
+    assert(Layout.bloomProbeHash(Long.MaxValue, "int").isEmpty)
+    assert(Layout.bloomProbeHash(3.14, "bigint").isEmpty)
+    assert(Layout.bloomProbeHash("abc", "double").isEmpty)
+  }
+
   test("blooms survive append, delete, and compaction maintenance") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom2").toString
@@ -957,6 +996,27 @@ class LayoutSpec extends AnyFunSuite {
     // the rewritten file(s) reappear minus the deleted row; nothing
     // from untouched files
     assert(!afterDelete.select("id").as[Long].collect().contains(150L))
+  }
+
+  test("snapshotMinMax: exact from manifest; strings and statless columns refuse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    val df = Seq((5L, "a", 3.5), (-17L, "z", 9.25), (40L, "m", -2.0))
+      .toDF("id", "s", "x").repartition(3)
+    Layout.snapshotWrite(df, dir, statsCols = Seq("id", "s", "x"))
+    val r = Layout.snapshotMinMax(spark, dir, "id").head()
+    assert(r.getLong(0) == -17L && r.getLong(1) == 40L && r.getLong(2) == 3L)
+    // doubles too (numeric domain, exact)
+    val rx = Layout.snapshotMinMax(spark, dir, "x").head()
+    assert(rx.getDouble(0) == -2.0 && rx.getDouble(1) == 9.25)
+    // strings refuse: bounds may be truncated, silence would be wrong
+    intercept[IllegalArgumentException](
+      Layout.snapshotMinMax(spark, dir, "s"))
+    // statless column refuses rather than scanning
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_mm2").toString
+    Layout.snapshotWrite(df, dir2)
+    intercept[IllegalArgumentException](
+      Layout.snapshotMinMax(spark, dir2, "id"))
   }
 
   test("snapshotHistory: one row per commit, metadata-only row counts") {
