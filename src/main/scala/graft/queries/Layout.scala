@@ -415,6 +415,32 @@ object Layout {
       view
     },
 
+    // Medallion bronze→silver pipeline (q254): the full incremental
+    // table-to-table path — bronze ingested in three append commits,
+    // tailed by the checkpointed consumer, each delta TRANSFORMED
+    // (lang gate + derived column) and committed to the silver table
+    // as its own atomic append. Exactly-once downstream materializes
+    // as "silver == transform(bronze)" — the oracle recomputes silver
+    // from scratch, so duplicated or dropped deltas break the hash.
+    "q254_medallion_pipeline" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapmedal")
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars", "lang")
+      val bronze = s"$base/bronze"
+      val silver = s"$base/silver"
+      (0L to 2L).foreach { m =>
+        L.snapshotAppend(docs.filter(col("doc_id") % 3 === m), bronze)
+      }
+      graft.streaming.TableStreams.consumeSnapshots(s, bronze, s"$base/_ckpt") {
+        (delta, _) =>
+          L.snapshotAppend(delta.filter(col("lang").isin("en", "de"))
+            .select(col("doc_id"), md5(col("text")).as("text_md5"),
+              floor(col("n_chars") / 100).cast("int").as("len_bucket"),
+              col("lang")), silver)
+      }
+      L.snapshotRead(s, silver)
+    },
+
     // Streaming snapshot sink (q229): micro-batches committed as atomic
     // table snapshots (one snapshotAppend per batch, idempotent under
     // foreachBatch replay via batch markers) — the Delta-style streaming
@@ -503,6 +529,10 @@ object Layout {
               CAST(max(n_chars) AS BIGINT) AS max_n_chars,
               CAST(count(*) AS BIGINT) AS n_rows
          FROM documents""",
+    "q254_medallion_pipeline" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+              CAST(floor(n_chars / 100) AS INTEGER) AS len_bucket, lang
+         FROM documents WHERE lang IN ('en', 'de')""",
     "q249_incremental_mv" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n,
               CAST(sum(n_chars) AS BIGINT) AS total

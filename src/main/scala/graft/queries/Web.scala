@@ -283,6 +283,24 @@ object Web {
         .select(col("id").as("doc_id"), col("dist"))
     },
 
+    // k-core peeling (q253): four synchronous peel rounds at k=3 over
+    // the variable-degree q175 graph — low-degree fringe drops first,
+    // cascades settle toward the dense core (the link-farm/community-
+    // core signal). The oracle unrolls every round: degree HAVING gate
+    // then the double semi-join edge restriction.
+    "q253_kcore" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).cast("long").as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n"),
+          explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .filter(col("j") <= lit(1) + col("doc_id") % 3)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + col("j") * 7) % col("n")).as("dst"))
+      graft.operators.Graph.kCore(edges, k = 3, rounds = 4)
+        .select(col("id").as("doc_id"), col("degree"))
+    },
+
     // Triangle counting (q181): per-node triangle membership on an
     // undirected graph (ring + chord edges guarantee triangles; a hash
     // edge family adds irregular degree). The engine runs the
@@ -387,6 +405,29 @@ object Web {
        l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym),
        $rounds
        SELECT node AS doc_id, label FROM r$iterations"""
+  }
+
+  /** q253's oracle: the synchronous peel rounds unrolled — each round
+    * a HAVING degree gate plus the double semi-join edge restriction.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { r =>
+      s"""n$r AS MATERIALIZED (
+           SELECT u FROM sym${r - 1} GROUP BY u HAVING count(*) >= $k),
+         sym$r AS MATERIALIZED (
+           SELECT s.u, s.v FROM sym${r - 1} s
+           JOIN n$r a ON s.u = a.u JOIN n$r b ON s.v = b.u)"""
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       e AS (SELECT d.doc_id AS src, (d.doc_id * 31 + j.j * 7) % nn.n AS dst
+             FROM documents d, nn, (VALUES (1), (2), (3)) AS j(j)
+             WHERE j.j <= 1 + d.doc_id % 3),
+       sym0 AS MATERIALIZED (
+         SELECT src AS u, dst AS v FROM e WHERE src <> dst
+         UNION SELECT dst, src FROM e WHERE src <> dst),
+       $peels
+       SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS degree
+       FROM sym$rounds GROUP BY u"""
   }
 
   private val BlockPatterns =
@@ -511,6 +552,7 @@ object Web {
     "q175_pagerank" -> pageRankOracle(5),
     "q246_label_propagation" -> lpaOracle(3),
     "q250_personalized_pagerank" -> pprOracle(5),
+    "q253_kcore" -> kCoreOracle(3, 4),
     // q247: depth-bounded recursive BFS — min hop count per reached
     // node; UNION (not UNION ALL) dedups (node, d) pairs so the
     // recursion is frontier-sized, not path-counting.

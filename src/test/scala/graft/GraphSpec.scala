@@ -136,6 +136,26 @@ class GraphSpec extends AnyFunSuite {
     assert(got3 == Map(100L -> 0, 101L -> 1))
   }
 
+  test("kCore: cascade peels the tail, core survives with within-core degrees") {
+    import spark.implicits._
+    // K4 core {0..3} with a pendant chain 3-20-21: degree-1 nodes 21
+    // then 20 peel in CASCADE (k=2, two rounds needed); the K4 keeps
+    // within-core degree 3
+    val k4 = for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong)
+    val chain = Seq((3L, 20L), (20L, 21L))
+    val edges = (k4 ++ chain).toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $got")
+    // one round only: 21 peels but 20 still had degree 2 at round
+    // start — synchronous semantics
+    val oneRound = Graph.kCore(edges, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(oneRound == Set(0L, 1L, 2L, 3L, 20L), s"got $oneRound")
+    // k above the max degree empties the graph
+    assert(Graph.kCore(edges, k = 10, rounds = 4).count() == 0)
+  }
+
   test("pageRank on a cycle is uniform (mass conserved, no dangling)") {
     import spark.implicits._
     val nodes = (0L to 4L).toDF("id")
