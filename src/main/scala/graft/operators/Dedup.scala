@@ -663,6 +663,86 @@ object Dedup {
     * Emits (id, clean_md5, n_tokens, n_cut) — digests, not the
     * rebuilt text.
     */
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — the
+    * MOSS algorithm): hash every character k-gram, slide a window of w
+    * consecutive gram hashes, and select each window's MINIMUM hash;
+    * the distinct selected hashes are the document's fingerprint set.
+    * The winnowing guarantee: any shared substring of length ≥ k+w−1
+    * between two documents yields at least one SHARED fingerprint — the
+    * partial-overlap/plagiarism detection primitive that whole-document
+    * md5 and shingle-Jaccard both miss (they need near-total overlap).
+    * Density is ~2/(w+1) of the grams, so the set is a bounded sketch.
+    *
+    * Emits one row per document: (id, n_fp, fp_sum) — the fingerprint
+    * count and hash sum, a deterministic digest of the set (overlap
+    * detection joins the exploded set; the digest keeps the oracle row
+    * per-document). Documents with fewer than k+w−1 chars have no full
+    * window and are absent, the standard boundary.
+    *
+    * Scale shape: the gram explode is bounded by total corpus chars
+    * (the [[substringDedup]] shape); the window min is per-document
+    * (partitionBy id, ROWS BETWEEN CURRENT AND w−1 FOLLOWING — a
+    * partition-local sliding pass, no global sort); the distinct +
+    * digest is one hash aggregation on (id, hash).
+    */
+  def winnowingFingerprints(docs: DataFrame, idCol: String,
+                            textCol: String, k: Int = 8,
+                            w: Int = 4, exploded: Boolean = false)
+      : DataFrame = {
+    require(k >= 2 && w >= 1, s"bad winnowing params k=$k w=$w")
+    import org.apache.spark.sql.expressions.Window
+    val len = length(col(textCol))
+    val nGrams = len - k + 1
+    val grams = docs
+      .select(col(idCol), col(textCol), nGrams.as("ng"),
+        explode(when(len >= k + w - 1,
+          sequence(lit(1), nGrams)).otherwise(array())).as("pos"))
+      .select(col(idCol), col("ng"), col("pos"),
+        conv(substring(md5(col(textCol).substr(col("pos"), lit(k))),
+          1, 8), 16, 10).cast("long").as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val sel = grams
+      .withColumn("minh", min(col("h")).over(win))
+      .filter(col("pos") <= col("ng") - w + 1) // full windows only
+      .select(col(idCol), col("minh").as("fp")).distinct()
+    if (exploded) sel // the overlap-join form
+    else sel.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"), sum(col("fp")).as("fp_sum"))
+  }
+
+  /** Document-overlap pairs from winnowing fingerprints — the
+    * detection JOIN on the [[winnowingFingerprints]] sketch: documents
+    * sharing ≥ `minShared` selected hashes are reported with their
+    * shared count (partial-overlap/plagiarism candidates that
+    * whole-doc and Jaccard dedup both miss). Fingerprints appearing in
+    * more than `maxDf` documents are dropped FIRST — boilerplate
+    * hashes would otherwise join every document against every other
+    * (the Σdf² blowup); the cap bounds the self-join fan-out exactly
+    * like the n-gram df cap in [[ngramJaccardPairs]].
+    *
+    * Scale shape: fingerprint explode (corpus-bounded), one frequency
+    * aggregation, the capped equi self-join on the hash, one pair
+    * count aggregation — no cartesian anywhere.
+    */
+  def winnowingOverlap(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, w: Int = 4, minShared: Int = 2,
+                       maxDf: Int = 20): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"bad overlap params minShared=$minShared maxDf=$maxDf")
+    val fps = winnowingFingerprints(docs, idCol, textCol, k, w,
+      exploded = true).localCheckpoint() // frequency agg + both join arms
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val gated = fps.join(rare, "fp")
+    gated.as("a").join(gated.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
                      w: Int = 20): DataFrame = {
     require(w >= 2, s"window $w too small")

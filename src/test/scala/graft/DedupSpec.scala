@@ -641,4 +641,38 @@ class DedupSpec extends AnyFunSuite {
     // shorter than the window: no grams, nothing cut
     assert(out(5L)._2 == 2 && out(5L)._3 == 0)
   }
+
+  test("winnowing: shared-substring guarantee, density bound, short docs absent") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"AAAA start padding $shared end padding one"),
+      (2L, s"completely different prefix text $shared different suffix"),
+      (3L, "no overlap with anything else at all in this one text"),
+      (4L, "tiny") // < k+w-1: absent
+    ).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup.winnowingFingerprints(
+      docs, "doc_id", "text", k = 8, w = 4, exploded = true)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // the MOSS guarantee: a shared substring of length >= k+w-1 (=11;
+    // `shared` is 51 chars) forces at least one common fingerprint
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "shared substring must share a fingerprint")
+    // disjoint docs share (almost surely) nothing
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    assert(!fps.contains(4L), "sub-window doc must be absent")
+    // density: selected set is a SKETCH — well under the gram count
+    val nGrams1 = docs.filter($"doc_id" === 1L)
+      .select(length($"text")).head().getInt(0) - 8 + 1
+    assert(fps(1L).size < nGrams1 / 2, s"${fps(1L).size} of $nGrams1")
+    // digest form agrees with the exploded set
+    val dig = graft.operators.Dedup.winnowingFingerprints(
+      docs, "doc_id", "text", k = 8, w = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    fps.foreach { case (id, set) =>
+      assert(dig(id) == ((set.size.toLong, set.sum)), s"doc $id digest")
+    }
+  }
 }
