@@ -372,6 +372,82 @@ object Corpus {
     hashSplit(clusters, "cluster_id", fractions)
   }
 
+  /** In-engine multinomial Naive Bayes over HASHED token features —
+    * the fastText-style domain/quality classifier every production
+    * corpus pipeline trains (label good-vs-junk or source domains,
+    * then gate ingestion on the prediction), expressed entirely as
+    * aggregations so training is one pass and scoring is one join:
+    *
+    *   score(d, c) = ln P(c) + Σ_{t ∈ d} ln P(bucket(t) | c)
+    *
+    * with Laplace smoothing and the hashing trick (md5-bucketed
+    * features, so the model is at most `buckets`×|classes| rows no
+    * matter the vocabulary). The smoothed term expands to
+    * ln(cnt+1) − ln(total_c + B): the second part depends only on the
+    * class and the document LENGTH, so unseen buckets contribute
+    * ln(1) = 0 through the join — missing model rows are exact, not
+    * an approximation.
+    *
+    * Returns the per-(doc, class) score matrix (`score` rounded to 6
+    * decimals — pure arithmetic, fully cross-engine replayable);
+    * [[naiveBayesClassify]] takes the argmax with a deterministic
+    * (score desc, label asc) tie order.
+    *
+    * Scale shape: train = two hash aggregations over the token
+    * explode; score = one equi-join of per-doc bucket counts against
+    * the (≤ buckets×classes)-row model + one sum aggregation; the
+    * class-stats table (|classes| rows) broadcasts. No all-pairs, no
+    * driver loop, no gradient rounds.
+    */
+  def naiveBayesScores(docs: DataFrame, idCol: String, textCol: String,
+                       labelCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    val toks = docs
+      .select(col(idCol), col(labelCol),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), col(labelCol),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("b"))
+      .localCheckpoint() // model counts, class stats, AND doc buckets
+    val nDocs = docs.count().toDouble
+    val model = toks.groupBy(col("b"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("b"), col("label"),
+        log(col("cnt") + 1.0).as("lc"))
+    val classStats = toks.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("total"))
+      .join(docs.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("nd")), "label")
+      .select(col("label"), log(col("nd") / nDocs).as("prior_ln"),
+        log(col("total") + buckets.toDouble).as("denom_ln"))
+    val docBuckets = toks.groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("m"))
+    val matched = docBuckets.join(model, "b")
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("m") * col("lc")).as("s"))
+    val nTok = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tok"))
+    docs.select(col(idCol)).join(nTok, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tok"))
+      .crossJoin(broadcast(classStats))
+      .join(matched, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        round(col("prior_ln") - col("n_tok") * col("denom_ln") +
+          coalesce(col("s"), lit(0.0)), 6).as("score"))
+  }
+
+  /** Argmax over [[naiveBayesScores]] with a deterministic tie order
+    * (higher score first, then smaller label) — (id, predicted).
+    */
+  def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
+                         labelCol: String, buckets: Int = 4096)
+      : DataFrame = {
+    val scores = naiveBayesScores(docs, idCol, textCol, labelCol, buckets)
+    scores.groupBy(col(idCol))
+      .agg(min(struct((-col("score")).as("ns"), col("label").as("l")))
+        .as("m"))
+      .select(col(idCol), col("m.l").as("predicted"))
+  }
+
   /** Fill-in-the-middle (FIM) transformation — the infilling-objective
     * prep pass for code/text models: each document splits into
     * (prefix, middle, suffix) at two DETERMINISTIC cut points (md5 of

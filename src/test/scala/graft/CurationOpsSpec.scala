@@ -270,6 +270,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("naiveBayes: planted vocabularies classify back; smoothing exact via join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two classes with disjoint vocabularies + a little shared noise
+    val good = (1L to 30L).map(i =>
+      (i, s"clean prose article paragraph sentence common$i word", "good"))
+    val junk = (31L to 60L).map(i =>
+      (i, s"spam casino pills click banner common$i word", "junk"))
+    val docs = (good ++ junk).toDF("doc_id", "text", "label")
+    val pred = Corpus.naiveBayesClassify(docs, "doc_id", "text", "label")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // self-classification on separable vocab: every doc lands right
+    (1L to 30L).foreach(i => assert(pred(i) == "good", s"doc $i"))
+    (31L to 60L).foreach(i => assert(pred(i) == "junk", s"doc $i"))
+    // score matrix: one row per (doc, class), scores strictly negative
+    val scores = Corpus.naiveBayesScores(docs, "doc_id", "text", "label")
+      .collect()
+    assert(scores.length == 120)
+    assert(scores.forall(_.getDouble(2) < 0.0))
+    // determinism
+    val again = Corpus.naiveBayesClassify(docs, "doc_id", "text", "label")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == pred)
+    // a doc whose tokens were NEVER seen still scores (smoothing-only
+    // path: matched sum = 0 for the unseen buckets, no crash, no null)
+    val withEmpty = docs.unionByName(
+      Seq((99L, "zzzz qqqq xxxx", "good")).toDF("doc_id", "text", "label"))
+    val s99 = Corpus.naiveBayesScores(withEmpty, "doc_id", "text", "label")
+      .filter(col("doc_id") === 99L).collect()
+    assert(s99.length == 2 && s99.forall(!_.isNullAt(2)))
+  }
+
   test("fimTransform: lossless three-part split, sentinels ordered, short docs pass") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
