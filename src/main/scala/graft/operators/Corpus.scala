@@ -399,16 +399,30 @@ object Corpus {
     * class-stats table (|classes| rows) broadcasts. No all-pairs, no
     * driver loop, no gradient rounds.
     */
-  def naiveBayesScores(docs: DataFrame, idCol: String, textCol: String,
-                       labelCol: String, buckets: Int = 4096): DataFrame = {
+  /** The hashed-token bucket stream shared by train and score. */
+  private def nbBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        extra: Seq[Column], buckets: Int): DataFrame =
+    docs
+      .select(col(idCol) +: extra :+
+        explode(TextFunctions.tokens(col(textCol))).as("tok"): _*)
+      .withColumn("b",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast("long") % buckets)
+      .drop("tok")
+
+  /** Train phase alone — returns (model, classStats): the
+    * (bucket, label, ln(cnt+1)) rows and the per-class
+    * (prior_ln, denom_ln) scalars. Persist these two tiny frames (≤
+    * buckets×classes + classes rows) and score any future batch or
+    * stream against them with [[naiveBayesScoreWith]] — the
+    * train-once / score-forever deployment split.
+    */
+  def naiveBayesModel(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, buckets: Int = 4096)
+      : (DataFrame, DataFrame) = {
     require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
-    val toks = docs
-      .select(col(idCol), col(labelCol),
-        explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), col(labelCol),
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10)
-          .cast("long") % buckets).as("b"))
-      .localCheckpoint() // model counts, class stats, AND doc buckets
+    val toks = nbBuckets(docs, idCol, textCol, Seq(col(labelCol)), buckets)
+      .localCheckpoint() // model counts AND class totals
     val nDocs = docs.count().toDouble
     val model = toks.groupBy(col("b"), col(labelCol).as("label"))
       .agg(count(lit(1)).as("cnt"))
@@ -420,6 +434,19 @@ object Corpus {
         .agg(count(lit(1)).as("nd")), "label")
       .select(col("label"), log(col("nd") / nDocs).as("prior_ln"),
         log(col("total") + buckets.toDouble).as("denom_ln"))
+    (model, classStats)
+  }
+
+  /** Score phase alone: the per-(doc, class) smoothed score matrix of
+    * `docs` against a trained (model, classStats) pair — label-blind,
+    * so it runs on unlabeled production batches (and inside
+    * foreachBatch for streams).
+    */
+  def naiveBayesScoreWith(docs: DataFrame, idCol: String, textCol: String,
+                          model: DataFrame, classStats: DataFrame,
+                          buckets: Int = 4096): DataFrame = {
+    val toks = nbBuckets(docs, idCol, textCol, Nil, buckets)
+      .localCheckpoint() // doc buckets AND per-doc token counts
     val docBuckets = toks.groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("m"))
     val matched = docBuckets.join(model, "b")
@@ -433,6 +460,13 @@ object Corpus {
       .select(col(idCol), col("label"),
         round(col("prior_ln") - col("n_tok") * col("denom_ln") +
           coalesce(col("s"), lit(0.0)), 6).as("score"))
+  }
+
+  def naiveBayesScores(docs: DataFrame, idCol: String, textCol: String,
+                       labelCol: String, buckets: Int = 4096): DataFrame = {
+    val (model, classStats) =
+      naiveBayesModel(docs, idCol, textCol, labelCol, buckets)
+    naiveBayesScoreWith(docs, idCol, textCol, model, classStats, buckets)
   }
 
   /** Argmax over [[naiveBayesScores]] with a deterministic tie order
