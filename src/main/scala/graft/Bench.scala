@@ -83,7 +83,10 @@ object Bench {
     * iterative label-propagation rounds — the round's heavy new shapes.
     */
   private val headlineR9 = Seq(
-    "q243_bloom_pruned_read", "q244_merge_into", "q246_label_propagation")
+    "q243_bloom_pruned_read", "q244_merge_into", "q246_label_propagation",
+    // closing batch: the corpus-bounded winnowing sketch (gram explode
+    // + per-doc sliding min) and the train+score classifier pass
+    "q255_winnowing", "q257_naive_bayes")
 
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9
