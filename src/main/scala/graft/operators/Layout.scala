@@ -753,6 +753,49 @@ object Layout {
     snapId
   }
 
+  /** APPEND with write-time CHECK constraints and a quarantine — the
+    * Delta-constraint / dead-letter-queue ingestion gate: every named
+    * check evaluates per row with SQL CHECK semantics (a row is
+    * rejected only when a check is explicitly FALSE — null passes, as
+    * in the standard); passing rows append to the table, failing rows
+    * append to the quarantine table with a `_violations` column naming
+    * every failed check (sorted — deterministic), so a data-quality
+    * incident is a queryable table, not a lost write. Bad data never
+    * poisons the main table, and nothing is silently dropped.
+    *
+    * Two snapshot commits (main, then quarantine) — each atomic; a
+    * crash between them loses only the quarantine copy of the batch,
+    * never main-table integrity. Returns (main snapshot id, rows
+    * quarantined). Stats/bloom columns follow [[snapshotAppend]]'s
+    * inheritance contract on the main table.
+    *
+    * Scale shape: the checks are one narrow codegen'd projection; the
+    * split is two filtered writes of the same scan — no shuffle, no
+    * driver round trip beyond the commit bookkeeping.
+    */
+  def snapshotAppendChecked(df: DataFrame, dir: String,
+                            quarantineDir: String,
+                            checks: Seq[(String, Column)],
+                            statsCols: Seq[String] = Nil,
+                            bloomCols: Seq[String] = Nil): (Long, Long) = {
+    require(checks.nonEmpty, "snapshotAppendChecked needs >= 1 check")
+    require(checks.map(_._1).distinct.size == checks.size,
+      "check names must be unique")
+    val viol = array_sort(array_compact(array(checks.map { case (n, c) =>
+      when(!coalesce(c, lit(true)), lit(n))
+        .otherwise(lit(null).cast("string"))
+    }: _*)))
+    val tagged = df.withColumn("_violations", viol)
+      .localCheckpoint() // both filtered writes read one evaluation
+    val good = tagged.filter(size(col("_violations")) === 0)
+      .drop("_violations")
+    val bad = tagged.filter(size(col("_violations")) > 0)
+    val snapId = snapshotAppend(good, dir, statsCols, bloomCols)
+    val nBad = bad.count()
+    if (nBad > 0) snapshotAppend(bad, quarantineDir)
+    (snapId, nBad)
+  }
+
   /** Compact a manifest-committed table's small files — [[compact]]'s
     * sibling INSIDE the snapshot contract: the accumulated files of the
     * latest snapshot (typically many per-batch appends) are rewritten

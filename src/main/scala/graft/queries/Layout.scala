@@ -415,6 +415,43 @@ object Layout {
       view
     },
 
+    // Write-time CHECK constraints (q260): the ingestion quality gate —
+    // three named checks (short text, unknown lang, oversize) split
+    // the batch; passing rows land in the table, failing rows in the
+    // quarantine with their violation list. The main table must hash
+    // to exactly the conjunction corpus; q261 pins the quarantine side
+    // (nothing silently dropped).
+    "q260_checked_append" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapchk")
+      L.snapshotAppendChecked(
+        Tables.documents(s, d).select("doc_id", "text", "n_chars", "lang"),
+        s"$base/main", s"$base/quarantine",
+        checks = Seq(
+          ("min_len", col("n_chars") >= 120),
+          ("lang_known", col("lang").isin("en", "de", "fr", "es")),
+          ("max_len", col("n_chars") <= 460)))
+      L.snapshotRead(s, s"$base/main")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"), col("lang"))
+    },
+
+    // Quarantine audit (q261): the rejected rows carry their SORTED
+    // violation lists — the queryable dead-letter table; the oracle
+    // rebuilds each row's violation set arithmetically.
+    "q261_quarantine_audit" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapchk2")
+      L.snapshotAppendChecked(
+        Tables.documents(s, d).select("doc_id", "text", "n_chars", "lang"),
+        s"$base/main", s"$base/quarantine",
+        checks = Seq(
+          ("min_len", col("n_chars") >= 120),
+          ("lang_known", col("lang").isin("en", "de", "fr", "es")),
+          ("max_len", col("n_chars") <= 460)))
+      L.snapshotRead(s, s"$base/quarantine")
+        .select(col("doc_id"), col("n_chars"), col("lang"),
+          concat_ws(",", col("_violations")).as("violations"))
+    },
+
     // Medallion bronze→silver pipeline (q254): the full incremental
     // table-to-table path — bronze ingested in three append commits,
     // tailed by the checkpointed consumer, each delta TRANSFORMED
@@ -529,6 +566,22 @@ object Layout {
               CAST(max(n_chars) AS BIGINT) AS max_n_chars,
               CAST(count(*) AS BIGINT) AS n_rows
          FROM documents""",
+    "q260_checked_append" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars, lang
+         FROM documents
+         WHERE n_chars >= 120 AND n_chars <= 460
+           AND lang IN ('en', 'de', 'fr', 'es')""",
+    "q261_quarantine_audit" ->
+      """SELECT doc_id, n_chars, lang,
+              array_to_string(list_filter([
+                CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es')
+                     THEN 'lang_known' END,
+                CASE WHEN n_chars > 460 THEN 'max_len' END,
+                CASE WHEN n_chars < 120 THEN 'min_len' END],
+                x -> x IS NOT NULL), ',') AS violations
+         FROM documents
+         WHERE n_chars < 120 OR n_chars > 460
+            OR lang NOT IN ('en', 'de', 'fr', 'es')""",
     "q254_medallion_pipeline" ->
       """SELECT doc_id, md5(text) AS text_md5,
               CAST(floor(n_chars / 100) AS INTEGER) AS len_bucket, lang

@@ -1019,6 +1019,40 @@ class LayoutSpec extends AnyFunSuite {
       Layout.snapshotMinMax(spark, dir2, "id"))
   }
 
+  test("snapshotAppendChecked: SQL CHECK null semantics, nothing silently dropped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    val df = Seq(
+      (1L, Some(50L), "ok"),       // passes both
+      (2L, Some(5L), "ok"),        // fails min_v
+      (3L, None, "ok"),            // null check value: PASSES (SQL CHECK)
+      (4L, Some(5L), "bad"),       // fails min_v AND tag_ok
+      (5L, Some(50L), "bad")       // fails tag_ok
+    ).toDF("id", "v", "tag")
+    val (_, nBad) = Layout.snapshotAppendChecked(df,
+      s"$dir/main", s"$dir/q",
+      checks = Seq(("min_v", col("v") >= 10L), ("tag_ok", col("tag") === "ok")))
+    assert(nBad == 3)
+    val main = Layout.snapshotRead(spark, s"$dir/main")
+      .select("id").as[Long].collect().toSet
+    assert(main == Set(1L, 3L), s"main got $main")
+    val quar = Layout.snapshotRead(spark, s"$dir/q")
+      .select(col("id"), concat_ws(",", col("_violations")).as("vs"))
+      .as[(Long, String)].collect().toMap
+    assert(quar == Map(2L -> "min_v", 4L -> "min_v,tag_ok", 5L -> "tag_ok"),
+      s"quarantine got $quar")
+    // conservation: every input row is in exactly one table
+    assert(main.size + quar.size == 5)
+    // an all-good batch appends without touching the quarantine table
+    val (_, zero) = Layout.snapshotAppendChecked(
+      Seq((6L, Some(99L), "ok")).toDF("id", "v", "tag"),
+      s"$dir/main", s"$dir/q2",
+      checks = Seq(("min_v", col("v") >= 10L)))
+    assert(zero == 0)
+    intercept[IllegalArgumentException](
+      Layout.snapshotRead(spark, s"$dir/q2")) // never created
+  }
+
   test("snapshotHistory: one row per commit, metadata-only row counts") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
