@@ -1668,6 +1668,53 @@ object Layout {
     * `countCol`/`sumCol` name its count and sum columns (default
     * `n`/`total`) and the maintained output reuses the same names.
     */
+  /** [[deltaAggMaintain]]'s second-moment sibling: maintain per-key
+    * (n, sum, sumsq) under the same I/U/D change algebra, and derive
+    * mean and POPULATION variance from the maintained moments —
+    * variance is not directly incrementable, but Σx² is (the textbook
+    * sufficient-statistics trick), so the view updates in O(|changes|)
+    * like the count/sum case: inserts add (1, x, x²), deletes subtract
+    * the old row's, updates add the difference. One aggregation over
+    * the changes + one full-outer join against the view; keys whose
+    * count reaches zero leave the view. Output: (key, n, mean, var)
+    * rounded to 6 — cross-engine replayable.
+    */
+  def deltaStatsMaintain(prevMoments: DataFrame, changes: DataFrame,
+                         keyCol: String, opCol: String, oldCol: String,
+                         newCol: String): DataFrame = {
+    require(Seq("n", "s", "ss").forall(prevMoments.columns.contains),
+      s"prevMoments must carry (n, s, ss); has " +
+        prevMoments.columns.mkString(", "))
+    val o = col(oldCol).cast("double")
+    val nw = col(newCol).cast("double")
+    val delta = changes.groupBy(keyCol).agg(
+      sum(when(col(opCol) === "I", 1L)
+        .when(col(opCol) === "D", -1L).otherwise(0L)).as("_dn"),
+      sum(when(col(opCol) === "I", nw)
+        .when(col(opCol) === "D", -o)
+        .otherwise(nw - o)).as("_ds"),
+      sum(when(col(opCol) === "I", nw * nw)
+        .when(col(opCol) === "D", -(o * o))
+        .otherwise(nw * nw - o * o)).as("_dss"))
+    prevMoments.join(delta, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0.0)) + coalesce(col("_ds"), lit(0.0))).as("s"),
+        (coalesce(col("ss"), lit(0.0)) + coalesce(col("_dss"), lit(0.0))).as("ss"))
+      .filter(col("n") > 0)
+  }
+
+  /** Render maintained moments as the user-facing (key, n, mean, var)
+    * view — population variance E[x²] − E[x]², clamped at 0 against
+    * negative float dust, rounded to 6.
+    */
+  def momentsView(moments: DataFrame, keyCol: String): DataFrame =
+    moments.select(col(keyCol), col("n"),
+      round(col("s") / col("n"), 6).as("mean"),
+      round(greatest(col("ss") / col("n") -
+        (col("s") / col("n")) * (col("s") / col("n")), lit(0.0)), 6)
+        .as("var"))
+
   def deltaAggMaintain(prevAgg: DataFrame, changes: DataFrame,
                        keyCol: String, opCol: String, oldCol: String,
                        newCol: String, countCol: String = "n",

@@ -452,6 +452,34 @@ object Layout {
           concat_ws(",", col("_violations")).as("violations"))
     },
 
+    // Incremental mean/variance maintenance (q262): q186's delta
+    // algebra extended to second moments — (n, Σx, Σx²) maintained
+    // under the same I/U/D change set in O(|changes|), variance
+    // derived from the sufficient statistics. The oracle RECOMPUTES
+    // (n, mean, var) from the post-change corpus with the same
+    // moment formula, so equality proves the incremental algebra.
+    "q262_incremental_stats" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val x = col("n_chars").cast("double")
+      val prev = docs.groupBy("source").agg(
+        count(lit(1)).as("n"), sum(x).as("s"), sum(x * x).as("ss"))
+      val dels = docs.filter(col("doc_id") % 10 === 0)
+        .select(lit("D").as("op"), col("source"),
+          col("n_chars").as("v_old"), lit(null).cast("long").as("v_new"))
+      val upds = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+        .select(lit("U").as("op"), col("source"),
+          col("n_chars").as("v_old"), (col("n_chars") + 5).as("v_new"))
+      val ins = docs.filter(col("doc_id") % 9 === 0)
+        .select(lit("I").as("op"), col("source"),
+          lit(null).cast("long").as("v_old"),
+          (pmod(col("doc_id"), lit(400)) + 60).as("v_new"))
+      graft.operators.Layout.momentsView(
+        graft.operators.Layout.deltaStatsMaintain(prev,
+          dels.unionByName(upds).unionByName(ins),
+          "source", "op", "v_old", "v_new"), "source")
+    },
+
     // Medallion bronze→silver pipeline (q254): the full incremental
     // table-to-table path — bronze ingested in three append commits,
     // tailed by the checkpointed consumer, each delta TRANSFORMED
@@ -571,6 +599,23 @@ object Layout {
          FROM documents
          WHERE n_chars >= 120 AND n_chars <= 460
            AND lang IN ('en', 'de', 'fr', 'es')""",
+    "q262_incremental_stats" ->
+      """WITH v2 AS (
+           SELECT source,
+                CASE WHEN doc_id % 7 = 0 THEN n_chars + 5
+                     ELSE n_chars END AS chars
+           FROM documents WHERE doc_id % 10 != 0
+           UNION ALL
+           SELECT source, doc_id % 400 + 60 AS chars
+           FROM documents WHERE doc_id % 9 = 0)
+         SELECT source, CAST(count(*) AS BIGINT) AS n,
+              round(sum(CAST(chars AS DOUBLE)) / count(*), 6) AS mean,
+              round(greatest(
+                sum(CAST(chars AS DOUBLE) * chars) / count(*)
+                  - (sum(CAST(chars AS DOUBLE)) / count(*))
+                    * (sum(CAST(chars AS DOUBLE)) / count(*)), 0.0), 6)
+                AS var
+         FROM v2 GROUP BY source""",
     "q261_quarantine_audit" ->
       """SELECT doc_id, n_chars, lang,
               array_to_string(list_filter([
