@@ -308,6 +308,36 @@ object Layout {
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
     },
 
+    // Composite three-tier prune (q263): z-order stats bands on BOTH
+    // curve dimensions AND a bloom equality on a third, hash-scattered
+    // column, in ONE conjunctive predicate — every pruning tier the
+    // manifest carries composes in a single planning pass. The probe
+    // doc and its tag derive arithmetically, so the oracle replays the
+    // exact lookup.
+    "q263_composite_prune" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapz3")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+        .withColumn("tag", substring(md5(col("text")), 1, 12))
+      val clustered = docs
+        .withColumn("_z", L.zValue(Seq((col("doc_id"), 16),
+          (col("n_chars"), 16))))
+        .repartitionByRange(8, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+      L.snapshotWrite(clustered, base,
+        statsCols = Seq("doc_id", "n_chars"), bloomCols = Seq("tag"))
+      val half = docs.agg(floor(max(col("doc_id")) / 2)).head().getLong(0)
+      val probe = docs.filter(col("doc_id") <= half)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val tag = docs.filter(col("doc_id") === probe)
+        .select("tag").head().getString(0)
+      L.snapshotRead(s, base, prune = Some(L.StatPred.And(Seq(
+        L.StatPred.Between("doc_id", probe - 50, probe + 50),
+        L.StatPred.Between("n_chars", 1L, 100000L),
+        L.StatPred.Eq("tag", tag)))))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_chars"))
+    },
+
     // MERGE INTO (q244): one CDC batch — updates (%10==3, text+'!'),
     // inserts (re-keyed %13==0), delete markers (%10==7) — applied in
     // ONE snapshot commit through the stats-bounded rewrite. The oracle
@@ -651,6 +681,17 @@ object Layout {
          WHERE doc_id = (SELECT max(doc_id) FROM documents
                          WHERE doc_id <= (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT)
                                           FROM documents))""",
+    "q263_composite_prune" ->
+      """WITH p AS (SELECT max(doc_id) AS pid FROM documents
+                    WHERE doc_id <= (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT)
+                                     FROM documents)),
+         pt AS (SELECT substr(md5(text), 1, 12) AS tag
+                FROM documents, p WHERE doc_id = p.pid)
+         SELECT doc_id, md5(text) AS text_md5, n_chars
+         FROM documents, p, pt
+         WHERE doc_id BETWEEN p.pid - 50 AND p.pid + 50
+           AND n_chars BETWEEN 1 AND 100000
+           AND substr(md5(text), 1, 12) = pt.tag""",
     "q241_ts_stats_pruned" ->
       """SELECT event_id, ts, user_id, round(value, 2) AS value
          FROM events
