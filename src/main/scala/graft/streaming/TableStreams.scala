@@ -73,24 +73,25 @@ object TableStreams {
     val ckPath = new org.apache.hadoop.fs.Path(checkpoint)
     val fs = ckPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(ckPath)
-    val offPath = new org.apache.hadoop.fs.Path(checkpoint, "_graft_offset")
-    val last: Long =
-      if (fs.exists(offPath)) {
-        val in = fs.open(offPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      } else 0L
+    // VERSIONED offsets (one empty marker per consumed snapshot, read
+    // max): commits are pure creates — no delete-then-rename window
+    // where a crash could lose the whole offset state and replay the
+    // table from the beginning; the worst crash now replays exactly
+    // the one in-flight snapshot (the documented at-least-once window)
+    def committed(): Seq[Long] =
+      Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(checkpoint, "_graft_offset-*")))
+        .getOrElse(Array.empty)
+        .map(_.getPath.getName.stripPrefix("_graft_offset-").toLong)
+        .toSeq
+    val last: Long = committed().maxOption.getOrElse(0L)
     val ids = Layout.snapshotIds(spark, dir)
     val todo = ids.filter(_ > last)
     var prev = ids.filter(_ <= last).lastOption.getOrElse(0L)
     todo.foreach { sid =>
       process(Layout.snapshotChangesSince(spark, dir, prev, sid), sid)
-      // durable offset: write-then-rename, atomic like a manifest commit
-      val tmp = new org.apache.hadoop.fs.Path(checkpoint, "._graft_offset.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(sid.toString.getBytes("UTF-8")) finally out.close()
-      fs.delete(offPath, false)
-      fs.rename(tmp, offPath)
+      fs.create(new org.apache.hadoop.fs.Path(checkpoint,
+        s"_graft_offset-$sid"), true).close()
       prev = sid
     }
     todo.size
