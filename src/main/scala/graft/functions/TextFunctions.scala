@@ -135,6 +135,36 @@ object TextFunctions {
     concat(bits: _*)
   }
 
+  /** 64-bit SimHash from a MATERIALIZED md5-per-token column, as a
+    * '0'/'1' string of 64 chars (bit 0 first) — the production width
+    * ([[simhash16FromHashes]] is the compact teaching form; at 16 bits
+    * only 65,536 signatures exist, so unrelated documents collide
+    * constantly at corpus scale). Same bit layout extended to 16
+    * nibbles: bit b of token hash h = bit (b%4) of hex nibble (b/4+1).
+    *
+    * ONE aggregation pass: each token hash is parsed into a 64-entry
+    * ±1 contribution array (each hex char read once, its 4 bits peeled
+    * arithmetically), then summed elementwise with zip_with — NOT one
+    * array scan per bit, which would re-parse every hash 64 times and
+    * blow the codegen budget the way 64 independent `aggregate` calls
+    * would.
+    */
+  def simhash64FromHashes(hashesCol: Column): Column = {
+    val contribs = transform(hashesCol, h =>
+      flatten(transform(sequence(lit(1), lit(16)), nib => {
+        val ch = ascii(h.substr(nib, lit(1)))
+        val v = when(ch <= 57, ch - 48).otherwise(ch - 87)
+        def bit(shift: Int) =
+          floor(v.cast("double") / shift).cast("int") % 2
+        array((0 to 3).map(j =>
+          when(bit(1 << j) === 1, 1).otherwise(-1)): _*)
+      })))
+    val counts = aggregate(contribs, array_repeat(lit(0), 64),
+      (acc, arr) => zip_with(acc, arr, (a, c) => a + c))
+    array_join(transform(counts, c =>
+      when(c > 0, "1").otherwise("0")), "")
+  }
+
   /** Non-distinct word bigram list from a MATERIALIZED tokens column
     * (repetition signals need occurrence counts, so no de-dup here).
     */

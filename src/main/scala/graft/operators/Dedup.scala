@@ -391,15 +391,19 @@ object Dedup {
       .filter(col("n") > 1)
 
   /** SimHash near-dup PAIRS within a Hamming radius — the Manku/Google
-    * block-index recipe on the 16-bit signature [[simhashBuckets]]
-    * computes (q34 finds only EXACT signature collisions): split the
-    * signature into 4 blocks of 4 bits; by pigeonhole, any pair within
-    * Hamming distance ≤ 3 matches EXACTLY on at least one block, so an
+    * block-index recipe at the PRODUCTION width: a 64-bit signature
+    * ([[graft.functions.TextFunctions.simhash64FromHashes]]) split
+    * into 4 blocks of 16 bits; by pigeonhole, any pair within Hamming
+    * distance ≤ 3 matches EXACTLY on at least one block, so an
     * equi-join per (block index, block bits) surfaces every candidate
-    * and the 16-bit Hamming verify keeps the true pairs. Scale shape:
-    * |blocks| equi-joins' worth of candidates (never all pairs),
-    * shuffle keys are (block, 4 bits); a production 64-bit simhash
-    * uses 16-bit blocks — same plan, bigger keys, sparser buckets.
+    * and the 64-bit Hamming verify keeps the true pairs.
+    *
+    * Scale shape: |blocks| equi-joins' worth of candidates (never all
+    * pairs), shuffle keys are (block, 16 bits) — 4 × 2¹⁶ distinct keys
+    * versus the 4 × 2⁴ = 64 a 16-bit/4-bit-block toy layout would
+    * give, whose candidate join degenerates toward n²/64 (an all-pairs
+    * join in disguise). At 16-bit blocks a billion-doc corpus averages
+    * ~4k docs per bucket key — a real join, not a disguised cross.
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           radius: Int = 2): DataFrame = {
@@ -408,18 +412,18 @@ object Dedup {
     val sig = Parallelism.ensure(docs)
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("id"), transform(col("toks"), t => md5(t)).as("hs"))
-      .select(col("id"), TextFunctions.simhash16FromHashes(col("hs")).as("sim"))
+      .select(col("id"), TextFunctions.simhash64FromHashes(col("hs")).as("sim"))
       .localCheckpoint()
     val blocks = sig.select(col("id"),
       posexplode(array((0 until 4).map(b =>
-        substring(col("sim"), b * 4 + 1, 4)): _*)).as(Seq("blk", "key")))
+        substring(col("sim"), b * 16 + 1, 16)): _*)).as(Seq("blk", "key")))
     val cands = blocks.as("a")
       .join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val ham = (0 until 16).map(i =>
+    val ham = (0 until 64).map(i =>
       when(substring(col("sim_a"), i + 1, 1) =!=
         substring(col("sim_b"), i + 1, 1), 1).otherwise(0))
       .reduce(_ + _)
@@ -697,9 +701,18 @@ object Dedup {
       .select(col(idCol), col(textCol), nGrams.as("ng"),
         explode(when(len >= k + w - 1,
           sequence(lit(1), nGrams)).otherwise(array())).as("pos"))
+      // 15 hex chars = a 60-bit hash space. 8 chars (32 bits) is a
+      // scale-killer: at ~10¹³ corpus k-grams every one of the 2³²
+      // values collects df ≈ 2,300 ≫ any sane maxDf, so the overlap
+      // join's df gate silently drops EVERY fingerprint and the
+      // operator degrades to a no-op exactly when it matters. At 60
+      // bits the expected df is ~10⁻⁵ — boilerplate stays the only
+      // thing the gate removes. 15 (not 16) chars so the value fits a
+      // signed 64-bit long in both engines (16 would overflow the cast
+      // to NULL for hashes above 2⁶³).
       .select(col(idCol), col("ng"), col("pos"),
         conv(substring(md5(col(textCol).substr(col("pos"), lit(k))),
-          1, 8), 16, 10).cast("long").as("h"))
+          1, 15), 16, 10).cast("long").as("h"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     val sel = grams
@@ -708,7 +721,11 @@ object Dedup {
       .select(col(idCol), col("minh").as("fp")).distinct()
     if (exploded) sel // the overlap-join form
     else sel.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_fp"), sum(col("fp")).as("fp_sum"))
+      // checksum mod 1e9+7: raw 60-bit fingerprints summed over a
+      // large doc overflow a signed long (ANSI abort); reduced values
+      // stay < 2³⁰ so even a billion fingerprints sum within range
+      .agg(count(lit(1)).as("n_fp"),
+        sum(col("fp") % 1000000007L).as("fp_sum"))
   }
 
   /** Document-overlap pairs from winnowing fingerprints — the

@@ -672,7 +672,56 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     fps.foreach { case (id, set) =>
-      assert(dig(id) == ((set.size.toLong, set.sum)), s"doc $id digest")
+      assert(dig(id) == ((set.size.toLong, set.map(_ % 1000000007L).sum)),
+        s"doc $id digest")
     }
+  }
+
+  test("simhash 64-bit block join: complete vs independent brute force") {
+    import spark.implicits._
+    // Deterministic token-soup docs + planted twins: exact copies
+    // (Hamming 0, all blocks collide) and one-token-appended copies
+    // (±1 weight nudge per bit — some land within the radius, some
+    // outside it, exercising both sides of the verify).
+    val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "join", "sort", "the", "data", "window")
+    val base = (0 until 30).map { i =>
+      val n = 20 + (i * 7) % 25
+      (i.toLong, (0 until n).map(j => vocab((i * 31 + j * 17) % vocab.size))
+        .mkString(" "))
+    }
+    val near = base.filter(_._1 % 3 == 0)
+      .map { case (id, t) => (id + 1000, t + " the") }
+    val exact = base.filter(_._1 % 4 == 0)
+      .map { case (id, t) => (id + 2000, t) }
+    val all = base ++ near ++ exact
+    val got = Dedup.simhashNearDupPairs(
+        all.toDF("doc_id", "text"), "doc_id", "text", radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // Independent JVM reimplementation of the signature + all-pairs
+    // Hamming (no Spark expressions shared with the engine path).
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sig(text: String): String = {
+      val hs = text.trim.split("\\s+").filter(_.nonEmpty).map(md5hex)
+      (0 until 64).map { b =>
+        val nib = b / 4; val shift = 1 << (b % 4)
+        val w = hs.map { h =>
+          val c = h.charAt(nib)
+          val v = if (c <= '9') c - '0' else c - 'a' + 10
+          if ((v / shift) % 2 == 1) 1 else -1
+        }.sum
+        if (w > 0) '1' else '0'
+      }.mkString
+    }
+    val sigs = all.map { case (id, t) => (id, sig(t)) }
+    val exp = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      d = si.zip(sj).count(p => p._1 != p._2) if d <= 3
+    } yield (i, j, d)).toSet
+    assert(exp.nonEmpty, "fixture must plant at least one pair")
+    assert(exp.exists(_._3 == 0), "exact twins must land at Hamming 0")
+    assert(got == exp, s"missed ${exp -- got}, extra ${got -- exp}")
   }
 }
