@@ -428,12 +428,18 @@ object Corpus {
       .agg(count(lit(1)).as("cnt"))
       .select(col("b"), col("label"),
         log(col("cnt") + 1.0).as("lc"))
-    val classStats = toks.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("total"))
-      .join(docs.groupBy(col(labelCol).as("label"))
-        .agg(count(lit(1)).as("nd")), "label")
+    // LEFT join from the doc-count side: a class whose documents all
+    // tokenize to zero tokens has no rows in `toks` — an inner join
+    // would drop it from classStats, so that label could never be
+    // scored or predicted, silently. Coalescing its token total to 0
+    // keeps its prior and (pure-smoothing) denominator.
+    val classStats = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd"))
+      .join(toks.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("total")), Seq("label"), "left")
       .select(col("label"), log(col("nd") / nDocs).as("prior_ln"),
-        log(col("total") + buckets.toDouble).as("denom_ln"))
+        log(coalesce(col("total"), lit(0L)) + buckets.toDouble)
+          .as("denom_ln"))
     (model, classStats)
   }
 

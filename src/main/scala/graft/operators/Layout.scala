@@ -451,8 +451,19 @@ object Layout {
       case None => all
       case Some(p) => all.filter(e => mayMatch(e, p))
     }
-    // zero survivors: one file for schema, never the full list
-    val files = (if (kept.isEmpty) all.take(1) else kept)
+    // zero survivors: a BOUNDED subset for schema, never the full list.
+    // Plain read: one file. mergeSchema read: one file PER DISTINCT
+    // data directory — each commit writes its files from one DataFrame,
+    // so schema can only change between commits, and one representative
+    // per snap-dir covers the union schema. (First file alone would
+    // pin the empty result to the OLDEST schema: a select on a widened
+    // column would then throw only when the predicate prunes all files
+    // — schema varying with the predicate.)
+    val schemaSubset =
+      if (!mergeSchema) all.take(1)
+      else all.groupBy(e => e.path.take(e.path.lastIndexOf('/') max 0))
+        .values.map(_.head).toSeq
+    val files = (if (kept.isEmpty) schemaSubset else kept)
       .map(e => s"$dir/${e.path}")
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true")
@@ -985,7 +996,7 @@ object Layout {
     * correct. Returns (new snapshot id, files rewritten).
     */
   def mergeInto(spark: org.apache.spark.sql.SparkSession, dir: String,
-                source: DataFrame, keyCols: Seq[String],
+                sourceIn: DataFrame, keyCols: Seq[String],
                 deleteWhen: Option[Column] = None): (Long, Int) = {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -994,6 +1005,15 @@ object Layout {
     require(ids.nonEmpty, s"no snapshot manifest under $dir")
     val entries = readManifestEntries(fs, dir, ids.max)
     val snapId = ids.max + 1L
+
+    // PIN the source before anything reads it (the snapshotAppendChecked
+    // pattern): the merge evaluates it in several independent jobs
+    // (bounds agg, isEmpty, touched-file semi-join, carried anti-join,
+    // insert write) — a non-deterministic or concurrently-changing
+    // source re-scanned per job would make those views mutually
+    // inconsistent and lose or duplicate rows in the committed snapshot
+    // (the classic Delta MERGE source-rescan bug).
+    val source = sourceIn.localCheckpoint()
 
     // the source's key box: one bounded aggregation (2·|keys| scalars)
     val boundsRow = source.agg(
@@ -1174,18 +1194,27 @@ object Layout {
       val g2 = col("h").bitwiseAND(lit(0xFFFFFFFFL))
       val positions = array((0 until k).map(i =>
         pmod(g1 + lit(i.toLong) * g2, col("_m")).cast("int")): _*)
+      // Pack bits on the EXECUTORS: collect_set would buffer up to m
+      // boxed positions per file in one agg buffer and ship them raw
+      // to the driver — O(files × m × boxed-int) memory. mapGroups
+      // folds each file's positions straight into a BitSet and ships
+      // the packed byte array (≤ m/8 = 128 KiB at m = 2²⁰), so driver
+      // traffic stays the manifest payload itself, never row-ish sets.
       val rows = df.filter(col(c).isNotNull)
         .select(col("_metadata.file_name").as("_f"), h.as("h"))
         .join(mDf, "_f")
         .select(col("_f"), explode(positions).as("p"))
-        .groupBy("_f").agg(collect_set(col("p")).as("ps"))
+        .as[(String, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (f, it) =>
+          val bits = new java.util.BitSet()
+          it.foreach(t => bits.set(t._2))
+          (f, bits.toByteArray)
+        }
         .collect()
-      c -> rows.map { r =>
-        val f = r.getString(0)
+      c -> rows.map { case (f, bytes) =>
         val m = mFor((f, c))
-        val bits = new java.util.BitSet(m)
-        r.getSeq[Int](1).foreach(bits.set)
-        f -> BloomStat(m, k, types(c), bits)
+        f -> BloomStat(m, k, types(c), java.util.BitSet.valueOf(bytes))
       }.toMap
     }.toMap.transpose_
   }
@@ -1223,9 +1252,12 @@ object Layout {
     * relative paths — the format pre-stats tables on disk already use.
     * v2 (any stats): {"format":2,"files":[{"path":…,"stats":{col:
     * {"min":…,"max":…,"type":…}}}]}. Committed write-then-rename
-    * either way, so the manifest appears atomically or not at all.
+    * either way, so the manifest appears atomically or not at all;
+    * the rename is guarded by a create-exclusive `.commit-<id>.lock`
+    * token, so two writers racing the same snapshot id resolve to
+    * exactly one committed manifest and one loud loser.
     */
-  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             dir: String, snapId: Long,
                             entries: Seq[FileEntry]): Unit = {
     import org.json4s.JsonDSL._
@@ -1252,21 +1284,60 @@ object Layout {
         JsonMethods.compact(JsonMethods.render(
           ("format" -> 2) ~ ("files" -> files)))
       }
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".manifest-$snapId.json.tmp")
+    // Unique tmp per writer: two racers must never share a staging path
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".manifest-$snapId-${java.util.UUID.randomUUID()}.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dest = new org.apache.hadoop.fs.Path(dir, s"manifest-$snapId.json")
-    // optimistic concurrency: a second writer that raced to the same id
-    // must fail loudly, not silently clobber a committed snapshot.
-    // (Best-effort on local FS, where rename() overwrites — HDFS-style
-    // rename refuses an existing dest; a real catalog arbitrates ids.)
+    // Optimistic concurrency via a CREATE-EXCLUSIVE commit token
+    // (overwrite=false — the same pure-create arbitration the consumer
+    // offset markers use): the filesystem atomically grants the id to
+    // exactly ONE racing writer; the loser throws loudly instead of
+    // clobbering a committed snapshot. The old exists-check+rename had
+    // a TOCTOU window where both racers pass the check and the second
+    // rename overwrites the first commit on a POSIX local FS.
+    val lock = new org.apache.hadoop.fs.Path(dir, s".commit-$snapId.lock")
+    val won = createExclusive(fs, lock)
+    if (!won) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot $snapId already committed (or mid-commit) under $dir " +
+          s"— concurrent writer? If no manifest-$snapId.json exists, a " +
+          s"previous writer crashed between lock and rename; remove the " +
+          s"stale .commit-$snapId.lock to retry the id.")
+    }
+    // Legacy tables (pre-lock commits) have manifests without tokens:
+    // winning the lock for an id whose manifest already exists must
+    // still refuse — and release the token it wrongly acquired.
     if (fs.exists(dest)) {
       fs.delete(tmp, false)
+      fs.delete(lock, false)
       throw new java.util.ConcurrentModificationException(
         s"snapshot $snapId already committed under $dir — concurrent writer?")
     }
     fs.rename(tmp, dest)
   }
+
+  /** Atomic create-if-absent, returning whether THIS caller created it.
+    * Hadoop's `create(p, overwrite = false)` on the local filesystem is
+    * an exists-check followed by open — itself a TOCTOU — so local
+    * schemes go through `File.createNewFile()`, which the JDK documents
+    * as atomic. HDFS `create(false)` is atomic server-side. (S3-style
+    * stores without conditional puts need a real catalog to arbitrate
+    * ids — same caveat every manifest-file table format carries.)
+    */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path): Boolean =
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try new java.io.File(p.toUri.getPath).createNewFile()
+        catch { case _: java.io.IOException => false }
+      case _ =>
+        try { fs.create(p, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
 
   private def readManifestEntries(fs: org.apache.hadoop.fs.FileSystem,
                                   dir: String, snap: Long): Seq[FileEntry] = {
@@ -1349,11 +1420,19 @@ object Layout {
       case None => all
       case Some(p) => all.filter(e => mayMatch(e, p))
     }
-    // every file pruned: keep the scan schema from ONE file — planning
-    // a scan over the full list just for schema would pay the exact
-    // per-file cost pruning exists to avoid (the lit(false) filter
-    // below still yields zero rows)
-    val files = (if (kept.isEmpty) all.take(1) else kept)
+    // every file pruned: keep the scan schema from a BOUNDED subset —
+    // planning a scan over the full list just for schema would pay the
+    // exact per-file cost pruning exists to avoid (the lit(false)
+    // filter below still yields zero rows). Under mergeSchema the
+    // subset is one file per distinct data directory, because schema
+    // can only change between commits — first-file-only would pin the
+    // empty result to the OLDEST schema and make the result schema
+    // vary with the predicate.
+    val schemaSubset =
+      if (!mergeSchema) all.take(1)
+      else all.groupBy(e => e.path.take(e.path.lastIndexOf('/') max 0))
+        .values.map(_.head).toSeq
+    val files = (if (kept.isEmpty) schemaSubset else kept)
       .map(e => s"$dir/${e.path}")
     // mergeSchema: appends may have widened the schema (added columns);
     // the default parquet read takes one file's schema and would

@@ -68,7 +68,8 @@ object TableStreams {
     * manifest-driven discovery is what makes the feed transactional.
     */
   def consumeSnapshots(spark: org.apache.spark.sql.SparkSession,
-                       dir: String, checkpoint: String)
+                       dir: String, checkpoint: String,
+                       resumeFromOldest: Boolean = false)
                       (process: (DataFrame, Long) => Unit): Int = {
     val ckPath = new org.apache.hadoop.fs.Path(checkpoint)
     val fs = ckPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -86,6 +87,21 @@ object TableStreams {
         .toSeq
     val last: Long = committed().maxOption.getOrElse(0L)
     val ids = Layout.snapshotIds(spark, dir)
+    // An offset pointing at an EXPIRED snapshot must not silently fall
+    // back to an older id — snapshotChangesSince(olderId, …) would
+    // re-deliver rows the consumer already processed, far beyond the
+    // documented one-snapshot replay window. Loud by default; opting
+    // in accepts an explicit full re-delivery from what's available.
+    if (last > 0L && !ids.contains(last)) {
+      require(resumeFromOldest,
+        s"stored offset snapshot $last has been expired/vacuumed from " +
+          s"$dir; resuming from an older snapshot would re-deliver " +
+          "already-consumed rows. Pass resumeFromOldest=true to accept " +
+          "a re-delivery from the oldest available snapshot, or reset " +
+          "the checkpoint.")
+      System.err.println(s"[consumeSnapshots] offset $last expired " +
+        s"from $dir — re-delivering from the oldest available snapshot")
+    }
     val todo = ids.filter(_ > last)
     var prev = ids.filter(_ <= last).lastOption.getOrElse(0L)
     todo.foreach { sid =>
@@ -93,6 +109,18 @@ object TableStreams {
       fs.create(new org.apache.hadoop.fs.Path(checkpoint,
         s"_graft_offset-$sid"), true).close()
       prev = sid
+    }
+    // Marker compaction: the max marker alone carries the offset, so
+    // everything below it is dead weight that would otherwise grow one
+    // file per consumed snapshot forever. Deleting strictly-below-max
+    // is crash-safe in any prefix (reads take the max); the threshold
+    // just avoids delete churn on every call.
+    val cur = committed()
+    if (cur.size > 8) {
+      val mx = cur.max
+      cur.filter(_ < mx).foreach(o => fs.delete(
+        new org.apache.hadoop.fs.Path(checkpoint, s"_graft_offset-$o"),
+        false))
     }
     todo.size
   }

@@ -300,6 +300,23 @@ class CurationOpsSpec extends AnyFunSuite {
     val s99 = Corpus.naiveBayesScores(withEmpty, "doc_id", "text", "label")
       .filter(col("doc_id") === 99L).collect()
     assert(s99.length == 2 && s99.forall(!_.isNullAt(2)))
+    // a class whose documents ALL tokenize to zero tokens must still
+    // get a prior and a (pure-smoothing) denominator — an inner join
+    // from the token side would silently make it unpredictable
+    val withZeroTokClass = docs.unionByName(
+      Seq((200L, "   ", "empty"), (201L, "", "empty"))
+        .toDF("doc_id", "text", "label"))
+    val (_, cs) = Corpus.naiveBayesModel(
+      withZeroTokClass, "doc_id", "text", "label")
+    val csRows = cs.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(csRows.contains("empty"), "zero-token class must keep a prior")
+    assert(csRows("empty")._1 == math.log(2.0 / 62.0))
+    assert(csRows("empty")._2 == math.log(4096.0))
+    // and the score matrix covers it: 3 classes × every doc
+    val s3 = Corpus.naiveBayesScores(
+      withZeroTokClass, "doc_id", "text", "label")
+    assert(s3.count() == 62 * 3)
   }
 
   test("fimTransform: lossless three-part split, sentinels ordered, short docs pass") {

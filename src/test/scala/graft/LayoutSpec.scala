@@ -573,6 +573,18 @@ class LayoutSpec extends AnyFunSuite {
     val rows = merged.select("id", "quality")
       .as[(Long, Option[Double])].collect().toMap
     assert(rows.size == 80 && rows(1L).isEmpty && rows(80L).contains(8.0))
+    // zero-survivor prune under mergeSchema: the empty result's schema
+    // must still be the UNION schema (first-file-only would pin it to
+    // the oldest file and a select on the widened column would throw —
+    // result schema varying with the predicate)
+    val none = Layout.snapshotReadWhere(spark, dir, col("id") > 10000L,
+      mergeSchema = true)
+    assert(none.columns.sorted.toSeq == Seq("id", "quality", "text"))
+    assert(none.select("quality").count() == 0)
+    val noneStat = Layout.snapshotRead(spark, dir,
+      prune = Some(Layout.StatPred.Gt("id", 10000L)), mergeSchema = true)
+    assert(noneStat.columns.sorted.toSeq == Seq("id", "quality", "text"))
+    assert(noneStat.select("quality").count() == 0)
   }
 
   test("streaming snapshot sink: markers dedupe per checkpoint lineage") {
@@ -996,6 +1008,109 @@ class LayoutSpec extends AnyFunSuite {
     // the rewritten file(s) reappear minus the deleted row; nothing
     // from untouched files
     assert(!afterDelete.select("id").as[Long].collect().contains(150L))
+  }
+
+  test("consumeSnapshots: markers compact to a bounded set; expired offset is loud") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckc").toString
+    val ck = s"$dir/_ck"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markers(): Seq[Long] =
+      Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(ck, "_graft_offset-*")))
+        .getOrElse(Array.empty)
+        .map(_.getPath.getName.stripPrefix("_graft_offset-").toLong)
+        .toSeq.sorted
+    (1 to 12).foreach { i =>
+      Layout.snapshotAppend(Seq((i.toLong, s"v$i")).toDF("id", "v"), dir)
+    }
+    var n = 0
+    graft.streaming.TableStreams.consumeSnapshots(spark, dir, ck) {
+      (_, _) => n += 1
+    }
+    assert(n == 12)
+    // one marker per snapshot would be 12; compaction keeps ≤ the
+    // threshold and MUST retain the max (the offset itself)
+    assert(markers().max == 12L)
+    assert(markers().size <= 9, s"markers not compacted: ${markers()}")
+    // nothing re-delivered after compaction
+    assert(graft.streaming.TableStreams.consumeSnapshots(spark, dir, ck) {
+      (_, _) => fail("drained table must deliver nothing")
+    } == 0)
+    // expired offset: commit snapshot 13, then retention removes
+    // manifests 1..12 — the stored offset (12) now points at an
+    // expired snapshot and a silent fallback to prev=0 would
+    // re-deliver the full table
+    Layout.snapshotAppend(Seq((99L, "v99")).toDF("id", "v"), dir)
+    (1 to 12).foreach { i =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"manifest-$i.json"),
+        false)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.TableStreams.consumeSnapshots(spark, dir, ck) {
+        (_, _) => ()
+      }
+    }
+    assert(ex.getMessage.contains("expired"))
+    // opting in resumes loudly from what's available
+    var redelivered = 0L
+    graft.streaming.TableStreams.consumeSnapshots(spark, dir, ck,
+      resumeFromOldest = true) { (df, _) => redelivered += df.count() }
+    assert(redelivered > 0L)
+  }
+
+  test("manifest commit: two writers racing one snapshot id — exactly one wins, loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_race").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.snapshotWrite(Seq((1L, "a")).toDF("id", "v"), dir)
+    // both writers target id 2 with DIFFERENT file lists; run many
+    // rounds to give the scheduler a chance to interleave
+    (2L to 21L).foreach { snapId =>
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = Seq("w1", "w2").map { w =>
+        new Thread(() => {
+          gate.await()
+          try {
+            Layout.writeManifest(fs, dir, snapId,
+              Seq(Layout.FileEntry(s"data/fake-$w.parquet")))
+            outcomes.add(s"win:$w")
+          } catch {
+            case _: java.util.ConcurrentModificationException =>
+              outcomes.add(s"lose:$w")
+          }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown()
+      threads.foreach(_.join(30000))
+      val res = outcomes.toArray(Array.empty[String]).sorted
+      assert(res.count(_.startsWith("win:")) == 1,
+        s"id $snapId: expected exactly one winner, got ${res.toSeq}")
+      assert(res.count(_.startsWith("lose:")) == 1,
+        s"id $snapId: expected exactly one loud loser, got ${res.toSeq}")
+      // the committed manifest is exactly the winner's file list
+      val winner = res.find(_.startsWith("win:")).get.stripPrefix("win:")
+      val entries = Layout.snapshotFiles(spark, dir, snapId)
+      assert(entries.map(_.path) == Seq(s"data/fake-$winner.parquet"),
+        s"id $snapId: committed manifest must be the winner's, intact")
+      // no stale tmp files leak from the loser
+      val tmps = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, ".manifest-*.tmp")))
+        .getOrElse(Array.empty)
+      assert(tmps.isEmpty, "loser must clean its staging file")
+    }
+    // legacy manifest without a lock token: committing its id refuses
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      fs.delete(new org.apache.hadoop.fs.Path(dir, ".commit-2.lock"), false)
+      Layout.writeManifest(fs, dir, 2L,
+        Seq(Layout.FileEntry("data/clobber.parquet")))
+    }
+    assert(ex.getMessage.contains("already committed"))
+    assert(Layout.snapshotFiles(spark, dir, 2L).map(_.path)
+      .head.startsWith("data/fake-"), "legacy manifest must stay intact")
   }
 
   test("snapshotMinMax: exact from manifest; strings and statless columns refuse") {
