@@ -146,7 +146,8 @@ object Layout {
   final case class FileEntry(path: String,
                              stats: Map[String, ColStat] = Map.empty,
                              rows: Option[Long] = None,
-                             blooms: Map[String, BloomStat] = Map.empty)
+                             blooms: Map[String, BloomStat] = Map.empty,
+                             bytes: Option[Long] = None)
 
   import StatPred._
 
@@ -388,7 +389,7 @@ object Layout {
   def toStatPred(filter: Column): Option[StatPred] =
     fromPredNode(org.apache.spark.sql.graft.Bridge.predicateTree(filter))
 
-  private def fromPredNode(n: org.apache.spark.sql.graft.Bridge.PredNode)
+  private[graft] def fromPredNode(n: org.apache.spark.sql.graft.Bridge.PredNode)
       : Option[StatPred] = {
     import org.apache.spark.sql.graft.Bridge._
     def attrName(x: PredNode): Option[String] = x match {
@@ -707,10 +708,7 @@ object Layout {
     val snapId = if (ids.isEmpty) 1L else ids.max + 1L
     val dataDir = s"$dir/data/snap-$snapId"
     df.write.mode("overwrite").parquet(dataDir)
-    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".parquet"))
-      .sorted
+    val (names, sizes) = listDataFiles(fs, dataDir)
     val stats =
       if (statsCols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
       else collectFileStats(spark, dataDir, statsCols)
@@ -718,7 +716,7 @@ object Layout {
       if (bloomCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
       else collectFileBlooms(spark, dataDir, bloomCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(n =>
-      entryFor(s"data/snap-$snapId", n, stats, blooms)))
+      entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)))
     snapId
   }
 
@@ -744,8 +742,7 @@ object Layout {
     val snapId = (if (ids.isEmpty) 0L else ids.max) + 1L
     val dataDir = s"$dir/data/snap-$snapId"
     df.write.mode("overwrite").parquet(dataDir)
-    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
-      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    val (names, sizes) = listDataFiles(fs, dataDir)
     val cols =
       if (statsCols.nonEmpty) statsCols
       else prev.flatMap(_.stats.keys).distinct
@@ -760,7 +757,7 @@ object Layout {
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId,
       prev ++ names.toIndexedSeq.map(n =>
-        entryFor(s"data/snap-$snapId", n, stats, blooms)))
+        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)))
     snapId
   }
 
@@ -844,8 +841,7 @@ object Layout {
       .parquet(entries.map(e => s"$dir/${e.path}"): _*)
       .coalesce(n)
       .write.mode("overwrite").parquet(dataDir)
-    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
-      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    val (names, sizes) = listDataFiles(fs, dataDir)
     val cols = entries.flatMap(_.stats.keys).distinct
     val bCols = entries.flatMap(_.blooms.keys).distinct
     val stats =
@@ -855,7 +851,7 @@ object Layout {
       if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(nm =>
-      entryFor(s"data/snap-$snapId", nm, stats, blooms)))
+      entryFor(s"data/snap-$snapId", nm, stats, blooms, sizes)))
     (snapId, entries.size, names.length)
   }
 
@@ -901,8 +897,7 @@ object Layout {
       }
     val dataDir = s"$dir/data/snap-$snapId"
     clustered.write.mode("overwrite").parquet(dataDir)
-    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
-      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    val (names, sizes) = listDataFiles(fs, dataDir)
     val statsCols = entries.flatMap(_.stats.keys).distinct
     val bCols = entries.flatMap(_.blooms.keys).distinct
     val stats =
@@ -912,7 +907,7 @@ object Layout {
       if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(nm =>
-      entryFor(s"data/snap-$snapId", nm, stats, blooms)))
+      entryFor(s"data/snap-$snapId", nm, stats, blooms, sizes)))
     snapId
   }
 
@@ -952,8 +947,7 @@ object Layout {
       .filter(!coalesce(toColumn(pred), lit(false)))
     val dataDir = s"$dir/data/snap-$snapId"
     survivors.write.mode("overwrite").parquet(dataDir)
-    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
-      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    val (names, sizes) = listDataFiles(fs, dataDir)
     val statsCols = entries.flatMap(_.stats.keys).distinct
     val bCols = entries.flatMap(_.blooms.keys).distinct
     val stats =
@@ -964,7 +958,7 @@ object Layout {
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId,
       untouched ++ names.toIndexedSeq.map(n =>
-        entryFor(s"data/snap-$snapId", n, stats, blooms)))
+        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)))
     (snapId, touched.size)
   }
 
@@ -1089,8 +1083,7 @@ object Layout {
     }
     val dataDir = s"$dir/data/snap-$snapId"
     merged.write.mode("overwrite").parquet(dataDir)
-    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
-      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    val (names, sizes) = listDataFiles(fs, dataDir)
     val statsCols = entries.flatMap(_.stats.keys).distinct
     val bCols = entries.flatMap(_.blooms.keys).distinct
     val stats =
@@ -1101,7 +1094,7 @@ object Layout {
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId,
       untouched ++ names.toIndexedSeq.map(n =>
-        entryFor(s"data/snap-$snapId", n, stats, blooms)))
+        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)))
     (snapId, touched.size)
   }
 
@@ -1232,12 +1225,30 @@ object Layout {
   private def entryFor(relDir: String, name: String,
                        stats: Map[String, (Map[String, ColStat], Long)],
                        blooms: Map[String, Map[String, BloomStat]] =
-                         Map.empty): FileEntry = {
+                         Map.empty,
+                       sizes: Map[String, Long] = Map.empty): FileEntry = {
     val bl = blooms.getOrElse(name, Map.empty)
+    val sz = sizes.get(name)
     stats.get(name) match {
-      case Some((cs, n)) => FileEntry(s"$relDir/$name", cs, Some(n), bl)
-      case None => FileEntry(s"$relDir/$name", blooms = bl)
+      case Some((cs, n)) => FileEntry(s"$relDir/$name", cs, Some(n), bl, sz)
+      case None => FileEntry(s"$relDir/$name", blooms = bl, bytes = sz)
     }
+  }
+
+  /** One listing of a just-written data directory → (sorted file
+    * names, name → byte size). Sizes ride into the manifest so
+    * planning-time consumers (the `snapshot` relation's FileIndex,
+    * scan-size estimates) never re-stat data files — at object-store
+    * latency a per-file HEAD is exactly the round trip the manifest
+    * exists to amortize.
+    */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            dataDir: String)
+      : (IndexedSeq[String], Map[String, Long]) = {
+    val st = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    (st.map(_.getPath.getName).sorted.toIndexedSeq,
+      st.map(s => s.getPath.getName -> s.getLen).toMap)
   }
 
   private def listSnapshotIds(fs: org.apache.hadoop.fs.FileSystem,
@@ -1263,12 +1274,14 @@ object Layout {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val body =
-      if (entries.forall(e => e.stats.isEmpty && e.blooms.isEmpty))
+      if (entries.forall(e =>
+            e.stats.isEmpty && e.blooms.isEmpty && e.bytes.isEmpty))
         JsonMethods.compact(JsonMethods.render(entries.map(_.path)))
       else {
         val files = entries.map { e =>
           val base = ("path" -> e.path) ~
             ("rows" -> e.rows) ~
+            ("bytes" -> e.bytes) ~
             ("stats" -> e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
               c -> (("min" -> st.min) ~ ("max" -> st.max) ~
                 ("type" -> st.tpe))
@@ -1371,6 +1384,11 @@ object Layout {
               case JLong(n) => Some(n)
               case _ => None
             }
+            val bytes = (f \ "bytes") match {
+              case JInt(n) => Some(n.toLong)
+              case JLong(n) => Some(n)
+              case _ => None
+            }
             val blooms = (f \ "blooms") match {
               case JObject(cols) => cols.flatMap { case (c, b) =>
                 def i(key: String): Option[Int] = (b \ key) match {
@@ -1386,7 +1404,7 @@ object Layout {
               }.toMap
               case _ => Map.empty[String, BloomStat]
             }
-            FileEntry(path, stats, rows, blooms)
+            FileEntry(path, stats, rows, blooms, bytes)
           }
           case other => sys.error(s"bad manifest files list: $other")
         }

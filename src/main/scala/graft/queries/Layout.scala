@@ -557,6 +557,32 @@ object Layout {
     // Incremental view maintenance (q186): the per-source (count, sum)
     // view maintained from a CDC change feed (deletes every 10th doc,
     // updates every kept 7th, inserts re-keyed 9ths) in O(|changes|) —
+    // Registered-table SQL over the snapshot format (q264): the
+    // reference's own lifecycle — register a table, run arbitrary SQL
+    // (SQLQueryFastq.java:99) — reaching the engine's storage layer.
+    // The `snapshot` relation provider resolves the manifest and its
+    // FileIndex compiles the WHERE's data filters through toStatPred,
+    // so the plain SQL below prunes files at planning time exactly like
+    // snapshotReadWhere (SnapshotSqlSpec pins the kept-file equality);
+    // the oracle pins the band's exact content. The predicate mixes a
+    // compilable band + IN with a non-compilable md5 gate, so partial
+    // compilation soundness is under the oracle too.
+    "q264_snapshot_sql" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapsql")
+      L.snapshotWrite(Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars", "lang")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"),
+        base, statsCols = Seq("n_chars", "lang"))
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_snap_sql " +
+        s"USING snapshot OPTIONS (path '$base')")
+      s.sql("""SELECT doc_id, md5(text) AS text_md5, n_chars, lang
+              FROM graft_snap_sql
+              WHERE n_chars BETWEEN 150 AND 350
+                AND lang IN ('en', 'de')
+                AND substring(md5(CAST(doc_id AS STRING)), 1, 1) != 'f'""")
+    },
+
     // the oracle RECOMPUTES the aggregate from the post-change corpus,
     // so equality proves the delta algebra, not just the plumbing.
     "q186_delta_agg" -> { (s, d) =>
@@ -610,6 +636,12 @@ object Layout {
     "q222_stats_pruned_read" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars BETWEEN 150 AND 350""",
+    "q264_snapshot_sql" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars, lang
+         FROM documents
+         WHERE n_chars BETWEEN 150 AND 350
+           AND lang IN ('en', 'de')
+           AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) != 'f'""",
     // q227/q228/q229: append composition, compaction, and the streaming
     // sink are all pure table plumbing — content must hash to exactly
     // the source corpus.

@@ -42,4 +42,62 @@ object Bridge {
         PredLit(l.value)
       case _ => PredOpaque
     }
+
+  /** RESOLVED-expression mirror of [[predicateTree]]: the filters a
+    * `FileIndex.listFiles` receives are post-analysis catalyst
+    * Expressions (AttributeReference / Literal-with-internal-value /
+    * typed comparison nodes), not the unresolved ColumnNode tree a
+    * user-built `Column` carries — so the snapshot source's
+    * planning-time pruning needs this second walker. Literal values
+    * convert to EXTERNAL Scala values (UTF8String→String, epoch
+    * days→Date, micros→Timestamp) so the same Layout.cmp arithmetic
+    * serves both entry points. Unknown shapes map to PredOpaque, which
+    * the StatPred compiler drops soundly (a skipped conjunct only
+    * widens the kept-file set).
+    */
+  def predicateTree(e: Expression): PredNode = walkExpr(e)
+
+  private def walkExpr(e: Expression): PredNode = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.NumericType
+    // Numeric WIDENING casts around the attribute are order-embeddings
+    // (int stats compare against a long/decimal probe through the same
+    // BigDecimal arithmetic), so unwrapping them is sound for pruning.
+    // Any other cast (string↔numeric, date→timestamp) changes the
+    // comparison domain and must stay opaque.
+    def strip(x: Expression): Expression = x match {
+      case Cast(child, dt, _, _)
+          if child.dataType.isInstanceOf[NumericType] &&
+            dt.isInstanceOf[NumericType] => strip(child)
+      case other => other
+    }
+    e match {
+      case And(l, r) => PredFunc("and", Seq(walkExpr(l), walkExpr(r)))
+      case Or(l, r) => PredFunc("or", Seq(walkExpr(l), walkExpr(r)))
+      case GreaterThan(l, r) => PredFunc(">", Seq(walkExpr(l), walkExpr(r)))
+      case GreaterThanOrEqual(l, r) =>
+        PredFunc(">=", Seq(walkExpr(l), walkExpr(r)))
+      case LessThan(l, r) => PredFunc("<", Seq(walkExpr(l), walkExpr(r)))
+      case LessThanOrEqual(l, r) =>
+        PredFunc("<=", Seq(walkExpr(l), walkExpr(r)))
+      case EqualTo(l, r) => PredFunc("=", Seq(walkExpr(l), walkExpr(r)))
+      case In(v, list) => PredFunc("in", walkExpr(v) +: list.map(walkExpr))
+      // the optimizer rewrites IN over >10 literals to InSet — without
+      // this branch exactly the large lists (where pruning pays most)
+      // would stop compiling
+      case InSet(v, hset) =>
+        val dt = v.dataType
+        PredFunc("in", walkExpr(v) +: hset.toSeq.map(x =>
+          PredLit(CatalystTypeConverters.convertToScala(x, dt))))
+      case a: AttributeReference => PredAttr(a.name)
+      case Literal(v, dt) =>
+        PredLit(CatalystTypeConverters.convertToScala(v, dt))
+      case c: Cast => strip(c) match {
+        case same if same eq c => PredOpaque
+        case inner => walkExpr(inner)
+      }
+      case _ => PredOpaque
+    }
+  }
 }
