@@ -62,6 +62,27 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
     val snapId = opts.get("snapshotid").map(_.toLong).getOrElse(-1L)
     val mergeSchema = opts.get("mergeschema").exists(_.toBoolean)
     val entries = Layout.snapshotFiles(spark, dir, snapId)
+    // Rename/drop history can leave files whose parquet column names
+    // differ from the current schema; a HadoopFsRelation resolves
+    // strictly by name, so serving those files here would silently
+    // null-fill renamed columns. Refuse loudly — Layout.snapshotRead
+    // resolves by field id, and compactSnapshot/optimizeClustered
+    // rewrite to current names, restoring SQL access.
+    val schemas = Layout.snapshotSchemas(spark, dir, snapId)
+    schemas.lastOption.foreach { cur =>
+      val curSet = cur.fields.map(f => (f.id, f.name)).toSet
+      // by-name reading is safe iff every file's fields are a SUBSET of
+      // the current (id, name) pairs: widening appends qualify (old
+      // files just null-fill the added columns), renames (same id,
+      // different name) and drops (field gone from current) do not
+      val byNameSafe = entries.forall(e =>
+        e.schemaId.forall(id => schemas.find(_.id == id)
+          .forall(_.fields.map(f => (f.id, f.name)).toSet.subsetOf(curSet))))
+      require(byNameSafe,
+        s"snapshot table at $dir has files written under renamed/dropped " +
+          "column names; read via Layout.snapshotRead (field-id " +
+          "resolution) or heal with Layout.compactSnapshot, then re-register")
+    }
     // Schema from a BOUNDED file subset, mirroring snapshotRead: one
     // file plain, one per data directory under mergeSchema (schema can
     // only change between commits, and each commit writes one dir).

@@ -147,7 +147,20 @@ object Layout {
                              stats: Map[String, ColStat] = Map.empty,
                              rows: Option[Long] = None,
                              blooms: Map[String, BloomStat] = Map.empty,
-                             bytes: Option[Long] = None)
+                             bytes: Option[Long] = None,
+                             schemaId: Option[Int] = None)
+
+  /** Field-id schema tracking (the Iceberg identity model reduced to
+    * the manifest primitive): every column gets a PERMANENT numeric id
+    * at first write; the manifest records the schema history and each
+    * file the schema it was written under. Reads resolve columns BY ID
+    * to the current schema, so [[renameColumn]] is a metadata-only
+    * commit that stops forking data (pre-rename files keep serving the
+    * renamed column) and [[dropColumn]] + re-add gets a FRESH id, so
+    * dropped data never resurrects under a recycled name.
+    */
+  final case class FieldInfo(id: Int, name: String, tpe: String)
+  final case class SchemaInfo(id: Int, fields: Seq[FieldInfo])
 
   import StatPred._
 
@@ -447,10 +460,18 @@ object Layout {
                         snapshotId: Long = -1L,
                         mergeSchema: Boolean = false): DataFrame = {
     val pred = toStatPred(filter)
-    val all = snapshotFiles(spark, dir, snapshotId)
+    val (all, schemas) = snapshotState(spark, dir, snapshotId)
     val kept = pred match {
       case None => all
-      case Some(p) => all.filter(e => mayMatch(e, p))
+      case Some(p) => all.filter(e => mayMatchEvolved(e, p, schemas))
+    }
+    if (!uniformSchema(all, schemas)) {
+      val schemaSubset = all.groupBy(e =>
+        e.path.take(e.path.lastIndexOf('/') max 0)).values.map(_.head).toSeq
+      val base = evolvedRead(spark, dir,
+        if (kept.isEmpty) schemaSubset else kept, schemas, mergeSchema)
+      return if (kept.isEmpty) base.filter(lit(false))
+        else base.filter(filter)
     }
     // zero survivors: a BOUNDED subset for schema, never the full list.
     // Plain read: one file. mergeSchema read: one file PER DISTINCT
@@ -480,10 +501,10 @@ object Layout {
                          dir: String, filter: Column,
                          snapshotId: Long = -1L): Seq[FileEntry] = {
     val pred = toStatPred(filter)
-    val all = snapshotFiles(spark, dir, snapshotId)
+    val (all, schemas) = snapshotState(spark, dir, snapshotId)
     pred match {
       case None => all
-      case Some(p) => all.filter(e => mayMatch(e, p))
+      case Some(p) => all.filter(e => mayMatchEvolved(e, p, schemas))
     }
   }
 
@@ -706,6 +727,11 @@ object Layout {
     // catalog arbitrates concurrent committers)
     val ids = listSnapshotIds(fs, dir)
     val snapId = if (ids.isEmpty) 1L else ids.max + 1L
+    // field-id continuity across overwrites: existing names keep their
+    // permanent ids, so a later rename serves pre-overwrite snapshots too
+    val prevSchemas =
+      if (ids.isEmpty) Nil else readManifestFull(fs, dir, ids.max)._2
+    val (schemas, sid) = assignSchema(prevSchemas, df.schema)
     val dataDir = s"$dir/data/snap-$snapId"
     df.write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
@@ -716,7 +742,8 @@ object Layout {
       if (bloomCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
       else collectFileBlooms(spark, dataDir, bloomCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(n =>
-      entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)))
+      entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
+        .copy(schemaId = Some(sid))), schemas)
     snapId
   }
 
@@ -737,18 +764,21 @@ object Layout {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = listSnapshotIds(fs, dir)
-    val prev: Seq[FileEntry] =
-      if (ids.isEmpty) Nil else readManifestEntries(fs, dir, ids.max)
+    val (prev, prevSchemas) =
+      if (ids.isEmpty) (Nil, Nil) else readManifestFull(fs, dir, ids.max)
+    val (schemas, sid) = assignSchema(prevSchemas, df.schema, merge = true)
     val snapId = (if (ids.isEmpty) 0L else ids.max) + 1L
     val dataDir = s"$dir/data/snap-$snapId"
     df.write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
+    // carried stat/bloom keys translate by field id to current names,
+    // so appends after a rename keep collecting the same columns
     val cols =
       if (statsCols.nonEmpty) statsCols
-      else prev.flatMap(_.stats.keys).distinct
+      else statColsCurrent(prev, schemas, _.stats.keys)
     val bCols =
       if (bloomCols.nonEmpty) bloomCols
-      else prev.flatMap(_.blooms.keys).distinct
+      else statColsCurrent(prev, schemas, _.blooms.keys)
     val stats =
       if (cols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
       else collectFileStats(spark, dataDir, cols)
@@ -757,7 +787,8 @@ object Layout {
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId,
       prev ++ names.toIndexedSeq.map(n =>
-        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)))
+        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
+          .copy(schemaId = Some(sid))), schemas)
     snapId
   }
 
@@ -804,6 +835,65 @@ object Layout {
     (snapId, nBad)
   }
 
+  /** RENAME a column — a METADATA-ONLY commit (zero data files touched
+    * at any table size): the new current schema keeps the field's
+    * permanent id under the new name, file entries carry unchanged, and
+    * reads resolve by id, so every pre-rename file serves the renamed
+    * column without forking ([[FieldInfo]]). Pruning on the new name
+    * translates per file back to the name its stats were recorded
+    * under. Refuses tables with files that predate schema recording —
+    * their stats keys could not be distinguished from current names.
+    * Returns the new snapshot id.
+    */
+  def renameColumn(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   oldName: String, newName: String): Long =
+    evolveSchema(spark, dir, s"rename $oldName -> $newName") { cur =>
+      require(cur.fields.exists(_.name == oldName),
+        s"no column $oldName in the current schema")
+      require(!cur.fields.exists(_.name == newName),
+        s"column $newName already exists")
+      cur.fields.map(f => if (f.name == oldName) f.copy(name = newName)
+        else f)
+    }
+
+  /** DROP a column — metadata-only like [[renameColumn]]: the field
+    * leaves the current schema, reads project it away on every file,
+    * and a later re-add of the same NAME gets a fresh id, so the old
+    * data never resurrects (the Iceberg drop semantic). The bytes
+    * remain until files are rewritten (compaction/OPTIMIZE heal).
+    * Returns the new snapshot id.
+    */
+  def dropColumn(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 name: String): Long =
+    evolveSchema(spark, dir, s"drop $name") { cur =>
+      require(cur.fields.exists(_.name == name),
+        s"no column $name in the current schema")
+      require(cur.fields.size > 1, "cannot drop the last column")
+      cur.fields.filterNot(_.name == name)
+    }
+
+  private def evolveSchema(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, what: String)
+                          (change: SchemaInfo => Seq[FieldInfo]): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val (entries, schemas) = readManifestFull(fs, dir, ids.max)
+    require(schemas.nonEmpty,
+      s"cannot $what: table has no recorded schema history " +
+        "(written before field-id tracking) — rewrite it once via " +
+        "compactSnapshot/snapshotWrite first")
+    require(entries.forall(_.schemaId.isDefined),
+      s"cannot $what: some files predate schema recording — " +
+        "compactSnapshot first so every file carries its schema id")
+    val cur = schemas.maxBy(_.id)
+    val next = SchemaInfo(schemas.map(_.id).max + 1, change(cur))
+    val snapId = ids.max + 1L
+    writeManifest(fs, dir, snapId, entries, schemas :+ next)
+    snapId
+  }
+
   /** Compact a manifest-committed table's small files — [[compact]]'s
     * sibling INSIDE the snapshot contract: the accumulated files of the
     * latest snapshot (typically many per-batch appends) are rewritten
@@ -827,23 +917,30 @@ object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = listSnapshotIds(fs, dir)
     require(ids.nonEmpty, s"no snapshot manifest under $dir")
-    val entries = readManifestEntries(fs, dir, ids.max)
-    val totalBytes = entries.map(e =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${e.path}")).getLen).sum
+    val (entries, schemas) = readManifestFull(fs, dir, ids.max)
+    val totalBytes = entries.map(e => e.bytes.getOrElse(
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${e.path}")).getLen)).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val snapId = ids.max + 1L
     val dataDir = s"$dir/data/snap-$snapId"
     // mergeSchema: the table supports schema-widening appends; a
     // single-file inferred schema here would silently DROP the widened
     // columns from every rewritten file — permanent loss from an
-    // operation documented as content-neutral
-    spark.read.option("mergeSchema", "true")
-      .parquet(entries.map(e => s"$dir/${e.path}"): _*)
-      .coalesce(n)
+    // operation documented as content-neutral. On an evolved table the
+    // rewrite goes through the id-resolving read, which also HEALS the
+    // table: rewritten files carry the current names, so SQL access and
+    // the single-scan fast path come back.
+    val base =
+      if (uniformSchema(entries, schemas))
+        spark.read.option("mergeSchema", "true")
+          .parquet(entries.map(e => s"$dir/${e.path}"): _*)
+      else evolvedRead(spark, dir, entries, schemas, mergeSchema = true)
+    base.coalesce(n)
       .write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
-    val cols = entries.flatMap(_.stats.keys).distinct
-    val bCols = entries.flatMap(_.blooms.keys).distinct
+    val (outSchemas, sid) = assignSchema(schemas, base.schema)
+    val cols = statColsCurrent(entries, schemas, _.stats.keys)
+    val bCols = statColsCurrent(entries, schemas, _.blooms.keys)
     val stats =
       if (cols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
       else collectFileStats(spark, dataDir, cols)
@@ -851,7 +948,9 @@ object Layout {
       if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(nm =>
-      entryFor(s"data/snap-$snapId", nm, stats, blooms, sizes)))
+      entryFor(s"data/snap-$snapId", nm, stats, blooms, sizes)
+        .copy(schemaId = if (outSchemas.isEmpty) None else Some(sid))),
+      outSchemas)
     (snapId, entries.size, names.length)
   }
 
@@ -879,11 +978,14 @@ object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = listSnapshotIds(fs, dir)
     require(ids.nonEmpty, s"no snapshot manifest under $dir")
-    val entries = readManifestEntries(fs, dir, ids.max)
+    val (entries, schemas) = readManifestFull(fs, dir, ids.max)
     val snapId = ids.max + 1L
     val n = if (numFiles > 0) numFiles else math.max(1, entries.size)
-    val base = spark.read.option("mergeSchema", "true")
-      .parquet(entries.map(e => s"$dir/${e.path}"): _*)
+    val base =
+      if (uniformSchema(entries, schemas))
+        spark.read.option("mergeSchema", "true")
+          .parquet(entries.map(e => s"$dir/${e.path}"): _*)
+      else evolvedRead(spark, dir, entries, schemas, mergeSchema = true)
     val clustered =
       if (dims.size == 1)
         base.repartitionByRange(n, col(dims.head))
@@ -898,8 +1000,9 @@ object Layout {
     val dataDir = s"$dir/data/snap-$snapId"
     clustered.write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
-    val statsCols = entries.flatMap(_.stats.keys).distinct
-    val bCols = entries.flatMap(_.blooms.keys).distinct
+    val (outSchemas, sid) = assignSchema(schemas, base.schema)
+    val statsCols = statColsCurrent(entries, schemas, _.stats.keys)
+    val bCols = statColsCurrent(entries, schemas, _.blooms.keys)
     val stats =
       if (statsCols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
       else collectFileStats(spark, dataDir, statsCols)
@@ -907,7 +1010,8 @@ object Layout {
       if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(nm =>
-      entryFor(s"data/snap-$snapId", nm, stats, blooms, sizes)))
+      entryFor(s"data/snap-$snapId", nm, stats, blooms, sizes)
+        .copy(schemaId = Some(sid))), outSchemas)
     snapId
   }
 
@@ -932,24 +1036,38 @@ object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = listSnapshotIds(fs, dir)
     require(ids.nonEmpty, s"no snapshot manifest under $dir")
-    val entries = readManifestEntries(fs, dir, ids.max)
-    val (touched, untouched) = entries.partition(e => mayMatch(e, pred))
+    val (entries, schemas) = readManifestFull(fs, dir, ids.max)
+    val (touched, untouched) =
+      entries.partition(e => mayMatchEvolved(e, pred, schemas))
     val snapId = ids.max + 1L
     if (touched.isEmpty) {
       // nothing can match: the new snapshot is the old file set
-      writeManifest(fs, dir, snapId, entries)
+      writeManifest(fs, dir, snapId, entries, schemas)
       return (snapId, 0)
     }
     // mergeSchema for the same reason as compactSnapshot: rewritten
-    // files must keep columns a schema-widening append introduced
-    val survivors = spark.read.option("mergeSchema", "true")
-      .parquet(touched.map(e => s"$dir/${e.path}"): _*)
+    // files must keep columns a schema-widening append introduced; on
+    // an evolved table the id-resolving read yields CURRENT names, so
+    // the predicate (written in current names) applies directly
+    val touchedDf =
+      if (uniformSchema(touched, schemas))
+        spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(e => s"$dir/${e.path}"): _*)
+      else evolvedRead(spark, dir, touched, schemas, mergeSchema = true)
+    val survivors = touchedDf
       .filter(!coalesce(toColumn(pred), lit(false)))
     val dataDir = s"$dir/data/snap-$snapId"
     survivors.write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
-    val statsCols = entries.flatMap(_.stats.keys).distinct
-    val bCols = entries.flatMap(_.blooms.keys).distinct
+    // partial rewrite: only a table ALREADY recording schemas evolves
+    // here (a fresh schema inferred from the touched subset alone could
+    // miss widened columns that live only in untouched legacy files —
+    // compact/OPTIMIZE, which rewrite everything, are the upgrade path)
+    val (outSchemas, sid) =
+      if (schemas.isEmpty) (Nil, 0)
+      else assignSchema(schemas, touchedDf.schema, merge = true)
+    val statsCols = statColsCurrent(entries, schemas, _.stats.keys)
+    val bCols = statColsCurrent(entries, schemas, _.blooms.keys)
     val stats =
       if (statsCols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
       else collectFileStats(spark, dataDir, statsCols)
@@ -958,7 +1076,10 @@ object Layout {
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId,
       untouched ++ names.toIndexedSeq.map(n =>
-        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)))
+        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
+          .copy(schemaId =
+            if (outSchemas.isEmpty) None else Some(sid))),
+      outSchemas)
     (snapId, touched.size)
   }
 
@@ -997,7 +1118,7 @@ object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = listSnapshotIds(fs, dir)
     require(ids.nonEmpty, s"no snapshot manifest under $dir")
-    val entries = readManifestEntries(fs, dir, ids.max)
+    val (entries, schemas) = readManifestFull(fs, dir, ids.max)
     val snapId = ids.max + 1L
 
     // PIN the source before anything reads it (the snapshotAppendChecked
@@ -1029,20 +1150,34 @@ object Layout {
     val candidates =
       if (sourceEmpty) Nil
       else if (boundPreds.isEmpty) entries // degenerate: cannot prune
-      else entries.filter(e => mayMatch(e, And(boundPreds)))
+      else entries.filter(e => mayMatchEvolved(e, And(boundPreds), schemas))
+    // key columns under each candidate file's OWN names (rename-safe);
+    // the semi-join probe reads per name-group so every file's keys
+    // resolve correctly
+    val candGroups: Seq[Seq[FileEntry]] =
+      if (uniformSchema(candidates, schemas)) Seq(candidates)
+      else candidates.groupBy(_.schemaId).values.toSeq
     val touched =
       if (candidates.isEmpty) Nil
-      else {
-        val hit = spark.read.option("mergeSchema", "true")
-          .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
-          .select(col("_metadata.file_name").as("_f") +:
-            keyCols.map(col): _*)
-          .join(source.select(keyCols.map(col): _*).distinct(),
-            keyCols, "left_semi")
-          .select("_f").distinct()
-          .collect().map(_.getString(0)).toSet
-        candidates.filter(e => hit.contains(
-          e.path.substring(e.path.lastIndexOf('/') + 1)))
+      else candGroups.filter(_.nonEmpty).flatMap { grp =>
+        val m = nameTranslation(grp.head, schemas)
+        val df0 = spark.read.option("mergeSchema", "true")
+          .parquet(grp.map(e => s"$dir/${e.path}"): _*)
+        val avail = df0.columns.toSet
+        // a key column these files predate is all-null in their view —
+        // null keys match no source key, so the whole group is untouched
+        if (keyCols.exists(c => !avail.contains(m.getOrElse(c, c)))) Nil
+        else {
+          val hit = df0
+            .select(col("_metadata.file_name").as("_f") +:
+              keyCols.map(c => col(m.getOrElse(c, c)).as(c)): _*)
+            .join(source.select(keyCols.map(col): _*).distinct(),
+              keyCols, "left_semi")
+            .select("_f").distinct()
+            .collect().map(_.getString(0)).toSet
+          grp.filter(e => hit.contains(
+            e.path.substring(e.path.lastIndexOf('/') + 1)))
+        }
       }
     val untouched = entries.filterNot(touched.contains)
 
@@ -1053,14 +1188,17 @@ object Layout {
     if (touched.isEmpty) {
       // no file can hold a source key: pure-insert merge (or no-op)
       if (sourceEmpty || inserts.isEmpty) {
-        writeManifest(fs, dir, snapId, entries)
+        writeManifest(fs, dir, snapId, entries, schemas)
         return (snapId, 0)
       }
     }
     val target =
       if (touched.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(e => s"$dir/${e.path}"): _*))
+      else if (uniformSchema(touched, schemas))
+        Some(spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(e => s"$dir/${e.path}"): _*))
+      else Some(evolvedRead(spark, dir, touched, schemas,
+        mergeSchema = true))
     // carried = touched-file rows whose key the source does not claim;
     // the source side contributes updates and inserts in one pass
     val merged = target match {
@@ -1074,9 +1212,12 @@ object Layout {
         carried.unionByName(inserts.select(common.map(col).toIndexedSeq: _*),
           allowMissingColumns = true)
       case None if entries.nonEmpty =>
-        // pure-insert merge: align to the table schema (one footer read)
-        val tCols = spark.read
-          .parquet(s"$dir/${entries.head.path}").columns
+        // pure-insert merge: align to the table schema (the recorded
+        // current schema when present — rename-safe; one footer read
+        // on legacy tables)
+        val tCols = currentSchemaOf(schemas).map(_.fields.map(_.name))
+          .getOrElse(spark.read
+            .parquet(s"$dir/${entries.head.path}").columns.toSeq)
         val common = tCols.filter(inserts.columns.contains(_))
         inserts.select(common.map(col).toIndexedSeq: _*)
       case None => inserts
@@ -1084,8 +1225,11 @@ object Layout {
     val dataDir = s"$dir/data/snap-$snapId"
     merged.write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
-    val statsCols = entries.flatMap(_.stats.keys).distinct
-    val bCols = entries.flatMap(_.blooms.keys).distinct
+    val (outSchemas, sid) =
+      if (schemas.isEmpty) (Nil, 0) // see deleteWhere: partial rewrite
+      else assignSchema(schemas, merged.schema, merge = true)
+    val statsCols = statColsCurrent(entries, schemas, _.stats.keys)
+    val bCols = statColsCurrent(entries, schemas, _.blooms.keys)
     val stats =
       if (statsCols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
       else collectFileStats(spark, dataDir, statsCols)
@@ -1094,7 +1238,10 @@ object Layout {
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId,
       untouched ++ names.toIndexedSeq.map(n =>
-        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)))
+        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
+          .copy(schemaId =
+            if (outSchemas.isEmpty) None else Some(sid))),
+      outSchemas)
     (snapId, touched.size)
   }
 
@@ -1251,6 +1398,170 @@ object Layout {
       st.map(s => s.getPath.getName -> s.getLen).toMap)
   }
 
+  // ------------------------------------------------------------------
+  // Field-id schema evolution helpers
+  // ------------------------------------------------------------------
+
+  private def currentSchemaOf(schemas: Seq[SchemaInfo]): Option[SchemaInfo] =
+    if (schemas.isEmpty) None else Some(schemas.maxBy(_.id))
+
+  /** The schema a file was written under; unknown/pre-evolution files
+    * resolve to the current schema (their names ARE current names —
+    * [[renameColumn]] refuses tables with such files, so the fallback
+    * can never mis-map a renamed column).
+    */
+  private def schemaOfFile(e: FileEntry,
+                           schemas: Seq[SchemaInfo]): Option[SchemaInfo] =
+    e.schemaId.flatMap(id => schemas.find(_.id == id))
+      .orElse(currentSchemaOf(schemas))
+
+  /** current-name → name-in-file map (only entries that differ). A
+    * current field absent from the file's schema has no mapping — its
+    * untranslated leaf finds no stats and the file is conservatively
+    * kept.
+    */
+  private def nameTranslation(e: FileEntry,
+                              schemas: Seq[SchemaInfo]): Map[String, String] =
+    (currentSchemaOf(schemas), schemaOfFile(e, schemas)) match {
+      case (Some(cur), Some(fsch)) if fsch.id != cur.id =>
+        val byId = fsch.fields.map(f => f.id -> f.name).toMap
+        cur.fields.flatMap(f => byId.get(f.id).map(n => f.name -> n))
+          .filter { case (a, b) => a != b }.toMap
+      case _ => Map.empty
+    }
+
+  private def renameLeaves(p: StatPred, m: Map[String, String]): StatPred =
+    if (m.isEmpty) p
+    else p match {
+      case Lt(c, v) => Lt(m.getOrElse(c, c), v)
+      case Le(c, v) => Le(m.getOrElse(c, c), v)
+      case Gt(c, v) => Gt(m.getOrElse(c, c), v)
+      case Ge(c, v) => Ge(m.getOrElse(c, c), v)
+      case Eq(c, v) => Eq(m.getOrElse(c, c), v)
+      case Between(c, lo, hi) => Between(m.getOrElse(c, c), lo, hi)
+      case In(c, vs) => In(m.getOrElse(c, c), vs)
+      case And(ps) => And(ps.map(renameLeaves(_, m)))
+      case Or(ps) => Or(ps.map(renameLeaves(_, m)))
+    }
+
+  /** [[mayMatch]] with the predicate's CURRENT column names translated
+    * per file to the names that file's stats were recorded under —
+    * pruning keeps working across renames.
+    */
+  private def mayMatchEvolved(e: FileEntry, p: StatPred,
+                              schemas: Seq[SchemaInfo]): Boolean =
+    mayMatch(e, renameLeaves(p, nameTranslation(e, schemas)))
+
+  /** Do all entries present exactly the current schema's (id, name)
+    * field set? True ⇒ a plain by-name read is already correct.
+    */
+  private def uniformSchema(entries: Seq[FileEntry],
+                            schemas: Seq[SchemaInfo]): Boolean =
+    currentSchemaOf(schemas) match {
+      case None => true
+      case Some(cur) =>
+        val curSet = cur.fields.map(f => (f.id, f.name)).toSet
+        entries.forall(e => schemaOfFile(e, schemas).forall(
+          _.fields.map(f => (f.id, f.name)).toSet == curSet))
+    }
+
+  /** Read `kept` resolving columns BY FIELD ID to the current schema:
+    * files group by the schema they were written under (one group per
+    * schema id — bounded by the table's evolution history, never by
+    * file count), each group selects its own names aliased to current
+    * names with null-fill for later-added fields, dropped fields are
+    * projected away, and the groups union. On a uniform table this is
+    * the single plain read.
+    */
+  private def evolvedRead(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, kept: Seq[FileEntry],
+                          schemas: Seq[SchemaInfo],
+                          mergeSchema: Boolean): DataFrame = {
+    val cur = currentSchemaOf(schemas).getOrElse(
+      sys.error("evolvedRead on a schema-less table"))
+    val groups = kept.groupBy(_.schemaId.getOrElse(cur.id))
+    val parts = groups.toSeq.sortBy(_._1).map { case (sid, es) =>
+      val fsch = schemas.find(_.id == sid).getOrElse(cur)
+      val byId = fsch.fields.map(f => f.id -> f.name).toMap
+      // mergeSchema within a group: legacy widening predates schema
+      // recording; harmless otherwise
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(es.map(e => s"$dir/${e.path}"): _*)
+      val avail = df.columns.toSet
+      df.select(cur.fields.map { f =>
+        byId.get(f.id).filter(avail.contains) match {
+          case Some(n) => col(n).as(f.name)
+          case None => lit(null).cast(f.tpe).as(f.name)
+        }
+      }: _*)
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Permanent-id schema assignment for a new commit: names present in
+    * the current schema keep their ids (so a rename history chains
+    * correctly); new names get fresh ids (so a dropped-then-re-added
+    * name never resurrects old data). `merge = true` (appends) UNIONs
+    * the batch's fields into the current schema — an append narrower
+    * than the table must not hide columns, it just writes files that
+    * null-fill them; `merge = false` (overwrite) makes the table's
+    * schema exactly the batch's. Returns (full schema history, schema
+    * id for the new files).
+    */
+  private def assignSchema(prev: Seq[SchemaInfo],
+                           dfSchema: org.apache.spark.sql.types.StructType,
+                           merge: Boolean = false)
+      : (Seq[SchemaInfo], Int) = {
+    val cur = currentSchemaOf(prev)
+    val byName = cur.map(_.fields.map(f => f.name -> f.id).toMap)
+      .getOrElse(Map.empty[String, Int])
+    var nextId = (prev.flatMap(_.fields.map(_.id)) :+ 0).max
+    val dfFields = dfSchema.fields.toIndexedSeq.map { f =>
+      val tpe = f.dataType.catalogString
+      byName.get(f.name) match {
+        case Some(id) => FieldInfo(id, f.name, tpe)
+        case None => nextId += 1; FieldInfo(nextId, f.name, tpe)
+      }
+    }
+    val fields =
+      if (!merge || cur.isEmpty) dfFields
+      else {
+        val dfByName = dfFields.map(f => f.name -> f).toMap
+        // current order first (type refreshed if the batch widened it),
+        // then batch-new fields in batch order
+        cur.get.fields.map(f => dfByName.getOrElse(f.name, f)) ++
+          dfFields.filterNot(f => cur.get.fields.exists(_.name == f.name))
+      }
+    cur match {
+      case Some(c) if c.fields == fields => (prev, c.id)
+      case _ =>
+        val sid = (prev.map(_.id) :+ 0).max + 1
+        (prev :+ SchemaInfo(sid, fields), sid)
+    }
+  }
+
+  /** The current-schema names to (re-)collect stats for, translating
+    * each carried entry's write-time stat keys by field id and dropping
+    * keys whose field no longer exists.
+    */
+  private def statColsCurrent(entries: Seq[FileEntry],
+                              schemas: Seq[SchemaInfo],
+                              keys: FileEntry => Iterable[String])
+      : Seq[String] =
+    currentSchemaOf(schemas) match {
+      case None => entries.flatMap(keys(_)).toSeq.distinct
+      case Some(cur) =>
+        val curById = cur.fields.map(f => f.id -> f.name).toMap
+        entries.flatMap { e =>
+          val fsch = schemaOfFile(e, schemas)
+          keys(e).flatMap { k =>
+            fsch.flatMap(_.fields.find(_.name == k))
+              .flatMap(f => curById.get(f.id))
+              .orElse(if (cur.fields.exists(_.name == k)) Some(k) else None)
+          }
+        }.distinct
+    }
+
   private def listSnapshotIds(fs: org.apache.hadoop.fs.FileSystem,
                               dir: String): Array[Long] =
     Option(fs.globStatus(
@@ -1270,11 +1581,12 @@ object Layout {
     */
   private[graft] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             dir: String, snapId: Long,
-                            entries: Seq[FileEntry]): Unit = {
+                            entries: Seq[FileEntry],
+                            schemas: Seq[SchemaInfo] = Nil): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val body =
-      if (entries.forall(e =>
+      if (schemas.isEmpty && entries.forall(e =>
             e.stats.isEmpty && e.blooms.isEmpty && e.bytes.isEmpty))
         JsonMethods.compact(JsonMethods.render(entries.map(_.path)))
       else {
@@ -1282,6 +1594,7 @@ object Layout {
           val base = ("path" -> e.path) ~
             ("rows" -> e.rows) ~
             ("bytes" -> e.bytes) ~
+            ("schema" -> e.schemaId) ~
             ("stats" -> e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
               c -> (("min" -> st.min) ~ ("max" -> st.max) ~
                 ("type" -> st.tpe))
@@ -1294,8 +1607,13 @@ object Layout {
                   .encodeToString(b.bits.toByteArray)))
             }.toMap)
         }
-        JsonMethods.compact(JsonMethods.render(
-          ("format" -> 2) ~ ("files" -> files)))
+        val root = ("format" -> 2) ~ ("files" -> files)
+        val withSchemas =
+          if (schemas.isEmpty) root
+          else root ~ ("schemas" -> schemas.sortBy(_.id).map(s =>
+            ("id" -> s.id) ~ ("fields" -> s.fields.map(f =>
+              ("id" -> f.id) ~ ("name" -> f.name) ~ ("type" -> f.tpe)))))
+        JsonMethods.compact(JsonMethods.render(withSchemas))
       }
     // Unique tmp per writer: two racers must never share a staging path
     val tmp = new org.apache.hadoop.fs.Path(dir,
@@ -1353,17 +1671,43 @@ object Layout {
     }
 
   private def readManifestEntries(fs: org.apache.hadoop.fs.FileSystem,
-                                  dir: String, snap: Long): Seq[FileEntry] = {
+                                  dir: String, snap: Long): Seq[FileEntry] =
+    readManifestFull(fs, dir, snap)._1
+
+  private def readManifestFull(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String, snap: Long)
+      : (Seq[FileEntry], Seq[SchemaInfo]) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+    def parseSchemas(obj: JObject): Seq[SchemaInfo] =
+      (obj \ "schemas") match {
+        case JArray(ss) => ss.collect { case s: JObject =>
+          val sid = (s \ "id") match {
+            case JInt(n) => n.toInt
+            case other => sys.error(s"bad schema id: $other")
+          }
+          val fields = (s \ "fields") match {
+            case JArray(fls) => fls.collect { case f: JObject =>
+              ((f \ "id"), (f \ "name"), (f \ "type")) match {
+                case (JInt(i), JString(n), JString(t)) =>
+                  FieldInfo(i.toInt, n, t)
+                case other => sys.error(s"bad schema field: $other")
+              }
+            }
+            case other => sys.error(s"bad schema fields: $other")
+          }
+          SchemaInfo(sid, fields)
+        }
+        case _ => Nil
+      }
     JsonMethods.parse(body) match {
       case JArray(vs) => // v1: bare path array
-        vs.collect { case JString(p) => FileEntry(p) }
+        (vs.collect { case JString(p) => FileEntry(p) }, Nil)
       case obj: JObject =>
-        (obj \ "files") match {
+        ((obj \ "files") match {
           case JArray(fs2) => fs2.collect { case f: JObject =>
             val path = (f \ "path") match {
               case JString(p) => p
@@ -1389,6 +1733,10 @@ object Layout {
               case JLong(n) => Some(n)
               case _ => None
             }
+            val schemaId = (f \ "schema") match {
+              case JInt(n) => Some(n.toInt)
+              case _ => None
+            }
             val blooms = (f \ "blooms") match {
               case JObject(cols) => cols.flatMap { case (c, b) =>
                 def i(key: String): Option[Int] = (b \ key) match {
@@ -1404,10 +1752,10 @@ object Layout {
               }.toMap
               case _ => Map.empty[String, BloomStat]
             }
-            FileEntry(path, stats, rows, blooms, bytes)
+            FileEntry(path, stats, rows, blooms, bytes, schemaId)
           }
           case other => sys.error(s"bad manifest files list: $other")
-        }
+        }) -> parseSchemas(obj)
       case other => sys.error(s"bad manifest body: $other")
     }
   }
@@ -1433,10 +1781,27 @@ object Layout {
     // ONE manifest resolution (glob + open + parse); pruning filters
     // the loaded entries in memory — on an object store the manifest
     // round-trip is exactly the cost this path exists to minimize
-    val all = snapshotFiles(spark, dir, snapshotId, None)
+    val (all, schemas) = snapshotState(spark, dir, snapshotId)
     val kept = prune match {
       case None => all
-      case Some(p) => all.filter(e => mayMatch(e, p))
+      case Some(p) => all.filter(e => mayMatchEvolved(e, p, schemas))
+    }
+    // Field-id evolution path: once the table's files span schemas
+    // whose (id, name) sets differ (rename/drop/widen history), reads
+    // resolve columns BY ID to the current schema — per-schema groups,
+    // aliased selects, one union. Uniform tables keep the single-scan
+    // fast path below.
+    if (!uniformSchema(all, schemas)) {
+      val schemaSubset = all.groupBy(e =>
+        e.path.take(e.path.lastIndexOf('/') max 0)).values.map(_.head).toSeq
+      val base = evolvedRead(spark, dir,
+        if (kept.isEmpty) schemaSubset else kept, schemas,
+        mergeSchema)
+      return prune match {
+        case Some(_) if kept.isEmpty => base.filter(lit(false))
+        case Some(p) => base.filter(toColumn(p))
+        case None => base
+      }
     }
     // every file pruned: keep the scan schema from a BOUNDED subset —
     // planning a scan over the full list just for schema would pay the
@@ -1475,18 +1840,32 @@ object Layout {
   def snapshotFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
                     snapshotId: Long = -1L,
                     prune: Option[StatPred] = None): Seq[FileEntry] = {
+    val (entries, schemas) = snapshotState(spark, dir, snapshotId)
+    prune match {
+      case None => entries
+      case Some(p) => entries.filter(e => mayMatchEvolved(e, p, schemas))
+    }
+  }
+
+  /** One manifest resolution → (entries, schema history). */
+  private def snapshotState(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, snapshotId: Long)
+      : (Seq[FileEntry], Seq[SchemaInfo]) = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = listSnapshotIds(fs, dir)
     require(ids.nonEmpty, s"no snapshot manifest under $dir")
     val snap = if (snapshotId > 0) snapshotId else ids.max
     require(ids.contains(snap), s"snapshot $snap not found under $dir")
-    val entries = readManifestEntries(fs, dir, snap)
-    prune match {
-      case None => entries
-      case Some(p) => entries.filter(e => mayMatch(e, p))
-    }
+    readManifestFull(fs, dir, snap)
   }
+
+  /** The snapshot's recorded schema history (ascending id; last =
+    * current). Empty on tables that predate schema recording.
+    */
+  def snapshotSchemas(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, snapshotId: Long = -1L): Seq[SchemaInfo] =
+    snapshotState(spark, dir, snapshotId)._2.sortBy(_.id)
 
   /** The table's committed snapshot ids, ascending — the DESCRIBE
     * HISTORY primitive, and the offset domain for incremental
@@ -1654,9 +2033,9 @@ object Layout {
     val ids = listSnapshotIds(fs, dir)
     require(ids.contains(snapshotId),
       s"snapshot $snapshotId not found under $dir")
-    val entries = readManifestEntries(fs, dir, snapshotId)
+    val (entries, schemas) = readManifestFull(fs, dir, snapshotId)
     val newId = ids.max + 1L
-    writeManifest(fs, dir, newId, entries)
+    writeManifest(fs, dir, newId, entries, schemas)
     newId
   }
 

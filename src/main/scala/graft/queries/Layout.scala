@@ -583,6 +583,32 @@ object Layout {
                 AND substring(md5(CAST(doc_id AS STRING)), 1, 1) != 'f'""")
     },
 
+    // Field-id schema evolution (q265): half the corpus lands under the
+    // OLD column name `body`, the column is renamed to `text` (a
+    // metadata-only commit — zero files rewritten), the other half
+    // appends under the new name, and one pruned read serves BOTH eras:
+    // pre-rename files resolve `text` by field id, the n_chars band
+    // translates per file to the names its stats were recorded under.
+    // The oracle is the plain band over the whole corpus — equality
+    // proves rename never forked the column.
+    "q265_rename_evolution" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapevo")
+      val docs = Tables.documents(s, d)
+      L.snapshotWrite(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text").as("body"), col("n_chars"))
+        .repartitionByRange(4, col("n_chars"))
+        .sortWithinPartitions("n_chars"),
+        base, statsCols = Seq("n_chars"))
+      L.renameColumn(s, base, "body", "text")
+      L.snapshotAppend(docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .repartitionByRange(4, col("n_chars"))
+        .sortWithinPartitions("n_chars"), base)
+      L.snapshotReadWhere(s, base, col("n_chars").between(150, 350))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"))
+    },
+
     // the oracle RECOMPUTES the aggregate from the post-change corpus,
     // so equality proves the delta algebra, not just the plumbing.
     "q186_delta_agg" -> { (s, d) =>
@@ -634,6 +660,9 @@ object Layout {
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars BETWEEN 150 AND 350""",
     "q222_stats_pruned_read" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars
+         FROM documents WHERE n_chars BETWEEN 150 AND 350""",
+    "q265_rename_evolution" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars BETWEEN 150 AND 350""",
     "q264_snapshot_sql" ->
