@@ -234,6 +234,115 @@ object Web {
       (if (sorted.nonEmpty) "?" + sorted.mkString("&") else "")
   }
 
+  /** Resolve an href against its page URL — RFC 3986 §5 reference
+    * resolution restricted to hierarchical http(s) bases, the rule set
+    * a crawl link-graph needs (most real hrefs are relative; without
+    * resolution the graph feeding pageRank is missing most of its
+    * edges). Deterministic, replayable rules in order:
+    *  - the ref's `#fragment` is stripped first; an empty remainder
+    *    (fragment-only / empty href) is a same-page link → null;
+    *  - a ref with its own scheme passes through iff http(s); other
+    *    schemes (mailto:, javascript:, data:, ftp:) → null;
+    *  - `//host/...` (protocol-relative) takes the base's scheme;
+    *  - `/rooted`, `relative`, and `../relative` paths merge with the
+    *    base path (§5.2.3) and collapse dot segments (§5.2.4, the
+    *    standard in/out algorithm — excess `..` stops at the root);
+    *  - `?query`-only refs keep the base path with the new query;
+    *  - a base that is not an absolute http(s) URL → null.
+    * Returns null to mean "drop this link".
+    */
+  def resolveUrl(baseUrl: String, href: String): String = {
+    if (baseUrl == null || href == null) return null
+    var ref = href.trim
+    val hash = ref.indexOf('#')
+    if (hash >= 0) ref = ref.substring(0, hash)
+    if (ref.isEmpty) return null
+    schemePrefix(ref) match {
+      case null => ()
+      case s => return if (s == "http" || s == "https") ref else null
+    }
+    val base = baseUrl.trim
+    val schemeEnd = base.indexOf("://")
+    if (schemeEnd <= 0) return null
+    val scheme = base.substring(0, schemeEnd).toLowerCase
+    if (scheme != "http" && scheme != "https") return null
+    if (ref.startsWith("//")) return scheme + ":" + ref
+    var rest = base.substring(schemeEnd + 3)
+    val bf = rest.indexOf('#')
+    if (bf >= 0) rest = rest.substring(0, bf)
+    val slash = rest.indexOf('/')
+    val q = rest.indexOf('?')
+    val authEnd =
+      if (slash < 0 && q < 0) rest.length
+      else if (slash < 0) q
+      else if (q < 0) slash
+      else math.min(slash, q)
+    val authority = rest.substring(0, authEnd)
+    if (authority.isEmpty) return null
+    val after = rest.substring(authEnd)
+    val basePath = {
+      val qq = after.indexOf('?')
+      if (qq >= 0) after.substring(0, qq) else after
+    }
+    val (refPath, refQuery) = {
+      val qq = ref.indexOf('?')
+      if (qq >= 0) (ref.substring(0, qq), ref.substring(qq)) else (ref, "")
+    }
+    if (refPath.isEmpty) // "?query"-only: base path, new query (§5.3)
+      return scheme + "://" + authority +
+        (if (basePath.isEmpty) "/" else basePath) + refQuery
+    val merged =
+      if (refPath.startsWith("/")) refPath
+      else {
+        val cut = basePath.lastIndexOf('/')
+        (if (cut >= 0) basePath.substring(0, cut + 1) else "/") + refPath
+      }
+    scheme + "://" + authority + removeDotSegments(merged) + refQuery
+  }
+
+  /** Lower-cased scheme when `s` begins `scheme:` per RFC 3986
+    * (ALPHA *(ALPHA/DIGIT/+/-/.) ":"), else null.
+    */
+  private def schemePrefix(s: String): String = {
+    if (s.isEmpty || !s.charAt(0).isLetter) return null
+    var i = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ':') return s.substring(0, i).toLowerCase
+      if (!(c.isLetterOrDigit || c == '+' || c == '-' || c == '.')) return null
+      i += 1
+    }
+    null
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments — the standard input/output
+    * buffer walk; excess `..` at the root is dropped, not kept.
+    */
+  private def removeDotSegments(input: String): String = {
+    var in = input
+    val out = new StringBuilder
+    def popSegment(): Unit = {
+      val idx = out.lastIndexOf("/")
+      out.setLength(if (idx < 0) 0 else idx)
+    }
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); popSegment() }
+      else if (in == "/..") { in = "/"; popSegment() }
+      else if (in == "." || in == "..") in = ""
+      else {
+        val start = if (in.startsWith("/")) 1 else 0
+        val idx = in.indexOf('/', start)
+        if (idx < 0) { out.append(in); in = "" }
+        else { out.append(in.substring(0, idx)); in = in.substring(idx) }
+      }
+    }
+    out.toString
+  }
+
   private def compareBytes(a: String, b: String): Int = {
     val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)

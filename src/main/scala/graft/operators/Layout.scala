@@ -2089,6 +2089,9 @@ object Layout {
     }
     manifests.dropRight(keep).foreach { snap =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"), false)
+      // the id can never be recommitted (ids only grow), so its commit
+      // token is dead weight once the manifest is gone
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s".commit-$snap.lock"), false)
     }
     // crashed-writer manifest temps are dead by definition (the commit
     // rename never happened) — reclaim them with the data orphans
@@ -2097,6 +2100,58 @@ object Layout {
       .getOrElse(Array.empty)
       .foreach(f => fs.delete(f.getPath, false))
     deleted
+  }
+
+  /** RETENTION policy — Iceberg's `expireSnapshots` between
+    * [[snapshotHistory]] and [[vacuum]]: drop every snapshot whose
+    * COMMIT time (the manifest rename's mtime, the same clock
+    * [[snapshotAsOf]] travels by) is strictly before `olderThanMs`,
+    * always protecting the `keepLast` most recent ids regardless of
+    * age. Reclaims the expired manifests, their commit tokens, and
+    * every data file referenced ONLY by expired snapshots — files an
+    * append carried forward into a surviving manifest stay untouched
+    * (the shared-file safety property appends rely on). Expired ids
+    * refuse time travel afterwards; surviving snapshots are
+    * byte-identical. Unlike [[vacuum]] this never sweeps crashed-writer
+    * orphans — it deletes only what expired manifests prove dead.
+    *
+    * In production `olderThanMs` covers the longest-running reader
+    * plus clock skew (a reader pinned to an expired snapshot loses its
+    * files mid-query — the same horizon contract every manifest table
+    * format documents). Returns (snapshots expired, data files
+    * deleted).
+    */
+  def expireSnapshots(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, olderThanMs: Long,
+                      keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, s"must keep at least 1 snapshot, got $keepLast")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir).sorted
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val protectedIds = ids.takeRight(keepLast).toSet
+    val expired = ids.filter { id =>
+      !protectedIds.contains(id) &&
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(dir,
+          s"manifest-$id.json")).getModificationTime < olderThanMs
+    }
+    if (expired.isEmpty) return (0, 0)
+    val surviving = ids.filterNot(expired.contains)
+    val live: Set[String] = surviving
+      .flatMap(id => readManifestEntries(fs, dir, id).map(_.path)).toSet
+    val dead: Set[String] = expired
+      .flatMap(id => readManifestEntries(fs, dir, id).map(_.path))
+      .toSet -- live
+    var deleted = 0
+    dead.foreach { rel =>
+      if (fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+        deleted += 1
+    }
+    expired.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"manifest-$id.json"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s".commit-$id.lock"), false)
+    }
+    (expired.length, deleted)
   }
 
   /** Hive-style partitioned write — the COARSEST pruning lever: rows

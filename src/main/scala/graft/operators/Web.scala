@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.plans.{CanonicalizeUrlExpression, HtmlToTextExpression}
+import graft.plans.{CanonicalizeUrlExpression, HtmlToTextExpression, ResolveUrlExpression}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -28,15 +28,46 @@ object Web {
     org.apache.spark.sql.graft.Bridge.column(
       CanonicalizeUrlExpression(org.apache.spark.sql.graft.Bridge.expression(url)))
 
+  /** RFC 3986 reference resolution as a Column (native codegen
+    * expression — [[graft.functions.Web.resolveUrl]] rules; null =
+    * drop the link).
+    */
+  def resolveUrl(baseUrl: Column, href: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      ResolveUrlExpression(
+        org.apache.spark.sql.graft.Bridge.expression(baseUrl),
+        org.apache.spark.sql.graft.Bridge.expression(href)))
+
+  /** [[extractLinks]] with relative-URL resolution against each page's
+    * own URL — the form a real crawl link graph needs (most organic
+    * hrefs are relative; the absolute-only form below misses those
+    * edges entirely). Every captured href resolves per
+    * [[graft.functions.Web.resolveUrl]] (absolute pass-through,
+    * `//`-protocol-relative, rooted, relative with `../` collapse;
+    * fragment-only and non-http(s) schemes drop). Same narrow
+    * projection + explode shape — resolution is one codegen'd scalar,
+    * no extra pass.
+    */
+  def extractLinks(pages: DataFrame, idCol: String, htmlCol: String,
+                   baseUrlCol: String): DataFrame =
+    pages.select(col(idCol), col(baseUrlCol).as("_base"),
+        explode(regexp_extract_all(col(htmlCol),
+          lit("(?i)(?<![\\w-])href\\s*=\\s*(\"[^\"]*\"|'[^']*')"),
+          lit(1))).as("q"))
+      .select(col(idCol),
+        resolveUrl(col("_base"),
+          expr("substring(q, 2, length(q) - 2)")).as("href"))
+      .filter(col("href").isNotNull)
+
   /** Out-link extraction — the crawl-graph construction step between
     * WARC ingestion and [[Graph.pageRank]]: every absolute http(s)
     * `href` attribute value, one (id, href) row per occurrence
     * (multiplicity preserved — parallel links are real edges to a
     * rank computation). Deliberately regex-scoped like the PII tier
-    * (deterministic, replayable); relative-URL resolution needs the
-    * page's base URI and sits with the fetch layer. One narrow
-    * projection + explode, no shuffle; compose with
-    * [[canonicalizeUrl]] before grouping into an edge table.
+    * (deterministic, replayable); the sibling overload above resolves
+    * relative hrefs against a base-URL column. One narrow projection +
+    * explode, no shuffle; compose with [[canonicalizeUrl]] before
+    * grouping into an edge table.
     */
   def extractLinks(pages: DataFrame, idCol: String,
                    htmlCol: String): DataFrame =

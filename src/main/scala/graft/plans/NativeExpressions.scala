@@ -127,6 +127,14 @@ object NativeDna {
 
   def canonicalUrl(s: UTF8String): UTF8String =
     UTF8String.fromString(graft.functions.Web.canonicalizeUrl(s.toString))
+
+  /** May return null — "drop this link" ([[graft.functions.Web
+    * .resolveUrl]]); the expression wrapper propagates it as SQL NULL.
+    */
+  def resolveUrl(base: UTF8String, href: UTF8String): UTF8String = {
+    val r = graft.functions.Web.resolveUrl(base.toString, href.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
 }
 
 /** X1 as a native unary expression with whole-stage codegen support. */
@@ -897,6 +905,41 @@ case class CanonicalizeUrlExpression(child: Expression) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** RFC 3986 reference resolution (base, href) → absolute http(s) URL,
+  * null = drop ([[graft.functions.Web.resolveUrl]] rules). Codegen
+  * keeps link extraction inside the fused stage; the expression is
+  * nullable beyond its children because resolution itself can reject
+  * (fragment-only, mailto:/javascript:, non-http base).
+  */
+case class ResolveUrlExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"resolve_url_native requires (STRING, STRING), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "resolve_url_native"
+
+  override protected def nullSafeEval(b: Any, h: Any): Any =
+    NativeDna.resolveUrl(b.asInstanceOf[UTF8String],
+      h.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, h) => s"""
+      ${ev.value} = graft.plans.NativeDna.resolveUrl($b, $h);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: both an extensions class (for
   * `SparkSession.builder.withExtensions(new GraftExtensions)`) and a
   * runtime registry hook for already-built sessions.
@@ -921,7 +964,9 @@ object NativeFunctions {
       HammingDistanceExpression(exprs(0), exprs(1))),
     "html_to_text_native" -> (exprs => HtmlToTextExpression(exprs.head)),
     "canonicalize_url_native" -> (exprs =>
-      CanonicalizeUrlExpression(exprs.head)))
+      CanonicalizeUrlExpression(exprs.head)),
+    "resolve_url_native" -> (exprs =>
+      ResolveUrlExpression(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>
@@ -980,5 +1025,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("canonicalize_url_native"),
       new ExpressionInfo(classOf[CanonicalizeUrlExpression].getName, "canonicalize_url_native"),
       (exprs: Seq[Expression]) => CanonicalizeUrlExpression(exprs.head)))
+    e.injectFunction((FunctionIdentifier("resolve_url_native"),
+      new ExpressionInfo(classOf[ResolveUrlExpression].getName, "resolve_url_native"),
+      (exprs: Seq[Expression]) => ResolveUrlExpression(exprs(0), exprs(1))))
   }
 }

@@ -182,14 +182,20 @@ object Web {
     },
 
     // Out-link extraction (q240): render each document as an HTML page
-    // whose anchors encode q175's EXACT edge arithmetic, then extract
-    // hrefs back with the regex tier — extraction must reproduce the
-    // planted ground truth edge for edge (the WARC→link-graph step
-    // that feeds pageRank, closed under the oracle).
+    // whose anchors encode q175's EXACT edge arithmetic PLUS one link
+    // of every RFC 3986 reference shape — rooted, ../-relative, plain
+    // relative, protocol-relative — resolved against the page's own URL
+    // (`http://corpus.example/s<id%5>/p<id>.html`), then extract hrefs
+    // back through the regex + resolution tier. The oracle replays the
+    // resolution arithmetic shape by shape, so merge + dot-collapse are
+    // under the hash; fragment-only, mailto: and javascript: anchors
+    // must not survive.
     "q240_link_extraction" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.agg(count(lit(1)).cast("long").as("n"))
       val pages = docs.crossJoin(broadcast(n)).select(col("doc_id"),
+        concat(lit("http://corpus.example/s"), pmod(col("doc_id"), lit(5)),
+          lit("/p"), col("doc_id"), lit(".html")).as("url"),
         concat(lit("<html><body><p>page "), col("doc_id"),
           lit(" & more</p>"),
           concat_ws("", transform(
@@ -197,8 +203,15 @@ object Web {
             j => concat(lit("<a class='x' href=\"http://corpus.example/doc/"),
               ((col("doc_id") * 31 + j * 7) % col("n")).cast("string"),
               lit("\">link</a>")))),
-          lit("<a href='#frag'>skip</a></body></html>")).as("html"))
-      graft.operators.Web.extractLinks(pages, "doc_id", "html")
+          lit("<a href=\"/r/"), pmod(col("doc_id"), lit(97)),
+          lit("\">rooted</a><a href='../d/"), pmod(col("doc_id"), lit(89)),
+          lit("'>parent</a><a href=\"x/"), pmod(col("doc_id"), lit(83)),
+          lit("\">rel</a><a href='//cdn.example/c/"),
+          pmod(col("doc_id"), lit(79)),
+          lit("'>proto</a><a href='#frag'>skip</a>"),
+          lit("<a href='mailto:a@b.c'>m</a>"),
+          lit("<a href=\"javascript:void(0)\">j</a></body></html>")).as("html"))
+      graft.operators.Web.extractLinks(pages, "doc_id", "html", "url")
     },
 
     // PageRank over a deterministic link graph (the crawl-quality
@@ -435,15 +448,29 @@ object Web {
 
   val oracles: Map[String, String] = Map(
     // q240: the oracle is the PLANTED ground truth (q175's edge
-    // arithmetic) — equality proves the regex tier loses/duplicates
-    // nothing; the in-page '#frag' anchor must not survive.
+    // arithmetic + the per-shape resolution results) — equality proves
+    // the regex + resolution tier loses/duplicates nothing; '#frag',
+    // mailto: and javascript: anchors must not survive.
     "q240_link_extraction" ->
       """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
          SELECT d.doc_id,
               'http://corpus.example/doc/' ||
                 CAST((d.doc_id * 31 + j.j * 7) % nn.n AS VARCHAR) AS href
          FROM documents d, nn, (VALUES (1), (2), (3)) AS j(j)
-         WHERE j.j <= 1 + d.doc_id % 3""",
+         WHERE j.j <= 1 + d.doc_id % 3
+         UNION ALL
+         SELECT doc_id, 'http://corpus.example/r/' ||
+              CAST(doc_id % 97 AS VARCHAR) FROM documents
+         UNION ALL
+         SELECT doc_id, 'http://corpus.example/d/' ||
+              CAST(doc_id % 89 AS VARCHAR) FROM documents
+         UNION ALL
+         SELECT doc_id, 'http://corpus.example/s' ||
+              CAST(doc_id % 5 AS VARCHAR) || '/x/' ||
+              CAST(doc_id % 83 AS VARCHAR) FROM documents
+         UNION ALL
+         SELECT doc_id, 'http://cdn.example/c/' ||
+              CAST(doc_id % 79 AS VARCHAR) FROM documents""",
     "q123_blocklist" -> {
       val hitTerms = BlockPatterns.map(p =>
         s"(length(text) - length(replace(text, '$p', ''))) / ${p.length}")

@@ -1245,4 +1245,46 @@ class LayoutSpec extends AnyFunSuite {
     assert(out2.count() == 0 && out2.inputFiles.length <= 1)
     assert(out2.schema.fieldNames.toSeq == Seq("id", "v"))
   }
+
+  test("expireSnapshots: age+keepLast retention, shared files survive, expired ids refuse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_expire").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // snap1: base; snap2: APPEND (shares snap1's files); snap3: overwrite
+    Layout.snapshotWrite((1L to 100L).toSeq.toDF("k").repartition(2), dir)
+    Layout.snapshotAppend((101L to 150L).toSeq.toDF("k").repartition(1), dir)
+    Layout.snapshotWrite((1L to 10L).toSeq.toDF("k").repartition(1), dir)
+    val snap1Files = Layout.snapshotFiles(spark, dir, 1L).map(_.path).toSet
+    def exists(rel: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+
+    // nothing is old enough: no-op
+    assert(Layout.expireSnapshots(spark, dir, olderThanMs = 0L) === ((0, 0)))
+    assert(Layout.snapshotIds(spark, dir) === Seq(1L, 2L, 3L))
+
+    // expire snap1 only (keepLast=2 protects 2 and 3 at any age):
+    // snap1's files are ALL shared with the surviving snap2 append —
+    // zero data files may die
+    val (n1, d1) = Layout.expireSnapshots(spark, dir,
+      olderThanMs = Long.MaxValue, keepLast = 2)
+    assert(n1 === 1 && d1 === 0, s"shared-file append reclaim must be 0, got $d1")
+    assert(snap1Files.forall(exists), "append-carried files deleted")
+    assert(Layout.snapshotIds(spark, dir) === Seq(2L, 3L))
+    intercept[IllegalArgumentException](Layout.snapshotRead(spark, dir, 1L))
+    // surviving snapshots intact
+    assert(Layout.snapshotRead(spark, dir, 2L).count() === 150)
+    assert(Layout.snapshotRead(spark, dir).count() === 10)
+
+    // expire snap2: its files are referenced by no survivor → reclaimed
+    val (n2, d2) = Layout.expireSnapshots(spark, dir,
+      olderThanMs = Long.MaxValue, keepLast = 1)
+    assert(n2 === 1 && d2 === 3, s"expected 3 dead files, got $d2")
+    assert(snap1Files.forall(p => !exists(p)))
+    assert(Layout.snapshotIds(spark, dir) === Seq(3L))
+    assert(Layout.snapshotRead(spark, dir).count() === 10)
+    // expired commit tokens are gone with their manifests
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".commit-1.lock")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".commit-2.lock")))
+  }
 }

@@ -123,6 +123,61 @@ class WebSpec extends AnyFunSuite {
       ("http://x.com/other", 4L, 1L)))
   }
 
+  test("resolveUrl: RFC 3986 reference shapes") {
+    val base = "http://a.com/dir/sub/page.html?q=1#top"
+    // absolute pass-through (fragment in ref stripped)
+    assert(WebFn.resolveUrl(base, "https://b.com/x#s") == "https://b.com/x")
+    // protocol-relative takes the base scheme
+    assert(WebFn.resolveUrl(base, "//cdn.com/y") == "http://cdn.com/y")
+    assert(WebFn.resolveUrl("https://a.com/p", "//cdn.com/y") ==
+      "https://cdn.com/y")
+    // rooted
+    assert(WebFn.resolveUrl(base, "/r/1") == "http://a.com/r/1")
+    // plain relative merges with the base directory
+    assert(WebFn.resolveUrl(base, "x/2") == "http://a.com/dir/sub/x/2")
+    // ../ collapse, including multiple levels and past-root clamping
+    assert(WebFn.resolveUrl(base, "../d/3") == "http://a.com/dir/d/3")
+    assert(WebFn.resolveUrl(base, "../../d/4") == "http://a.com/d/4")
+    assert(WebFn.resolveUrl(base, "../../../../d") == "http://a.com/d")
+    // ./ and trailing-dot segments
+    assert(WebFn.resolveUrl(base, "./e") == "http://a.com/dir/sub/e")
+    assert(WebFn.resolveUrl(base, "f/./g/../h") == "http://a.com/dir/sub/f/h")
+    // query-only keeps the base path
+    assert(WebFn.resolveUrl(base, "?z=2") ==
+      "http://a.com/dir/sub/page.html?z=2")
+    // ref query survives resolution
+    assert(WebFn.resolveUrl(base, "p?k=v") == "http://a.com/dir/sub/p?k=v")
+    // authority-less base path merges from root
+    assert(WebFn.resolveUrl("http://a.com", "x") == "http://a.com/x")
+    // drops: fragment-only, empty, non-http schemes, non-http base
+    assert(WebFn.resolveUrl(base, "#s") == null)
+    assert(WebFn.resolveUrl(base, "") == null)
+    assert(WebFn.resolveUrl(base, "mailto:a@b.c") == null)
+    assert(WebFn.resolveUrl(base, "javascript:void(0)") == null)
+    assert(WebFn.resolveUrl(base, "ftp://f.com/x") == null)
+    assert(WebFn.resolveUrl("mailto:x@y.z", "a") == null)
+    assert(WebFn.resolveUrl("not a url", "a") == null)
+  }
+
+  test("extractLinks with base column resolves relative hrefs; non-links drop") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "http://h.com/d/p.html",
+        """<a href="/r/1">a</a><a href='../u/2'>b</a><a href="v/3">c</a>
+          |<a href='//c.com/4'>d</a><a href="#f">e</a>
+          |<a href='mailto:x@y.z'>f</a><a href="https://abs.com/5">g</a>"""
+          .stripMargin)
+    ).toDF("id", "url", "html")
+    val out = WebOp.extractLinks(pages, "id", "html", "url")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, "http://h.com/r/1"),
+      (1L, "http://h.com/u/2"),
+      (1L, "http://h.com/d/v/3"),
+      (1L, "http://c.com/4"),
+      (1L, "https://abs.com/5")))
+  }
+
   test("extractLinks: attribute boundary and paired quotes") {
     import spark.implicits._
     val pages = Seq(
