@@ -184,6 +184,25 @@ object BenchScalars {
           get_json_object(col("j"), s"$$.f$i").cast("long").as(s"x$i")): _*)
           .select(sum(col("x0") + col("x1") + col("x2") + col("x3")))
           .collect()),
+      // winnowing fingerprints: the zero-shuffle mapPartitions kernel
+      // vs the relational twin (gram explode + partitionBy-id window +
+      // distinct = two corpus-sized exchanges). 100k docs × ~170 grams
+      // — the relational side materializes ~17M gram rows twice.
+      "winnowing_kernel" -> timed {
+        val d = text.limit(100000).repartition(32)
+          .withColumn("doc_id", monotonically_increasing_id())
+          .localCheckpoint()
+        graft.operators.Dedup.winnowingFingerprints(d, "doc_id", "text")
+          .agg(sum("n_fp"), sum("fp_sum")).collect()
+      },
+      "winnowing_relational" -> timed {
+        val d = text.limit(100000).repartition(32)
+          .withColumn("doc_id", monotonically_increasing_id())
+          .localCheckpoint()
+        graft.operators.Dedup.winnowingFingerprints(d, "doc_id", "text",
+            kernel = false)
+          .agg(sum("n_fp"), sum("fp_sum")).collect()
+      },
       "repetition_tagger_relational" -> timed {
         import org.apache.spark.sql.expressions.Window
         val d = text.withColumn("doc_id", monotonically_increasing_id())

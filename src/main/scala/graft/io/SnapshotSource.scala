@@ -3,13 +3,16 @@ package graft.io
 import graft.operators.Layout
 import graft.operators.Layout.{FileEntry, StatPred}
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 /** SQL/DataFrame-reader access to the manifest snapshot table format —
@@ -48,8 +51,52 @@ import org.apache.spark.sql.types.StructType
   * pruning is an in-memory fold over entries; the scan itself opens
   * only surviving files.
   */
-class SnapshotSource extends RelationProvider with DataSourceRegister {
+class SnapshotSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "snapshot"
+
+  /** The WRITER half of the lifecycle — `df.write.format("snapshot")
+    * .option("path", dir).mode(...).save()` commits through the
+    * manifest protocol, never raw files:
+    *  - Append → [[Layout.snapshotAppend]] (prior files reused
+    *    verbatim, stats/bloom columns inherited from the table);
+    *  - Overwrite → [[Layout.snapshotWrite]] (new snapshot replaces
+    *    the file list; old snapshots stay time-travelable);
+    *  - ErrorIfExists / Ignore → standard SaveMode semantics against
+    *    manifest existence.
+    * Options: `path` (required), `statsCols` / `bloomCols`
+    * (comma-separated; which columns get range / bloom manifests —
+    * on append they default to whatever the table already tracks).
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val dir = opts.getOrElse("path",
+      throw new IllegalArgumentException(
+        "snapshot sink needs .option(\"path\", <table dir>)"))
+    def cols(key: String): Seq[String] = opts.get(key)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val stats = cols("statscols")
+    val blooms = cols("bloomcols")
+    val exists = Layout.tableExists(spark, dir)
+    mode match {
+      case SaveMode.Append =>
+        if (exists) Layout.snapshotAppend(data, dir, stats, blooms)
+        else Layout.snapshotWrite(data, dir, stats, blooms)
+      case SaveMode.Overwrite =>
+        Layout.snapshotWrite(data, dir, stats, blooms)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"snapshot table already exists at $dir (mode ErrorIfExists)")
+        Layout.snapshotWrite(data, dir, stats, blooms)
+      case SaveMode.Ignore =>
+        if (!exists) Layout.snapshotWrite(data, dir, stats, blooms)
+    }
+    createRelation(sqlContext, Map("path" -> dir))
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -96,7 +143,7 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
       if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
     val dataSchema = reader.parquet(schemaFiles: _*).schema
-    val index = new SnapshotFileIndex(spark, dir, entries)
+    val index = new SnapshotFileIndex(spark, dir, entries, snapId)
     HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
@@ -115,28 +162,37 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
   * soundly (pruning with a subset only widens the kept set; the full
   * filter still runs row-level in the scan).
   *
-  * The entry list is pinned at construction — a snapshot is immutable
-  * by contract, so [[refresh]] is a no-op and concurrent commits never
-  * shift a running query's view (the same isolation `snapshotRead`
-  * gives the Scala API).
+  * A LATEST-tracking index (`snapId = -1`, the default) re-reads the
+  * manifest on [[refresh]] — so a registered view sees a table that
+  * moves with commits, exactly like a real catalog table (the insert
+  * command refreshes after it commits). A TIME-TRAVEL index (explicit
+  * `snapshotId`) is pinned forever: a historical snapshot is immutable
+  * by contract. Either way a single query's plan holds one consistent
+  * listing (refresh swaps the whole list atomically between queries,
+  * never mid-plan).
   */
-class SnapshotFileIndex(spark: SparkSession, dir: String,
-                        entries: Seq[FileEntry]) extends FileIndex {
-  private val root = new Path(dir)
+class SnapshotFileIndex(spark: SparkSession, val tableDir: String,
+                        entries: Seq[FileEntry], snapId: Long = -1L)
+    extends FileIndex {
+  private val root = new Path(tableDir)
   private val fs =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val qualifiedRoot = fs.makeQualified(root)
 
   // Manifest bytes when recorded (every post-r10 commit); one stat per
   // file only for legacy manifests that predate size recording.
-  private val statuses: Seq[(FileEntry, FileStatus)] = entries.map { e =>
-    val p = fs.makeQualified(new Path(s"$dir/${e.path}"))
-    val st = e.bytes match {
-      case Some(len) => new FileStatus(len, false, 1, 128L << 20, 0L, p)
-      case None => fs.getFileStatus(p)
+  private def resolve(es: Seq[FileEntry]): Seq[(FileEntry, FileStatus)] =
+    es.map { e =>
+      val p = fs.makeQualified(new Path(s"$tableDir/${e.path}"))
+      val st = e.bytes match {
+        case Some(len) => new FileStatus(len, false, 1, 128L << 20, 0L, p)
+        case None => fs.getFileStatus(p)
+      }
+      (e, st)
     }
-    (e, st)
-  }
+
+  @volatile private var statuses: Seq[(FileEntry, FileStatus)] =
+    resolve(entries)
 
   /** The most recent listing's kept entries — the observable planning
     * decision SnapshotSqlSpec compares against `snapshotFilesWhere`.
@@ -145,7 +201,8 @@ class SnapshotFileIndex(spark: SparkSession, dir: String,
 
   override def rootPaths: Seq[Path] = Seq(qualifiedRoot)
   override def partitionSchema: StructType = new StructType()
-  override def refresh(): Unit = ()
+  override def refresh(): Unit = if (snapId < 0)
+    statuses = resolve(Layout.snapshotFiles(spark, tableDir, -1L))
   override def inputFiles: Array[String] =
     statuses.map(_._2.getPath.toString).toArray
   override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
@@ -153,15 +210,90 @@ class SnapshotFileIndex(spark: SparkSession, dir: String,
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
+    val now = statuses
     val preds = dataFilters.flatMap(e =>
       Layout.fromPredNode(Bridge.predicateTree(e)))
     val kept =
-      if (preds.isEmpty) statuses
+      if (preds.isEmpty) now
       else {
         val p = if (preds.size == 1) preds.head else StatPred.And(preds)
-        statuses.filter { case (e, _) => Layout.mayMatch(e, p) }
+        now.filter { case (e, _) => Layout.mayMatch(e, p) }
       }
     lastKept = kept.map(_._1)
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+  }
+}
+
+/** Resolution rule (injected by [[graft.plans.GraftExtensions]]) that
+  * routes SQL `INSERT INTO / INSERT OVERWRITE` on a registered
+  * snapshot view through the manifest commit protocol. Without it,
+  * Spark's generic `InsertIntoHadoopFsRelationCommand` would drop raw
+  * parquet into the table ROOT — files no manifest references, i.e. a
+  * write that "succeeds" and then never appears in any read (and that
+  * the next vacuum reclaims as orphans). The rule rewrites the insert
+  * into [[SnapshotInsertCommand]] BEFORE the generic file-source path
+  * can claim it.
+  */
+case class SnapshotInsertRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, View}
+
+  // a temp view resolves to SubqueryAlias(...(View(...(LogicalRelation))))
+  private def snapshotTarget(p: LogicalPlan)
+      : Option[(HadoopFsRelation, SnapshotFileIndex)] = p match {
+    case SubqueryAlias(_, child) => snapshotTarget(child)
+    case v: View => snapshotTarget(v.child)
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation if h.location.isInstanceOf[SnapshotFileIndex] =>
+        Some((h, h.location.asInstanceOf[SnapshotFileIndex]))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case i @ InsertIntoStatement(table, partSpec, userCols, query,
+          overwrite, _, byName)
+          if query.resolved && !table.isInstanceOf[UnresolvedRelation] =>
+        snapshotTarget(table) match {
+          case Some((rel, index)) =>
+            require(partSpec.isEmpty && userCols.isEmpty,
+              "snapshot INSERT supports neither PARTITION specs nor " +
+                "explicit column lists")
+            SnapshotInsertCommand(index, rel.schema, query, overwrite,
+              byName)
+          case None => i
+        }
+    }
+}
+
+/** The manifest-committed INSERT: aligns the query to the table schema
+  * (positionally, or by name for `INSERT ... BY NAME`), appends or
+  * overwrites through [[Layout]], then refreshes the view's file index
+  * so the next query over the same registered view sees the commit.
+  */
+case class SnapshotInsertCommand(index: SnapshotFileIndex,
+                                 tableSchema: StructType,
+                                 query: LogicalPlan, overwrite: Boolean,
+                                 byName: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(session: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val src: DataFrame = Bridge.ofRows(session, query)
+    require(src.schema.length == tableSchema.length || byName,
+      s"INSERT arity ${src.schema.length} != table ${tableSchema.length}")
+    val aligned =
+      if (byName) src.select(tableSchema.map(f =>
+        col(f.name).cast(f.dataType)): _*)
+      else src.toDF(tableSchema.map(_.name): _*)
+        .select(tableSchema.map(f => col(f.name).cast(f.dataType)): _*)
+    if (overwrite) Layout.snapshotWrite(aligned, index.tableDir)
+    else Layout.snapshotAppend(aligned, index.tableDir)
+    index.refresh()
+    Nil
   }
 }

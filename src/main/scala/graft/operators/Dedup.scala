@@ -683,17 +683,24 @@ object Dedup {
     * per-document). Documents with fewer than k+w−1 chars have no full
     * window and are absent, the standard boundary.
     *
-    * Scale shape: the gram explode is bounded by total corpus chars
-    * (the [[substringDedup]] shape); the window min is per-document
-    * (partitionBy id, ROWS BETWEEN CURRENT AND w−1 FOLLOWING — a
-    * partition-local sliding pass, no global sort); the distinct +
-    * digest is one hash aggregation on (id, hash).
+    * Scale shape: the default `kernel` path is ONE narrow mapPartitions
+    * pass — per document: rolling gram digests, a monotonic-deque
+    * window minimum, and local distinct — so the operator shuffles
+    * NOTHING in digest form (the relational twin explodes one row per
+    * gram and pays two corpus-sized exchanges: the window's
+    * partitionBy-id and the distinct). Both paths emit bit-identical
+    * fingerprints (md5-prefix 60-bit — DedupSpec pins the equality on
+    * hostile unicode), so the DuckDB oracle replays either. The
+    * relational form stays for cross-checking and SQL-only contexts.
     */
   def winnowingFingerprints(docs: DataFrame, idCol: String,
                             textCol: String, k: Int = 8,
-                            w: Int = 4, exploded: Boolean = false)
+                            w: Int = 4, exploded: Boolean = false,
+                            kernel: Boolean = true)
       : DataFrame = {
     require(k >= 2 && w >= 1, s"bad winnowing params k=$k w=$w")
+    if (kernel)
+      return winnowingKernel(docs, idCol, textCol, k, w, exploded)
     import org.apache.spark.sql.expressions.Window
     val len = length(col(textCol))
     val nGrams = len - k + 1
@@ -726,6 +733,77 @@ object Dedup {
       // stay < 2³⁰ so even a billion fingerprints sum within range
       .agg(count(lit(1)).as("n_fp"),
         sum(col("fp") % 1000000007L).as("fp_sum"))
+  }
+
+  /** The zero-shuffle winnowing pass: per document, gram digests +
+    * deque window-min + local distinct, one narrow mapPartitions.
+    * Gram slicing goes through UTF8String.substringSQL — the exact
+    * code-point arithmetic Spark's `substr` uses — and the 60-bit
+    * value is the md5 digest's first 8 bytes big-endian >>> 4, which
+    * IS `conv(substring(md5hex, 1, 15), 16, 10)` without building the
+    * hex string (nibbles 0–14). Keeps the relational form's boundary:
+    * docs shorter than k+w−1 code points emit nothing.
+    */
+  private def winnowingKernel(docs: DataFrame, idCol: String,
+                              textCol: String, k: Int, w: Int,
+                              exploded: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val idField = docs.schema(idCol)
+    val outSchema =
+      if (exploded) StructType(Seq(idField,
+        StructField("fp", LongType, nullable = false)))
+      else StructType(Seq(idField,
+        StructField("n_fp", LongType, nullable = false),
+        StructField("fp_sum", LongType, nullable = false)))
+    docs.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          val text = if (r.isNullAt(1)) null else r.getString(1)
+          val u = if (text == null) null else UTF8String.fromString(text)
+          val n = if (u == null) 0 else u.numChars()
+          if (n < k + w - 1) Iterator.empty
+          else {
+            val id = r.get(0)
+            val ng = n - k + 1
+            val hs = new Array[Long](ng)
+            var i = 0
+            while (i < ng) {
+              val d = md.digest(u.substringSQL(i + 1, k).getBytes)
+              var v = 0L
+              var b = 0
+              while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+              hs(i) = v >>> 4
+              i += 1
+            }
+            val sel = new java.util.HashSet[java.lang.Long]()
+            val dq = new java.util.ArrayDeque[Int]()
+            var p = 0
+            while (p < ng) {
+              while (!dq.isEmpty && hs(dq.peekLast()) >= hs(p)) dq.pollLast()
+              dq.addLast(p)
+              if (dq.peekFirst() <= p - w) dq.pollFirst()
+              if (p >= w - 1) sel.add(hs(dq.peekFirst()))
+              p += 1
+            }
+            if (exploded) {
+              val it = sel.iterator()
+              new Iterator[Row] {
+                def hasNext: Boolean = it.hasNext
+                def next(): Row = Row(id, it.next().longValue())
+              }
+            } else {
+              var cnt = 0L
+              var s = 0L
+              val it = sel.iterator()
+              while (it.hasNext) { cnt += 1; s += it.next() % 1000000007L }
+              Iterator.single(Row(id, cnt, s))
+            }
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Document-overlap pairs from winnowing fingerprints — the

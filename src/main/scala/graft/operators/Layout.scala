@@ -735,12 +735,27 @@ object Layout {
     val dataDir = s"$dir/data/snap-$snapId"
     df.write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
+    // an overwrite keeps the table's stats contract unless told
+    // otherwise — same inheritance append uses (tracked columns
+    // translate by field id, so this survives renames too)
+    val prevEntries =
+      if (ids.isEmpty) Nil else readManifestFull(fs, dir, ids.max)._1
+    // explicit columns fail loudly on a typo; the INHERITED set is
+    // filtered because an overwrite may legitimately reshape the table
+    val cols =
+      if (statsCols.nonEmpty) statsCols
+      else statColsCurrent(prevEntries, schemas, _.stats.keys)
+        .filter(df.schema.fieldNames.contains)
+    val bCols =
+      if (bloomCols.nonEmpty) bloomCols
+      else statColsCurrent(prevEntries, schemas, _.blooms.keys)
+        .filter(df.schema.fieldNames.contains)
     val stats =
-      if (statsCols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
-      else collectFileStats(spark, dataDir, statsCols)
+      if (cols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
+      else collectFileStats(spark, dataDir, cols)
     val blooms =
-      if (bloomCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
-      else collectFileBlooms(spark, dataDir, bloomCols)
+      if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
+      else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(n =>
       entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
         .copy(schemaId = Some(sid))), schemas)
@@ -1569,6 +1584,16 @@ object Layout {
       .getOrElse(Array.empty)
       .map(_.getPath.getName.stripPrefix("manifest-").stripSuffix(".json")
         .toLong)
+
+  /** Whether a snapshot table (>= 1 committed manifest) exists at
+    * `dir` — the SaveMode existence probe for the `snapshot` sink.
+    */
+  def tableExists(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listSnapshotIds(fs, dir).nonEmpty
+  }
 
   /** Manifest serialization. v1 (no stats): a bare JSON array of
     * relative paths — the format pre-stats tables on disk already use.

@@ -1028,5 +1028,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("resolve_url_native"),
       new ExpressionInfo(classOf[ResolveUrlExpression].getName, "resolve_url_native"),
       (exprs: Seq[Expression]) => ResolveUrlExpression(exprs(0), exprs(1))))
+    // SQL INSERT INTO a registered snapshot view → manifest commit
+    // (without this, Spark's generic file-source insert would write
+    // raw files no manifest references — see SnapshotInsertRule)
+    e.injectResolutionRule(session => graft.io.SnapshotInsertRule(session))
   }
 }

@@ -609,6 +609,35 @@ object Layout {
           col("n_chars"))
     },
 
+    // DataFrameWriter lifecycle (q266): the WRITER half of the format
+    // provider — half the corpus lands via mode("overwrite"), the rest
+    // via mode("append") (stats contract inherited, prior files reused
+    // verbatim), then a registered view serves the pruning SQL read.
+    // The full write→register→query loop never touches the Scala
+    // Layout API; equality with the plain band proves the sink commits
+    // exactly the manifest protocol.
+    "q266_snapshot_writer" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapwrite")
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "n_chars")
+        .repartitionByRange(4, col("n_chars"))
+        .sortWithinPartitions("n_chars")
+        .write.format("snapshot").option("path", base)
+        .option("statsCols", "n_chars").mode("overwrite").save()
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "n_chars")
+        .repartitionByRange(4, col("n_chars"))
+        .sortWithinPartitions("n_chars")
+        .write.format("snapshot").option("path", base)
+        .mode("append").save()
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_snap_writer " +
+        s"USING snapshot OPTIONS (path '$base')")
+      s.sql("""SELECT doc_id, md5(text) AS text_md5, n_chars
+              FROM graft_snap_writer
+              WHERE n_chars BETWEEN 150 AND 350""")
+    },
+
     // the oracle RECOMPUTES the aggregate from the post-change corpus,
     // so equality proves the delta algebra, not just the plumbing.
     "q186_delta_agg" -> { (s, d) =>
@@ -663,6 +692,9 @@ object Layout {
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars BETWEEN 150 AND 350""",
     "q265_rename_evolution" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars
+         FROM documents WHERE n_chars BETWEEN 150 AND 350""",
+    "q266_snapshot_writer" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars BETWEEN 150 AND 350""",
     "q264_snapshot_sql" ->

@@ -16,6 +16,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** LogicalPlan → DataFrame for command implementations (classic
+    * `Dataset.ofRows` is private[sql]).
+    */
+  def ofRows(session: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Neutral view of a Column's predicate structure. Spark 4 keeps a
     * user-built Column as a `private[sql]` ColumnNode tree until
     * resolution, so outside-package consumers (Layout.toStatPred's

@@ -677,6 +677,36 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing kernel == relational form on hostile unicode") {
+    import spark.implicits._
+    // multi-byte chars, an astral pair, repeats (tied window minima),
+    // nulls, and the exact k+w-1 boundary — the code-point arithmetic
+    // and deque tie-handling must match Spark's substr/min exactly
+    val docs = Seq(
+      (1L, "héllo wörld héllo wörld héllo wörld again and again"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaa"), // all grams identical
+      (3L, "x é世界😀 mixed 世界 text padding here"),
+      (4L, "exactly11ch"), // == k+w-1 at k=8,w=4: one full window
+      (5L, null.asInstanceOf[String]),
+      (6L, "short")
+    ).toDF("doc_id", "text")
+    for (exploded <- Seq(true, false)) {
+      val kern = graft.operators.Dedup.winnowingFingerprints(
+        docs, "doc_id", "text", k = 8, w = 4, exploded = exploded)
+      val rel = graft.operators.Dedup.winnowingFingerprints(
+        docs, "doc_id", "text", k = 8, w = 4, exploded = exploded,
+        kernel = false)
+      val a = kern.collect().map(_.toSeq).toSet
+      val b = rel.collect().map(_.toSeq).toSet
+      assert(a == b, s"exploded=$exploded: kernel $a vs relational $b")
+      assert(kern.count() == rel.count(), "multiplicity must match too")
+    }
+    // the kernel plans with no Exchange in digest form — the point
+    val plan = graft.operators.Dedup.winnowingFingerprints(
+      docs, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"kernel must not shuffle:\n$plan")
+  }
+
   test("simhash 64-bit block join: complete vs independent brute force") {
     import spark.implicits._
     // Deterministic token-soup docs + planted twins: exact copies

@@ -137,6 +137,77 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(byK(2L).getLong(df.columns.indexOf("extra")) === 9L)
   }
 
+  test("df.write.format(snapshot): every SaveMode commits through the manifest") {
+    val dir = freshDir("writer")
+    import spark.implicits._
+    val a = (0 until 20).map(i => (i.toLong, s"a$i")).toDF("k", "name")
+    val b = (20 until 30).map(i => (i.toLong, s"b$i")).toDF("k", "name")
+    a.write.format("snapshot").option("path", dir)
+      .option("statsCols", "k").mode("errorifexists").save()
+    assert(Layout.snapshotRead(spark, dir).count() === 20)
+    intercept[IllegalStateException] {
+      a.write.format("snapshot").option("path", dir)
+        .mode("errorifexists").save()
+    }
+    b.write.format("snapshot").option("path", dir).mode("append").save()
+    assert(Layout.snapshotRead(spark, dir).count() === 30)
+    // the append inherited the table's stats contract
+    assert(Layout.snapshotFiles(spark, dir).forall(_.stats.contains("k")))
+    // ignore on an existing table: silent no-op
+    a.write.format("snapshot").option("path", dir).mode("ignore").save()
+    assert(Layout.snapshotRead(spark, dir).count() === 30)
+    // overwrite commits a NEW snapshot; the old stays time-travelable
+    b.write.format("snapshot").option("path", dir).mode("overwrite").save()
+    assert(Layout.snapshotRead(spark, dir).count() === 10)
+    assert(Layout.snapshotRead(spark, dir, 2L).count() === 30)
+    // overwrite ALSO inherits stats (same contract as append)
+    assert(Layout.snapshotFiles(spark, dir).forall(_.stats.contains("k")))
+    // and the whole lifecycle never dropped a raw file in the root
+    val root = new java.io.File(dir)
+    assert(!root.listFiles().exists(_.getName.endsWith(".parquet")),
+      "table root must hold manifests only, never data files")
+  }
+
+  test("SQL INSERT INTO / OVERWRITE a snapshot view commits manifests (extensions)") {
+    val orig = spark // force init; we share its SparkContext
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val ext = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      import ext.implicits._
+      val dir = freshDir("insert")
+      Layout.snapshotWrite(Seq((1L, "a"), (2L, "b")).toDF("k", "name"),
+        dir, statsCols = Seq("k"))
+      ext.sql("CREATE OR REPLACE TEMPORARY VIEW ins_t " +
+        s"USING snapshot OPTIONS (path '$dir')")
+      ext.sql("INSERT INTO ins_t VALUES (3, 'c'), (4, 'd')")
+      // the insert went through the manifest protocol: a new snapshot
+      // holds all four rows, stats inherited, and the SAME view sees
+      // the commit (the command refreshed its file index)
+      assert(Layout.snapshotRead(ext, dir).count() === 4)
+      assert(Layout.snapshotFiles(ext, dir).forall(_.stats.contains("k")))
+      assert(ext.sql("SELECT count(*) FROM ins_t").head().getLong(0) === 4)
+      // never raw files in the root (the generic file-source insert
+      // would have dropped orphans there)
+      assert(!new java.io.File(dir).listFiles()
+        .exists(_.getName.endsWith(".parquet")))
+      ext.sql("INSERT OVERWRITE ins_t VALUES (9, 'z')")
+      assert(ext.sql("SELECT k, name FROM ins_t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet === Set((9L, "z")))
+      // prior snapshot still time-travels
+      assert(Layout.snapshotRead(ext, dir, 2L).count() === 4)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("manifest bytes feed the index: no per-file stat needed, sizes correct") {
     val dir = freshDir("bytes")
     writeTable(dir)
