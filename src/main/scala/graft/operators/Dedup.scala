@@ -757,7 +757,11 @@ object Dedup {
       else StructType(Seq(idField,
         StructField("n_fp", LongType, nullable = false),
         StructField("fp_sum", LongType, nullable = false)))
-    docs.select(col(idCol), col(textCol).cast("string"))
+    // the kernel inherits input partitioning (that IS the zero-shuffle
+    // win at scale) — but a one-file local table would serialize the
+    // md5 work onto one task; the shared gate spreads scan-shaped
+    // under-parallel inputs and no-ops on anything already wide
+    Parallelism.ensure(docs.select(col(idCol), col(textCol).cast("string")))
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { r =>

@@ -701,10 +701,14 @@ class DedupSpec extends AnyFunSuite {
       assert(a == b, s"exploded=$exploded: kernel $a vs relational $b")
       assert(kern.count() == rel.count(), "multiplicity must match too")
     }
-    // the kernel plans with no Exchange in digest form — the point
+    // the kernel never hash-shuffles gram rows (the relational form's
+    // two corpus-sized exchanges); the only Exchange allowed is the
+    // round-robin INPUT spread the parallelism gate adds for a
+    // one-file local table
     val plan = graft.operators.Dedup.winnowingFingerprints(
       docs, "doc_id", "text").queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"kernel must not shuffle:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"kernel must not hash-shuffle:\n$plan")
   }
 
   test("simhash 64-bit block join: complete vs independent brute force") {
