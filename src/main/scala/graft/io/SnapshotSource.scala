@@ -194,6 +194,12 @@ class SnapshotFileIndex(spark: SparkSession, val tableDir: String,
   @volatile private var statuses: Seq[(FileEntry, FileStatus)] =
     resolve(entries)
 
+  /** The index's current manifest entries — the metadata the
+    * [[graft.plans.SnapshotMetadataAggRule]] answers count/min/max
+    * from without opening a single data file.
+    */
+  def currentEntries: Seq[FileEntry] = statuses.map(_._1)
+
   /** The most recent listing's kept entries — the observable planning
     * decision SnapshotSqlSpec compares against `snapshotFilesWhere`.
     */

@@ -1947,6 +1947,19 @@ object Layout {
       lit(n).as("n_rows"))
   }
 
+  /** Stat-string ordering + exactness domain, shared with the
+    * metadata-aggregate optimizer rule (graft.plans): min/max answers
+    * are exact from manifest stats only for numeric/date/timestamp
+    * columns — string bounds may be TRUNCATED (valid for pruning,
+    * wrong as an answer), so the rule must refuse them like
+    * [[snapshotMinMax]] does.
+    */
+  private[graft] def statKeyOrder(v: String, tpe: String): BigDecimal =
+    cmpKey(v, tpe)
+  private[graft] def metadataExactType(tpe: String): Boolean =
+    numericType(tpe) || tpe == "date" || tpe == "timestamp" ||
+      tpe == "timestamp_ntz"
+
   /** Orderable key for a stat string under its catalog type — reuses
     * the exact [[cmp]] domains (BigDecimal / epoch micros / days).
     */

@@ -1032,5 +1032,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (without this, Spark's generic file-source insert would write
     // raw files no manifest references — see SnapshotInsertRule)
     e.injectResolutionRule(session => graft.io.SnapshotInsertRule(session))
+    // count(*)/min/max over a snapshot view → manifest constants
+    e.injectOptimizerRule(_ => new SnapshotMetadataAggRule)
   }
 }

@@ -638,6 +638,30 @@ object Layout {
               WHERE n_chars BETWEEN 150 AND 350""")
     },
 
+    // Metadata-only aggregates (q267): plain SQL count/min/max over a
+    // registered snapshot view answered from MANIFEST stats — the
+    // optimizer rule rewrites the whole aggregate to a planning-time
+    // constant (SnapshotSqlSpec pins zero scans in the plan). On a
+    // 100 TB table this is one manifest read vs a full scan job. The
+    // oracle recomputes the same aggregates the honest way.
+    "q267_metadata_agg" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapmeta")
+      L.snapshotWrite(Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars")
+        .repartitionByRange(6, col("n_chars"))
+        .sortWithinPartitions("n_chars"),
+        base, statsCols = Seq("n_chars", "doc_id"))
+      graft.plans.SnapshotMetadataAggregates.enable(s)
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_snap_meta " +
+        s"USING snapshot OPTIONS (path '$base')")
+      s.sql("""SELECT count(*) AS n_rows,
+                      CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+                      CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+                      min(doc_id) AS min_doc_id,
+                      max(doc_id) AS max_doc_id
+               FROM graft_snap_meta""")
+    },
+
     // the oracle RECOMPUTES the aggregate from the post-change corpus,
     // so equality proves the delta algebra, not just the plumbing.
     "q186_delta_agg" -> { (s, d) =>
@@ -697,6 +721,13 @@ object Layout {
     "q266_snapshot_writer" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars BETWEEN 150 AND 350""",
+    "q267_metadata_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+              CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+              min(doc_id) AS min_doc_id,
+              max(doc_id) AS max_doc_id
+         FROM documents""",
     "q264_snapshot_sql" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars, lang
          FROM documents

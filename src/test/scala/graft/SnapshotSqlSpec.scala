@@ -208,6 +208,82 @@ class SnapshotSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata-only aggregates: count/min/max answer from the manifest, no scan") {
+    val dir = freshDir("metaagg")
+    writeTable(dir) // stats on k (bigint) and tag (string)
+    graft.plans.SnapshotMetadataAggregates.enable(spark)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW meta_t " +
+      s"USING snapshot OPTIONS (path '$dir')")
+    val q = spark.sql(
+      """SELECT count(*) AS n, min(k) AS mn, max(k) AS mx,
+                CAST(max(k) AS INT) AS mx_cast
+         FROM meta_t""")
+    val row = q.head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getInt(3)) === ((500L, 0L, 499L, 499)))
+    // the point: ZERO file scans — the plan is a local constant
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(scans.isEmpty, s"metadata aggregate must not scan:\n" +
+      q.queryExecution.optimizedPlan)
+
+    // bail cases keep the scan AND the right answer:
+    // (a) a WHERE clause invalidates manifest totals
+    val filtered = spark.sql("SELECT count(*) AS n FROM meta_t WHERE k < 100")
+    assert(filtered.head().getLong(0) === 100)
+    assert(filtered.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.nonEmpty, "filtered count must scan")
+    // (b) string min/max may be TRUNCATED bounds — refuse
+    val str = spark.sql("SELECT max(tag) AS t FROM meta_t")
+    assert(str.head().getString(0) === "6")
+    assert(str.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.nonEmpty, "string max must scan")
+    // (c) an unanswerable aggregate in the list blocks the whole rewrite
+    val mixed = spark.sql("SELECT count(*) AS n, avg(k) AS a FROM meta_t")
+    assert(mixed.head().getLong(0) === 500)
+    assert(mixed.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.nonEmpty, "avg must scan")
+    // (d) GROUP BY is never metadata-answerable
+    val grouped = spark.sql(
+      "SELECT tag, count(*) AS n FROM meta_t GROUP BY tag")
+    assert(grouped.collect().map(_.getLong(1)).sum === 500)
+  }
+
+  test("metadata aggregates: files without stats bail; all-null column answers NULL") {
+    import spark.implicits._
+    // no statsCols → no row counts → count(*) must scan (and be right)
+    val bare = freshDir("metabare")
+    Layout.snapshotWrite((0 until 50).map(i => (i.toLong, s"v$i"))
+      .toDF("k", "name"), bare)
+    graft.plans.SnapshotMetadataAggregates.enable(spark)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW meta_bare " +
+      s"USING snapshot OPTIONS (path '$bare')")
+    val q = spark.sql("SELECT count(*) AS n FROM meta_bare")
+    assert(q.head().getLong(0) === 50)
+    assert(q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.nonEmpty, "stat-less table must scan")
+
+    // a column null on EVERY file: metadata answer is SQL NULL, no scan
+    val nulls = freshDir("metanull")
+    Layout.snapshotWrite(
+      (0 until 30).map(i => (i.toLong, null.asInstanceOf[java.lang.Long]))
+        .toDF("k", "v"),
+      nulls, statsCols = Seq("k", "v"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW meta_null " +
+      s"USING snapshot OPTIONS (path '$nulls')")
+    val qn = spark.sql("SELECT min(v) AS mn, count(*) AS n FROM meta_null")
+    val r = qn.head()
+    assert(r.isNullAt(0) && r.getLong(1) === 30)
+    assert(qn.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.isEmpty, "all-null min is metadata-answerable")
+  }
+
   test("manifest bytes feed the index: no per-file stat needed, sizes correct") {
     val dir = freshDir("bytes")
     writeTable(dir)
