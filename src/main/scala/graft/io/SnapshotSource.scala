@@ -108,6 +108,15 @@ class SnapshotSource extends RelationProvider
         "snapshot source needs .option(\"path\", <table dir>)"))
     val snapId = opts.get("snapshotid").map(_.toLong).getOrElse(-1L)
     val mergeSchema = opts.get("mergeschema").exists(_.toBoolean)
+    // merge-on-read deletes are row-level; a FileIndex decides only
+    // WHICH FILES open, so serving a DV table here would silently
+    // resurrect deleted rows. Refuse loudly — Layout.snapshotRead
+    // applies the delete index, and materializeDeletes (or any
+    // OPTIMIZE/compact rewrite) restores SQL access.
+    require(Layout.snapshotDeletes(spark, dir, snapId).isEmpty,
+      s"snapshot table at $dir has outstanding position deletes; read " +
+        "via Layout.snapshotRead or settle them with " +
+        "Layout.materializeDeletes, then re-register")
     val entries = Layout.snapshotFiles(spark, dir, snapId)
     // Rename/drop history can leave files whose parquet column names
     // differ from the current schema; a HadoopFsRelation resolves

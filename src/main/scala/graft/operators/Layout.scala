@@ -150,6 +150,18 @@ object Layout {
                              bytes: Option[Long] = None,
                              schemaId: Option[Int] = None)
 
+  /** One POSITION-DELETE file of a snapshot (merge-on-read deletes —
+    * the Iceberg v2 / Delta deletion-vector move): `path` is the
+    * table-relative parquet directory holding (path, pos) rows — the
+    * data file (manifest-relative) and the physical row index deleted
+    * from it; `rows` is the file's delete count, recorded so metadata
+    * row arithmetic stays exact without opening it. Delete files
+    * accumulate across MoR commits and are DISJOINT by construction
+    * ([[deleteWhereMoR]] marks only still-live rows), so
+    * Σ entry.rows − Σ delete.rows is the table's exact live count.
+    */
+  final case class DeleteFile(path: String, rows: Long)
+
   /** Field-id schema tracking (the Iceberg identity model reduced to
     * the manifest primitive): every column gets a PERMANENT numeric id
     * at first write; the manifest records the schema history and each
@@ -490,7 +502,11 @@ object Layout {
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
-    val base = reader.parquet(files: _*)
+    val base0 = reader.parquet(files: _*)
+    val base =
+      if (kept.isEmpty) base0
+      else dvFilter(spark, dir, base0, kept,
+        resolvedDeletes(spark, dir, snapshotId))
     if (kept.isEmpty) base.filter(lit(false)) else base.filter(filter)
   }
 
@@ -803,7 +819,11 @@ object Layout {
     writeManifest(fs, dir, snapId,
       prev ++ names.toIndexedSeq.map(n =>
         entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
-          .copy(schemaId = Some(sid))), schemas)
+          .copy(schemaId = Some(sid))), schemas,
+      // outstanding position deletes carry: appended files are new
+      // (no positions reference them), prior files are verbatim
+      deletes = if (ids.isEmpty) Nil
+        else readManifestDeletes(fs, dir, ids.max))
     snapId
   }
 
@@ -902,6 +922,7 @@ object Layout {
     require(entries.forall(_.schemaId.isDefined),
       s"cannot $what: some files predate schema recording — " +
         "compactSnapshot first so every file carries its schema id")
+    requireNoDeletes(spark, dir, s"schema evolution ($what)")
     val cur = schemas.maxBy(_.id)
     val next = SchemaInfo(schemas.map(_.id).max + 1, change(cur))
     val snapId = ids.max + 1L
@@ -945,10 +966,14 @@ object Layout {
     // rewrite goes through the id-resolving read, which also HEALS the
     // table: rewritten files carry the current names, so SQL access and
     // the single-scan fast path come back.
+    // a rewrite SETTLES outstanding position deletes (the Iceberg
+    // rewrite contract): deleted rows are dropped here and the new
+    // manifest carries an empty delete list
     val base =
       if (uniformSchema(entries, schemas))
-        spark.read.option("mergeSchema", "true")
-          .parquet(entries.map(e => s"$dir/${e.path}"): _*)
+        dvFilter(spark, dir, spark.read.option("mergeSchema", "true")
+          .parquet(entries.map(e => s"$dir/${e.path}"): _*),
+          entries, readManifestDeletes(fs, dir, ids.max))
       else evolvedRead(spark, dir, entries, schemas, mergeSchema = true)
     base.coalesce(n)
       .write.mode("overwrite").parquet(dataDir)
@@ -996,10 +1021,12 @@ object Layout {
     val (entries, schemas) = readManifestFull(fs, dir, ids.max)
     val snapId = ids.max + 1L
     val n = if (numFiles > 0) numFiles else math.max(1, entries.size)
+    // like compactSnapshot, a clustering rewrite settles MoR deletes
     val base =
       if (uniformSchema(entries, schemas))
-        spark.read.option("mergeSchema", "true")
-          .parquet(entries.map(e => s"$dir/${e.path}"): _*)
+        dvFilter(spark, dir, spark.read.option("mergeSchema", "true")
+          .parquet(entries.map(e => s"$dir/${e.path}"): _*),
+          entries, readManifestDeletes(fs, dir, ids.max))
       else evolvedRead(spark, dir, entries, schemas, mergeSchema = true)
     val clustered =
       if (dims.size == 1)
@@ -1051,6 +1078,9 @@ object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = listSnapshotIds(fs, dir)
     require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    // a CoW rewrite of touched files would resurrect MoR-deleted rows
+    // and strand delete counts — settle the debt first
+    requireNoDeletes(spark, dir, "copy-on-write deleteWhere")
     val (entries, schemas) = readManifestFull(fs, dir, ids.max)
     val (touched, untouched) =
       entries.partition(e => mayMatchEvolved(e, pred, schemas))
@@ -1098,6 +1128,151 @@ object Layout {
     (snapId, touched.size)
   }
 
+  /** Scheme-stripped path (the part after `scheme://authority`) — the
+    * join key between `_metadata.file_path` (a qualified URI whose
+    * exact rendering varies by filesystem) and manifest-derived
+    * absolute paths. Column and Scala forms must agree.
+    */
+  private def normalizePathCol(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+  private def normalizeAbs(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  /** Anti-join a scan against the snapshot's position-delete files:
+    * each scanned row keys by (manifest-relative path, physical row
+    * index) and survives iff no delete file lists it. The delete side
+    * is index-sized — broadcast — so the read stays one scan plus a
+    * broadcast hash anti join; the original column set is restored
+    * exactly (helper columns carry a _gdv_ prefix so user columns
+    * named "path"/"pos" can never collide).
+    */
+  private def dvFilter(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, base: DataFrame,
+                       scanned: Seq[FileEntry],
+                       deletes: Seq[DeleteFile]): DataFrame = {
+    if (deletes.isEmpty) return base
+    import spark.implicits._
+    val mapping = scanned
+      .map(e => (normalizeAbs(s"$dir/${e.path}"), e.path))
+      .toDF("_gdv_abs", "_gdv_path")
+    val dv = spark.read
+      .parquet(deletes.map(d => s"$dir/${d.path}"): _*)
+      .select(col("path").as("_gdv_path"), col("pos").as("_gdv_pos"))
+    val out = base.columns.toIndexedSeq
+    base
+      .withColumn("_gdv_abs", normalizePathCol(col("_metadata.file_path")))
+      .withColumn("_gdv_pos", col("_metadata.row_index"))
+      .join(broadcast(mapping), Seq("_gdv_abs"))
+      .join(broadcast(dv), Seq("_gdv_path", "_gdv_pos"), "left_anti")
+      .select(out.map(col): _*)
+  }
+
+  /** The outstanding delete files of the resolved (latest or pinned)
+    * snapshot — Nil when the table has none or does not exist yet.
+    */
+  private def resolvedDeletes(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, snapshotId: Long)
+      : Seq[DeleteFile] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    if (ids.isEmpty) Nil
+    else readManifestDeletes(fs, dir,
+      if (snapshotId > 0) snapshotId else ids.max)
+  }
+
+  private def requireNoDeletes(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, op: String): Unit =
+    require(resolvedDeletes(spark, dir, -1L).isEmpty,
+      s"$op is not defined over outstanding position deletes — run " +
+        s"Layout.materializeDeletes($dir) first")
+
+  /** MERGE-ON-READ delete — the Iceberg v2 position-delete / Delta
+    * deletion-vector move: instead of REWRITING every file that may
+    * hold a matching row ([[deleteWhere]]'s copy-on-write), the commit
+    * writes one small parquet of (path, pos) position deletes and a
+    * manifest whose data entries are the old list VERBATIM. Deleting
+    * 0.1% of a 100 TB table stops costing a 100 TB rewrite — the write
+    * amplification is the size of the deleted-row INDEX, not the data.
+    * Readers ([[snapshotRead]] and everything built on it) anti-join
+    * the position set back out; [[materializeDeletes]] (or any
+    * OPTIMIZE/compact) rewrites and clears the debt.
+    *
+    * Positions are computed against the LIVE view (already-deleted
+    * rows are excluded first), so accumulated delete files stay
+    * pairwise disjoint and Σrows arithmetic stays exact. Files whose
+    * manifest stats prove no match contribute no scan tasks (the same
+    * pruning tier deleteWhere uses). Uniform-schema tables only — an
+    * evolved table materializes first (compact/OPTIMIZE), same as the
+    * SQL surface. Returns (new snapshot id, rows marked deleted); a
+    * predicate matching nothing commits nothing and returns the
+    * current id.
+    */
+  def deleteWhereMoR(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, pred: StatPred): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val cur = ids.max
+    val (entries, schemas) = readManifestFull(fs, dir, cur)
+    require(uniformSchema(entries, schemas),
+      "merge-on-read delete needs a uniform-schema table — run " +
+        "compactSnapshot/optimizeClustered to materialize evolution first")
+    val oldDeletes = readManifestDeletes(fs, dir, cur)
+    val candidates = entries.filter(e => mayMatch(e, pred))
+    if (candidates.isEmpty) return (cur, 0L)
+    import spark.implicits._
+    val mapping = candidates
+      .map(e => (normalizeAbs(s"$dir/${e.path}"), e.path))
+      .toDF("_abs", "_rel")
+    // helper columns carry a _gdv_ prefix so a data column named
+    // "path"/"pos" can never collide; only the written DV parquet
+    // uses the public (path, pos) schema
+    val scan = spark.read.option("mergeSchema", "true")
+      .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
+      .select(normalizePathCol(col("_metadata.file_path")).as("_abs"),
+        col("_metadata.row_index").as("_gdv_pos"),
+        struct(col("*")).as("_gdv_row"))
+      .join(broadcast(mapping), Seq("_abs"))
+      .select(col("_rel").as("_gdv_path"), col("_gdv_pos"),
+        col("_gdv_row"))
+    val live =
+      if (oldDeletes.isEmpty) scan
+      else scan.join(
+        spark.read.parquet(oldDeletes.map(d => s"$dir/${d.path}"): _*)
+          .select(col("path").as("_gdv_path"), col("pos").as("_gdv_pos")),
+        Seq("_gdv_path", "_gdv_pos"), "left_anti")
+    val marked = live
+      .select(col("_gdv_path"), col("_gdv_pos"), col("_gdv_row.*"))
+      .filter(coalesce(toColumn(pred), lit(false)))
+      .select(col("_gdv_path").as("path"), col("_gdv_pos").as("pos"))
+    val snapId = cur + 1L
+    val dvRel = s"deletes/snap-$snapId"
+    marked.write.mode("overwrite").parquet(s"$dir/$dvRel")
+    val n = spark.read.parquet(s"$dir/$dvRel").count()
+    if (n == 0L) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$dvRel"), true)
+      return (cur, 0L)
+    }
+    writeManifest(fs, dir, snapId, entries, schemas,
+      oldDeletes :+ DeleteFile(dvRel, n))
+    (snapId, n)
+  }
+
+  /** Rewrite the table without its outstanding position deletes — the
+    * OPTIMIZE step that settles MoR debt: one full DV-applied read,
+    * one fresh commit with an empty delete list (stats contract
+    * inherited). Restores every deletes-refusing surface (SQL access,
+    * metadata min/max, CoW mutators). Returns the new snapshot id.
+    */
+  def materializeDeletes(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Long = {
+    require(snapshotDeletes(spark, dir).nonEmpty,
+      s"no outstanding deletes under $dir — nothing to materialize")
+    snapshotWrite(snapshotRead(spark, dir), dir)
+  }
+
   /** MERGE a source batch INTO a manifest-committed table — the
     * Delta/Iceberg `MERGE INTO` reduced to the manifest primitive, and
     * the write shape every CDC-ingestion pipeline needs: one commit
@@ -1133,6 +1308,7 @@ object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = listSnapshotIds(fs, dir)
     require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    requireNoDeletes(spark, dir, "mergeInto") // CoW rewrite — see deleteWhere
     val (entries, schemas) = readManifestFull(fs, dir, ids.max)
     val snapId = ids.max + 1L
 
@@ -1607,11 +1783,12 @@ object Layout {
   private[graft] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             dir: String, snapId: Long,
                             entries: Seq[FileEntry],
-                            schemas: Seq[SchemaInfo] = Nil): Unit = {
+                            schemas: Seq[SchemaInfo] = Nil,
+                            deletes: Seq[DeleteFile] = Nil): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val body =
-      if (schemas.isEmpty && entries.forall(e =>
+      if (schemas.isEmpty && deletes.isEmpty && entries.forall(e =>
             e.stats.isEmpty && e.blooms.isEmpty && e.bytes.isEmpty))
         JsonMethods.compact(JsonMethods.render(entries.map(_.path)))
       else {
@@ -1638,7 +1815,11 @@ object Layout {
           else root ~ ("schemas" -> schemas.sortBy(_.id).map(s =>
             ("id" -> s.id) ~ ("fields" -> s.fields.map(f =>
               ("id" -> f.id) ~ ("name" -> f.name) ~ ("type" -> f.tpe)))))
-        JsonMethods.compact(JsonMethods.render(withSchemas))
+        val withDeletes =
+          if (deletes.isEmpty) withSchemas
+          else withSchemas ~ ("deletes" -> deletes.map(d =>
+            ("path" -> d.path) ~ ("rows" -> d.rows)))
+        JsonMethods.compact(JsonMethods.render(withDeletes))
       }
     // Unique tmp per writer: two racers must never share a staging path
     val tmp = new org.apache.hadoop.fs.Path(dir,
@@ -1698,6 +1879,46 @@ object Layout {
   private def readManifestEntries(fs: org.apache.hadoop.fs.FileSystem,
                                   dir: String, snap: Long): Seq[FileEntry] =
     readManifestFull(fs, dir, snap)._1
+
+  /** The snapshot's outstanding position-delete files (empty on v1
+    * manifests and on every table without MoR deletes).
+    */
+  private def readManifestDeletes(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: String, snap: Long)
+      : Seq[DeleteFile] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    JsonMethods.parse(body) match {
+      case obj: JObject => (obj \ "deletes") match {
+        case JArray(ds) => ds.collect { case d: JObject =>
+          ((d \ "path"), (d \ "rows")) match {
+            case (JString(p), JInt(n)) => DeleteFile(p, n.toLong)
+            case (JString(p), JLong(n)) => DeleteFile(p, n)
+            case other => sys.error(s"bad delete entry: $other")
+          }
+        }
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+  }
+
+  /** Public view of a snapshot's outstanding delete files:
+    * (table-relative path, recorded delete count) per MoR commit.
+    */
+  def snapshotDeletes(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, snapshotId: Long = -1L)
+      : Seq[(String, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val snap = if (snapshotId > 0) snapshotId else ids.max
+    readManifestDeletes(fs, dir, snap).map(d => (d.path, d.rows))
+  }
 
   private def readManifestFull(fs: org.apache.hadoop.fs.FileSystem,
                                dir: String, snap: Long)
@@ -1851,7 +2072,13 @@ object Layout {
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
-    val base = reader.parquet(files: _*)
+    val base0 = reader.parquet(files: _*)
+    // merge-on-read deletes: anti-join the snapshot's position-delete
+    // index back out (zero survivors need no DV work — already empty)
+    val base =
+      if (kept.isEmpty) base0
+      else dvFilter(spark, dir, base0, kept,
+        resolvedDeletes(spark, dir, snapshotId))
     prune match {
       case Some(p) if kept.isEmpty => base.filter(lit(false))
       case Some(p) => base.filter(toColumn(p))
@@ -1923,6 +2150,11 @@ object Layout {
                      snapshotId: Long = -1L): DataFrame = {
     val entries = snapshotFiles(spark, dir, snapshotId)
     require(entries.nonEmpty, s"empty snapshot under $dir")
+    // a deleted row may BE the extreme — min/max from file stats is
+    // only sound with zero outstanding position deletes
+    require(resolvedDeletes(spark, dir, snapshotId).isEmpty,
+      "metadata min/max undefined over outstanding position deletes — " +
+        "materializeDeletes first")
     require(entries.forall(_.stats.contains(column)),
       s"column $column lacks manifest stats on some files — " +
         "metadata aggregate unavailable")
@@ -1986,9 +2218,10 @@ object Layout {
       val mtime = fs.getFileStatus(
         new org.apache.hadoop.fs.Path(dir, s"manifest-$sid.json"))
         .getModificationTime
+      val dvRows = readManifestDeletes(fs, dir, sid).map(_.rows).sum
       val rows =
         if (entries.nonEmpty && entries.forall(_.rows.isDefined))
-          Some(entries.flatMap(_.rows).sum)
+          Some(entries.flatMap(_.rows).sum - dvRows) // live, not physical
         else if (entries.isEmpty) Some(0L)
         else None
       (sid, new java.sql.Timestamp(mtime), entries.size, rows)
@@ -2073,7 +2306,10 @@ object Layout {
       s"snapshot $snapshotId not found under $dir")
     val (entries, schemas) = readManifestFull(fs, dir, snapshotId)
     val newId = ids.max + 1L
-    writeManifest(fs, dir, newId, entries, schemas)
+    // the rollback restores the TARGET's delete state too — rolling
+    // past a MoR delete must resurrect exactly what that snapshot saw
+    writeManifest(fs, dir, newId, entries, schemas,
+      deletes = readManifestDeletes(fs, dir, snapshotId))
     newId
   }
 
@@ -2086,8 +2322,11 @@ object Layout {
   def snapshotCount(spark: org.apache.spark.sql.SparkSession, dir: String,
                     snapshotId: Long = -1L): Long = {
     val entries = snapshotFiles(spark, dir, snapshotId)
+    // MoR deletes stay metadata-exact: delete files are pairwise
+    // disjoint by construction, so live = Σ file rows − Σ delete rows
+    val dvRows = resolvedDeletes(spark, dir, snapshotId).map(_.rows).sum
     if (entries.nonEmpty && entries.forall(_.rows.isDefined))
-      entries.map(_.rows.get).sum
+      entries.map(_.rows.get).sum - dvRows
     else snapshotRead(spark, dir, snapshotId).count()
   }
 
@@ -2112,6 +2351,11 @@ object Layout {
     val live: Set[String] = keepIds.flatMap { snap =>
       readManifestEntries(fs, dir, snap).map(_.path).toSet
     }
+    // position-delete DIRECTORIES referenced by surviving manifests
+    // are live as units (their part files key by the dir prefix)
+    val liveDvDirs: Set[String] = keepIds.flatMap { snap =>
+      readManifestDeletes(fs, dir, snap).map(_.path).toSet
+    }
     var deleted = 0
     val dataRoot = new org.apache.hadoop.fs.Path(dir, "data")
     if (fs.exists(dataRoot)) {
@@ -2122,6 +2366,19 @@ object Layout {
         val rel = f.getPath.toString.stripPrefix(
           fs.makeQualified(root).toString + "/")
         if (f.isFile && !live.contains(rel)) dead += f.getPath
+      }
+      dead.foreach { p => if (fs.delete(p, false)) deleted += 1 }
+    }
+    val dvRoot = new org.apache.hadoop.fs.Path(dir, "deletes")
+    if (fs.exists(dvRoot)) {
+      val it = fs.listFiles(dvRoot, true)
+      val dead = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toString.stripPrefix(
+          fs.makeQualified(root).toString + "/")
+        if (f.isFile && !liveDvDirs.exists(d => rel.startsWith(d + "/")))
+          dead += f.getPath
       }
       dead.foreach { p => if (fs.delete(p, false)) deleted += 1 }
     }
@@ -2180,10 +2437,19 @@ object Layout {
     val dead: Set[String] = expired
       .flatMap(id => readManifestEntries(fs, dir, id).map(_.path))
       .toSet -- live
+    // same liveness rule for position-delete directories
+    val liveDv: Set[String] = surviving
+      .flatMap(id => readManifestDeletes(fs, dir, id).map(_.path)).toSet
+    val deadDv: Set[String] = expired
+      .flatMap(id => readManifestDeletes(fs, dir, id).map(_.path))
+      .toSet -- liveDv
     var deleted = 0
     dead.foreach { rel =>
       if (fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
         deleted += 1
+    }
+    deadDv.foreach { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
     }
     expired.foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"manifest-$id.json"), false)

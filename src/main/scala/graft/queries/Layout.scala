@@ -662,6 +662,30 @@ object Layout {
                FROM graft_snap_meta""")
     },
 
+    // Merge-on-read deletes (q268): two accumulated position-delete
+    // commits — an n_chars band, then an OVERLAPPING band (disjoint
+    // marking: already-deleted rows are not re-marked) — with zero
+    // data files rewritten; the read anti-joins the position index
+    // back out. The oracle replays the set arithmetic directly.
+    // Deleting 0.1% of a 100 TB table costs an index write, not a
+    // 100 TB rewrite — this is the operator that makes deletes
+    // affordable at scale.
+    "q268_mor_delete" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapmor")
+      L.snapshotWrite(Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars")
+        .repartitionByRange(6, col("n_chars"))
+        .sortWithinPartitions("n_chars"),
+        base, statsCols = Seq("n_chars"))
+      L.deleteWhereMoR(s, base, L.StatPred.And(Seq(
+        L.StatPred.Ge("n_chars", 200), L.StatPred.Le("n_chars", 300))))
+      L.deleteWhereMoR(s, base, L.StatPred.And(Seq(
+        L.StatPred.Ge("n_chars", 250), L.StatPred.Le("n_chars", 350))))
+      L.snapshotRead(s, base)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"))
+    },
+
     // the oracle RECOMPUTES the aggregate from the post-change corpus,
     // so equality proves the delta algebra, not just the plumbing.
     "q186_delta_agg" -> { (s, d) =>
@@ -728,6 +752,9 @@ object Layout {
               min(doc_id) AS min_doc_id,
               max(doc_id) AS max_doc_id
          FROM documents""",
+    "q268_mor_delete" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars
+         FROM documents WHERE n_chars NOT BETWEEN 200 AND 350""",
     "q264_snapshot_sql" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars, lang
          FROM documents

@@ -1287,4 +1287,140 @@ class LayoutSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".commit-1.lock")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".commit-2.lock")))
   }
+
+  test("merge-on-read delete: zero data rewrite, exact reads, exact metadata counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mor").toString
+    val df = (0 until 400).map(i => (i.toLong, s"d$i", i % 10))
+      .toDF("k", "name", "bucket")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Layout.snapshotWrite(df, dir, statsCols = Seq("k"))
+    val before = Layout.snapshotFiles(spark, dir)
+    val bytesBefore = before.map(e =>
+      e.path -> new java.io.File(s"$dir/${e.path}").lastModified()).toMap
+
+    // delete a k-band; stats prune: only ONE of the 4 range files scans
+    val (s2, n2) = Layout.deleteWhereMoR(spark, dir,
+      Layout.StatPred.And(Seq(
+        Layout.StatPred.Ge("k", 100L), Layout.StatPred.Le("k", 149L))))
+    assert(s2 === 2L && n2 === 50L)
+    // data entries VERBATIM — no file rewritten, no byte touched
+    val after = Layout.snapshotFiles(spark, dir)
+    assert(after.map(_.path) === before.map(_.path))
+    after.foreach(e => assert(
+      new java.io.File(s"$dir/${e.path}").lastModified() ===
+        bytesBefore(e.path), s"${e.path} was rewritten"))
+    // reads exclude exactly the deleted band; time travel sees it all
+    val live = Layout.snapshotRead(spark, dir)
+    assert(live.count() === 350)
+    assert(live.filter(col("k").between(100, 149)).count() === 0)
+    assert(Layout.snapshotRead(spark, dir, 1L).count() === 400)
+    // metadata arithmetic stays exact
+    assert(Layout.snapshotCount(spark, dir) === 350L)
+    assert(Layout.snapshotCount(spark, dir, 1L) === 400L)
+
+    // second MoR delete OVERLAPPING the first: disjointness holds —
+    // rows 140..159 minus the 10 already-deleted (140..149) = 10 new
+    val (s3, n3) = Layout.deleteWhereMoR(spark, dir,
+      Layout.StatPred.And(Seq(
+        Layout.StatPred.Ge("k", 140L), Layout.StatPred.Le("k", 159L))))
+    assert(s3 === 3L && n3 === 10L, s"disjoint marking, got $n3")
+    assert(Layout.snapshotRead(spark, dir).count() === 340)
+    assert(Layout.snapshotCount(spark, dir) === 340L)
+    assert(Layout.snapshotDeletes(spark, dir).map(_._2).sum === 60L)
+    // history reports LIVE rows per snapshot
+    val hist = Layout.snapshotHistory(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(hist === Map(1L -> 400L, 2L -> 350L, 3L -> 340L))
+
+    // point delete inside a file: prunes to one candidate file, the
+    // row-level filter marks exactly one position
+    val (s4, n4) = Layout.deleteWhereMoR(spark, dir,
+      Layout.StatPred.Eq("k", 201L))
+    assert(s4 === 4L && n4 === 1L)
+    assert(Layout.snapshotRead(spark, dir).filter(col("k") === 201).count() === 0)
+
+    // a no-match predicate commits NOTHING
+    val (s5, n5) = Layout.deleteWhereMoR(spark, dir,
+      Layout.StatPred.Eq("k", 999999L))
+    assert(s5 === 4L && n5 === 0L)
+    assert(Layout.snapshotIds(spark, dir).max === 4L)
+  }
+
+  test("MoR interactions: refusals, rewrites settle, rollback restores, vacuum keeps live DVs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mor2").toString
+    val df = (0 until 200).map(i => (i.toLong, s"d$i"))
+      .toDF("k", "name")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Layout.snapshotWrite(df, dir, statsCols = Seq("k"))
+    Layout.deleteWhereMoR(spark, dir, Layout.StatPred.Le("k", 49L))
+    assert(Layout.snapshotRead(spark, dir).count() === 150)
+
+    // CoW mutators, schema evolution, metadata min/max, and SQL access
+    // all refuse until the debt settles
+    intercept[IllegalArgumentException](
+      Layout.deleteWhere(spark, dir, Layout.StatPred.Ge("k", 190L)))
+    intercept[IllegalArgumentException](
+      Layout.mergeInto(spark, dir, Seq((1L, "x")).toDF("k", "name"),
+        Seq("k")))
+    intercept[IllegalArgumentException](
+      Layout.renameColumn(spark, dir, "name", "title"))
+    intercept[IllegalArgumentException](
+      Layout.snapshotMinMax(spark, dir, "k"))
+    intercept[IllegalArgumentException](
+      spark.read.format("snapshot").option("path", dir).load())
+    // appends carry the debt and stay readable
+    Layout.snapshotAppend(
+      (200 until 220).map(i => (i.toLong, s"d$i")).toDF("k", "name"), dir)
+    assert(Layout.snapshotRead(spark, dir).count() === 170)
+    assert(Layout.snapshotCount(spark, dir) === 170L)
+
+    // rollback to the pre-delete snapshot resurrects exactly its view
+    val rolled = Layout.rollbackTo(spark, dir, 1L)
+    assert(Layout.snapshotRead(spark, dir).count() === 200)
+    // and rolling FORWARD to the deleted state again works (id 3 = the
+    // append that carried the delete)
+    Layout.rollbackTo(spark, dir, 3L)
+    assert(Layout.snapshotRead(spark, dir).count() === 170)
+
+    // materializeDeletes settles: deletes empty, rows identical, SQL back
+    val want = Layout.snapshotRead(spark, dir).orderBy("k").collect().toSeq
+    Layout.materializeDeletes(spark, dir)
+    assert(Layout.snapshotDeletes(spark, dir).isEmpty)
+    assert(Layout.snapshotRead(spark, dir).orderBy("k").collect().toSeq
+      === want)
+    assert(spark.read.format("snapshot").option("path", dir).load()
+      .count() === 170)
+    // min/max restored and DV-exact: 50..219
+    val mm = Layout.snapshotMinMax(spark, dir, "k").head()
+    assert(mm.getLong(0) === 50L && mm.getLong(1) === 219L)
+
+    // vacuum after settling reclaims the now-dead DV directories
+    Layout.vacuum(spark, dir, keep = 1)
+    def dvFilesLeft(f: java.io.File): Int =
+      if (!f.exists()) 0
+      else if (f.isFile) 1
+      else f.listFiles().map(dvFilesLeft).sum
+    assert(dvFilesLeft(new java.io.File(s"$dir/deletes")) === 0,
+      "settled DV files must be vacuumable")
+    assert(Layout.snapshotRead(spark, dir).count() === 170)
+  }
+
+  test("compactSnapshot settles MoR deletes in the rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mor3").toString
+    val df = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Layout.snapshotWrite(df, dir, statsCols = Seq("k"))
+    Layout.deleteWhereMoR(spark, dir, Layout.StatPred.Le("k", 24L))
+    Layout.compactSnapshot(spark, dir, targetBytes = 1L << 30)
+    assert(Layout.snapshotDeletes(spark, dir).isEmpty)
+    val rows = Layout.snapshotRead(spark, dir)
+    assert(rows.count() === 75)
+    assert(rows.agg(min(col("k"))).head().getLong(0) === 25L)
+    // the pre-compaction DV snapshot still time-travels correctly
+    assert(Layout.snapshotRead(spark, dir, 2L).count() === 75)
+    assert(Layout.snapshotRead(spark, dir, 1L).count() === 100)
+  }
 }
