@@ -284,6 +284,78 @@ case class SnapshotInsertRule(session: SparkSession)
     }
 }
 
+/** Resolution rule routing SQL `DELETE FROM <snapshot view> WHERE …`
+  * through [[Layout.deleteWhereMoR]] — without it Spark rejects DELETE
+  * on a DSv1 relation outright ("only supported with v2 tables").
+  * The condition prunes candidate files through the manifest StatPred
+  * tier and marks surviving rows into a position-delete commit: the
+  * cheapest correct delete at any scale (an index write, not a
+  * rewrite). Injected by [[graft.plans.GraftExtensions]].
+  */
+case class SnapshotDeleteRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, SubqueryAlias, View}
+
+  private def target(p: LogicalPlan): Option[SnapshotFileIndex] = p match {
+    case SubqueryAlias(_, child) => target(child)
+    case v: View => target(v.child)
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case i: SnapshotFileIndex => Some(i)
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case d @ DeleteFromTable(table, condition) if condition.resolved =>
+        target(table) match {
+          case Some(index) => SnapshotDeleteCommand(index, condition)
+          case None => d
+        }
+    }
+}
+
+/** The DELETE command: compiles the resolved condition back to a
+  * Column and runs the COPY-ON-WRITE [[Layout.deleteWhere]] — only
+  * stat-surviving files rewrite, every other file is reused verbatim.
+  * CoW (not merge-on-read) because the registered view's FileIndex
+  * tier is file-granular: it could not subtract row-level position
+  * deletes, and a DELETE whose effects the same view cannot see would
+  * be a silent lie. The Scala `deleteWhereMoR` stays the
+  * rewrite-free scale lever for pipelines that read through
+  * `snapshotRead`. Refreshes the view's index so the next query over
+  * the SAME view sees the commit. Returns the files-rewritten count.
+  */
+case class SnapshotDeleteCommand(index: SnapshotFileIndex,
+                                 condition: Expression)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    // the condition's attributes are bound to the VIEW's exprIds;
+    // the rewrite scans fresh relations, so re-resolve by NAME
+    val unbound = condition.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(a.name)
+    }
+    // prune via the RESOLVED-expression walker (the Column walker
+    // cannot see through an expression-wrapped Column)
+    val pred = Layout.fromPredNode(Bridge.predicateTree(condition))
+    val (_, rewritten) = Layout.deleteWhereCompiled(session,
+      index.tableDir, pred, Bridge.column(unbound))
+    index.refresh()
+    Seq(org.apache.spark.sql.Row(rewritten.toLong))
+  }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "files_rewritten", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+}
+
 /** The manifest-committed INSERT: aligns the query to the table schema
   * (positionally, or by name for `INSERT ... BY NAME`), appends or
   * overwrites through [[Layout]], then refreshes the view's file index

@@ -1073,7 +1073,30 @@ object Layout {
     * rewritten files, so subsequent pruned reads keep working.
     */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
-                  pred: StatPred): (Long, Int) = {
+                  pred: StatPred): (Long, Int) =
+    deleteWhereImpl(spark, dir, Some(pred), toColumn(pred))
+
+  /** [[deleteWhere]] with the natural Column surface (and the SQL
+    * `DELETE FROM` entry point): the compilable part prunes which
+    * files rewrite; the FULL condition decides rows, so arbitrary
+    * predicates are exact — a non-compilable one rewrites every file.
+    */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  cond: Column): (Long, Int) =
+    deleteWhereImpl(spark, dir, toStatPred(cond), cond)
+
+  /** Entry for command implementations that already compiled the
+    * pruning predicate from a RESOLVED expression (the Column walker
+    * cannot see through an expression-wrapped Column).
+    */
+  private[graft] def deleteWhereCompiled(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      pred: Option[StatPred], cond: Column): (Long, Int) =
+    deleteWhereImpl(spark, dir, pred, cond)
+
+  private def deleteWhereImpl(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, pred: Option[StatPred],
+                              cond: Column): (Long, Int) = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = listSnapshotIds(fs, dir)
@@ -1082,8 +1105,11 @@ object Layout {
     // and strand delete counts — settle the debt first
     requireNoDeletes(spark, dir, "copy-on-write deleteWhere")
     val (entries, schemas) = readManifestFull(fs, dir, ids.max)
-    val (touched, untouched) =
-      entries.partition(e => mayMatchEvolved(e, pred, schemas))
+    val (touched, untouched) = pred match {
+      case Some(p) =>
+        entries.partition(e => mayMatchEvolved(e, p, schemas))
+      case None => (entries, Nil) // non-compilable: every file may match
+    }
     val snapId = ids.max + 1L
     if (touched.isEmpty) {
       // nothing can match: the new snapshot is the old file set
@@ -1100,7 +1126,7 @@ object Layout {
           .parquet(touched.map(e => s"$dir/${e.path}"): _*)
       else evolvedRead(spark, dir, touched, schemas, mergeSchema = true)
     val survivors = touchedDf
-      .filter(!coalesce(toColumn(pred), lit(false)))
+      .filter(!coalesce(cond, lit(false)))
     val dataDir = s"$dir/data/snap-$snapId"
     survivors.write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
@@ -1209,7 +1235,22 @@ object Layout {
     * current id.
     */
   def deleteWhereMoR(spark: org.apache.spark.sql.SparkSession,
-                     dir: String, pred: StatPred): (Long, Long) = {
+                     dir: String, pred: StatPred): (Long, Long) =
+    deleteWhereMoRImpl(spark, dir, Some(pred), toColumn(pred))
+
+  /** [[deleteWhereMoR]] with the natural Column surface (and the SQL
+    * `DELETE FROM` entry point): the compilable part of the filter
+    * prunes candidate files via [[toStatPred]]; the FULL original
+    * condition marks rows, so arbitrary predicates are exact — a
+    * non-compilable condition simply scans every file once.
+    */
+  def deleteWhereMoR(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, cond: Column): (Long, Long) =
+    deleteWhereMoRImpl(spark, dir, toStatPred(cond), cond)
+
+  private def deleteWhereMoRImpl(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, pred: Option[StatPred],
+                                 cond: Column): (Long, Long) = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = listSnapshotIds(fs, dir)
@@ -1220,7 +1261,10 @@ object Layout {
       "merge-on-read delete needs a uniform-schema table — run " +
         "compactSnapshot/optimizeClustered to materialize evolution first")
     val oldDeletes = readManifestDeletes(fs, dir, cur)
-    val candidates = entries.filter(e => mayMatch(e, pred))
+    val candidates = pred match {
+      case Some(p) => entries.filter(e => mayMatch(e, p))
+      case None => entries
+    }
     if (candidates.isEmpty) return (cur, 0L)
     import spark.implicits._
     val mapping = candidates
@@ -1245,7 +1289,7 @@ object Layout {
         Seq("_gdv_path", "_gdv_pos"), "left_anti")
     val marked = live
       .select(col("_gdv_path"), col("_gdv_pos"), col("_gdv_row.*"))
-      .filter(coalesce(toColumn(pred), lit(false)))
+      .filter(coalesce(cond, lit(false)))
       .select(col("_gdv_path").as("path"), col("_gdv_pos").as("pos"))
     val snapId = cur + 1L
     val dvRel = s"deletes/snap-$snapId"

@@ -1032,6 +1032,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (without this, Spark's generic file-source insert would write
     // raw files no manifest references — see SnapshotInsertRule)
     e.injectResolutionRule(session => graft.io.SnapshotInsertRule(session))
+    // SQL DELETE FROM a snapshot view → pruned copy-on-write commit
+    e.injectResolutionRule(session => graft.io.SnapshotDeleteRule(session))
     // count(*)/min/max over a snapshot view → manifest constants
     e.injectOptimizerRule(_ => new SnapshotMetadataAggRule)
   }

@@ -200,6 +200,28 @@ class SnapshotSqlSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1))).toSet === Set((9L, "z")))
       // prior snapshot still time-travels
       assert(Layout.snapshotRead(ext, dir, 2L).count() === 4)
+
+      // SQL DELETE: pruned copy-on-write commit; the SAME view sees it
+      val dir2 = freshDir("sqldelete")
+      Layout.snapshotWrite(
+        (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "name")
+          .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+        dir2, statsCols = Seq("k"))
+      ext.sql("CREATE OR REPLACE TEMPORARY VIEW del_t " +
+        s"USING snapshot OPTIONS (path '$dir2')")
+      val res = ext.sql("DELETE FROM del_t WHERE k >= 25 AND k < 50")
+        .head().getLong(0)
+      assert(res === 1L, s"one of 4 range files rewrites, got $res")
+      assert(ext.sql("SELECT count(*) AS n FROM del_t").head().getLong(0)
+        === 75)
+      assert(ext.sql("SELECT count(*) AS n FROM del_t WHERE k BETWEEN 25 AND 49")
+        .head().getLong(0) === 0)
+      // time travel to the pre-delete snapshot intact
+      assert(Layout.snapshotRead(ext, dir2, 1L).count() === 100)
+      // arbitrary (non-stat-compilable) predicate stays exact
+      ext.sql("DELETE FROM del_t WHERE name = 'v7'")
+      assert(ext.sql("SELECT count(*) AS n FROM del_t").head().getLong(0)
+        === 74)
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
