@@ -870,6 +870,142 @@ object Layout {
     (snapId, nBad)
   }
 
+  /** WRITE-AUDIT-PUBLISH staging — the Iceberg WAP pattern reduced to
+    * the manifest primitive: the batch's data files land under
+    * `data/staged-<token>/` and ONE `staged-<token>.json` records the
+    * would-be entries (stats and blooms per the table's contract,
+    * schema merged against the base) — but NO committed manifest
+    * references them, so production readers cannot see the batch. An
+    * audit job inspects it via [[stagedRead]] (or any check over it),
+    * then [[publishStaged]] commits it atomically or [[abandonStaged]]
+    * drops it without a trace. Staged files survive [[vacuum]] (their
+    * entries are live-by-staging until published or abandoned).
+    *
+    * Returns the staging token. Concurrent commits between staging and
+    * publish are fine: appends commute, and publish REBASES the batch
+    * onto the then-current snapshot.
+    */
+  def snapshotAppendStaged(df: DataFrame, dir: String,
+                           statsCols: Seq[String] = Nil,
+                           bloomCols: Seq[String] = Nil): String = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    val base = if (ids.isEmpty) 0L else ids.max
+    val (prev, prevSchemas) =
+      if (ids.isEmpty) (Nil, Nil) else readManifestFull(fs, dir, base)
+    val (schemas, sid) = assignSchema(prevSchemas, df.schema, merge = true)
+    val token = s"$base-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dataDir = s"$dir/data/staged-$token"
+    df.write.mode("overwrite").parquet(dataDir)
+    val (names, sizes) = listDataFiles(fs, dataDir)
+    val cols =
+      if (statsCols.nonEmpty) statsCols
+      else statColsCurrent(prev, schemas, _.stats.keys)
+    val bCols =
+      if (bloomCols.nonEmpty) bloomCols
+      else statColsCurrent(prev, schemas, _.blooms.keys)
+    val stats =
+      if (cols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
+      else collectFileStats(spark, dataDir, cols)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
+      else collectFileBlooms(spark, dataDir, bCols)
+    val entries = names.toIndexedSeq.map(n =>
+      entryFor(s"data/staged-$token", n, stats, blooms, sizes)
+        .copy(schemaId = Some(sid)))
+    val body = manifestBody(entries, schemas, Nil)
+    val p = new org.apache.hadoop.fs.Path(dir, s"staged-$token.json")
+    val out = fs.create(p, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    token
+  }
+
+  /** The staged BATCH as a DataFrame — what the audit job queries
+    * before deciding to publish or abandon. Production reads stay on
+    * the committed snapshots; this is the candidate view only.
+    */
+  def stagedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 token: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir, s"staged-$token.json")
+    require(fs.exists(p), s"no staged batch $token under $dir")
+    val (entries, _) = readManifestPath(fs, p)
+    spark.read.parquet(entries.map(e => s"$dir/${e.path}"): _*)
+  }
+
+  /** Publish a staged batch: ONE atomic commit appends its entries to
+    * the then-current snapshot (rebase — appends commute with every
+    * commit that landed since staging; outstanding deletes carry).
+    * Publishing across a column RENAME refuses (the staged parquet
+    * carries pre-rename names — re-stage the batch); a publish/publish
+    * race on the same token resolves to exactly one winner via a
+    * create-exclusive token. Returns the new snapshot id.
+    */
+  def publishStaged(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, token: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir, s"staged-$token.json")
+    require(fs.exists(p), s"no staged batch $token under $dir")
+    require(createExclusive(fs,
+      new org.apache.hadoop.fs.Path(dir, s".publish-$token.lock")),
+      s"staged batch $token is being published by another writer")
+    val (stagedEntries, stagedSchemas) = readManifestPath(fs, p)
+    val base = token.takeWhile(_ != '-').toLong
+    val ids = listSnapshotIds(fs, dir)
+    val (curEntries, curSchemas) =
+      if (ids.isEmpty) (Nil, Nil) else readManifestFull(fs, dir, ids.max)
+    val curDeletes =
+      if (ids.isEmpty) Nil else readManifestDeletes(fs, dir, ids.max)
+    val stagedSid = stagedEntries.flatMap(_.schemaId).headOption.getOrElse(0)
+    val (schemas, sid) =
+      if (ids.isEmpty || ids.max == base) (stagedSchemas, stagedSid)
+      else {
+        // REBASE onto commits that landed since staging. A rename in
+        // between would fork the staged parquet's old column names —
+        // detect via field ids and refuse.
+        val stagedFields = stagedSchemas.find(_.id == stagedSid)
+          .map(_.fields).getOrElse(Nil)
+        val curById = currentSchemaOf(curSchemas)
+          .map(_.fields.map(f => f.id -> f.name).toMap)
+          .getOrElse(Map.empty[Int, String])
+        stagedFields.foreach(f => curById.get(f.id).foreach(cn =>
+          require(cn == f.name,
+            s"cannot publish $token: column '${f.name}' was renamed to " +
+              s"'$cn' after staging — re-stage the batch")))
+        val struct = org.apache.spark.sql.types.StructType(
+          stagedFields.map(f => org.apache.spark.sql.types.StructField(
+            f.name, org.apache.spark.sql.types.DataType.fromDDL(f.tpe))))
+        assignSchema(curSchemas, struct, merge = true)
+      }
+    val snapId = (if (ids.isEmpty) 0L else ids.max) + 1L
+    writeManifest(fs, dir, snapId,
+      curEntries ++ stagedEntries.map(_.copy(schemaId = Some(sid))),
+      schemas, curDeletes)
+    fs.delete(p, false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, s".publish-$token.lock"),
+      false)
+    snapId
+  }
+
+  /** Drop a staged batch without publishing: the staging record and
+    * its data files are reclaimed immediately; committed snapshots
+    * never referenced them, so nothing else changes.
+    */
+  def abandonStaged(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, token: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir, s"staged-$token.json")
+    require(fs.exists(p), s"no staged batch $token under $dir")
+    fs.delete(p, false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/data/staged-$token"),
+      true)
+  }
+
   /** RENAME a column — a METADATA-ONLY commit (zero data files touched
     * at any table size): the new current schema keeps the field's
     * permanent id under the new name, file entries carry unchanged, and
@@ -1824,18 +1960,18 @@ object Layout {
     * token, so two writers racing the same snapshot id resolve to
     * exactly one committed manifest and one loud loser.
     */
-  private[graft] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
-                            dir: String, snapId: Long,
-                            entries: Seq[FileEntry],
-                            schemas: Seq[SchemaInfo] = Nil,
-                            deletes: Seq[DeleteFile] = Nil): Unit = {
+  /** Serialized manifest body — shared by committed manifests and
+    * write-audit-publish staging files.
+    */
+  private def manifestBody(entries: Seq[FileEntry],
+                           schemas: Seq[SchemaInfo],
+                           deletes: Seq[DeleteFile]): String = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    val body =
-      if (schemas.isEmpty && deletes.isEmpty && entries.forall(e =>
-            e.stats.isEmpty && e.blooms.isEmpty && e.bytes.isEmpty))
-        JsonMethods.compact(JsonMethods.render(entries.map(_.path)))
-      else {
+    if (schemas.isEmpty && deletes.isEmpty && entries.forall(e =>
+          e.stats.isEmpty && e.blooms.isEmpty && e.bytes.isEmpty))
+      JsonMethods.compact(JsonMethods.render(entries.map(_.path)))
+    else {
         val files = entries.map { e =>
           val base = ("path" -> e.path) ~
             ("rows" -> e.rows) ~
@@ -1864,7 +2000,15 @@ object Layout {
           else withSchemas ~ ("deletes" -> deletes.map(d =>
             ("path" -> d.path) ~ ("rows" -> d.rows)))
         JsonMethods.compact(JsonMethods.render(withDeletes))
-      }
+    }
+  }
+
+  private[graft] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: String, snapId: Long,
+                            entries: Seq[FileEntry],
+                            schemas: Seq[SchemaInfo] = Nil,
+                            deletes: Seq[DeleteFile] = Nil): Unit = {
+    val body = manifestBody(entries, schemas, deletes)
     // Unique tmp per writer: two racers must never share a staging path
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".manifest-$snapId-${java.util.UUID.randomUUID()}.json.tmp")
@@ -1966,10 +2110,16 @@ object Layout {
 
   private def readManifestFull(fs: org.apache.hadoop.fs.FileSystem,
                                dir: String, snap: Long)
+      : (Seq[FileEntry], Seq[SchemaInfo]) =
+    readManifestPath(fs,
+      new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"))
+
+  private def readManifestPath(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path)
       : (Seq[FileEntry], Seq[SchemaInfo]) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"))
+    val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     def parseSchemas(obj: JObject): Seq[SchemaInfo] =
@@ -2392,9 +2542,17 @@ object Layout {
     val manifests = listSnapshotIds(fs, dir).sorted
     require(manifests.nonEmpty, s"no snapshot manifest under $dir")
     val keepIds = manifests.takeRight(keep).toSet
+    // pending write-audit-publish batches are live-by-staging: their
+    // files are referenced by no manifest yet, but dropping them would
+    // destroy a batch mid-audit
+    val stagedLive: Set[String] = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "staged-*.json")))
+      .getOrElse(Array.empty)
+      .flatMap(st => readManifestPath(fs, st.getPath)._1.map(_.path))
+      .toSet
     val live: Set[String] = keepIds.flatMap { snap =>
       readManifestEntries(fs, dir, snap).map(_.path).toSet
-    }
+    } ++ stagedLive
     // position-delete DIRECTORIES referenced by surviving manifests
     // are live as units (their part files key by the dir prefix)
     val liveDvDirs: Set[String] = keepIds.flatMap { snap =>

@@ -686,6 +686,35 @@ object Layout {
           col("n_chars"))
     },
 
+    // Write-audit-publish (q269): the ingestion-gate lifecycle — a
+    // poisoned candidate batch (nulled text) is staged, caught by the
+    // audit, and abandoned without ever being visible; the clean batch
+    // stages, passes the same audit, and publishes atomically. Final
+    // content must equal the full corpus — proof the staging tier
+    // neither leaked the bad batch nor lost the good one.
+    "q269_write_audit_publish" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapwap")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      L.snapshotWrite(docs.filter(col("doc_id") % 3 =!= 0)
+        .repartitionByRange(4, col("n_chars"))
+        .sortWithinPartitions("n_chars"),
+        base, statsCols = Seq("n_chars"))
+      val rest = docs.filter(col("doc_id") % 3 === 0)
+      val bad = rest.withColumn("text", lit(null).cast("string"))
+      val tokBad = L.snapshotAppendStaged(bad, base)
+      // the audit: no null text allowed
+      if (L.stagedRead(s, base, tokBad)
+            .filter(col("text").isNull).count() > 0)
+        L.abandonStaged(s, base, tokBad)
+      val tok = L.snapshotAppendStaged(rest, base)
+      require(L.stagedRead(s, base, tok)
+        .filter(col("text").isNull).count() == 0, "audit must pass")
+      L.publishStaged(s, base, tok)
+      L.snapshotRead(s, base)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"))
+    },
+
     // the oracle RECOMPUTES the aggregate from the post-change corpus,
     // so equality proves the delta algebra, not just the plumbing.
     "q186_delta_agg" -> { (s, d) =>
@@ -755,6 +784,8 @@ object Layout {
     "q268_mor_delete" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars NOT BETWEEN 200 AND 350""",
+    "q269_write_audit_publish" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
     "q264_snapshot_sql" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars, lang
          FROM documents

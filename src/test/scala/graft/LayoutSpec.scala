@@ -1407,6 +1407,59 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.snapshotRead(spark, dir).count() === 170)
   }
 
+  test("write-audit-publish: staged batches invisible, publish atomic, abandon traceless") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wap").toString
+    Layout.snapshotWrite(
+      (0 until 50).map(i => (i.toLong, s"a$i")).toDF("k", "name"),
+      dir, statsCols = Seq("k"))
+
+    // stage a batch: production readers see NOTHING until publish
+    val tok = Layout.snapshotAppendStaged(
+      (50 until 80).map(i => (i.toLong, s"b$i")).toDF("k", "name"), dir)
+    assert(Layout.snapshotRead(spark, dir).count() === 50)
+    assert(Layout.snapshotIds(spark, dir) === Seq(1L))
+    // the audit job sees exactly the candidate batch
+    assert(Layout.stagedRead(spark, dir, tok).count() === 30)
+    // vacuum mid-audit must not destroy the staged batch
+    Layout.vacuum(spark, dir, keep = 1)
+    assert(Layout.stagedRead(spark, dir, tok).count() === 30)
+
+    // a CONCURRENT append lands between staging and publish
+    Layout.snapshotAppend(
+      (900 until 910).map(i => (i.toLong, s"c$i")).toDF("k", "name"), dir)
+    // publish REBASES: both batches present, staged record gone
+    val pubId = Layout.publishStaged(spark, dir, tok)
+    assert(pubId === 3L)
+    assert(Layout.snapshotRead(spark, dir).count() === 90)
+    assert(Layout.snapshotCount(spark, dir) === 90L)
+    // the staged batch inherited the stats contract — pruning works
+    assert(Layout.snapshotFiles(spark, dir).forall(_.stats.contains("k")))
+    assert(intercept[IllegalArgumentException](
+      Layout.stagedRead(spark, dir, tok)).getMessage.contains("no staged"))
+    // double publish is impossible
+    assert(intercept[IllegalArgumentException](
+      Layout.publishStaged(spark, dir, tok)).getMessage.contains("no staged"))
+
+    // abandon: record and data reclaimed, table untouched
+    val tok2 = Layout.snapshotAppendStaged(
+      Seq((999L, "z")).toDF("k", "name"), dir)
+    assert(new java.io.File(s"$dir/data/staged-$tok2").exists())
+    Layout.abandonStaged(spark, dir, tok2)
+    assert(!new java.io.File(s"$dir/data/staged-$tok2").exists())
+    assert(!new java.io.File(s"$dir/staged-$tok2.json").exists())
+    assert(Layout.snapshotRead(spark, dir).count() === 90)
+
+    // publish across a RENAME refuses (staged parquet has old names)
+    val tok3 = Layout.snapshotAppendStaged(
+      Seq((1000L, "w")).toDF("k", "name"), dir)
+    Layout.renameColumn(spark, dir, "name", "title")
+    assert(intercept[IllegalArgumentException](
+      Layout.publishStaged(spark, dir, tok3)).getMessage
+      .contains("renamed"))
+    Layout.abandonStaged(spark, dir, tok3)
+  }
+
   test("compactSnapshot settles MoR deletes in the rewrite") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mor3").toString
