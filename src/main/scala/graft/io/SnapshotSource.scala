@@ -356,6 +356,82 @@ case class SnapshotDeleteCommand(index: SnapshotFileIndex,
       nullable = false)())
 }
 
+/** Resolution rule routing SQL `UPDATE <snapshot view> SET … WHERE …`
+  * through [[Layout.updateWhere]] — the third leg of the DML surface
+  * (INSERT appends via the manifest, DELETE prunes a copy-on-write
+  * rewrite, UPDATE is the same targeted rewrite with assignments).
+  * Injected by [[graft.plans.GraftExtensions]].
+  */
+case class SnapshotUpdateRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, UpdateTable, View}
+
+  private def target(p: LogicalPlan): Option[SnapshotFileIndex] = p match {
+    case SubqueryAlias(_, child) => target(child)
+    case v: View => target(v.child)
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case i: SnapshotFileIndex => Some(i)
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case u @ UpdateTable(table, assignments, condition)
+          if assignments.forall(a => a.key.resolved && a.value.resolved) &&
+            condition.forall(_.resolved) =>
+        target(table) match {
+          case Some(index) =>
+            val pairs = assignments.map { a =>
+              a.key match {
+                case attr: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                  (attr.name, a.value)
+                case other => throw new IllegalArgumentException(
+                  s"snapshot UPDATE supports top-level columns only, got $other")
+              }
+            }
+            SnapshotUpdateCommand(index, pairs,
+              condition.getOrElse(
+                org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))
+          case None => u
+        }
+    }
+}
+
+/** The targeted-rewrite UPDATE command: re-resolves the view-bound
+  * attributes by name (same as DELETE), compiles the condition into
+  * the StatPred pruning tier, and commits through
+  * [[Layout.updateWhere]]. Returns the files-rewritten count.
+  */
+case class SnapshotUpdateCommand(index: SnapshotFileIndex,
+                                 assignments: Seq[(String, Expression)],
+                                 condition: Expression)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  private def unbind(e: Expression): Expression = e.transform {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        .quoted(a.name)
+  }
+
+  override def run(session: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val pred = Layout.fromPredNode(Bridge.predicateTree(condition))
+    val (_, rewritten) = Layout.updateWhereCompiled(session,
+      index.tableDir, pred, Bridge.column(unbind(condition)),
+      assignments.map { case (n, v) => (n, Bridge.column(unbind(v))) })
+    index.refresh()
+    Seq(org.apache.spark.sql.Row(rewritten.toLong))
+  }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "files_rewritten", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+}
+
 /** The manifest-committed INSERT: aligns the query to the table schema
   * (positionally, or by name for `INSERT ... BY NAME`), appends or
   * overwrites through [[Layout]], then refreshes the view's file index

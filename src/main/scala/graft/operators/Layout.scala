@@ -1290,6 +1290,88 @@ object Layout {
     (snapId, touched.size)
   }
 
+  /** Targeted UPDATE — [[deleteWhere]]'s sibling for SQL `UPDATE ...
+    * SET ... WHERE ...`: only files whose stats may hold a matching
+    * row rewrite; in them, each assigned column takes its new value on
+    * condition rows (cast to the column's existing type — an UPDATE
+    * never changes the schema) and every other row/column is carried
+    * bit-for-bit. Untouched files are reused verbatim in the new
+    * manifest. Returns (new snapshot id, files rewritten).
+    */
+  def updateWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  cond: Column,
+                  assignments: Seq[(String, Column)]): (Long, Int) =
+    updateWhereImpl(spark, dir, toStatPred(cond), cond, assignments)
+
+  private[graft] def updateWhereCompiled(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      pred: Option[StatPred], cond: Column,
+      assignments: Seq[(String, Column)]): (Long, Int) =
+    updateWhereImpl(spark, dir, pred, cond, assignments)
+
+  private def updateWhereImpl(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, pred: Option[StatPred],
+                              cond: Column,
+                              assignments: Seq[(String, Column)])
+      : (Long, Int) = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      "duplicate assignment targets")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    requireNoDeletes(spark, dir, "copy-on-write updateWhere")
+    val (entries, schemas) = readManifestFull(fs, dir, ids.max)
+    val (touched, untouched) = pred match {
+      case Some(p) => entries.partition(e => mayMatchEvolved(e, p, schemas))
+      case None => (entries, Nil)
+    }
+    val snapId = ids.max + 1L
+    if (touched.isEmpty) {
+      writeManifest(fs, dir, snapId, entries, schemas)
+      return (snapId, 0)
+    }
+    val touchedDf =
+      if (uniformSchema(touched, schemas))
+        spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(e => s"$dir/${e.path}"): _*)
+      else evolvedRead(spark, dir, touched, schemas, mergeSchema = true)
+    val byName = touchedDf.schema.fields.map(f => f.name -> f).toMap
+    assignments.foreach { case (n, _) =>
+      require(byName.contains(n), s"UPDATE target column $n not in table") }
+    val assignMap = assignments.toMap
+    val hit = coalesce(cond, lit(false))
+    val updated = touchedDf.select(touchedDf.columns.toIndexedSeq.map { n =>
+      assignMap.get(n) match {
+        case Some(v) =>
+          when(hit, v.cast(byName(n).dataType)).otherwise(col(n)).as(n)
+        case None => col(n)
+      }
+    }: _*)
+    val dataDir = s"$dir/data/snap-$snapId"
+    updated.write.mode("overwrite").parquet(dataDir)
+    val (names, sizes) = listDataFiles(fs, dataDir)
+    val (outSchemas, sid) =
+      if (schemas.isEmpty) (Nil, 0)
+      else assignSchema(schemas, updated.schema, merge = true)
+    val statsCols = statColsCurrent(entries, schemas, _.stats.keys)
+    val bCols = statColsCurrent(entries, schemas, _.blooms.keys)
+    val stats =
+      if (statsCols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
+      else collectFileStats(spark, dataDir, statsCols)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
+      else collectFileBlooms(spark, dataDir, bCols)
+    writeManifest(fs, dir, snapId,
+      untouched ++ names.toIndexedSeq.map(n =>
+        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
+          .copy(schemaId =
+            if (outSchemas.isEmpty) None else Some(sid))),
+      outSchemas)
+    (snapId, touched.size)
+  }
+
   /** Scheme-stripped path (the part after `scheme://authority`) — the
     * join key between `_metadata.file_path` (a qualified URI whose
     * exact rendering varies by filesystem) and manifest-derived

@@ -1034,6 +1034,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(session => graft.io.SnapshotInsertRule(session))
     // SQL DELETE FROM a snapshot view → pruned copy-on-write commit
     e.injectResolutionRule(session => graft.io.SnapshotDeleteRule(session))
+    // SQL UPDATE ... SET on a snapshot view → targeted rewrite commit
+    e.injectResolutionRule(session => graft.io.SnapshotUpdateRule(session))
     // count(*)/min/max over a snapshot view → manifest constants
     e.injectOptimizerRule(_ => new SnapshotMetadataAggRule)
   }

@@ -686,6 +686,27 @@ object Layout {
           col("n_chars"))
     },
 
+    // Targeted UPDATE (q270): the third DML leg — a stats-banded
+    // UPDATE rewrites only files whose ranges intersect the predicate
+    // (LayoutSpec/SnapshotSqlSpec pin the file counts); assignment
+    // expressions reference the row itself. The oracle replays the
+    // CASE arithmetic over the whole corpus.
+    "q270_update_where" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapupd")
+      L.snapshotWrite(Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars", "lang")
+        .repartitionByRange(6, col("n_chars"))
+        .sortWithinPartitions("n_chars"),
+        base, statsCols = Seq("n_chars"))
+      L.updateWhere(s, base,
+        col("n_chars").between(200, 300),
+        Seq("lang" -> concat(col("lang"), lit("-upd")),
+          "text" -> upper(col("text"))))
+      L.snapshotRead(s, base)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"), col("lang"))
+    },
+
     // Write-audit-publish (q269): the ingestion-gate lifecycle — a
     // poisoned candidate batch (nulled text) is staged, caught by the
     // audit, and abandoned without ever being visible; the clean batch
@@ -786,6 +807,14 @@ object Layout {
          FROM documents WHERE n_chars NOT BETWEEN 200 AND 350""",
     "q269_write_audit_publish" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
+    "q270_update_where" ->
+      """SELECT doc_id,
+              md5(CASE WHEN n_chars BETWEEN 200 AND 300
+                       THEN upper(text) ELSE text END) AS text_md5,
+              n_chars,
+              CASE WHEN n_chars BETWEEN 200 AND 300
+                   THEN lang || '-upd' ELSE lang END AS lang
+         FROM documents""",
     "q264_snapshot_sql" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars, lang
          FROM documents

@@ -222,6 +222,25 @@ class SnapshotSqlSpec extends AnyFunSuite {
       ext.sql("DELETE FROM del_t WHERE name = 'v7'")
       assert(ext.sql("SELECT count(*) AS n FROM del_t").head().getLong(0)
         === 74)
+
+      // SQL UPDATE: targeted rewrite, pruned the same way; expressions
+      // referencing the row (SET name = concat(...)) work
+      val upd = ext.sql(
+        "UPDATE del_t SET name = concat(name, '!') WHERE k >= 75")
+        .head().getLong(0)
+      assert(upd >= 1L && upd <= 2L, s"banded update prunes, got $upd")
+      assert(ext.sql(
+        "SELECT count(*) AS n FROM del_t WHERE name LIKE '%!'")
+        .head().getLong(0) === 25)
+      assert(ext.sql(
+        "SELECT count(*) AS n FROM del_t WHERE k < 75 AND name LIKE '%!'")
+        .head().getLong(0) === 0)
+      // count unchanged; type-preserving cast (int literal into bigint)
+      ext.sql("UPDATE del_t SET k = 1000 WHERE name = 'v60'")
+      assert(ext.sql("SELECT k FROM del_t WHERE name = 'v60'")
+        .head().getLong(0) === 1000L)
+      assert(ext.sql("SELECT count(*) AS n FROM del_t").head().getLong(0)
+        === 74)
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
