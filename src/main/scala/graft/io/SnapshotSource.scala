@@ -432,6 +432,136 @@ case class SnapshotUpdateCommand(index: SnapshotFileIndex,
       nullable = false)())
 }
 
+/** Resolution rule routing SQL `MERGE INTO <snapshot view> USING … ON
+  * … WHEN MATCHED … WHEN NOT MATCHED …` through [[Layout.mergeInto]] —
+  * the CDC-apply idiom: matched source rows replace the target row
+  * (UPDATE SET *), optionally delete under a condition, and unmatched
+  * source rows insert (INSERT *). The ON condition must be a
+  * conjunction of same-name target=source column equalities (the key
+  * set [[Layout.mergeInto]] joins and prunes by); richer clause
+  * shapes refuse loudly rather than silently diverging from SQL MERGE
+  * semantics. Injected by [[graft.plans.GraftExtensions]].
+  */
+case class SnapshotMergeRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  private def target(p: LogicalPlan): Option[SnapshotFileIndex] = p match {
+    case SubqueryAlias(_, child) => target(child)
+    case v: View => target(v.child)
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case i: SnapshotFileIndex => Some(i)
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case m: MergeIntoTable
+          if m.targetTable.resolved && m.sourceTable.resolved &&
+            m.mergeCondition.resolved =>
+        target(m.targetTable) match {
+          case Some(index) =>
+            require(m.notMatchedBySourceActions.isEmpty,
+              "snapshot MERGE carries not-matched-by-source rows " +
+                "unchanged; WHEN NOT MATCHED BY SOURCE is unsupported")
+            // ON: same-name target=source equalities → the key columns
+            val tOut = m.targetTable.outputSet
+            val sOut = m.sourceTable.outputSet
+            val keys = conjuncts(m.mergeCondition).map {
+              case EqualTo(a: AttributeReference, b: AttributeReference)
+                  if tOut.contains(a) && sOut.contains(b) &&
+                    a.name == b.name => a.name
+              case EqualTo(a: AttributeReference, b: AttributeReference)
+                  if sOut.contains(a) && tOut.contains(b) &&
+                    a.name == b.name => a.name
+              case other => throw new IllegalArgumentException(
+                "snapshot MERGE ON must be a conjunction of same-name " +
+                  s"target=source column equalities, got $other")
+            }
+            // WHEN MATCHED: UPDATE SET * (replace), optional
+            // conditional DELETE; nothing else
+            var deleteWhen: Option[Expression] = None
+            var sawUpdate = false
+            m.matchedActions.foreach {
+              case UpdateStarAction(None) => sawUpdate = true
+              case UpdateAction(None, assigns, _)
+                  if assigns.forall {
+                    case Assignment(k: AttributeReference,
+                                    v: AttributeReference) =>
+                      k.name == v.name && tOut.contains(k) &&
+                        sOut.contains(v)
+                    case _ => false
+                  } => sawUpdate = true // analyzer-expanded SET *
+              case DeleteAction(c) =>
+                deleteWhen = Some(c.getOrElse(Literal.TrueLiteral))
+              case other => throw new IllegalArgumentException(
+                "snapshot MERGE supports WHEN MATCHED THEN UPDATE SET * " +
+                  s"and WHEN MATCHED [AND c] THEN DELETE, got $other")
+            }
+            // WHEN NOT MATCHED: INSERT * (Layout.mergeInto always
+            // inserts unmatched source rows)
+            val insertOk = m.notMatchedActions match {
+              case Seq(InsertStarAction(None)) => true
+              case Seq(InsertAction(None, assigns))
+                  if assigns.forall {
+                    case Assignment(k: AttributeReference,
+                                    v: AttributeReference) =>
+                      k.name == v.name
+                    case _ => false
+                  } => true
+              case _ => false
+            }
+            require(insertOk,
+              "snapshot MERGE requires WHEN NOT MATCHED THEN INSERT *")
+            require(sawUpdate || deleteWhen.isDefined,
+              "snapshot MERGE needs a WHEN MATCHED clause")
+            SnapshotMergeCommand(index, m.sourceTable, keys, deleteWhen)
+          case None => m
+        }
+    }
+}
+
+/** The MERGE command: pins nothing itself — [[Layout.mergeInto]] does
+  * the source pinning, stats-box file pruning, and single-shuffle
+  * rewrite. The delete condition re-resolves by name against the
+  * source frame. Returns the files-rewritten count.
+  */
+case class SnapshotMergeCommand(index: SnapshotFileIndex,
+                                source: LogicalPlan, keyCols: Seq[String],
+                                deleteWhen: Option[Expression])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(session: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val src = Bridge.ofRows(session, source)
+    val del = deleteWhen.map(c => Bridge.column(c.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(a.name)
+    }))
+    val (_, rewritten) = Layout.mergeInto(session, index.tableDir, src,
+      keyCols, del)
+    index.refresh()
+    Seq(org.apache.spark.sql.Row(rewritten.toLong))
+  }
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "files_rewritten", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+}
+
 /** The manifest-committed INSERT: aligns the query to the table schema
   * (positionally, or by name for `INSERT ... BY NAME`), appends or
   * overwrites through [[Layout]], then refreshes the view's file index

@@ -1036,6 +1036,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(session => graft.io.SnapshotDeleteRule(session))
     // SQL UPDATE ... SET on a snapshot view → targeted rewrite commit
     e.injectResolutionRule(session => graft.io.SnapshotUpdateRule(session))
+    // SQL MERGE INTO a snapshot view → stats-bounded mergeInto commit
+    e.injectResolutionRule(session => graft.io.SnapshotMergeRule(session))
     // count(*)/min/max over a snapshot view → manifest constants
     e.injectOptimizerRule(_ => new SnapshotMetadataAggRule)
   }

@@ -241,6 +241,41 @@ class SnapshotSqlSpec extends AnyFunSuite {
         .head().getLong(0) === 1000L)
       assert(ext.sql("SELECT count(*) AS n FROM del_t").head().getLong(0)
         === 74)
+
+      // SQL MERGE INTO: update + conditional delete + insert in ONE
+      // statement — the CDC-apply idiom
+      val dir3 = freshDir("sqlmerge")
+      Layout.snapshotWrite(
+        (0 until 40).map(i => (i.toLong, s"v$i", 0))
+          .toDF("k", "name", "gen")
+          .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+        dir3, statsCols = Seq("k"))
+      ext.sql("CREATE OR REPLACE TEMPORARY VIEW mrg_t " +
+        s"USING snapshot OPTIONS (path '$dir3')")
+      // source: updates k in [0,2], a tombstone for k=5, inserts 100/101
+      Seq((0L, "u0", 1), (1L, "u1", 1), (2L, "u2", 1), (5L, "dead", -1),
+        (100L, "n100", 1), (101L, "n101", 1))
+        .toDF("k", "name", "gen")
+        .createOrReplaceTempView("mrg_src")
+      val merged = ext.sql(
+        """MERGE INTO mrg_t USING mrg_src ON mrg_t.k = mrg_src.k
+           WHEN MATCHED AND mrg_src.gen < 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").head().getLong(0)
+      assert(merged >= 1L, "at least the touched range file rewrites")
+      val out = ext.sql("SELECT k, name FROM mrg_t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.size === 41) // 40 - 1 deleted + 2 inserted
+      assert(out(0L) === "u0" && out(2L) === "u2")
+      assert(!out.contains(5L))
+      assert(out(100L) === "n100" && out(39L) === "v39")
+      // unsupported clause shapes refuse loudly, not silently
+      val err = intercept[Exception](ext.sql(
+        """MERGE INTO mrg_t USING mrg_src ON mrg_t.k > mrg_src.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *"""))
+      assert(err.getMessage.contains("equalities"),
+        s"non-equi ON must refuse: ${err.getMessage}")
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
