@@ -52,8 +52,39 @@ import org.apache.spark.sql.types.StructType
   * only surviving files.
   */
 class SnapshotSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "snapshot"
+
+  /** `df.writeStream.format("snapshot")` — exactly-once manifest
+    * commits per micro-batch: each batch appends through
+    * [[Layout.snapshotAppend]] guarded by a per-(checkpoint, batchId)
+    * marker, so a replayed batch after recovery commits NOTHING twice
+    * (the [[graft.streaming.TableStreams.snapshotSink]] contract,
+    * reachable from the public writer API). Append mode only; options:
+    * `path` (required), `statsCols` (comma-separated).
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"snapshot sink supports Append output mode only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "snapshot sink does not take partitionBy — use Layout layouts")
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val dir = opts.getOrElse("path",
+      throw new IllegalArgumentException(
+        "snapshot sink needs .option(\"path\", <table dir>)"))
+    val stats = opts.get("statscols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val lineage = graft.streaming.TableStreams.sinkId(
+      opts.getOrElse("checkpointlocation", dir))
+    new SnapshotStreamSink(dir, stats, lineage)
+  }
 
   /** The WRITER half of the lifecycle — `df.write.format("snapshot")
     * .option("path", dir).mode(...).save()` commits through the
@@ -282,6 +313,26 @@ case class SnapshotInsertRule(session: SparkSession)
           case None => i
         }
     }
+}
+
+/** The per-batch sink behind `writeStream.format("snapshot")`:
+  * marker-guarded manifest appends — atomic per batch, idempotent
+  * under recovery replay.
+  */
+class SnapshotStreamSink(dir: String, statsCols: Seq[String],
+                         lineage: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(dir, s"_batch-$lineage-$batchId")
+    if (!fs.exists(marker)) {
+      Layout.snapshotAppend(Bridge.fromBatch(data), dir, statsCols)
+      fs.create(marker, true).close()
+    }
+  }
 }
 
 /** Resolution rule routing SQL `DELETE FROM <snapshot view> WHERE …`

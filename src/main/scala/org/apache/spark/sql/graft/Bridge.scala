@@ -25,6 +25,20 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The micro-batch a DSv1 `Sink.addBatch` receives is backed by an
+    * incremental streaming execution — re-planning it through a
+    * normal writer fails. The standard sink move is to drop to its
+    * executed RDD and rewrap as a plain batch frame (what the built-in
+    * file/kafka sinks do); the wrapper is private[sql], hence here.
+    */
+  def fromBatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Neutral view of a Column's predicate structure. Spark 4 keeps a
     * user-built Column as a `private[sql]` ColumnNode tree until
     * resolution, so outside-package consumers (Layout.toStatPred's

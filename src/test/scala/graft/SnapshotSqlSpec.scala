@@ -360,6 +360,39 @@ class SnapshotSqlSpec extends AnyFunSuite {
     }.isEmpty, "all-null min is metadata-answerable")
   }
 
+  test("writeStream.format(snapshot): exactly-once manifest commits per batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = freshDir("streamsink")
+    val ckpt = freshDir("streamsink_ckpt")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark, 1)
+    ms.addData((1L, "a"), (2L, "b"))
+    def run(): Unit = {
+      val q = ms.toDF().select(col("_1").as("k"), col("_2").as("name"))
+        .writeStream.format("snapshot")
+        .option("path", dir).option("statsCols", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run()
+    assert(Layout.snapshotRead(spark, dir).count() === 2)
+    assert(Layout.snapshotFiles(spark, dir).forall(_.stats.contains("k")))
+    // second incremental drain: only the new batch commits; a restart
+    // from the same checkpoint re-delivers nothing already committed
+    ms.addData((3L, "c"))
+    run()
+    assert(Layout.snapshotRead(spark, dir).count() === 3)
+    run() // drained: no data, no new snapshot beyond the prior ids
+    val n = Layout.snapshotIds(spark, dir).size
+    assert(Layout.snapshotRead(spark, dir).count() === 3)
+    run()
+    assert(Layout.snapshotIds(spark, dir).size === n,
+      "replaying a drained stream must not commit")
+  }
+
   test("manifest bytes feed the index: no per-file stat needed, sizes correct") {
     val dir = freshDir("bytes")
     writeTable(dir)
