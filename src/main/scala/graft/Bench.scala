@@ -88,8 +88,14 @@ object Bench {
     // + per-doc sliding min) and the train+score classifier pass
     "q255_winnowing", "q257_naive_bayes")
 
+  private val headlineR10 = Seq(
+    // the SQL surface of the table format (register → pruned WHERE)
+    // and the rewrite-free merge-on-read delete lifecycle
+    "q264_snapshot_sql", "q268_mor_delete")
+
   private val headline =
-    headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9
+    headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++
+      headlineR10
 
   /** 1/5/15-minute load averages as a JSON array ("[]" off-Linux). */
   private def loadavg(): String =

@@ -144,9 +144,10 @@ class SnapshotSource extends RelationProvider
     // resurrect deleted rows. Refuse loudly — Layout.snapshotRead
     // applies the delete index, and materializeDeletes (or any
     // OPTIMIZE/compact rewrite) restores SQL access.
-    require(Layout.snapshotDeletes(spark, dir, snapId).isEmpty,
-      s"snapshot table at $dir has outstanding position deletes; read " +
-        "via Layout.snapshotRead or settle them with " +
+    require(Layout.snapshotDeletes(spark, dir, snapId).isEmpty &&
+      Layout.snapshotEqDeletes(spark, dir, snapId).isEmpty,
+      s"snapshot table at $dir has outstanding position/equality " +
+        "deletes; read via Layout.snapshotRead or settle them with " +
         "Layout.materializeDeletes, then re-register")
     val entries = Layout.snapshotFiles(spark, dir, snapId)
     // Rename/drop history can leave files whose parquet column names

@@ -162,6 +162,17 @@ object Layout {
     */
   final case class DeleteFile(path: String, rows: Long)
 
+  /** One EQUALITY-DELETE file: `path` holds key rows over `cols`;
+    * every table row matching a key is masked at read. Unlike
+    * position deletes these tombstone the KEY ITSELF — matching rows
+    * in LATER appends are masked too until a rewrite settles the debt
+    * (the right-to-be-forgotten semantics: committing the key list IS
+    * the deletion, at O(keys) cost with zero table scan). Row-version
+    * CDC semantics belong to [[mergeInto]], not here.
+    */
+  final case class EqDeleteFile(path: String, rows: Long,
+                                cols: Seq[String])
+
   /** Field-id schema tracking (the Iceberg identity model reduced to
     * the manifest primitive): every column gets a PERMANENT numeric id
     * at first write; the manifest records the schema history and each
@@ -505,8 +516,10 @@ object Layout {
     val base0 = reader.parquet(files: _*)
     val base =
       if (kept.isEmpty) base0
-      else dvFilter(spark, dir, base0, kept,
-        resolvedDeletes(spark, dir, snapshotId))
+      else eqFilter(spark, dir,
+        dvFilter(spark, dir, base0, kept,
+          resolvedDeletes(spark, dir, snapshotId)),
+        resolvedEqDeletes(spark, dir, snapshotId))
     if (kept.isEmpty) base.filter(lit(false)) else base.filter(filter)
   }
 
@@ -820,10 +833,13 @@ object Layout {
       prev ++ names.toIndexedSeq.map(n =>
         entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
           .copy(schemaId = Some(sid))), schemas,
-      // outstanding position deletes carry: appended files are new
-      // (no positions reference them), prior files are verbatim
+      // outstanding deletes carry: appended files are new (no
+      // positions reference them; equality tombstones intentionally
+      // cover the new rows too), prior files are verbatim
       deletes = if (ids.isEmpty) Nil
-        else readManifestDeletes(fs, dir, ids.max))
+        else readManifestDeletes(fs, dir, ids.max),
+      eqDeletes = if (ids.isEmpty) Nil
+        else readManifestEqDeletes(fs, dir, ids.max))
     snapId
   }
 
@@ -1102,14 +1118,16 @@ object Layout {
     // rewrite goes through the id-resolving read, which also HEALS the
     // table: rewritten files carry the current names, so SQL access and
     // the single-scan fast path come back.
-    // a rewrite SETTLES outstanding position deletes (the Iceberg
-    // rewrite contract): deleted rows are dropped here and the new
-    // manifest carries an empty delete list
+    // a rewrite SETTLES outstanding deletes (the Iceberg rewrite
+    // contract): position- and equality-deleted rows are dropped here
+    // and the new manifest carries empty delete lists
     val base =
       if (uniformSchema(entries, schemas))
-        dvFilter(spark, dir, spark.read.option("mergeSchema", "true")
-          .parquet(entries.map(e => s"$dir/${e.path}"): _*),
-          entries, readManifestDeletes(fs, dir, ids.max))
+        eqFilter(spark, dir,
+          dvFilter(spark, dir, spark.read.option("mergeSchema", "true")
+            .parquet(entries.map(e => s"$dir/${e.path}"): _*),
+            entries, readManifestDeletes(fs, dir, ids.max)),
+          readManifestEqDeletes(fs, dir, ids.max))
       else evolvedRead(spark, dir, entries, schemas, mergeSchema = true)
     base.coalesce(n)
       .write.mode("overwrite").parquet(dataDir)
@@ -1160,9 +1178,11 @@ object Layout {
     // like compactSnapshot, a clustering rewrite settles MoR deletes
     val base =
       if (uniformSchema(entries, schemas))
-        dvFilter(spark, dir, spark.read.option("mergeSchema", "true")
-          .parquet(entries.map(e => s"$dir/${e.path}"): _*),
-          entries, readManifestDeletes(fs, dir, ids.max))
+        eqFilter(spark, dir,
+          dvFilter(spark, dir, spark.read.option("mergeSchema", "true")
+            .parquet(entries.map(e => s"$dir/${e.path}"): _*),
+            entries, readManifestDeletes(fs, dir, ids.max)),
+          readManifestEqDeletes(fs, dir, ids.max))
       else evolvedRead(spark, dir, entries, schemas, mergeSchema = true)
     val clustered =
       if (dims.size == 1)
@@ -1427,9 +1447,10 @@ object Layout {
 
   private def requireNoDeletes(spark: org.apache.spark.sql.SparkSession,
                                dir: String, op: String): Unit =
-    require(resolvedDeletes(spark, dir, -1L).isEmpty,
-      s"$op is not defined over outstanding position deletes — run " +
-        s"Layout.materializeDeletes($dir) first")
+    require(resolvedDeletes(spark, dir, -1L).isEmpty &&
+      resolvedEqDeletes(spark, dir, -1L).isEmpty,
+      s"$op is not defined over outstanding position/equality deletes " +
+        s"— run Layout.materializeDeletes($dir) first")
 
   /** MERGE-ON-READ delete — the Iceberg v2 position-delete / Delta
     * deletion-vector move: instead of REWRITING every file that may
@@ -1478,6 +1499,11 @@ object Layout {
     require(uniformSchema(entries, schemas),
       "merge-on-read delete needs a uniform-schema table — run " +
         "compactSnapshot/optimizeClustered to materialize evolution first")
+    // a position delete computed over eq-masked rows would break the
+    // disjoint-count invariant; the mixed case settles first
+    require(readManifestEqDeletes(fs, dir, cur).isEmpty,
+      "settle outstanding equality deletes (materializeDeletes) " +
+        "before position deletes")
     val oldDeletes = readManifestDeletes(fs, dir, cur)
     val candidates = pred match {
       case Some(p) => entries.filter(e => mayMatch(e, p))
@@ -1522,15 +1548,77 @@ object Layout {
     (snapId, n)
   }
 
-  /** Rewrite the table without its outstanding position deletes — the
-    * OPTIMIZE step that settles MoR debt: one full DV-applied read,
-    * one fresh commit with an empty delete list (stats contract
-    * inherited). Restores every deletes-refusing surface (SQL access,
-    * metadata min/max, CoW mutators). Returns the new snapshot id.
+  /** EQUALITY delete — the key-tombstone form of merge-on-read: commit
+    * a small parquet of KEY rows and a manifest whose data entries are
+    * untouched; every table row matching a key is masked at read. The
+    * delete itself scans NOTHING — O(keys) write at any table size,
+    * which is the right-to-be-forgotten cost model (position deletes
+    * still pay one pruned scan to find their rows). The tombstone
+    * covers the key across snapshots — rows for a deleted key arriving
+    * in LATER appends are masked too, until a rewrite settles the debt
+    * ([[EqDeleteFile]]; version-sensitive CDC semantics are
+    * [[mergeInto]]'s job). Counts over equality deletes are not
+    * metadata-derivable (overlap unknown), so [[snapshotCount]] falls
+    * back to a real count and [[snapshotHistory]] reports null rows
+    * until settled. Returns (new snapshot id, keys recorded).
+    */
+  def deleteKeysMoR(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, keys: DataFrame): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val cur = ids.max
+    val (entries, schemas) = readManifestFull(fs, dir, cur)
+    require(uniformSchema(entries, schemas),
+      "equality delete needs a uniform-schema table — materialize " +
+        "evolution first")
+    val cols = keys.columns.toSeq
+    require(cols.nonEmpty, "keys frame needs at least one column")
+    // key columns must exist in the table (a typo'd key column would
+    // silently mask nothing)
+    val tableCols = snapshotRead(spark, dir).columns.toSet
+    cols.foreach(c => require(tableCols.contains(c),
+      s"key column $c not in table schema"))
+    val snapId = cur + 1L
+    val dvRel = s"deletes/eq-snap-$snapId"
+    keys.distinct().write.mode("overwrite").parquet(s"$dir/$dvRel")
+    val n = spark.read.parquet(s"$dir/$dvRel").count()
+    if (n == 0L) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$dvRel"), true)
+      return (cur, 0L)
+    }
+    writeManifest(fs, dir, snapId, entries, schemas,
+      readManifestDeletes(fs, dir, cur),
+      readManifestEqDeletes(fs, dir, cur) :+ EqDeleteFile(dvRel, n, cols))
+    (snapId, n)
+  }
+
+  /** Anti-join the snapshot's equality-delete key sets out of a read —
+    * one broadcast anti join per distinct key-column set (tombstone
+    * lists are small by construction).
+    */
+  private def eqFilter(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, base: DataFrame,
+                       eqDeletes: Seq[EqDeleteFile]): DataFrame =
+    eqDeletes.groupBy(_.cols).foldLeft(base) {
+      case (df, (cols, files)) =>
+        val keys = spark.read
+          .parquet(files.map(f => s"$dir/${f.path}"): _*)
+        df.join(broadcast(keys), cols, "left_anti")
+    }
+
+  /** Rewrite the table without its outstanding deletes (position AND
+    * equality) — the OPTIMIZE step that settles MoR debt: one full
+    * delete-applied read, one fresh commit with empty delete lists
+    * (stats contract inherited). Restores every deletes-refusing
+    * surface (SQL access, metadata min/max, CoW mutators). Returns
+    * the new snapshot id.
     */
   def materializeDeletes(spark: org.apache.spark.sql.SparkSession,
                          dir: String): Long = {
-    require(snapshotDeletes(spark, dir).nonEmpty,
+    require(snapshotDeletes(spark, dir).nonEmpty ||
+      snapshotEqDeletes(spark, dir).nonEmpty,
       s"no outstanding deletes under $dir — nothing to materialize")
     snapshotWrite(snapshotRead(spark, dir), dir)
   }
@@ -2047,10 +2135,12 @@ object Layout {
     */
   private def manifestBody(entries: Seq[FileEntry],
                            schemas: Seq[SchemaInfo],
-                           deletes: Seq[DeleteFile]): String = {
+                           deletes: Seq[DeleteFile],
+                           eqDeletes: Seq[EqDeleteFile] = Nil): String = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    if (schemas.isEmpty && deletes.isEmpty && entries.forall(e =>
+    if (schemas.isEmpty && deletes.isEmpty && eqDeletes.isEmpty &&
+        entries.forall(e =>
           e.stats.isEmpty && e.blooms.isEmpty && e.bytes.isEmpty))
       JsonMethods.compact(JsonMethods.render(entries.map(_.path)))
     else {
@@ -2081,7 +2171,12 @@ object Layout {
           if (deletes.isEmpty) withSchemas
           else withSchemas ~ ("deletes" -> deletes.map(d =>
             ("path" -> d.path) ~ ("rows" -> d.rows)))
-        JsonMethods.compact(JsonMethods.render(withDeletes))
+        val withEq =
+          if (eqDeletes.isEmpty) withDeletes
+          else withDeletes ~ ("eqdeletes" -> eqDeletes.map(d =>
+            ("path" -> d.path) ~ ("rows" -> d.rows) ~
+              ("cols" -> d.cols)))
+        JsonMethods.compact(JsonMethods.render(withEq))
     }
   }
 
@@ -2089,8 +2184,9 @@ object Layout {
                             dir: String, snapId: Long,
                             entries: Seq[FileEntry],
                             schemas: Seq[SchemaInfo] = Nil,
-                            deletes: Seq[DeleteFile] = Nil): Unit = {
-    val body = manifestBody(entries, schemas, deletes)
+                            deletes: Seq[DeleteFile] = Nil,
+                            eqDeletes: Seq[EqDeleteFile] = Nil): Unit = {
+    val body = manifestBody(entries, schemas, deletes, eqDeletes)
     // Unique tmp per writer: two racers must never share a staging path
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".manifest-$snapId-${java.util.UUID.randomUUID()}.json.tmp")
@@ -2175,6 +2271,56 @@ object Layout {
       case _ => Nil
     }
   }
+
+  /** The snapshot's outstanding equality-delete files (empty unless
+    * [[deleteKeysMoR]] debt is outstanding).
+    */
+  private def readManifestEqDeletes(fs: org.apache.hadoop.fs.FileSystem,
+                                    dir: String, snap: Long)
+      : Seq[EqDeleteFile] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    JsonMethods.parse(body) match {
+      case obj: JObject => (obj \ "eqdeletes") match {
+        case JArray(ds) => ds.collect { case d: JObject =>
+          val cols = (d \ "cols") match {
+            case JArray(cs) => cs.collect { case JString(c) => c }
+            case _ => Nil
+          }
+          ((d \ "path"), (d \ "rows")) match {
+            case (JString(p), JInt(n)) => EqDeleteFile(p, n.toLong, cols)
+            case (JString(p), JLong(n)) => EqDeleteFile(p, n, cols)
+            case other => sys.error(s"bad eq-delete entry: $other")
+          }
+        }
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+  }
+
+  private def resolvedEqDeletes(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, snapshotId: Long)
+      : Seq[EqDeleteFile] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    if (ids.isEmpty) Nil
+    else readManifestEqDeletes(fs, dir,
+      if (snapshotId > 0) snapshotId else ids.max)
+  }
+
+  /** Public view of a snapshot's outstanding equality deletes:
+    * (path, key count, key columns) per commit.
+    */
+  def snapshotEqDeletes(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, snapshotId: Long = -1L)
+      : Seq[(String, Long, Seq[String])] =
+    resolvedEqDeletes(spark, dir, snapshotId)
+      .map(d => (d.path, d.rows, d.cols))
 
   /** Public view of a snapshot's outstanding delete files:
     * (table-relative path, recorded delete count) per MoR commit.
@@ -2350,11 +2496,14 @@ object Layout {
       else spark.read
     val base0 = reader.parquet(files: _*)
     // merge-on-read deletes: anti-join the snapshot's position-delete
-    // index back out (zero survivors need no DV work — already empty)
+    // index and equality tombstones back out (zero survivors need no
+    // delete work — already empty)
     val base =
       if (kept.isEmpty) base0
-      else dvFilter(spark, dir, base0, kept,
-        resolvedDeletes(spark, dir, snapshotId))
+      else eqFilter(spark, dir,
+        dvFilter(spark, dir, base0, kept,
+          resolvedDeletes(spark, dir, snapshotId)),
+        resolvedEqDeletes(spark, dir, snapshotId))
     prune match {
       case Some(p) if kept.isEmpty => base.filter(lit(false))
       case Some(p) => base.filter(toColumn(p))
@@ -2427,9 +2576,10 @@ object Layout {
     val entries = snapshotFiles(spark, dir, snapshotId)
     require(entries.nonEmpty, s"empty snapshot under $dir")
     // a deleted row may BE the extreme — min/max from file stats is
-    // only sound with zero outstanding position deletes
-    require(resolvedDeletes(spark, dir, snapshotId).isEmpty,
-      "metadata min/max undefined over outstanding position deletes — " +
+    // only sound with zero outstanding deletes of either kind
+    require(resolvedDeletes(spark, dir, snapshotId).isEmpty &&
+      resolvedEqDeletes(spark, dir, snapshotId).isEmpty,
+      "metadata min/max undefined over outstanding deletes — " +
         "materializeDeletes first")
     require(entries.forall(_.stats.contains(column)),
       s"column $column lacks manifest stats on some files — " +
@@ -2496,9 +2646,11 @@ object Layout {
         .getModificationTime
       val dvRows = readManifestDeletes(fs, dir, sid).map(_.rows).sum
       val rows =
-        if (entries.nonEmpty && entries.forall(_.rows.isDefined))
+        if (entries.isEmpty) Some(0L)
+        // equality tombstones: live count unknowable from metadata
+        else if (readManifestEqDeletes(fs, dir, sid).nonEmpty) None
+        else if (entries.forall(_.rows.isDefined))
           Some(entries.flatMap(_.rows).sum - dvRows) // live, not physical
-        else if (entries.isEmpty) Some(0L)
         else None
       (sid, new java.sql.Timestamp(mtime), entries.size, rows)
     }.toSeq
@@ -2585,7 +2737,8 @@ object Layout {
     // the rollback restores the TARGET's delete state too — rolling
     // past a MoR delete must resurrect exactly what that snapshot saw
     writeManifest(fs, dir, newId, entries, schemas,
-      deletes = readManifestDeletes(fs, dir, snapshotId))
+      deletes = readManifestDeletes(fs, dir, snapshotId),
+      eqDeletes = readManifestEqDeletes(fs, dir, snapshotId))
     newId
   }
 
@@ -2598,10 +2751,12 @@ object Layout {
   def snapshotCount(spark: org.apache.spark.sql.SparkSession, dir: String,
                     snapshotId: Long = -1L): Long = {
     val entries = snapshotFiles(spark, dir, snapshotId)
-    // MoR deletes stay metadata-exact: delete files are pairwise
-    // disjoint by construction, so live = Σ file rows − Σ delete rows
+    // position deletes stay metadata-exact (pairwise disjoint by
+    // construction: live = Σ file rows − Σ delete rows); EQUALITY
+    // deletes have unknown overlap with the data — real count
     val dvRows = resolvedDeletes(spark, dir, snapshotId).map(_.rows).sum
-    if (entries.nonEmpty && entries.forall(_.rows.isDefined))
+    if (entries.nonEmpty && entries.forall(_.rows.isDefined) &&
+        resolvedEqDeletes(spark, dir, snapshotId).isEmpty)
       entries.map(_.rows.get).sum - dvRows
     else snapshotRead(spark, dir, snapshotId).count()
   }
@@ -2635,10 +2790,12 @@ object Layout {
     val live: Set[String] = keepIds.flatMap { snap =>
       readManifestEntries(fs, dir, snap).map(_.path).toSet
     } ++ stagedLive
-    // position-delete DIRECTORIES referenced by surviving manifests
-    // are live as units (their part files key by the dir prefix)
+    // delete DIRECTORIES (position and equality) referenced by
+    // surviving manifests are live as units (their part files key by
+    // the dir prefix)
     val liveDvDirs: Set[String] = keepIds.flatMap { snap =>
-      readManifestDeletes(fs, dir, snap).map(_.path).toSet
+      readManifestDeletes(fs, dir, snap).map(_.path).toSet ++
+        readManifestEqDeletes(fs, dir, snap).map(_.path).toSet
     }
     var deleted = 0
     val dataRoot = new org.apache.hadoop.fs.Path(dir, "data")
@@ -2721,11 +2878,13 @@ object Layout {
     val dead: Set[String] = expired
       .flatMap(id => readManifestEntries(fs, dir, id).map(_.path))
       .toSet -- live
-    // same liveness rule for position-delete directories
+    // same liveness rule for position- and equality-delete directories
     val liveDv: Set[String] = surviving
-      .flatMap(id => readManifestDeletes(fs, dir, id).map(_.path)).toSet
+      .flatMap(id => readManifestDeletes(fs, dir, id).map(_.path) ++
+        readManifestEqDeletes(fs, dir, id).map(_.path)).toSet
     val deadDv: Set[String] = expired
-      .flatMap(id => readManifestDeletes(fs, dir, id).map(_.path))
+      .flatMap(id => readManifestDeletes(fs, dir, id).map(_.path) ++
+        readManifestEqDeletes(fs, dir, id).map(_.path))
       .toSet -- liveDv
     var deleted = 0
     dead.foreach { rel =>

@@ -686,6 +686,29 @@ object Layout {
           col("n_chars"))
     },
 
+    // Equality deletes (q271): the key-tombstone lifecycle — half the
+    // corpus lands, two language keys are tombstoned with ZERO table
+    // scan (an O(keys) commit), then the other half appends LATE; the
+    // tombstone masks the late arrivals too (right-to-be-forgotten
+    // semantics: the KEY is deleted, not row versions). The oracle is
+    // the NOT IN over the whole corpus — proof the mask covers both
+    // eras exactly.
+    "q271_equality_delete" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapeq")
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars", "lang")
+      L.snapshotWrite(docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("n_chars"))
+        .sortWithinPartitions("n_chars"),
+        base, statsCols = Seq("n_chars"))
+      import s.implicits._
+      L.deleteKeysMoR(s, base, Seq("de", "fr").toDF("lang"))
+      L.snapshotAppend(docs.filter(col("doc_id") % 2 === 1), base)
+      L.snapshotRead(s, base)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"), col("lang"))
+    },
+
     // Targeted UPDATE (q270): the third DML leg — a stats-banded
     // UPDATE rewrites only files whose ranges intersect the predicate
     // (LayoutSpec/SnapshotSqlSpec pin the file counts); assignment
@@ -807,6 +830,9 @@ object Layout {
          FROM documents WHERE n_chars NOT BETWEEN 200 AND 350""",
     "q269_write_audit_publish" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
+    "q271_equality_delete" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars, lang
+         FROM documents WHERE lang NOT IN ('de', 'fr')""",
     "q270_update_where" ->
       """SELECT doc_id,
               md5(CASE WHEN n_chars BETWEEN 200 AND 300

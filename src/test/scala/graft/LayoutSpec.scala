@@ -1460,6 +1460,71 @@ class LayoutSpec extends AnyFunSuite {
     Layout.abandonStaged(spark, dir, tok3)
   }
 
+  test("equality deletes: key tombstones mask across appends, zero scan at delete") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_eqdel").toString
+    Layout.snapshotWrite(
+      (0 until 100).map(i => (i.toLong, s"u${i % 10}", s"d$i"))
+        .toDF("k", "user", "payload")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      dir, statsCols = Seq("k"))
+
+    // tombstone two users by KEY — no scan, data entries verbatim
+    val before = Layout.snapshotFiles(spark, dir).map(_.path)
+    val (s2, n2) = Layout.deleteKeysMoR(spark, dir,
+      Seq("u3", "u7").toDF("user"))
+    assert(s2 === 2L && n2 === 2L)
+    assert(Layout.snapshotFiles(spark, dir).map(_.path) === before)
+    assert(Layout.snapshotRead(spark, dir).count() === 80)
+    assert(Layout.snapshotRead(spark, dir)
+      .filter(col("user").isin("u3", "u7")).count() === 0)
+    // time travel pre-tombstone sees everything
+    assert(Layout.snapshotRead(spark, dir, 1L).count() === 100)
+    // counts fall back to a REAL count (overlap unknown) and history
+    // reports null live rows until settled
+    assert(Layout.snapshotCount(spark, dir) === 80L)
+    assert(Layout.snapshotHistory(spark, dir).collect()
+      .find(_.getLong(0) == 2L).get.isNullAt(3))
+
+    // the tombstone covers the KEY across appends: a late arrival for
+    // u3 is masked too (right-to-be-forgotten semantics)
+    Layout.snapshotAppend(
+      Seq((200L, "u3", "late"), (201L, "u5", "ok"))
+        .toDF("k", "user", "payload"), dir)
+    assert(Layout.snapshotRead(spark, dir).count() === 81)
+    assert(Layout.snapshotRead(spark, dir)
+      .filter(col("user") === "u3").count() === 0)
+
+    // composite-key tombstones stack with single-key ones
+    Layout.deleteKeysMoR(spark, dir,
+      Seq((0L, "u0"), (11L, "u1")).toDF("k", "user"))
+    assert(Layout.snapshotRead(spark, dir).count() === 79)
+
+    // refusals: metadata min/max, SQL access, CoW mutators, position
+    // deletes on top of eq debt
+    intercept[IllegalArgumentException](
+      Layout.snapshotMinMax(spark, dir, "k"))
+    intercept[IllegalArgumentException](
+      spark.read.format("snapshot").option("path", dir).load())
+    intercept[IllegalArgumentException](
+      Layout.deleteWhere(spark, dir, Layout.StatPred.Ge("k", 90L)))
+    intercept[IllegalArgumentException](
+      Layout.deleteWhereMoR(spark, dir, Layout.StatPred.Ge("k", 90L)))
+    // a typo'd key column refuses instead of masking nothing
+    intercept[IllegalArgumentException](
+      Layout.deleteKeysMoR(spark, dir, Seq("x").toDF("no_such_col")))
+
+    // settle: content identical, eq list empty, SQL and metadata back
+    val want = Layout.snapshotRead(spark, dir).orderBy("k").collect().toSeq
+    Layout.materializeDeletes(spark, dir)
+    assert(Layout.snapshotEqDeletes(spark, dir).isEmpty)
+    assert(Layout.snapshotRead(spark, dir).orderBy("k").collect().toSeq
+      === want)
+    assert(Layout.snapshotCount(spark, dir) === 79L)
+    assert(spark.read.format("snapshot").option("path", dir).load()
+      .count() === 79)
+  }
+
   test("compactSnapshot settles MoR deletes in the rewrite") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mor3").toString
