@@ -54,8 +54,47 @@ import org.apache.spark.sql.types.StructType
 class SnapshotSource extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
   override def shortName(): String = "snapshot"
+
+  /** `spark.readStream.format("snapshot")` — the streaming SOURCE half
+    * (see [[SnapshotStreamSource]] for semantics): committed snapshot
+    * ids are the offsets, batches serve per-commit appended files as
+    * pinned parquet scans, maintenance commits deliver nothing, and
+    * row-changing commits refuse unless `skipChangeCommits`.
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val dir = opts.getOrElse("path",
+      throw new IllegalArgumentException(
+        "snapshot stream source needs .option(\"path\", <table dir>)"))
+    ("snapshot",
+      schema.getOrElse(SnapshotStream.tableSchema(sqlContext.sparkSession, dir)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val spark = sqlContext.sparkSession
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val dir = opts.getOrElse("path",
+      throw new IllegalArgumentException(
+        "snapshot stream source needs .option(\"path\", <table dir>)"))
+    new SnapshotStreamSource(spark, dir,
+      schema.getOrElse(SnapshotStream.tableSchema(spark, dir)),
+      startingSnapshotId = opts.get("startingsnapshotid").map(_.toLong),
+      skipChangeCommits =
+        opts.get("skipchangecommits").exists(_.toBoolean),
+      maxSnapshotsPerTrigger =
+        opts.get("maxsnapshotspertrigger").map(_.toInt))
+  }
 
   /** `df.writeStream.format("snapshot")` — exactly-once manifest
     * commits per micro-batch: each batch appends through

@@ -787,7 +787,7 @@ object Layout {
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(n =>
       entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
-        .copy(schemaId = Some(sid))), schemas)
+        .copy(schemaId = Some(sid))), schemas, op = "overwrite")
     snapId
   }
 
@@ -1078,7 +1078,8 @@ object Layout {
     val cur = schemas.maxBy(_.id)
     val next = SchemaInfo(schemas.map(_.id).max + 1, change(cur))
     val snapId = ids.max + 1L
-    writeManifest(fs, dir, snapId, entries, schemas :+ next)
+    writeManifest(fs, dir, snapId, entries, schemas :+ next,
+      op = "evolve")
     snapId
   }
 
@@ -1144,7 +1145,7 @@ object Layout {
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(nm =>
       entryFor(s"data/snap-$snapId", nm, stats, blooms, sizes)
         .copy(schemaId = if (outSchemas.isEmpty) None else Some(sid))),
-      outSchemas)
+      outSchemas, op = "replace")
     (snapId, entries.size, names.length)
   }
 
@@ -1209,7 +1210,7 @@ object Layout {
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(nm =>
       entryFor(s"data/snap-$snapId", nm, stats, blooms, sizes)
-        .copy(schemaId = Some(sid))), outSchemas)
+        .copy(schemaId = Some(sid))), outSchemas, op = "replace")
     snapId
   }
 
@@ -1269,7 +1270,7 @@ object Layout {
     val snapId = ids.max + 1L
     if (touched.isEmpty) {
       // nothing can match: the new snapshot is the old file set
-      writeManifest(fs, dir, snapId, entries, schemas)
+      writeManifest(fs, dir, snapId, entries, schemas, op = "delete")
       return (snapId, 0)
     }
     // mergeSchema for the same reason as compactSnapshot: rewritten
@@ -1306,7 +1307,7 @@ object Layout {
         entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
           .copy(schemaId =
             if (outSchemas.isEmpty) None else Some(sid))),
-      outSchemas)
+      outSchemas, op = "delete")
     (snapId, touched.size)
   }
 
@@ -1349,7 +1350,7 @@ object Layout {
     }
     val snapId = ids.max + 1L
     if (touched.isEmpty) {
-      writeManifest(fs, dir, snapId, entries, schemas)
+      writeManifest(fs, dir, snapId, entries, schemas, op = "update")
       return (snapId, 0)
     }
     val touchedDf =
@@ -1388,7 +1389,7 @@ object Layout {
         entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
           .copy(schemaId =
             if (outSchemas.isEmpty) None else Some(sid))),
-      outSchemas)
+      outSchemas, op = "update")
     (snapId, touched.size)
   }
 
@@ -1544,7 +1545,7 @@ object Layout {
       return (cur, 0L)
     }
     writeManifest(fs, dir, snapId, entries, schemas,
-      oldDeletes :+ DeleteFile(dvRel, n))
+      oldDeletes :+ DeleteFile(dvRel, n), op = "delete")
     (snapId, n)
   }
 
@@ -1590,7 +1591,8 @@ object Layout {
     }
     writeManifest(fs, dir, snapId, entries, schemas,
       readManifestDeletes(fs, dir, cur),
-      readManifestEqDeletes(fs, dir, cur) :+ EqDeleteFile(dvRel, n, cols))
+      readManifestEqDeletes(fs, dir, cur) :+ EqDeleteFile(dvRel, n, cols),
+      op = "delete")
     (snapId, n)
   }
 
@@ -1729,7 +1731,7 @@ object Layout {
     if (touched.isEmpty) {
       // no file can hold a source key: pure-insert merge (or no-op)
       if (sourceEmpty || inserts.isEmpty) {
-        writeManifest(fs, dir, snapId, entries, schemas)
+        writeManifest(fs, dir, snapId, entries, schemas, op = "merge")
         return (snapId, 0)
       }
     }
@@ -1782,7 +1784,7 @@ object Layout {
         entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
           .copy(schemaId =
             if (outSchemas.isEmpty) None else Some(sid))),
-      outSchemas)
+      outSchemas, op = if (touched.isEmpty) "append" else "merge")
     (snapId, touched.size)
   }
 
@@ -2136,10 +2138,12 @@ object Layout {
   private def manifestBody(entries: Seq[FileEntry],
                            schemas: Seq[SchemaInfo],
                            deletes: Seq[DeleteFile],
-                           eqDeletes: Seq[EqDeleteFile] = Nil): String = {
+                           eqDeletes: Seq[EqDeleteFile] = Nil,
+                           op: String = "append"): String = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    if (schemas.isEmpty && deletes.isEmpty && eqDeletes.isEmpty &&
+    if (op == "append" &&
+        schemas.isEmpty && deletes.isEmpty && eqDeletes.isEmpty &&
         entries.forall(e =>
           e.stats.isEmpty && e.blooms.isEmpty && e.bytes.isEmpty))
       JsonMethods.compact(JsonMethods.render(entries.map(_.path)))
@@ -2161,7 +2165,7 @@ object Layout {
                   .encodeToString(b.bits.toByteArray)))
             }.toMap)
         }
-        val root = ("format" -> 2) ~ ("files" -> files)
+        val root = ("format" -> 2) ~ ("op" -> op) ~ ("files" -> files)
         val withSchemas =
           if (schemas.isEmpty) root
           else root ~ ("schemas" -> schemas.sortBy(_.id).map(s =>
@@ -2185,8 +2189,9 @@ object Layout {
                             entries: Seq[FileEntry],
                             schemas: Seq[SchemaInfo] = Nil,
                             deletes: Seq[DeleteFile] = Nil,
-                            eqDeletes: Seq[EqDeleteFile] = Nil): Unit = {
-    val body = manifestBody(entries, schemas, deletes, eqDeletes)
+                            eqDeletes: Seq[EqDeleteFile] = Nil,
+                            op: String = "append"): Unit = {
+    val body = manifestBody(entries, schemas, deletes, eqDeletes, op)
     // Unique tmp per writer: two racers must never share a staging path
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".manifest-$snapId-${java.util.UUID.randomUUID()}.json.tmp")
@@ -2341,6 +2346,44 @@ object Layout {
       : (Seq[FileEntry], Seq[SchemaInfo]) =
     readManifestPath(fs,
       new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"))
+
+  /** The commit KIND the writer recorded in a snapshot's manifest —
+    * the provenance a change consumer needs to interpret the
+    * snapshot's file delta: `append` (new rows only — including
+    * published WAP batches and pure-insert merges), `overwrite`,
+    * `replace` (compaction/OPTIMIZE — files rewritten, zero logical
+    * row change), `delete` / `update` / `merge` (row-level change),
+    * `evolve` (metadata-only schema change), `rollback`. `None` on
+    * manifests written before ops were recorded (pre-provenance
+    * tables) — consumers treat unknown conservatively.
+    */
+  def snapshotOp(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 snapshotId: Long): Option[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifestOp(fs, dir, snapshotId)
+  }
+
+  private[graft] def readManifestOp(fs: org.apache.hadoop.fs.FileSystem,
+                                    dir: String, snap: Long)
+      : Option[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val p = new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json")
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    JsonMethods.parse(body) match {
+      // v1 bare path array carries no op — but it is only ever written
+      // by plain appends (every other path forces the v2 body)
+      case JArray(_) => Some("append")
+      case obj: JObject => (obj \ "op") match {
+        case JString(o) => Some(o)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 
   private def readManifestPath(fs: org.apache.hadoop.fs.FileSystem,
                                p: org.apache.hadoop.fs.Path)
@@ -2652,9 +2695,10 @@ object Layout {
         else if (entries.forall(_.rows.isDefined))
           Some(entries.flatMap(_.rows).sum - dvRows) // live, not physical
         else None
-      (sid, new java.sql.Timestamp(mtime), entries.size, rows)
+      (sid, new java.sql.Timestamp(mtime), entries.size, rows,
+        readManifestOp(fs, dir, sid))
     }.toSeq
-      .toDF("snapshot_id", "committed_at", "n_files", "n_rows")
+      .toDF("snapshot_id", "committed_at", "n_files", "n_rows", "op")
   }
 
   /** The rows ADDED between two snapshots — every row in a data file
@@ -2699,6 +2743,141 @@ object Layout {
     else spark.emptyDataFrame
   }
 
+  /** Row-level CHANGE DATA FEED between two snapshots — every commit
+    * in `(sinceSnapshotId, toSnapshotId]` replayed as tagged rows:
+    * the table's columns plus `_change_type` (`insert` | `delete`)
+    * and `_commit_snapshot_id`. An updated row appears as a delete of
+    * its old image and an insert of its new one — exactly the (I/D)
+    * feed [[deltaAggMaintain]] folds, so an incrementally-maintained
+    * view stays exact through DELETE / UPDATE / MERGE commits, not
+    * just appends (the gap [[snapshotChangesSince]]'s file-level feed
+    * leaves open).
+    *
+    * Cost is provenance-driven, per commit (the recorded manifest op):
+    *  - `append`: added files read and tagged — no diff, no shuffle;
+    *  - `replace` / `evolve`: compaction and metadata-only commits
+    *    contribute NOTHING (zero logical change, zero I/O) — the
+    *    change feed is maintenance-proof by construction;
+    *  - CoW `delete` / `update` / `merge` / `overwrite` / `rollback`:
+    *    two-sided `EXCEPT ALL` between the commit's REMOVED and ADDED
+    *    files — cost ∝ rewritten bytes (the touched-file set), never
+    *    the table; carried-over rows cancel, so only genuine changes
+    *    surface;
+    *  - merge-on-read deletes (a DV/tombstone delta with no file
+    *    delta): two-sided `EXCEPT ALL` between the LIVE views before
+    *    and after — exact but table-proportional, and labeled so:
+    *    settle MoR debt with [[materializeDeletes]] before tailing
+    *    changes at scale.
+    *
+    * Reads resolve by field id on evolved tables (the [[evolvedRead]]
+    * path), so a feed spanning a rename era still yields CURRENT
+    * column names throughout.
+    */
+  def changeFeed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 sinceSnapshotId: Long, toSnapshotId: Long = -1L)
+      : DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val to = if (toSnapshotId > 0) toSnapshotId else ids.max
+    require(ids.contains(to), s"snapshot $to not found under $dir")
+    require(sinceSnapshotId <= 0 || ids.contains(sinceSnapshotId),
+      s"snapshot $sinceSnapshotId not found under $dir")
+    val span = ids.filter(id => id > sinceSnapshotId && id <= to)
+
+    def readEntries(entries: Seq[FileEntry], schemas: Seq[SchemaInfo])
+        : Option[DataFrame] =
+      if (entries.isEmpty) None
+      else if (uniformSchema(entries, schemas))
+        Some(spark.read.option("mergeSchema", "true")
+          .parquet(entries.map(e => s"$dir/${e.path}"): _*))
+      else Some(evolvedRead(spark, dir, entries, schemas,
+        mergeSchema = true))
+
+    def tag(df: DataFrame, tpe: String, sid: Long): DataFrame =
+      df.withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_snapshot_id", lit(sid))
+
+    // exceptAll resolves by POSITION: align both sides to one
+    // name-ordered column set (null-fill what a side lacks) first
+    def aligned(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+      // a is the AFTER side: on a widening era its types are the
+      // current (wider) ones, so they win the per-name resolution —
+      // casting the before side up is lossless, never the reverse
+      val byName = (b.schema.fields ++ a.schema.fields)
+        .map(f => f.name -> f.dataType).toMap
+      val names = (a.columns ++ b.columns).distinct.sorted.toIndexedSeq
+      // cast BOTH sides to one type per name: a widening era can leave
+      // the two sides at different physical widths for the same column
+      def fit(df: DataFrame): DataFrame = df.select(names.map(n =>
+        if (df.columns.contains(n)) col(n).cast(byName(n)).as(n)
+        else lit(null).cast(byName(n)).as(n)): _*)
+      (fit(a), fit(b))
+    }
+
+    def pairDiff(addedDf: Option[DataFrame], removedDf: Option[DataFrame],
+                 sid: Long): Seq[DataFrame] = (addedDf, removedDf) match {
+      case (Some(a), Some(r)) =>
+        val (fa, fr) = aligned(a, r)
+        Seq(tag(fa.exceptAll(fr), "insert", sid),
+          tag(fr.exceptAll(fa), "delete", sid))
+      case (Some(a), None) => Seq(tag(a, "insert", sid))
+      case (None, Some(r)) => Seq(tag(r, "delete", sid))
+      case (None, None) => Nil
+    }
+
+    var prev = if (sinceSnapshotId > 0) sinceSnapshotId else 0L
+    val frames = Seq.newBuilder[DataFrame]
+    span.foreach { sid =>
+      val (curE, curS) = readManifestFull(fs, dir, sid)
+      val op = readManifestOp(fs, dir, sid).getOrElse("unknown")
+      op match {
+        case "replace" | "evolve" => // zero logical change
+        case "append" =>
+          val prevPaths =
+            if (prev <= 0) Set.empty[String]
+            else readManifestEntries(fs, dir, prev).map(_.path).toSet
+          readEntries(curE.filterNot(e => prevPaths.contains(e.path)), curS)
+            .foreach(df => frames += tag(df, "insert", sid))
+        case _ =>
+          val prevE =
+            if (prev <= 0) Nil else readManifestEntries(fs, dir, prev)
+          val dvDelta =
+            readManifestDeletes(fs, dir, sid).toSet !=
+              (if (prev <= 0) Set.empty
+               else readManifestDeletes(fs, dir, prev).toSet) ||
+            readManifestEqDeletes(fs, dir, sid).toSet !=
+              (if (prev <= 0) Set.empty
+               else readManifestEqDeletes(fs, dir, prev).toSet)
+          if (dvDelta) {
+            // MoR tombstone movement: only the live views are exact
+            val after = snapshotRead(spark, dir, sid)
+            val before =
+              if (prev <= 0) None else Some(snapshotRead(spark, dir, prev))
+            frames ++= pairDiff(Some(after), before, sid)
+          } else {
+            val prevPaths = prevE.map(_.path).toSet
+            val curPaths = curE.map(_.path).toSet
+            val prevSchemas =
+              if (prev <= 0) Nil else readManifestFull(fs, dir, prev)._2
+            frames ++= pairDiff(
+              readEntries(curE.filterNot(e => prevPaths.contains(e.path)),
+                curS),
+              readEntries(prevE.filterNot(e => curPaths.contains(e.path)),
+                prevSchemas),
+              sid)
+          }
+      }
+      prev = sid
+    }
+    val out = frames.result()
+    if (out.isEmpty)
+      tag(snapshotRead(spark, dir, to).filter(lit(false)), "insert", to)
+    else out.reduce((a, b) =>
+      a.unionByName(b, allowMissingColumns = true))
+  }
+
   /** Resolve the snapshot current AS OF `timestampMs` — time-based time
     * travel (the id-pinned form's calendar sibling): the newest
     * manifest whose COMMIT time (the atomic rename's mtime) is ≤ the
@@ -2738,7 +2917,8 @@ object Layout {
     // past a MoR delete must resurrect exactly what that snapshot saw
     writeManifest(fs, dir, newId, entries, schemas,
       deletes = readManifestDeletes(fs, dir, snapshotId),
-      eqDeletes = readManifestEqDeletes(fs, dir, snapshotId))
+      eqDeletes = readManifestEqDeletes(fs, dir, snapshotId),
+      op = "rollback")
     newId
   }
 

@@ -779,6 +779,105 @@ object Layout {
       graft.operators.Layout.deltaAggMaintain(prevAgg,
         dels.unionByName(upds).unionByName(ins),
         "source", "op", "v_old", "v_new")
+    },
+
+    // Streaming SOURCE over the snapshot format (q272): a full
+    // table-to-table streaming pipeline — `readStream.format(
+    // "snapshot")` tails one snapshot table commit by commit and
+    // `writeStream.format("snapshot")` commits each micro-batch into
+    // another. The source's Delta-style semantics are all under the
+    // oracle: two append commits deliver exactly their rows, the
+    // compaction commit delivers NOTHING (maintenance is invisible to
+    // consumers), and the CoW delete commit is explicitly skipped via
+    // `skipChangeCommits` — so the drained target must hash to the
+    // FULL corpus, not the post-delete view. Offsets ride Spark's own
+    // checkpoint WAL (exactly-once with the marker-guarded sink).
+    "q272_stream_source" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val root = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/snapstream")
+      val src = s"$root/src"; val dst = s"$root/dst"
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      L.snapshotAppend(docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("n_chars"))
+        .sortWithinPartitions("n_chars"), src,
+        statsCols = Seq("n_chars"))                            // snap 1
+      L.snapshotAppend(docs.filter(col("doc_id") % 2 === 1)
+        .repartitionByRange(4, col("n_chars"))
+        .sortWithinPartitions("n_chars"), src)                 // snap 2
+      L.compactSnapshot(s, src, 512L << 20)                    // snap 3
+      L.deleteWhere(s, src,
+        L.StatPred.Between("n_chars", 200L, 280L))             // snap 4
+      val q = s.readStream.format("snapshot").option("path", src)
+        .option("startingSnapshotId", "0")
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("snapshot")
+        .option("path", dst)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      L.snapshotRead(s, dst)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"))
+    },
+
+    // Row-level change data feed (q273): every commit since snapshot 1
+    // replayed as tagged rows — the append surfaces as inserts, the
+    // compaction contributes NOTHING, the CoW delete yields exactly
+    // its victims as deletes (carried rewrites cancel in the
+    // two-sided EXCEPT ALL), and the UPDATE yields its old images as
+    // deletes plus its new images as inserts. The oracle rebuilds the
+    // whole feed with set arithmetic over the corpus.
+    "q273_change_feed" -> { (s, d) =>
+      val base = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/snapcdf")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      L.snapshotWrite(docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("n_chars"))
+        .sortWithinPartitions("n_chars"), base,
+        statsCols = Seq("n_chars"))                            // snap 1
+      L.snapshotAppend(docs.filter(col("doc_id") % 2 === 1)
+        .repartitionByRange(4, col("n_chars"))
+        .sortWithinPartitions("n_chars"), base)                // snap 2
+      L.compactSnapshot(s, base, 512L << 20)                   // snap 3
+      L.deleteWhere(s, base,
+        L.StatPred.Between("n_chars", 200L, 280L))             // snap 4
+      L.updateWhere(s, base, col("n_chars").between(400, 450),
+        Seq("n_chars" -> (col("n_chars") + 1000)))             // snap 5
+      L.changeFeed(s, base, 1L)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"), col("_change_type"),
+          col("_commit_snapshot_id"))
+    },
+
+    // IVM through deletes (q274): the change feed folded into a
+    // materialized per-lang aggregate with deltaAggMaintain — the view
+    // from snapshot 1 maintained through an append AND a row-level
+    // DELETE in O(|changes|), never a recompute. The oracle IS the
+    // full recompute over the post-delete corpus; equality proves the
+    // feed + fold pipeline end to end.
+    "q274_ivm_changefeed" -> { (s, d) =>
+      val base = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/snapivm")
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      L.snapshotWrite(docs.filter(col("doc_id") % 2 === 0)
+        .repartition(4, col("doc_id")), base,
+        statsCols = Seq("n_chars"))                            // snap 1
+      val view1 = L.snapshotRead(s, base, 1L).groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total"))
+        .localCheckpoint()
+      L.snapshotAppend(docs.filter(col("doc_id") % 2 === 1)
+        .repartition(4, col("doc_id")), base)                  // snap 2
+      L.deleteWhere(s, base,
+        L.StatPred.Between("n_chars", 200L, 300L))             // snap 3
+      val changes = L.changeFeed(s, base, 1L)
+        .select(col("lang"),
+          when(col("_change_type") === "insert", "I")
+            .otherwise("D").as("op"),
+          col("n_chars").as("oldv"), col("n_chars").as("newv"))
+      L.deltaAggMaintain(view1, changes, "lang", "op", "oldv", "newv")
+        .select(col("lang"), col("n"), col("total"))
     }
   )
 
@@ -828,6 +927,29 @@ object Layout {
     "q268_mor_delete" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars NOT BETWEEN 200 AND 350""",
+    "q272_stream_source" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
+    "q273_change_feed" ->
+      """WITH corpus AS (
+           SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents)
+         SELECT doc_id, text_md5, n_chars,
+                'insert' AS _change_type,
+                CAST(2 AS BIGINT) AS _commit_snapshot_id
+           FROM corpus WHERE doc_id % 2 = 1
+         UNION ALL
+         SELECT doc_id, text_md5, n_chars, 'delete', CAST(4 AS BIGINT)
+           FROM corpus WHERE n_chars BETWEEN 200 AND 280
+         UNION ALL
+         SELECT doc_id, text_md5, n_chars, 'delete', CAST(5 AS BIGINT)
+           FROM corpus WHERE n_chars BETWEEN 400 AND 450
+         UNION ALL
+         SELECT doc_id, text_md5, n_chars + 1000, 'insert', CAST(5 AS BIGINT)
+           FROM corpus WHERE n_chars BETWEEN 400 AND 450""",
+    "q274_ivm_changefeed" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS total
+         FROM documents WHERE n_chars NOT BETWEEN 200 AND 300
+         GROUP BY lang""",
     "q269_write_audit_publish" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
     "q271_equality_delete" ->

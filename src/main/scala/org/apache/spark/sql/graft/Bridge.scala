@@ -39,6 +39,19 @@ object Bridge {
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** An EMPTY micro-batch for a DSv1 streaming `Source.getBatch` —
+    * the engine asserts every returned frame has `isStreaming = true`,
+    * which no public empty-DataFrame constructor can produce.
+    */
+  def emptyStreaming(session: org.apache.spark.sql.SparkSession,
+                     schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema, isStreaming = true)
+  }
+
   /** Neutral view of a Column's predicate structure. Spark 4 keeps a
     * user-built Column as a `private[sql]` ColumnNode tree until
     * resolution, so outside-package consumers (Layout.toStatPred's

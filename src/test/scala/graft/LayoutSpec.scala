@@ -1177,8 +1177,12 @@ class LayoutSpec extends AnyFunSuite {
     Layout.deleteWhere(spark, dir, Layout.StatPred.Eq("id", 120L))
     val hist = Layout.snapshotHistory(spark, dir)
       .orderBy("snapshot_id")
-      .as[(Long, java.sql.Timestamp, Int, Option[Long])].collect()
+      .as[(Long, java.sql.Timestamp, Int, Option[Long], Option[String])]
+      .collect()
     assert(hist.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(hist.map(_._5).toSeq ==
+      Seq(Some("overwrite"), Some("append"), Some("delete")),
+      "history exposes each commit's recorded op kind")
     assert(hist(0)._4.contains(100L))
     assert(hist(1)._4.contains(150L))
     assert(hist(2)._4.contains(149L), s"post-delete count: ${hist(2)._4}")
@@ -1540,5 +1544,86 @@ class LayoutSpec extends AnyFunSuite {
     // the pre-compaction DV snapshot still time-travels correctly
     assert(Layout.snapshotRead(spark, dir, 2L).count() === 75)
     assert(Layout.snapshotRead(spark, dir, 1L).count() === 100)
+  }
+
+  test("changeFeed: append/compact/delete/update commits as exact tagged rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    def df(r: Range) = r.map(i => (i.toLong, i * 10L)).toDF("k", "v")
+    Layout.snapshotWrite(df(1 to 20).repartition(4, col("k")), dir,
+      statsCols = Seq("k"))                                   // snap 1
+    Layout.snapshotAppend(df(21 to 25), dir)                  // snap 2
+    Layout.compactSnapshot(spark, dir, 512L << 20)            // snap 3 (replace)
+    Layout.deleteWhere(spark, dir, Layout.StatPred.Between("k", 3L, 5L)) // snap 4
+    Layout.updateWhere(spark, dir, col("k") === 10L,
+      Seq("v" -> lit(999L)))                                  // snap 5
+
+    val feed = Layout.changeFeed(spark, dir, 1L)
+      .select("k", "v", "_change_type", "_commit_snapshot_id")
+      .as[(Long, Long, String, Long)].collect().toSet
+    val expected =
+      (21L to 25L).map(k => (k, k * 10, "insert", 2L)).toSet ++ // snap 2
+      // snap 3 compaction: NOTHING — maintenance is invisible
+      (3L to 5L).map(k => (k, k * 10, "delete", 4L)).toSet ++   // snap 4
+      Set((10L, 100L, "delete", 5L), (10L, 999L, "insert", 5L)) // snap 5
+    assert(feed === expected)
+
+    // from-the-beginning feed replays the initial overwrite as inserts
+    val initial = Layout.changeFeed(spark, dir, 0L, 1L)
+    assert(initial.filter(col("_change_type") === "insert").count() === 20)
+    assert(initial.count() === 20)
+
+    // a span of only maintenance commits yields an EMPTY feed with the
+    // full tagged schema
+    val quiet = Layout.changeFeed(spark, dir, 2L, 3L)
+    assert(quiet.count() === 0)
+    assert(quiet.columns.toSet ===
+      Set("k", "v", "_change_type", "_commit_snapshot_id"))
+  }
+
+  test("changeFeed: MoR tombstone commits diff the live views exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdfmor").toString
+    val df = (1L to 50L).map(i => (i, s"u$i")).toDF("k", "user")
+    Layout.snapshotWrite(df.repartition(4, col("k")), dir,
+      statsCols = Seq("k"))                                   // snap 1
+    Layout.deleteWhereMoR(spark, dir,
+      Layout.StatPred.Between("k", 10L, 12L))                 // snap 2 (DV)
+    Layout.deleteKeysMoR(spark, dir,
+      Seq(20L, 21L).toDF("k"))                                // snap 3 (eq)
+    val feed = Layout.changeFeed(spark, dir, 1L)
+      .select("k", "_change_type", "_commit_snapshot_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(feed === Set(
+      (10L, "delete", 2L), (11L, "delete", 2L), (12L, "delete", 2L),
+      (20L, "delete", 3L), (21L, "delete", 3L)))
+  }
+
+  test("changeFeed + deltaAggMaintain: a view stays exact through deletes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdfivm").toString
+    val df = (1L to 100L).map(i => (i, (i % 5).toString, i.toDouble))
+      .toDF("k", "grp", "v")
+    Layout.snapshotWrite(df.repartition(4, col("k")), dir,
+      statsCols = Seq("k"))                                   // snap 1
+    // the materialized view at snapshot 1
+    val view1 = Layout.snapshotRead(spark, dir, 1L).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .localCheckpoint()
+    Layout.snapshotAppend(
+      Seq((101L, "1", 7.0), (102L, "2", 8.0)).toDF("k", "grp", "v"), dir)
+    Layout.deleteWhere(spark, dir, Layout.StatPred.Between("k", 1L, 30L))
+    // fold the tagged feed as the (I/D) CDC deltaAggMaintain expects
+    val changes = Layout.changeFeed(spark, dir, 1L)
+      .select(col("grp"),
+        when(col("_change_type") === "insert", "I").otherwise("D").as("op"),
+        col("v").as("oldv"), col("v").as("newv"))
+    val maintained = Layout.deltaAggMaintain(view1, changes,
+      "grp", "op", "oldv", "newv")
+    val recomputed = Layout.snapshotRead(spark, dir).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"))
+    val m = maintained.as[(String, Long, Double)].collect().toSet
+    val r = recomputed.as[(String, Long, Double)].collect().toSet
+    assert(m === r, s"maintained $m vs recomputed $r")
   }
 }

@@ -393,6 +393,93 @@ class SnapshotSqlSpec extends AnyFunSuite {
       "replaying a drained stream must not commit")
   }
 
+  test("readStream.format(snapshot): initial scan, per-commit tail, maintenance silent, change commits refuse") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = freshDir("streamsrc")
+    val ckpt = freshDir("streamsrc_ckpt")
+    def batch(r: Range) = r.map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    Layout.snapshotWrite(batch(1 to 10).repartition(2, col("k")), dir,
+      statsCols = Seq("k"))                                    // snap 1
+    Layout.snapshotAppend(batch(11 to 15), dir)                // snap 2
+
+    // each drain collects ONLY what its run delivers — a restart from
+    // the shared checkpoint must never re-deliver committed batches
+    def drain(opts: Map[String, String] = Map.empty): Set[(Long, String)] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]
+      var r = spark.readStream.format("snapshot").option("path", dir)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(row =>
+            buf.add((row.getLong(0), row.getString(1))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSet
+    }
+
+    // fresh stream: ONE initial scan of the current content — history
+    // is not replayed commit by commit
+    assert(drain() === (1L to 15L).map(i => (i, s"d$i")).toSet)
+
+    // tail: an append delivers exactly its rows; a compaction commit
+    // delivers NOTHING
+    Layout.snapshotAppend(batch(16 to 18), dir)                // snap 3
+    Layout.compactSnapshot(spark, dir, 512L << 20)             // snap 4
+    val b = drain()
+    assert(b === (16L to 18L).map(i => (i, s"d$i")).toSet,
+      s"tail must deliver snap 3 only, got $b")
+
+    // a row-changing commit refuses loudly...
+    Layout.deleteWhere(spark, dir, Layout.StatPred.Eq("k", 1L)) // snap 5
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(ex.getMessage.contains("row-changing") ||
+      Option(ex.getCause).exists(_.getMessage.contains("row-changing")))
+
+    // ...until skipChangeCommits opts in; the skipped commit delivers
+    // nothing and the stream keeps tailing appends after it
+    Layout.snapshotAppend(batch(19 to 20), dir)                // snap 6
+    val d = drain(Map("skipChangeCommits" -> "true"))
+    assert(d === (19L to 20L).map(i => (i, s"d$i")).toSet)
+  }
+
+  test("readStream.format(snapshot): startingSnapshotId tails without initial scan; maxSnapshotsPerTrigger bounds batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = freshDir("streamtail")
+    def batch(r: Range) = r.map(i => (i.toLong, i * 2L)).toDF("k", "v")
+    Layout.snapshotAppend(batch(1 to 5), dir)                  // snap 1
+    Layout.snapshotAppend(batch(6 to 10), dir)                 // snap 2
+    Layout.snapshotAppend(batch(11 to 15), dir)                // snap 3
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.format("snapshot").option("path", dir)
+      .option("startingSnapshotId", "1")
+      .option("maxSnapshotsPerTrigger", "1")
+      .load().writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect()
+        if (rows.nonEmpty) batches.incrementAndGet()
+        rows.foreach(r => buf.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .option("checkpointLocation", freshDir("streamtail_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    assert(buf.asScala.toSet === (6L to 15L).map(i => (i, i * 2)).toSet,
+      "tail from snapshot 1: snapshots 2..3 only, no initial scan")
+    assert(batches.get() === 2,
+      "maxSnapshotsPerTrigger=1 must split the two commits into " +
+        s"separate micro-batches; got ${batches.get()}")
+  }
+
   test("manifest bytes feed the index: no per-file stat needed, sizes correct") {
     val dir = freshDir("bytes")
     writeTable(dir)
