@@ -91,7 +91,11 @@ object Bench {
   private val headlineR10 = Seq(
     // the SQL surface of the table format (register → pruned WHERE)
     // and the rewrite-free merge-on-read delete lifecycle
-    "q264_snapshot_sql", "q268_mor_delete")
+    "q264_snapshot_sql", "q268_mor_delete",
+    // closing batch: the table-to-table streaming pipeline (source
+    // tail + exactly-once sink, end-to-end with its fixture commits)
+    // and the row-level change feed across four commit kinds
+    "q272_stream_source", "q273_change_feed")
 
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++
