@@ -43,7 +43,9 @@ import org.apache.spark.sql.types.StructType
   * `FileIndex.listFiles(partitionFilters, dataFilters)` contract —
   * the same seam Delta Lake's data skipping uses. Options: `path`
   * (required), `snapshotId` (time travel; default latest),
-  * `mergeSchema` (union schema across widening appends).
+  * `asOfTimestamp` (calendar time travel — epoch millis, ISO-8601
+  * instant, or session-zone datetime), `mergeSchema` (union schema
+  * across widening appends).
   *
   * Scale shape: planning cost is one manifest read (the entries carry
   * byte sizes, so NO per-file round trips — at object-store latency a
@@ -176,7 +178,17 @@ class SnapshotSource extends RelationProvider
     val dir = opts.getOrElse("path",
       throw new IllegalArgumentException(
         "snapshot source needs .option(\"path\", <table dir>)"))
-    val snapId = opts.get("snapshotid").map(_.toLong).getOrElse(-1L)
+    // time travel: by id, or AS OF a calendar instant (`asOfTimestamp`
+    // accepts epoch millis, an ISO-8601 instant, or a local datetime
+    // in the session timezone) — resolved to the newest snapshot whose
+    // commit time is <= the instant, exactly Layout.snapshotAsOf
+    require(!(opts.contains("snapshotid") && opts.contains("asoftimestamp")),
+      "snapshot source takes snapshotId OR asOfTimestamp, not both")
+    val snapId = opts.get("snapshotid").map(_.toLong)
+      .orElse(opts.get("asoftimestamp").map(ts =>
+        Layout.snapshotAsOf(spark, dir, SnapshotSource.parseInstantMs(
+          ts, spark.sessionState.conf.sessionLocalTimeZone))))
+      .getOrElse(-1L)
     val mergeSchema = opts.get("mergeschema").exists(_.toBoolean)
     // merge-on-read deletes are row-level; a FileIndex decides only
     // WHICH FILES open, so serving a DV table here would silently
@@ -231,6 +243,26 @@ class SnapshotSource extends RelationProvider
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = opts)(spark)
+  }
+}
+
+object SnapshotSource {
+  /** `asOfTimestamp` option values → epoch millis: a bare long is
+    * epoch millis; an ISO-8601 instant (`2026-08-15T04:00:00Z`) is
+    * itself; a zone-less datetime (`2026-08-15T04:00:00` or with a
+    * space) resolves in the SESSION timezone — the same anchoring rule
+    * the manifest timestamp stats use.
+    */
+  private[io] def parseInstantMs(s: String, sessionTz: String): Long = {
+    val t = s.trim
+    t.toLongOption.getOrElse {
+      try java.time.Instant.parse(t).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+            .atZone(java.time.ZoneId.of(sessionTz)).toInstant.toEpochMilli
+      }
+    }
   }
 }
 

@@ -231,6 +231,49 @@ object Joins {
       .agg(max_by(col("depth"), col("pos")).as("depth"))
   }
 
+  /** KEYED depth curve — per-base read depth per reference contig
+    * (samtools depth), [[concurrencyCurve]]'s per-key sibling: one
+    * (key, pos, depth) row for every position where the depth CHANGES
+    * (net boundary delta ≠ 0), half-open [start, end).
+    *
+    * The naive keyed form is `Window.partitionBy(key).orderBy(pos)` —
+    * one reducer PER KEY, which serializes on a hot chromosome (a
+    * 100 TB alignment set concentrates billions of boundaries on each
+    * of ~25 contigs). This instead runs the two-level tiled prefix
+    * sum: positions bucket into 2^tileBits-wide tiles; tile-LOCAL
+    * running sums are embarrassingly parallel (one window per
+    * occupied (key, tile) — millions of independent partitions); each
+    * tile's carry-in is the running sum of per-tile NET deltas, a
+    * window over #tiles rows per key (genome/2^14 ≈ 2×10⁵ scalars —
+    * metadata-sized, the only per-key serial step). Every shuffle is
+    * an equi-key hash exchange; nothing sorts more than a tile.
+    */
+  def depthCurve(intervals: DataFrame, keyCol: String, startCol: String,
+                 endCol: String, tileBits: Int = 14): DataFrame = {
+    require(tileBits >= 1 && tileBits <= 40, s"bad tileBits $tileBits")
+    val ev = intervals.select(col(keyCol).as("key"),
+        col(startCol).cast("long").as("pos"), lit(1L).as("delta"))
+      .unionAll(intervals.select(col(keyCol).as("key"),
+        col(endCol).cast("long").as("pos"), lit(-1L).as("delta")))
+    val net = ev.groupBy("key", "pos")
+      .agg(sum("delta").as("net"))
+      .filter(col("net") =!= 0)
+      .withColumn("tile", shiftright(col("pos"), tileBits))
+    // carry-in per tile: EXCLUSIVE running sum of tile net totals
+    val tiles = net.groupBy("key", "tile").agg(sum("net").as("tnet"))
+    val carryW = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("tile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val carry = tiles
+      .withColumn("carry", coalesce(sum("tnet").over(carryW), lit(0L)))
+      .select("key", "tile", "carry")
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("key", "tile").orderBy("pos")
+    net.join(carry, Seq("key", "tile"))
+      .withColumn("depth", sum("net").over(localW) + col("carry"))
+      .select(col("key").as(keyCol), col("pos"), col("depth"))
+  }
+
   /** SCD-2 point-in-time join: enrich each fact with the dimension
     * VERSION that was valid at the fact's timestamp (the slowly-
     * changing-dimension type-2 lookup every warehouse needs — joining

@@ -553,6 +553,27 @@ object Events {
         (unix_timestamp(col("ts")) + 1 + pmod(col("event_id"), lit(300)))
           .as("end_s"))
       graft.operators.Joins.concurrencyCurve(iv, "start_s", "end_s")
+    },
+
+    // Keyed depth curve (q275): per-contig read depth at every
+    // depth-changing position — q238's per-key sibling run through
+    // the TILED two-level prefix sum (tile-local windows + per-tile
+    // carry-ins), so a hot chromosome never serializes one reducer.
+    // Alignment intervals derive arithmetically from lineitem
+    // (contig = partkey%8, [start, start + 20 + 3·linenumber)); a
+    // deliberately tiny tile width (2^6) forces MANY cross-tile
+    // carries at sf scale, so the carry algebra itself is under the
+    // oracle — which replays the depth with one plain per-key window.
+    "q275_depth_curve" -> { (s, d) =>
+      val start = pmod(col("l_partkey").cast("long") * 37 +
+        col("l_suppkey").cast("long"), lit(5000L))
+      val iv = Tables.lineitem(s, d).select(
+        concat(lit("c"), pmod(col("l_partkey"), lit(8)).cast("string"))
+          .as("contig"),
+        start.as("astart"),
+        (start + 20 + col("l_linenumber").cast("long") * 3).as("aend"))
+      graft.operators.Joins.depthCurve(iv, "contig", "astart", "aend",
+        tileBits = 6)
     }
   )
 
@@ -574,6 +595,25 @@ object Events {
                 FROM ev)
           SELECT t, CAST(arg_max(depth, pos) AS BIGINT) AS depth
           FROM r GROUP BY t""",
+    // q275: the oracle replays the keyed depth with ONE plain per-key
+    // window — the tiled carry algebra must land on the same curve.
+    "q275_depth_curve" ->
+      """WITH iv AS (
+           SELECT 'c' || (l_partkey % 8) AS contig,
+                  (CAST(l_partkey AS BIGINT) * 37 +
+                   CAST(l_suppkey AS BIGINT)) % 5000 AS astart,
+                  (CAST(l_partkey AS BIGINT) * 37 +
+                   CAST(l_suppkey AS BIGINT)) % 5000
+                    + 20 + CAST(l_linenumber AS BIGINT) * 3 AS aend
+           FROM lineitem),
+         ev AS (SELECT contig, astart AS pos, 1 AS delta FROM iv
+                UNION ALL SELECT contig, aend, -1 FROM iv),
+         net AS (SELECT contig, pos, CAST(sum(delta) AS BIGINT) AS net
+                 FROM ev GROUP BY 1, 2 HAVING sum(delta) != 0)
+         SELECT contig, pos,
+                CAST(sum(net) OVER (PARTITION BY contig ORDER BY pos)
+                  AS BIGINT) AS depth
+         FROM net""",
     "q40_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS win, event_type,
               count(*) AS n, round(sum(value), 2) AS total

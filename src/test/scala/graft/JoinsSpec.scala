@@ -117,4 +117,42 @@ class JoinsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("depthCurve: tiled carry algebra matches the plain per-key window, any tile width") {
+    import spark.implicits._
+    import graft.operators.Joins
+    // hostile shape: overlapping, nested, touching ([10,20)+[20,30)
+    // must not double-count at 20), duplicate intervals, and a second
+    // key with its own geometry
+    val iv = Seq(
+      ("chr1", 10L, 20L), ("chr1", 20L, 30L), ("chr1", 12L, 28L),
+      ("chr1", 12L, 28L), ("chr1", 5L, 100L), ("chr1", 95L, 96L),
+      ("chr2", 0L, 64L), ("chr2", 63L, 65L), ("chr2", 64L, 70L)
+    ).toDF("contig", "s", "e")
+    // reference: one plain window per key (the form that serializes a
+    // hot chromosome at scale — exact at test size)
+    val ref = {
+      val ev = iv.select(col("contig"), col("s").as("pos"), lit(1L).as("d"))
+        .unionAll(iv.select(col("contig"), col("e").as("pos"), lit(-1L).as("d")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("contig").orderBy("pos")
+      ev.groupBy("contig", "pos").agg(sum("d").as("net"))
+        .filter(col("net") =!= 0)
+        .withColumn("depth", sum("net").over(w))
+        .select("contig", "pos", "depth")
+        .as[(String, Long, Long)].collect().toSet
+    }
+    // tiny tiles force cross-tile carries; huge tiles degenerate to one
+    // tile per key — both must land on the identical curve
+    for (bits <- Seq(2, 6, 30)) {
+      val got = Joins.depthCurve(iv, "contig", "s", "e", tileBits = bits)
+        .as[(String, Long, Long)].collect().toSet
+      assert(got === ref, s"tileBits=$bits")
+    }
+    // depth returns to zero after the last boundary of each key
+    val byKey = ref.groupBy(_._1).map { case (k, rows) =>
+      k -> rows.toSeq.sortBy(_._2).last._3
+    }
+    assert(byKey.values.forall(_ == 0L), s"non-closing curve: $byKey")
+  }
 }

@@ -122,6 +122,28 @@ class SnapshotSqlSpec extends AnyFunSuite {
     val none = spark.read.format("snapshot").option("path", dir).load()
       .filter(col("k") > 1000000)
     assert(none.count() === 0)
+
+    // calendar time travel: an instant between the two commits resolves
+    // to snapshot 1 in every accepted format (epoch millis, ISO-8601
+    // instant, session-zone datetime); both-options refuses
+    val t1 = new java.io.File(s"$dir/manifest-1.json").lastModified()
+    val t2 = new java.io.File(s"$dir/manifest-2.json").lastModified()
+    assume(t2 > t1, "mtime granularity too coarse to split the commits")
+    val between = (t1 + t2) / 2
+    def asOf(v: String) = spark.read.format("snapshot")
+      .option("path", dir).option("asOfTimestamp", v).load().count()
+    assert(asOf(between.toString) === 100)
+    assert(asOf(java.time.Instant.ofEpochMilli(between).toString) === 100)
+    assert(asOf(java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(between),
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+      .toString) === 100)
+    assert(asOf(System.currentTimeMillis().toString) === 50)
+    intercept[IllegalArgumentException] {
+      spark.read.format("snapshot").option("path", dir)
+        .option("snapshotId", "1")
+        .option("asOfTimestamp", between.toString).load()
+    }
   }
 
   test("mergeSchema option surfaces widened columns with nulls on old files") {
