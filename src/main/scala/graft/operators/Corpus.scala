@@ -488,6 +488,74 @@ object Corpus {
       .select(col(idCol), col("m.l").as("predicted"))
   }
 
+  /** DSIR importance weights — data selection with importance
+    * resampling (Xie et al. 2023, arXiv:2302.03169): score every raw
+    * document by how much more likely its hashed bag-of-tokens is
+    * under a TARGET-domain unigram model than under the raw-corpus
+    * model,
+    *   log w(x) = Σ_tokens [ ln p̂_target(b) − ln p̂_raw(b) ]
+    * with add-one smoothing over `buckets` hashed features (the
+    * [[naiveBayesModel]] featurizer — same md5 bucket arithmetic, so
+    * the oracle replays it). High-weight documents "look like" the
+    * target domain; resampling by these weights steers a web-scale
+    * crawl toward a small quality corpus without training a
+    * classifier.
+    *
+    * Plan shape at 100 TB: both corpora reduce to `buckets`-row count
+    * tables (hash agg each); the per-bucket log-ratio table (≤ buckets
+    * rows, a few MB) BROADCASTS into one narrow pass over the raw
+    * token stream + one hash agg by doc id — no shuffle ever carries
+    * more than the skinny (id, bucket) token pairs, and the target
+    * corpus (small by construction) is read once. Zero-token raw
+    * documents carry logw = 0 (no evidence either way).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 8192): DataFrame = {
+    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    val rawToks = nbBuckets(raw, idCol, textCol, Nil, buckets)
+      .localCheckpoint() // counts AND the per-doc scoring pass
+    val tgtToks = nbBuckets(target, idCol, textCol, Nil, buckets)
+    val cr = rawToks.groupBy("b").agg(count(lit(1)).as("cr"))
+    val ct = tgtToks.groupBy("b").agg(count(lit(1)).as("ct"))
+    // two bounded scalars to the driver (the centroid-fetch shape)
+    val nR = rawToks.count().toDouble
+    val nT = tgtToks.count().toDouble
+    val shift = math.log(nR + buckets) - math.log(nT + buckets)
+    // per-bucket ln ratio; raw-side join is inner (a raw token's
+    // bucket always has cr >= 1), target side left with ct -> 0
+    val ratio = cr.join(ct, Seq("b"), "left").select(col("b"),
+      (log(coalesce(col("ct"), lit(0L)) + 1.0) -
+        log(col("cr") + 1.0) + lit(shift)).as("lr"))
+    raw.select(col(idCol)).distinct()
+      .join(rawToks.join(broadcast(ratio), Seq("b"))
+        .groupBy(idCol).agg(sum("lr").as("logw")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
+
+  /** Top-k DSIR selection over [[dsirWeights]] — Gumbel-top-k
+    * resampling (equivalent to sampling WITHOUT replacement
+    * proportionally to w(x)): key = logw + Gumbel(0,1), noise derived
+    * from md5(id:seed) so the draw is deterministic and replayable;
+    * `noisy = false` degrades to plain argmax-k selection. The top-k
+    * is TakeOrderedAndProject — per-partition heads, never a global
+    * sort.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, k: Int, buckets: Int = 8192,
+                 seed: Long = 42L, noisy: Boolean = true): DataFrame = {
+    val w = dsirWeights(raw, target, idCol, textCol, buckets)
+    val keyed =
+      if (!noisy) w.withColumn("key", col("logw"))
+      else {
+        val u = (conv(substring(md5(concat_ws(":",
+          col(idCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
+          .cast("double") + 0.5) / 4294967296.0
+        w.withColumn("key", col("logw") - log(-log(u)))
+      }
+    keyed.orderBy(desc("key"), col(idCol)).limit(k)
+      .select(col(idCol), col("logw"))
+  }
+
   /** Fill-in-the-middle (FIM) transformation — the infilling-objective
     * prep pass for code/text models: each document splits into
     * (prefix, middle, suffix) at two DETERMINISTIC cut points (md5 of

@@ -361,4 +361,40 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("mode").as[String].collect()
     assert(modes.count(_ == "psm") > 50 && modes.count(_ == "spm") > 50)
   }
+
+  test("dsirWeights/dsirSelect: target-domain docs outrank, draws deterministic") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    // two disjoint vocabularies: ids 1-10 speak the target's language,
+    // ids 11-20 don't; id 21 has no tokens at all
+    val raw = ((1L to 10L).map(i => (i, s"alpha beta gamma delta tok$i")) ++
+      (11L to 20L).map(i => (i, s"omega psi chi phi tok$i")) ++
+      Seq((21L, "   "))).toDF("doc_id", "text")
+    val target = (1L to 40L)
+      .map(i => (1000L + i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val w = Corpus.dsirWeights(raw, target, "doc_id", "text", buckets = 256)
+      .as[(Long, Double)].collect().toMap
+    assert(w.size === 21, "one weight per raw doc, zero-token included")
+    assert(w(21L) === 0.0, "no tokens, no evidence")
+    val aMin = (1L to 10L).map(w).min
+    val bMax = (11L to 20L).map(w).max
+    assert(aMin > bMax,
+      s"every target-like doc must outrank every off-domain doc " +
+        s"($aMin vs $bMax)")
+    // noiseless selection is exactly the target-like set
+    val picked = Corpus.dsirSelect(raw, target, "doc_id", "text",
+      k = 10, buckets = 256, noisy = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked === (1L to 10L).toSet)
+    // the Gumbel draw is a pure function of (id, seed): same seed ==
+    // same selection, and it still returns exactly k rows
+    val s1 = Corpus.dsirSelect(raw, target, "doc_id", "text",
+      k = 8, buckets = 256, seed = 7L)
+      .select("doc_id").as[Long].collect().toSeq
+    val s2 = Corpus.dsirSelect(raw, target, "doc_id", "text",
+      k = 8, buckets = 256, seed = 7L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1 === s2 && s1.size === 8)
+  }
 }
