@@ -178,4 +178,50 @@ object ViraPipeline {
       buf.iterator
     }.toDF("id", "sequence")
   }
+
+  /** Assembly statistics — the post-assembly QC summary every
+    * MegaHit/SPAdes run gets (QUAST's headline row): one row of
+    * (n_contigs, total_bp, max_len, N50, L50, gc_ppm). N50 is the
+    * length of the contig at which the descending-length cumulative
+    * sum first reaches half the assembly; L50 the number of contigs
+    * in that minimal set; GC as exact parts-per-million (integer
+    * arithmetic end to end — no float drift across engines).
+    *
+    * Plan shape: per-contig (length, gc) is one narrow scan; the
+    * cumulative sum runs over the LENGTH HISTOGRAM (groupBy length),
+    * whose row count is bounded by the longest contig — metadata-
+    * sized, so the single-partition window sorts thousands of rows,
+    * never the contig set. The crossing-class arithmetic recovers the
+    * exact L50 within the crossing length class.
+    */
+  def assemblyStats(contigs: DataFrame, seqCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = contigs.select(
+      length(col(seqCol)).cast("long").as("len"),
+      (length(col(seqCol)) -
+        length(translate(col(seqCol), "GCgc", ""))).cast("long").as("gc"))
+    val hist = lens.groupBy("len")
+      .agg(count(lit(1)).as("cnt"), sum("gc").as("gc"))
+    val w = Window.orderBy(desc("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .select(col("len"), col("cnt"), (col("len") * col("cnt")).as("bp"),
+        col("gc"))
+      .withColumn("cum_bp", sum("bp").over(w))
+      .withColumn("cum_cnt", sum("cnt").over(w))
+    val tot = hist.agg(
+      sum("cnt").as("n_contigs"),
+      sum(col("len") * col("cnt")).as("total_bp"),
+      max("len").as("max_len"),
+      sum("gc").as("tot_gc"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("cum_bp") * 2 >= col("total_bp"))
+      .orderBy(desc("len")).limit(1)
+      .select(col("n_contigs"), col("total_bp"), col("max_len"),
+        col("len").as("n50"),
+        (col("cum_cnt") - col("cnt") +
+          expr("((total_bp + 1) DIV 2 - (cum_bp - bp) + len - 1) DIV len"))
+          .as("l50"),
+        expr("tot_gc * 1000000 DIV total_bp").as("gc_ppm"))
+  }
 }

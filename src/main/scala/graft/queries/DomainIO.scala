@@ -522,10 +522,57 @@ object DomainIO {
         }
       graft.io.WholeFiles.expandArchives(s, dir)
         .select(col("entry"), md5(col("content")).as("content_md5"))
+    },
+
+    // Assembly statistics (q277): the QUAST-style post-assembly QC
+    // row — N50/L50 via the descending-length cumulative crossing,
+    // GC as exact ppm — over the q51 contig fixture. All-integer
+    // arithmetic, so the oracle replays it exactly; the cumulative
+    // sum runs over the length HISTOGRAM (bounded by the longest
+    // contig), never the contig set.
+    "q277_assembly_stats" -> { (s, d) =>
+      val contigs = Tables.part(s, d).select(
+        translate(regexp_replace(upper(col("p_name")), "[^A-Z]", ""),
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+          "ACGTACGTACGTACGTACGTACGTAC").as("sequence"))
+      graft.operators.ViraPipeline.assemblyStats(contigs, "sequence")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q277_assembly_stats" ->
+      """WITH contigs AS (
+           SELECT translate(regexp_replace(upper(p_name), '[^A-Z]', '', 'g'),
+                    'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                    'ACGTACGTACGTACGTACGTACGTAC') AS seq
+           FROM part),
+         l AS (SELECT CAST(length(seq) AS BIGINT) AS len,
+                  CAST(length(seq) - length(translate(seq, 'GCgc', ''))
+                    AS BIGINT) AS gc
+               FROM contigs),
+         hist AS (SELECT len, CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(sum(gc) AS BIGINT) AS gc
+                  FROM l GROUP BY len),
+         cum AS (SELECT len, cnt, len * cnt AS bp, gc,
+                   CAST(sum(len * cnt) OVER (ORDER BY len DESC)
+                     AS BIGINT) AS cum_bp,
+                   CAST(sum(cnt) OVER (ORDER BY len DESC)
+                     AS BIGINT) AS cum_cnt
+                 FROM hist),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_contigs,
+                   CAST(sum(len * cnt) AS BIGINT) AS total_bp,
+                   max(len) AS max_len,
+                   CAST(sum(gc) AS BIGINT) AS tot_gc
+                 FROM hist),
+         cr AS (SELECT cum.* FROM cum, tot
+                WHERE cum_bp * 2 >= total_bp
+                ORDER BY len DESC LIMIT 1)
+         SELECT n_contigs, total_bp, max_len, cr.len AS n50,
+                cum_cnt - cnt +
+                  ((total_bp + 1) // 2 - (cum_bp - bp) + len - 1) // len
+                  AS l50,
+                tot_gc * 1000000 // total_bp AS gc_ppm
+         FROM cr, tot""",
     "q105_fastq_v2_pruned" ->
       """SELECT 'M01:' || l_orderkey || ':FC1:2:1101:' || l_partkey || ':' ||
                 l_linenumber || ' ' || (CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 2 END) ||

@@ -143,4 +143,25 @@ class PipelineSpec extends AnyFunSuite {
       "--tblout", "/dev/stdout", "/database/hmmer/vFam-B_2014.hmm",
       "/dev/stdin"))
   }
+
+  test("assemblyStats: N50/L50 crossing and exact GC ppm on a hand-computed assembly") {
+    import spark.implicits._
+    // lengths 10,8,8,4,2 → total 32; desc cumulative 10,26 crosses half
+    // (16) inside the len-8 class → N50=8; L50 = 1 + ceil((16-10)/8) = 2
+    val contigs = Seq(
+      "GGGGGCCCCC",  // len 10, gc 10
+      "AAAATTGC",    // len 8, gc 2
+      "GCGCGCGC",    // len 8, gc 8
+      "ACGT",        // len 4, gc 2
+      "AT"           // len 2, gc 0
+    ).toDF("sequence")
+    val r = graft.operators.ViraPipeline.assemblyStats(contigs, "sequence")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r === ((5L, 32L, 10L, 8L, 2L, 22L * 1000000L / 32L)))
+    // degenerate single-contig assembly: N50 = its length, L50 = 1
+    val one = graft.operators.ViraPipeline.assemblyStats(
+      Seq("ACGTACGT").toDF("sequence"), "sequence")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(one === ((1L, 8L, 8L, 8L, 1L, 500000L)))
+  }
 }
