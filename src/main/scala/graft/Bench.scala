@@ -93,9 +93,11 @@ object Bench {
     // and the rewrite-free merge-on-read delete lifecycle
     "q264_snapshot_sql", "q268_mor_delete",
     // closing batch: the table-to-table streaming pipeline (source
-    // tail + exactly-once sink, end-to-end with its fixture commits)
-    // and the row-level change feed across four commit kinds
-    "q272_stream_source", "q273_change_feed")
+    // tail + exactly-once sink, end-to-end with its fixture commits),
+    // the row-level change feed across four commit kinds, the tiled
+    // keyed depth curve, and the DSIR broadcast scoring pass
+    "q272_stream_source", "q273_change_feed", "q275_depth_curve",
+    "q276_dsir_weights")
 
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++

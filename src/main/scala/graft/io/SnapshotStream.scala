@@ -131,7 +131,10 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = toId(end)
     val startId = start.map(toId).orElse(startingSnapshotId).getOrElse(-1L)
-    lastSeen = math.max(lastSeen, endId)
+    // fold BOTH bounds into the cursor: after a restart the engine's
+    // start offset is the recovered truth — reporting anything below
+    // it from a stale cursor would regress the offset log
+    lastSeen = math.max(lastSeen, math.max(startId, endId))
     if (startId >= 0 && endId <= startId)
       return Bridge.emptyStreaming(spark, fixedSchema)
     require(Layout.snapshotEqDeletes(spark, dir, endId).isEmpty,
