@@ -355,4 +355,86 @@ object Web {
     }
     ab.length - bb.length
   }
+
+  /** One robots.txt rule for a chosen agent: the raw path `pattern`
+    * (as written, `*`/`$` wildcards intact) and whether it allows.
+    */
+  final case class RobotRule(pattern: String, allow: Boolean)
+
+  /** Parse a robots.txt body into the rules that apply to `agent` —
+    * RFC 9309 group semantics: consecutive `User-agent:` lines open a
+    * group sharing the rules that follow; the crawler obeys the group
+    * with the MOST SPECIFIC matching agent token (longest token that
+    * is a case-insensitive prefix of `agent`; `*` matches anything at
+    * specificity zero), merging every group carrying that token.
+    * `Allow:`/`Disallow:` values keep their `*`/`$` wildcards; an
+    * empty `Disallow:` means "no restriction" and drops; comments
+    * (`#…`) strip; unknown directives (crawl-delay, sitemap) are
+    * ignored. Percent-decoding equivalence is out of scope
+    * (documented RFC MAY).
+    */
+  def parseRobots(body: String, agent: String): Seq[RobotRule] = {
+    if (body == null) return Nil
+    final case class Group(agents: List[String],
+                           rules: scala.collection.mutable.ListBuffer[RobotRule])
+    val groups = scala.collection.mutable.ListBuffer.empty[Group]
+    var openAgents: List[String] = Nil // consecutive UA lines pending
+    var current: Group = null
+    body.linesIterator.foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (current != null) { openAgents = Nil; current = null }
+            openAgents = value.toLowerCase :: openAgents
+          case "allow" | "disallow" =>
+            if (current == null) {
+              current = Group(openAgents,
+                scala.collection.mutable.ListBuffer.empty)
+              openAgents = Nil
+              if (current.agents.nonEmpty) groups += current
+            }
+            if (value.nonEmpty && current.agents.nonEmpty)
+              current.rules += RobotRule(value, key == "allow")
+          case _ => // crawl-delay, sitemap, unknown: ignored
+        }
+      }
+    }
+    val a = agent.toLowerCase
+    val best = groups.iterator.flatMap(_.agents).filter(ua =>
+      ua == "*" || a.startsWith(ua)).maxByOption(ua =>
+      if (ua == "*") 0 else ua.length)
+    best match {
+      case None => Nil
+      case Some(ua) =>
+        groups.filter(_.agents.contains(ua)).flatMap(_.rules).toSeq
+    }
+  }
+
+  /** A robots path pattern → anchored Java regex: `*` matches any
+    * char run, a TRAILING `$` anchors the end, everything else is
+    * literal (regex metachars escaped). The match target is the URL's
+    * path+query; without `$` the pattern is a prefix match.
+    */
+  def robotsRegex(pattern: String): String = {
+    val (bodyP, anchored) =
+      if (pattern.endsWith("$")) (pattern.dropRight(1), true)
+      else (pattern, false)
+    val sb = new StringBuilder("^")
+    bodyP.foreach {
+      case '*' => sb.append(".*")
+      case c if "\\.[]{}()+-?^$|".indexOf(c) >= 0 =>
+        sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (anchored) sb.append('$')
+    sb.toString
+  }
 }

@@ -99,6 +99,72 @@ object Web {
     df.groupBy(canonicalizeUrl(col(urlCol)).as("canonical_url"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
 
+  /** robots.txt rule extraction (RFC 9309) — one row per (host, rule)
+    * applicable to `agent`: the raw pattern, its allow flag, its
+    * precedence length, and the anchored regex
+    * ([[graft.functions.Web.robotsRegex]]) the filter matches with.
+    * Parsing ([[graft.functions.Web.parseRobots]]: group selection by
+    * most-specific agent token, rule merge across same-token groups)
+    * is one narrow flatMap over the fetched robots bodies — the
+    * output is a per-host RULE TABLE, tiny next to any URL frontier,
+    * built once per crawl cycle and broadcast by [[robotsFilter]].
+    */
+  def robotsRules(robots: DataFrame, hostCol: String, bodyCol: String,
+                  agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string"), col(bodyCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, body) =>
+        graft.functions.Web.parseRobots(body, agent).map(r =>
+          (host, r.pattern, r.allow, r.pattern.length,
+            graft.functions.Web.robotsRegex(r.pattern)))
+      }
+      .toDF("host", "pattern", "allow", "plen", "rx")
+  }
+
+  /** Crawl-politeness filter: label every URL with its robots verdict
+    * under the RFC 9309 longest-match rule — among the host's rules
+    * whose pattern matches the URL's path+query, the LONGEST pattern
+    * wins; a tie goes to allow; no matching rule (or no rules for the
+    * host) defaults to `defaultAllow`. Returns the input plus an
+    * `allowed` column.
+    *
+    * Scale shape: verdicts compute once per DISTINCT (host, path) —
+    * the rule table BROADCASTS into that equi-join (it is per-host
+    * metadata, never frontier-sized), regex matches run on the
+    * deduplicated pairs, and one hash agg takes the
+    * (plen, allow)-max. The frontier itself is touched by exactly one
+    * narrow projection + one equi-join back.
+    */
+  def robotsFilter(urls: DataFrame, urlCol: String, rules: DataFrame,
+                   defaultAllow: Boolean = true): DataFrame = {
+    val hostRx = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+    val pathRx = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)"
+    def hostOf(u: Column) = lower(regexp_extract(u, hostRx, 1))
+    def pathOf(u: Column) = {
+      val p = regexp_extract(u, pathRx, 1)
+      when(p === "", "/").otherwise(p)
+    }
+    val targets = urls.select(hostOf(col(urlCol)).as("host"),
+      pathOf(col(urlCol)).as("pathq")).distinct()
+    val verdicts = targets
+      .join(broadcast(rules.select("host", "plen", "allow", "rx")),
+        Seq("host"))
+      .filter(expr("pathq RLIKE rx"))
+      .groupBy("host", "pathq")
+      .agg(max(struct(col("plen").as("p"), col("allow").as("a"))).as("m"))
+      .select(col("host"), col("pathq"), col("m.a").as("_rf_allowed"))
+    urls
+      .withColumn("host", hostOf(col(urlCol)))
+      .withColumn("pathq", pathOf(col(urlCol)))
+      .join(verdicts, Seq("host", "pathq"), "left")
+      .drop("host", "pathq")
+      .withColumn("allowed",
+        coalesce(col("_rf_allowed"), lit(defaultAllow)))
+      .drop("_rf_allowed")
+  }
+
   /** Boilerplate removal by GLOBAL line frequency (the RefinedWeb /
     * FineWeb recipe): split each document into lines, count how many
     * DISTINCT documents each exact line occurs in, drop lines occurring

@@ -301,6 +301,45 @@ object Web {
     // cascades settle toward the dense core (the link-farm/community-
     // core signal). The oracle unrolls every round: degree HAVING gate
     // then the double semi-join edge restriction.
+    // robots.txt politeness filter (q278): RFC 9309 longest-match
+    // verdicts over a URL frontier — hosts carry prefix, wildcard
+    // (`*`), and end-anchored (`$`) rules with mixed allow/disallow;
+    // the longest matching pattern wins, ties go to allow, uncovered
+    // URLs default to allowed. Rules and URLs derive arithmetically
+    // (rule table from nation, frontier from orders) so the oracle
+    // replays host/path extraction, regex matching, and the
+    // precedence sort exactly. The parser itself (group selection by
+    // most-specific agent token) is pinned in WebSpec on the RFC's
+    // worked examples.
+    "q278_robots_filter" -> { (s, d) =>
+      val m3 = pmod(col("o_orderkey"), lit(3))
+      val urls = Tables.orders(s, d).select(
+        concat(lit("https://h"),
+          pmod(col("o_custkey"), lit(4)).cast("string"),
+          lit(".ex.com/p/"),
+          pmod(col("o_orderkey"), lit(50)).cast("string"),
+          when(m3 === 0, "/x").when(m3 === 1, "?q=1").otherwise(""))
+          .as("url"))
+      val m5 = pmod(col("n_nationkey"), lit(5))
+      val m10 = pmod(col("n_nationkey"), lit(10)).cast("string")
+      val rules = Tables.nation(s, d).select(
+        concat(lit("h"), pmod(col("n_nationkey"), lit(4)).cast("string"),
+          lit(".ex.com")).as("host"),
+        when(m5 === 0, concat(lit("/p/"), m10))
+          .when(m5 === 1, concat(lit("/p/"), m10, lit("*")))
+          .when(m5 === 2, concat(lit("/p/"), m10, lit("$")))
+          .when(m5 === 3, lit("/p/1*7$"))
+          .otherwise(lit("/p/")).as("pattern"),
+        (pmod(col("n_nationkey"), lit(2)) === 0).as("allow"),
+        when(m5 === 0, concat(lit("^/p/"), m10))
+          .when(m5 === 1, concat(lit("^/p/"), m10, lit(".*")))
+          .when(m5 === 2, concat(lit("^/p/"), m10, lit("$")))
+          .when(m5 === 3, lit("^/p/1.*7$"))
+          .otherwise(lit("^/p/")).as("rx"))
+        .withColumn("plen", length(col("pattern")))
+      graft.operators.Web.robotsFilter(urls, "url", rules)
+    },
+
     "q253_kcore" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.agg(count(lit(1)).cast("long").as("n"))
@@ -577,6 +616,56 @@ object Web {
          WHERE f.nd <= 5
          GROUP BY l.doc_id""",
     "q175_pagerank" -> pageRankOracle(5),
+    "q278_robots_filter" ->
+      """WITH urls AS (
+           SELECT 'https://h' || (o_custkey % 4) || '.ex.com/p/' ||
+                  (o_orderkey % 50) ||
+                  CASE WHEN o_orderkey % 3 = 0 THEN '/x'
+                       WHEN o_orderkey % 3 = 1 THEN '?q=1'
+                       ELSE '' END AS url
+           FROM orders),
+         rl AS (
+           SELECT 'h' || (n_nationkey % 4) || '.ex.com' AS host,
+                  CASE n_nationkey % 5
+                    WHEN 0 THEN '/p/' || (n_nationkey % 10)
+                    WHEN 1 THEN '/p/' || (n_nationkey % 10) || '*'
+                    WHEN 2 THEN '/p/' || (n_nationkey % 10) || '$'
+                    WHEN 3 THEN '/p/1*7$'
+                    ELSE '/p/' END AS pattern,
+                  (n_nationkey % 2 = 0) AS allow,
+                  CASE n_nationkey % 5
+                    WHEN 0 THEN '^/p/' || (n_nationkey % 10)
+                    WHEN 1 THEN '^/p/' || (n_nationkey % 10) || '.*'
+                    WHEN 2 THEN '^/p/' || (n_nationkey % 10) || '$'
+                    WHEN 3 THEN '^/p/1.*7$'
+                    ELSE '^/p/' END AS rx
+           FROM nation),
+         rll AS (SELECT *, length(pattern) AS plen FROM rl),
+         t AS (
+           SELECT url,
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+             CASE WHEN regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)', 1) = ''
+               THEN '/'
+               ELSE regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)', 1)
+             END AS pathq
+           FROM urls),
+         cand AS (
+           SELECT DISTINCT tp.host, tp.pathq, rll.allow, rll.plen
+           FROM (SELECT DISTINCT host, pathq FROM t) tp
+           JOIN rll ON tp.host = rll.host
+           WHERE regexp_matches(tp.pathq, rll.rx)),
+         v AS (
+           SELECT host, pathq, allow,
+             row_number() OVER (PARTITION BY host, pathq
+               ORDER BY plen DESC, allow DESC) AS rn
+           FROM cand)
+         SELECT t.url, coalesce(v.allow, TRUE) AS allowed
+         FROM t
+         LEFT JOIN v ON t.host = v.host AND t.pathq = v.pathq
+                    AND v.rn = 1""",
     "q246_label_propagation" -> lpaOracle(3),
     "q250_personalized_pagerank" -> pprOracle(5),
     "q253_kcore" -> kCoreOracle(3, 4),

@@ -194,4 +194,84 @@ class WebSpec extends AnyFunSuite {
     assert(out == Set((1L, "http://a.com/1"), (2L, "http://b.com/2"),
       (4L, "https://c.com/3")))
   }
+
+  test("parseRobots: RFC 9309 group selection, merge, comments, empty disallow") {
+    import graft.functions.Web.{parseRobots, RobotRule}
+    val body =
+      """# politeness config
+        |User-agent: googlebot-news
+        |Disallow: /news-archive
+        |
+        |User-agent: *
+        |Disallow: /private
+        |Allow: /private/ok  # inline comment
+        |Crawl-delay: 10
+        |Disallow:
+        |
+        |User-agent: googlebot
+        |User-agent: fancybot
+        |Disallow: /tmp
+        |
+        |User-agent: googlebot
+        |Disallow: /beta
+        |""".stripMargin
+    // most specific token wins: googlebot-news is longer than googlebot
+    assert(parseRobots(body, "Googlebot-News") ===
+      Seq(RobotRule("/news-archive", false)))
+    // googlebot matches two groups carrying the same token — merged;
+    // the * group does NOT apply once a specific token matches
+    assert(parseRobots(body, "GoogleBot").toSet ===
+      Set(RobotRule("/tmp", false), RobotRule("/beta", false)))
+    // unmatched agents fall to *; empty Disallow and crawl-delay drop
+    assert(parseRobots(body, "otherbot") ===
+      Seq(RobotRule("/private", false), RobotRule("/private/ok", true)))
+    assert(parseRobots(null, "x") === Nil)
+    // rules before any user-agent line are ignored
+    assert(parseRobots("Disallow: /x\nUser-agent: *\nAllow: /y", "b") ===
+      Seq(RobotRule("/y", true)))
+  }
+
+  test("robotsRegex + robotsFilter: RFC longest-match precedence end to end") {
+    import graft.functions.Web.robotsRegex
+    import spark.implicits._
+    // regex conversion: escape metachars, * wildcard, $ anchor
+    assert(robotsRegex("/p/a.b") === "^/p/a\\.b")
+    assert(robotsRegex("/*.htm$") === "^/.*\\.htm$")
+    assert("/page.htm".matches(robotsRegex("/*.htm$")))
+    assert(!"/page.html".matches(robotsRegex("/*.htm$")))
+    // Google's documented precedence examples, through the full
+    // parse -> rules -> filter pipeline
+    val robots = Seq(("ex.com",
+      """User-agent: *
+        |Allow: /p
+        |Disallow: /
+        |Allow: /folder
+        |Disallow: /folder
+        |Allow: /page
+        |Disallow: /*.htm
+        |Allow: /$
+        |""".stripMargin)).toDF("host", "body")
+    val rules = graft.operators.Web.robotsRules(robots, "host", "body", "mybot")
+    val urls = Seq(
+      "https://ex.com/page",       // /page (5) beats / (1) -> allow
+      "https://ex.com/folder/x",   // tie /folder vs /folder -> allow
+      "https://ex.com/page.htm",   // /*.htm (6) beats /page (5) -> disallow
+      "https://ex.com/",           // /$ (2) beats / (1) -> allow
+      "https://ex.com/other"       // only / matches -> disallow
+    ).toDF("url")
+    val got = graft.operators.Web.robotsFilter(urls, "url", rules)
+      .as[(String, Boolean)].collect().toMap
+    assert(got === Map(
+      "https://ex.com/page" -> true,
+      "https://ex.com/folder/x" -> true,
+      "https://ex.com/page.htm" -> false,
+      "https://ex.com/" -> true,
+      "https://ex.com/other" -> false))
+    // a host with no rules defaults (both ways)
+    val stray = Seq("https://none.com/x").toDF("url")
+    assert(graft.operators.Web.robotsFilter(stray, "url", rules)
+      .as[(String, Boolean)].head()._2)
+    assert(!graft.operators.Web.robotsFilter(stray, "url", rules,
+      defaultAllow = false).as[(String, Boolean)].head()._2)
+  }
 }
