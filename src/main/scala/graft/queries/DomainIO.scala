@@ -524,6 +524,44 @@ object DomainIO {
         .select(col("entry"), md5(col("content")).as("content_md5"))
     },
 
+    // VCF round-trip (q279): variants synthesized arithmetically,
+    // written as spec VCF text (dots for nulls, comma'd multi-allelic
+    // ALT, INFO flags bare), read back through the splittable scan,
+    // then filtered on a parsed QUAL threshold + an INFO FLAG key and
+    // projected to scalars (DP as int, AF as written). The oracle
+    // recomputes the surviving rows from lineitem directly — the
+    // whole serialize→parse→null-handling loop is under the hash.
+    "q279_vcf_roundtrip" -> { (s, d) =>
+      val dir = tmp(d, "vcf")
+      val li = Tables.lineitem(s, d)
+      val variants = li.select(
+        concat(lit("chr"),
+          pmod(col("l_partkey"), lit(4)).cast("string")).as("chrom"),
+        (pmod(col("l_orderkey"), lit(100000)) + 1).cast("long").as("pos"),
+        when(pmod(col("l_orderkey"), lit(3)) === 0,
+          concat(lit("rs"), col("l_suppkey").cast("string")))
+          .otherwise(lit(null)).as("id"),
+        lit("A").as("ref"),
+        when(pmod(col("l_partkey"), lit(2)) === 0, array(lit("T")))
+          .otherwise(array(lit("T"), lit("G"))).as("alt"),
+        (pmod(col("l_partkey"), lit(150)).cast("double") / 10.0)
+          .as("qual"),
+        when(pmod(col("l_suppkey"), lit(5)) === 0, "PASS")
+          .otherwise("q10").as("filter"),
+        expr("str_to_map(concat('DP=', l_partkey % 50, ';AF=0.', " +
+          "l_suppkey % 9, IF(l_orderkey % 7 = 0, ';DB', '')), " +
+          "';', '=')").as("info"))
+      graft.io.Vcf.write(variants, dir)
+      graft.io.Vcf.read(s, dir)
+        .filter(col("qual") >= 7.5 &&
+          array_contains(map_keys(col("info")), "DB"))
+        .select(col("chrom"), col("pos"), col("id"), col("ref"),
+          array_join(col("alt"), ",").as("alts"), col("qual"),
+          col("filter"),
+          element_at(col("info"), "DP").cast("int").as("dp"),
+          element_at(col("info"), "AF").as("af"))
+    },
+
     // Assembly statistics (q277): the QUAST-style post-assembly QC
     // row — N50/L50 via the descending-length cumulative crossing,
     // GC as exact ppm — over the q51 contig fixture. All-integer
@@ -540,6 +578,19 @@ object DomainIO {
   )
 
   val oracles: Map[String, String] = Map(
+    "q279_vcf_roundtrip" ->
+      """SELECT 'chr' || (l_partkey % 4) AS chrom,
+              CAST(l_orderkey % 100000 + 1 AS BIGINT) AS pos,
+              CASE WHEN l_orderkey % 3 = 0 THEN 'rs' || l_suppkey END AS id,
+              'A' AS ref,
+              CASE WHEN l_partkey % 2 = 0 THEN 'T' ELSE 'T,G' END AS alts,
+              CAST(l_partkey % 150 AS DOUBLE) / 10.0 AS qual,
+              CASE WHEN l_suppkey % 5 = 0 THEN 'PASS'
+                   ELSE 'q10' END AS filter,
+              CAST(l_partkey % 50 AS INTEGER) AS dp,
+              '0.' || (l_suppkey % 9) AS af
+         FROM lineitem
+         WHERE l_partkey % 150 >= 75 AND l_orderkey % 7 = 0""",
     "q277_assembly_stats" ->
       """WITH contigs AS (
            SELECT translate(regexp_replace(upper(p_name), '[^A-Z]', '', 'g'),

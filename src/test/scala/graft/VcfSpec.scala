@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VCF source/sink: spec null handling ('.'), multi-allelic ALT,
+  * INFO map with FLAG keys, header skipping, and write→read
+  * round-trip fidelity.
+  */
+class VcfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("read: headers skip, dots null, multi-alt splits, INFO maps with flags") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcf").toString
+    val body =
+      """##fileformat=VCFv4.3
+        |##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr1	101	rs1	A	T	50.0	PASS	DP=30;AF=0.5
+        |chr1	205	.	G	C,T	.	q10	DP=7;DB
+        |chr2	9	rs9	TTA	T	12.5	.	.
+        |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.vcf"), body)
+    val df = graft.io.Vcf.read(spark, dir).orderBy("chrom", "pos")
+    val rows = df.collect()
+    assert(rows.length === 3)
+    val r1 = rows(0)
+    assert(r1.getString(0) === "chr1" && r1.getLong(1) === 101L)
+    assert(r1.getString(2) === "rs1")
+    assert(r1.getSeq[String](4) === Seq("T"))
+    assert(r1.getDouble(5) === 50.0)
+    assert(r1.getMap[String, String](7).toMap ===
+      Map("DP" -> "30", "AF" -> "0.5"))
+    val r2 = rows(1)
+    assert(r2.isNullAt(2), "'.' id is null")
+    assert(r2.getSeq[String](4) === Seq("C", "T"), "multi-allelic")
+    assert(r2.isNullAt(5), "'.' qual is null")
+    val m2 = r2.getMap[String, String](7)
+    assert(m2.get("DP") === Some("7"))
+    assert(m2.contains("DB") && m2("DB") == null, "FLAG key, null value")
+    val r3 = rows(2)
+    assert(r3.isNullAt(6), "'.' filter is null")
+    assert(r3.getMap[String, String](7).isEmpty, "'.' INFO is empty map")
+  }
+
+  test("write -> read round-trips the typed shape, including nulls and flags") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcfrt").toString
+    val src =
+      """##fileformat=VCFv4.3
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chrX	7	.	A	G,TT	99.5	PASS	AC=2;DB;AF=0.25
+        |chrX	8	rs8	C	.	.	.	.
+        |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.vcf"), src)
+    val a = graft.io.Vcf.read(spark, s"$dir/in.vcf")
+    graft.io.Vcf.write(a.coalesce(1), s"$dir/out")
+    val b = graft.io.Vcf.read(spark, s"$dir/out")
+    val norm = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("chrom"), col("pos"), col("id"), col("ref"),
+      array_join(col("alt"), ",").as("alt"), col("qual"), col("filter"),
+      map_entries(col("info")).cast("string").as("info"))
+      .collect().toSet
+    assert(norm(a) === norm(b))
+    // the emitted file is a standalone VCF: header present
+    val written = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("part")).head
+    val first = scala.io.Source.fromFile(written).getLines().take(2).toSeq
+    assert(first.head.startsWith("##fileformat"))
+  }
+}
