@@ -48,6 +48,62 @@ object Vcf {
           .as("info"))
   }
 
+  /** Multi-sample GENOTYPE scan — the population-genetics half the
+    * typed core skips: every (site, sample) pair as one long-format
+    * row `(chrom, pos, ref, alt, sample, geno)` where `geno` maps the
+    * site's FORMAT keys (GT, DP, …) to that sample's values. Sample
+    * NAMES live only on each file's `#CHROM` header line, so the scan
+    * does ONE bounded driver read per file (first header line — the
+    * same footer-probe discipline the genomic loaders use), builds a
+    * (file, column-index → sample) table, and resolves names with a
+    * broadcast equi-join; the data pass itself stays the splittable
+    * line scan, exploded positionally. Files with different sample
+    * sets union naturally in long format.
+    */
+  def readSamples(spark: SparkSession, path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(path))
+    val files =
+      (if (st.isDirectory)
+        fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+      else Seq(st)).map(_.getPath)
+    val sampleRows = files.flatMap { p =>
+      val in = fs.open(p)
+      val header =
+        try {
+          val src = scala.io.Source.fromInputStream(in, "UTF-8")
+          src.getLines().find(l =>
+            l.startsWith("#") && !l.startsWith("##"))
+        } finally in.close()
+      header.toSeq.flatMap(_.split('\t').drop(9).zipWithIndex.map {
+        case (name, i) => (p.toString, i, name)
+      })
+    }
+    import spark.implicits._
+    require(sampleRows.nonEmpty,
+      s"no #CHROM header with sample columns under $path")
+    val samples = sampleRows.toDF("_sfile", "_idx", "sample")
+    val f = split(col("value"), "\t")
+    spark.read.text(path)
+      .filter(!col("value").startsWith("#") &&
+        length(trim(col("value"))) > 0)
+      .select(col("_metadata.file_path").as("_file"),
+        f.getItem(0).as("chrom"),
+        f.getItem(1).cast("long").as("pos"),
+        f.getItem(3).as("ref"),
+        split(f.getItem(4), ",").as("alt"),
+        split(f.getItem(8), ":").as("_fmt"),
+        posexplode(slice(f, 10, 100000)).as(Seq("_idx0", "_sval")))
+      .join(broadcast(samples),
+        col("_file") === col("_sfile") && col("_idx0") === col("_idx"))
+      .select(col("chrom"), col("pos"), col("ref"),
+        col("alt"), col("sample"),
+        map_from_arrays(col("_fmt"), split(col("_sval"), ":")).as("geno"))
+  }
+
   /** VCF sink: the typed shape back to spec text — `.` for nulls, ALT
     * re-joined on commas, INFO entries re-serialized in map order
     * (FLAG keys bare, `key=value` otherwise). Emits the minimal

@@ -562,6 +562,36 @@ object DomainIO {
           element_at(col("info"), "AF").as("af"))
     },
 
+    // Multi-sample VCF genotypes (q280): a 3-sample VCF (FORMAT GT:DP)
+    // read through readSamples into LONG format — sample names resolve
+    // from the file's #CHROM header (one bounded driver line-read per
+    // file), genotype fields positionally explode and key by FORMAT.
+    // The oracle replays the (site x sample) matrix from orders.
+    "q280_vcf_samples" -> { (s, d) =>
+      val dir = tmp(d, "vcf_samples")
+      val o = Tables.orders(s, d)
+      def sv(i: Int) = concat(
+        when(pmod(col("o_orderkey") + i, lit(3)) === 0, "0/0")
+          .when(pmod(col("o_orderkey") + i, lit(3)) === 1, "0/1")
+          .otherwise("1/1"),
+        lit(":"), pmod(col("o_orderkey") * i, lit(60)).cast("string"))
+      val lines = o.select(concat_ws("\t",
+        concat(lit("chr"), pmod(col("o_custkey"), lit(3)).cast("string")),
+        col("o_orderkey").cast("string"), lit("."), lit("A"), lit("G"),
+        lit("50"), lit("PASS"), lit("NS=3"), lit("GT:DP"),
+        sv(1), sv(2), sv(3)).as("value"))
+      import s.implicits._
+      val header = "##fileformat=VCFv4.3\n" +
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsA\tsB\tsC"
+      lines.coalesce(1).as[String]
+        .mapPartitions(it => Iterator(header) ++ it)
+        .write.mode("overwrite").text(dir)
+      graft.io.Vcf.readSamples(s, dir)
+        .select(col("chrom"), col("pos"), col("sample"),
+          element_at(col("geno"), "GT").as("gt"),
+          element_at(col("geno"), "DP").cast("int").as("dp"))
+    },
+
     // Assembly statistics (q277): the QUAST-style post-assembly QC
     // row — N50/L50 via the descending-length cumulative crossing,
     // GC as exact ppm — over the q51 contig fixture. All-integer
@@ -578,6 +608,16 @@ object DomainIO {
   )
 
   val oracles: Map[String, String] = Map(
+    "q280_vcf_samples" ->
+      """WITH sm AS (SELECT * FROM (VALUES ('sA', 1), ('sB', 2),
+                ('sC', 3)) AS t(sample, i))
+         SELECT 'chr' || (o_custkey % 3) AS chrom,
+                CAST(o_orderkey AS BIGINT) AS pos,
+                sample,
+                CASE (o_orderkey + i) % 3 WHEN 0 THEN '0/0'
+                     WHEN 1 THEN '0/1' ELSE '1/1' END AS gt,
+                CAST((o_orderkey * i) % 60 AS INTEGER) AS dp
+         FROM orders CROSS JOIN sm""",
     "q279_vcf_roundtrip" ->
       """SELECT 'chr' || (l_partkey % 4) AS chrom,
               CAST(l_orderkey % 100000 + 1 AS BIGINT) AS pos,

@@ -70,4 +70,30 @@ class VcfSpec extends AnyFunSuite {
     val first = scala.io.Source.fromFile(written).getLines().take(2).toSeq
     assert(first.head.startsWith("##fileformat"))
   }
+
+  test("readSamples: per-file sample resolution, FORMAT keying, mixed sample sets union") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcfgt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.vcf"),
+      """##fileformat=VCFv4.3
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	alice	bob
+        |chr1	5	.	A	G	50	PASS	.	GT:DP	0/1:12	1/1:7
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.vcf"),
+      """##fileformat=VCFv4.3
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	bob	carol
+        |chr2	9	.	C	T	10	q10	.	GT	0/0	0/1
+        |""".stripMargin)
+    val got = graft.io.Vcf.readSamples(spark, dir)
+      .select(col("chrom"), col("pos"), col("sample"),
+        element_at(col("geno"), "GT").as("gt"),
+        element_at(col("geno"), "DP").as("dp"))
+      .as[(String, Long, String, String, Option[String])].collect().toSet
+    assert(got === Set(
+      ("chr1", 5L, "alice", "0/1", Some("12")),
+      ("chr1", 5L, "bob", "1/1", Some("7")),
+      ("chr2", 9L, "bob", "0/0", None),
+      ("chr2", 9L, "carol", "0/1", None)),
+      s"got $got")
+  }
 }
