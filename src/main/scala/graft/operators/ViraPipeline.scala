@@ -179,6 +179,29 @@ object ViraPipeline {
     }.toDF("id", "sequence")
   }
 
+  /** Per-site allele frequencies from a long-format genotype matrix
+    * ([[graft.io.Vcf.readSamples]] output): GT parses on `/` or `|`
+    * (unphased/phased), `.` alleles are uncalled, any non-zero allele
+    * index counts as alternate (multi-allelic sites pool their alts).
+    * Frequencies report as exact parts-per-million (`alt · 10⁶ div
+    * called`) — integer end to end, no cross-engine float drift.
+    * One narrow projection + one hash agg by site; the per-genotype
+    * HOF filters run on 3-7 char strings (not a hot-loop concern).
+    */
+  def alleleFrequencies(genotypes: DataFrame): DataFrame = {
+    val alleles = split(element_at(col("geno"), "GT"), "[/|]")
+    genotypes.select(col("chrom"), col("pos"),
+      size(filter(alleles, a => a =!= "."))
+        .cast("long").as("_called"),
+      size(filter(alleles, a => a =!= "." && a =!= "0"))
+        .cast("long").as("_alt"))
+      .groupBy("chrom", "pos")
+      .agg(sum("_called").as("n_called"), sum("_alt").as("n_alt"))
+      .withColumn("af_ppm",
+        when(col("n_called") === 0, lit(null))
+          .otherwise(expr("n_alt * 1000000 DIV n_called")))
+  }
+
   /** Assembly statistics — the post-assembly QC summary every
     * MegaHit/SPAdes run gets (QUAST's headline row): one row of
     * (n_contigs, total_bp, max_len, N50, L50, gc_ppm). N50 is the

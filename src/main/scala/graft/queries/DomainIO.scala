@@ -592,6 +592,33 @@ object DomainIO {
           element_at(col("geno"), "DP").cast("int").as("dp"))
     },
 
+    // Allele frequencies (q281): the q280 genotype matrix folded to
+    // per-site (n_called, n_alt, af_ppm) — GT parsing, uncalled
+    // handling, and the exact-ppm arithmetic all replayed by the
+    // oracle from the generating arithmetic.
+    "q281_allele_freq" -> { (s, d) =>
+      val dir = tmp(d, "vcf_af")
+      val o = Tables.orders(s, d)
+      def sv(i: Int) = concat(
+        when(pmod(col("o_orderkey") + i, lit(3)) === 0, "0/0")
+          .when(pmod(col("o_orderkey") + i, lit(3)) === 1, "0/1")
+          .otherwise("1/1"),
+        lit(":"), pmod(col("o_orderkey") * i, lit(60)).cast("string"))
+      val lines = o.select(concat_ws("\t",
+        concat(lit("chr"), pmod(col("o_custkey"), lit(3)).cast("string")),
+        col("o_orderkey").cast("string"), lit("."), lit("A"), lit("G"),
+        lit("50"), lit("PASS"), lit("NS=3"), lit("GT:DP"),
+        sv(1), sv(2), sv(3)).as("value"))
+      import s.implicits._
+      val header = "##fileformat=VCFv4.3\n" +
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsA\tsB\tsC"
+      lines.coalesce(1).as[String]
+        .mapPartitions(it => Iterator(header) ++ it)
+        .write.mode("overwrite").text(dir)
+      graft.operators.ViraPipeline.alleleFrequencies(
+        graft.io.Vcf.readSamples(s, dir))
+    },
+
     // Assembly statistics (q277): the QUAST-style post-assembly QC
     // row — N50/L50 via the descending-length cumulative crossing,
     // GC as exact ppm — over the q51 contig fixture. All-integer
@@ -608,6 +635,21 @@ object DomainIO {
   )
 
   val oracles: Map[String, String] = Map(
+    "q281_allele_freq" ->
+      """WITH per AS (
+           SELECT 'chr' || (o_custkey % 3) AS chrom,
+                  CAST(o_orderkey AS BIGINT) AS pos,
+                  CASE (o_orderkey + 1) % 3 WHEN 0 THEN 0
+                       WHEN 1 THEN 1 ELSE 2 END
+                + CASE (o_orderkey + 2) % 3 WHEN 0 THEN 0
+                       WHEN 1 THEN 1 ELSE 2 END
+                + CASE (o_orderkey + 3) % 3 WHEN 0 THEN 0
+                       WHEN 1 THEN 1 ELSE 2 END AS alt
+           FROM orders)
+         SELECT chrom, pos, CAST(6 AS BIGINT) AS n_called,
+                CAST(alt AS BIGINT) AS n_alt,
+                CAST(alt AS BIGINT) * 1000000 // 6 AS af_ppm
+         FROM per""",
     "q280_vcf_samples" ->
       """WITH sm AS (SELECT * FROM (VALUES ('sA', 1), ('sB', 2),
                 ('sC', 3)) AS t(sample, i))

@@ -96,4 +96,22 @@ class VcfSpec extends AnyFunSuite {
       ("chr2", 9L, "carol", "0/1", None)),
       s"got $got")
   }
+
+  test("alleleFrequencies: phased, uncalled, multi-allelic, zero-called sites") {
+    import spark.implicits._
+    val g = Seq(
+      ("chr1", 1L, "alice", Map("GT" -> "0/1")),
+      ("chr1", 1L, "bob", Map("GT" -> "1|1")),   // phased
+      ("chr1", 1L, "carol", Map("GT" -> "./.")), // uncalled
+      ("chr2", 2L, "alice", Map("GT" -> "0/2")), // multi-allelic alt
+      ("chr2", 2L, "bob", Map("GT" -> "0/0")),
+      ("chr3", 3L, "alice", Map("GT" -> "./."))
+    ).toDF("chrom", "pos", "sample", "geno")
+    val r = graft.operators.ViraPipeline.alleleFrequencies(g)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSet
+    assert(r === Set(
+      ("chr1", 1L, 4L, 3L, Some(750000L)),
+      ("chr2", 2L, 4L, 1L, Some(250000L)),
+      ("chr3", 3L, 0L, 0L, None)))
+  }
 }
