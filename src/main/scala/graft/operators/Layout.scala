@@ -3195,4 +3195,68 @@ object Layout {
           .as(sumCol))
       .filter(col(countCol) > 0)
   }
+
+  /** Policy for [[maintainTable]] — every knob maps to one existing,
+    * individually-verified primitive; the runner only decides WHEN.
+    */
+  final case class MaintenancePolicy(
+      targetFileBytes: Long = 128L << 20,
+      minSmallFiles: Int = 8,
+      settleDeletes: Boolean = true,
+      expireOlderThanMs: Option[Long] = None,
+      keepLastSnapshots: Int = 2,
+      vacuumKeep: Option[Int] = Some(2))
+
+  /** One-call TABLE SERVICES pass — the nightly-maintenance loop every
+    * deployed table format grows (Delta's OPTIMIZE + VACUUM cron,
+    * Iceberg's maintenance actions), composed from the engine's own
+    * verified primitives in debt-first order:
+    *
+    *  1. settle merge-on-read debt ([[materializeDeletes]]) if any
+    *     position/equality tombstones are outstanding — restores the
+    *     SQL surface and makes the compaction pass see live rows only;
+    *  2. compact when the CURRENT snapshot lists at least
+    *     `minSmallFiles` files under half `targetFileBytes`
+    *     ([[compactSnapshot]]) — a healthy table is untouched, so the
+    *     pass is cheap to run on a schedule;
+    *  3. expire history past the retention window
+    *     ([[expireSnapshots]], when `expireOlderThanMs` is set);
+    *  4. vacuum unreferenced files ([[vacuum]], when `vacuumKeep` is
+    *     set).
+    *
+    * Returns one (action, detail) row per action TAKEN (empty = the
+    * table was already healthy) — the report a scheduler logs. Table
+    * CONTENT is invariant under every step; LayoutSpec pins that.
+    */
+  def maintainTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    policy: MaintenancePolicy = MaintenancePolicy())
+      : DataFrame = {
+    import spark.implicits._
+    val actions = Seq.newBuilder[(String, String)]
+    if (policy.settleDeletes &&
+        (snapshotDeletes(spark, dir).nonEmpty ||
+          snapshotEqDeletes(spark, dir).nonEmpty)) {
+      val sid = materializeDeletes(spark, dir)
+      actions += (("settle_deletes", s"snapshot $sid"))
+    }
+    val small = snapshotFiles(spark, dir)
+      .count(_.bytes.exists(_ < policy.targetFileBytes / 2))
+    if (small >= policy.minSmallFiles) {
+      val (sid, before, after) =
+        compactSnapshot(spark, dir, policy.targetFileBytes)
+      actions += (("compact", s"snapshot $sid: $before -> $after files"))
+    }
+    policy.expireOlderThanMs.foreach { cutoff =>
+      val (expired, reclaimed) = expireSnapshots(spark, dir, cutoff,
+        keepLast = policy.keepLastSnapshots)
+      if (expired > 0)
+        actions += (("expire",
+          s"$expired snapshots, $reclaimed files reclaimed"))
+    }
+    policy.vacuumKeep.foreach { keep =>
+      val n = vacuum(spark, dir, keep)
+      if (n > 0) actions += (("vacuum", s"$n orphan files reclaimed"))
+    }
+    actions.result().toDF("action", "detail")
+  }
 }

@@ -1546,6 +1546,38 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.snapshotRead(spark, dir, 1L).count() === 100)
   }
 
+  test("maintainTable: settles debt, compacts, expires, vacuums; healthy tables untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    Layout.snapshotWrite((1L to 400L).toDF("id").repartition(16), dir,
+      statsCols = Seq("id"))
+    Layout.snapshotAppend((401L to 600L).toDF("id").repartition(16), dir)
+    // phase A — fragmented, no debt: compact fires, retention trims,
+    // vacuum reclaims the orphaned fragments
+    val report = Layout.maintainTable(spark, dir, Layout.MaintenancePolicy(
+      targetFileBytes = 64L << 20, minSmallFiles = 8,
+      expireOlderThanMs = Some(System.currentTimeMillis() + 10000),
+      keepLastSnapshots = 2, vacuumKeep = Some(2)))
+      .collect().map(_.getString(0)).toSeq
+    assert(report === Seq("compact", "expire", "vacuum"), s"got $report")
+    assert(Layout.snapshotRead(spark, dir).count() === 600)
+    assert(Layout.snapshotFiles(spark, dir).size < 8, "fragments merged")
+    assert(Layout.snapshotIds(spark, dir).size === 2, "history trimmed")
+    // phase B — merge-on-read debt: settle fires FIRST and alone
+    Layout.deleteWhereMoR(spark, dir, Layout.StatPred.Between("id", 1L, 50L))
+    val report2 = Layout.maintainTable(spark, dir, Layout.MaintenancePolicy(
+      targetFileBytes = 64L << 20, minSmallFiles = 8, vacuumKeep = None))
+      .collect().map(_.getString(0)).toSeq
+    assert(report2 === Seq("settle_deletes"), s"got $report2")
+    assert(Layout.snapshotRead(spark, dir).count() === 550)
+    assert(Layout.snapshotDeletes(spark, dir).isEmpty, "debt settled")
+    // phase C — a healthy table takes NO action
+    val again = Layout.maintainTable(spark, dir, Layout.MaintenancePolicy(
+      targetFileBytes = 64L << 20, minSmallFiles = 8, vacuumKeep = None))
+    assert(again.isEmpty, s"healthy table must be untouched: " +
+      s"${again.collect().mkString(", ")}")
+  }
+
   test("changeFeed: append/compact/delete/update commits as exact tagged rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cdf").toString
