@@ -1231,6 +1231,170 @@ object Corpus {
       }
   }
 
+  final case class GopherSignals(
+      doc_id: Long, n_words: Long, sum_word_chars: Long,
+      n_symbol_hits: Long, n_lines: Long, n_bullet_lines: Long,
+      n_ellipsis_lines: Long, n_alpha_words: Long, stop_hits: Long,
+      r_word_count: Boolean, r_mean_word_len: Boolean,
+      r_symbol_ratio: Boolean, r_bullet_lines: Boolean,
+      r_ellipsis_lines: Boolean, r_alpha_words: Boolean,
+      r_stopwords: Boolean, pass: Boolean)
+
+  /** The eight required stopwords of the Gopher rule filter (Rae et
+    * al. 2021 §A1.1) — a document must contain at least two.
+    */
+  val GopherStopwords: Set[String] =
+    Set("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher RULE filter (Rae et al. 2021, appendix A1.1) — the
+    * published per-document quality gate run before any model-based
+    * scoring, emitted with per-rule verdicts so a curation pipeline can
+    * audit WHICH rule rejected each document (the flags published
+    * pipelines log):
+    *
+    *   1. word count in [50, 100000];
+    *   2. mean word length in [3, 10];
+    *   3. hash-or-ellipsis symbol-to-word ratio <= 0.1;
+    *   4. <= 90% of lines start with a bullet (`•`, `-`, `*`);
+    *   5. <= 30% of lines end with an ellipsis (`...` or `…`);
+    *   6. >= 80% of words contain an alphabetic character;
+    *   7. at least 2 of [[GopherStopwords]] appear as (lowercased)
+    *      tokens.
+    *
+    * Every ratio threshold is evaluated by exact INTEGER
+    * cross-multiplication (`10·hits <= words`, `5·alpha >= 4·words`,
+    * ...), and the raw numerators/denominators ship alongside the
+    * verdicts — no float leaves the operator, so the cross-engine
+    * compare has no rounding hazard and a pipeline can re-derive any
+    * rule at a different threshold without re-scanning the corpus.
+    *
+    * Scale shape: like [[repetitionSignals]], ONE narrow mapPartitions
+    * pass — per-document arithmetic only, no explode, no shuffle,
+    * embarrassingly parallel over the scan's own partitioning (the
+    * measured 13.9× tagger win over the explode/groupBy relational
+    * form, BenchScalars). Tokenization matches
+    * [[TextFunctions.tokens]]; symbol hits count `#` characters plus
+    * NON-overlapping left-to-right `...` occurrences (the `replace`
+    * counting rule both engines share).
+    */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  minWords: Long = 50L, maxWords: Long = 100000L)
+      : org.apache.spark.sql.Dataset[GopherSignals] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+          val nWords = toks.length.toLong
+          var sumChars = 0L; var nAlpha = 0L
+          val stopsSeen = new java.util.HashSet[String]()
+          toks.foreach { w =>
+            sumChars += w.length
+            var hasAlpha = false; var i = 0
+            while (i < w.length && !hasAlpha) {
+              val c = w.charAt(i)
+              hasAlpha = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+              i += 1
+            }
+            if (hasAlpha) nAlpha += 1
+            val lw = w.toLowerCase(java.util.Locale.ROOT)
+            if (GopherStopwords.contains(lw)) stopsSeen.add(lw)
+          }
+          var symbolHits = 0L; var i = 0
+          while (i < text.length) {
+            if (text.charAt(i) == '#') { symbolHits += 1; i += 1 }
+            else if (text.startsWith("...", i)) { symbolHits += 1; i += 3 }
+            else i += 1
+          }
+          val lines = text.split("\n", -1)
+          var bullet = 0L; var ellipsis = 0L
+          lines.foreach { l =>
+            if (l.nonEmpty && (l.charAt(0) == '•' || l.charAt(0) == '-' ||
+                l.charAt(0) == '*')) bullet += 1
+            if (l.endsWith("...") || l.endsWith("…")) ellipsis += 1
+          }
+          val stopHits = stopsSeen.size.toLong
+          val rWc = nWords >= minWords && nWords <= maxWords
+          val rMwl = 3L * nWords <= sumChars && sumChars <= 10L * nWords
+          val rSym = 10L * symbolHits <= nWords
+          val rBul = 10L * bullet <= 9L * lines.length
+          val rEll = 10L * ellipsis <= 3L * lines.length
+          val rAlp = 5L * nAlpha >= 4L * nWords
+          val rStp = stopHits >= 2L
+          GopherSignals(id, nWords, sumChars, symbolHits,
+            lines.length.toLong, bullet, ellipsis, nAlpha, stopHits,
+            rWc, rMwl, rSym, rBul, rEll, rAlp, rStp,
+            rWc && rMwl && rSym && rBul && rEll && rAlp && rStp)
+        }
+      }
+  }
+
+  final case class C4Result(doc_id: Long, text: String,
+                            n_lines_kept: Long, n_sentences: Long,
+                            kept: Boolean)
+
+  /** C4-style line cleaning (Raffel et al. 2020 §2.2) — the published
+    * line- and page-level gate of the C4 corpus build:
+    *
+    *   - a LINE survives iff it ends in terminal punctuation
+    *     (`.`, `!`, `?`, `"`), carries at least 3 whitespace words, and
+    *     does not contain the word `javascript` (case-insensitive);
+    *   - the PAGE survives iff the retained text still carries at
+    *     least 5 sentence-ending marks (`.`, `!`, `?`), the ORIGINAL
+    *     text contains no curly brace (the code-page signal), and no
+    *     phrase from `badPhrases` (lowercase match; C4's canonical
+    *     entry is `lorem ipsum`).
+    *
+    * Every document comes back (cleaned text + counters + the `kept`
+    * verdict) so the caller chooses filter vs audit; the corpus-level
+    * three-sentence-span dedup that completes C4 composes downstream
+    * as [[removeDuplicateSpans]] — line cleaning is per-document,
+    * span dedup is the corpus-wide shuffle, and keeping them separate
+    * keeps this pass narrow.
+    *
+    * Scale shape: ONE mapPartitions pass, per-document arithmetic
+    * only — no shuffle at any size.
+    */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text",
+              badPhrases: Seq[String] = Seq("lorem ipsum"))
+      : org.apache.spark.sql.Dataset[C4Result] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bad = badPhrases.map(_.toLowerCase(java.util.Locale.ROOT))
+    docs.select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val keptLines = text.split("\n", -1).filter { l =>
+            val lastOk = l.nonEmpty && {
+              val c = l.charAt(l.length - 1)
+              c == '.' || c == '!' || c == '?' || c == '"'
+            }
+            lastOk &&
+              l.trim.split("\\s+").count(_.nonEmpty) >= 3 &&
+              !l.toLowerCase(java.util.Locale.ROOT).contains("javascript")
+          }
+          val cleaned = keptLines.mkString("\n")
+          var sentences = 0L; var i = 0
+          while (i < cleaned.length) {
+            val c = cleaned.charAt(i)
+            if (c == '.' || c == '!' || c == '?') sentences += 1
+            i += 1
+          }
+          val lower = text.toLowerCase(java.util.Locale.ROOT)
+          val kept = sentences >= 5L && !text.contains('{') &&
+            !bad.exists(lower.contains)
+          C4Result(id, cleaned, keptLines.length.toLong, sentences, kept)
+        }
+      }
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement — the
     * Efraimidis–Spirtes A-ES key (IPL 2006, public algorithm): give
     * each row the key ln(u) / w for a per-row uniform u ∈ (0, 1] and
