@@ -44,7 +44,8 @@ import org.apache.spark.sql.types.StructType
   * the same seam Delta Lake's data skipping uses. Options: `path`
   * (required), `snapshotId` (time travel; default latest),
   * `asOfTimestamp` (calendar time travel — epoch millis, ISO-8601
-  * instant, or session-zone datetime), `mergeSchema` (union schema
+  * instant, or session-zone datetime), `ref` (a named tag/branch —
+  * [[graft.operators.Layout.createTag]]), `mergeSchema` (union schema
   * across widening appends).
   *
   * Scale shape: planning cost is one manifest read (the entries carry
@@ -182,12 +183,14 @@ class SnapshotSource extends RelationProvider
     // accepts epoch millis, an ISO-8601 instant, or a local datetime
     // in the session timezone) — resolved to the newest snapshot whose
     // commit time is <= the instant, exactly Layout.snapshotAsOf
-    require(!(opts.contains("snapshotid") && opts.contains("asoftimestamp")),
-      "snapshot source takes snapshotId OR asOfTimestamp, not both")
+    require(Seq("snapshotid", "asoftimestamp", "ref")
+      .count(opts.contains) <= 1,
+      "snapshot source takes AT MOST ONE of snapshotId, asOfTimestamp, ref")
     val snapId = opts.get("snapshotid").map(_.toLong)
       .orElse(opts.get("asoftimestamp").map(ts =>
         Layout.snapshotAsOf(spark, dir, SnapshotSource.parseInstantMs(
           ts, spark.sessionState.conf.sessionLocalTimeZone))))
+      .orElse(opts.get("ref").map(Layout.resolveRef(spark, dir, _)))
       .getOrElse(-1L)
     val mergeSchema = opts.get("mergeschema").exists(_.toBoolean)
     // merge-on-read deletes are row-level; a FileIndex decides only

@@ -2958,7 +2958,9 @@ object Layout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifests = listSnapshotIds(fs, dir).sorted
     require(manifests.nonEmpty, s"no snapshot manifest under $dir")
-    val keepIds = manifests.takeRight(keep).toSet
+    // refs PIN snapshots: a tagged/branched id keeps its manifest and
+    // its files regardless of the keep horizon
+    val keepIds = manifests.takeRight(keep).toSet ++ refPinnedIds(fs, dir)
     // pending write-audit-publish batches are live-by-staging: their
     // files are referenced by no manifest yet, but dropping them would
     // destroy a batch mid-audit
@@ -3003,7 +3005,7 @@ object Layout {
       }
       dead.foreach { p => if (fs.delete(p, false)) deleted += 1 }
     }
-    manifests.dropRight(keep).foreach { snap =>
+    manifests.filterNot(keepIds.contains).foreach { snap =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"manifest-$snap.json"), false)
       // the id can never be recommitted (ids only grow), so its commit
       // token is dead weight once the manifest is gone
@@ -3017,6 +3019,213 @@ object Layout {
       .foreach(f => fs.delete(f.getPath, false))
     deleted
   }
+
+  // ==== named refs: tags & branches ====================================
+
+  final case class TableRef(name: String, refType: String,
+                            snapshotId: Long)
+
+  // no '.' in ref names: the versioned file name `ref-<name>.v<N>.json`
+  // parses by the LAST ".v", so the name charset must exclude '.'
+  private val RefNameRx = "[A-Za-z0-9][A-Za-z0-9_-]*".r
+
+  /** TAG a snapshot — an immutable named pointer (Iceberg tag
+    * semantics): resolves forever to the same snapshot id, refuses
+    * [[fastForward]], and PINS the snapshot against [[expireSnapshots]]
+    * and [[vacuum]] (a ref'd id is protected regardless of age or
+    * keep-last horizon — the release/audit pin every deployed table
+    * format provides). Defaults to the CURRENT snapshot. Creation is
+    * arbitration-safe: the ref file commits via the same
+    * create-exclusive rule as manifests, so two racing creators of the
+    * same name get exactly one winner and one loud loser.
+    */
+  def createTag(spark: org.apache.spark.sql.SparkSession, dir: String,
+                name: String, snapshotId: Long = -1L): Long =
+    createRef(spark, dir, name, snapshotId, "tag")
+
+  /** BRANCH a snapshot — a movable named pointer: like a tag but
+    * [[fastForward]] may advance it to a newer snapshot id (the
+    * staging/main promotion flow). Same expire/vacuum pinning and
+    * create-exclusive arbitration as [[createTag]]. This format's
+    * history is linear, so a branch is a READ pointer — commits land
+    * on the single id chain and a branch promotes by fast-forward;
+    * divergent write branches need a multi-parent chain this format
+    * (by design) does not carry.
+    */
+  def createBranch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   name: String, snapshotId: Long = -1L): Long =
+    createRef(spark, dir, name, snapshotId, "branch")
+
+  private def createRef(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, name: String, snapshotId: Long,
+                        tpe: String): Long = {
+    require(RefNameRx.matches(name),
+      s"ref name must match ${RefNameRx.regex}, got '$name'")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val sid = if (snapshotId < 0) ids.max else snapshotId
+    require(ids.contains(sid), s"snapshot $sid does not exist under $dir")
+    require(listRefVersions(fs, dir, name).isEmpty,
+      s"ref '$name' already exists under $dir — dropRef first")
+    if (!writeRefVersion(fs, dir, name, 1L, tpe, sid))
+      throw new java.util.ConcurrentModificationException(
+        s"ref '$name' created concurrently under $dir")
+    sid
+  }
+
+  /** Advance a BRANCH to a newer snapshot (forward-only — rewinding a
+    * shared pointer is how readers silently lose commits; use dropRef
+    * + createBranch for an explicit reset). Movement is a NEW VERSION
+    * of the ref file (`ref-<name>.v<N+1>.json`, create-exclusive, max
+    * version wins) — the versioned-marker pattern the consumer offsets
+    * use, so there is no delete-then-rename window where the ref
+    * vanishes, and two racing fast-forwards get one winner per
+    * version slot. Older versions are reclaimed after the new one
+    * commits. Returns the id the branch now points at.
+    */
+  def fastForward(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  name: String, toSnapshotId: Long = -1L): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listRefVersions(fs, dir, name)
+    require(versions.nonEmpty, s"no ref '$name' under $dir")
+    val curVer = versions.max
+    val cur = readRefVersion(fs, dir, name, curVer)
+    require(cur.refType == "branch",
+      s"ref '$name' is a ${cur.refType} — tags are immutable " +
+        "(dropRef + createTag to retarget)")
+    val ids = listSnapshotIds(fs, dir)
+    val sid = if (toSnapshotId < 0) ids.max else toSnapshotId
+    require(ids.contains(sid), s"snapshot $sid does not exist under $dir")
+    require(sid >= cur.snapshotId,
+      s"fastForward is forward-only: branch '$name' is at " +
+        s"${cur.snapshotId}, refusing to rewind to $sid")
+    if (sid == cur.snapshotId) return sid
+    if (!writeRefVersion(fs, dir, name, curVer + 1, "branch", sid))
+      throw new java.util.ConcurrentModificationException(
+        s"branch '$name' advanced concurrently under $dir — re-read and retry")
+    // losers of future slots resolve by MAX version; the stale ones
+    // are dead weight once the new version is committed
+    versions.foreach(v => fs.delete(refVersionPath(dir, name, v), false))
+    sid
+  }
+
+  /** Remove a ref (all versions). The pinned snapshot immediately
+    * becomes expirable/vacuumable again under the normal horizons.
+    */
+  def dropRef(spark: org.apache.spark.sql.SparkSession, dir: String,
+              name: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listRefVersions(fs, dir, name)
+    require(versions.nonEmpty, s"no ref '$name' under $dir")
+    versions.foreach(v => fs.delete(refVersionPath(dir, name, v), false))
+  }
+
+  /** All refs on the table, one row each (max version wins per name). */
+  def tableRefs(spark: org.apache.spark.sql.SparkSession,
+                dir: String): Seq[TableRef] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listAllRefs(fs, dir).sortBy(_.name)
+  }
+
+  /** Resolve a ref name to its snapshot id (loudly absent if none). */
+  def resolveRef(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 name: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listRefVersions(fs, dir, name)
+    require(versions.nonEmpty, s"no ref '$name' under $dir")
+    readRefVersion(fs, dir, name, versions.max).snapshotId
+  }
+
+  /** [[snapshotRead]] through a named ref — `read(dir, "release-1")`. */
+  def snapshotReadRef(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, name: String,
+                      mergeSchema: Boolean = false): DataFrame =
+    snapshotRead(spark, dir, resolveRef(spark, dir, name),
+      mergeSchema = mergeSchema)
+
+  private def refVersionPath(dir: String, name: String, ver: Long) =
+    new org.apache.hadoop.fs.Path(dir, s"ref-$name.v$ver.json")
+
+  private def listRefVersions(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: String, name: String): Seq[Long] =
+    Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, s"ref-$name.v*.json")))
+      .getOrElse(Array.empty)
+      .flatMap(_.getPath.getName.stripPrefix(s"ref-$name.v")
+        .stripSuffix(".json").toLongOption)
+      .toSeq
+
+  private def listAllRefs(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: String): Seq[TableRef] =
+    Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "ref-*.v*.json")))
+      .getOrElse(Array.empty)
+      .flatMap { st =>
+        val base = st.getPath.getName.stripPrefix("ref-")
+          .stripSuffix(".json")
+        val cut = base.lastIndexOf(".v")
+        if (cut <= 0) None
+        else base.drop(cut + 2).toLongOption.map(v => (base.take(cut), v))
+      }
+      .groupBy(_._1)
+      .map { case (name, vs) =>
+        readRefVersion(fs, dir, name, vs.map(_._2).max)
+      }
+      .toSeq
+
+  private def readRefVersion(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String, name: String,
+                             ver: Long): TableRef = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val in = fs.open(refVersionPath(dir, name, ver))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    JsonMethods.parse(body) match {
+      case obj: JObject =>
+        ((obj \ "name"), (obj \ "type"), (obj \ "snapshot_id")) match {
+          case (JString(n), JString(t), JInt(s)) => TableRef(n, t, s.toLong)
+          case (JString(n), JString(t), JLong(s)) => TableRef(n, t, s)
+          case other => sys.error(s"bad ref body for $name.v$ver: $other")
+        }
+      case other => sys.error(s"bad ref body for $name.v$ver: $other")
+    }
+  }
+
+  /** Write one ref version via tmp + create-exclusive token + rename
+    * (the manifest commit shape): returns false if the version slot
+    * was taken by a racer.
+    */
+  private def writeRefVersion(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: String, name: String, ver: Long,
+                              tpe: String, sid: Long): Boolean = {
+    val body =
+      s"""{"name":"$name","type":"$tpe","snapshot_id":$sid}"""
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".ref-$name.v$ver-${java.util.UUID.randomUUID()}.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val lock = new org.apache.hadoop.fs.Path(dir, s".ref-$name.v$ver.lock")
+    if (!createExclusive(fs, lock)) { fs.delete(tmp, false); return false }
+    val dest = refVersionPath(dir, name, ver)
+    if (fs.exists(dest)) { // legacy/crashed slot: token won, file present
+      fs.delete(tmp, false); return false
+    }
+    val ok = fs.rename(tmp, dest)
+    if (!ok) fs.delete(tmp, false)
+    ok
+  }
+
+  /** Snapshot ids pinned by any ref — protected from expire/vacuum. */
+  private def refPinnedIds(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: String): Set[Long] =
+    listAllRefs(fs, dir).map(_.snapshotId).toSet
 
   /** RETENTION policy — Iceberg's `expireSnapshots` between
     * [[snapshotHistory]] and [[vacuum]]: drop every snapshot whose
@@ -3045,7 +3254,8 @@ object Layout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = listSnapshotIds(fs, dir).sorted
     require(ids.nonEmpty, s"no snapshot manifest under $dir")
-    val protectedIds = ids.takeRight(keepLast).toSet
+    // refs PIN snapshots: a tagged/branched id survives any horizon
+    val protectedIds = ids.takeRight(keepLast).toSet ++ refPinnedIds(fs, dir)
     val expired = ids.filter { id =>
       !protectedIds.contains(id) &&
         fs.getFileStatus(new org.apache.hadoop.fs.Path(dir,

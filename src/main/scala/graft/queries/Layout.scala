@@ -18,6 +18,32 @@ object Layout {
   private val Epoch = 1704067200L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Named refs (q284): tag snapshot 1 as "v1", then append, compact,
+    // and run AGGRESSIVE retention (expire everything but the last +
+    // vacuum keep=1) — the tag pins the snapshot through both, and the
+    // SQL surface reads it back by name via .option("ref", "v1"). The
+    // oracle is the v1 content recomputed from the source table: if
+    // the pin leaked anywhere (expire dropped the manifest, vacuum
+    // swept a data file, the ref resolved to the wrong id), the read
+    // errors or hash-mismatches.
+    "q284_snapshot_ref" -> { (s, d) =>
+      val base = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/reftbl")
+      val docs = Tables.documents(s, d)
+      L.snapshotWrite(docs.select("doc_id", "text", "lang"), base)
+      L.createTag(s, base, "v1")
+      L.snapshotAppend(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text"), col("lang")), base)
+      L.compactSnapshot(s, base, 64L << 20)
+      L.expireSnapshots(s, base,
+        System.currentTimeMillis() + 10000L, keepLast = 1)
+      L.vacuum(s, base, keep = 1)
+      s.read.format("snapshot").option("path", base)
+        .option("ref", "v1").load()
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"))
+    },
+
     // Morton z-value over (user_id, minutes-since-epoch), the clustering
     // key zorderWrite lays files out by. Pure shift/mask arithmetic in
     // one codegen'd projection — the oracle replays it bit for bit.
@@ -882,6 +908,8 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    "q284_snapshot_ref" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang FROM documents""",
     "q126_zorder_key" -> {
       val u = s"(user_id & ${(1L << ZBits) - 1})"
       val m = s"(CAST(floor((floor(epoch(ts)) - $Epoch) / 60) AS BIGINT) & ${(1L << ZBits) - 1})"

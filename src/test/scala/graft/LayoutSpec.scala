@@ -1658,4 +1658,69 @@ class LayoutSpec extends AnyFunSuite {
     val r = recomputed.as[(String, Long, Double)].collect().toSet
     assert(m === r, s"maintained $m vs recomputed $r")
   }
+
+  test("refs: tags resolve forever, branches fast-forward forward-only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_refs").toString
+    Layout.snapshotWrite((1L to 100L).toDF("id"), dir)          // snap 1
+    assert(Layout.createTag(spark, dir, "rel-1") === 1L)
+    assert(Layout.createBranch(spark, dir, "audit") === 1L)
+    Layout.snapshotAppend((101L to 150L).toDF("id"), dir)       // snap 2
+    Layout.snapshotAppend((151L to 160L).toDF("id"), dir)       // snap 3
+    // the tag still reads snapshot 1's content after two appends
+    assert(Layout.snapshotReadRef(spark, dir, "rel-1").count() === 100)
+    assert(Layout.resolveRef(spark, dir, "rel-1") === 1L)
+    // branch advances (default = current), then refuses to rewind
+    assert(Layout.fastForward(spark, dir, "audit") === 3L)
+    assert(Layout.snapshotReadRef(spark, dir, "audit").count() === 160)
+    val rewind = intercept[IllegalArgumentException] {
+      Layout.fastForward(spark, dir, "audit", 2L)
+    }
+    assert(rewind.getMessage.contains("forward-only"))
+    // tags are immutable
+    val tagMove = intercept[IllegalArgumentException] {
+      Layout.fastForward(spark, dir, "rel-1", 3L)
+    }
+    assert(tagMove.getMessage.contains("immutable"))
+    // duplicate names refuse; listing shows max-version state
+    intercept[IllegalArgumentException] {
+      Layout.createTag(spark, dir, "rel-1")
+    }
+    assert(Layout.tableRefs(spark, dir).map(r =>
+      (r.name, r.refType, r.snapshotId)).toSet ===
+      Set(("rel-1", "tag", 1L), ("audit", "branch", 3L)))
+    // old branch versions are reclaimed after a fast-forward
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "ref-audit.v1.json")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "ref-audit.v2.json")))
+  }
+
+  test("refs pin snapshots against expireSnapshots and vacuum") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_refpin").toString
+    Layout.snapshotWrite((1L to 100L).toDF("id"), dir)          // snap 1
+    Layout.compactSnapshot(spark, dir, 64L << 20)               // snap 2 (replace)
+    Layout.snapshotAppend((101L to 150L).toDF("id"), dir)       // snap 3
+    Layout.createTag(spark, dir, "pin", 1L)
+    // expire everything older than "now + 10s", keep only the last:
+    // snapshot 2 goes, snapshot 1 SURVIVES because the tag pins it
+    val (expired, _) = Layout.expireSnapshots(spark, dir,
+      System.currentTimeMillis() + 10000, keepLast = 1)
+    assert(expired === 1, "only the unpinned snapshot 2 expires")
+    assert(Layout.snapshotIds(spark, dir) === Seq(1L, 3L))
+    assert(Layout.snapshotReadRef(spark, dir, "pin").count() === 100)
+    // vacuum keep=1 would normally strand snapshot 1's files — the
+    // pin keeps both the manifest and the data readable
+    Layout.vacuum(spark, dir, keep = 1)
+    assert(Layout.snapshotReadRef(spark, dir, "pin").count() === 100)
+    assert(Layout.snapshotRead(spark, dir).count() === 150)
+    // dropRef releases the pin: the id expires under the same horizon
+    Layout.dropRef(spark, dir, "pin")
+    val (expired2, _) = Layout.expireSnapshots(spark, dir,
+      System.currentTimeMillis() + 10000, keepLast = 1)
+    assert(expired2 === 1)
+    assert(Layout.snapshotIds(spark, dir) === Seq(3L))
+    intercept[Exception] { Layout.resolveRef(spark, dir, "pin") }
+  }
 }

@@ -144,6 +144,16 @@ class SnapshotSqlSpec extends AnyFunSuite {
         .option("snapshotId", "1")
         .option("asOfTimestamp", between.toString).load()
     }
+
+    // named refs reach SQL: a tag on snapshot 1 reads v1 content, and
+    // combining ref with another travel option refuses
+    Layout.createTag(spark, dir, "v1-tag", 1L)
+    assert(spark.read.format("snapshot").option("path", dir)
+      .option("ref", "v1-tag").load().count() === 100)
+    intercept[IllegalArgumentException] {
+      spark.read.format("snapshot").option("path", dir)
+        .option("ref", "v1-tag").option("snapshotId", "2").load()
+    }
   }
 
   test("mergeSchema option surfaces widened columns with nulls on old files") {
