@@ -202,6 +202,74 @@ object ViraPipeline {
           .otherwise(expr("n_alt * 1000000 DIV n_called")))
   }
 
+  /** Hardy–Weinberg equilibrium test per site — the population-QC
+    * column every GWAS pipeline computes (sites far from HWE flag
+    * genotyping artifacts): from the long genotype matrix
+    * ([[graft.io.Vcf.readSamples]]), count the diploid genotype
+    * classes (hom-ref `0/0`, het, hom-alt — any non-zero allele index
+    * pools as alternate, matching [[alleleFrequencies]]; genotypes
+    * with a `.` allele or non-diploid ploidy are uncalled and drop
+    * from the site's n), then the 1-df chi-square of observed vs
+    * p²/2pq/q² expected counts. Monomorphic sites (p = 0 or 1) carry
+    * a null chi2 — the test is undefined there, not zero.
+    *
+    * Plan shape: one narrow per-row classification + ONE hash agg on
+    * (chrom, pos) — partial aggregation collapses samples map-side, so
+    * a biobank-scale (10⁵ samples × 10⁸ sites) matrix shuffles only
+    * per-site class counts. The chi-square itself is a projection.
+    */
+  def hweStats(genotypes: DataFrame): DataFrame = {
+    val alleles = split(element_at(col("geno"), "GT"), "[/|]")
+    val called = size(alleles) === 2 && !array_contains(alleles, ".")
+    val nonRef = size(filter(alleles, a => a =!= "0"))
+    val counts = genotypes
+      .select(col("chrom"), col("pos"),
+        when(!called, lit(null)).otherwise(nonRef).as("k"))
+      .groupBy("chrom", "pos")
+      .agg(
+        sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_hom_ref"),
+        sum(when(col("k") === 1, 1L).otherwise(0L)).as("n_het"),
+        sum(when(col("k") === 2, 1L).otherwise(0L)).as("n_hom_alt"))
+    val n = (col("n_hom_ref") + col("n_het") + col("n_hom_alt"))
+      .cast("double")
+    val p = (lit(2.0) * col("n_hom_ref") + col("n_het")) / (lit(2.0) * n)
+    val q = lit(1.0) - p
+    val eAA = n * p * p
+    val eAa = lit(2.0) * n * p * q
+    val eaa = n * q * q
+    val chi2 =
+      (col("n_hom_ref") - eAA) * (col("n_hom_ref") - eAA) / eAA +
+        (col("n_het") - eAa) * (col("n_het") - eAa) / eAa +
+        (col("n_hom_alt") - eaa) * (col("n_hom_alt") - eaa) / eaa
+    counts.withColumn("chi2",
+      when(n > 0 && p > 0 && p < 1, round(chi2, 6)).otherwise(lit(null)))
+  }
+
+  /** Transition/transversion ratio — the single-number variant-call QC
+    * every caller reports (random errors push Ti/Tv toward 0.5; real
+    * human WGS sits near 2.0): over the typed site table
+    * ([[graft.io.Vcf.read]]), explode multi-allelic ALTs, keep single-
+    * base substitutions only (indels and MNPs are out of the metric by
+    * definition), classify A↔G / C↔T as transitions, everything else
+    * as transversions. The ratio ships as exact integer ppm
+    * (`n_ti · 10⁶ div n_tv`) — no float crosses the engine boundary.
+    * One narrow pass + one global agg: scale-free.
+    */
+  def tiTvRatio(sites: DataFrame): DataFrame = {
+    val snp = sites
+      .select(col("ref"), explode(col("alt")).as("a"))
+      .filter(length(col("ref")) === 1 && length(col("a")) === 1 &&
+        upper(col("a")) =!= upper(col("ref")))
+    val pair = concat(upper(col("ref")), upper(col("a")))
+    val isTi = pair.isin("AG", "GA", "CT", "TC")
+    snp.agg(
+        sum(when(isTi, 1L).otherwise(0L)).as("n_ti"),
+        sum(when(!isTi, 1L).otherwise(0L)).as("n_tv"))
+      .withColumn("titv_ppm",
+        when(col("n_tv") === 0, lit(null))
+          .otherwise(expr("n_ti * 1000000 DIV n_tv")))
+  }
+
   /** Assembly statistics — the post-assembly QC summary every
     * MegaHit/SPAdes run gets (QUAST's headline row): one row of
     * (n_contigs, total_bp, max_len, N50, L50, gc_ppm). N50 is the

@@ -619,6 +619,68 @@ object DomainIO {
         graft.io.Vcf.readSamples(s, dir))
     },
 
+    // Hardy-Weinberg chi-square (q285): per-site genotype-class counts
+    // and the 1-df HWE test over a 3-sample VCF whose genotypes derive
+    // from (o_orderkey * m) % 4 per sample multiplier m — class 3 is
+    // the uncalled "./." stratum, so missing genotypes provably drop
+    // from n. The oracle replays classification, counting, and the
+    // chi-square arithmetic in the same IEEE operation order;
+    // monomorphic strata (k%4 in {0,2}) pin the null-chi2 rule.
+    "q285_hwe" -> { (s, d) =>
+      val dir = tmp(d, "vcf_hwe")
+      val o = Tables.orders(s, d)
+      def gt(m: Int) = {
+        val c = pmod(col("o_orderkey") * m, lit(4))
+        when(c === 0, "0/0").when(c === 1, "0/1")
+          .when(c === 2, "1/1").otherwise("./.")
+      }
+      val lines = o.select(concat_ws("\t",
+        concat(lit("chr"), pmod(col("o_custkey"), lit(3)).cast("string")),
+        col("o_orderkey").cast("string"), lit("."), lit("A"), lit("G"),
+        lit("50"), lit("PASS"), lit("NS=3"), lit("GT"),
+        gt(1), gt(3), gt(5)).as("value"))
+      import s.implicits._
+      val header = "##fileformat=VCFv4.3\n" +
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsA\tsB\tsC"
+      lines.coalesce(1).as[String]
+        .mapPartitions(it => Iterator(header) ++ it)
+        .write.mode("overwrite").text(dir)
+      graft.operators.ViraPipeline.hweStats(
+        graft.io.Vcf.readSamples(s, dir))
+    },
+
+    // Ti/Tv ratio (q286): transition/transversion classification over
+    // a site table with multi-allelic SNPs and a planted indel stratum
+    // (k%7==0 gets REF "AT" — excluded from the metric by definition).
+    // REF cycles ACGT by k%4; ALT picks among the other bases by
+    // (k/4)%3, with a second allele on k%5==0 sites. Integer-ppm
+    // ratio, so the one-row oracle is exact.
+    "q286_titv" -> { (s, d) =>
+      val dir = tmp(d, "vcf_titv")
+      val o = Tables.orders(s, d)
+      val k = col("o_orderkey")
+      val refBase = element_at(
+        split(lit("A,C,G,T"), ","), (pmod(k, lit(4)) + 1).cast("int"))
+      val ref = when(pmod(k, lit(7)) === 0, lit("AT")).otherwise(refBase)
+      // the 3 non-ref bases, picked by (k/4)%3; a 2nd allele on k%5==0
+      val others = filter(split(lit("A,C,G,T"), ","), b => b =!= refBase)
+      val a1 = element_at(others, (pmod(floor(k / 4), lit(3)) + 1).cast("int"))
+      val a2 = element_at(others, (pmod(floor(k / 4) + 1, lit(3)) + 1).cast("int"))
+      val alt = when(pmod(k, lit(5)) === 0,
+        concat(a1, lit(","), a2)).otherwise(a1)
+      val lines = o.select(concat_ws("\t",
+        concat(lit("chr"), pmod(col("o_custkey"), lit(3)).cast("string")),
+        k.cast("string"), lit("."), ref, alt,
+        lit("50"), lit("PASS"), lit("NS=3")).as("value"))
+      import s.implicits._
+      val header = "##fileformat=VCFv4.3\n" +
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+      lines.coalesce(1).as[String]
+        .mapPartitions(it => Iterator(header) ++ it)
+        .write.mode("overwrite").text(dir)
+      graft.operators.ViraPipeline.tiTvRatio(graft.io.Vcf.read(s, dir))
+    },
+
     // Assembly statistics (q277): the QUAST-style post-assembly QC
     // row — N50/L50 via the descending-length cumulative crossing,
     // GC as exact ppm — over the q51 contig fixture. All-integer
@@ -635,6 +697,65 @@ object DomainIO {
   )
 
   val oracles: Map[String, String] = Map(
+    "q285_hwe" ->
+      """WITH sm AS (SELECT * FROM (VALUES (1), (3), (5)) AS t(m)),
+         per AS (SELECT 'chr' || (o_custkey % 3) AS chrom,
+                        CAST(o_orderkey AS BIGINT) AS pos,
+                        (o_orderkey * m) % 4 AS c
+                 FROM orders, sm),
+         cnt AS (SELECT chrom, pos,
+                  CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_hom_ref,
+                  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_het,
+                  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_hom_alt
+                 FROM per GROUP BY 1, 2),
+         x AS (SELECT *,
+                 CAST(n_hom_ref + n_het + n_hom_alt AS DOUBLE) AS n,
+                 (2.0 * n_hom_ref + n_het) /
+                   (2.0 * CAST(n_hom_ref + n_het + n_hom_alt AS DOUBLE))
+                   AS p
+               FROM cnt)
+         SELECT chrom, pos, n_hom_ref, n_het, n_hom_alt,
+           CASE WHEN n > 0 AND p > 0 AND p < 1 THEN round(
+               (n_hom_ref - n*p*p) * (n_hom_ref - n*p*p) / (n*p*p)
+             + (n_het - 2.0*n*p*(1.0-p)) * (n_het - 2.0*n*p*(1.0-p))
+                 / (2.0*n*p*(1.0-p))
+             + (n_hom_alt - n*(1.0-p)*(1.0-p))
+                 * (n_hom_alt - n*(1.0-p)*(1.0-p)) / (n*(1.0-p)*(1.0-p)),
+             6) END AS chi2
+         FROM x""",
+    "q286_titv" ->
+      """WITH e AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                 substr('ACGT', CAST(o_orderkey % 4 + 1 AS INTEGER), 1)
+                   AS rb
+               FROM orders),
+         f AS (SELECT k, rb,
+                 CASE WHEN k % 7 = 0 THEN 'AT' ELSE rb END AS ref,
+                 list_filter(['A','C','G','T'], x -> x != rb) AS others
+               FROM e),
+         alleles AS (
+           SELECT k, ref, others[CAST((k // 4) % 3 + 1 AS INTEGER)] AS a
+           FROM f
+           UNION ALL
+           SELECT k, ref, others[CAST(((k // 4) + 1) % 3 + 1 AS INTEGER)]
+           FROM f WHERE k % 5 = 0),
+         snp AS (SELECT ref, a FROM alleles
+                 WHERE length(ref) = 1 AND length(a) = 1
+                   AND upper(a) != upper(ref)),
+         c AS (SELECT
+                 CAST(sum(CASE WHEN upper(ref) || upper(a)
+                   IN ('AG','GA','CT','TC') THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ti,
+                 CAST(sum(CASE WHEN upper(ref) || upper(a)
+                   IN ('AG','GA','CT','TC') THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_tv
+               FROM snp)
+         SELECT n_ti, n_tv,
+           CASE WHEN n_tv = 0 THEN NULL
+                ELSE n_ti * 1000000 // n_tv END AS titv_ppm
+         FROM c""",
     "q281_allele_freq" ->
       """WITH per AS (
            SELECT 'chr' || (o_custkey % 3) AS chrom,

@@ -114,4 +114,45 @@ class VcfSpec extends AnyFunSuite {
       ("chr2", 2L, 4L, 1L, Some(250000L)),
       ("chr3", 3L, 0L, 0L, None)))
   }
+
+  test("hweStats: class counts, uncalled/haploid drop, monomorphic null") {
+    import spark.implicits._
+    val g = Seq(
+      ("chr1", 1L, "a", Map("GT" -> "0/0")),
+      ("chr1", 1L, "b", Map("GT" -> "0/0")),
+      ("chr1", 1L, "c", Map("GT" -> "0|1")),  // phased het
+      ("chr1", 1L, "d", Map("GT" -> "1/2")),  // multi-allelic hom-alt
+      ("chr1", 1L, "e", Map("GT" -> "./.")),  // uncalled
+      ("chr1", 1L, "f", Map("GT" -> "1")),    // haploid: not diploid
+      ("chr2", 2L, "a", Map("GT" -> "0/0")),  // monomorphic site
+      ("chr2", 2L, "b", Map("GT" -> "0/0"))
+    ).toDF("chrom", "pos", "sample", "geno")
+    val r = graft.operators.ViraPipeline.hweStats(g)
+      .as[(String, Long, Long, Long, Long, Option[Double])]
+      .collect().map(t => (t._1, t._2) -> t).toMap
+    val (_, _, naa, nab, nbb, chi2) = r(("chr1", 1L))
+    assert((naa, nab, nbb) === (2L, 1L, 1L))
+    // replay the formula: n=4, p=(2*2+1)/8=0.625
+    val n = 4.0; val p = (2.0 * 2 + 1) / (2.0 * n); val q = 1.0 - p
+    val exp = Seq((2.0, n * p * p), (1.0, 2.0 * n * p * q),
+      (1.0, n * q * q)).map { case (o, e) => (o - e) * (o - e) / e }.sum
+    assert(chi2.contains(math.rint(exp * 1e6) / 1e6) ||
+      chi2.exists(c => math.abs(c - exp) < 1e-6), s"chi2 $chi2 vs $exp")
+    assert(r(("chr2", 2L))._6.isEmpty, "monomorphic site must carry null chi2")
+  }
+
+  test("tiTvRatio: transitions vs transversions, indels and MNPs excluded") {
+    import spark.implicits._
+    val sites = Seq(
+      ("chr1", 1L, "A", Seq("G")),        // ti
+      ("chr1", 2L, "c", Seq("t")),        // ti (case-folded)
+      ("chr1", 3L, "C", Seq("A")),        // tv
+      ("chr1", 4L, "A", Seq("G", "T")),   // ti + tv (multi-allelic)
+      ("chr1", 5L, "AT", Seq("A")),       // indel: excluded
+      ("chr1", 6L, "G", Seq("GA"))        // insertion allele: excluded
+    ).toDF("chrom", "pos", "ref", "alt")
+    val r = graft.operators.ViraPipeline.tiTvRatio(sites)
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(r === ((3L, 2L, Some(1500000L))), s"got $r")
+  }
 }
