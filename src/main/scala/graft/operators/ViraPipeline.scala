@@ -245,6 +245,79 @@ object ViraPipeline {
       when(n > 0 && p > 0 && p < 1, round(chi2, 6)).otherwise(lit(null)))
   }
 
+  /** Per-position PILEUP over aligned reads — samtools mpileup's core
+    * (depth + base counts per reference position), the step between
+    * alignment and variant calling: walk each read's CIGAR (M/=/X
+    * consume both read and reference and emit aligned bases; I/S
+    * consume read only; D/N consume reference only; H/P consume
+    * neither — the SAMv1 spec's consumption table), emit one skinny
+    * (ref, pos, base) row per aligned base, then ONE hash aggregation.
+    * Base counts are case-folded ACGT; other codes (N, ambiguity)
+    * count toward depth only. Reads whose CIGAR read-consumption
+    * disagrees with the base string error loudly — a silent skip
+    * would bias depth exactly where the input is corrupt.
+    *
+    * Scale shape: the explode factor is read length (the same factor
+    * any pileup pays); partial aggregation collapses each partition's
+    * (ref, pos) groups map-side, so the shuffle carries per-partition
+    * position counts, not per-base rows — at 30× coverage the exchange
+    * is ~ positions, not positions × depth. The walker is one typed
+    * flatMap: no driver state, no sort, splittable everywhere.
+    */
+  def pileup(alignments: DataFrame): DataFrame = {
+    val spark = alignments.sparkSession
+    import spark.implicits._
+    alignments
+      .select(col("referenceName"), col("start").cast("long"),
+        col("cigar"), col("bases"))
+      .as[(String, Long, String, String)]
+      .flatMap { case (ref, start, cigar, bases) =>
+        if (ref == null || ref == "*" || cigar == null || cigar == "*" ||
+          bases == null || start <= 0) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, String)]
+          var refPos = start; var readPos = 0; var i = 0; var n = 0
+          while (i < cigar.length) {
+            val c = cigar.charAt(i)
+            if (c >= '0' && c <= '9') n = n * 10 + (c - '0')
+            else {
+              c match {
+                case 'M' | '=' | 'X' =>
+                  require(readPos + n <= bases.length,
+                    s"CIGAR $cigar consumes past ${bases.length} bases")
+                  var j = 0
+                  while (j < n) {
+                    out += ((ref, refPos + j,
+                      String.valueOf(Character.toUpperCase(
+                        bases.charAt(readPos + j)))))
+                    j += 1
+                  }
+                  refPos += n; readPos += n
+                case 'I' | 'S' => readPos += n
+                case 'D' | 'N' => refPos += n
+                case 'H' | 'P' => ()
+                case other =>
+                  sys.error(s"unsupported CIGAR op '$other' in $cigar")
+              }
+              n = 0
+            }
+            i += 1
+          }
+          require(readPos == bases.length,
+            s"CIGAR $cigar consumes $readPos of ${bases.length} bases")
+          out.iterator
+        }
+      }
+      .toDF("referenceName", "pos", "b")
+      .groupBy("referenceName", "pos")
+      .agg(count(lit(1)).as("depth"),
+        sum(when(col("b") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("b") === "C", 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("b") === "G", 1L).otherwise(0L)).as("n_g"),
+        sum(when(col("b") === "T", 1L).otherwise(0L)).as("n_t"))
+  }
+
   /** Transition/transversion ratio — the single-number variant-call QC
     * every caller reports (random errors push Ti/Tv toward 0.5; real
     * human WGS sits near 2.0): over the typed site table

@@ -681,6 +681,40 @@ object DomainIO {
       graft.operators.ViraPipeline.tiTvRatio(graft.io.Vcf.read(s, dir))
     },
 
+    // Pileup (q287): SAM write → read → per-position depth + base
+    // counts through a CIGAR grammar that exercises every consumption
+    // class — k%4 strata give full-match, soft-clip (read-only),
+    // deletion (ref-only), and insertion CIGARs. Reads are digit-DNA
+    // of o_orderkey (k >= 1000 so every read has >= 4 bases and the
+    // stratum arithmetic never underflows); the oracle replays the
+    // read-index → reference-position mapping per stratum and
+    // re-aggregates.
+    "q287_pileup" -> { (s, d) =>
+      val o = Tables.orders(s, d).filter(col("o_orderkey") >= 1000)
+      val k = col("o_orderkey")
+      val bases = dnaOf(k)
+      val len = length(bases)
+      val strat = pmod(k, lit(4))
+      val cig = when(strat === 0, concat(len, lit("M")))
+        .when(strat === 1, concat(lit("1S"), len - 1, lit("M")))
+        .when(strat === 2, concat(lit("2M3D"), len - 2, lit("M")))
+        .otherwise(concat(lit("2M1I"), len - 3, lit("M")))
+      val sam = o.select(
+        concat_ws("", lit("r"), k).as("readName"),
+        lit(0).as("flag"),
+        concat(lit("c"), pmod(col("o_custkey"), lit(2)).cast("string"))
+          .as("referenceName"),
+        (pmod(k, lit(30)) + 1).cast("int").as("start"),
+        lit(60).as("mapq"),
+        cig.as("cigar"),
+        bases.as("bases"),
+        qualOf(k).as("quality"))
+      val dir = tmp(d, "sam_pileup")
+      SamText.write(sam, dir)
+      graft.operators.ViraPipeline.pileup(
+        SamText.read(s, dir).filter(!col("readUnmapped")))
+    },
+
     // Assembly statistics (q277): the QUAST-style post-assembly QC
     // row — N50/L50 via the descending-length cumulative crossing,
     // GC as exact ppm — over the q51 contig fixture. All-integer
@@ -697,6 +731,39 @@ object DomainIO {
   )
 
   val oracles: Map[String, String] = Map(
+    "q287_pileup" ->
+      """WITH r AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                'c' || (o_custkey % 2) AS ref,
+                CAST(o_orderkey % 30 + 1 AS BIGINT) AS strt,
+                translate(CAST(o_orderkey AS VARCHAR),
+                  '0123456789', 'ACGTACGTAC') AS bases
+              FROM orders WHERE o_orderkey >= 1000),
+         e AS (SELECT ref, k % 4 AS s, strt, i,
+                 upper(substr(bases, CAST(i AS INTEGER), 1)) AS b
+               FROM r, UNNEST(range(1, length(bases) + 1)) AS u(i)),
+         a AS (SELECT ref, b,
+                 CASE WHEN s = 0 THEN strt + i - 1
+                      WHEN s = 1 THEN
+                        CASE WHEN i >= 2 THEN strt + i - 2 END
+                      WHEN s = 2 THEN
+                        CASE WHEN i <= 2 THEN strt + i - 1
+                             ELSE strt + i + 2 END
+                      ELSE CASE WHEN i <= 2 THEN strt + i - 1
+                                WHEN i >= 4 THEN strt + i - 2 END
+                 END AS pos
+               FROM e)
+         SELECT ref AS "referenceName", CAST(pos AS BIGINT) AS pos,
+                CAST(count(*) AS BIGINT) AS depth,
+                CAST(sum(CASE WHEN b = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_a,
+                CAST(sum(CASE WHEN b = 'C' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_c,
+                CAST(sum(CASE WHEN b = 'G' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_g,
+                CAST(sum(CASE WHEN b = 'T' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_t
+         FROM a WHERE pos IS NOT NULL
+         GROUP BY 1, 2""",
     "q285_hwe" ->
       """WITH sm AS (SELECT * FROM (VALUES (1), (3), (5)) AS t(m)),
          per AS (SELECT 'chr' || (o_custkey % 3) AS chrom,

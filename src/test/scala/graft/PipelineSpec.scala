@@ -164,4 +164,43 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long)].head()
     assert(one === ((1L, 8L, 8L, 8L, 1L, 500000L)))
   }
+
+  test("pileup: CIGAR consumption classes land bases on the right positions") {
+    import spark.implicits._
+    // r1: plain 4M at 10      -> ACGT on 10..13
+    // r2: 1S3M at 10          -> (skip a) CGT on 10..12, lowercase folds
+    // r3: 2M2D2M at 10        -> AC on 10,11 then GT on 14,15
+    // r4: 2M1I1M at 10        -> AC on 10,11, (G inserted), T on 12
+    // r5: unmapped (*)        -> contributes nothing
+    val aln = Seq(
+      ("r1", "c0", 10L, "4M", "ACGT"),
+      ("r2", "c0", 10L, "1S3M", "acgt"),
+      ("r3", "c0", 10L, "2M2D2M", "ACGT"),
+      ("r4", "c0", 10L, "2M1I1M", "ACGT"),
+      ("r5", "*", 0L, "*", "ACGT")
+    ).toDF("readName", "referenceName", "start", "cigar", "bases")
+    val got = graft.operators.ViraPipeline.pileup(aln)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._2, r)).toMap
+    //           pos -> (depth, nA, nC, nG, nT)
+    def row(p: Long) = { val r = got(p); (r._3, r._4, r._5, r._6, r._7) }
+    assert(row(10L) === ((4L, 3L, 1L, 0L, 0L))) // A,C,A,A
+    assert(row(11L) === ((4L, 0L, 3L, 1L, 0L))) // C,G,C,C
+    assert(row(12L) === ((3L, 0L, 0L, 1L, 2L))) // G,T,T
+    assert(row(13L) === ((1L, 0L, 0L, 0L, 1L))) // T
+    assert(row(14L) === ((1L, 0L, 0L, 1L, 0L))) // r3's G after the deletion
+    assert(row(15L) === ((1L, 0L, 0L, 0L, 1L))) // r3's T
+    assert(got.size === 6)
+  }
+
+  test("pileup: CIGAR/base-length disagreement errors loudly") {
+    import spark.implicits._
+    val bad = Seq(("r", "c0", 1L, "5M", "ACGT"))
+      .toDF("readName", "referenceName", "start", "cigar", "bases")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.ViraPipeline.pileup(bad).collect()
+    }
+    assert(e.getMessage.contains("CIGAR") ||
+      Option(e.getCause).exists(_.getMessage.contains("CIGAR")))
+  }
 }
