@@ -445,4 +445,48 @@ object Joins {
       (round(expr("percentile(lat_s, 0.5)"), 4) + lit(0.0)).as("p50_s"),
       (round(expr("percentile(lat_s, 0.9)"), 4) + lit(0.0)).as("p90_s"))
   }
+
+  /** Coordinate LIFTOVER — map positions between assemblies through a
+    * chain of ungapped alignment blocks (the UCSC liftOver primitive):
+    * each chain row is a half-open source block
+    * `[src_start, src_end)` on `src_chrom` mapping to `dst_chrom` at
+    * `dst_start`, `strand` '+' for co-directional
+    * (`dst = dst_start + (pos - src_start)`) or '-' for
+    * reverse-complement blocks (`dst = dst_start + (src_end-1 -
+    * pos)`). Positions outside every block come back with null
+    * destination (LEFT join — unmapped is an answer, not a dropped
+    * row). Blocks are assumed non-overlapping per source position, as
+    * chain files guarantee.
+    *
+    * Scale shape: the genomic twin of [[rangeJoinBinned]] — blocks
+    * explode over the fixed-width tiles they span
+    * (`2^tileBits` bp), positions key by their single tile, and the
+    * join is a plain equi-join on (chrom, tile) with the range
+    * predicate as a post-filter. A chain is metadata-sized next to a
+    * position table, so AQE broadcasts it; either way there is no
+    * range-join explosion and no driver-side interval index.
+    */
+  def liftOver(positions: DataFrame, chromCol: String, posCol: String,
+               chain: DataFrame, tileBits: Int = 20): DataFrame = {
+    require(tileBits >= 1 && tileBits <= 40, s"bad tileBits $tileBits")
+    val t = 1L << tileBits
+    val p = positions.withColumn("_tile", floor(col(posCol) / t))
+    val c = chain.select(
+        col("src_chrom"), col("src_start").cast("long").as("_ss"),
+        col("src_end").cast("long").as("_se"),
+        col("dst_chrom").as("_dc"),
+        col("dst_start").cast("long").as("_ds"), col("strand").as("_st"))
+      .withColumn("_tile", explode(sequence(
+        floor(col("_ss") / t), floor((col("_se") - 1) / t))))
+    p.join(c,
+        p(chromCol) === c("src_chrom") && p("_tile") === c("_tile") &&
+          col(posCol) >= col("_ss") && col(posCol) < col("_se"),
+        "left")
+      .select(positions.columns.map(p(_)) ++ Seq(
+        col("_dc").as("dst_chrom"),
+        when(col("_dc").isNull, lit(null))
+          .when(col("_st") === "-", col("_ds") + (col("_se") - 1 - col(posCol)))
+          .otherwise(col("_ds") + (col(posCol) - col("_ss")))
+          .as("dst_pos")): _*)
+  }
 }

@@ -318,6 +318,33 @@ object ViraPipeline {
         sum(when(col("b") === "T", 1L).otherwise(0L)).as("n_t"))
   }
 
+  /** Consensus call per pileup position — the naive-caller step after
+    * [[pileup]] (majority base per site, the assembly-polishing /
+    * quick-consensus primitive): argmax over the ACGT counts with
+    * deterministic A<C<G<T tie-break, support as exact integer ppm of
+    * CALLED bases (ambiguity codes sit in depth but not in the vote).
+    * Positions under `minDepth` or with zero called bases carry a null
+    * call — thin evidence is "no call", never a guess. Pure
+    * projection over the pileup: zero additional shuffles.
+    */
+  def consensusFromPileup(pile: DataFrame, minDepth: Long = 1L): DataFrame = {
+    val called = col("n_a") + col("n_c") + col("n_g") + col("n_t")
+    val mx = greatest(col("n_a"), col("n_c"), col("n_g"), col("n_t"))
+    val base = when(col("n_a") === mx, "A").when(col("n_c") === mx, "C")
+      .when(col("n_g") === mx, "G").otherwise("T")
+    pile.select(col("referenceName"), col("pos"), col("depth"),
+      when(col("depth") >= minDepth && called > 0, base)
+        .otherwise(lit(null)).as("consensus"),
+      when(col("depth") >= minDepth && called > 0,
+        mx * lit(1000000L) cast "long")
+        .otherwise(lit(null)).as("_num"),
+      called.as("_den"))
+      .withColumn("support_ppm",
+        when(col("consensus").isNull, lit(null))
+          .otherwise(expr("_num DIV _den")))
+      .drop("_num", "_den")
+  }
+
   /** Transition/transversion ratio — the single-number variant-call QC
     * every caller reports (random errors push Ti/Tv toward 0.5; real
     * human WGS sits near 2.0): over the typed site table

@@ -25,6 +25,37 @@ object DomainIO {
   private def qualOf(c: org.apache.spark.sql.Column) =
     translate(c.cast("string"), "0123456789", "IJKLMNOPQH")
 
+  /** q287/q288 shared fixture: SAM round-trip through a 4-stratum
+    * CIGAR grammar (match / soft-clip / deletion / insertion by k%4;
+    * k >= 1000 keeps every read >= 4 bases), then [[ViraPipeline
+    * .pileup]].
+    */
+  private def pileupFixture(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_orderkey") >= 1000)
+    val k = col("o_orderkey")
+    val bases = dnaOf(k)
+    val len = length(bases)
+    val strat = pmod(k, lit(4))
+    val cig = when(strat === 0, concat(len, lit("M")))
+      .when(strat === 1, concat(lit("1S"), len - 1, lit("M")))
+      .when(strat === 2, concat(lit("2M3D"), len - 2, lit("M")))
+      .otherwise(concat(lit("2M1I"), len - 3, lit("M")))
+    val sam = o.select(
+      concat_ws("", lit("r"), k).as("readName"),
+      lit(0).as("flag"),
+      concat(lit("c"), pmod(col("o_custkey"), lit(2)).cast("string"))
+        .as("referenceName"),
+      (pmod(k, lit(30)) + 1).cast("int").as("start"),
+      lit(60).as("mapq"),
+      cig.as("cigar"),
+      bases.as("bases"),
+      qualOf(k).as("quality"))
+    val dir = tmp(d, "sam_pileup")
+    SamText.write(sam, dir)
+    graft.operators.ViraPipeline.pileup(
+      SamText.read(s, dir).filter(!col("readUnmapped")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 via DataSourceV2: same fixture as q50, read through
     // graft.io.v2.FastqSource with a PRUNED projection — quality (and
@@ -689,30 +720,40 @@ object DomainIO {
     // stratum arithmetic never underflows); the oracle replays the
     // read-index → reference-position mapping per stratum and
     // re-aggregates.
-    "q287_pileup" -> { (s, d) =>
-      val o = Tables.orders(s, d).filter(col("o_orderkey") >= 1000)
-      val k = col("o_orderkey")
-      val bases = dnaOf(k)
-      val len = length(bases)
-      val strat = pmod(k, lit(4))
-      val cig = when(strat === 0, concat(len, lit("M")))
-        .when(strat === 1, concat(lit("1S"), len - 1, lit("M")))
-        .when(strat === 2, concat(lit("2M3D"), len - 2, lit("M")))
-        .otherwise(concat(lit("2M1I"), len - 3, lit("M")))
-      val sam = o.select(
-        concat_ws("", lit("r"), k).as("readName"),
-        lit(0).as("flag"),
+    "q287_pileup" -> { (s, d) => pileupFixture(s, d) },
+
+    // Consensus calling (q288): the majority-base projection over the
+    // q287 pileup at minDepth=2 — argmax with A<C<G<T tie-break,
+    // support as integer ppm of called bases, null below the depth
+    // floor. The oracle wraps the q287 replay in the same CASE chain.
+    "q288_consensus" -> { (s, d) =>
+      graft.operators.ViraPipeline.consensusFromPileup(
+        pileupFixture(s, d), minDepth = 2L)
+    },
+
+    // Liftover (q289): assembly-to-assembly coordinate mapping through
+    // ungapped chain blocks — 25 blocks (nation) with 1000 bp gaps
+    // (unmapped stratum), a '-'-strand stratum (reverse arithmetic),
+    // and tileBits=12 so 3000 bp blocks straddle tile boundaries. The
+    // oracle is the direct range left-join replay.
+    "q289_liftover" -> { (s, d) =>
+      val positions = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
         concat(lit("c"), pmod(col("o_custkey"), lit(2)).cast("string"))
-          .as("referenceName"),
-        (pmod(k, lit(30)) + 1).cast("int").as("start"),
-        lit(60).as("mapq"),
-        cig.as("cigar"),
-        bases.as("bases"),
-        qualOf(k).as("quality"))
-      val dir = tmp(d, "sam_pileup")
-      SamText.write(sam, dir)
-      graft.operators.ViraPipeline.pileup(
-        SamText.read(s, dir).filter(!col("readUnmapped")))
+          .as("chrom"),
+        pmod(col("o_orderkey"), lit(100000)).as("pos"))
+      val chain = Tables.nation(s, d).select(
+        concat(lit("c"), pmod(col("n_nationkey"), lit(2)).cast("string"))
+          .as("src_chrom"),
+        (col("n_nationkey") * 4000L).as("src_start"),
+        (col("n_nationkey") * 4000L + 3000L).as("src_end"),
+        concat(lit("d"), pmod(col("n_nationkey"), lit(3)).cast("string"))
+          .as("dst_chrom"),
+        (lit(1000000L) + col("n_nationkey") * 5000L).as("dst_start"),
+        when(pmod(col("n_nationkey"), lit(4)) === 0, "-").otherwise("+")
+          .as("strand"))
+      graft.operators.Joins.liftOver(positions, "chrom", "pos", chain,
+        tileBits = 12)
     },
 
     // Assembly statistics (q277): the QUAST-style post-assembly QC
@@ -730,8 +771,10 @@ object DomainIO {
     }
   )
 
-  val oracles: Map[String, String] = Map(
-    "q287_pileup" ->
+  /** q287's replay, shared with q288 (which wraps it in the consensus
+    * projection).
+    */
+  private val pileupOracle: String =
       """WITH r AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
                 'c' || (o_custkey % 2) AS ref,
                 CAST(o_orderkey % 30 + 1 AS BIGINT) AS strt,
@@ -763,7 +806,43 @@ object DomainIO {
                 CAST(sum(CASE WHEN b = 'T' THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_t
          FROM a WHERE pos IS NOT NULL
-         GROUP BY 1, 2""",
+         GROUP BY 1, 2"""
+
+  val oracles: Map[String, String] = Map(
+    "q289_liftover" ->
+      """WITH p AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
+                'c' || (o_custkey % 2) AS chrom,
+                CAST(o_orderkey % 100000 AS BIGINT) AS pos
+              FROM orders),
+         ch AS (SELECT 'c' || (n_nationkey % 2) AS src_chrom,
+                CAST(n_nationkey * 4000 AS BIGINT) AS src_start,
+                CAST(n_nationkey * 4000 + 3000 AS BIGINT) AS src_end,
+                'd' || (n_nationkey % 3) AS dst_chrom,
+                CAST(1000000 + n_nationkey * 5000 AS BIGINT) AS dst_start,
+                CASE WHEN n_nationkey % 4 = 0 THEN '-' ELSE '+' END
+                  AS strand
+              FROM nation)
+         SELECT p.id, p.chrom, p.pos, ch.dst_chrom,
+           CASE WHEN ch.src_start IS NULL THEN NULL
+                WHEN ch.strand = '-'
+                  THEN ch.dst_start + (ch.src_end - 1 - p.pos)
+                ELSE ch.dst_start + (p.pos - ch.src_start) END AS dst_pos
+         FROM p LEFT JOIN ch ON p.chrom = ch.src_chrom
+           AND p.pos >= ch.src_start AND p.pos < ch.src_end""",
+    "q287_pileup" -> pileupOracle,
+    "q288_consensus" ->
+      s"""WITH pile AS ($pileupOracle),
+         m AS (SELECT *, n_a + n_c + n_g + n_t AS called,
+                 greatest(n_a, n_c, n_g, n_t) AS mx
+               FROM pile)
+         SELECT "referenceName", pos, depth,
+           CASE WHEN depth >= 2 AND called > 0 THEN
+             CASE WHEN n_a = mx THEN 'A' WHEN n_c = mx THEN 'C'
+                  WHEN n_g = mx THEN 'G' ELSE 'T' END
+           END AS consensus,
+           CASE WHEN depth >= 2 AND called > 0
+                THEN mx * 1000000 // called END AS support_ppm
+         FROM m""",
     "q285_hwe" ->
       """WITH sm AS (SELECT * FROM (VALUES (1), (3), (5)) AS t(m)),
          per AS (SELECT 'chr' || (o_custkey % 3) AS chrom,

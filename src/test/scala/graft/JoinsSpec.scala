@@ -155,4 +155,36 @@ class JoinsSpec extends AnyFunSuite {
     }
     assert(byKey.values.forall(_ == 0L), s"non-closing curve: $byKey")
   }
+
+  test("liftOver: strand arithmetic, block boundaries, unmapped nulls") {
+    import spark.implicits._
+    val chain = Seq(
+      ("c0", 100L, 200L, "d0", 5000L, "+"),
+      ("c0", 300L, 400L, "d1", 9000L, "-"),
+      ("c1", 100L, 200L, "d2", 100L, "+")
+    ).toDF("src_chrom", "src_start", "src_end",
+      "dst_chrom", "dst_start", "strand")
+    val pos = Seq(
+      (1L, "c0", 150L),  // -> d0 5050
+      (2L, "c0", 399L),  // '-' block end: 9000 + (400-1-399) = 9000
+      (3L, "c0", 300L),  // '-' block start: 9000 + 99 = 9099
+      (4L, "c0", 250L),  // gap between blocks -> unmapped
+      (5L, "c0", 200L),  // half-open end is OUTSIDE the block
+      (6L, "c1", 100L),  // inclusive start -> d2 100
+      (7L, "c9", 150L)   // chrom with no chain -> unmapped
+    ).toDF("id", "chrom", "pos")
+    // tiny tiles (64 bp) force every block across multiple tiles
+    val got = graft.operators.Joins
+      .liftOver(pos, "chrom", "pos", chain, tileBits = 6)
+      .as[(Long, String, Long, Option[String], Option[Long])]
+      .collect().map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(got(1L) === ((Some("d0"), Some(5050L))))
+    assert(got(2L) === ((Some("d1"), Some(9000L))))
+    assert(got(3L) === ((Some("d1"), Some(9099L))))
+    assert(got(4L) === ((None, None)))
+    assert(got(5L) === ((None, None)))
+    assert(got(6L) === ((Some("d2"), Some(100L))))
+    assert(got(7L) === ((None, None)))
+    assert(got.size === 7, "multi-tile blocks must not duplicate matches")
+  }
 }

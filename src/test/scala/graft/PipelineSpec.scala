@@ -193,6 +193,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size === 6)
   }
 
+  test("consensusFromPileup: argmax, A<C<G<T tie-break, depth floor") {
+    import spark.implicits._
+    val pile = Seq(
+      ("c0", 1L, 5L, 2L, 1L, 2L, 0L), // A/G tie -> A, support 2/5
+      ("c0", 2L, 3L, 0L, 0L, 0L, 3L), // unanimous T
+      ("c0", 3L, 1L, 1L, 0L, 0L, 0L), // depth 1 < minDepth 2 -> null
+      ("c0", 4L, 2L, 0L, 0L, 0L, 0L)  // depth from non-ACGT only -> null
+    ).toDF("referenceName", "pos", "depth", "n_a", "n_c", "n_g", "n_t")
+    val got = graft.operators.ViraPipeline
+      .consensusFromPileup(pile, minDepth = 2L)
+      .as[(String, Long, Long, Option[String], Option[Long])]
+      .collect().map(r => r._2 -> ((r._4, r._5))).toMap
+    assert(got(1L) === ((Some("A"), Some(400000L))))
+    assert(got(2L) === ((Some("T"), Some(1000000L))))
+    assert(got(3L) === ((None, None)))
+    assert(got(4L) === ((None, None)))
+  }
+
   test("pileup: CIGAR/base-length disagreement errors loudly") {
     import spark.implicits._
     val bad = Seq(("r", "c0", 1L, "5M", "ACGT"))
