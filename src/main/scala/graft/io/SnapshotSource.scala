@@ -192,6 +192,17 @@ class SnapshotSource extends RelationProvider
           ts, spark.sessionState.conf.sessionLocalTimeZone))))
       .orElse(opts.get("ref").map(Layout.resolveRef(spark, dir, _)))
       .getOrElse(-1L)
+    // METADATA TABLES (Iceberg's .files/.history/.refs surface): the
+    // inspection side of the format, served from the manifest tier
+    // alone — crucially EXEMPT from the MoR-debt and rename-safety
+    // refusals below (an indebted table is exactly the one an operator
+    // wants to inspect). `files` respects snapshotId/asOfTimestamp/ref.
+    opts.get("metadata").map(_.toLowerCase) match {
+      case Some(kind) =>
+        return new SnapshotSource.DataFrameRelation(sqlContext,
+          SnapshotSource.metadataDf(spark, dir, kind, snapId))
+      case None => ()
+    }
     val mergeSchema = opts.get("mergeschema").exists(_.toBoolean)
     // merge-on-read deletes are row-level; a FileIndex decides only
     // WHICH FILES open, so serving a DV table here would silently
@@ -250,6 +261,52 @@ class SnapshotSource extends RelationProvider
 }
 
 object SnapshotSource {
+
+  /** Tiny already-materialized relation: metadata tables are
+    * manifest-sized, so a plain TableScan over a local DataFrame's
+    * rows is the right shape — no file scan, no pushdown tier.
+    */
+  private[io] final class DataFrameRelation(
+      override val sqlContext: SQLContext, df: DataFrame)
+      extends BaseRelation with org.apache.spark.sql.sources.TableScan {
+    override def schema: org.apache.spark.sql.types.StructType = df.schema
+    override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+      df.rdd
+  }
+
+  /** The metadata table surface: `files` (per-file manifest entries of
+    * the resolved snapshot, with min/max stat bounds as maps),
+    * `history` (commit log), `refs` (named tags/branches), `deletes`
+    * (outstanding merge-on-read position/equality tombstone files).
+    */
+  private[io] def metadataDf(spark: SparkSession, dir: String,
+                             kind: String, snapId: Long): DataFrame = {
+    import spark.implicits._
+    kind match {
+      case "files" =>
+        Layout.snapshotFiles(spark, dir, snapId)
+          .map(e => (e.path, e.bytes, e.rows, e.schemaId,
+            e.stats.map { case (c, s) => c -> s.min.orNull },
+            e.stats.map { case (c, s) => c -> s.max.orNull }))
+          .toDF("path", "bytes", "rows", "schema_id",
+            "min_stats", "max_stats")
+      case "history" => Layout.snapshotHistory(spark, dir)
+      case "refs" =>
+        Layout.tableRefs(spark, dir)
+          .map(r => (r.name, r.refType, r.snapshotId))
+          .toDF("name", "type", "snapshot_id")
+      case "deletes" =>
+        Layout.snapshotDeletes(spark, dir, snapId)
+          .map { case (p, n) => (p, n, "position", Seq.empty[String]) }
+          .++(Layout.snapshotEqDeletes(spark, dir, snapId)
+            .map { case (p, n, cs) => (p, n, "equality", cs) })
+          .toDF("path", "rows", "kind", "cols")
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other' — " +
+          "one of files, history, refs, deletes")
+    }
+  }
+
   /** `asOfTimestamp` option values → epoch millis: a bare long is
     * epoch millis; an ISO-8601 instant (`2026-08-15T04:00:00Z`) is
     * itself; a zone-less datetime (`2026-08-15T04:00:00` or with a

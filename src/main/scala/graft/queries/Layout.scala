@@ -44,6 +44,25 @@ object Layout {
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"))
     },
 
+    // Metadata tables (q291): the .refs inspection surface — tag v1,
+    // branch at 1 then fast-forward to the current commit, and read
+    // the ref table back through SQL (`option("metadata", "refs")`).
+    // The oracle is the literal expected pointer table: if creation,
+    // fast-forward versioning, or max-version resolution drifted, the
+    // rows differ.
+    "q291_refs_meta" -> { (s, d) =>
+      val base = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/refsmeta")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      L.snapshotWrite(docs, base)
+      L.snapshotAppend(docs.filter(col("doc_id") % 2 === 0), base)
+      L.createTag(s, base, "v1", 1L)
+      L.createBranch(s, base, "audit", 1L)
+      L.fastForward(s, base, "audit")
+      s.read.format("snapshot").option("path", base)
+        .option("metadata", "refs").load()
+    },
+
     // Morton z-value over (user_id, minutes-since-epoch), the clustering
     // key zorderWrite lays files out by. Pure shift/mask arithmetic in
     // one codegen'd projection — the oracle replays it bit for bit.
@@ -908,6 +927,11 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    "q291_refs_meta" ->
+      """SELECT * FROM (VALUES
+           ('audit', 'branch', CAST(2 AS BIGINT)),
+           ('v1', 'tag', CAST(1 AS BIGINT)))
+         AS t(name, type, snapshot_id)""",
     "q284_snapshot_ref" ->
       """SELECT doc_id, md5(text) AS text_md5, lang FROM documents""",
     "q126_zorder_key" -> {

@@ -156,6 +156,41 @@ class SnapshotSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata tables serve from the manifest tier, MoR debt included") {
+    val dir = freshDir("meta")
+    import spark.implicits._
+    Layout.snapshotWrite((1L to 100L).toDF("k").repartition(2), dir,
+      statsCols = Seq("k"))
+    Layout.snapshotAppend((101L to 120L).toDF("k"), dir)
+    def meta(kind: String) = spark.read.format("snapshot")
+      .option("path", dir).option("metadata", kind).load()
+    // files: current snapshot's entries, with stat bounds as maps
+    val files = meta("files").collect()
+    assert(files.length === Layout.snapshotFiles(spark, dir).size)
+    assert(files.forall(r => !r.isNullAt(r.fieldIndex("bytes"))))
+    assert(files.exists(r => r.getAs[Map[String, String]]("min_stats")
+      .get("k").exists(_ != null)))
+    // files respects time travel
+    val filesV1 = spark.read.format("snapshot").option("path", dir)
+      .option("snapshotId", "1").option("metadata", "files").load()
+    assert(filesV1.count() === Layout.snapshotFiles(spark, dir, 1L).size)
+    // history: one row per commit
+    assert(meta("history").count() === 2)
+    // refs: empty then populated
+    assert(meta("refs").count() === 0)
+    Layout.createTag(spark, dir, "t1", 1L)
+    assert(meta("refs").as[(String, String, Long)].collect().toSet ===
+      Set(("t1", "tag", 1L)))
+    // deletes: visible through metadata while the data read REFUSES
+    Layout.deleteWhereMoR(spark, dir, Layout.StatPred.Between("k", 1L, 10L))
+    intercept[IllegalArgumentException] {
+      spark.read.format("snapshot").option("path", dir).load()
+    }
+    val del = meta("deletes").collect()
+    assert(del.nonEmpty && del.forall(_.getString(2) == "position"))
+    intercept[IllegalArgumentException] { meta("nope").collect() }
+  }
+
   test("mergeSchema option surfaces widened columns with nulls on old files") {
     val dir = freshDir("widen")
     import spark.implicits._
