@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.{Dna, DnaFunctions}
 import graft.io.Fasta
 import graft.pipe.Pipes
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's 8-stage pipeline (scripts/virapipe.sh:38-63 — SURVEY.md
@@ -316,6 +316,100 @@ object ViraPipeline {
         sum(when(col("b") === "C", 1L).otherwise(0L)).as("n_c"),
         sum(when(col("b") === "G", 1L).otherwise(0L)).as("n_g"),
         sum(when(col("b") === "T", 1L).otherwise(0L)).as("n_t"))
+  }
+
+  /** samtools-flagstat twin — the one-row alignment-QC summary every
+    * pipeline prints after alignment: counts over the SAMv1 FLAG bits
+    * (0x1 paired, 0x2 proper, 0x4 unmapped, 0x8 mate-unmapped, 0x40/
+    * 0x80 first/second, 0x100 secondary, 0x400 duplicate, 0x800
+    * supplementary). Classic totals (secondary/supplementary included
+    * in `total`, as historical flagstat reports). One global agg of
+    * bit tests — codegen'd, scale-free.
+    */
+  def flagstat(alignments: DataFrame): DataFrame = {
+    def bit(b: Int): Column = (col("flag").bitwiseAND(lit(b))) =!= 0
+    def cnt(c: Column, name: String): Column =
+      sum(when(c, 1L).otherwise(0L)).as(name)
+    alignments.agg(
+      count(lit(1)).as("total"),
+      cnt(bit(0x100), "secondary"),
+      cnt(bit(0x800), "supplementary"),
+      cnt(bit(0x400), "duplicates"),
+      cnt(!bit(0x4), "mapped"),
+      cnt(bit(0x1), "paired"),
+      cnt(bit(0x1) && bit(0x40), "read1"),
+      cnt(bit(0x1) && bit(0x80), "read2"),
+      cnt(bit(0x1) && bit(0x2) && !bit(0x4), "properly_paired"),
+      cnt(bit(0x1) && !bit(0x4) && !bit(0x8), "both_mapped"),
+      cnt(bit(0x1) && !bit(0x4) && bit(0x8), "singletons"))
+  }
+
+  /** Duplicate marking — Picard MarkDuplicates' core rule, the dedup
+    * between alignment and calling (PCR/optical duplicates share a
+    * 5'-end signature): reads group by (reference, UNCLIPPED 5' end,
+    * strand) — forward reads by `start - leading soft clip`, reverse
+    * reads by `start + reference-consumed length - 1 + trailing soft
+    * clip` (the 5' end is the alignment END on the reverse strand) —
+    * and within each group the best read stays (highest mapq,
+    * read-name ascending as the deterministic tie-break), the rest
+    * mark `dup = true`. Unmapped reads never mark.
+    *
+    * Scale shape: the CIGAR walk is a narrow per-row pass (three ints
+    * per read, no explode); the grouping is ONE window over the
+    * signature key — groups are duplicate stacks (bounded by per-site
+    * coverage), so the window sort is per-stack, never global.
+    */
+  def markDuplicates(alignments: DataFrame): DataFrame = {
+    val spark = alignments.sparkSession
+    import spark.implicits._
+    val keyed = alignments
+      .select(col("readName"), col("flag").cast("int"),
+        col("referenceName"), col("start").cast("long"), col("cigar"),
+        col("mapq").cast("int"))
+      .as[(String, Int, String, Long, String, Int)]
+      .map { case (name, flag, ref, start, cigar, mapq) =>
+        val unmapped = (flag & 0x4) != 0 || ref == null || ref == "*" ||
+          cigar == null || cigar == "*"
+        if (unmapped) (name, flag, ref, -1L, false, mapq, false)
+        else {
+          var lead = 0; var trail = 0; var refLen = 0L
+          var i = 0; var n = 0; var first = true
+          while (i < cigar.length) {
+            val c = cigar.charAt(i)
+            if (c >= '0' && c <= '9') n = n * 10 + (c - '0')
+            else {
+              c match {
+                case 'M' | '=' | 'X' | 'D' | 'N' =>
+                  refLen += n; first = false; trail = 0
+                case 'S' =>
+                  if (first) lead = n else trail = n
+                  first = false
+                case 'I' => first = false; trail = 0
+                case 'H' | 'P' => ()
+                case other =>
+                  sys.error(s"unsupported CIGAR op '$other' in $cigar")
+              }
+              n = 0
+            }
+            i += 1
+          }
+          val rev = (flag & 0x10) != 0
+          val pos5 =
+            if (rev) start + refLen - 1 + trail
+            else start - lead
+          (name, flag, ref, pos5, rev, mapq, true)
+        }
+      }
+      .toDF("readName", "flag", "referenceName", "pos5", "rev", "mapq",
+        "_mapped")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("referenceName"), col("pos5"), col("rev"))
+      .orderBy(col("mapq").desc, col("readName").asc)
+    keyed
+      .withColumn("_rk",
+        when(col("_mapped"), row_number().over(w)).otherwise(lit(1)))
+      .select(col("readName"), col("referenceName"), col("pos5"),
+        col("rev"), (col("_mapped") && col("_rk") > 1).as("dup"))
   }
 
   /** Consensus call per pileup position — the naive-caller step after

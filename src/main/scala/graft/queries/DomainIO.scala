@@ -756,6 +756,42 @@ object DomainIO {
         tileBits = 12)
     },
 
+    // flagstat (q292): the one-row FLAG-bit QC summary. `k % 4096` IS
+    // a valid flag bitset, so the fixture sweeps every bit combination
+    // and the oracle is pure bit arithmetic.
+    "q292_flagstat" -> { (s, d) =>
+      val aln = Tables.orders(s, d).select(
+        concat_ws("", lit("r"), col("o_orderkey")).as("readName"),
+        pmod(col("o_orderkey"), lit(4096)).cast("int").as("flag"))
+      graft.operators.ViraPipeline.flagstat(aln)
+    },
+
+    // MarkDuplicates (q293): 5'-end signature dedup over the 4-stratum
+    // CIGAR grammar — a 10-position start space forces real duplicate
+    // stacks; strand alternates so reverse reads key by alignment END
+    // (start + ref-consumed - 1), and the soft-clip stratum proves the
+    // unclipped-start arithmetic. The oracle replays per-stratum
+    // refLen/lead and the (mapq desc, readName asc) keeper rule.
+    "q293_markdup" -> { (s, d) =>
+      val o = Tables.orders(s, d).filter(col("o_orderkey") >= 1000)
+      val k = col("o_orderkey")
+      val len = length(dnaOf(k))
+      val strat = pmod(k, lit(4))
+      val cig = when(strat === 0, concat(len, lit("M")))
+        .when(strat === 1, concat(lit("1S"), len - 1, lit("M")))
+        .when(strat === 2, concat(lit("2M3D"), len - 2, lit("M")))
+        .otherwise(concat(lit("2M1I"), len - 3, lit("M")))
+      val aln = o.select(
+        concat_ws("", lit("r"), k).as("readName"),
+        when(pmod(k, lit(2)) === 0, 0).otherwise(16).cast("int").as("flag"),
+        concat(lit("c"), pmod(col("o_custkey"), lit(2)).cast("string"))
+          .as("referenceName"),
+        (pmod(k, lit(10)) + 1).cast("long").as("start"),
+        pmod(k, lit(60)).cast("int").as("mapq"),
+        cig.as("cigar"))
+      graft.operators.ViraPipeline.markDuplicates(aln)
+    },
+
     // Assembly statistics (q277): the QUAST-style post-assembly QC
     // row — N50/L50 via the descending-length cumulative crossing,
     // GC as exact ppm — over the q51 contig fixture. All-integer
@@ -809,6 +845,58 @@ object DomainIO {
          GROUP BY 1, 2"""
 
   val oracles: Map[String, String] = Map(
+    "q292_flagstat" ->
+      """WITH f AS (SELECT CAST(o_orderkey % 4096 AS INTEGER) AS flag
+                    FROM orders)
+         SELECT CAST(count(*) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN (flag & 256) != 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS secondary,
+           CAST(sum(CASE WHEN (flag & 2048) != 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS supplementary,
+           CAST(sum(CASE WHEN (flag & 1024) != 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS duplicates,
+           CAST(sum(CASE WHEN (flag & 4) = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS mapped,
+           CAST(sum(CASE WHEN (flag & 1) != 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS paired,
+           CAST(sum(CASE WHEN (flag & 1) != 0 AND (flag & 64) != 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS read1,
+           CAST(sum(CASE WHEN (flag & 1) != 0 AND (flag & 128) != 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS read2,
+           CAST(sum(CASE WHEN (flag & 1) != 0 AND (flag & 2) != 0
+             AND (flag & 4) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS properly_paired,
+           CAST(sum(CASE WHEN (flag & 1) != 0 AND (flag & 4) = 0
+             AND (flag & 8) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS both_mapped,
+           CAST(sum(CASE WHEN (flag & 1) != 0 AND (flag & 4) = 0
+             AND (flag & 8) != 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singletons
+         FROM f""",
+    "q293_markdup" ->
+      """WITH r AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                'r' || o_orderkey AS rn,
+                'c' || (o_custkey % 2) AS ref,
+                CAST(o_orderkey % 10 + 1 AS BIGINT) AS strt,
+                length(CAST(o_orderkey AS VARCHAR)) AS len,
+                o_orderkey % 4 AS s,
+                (o_orderkey % 2) != 0 AS rev,
+                CAST(o_orderkey % 60 AS INTEGER) AS mapq
+              FROM orders WHERE o_orderkey >= 1000),
+         p AS (SELECT rn, ref, rev, mapq,
+                 CASE WHEN rev THEN strt - 1 +
+                     (CASE s WHEN 0 THEN len WHEN 1 THEN len - 1
+                             WHEN 2 THEN len + 3 ELSE len - 1 END)
+                      ELSE strt - (CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                 END AS pos5
+               FROM r),
+         k2 AS (SELECT *, row_number() OVER (
+                  PARTITION BY ref, pos5, rev
+                  ORDER BY mapq DESC, rn ASC) AS rk
+                FROM p)
+         SELECT rn AS "readName", ref AS "referenceName",
+           CAST(pos5 AS BIGINT) AS pos5, rev, (rk > 1) AS dup
+         FROM k2""",
     "q289_liftover" ->
       """WITH p AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
                 'c' || (o_custkey % 2) AS chrom,

@@ -211,6 +211,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) === ((None, None)))
   }
 
+  test("flagstat: bit tests match samtools' classic definitions") {
+    import spark.implicits._
+    val aln = Seq(
+      99,   // paired, proper, mate-mapped, first -> everything paired
+      77,   // paired, both unmapped, first
+      141,  // paired, both unmapped, second
+      0,    // unpaired mapped
+      1024, // duplicate (mapped, unpaired)
+      256,  // secondary
+      2048, // supplementary
+      73    // paired, mapped, MATE unmapped, first -> singleton
+    ).map(f => (s"r$f", f)).toDF("readName", "flag")
+    val r = graft.operators.ViraPipeline.flagstat(aln).collect().head
+    def g(n: String) = r.getLong(r.fieldIndex(n))
+    assert(g("total") === 8 && g("secondary") === 1 &&
+      g("supplementary") === 1 && g("duplicates") === 1)
+    assert(g("mapped") === 6, "all but the two flag-4 reads")
+    assert(g("paired") === 4 && g("read1") === 3 && g("read2") === 1)
+    assert(g("properly_paired") === 1)
+    assert(g("both_mapped") === 1 && g("singletons") === 1)
+  }
+
+  test("markDuplicates: unclipped 5' ends, strand-aware, best-mapq keeper") {
+    import spark.implicits._
+    val aln = Seq(
+      // fwd stack at unclipped pos 100: a (mapq 60) keeps, b (soft-clip
+      // shifts 102 back to 100, mapq 50) dups, c ties d on mapq -> name
+      ("a", 0, "c0", 100L, "4M", 60),
+      ("b", 0, "c0", 102L, "2S4M", 50),
+      // rev stack: ends at 100+5-1=104 and 102+3-1=104 -> same stack
+      ("c", 16, "c0", 100L, "5M", 30),
+      ("d", 16, "c0", 102L, "3M", 30),
+      // same position but OPPOSITE strand of the fwd stack: no dup
+      ("e", 16, "c0", 96L, "5M", 20),
+      // unmapped: never marks
+      ("f", 4, "*", 0L, "*", 0)
+    ).toDF("readName", "flag", "referenceName", "start", "cigar", "mapq")
+    val got = graft.operators.ViraPipeline.markDuplicates(aln)
+      .as[(String, String, Long, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r._5).toMap
+    assert(got === Map("a" -> false, "b" -> true,
+      "c" -> false, "d" -> true, "e" -> false, "f" -> false), s"got $got")
+  }
+
   test("pileup: CIGAR/base-length disagreement errors loudly") {
     import spark.implicits._
     val bad = Seq(("r", "c0", 1L, "5M", "ACGT"))
