@@ -90,6 +90,42 @@ object Events {
         .filter(col("event_type") =!= "__flush__")
     },
 
+    // transformWithState (q294): per-user RUNNING counts through the
+    // Spark-4 arbitrary-state v2 API (typed ValueState, RocksDB
+    // provider). maxFilesPerTrigger=1 over a 4-file stage forces the
+    // state to accumulate across >= 4 micro-batches; running totals
+    // are monotone, so max(n_events) per user == the final count ==
+    // the batch groupBy — the oracle — regardless of batching.
+    "q294_tws_running_counts" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val base = Fixtures.fresh(
+        s"/tmp/graft_stream/${new java.io.File(d).getName}_tws")
+      val in = s"$base/in"
+      val out = s"$base/out"
+      val staged = Tables.events(s, d).select(col("user_id").cast("long"))
+      staged.repartition(4).write.mode("overwrite").parquet(in)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val src = s.readStream.schema(staged.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in)
+        val q = graft.streaming.EventStreams.runningCounts(s, src).toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+      s.read.parquet(out).groupBy("user_id")
+        .agg(max("n_events").as("n_events"))
+    },
+
     // Batch/stream parity for the STATEFUL path: the event-time
     // sessionizer (flatMapGroupsWithState + EventTimeTimeout) over the
     // full events table. The sentinel advances the watermark 4h past max
@@ -624,6 +660,10 @@ object Events {
       """SELECT date_trunc('hour', ts) AS win, event_type,
               count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2""",
+    "q294_tws_running_counts" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+              count(*) AS n_events
+         FROM events GROUP BY 1""",
     "q41_sessionize" ->
       """WITH g AS (
            SELECT user_id, ts, value,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 import java.sql.Timestamp
@@ -215,5 +215,51 @@ object EventStreams {
             closed.result().iterator
           }
       }
+  }
+
+  final case class RunningCount(user_id: Long, n_events: Long)
+
+  /** [[runningCounts]]'s processor — the transformWithState (Spark 4
+    * arbitrary-state v2) form of a per-key running aggregate: one typed
+    * `ValueState[Long]` per user, emitted once per key per micro-batch
+    * as the RUNNING total. Running totals are monotone, so any
+    * downstream `max(n_events)` per key equals the final count no
+    * matter how the input was batched — the property the q294 oracle
+    * leans on.
+    */
+  private class RunningCountProcessor
+      extends StatefulProcessor[Long, Long, RunningCount] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Long],
+                                 timers: TimerValues): Iterator[RunningCount] = {
+      val prev = if (count.exists()) count.get() else 0L
+      val c = prev + rows.size
+      count.update(c)
+      Iterator.single(RunningCount(key, c))
+    }
+  }
+
+  /** Per-user RUNNING event counts via `transformWithState` — the
+    * arbitrary-stateful-processing v2 API (SPARK-46815, public in
+    * Spark 4): typed state variables with per-state TTL, timers, and
+    * initial-state support, superseding flatMapGroupsWithState's
+    * single-blob state. Requires the RocksDB state store provider
+    * (set `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider` before starting the query —
+    * the HDFS-backed default refuses TWS).
+    *
+    * Scale shape: state is one long per DISTINCT user — bounded by
+    * key cardinality, not event volume; RocksDB spills it off-heap.
+    */
+  def runningCounts(spark: SparkSession,
+                    events: DataFrame): Dataset[RunningCount] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long")).as[Long]
+      .groupByKey(identity)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

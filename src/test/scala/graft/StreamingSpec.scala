@@ -253,4 +253,47 @@ class StreamingSpec extends AnyFunSuite {
     // 40 responses + 3 warcinfo leaders (one per written file)
     assert(got.size == 43)
   }
+
+  test("transformWithState: running counts survive a query restart (RocksDB)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      def drain(): Unit = {
+        val src = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType))))
+          .parquet(in)
+        val q = graft.streaming.EventStreams.runningCounts(spark, src).toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      Seq(1L, 1L, 2L).toDF("user_id").coalesce(1)
+        .write.mode("append").parquet(in)
+      drain()
+      // second batch arrives AFTER the first query stopped: the running
+      // count must resume from RocksDB-checkpointed state, not restart
+      Seq(1L).toDF("user_id").coalesce(1)
+        .write.mode("append").parquet(in)
+      drain()
+      val finalCounts = spark.read.parquet(out)
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(finalCounts === Map(1L -> 3L, 2L -> 1L), s"got $finalCounts")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
