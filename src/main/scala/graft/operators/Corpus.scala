@@ -1395,6 +1395,31 @@ object Corpus {
       }
   }
 
+  /** Temperature-scaled mixture weights (the Gopher/PaLM sampling-
+    * temperature rule): per-stratum share p_i = n_i / N raised to
+    * `1/T = alpha` and renormalized — alpha = 1 keeps natural
+    * proportions, alpha → 0 flattens toward uniform, the knob every
+    * published mixing recipe tunes to keep small high-quality sources
+    * from drowning. Emits (stratum, n, weight) — the weight table that
+    * plugs straight into [[mixtureSample]].
+    *
+    * Scale shape: one hash agg to per-stratum counts (stratum
+    * cardinality is metadata-sized), then two broadcast 1-row
+    * normalizers — no data-proportional shuffle beyond the count.
+    */
+  def temperatureWeights(docs: DataFrame, stratumCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0, s"temperature exponent must be positive, got $alpha")
+    val c = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum("n").cast("double").as("__t"))
+    val u = c.crossJoin(broadcast(tot))
+      .withColumn("__u", pow(col("n") / col("__t"), alpha))
+    val z = u.agg(sum("__u").as("__z"))
+    u.crossJoin(broadcast(z))
+      .select(col(stratumCol), col("n"),
+        (round(col("__u") / col("__z"), 6) + lit(0.0)).as("weight"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement — the
     * Efraimidis–Spirtes A-ES key (IPL 2006, public algorithm): give
     * each row the key ln(u) / w for a per-row uniform u ∈ (0, 1] and

@@ -23,6 +23,35 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Filter-calibration sweep: for each candidate threshold, how many
+    * rows survive `score >= t` and what fraction (exact integer ppm) —
+    * the table a curation team reads before committing a quality-
+    * filter cut-off (the survivor curve). ONE narrow pass: k codegen'd
+    * bit-of-work predicates inside a single global aggregation (k is a
+    * calibration grid, tens not thousands), then the 1-row result
+    * explodes to (threshold, n_kept, kept_ppm) rows. Zero shuffles
+    * beyond the one-row agg at any corpus size.
+    */
+  def thresholdSweep(df: DataFrame, scoreCol: String,
+                     thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "no thresholds to sweep")
+    val aggs = thresholds.zipWithIndex.map { case (t, i) =>
+      sum(when(col(scoreCol) >= t, 1L).otherwise(0L)).as(s"__k$i")
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val tArr = array(thresholds.map(lit(_)): _*)
+    // sum() over ZERO rows is null, not 0 — an empty corpus must sweep
+    // to zero survivors, not null ones
+    val kArr = array(thresholds.indices.map(i =>
+      coalesce(col(s"__k$i"), lit(0L))): _*)
+    row.select(col("__n"), posexplode(kArr).as(Seq("__i", "n_kept")))
+      .select(
+        element_at(tArr, col("__i") + 1).as("threshold"),
+        col("n_kept"),
+        when(col("__n") === 0, lit(null))
+          .otherwise(expr("n_kept * 1000000 DIV __n")).as("kept_ppm"))
+  }
+
   /** Profile `cols` (numeric) of `df`: one output row per column with
     * n_rows, n_nulls, n_distinct, min_v, max_v, p50 (exact median,
     * rounded to 4 — one interpolation over the same sorted data on any

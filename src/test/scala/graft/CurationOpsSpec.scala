@@ -397,4 +397,23 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq
     assert(s1 === s2 && s1.size === 8)
   }
+
+  test("temperatureWeights: alpha=1 keeps shares, alpha<1 flattens, sums to 1") {
+    import spark.implicits._
+    // 80/20 split across two sources
+    val docs = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    def weights(a: Double): Map[String, Double] =
+      graft.operators.Corpus.temperatureWeights(docs, "source", a)
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> r._3).toMap
+    val natural = weights(1.0)
+    assert(math.abs(natural("big") - 0.8) < 1e-6 &&
+      math.abs(natural("small") - 0.2) < 1e-6)
+    val cooled = weights(0.5)
+    // sqrt(0.8)/(sqrt(0.8)+sqrt(0.2)) = 2/3: small source gains share
+    assert(math.abs(cooled("big") - 2.0 / 3) < 1e-6, s"got $cooled")
+    assert(cooled("small") > natural("small"))
+    assert(math.abs(cooled.values.sum - 1.0) < 1e-5)
+  }
 }

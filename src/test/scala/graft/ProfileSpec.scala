@@ -36,4 +36,22 @@ class ProfileSpec extends AnyFunSuite {
       plan.split("Expand").length >= 2, s"unexpected plan:\n$plan")
     assert(!plan.contains("Union"), s"per-column union of jobs:\n$plan")
   }
+
+  test("thresholdSweep: survivor counts per threshold, inclusive boundary") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 2.0, 3.0, 5.0).toDF("s")
+    val got = graft.operators.Profile
+      .thresholdSweep(df, "s", Seq(2.0, 3.0, 6.0))
+      .as[(Double, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(2.0) === ((4L, Some(800000L)))) // >= is inclusive
+    assert(got(3.0) === ((2L, Some(400000L))))
+    assert(got(6.0) === ((0L, Some(0L))))
+    // empty input: counts 0, fraction null (not a division error)
+    val empty = graft.operators.Profile
+      .thresholdSweep(df.filter(org.apache.spark.sql.functions.lit(false)),
+        "s", Seq(1.0))
+      .as[(Double, Long, Option[Long])].collect().head
+    assert(empty === ((1.0, 0L, None)))
+  }
 }
