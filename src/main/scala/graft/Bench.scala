@@ -97,7 +97,11 @@ object Bench {
     // the row-level change feed across four commit kinds, the tiled
     // keyed depth curve, and the DSIR broadcast scoring pass
     "q272_stream_source", "q273_change_feed", "q275_depth_curve",
-    "q276_dsir_weights")
+    "q276_dsir_weights",
+    // round-10 continuation: the CIGAR-walk explode+agg (pileup, the
+    // heaviest new per-base shape) and the 5'-signature duplicate
+    // window (markdup) — both time fixture write + operator end-to-end
+    "q287_pileup", "q293_markdup")
 
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++
