@@ -1333,6 +1333,71 @@ object Corpus {
       }
   }
 
+  final case class CharSignals(
+      doc_id: Long, n_chars: Long, n_latin: Long, n_cyrillic: Long,
+      n_han: Long, n_arabic: Long, n_distinct: Long,
+      entropy_bits: Option[Double]) // RAW bits — round at the query layer
+
+  /** Character-level curation signals — the script/diversity tagger a
+    * multilingual pipeline runs next to language-ID: per document,
+    * CODE-POINT counts by Unicode script (Latin, Cyrillic, Han,
+    * Arabic — `Character.UnicodeScript`, the same classes RE2's
+    * `\p{Latin}` family matches), distinct-code-point count, and the
+    * Shannon entropy of the code-point distribution in RAW bits
+    * (round at the query layer — the low-entropy tail is
+    * boilerplate/spam, the published compression-ratio proxy without
+    * a codec dependency). Empty documents carry null entropy
+    * (undefined, not zero).
+    *
+    * Counts are CODE POINTS, not UTF-16 units, so they agree with
+    * engines that count characters (astral-plane text included). One
+    * narrow mapPartitions pass, the tagger shape: no explode, no
+    * shuffle.
+    */
+  def charSignals(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text")
+      : org.apache.spark.sql.Dataset[CharSignals] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        import java.lang.Character.UnicodeScript
+        rows.map { case (id, text) =>
+          val hist = new java.util.HashMap[Integer, Long]()
+          var latin = 0L; var cyr = 0L; var han = 0L; var arab = 0L
+          var n = 0L; var i = 0
+          while (i < text.length) {
+            val cp = text.codePointAt(i)
+            i += Character.charCount(cp)
+            n += 1
+            UnicodeScript.of(cp) match {
+              case UnicodeScript.LATIN => latin += 1
+              case UnicodeScript.CYRILLIC => cyr += 1
+              case UnicodeScript.HAN => han += 1
+              case UnicodeScript.ARABIC => arab += 1
+              case _ => ()
+            }
+            hist.merge(cp, 1L, (a, b) => a + b)
+          }
+          val entropy =
+            if (n == 0) None
+            else {
+              var e = 0.0
+              val it = hist.values().iterator()
+              while (it.hasNext) {
+                val p = it.next().toDouble / n
+                e -= p * (math.log(p) / math.log(2.0))
+              }
+              Some(e)
+            }
+          CharSignals(id, n, latin, cyr, han, arab, hist.size.toLong,
+            entropy)
+        }
+      }
+  }
+
   final case class C4Result(doc_id: Long, text: String,
                             n_lines_kept: Long, n_sentences: Long,
                             kept: Boolean)

@@ -886,6 +886,49 @@ object Layout {
     (snapId, nBad)
   }
 
+  /** KEY-ENFORCED append — the "primary key" contract no open table
+    * format actually enforces (Delta and Iceberg both document PK as
+    * informational): append only rows whose key columns do not already
+    * exist in the table, routing collisions to a quarantine table with
+    * the incoming batch's own intra-batch duplicates (beyond the first
+    * occurrence, ordered by the key itself for determinism) counted as
+    * collisions too. Returns (snapshotId, nRejected).
+    *
+    * Scale shape: ONE left-anti equi-join against the current
+    * snapshot's key projection (column-pruned scan — only the key
+    * columns read) plus one intra-batch window over the key; the
+    * quarantine write is collision-proportional. The check is
+    * read-committed, not serializable: two concurrent appends of the
+    * same key can both pass (the commit protocol arbitrates ids, not
+    * content) — same caveat Delta's MERGE carries without a blocking
+    * catalog.
+    */
+  def snapshotAppendUnique(df: DataFrame, dir: String,
+                           quarantineDir: String, keyCols: Seq[String],
+                           statsCols: Seq[String] = Nil,
+                           bloomCols: Seq[String] = Nil): (Long, Long) = {
+    require(keyCols.nonEmpty, "snapshotAppendUnique needs >= 1 key column")
+    val spark = df.sparkSession
+    val keys = keyCols.map(col)
+    // first occurrence per key within the batch wins; the order is the
+    // FULL row (not just the key — equal keys with different payloads
+    // must split deterministically across runs and partitionings)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(df.columns.map(col): _*)
+    val tagged = df.withColumn("_rn", row_number().over(w))
+    val existing = snapshotRead(spark, dir).select(keys: _*)
+    val firsts = tagged.filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint() // anti and semi both read one evaluation
+    val fresh = firsts.join(existing, keyCols, "left_anti")
+    val collidedFirsts = firsts.join(existing, keyCols, "left_semi")
+    val intraDups = tagged.filter(col("_rn") > 1).drop("_rn")
+    val snapId = snapshotAppend(fresh, dir, statsCols, bloomCols)
+    val bad = collidedFirsts.unionByName(intraDups).localCheckpoint()
+    val nBad = bad.count()
+    if (nBad > 0) snapshotAppend(bad, quarantineDir)
+    (snapId, nBad)
+  }
+
   /** WRITE-AUDIT-PUBLISH staging — the Iceberg WAP pattern reduced to
     * the manifest primitive: the batch's data files land under
     * `data/staged-<token>/` and ONE `staged-<token>.json` records the

@@ -63,6 +63,27 @@ object Layout {
         .option("metadata", "refs").load()
     },
 
+    // Key-enforced append (q297): table holds doc_id < 400; the
+    // incoming batch overlaps it (>= 300) and carries planted
+    // intra-batch duplicates (%50 == 0 ids appear twice). Fresh keys
+    // append, every collision and every beyond-first batch copy lands
+    // in quarantine; the oracle recomputes both sides from the same
+    // predicates.
+    "q297_unique_append" -> { (s, d) =>
+      val base = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/uniq")
+      val qdir = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/uniq_q")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      L.snapshotWrite(docs.filter(col("doc_id") < 400), base)
+      val batch = docs.filter(col("doc_id") >= 300)
+        .unionAll(docs.filter(col("doc_id") % 50 === 0))
+      L.snapshotAppendUnique(batch, base, qdir, Seq("doc_id"))
+      L.snapshotRead(s, base).withColumn("side", lit("table"))
+        .unionByName(
+          L.snapshotRead(s, qdir).withColumn("side", lit("quarantine")))
+    },
+
     // Morton z-value over (user_id, minutes-since-epoch), the clustering
     // key zorderWrite lays files out by. Pure shift/mask arithmetic in
     // one codegen'd projection — the oracle replays it bit for bit.
@@ -927,6 +948,17 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    "q297_unique_append" ->
+      """SELECT doc_id, lang, 'table' AS side FROM documents
+         UNION ALL
+         SELECT doc_id, lang, 'quarantine' FROM documents
+         WHERE doc_id % 50 = 0 AND doc_id < 300
+         UNION ALL
+         SELECT doc_id, lang, 'quarantine' FROM documents
+         WHERE doc_id >= 300 AND doc_id < 400
+         UNION ALL
+         SELECT doc_id, lang, 'quarantine' FROM documents
+         WHERE doc_id % 50 = 0 AND doc_id >= 300""",
     "q291_refs_meta" ->
       """SELECT * FROM (VALUES
            ('audit', 'branch', CAST(2 AS BIGINT)),

@@ -1659,6 +1659,26 @@ class LayoutSpec extends AnyFunSuite {
     assert(m === r, s"maintained $m vs recomputed $r")
   }
 
+  test("snapshotAppendUnique: collisions and intra-batch dups quarantine, fresh keys land") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_uniq").toString
+    val qdir = java.nio.file.Files.createTempDirectory("graft_uniq_q").toString
+    Layout.snapshotWrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    // batch: 2 collides; 3 fresh; 4 fresh but duplicated in-batch
+    val batch = Seq((2L, "b2"), (3L, "c"), (4L, "d1"), (4L, "d2"))
+      .toDF("k", "v")
+    val (_, nBad) = Layout.snapshotAppendUnique(batch, dir, qdir, Seq("k"))
+    assert(nBad === 2, "one collision + one intra-batch duplicate")
+    val table = Layout.snapshotRead(spark, dir)
+      .as[(Long, String)].collect().toSet
+    // 4's kept copy is the FIRST by (k, then full key order): d1
+    assert(table === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d1")),
+      s"got $table")
+    val q = Layout.snapshotRead(spark, qdir)
+      .as[(Long, String)].collect().toSet
+    assert(q === Set((2L, "b2"), (4L, "d2")), s"got $q")
+  }
+
   test("refs: tags resolve forever, branches fast-forward forward-only") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_refs").toString

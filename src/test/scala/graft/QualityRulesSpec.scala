@@ -101,6 +101,29 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(!c4Of(base + " and Lorem Ipsum filler.").kept)
   }
 
+  test("charSignals: script counts by code point, entropy, empty-doc null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab привет 你好 مر"),
+      (2L, "aab"),
+      (3L, ""),
+      (4L, "𝐀b") // astral MATHEMATICAL BOLD A: 1 code point
+    ).toDF("doc_id", "text")
+    val got = Corpus.charSignals(docs).collect().map(s => s.doc_id -> s).toMap
+    val m = got(1L)
+    assert((m.n_latin, m.n_cyrillic, m.n_han, m.n_arabic) ===
+      ((2L, 6L, 2L, 2L)), s"got $m")
+    assert(m.n_chars === 15) // 12 letters + 3 spaces
+    // entropy of "aab" = 0.918295... (two symbols, 2/3 + 1/3)
+    val e = got(2L).entropy_bits.get
+    assert(math.abs(e - 0.9182958340544896) < 1e-12, s"got $e")
+    assert(got(3L).entropy_bits.isEmpty && got(3L).n_chars === 0)
+    // astral char is ONE code point (UTF-16 pair), script non-Latin?
+    // MATHEMATICAL BOLD CAPITAL A is script=Common: counts in n_chars
+    // and the histogram, not in the Latin bucket
+    assert(got(4L).n_chars === 2 && got(4L).n_distinct === 2)
+  }
+
   test("c4: sentence marks in DROPPED lines do not count") {
     // the only punct-rich line is a javascript line -> dropped
     val r = c4Of("A. B. C. D. E. but javascript kills this line.\nplain line")
