@@ -318,6 +318,87 @@ object ViraPipeline {
         sum(when(col("b") === "T", 1L).otherwise(0L)).as("n_t"))
   }
 
+  /** Per-sample KMV (k-minimum-values) k-mer sketch — the bottom-s
+    * distinct 60-bit k-mer hashes per sample, the sketch behind Mash
+    * (Ondov et al. 2016) and every alignment-free genome comparator.
+    * 60-bit md5-prefix hashing (the engine's production hash-width
+    * convention — cross-engine replayable, positive in signed int64).
+    *
+    * Scale shape: the k-mer explode streams through the native
+    * generator (no array materialization); bottom-s is TWO-PHASE —
+    * a bounded per-partition, per-sample TreeSet heap (never more
+    * than s values per (partition, sample) in memory) feeds a
+    * per-sample merge of ≤ s·partitions candidates — so the full
+    * distinct-hash set is NEVER shuffled: a 100× corpus shuffles the
+    * same s·partitions rows. The merge itself is one hash agg.
+    */
+  def mashSketch(reads: DataFrame, sampleCol: String, seqCol: String,
+                 k: Int = 16, sketchSize: Int = 256): DataFrame = {
+    require(k >= 1 && sketchSize >= 1, s"bad k=$k / s=$sketchSize")
+    val spark = reads.sparkSession
+    import spark.implicits._
+    val hashed = reads
+      .select(col(sampleCol).cast("string").as("sample"),
+        DnaFunctions.kmersExploded(spark, col(seqCol), k).as("km"))
+      .select(col("sample"),
+        conv(substring(md5(col("km")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val cands = hashed.as[(String, Long)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[String, java.util.TreeSet[java.lang.Long]]
+        it.foreach { case (s, h) =>
+          val t = heaps.getOrElseUpdate(s,
+            new java.util.TreeSet[java.lang.Long]())
+          if (t.size < sketchSize) t.add(h)
+          else if (h < t.last()) { if (t.add(h)) t.pollLast() }
+        }
+        heaps.iterator.flatMap { case (s, t) =>
+          val out = new Array[(String, Long)](t.size)
+          var i = 0
+          t.forEach { h => out(i) = (s, h.longValue()); i += 1 }
+          out.iterator
+        }
+      }
+      .toDF("sample", "h")
+    cands.groupBy("sample")
+      .agg(slice(array_sort(array_distinct(collect_list(col("h")))),
+        1, sketchSize).as("sketch"))
+  }
+
+  /** Pairwise MASH DISTANCE between samples from their KMV sketches:
+    * for each sample pair, merge the two sketches to the union's
+    * bottom-s, count how many of those the sketches SHARE (the
+    * unbiased containment trick — comparing inside the merged sketch,
+    * never the raw sets), j = shared/|merged|, and Mash's distance
+    * d = -ln(2j/(1+j))/k. Disjoint sketches carry null (d undefined
+    * at j = 0, not infinite-as-a-number).
+    *
+    * The pair join is a broadcast inequality join over the SKETCH
+    * table — one row per sample, a metadata-sized dimension; the
+    * heavy lifting stayed in [[mashSketch]]'s bounded two-phase pass.
+    */
+  def mashDistance(reads: DataFrame, sampleCol: String, seqCol: String,
+                   k: Int = 16, sketchSize: Int = 256): DataFrame = {
+    val sk = mashSketch(reads, sampleCol, seqCol, k, sketchSize)
+      .localCheckpoint() // both sides of the pair join read one pass
+    val a = sk.select(col("sample").as("s1"), col("sketch").as("ska"))
+    val b = sk.select(col("sample").as("s2"), col("sketch").as("skb"))
+    val merged = slice(array_sort(array_distinct(
+      concat(col("ska"), col("skb")))), 1, sketchSize)
+    val shared = size(array_intersect(col("merged"),
+      array_intersect(col("ska"), col("skb")))).cast("long")
+    val j = col("shared").cast("double") / col("denom")
+    a.join(broadcast(b), col("s1") < col("s2"))
+      .withColumn("merged", merged)
+      .withColumn("shared", shared)
+      .withColumn("denom", size(col("merged")).cast("long"))
+      .withColumn("mash_dist",
+        when(col("shared") === 0, lit(null)).otherwise(
+          round(-log(lit(2.0) * j / (lit(1.0) + j)) / k, 6) + lit(0.0)))
+      .select("s1", "s2", "shared", "denom", "mash_dist")
+  }
+
   /** samtools-flagstat twin — the one-row alignment-QC summary every
     * pipeline prints after alignment: counts over the SAMv1 FLAG bits
     * (0x1 paired, 0x2 proper, 0x4 unmapped, 0x8 mate-unmapped, 0x40/

@@ -792,6 +792,23 @@ object DomainIO {
       graft.operators.ViraPipeline.markDuplicates(aln)
     },
 
+    // Mash distance (q299): alignment-free sample comparison via KMV
+    // k-mer sketches (bottom-64 distinct 60-bit hashes, k=8) over the
+    // digit-DNA contigs split into 5 samples — shared/merged counts
+    // and the -ln(2j/(1+j))/k distance per pair. The oracle replays
+    // hashing, the bottom-s rank, the union-merge, and the distance
+    // arithmetic.
+    "q299_mash_distance" -> { (s, d) =>
+      val contigs = Tables.part(s, d).select(
+        concat(lit("s"), pmod(col("p_partkey"), lit(5)).cast("string"))
+          .as("sample"),
+        translate(regexp_replace(upper(col("p_name")), "[^A-Z]", ""),
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+          "ACGTACGTACGTACGTACGTACGTAC").as("seq"))
+      graft.operators.ViraPipeline.mashDistance(contigs, "sample", "seq",
+        k = 8, sketchSize = 64)
+    },
+
     // Assembly statistics (q277): the QUAST-style post-assembly QC
     // row — N50/L50 via the descending-length cumulative crossing,
     // GC as exact ppm — over the q51 contig fixture. All-integer
@@ -845,6 +862,41 @@ object DomainIO {
          GROUP BY 1, 2"""
 
   val oracles: Map[String, String] = Map(
+    "q299_mash_distance" ->
+      """WITH contigs AS (SELECT 's' || (p_partkey % 5) AS sample,
+                translate(regexp_replace(upper(p_name), '[^A-Z]', '', 'g'),
+                  'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                  'ACGTACGTACGTACGTACGTACGTAC') AS seq
+              FROM part),
+         km AS (SELECT sample,
+                 CAST(('0x' || substr(md5(substr(seq, CAST(i AS INTEGER),
+                   8)), 1, 15)) AS BIGINT) AS h
+               FROM contigs, UNNEST(range(1, length(seq) - 6)) AS u(i)
+               WHERE length(seq) >= 8),
+         dd AS (SELECT DISTINCT sample, h FROM km),
+         rk AS (SELECT sample, h, row_number() OVER (
+                  PARTITION BY sample ORDER BY h) AS r FROM dd),
+         sk AS (SELECT sample, list(h ORDER BY h) AS sketch
+                FROM rk WHERE r <= 64 GROUP BY 1),
+         pr AS (SELECT a.sample AS s1, b.sample AS s2,
+                  a.sketch AS ska, b.sketch AS skb
+                FROM sk a JOIN sk b ON a.sample < b.sample),
+         mg AS (SELECT s1, s2, ska, skb,
+                  list_sort(list_distinct(list_concat(ska, skb)))[1:64]
+                    AS merged
+                FROM pr),
+         ct AS (SELECT s1, s2,
+                  CAST(len(list_filter(merged, h ->
+                    list_contains(ska, h) AND list_contains(skb, h)))
+                    AS BIGINT) AS shared,
+                  CAST(len(merged) AS BIGINT) AS denom
+                FROM mg)
+         SELECT s1, s2, shared, denom,
+           CASE WHEN shared = 0 THEN NULL
+                ELSE round(-ln(2.0 * (shared / CAST(denom AS DOUBLE))
+                  / (1.0 + shared / CAST(denom AS DOUBLE))) / 8, 6) + 0.0
+           END AS mash_dist
+         FROM ct""",
     "q292_flagstat" ->
       """WITH f AS (SELECT CAST(o_orderkey % 4096 AS INTEGER) AS flag
                     FROM orders)

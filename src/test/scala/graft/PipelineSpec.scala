@@ -255,6 +255,37 @@ class PipelineSpec extends AnyFunSuite {
       "c" -> false, "d" -> true, "e" -> false, "f" -> false), s"got $got")
   }
 
+  test("mashSketch: bottom-s is exact under any partitioning") {
+    import spark.implicits._
+    val seqs = (1 to 40).map(i =>
+      ("s" + (i % 2), ("ACGT" * 10).drop(i % 4) + "TTAACCGG"))
+      .toDF("sample", "seq")
+    def sketchOf(parts: Int): Map[String, Seq[Long]] =
+      graft.operators.ViraPipeline
+        .mashSketch(seqs.repartition(parts), "sample", "seq",
+          k = 6, sketchSize = 10)
+        .as[(String, Seq[Long])].collect().toMap
+    val one = sketchOf(1)
+    assert(sketchOf(7) === one && sketchOf(32) === one,
+      "two-phase bottom-k must be partitioning-invariant")
+    assert(one.values.forall(s => s == s.sorted && s.size <= 10))
+  }
+
+  test("mashDistance: identical samples at 0, disjoint at null") {
+    import spark.implicits._
+    val reads = Seq(
+      ("a", "ACGTACGTACGT"), ("b", "ACGTACGTACGT"), // identical content
+      ("c", "TTTTTTTTTTTT")                          // disjoint k-mers
+    ).toDF("sample", "seq")
+    val got = graft.operators.ViraPipeline
+      .mashDistance(reads, "sample", "seq", k = 6, sketchSize = 16)
+      .as[(String, String, Long, Long, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val ab = got(("a", "b"))
+    assert(ab._3 === ab._4 && ab._5.contains(0.0), s"got $ab")
+    assert(got(("a", "c"))._5.isEmpty, "disjoint sketches carry null")
+  }
+
   test("pileup: CIGAR/base-length disagreement errors loudly") {
     import spark.implicits._
     val bad = Seq(("r", "c0", 1L, "5M", "ACGT"))
