@@ -809,6 +809,63 @@ object DomainIO {
         k = 8, sketchSize = 64)
     },
 
+    // BED round-trip (q300): 0-based half-open intervals with null
+    // strata for name/score/strand (the `.` convention), integral
+    // scores rendering as integers — write → splittable read → typed
+    // shape vs arithmetic replay.
+    "q300_bed_roundtrip" -> { (s, d) =>
+      val k = col("o_orderkey")
+      val start = pmod(k, lit(1000)) * 10
+      val iv = Tables.orders(s, d).select(
+        concat(lit("c"), pmod(col("o_custkey"), lit(3)).cast("string"))
+          .as("chrom"),
+        start.cast("long").as("start"),
+        (start + pmod(k, lit(50)) + 10).cast("long").as("end"),
+        concat(lit("iv"), k.cast("string")).as("name"),
+        (pmod(k, lit(100)) / lit(2.0)).as("score"),
+        when(pmod(k, lit(3)) === 0, "+")
+          .when(pmod(k, lit(3)) === 1, "-")
+          .otherwise(lit(null)).cast("string").as("strand"))
+      val dir = tmp(d, "bed")
+      graft.io.Bed.write(iv, dir)
+      graft.io.Bed.read(s, dir)
+    },
+
+    // GFF3 parse (q301): 1-based closed records with `.` strata on
+    // source/score/phase, ID/biotype attributes and a valueless flag
+    // key — typed fields plus the BED-normalized start0/end0 pair and
+    // attribute-map lookups, all replayed arithmetically.
+    "q301_gff_attributes" -> { (s, d) =>
+      val k = col("p_partkey")
+      val start = pmod(k, lit(1000)) + 1
+      val lines = Tables.part(s, d).select(concat_ws("\t",
+        concat(lit("c"), pmod(k, lit(3)).cast("string")),
+        when(k % 2 === 0, "graft").otherwise("."),
+        when(k % 5 === 0, "gene").otherwise("mRNA"),
+        start.cast("string"),
+        (start + pmod(k, lit(100)) + 1).cast("string"),
+        when(k % 4 === 0, (pmod(k, lit(10)) / lit(2.0)).cast("string"))
+          .otherwise("."),
+        when(k % 3 === 0, "+").when(k % 3 === 1, "-").otherwise("."),
+        when(k % 5 === 0, ".").otherwise(pmod(k, lit(3)).cast("string")),
+        concat(lit("ID=g"), k.cast("string"), lit(";biotype=bt"),
+          pmod(k, lit(4)).cast("string"),
+          when(k % 7 === 0, ";pseudo").otherwise(lit("")))).as("value"))
+      val dir = tmp(d, "gff")
+      import s.implicits._
+      lines.coalesce(1).as[String]
+        .mapPartitions(it =>
+          Iterator("##gff-version 3", "# comment line") ++ it)
+        .write.mode("overwrite").text(dir)
+      graft.io.Bed.readGff3(s, dir).select(
+        col("seqid"), col("source"), col("type"), col("start"),
+        col("end"), col("score"), col("strand"), col("phase"),
+        col("start0"), col("end0"),
+        element_at(col("attributes"), "ID").as("id"),
+        element_at(col("attributes"), "biotype").as("biotype"),
+        map_contains_key(col("attributes"), "pseudo").as("has_pseudo"))
+    },
+
     // Assembly statistics (q277): the QUAST-style post-assembly QC
     // row — N50/L50 via the descending-length cumulative crossing,
     // GC as exact ppm — over the q51 contig fixture. All-integer
@@ -862,6 +919,40 @@ object DomainIO {
          GROUP BY 1, 2"""
 
   val oracles: Map[String, String] = Map(
+    "q300_bed_roundtrip" ->
+      """SELECT 'c' || (o_custkey % 3) AS chrom,
+           CAST(o_orderkey % 1000 * 10 AS BIGINT) AS start,
+           CAST(o_orderkey % 1000 * 10 + o_orderkey % 50 + 10 AS BIGINT)
+             AS "end",
+           'iv' || o_orderkey AS name,
+           CAST(o_orderkey % 100 AS DOUBLE) / 2.0 AS score,
+           CASE WHEN o_orderkey % 3 = 0 THEN '+'
+                WHEN o_orderkey % 3 = 1 THEN '-' END AS strand,
+           CAST(o_orderkey % 1000 * 10 AS BIGINT) AS start0,
+           CAST(o_orderkey % 1000 * 10 + o_orderkey % 50 + 10 AS BIGINT)
+             AS end0
+         FROM orders""",
+    "q301_gff_attributes" ->
+      """SELECT 'c' || (p_partkey % 3) AS seqid,
+           CASE WHEN p_partkey % 2 = 0 THEN 'graft' END AS source,
+           CASE WHEN p_partkey % 5 = 0 THEN 'gene'
+                ELSE 'mRNA' END AS type,
+           CAST(p_partkey % 1000 + 1 AS BIGINT) AS start,
+           CAST(p_partkey % 1000 + 1 + p_partkey % 100 + 1 AS BIGINT)
+             AS "end",
+           CASE WHEN p_partkey % 4 = 0
+             THEN CAST(p_partkey % 10 AS DOUBLE) / 2.0 END AS score,
+           CASE WHEN p_partkey % 3 = 0 THEN '+'
+                WHEN p_partkey % 3 = 1 THEN '-' END AS strand,
+           CASE WHEN p_partkey % 5 != 0
+             THEN CAST(p_partkey % 3 AS INTEGER) END AS phase,
+           CAST(p_partkey % 1000 AS BIGINT) AS start0,
+           CAST(p_partkey % 1000 + 1 + p_partkey % 100 + 1 AS BIGINT)
+             AS end0,
+           'g' || p_partkey AS id,
+           'bt' || (p_partkey % 4) AS biotype,
+           (p_partkey % 7 = 0) AS has_pseudo
+         FROM part""",
     "q299_mash_distance" ->
       """WITH contigs AS (SELECT 's' || (p_partkey % 5) AS sample,
                 translate(regexp_replace(upper(p_name), '[^A-Z]', '', 'g'),

@@ -283,4 +283,30 @@ class IoSpec extends AnyFunSuite {
     assert(sparse.select("id").as[Long].collect().sorted.toSeq ==
       (1L to 10L))
   }
+
+  test("BED/GFF3: header skips, dot-nulls, and coordinate normalization") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bed").toString
+    Seq("track name=x", "browser position c1", "# comment",
+      "c1\t10\t20\tiv1\t5\t+",
+      "c1\t30\t40\t.\t.\t.").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$dir/b")
+    val bed = graft.io.Bed.read(spark, s"$dir/b")
+      .as[(String, Long, Long, Option[String], Option[Double],
+        Option[String], Long, Long)].collect().sortBy(_._2)
+    assert(bed.length === 2)
+    assert(bed(0) === (("c1", 10L, 20L, Some("iv1"), Some(5.0),
+      Some("+"), 10L, 20L)))
+    assert(bed(1)._4.isEmpty && bed(1)._5.isEmpty && bed(1)._6.isEmpty)
+    Seq("##gff-version 3",
+      "c1\tsrc\tgene\t100\t200\t.\t+\t.\tID=g1;pseudo").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$dir/g")
+    val g = graft.io.Bed.readGff3(spark, s"$dir/g").collect().head
+    assert(g.getAs[Long]("start") === 100 && g.getAs[Long]("end") === 200)
+    // GFF3 is 1-based CLOSED; the normalized pair is 0-based half-open
+    assert(g.getAs[Long]("start0") === 99 && g.getAs[Long]("end0") === 200)
+    val attrs = g.getAs[Map[String, String]]("attributes")
+    assert(attrs("ID") === "g1" && attrs.contains("pseudo") &&
+      attrs("pseudo") == null)
+  }
 }
