@@ -318,6 +318,79 @@ object ViraPipeline {
         sum(when(col("b") === "T", 1L).otherwise(0L)).as("n_t"))
   }
 
+  final case class TrimmedRead(id: Long, bases: String, quality: String,
+                               trimmed_at: Option[Int], kept_len: Long)
+
+  /** 3' ADAPTER TRIMMING — cutadapt's core rule for end-anchored
+    * adapters: scan for the EARLIEST position where the read matches
+    * the adapter — a full adapter anywhere in the read, or a read
+    * suffix matching an adapter PREFIX of length >= `minOverlap` (the
+    * partial-overlap case: the sequencer ran off the fragment end
+    * mid-adapter) — and cut read AND quality there. Exact matching
+    * (the replayable core; error-tolerant matching is a superset a
+    * caller layers with an edit-distance gate). Reads without a match
+    * pass through with null `trimmed_at`.
+    *
+    * One narrow mapPartitions pass — the tagger shape, no shuffle.
+    */
+  def trimAdapter(reads: DataFrame, idCol: String, seqCol: String,
+                  qualCol: String, adapter: String,
+                  minOverlap: Int = 3)
+      : org.apache.spark.sql.Dataset[TrimmedRead] = {
+    require(adapter.nonEmpty, "empty adapter")
+    require(minOverlap >= 1 && minOverlap <= adapter.length,
+      s"minOverlap $minOverlap out of [1, ${adapter.length}]")
+    val spark = reads.sparkSession
+    import spark.implicits._
+    reads.select(col(idCol).cast("long"), col(seqCol), col(qualCol))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, seq0, qual0) =>
+          val seq = if (seq0 == null) "" else seq0
+          val qual = if (qual0 == null) "" else qual0
+          var found = -1; var i = 0
+          while (found < 0 && i < seq.length) {
+            val m = math.min(adapter.length, seq.length - i)
+            if (m >= minOverlap && seq.regionMatches(i, adapter, 0, m))
+              found = i
+            i += 1
+          }
+          if (found < 0) TrimmedRead(id, seq, qual, None, seq.length.toLong)
+          else TrimmedRead(id, seq.substring(0, found),
+            qual.substring(0, math.min(found, qual.length)),
+            Some(found), found.toLong)
+        }
+      }
+  }
+
+  /** Sliding-window GC content — the genome-browser track between
+    * assembly and annotation (GC skew flags origins, isochores, and
+    * contamination): one window row per `(contig, step offset)` with
+    * the exact G+C count and integer-ppm fraction. Pure codegen'd
+    * column arithmetic: `sequence` explodes the window starts,
+    * `substring` + `translate` count — no UDF, no shuffle beyond the
+    * explode's own partitioning. Contigs shorter than one window
+    * yield no rows.
+    */
+  def gcWindows(contigs: DataFrame, idCol: String, seqCol: String,
+                window: Int, step: Int): DataFrame = {
+    require(window >= 1 && step >= 1, s"bad window=$window step=$step")
+    contigs.select(col(idCol), col(seqCol).as("_s"))
+      .filter(length(col("_s")) >= window)
+      .select(col(idCol),
+        explode(sequence(lit(0L),
+          (length(col("_s")) - window).cast("long"),
+          lit(step.toLong))).as("win_start"),
+        col("_s"))
+      .select(col(idCol), col("win_start"),
+        col("_s").substr((col("win_start") + 1).cast("int"), lit(window))
+          .as("_w"))
+      .select(col(idCol), col("win_start"),
+        (length(col("_w")) -
+          length(translate(col("_w"), "GCgc", ""))).cast("long").as("gc"))
+      .withColumn("gc_ppm", expr(s"gc * 1000000 DIV $window"))
+  }
+
   /** Per-sample KMV (k-minimum-values) k-mer sketch — the bottom-s
     * distinct 60-bit k-mer hashes per sample, the sketch behind Mash
     * (Ondov et al. 2016) and every alignment-free genome comparator.

@@ -866,6 +866,40 @@ object DomainIO {
         map_contains_key(col("attributes"), "pseudo").as("has_pseudo"))
     },
 
+    // Adapter trimming (q302): cutadapt's 3' rule over digit-DNA reads
+    // with planted strata — full adapter mid-read (k%3==0), 4-base
+    // partial suffix overlap (k%3==1), clean (k%3==2, where accidental
+    // >= 3-base prefix overlaps at read ends still trim, exactly as
+    // the tool would). The oracle replays the earliest-position scan.
+    "q302_adapter_trim" -> { (s, d) =>
+      val k = col("o_orderkey")
+      val reads = Tables.orders(s, d).select(
+        k.as("id"),
+        concat(dnaOf(k),
+          when(pmod(k, lit(3)) === 0, lit("ACGTTGCATT"))
+            .when(pmod(k, lit(3)) === 1, lit("ACGT"))
+            .otherwise(lit(""))).as("seq"))
+        .withColumn("qual", expr("repeat('I', length(seq))"))
+      graft.operators.ViraPipeline.trimAdapter(reads, "id", "seq",
+        "qual", adapter = "ACGTTGCA", minOverlap = 3).toDF()
+    },
+
+    // GC sliding windows (q303): window-16/step-8 GC track over the
+    // digit-DNA contigs — exact integer counts + ppm, pure column
+    // arithmetic replayed in SQL.
+    "q303_gc_windows" -> { (s, d) =>
+      // part-name DNA is ~10 bases; 4x tandem repeat makes contigs
+      // long enough to slide a 16-base window across
+      val contigs = Tables.part(s, d).select(
+        concat(lit("P"), col("p_partkey").cast("string")).as("id"),
+        expr("repeat(" +
+          "translate(regexp_replace(upper(p_name), '[^A-Z]', ''), " +
+          "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', " +
+          "'ACGTACGTACGTACGTACGTACGTAC'), 4)").as("seq"))
+      graft.operators.ViraPipeline.gcWindows(contigs, "id", "seq",
+        window = 16, step = 8)
+    },
+
     // Assembly statistics (q277): the QUAST-style post-assembly QC
     // row — N50/L50 via the descending-length cumulative crossing,
     // GC as exact ppm — over the q51 contig fixture. All-integer
@@ -919,6 +953,50 @@ object DomainIO {
          GROUP BY 1, 2"""
 
   val oracles: Map[String, String] = Map(
+    "q302_adapter_trim" ->
+      """WITH r AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
+             translate(CAST(o_orderkey AS VARCHAR),
+               '0123456789', 'ACGTACGTAC')
+             || CASE WHEN o_orderkey % 3 = 0 THEN 'ACGTTGCATT'
+                     WHEN o_orderkey % 3 = 1 THEN 'ACGT'
+                     ELSE '' END AS seq
+           FROM orders),
+         p AS (SELECT id, seq,
+             list_min(list_filter(range(1, length(seq) + 1), i ->
+               least(8, length(seq) - i + 1) >= 3 AND
+               substr(seq, CAST(i AS INTEGER),
+                 CAST(least(8, length(seq) - i + 1) AS INTEGER)) =
+               substr('ACGTTGCA', 1,
+                 CAST(least(8, length(seq) - i + 1) AS INTEGER))))
+               AS pos
+           FROM r)
+         SELECT id,
+           CASE WHEN pos IS NULL THEN seq
+                ELSE substr(seq, 1, CAST(pos - 1 AS INTEGER)) END
+             AS bases,
+           repeat('I', CAST(CASE WHEN pos IS NULL THEN length(seq)
+             ELSE pos - 1 END AS INTEGER)) AS quality,
+           CAST(pos - 1 AS INTEGER) AS trimmed_at,
+           CAST(CASE WHEN pos IS NULL THEN length(seq)
+             ELSE pos - 1 END AS BIGINT) AS kept_len
+         FROM p""",
+    "q303_gc_windows" ->
+      """WITH contigs AS (SELECT 'P' || p_partkey AS id,
+             repeat(translate(
+               regexp_replace(upper(p_name), '[^A-Z]', '', 'g'),
+               'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+               'ACGTACGTACGTACGTACGTACGTAC'), 4) AS seq
+           FROM part),
+         w AS (SELECT id, CAST(ws AS BIGINT) AS win_start,
+             substr(seq, CAST(ws + 1 AS INTEGER), 16) AS wstr
+           FROM contigs, UNNEST(range(0, length(seq) - 15, 8)) AS u(ws)
+           WHERE length(seq) >= 16)
+         SELECT id, win_start,
+           CAST(length(wstr) - length(regexp_replace(wstr,
+             '[GCgc]', '', 'g')) AS BIGINT) AS gc,
+           (length(wstr) - length(regexp_replace(wstr,
+             '[GCgc]', '', 'g'))) * 1000000 // 16 AS gc_ppm
+         FROM w""",
     "q300_bed_roundtrip" ->
       """SELECT 'c' || (o_custkey % 3) AS chrom,
            CAST(o_orderkey % 1000 * 10 AS BIGINT) AS start,

@@ -286,6 +286,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(("a", "c"))._5.isEmpty, "disjoint sketches carry null")
   }
 
+  test("trimAdapter: earliest match, partial suffix overlap, minOverlap gate") {
+    import spark.implicits._
+    val reads = Seq(
+      (1L, "AAAAACGTTGCAGG", "IIIIIIIIIIIIII"), // full adapter at 4
+      (2L, "TTTTACG", "IIIIIII"),               // 3-base suffix overlap
+      (3L, "TTTTAC", "IIIIII"),                 // overlap 2 < 3: no trim
+      (4L, "TTACGTTGCAXXACGTTGCA", "I" * 20),   // earliest (pos 2) wins
+      (5L, "", "")
+    ).toDF("id", "seq", "qual")
+    val got = graft.operators.ViraPipeline
+      .trimAdapter(reads, "id", "seq", "qual", "ACGTTGCA", 3)
+      .collect().map(r => r.id -> r).toMap
+    assert(got(1L).bases === "AAAA" && got(1L).trimmed_at.contains(4))
+    assert(got(1L).quality === "IIII")
+    assert(got(2L).bases === "TTTT" && got(2L).kept_len === 4)
+    assert(got(3L).trimmed_at.isEmpty && got(3L).bases === "TTTTAC")
+    assert(got(4L).trimmed_at.contains(2))
+    assert(got(5L).trimmed_at.isEmpty && got(5L).kept_len === 0)
+  }
+
+  test("gcWindows: exact counts per step, short contigs yield nothing") {
+    import spark.implicits._
+    val contigs = Seq(("c1", "GGGGCCCCAAAATTTT"), ("c2", "ACG"))
+      .toDF("id", "seq")
+    val got = graft.operators.ViraPipeline
+      .gcWindows(contigs, "id", "seq", window = 8, step = 4)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq === Seq(
+      ("c1", 0L, 8L, 1000000L),
+      ("c1", 4L, 4L, 500000L),
+      ("c1", 8L, 0L, 0L)))
+  }
+
   test("pileup: CIGAR/base-length disagreement errors loudly") {
     import spark.implicits._
     val bad = Seq(("r", "c0", 1L, "5M", "ACGT"))
