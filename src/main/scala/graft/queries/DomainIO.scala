@@ -900,6 +900,34 @@ object DomainIO {
         window = 16, step = 8)
     },
 
+    // Per-gene coverage (q304): the ecosystem composition row — the
+    // q287 pileup joined against a BED gene table (written and read
+    // through io/Bed) on chrom + half-open range, summing depth and
+    // counting covered positions per gene. The gene table is
+    // metadata-small, so the join broadcasts; the oracle composes the
+    // pileup replay with the interval sum.
+    "q304_gene_coverage" -> { (s, d) =>
+      val n = col("n_nationkey")
+      val genes = Tables.nation(s, d).select(
+        concat(lit("c"), pmod(n, lit(2)).cast("string")).as("chrom"),
+        (pmod(n, lit(12)) * 4).cast("long").as("start"),
+        (pmod(n, lit(12)) * 4 + 9).cast("long").as("end"),
+        concat(lit("g"), n.cast("string")).as("name"),
+        lit(null).cast("double").as("score"),
+        lit(null).cast("string").as("strand"))
+      val bedDir = tmp(d, "genes_bed")
+      graft.io.Bed.write(genes, bedDir)
+      val g = graft.io.Bed.read(s, bedDir)
+        .select(col("chrom"), col("start0"), col("end0"), col("name"))
+      val pile = pileupFixture(s, d)
+      pile.join(broadcast(g),
+          pile("referenceName") === g("chrom") &&
+            pile("pos") >= g("start0") && pile("pos") < g("end0"))
+        .groupBy(col("name"))
+        .agg(sum("depth").as("total_depth"),
+          count(lit(1)).as("n_positions"))
+    },
+
     // Assembly statistics (q277): the QUAST-style post-assembly QC
     // row — N50/L50 via the descending-length cumulative crossing,
     // GC as exact ppm — over the q51 contig fixture. All-integer
@@ -953,6 +981,20 @@ object DomainIO {
          GROUP BY 1, 2"""
 
   val oracles: Map[String, String] = Map(
+    "q304_gene_coverage" ->
+      s"""WITH pile AS ($pileupOracle),
+         genes AS (SELECT 'c' || (n_nationkey % 2) AS chrom,
+             CAST(n_nationkey % 12 * 4 AS BIGINT) AS start0,
+             CAST(n_nationkey % 12 * 4 + 9 AS BIGINT) AS end0,
+             'g' || n_nationkey AS name
+           FROM nation)
+         SELECT g.name,
+           CAST(sum(p.depth) AS BIGINT) AS total_depth,
+           CAST(count(*) AS BIGINT) AS n_positions
+         FROM pile p JOIN genes g
+           ON p."referenceName" = g.chrom
+           AND p.pos >= g.start0 AND p.pos < g.end0
+         GROUP BY 1""",
     "q302_adapter_trim" ->
       """WITH r AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
              translate(CAST(o_orderkey AS VARCHAR),
