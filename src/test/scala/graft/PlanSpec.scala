@@ -471,4 +471,38 @@ class PlanSpec extends AnyFunSuite {
     // the "*(n)" prefix marks operators fused into one codegen stage
     assert(plan.contains("*(1)"), plan.take(1200))
   }
+
+  test("q289: liftOver is a (chrom, tile) hash equi join, never a cartesian") {
+    val plan = planOf("q289_liftover")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("q287: pileup aggregates partially (map-side combine) before the exchange") {
+    val plan = planOf("q287_pileup")
+    // partial_count marks the map-side combine of the per-base rows —
+    // the shuffle carries per-position counts, not positions × depth
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      plan.take(1500))
+  }
+
+  test("q293: markDuplicates windows per stack — no global single-partition sort") {
+    val plan = planOf("q293_markdup")
+    assert(!plan.contains("SinglePartition"), plan.take(1500))
+  }
+
+  test("q299: the mash pair join broadcasts the metadata-sized sketch table") {
+    val plan = planOf("q299_mash_distance")
+    // an inequality join over a one-row-per-sample table: broadcast NLJ
+    // is the INTENDED shape; a CartesianProduct (both sides unplanned)
+    // is not
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("q303: gcWindows is scan → explode → project, no shuffle, no join") {
+    val plan = planOf("q303_gc_windows")
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert(!plan.contains("Exchange"), plan.take(1200))
+  }
 }
