@@ -23,6 +23,39 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** LSH PARAMETER ADVISOR — the table an operator reads before
+    * committing (bands, rows) for a MinHash dedup run: for every
+    * (b, r) factorization of `numHashes`, the S-curve
+    * P(candidate | similarity s) = 1 − (1 − s^r)^b integrates (midpoint
+    * rule over a `grid`-step similarity axis) into a FALSE-POSITIVE
+    * area (candidates below `threshold`) and a FALSE-NEGATIVE area
+    * (misses at or above it). Pick the row minimizing the cost you
+    * care about — fp costs verify compute, fn costs recall. Pure
+    * closed-form arithmetic (Leskovec/Rajaraman/Ullman, MMDS ch. 3):
+    * no corpus scan at any scale.
+    */
+  def lshParameterTable(spark: org.apache.spark.sql.SparkSession,
+                        numHashes: Int, threshold: Double,
+                        grid: Int = 100): DataFrame = {
+    require(numHashes >= 1 && grid >= 2, s"bad n=$numHashes grid=$grid")
+    require(threshold > 0 && threshold < 1, s"bad threshold $threshold")
+    import spark.implicits._
+    val pairs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    val s = (col("id").cast("double") - 0.5) / grid
+    val pr = lit(1.0) -
+      pow(lit(1.0) - pow(col("s"), col("rows_per_band")), col("bands"))
+    pairs.toDF("bands", "rows_per_band")
+      .crossJoin(spark.range(1, grid + 1L).select(s.as("s")))
+      .select(col("bands"), col("rows_per_band"), col("s"), pr.as("pr"))
+      .groupBy("bands", "rows_per_band")
+      .agg(
+        (round(sum(when(col("s") < threshold, col("pr"))
+          .otherwise(lit(0.0))) / grid, 6) + lit(0.0)).as("fp_area"),
+        (round(sum(when(col("s") >= threshold, lit(1.0) - col("pr"))
+          .otherwise(lit(0.0))) / grid, 6) + lit(0.0)).as("fn_area"))
+  }
+
   /** One row per doc: (id, shingles, band keys) computed in a single
     * typed pass. Must stay bit-compatible with the expression/oracle
     * formulation: whitespace tokens, first-occurrence-distinct word
