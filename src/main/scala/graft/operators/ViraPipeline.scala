@@ -593,6 +593,36 @@ object ViraPipeline {
       .drop("_num", "_den")
   }
 
+  /** Per-SAMPLE genotype QC — [[hweStats]]'s sample-side twin (site QC
+    * flags bad assays, sample QC flags bad libraries/swaps): per
+    * sample, called/uncalled counts, het and hom-alt counts, call rate
+    * and heterozygosity as exact integer ppm. Same genotype
+    * classification as the site pass (diploid, `.` uncalled, any
+    * non-zero allele pools as alternate); ONE hash agg on sample —
+    * partial aggregation collapses sites map-side, so a biobank matrix
+    * shuffles one row per sample per partition.
+    */
+  def sampleQc(genotypes: DataFrame): DataFrame = {
+    val alleles = split(element_at(col("geno"), "GT"), "[/|]")
+    val called = size(alleles) === 2 && !array_contains(alleles, ".")
+    val nonRef = size(filter(alleles, a => a =!= "0"))
+    genotypes
+      .select(col("sample"),
+        when(!called, lit(null)).otherwise(nonRef).as("k"))
+      .groupBy("sample")
+      .agg(
+        count(lit(1)).as("n_sites"),
+        sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_called"),
+        sum(when(col("k") === 1, 1L).otherwise(0L)).as("n_het"),
+        sum(when(col("k") === 2, 1L).otherwise(0L)).as("n_hom_alt"))
+      .withColumn("call_rate_ppm",
+        when(col("n_sites") === 0, lit(null))
+          .otherwise(expr("n_called * 1000000 DIV n_sites")))
+      .withColumn("het_ppm",
+        when(col("n_called") === 0, lit(null))
+          .otherwise(expr("n_het * 1000000 DIV n_called")))
+  }
+
   /** Transition/transversion ratio — the single-number variant-call QC
     * every caller reports (random errors push Ti/Tv toward 0.5; real
     * human WGS sits near 2.0): over the typed site table

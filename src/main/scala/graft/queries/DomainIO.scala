@@ -25,6 +25,33 @@ object DomainIO {
   private def qualOf(c: org.apache.spark.sql.Column) =
     translate(c.cast("string"), "0123456789", "IJKLMNOPQH")
 
+  /** q285/q306 shared fixture: 3-sample VCF whose genotypes derive
+    * from `(o_orderkey * m) % 4` per sample multiplier m in (1, 3, 5)
+    * — class 3 is the uncalled `./.` stratum.
+    */
+  private def hweVcfFixture(s: SparkSession, d: String,
+                            name: String): String = {
+    val dir = tmp(d, name)
+    val o = Tables.orders(s, d)
+    def gt(m: Int) = {
+      val c = pmod(col("o_orderkey") * m, lit(4))
+      when(c === 0, "0/0").when(c === 1, "0/1")
+        .when(c === 2, "1/1").otherwise("./.")
+    }
+    val lines = o.select(concat_ws("\t",
+      concat(lit("chr"), pmod(col("o_custkey"), lit(3)).cast("string")),
+      col("o_orderkey").cast("string"), lit("."), lit("A"), lit("G"),
+      lit("50"), lit("PASS"), lit("NS=3"), lit("GT"),
+      gt(1), gt(3), gt(5)).as("value"))
+    import s.implicits._
+    val header = "##fileformat=VCFv4.3\n" +
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsA\tsB\tsC"
+    lines.coalesce(1).as[String]
+      .mapPartitions(it => Iterator(header) ++ it)
+      .write.mode("overwrite").text(dir)
+    dir
+  }
+
   /** q287/q288 shared fixture: SAM round-trip through a 4-stratum
     * CIGAR grammar (match / soft-clip / deletion / insertion by k%4;
     * k >= 1000 keeps every read >= 4 bases), then [[ViraPipeline
@@ -658,26 +685,17 @@ object DomainIO {
     // chi-square arithmetic in the same IEEE operation order;
     // monomorphic strata (k%4 in {0,2}) pin the null-chi2 rule.
     "q285_hwe" -> { (s, d) =>
-      val dir = tmp(d, "vcf_hwe")
-      val o = Tables.orders(s, d)
-      def gt(m: Int) = {
-        val c = pmod(col("o_orderkey") * m, lit(4))
-        when(c === 0, "0/0").when(c === 1, "0/1")
-          .when(c === 2, "1/1").otherwise("./.")
-      }
-      val lines = o.select(concat_ws("\t",
-        concat(lit("chr"), pmod(col("o_custkey"), lit(3)).cast("string")),
-        col("o_orderkey").cast("string"), lit("."), lit("A"), lit("G"),
-        lit("50"), lit("PASS"), lit("NS=3"), lit("GT"),
-        gt(1), gt(3), gt(5)).as("value"))
-      import s.implicits._
-      val header = "##fileformat=VCFv4.3\n" +
-        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsA\tsB\tsC"
-      lines.coalesce(1).as[String]
-        .mapPartitions(it => Iterator(header) ++ it)
-        .write.mode("overwrite").text(dir)
       graft.operators.ViraPipeline.hweStats(
-        graft.io.Vcf.readSamples(s, dir))
+        graft.io.Vcf.readSamples(s, hweVcfFixture(s, d, "vcf_hwe")))
+    },
+
+    // Per-sample genotype QC (q306): the sample-side twin of q285 over
+    // the same 3-sample genotype grammar — call rate and
+    // heterozygosity as integer ppm, the library/swap screen. The
+    // oracle replays per-multiplier class counts.
+    "q306_sample_qc" -> { (s, d) =>
+      graft.operators.ViraPipeline.sampleQc(
+        graft.io.Vcf.readSamples(s, hweVcfFixture(s, d, "vcf_sqc")))
     },
 
     // Ti/Tv ratio (q286): transition/transversion classification over
@@ -1194,6 +1212,26 @@ object DomainIO {
            CASE WHEN depth >= 2 AND called > 0
                 THEN mx * 1000000 // called END AS support_ppm
          FROM m""",
+    "q306_sample_qc" ->
+      """WITH sm AS (SELECT * FROM (VALUES ('sA', 1), ('sB', 3),
+                ('sC', 5)) AS t(sample, m)),
+         per AS (SELECT sample, (o_orderkey * m) % 4 AS c
+                 FROM orders, sm),
+         agg AS (SELECT sample,
+                  CAST(count(*) AS BIGINT) AS n_sites,
+                  CAST(sum(CASE WHEN c != 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_called,
+                  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_het,
+                  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hom_alt
+                 FROM per GROUP BY 1)
+         SELECT sample, n_sites, n_called, n_het, n_hom_alt,
+           CASE WHEN n_sites = 0 THEN NULL
+                ELSE n_called * 1000000 // n_sites END AS call_rate_ppm,
+           CASE WHEN n_called = 0 THEN NULL
+                ELSE n_het * 1000000 // n_called END AS het_ppm
+         FROM agg""",
     "q285_hwe" ->
       """WITH sm AS (SELECT * FROM (VALUES (1), (3), (5)) AS t(m)),
          per AS (SELECT 'chr' || (o_custkey % 3) AS chrom,
