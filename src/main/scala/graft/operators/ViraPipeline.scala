@@ -472,6 +472,65 @@ object ViraPipeline {
       .select("s1", "s2", "shared", "denom", "mash_dist")
   }
 
+  /** Coverage SUMMARY per reference — the breadth/depth row a
+    * sequencing run is accepted or rejected on: from a [[pileup]],
+    * per reference the covered-position count, total depth, mean
+    * depth over covered positions (exact integer milli-x), and
+    * breadth at 1× / 4× (positions at or above the cut). One hash agg
+    * over the pileup — positions collapse map-side.
+    */
+  def coverageSummary(pile: DataFrame): DataFrame = {
+    pile.groupBy("referenceName")
+      .agg(
+        count(lit(1)).as("n_covered"),
+        sum("depth").as("total_depth"),
+        sum(when(col("depth") >= 4, 1L).otherwise(0L)).as("n_ge4"))
+      .withColumn("mean_depth_millix",
+        expr("total_depth * 1000 DIV n_covered"))
+  }
+
+  /** Sliding-window QUALITY TRIM — Trimmomatic's SLIDINGWINDOW rule,
+    * the read-cleanup step before alignment: scan windows of `window`
+    * bases left to right; at the FIRST window whose SUM of Phred
+    * qualities falls below `window * minMeanQ` (integer arithmetic —
+    * the mean test without a float), cut the read at the window's
+    * START; reads whose every window passes keep full length. Phred
+    * scores decode as `ord(char) - 33` (Sanger offset). Reads shorter
+    * than one window pass through untouched. One narrow mapPartitions
+    * pass.
+    */
+  def qualityTrim(reads: DataFrame, idCol: String, seqCol: String,
+                  qualCol: String, window: Int = 4, minMeanQ: Int = 15)
+      : org.apache.spark.sql.Dataset[TrimmedRead] = {
+    require(window >= 1 && minMeanQ >= 0, s"bad window/minMeanQ")
+    val spark = reads.sparkSession
+    import spark.implicits._
+    reads.select(col(idCol).cast("long"), col(seqCol), col(qualCol))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, seq0, qual0) =>
+          val seq = if (seq0 == null) "" else seq0
+          val qual = if (qual0 == null) "" else qual0
+          var cut = -1
+          if (qual.length >= window) {
+            // rolling window sum over Phred scores
+            var sum = 0; var i = 0
+            while (i < window) { sum += qual.charAt(i) - 33; i += 1 }
+            if (sum < window * minMeanQ) cut = 0
+            while (cut < 0 && i < qual.length) {
+              sum += (qual.charAt(i) - 33) - (qual.charAt(i - window) - 33)
+              i += 1
+              if (sum < window * minMeanQ) cut = i - window
+            }
+          }
+          if (cut < 0) TrimmedRead(id, seq, qual, None, seq.length.toLong)
+          else TrimmedRead(id, seq.substring(0, math.min(cut, seq.length)),
+            qual.substring(0, cut), Some(cut),
+            math.min(cut, seq.length).toLong)
+        }
+      }
+  }
+
   /** samtools-flagstat twin — the one-row alignment-QC summary every
     * pipeline prints after alignment: counts over the SAMv1 FLAG bits
     * (0x1 paired, 0x2 proper, 0x4 unmapped, 0x8 mate-unmapped, 0x40/

@@ -946,6 +946,33 @@ object DomainIO {
           count(lit(1)).as("n_positions"))
     },
 
+    // Coverage summary (q307): the per-reference breadth/depth
+    // acceptance row over the q287 pileup — covered positions, total
+    // depth, exact milli-x mean, breadth at 4x.
+    "q307_coverage_summary" -> { (s, d) =>
+      graft.operators.ViraPipeline.coverageSummary(pileupFixture(s, d))
+    },
+
+    // Quality trimming (q308): Trimmomatic's SLIDINGWINDOW(4,15) over
+    // digit-DNA reads with planted tails — phred-0 ('!') tails cut one
+    // base EARLY (the boundary window already fails), phred-7 ('(')
+    // tails cut exactly at the tail, clean reads pass whole. The
+    // oracle replays the rolling integer window scan.
+    "q308_quality_trim" -> { (s, d) =>
+      val k = col("o_orderkey")
+      val reads = Tables.orders(s, d).select(
+        k.as("id"),
+        concat(dnaOf(k),
+          when(pmod(k, lit(3)) < 2, lit("AAAA")).otherwise(lit("")))
+          .as("seq"),
+        concat(qualOf(k),
+          when(pmod(k, lit(3)) === 0, lit("!!!!"))
+            .when(pmod(k, lit(3)) === 1, lit("(((("))
+            .otherwise(lit(""))).as("qual"))
+      graft.operators.ViraPipeline.qualityTrim(reads, "id", "seq",
+        "qual", window = 4, minMeanQ = 15).toDF()
+    },
+
     // Assembly statistics (q277): the QUAST-style post-assembly QC
     // row — N50/L50 via the descending-length cumulative crossing,
     // GC as exact ppm — over the q51 contig fixture. All-integer
@@ -999,6 +1026,49 @@ object DomainIO {
          GROUP BY 1, 2"""
 
   val oracles: Map[String, String] = Map(
+    "q307_coverage_summary" ->
+      s"""WITH pile AS ($pileupOracle)
+         SELECT "referenceName",
+           CAST(count(*) AS BIGINT) AS n_covered,
+           CAST(sum(depth) AS BIGINT) AS total_depth,
+           CAST(sum(CASE WHEN depth >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ge4,
+           CAST(sum(depth) AS BIGINT) * 1000
+             // CAST(count(*) AS BIGINT) AS mean_depth_millix
+         FROM pile GROUP BY 1""",
+    "q308_quality_trim" ->
+      """WITH r AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
+             translate(CAST(o_orderkey AS VARCHAR),
+               '0123456789', 'ACGTACGTAC')
+             || CASE WHEN o_orderkey % 3 < 2 THEN 'AAAA'
+                     ELSE '' END AS seq,
+             translate(CAST(o_orderkey AS VARCHAR),
+               '0123456789', 'IJKLMNOPQH')
+             || CASE WHEN o_orderkey % 3 = 0 THEN '!!!!'
+                     WHEN o_orderkey % 3 = 1 THEN '(((('
+                     ELSE '' END AS qual
+           FROM orders),
+         ph AS (SELECT id, seq, qual,
+             list_transform(range(1, length(qual) + 1),
+               i -> ord(substr(qual, CAST(i AS INTEGER), 1)) - 33) AS p
+           FROM r),
+         c AS (SELECT id, seq, qual,
+             list_min(list_filter(range(1, length(qual) - 2), s ->
+               p[CAST(s AS INTEGER)] + p[CAST(s + 1 AS INTEGER)]
+               + p[CAST(s + 2 AS INTEGER)] + p[CAST(s + 3 AS INTEGER)]
+               < 60)) - 1 AS cut
+           FROM ph)
+         SELECT id,
+           CASE WHEN cut IS NULL THEN seq
+                ELSE substr(seq, 1,
+                  CAST(least(cut, length(seq)) AS INTEGER)) END AS bases,
+           CASE WHEN cut IS NULL THEN qual
+                ELSE substr(qual, 1, CAST(cut AS INTEGER)) END
+             AS quality,
+           CAST(cut AS INTEGER) AS trimmed_at,
+           CAST(CASE WHEN cut IS NULL THEN length(seq)
+                ELSE least(cut, length(seq)) END AS BIGINT) AS kept_len
+         FROM c""",
     "q304_gene_coverage" ->
       s"""WITH pile AS ($pileupOracle),
          genes AS (SELECT 'c' || (n_nationkey % 2) AS chrom,

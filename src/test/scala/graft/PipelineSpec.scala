@@ -319,6 +319,41 @@ class PipelineSpec extends AnyFunSuite {
       ("c1", 8L, 0L, 0L)))
   }
 
+  test("qualityTrim: rolling integer window, boundary cut, short reads pass") {
+    import spark.implicits._
+    // 'I' = phred 40, '!' = phred 0, '(' = phred 7, '0' = phred 15
+    val reads = Seq(
+      (1L, "ACGTACGT", "IIII!!!!"), // w@3 {I,!,!,!}=40<60 -> cut 3
+      (2L, "ACGTACGT", "IIII(((("), // w@4 {(x4}=28<60 -> cut 4
+      (3L, "ACGTACGT", "00000000"), // exactly 15 mean: 60 !< 60 -> keep
+      (4L, "ACG", "!!!"),           // shorter than the window: untouched
+      (5L, "ACGTACGT", "!!!!IIII")  // fails at w@0 -> cut 0
+    ).toDF("id", "seq", "qual")
+    val got = graft.operators.ViraPipeline
+      .qualityTrim(reads, "id", "seq", "qual", window = 4, minMeanQ = 15)
+      .collect().map(r => r.id -> r).toMap
+    assert(got(1L).trimmed_at.contains(3) && got(1L).bases === "ACG")
+    assert(got(2L).trimmed_at.contains(4) && got(2L).quality === "IIII")
+    assert(got(3L).trimmed_at.isEmpty && got(3L).kept_len === 8)
+    assert(got(4L).trimmed_at.isEmpty && got(4L).bases === "ACG")
+    assert(got(5L).trimmed_at.contains(0) && got(5L).kept_len === 0)
+  }
+
+  test("coverageSummary: breadth, total and exact milli-x mean per reference") {
+    import spark.implicits._
+    val pile = Seq(
+      ("c0", 1L, 5L, 5L, 0L, 0L, 0L),
+      ("c0", 2L, 4L, 0L, 4L, 0L, 0L),
+      ("c0", 3L, 1L, 0L, 0L, 1L, 0L),
+      ("c1", 9L, 2L, 0L, 0L, 0L, 2L)
+    ).toDF("referenceName", "pos", "depth", "n_a", "n_c", "n_g", "n_t")
+    val got = graft.operators.ViraPipeline.coverageSummary(pile)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("c0") === (("c0", 3L, 10L, 2L, 3333L)))
+    assert(got("c1") === (("c1", 1L, 2L, 0L, 2000L)))
+  }
+
   test("pileup: CIGAR/base-length disagreement errors loudly") {
     import spark.implicits._
     val bad = Seq(("r", "c0", 1L, "5M", "ACGT"))
