@@ -1359,4 +1359,61 @@ object Similarity {
       .select(col("rank").cast("int"), col("vec_id"),
         (col("rel") + lit(0.0)).as("rel"), (col("mmr") + lit(0.0)).as("mmr"))
   }
+
+  /** Element-wise MEAN POOLING of chunk embeddings into one document
+    * vector — the standard long-document representation (embed chunks,
+    * average) and the retrieval-index reduction step. A typed
+    * [[ArrayMeanAggregator]] keeps the buffer at O(dim) per
+    * (partition, doc): partial aggregation sums arrays map-side, so
+    * the shuffle carries one (sum, count) vector per doc per
+    * partition — never the chunk rows. Dimensions must agree; a
+    * ragged corpus errors loudly rather than silently truncating.
+    */
+  def meanPoolEmbeddings(chunks: DataFrame, idCol: String,
+                         embCol: String, dim: Int): DataFrame = {
+    val pool = udaf(new ArrayMeanAggregator(dim))
+    chunks
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(embCol).cast("array<double>").as("_e"))
+      .groupBy("doc_id")
+      .agg(pool(col("_e")).as("embedding"))
+  }
+}
+
+/** [[Similarity.meanPoolEmbeddings]]'s buffer: a fixed-dim running
+  * (sum vector, count) pair — associative merge, O(dim) shuffle
+  * payload, the same partial+final contract built-in aggregates get.
+  */
+final class ArrayMeanAggregator(dim: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Double], (Array[Double], Long), Seq[Double]] {
+  require(dim >= 1, s"bad dim $dim")
+  override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+  override def reduce(b: (Array[Double], Long),
+                      a: Seq[Double]): (Array[Double], Long) =
+    if (a == null) b
+    else {
+      require(a.length == dim,
+        s"embedding dim ${a.length} != expected $dim")
+      var i = 0
+      while (i < dim) { b._1(i) += a(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+  override def merge(x: (Array[Double], Long),
+                     y: (Array[Double], Long)): (Array[Double], Long) = {
+    var i = 0
+    while (i < dim) { x._1(i) += y._1(i); i += 1 }
+    (x._1, x._2 + y._2)
+  }
+  override def finish(b: (Array[Double], Long)): Seq[Double] =
+    if (b._2 == 0L) Seq.empty
+    else b._1.map(_ / b._2).toSeq
+  override def bufferEncoder
+      : org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Double]](),
+      org.apache.spark.sql.Encoders.scalaLong)
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
