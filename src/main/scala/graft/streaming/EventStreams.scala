@@ -242,6 +242,64 @@ object EventStreams {
     }
   }
 
+  final case class IdleFlag(user_id: Long, last_seen_ms: Long)
+
+  /** [[idleUsers]]'s processor — transformWithState TIMERS in event
+    * time: every batch re-arms one timer at `last_seen + idleMs`
+    * (deleting the previous arm — at most ONE pending timer per key),
+    * and when the WATERMARK passes an arm with no newer event, the
+    * expiry callback emits the idle flag and clears the key's state.
+    * State and timers are per ACTIVE key — the inactivity-alert /
+    * session-abandonment primitive with bounded state.
+    */
+  private class IdleDetectProcessor(idleMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp),
+        IdleFlag] {
+    @transient private var lastSeen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long]("last_seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[IdleFlag] = {
+      val prev = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      var mx = prev
+      rows.foreach { r => val t = r._2.getTime; if (t > mx) mx = t }
+      lastSeen.update(mx)
+      if (prev != Long.MinValue && prev != mx)
+        getHandle.deleteTimer(prev + idleMs)
+      getHandle.registerTimer(mx + idleMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[IdleFlag] = {
+      val last = if (lastSeen.exists()) lastSeen.get() else -1L
+      lastSeen.clear()
+      Iterator.single(IdleFlag(key, last))
+    }
+  }
+
+  /** Per-user INACTIVITY flags via transformWithState event-time
+    * timers (the v2 twin of the sessionizer's timeout): a user with no
+    * event for `idleMs` of EVENT time — i.e. the watermark passed
+    * last_seen + idleMs — emits one (user, last_seen) flag and drops
+    * their state. Requires the RocksDB state store provider, like
+    * [[runningCounts]].
+    */
+  def idleUsers(spark: SparkSession, events: DataFrame, tsCol: String,
+                idleMs: Long, watermark: String): Dataset[IdleFlag] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new IdleDetectProcessor(idleMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Per-user RUNNING event counts via `transformWithState` — the
     * arbitrary-stateful-processing v2 API (SPARK-46815, public in
     * Spark 4): typed state variables with per-state TTL, timers, and

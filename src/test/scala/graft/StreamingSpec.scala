@@ -254,6 +254,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == 43)
   }
 
+  test("transformWithState timers: idle users flag when the watermark passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_idle").toString
+    val in = s"$base/in"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      def ts(plusSec: Long) = new java.sql.Timestamp(
+        t0.getTime + plusSec * 1000L)
+      // file 1: real traffic; file 2: a far-future sentinel that
+      // advances the watermark past every idle horizon
+      Seq((1L, t0), (1L, ts(60)), (2L, t0)).toDF("user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+      Seq((999L, ts(3600))).toDF("user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+      val src = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val out = graft.streaming.EventStreams
+        .idleUsers(spark, src, "ts", idleMs = 10 * 60 * 1000L,
+          watermark = "0 seconds").toDF()
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val flags = spark.read.parquet(s"$base/out")
+        .as[(Long, Long)].collect().toMap
+      // user 1 idles from its LAST event (t0+60s); user 2 from t0; the
+      // sentinel user's own timer never fires (watermark stops there)
+      assert(flags === Map(1L -> ts(60).getTime, 2L -> t0.getTime),
+        s"got $flags")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState: running counts survive a query restart (RocksDB)") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
