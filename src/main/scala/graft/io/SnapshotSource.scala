@@ -99,13 +99,16 @@ class SnapshotSource extends RelationProvider
         opts.get("maxsnapshotspertrigger").map(_.toInt))
   }
 
-  /** `df.writeStream.format("snapshot")` — exactly-once manifest
+  /** `df.writeStream.format("snapshot")` — idempotent manifest
     * commits per micro-batch: each batch appends through
     * [[Layout.snapshotAppend]] guarded by a per-(checkpoint, batchId)
-    * marker, so a replayed batch after recovery commits NOTHING twice
+    * marker. The marker lands AFTER the manifest commit, so the
+    * at-least-once window is exactly one rename wide — a crash between
+    * the commit and the marker re-appends that one batch on recovery
     * (the [[graft.streaming.TableStreams.snapshotSink]] contract,
-    * reachable from the public writer API). Append mode only; options:
-    * `path` (required), `statsCols` (comma-separated).
+    * reachable from the public writer API); every other replay is a
+    * no-op. Append mode only; options: `path` (required), `statsCols`
+    * (comma-separated).
     */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -379,8 +382,18 @@ class SnapshotFileIndex(spark: SparkSession, val tableDir: String,
 
   override def rootPaths: Seq[Path] = Seq(qualifiedRoot)
   override def partitionSchema: StructType = new StructType()
-  override def refresh(): Unit = if (snapId < 0)
+  override def refresh(): Unit = if (snapId < 0) {
+    // registration refused MoR debt; a refresh must RE-CHECK it — a
+    // Scala-side deleteWhereMoR/deleteKeysMoR commit after
+    // registration would otherwise leak deleted rows into SQL reads
+    // and metadata-only counts through the refreshed listing
+    require(Layout.snapshotDeletes(spark, tableDir, -1L).isEmpty &&
+      Layout.snapshotEqDeletes(spark, tableDir, -1L).isEmpty,
+      s"snapshot table at $tableDir acquired outstanding position/" +
+        "equality deletes after registration — run " +
+        "Layout.materializeDeletes and refresh again")
     statuses = resolve(Layout.snapshotFiles(spark, tableDir, -1L))
+  }
   override def inputFiles: Array[String] =
     statuses.map(_._2.getPath.toString).toArray
   override def sizeInBytes: Long = statuses.map(_._2.getLen).sum

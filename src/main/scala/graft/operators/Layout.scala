@@ -488,39 +488,26 @@ object Layout {
       case None => all
       case Some(p) => all.filter(e => mayMatchEvolved(e, p, schemas))
     }
+    // zero survivors: a schema-correct empty result with no scan over
+    // the full list ([[emptyLike]] — manifest schema when recorded, a
+    // bounded file subset otherwise)
+    if (kept.isEmpty && pred.isDefined)
+      return emptyLike(spark, dir, all, schemas, mergeSchema)
     if (!uniformSchema(all, schemas)) {
-      val schemaSubset = all.groupBy(e =>
-        e.path.take(e.path.lastIndexOf('/') max 0)).values.map(_.head).toSeq
-      val base = evolvedRead(spark, dir,
-        if (kept.isEmpty) schemaSubset else kept, schemas, mergeSchema)
-      return if (kept.isEmpty) base.filter(lit(false))
-        else base.filter(filter)
+      val base = evolvedRead(spark, dir, kept, schemas, mergeSchema,
+        deletes = resolvedDeletes(spark, dir, snapshotId),
+        eqDeletes = resolvedEqDeletes(spark, dir, snapshotId))
+      return base.filter(filter)
     }
-    // zero survivors: a BOUNDED subset for schema, never the full list.
-    // Plain read: one file. mergeSchema read: one file PER DISTINCT
-    // data directory — each commit writes its files from one DataFrame,
-    // so schema can only change between commits, and one representative
-    // per snap-dir covers the union schema. (First file alone would
-    // pin the empty result to the OLDEST schema: a select on a widened
-    // column would then throw only when the predicate prunes all files
-    // — schema varying with the predicate.)
-    val schemaSubset =
-      if (!mergeSchema) all.take(1)
-      else all.groupBy(e => e.path.take(e.path.lastIndexOf('/') max 0))
-        .values.map(_.head).toSeq
-    val files = (if (kept.isEmpty) schemaSubset else kept)
-      .map(e => s"$dir/${e.path}")
+    val files = kept.map(e => s"$dir/${e.path}")
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
-    val base0 = reader.parquet(files: _*)
-    val base =
-      if (kept.isEmpty) base0
-      else eqFilter(spark, dir,
-        dvFilter(spark, dir, base0, kept,
-          resolvedDeletes(spark, dir, snapshotId)),
-        resolvedEqDeletes(spark, dir, snapshotId))
-    if (kept.isEmpty) base.filter(lit(false)) else base.filter(filter)
+    val base = eqFilter(spark, dir,
+      dvFilter(spark, dir, reader.parquet(files: _*), kept,
+        resolvedDeletes(spark, dir, snapshotId)),
+      resolvedEqDeletes(spark, dir, snapshotId))
+    base.filter(filter)
   }
 
   /** The kept-file count [[snapshotReadWhere]] would resolve — the
@@ -1019,6 +1006,11 @@ object Layout {
       if (ids.isEmpty) (Nil, Nil) else readManifestFull(fs, dir, ids.max)
     val curDeletes =
       if (ids.isEmpty) Nil else readManifestDeletes(fs, dir, ids.max)
+    // Equality tombstones carry exactly like position deletes
+    // (mirrors snapshotAppend): dropping them here would resurrect
+    // every key-deleted row the moment a staged batch publishes.
+    val curEqDeletes =
+      if (ids.isEmpty) Nil else readManifestEqDeletes(fs, dir, ids.max)
     val stagedSid = stagedEntries.flatMap(_.schemaId).headOption.getOrElse(0)
     val (schemas, sid) =
       if (ids.isEmpty || ids.max == base) (stagedSchemas, stagedSid)
@@ -1043,7 +1035,7 @@ object Layout {
     val snapId = (if (ids.isEmpty) 0L else ids.max) + 1L
     writeManifest(fs, dir, snapId,
       curEntries ++ stagedEntries.map(_.copy(schemaId = Some(sid))),
-      schemas, curDeletes)
+      schemas, curDeletes, curEqDeletes)
     fs.delete(p, false)
     fs.delete(new org.apache.hadoop.fs.Path(dir, s".publish-$token.lock"),
       false)
@@ -1172,7 +1164,9 @@ object Layout {
             .parquet(entries.map(e => s"$dir/${e.path}"): _*),
             entries, readManifestDeletes(fs, dir, ids.max)),
           readManifestEqDeletes(fs, dir, ids.max))
-      else evolvedRead(spark, dir, entries, schemas, mergeSchema = true)
+      else evolvedRead(spark, dir, entries, schemas, mergeSchema = true,
+        deletes = readManifestDeletes(fs, dir, ids.max),
+        eqDeletes = readManifestEqDeletes(fs, dir, ids.max))
     base.coalesce(n)
       .write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
@@ -1227,7 +1221,9 @@ object Layout {
             .parquet(entries.map(e => s"$dir/${e.path}"): _*),
             entries, readManifestDeletes(fs, dir, ids.max)),
           readManifestEqDeletes(fs, dir, ids.max))
-      else evolvedRead(spark, dir, entries, schemas, mergeSchema = true)
+      else evolvedRead(spark, dir, entries, schemas, mergeSchema = true,
+        deletes = readManifestDeletes(fs, dir, ids.max),
+        eqDeletes = readManifestEqDeletes(fs, dir, ids.max))
     val clustered =
       if (dims.size == 1)
         base.repartitionByRange(n, col(dims.head))
@@ -1645,13 +1641,18 @@ object Layout {
     */
   private def eqFilter(spark: org.apache.spark.sql.SparkSession,
                        dir: String, base: DataFrame,
-                       eqDeletes: Seq[EqDeleteFile]): DataFrame =
+                       eqDeletes: Seq[EqDeleteFile]): DataFrame = {
+    if (eqDeletes.isEmpty) return base
+    // the anti-join would surface key columns FIRST — re-select the
+    // original order so a tombstone never perturbs the read schema
+    val out = base.columns.toIndexedSeq
     eqDeletes.groupBy(_.cols).foldLeft(base) {
       case (df, (cols, files)) =>
         val keys = spark.read
           .parquet(files.map(f => s"$dir/${f.path}"): _*)
         df.join(broadcast(keys), cols, "left_anti")
-    }
+    }.select(out.map(col): _*)
+  }
 
   /** Rewrite the table without its outstanding deletes (position AND
     * equality) — the OPTIMIZE step that settles MoR debt: one full
@@ -2059,13 +2060,56 @@ object Layout {
     * projected away, and the groups union. On a uniform table this is
     * the single plain read.
     */
+  /** Schema-correct EMPTY result for a fully-pruned snapshot read.
+    * With a recorded schema history the result schema is synthesized
+    * from the manifest's CURRENT schema — zero data files opened, and
+    * the empty result carries every widened column no matter which
+    * files a predicate pruned. Only legacy tables (predating schema
+    * recording) still pay a bounded footer read: one file plainly, one
+    * per data directory under mergeSchema (schema changes only between
+    * commits, so one representative per snap-dir covers the union —
+    * first-file-only would pin the result to the OLDEST schema and
+    * make the schema vary with the predicate).
+    */
+  private def emptyLike(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, all: Seq[FileEntry],
+                        schemas: Seq[SchemaInfo],
+                        mergeSchema: Boolean): DataFrame =
+    currentSchemaOf(schemas) match {
+      case Some(cur) =>
+        val struct = org.apache.spark.sql.types.StructType(
+          cur.fields.map(f => org.apache.spark.sql.types.StructField(
+            f.name, org.apache.spark.sql.types.DataType.fromDDL(f.tpe))))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
+      case None =>
+        val subset =
+          if (!mergeSchema) all.take(1)
+          else all.groupBy(e => e.path.take(e.path.lastIndexOf('/') max 0))
+            .values.map(_.head).toSeq
+        val reader =
+          if (mergeSchema) spark.read.option("mergeSchema", "true")
+          else spark.read
+        reader.parquet(subset.map(e => s"$dir/${e.path}"): _*)
+          .filter(lit(false))
+    }
+
   private def evolvedRead(spark: org.apache.spark.sql.SparkSession,
                           dir: String, kept: Seq[FileEntry],
                           schemas: Seq[SchemaInfo],
-                          mergeSchema: Boolean): DataFrame = {
+                          mergeSchema: Boolean,
+                          deletes: Seq[DeleteFile] = Nil,
+                          eqDeletes: Seq[EqDeleteFile] = Nil): DataFrame = {
     val cur = currentSchemaOf(schemas).getOrElse(
       sys.error("evolvedRead on a schema-less table"))
     val groups = kept.groupBy(_.schemaId.getOrElse(cur.id))
+    // MoR masking needs per-row (file, position) identity: a widening
+    // append carries outstanding deletes AND forks the schema id, so
+    // this branch is reachable with delete debt — thread _metadata
+    // through the per-group selects so dvFilter can anti-join it back
+    // out; dropping the masking here would silently resurrect every
+    // MoR-deleted row on evolved tables.
+    val withMeta = deletes.nonEmpty
     val parts = groups.toSeq.sortBy(_._1).map { case (sid, es) =>
       val fsch = schemas.find(_.id == sid).getOrElse(cur)
       val byId = fsch.fields.map(f => f.id -> f.name).toMap
@@ -2074,14 +2118,23 @@ object Layout {
       val df = spark.read.option("mergeSchema", "true")
         .parquet(es.map(e => s"$dir/${e.path}"): _*)
       val avail = df.columns.toSet
-      df.select(cur.fields.map { f =>
+      val resolved = cur.fields.map { f =>
         byId.get(f.id).filter(avail.contains) match {
           case Some(n) => col(n).as(f.name)
           case None => lit(null).cast(f.tpe).as(f.name)
         }
-      }: _*)
+      }
+      df.select(
+        (if (withMeta) resolved :+ col("_metadata") else resolved): _*)
     }
-    parts.reduce(_.unionByName(_))
+    val unioned = parts.reduce(_.unionByName(_))
+    val posMasked =
+      if (!withMeta) unioned
+      else dvFilter(spark, dir, unioned, kept, deletes).drop("_metadata")
+    // equality tombstones were written while the table was uniform
+    // (deleteKeysMoR refuses evolved tables), so their key columns
+    // resolve against the current names this read yields
+    eqFilter(spark, dir, posMasked, eqDeletes)
   }
 
   /** Permanent-id schema assignment for a new commit: names present in
@@ -2540,37 +2593,26 @@ object Layout {
       case None => all
       case Some(p) => all.filter(e => mayMatchEvolved(e, p, schemas))
     }
+    // every file pruned: a schema-correct empty result without
+    // planning a scan over the full list — that would pay the exact
+    // per-file cost pruning exists to avoid ([[emptyLike]])
+    if (kept.isEmpty && prune.isDefined)
+      return emptyLike(spark, dir, all, schemas, mergeSchema)
     // Field-id evolution path: once the table's files span schemas
     // whose (id, name) sets differ (rename/drop/widen history), reads
     // resolve columns BY ID to the current schema — per-schema groups,
     // aliased selects, one union. Uniform tables keep the single-scan
     // fast path below.
     if (!uniformSchema(all, schemas)) {
-      val schemaSubset = all.groupBy(e =>
-        e.path.take(e.path.lastIndexOf('/') max 0)).values.map(_.head).toSeq
-      val base = evolvedRead(spark, dir,
-        if (kept.isEmpty) schemaSubset else kept, schemas,
-        mergeSchema)
+      val base = evolvedRead(spark, dir, kept, schemas, mergeSchema,
+        deletes = resolvedDeletes(spark, dir, snapshotId),
+        eqDeletes = resolvedEqDeletes(spark, dir, snapshotId))
       return prune match {
-        case Some(_) if kept.isEmpty => base.filter(lit(false))
         case Some(p) => base.filter(toColumn(p))
         case None => base
       }
     }
-    // every file pruned: keep the scan schema from a BOUNDED subset —
-    // planning a scan over the full list just for schema would pay the
-    // exact per-file cost pruning exists to avoid (the lit(false)
-    // filter below still yields zero rows). Under mergeSchema the
-    // subset is one file per distinct data directory, because schema
-    // can only change between commits — first-file-only would pin the
-    // empty result to the OLDEST schema and make the result schema
-    // vary with the predicate.
-    val schemaSubset =
-      if (!mergeSchema) all.take(1)
-      else all.groupBy(e => e.path.take(e.path.lastIndexOf('/') max 0))
-        .values.map(_.head).toSeq
-    val files = (if (kept.isEmpty) schemaSubset else kept)
-      .map(e => s"$dir/${e.path}")
+    val files = kept.map(e => s"$dir/${e.path}")
     // mergeSchema: appends may have widened the schema (added columns);
     // the default parquet read takes one file's schema and would
     // silently drop the new column from old-file rows' view — schema
@@ -2580,18 +2622,13 @@ object Layout {
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
-    val base0 = reader.parquet(files: _*)
     // merge-on-read deletes: anti-join the snapshot's position-delete
-    // index and equality tombstones back out (zero survivors need no
-    // delete work — already empty)
-    val base =
-      if (kept.isEmpty) base0
-      else eqFilter(spark, dir,
-        dvFilter(spark, dir, base0, kept,
-          resolvedDeletes(spark, dir, snapshotId)),
-        resolvedEqDeletes(spark, dir, snapshotId))
+    // index and equality tombstones back out
+    val base = eqFilter(spark, dir,
+      dvFilter(spark, dir, reader.parquet(files: _*), kept,
+        resolvedDeletes(spark, dir, snapshotId)),
+      resolvedEqDeletes(spark, dir, snapshotId))
     prune match {
-      case Some(p) if kept.isEmpty => base.filter(lit(false))
       case Some(p) => base.filter(toColumn(p))
       case None => base
     }

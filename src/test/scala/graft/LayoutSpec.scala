@@ -1743,4 +1743,88 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.snapshotIds(spark, dir) === Seq(3L))
     intercept[Exception] { Layout.resolveRef(spark, dir, "pin") }
   }
+
+  test("fully-pruned read keeps the widened schema from the manifest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptysch").toString
+    Layout.snapshotWrite(
+      (0 until 50).map(i => (i.toLong, s"a$i")).toDF("k", "name"),
+      dir, statsCols = Seq("k"))
+    Layout.snapshotAppend(
+      Seq((100L, "b", 1.5)).toDF("k", "name", "score"), dir)
+    // predicate prunes EVERY file: the empty result must still carry
+    // the widened column (from the manifest schema — no file opened),
+    // not whichever file's schema take(1) happened to land on
+    val empty = Layout.snapshotRead(spark, dir,
+      prune = Some(Layout.StatPred.Ge("k", 10000L)), mergeSchema = true)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("k", "name", "score"))
+    val emptyW = Layout.snapshotReadWhere(spark, dir, col("k") >= 10000L,
+      mergeSchema = true)
+    assert(emptyW.count() === 0)
+    assert(emptyW.columns.toSeq === Seq("k", "name", "score"))
+    // plain (non-mergeSchema) fully-pruned read: same stable schema
+    assert(Layout.snapshotRead(spark, dir,
+      prune = Some(Layout.StatPred.Ge("k", 10000L))).columns.toSeq
+      === Seq("k", "name", "score"))
+  }
+
+  test("publishStaged carries outstanding equality tombstones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wapeq").toString
+    Layout.snapshotWrite(
+      (0 until 40).map(i => (i.toLong, s"u${i % 4}")).toDF("k", "user"),
+      dir)
+    // key-tombstone one user, THEN stage + publish a batch: the
+    // published manifest must still list the tombstone, or every
+    // u1 row silently resurrects on the next read
+    Layout.deleteKeysMoR(spark, dir, Seq("u1").toDF("user"))
+    assert(Layout.snapshotRead(spark, dir).count() === 30)
+    val tok = Layout.snapshotAppendStaged(
+      (100 until 110).map(i => (i.toLong, s"u${i % 4}")).toDF("k", "user"),
+      dir)
+    Layout.publishStaged(spark, dir, tok)
+    assert(Layout.snapshotEqDeletes(spark, dir).nonEmpty,
+      "published manifest dropped the equality tombstones")
+    // 30 survivors + the staged batch minus its 3 u1 rows (the
+    // tombstone covers late arrivals for the key, same as appends)
+    assert(Layout.snapshotRead(spark, dir).count() === 37)
+    assert(Layout.snapshotRead(spark, dir)
+      .filter(col("user") === "u1").count() === 0)
+  }
+
+  test("evolvedRead masks MoR deletes after a schema-forking append") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evodel").toString
+    Layout.snapshotWrite(
+      (0 until 100).map(i => (i.toLong, s"u${i % 10}")).toDF("k", "user"),
+      dir, statsCols = Seq("k"))
+    // MoR debt on the uniform table: positions for k >= 90, then a
+    // key tombstone for u3
+    Layout.deleteWhereMoR(spark, dir, Layout.StatPred.Ge("k", 90L))
+    Layout.deleteKeysMoR(spark, dir, Seq("u3").toDF("user"))
+    assert(Layout.snapshotRead(spark, dir).count() === 81)
+    // a WIDENING append forks the schema id while the deletes are
+    // outstanding — reads now take the evolvedRead branch, which must
+    // keep masking (this used to resurrect all 19 deleted rows)
+    Layout.snapshotAppend(
+      Seq((200L, "u5", "x"), (201L, "u3", "late"))
+        .toDF("k", "user", "extra"), dir)
+    val live = Layout.snapshotRead(spark, dir)
+    assert(live.columns.toSeq === Seq("k", "user", "extra"))
+    assert(live.count() === 82,
+      "evolvedRead resurrected MoR-deleted rows")
+    assert(live.filter(col("user") === "u3").count() === 0)
+    assert(live.filter(col("k") >= 90L && col("k") < 100L).count() === 0)
+    // the pruned-read sibling masks too
+    assert(Layout.snapshotReadWhere(spark, dir, col("k") < 1000L)
+      .count() === 82)
+    // a compaction of the evolved table SETTLES the debt instead of
+    // baking resurrected rows into fresh files
+    Layout.compactSnapshot(spark, dir, 64L << 20)
+    assert(Layout.snapshotDeletes(spark, dir).isEmpty)
+    assert(Layout.snapshotEqDeletes(spark, dir).isEmpty)
+    assert(Layout.snapshotRead(spark, dir).count() === 82)
+    assert(Layout.snapshotCount(spark, dir) === 82L)
+  }
 }

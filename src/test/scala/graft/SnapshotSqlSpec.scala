@@ -78,6 +78,26 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(scan.metrics("numFiles").value === expected.size)
   }
 
+  test("refresh refuses when MoR delete debt appears after registration") {
+    import spark.implicits._
+    val dir = freshDir("refreshmor")
+    writeTable(dir)
+    val df = spark.read.format("snapshot").option("path", dir).load()
+    val idx = indexOf(scanOf(df))
+    idx.refresh() // clean table: listing just re-resolves
+    assert(df.count() === 500)
+    // a Scala-side tombstone commit AFTER registration: the refreshed
+    // SQL view must fail loudly, not silently count deleted rows
+    Layout.deleteKeysMoR(spark, dir, Seq("1").toDF("tag"))
+    val err = intercept[IllegalArgumentException](idx.refresh())
+    assert(err.getMessage.contains("outstanding"))
+    // settling the debt restores the view
+    Layout.materializeDeletes(spark, dir)
+    idx.refresh()
+    assert(spark.read.format("snapshot").option("path", dir).load()
+      .count() === Layout.snapshotRead(spark, dir).count())
+  }
+
   test("non-compilable conjuncts drop soundly; compilable ones still prune") {
     val dir = freshDir("partial")
     writeTable(dir)
