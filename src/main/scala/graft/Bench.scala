@@ -103,9 +103,14 @@ object Bench {
     // window (markdup) — both time fixture write + operator end-to-end
     "q287_pileup", "q293_markdup")
 
+  /** r11 additions: the multi-vector late-interaction retrieval (chunk
+    * LSH gate → exact MaxSim → top-k, the round's heavy new shape).
+    */
+  private val headlineR11 = Seq("q310_maxsim")
+
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++
-      headlineR10
+      headlineR10 ++ headlineR11
 
   /** 1/5/15-minute load averages as a JSON array ("[]" off-Linux). */
   private def loadavg(): String =
@@ -175,7 +180,13 @@ object Bench {
     // per-run times go out on their own earlier line for forensics.
     def r3(v: Double): String =
       if (v < 0) "-1.0" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+    // The total line keys queries by their qNN id alone (unique by
+    // construction; the `runs` forensics line keeps full names). The
+    // r10 line was ~1.72 kB against the same 2000-char cut — three more
+    // full-name rows would have silently truncated it; ids buy ~1 kB
+    // of headroom (budget recorded in BASELINE.md).
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val rawRuns = results.map { case (k, _, rs) =>
       "\"" + k + "\":[" + rs.mkString(",") + "]"

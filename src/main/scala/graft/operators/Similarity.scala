@@ -1378,6 +1378,60 @@ object Similarity {
       .groupBy("doc_id")
       .agg(pool(col("_e")).as("embedding"))
   }
+
+  /** ColBERT-style LATE-INTERACTION retrieval (MaxSim): documents and
+    * queries are BAGS of chunk/token vectors, and
+    * score(q, d) = Σ over q's chunks of max over d's chunks of
+    * cos(q_i, d_j) — the multi-vector rung above [[meanPoolEmbeddings]]
+    * (pooling averages detail away; MaxSim keeps per-chunk alignment).
+    * Every document doubles as a query here (the symmetric-corpus
+    * convention of the other retrieval rungs).
+    *
+    * Never all-pairs: a sign-bucket LSH gate over CHUNK vectors
+    * ([[signBucket]], an equi-join) nominates candidate (query, doc)
+    * pairs — a pair competes only if some chunk pair collides — and
+    * only gated pairs pay the exact chunk×chunk MaxSim, reached by two
+    * more equi-joins (candidates × query chunks × doc chunks). The
+    * max-then-sum is ONE aggregation with map-side partial combine;
+    * top-k is a per-query window over doc-level scores (rows already
+    * collapsed to one per (query, doc)). Deterministic: cosines
+    * rounded to 4dp before max, scores rounded after the sum, ties
+    * broken by doc id — the DuckDB oracle replays gate and scoring
+    * stage by stage.
+    */
+  def maxSimTopK(chunks: DataFrame, docCol: String, idCol: String,
+                 vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val b = ensureParallelism(withNative(chunks))
+      .select(col(docCol).cast("long").as("doc"),
+        col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("embedding"))
+      .withColumn("norm", sqrt(dotN(col("embedding"), col("embedding"))))
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+      .localCheckpoint() // gate + both scoring sides read it
+    val cand = b.as("q")
+      .join(b.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.doc") =!= col("c.doc"))
+      .select(col("q.doc").as("query_id"), col("c.doc").as("doc_id"))
+      .distinct()
+    val pairs = cand
+      .join(b.select(col("doc").as("query_id"), col("cid").as("qcid"),
+        col("embedding").as("qe"), col("norm").as("qn")), "query_id")
+      .join(b.select(col("doc").as("doc_id"),
+        col("embedding").as("de"), col("norm").as("dn")), "doc_id")
+      .select(col("query_id"), col("doc_id"), col("qcid"),
+        round(dotN(col("qe"), col("de")) / (col("qn") * col("dn")), 4)
+          .as("cos"))
+    val scored = pairs
+      .groupBy("query_id", "doc_id", "qcid").agg(max("cos").as("m"))
+      .groupBy("query_id", "doc_id")
+      .agg((round(sum("m"), 4) + lit(0.0)).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "score")
+  }
 }
 
 /** [[Similarity.meanPoolEmbeddings]]'s buffer: a fixed-dim running

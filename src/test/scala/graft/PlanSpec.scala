@@ -330,6 +330,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("q310: MaxSim gate and scoring are equi joins, never cartesian") {
+    val plan = planOf("q310_maxsim")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("q109: hashed linear scorer is one narrow pass — no Exchange, no join") {
     val plan = planOf("q109_hashed_linear")
     assert(!plan.contains("Exchange"), plan.take(1200))
