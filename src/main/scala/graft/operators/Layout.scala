@@ -1635,6 +1635,134 @@ object Layout {
     (snapId, n)
   }
 
+  /** ATOMIC merge-on-read UPSERT — streaming-CDC ingestion without the
+    * rewrite: ONE manifest commit that position-deletes every live
+    * table row whose key appears in the source AND appends the source
+    * rows as new data files. No snapshot ever shows the intermediate
+    * "deleted but not yet re-inserted" state that composing
+    * [[deleteKeysMoR]] + [[snapshotAppend]] (two commits) exposes, and
+    * a crash between the stages can never strand a half-applied batch.
+    *
+    * POSITION deletes (not equality tombstones) carry the old rows
+    * out, because a key tombstone covers LATER appends by design —
+    * it would mask the very replacement rows this commit adds. The
+    * price is one key-box-pruned scan to locate old rows (the
+    * [[mergeInto]] two-tier shape: manifest-stats box prune, then a
+    * column-pruned semi-join on the key columns); write amplification
+    * is the deleted-row INDEX plus the batch — never a file rewrite.
+    *
+    * Source columns align to the table schema by name (missing →
+    * null, extras dropped); source keys are assumed unique per batch
+    * (CDC compaction upstream) — duplicate source keys append
+    * duplicate rows, as in SQL MERGE. Uniform-schema tables only, and
+    * outstanding equality debt settles first (positions over
+    * eq-masked rows would break DV disjointness). Returns (new
+    * snapshot id, rows replaced); an empty source is a commit-free
+    * no-op.
+    */
+  def upsertKeysMoR(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, sourceIn: DataFrame,
+                    keyCols: Seq[String]): (Long, Long) = {
+    require(keyCols.nonEmpty, "upsertKeysMoR needs at least one key column")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val cur = ids.max
+    val (entries, schemas) = readManifestFull(fs, dir, cur)
+    require(uniformSchema(entries, schemas),
+      "merge-on-read upsert needs a uniform-schema table — run " +
+        "compactSnapshot/optimizeClustered to materialize evolution first")
+    require(readManifestEqDeletes(fs, dir, cur).isEmpty,
+      "settle outstanding equality deletes (materializeDeletes) " +
+        "before a MoR upsert")
+    val oldDeletes = readManifestDeletes(fs, dir, cur)
+    // pin the source (the mergeInto rationale): bounds agg, semi-join,
+    // and the append each re-evaluate it
+    val source = sourceIn.localCheckpoint()
+    if (source.isEmpty) return (cur, 0L)
+    keyCols.foreach(c => require(source.columns.contains(c),
+      s"key column $c not in source"))
+    val tSchema = spark.read.parquet(s"$dir/${entries.head.path}").schema
+    keyCols.foreach(c => require(tSchema.fieldNames.contains(c),
+      s"key column $c not in table schema"))
+    val srcCols = source.columns.toSet
+    val aligned = source.select(tSchema.fields.toIndexedSeq.map(f =>
+      (if (srcCols.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)): _*)
+
+    // the source's key box prunes candidate files via manifest stats
+    val boundsRow = source.agg(
+      min(col(keyCols.head)), max(col(keyCols.head)) +:
+        keyCols.tail.flatMap(c => Seq(min(col(c)), max(col(c)))): _*).head()
+    val boundPreds = keyCols.zipWithIndex.flatMap { case (c, i) =>
+      (Option(boundsRow.get(2 * i)), Option(boundsRow.get(2 * i + 1))) match {
+        case (Some(lo), Some(hi)) => Some(Between(c, lo, hi))
+        case _ => None
+      }
+    }
+    val candidates =
+      if (boundPreds.isEmpty) entries
+      else entries.filter(e => mayMatch(e, And(boundPreds)))
+    import spark.implicits._
+    val snapId = cur + 1L
+    val dvRel = s"deletes/snap-$snapId"
+    val nReplaced =
+      if (candidates.isEmpty) 0L
+      else {
+        val mapping = candidates
+          .map(e => (normalizeAbs(s"$dir/${e.path}"), e.path))
+          .toDF("_gdv_abs", "_gdv_rel")
+        // column-pruned: the scan reads key columns + row identity only
+        val scan = spark.read
+          .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
+          .select(Seq(
+            normalizePathCol(col("_metadata.file_path")).as("_gdv_abs"),
+            col("_metadata.row_index").as("_gdv_pos")) ++
+            keyCols.map(col): _*)
+          .join(broadcast(mapping), Seq("_gdv_abs"))
+        // positions compute against the LIVE view so accumulated DV
+        // files stay pairwise disjoint (deleteWhereMoR's invariant)
+        val live =
+          if (oldDeletes.isEmpty) scan
+          else scan.join(
+            spark.read.parquet(oldDeletes.map(d => s"$dir/${d.path}"): _*)
+              .select(col("path").as("_gdv_rel"), col("pos").as("_gdv_pos")),
+            Seq("_gdv_rel", "_gdv_pos"), "left_anti")
+        val marked = live
+          .join(source.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_semi")
+          .select(col("_gdv_rel").as("path"), col("_gdv_pos").as("pos"))
+        marked.write.mode("overwrite").parquet(s"$dir/$dvRel")
+        spark.read.parquet(s"$dir/$dvRel").count()
+      }
+    if (nReplaced == 0L)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$dvRel"), true)
+
+    val dataDir = s"$dir/data/snap-$snapId"
+    aligned.write.mode("overwrite").parquet(dataDir)
+    val (names, sizes) = listDataFiles(fs, dataDir)
+    val cols = statColsCurrent(entries, schemas, _.stats.keys)
+    val bCols = statColsCurrent(entries, schemas, _.blooms.keys)
+    val stats =
+      if (cols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
+      else collectFileStats(spark, dataDir, cols)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
+      else collectFileBlooms(spark, dataDir, bCols)
+    val (outSchemas, sid) = assignSchema(schemas, aligned.schema, merge = true)
+    writeManifest(fs, dir, snapId,
+      entries ++ names.toIndexedSeq.map(n =>
+        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
+          .copy(schemaId = if (outSchemas.isEmpty) None else Some(sid))),
+      outSchemas,
+      deletes =
+        if (nReplaced == 0L) oldDeletes
+        else oldDeletes :+ DeleteFile(dvRel, nReplaced),
+      op = "merge")
+    (snapId, nReplaced)
+  }
+
   /** Anti-join the snapshot's equality-delete key sets out of a read —
     * one broadcast anti join per distinct key-column set (tombstone
     * lists are small by construction).

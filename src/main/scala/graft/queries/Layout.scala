@@ -752,6 +752,36 @@ object Layout {
           col("n_chars"))
     },
 
+    // Atomic MoR upsert (q311): the streaming-CDC write shape — the
+    // even half of the corpus lands, then TWO stacked single-commit
+    // upserts: batch 1 (doc_id % 5 — half updates, half inserts,
+    // text uppercased) and batch 2 (doc_id % 10 — re-replacing keys
+    // batch 1 just wrote, newest wins). Each upsert is ONE commit of
+    // position deletes + appended files, no rewrite, no intermediate
+    // deleted-state snapshot. The oracle replays the key-set algebra.
+    "q311_mor_upsert" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapups")
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars", "lang")
+      L.snapshotWrite(docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+        base, statsCols = Seq("doc_id"))
+      L.upsertKeysMoR(s, base,
+        docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), upper(col("text")).as("text"),
+            col("n_chars"), lit("ups").as("lang")),
+        Seq("doc_id"))
+      L.upsertKeysMoR(s, base,
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"), col("n_chars"),
+            lit("ups2").as("lang")),
+        Seq("doc_id"))
+      L.snapshotRead(s, base)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"), col("lang"))
+    },
+
     // Equality deletes (q271): the key-tombstone lifecycle — half the
     // corpus lands, two language keys are tombstoned with ZERO table
     // scan (an O(keys) commit), then the other half appends LATE; the
@@ -1011,6 +1041,20 @@ object Layout {
     "q268_mor_delete" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars NOT BETWEEN 200 AND 350""",
+    "q311_mor_upsert" ->
+      """WITH t0 AS (SELECT doc_id, text, n_chars, lang
+                     FROM documents WHERE doc_id % 2 = 0),
+          b1 AS (SELECT doc_id, upper(text) AS text, n_chars,
+                   'ups' AS lang FROM documents WHERE doc_id % 5 = 0),
+          m1 AS (SELECT * FROM t0
+                 WHERE doc_id NOT IN (SELECT doc_id FROM b1)
+                 UNION ALL SELECT * FROM b1),
+          b2 AS (SELECT doc_id, text, n_chars, 'ups2' AS lang
+                 FROM documents WHERE doc_id % 10 = 0),
+          m2 AS (SELECT * FROM m1
+                 WHERE doc_id NOT IN (SELECT doc_id FROM b2)
+                 UNION ALL SELECT * FROM b2)
+          SELECT doc_id, md5(text) AS text_md5, n_chars, lang FROM m2""",
     "q272_stream_source" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents""",
     "q273_change_feed" ->

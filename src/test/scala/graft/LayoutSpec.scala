@@ -1769,6 +1769,72 @@ class LayoutSpec extends AnyFunSuite {
       === Seq("k", "name", "score"))
   }
 
+  test("upsertKeysMoR: one atomic commit replaces keys and appends") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    Layout.snapshotWrite(
+      (0 until 100).map(i => (i.toLong, s"u$i", s"v$i"))
+        .toDF("k", "user", "payload")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      dir, statsCols = Seq("k"))
+    val before = Layout.snapshotFiles(spark, dir).map(_.path)
+
+    // replace k=5,6 and insert k=200 — ONE commit
+    val (s2, n2) = Layout.upsertKeysMoR(spark, dir,
+      Seq((5L, "u5", "NEW5"), (6L, "u6", "NEW6"), (200L, "u200", "NEW200"))
+        .toDF("k", "user", "payload"), Seq("k"))
+    assert(s2 === 2L && n2 === 2L)
+    // prior files verbatim; only the batch's files are new
+    assert(Layout.snapshotFiles(spark, dir).map(_.path)
+      .count(p => !before.contains(p)) >= 1)
+    assert(before.forall(p =>
+      Layout.snapshotFiles(spark, dir).map(_.path).contains(p)))
+    val live = Layout.snapshotRead(spark, dir)
+    assert(live.count() === 101)
+    assert(live.filter(col("k") === 5L).select("payload").head.getString(0)
+      === "NEW5")
+    assert(live.filter(col("k") === 200L).count() === 1)
+    // no intermediate state: the PREVIOUS snapshot is the old content
+    assert(Layout.snapshotRead(spark, dir, 1L).count() === 100)
+    assert(Layout.snapshotRead(spark, dir, 1L)
+      .filter(col("k") === 5L).select("payload").head.getString(0) === "v5")
+    // metadata count arithmetic holds (position deletes are exact)
+    assert(Layout.snapshotCount(spark, dir) === 101L)
+
+    // upsert over the SAME key again: only the live replacement row is
+    // marked (DV disjointness), and the newest value wins
+    val (s3, n3) = Layout.upsertKeysMoR(spark, dir,
+      Seq((5L, "u5", "NEWER5")).toDF("k", "user", "payload"), Seq("k"))
+    assert(s3 === 3L && n3 === 1L)
+    val live3 = Layout.snapshotRead(spark, dir)
+    assert(live3.count() === 101)
+    assert(live3.filter(col("k") === 5L).select("payload").head.getString(0)
+      === "NEWER5")
+
+    // pure insert (no key overlap): zero replaced, no DV file added
+    val dvBefore = Layout.snapshotDeletes(spark, dir).size
+    val (s4, n4) = Layout.upsertKeysMoR(spark, dir,
+      Seq((300L, "u300", "NEW300")).toDF("k", "user", "payload"), Seq("k"))
+    assert(s4 === 4L && n4 === 0L)
+    assert(Layout.snapshotDeletes(spark, dir).size === dvBefore)
+    assert(Layout.snapshotRead(spark, dir).count() === 102)
+
+    // misaligned source: missing non-key column null-fills, extras drop
+    val (_, n5) = Layout.upsertKeysMoR(spark, dir,
+      Seq((7L, "x")).toDF("k", "extra_col"), Seq("k"))
+    assert(n5 === 1L)
+    val r7 = Layout.snapshotRead(spark, dir).filter(col("k") === 7L)
+    assert(r7.columns.toSeq === Seq("k", "user", "payload"))
+    assert(r7.head.isNullAt(1) && r7.head.isNullAt(2))
+
+    // refusals: outstanding eq debt must settle first
+    Layout.deleteKeysMoR(spark, dir, Seq("u9").toDF("user"))
+    assert(intercept[IllegalArgumentException](
+      Layout.upsertKeysMoR(spark, dir,
+        Seq((1L, "u1", "z")).toDF("k", "user", "payload"), Seq("k")))
+      .getMessage.contains("equality"))
+  }
+
   test("publishStaged carries outstanding equality tombstones") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_wapeq").toString
