@@ -125,6 +125,49 @@ object TableStreams {
     todo.size
   }
 
+  /** Streaming UPSERT into a snapshot table — [[snapshotSink]]'s
+    * sibling for KEYED CDC streams: each micro-batch applies through
+    * ONE atomic [[Layout.upsertKeysMoR]] commit (position-delete the
+    * batch's keys, append its rows — no intermediate deleted-state
+    * snapshot, no rewrite), so the table is always the latest value
+    * per key over the stream's committed prefix. The very first batch
+    * on a fresh table bootstraps it via [[Layout.snapshotAppend]].
+    *
+    * Same idempotence contract as [[snapshotSink]]: a per-(checkpoint
+    * lineage, batchId) marker written AFTER the commit skips replayed
+    * batches; the at-least-once window is one rename wide — and a
+    * re-applied upsert batch is VALUE-idempotent anyway (same keys,
+    * same rows: the replay replaces the first attempt's rows with
+    * identical ones), so the window costs duplicate work, never
+    * duplicate keys. Batches must be key-unique (CDC compaction
+    * upstream, the upsertKeysMoR contract).
+    */
+  def upsertSink(stream: DataFrame, dir: String, checkpoint: String,
+                 keyCols: Seq[String], statsCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    require(keyCols.nonEmpty, "upsertSink needs at least one key column")
+    val id = sinkId(checkpoint)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(dir,
+          s"_batch-$id-$batchId")
+        if (!fs.exists(marker)) {
+          if (Layout.snapshotIds(spark, dir).isEmpty)
+            Layout.snapshotAppend(batch, dir, statsCols)
+          else Layout.upsertKeysMoR(spark, dir, batch, keyCols)
+          fs.create(marker, true).close()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def snapshotSink(stream: DataFrame, dir: String, checkpoint: String,
                    statsCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.streaming.Trigger

@@ -621,6 +621,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.snapshotRead(spark, s"$base/tbl").count() == 2 * count1)
   }
 
+  test("streaming upsert sink: last value per key, idempotent replay") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_upsink").toString
+    val tbl = s"$base/tbl"
+    val v1 = (1L to 100L).map(i => (i, s"v1_$i")).toDF("k", "v")
+    v1.repartition(2).write.mode("overwrite").parquet(s"$base/in1")
+    def run(in: String, ckpt: String): Unit =
+      graft.streaming.TableStreams.upsertSink(
+        spark.readStream.schema(v1.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        tbl, ckpt, keyCols = Seq("k"))
+    // first run bootstraps the table, then upserts per batch
+    run(s"$base/in1", s"$base/ck1")
+    assert(Layout.snapshotRead(spark, tbl).count() === 100)
+    // CDC batch: updates for 50..100, inserts for 101..120
+    (50L to 120L).map(i => (i, s"v2_$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/in2")
+    run(s"$base/in2", s"$base/ck2")
+    val live = Layout.snapshotRead(spark, tbl)
+    assert(live.count() === 120)
+    assert(live.filter(col("k") === 60L).select("v").head.getString(0)
+      === "v2_60")
+    assert(live.filter(col("k") === 10L).select("v").head.getString(0)
+      === "v1_10")
+    // same checkpoint again: AvailableNow finds nothing — no commit
+    val idsBefore = Layout.snapshotIds(spark, tbl)
+    run(s"$base/in2", s"$base/ck2")
+    assert(Layout.snapshotIds(spark, tbl) === idsBefore)
+    assert(Layout.snapshotRead(spark, tbl).count() === 120)
+  }
+
   test("compact merges a fragmented table to ceil(bytes/target) files, content intact") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
