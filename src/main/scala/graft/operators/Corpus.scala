@@ -1935,6 +1935,63 @@ object Corpus {
       .agg(sum("toks").as("n_tokens"), sum("chars").as("n_chars"),
         (round(sum("toks").cast("double") / sum("chars"), 6) + lit(0.0))
           .as("fertility"))
+
+  /** Logistic-regression TRAINING by deterministic full-batch gradient
+    * descent — the fastText-style quality/language classifier's
+    * trainable core, expressed as the engine's own aggregation
+    * primitive. Each of the FIXED `iterations` runs ONE aggregation
+    * over the (checkpointed) feature frame: the mean logistic-loss
+    * gradient avg(σ(w·x+b) − y) per coefficient, with the current
+    * weights inlined as literals so the pass is a narrow codegen'd
+    * projection + map-side-combined avg; the driver holds d+1 doubles
+    * and applies w ← w − lr·g. No shuffle beyond the aggregation, no
+    * per-row state, no randomness: zero-initialized weights and a
+    * fixed iteration count make the trajectory a pure function of the
+    * data, so a SQL oracle replays training as a chain of materialized
+    * per-iteration CTEs (the [[Similarity.pcaProject]] doctrine —
+    * identical arithmetic on both engines keeps FP drift far below
+    * the output rounding).
+    *
+    * Scale: `iterations` passes over a d+1-column projection of the
+    * corpus; at 100 TB the feature frame should be a materialized
+    * narrow table, which is exactly what the checkpoint here pins.
+    * Returns weights as [bias, w(featureCols…)].
+    */
+  def logisticRegression(features: DataFrame, labelCol: String,
+                         featureCols: Seq[String], iterations: Int = 15,
+                         lr: Double = 1.0): Array[Double] = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    require(iterations >= 1 && iterations <= 500,
+      s"iterations $iterations outside sane bounds")
+    val df = Parallelism.ensure(features)
+      .select((labelCol +: featureCols).map(c => col(c).cast("double")): _*)
+      .localCheckpoint()
+    var w = Array.fill(featureCols.size + 1)(0.0)
+    var it = 0
+    while (it < iterations) {
+      val err = logisticScore(w, featureCols) - col(labelCol)
+      val aggs = avg(err) +: featureCols.map(c => avg(err * col(c)))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      w = w.zipWithIndex.map { case (wi, i) => wi - lr * row.getDouble(i) }
+      it += 1
+    }
+    w
+  }
+
+  /** σ(b + Σ wᵢ·xᵢ) as one codegen'd Column over trained `weights`
+    * ([bias, then one per feature, matching [[logisticRegression]]'s
+    * return) — scoring a 100 TB corpus is a narrow map, no join, the
+    * weights ride inside the expression tree as literals.
+    */
+  def logisticScore(weights: Array[Double],
+                    featureCols: Seq[String]): Column = {
+    require(weights.length == featureCols.length + 1,
+      s"${weights.length} weights for ${featureCols.length} features + bias")
+    val z = featureCols.zipWithIndex.foldLeft(lit(weights(0))) {
+      case (acc, (c, i)) => acc + col(c) * lit(weights(i + 1))
+    }
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
 }
 
 /** Bounded top-k buffer for [[Corpus.tfidfTopKAgg]]: both the partial
