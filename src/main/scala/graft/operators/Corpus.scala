@@ -1992,6 +1992,53 @@ object Corpus {
     }
     lit(1.0) / (lit(1.0) + exp(-z))
   }
+
+  /** EXACT binary-classifier evaluation in one row — confusion counts
+    * at `threshold`, precision/recall/F1, and tie-corrected exact AUC
+    * (the Mann-Whitney identity): AUC = Σ over score groups of
+    * n_pos(s)·(negatives below s + n_neg(s)/2) / (P·N) — a positive
+    * beats every lower-scored negative and half of its ties.
+    *
+    * Scale shape: ONE aggregation collapses the corpus to its distinct
+    * scores (bounded by the scoring rounding — 4dp ⇒ ≤ 10⁴ + 1 groups),
+    * so the ordered prefix-sum window runs over the GROUP table, never
+    * rows; the confusion counts ride the same pass. The single-
+    * partition window is over a metadata-sized frame by construction.
+    */
+  def binaryMetrics(scored: DataFrame, labelCol: String, scoreCol: String,
+                    threshold: Double): DataFrame = {
+    val base = Parallelism.ensure(scored)
+      .select(col(labelCol).cast("double").as("y"),
+        col(scoreCol).cast("double").as("s"))
+    val grp = base.groupBy("s").agg(
+      sum("y").as("np"),
+      (count(lit(1)).cast("double") - sum("y")).as("nn"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aucNum = grp
+      .withColumn("cumneg", coalesce(sum("nn").over(w), lit(0.0)))
+      .agg(sum(col("np") * (col("cumneg") + col("nn") / 2.0)).as("num"))
+    val hit = col("s") >= threshold
+    val conf = base.agg(
+      sum("y").as("p"),
+      (count(lit(1)).cast("double") - sum("y")).as("n"),
+      sum(when(hit, col("y")).otherwise(0.0)).as("tp"),
+      sum(when(hit, lit(1.0) - col("y")).otherwise(0.0)).as("fp"),
+      sum(when(!hit, col("y")).otherwise(0.0)).as("fn"),
+      sum(when(!hit, lit(1.0) - col("y")).otherwise(0.0)).as("tn"))
+    def r4(c: Column): Column = round(c, 4) + lit(0.0)
+    conf.crossJoin(aucNum).select(
+      col("p").cast("long").as("n_pos"), col("n").cast("long").as("n_neg"),
+      col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+      col("fn").cast("long").as("fn"), col("tn").cast("long").as("tn"),
+      r4(col("tp") / greatest(col("tp") + col("fp"), lit(1.0)))
+        .as("prec"),
+      r4(col("tp") / greatest(col("p"), lit(1.0))).as("rec"),
+      r4(lit(2.0) * col("tp") /
+        greatest(lit(2.0) * col("tp") + col("fp") + col("fn"), lit(1.0)))
+        .as("f1"),
+      r4(col("num") / greatest(col("p") * col("n"), lit(1.0))).as("auc"))
+  }
 }
 
 /** Bounded top-k buffer for [[Corpus.tfidfTopKAgg]]: both the partial
