@@ -968,6 +968,70 @@ object Layout {
     token
   }
 
+  /** Append ANOTHER batch to an existing staged token — MULTI-BATCH
+    * write-audit-publish: an ingest job stages N micro-batches under
+    * one token, the audit sees their UNION ([[stagedRead]]), and
+    * [[publishStaged]] commits the whole lineage in ONE atomic
+    * snapshot (or [[abandonStaged]] drops all of it, data included).
+    * This is the real WAP deployment shape — a staging job is rarely
+    * one batch — without giving up the format's linear history:
+    * staged batches stay invisible to every committed reader, so no
+    * divergent write branch ever exists.
+    *
+    * New files land in the token's own staged directory (append mode;
+    * parquet part names are UUID-unique), prior staged entries carry
+    * VERBATIM, and only the new files pay stats/bloom collection —
+    * the batch inherits the token's recorded stat/bloom contract
+    * unless overridden. Single staging writer per token (the staged
+    * record is a plain overwrite); publish/abandon arbitration is
+    * unchanged. Vacuum keeps every staged file alive via the updated
+    * record.
+    */
+  def stageAppendMore(df: DataFrame, dir: String, token: String,
+                      statsCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir, s"staged-$token.json")
+    require(fs.exists(p), s"no staged batch $token under $dir")
+    val (oldEntries, oldSchemas) = readManifestPath(fs, p)
+    val (schemas, sid) = assignSchema(oldSchemas, df.schema, merge = true)
+    // one schema id across the chain: publish stamps the whole token
+    // with one id, so a mid-chain widening would mislabel the earlier
+    // batches' files — publish first, then stage the wider batch
+    oldEntries.flatMap(_.schemaId).headOption.foreach(old =>
+      require(old == sid,
+        s"staged chain $token has schema id $old but this batch forks " +
+          "it — publish the chain first, then stage the wider batch"))
+    val dataDir = s"$dir/data/staged-$token"
+    df.write.mode("append").parquet(dataDir)
+    val (names, sizes) = listDataFiles(fs, dataDir)
+    val known = oldEntries
+      .map(e => e.path.substring(e.path.lastIndexOf('/') + 1)).toSet
+    val fresh = names.filterNot(known)
+    val cols =
+      if (statsCols.nonEmpty) statsCols
+      else statColsCurrent(oldEntries, schemas, _.stats.keys)
+    val bCols =
+      if (bloomCols.nonEmpty) bloomCols
+      else statColsCurrent(oldEntries, schemas, _.blooms.keys)
+    // stats collect over the whole staged dir, but only fresh files'
+    // results are read — prior entries keep their recorded stats
+    val stats =
+      if (cols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
+      else collectFileStats(spark, dataDir, cols)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
+      else collectFileBlooms(spark, dataDir, bCols)
+    val entries = oldEntries ++ fresh.map(n =>
+      entryFor(s"data/staged-$token", n, stats, blooms, sizes)
+        .copy(schemaId = Some(sid)))
+    val body = manifestBody(entries, schemas, Nil)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
   /** The staged BATCH as a DataFrame — what the audit job queries
     * before deciding to publish or abandon. Production reads stay on
     * the committed snapshots; this is the candidate view only.

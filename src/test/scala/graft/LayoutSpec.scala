@@ -1866,6 +1866,47 @@ class LayoutSpec extends AnyFunSuite {
       .getMessage.contains("equality"))
   }
 
+  test("multi-batch staging: union audit view, one atomic publish") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wapn").toString
+    Layout.snapshotWrite(
+      (0 until 50).map(i => (i.toLong, s"a$i")).toDF("k", "name"),
+      dir, statsCols = Seq("k"))
+    // stage three micro-batches under ONE token
+    val tok = Layout.snapshotAppendStaged(
+      (100 until 110).map(i => (i.toLong, s"b$i")).toDF("k", "name"), dir)
+    Layout.stageAppendMore(
+      (110 until 125).map(i => (i.toLong, s"c$i")).toDF("k", "name"),
+      dir, tok)
+    Layout.stageAppendMore(
+      (125 until 130).map(i => (i.toLong, s"d$i")).toDF("k", "name"),
+      dir, tok)
+    // the audit sees the UNION; production still sees nothing
+    assert(Layout.stagedRead(spark, dir, tok).count() === 30)
+    assert(Layout.snapshotRead(spark, dir).count() === 50)
+    // vacuum mid-audit keeps every batch of the chain
+    Layout.vacuum(spark, dir, keep = 1)
+    assert(Layout.stagedRead(spark, dir, tok).count() === 30)
+    // the chain inherits the stats contract on every batch's files
+    // a schema-forking batch mid-chain refuses
+    assert(intercept[IllegalArgumentException](
+      Layout.stageAppendMore(
+        Seq((999L, "z", 1.0)).toDF("k", "name", "extra"), dir, tok))
+      .getMessage.contains("forks"))
+    // ONE atomic publish commits all three batches
+    val pub = Layout.publishStaged(spark, dir, tok)
+    assert(Layout.snapshotRead(spark, dir).count() === 80)
+    assert(Layout.snapshotRead(spark, dir, pub - 1).count() === 50)
+    assert(Layout.snapshotFiles(spark, dir).forall(_.stats.contains("k")))
+    // abandon drops a whole chain tracelessly
+    val tok2 = Layout.snapshotAppendStaged(
+      Seq((500L, "x")).toDF("k", "name"), dir)
+    Layout.stageAppendMore(Seq((501L, "y")).toDF("k", "name"), dir, tok2)
+    Layout.abandonStaged(spark, dir, tok2)
+    assert(!new java.io.File(s"$dir/data/staged-$tok2").exists())
+    assert(Layout.snapshotRead(spark, dir).count() === 80)
+  }
+
   test("publishStaged carries outstanding equality tombstones") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_wapeq").toString
