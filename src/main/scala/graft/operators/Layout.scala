@@ -1250,6 +1250,96 @@ object Layout {
     (snapId, entries.size, names.length)
   }
 
+  /** INCREMENTAL bin-packing compaction — the form that scales:
+    * [[compactSnapshot]] rewrites the whole table, which at 100 TB is
+    * a 100 TB job nobody schedules; real maintenance rewrites ONLY the
+    * small-file debt each ingestion round leaves behind. Files at or
+    * above `smallBytes` (default targetBytes/2) carry VERBATIM — zero
+    * bytes moved for the bulk of the table; files below it are read,
+    * bin-packed to ceil(bytes/targetBytes) outputs, and committed
+    * together with the carried entries in one snapshot.
+    *
+    * Merge-on-read debt is settled EXACTLY for the rewritten subset:
+    * position deletes referencing rewritten files are applied in the
+    * rewrite and dropped from the index (the carried DV index is
+    * re-filtered to untouched files, keeping the disjoint-count
+    * arithmetic exact); equality tombstones carry verbatim — their
+    * matching rows are dropped from the rewritten files, and they must
+    * keep masking the untouched ones. Uniform-schema tables only (an
+    * evolved table heals through the full [[compactSnapshot]]).
+    * Returns (snapshot id, files rewritten, files written); fewer than
+    * two small files is a commit-free no-op.
+    */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, targetBytes: Long,
+                        smallBytes: Long = -1L): (Long, Int, Int) = {
+    require(targetBytes > 0, s"bad target size $targetBytes")
+    val small = if (smallBytes > 0) smallBytes else targetBytes / 2
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val (entries, schemas) = readManifestFull(fs, dir, ids.max)
+    require(uniformSchema(entries, schemas),
+      "incremental compaction needs a uniform-schema table — run the " +
+        "full compactSnapshot to heal evolution first")
+    def sizeOf(e: FileEntry): Long = e.bytes.getOrElse(
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${e.path}"))
+        .getLen)
+    val (cand, carried) = entries.partition(e => sizeOf(e) < small)
+    if (cand.size < 2) return (ids.max, 0, 0)
+    val oldDeletes = readManifestDeletes(fs, dir, ids.max)
+    val eqDeletes = readManifestEqDeletes(fs, dir, ids.max)
+    val snapId = ids.max + 1L
+    val dataDir = s"$dir/data/snap-$snapId"
+    // live view of ONLY the candidates: their position deletes apply
+    // here and settle; equality masking applies too (tombstones still
+    // carry for the untouched files)
+    val base = eqFilter(spark, dir,
+      dvFilter(spark, dir, spark.read.option("mergeSchema", "true")
+        .parquet(cand.map(e => s"$dir/${e.path}"): _*),
+        cand, oldDeletes),
+      eqDeletes)
+    val candBytes = cand.map(sizeOf).sum
+    val n = math.max(1L, (candBytes + targetBytes - 1) / targetBytes).toInt
+    base.coalesce(n).write.mode("overwrite").parquet(dataDir)
+    val (names, sizes) = listDataFiles(fs, dataDir)
+    val cols = statColsCurrent(entries, schemas, _.stats.keys)
+    val bCols = statColsCurrent(entries, schemas, _.blooms.keys)
+    val stats =
+      if (cols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
+      else collectFileStats(spark, dataDir, cols)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
+      else collectFileBlooms(spark, dataDir, bCols)
+    // re-filter the DV index to the carried files: positions on
+    // rewritten files are settled, positions on carried files stay
+    val newDeletes =
+      if (oldDeletes.isEmpty) Nil
+      else {
+        import spark.implicits._
+        val carriedPaths = carried.map(_.path).toDF("path")
+        val dvRel = s"deletes/snap-$snapId"
+        val kept = spark.read
+          .parquet(oldDeletes.map(d => s"$dir/${d.path}"): _*)
+          .join(broadcast(carriedPaths), Seq("path"), "left_semi")
+        kept.write.mode("overwrite").parquet(s"$dir/$dvRel")
+        val nKept = spark.read.parquet(s"$dir/$dvRel").count()
+        if (nKept == 0L) {
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$dvRel"), true)
+          Nil
+        } else Seq(DeleteFile(dvRel, nKept))
+      }
+    val sid = entries.flatMap(_.schemaId).headOption
+    writeManifest(fs, dir, snapId,
+      carried ++ names.toIndexedSeq.map(nm =>
+        entryFor(s"data/snap-$snapId", nm, stats, blooms, sizes)
+          .copy(schemaId = sid)),
+      schemas, deletes = newDeletes, eqDeletes = eqDeletes,
+      op = "replace")
+    (snapId, cand.size, names.length)
+  }
+
   /** OPTIMIZE-style clustering rewrite of a manifest-committed table —
     * Delta/Iceberg's `OPTIMIZE [ZORDER BY]` inside the snapshot
     * contract: the table's current content is re-laid-out along the

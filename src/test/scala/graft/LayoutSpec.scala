@@ -1866,6 +1866,58 @@ class LayoutSpec extends AnyFunSuite {
       .getMessage.contains("equality"))
   }
 
+  test("compactSmallFiles rewrites only small-file debt; deletes settle exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binpack").toString
+    // 2 big files + 4 small appended ones
+    Layout.snapshotWrite(
+      (0 until 2000).map(i => (i.toLong, (i * 2654435761L).toString * 8))
+        .toDF("k", "pad").coalesce(2),
+      dir, statsCols = Seq("k"))
+    (0 until 4).foreach { b =>
+      Layout.snapshotAppend(
+        (0 until 5).map(i => (10000L + b * 10 + i, "s")).toDF("k", "pad")
+          .coalesce(1),
+        dir)
+    }
+    val files0 = Layout.snapshotFiles(spark, dir)
+    assert(files0.size === 6)
+    val bigPaths = files0.filter(_.path.contains("snap-1/")).map(_.path)
+    val bigMin = files0.filter(e => bigPaths.contains(e.path))
+      .map(_.bytes.get).min
+    val smallMax = files0.filterNot(e => bigPaths.contains(e.path))
+      .map(_.bytes.get).max
+    assert(smallMax < bigMin, s"fixture premise: $smallMax < $bigMin")
+    val threshold = (smallMax + bigMin) / 2
+    // MoR debt spanning BOTH populations: positions on a big file and
+    // on a small file, plus a key tombstone
+    Layout.deleteWhereMoR(spark, dir, Layout.StatPred.Le("k", 9L))
+    Layout.deleteWhereMoR(spark, dir, Layout.StatPred.Ge("k", 10030L))
+    Layout.deleteKeysMoR(spark, dir, Seq(10011L).toDF("k"))
+    val want = Layout.snapshotRead(spark, dir).orderBy("k")
+      .collect().toSeq
+    val (_, rewritten, written) =
+      Layout.compactSmallFiles(spark, dir, targetBytes = 4 * threshold,
+        smallBytes = threshold)
+    assert(rewritten === 4 && written === 1)
+    val after = Layout.snapshotFiles(spark, dir).map(_.path).toSet
+    // big files carried VERBATIM (same paths, zero bytes moved)
+    assert(bigPaths.forall(after.contains))
+    assert(after.size === 3)
+    // content identical; small-file positions settled, big-file
+    // positions carried in the re-filtered index
+    assert(Layout.snapshotRead(spark, dir).orderBy("k").collect().toSeq
+      === want)
+    assert(Layout.snapshotDeletes(spark, dir).nonEmpty)
+    // the carried tombstone still masks (real count path under eq)
+    assert(Layout.snapshotCount(spark, dir) === want.size.toLong)
+    // second run: nothing small remains — commit-free no-op
+    val ids = Layout.snapshotIds(spark, dir)
+    assert(Layout.compactSmallFiles(spark, dir, 4 * threshold,
+      threshold)._2 === 0)
+    assert(Layout.snapshotIds(spark, dir) === ids)
+  }
+
   test("multi-batch staging: union audit view, one atomic publish") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_wapn").toString
