@@ -3814,9 +3814,22 @@ object Layout {
     val small = snapshotFiles(spark, dir)
       .count(_.bytes.exists(_ < policy.targetFileBytes / 2))
     if (small >= policy.minSmallFiles) {
-      val (sid, before, after) =
-        compactSnapshot(spark, dir, policy.targetFileBytes)
-      actions += (("compact", s"snapshot $sid: $before -> $after files"))
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (entries, schemas) =
+        readManifestFull(fs, dir, listSnapshotIds(fs, dir).max)
+      if (uniformSchema(entries, schemas)) {
+        // the scalable pass: only the small-file debt rewrites
+        val (sid, rewritten, after) =
+          compactSmallFiles(spark, dir, policy.targetFileBytes)
+        actions += (("compact_incremental",
+          s"snapshot $sid: $rewritten small files -> $after"))
+      } else {
+        // evolved table: the full rewrite also HEALS the schema fork
+        val (sid, before, after) =
+          compactSnapshot(spark, dir, policy.targetFileBytes)
+        actions += (("compact", s"snapshot $sid: $before -> $after files"))
+      }
     }
     policy.expireOlderThanMs.foreach { cutoff =>
       val (expired, reclaimed) = expireSnapshots(spark, dir, cutoff,

@@ -1590,7 +1590,8 @@ class LayoutSpec extends AnyFunSuite {
       expireOlderThanMs = Some(System.currentTimeMillis() + 10000),
       keepLastSnapshots = 2, vacuumKeep = Some(2)))
       .collect().map(_.getString(0)).toSeq
-    assert(report === Seq("compact", "expire", "vacuum"), s"got $report")
+    assert(report === Seq("compact_incremental", "expire", "vacuum"),
+      s"got $report")
     assert(Layout.snapshotRead(spark, dir).count() === 600)
     assert(Layout.snapshotFiles(spark, dir).size < 8, "fragments merged")
     assert(Layout.snapshotIds(spark, dir).size === 2, "history trimmed")
