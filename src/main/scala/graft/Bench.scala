@@ -104,9 +104,14 @@ object Bench {
     "q287_pileup", "q293_markdup")
 
   /** r11 additions: the multi-vector late-interaction retrieval (chunk
-    * LSH gate → exact MaxSim → top-k, the round's heavy new shape).
+    * LSH gate → exact MaxSim → top-k), the atomic MoR upsert lifecycle
+    * (fixture write + two stacked single-commit upserts + masked
+    * read), the 40-iteration GD classifier training pass, and the
+    * incremental bin-packing maintenance cycle — each timed end-to-end
+    * with its fixture staging, the q119 convention.
     */
-  private val headlineR11 = Seq("q310_maxsim")
+  private val headlineR11 = Seq("q310_maxsim", "q311_mor_upsert",
+    "q312_quality_classifier", "q314_binpack_maintain")
 
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++

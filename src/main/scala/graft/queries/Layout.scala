@@ -752,6 +752,34 @@ object Layout {
           col("n_chars"))
     },
 
+    // Incremental bin-packing compaction (q314): 70% of the corpus
+    // lands as the big base files, three 10% slices append as
+    // small-file debt, a position-delete band lands across BOTH
+    // populations — then compactSmallFiles rewrites ONLY the debt
+    // (base files carry verbatim; their delete positions re-filter
+    // into the carried index). The oracle is the plain corpus minus
+    // the band: content-neutrality of the maintenance pass, proved
+    // cross-engine.
+    "q314_binpack_maintain" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapbinp")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      L.snapshotWrite(docs.filter(col("doc_id") % 10 < 7)
+        .repartitionByRange(2, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+        base, statsCols = Seq("doc_id"))
+      (7 to 9).foreach(r => L.snapshotAppend(
+        docs.filter(col("doc_id") % 10 === r).coalesce(1), base))
+      L.deleteWhereMoR(s, base, L.StatPred.And(Seq(
+        L.StatPred.Ge("n_chars", 200), L.StatPred.Le("n_chars", 300))))
+      val files = L.snapshotFiles(s, base)
+      val (big, smallF) = files.partition(_.path.contains("snap-1/"))
+      val thr = (smallF.map(_.bytes.get).max + big.map(_.bytes.get).min) / 2
+      L.compactSmallFiles(s, base, targetBytes = 4 * thr, smallBytes = thr)
+      L.snapshotRead(s, base)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"))
+    },
+
     // Atomic MoR upsert (q311): the streaming-CDC write shape — the
     // even half of the corpus lands, then TWO stacked single-commit
     // upserts: batch 1 (doc_id % 5 — half updates, half inserts,
@@ -1041,6 +1069,9 @@ object Layout {
     "q268_mor_delete" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars NOT BETWEEN 200 AND 350""",
+    "q314_binpack_maintain" ->
+      """SELECT doc_id, md5(text) AS text_md5, n_chars
+         FROM documents WHERE n_chars NOT BETWEEN 200 AND 300""",
     "q311_mor_upsert" ->
       """WITH t0 AS (SELECT doc_id, text, n_chars, lang
                      FROM documents WHERE doc_id % 2 = 0),
