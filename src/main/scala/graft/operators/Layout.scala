@@ -748,7 +748,8 @@ object Layout {
     val prevSchemas =
       if (ids.isEmpty) Nil else readManifestFull(fs, dir, ids.max)._2
     val (schemas, sid) = assignSchema(prevSchemas, df.schema)
-    val dataDir = s"$dir/data/snap-$snapId"
+    val dataRel = attemptDir("data/snap", snapId)
+    val dataDir = s"$dir/$dataRel"
     df.write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
     // an overwrite keeps the table's stats contract unless told
@@ -773,7 +774,7 @@ object Layout {
       if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(n =>
-      entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
+      entryFor(dataRel, n, stats, blooms, sizes)
         .copy(schemaId = Some(sid))), schemas, op = "overwrite")
     snapId
   }
@@ -799,7 +800,8 @@ object Layout {
       if (ids.isEmpty) (Nil, Nil) else readManifestFull(fs, dir, ids.max)
     val (schemas, sid) = assignSchema(prevSchemas, df.schema, merge = true)
     val snapId = (if (ids.isEmpty) 0L else ids.max) + 1L
-    val dataDir = s"$dir/data/snap-$snapId"
+    val dataRel = attemptDir("data/snap", snapId)
+    val dataDir = s"$dir/$dataRel"
     df.write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
     // carried stat/bloom keys translate by field id to current names,
@@ -818,7 +820,7 @@ object Layout {
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId,
       prev ++ names.toIndexedSeq.map(n =>
-        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
+        entryFor(dataRel, n, stats, blooms, sizes)
           .copy(schemaId = Some(sid))), schemas,
       // outstanding deletes carry: appended files are new (no
       // positions reference them; equality tombstones intentionally
@@ -1210,7 +1212,8 @@ object Layout {
       fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${e.path}")).getLen)).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val snapId = ids.max + 1L
-    val dataDir = s"$dir/data/snap-$snapId"
+    val dataRel = attemptDir("data/snap", snapId)
+    val dataDir = s"$dir/$dataRel"
     // mergeSchema: the table supports schema-widening appends; a
     // single-file inferred schema here would silently DROP the widened
     // columns from every rewritten file — permanent loss from an
@@ -1244,7 +1247,7 @@ object Layout {
       if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(nm =>
-      entryFor(s"data/snap-$snapId", nm, stats, blooms, sizes)
+      entryFor(dataRel, nm, stats, blooms, sizes)
         .copy(schemaId = if (outSchemas.isEmpty) None else Some(sid))),
       outSchemas, op = "replace")
     (snapId, entries.size, names.length)
@@ -1291,7 +1294,8 @@ object Layout {
     val oldDeletes = readManifestDeletes(fs, dir, ids.max)
     val eqDeletes = readManifestEqDeletes(fs, dir, ids.max)
     val snapId = ids.max + 1L
-    val dataDir = s"$dir/data/snap-$snapId"
+    val dataRel = attemptDir("data/snap", snapId)
+    val dataDir = s"$dir/$dataRel"
     // live view of ONLY the candidates: their position deletes apply
     // here and settle; equality masking applies too (tombstones still
     // carry for the untouched files)
@@ -1319,7 +1323,7 @@ object Layout {
       else {
         import spark.implicits._
         val carriedPaths = carried.map(_.path).toDF("path")
-        val dvRel = s"deletes/snap-$snapId"
+        val dvRel = attemptDir("deletes/snap", snapId)
         val kept = spark.read
           .parquet(oldDeletes.map(d => s"$dir/${d.path}"): _*)
           .join(broadcast(carriedPaths), Seq("path"), "left_semi")
@@ -1333,7 +1337,7 @@ object Layout {
     val sid = entries.flatMap(_.schemaId).headOption
     writeManifest(fs, dir, snapId,
       carried ++ names.toIndexedSeq.map(nm =>
-        entryFor(s"data/snap-$snapId", nm, stats, blooms, sizes)
+        entryFor(dataRel, nm, stats, blooms, sizes)
           .copy(schemaId = sid)),
       schemas, deletes = newDeletes, eqDeletes = eqDeletes,
       op = "replace")
@@ -1389,7 +1393,8 @@ object Layout {
           .sortWithinPartitions("_graft_z")
           .drop("_graft_z")
       }
-    val dataDir = s"$dir/data/snap-$snapId"
+    val dataRel = attemptDir("data/snap", snapId)
+    val dataDir = s"$dir/$dataRel"
     clustered.write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
     val (outSchemas, sid) = assignSchema(schemas, base.schema)
@@ -1402,7 +1407,7 @@ object Layout {
       if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId, names.toIndexedSeq.map(nm =>
-      entryFor(s"data/snap-$snapId", nm, stats, blooms, sizes)
+      entryFor(dataRel, nm, stats, blooms, sizes)
         .copy(schemaId = Some(sid))), outSchemas, op = "replace")
     snapId
   }
@@ -1477,7 +1482,8 @@ object Layout {
       else evolvedRead(spark, dir, touched, schemas, mergeSchema = true)
     val survivors = touchedDf
       .filter(!coalesce(cond, lit(false)))
-    val dataDir = s"$dir/data/snap-$snapId"
+    val dataRel = attemptDir("data/snap", snapId)
+    val dataDir = s"$dir/$dataRel"
     survivors.write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
     // partial rewrite: only a table ALREADY recording schemas evolves
@@ -1497,7 +1503,7 @@ object Layout {
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId,
       untouched ++ names.toIndexedSeq.map(n =>
-        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
+        entryFor(dataRel, n, stats, blooms, sizes)
           .copy(schemaId =
             if (outSchemas.isEmpty) None else Some(sid))),
       outSchemas, op = "delete")
@@ -1563,7 +1569,8 @@ object Layout {
         case None => col(n)
       }
     }: _*)
-    val dataDir = s"$dir/data/snap-$snapId"
+    val dataRel = attemptDir("data/snap", snapId)
+    val dataDir = s"$dir/$dataRel"
     updated.write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
     val (outSchemas, sid) =
@@ -1579,7 +1586,7 @@ object Layout {
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId,
       untouched ++ names.toIndexedSeq.map(n =>
-        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
+        entryFor(dataRel, n, stats, blooms, sizes)
           .copy(schemaId =
             if (outSchemas.isEmpty) None else Some(sid))),
       outSchemas, op = "update")
@@ -1730,7 +1737,7 @@ object Layout {
       .filter(coalesce(cond, lit(false)))
       .select(col("_gdv_path").as("path"), col("_gdv_pos").as("pos"))
     val snapId = cur + 1L
-    val dvRel = s"deletes/snap-$snapId"
+    val dvRel = attemptDir("deletes/snap", snapId)
     marked.write.mode("overwrite").parquet(s"$dir/$dvRel")
     val n = spark.read.parquet(s"$dir/$dvRel").count()
     if (n == 0L) {
@@ -1775,7 +1782,7 @@ object Layout {
     cols.foreach(c => require(tableCols.contains(c),
       s"key column $c not in table schema"))
     val snapId = cur + 1L
-    val dvRel = s"deletes/eq-snap-$snapId"
+    val dvRel = attemptDir("deletes/eq-snap", snapId)
     keys.distinct().write.mode("overwrite").parquet(s"$dir/$dvRel")
     val n = spark.read.parquet(s"$dir/$dvRel").count()
     if (n == 0L) {
@@ -1860,7 +1867,7 @@ object Layout {
       else entries.filter(e => mayMatch(e, And(boundPreds)))
     import spark.implicits._
     val snapId = cur + 1L
-    val dvRel = s"deletes/snap-$snapId"
+    val dvRel = attemptDir("deletes/snap", snapId)
     val nReplaced =
       if (candidates.isEmpty) 0L
       else {
@@ -1893,7 +1900,8 @@ object Layout {
     if (nReplaced == 0L)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$dvRel"), true)
 
-    val dataDir = s"$dir/data/snap-$snapId"
+    val dataRel = attemptDir("data/snap", snapId)
+    val dataDir = s"$dir/$dataRel"
     aligned.write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
     val cols = statColsCurrent(entries, schemas, _.stats.keys)
@@ -1907,7 +1915,7 @@ object Layout {
     val (outSchemas, sid) = assignSchema(schemas, aligned.schema, merge = true)
     writeManifest(fs, dir, snapId,
       entries ++ names.toIndexedSeq.map(n =>
-        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
+        entryFor(dataRel, n, stats, blooms, sizes)
           .copy(schemaId = if (outSchemas.isEmpty) None else Some(sid))),
       outSchemas,
       deletes =
@@ -2091,7 +2099,8 @@ object Layout {
         inserts.select(common.map(col).toIndexedSeq: _*)
       case None => inserts
     }
-    val dataDir = s"$dir/data/snap-$snapId"
+    val dataRel = attemptDir("data/snap", snapId)
+    val dataDir = s"$dir/$dataRel"
     merged.write.mode("overwrite").parquet(dataDir)
     val (names, sizes) = listDataFiles(fs, dataDir)
     val (outSchemas, sid) =
@@ -2107,7 +2116,7 @@ object Layout {
       else collectFileBlooms(spark, dataDir, bCols)
     writeManifest(fs, dir, snapId,
       untouched ++ names.toIndexedSeq.map(n =>
-        entryFor(s"data/snap-$snapId", n, stats, blooms, sizes)
+        entryFor(dataRel, n, stats, blooms, sizes)
           .copy(schemaId =
             if (outSchemas.isEmpty) None else Some(sid))),
       outSchemas, op = if (touched.isEmpty) "append" else "merge")
@@ -2561,6 +2570,20 @@ object Layout {
         JsonMethods.compact(JsonMethods.render(withEq))
     }
   }
+
+
+  /** Attempt-unique RELATIVE staging directory for a commit targeting
+    * `snapId`. Two optimistic writers racing the same id MUST NOT
+    * share a staging directory: the loser's mode("overwrite") data
+    * write would delete the winner's already-committed files before
+    * the loser even reaches manifest arbitration — a lost-update bug
+    * no manifest-level create-exclusive can prevent. With a per-
+    * attempt suffix every writer's files are orphans-until-committed
+    * (the Iceberg uuid-file-name discipline); a loser's directory is
+    * referenced by no manifest and [[vacuum]] reclaims it.
+    */
+  private def attemptDir(prefix: String, snapId: Long): String =
+    s"$prefix-$snapId-${java.util.UUID.randomUUID().toString.take(8)}"
 
   private[graft] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             dir: String, snapId: Long,

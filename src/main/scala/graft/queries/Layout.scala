@@ -772,7 +772,7 @@ object Layout {
       L.deleteWhereMoR(s, base, L.StatPred.And(Seq(
         L.StatPred.Ge("n_chars", 200), L.StatPred.Le("n_chars", 300))))
       val files = L.snapshotFiles(s, base)
-      val (big, smallF) = files.partition(_.path.contains("snap-1/"))
+      val (big, smallF) = files.partition(_.path.startsWith("data/snap-1-"))
       val thr = (smallF.map(_.bytes.get).max + big.map(_.bytes.get).min) / 2
       L.compactSmallFiles(s, base, targetBytes = 4 * thr, smallBytes = thr)
       L.snapshotRead(s, base)

@@ -344,7 +344,7 @@ class LayoutSpec extends AnyFunSuite {
     }
     // touched files are gone from the new manifest; replacements live in snap-2
     expectTouched.foreach(e => assert(!after.exists(_.path == e.path)))
-    assert(after.exists(_.path.startsWith("data/snap-2/")))
+    assert(after.exists(_.path.startsWith("data/snap-2-")))
     // content: exactly the NOT-matching rows
     val got = Layout.snapshotRead(spark, dir)
       .select("id", "v", "tag").as[(Long, Long, Option[String])].collect().toSet
@@ -406,7 +406,7 @@ class LayoutSpec extends AnyFunSuite {
     assert(nBefore == before.size && nAfter < nBefore && snapId == 9L)
     val after = Layout.snapshotFiles(spark, dir)
     assert(after.size == nAfter &&
-      after.forall(_.path.startsWith(s"data/snap-$snapId/")))
+      after.forall(_.path.startsWith(s"data/snap-$snapId-")))
     assert(after.forall(_.stats.contains("v")), "stats re-collected")
     assert(Layout.snapshotRead(spark, dir).as[(Long, Long)].collect().toSet ==
       all.as[(Long, Long)].collect().toSet)
@@ -1867,6 +1867,48 @@ class LayoutSpec extends AnyFunSuite {
       .getMessage.contains("equality"))
   }
 
+  test("racing appends: one winner per id, losers retry, no lost rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_race").toString
+    Layout.snapshotWrite(Seq((0L, "seed")).toDF("k", "who"), dir)
+    // 4 writers × 5 batches, each retrying on commit-token loss — the
+    // optimistic-concurrency deployment loop. Every batch must land
+    // exactly once, whatever the interleaving.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => try {
+        (0 until 5).foreach { b =>
+          val batch = Seq((1000L + t * 10 + b, s"w$t")).toDF("k", "who")
+          var done = false
+          var attempts = 0
+          while (!done) {
+            attempts += 1
+            require(attempts <= 200, s"writer $t batch $b starved")
+            try { Layout.snapshotAppend(batch, dir); done = true }
+            catch {
+              case _: java.util.ConcurrentModificationException => ()
+              case e: IllegalStateException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("concurrent") => ()
+            }
+          }
+        }
+      } catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+    // all 20 batches + seed present exactly once; ids are a contiguous
+    // chain (one winner per id, losers re-committed under later ids)
+    val rows = Layout.snapshotRead(spark, dir)
+      .as[(Long, String)].collect().toSeq
+    assert(rows.size === 21, s"lost or duplicated rows: ${rows.size}")
+    assert(rows.map(_._1).distinct.size === 21)
+    val ids = Layout.snapshotIds(spark, dir)
+    assert(ids === (1L to ids.max).toSeq, s"gappy id chain: $ids")
+    assert(ids.max === 21L)
+    assert(Layout.snapshotCount(spark, dir) === 21L)
+  }
+
   test("compactSmallFiles rewrites only small-file debt; deletes settle exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_binpack").toString
@@ -1883,7 +1925,7 @@ class LayoutSpec extends AnyFunSuite {
     }
     val files0 = Layout.snapshotFiles(spark, dir)
     assert(files0.size === 6)
-    val bigPaths = files0.filter(_.path.contains("snap-1/")).map(_.path)
+    val bigPaths = files0.filter(_.path.startsWith("data/snap-1-")).map(_.path)
     val bigMin = files0.filter(e => bigPaths.contains(e.path))
       .map(_.bytes.get).min
     val smallMax = files0.filterNot(e => bigPaths.contains(e.path))
