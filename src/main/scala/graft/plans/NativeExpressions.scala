@@ -47,6 +47,19 @@ object NativeDna {
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
   }
 
+  /** Accent stripping with DuckDB `strip_accents` parity: NFD
+    * decomposition, drop combining marks (Mn), NFC recompose — pure
+    * ASCII stays on the byte==char fast path like [[nfc]].
+    */
+  def stripAccents(s: UTF8String): UTF8String = {
+    if (s.getBytes.length == s.numChars()) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      java.text.Normalizer.normalize(s.toString,
+        java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{Mn}+", ""),
+      java.text.Normalizer.Form.NFC))
+  }
+
   /** Quality-string cores (X6/X7) — EXACT twins of the HOF forms
     * `aggregate(split(c, ""), 0, acc + ascii(ch))` etc.: ascii() is the
     * code point of the (single-code-point) element, so both loops step
@@ -308,6 +321,28 @@ case class NfcNormalizeExpression(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.NativeDna.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class StripAccentsExpression(child: Expression)
+    extends UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"strip_accents_native requires STRING, got " +
+        child.dataType.catalogString)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents_native"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NativeDna.stripAccents(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeDna.stripAccents($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -951,6 +986,7 @@ object NativeFunctions {
     "kmers_native" -> (exprs => KmerGenerator(exprs(0), exprs(1))),
     "dot_native" -> (exprs => DotProductExpression(exprs(0), exprs(1))),
     "nfc_native" -> (exprs => NfcNormalizeExpression(exprs.head)),
+    "strip_accents_native" -> (exprs => StripAccentsExpression(exprs.head)),
     "tokens_native" -> (exprs => TokensExpression(exprs.head)),
     "avg_quality_native" -> (exprs => AvgQualityExpression(exprs.head)),
     "low_quality_count_native" -> (exprs =>
@@ -996,6 +1032,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("nfc_native"),
       new ExpressionInfo(classOf[NfcNormalizeExpression].getName, "nfc_native"),
       (exprs: Seq[Expression]) => NfcNormalizeExpression(exprs.head)))
+    e.injectFunction((FunctionIdentifier("strip_accents_native"),
+      new ExpressionInfo(classOf[StripAccentsExpression].getName,
+        "strip_accents_native"),
+      (exprs: Seq[Expression]) => StripAccentsExpression(exprs.head)))
     e.injectFunction((FunctionIdentifier("tokens_native"),
       new ExpressionInfo(classOf[TokensExpression].getName, "tokens_native"),
       (exprs: Seq[Expression]) => TokensExpression(exprs.head)))
