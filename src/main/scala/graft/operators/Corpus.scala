@@ -1993,6 +1993,24 @@ object Corpus {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** Sentence segmentation — the granularity shift under sentence-level
+    * dedup/scoring: split on terminal punctuation runs (`[.!?]+\s+`,
+    * delimiter consumed — RE2-safe, so the DuckDB oracle runs the
+    * IDENTICAL pattern), one output row per non-empty trimmed
+    * sentence. `sent_id` is the 1-based split position (gap-tolerant
+    * where empties are dropped): no window, no shuffle — scan →
+    * split → posexplode → filter, entirely inside one narrow stage.
+    */
+  def splitSentences(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    Parallelism.ensure(docs)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "[.!?]+\\s+")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("sent_id"),
+        trim(col("col")).as("sentence"))
+      .filter(col("sentence") =!= "")
+      .withColumn("n_chars", length(col("sentence")).cast("int"))
+
   /** EXACT binary-classifier evaluation in one row — confusion counts
     * at `threshold`, precision/recall/F1, and tie-corrected exact AUC
     * (the Mann-Whitney identity): AUC = Σ over score groups of
