@@ -42,7 +42,13 @@ object Layout {
     * way; [[StatsTruncateLen]] bounds the manifest entry size.
     */
   final case class ColStat(min: Option[String], max: Option[String],
-                           tpe: String)
+                           tpe: String,
+                           // exact per-file column SUM (integral stats
+                           // columns only; Some("") = file all-null →
+                           // SQL NULL; None = not recorded, e.g. a
+                           // pre-sum manifest) — lets a global SUM
+                           // answer from the manifest alone
+                           sum: Option[String] = None)
 
   /** Max stored length for string stats values (chars). */
   val StatsTruncateLen = 64
@@ -376,7 +382,7 @@ object Layout {
                             leaf: StatPred): Boolean =
       stats.get(leafColumn(leaf)) match {
         case None => true
-        case Some(ColStat(Some(mn), Some(mx), t)) => leaf match {
+        case Some(ColStat(Some(mn), Some(mx), t, _)) => leaf match {
           case Lt(_, v) => cmp(mn, v, t) < 0
           case Le(_, v) => cmp(mn, v, t) <= 0
           case Gt(_, v) => cmp(mx, v, t) > 0
@@ -389,7 +395,7 @@ object Layout {
           case _ => true
         }
         // BOTH bounds absent = all-null file: comparisons match nothing
-        case Some(ColStat(None, None, _)) => false
+        case Some(ColStat(None, None, _, _)) => false
         // a half-populated stat (foreign writer, hand edit) proves
         // nothing — fall back to cannot-prune, never to drop
         case Some(_) => true
@@ -2138,9 +2144,15 @@ object Layout {
       require(df.columns.contains(c), s"stats column $c not in schema")
       c -> df.schema(c).dataType.catalogString
     }.toMap
+    val integral = Set("tinyint", "smallint", "int", "bigint")
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"mn_$c"),
-      max(col(c)).cast("string").as(s"mx_$c"))) :+
+      max(col(c)).cast("string").as(s"mx_$c")) ++
+      // exact sums ride the same pass: decimal(38,0) accumulation so
+      // the recorded value is overflow-free whatever the file holds
+      (if (integral(types(c)))
+        Seq(sum(col(c).cast("decimal(38,0)")).cast("string").as(s"sm_$c"))
+      else Nil)) :+
       count(lit(1)).as("_nrows")
     val rows = df
       .select(col("_metadata.file_name").as("_fname") +:
@@ -2155,7 +2167,10 @@ object Layout {
             .map(v => if (isStr) truncateLower(v) else v),
           Option(r.getAs[String](s"mx_$c"))
             .map(v => if (isStr) truncateUpper(v) else v),
-          types(c))
+          types(c),
+          if (integral(types(c)))
+            Some(Option(r.getAs[String](s"sm_$c")).getOrElse(""))
+          else None)
       }.toMap, r.getAs[Long]("_nrows")))
     }.toMap
   }
@@ -2542,7 +2557,7 @@ object Layout {
             ("schema" -> e.schemaId) ~
             ("stats" -> e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
               c -> (("min" -> st.min) ~ ("max" -> st.max) ~
-                ("type" -> st.tpe))
+                ("type" -> st.tpe) ~ ("sum" -> st.sum))
             }.toMap)
           if (e.blooms.isEmpty) base
           else base ~ ("blooms" -> e.blooms.toSeq.sortBy(_._1)
@@ -2831,7 +2846,8 @@ object Layout {
                   case JString(v) => Some(v)
                   case _ => None
                 }
-                c -> ColStat(s("min"), s("max"), s("type").getOrElse("string"))
+                c -> ColStat(s("min"), s("max"),
+                  s("type").getOrElse("string"), s("sum"))
               }.toMap
               case _ => Map.empty[String, ColStat]
             }

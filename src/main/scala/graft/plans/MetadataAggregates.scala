@@ -5,7 +5,7 @@ import graft.operators.Layout
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -13,8 +13,10 @@ import org.apache.spark.sql.internal.SQLConf
 
 /** Metadata-only aggregate answering over snapshot tables — the
   * Delta/Iceberg `OptimizeMetadataOnlyQuery` move reduced to the
-  * manifest primitive: a global `count(*)` / `min(c)` / `max(c)` over
-  * a registered snapshot view rewrites to a [[LocalRelation]] holding
+  * manifest primitive: a global `count(*)` / `min(c)` / `max(c)` /
+  * `sum(c)` (integral columns, from the exact per-file sums the stats
+  * pass records) over a registered snapshot view rewrites to a
+  * [[LocalRelation]] holding
   * the answer computed from manifest entries, so the query plans with
   * ZERO file scans. At 10⁵ files on an object store that is the
   * difference between one cached manifest read and a full-table scan
@@ -108,8 +110,36 @@ class SnapshotMetadataAggRule extends Rule[LogicalPlan] {
         bound(attr, entries, isMin = true)
       case Max(attr: AttributeReference) =>
         bound(attr, entries, isMin = false)
+      // SUM answers from the per-file exact sums recorded with the
+      // stats (integral columns only — the manifest accumulates in
+      // decimal(38,0), so the recorded values are overflow-free; the
+      // rewrite bails back to the scan if the TOTAL leaves the long
+      // domain, leaving overflow semantics to the engine)
+      case su: Sum => su.child match {
+        case attr: AttributeReference => sumAnswer(attr, entries, su)
+        case _ => None
+      }
       case _ => None
     }
+  }
+
+  private def sumAnswer(attr: AttributeReference,
+                        entries: Seq[Layout.FileEntry],
+                        su: Sum): Option[Any] = {
+    if (entries.isEmpty) return Some(null)
+    if (su.dataType != org.apache.spark.sql.types.LongType) return None
+    if (!entries.forall(e =>
+      e.stats.get(attr.name).exists(_.sum.isDefined))) return None
+    val tpe = entries.head.stats(attr.name).tpe
+    if (!Set("tinyint", "smallint", "int", "bigint")(tpe) ||
+      tpe != attr.dataType.catalogString) return None
+    // Some("") marks an all-null file (contributes nothing, like SQL
+    // SUM); every-file-null answers NULL
+    val vals = entries.flatMap(_.stats(attr.name).sum).filter(_.nonEmpty)
+    if (vals.isEmpty) return Some(null)
+    val total = vals.map(BigInt(_)).sum
+    if (!total.isValidLong) return None
+    Some(total.toLong)
   }
 
   private def bound(attr: AttributeReference,

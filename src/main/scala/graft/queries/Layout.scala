@@ -728,6 +728,27 @@ object Layout {
                FROM graft_snap_meta""")
     },
 
+    // Metadata-only SUM (q318): q267's missing aggregate — global
+    // SUM over a registered snapshot view answered from the EXACT
+    // per-file sums the stats pass records (decimal-accumulated, so
+    // overflow-free at write; the rule bails to the scan if the total
+    // leaves the long domain). The oracle recomputes honestly.
+    "q318_metadata_sum" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapsum")
+      L.snapshotWrite(Tables.documents(s, d)
+        .select("doc_id", "text", "n_chars")
+        .repartitionByRange(6, col("n_chars"))
+        .sortWithinPartitions("n_chars"),
+        base, statsCols = Seq("n_chars", "doc_id"))
+      graft.plans.SnapshotMetadataAggregates.enable(s)
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_snap_sum " +
+        s"USING snapshot OPTIONS (path '$base')")
+      s.sql("""SELECT CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+                      CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+                      count(*) AS n_rows
+               FROM graft_snap_sum""")
+    },
+
     // Merge-on-read deletes (q268): two accumulated position-delete
     // commits — an n_chars band, then an OVERLAPPING band (disjoint
     // marking: already-deleted rows are not re-marked) — with zero
@@ -1069,6 +1090,11 @@ object Layout {
     "q268_mor_delete" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars NOT BETWEEN 200 AND 350""",
+    "q318_metadata_sum" ->
+      """SELECT CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+              CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+              CAST(count(*) AS BIGINT) AS n_rows
+         FROM documents""",
     "q314_binpack_maintain" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars NOT BETWEEN 200 AND 300""",

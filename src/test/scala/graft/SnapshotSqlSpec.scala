@@ -391,6 +391,20 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(scans.isEmpty, s"metadata aggregate must not scan:\n" +
       q.queryExecution.optimizedPlan)
 
+    // SUM answers from the exact per-file sums the stats pass records
+    val sq = spark.sql("SELECT CAST(sum(k) AS BIGINT) AS s FROM meta_t")
+    assert(sq.head().getLong(0) === (0L until 500L).sum)
+    assert(sq.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.isEmpty, s"metadata sum must not scan:\n" +
+      sq.queryExecution.optimizedPlan)
+    // sum over a column with NO recorded stats bails to the scan
+    val sv = spark.sql("SELECT sum(v) AS sv FROM meta_t")
+    assert(sv.head().getLong(0) === (0L until 500L).map(_ * 2).sum)
+    assert(sv.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.nonEmpty, "stat-less sum must scan")
+
     // bail cases keep the scan AND the right answer:
     // (a) a WHERE clause invalidates manifest totals
     val filtered = spark.sql("SELECT count(*) AS n FROM meta_t WHERE k < 100")
