@@ -1909,6 +1909,43 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.snapshotCount(spark, dir) === 21L)
   }
 
+  test("racing upserts on one key: retries converge to a single live row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsrace").toString
+    Layout.snapshotWrite(
+      (0 until 20).map(i => (i.toLong, "base")).toDF("k", "v"), dir,
+      statsCols = Seq("k"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // two writers upsert the SAME key concurrently; each retry
+    // recomputes positions against the then-current snapshot, so the
+    // loser deletes the winner's row and exactly one value survives
+    val threads = (0 until 2).map { t =>
+      new Thread(() => try {
+        var done = false
+        var attempts = 0
+        while (!done) {
+          attempts += 1
+          require(attempts <= 100, s"upserter $t starved")
+          try {
+            Layout.upsertKeysMoR(spark, dir,
+              Seq((5L, s"writer$t")).toDF("k", "v"), Seq("k"))
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException => ()
+          }
+        }
+      } catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"upserter failed: ${Option(errs.peek())}")
+    val live = Layout.snapshotRead(spark, dir)
+    assert(live.count() === 20)
+    val k5 = live.filter(col("k") === 5L)
+      .select("v").as[String].collect().toSeq
+    assert(k5.size === 1 && k5.head.startsWith("writer"), s"got $k5")
+    assert(Layout.snapshotCount(spark, dir) === 20L)
+  }
+
   test("compactSmallFiles rewrites only small-file debt; deletes settle exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_binpack").toString

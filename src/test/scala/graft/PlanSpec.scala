@@ -336,6 +336,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("q315/q316: accent strip and sentence split plan without joins") {
+    // q315 is strictly narrow; q316 may carry the Parallelism.ensure
+    // gated repartition on a one-file input (fan-out spread), but
+    // never a join
+    val p315 = planOf("q315_strip_accents")
+    assert(!p315.contains("Exchange"), p315.take(1200))
+    assert(!p315.contains("Join"), p315.take(1200))
+    assert(p315.contains("strip_accents_native"), p315.take(1200))
+    val p316 = planOf("q316_split_sentences")
+    assert(!p316.contains("Join"), p316.take(1200))
+    assert(p316.contains("Generate"), p316.take(1200))
+  }
+
   test("q109: hashed linear scorer is one narrow pass — no Exchange, no join") {
     val plan = planOf("q109_hashed_linear")
     assert(!plan.contains("Exchange"), plan.take(1200))
