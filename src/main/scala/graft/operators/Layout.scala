@@ -1350,6 +1350,115 @@ object Layout {
     (snapId, cand.size, names.length)
   }
 
+  /** INCREMENTAL clustering maintenance — [[optimizeClustered]]'s
+    * table-wide rewrite done only where fragmentation actually is:
+    * files whose recorded [min,max] interval on `dim` OVERLAPS another
+    * file's are merged into fresh range-sorted runs (per overlap
+    * component, so rewritten output never re-overlaps a carried file);
+    * files already pairwise disjoint on the clustering key — the bulk
+    * of a maintained table — carry VERBATIM. Appends after a big
+    * clustering job each overlap the sorted runs; this pass folds
+    * exactly them back in without re-shuffling 100 TB.
+    *
+    * Requires recorded exact-domain bounds on `dim` for every file
+    * (that is what "clustered table" means here); refuses otherwise.
+    * MoR handling matches [[compactSmallFiles]]: rewritten files'
+    * position deletes settle (index re-filtered to carried files),
+    * equality tombstones carry. Uniform-schema tables only. Returns
+    * (snapshot id, files rewritten, files written); an already-disjoint
+    * table is a commit-free no-op.
+    */
+  def optimizeClusteredIncremental(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, dim: String,
+                                   targetBytes: Long): (Long, Int, Int) = {
+    require(targetBytes > 0, s"bad target size $targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSnapshotIds(fs, dir)
+    require(ids.nonEmpty, s"no snapshot manifest under $dir")
+    val (entries, schemas) = readManifestFull(fs, dir, ids.max)
+    require(uniformSchema(entries, schemas),
+      "incremental clustering needs a uniform-schema table — run the " +
+        "full optimizeClustered to heal evolution first")
+    val bounds = entries.map { e =>
+      val st = e.stats.get(dim)
+      require(st.exists(s => s.min.isDefined && s.max.isDefined &&
+        metadataExactType(s.tpe)),
+        s"incremental clustering needs exact-domain [min,max] bounds " +
+          s"on '$dim' for every file — ${e.path} lacks them")
+      val s0 = st.get
+      (e, statKeyOrder(s0.min.get, s0.tpe), statKeyOrder(s0.max.get, s0.tpe))
+    }.sortBy(_._2)
+    // sweep the sorted intervals into maximal overlap components
+    val comps = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[FileEntry]]
+    var hi: BigDecimal = null
+    bounds.foreach { case (e, lo, h) =>
+      if (hi == null || lo > hi) {
+        comps += scala.collection.mutable.ArrayBuffer(e); hi = h
+      } else { comps.last += e; hi = hi.max(h) }
+    }
+    val rewriteComps = comps.filter(_.size >= 2).map(_.toSeq).toSeq
+    if (rewriteComps.isEmpty) return (ids.max, 0, 0)
+    val rewritten = rewriteComps.flatten
+    val carried = entries.filterNot(rewritten.contains)
+    val oldDeletes = readManifestDeletes(fs, dir, ids.max)
+    val eqDeletes = readManifestEqDeletes(fs, dir, ids.max)
+    val snapId = ids.max + 1L
+    val dataRel = attemptDir("data/snap", snapId)
+    val dataDir = s"$dir/$dataRel"
+    def sizeOf(e: FileEntry): Long = e.bytes.getOrElse(
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${e.path}"))
+        .getLen)
+    // one range-sorted rewrite PER COMPONENT: components are disjoint
+    // from every carried file by construction, and per-component
+    // output keeps it that way (one global exchange could emit a file
+    // spanning the gap a carried file occupies)
+    rewriteComps.foreach { comp =>
+      val live = eqFilter(spark, dir,
+        dvFilter(spark, dir, spark.read.option("mergeSchema", "true")
+          .parquet(comp.map(e => s"$dir/${e.path}"): _*),
+          comp, oldDeletes),
+        eqDeletes)
+      val n = math.max(1L,
+        (comp.map(sizeOf).sum + targetBytes - 1) / targetBytes).toInt
+      live.repartitionByRange(n, col(dim)).sortWithinPartitions(dim)
+        .write.mode("append").parquet(dataDir)
+    }
+    val (names, sizes) = listDataFiles(fs, dataDir)
+    val cols = statColsCurrent(entries, schemas, _.stats.keys)
+    val bCols = statColsCurrent(entries, schemas, _.blooms.keys)
+    val stats =
+      if (cols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
+      else collectFileStats(spark, dataDir, cols)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
+      else collectFileBlooms(spark, dataDir, bCols)
+    val newDeletes =
+      if (oldDeletes.isEmpty) Nil
+      else {
+        import spark.implicits._
+        val carriedPaths = carried.map(_.path).toDF("path")
+        val dvRel = attemptDir("deletes/snap", snapId)
+        val kept = spark.read
+          .parquet(oldDeletes.map(d => s"$dir/${d.path}"): _*)
+          .join(broadcast(carriedPaths), Seq("path"), "left_semi")
+        kept.write.mode("overwrite").parquet(s"$dir/$dvRel")
+        val nKept = spark.read.parquet(s"$dir/$dvRel").count()
+        if (nKept == 0L) {
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$dvRel"), true)
+          Nil
+        } else Seq(DeleteFile(dvRel, nKept))
+      }
+    val sid = entries.flatMap(_.schemaId).headOption
+    writeManifest(fs, dir, snapId,
+      carried ++ names.toIndexedSeq.map(nm =>
+        entryFor(dataRel, nm, stats, blooms, sizes).copy(schemaId = sid)),
+      schemas, deletes = newDeletes, eqDeletes = eqDeletes,
+      op = "replace")
+    (snapId, rewritten.size, names.length)
+  }
+
   /** OPTIMIZE-style clustering rewrite of a manifest-committed table —
     * Delta/Iceberg's `OPTIMIZE [ZORDER BY]` inside the snapshot
     * contract: the table's current content is re-laid-out along the

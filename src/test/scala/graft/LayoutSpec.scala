@@ -1998,6 +1998,50 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.snapshotIds(spark, dir) === ids)
   }
 
+  test("optimizeClusteredIncremental merges only overlapping sorted runs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_incclu").toString
+    // 4 disjoint range-sorted base files on k
+    Layout.snapshotWrite(
+      (0 until 4000).map(i => (i.toLong, s"p$i")).toDF("k", "pad")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      dir, statsCols = Seq("k"))
+    assert(Layout.snapshotFiles(spark, dir).size === 4)
+    // two appends, each overlapping ONE base run
+    Layout.snapshotAppend(
+      (500 until 700).map(i => (i.toLong, "a")).toDF("k", "pad")
+        .coalesce(1), dir)
+    Layout.snapshotAppend(
+      (3000 until 3100).map(i => (i.toLong, "b")).toDF("k", "pad")
+        .coalesce(1), dir)
+    val want = Layout.snapshotRead(spark, dir).orderBy("k", "pad")
+      .collect().toSeq
+    def ranges() = Layout.snapshotFiles(spark, dir).map { e =>
+      val st = e.stats("k")
+      (st.min.get.toLong, st.max.get.toLong, e.path)
+    }
+    val overlappedBefore = ranges().map(r => (r._1, r._2))
+    assert(overlappedBefore.combinations(2).exists { case Seq(a, b) =>
+      a._1 <= b._2 && b._1 <= a._2 }, "fixture premise: overlap exists")
+    val (_, rew, wrote) =
+      Layout.optimizeClusteredIncremental(spark, dir, "k", 64L << 20)
+    // exactly the 2 overlapped runs + 2 appends rewrote; 2 runs carried
+    assert(rew === 4, s"rewrote $rew")
+    assert(wrote >= 2)
+    val after = ranges()
+    assert(after.size === 2 + wrote)
+    // pairwise disjoint afterward
+    assert(after.map(r => (r._1, r._2)).combinations(2).forall {
+      case Seq(a, b) => a._2 < b._1 || b._2 < a._1 })
+    assert(Layout.snapshotRead(spark, dir).orderBy("k", "pad")
+      .collect().toSeq === want)
+    // an already-disjoint table is a commit-free no-op
+    val ids = Layout.snapshotIds(spark, dir)
+    assert(Layout.optimizeClusteredIncremental(spark, dir, "k",
+      64L << 20)._2 === 0)
+    assert(Layout.snapshotIds(spark, dir) === ids)
+  }
+
   test("multi-batch staging: union audit view, one atomic publish") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_wapn").toString
