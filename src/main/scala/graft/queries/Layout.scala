@@ -801,6 +801,32 @@ object Layout {
           col("n_chars"))
     },
 
+    // Incremental clustering (q320): a doc_id-clustered base (4
+    // disjoint sorted runs), two appends overlapping two of them, a
+    // position-delete band — then optimizeClusteredIncremental folds
+    // ONLY the overlapped runs back into sorted order (disjoint runs
+    // carry verbatim, their delete positions re-filter). Oracle =
+    // corpus plus the duplicated append slices minus the band:
+    // content-neutrality of the clustering pass.
+    "q320_inccluster_maintain" -> { (s, d) =>
+      val base = Fixtures.fresh(s"/tmp/graft_io/${new java.io.File(d).getName}/snapincc")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      L.snapshotWrite(docs
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+        base, statsCols = Seq("doc_id"))
+      L.snapshotAppend(
+        docs.filter(col("doc_id") % 10 === 3).coalesce(1), base)
+      L.snapshotAppend(
+        docs.filter(col("doc_id") % 10 === 7).coalesce(1), base)
+      L.deleteWhereMoR(s, base, L.StatPred.And(Seq(
+        L.StatPred.Ge("n_chars", 200), L.StatPred.Le("n_chars", 250))))
+      L.optimizeClusteredIncremental(s, base, "doc_id", 64L << 20)
+      L.snapshotRead(s, base)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"))
+    },
+
     // Atomic MoR upsert (q311): the streaming-CDC write shape — the
     // even half of the corpus lands, then TWO stacked single-commit
     // upserts: batch 1 (doc_id % 5 — half updates, half inserts,
@@ -1098,6 +1124,14 @@ object Layout {
     "q314_binpack_maintain" ->
       """SELECT doc_id, md5(text) AS text_md5, n_chars
          FROM documents WHERE n_chars NOT BETWEEN 200 AND 300""",
+    "q320_inccluster_maintain" ->
+      """WITH full0 AS (
+           SELECT doc_id, text, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id, text, n_chars FROM documents
+           WHERE doc_id % 10 IN (3, 7))
+         SELECT doc_id, md5(text) AS text_md5, n_chars
+         FROM full0 WHERE n_chars NOT BETWEEN 200 AND 250""",
     "q311_mor_upsert" ->
       """WITH t0 AS (SELECT doc_id, text, n_chars, lang
                      FROM documents WHERE doc_id % 2 = 0),
