@@ -1402,11 +1402,7 @@ object Similarity {
   def maxSimTopK(chunks: DataFrame, docCol: String, idCol: String,
                  vecCol: String, k: Int, bits: Int = 8): DataFrame = {
     require(k >= 1, s"bad k $k")
-    val b = ensureParallelism(withNative(chunks))
-      .select(col(docCol).cast("long").as("doc"),
-        col(idCol).cast("long").as("cid"),
-        col(vecCol).cast("array<double>").as("embedding"))
-      .withColumn("norm", sqrt(dotN(col("embedding"), col("embedding"))))
+    val b = chunkFrame(chunks, docCol, idCol, vecCol)
       .withColumn("bucket", signBucket(col("embedding"), bits))
       .localCheckpoint() // gate + both scoring sides read it
     val cand = b.as("q")
@@ -1414,6 +1410,35 @@ object Similarity {
         col("q.bucket") === col("c.bucket") && col("q.doc") =!= col("c.doc"))
       .select(col("q.doc").as("query_id"), col("c.doc").as("doc_id"))
       .distinct()
+    maxSimScore(b, cand, k)
+  }
+
+  /** MaxSim RERANK over a GIVEN candidate list — the late-interaction
+    * half of the ColBERT serving stack: any cheap first-stage
+    * retriever (pooled-doc-vector ANN, BM25, a bucket gate) nominates
+    * (query_id, doc_id) pairs; only those pay the exact chunk×chunk
+    * Σ max cosine. Same determinism contracts as [[maxSimTopK]].
+    */
+  def maxSimRerank(chunks: DataFrame, docCol: String, idCol: String,
+                   vecCol: String, candidates: DataFrame,
+                   k: Int): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val b = chunkFrame(chunks, docCol, idCol, vecCol).localCheckpoint()
+    maxSimScore(b,
+      candidates.select(col("query_id").cast("long"),
+        col("doc_id").cast("long")), k)
+  }
+
+  private def chunkFrame(chunks: DataFrame, docCol: String, idCol: String,
+                         vecCol: String): DataFrame =
+    ensureParallelism(withNative(chunks))
+      .select(col(docCol).cast("long").as("doc"),
+        col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("embedding"))
+      .withColumn("norm", sqrt(dotN(col("embedding"), col("embedding"))))
+
+  private def maxSimScore(b: DataFrame, cand: DataFrame,
+                          k: Int): DataFrame = {
     val pairs = cand
       .join(b.select(col("doc").as("query_id"), col("cid").as("qcid"),
         col("embedding").as("qe"), col("norm").as("qn")), "query_id")
