@@ -111,7 +111,10 @@ object Bench {
     * with its fixture staging, the q119 convention.
     */
   private val headlineR11 = Seq("q310_maxsim", "q311_mor_upsert",
-    "q312_quality_classifier", "q314_binpack_maintain")
+    "q312_quality_classifier", "q314_binpack_maintain",
+    // the two-stage serving funnel: pooled-vector gate + shortlist
+    // MaxSim — the rerank-only cost trend line next to q310's
+    "q321_maxsim_funnel")
 
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++

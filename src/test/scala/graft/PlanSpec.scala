@@ -336,6 +336,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("q321: the pooled-gate MaxSim funnel plans without a cartesian") {
+    val plan = planOf("q321_maxsim_funnel")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("q315/q316: accent strip and sentence split plan without joins") {
     // q315 is strictly narrow; q316 may carry the Parallelism.ensure
     // gated repartition on a one-file input (fan-out spread), but
