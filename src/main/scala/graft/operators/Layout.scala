@@ -3925,7 +3925,11 @@ object Layout {
       settleDeletes: Boolean = true,
       expireOlderThanMs: Option[Long] = None,
       keepLastSnapshots: Int = 2,
-      vacuumKeep: Option[Int] = Some(2))
+      vacuumKeep: Option[Int] = Some(2),
+      // the table's declared clustering key: when set, the pass also
+      // folds overlapping sorted runs back in
+      // ([[optimizeClusteredIncremental]]) after the size step
+      clusterDim: Option[String] = None)
 
   /** One-call TABLE SERVICES pass — the nightly-maintenance loop every
     * deployed table format grows (Delta's OPTIMIZE + VACUUM cron,
@@ -3977,6 +3981,20 @@ object Layout {
         val (sid, before, after) =
           compactSnapshot(spark, dir, policy.targetFileBytes)
         actions += (("compact", s"snapshot $sid: $before -> $after files"))
+      }
+    }
+    policy.clusterDim.foreach { dim =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (entries, schemas) =
+        readManifestFull(fs, dir, listSnapshotIds(fs, dir).max)
+      if (uniformSchema(entries, schemas)) {
+        val (sid, rew, wrote) =
+          optimizeClusteredIncremental(spark, dir, dim,
+            policy.targetFileBytes)
+        if (rew > 0)
+          actions += (("recluster_incremental",
+            s"snapshot $sid: $rew overlapping files -> $wrote"))
       }
     }
     policy.expireOlderThanMs.foreach { cutoff =>

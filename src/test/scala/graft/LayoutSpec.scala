@@ -1998,6 +1998,39 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.snapshotIds(spark, dir) === ids)
   }
 
+  test("maintainTable with clusterDim also folds overlapping runs back in") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_maintclu").toString
+    Layout.snapshotWrite(
+      (0 until 2000).map(i => (i.toLong, (i * 31L).toString * 6))
+        .toDF("k", "pad")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      dir, statsCols = Seq("k"))
+    Layout.snapshotAppend(
+      (500 until 650).map(i => (i.toLong, "a")).toDF("k", "pad")
+        .coalesce(1), dir)
+    val want = Layout.snapshotRead(spark, dir).orderBy("k", "pad")
+      .collect().toSeq
+    val report = Layout.maintainTable(spark, dir,
+      Layout.MaintenancePolicy(targetFileBytes = 64L << 20,
+        minSmallFiles = 100, // size step stays quiet — clustering acts
+        clusterDim = Some("k"), vacuumKeep = None))
+      .collect().map(_.getString(0)).toSeq
+    assert(report === Seq("recluster_incremental"), s"got $report")
+    val after = Layout.snapshotFiles(spark, dir).map { e =>
+      val st = e.stats("k"); (st.min.get.toLong, st.max.get.toLong)
+    }
+    assert(after.combinations(2).forall { case Seq(a, b) =>
+      a._2 < b._1 || b._2 < a._1 }, s"still overlapping: $after")
+    assert(Layout.snapshotRead(spark, dir).orderBy("k", "pad")
+      .collect().toSeq === want)
+    // healthy clustered table: the pass takes no action at all
+    val again = Layout.maintainTable(spark, dir,
+      Layout.MaintenancePolicy(targetFileBytes = 64L << 20,
+        minSmallFiles = 100, clusterDim = Some("k"), vacuumKeep = None))
+    assert(again.isEmpty)
+  }
+
   test("optimizeClusteredIncremental merges only overlapping sorted runs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_incclu").toString
