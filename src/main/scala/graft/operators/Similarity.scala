@@ -1387,29 +1387,83 @@ object Similarity {
     * Every document doubles as a query here (the symmetric-corpus
     * convention of the other retrieval rungs).
     *
-    * Never all-pairs: a sign-bucket LSH gate over CHUNK vectors
-    * ([[signBucket]], an equi-join) nominates candidate (query, doc)
-    * pairs — a pair competes only if some chunk pair collides — and
-    * only gated pairs pay the exact chunk×chunk MaxSim, reached by two
-    * more equi-joins (candidates × query chunks × doc chunks). The
-    * max-then-sum is ONE aggregation with map-side partial combine;
-    * top-k is a per-query window over doc-level scores (rows already
-    * collapsed to one per (query, doc)). Deterministic: cosines
-    * rounded to 4dp before max, scores rounded after the sum, ties
-    * broken by doc id — the DuckDB oracle replays gate and scoring
+    * SERVED AS THE TWO-STAGE PER-CHUNK FUNNEL — the shape the
+    * published ColBERT-v2/PLAID serving stack runs: each query CHUNK
+    * nominates the docs owning its `m` nearest foreign chunks (the
+    * 16-table disjoint-slice LSH of [[multiTableAnnTopK]] — an
+    * equi-join on table keys, then a rank-`m` window per query
+    * chunk), and ONLY the nominated (query doc, cand doc) pairs pay
+    * the exact chunk×chunk MaxSim rerank. Candidates are bounded by
+    * construction: ≤ chunksPerDoc × m pairs per query doc out of the
+    * gate window. The r11 flat chunk-bucket gate was retired for the
+    * reason the shingle join df-caps its buckets: an uncapped
+    * sign-bucket self-join is quadratic in the hottest bucket — a
+    * skewed-key shuffle amplifier at 100× scale.
+    *
+    * Why per-chunk and not mean-pool-then-gate: MaxSim is built from
+    * per-chunk maxima, and pooling averages exactly that signal away
+    * — measured on the gaussian worst-case fixture (q322), the
+    * pooled gate's recall CEILING (exact pooled cosine, no LSH loss)
+    * is 0.49 at shortlist=10 and needs half the corpus (shortlist
+    * ≈ 50) to clear 0.85, while this per-chunk gate measures 0.94 at
+    * the m=8 default (0.80 at m=4, 0.99 at m=16) with ~33 candidate
+    * docs per query. The pooled funnel remains available composed
+    * from its public stages ([[meanPoolEmbeddings]] →
+    * [[bucketedAnnTopK]] → [[maxSimRerank]], q321) as the
+    * cheapest-gate rung of the ladder.
+    *
+    * Deterministic: cosines rounded to 4dp before the gate window
+    * and before max, scores rounded after the sum, ties broken by
+    * chunk/doc id — the DuckDB oracle replays keys, gate, and rerank
     * stage by stage.
     */
   def maxSimTopK(chunks: DataFrame, docCol: String, idCol: String,
-                 vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+                 vecCol: String, k: Int, m: Int = 8,
+                 bits: Int = 4, tables: Int = 16): DataFrame = {
     require(k >= 1, s"bad k $k")
+    require(m >= 1, s"bad m $m")
     val b = chunkFrame(chunks, docCol, idCol, vecCol)
-      .withColumn("bucket", signBucket(col("embedding"), bits))
-      .localCheckpoint() // gate + both scoring sides read it
-    val cand = b.as("q")
-      .join(b.as("c"),
-        col("q.bucket") === col("c.bucket") && col("q.doc") =!= col("c.doc"))
-      .select(col("q.doc").as("query_id"), col("c.doc").as("doc_id"))
+      .withColumn("keys", tableKeysChecked(bits, tables))
+      .localCheckpoint() // gate probes + both rerank sides read it
+    val probes = b.select(col("cid"), explode(col("keys")).as("tkey"))
+    val candChunks = probes.as("q")
+      .join(probes.as("c"),
+        col("q.tkey") === col("c.tkey") && col("q.cid") =!= col("c.cid"))
+      .select(col("q.cid").as("qcid"), col("c.cid").as("ccid"))
       .distinct()
+    val scored = candChunks
+      .join(b.select(col("cid").as("qcid"), col("doc").as("query_id"),
+        col("embedding").as("qe"), col("norm").as("qn")), "qcid")
+      .join(b.select(col("cid").as("ccid"), col("doc").as("doc_id"),
+        col("embedding").as("ce"), col("norm").as("cn")), "ccid")
+      .filter(col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("qcid"), col("ccid"),
+        round(dotN(col("qe"), col("ce")) / (col("qn") * col("cn")), 4)
+          .as("cos"))
+    val w = Window.partitionBy("qcid")
+      .orderBy(col("cos").desc, col("ccid").asc)
+    val cand = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select("query_id", "doc_id").distinct()
+    maxSimScore(b, cand, k)
+  }
+
+  /** EXACT MaxSim top-k — every (query doc, other doc) pair pays the
+    * full chunk×chunk scoring with no candidate gate. O(n²) in
+    * documents (and chunks² in the pair stage): this is the labeled
+    * CALIBRATION path, the ground truth [[maxSimTopK]]'s funnel
+    * recall is measured against (q322), exactly as
+    * [[bruteForceTopK]] is for the single-vector rungs. Not a
+    * serving path at scale.
+    */
+  def maxSimBruteTopK(chunks: DataFrame, docCol: String, idCol: String,
+                      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val b = chunkFrame(chunks, docCol, idCol, vecCol).localCheckpoint()
+    val ids = b.select(col("doc")).distinct()
+    val cand = ids.select(col("doc").as("query_id"))
+      .crossJoin(ids.select(col("doc").as("doc_id")))
+      .filter(col("query_id") =!= col("doc_id"))
     maxSimScore(b, cand, k)
   }
 

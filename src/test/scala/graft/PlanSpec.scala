@@ -330,10 +330,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
-  test("q310: MaxSim gate and scoring are equi joins, never cartesian") {
+  test("q310: MaxSim funnel is equi joins with rank-bounded candidates") {
     val plan = planOf("q310_maxsim")
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // candidate generation is BOUNDED by construction: the pooled-gate
+    // shortlist window (row_number <= shortlist) sits between the sign
+    // bucket join and the chunk×chunk rerank, plus the final top-k
+    // window — at least two Window nodes in the plan. The retired r11
+    // flat chunk gate had exactly one (no bound on the bucket join).
+    assert(plan.sliding("Window".length).count(_ == "Window") >= 2,
+      plan.take(1500))
   }
 
   test("q321: the pooled-gate MaxSim funnel plans without a cartesian") {
