@@ -1024,14 +1024,19 @@ object Layout {
     val bCols =
       if (bloomCols.nonEmpty) bloomCols
       else statColsCurrent(oldEntries, schemas, _.blooms.keys)
-    // stats collect over the whole staged dir, but only fresh files'
-    // results are read — prior entries keep their recorded stats
+    // stats collect over the FRESH files only — prior entries keep
+    // their recorded stats, so an N-batch WAP chain pays O(batch)
+    // per stage, not O(chain) (the r11 version scanned the whole
+    // staged dir every batch: O(N^2) over already-staged data)
+    val freshPaths = fresh.map(n => s"$dataDir/$n")
     val stats =
-      if (cols.isEmpty) Map.empty[String, (Map[String, ColStat], Long)]
-      else collectFileStats(spark, dataDir, cols)
+      if (cols.isEmpty || freshPaths.isEmpty)
+        Map.empty[String, (Map[String, ColStat], Long)]
+      else collectFileStats(spark, freshPaths, cols)
     val blooms =
-      if (bCols.isEmpty) Map.empty[String, Map[String, BloomStat]]
-      else collectFileBlooms(spark, dataDir, bCols)
+      if (bCols.isEmpty || freshPaths.isEmpty)
+        Map.empty[String, Map[String, BloomStat]]
+      else collectFileBlooms(spark, freshPaths, bCols)
     val entries = oldEntries ++ fresh.map(n =>
       entryFor(s"data/staged-$token", n, stats, blooms, sizes)
         .copy(schemaId = Some(sid)))
@@ -1597,6 +1602,17 @@ object Layout {
       else evolvedRead(spark, dir, touched, schemas, mergeSchema = true)
     val survivors = touchedDf
       .filter(!coalesce(cond, lit(false)))
+    // the emptiness probe is a limit-1 job (first surviving row short-
+    // circuits it) — NOT worth caching the whole rewrite stream for
+    if (survivors.isEmpty) {
+      // every row of every touched file matched: commit the untouched
+      // list alone — a zero-row rewrite part would just pollute the
+      // manifest (and a table fully emptied this way must leave a
+      // clean zero-file manifest, which downstream writers such as
+      // upsertKeysMoR treat as a bootstrap)
+      writeManifest(fs, dir, snapId, untouched, schemas, op = "delete")
+      return (snapId, touched.size)
+    }
     val dataRel = attemptDir("data/snap", snapId)
     val dataDir = s"$dir/$dataRel"
     survivors.write.mode("overwrite").parquet(dataDir)
@@ -1959,6 +1975,24 @@ object Layout {
     if (source.isEmpty) return (cur, 0L)
     keyCols.foreach(c => require(source.columns.contains(c),
       s"key column $c not in source"))
+    if (entries.isEmpty) {
+      // A zero-file manifest (a table fully emptied by a copy-on-write
+      // delete) is reachable from the streaming upsert path, which
+      // bootstraps only when NO snapshot id exists. Nothing to
+      // replace: bootstrap-append semantics, aligned to the table's
+      // recorded current schema when there is one — not a
+      // NoSuchElementException off entries.head below.
+      val shaped = currentSchemaOf(schemas) match {
+        case Some(curSchema) =>
+          val srcCols = source.columns.toSet
+          source.select(curSchema.fields.toIndexedSeq.map(f =>
+            (if (srcCols.contains(f.name)) col(f.name) else lit(null))
+              .cast(org.apache.spark.sql.types.DataType.fromDDL(f.tpe))
+              .as(f.name)): _*)
+        case None => source
+      }
+      return (snapshotAppend(shaped, dir), 0L)
+    }
     val tSchema = spark.read.parquet(s"$dir/${entries.head.path}").schema
     keyCols.foreach(c => require(tSchema.fieldNames.contains(c),
       s"key column $c not in table schema"))
@@ -2247,8 +2281,13 @@ object Layout {
     */
   private def collectFileStats(spark: org.apache.spark.sql.SparkSession,
                                dataDir: String, statsCols: Seq[String])
+      : Map[String, (Map[String, ColStat], Long)] =
+    collectFileStats(spark, Seq(dataDir), statsCols)
+
+  private def collectFileStats(spark: org.apache.spark.sql.SparkSession,
+                               paths: Seq[String], statsCols: Seq[String])
       : Map[String, (Map[String, ColStat], Long)] = {
-    val df = spark.read.parquet(dataDir)
+    val df = spark.read.parquet(paths: _*)
     val types = statsCols.map { c =>
       require(df.columns.contains(c), s"stats column $c not in schema")
       c -> df.schema(c).dataType.catalogString
@@ -2299,10 +2338,21 @@ object Layout {
     */
   private def collectFileBlooms(spark: org.apache.spark.sql.SparkSession,
                                 dataDir: String, bloomCols: Seq[String],
+                                bitsPerKey: Int, k: Int)
+      : Map[String, Map[String, BloomStat]] =
+    collectFileBlooms(spark, Seq(dataDir), bloomCols, bitsPerKey, k)
+
+  private def collectFileBlooms(spark: org.apache.spark.sql.SparkSession,
+                                dataDir: String, bloomCols: Seq[String])
+      : Map[String, Map[String, BloomStat]] =
+    collectFileBlooms(spark, Seq(dataDir), bloomCols)
+
+  private def collectFileBlooms(spark: org.apache.spark.sql.SparkSession,
+                                paths: Seq[String], bloomCols: Seq[String],
                                 bitsPerKey: Int = 10, k: Int = 4)
       : Map[String, Map[String, BloomStat]] = {
     import org.apache.spark.sql.types._
-    val df = spark.read.parquet(dataDir)
+    val df = spark.read.parquet(paths: _*)
     val types = bloomCols.map { c =>
       require(df.columns.contains(c), s"bloom column $c not in schema")
       val dt = df.schema(c).dataType
@@ -3023,10 +3073,11 @@ object Layout {
       case None => all
       case Some(p) => all.filter(e => mayMatchEvolved(e, p, schemas))
     }
-    // every file pruned: a schema-correct empty result without
-    // planning a scan over the full list — that would pay the exact
-    // per-file cost pruning exists to avoid ([[emptyLike]])
-    if (kept.isEmpty && prune.isDefined)
+    // every file pruned — or a legitimately zero-file manifest (a
+    // table fully emptied by a copy-on-write delete): a schema-correct
+    // empty result without planning a scan over the empty list (a
+    // zero-path parquet read throws UNABLE_TO_INFER_SCHEMA)
+    if (kept.isEmpty)
       return emptyLike(spark, dir, all, schemas, mergeSchema)
     // Field-id evolution path: once the table's files span schemas
     // whose (id, name) sets differ (rename/drop/widen history), reads
@@ -3988,7 +4039,21 @@ object Layout {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val (entries, schemas) =
         readManifestFull(fs, dir, listSnapshotIds(fs, dir).max)
-      if (uniformSchema(entries, schemas)) {
+      // Guard the POLICY step the way the schema check above does:
+      // optimizeClusteredIncremental hard-requires exact [min,max]
+      // bounds on the dim for EVERY file, and a nightly maintenance
+      // pass must not abort on one stat-less or all-null file — that
+      // would also skip the expire/vacuum steps below. The hard
+      // require stays for direct API calls; here we record the skip.
+      val exactBounds = entries.forall(e => e.stats.get(dim).exists(s =>
+        s.min.isDefined && s.max.isDefined && metadataExactType(s.tpe)))
+      if (!uniformSchema(entries, schemas) || !exactBounds) {
+        if (entries.nonEmpty)
+          actions += (("recluster_skipped",
+            if (!exactBounds)
+              s"'$dim' lacks exact [min,max] bounds on some file"
+            else "schema evolution pending compaction"))
+      } else {
         val (sid, rew, wrote) =
           optimizeClusteredIncremental(spark, dir, dim,
             policy.targetFileBytes)

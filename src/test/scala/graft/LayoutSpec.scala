@@ -1867,6 +1867,57 @@ class LayoutSpec extends AnyFunSuite {
       .getMessage.contains("equality"))
   }
 
+  test("upsertKeysMoR on a zero-file manifest bootstraps as an append") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsempty").toString
+    Layout.snapshotWrite(
+      (0 until 20).map(i => (i.toLong, s"v$i")).toDF("k", "payload"),
+      dir, statsCols = Seq("k"))
+    // a copy-on-write delete of EVERYTHING leaves a legitimate
+    // zero-file manifest — reachable from the streaming upsert path,
+    // which bootstraps only when no snapshot id exists at all
+    Layout.deleteWhere(spark, dir, col("k") >= 0L)
+    assert(Layout.snapshotFiles(spark, dir).isEmpty)
+    assert(Layout.snapshotRead(spark, dir).count() === 0L)
+    // the next upsert must behave as a bootstrap append, not throw
+    val (sid, replaced) = Layout.upsertKeysMoR(spark, dir,
+      Seq((5L, "NEW5"), (6L, "NEW6")).toDF("k", "payload"), Seq("k"))
+    assert(replaced === 0L)
+    assert(sid === Layout.snapshotIds(spark, dir).max)
+    val live = Layout.snapshotRead(spark, dir).orderBy("k")
+    assert(live.columns.toSeq === Seq("k", "payload"))
+    assert(live.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((5L, "NEW5"), (6L, "NEW6")))
+    // and the chain continues normally: a second upsert replaces
+    val (_, n2) = Layout.upsertKeysMoR(spark, dir,
+      Seq((5L, "NEWER5")).toDF("k", "payload"), Seq("k"))
+    assert(n2 === 1L)
+    assert(Layout.snapshotRead(spark, dir).filter(col("k") === 5L)
+      .select("payload").head.getString(0) === "NEWER5")
+  }
+
+  test("maintainTable skips clustering when a file lacks exact bounds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_maintnostat").toString
+    // written WITHOUT stats on the clustering dim: the nightly policy
+    // pass must record the skip and keep going, not abort on
+    // optimizeClusteredIncremental's hard require (which stays for
+    // direct API calls) — an aborted pass would also lose the
+    // expire/vacuum steps that follow
+    Layout.snapshotWrite(
+      (0 until 200).map(i => (i.toLong, s"p$i")).toDF("k", "pad"), dir)
+    val report = Layout.maintainTable(spark, dir,
+      Layout.MaintenancePolicy(targetFileBytes = 64L << 20,
+        minSmallFiles = 100, clusterDim = Some("k"), vacuumKeep = None))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(report.map(_._1) === Seq("recluster_skipped"), s"got $report")
+    assert(report.head._2.contains("bounds"), report.head._2)
+    // the direct API keeps refusing loudly
+    assert(intercept[IllegalArgumentException](
+      Layout.optimizeClusteredIncremental(spark, dir, "k", 64L << 20))
+      .getMessage.contains("bounds"))
+  }
+
   test("racing appends: one winner per id, losers retry, no lost rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_race").toString
