@@ -163,6 +163,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Self-defense against a contended host: two rounds running, the
+    // driver's bench artifact was taken at 1-min load 16+ and every
+    // per-query delta needed quiet-fork relitigation. Wait — bounded —
+    // for the 1-min load to drop below 3 before timing, and record the
+    // wait so the artifact itself shows whether it timed out still hot.
+    val deferLimit =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEFER_SEC", "900").toInt
+    def load1(): Double =
+      try {
+        val f = scala.io.Source.fromFile("/proc/loadavg")
+        try f.mkString.trim.split(" ")(0).toDouble finally f.close()
+      } catch { case _: Throwable => 0.0 }
+    val deferT0 = System.nanoTime()
+    while (load1() >= 3.0 &&
+           (System.nanoTime() - deferT0) / 1e9 < deferLimit)
+      Thread.sleep(5000)
+    val deferSec = (System.nanoTime() - deferT0) / 1e9
+
     val loadBefore = loadavg()
 
     // Warm the session (codegen, parquet footer cache, JIT) outside the
@@ -215,7 +233,7 @@ object Bench {
     // that's fine, it's for judge forks reading full logs), compact
     // metric line LAST so it always lands fully inside the tail.
     println(s"""{"metric":"runs","runs":$rawRuns}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","subtotal_r5set":${r3(subtotalR5)},"queries":$qs,"skew":$sk,"load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","subtotal_r5set":${r3(subtotalR5)},"queries":$qs,"skew":$sk,"load_before":$loadBefore,"load_after":$loadAfter,"defer_sec":${r3(deferSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -2214,6 +2214,10 @@ class LayoutSpec extends AnyFunSuite {
       "evolvedRead resurrected MoR-deleted rows")
     assert(live.filter(col("user") === "u3").count() === 0)
     assert(live.filter(col("k") >= 90L && col("k") < 100L).count() === 0)
+    // metadata count arithmetic agrees MID-CHAIN (manifest rows minus
+    // position deletes minus tombstone matches — while the table is
+    // both schema-forked AND carrying debt), not just post-compaction
+    assert(Layout.snapshotCount(spark, dir) === 82L)
     // the pruned-read sibling masks too
     assert(Layout.snapshotReadWhere(spark, dir, col("k") < 1000L)
       .count() === 82)
