@@ -1008,6 +1008,173 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** BUILD the PERSISTED IVF-ADC serving index — [[ivfAdcRerankTopK]]
+    * recomputes centroids, codebooks, and codes on every call, which
+    * is fine for a one-shot batch job and wrong for a serving index
+    * over a growing corpus. This materializes the trained artifacts
+    * as SNAPSHOT TABLES (the repo's manifest format — appends, time
+    * travel, stats pruning, vacuum all apply) under `indexDir`:
+    *
+    *  - `centroids` — the nCells coarse cells (cid, ce, cnorm);
+    *  - `codebooks` — the m×ksub PQ sub-codebooks (s, cid, ce);
+    *  - `codes`    — per corpus vector its home cell + m PQ codes
+    *                 (id, cell, codes), with min/max stats on `cell`
+    *                 so cell-restricted scans prune at planning time;
+    *  - `meta`     — one row (n_cells, m, ksub, dim) making the index
+    *                 self-describing.
+    *
+    * Training is bit-identical to the direct funnel (same seed
+    * selection, same 4dp/6dp rounding contracts), so a search through
+    * the stored index reproduces `ivfAdcRerankTopK` exactly — q323
+    * pins that equality against the q128 oracle.
+    */
+  def ivfAdcBuildIndex(vectors: DataFrame, indexDir: String,
+                       nCells: Int = 16, m: Int = 8, ksub: Int = 16,
+                       iters: Int = 1): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = withNorm(vectors).localCheckpoint()
+    val dim = v.select(size(col("embedding"))).head().getInt(0)
+    val cent = v.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cid"), col("embedding").as("ce"),
+        col("norm").as("cnorm"))
+      .localCheckpoint() // home-cell assignment + persist read it
+    val cells = ivfHomeCells(v, cent)
+    val (base, books, _) = pqPrepare(vectors, m, ksub, iters)
+    val coded = base.select(
+      col("id") +: (0 until m).map(s => pqAssign(s, books(s)).as(s"a$s")): _*)
+    val codes = coded.join(cells, "id")
+      .select(col("id"), col("cell"),
+        array((0 until m).map(s => col(s"a$s").cast("long")): _*).as("codes"))
+    Layout.snapshotWrite(cent, s"$indexDir/centroids")
+    Layout.snapshotWrite(
+      books.zipWithIndex.flatMap { case (cb, s) =>
+        cb.map { case (cid, ce, _) => (s, cid, ce.toSeq) }
+      }.toSeq.toDF("s", "cid", "ce"),
+      s"$indexDir/codebooks")
+    Layout.snapshotWrite(codes, s"$indexDir/codes", statsCols = Seq("cell"))
+    Layout.snapshotWrite(
+      Seq((nCells, m, ksub, dim)).toDF("n_cells", "m", "ksub", "dim"),
+      s"$indexDir/meta")
+  }
+
+  /** INCREMENTAL index maintenance — assign + encode ONLY the new
+    * vectors against the FROZEN centroids and codebooks and append
+    * them to the `codes` table in one snapshot commit (the
+    * incrementalDedup doctrine: maintenance cost scales with the
+    * batch, never the corpus; readers of the previous snapshot keep
+    * their consistent view). Returns the codes table's new snapshot
+    * id. Frozen quantizers drift as the corpus distribution does —
+    * rebuild on a schedule; that trade is the published IVF contract.
+    */
+  def ivfAdcIndexAppend(newVectors: DataFrame, indexDir: String): Long = {
+    val spark = newVectors.sparkSession
+    val (books, m, dsub) = loadIndexBooks(spark, indexDir)
+    val cent = Layout.snapshotRead(spark, s"$indexDir/centroids")
+      .localCheckpoint()
+    val v = withNorm(newVectors).localCheckpoint()
+    val cells = ivfHomeCells(v, cent)
+    val base = pqBase(newVectors, m, dsub)
+    val coded = base.select(
+      col("id") +: (0 until m).map(s => pqAssign(s, books(s)).as(s"a$s")): _*)
+    val codes = coded.join(cells, "id")
+      .select(col("id"), col("cell"),
+        array((0 until m).map(s => col(s"a$s").cast("long")): _*).as("codes"))
+    Layout.snapshotAppend(codes, s"$indexDir/codes")
+  }
+
+  /** SEARCH through the persisted index: the same three-rung funnel as
+    * [[ivfAdcRerankTopK]] — query-side probe assignment against the
+    * stored centroids (broadcast; the recall knob `nProbe`), ADC over
+    * the STORED codes with the stored codebooks inlined as literals,
+    * exact re-rank only for the shortlist — but with zero training
+    * work per call. `vectors` supplies the query vectors and the
+    * full-precision floats for the re-rank (the symmetric-corpus
+    * convention of the other retrieval rungs); WHO can be found is
+    * governed by the index: a vector absent from `codes` is invisible
+    * until [[ivfAdcIndexAppend]] lands it.
+    */
+  def ivfAdcSearchWith(vectors: DataFrame, indexDir: String, k: Int,
+                       nProbe: Int = 12, shortlist: Int = 256): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val spark = vectors.sparkSession
+    val (books, m, dsub) = loadIndexBooks(spark, indexDir)
+    val ksub = books.head.length
+    val cent = Layout.snapshotRead(spark, s"$indexDir/centroids")
+      .localCheckpoint()
+    val v = withNorm(vectors).localCheckpoint()
+    val wProbe = Window.partitionBy("id")
+      .orderBy(col("rc").desc, col("cid").asc)
+    val probes = v.crossJoin(broadcast(cent))
+      .withColumn("rc", round(dotN(col("embedding"), col("ce")) /
+        (col("norm") * col("cnorm")), 4))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nProbe)
+      .select(col("id"), col("cid").as("cell"))
+    val base = pqBase(vectors, m, dsub)
+    val q = base.join(probes, "id").select(
+      col("id").as("query_id") +: col("cell") +:
+        (0 until m).flatMap(s => Seq(col(s"sub$s").as(s"qsub$s"),
+          col(s"nv$s").as(s"qnv$s"))): _*)
+    val c = Layout.snapshotRead(spark, s"$indexDir/codes").select(
+      col("id").as("neighbor_id") +: col("cell").as("ncell") +:
+        (0 until m).map(s =>
+          element_at(col("codes"), s + 1).as(s"a$s")): _*)
+    val adc = q.join(c,
+        col("cell") === col("ncell") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(adcTerms(books, m, ksub, dsub).reduce(_ + _), 4).as("adist"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val short = adc.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val scored = short
+      .join(v.select(col("id").as("query_id"),
+        col("embedding").as("qe"), col("norm").as("qn")), "query_id")
+      .join(v.select(col("id").as("neighbor_id"),
+        col("embedding").as("ne"), col("norm").as("nn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotN(col("qe"), col("ne")) / (col("qn") * col("nn")), 4).as("cos"))
+    topK(scored, k)
+  }
+
+  /** Home-cell assignment (crn == 1 of the probe ranking) against a
+    * small broadcast centroid table — shared by build and append so
+    * the delta path is the same arithmetic as the bulk path.
+    */
+  private def ivfHomeCells(v: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("rc").desc, col("cid").asc)
+    v.crossJoin(broadcast(cent))
+      .withColumn("rc", round(dotN(col("embedding"), col("ce")) /
+        (col("norm") * col("cnorm")), 4))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("id"), col("cid").as("cell"))
+  }
+
+  /** The stored codebooks re-hydrated to the driver-literal form the
+    * ADC kernel inlines — m×ksub×dsub doubles, metadata-sized by the
+    * same bound as [[pqPrepare]]'s training collect.
+    */
+  private def loadIndexBooks(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String)
+      : (Array[Codebook], Int, Int) = {
+    val meta = Layout.snapshotRead(spark, s"$indexDir/meta")
+      .select("m", "dim").head()
+    val m = meta.getInt(0)
+    val dsub = meta.getInt(1) / m
+    val rows = Layout.snapshotRead(spark, s"$indexDir/codebooks")
+      .select("s", "cid", "ce").collect()
+    val books = (0 until m).map { s =>
+      rows.filter(_.getInt(0) == s).map { r =>
+        val ce = r.getSeq[Double](2).toArray
+        (r.getLong(1), ce, ce.foldLeft(0.0)((a, x) => a + x * x))
+      }.sortBy(_._1): Codebook
+    }.toArray
+    (books, m, dsub)
+  }
+
   /** Principal-component projection (PCA whitening's first step) —
     * project every embedding onto the top eigenvector of the sample
     * covariance. The published two-phase shape (MLlib's

@@ -314,6 +314,51 @@ class DedupSpec extends AnyFunSuite {
     assert(top1 == Map(0L -> 3L, 3L -> 0L, 1L -> 4L, 4L -> 1L, 2L -> 5L, 5L -> 2L))
   }
 
+  test("persisted IVF index: stored search == direct; delta append extends it") {
+    import spark.implicits._
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f))
+    val vecs = (0 until 6).map { i =>
+      (i.toLong, dirs(i % 3).map(x => x * (1f + 0.01f * (i / 3))))
+    }.toDF("id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    Similarity.ivfAdcBuildIndex(vecs, idx, nCells = 3, m = 2, ksub = 4,
+      iters = 1)
+    // the stored-index search reproduces the direct funnel EXACTLY
+    // (full rows: query, neighbor, cos, rank) — training determinism
+    // survives the parquet round-trip
+    val direct = Similarity.ivfAdcRerankTopK(vecs, 1, nCells = 3,
+        nProbe = 1, shortlist = 2, m = 2, ksub = 4, iters = 1)
+      .collect().map(_.toSeq).toSet
+    val stored = Similarity.ivfAdcSearchWith(vecs, idx, 1, nProbe = 1,
+        shortlist = 2)
+      .collect().map(_.toSeq).toSet
+    assert(stored === direct)
+    // DELTA maintenance: three new twins (one per direction) encode
+    // against the FROZEN quantizers in one appended snapshot — no
+    // retraining, cost proportional to the batch
+    val delta = (6 until 9).map(i =>
+      (i.toLong, dirs(i % 3).map(x => x * 1.02f))).toDF("id", "embedding")
+    Similarity.ivfAdcIndexAppend(delta, idx)
+    val codesDir = s"$idx/codes"
+    assert(graft.operators.Layout.snapshotRead(spark, codesDir).count() === 9)
+    // time travel still serves the pre-append index view
+    assert(graft.operators.Layout.snapshotRead(spark, codesDir, 1L)
+      .count() === 6)
+    // the appended vectors are immediately findable AND find their
+    // planted twins: scaling preserves cosine, so same-direction pairs
+    // score 1.0 and ties break to the smaller neighbor id
+    val all = vecs.unionByName(delta)
+    val top1 = Similarity.ivfAdcSearchWith(all, idx, 1, nProbe = 1,
+        shortlist = 3)
+      .collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toMap
+    assert(top1(6L) === 0L && top1(7L) === 1L && top1(8L) === 2L)
+    assert(top1(0L) === 3L) // existing rows keep their pre-delta twin
+  }
+
   test("pqAdcTopK finds each vector's planted near-twin from codes alone") {
     import spark.implicits._
     // three well-separated directions in dim 8, two vectors per
