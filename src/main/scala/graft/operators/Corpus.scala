@@ -1783,6 +1783,185 @@ object Corpus {
         .cast("int").as("n_bpe"))
   }
 
+  /** SentencePiece-style UNIGRAM-LM tokenizer training (Kudo 2018) —
+    * BPE's sibling and the tokenizer most modern LLM stacks ship.
+    * Where BPE greedily grows a merge table bottom-up, the unigram
+    * model starts from an over-complete SEED vocabulary and prunes:
+    * fixed Viterbi-EM rounds re-estimate piece probabilities from the
+    * corpus's maximum-likelihood segmentations, then the final vocab
+    * keeps the `keepMulti` best multi-char pieces (single chars are
+    * never pruned — every word must stay segmentable).
+    *
+    * Deterministic contract (the bpeTrain/q176 doctrine — the WHOLE
+    * training loop is under the oracle hash, replayed as chained
+    * MATERIALIZED CTEs):
+    *  - words = lowercase [a-z]{1,16} whitespace tokens with counts
+    *    (longer words are excluded from training — the max-length cap
+    *    every SentencePiece deployment sets);
+    *  - seed = every substring of length 1..4 weighted by word count;
+    *    all single chars + the top `seedMulti` multi-char pieces by
+    *    (total desc, piece asc); p = total / Σ selected totals;
+    *  - E-step = per-word Viterbi under logp rounded to 6dp: dp[i] =
+    *    max over piece length L=1..4 of round(dp[i−L] + logp, 6),
+    *    backtrack choosing the SMALLEST L achieving dp[i];
+    *  - M-step = piece count = Σ word-count over segmentation uses;
+    *    single chars get a +1 Laplace floor (an unused char must keep
+    *    non-zero mass or the next E-step loses reachability), unused
+    *    multi-char pieces are pruned;
+    *  - final = chars + top `keepMulti` multi by (cnt desc, piece
+    *    asc), logp renormalized over the kept set.
+    *
+    * Scale shape: the corpus is touched ONCE (word counting); every
+    * EM pass is a narrow per-WORD-VOCAB segmentation (the HOF DP is
+    * interpreted, but runs over distinct words, not documents) plus
+    * one piece-sized aggregation; the driver holds ≤ seedMulti + |Σ|
+    * (piece, count) pairs — the bounded-literal contract the PQ
+    * codebooks and BPE merge table already use.
+    */
+  def unigramTrain(docs: DataFrame, textCol: String, seedMulti: Int = 48,
+                   keepMulti: Int = 24, emRounds: Int = 2): DataFrame = {
+    require(seedMulti >= 1 && seedMulti <= 256, s"bad seedMulti $seedMulti")
+    require(keepMulti >= 1 && keepMulti <= seedMulti, s"bad keepMulti $keepMulti")
+    require(emRounds >= 1 && emRounds <= 4, s"bad emRounds $emRounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = unigramWords(docs, textCol).localCheckpoint()
+    val subTotals = words
+      .select(explode(expr(
+        """flatten(transform(sequence(1, length(word)), i ->
+             transform(sequence(1, least(4, length(word) - i + 1)), L ->
+               substring(word, i, L))))""")).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("total"))
+      .localCheckpoint() // char + multi selections read it
+    val chars = subTotals.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multi = subTotals.filter(length(col("piece")) > 1)
+      .orderBy(col("total").desc, col("piece").asc).limit(seedMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(chars.nonEmpty, "unigramTrain needs a non-empty corpus")
+    val charSet = chars.map(_._1).sorted.toSeq
+    var pieces: Seq[(String, Long)] = (chars ++ multi).toSeq
+    for (_ <- 1 to emRounds) {
+      val lp = typedlit(unigramLogp(pieces))
+      val seg = words
+        .withColumn("dp", unigramDp(col("word"), lp))
+        .withColumn("ps", unigramWalk(col("word"), col("dp"), lp))
+      val counts = seg
+        .select(explode(col("ps")).as("piece"), col("cnt"))
+        .groupBy("piece").agg(sum("cnt").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      pieces = charSet.map(ch => (ch, counts.getOrElse(ch, 0L) + 1L)) ++
+        pieces.filter(_._1.length > 1).flatMap { case (p, _) =>
+          counts.get(p).filter(_ > 0).map(c => (p, c)) }
+    }
+    val kept: Seq[(String, Long)] = pieces.filter(_._1.length == 1) ++
+      pieces.filter(_._1.length > 1)
+        .sortBy { case (p, c) => (-c, p) }.take(keepMulti)
+    val lpF = unigramLogp(kept)
+    kept.map { case (p, c) => (p, c, lpF(p)) }
+      .toDF("piece", "cnt", "logp")
+      .orderBy("piece")
+  }
+
+  /** Encode through a TRAINED unigram vocab — training's inference
+    * twin (q179's shape for the unigram family): per document, the
+    * word count and the total Viterbi-segmentation piece count under
+    * the given (piece, logp) table. Each DISTINCT word segments ONCE
+    * (the DP runs over the vocab, never per occurrence), then a
+    * broadcast join fans the per-word piece counts back to documents.
+    */
+  def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: Seq[(String, Double)]): DataFrame = {
+    require(vocab.nonEmpty && vocab.size <= 512,
+      s"vocab size ${vocab.size} outside sane bounds")
+    val lp = typedlit(vocab.toMap)
+    val dw = Parallelism.ensure(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("word"))
+      .filter(col("word").rlike("^[a-z]{1,16}$"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // distinct-word DP + fan-back read it
+    val sz = dw.select("word").distinct()
+      .withColumn("dp", unigramDp(col("word"), lp))
+      .select(col("word"),
+        size(unigramWalk(col("word"), col("dp"), lp)).as("npw"))
+    val perDoc = dw.join(broadcast(sz), "word")
+      .groupBy("doc_id")
+      .agg(sum("c").cast("int").as("n_words"),
+        sum(col("c") * col("npw")).cast("int").as("n_pieces"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0)).as("n_pieces"))
+  }
+
+  private def unigramWords(docs: DataFrame, textCol: String): DataFrame =
+    Parallelism.ensure(docs)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(lower(col("tok")).as("word"))
+      .filter(col("word").rlike("^[a-z]{1,16}$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  private def unigramLogp(pieces: Seq[(String, Long)]): Map[String, Double] = {
+    val tot = pieces.map(_._2).sum.toDouble
+    pieces.map { case (p, c) =>
+      p -> BigDecimal(math.log(c / tot))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  /** One Viterbi candidate: round(dp[i−L] + logp(word[i−L..i)), 6), or
+    * −1e9 when the piece is unknown / L overruns the prefix. Shared by
+    * the forward DP and the backtrack's argmax re-derivation so both
+    * compare literally identical doubles.
+    */
+  private def unigramCand(w: Column, dp: Column, pos: Column, L: Int,
+                          lp: Column): Column = {
+    val piece = substr(w, pos - lit(L) + lit(1), lit(L))
+    val plp = element_at(lp, piece)
+    when(pos >= L && plp.isNotNull,
+      round(element_at(dp, pos - lit(L) + lit(1)) + plp, 6))
+      .otherwise(lit(-1e9))
+  }
+
+  /** Forward Viterbi scores as an array column: dp[0] = 0, dp[i] = max
+    * over L of the rounded candidate — one interpreted HOF pass per
+    * word, no joins, no shuffles (the piece table rides along as a
+    * map literal).
+    */
+  private def unigramDp(w: Column, lp: Column): Column =
+    aggregate(sequence(lit(1), length(w)),
+      array(lit(0.0)),
+      (acc, i) => concat(acc, array(greatest(
+        unigramCand(w, acc, i, 1, lp), unigramCand(w, acc, i, 2, lp),
+        unigramCand(w, acc, i, 3, lp), unigramCand(w, acc, i, 4, lp)))))
+
+  /** Backtrack: walk from the end, choosing at each position the
+    * SMALLEST piece length whose candidate equals the dp score (the
+    * deterministic tie rule the oracle replays), emitting pieces
+    * end-to-start (order is irrelevant — consumers count/explode).
+    */
+  private def unigramWalk(w: Column, dp: Column, lp: Column): Column =
+    aggregate(sequence(lit(1), length(w)),
+      struct(length(w).as("pos"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val cur = element_at(dp, pos + lit(1))
+        val chosen =
+          when(unigramCand(w, dp, pos, 1, lp) === cur, lit(1))
+            .when(unigramCand(w, dp, pos, 2, lp) === cur, lit(2))
+            .when(unigramCand(w, dp, pos, 3, lp) === cur, lit(3))
+            .otherwise(lit(4))
+        when(pos <= 0, st).otherwise(struct(
+          (pos - chosen).as("pos"),
+          concat(st.getField("ps"),
+            array(substr(w, pos - chosen + lit(1), chosen))).as("ps")))
+      },
+      st => st.getField("ps"))
+
   /** Per-domain quality quota (the C4/RefinedWeb curation move): keep at
     * most `cap` documents per `domainCol` value, ranked by `qualityCol`
     * descending with `idCol` as the deterministic tiebreak. Web corpora
