@@ -253,6 +253,20 @@ object Multimodal {
       graft.operators.Audio.frameEnergies(media, frameLen = 64).toDF()
     },
 
+    // Full baseline JPEG decode (q326, r12 — closes the one modality
+    // short of real decode): the fixture plants one UNIFORM 8×8 block
+    // per text byte, so the LOSSY pipeline (real FDCT → flat quant →
+    // Huffman → full Huffman/dequant/IDCT decode) is bit-exact and the
+    // oracle replays every decoded pixel arithmetically. JpegSpec
+    // cross-validates both codec directions against javax.imageio.
+    "q326_jpeg_decode" -> { (s, d) =>
+      val media = graft.operators.Jpeg.asJpegMedia(Tables.documents(s, d))
+      graft.operators.Jpeg.parseMeta(media)
+        .select(col("doc_id"), lit("image/jpeg").as("format"),
+          col("width"), col("height"), col("n_pixels"),
+          col("pixel_md5"), col("pixel_sum"))
+    },
+
     // REAL video-container frame sampling (q189): 3 complete PNGs per
     // payload (frame f = pixels rotated left by f), structural chunk
     // walk to find frame boundaries, real decode of every 2nd frame,
@@ -339,8 +353,44 @@ object Multimodal {
         FROM pb"""
   }
 
+  /** q326's oracle: the block-planted JPEG pixel rule replayed — text
+    * bytes '.'-padded to 8-byte groups, each byte an 8×8 uniform
+    * block, 8 blocks per pixel row. Per block-row the pixel row is
+    * each of its 8 chars repeated 8×, and the 8 identical rows of a
+    * block-row collapse to repeat(rowstr, 8); md5 over the assembled
+    * string equals md5 over the decoded pixels (ASCII fixture), and
+    * the pixel sum is 64× the byte sum.
+    */
+  private def jpegOracle: String = {
+    val rowTerms = (0 until 8).map(j =>
+      s"repeat(substr(bt, CAST(br * 8 + ${j + 1} AS INTEGER), 1), 8)")
+      .mkString(" || ")
+    s"""WITH p AS (SELECT doc_id,
+             rpad(text, CAST(greatest(CAST(ceil(length(text) / 8.0) AS BIGINT),
+               1) * 8 AS INTEGER), '.') AS bt
+           FROM documents),
+        b AS (SELECT doc_id, bt,
+                unnest(generate_series(0, length(bt) // 8 - 1)) AS br
+              FROM p),
+        rs AS (SELECT doc_id, br, ($rowTerms) AS rowstr FROM b),
+        fs AS (SELECT doc_id, string_agg(repeat(rowstr, 8), '' ORDER BY br)
+                 AS pix
+               FROM rs GROUP BY doc_id),
+        sm AS (SELECT doc_id,
+                 64 * list_sum(list_transform(split(bt, ''), c -> ascii(c)))
+                   AS psum
+               FROM p)
+        SELECT fs.doc_id, 'image/jpeg' AS format, 64 AS width,
+             CAST(length(pix) / 64 AS INTEGER) AS height,
+             CAST(length(pix) AS INTEGER) AS n_pixels,
+             md5(pix) AS pixel_md5,
+             CAST(psum AS BIGINT) AS pixel_sum
+        FROM fs JOIN sm USING (doc_id)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q211_image_patches" -> patchOracle,
+    "q326_jpeg_decode" -> jpegOracle,
 
     // q212: the sample rule replayed, frames by integer division of the
     // 0-based sample index, exact integer energy/peak per frame.
