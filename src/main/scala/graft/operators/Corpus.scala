@@ -1783,6 +1783,142 @@ object Corpus {
         .cast("int").as("n_bpe"))
   }
 
+  /** WordPiece tokenizer training (Schuster & Nakajima 2012 — BERT's
+    * tokenizer), completing the production triad next to [[bpeTrain]]
+    * and [[unigramTrain]]. The loop shape is BPE's (grow a merge table
+    * bottom-up over the word-frequency vocab), but the selection rule
+    * is the LIKELIHOOD score, not raw frequency: each round merges the
+    * adjacent pair maximizing count(ab) / (count(a) · count(b)) — the
+    * pair whose fusion most increases corpus likelihood under a
+    * unigram model, which prefers strongly-bound pairs over merely
+    * common ones. Ties break (s1 asc, s2 asc); both engines compute
+    * the score as one IEEE division of exact integer counts, so the
+    * argmax is cross-engine deterministic.
+    *
+    * Scale shape: identical to bpeTrain — per round, one narrow
+    * pair-explode aggregation + one symbol-count aggregation over the
+    * WORD vocab (never documents), a 1-row argmax fetch, a literal
+    * replace; the driver holds the ≤`merges`-row table.
+    */
+  def wordpieceTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 64,
+      s"merges $merges outside sane bounds (1..64)")
+    val spark = docs.sparkSession
+    val chars = filter(split(col("word"), ""), c => c =!= "")
+    var vocab = Parallelism.ensure(docs)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(lower(col("tok")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        concat_ws("", transform(chars, c => concat(lit("("), c, lit(")"))))
+          .as("repr"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val syms = regexp_extract_all(col("repr"), lit("\\([a-z]+\\)"), lit(0))
+      val symCounts = vocab
+        .select(col("cnt"), explode(syms).as("sym"))
+        .groupBy("sym").agg(sum("cnt").as("sc"))
+      val best = vocab
+        .select(col("cnt"), syms.as("syms"))
+        .select(col("cnt"), explode(when(size(col("syms")) > 1,
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("s1"),
+              element_at(col("syms"), i + 1).as("s2"))))
+          .otherwise(array())).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum("cnt").as("c"))
+        .join(symCounts.select(col("sym").as("s1"), col("sc").as("sc1")), "s1")
+        .join(symCounts.select(col("sym").as("s2"), col("sc").as("sc2")), "s2")
+        .orderBy((col("c") / (col("sc1") * col("sc2"))).desc,
+          col("s1").asc, col("s2").asc)
+        .limit(1)
+        .select("s1", "s2", "c", "sc1", "sc2")
+        .collect() // exactly one row (or none) — bounded driver fetch
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        val (s1, s2) = (row.getString(0), row.getString(1))
+        val i1 = s1.substring(1, s1.length - 1)
+        val i2 = s2.substring(1, s2.length - 1)
+        learned += ((r, i1, i2, i1 + i2, row.getLong(2), row.getLong(3),
+          row.getLong(4)))
+        vocab = vocab
+          .withColumn("repr",
+            replace(col("repr"), lit(s1 + s2), lit("(" + i1 + i2 + ")")))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq
+      .toDF("round", "lhs", "rhs", "merged", "pair_cnt", "lhs_cnt", "rhs_cnt")
+      // raw score ≈ 1e-7 vanishes under 6dp compare; the log form keeps
+      // the likelihood ordering visible at hash-safe precision
+      .withColumn("score_ln",
+        round(log(col("pair_cnt")) - log(col("lhs_cnt")) - log(col("rhs_cnt")),
+          6) + lit(0.0))
+  }
+
+  /** WordPiece corpus encoding — greedy LONGEST-MATCH-FIRST inference
+    * (the rule BERT ships): at each position take the longest vocab
+    * piece prefixing the remaining suffix; pieces consumed past the
+    * word start are continuations (the ## forms). The vocab is the 26
+    * single chars plus the trained merge symbols, so every [a-z]+ word
+    * segments without an UNK path. Emits per doc the word count, total
+    * piece count, and continuation-piece count.
+    *
+    * Scale shape: each DISTINCT word segments once (a tight Scala scan
+    * against a broadcast ≤90-piece set — the bounded-literal contract
+    * of the BPE merge table), then a broadcast join fans counts back
+    * to the exploded corpus and one aggregation re-groups per doc.
+    * Zero-word docs are kept via the left join.
+    */
+  def wordpieceEncode(docs: DataFrame, idCol: String, textCol: String,
+                      pieces: Seq[String]): DataFrame = {
+    require(pieces.nonEmpty && pieces.size <= 512,
+      s"piece table size ${pieces.size} outside sane bounds (1..512)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = (('a' to 'z').map(_.toString) ++ pieces).toSet
+    val maxLen = vocab.map(_.length).max
+    val words = docs
+      .select(explode(filter(
+        transform(TextFunctions.tokens(col(textCol)), t => lower(t)),
+        w => w.rlike("^[a-z]+$"))).as("word"))
+      .distinct()
+    val segmented = words.as[String].mapPartitions { it =>
+      it.map { w =>
+        var pos = 0
+        var nPieces = 0
+        var nCont = 0
+        while (pos < w.length) {
+          var l = math.min(maxLen, w.length - pos)
+          while (l > 1 && !vocab.contains(w.substring(pos, pos + l))) l -= 1
+          // l == 1 always matches (single chars are in the vocab)
+          nPieces += 1
+          if (pos > 0) nCont += 1
+          pos += l
+        }
+        (w, nPieces, nCont)
+      }
+    }.toDF("word", "np", "nc")
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        explode_outer(filter(
+          transform(TextFunctions.tokens(col(textCol)), t => lower(t)),
+          w => w.rlike("^[a-z]+$"))).as("word"))
+      .join(broadcast(segmented), Seq("word"), "left")
+    perDoc.groupBy("doc_id")
+      .agg(count(col("word")).cast("int").as("n_words"),
+        coalesce(sum("np"), lit(0)).cast("int").as("n_pieces"),
+        coalesce(sum("nc"), lit(0)).cast("int").as("n_continuations"))
+  }
+
   /** SentencePiece-style UNIGRAM-LM tokenizer training (Kudo 2018) —
     * BPE's sibling and the tokenizer most modern LLM stacks ship.
     * Where BPE greedily grows a merge table bottom-up, the unigram

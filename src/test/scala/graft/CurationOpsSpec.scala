@@ -153,6 +153,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows(2L) == ((2, 3)))
   }
 
+  test("wordpieceTrain picks the LIKELIHOOD argmax, not the count argmax") {
+    import spark.implicits._
+    // words: aa×2, ab×3, xy×1. Round-1 symbol counts a=7, b=3, x=1, y=1;
+    // pair scores: (a,b) = 3/21, (a,a) = 2/49, (x,y) = 1/1 → WordPiece
+    // merges the RARE-but-exclusive (x,y) first (BPE would take (a,b)).
+    // Round 2: (a,b) 3/(7·3); round 3: (a,a) 2/(4·4); then no pairs.
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab ab xy")).toDF("doc_id", "text")
+    val out = Corpus.wordpieceTrain(docs, "text", merges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (1, "x", "y", "xy", 1L, 1L, 1L),
+      (2, "a", "b", "ab", 3L, 7L, 3L),
+      (3, "a", "a", "aa", 2L, 4L, 4L)))
+  }
+
+  test("wordpieceEncode segments greedy longest-match-first with ## continuations") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aab xy b"),   // aab → aa + ##b (1 continuation); xy; b
+      (2L, "ab"),         // one whole piece
+      (3L, "123 !!!")     // no alpha words at all
+    ).toDF("doc_id", "text")
+    val rows = Corpus.wordpieceEncode(docs, "doc_id", "text",
+      Seq("xy", "ab", "aa"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(rows(1L) == ((3, 4, 1)))
+    assert(rows(2L) == ((1, 1, 0)))
+    assert(rows(3L) == ((0, 0, 0)))
+  }
+
   test("bpeTrain applies merges left-to-right non-overlapping") {
     import spark.implicits._
     // "aaa"×2: round 1 pair (a,a) counts BOTH adjacencies (cnt 4), the
