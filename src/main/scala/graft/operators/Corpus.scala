@@ -870,6 +870,52 @@ object Corpus {
     }.toDF("doc_id", "chunk_idx", "pack_id", "pack_offset", "straddles")
   }
 
+  /** Balanced training-shard assignment: deterministically place every
+    * document into one of `nShards` shards with near-equal TOKEN
+    * totals (not row counts) — the export step before distributed
+    * training, where a fat shard becomes the stragglers' shard. The
+    * rule is LPT-flavored snake placement: rank all docs by (token
+    * count desc, doc_id asc), then walk shards 0..N−1, N−1..0,
+    * repeating — each zigzag pass hands every shard one doc from the
+    * current size band, so totals stay within one band-width of each
+    * other without any sequential bin-state (true LPT is inherently
+    * serial; the snake is its order-preserving distributed stand-in).
+    *
+    * The global rank uses [[packChunks]]'s two-phase distributed
+    * prefix sum — range partition + sort by the order key, one tiny
+    * per-partition-count job, broadcast base offsets — never a
+    * single-partition window.
+    */
+  def tokenShards(docs: DataFrame, idCol: String, textCol: String,
+                  nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 65536, s"bad shard count $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("n_tokens").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("n_tokens").desc, col("doc_id").asc)
+      .as[(Long, Long)]
+      .localCheckpoint() // pin the sampled range boundaries across jobs
+      .rdd
+    val partCounts = sorted.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single((pid, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val bases = partCounts.scanLeft(0L)(_ + _).dropRight(1)
+    val bc = spark.sparkContext.broadcast(bases)
+    val n = nShards.toLong
+    sorted.mapPartitionsWithIndex { (pid, it) =>
+      var rank = bc.value(pid)
+      it.map { case (d, t) =>
+        val s = rank % (2 * n)
+        rank += 1
+        (d, t, (if (s < n) s else 2 * n - 1 - s).toInt)
+      }
+    }.toDF("doc_id", "n_tokens", "shard")
+  }
+
   /** Inverted-index postings: one row per distinct term with document
     * frequency and a digest of the doc-id-ORDERED posting list (the
     * artifact a distributed index build materializes; the digest keeps

@@ -185,6 +185,35 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows(3L) == ((0, 0, 0)))
   }
 
+  test("tokenShards snake-balances token totals and is partitioning-invariant") {
+    import spark.implicits._
+    // token counts 10,9,...,3 over 2 shards: snake ranks 0,3,4,7 → shard
+    // 0 (10+7+6+3 = 26) and 1,2,5,6 → shard 1 (9+8+5+4 = 26) — exact tie
+    val docs = (0 until 8)
+      .map(i => (i.toLong, Seq.fill(10 - i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Corpus.tokenShards(docs, "doc_id", "text", nShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == 8)
+    val byShard = got.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(byShard == Map(0 -> 26L, 1 -> 26L), s"$byShard")
+    assert(got.map { case (d, _, s) => d -> s }.toMap ==
+      Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 0, 4L -> 0, 5L -> 1, 6L -> 1, 7L -> 0))
+    // the assignment must not depend on the INPUT's physical layout
+    val re = Corpus.tokenShards(docs.repartition(7), "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(re == got.map(r => (r._1, r._3)).toMap)
+    // larger fixture: 500 skewed docs over 8 shards stay within 15%
+    val big = (1L to 500L)
+      .map(i => (i, Seq.fill((i % 97 + 1).toInt)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sums = Corpus.tokenShards(big, "doc_id", "text", nShards = 8)
+      .groupBy("shard").agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .collect().map(_.getLong(1))
+    assert(sums.length == 8)
+    assert(sums.max.toDouble / sums.min <= 1.15, sums.mkString(","))
+  }
+
   test("bpeTrain applies merges left-to-right non-overlapping") {
     import spark.implicits._
     // "aaa"×2: round 1 pair (a,a) counts BOTH adjacencies (cnt 4), the
