@@ -949,17 +949,28 @@ object Corpus {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                query: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val terms = docs.select(col(idCol).as("doc_id"),
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(bm25Contribs(docs, idCol, textCol, query, k1, b))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** Shared Okapi scoring stage of [[bm25TopK]] / [[bm25PrfTopK]]:
+    * per-(doc, term) BM25 contribution over the given term set —
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) with tf-saturation k1
+    * and length normalization b against the mean doc length.
+    */
+  private def bm25Contribs(docs: DataFrame, idCol: String, textCol: String,
+                           terms: Seq[String], k1: Double,
+                           b: Double): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    val qTerms = terms.filter(col("term").isInCollection(query))
-    val tf = qTerms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = toks.filter(col("term").isInCollection(terms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(df), "term")
+    tf.join(broadcast(df), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -967,20 +978,92 @@ object Corpus {
       .withColumn("contrib",
         col("idf") * (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-    // Pin the IEEE reduction order: contribs fold left-to-right in term
-    // order (array_sort on the (term, contrib) struct, terms unique per
-    // doc) before the single 4 dp rounding. A plain sum() aggregates in
-    // partition-arrival order, and a last-ulp difference vs the oracle's
-    // own order could flip the rounded score — same rule as pqAdc's
-    // subspace-ordered term sum. The per-doc lists are |query|-bounded
-    // (≤ a handful of terms), so the HOF fold is trivially cheap.
-    scored.groupBy("doc_id")
+      .select("doc_id", "term", "contrib")
+  }
+
+  /** Pin the IEEE reduction order: contribs fold left-to-right in term
+    * order (array_sort on the (term, contrib) struct, terms unique per
+    * doc) before the single 4 dp rounding. A plain sum() aggregates in
+    * partition-arrival order, and a last-ulp difference vs the oracle's
+    * own order could flip the rounded score — same rule as pqAdc's
+    * subspace-ordered term sum. The per-doc lists are |query|-bounded
+    * (≤ a handful of terms), so the HOF fold is trivially cheap.
+    */
+  private def bm25Scores(contribs: DataFrame): DataFrame =
+    contribs.groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("term"), col("contrib")))).as("cs"))
       .select(col("doc_id"),
         round(aggregate(col("cs"), lit(0.0),
           (acc, e) => acc + e.getField("contrib")), 4).as("score"))
+
+  /** Pseudo-relevance-feedback retrieval (RM3-style query expansion —
+    * the classic rung above plain BM25): run BM25, treat the top
+    * `fbDocs` as relevant, mine expansion terms from them weighted by
+    * relevance-model mass e(t) = Σ_d (tf(t,d)/|d|) · score(d), then
+    * re-query with the originals at weight `alpha` and the top
+    * `fbTerms` expansion terms at (1−alpha)·e(t)/max e — two BM25
+    * passes, no model, pure term statistics.
+    *
+    * Determinism contract: pass-1 scores round to 4 dp before feedback
+    * selection (ties → doc_id), expansion mass folds in doc_id order
+    * and rounds to 6 dp before the (e desc, term asc) cut, the final
+    * weighted score folds in term order — every float reduction has a
+    * pinned order, so the DuckDB oracle replays both passes exactly.
+    *
+    * Scale shape: two bounded-term BM25 passes (each an equi-join +
+    * map-side-combined agg over ONLY matching postings); the feedback
+    * doc set (≤ fbDocs rows) broadcasts, and the expansion table is a
+    * ≤ fbTerms driver literal — the BPE/PQ bounded-fetch contract.
+    */
+  def bm25PrfTopK(docs: DataFrame, idCol: String, textCol: String,
+                  query: Seq[String], k: Int, fbDocs: Int = 5,
+                  fbTerms: Int = 5, alpha: Double = 0.6,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "need at least one query term")
+    require(fbDocs >= 1 && fbTerms >= 1, s"bad feedback sizes $fbDocs/$fbTerms")
+    require(alpha > 0.0 && alpha < 1.0, s"bad mixing weight $alpha")
+    val fb = bm25Scores(bm25Contribs(docs, idCol, textCol, query, k1, b))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(fbDocs)
+      .localCheckpoint() // ≤ fbDocs rows, reused by two consumers
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val selected = toks
+      .join(broadcast(fb.select("doc_id")), "doc_id")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .join(broadcast(fb), "doc_id")
+      .withColumn("p", col("tf") / col("dl") * col("score"))
+      .filter(!col("term").isInCollection(query))
+      .groupBy("term")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("p")))).as("ps"))
+      .select(col("term"),
+        round(aggregate(col("ps"), lit(0.0),
+          (acc, e) => acc + e.getField("p")), 6).as("e"))
+      .orderBy(col("e").desc, col("term").asc)
+      .limit(fbTerms)
+      .collect() // ≤ fbTerms rows — bounded driver fetch
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val weights: Seq[(String, Double)] =
+      if (selected.isEmpty) query.map(_ -> alpha)
+      else {
+        val emax = selected.map(_._2).max
+        query.map(_ -> alpha) ++
+          selected.map { case (t, e) => t -> (1.0 - alpha) * e / emax }
+      }
+    val wCol = weights.sortBy(_._1).foldLeft(lit(0.0)) { case (acc, (t, w)) =>
+      when(col("term") === t, lit(w)).otherwise(acc)
+    }
+    val expCol =
+      if (selected.isEmpty) lit(null).cast("string")
+      else lit(selected.map(_._1).sorted.mkString(","))
+    bm25Scores(
+      bm25Contribs(docs, idCol, textCol, weights.map(_._1), k1, b)
+        .withColumn("contrib", wCol * col("contrib")))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+      .withColumn("expansion", expCol)
   }
 
   /** Top-k terms per document by tf·idf (idf = ln(N/df)), deterministic:

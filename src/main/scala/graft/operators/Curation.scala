@@ -151,4 +151,26 @@ object Curation {
       regexp_count(deEmailed, lit(PhonePattern)).cast("int").as("n_phones"),
       md5(regexp_replace(deEmailed, PhonePattern, "<PHONE>")).as("clean_md5"))
   }
+  /** k-anonymity audit of a quasi-identifier projection — the privacy
+    * gate a training-data release runs before shipping rows that carry
+    * demographic-ish columns: every equivalence class (one row per
+    * distinct quasi-identifier combination) with its size, its
+    * l-diversity on the sensitive column (distinct sensitive values —
+    * a k-anonymous class with l = 1 still leaks the attribute), and
+    * the suppression verdict (size < k ⇒ the class's rows must be
+    * generalized or dropped before release).
+    *
+    * Scale shape: one hash-partitioned aggregation over the
+    * quasi-identifier key — the same shuffle a groupBy-count pays;
+    * l-diversity rides the same aggregation as a count(distinct).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"bad k $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_diversity"))
+      .withColumn("suppressed", col("class_size") < k)
+  }
 }

@@ -37,6 +37,15 @@ object Relational {
           count(lit(1)).as("n_rows"))
     },
 
+    // k-anonymity audit (q330, r12): the privacy gate before a data
+    // release — every (nation, segment) equivalence class with its
+    // size, l-diversity on the account balance, and the k=25
+    // suppression verdict. One hash-partitioned aggregation.
+    "q330_k_anonymity" -> { (s, d) =>
+      graft.operators.Curation.kAnonymity(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 25)
+    },
+
     // F1 + column pruning: predicate and 3-column projection must reach the
     // parquet scan (PushedFilters / ReadSchema — verified in PlanSpec).
     "q02_filter_project" -> { (s, d) =>
@@ -547,6 +556,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q330_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+              CAST(count(*) AS BIGINT) AS class_size,
+              CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_diversity,
+              count(*) < 25 AS suppressed
+         FROM customer GROUP BY 1, 2""",
     // q242: each candidate's containment replayed as distinct-count
     // scalar subqueries over string-cast keys (matching the operator's
     // type-erasing cast).

@@ -214,6 +214,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(sums.max.toDouble / sums.min <= 1.15, sums.mkString(","))
   }
 
+  test("bm25PrfTopK mines expansion terms from feedback docs and re-ranks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark fast query engine turbo"), // the only query-term doc
+      (2L, "turbo engine zoom"),             // reachable ONLY via expansion
+      (3L, "unrelated words entirely")
+    ).toDF("doc_id", "text")
+    val got = Corpus.bm25PrfTopK(docs, "doc_id", "text",
+      query = Seq("spark"), k = 10, fbDocs = 1, fbTerms = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    // feedback doc = 1; its non-query terms tie on e → (e desc, term asc)
+    // cuts to {engine, fast}
+    assert(got.forall(_._3 == "engine,fast"), got.mkString(";"))
+    assert(got.head._1 == 1L) // originals at 0.6 keep doc 1 on top
+    val ids = got.map(_._1).toSet
+    assert(ids.contains(2L), "expansion must surface the no-query-term doc")
+    assert(!ids.contains(3L), "doc sharing no terms must not score")
+    assert(got.forall(_._2 > 0.0))
+  }
+
+  test("kAnonymity flags equivalence classes below k with their l-diversity") {
+    import spark.implicits._
+    val df = Seq(
+      ("us", "a", 1.0), ("us", "a", 2.0), ("us", "a", 2.0),
+      ("de", "b", 3.0), ("de", "b", 4.0),
+      ("fr", "c", 5.0)
+    ).toDF("nation", "seg", "bal")
+    val got = graft.operators.Curation
+      .kAnonymity(df, Seq("nation", "seg"), "bal", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == Set(
+      ("us", "a", 3L, 2L, false),
+      ("de", "b", 2L, 2L, true),
+      ("fr", "c", 1L, 1L, true)))
+  }
+
   test("bpeTrain applies merges left-to-right non-overlapping") {
     import spark.implicits._
     // "aaa"×2: round 1 pair (a,a) counts BOTH adjacencies (cnt 4), the
