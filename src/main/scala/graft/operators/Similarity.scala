@@ -1199,6 +1199,24 @@ object Similarity {
                  iterations: Int = 30): DataFrame = {
     require(iterations >= 1 && iterations <= 200,
       s"iterations $iterations outside sane bounds")
+    val (base, mu, c, d) = gramStats(vecs, idCol, vecCol)
+    val v = powerIterate(c, d, iterations)
+    val shift = mu.zip(v).map { case (m, vi) => m * vi }.sum
+    val vLit = array(v.map(lit).toIndexedSeq: _*)
+    // + 0.0 collapses IEEE −0.0 (a tiny negative rounded to zero) onto
+    // +0.0 — engines disagree on the zero's sign, and the driver's
+    // compare is textual
+    base.select(col("id"),
+      (round(dotN(col("v"), vLit) - shift, 4) + lit(0.0)).as("pc1"))
+  }
+
+  /** Shared gram pass of [[pcaProject]] / [[pcaWhiten]]: one
+    * distributed pass accumulates per partition the count, coordinate
+    * sums, and d×d outer-product sums; the driver merges and derives
+    * μ and the covariance C = G/n − μμᵀ.
+    */
+  private def gramStats(vecs: DataFrame, idCol: String, vecCol: String)
+      : (DataFrame, Array[Double], Array[Double], Int) = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val base = Parallelism.ensure(withNative(vecs))
@@ -1223,7 +1241,7 @@ object Similarity {
       if (n == 0) Iterator.empty
       else Iterator.single((n, s.toSeq, g.toSeq))
     }.collect()
-    require(stats.nonEmpty, "pcaProject needs at least one vector")
+    require(stats.nonEmpty, "PCA needs at least one vector")
     val d = stats.head._2.length
     var n = 0L
     val s = new Array[Double](d); val g = new Array[Double](d * d)
@@ -1236,6 +1254,15 @@ object Similarity {
     }
     val mu = s.map(_ / n)
     val c = Array.tabulate(d * d)(k => g(k) / n - mu(k / d) * mu(k % d))
+    (base, mu, c, d)
+  }
+
+  /** Fixed power iterations from the deterministic uniform start —
+    * fixed count, not a convergence test, so both engines run
+    * identical arithmetic.
+    */
+  private def powerIterate(c: Array[Double], d: Int,
+                           iterations: Int): Array[Double] = {
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     for (_ <- 1 to iterations) {
       val w = new Array[Double](d)
@@ -1249,13 +1276,60 @@ object Similarity {
       require(nrm > 0, "power iteration collapsed (zero covariance)")
       v = w.map(_ / nrm)
     }
-    val shift = mu.zip(v).map { case (m, vi) => m * vi }.sum
-    val vLit = array(v.map(lit).toIndexedSeq: _*)
-    // + 0.0 collapses IEEE −0.0 (a tiny negative rounded to zero) onto
-    // +0.0 — engines disagree on the zero's sign, and the driver's
-    // compare is textual
-    base.select(col("id"),
-      (round(dotN(col("v"), vLit) - shift, 4) + lit(0.0)).as("pc1"))
+    v
+  }
+
+  /** PCA whitening to the top-k components — the retrieval
+    * preprocessing trick (Jégou & Chum 2012): project onto each
+    * eigenvector and divide by √eigenvalue, so every kept direction
+    * carries unit variance and cosine stops being dominated by the
+    * first component. Components come from [[powerIterate]] with
+    * HOTELLING DEFLATION between them: after (v_t, λ_t = v_tᵀCv_t) is
+    * extracted, C ← C − λ_t·v_t v_tᵀ and the next iteration finds the
+    * next eigenpair — all driver-side on the d×d matrix (the d² ≪
+    * corpus contract of the gram pass).
+    *
+    * Output: (id, w1..wk) with w_t = ((x − μ)·v_t)/√λ_t, one narrow
+    * broadcast-literal projection pass — corpus read twice total, no
+    * shuffle anywhere.
+    */
+  def pcaWhiten(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+                iterations: Int = 30): DataFrame = {
+    require(k >= 1 && k <= 16, s"component count $k outside sane bounds")
+    require(iterations >= 1 && iterations <= 200,
+      s"iterations $iterations outside sane bounds")
+    val (base, mu, c0, d) = gramStats(vecs, idCol, vecCol)
+    require(k <= d, s"cannot keep $k components of dimension $d")
+    val c = c0.clone()
+    val comps = (1 to k).map { _ =>
+      val v = powerIterate(c, d, iterations)
+      // Rayleigh quotient λ = vᵀCv, then deflate C ← C − λvvᵀ
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += c(i * d + j) * v(j); j += 1 }
+        w(i) = acc; i += 1
+      }
+      var lam = 0.0
+      i = 0
+      while (i < d) { lam += v(i) * w(i); i += 1 }
+      require(lam > 0, "non-positive eigenvalue: fewer informative directions than k")
+      i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { c(i * d + j) -= lam * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      (v, lam)
+    }
+    val cols = comps.zipWithIndex.map { case ((v, lam), t) =>
+      val shift = mu.zip(v).map { case (m, vi) => m * vi }.sum
+      val vLit = array(v.map(lit).toIndexedSeq: _*)
+      (round((dotN(col("v"), vLit) - shift) / math.sqrt(lam), 4) + lit(0.0))
+        .as(s"w${t + 1}")
+    }
+    base.select(col("id") +: cols: _*)
   }
 
   /** Hard-negative mining for contrastive/retrieval training: for every

@@ -603,6 +603,35 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(math.abs(v(0)) - 3.0 / math.sqrt(10)) < 0.01)
   }
 
+  test("pcaWhiten yields unit-variance, decorrelated components") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // two strong anisotropic axes + weak noise dims: after whitening,
+    // each kept component must carry sample variance 1 and the pair
+    // must be uncorrelated (eigenvectors are orthogonal)
+    val data = (0 until 200).map { i =>
+      val t = (i - 100).toDouble
+      val u = ((i * 37) % 41 - 20).toDouble
+      (i.toLong,
+        Seq(3.0 * t + 0.2 * u, t - 0.1 * u, u, (i % 2) * 0.05).map(_.toFloat))
+    }
+    val got = Similarity.pcaWhiten(data.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2, iterations = 50)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val n = got.length.toDouble
+    def mean(xs: Seq[Double]) = xs.sum / n
+    val m1 = mean(got.map(_._1).toSeq); val m2 = mean(got.map(_._2).toSeq)
+    val v1 = mean(got.map(x => (x._1 - m1) * (x._1 - m1)).toSeq)
+    val v2 = mean(got.map(x => (x._2 - m2) * (x._2 - m2)).toSeq)
+    val cv = mean(got.map(x => (x._1 - m1) * (x._2 - m2)).toSeq)
+    assert(math.abs(v1 - 1.0) < 0.05, s"var(w1) = $v1")
+    assert(math.abs(v2 - 1.0) < 0.05, s"var(w2) = $v2")
+    assert(math.abs(cv) < 0.05, s"cov(w1, w2) = $cv")
+    intercept[IllegalArgumentException](
+      Similarity.pcaWhiten(data.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 0))
+  }
+
   private def lev(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => i)
     for (j <- 1 to b.length) {
