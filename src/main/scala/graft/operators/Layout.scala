@@ -4075,4 +4075,157 @@ object Layout {
     }
     actions.result().toDF("action", "detail")
   }
+
+
+  // ------------------------------------------------------------------
+  // CATALOG: multi-table atomic commits
+  // ------------------------------------------------------------------
+
+  final case class CatalogEntry(table: String, dir: String, snapshotId: Long)
+
+  /** Multi-table ATOMIC commits — the catalog layer above per-table
+    * snapshots (the gap a bare manifest-file format leaves open: one
+    * table's commit is atomic, but a pipeline publishing DERIVED
+    * tables together needs readers to see either ALL of a batch's
+    * outputs or NONE). A catalog directory holds versioned files
+    * `catalog-v<N>.json`, each the COMPLETE table->(dir, snapshot id)
+    * mapping; version N+1 commits under the same tmp + create-exclusive
+    * token + rename discipline as manifests and refs, so two racing
+    * committers on the same base version resolve to one winner and one
+    * loud loser (re-read, re-derive, retry — optimistic concurrency).
+    *
+    * Readers resolve every table through ONE catalog version:
+    * cross-table consistency falls out, and a table-level append that
+    * no catalog version pins is invisible to catalog readers — the
+    * isolation a training pipeline needs between "data landed" and
+    * "batch published".
+    */
+  def catalogVersion(spark: org.apache.spark.sql.SparkSession,
+                     catalogDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(catalogDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    catalogVersions(fs, catalogDir).sorted.lastOption.getOrElse(0L)
+  }
+
+  private def catalogVersions(fs: org.apache.hadoop.fs.FileSystem,
+                              catalogDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(catalogDir)
+    if (!fs.exists(p)) return Nil
+    val R = """catalog-v(\d+)\.json""".r
+    fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case R(n) => n.toLong
+    }
+  }
+
+  /** The table mapping at `version` (default: latest). */
+  def catalogEntries(spark: org.apache.spark.sql.SparkSession,
+                     catalogDir: String,
+                     version: Long = -1L): Seq[CatalogEntry] = {
+    val p = new org.apache.hadoop.fs.Path(catalogDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = catalogVersions(fs, catalogDir)
+    require(versions.nonEmpty, s"no catalog versions under $catalogDir")
+    val v = if (version < 0) versions.max else version
+    require(versions.contains(v),
+      s"catalog version $v does not exist under $catalogDir " +
+        s"(have ${versions.sorted.mkString(", ")})")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val in = fs.open(new org.apache.hadoop.fs.Path(catalogDir,
+      s"catalog-v$v.json"))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    JsonMethods.parse(body) \ "tables" match {
+      case JArray(ts) => ts.map { t =>
+        (t \ "table", t \ "dir", t \ "snapshot_id") match {
+          case (JString(n), JString(dd), JInt(sid)) =>
+            CatalogEntry(n, dd, sid.toLong)
+          case other => sys.error(s"bad catalog entry in v$v: $other")
+        }
+      }
+      case other => sys.error(s"bad catalog body in v$v: $other")
+    }
+  }
+
+  /** Commit `updates` (table -> (dir, snapshot id)) as ONE new catalog
+    * version on top of the current one: unchanged tables carry
+    * forward, each pinned snapshot is validated to exist BEFORE the
+    * version slot is taken, and the slot itself is create-exclusive —
+    * a racing committer on the same base loses loudly and must re-read
+    * and retry. Returns the committed version.
+    */
+  def catalogCommit(spark: org.apache.spark.sql.SparkSession,
+                    catalogDir: String,
+                    updates: Map[String, (String, Long)]): Long = {
+    require(updates.nonEmpty, "catalogCommit needs at least one table")
+    val p = new org.apache.hadoop.fs.Path(catalogDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    updates.foreach { case (t, (dir, sid)) =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(dir,
+        s"manifest-$sid.json")),
+        s"table '$t': snapshot $sid does not exist under $dir — " +
+          "commit the table first, then pin it in the catalog")
+    }
+    val versions = catalogVersions(fs, catalogDir)
+    val base = versions.sorted.lastOption.getOrElse(0L)
+    val carried =
+      if (base == 0L) Nil
+      else catalogEntries(spark, catalogDir, base)
+        .filterNot(e => updates.contains(e.table))
+    val merged = (carried ++ updates.toSeq.map { case (t, (dd, sid)) =>
+      CatalogEntry(t, dd, sid)
+    }).sortBy(_.table)
+    val newVer = base + 1
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val body = JsonMethods.compact(JsonMethods.render(
+      ("version" -> newVer) ~
+        ("tables" -> merged.map(e =>
+          ("table" -> e.table) ~ ("dir" -> e.dir) ~
+            ("snapshot_id" -> e.snapshotId)))))
+    val tmp = new org.apache.hadoop.fs.Path(catalogDir,
+      s".catalog-v$newVer-${java.util.UUID.randomUUID()}.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val lock = new org.apache.hadoop.fs.Path(catalogDir,
+      s".catalog-v$newVer.lock")
+    val dest = new org.apache.hadoop.fs.Path(catalogDir,
+      s"catalog-v$newVer.json")
+    if (!createExclusive(fs, lock) || fs.exists(dest)) {
+      fs.delete(tmp, false)
+      sys.error(s"catalog version $newVer under $catalogDir was taken " +
+        "by a concurrent committer — re-read the catalog, re-derive on " +
+        "top of it, and retry")
+    }
+    require(fs.rename(tmp, dest), s"catalog rename failed for v$newVer")
+    newVer
+  }
+
+  /** Convenience: pin each table's CURRENT snapshot in one commit. */
+  def catalogCommitCurrent(spark: org.apache.spark.sql.SparkSession,
+                           catalogDir: String,
+                           tables: Map[String, String]): Long = {
+    catalogCommit(spark, catalogDir, tables.map { case (t, dir) =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ids = listSnapshotIds(fs, dir)
+      require(ids.nonEmpty, s"table '$t' has no snapshots under $dir")
+      t -> (dir, ids.max)
+    })
+  }
+
+  /** Read `table` through the catalog at `version` (default latest):
+    * the table's data AS OF the snapshot that catalog version pinned —
+    * appends no catalog version has published are invisible.
+    */
+  def catalogRead(spark: org.apache.spark.sql.SparkSession,
+                  catalogDir: String, table: String,
+                  version: Long = -1L): DataFrame = {
+    val entry = catalogEntries(spark, catalogDir, version)
+      .find(_.table == table)
+      .getOrElse(sys.error(
+        s"table '$table' not in catalog $catalogDir at version $version"))
+    snapshotRead(spark, entry.dir, entry.snapshotId)
+  }
 }

@@ -26,6 +26,46 @@ object Layout {
     // the pin leaked anywhere (expire dropped the manifest, vacuum
     // swept a data file, the ref resolved to the wrong id), the read
     // errors or hash-mismatches.
+    // Multi-table atomic catalog (q333, r12): two derived tables
+    // published together under versioned catalog commits. v1 pins the
+    // base aggregates, v2 pins both tables' appended batch in ONE
+    // commit, and a third table-level append that NO catalog version
+    // publishes must stay invisible to every catalog reader — the
+    // oracle recomputes both versions relationally, so a leak of the
+    // unpublished append (or a torn cross-table view) hash-mismatches.
+    "q333_catalog_txn" -> { (s, d) =>
+      val root = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/catalog")
+      val aDir = s"$root/tbl_a"; val bDir = s"$root/tbl_b"
+      val cat = s"$root/cat"
+      val cust = Tables.customer(s, d)
+      L.snapshotWrite(cust.groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("cnt")), aDir)
+      L.snapshotWrite(Tables.orders(s, d)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(sum("o_totalprice").as("total")), bDir)
+      val v1 = L.catalogCommitCurrent(s, cat, Map("a" -> aDir, "b" -> bDir))
+      val supp = Tables.supplier(s, d)
+      L.snapshotAppend(supp.groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("cnt")), aDir)
+      L.snapshotAppend(supp.groupBy(col("s_nationkey").as("nation"))
+        .agg(sum("s_acctbal").as("total")), bDir)
+      val v2 = L.catalogCommitCurrent(s, cat, Map("a" -> aDir, "b" -> bDir))
+      // landed but never published: invisible through the catalog
+      L.snapshotAppend(cust.select(col("c_nationkey").as("nation"))
+        .distinct().withColumn("cnt", lit(999L)), aDir)
+      def agg(df: DataFrame, v: String, c: String) =
+        df.groupBy("nation").agg(sum(c).as(v))
+      agg(L.catalogRead(s, cat, "a", v1), "cnt_v1", "cnt")
+        .join(agg(L.catalogRead(s, cat, "a", v2), "cnt_v2", "cnt"), "nation")
+        .join(agg(L.catalogRead(s, cat, "b", v1), "total_v1", "total"), "nation")
+        .join(agg(L.catalogRead(s, cat, "b", v2), "total_v2", "total"), "nation")
+        .select(col("nation"), col("cnt_v1"), col("cnt_v2"),
+          round(col("total_v1"), 2).as("total_v1"),
+          round(col("total_v2"), 2).as("total_v2"))
+    },
+
     "q284_snapshot_ref" -> { (s, d) =>
       val base = Fixtures.fresh(
         s"/tmp/graft_io/${new java.io.File(d).getName}/reftbl")
@@ -1053,6 +1093,31 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    // q333: both catalog versions recomputed relationally — v1 = the
+    // base aggregates, v2 = base + the supplier batch; the unpublished
+    // 999-count append appears in NEITHER.
+    "q333_catalog_txn" ->
+      """WITH a1 AS (SELECT c_nationkey AS nation, count(*) AS cnt
+             FROM customer GROUP BY 1),
+          sa AS (SELECT s_nationkey AS nation, count(*) AS cnt
+                 FROM supplier GROUP BY 1),
+          a2 AS (SELECT nation, SUM(cnt) AS cnt FROM
+                   (SELECT * FROM a1 UNION ALL SELECT * FROM sa)
+                 GROUP BY 1),
+          b1 AS (SELECT c_nationkey AS nation, SUM(o_totalprice) AS total
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 GROUP BY 1),
+          sb AS (SELECT s_nationkey AS nation, SUM(s_acctbal) AS total
+                 FROM supplier GROUP BY 1),
+          b2 AS (SELECT nation, SUM(total) AS total FROM
+                   (SELECT * FROM b1 UNION ALL SELECT * FROM sb)
+                 GROUP BY 1)
+          SELECT a1.nation, CAST(a1.cnt AS BIGINT) AS cnt_v1,
+               CAST(a2.cnt AS BIGINT) AS cnt_v2,
+               round(b1.total, 2) AS total_v1,
+               round(b2.total, 2) AS total_v2
+          FROM a1 JOIN a2 USING (nation) JOIN b1 USING (nation)
+               JOIN b2 USING (nation)""",
     "q297_unique_append" ->
       """SELECT doc_id, lang, 'table' AS side FROM documents
          UNION ALL

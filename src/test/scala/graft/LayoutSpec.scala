@@ -2229,4 +2229,59 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.snapshotRead(spark, dir).count() === 82)
     assert(Layout.snapshotCount(spark, dir) === 82L)
   }
+test("catalog: cross-table atomic publish, isolation, and carry-forward") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val aDir = s"$root/a"; val bDir = s"$root/b"; val cat = s"$root/cat"
+    Layout.snapshotWrite(Seq((1L, 10L)).toDF("k", "v"), aDir)
+    Layout.snapshotWrite(Seq((1L, 100L)).toDF("k", "v"), bDir)
+    val v1 = Layout.catalogCommitCurrent(spark, cat,
+      Map("a" -> aDir, "b" -> bDir))
+    assert(v1 == 1L)
+    // landed-but-unpublished append: invisible through the catalog
+    Layout.snapshotAppend(Seq((2L, 20L)).toDF("k", "v"), aDir)
+    assert(Layout.catalogRead(spark, cat, "a").count() == 1)
+    // publish ONLY table a at its new snapshot: b carries forward
+    val aIds = Layout.snapshotHistory(spark, aDir)
+      .select("snapshot_id").as[Long].collect()
+    val v2 = Layout.catalogCommit(spark, cat,
+      Map("a" -> ((aDir, aIds.max))))
+    assert(v2 == 2L)
+    assert(Layout.catalogRead(spark, cat, "a").count() == 2)
+    assert(Layout.catalogRead(spark, cat, "a", v1).count() == 1) // time travel
+    val entries = Layout.catalogEntries(spark, cat, v2)
+      .map(e => e.table -> e.snapshotId).toMap
+    assert(entries("b") == Layout.catalogEntries(spark, cat, v1)
+      .find(_.table == "b").get.snapshotId, "b must carry forward")
+    // validation: a snapshot id that does not exist is refused BEFORE
+    // the version slot is consumed
+    val e = intercept[RuntimeException](
+      Layout.catalogCommit(spark, cat, Map("a" -> ((aDir, 999L)))))
+    assert(e.getMessage.contains("does not exist"))
+    assert(Layout.catalogVersion(spark, cat) == 2L)
+  }
+
+  test("catalog: racing committers on one base version — exactly one wins, loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cat2").toString
+    val aDir = s"$root/a"; val cat = s"$root/cat"
+    Layout.snapshotWrite(Seq((1L, 1L)).toDF("k", "v"), aDir)
+    Layout.catalogCommitCurrent(spark, cat, Map("a" -> aDir))
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 4).map { _ =>
+      new Thread(() => {
+        barrier.await()
+        try { Layout.catalogCommit(spark, cat, Map("a" -> ((aDir, 1L))))
+          wins.incrementAndGet(); ()
+        } catch { case e: RuntimeException => losses.add(e.getMessage); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() == 1, s"expected exactly one winner, got ${wins.get()}")
+    assert(losses.size() == 3)
+    losses.forEach(m => assert(m.contains("concurrent"), m))
+    assert(Layout.catalogVersion(spark, cat) == 2L)
+  }
 }
