@@ -4156,7 +4156,8 @@ object Layout {
     */
   def catalogCommit(spark: org.apache.spark.sql.SparkSession,
                     catalogDir: String,
-                    updates: Map[String, (String, Long)]): Long = {
+                    updates: Map[String, (String, Long)],
+                    note: Option[String] = None): Long = {
     require(updates.nonEmpty, "catalogCommit needs at least one table")
     val p = new org.apache.hadoop.fs.Path(catalogDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -4180,7 +4181,7 @@ object Layout {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val body = JsonMethods.compact(JsonMethods.render(
-      ("version" -> newVer) ~
+      ("version" -> newVer) ~ ("note" -> note) ~
         ("tables" -> merged.map(e =>
           ("table" -> e.table) ~ ("dir" -> e.dir) ~
             ("snapshot_id" -> e.snapshotId)))))
@@ -4205,14 +4206,38 @@ object Layout {
   /** Convenience: pin each table's CURRENT snapshot in one commit. */
   def catalogCommitCurrent(spark: org.apache.spark.sql.SparkSession,
                            catalogDir: String,
-                           tables: Map[String, String]): Long = {
+                           tables: Map[String, String],
+                           note: Option[String] = None): Long = {
     catalogCommit(spark, catalogDir, tables.map { case (t, dir) =>
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val ids = listSnapshotIds(fs, dir)
       require(ids.nonEmpty, s"table '$t' has no snapshots under $dir")
       t -> (dir, ids.max)
-    })
+    }, note)
+  }
+
+  /** Every committed version's note (for idempotent publishers: a
+    * replayed batch checks its note before re-appending — the catalog
+    * file itself is the marker, so commit and marker are ONE atomic
+    * rename with no at-least-once window).
+    */
+  def catalogNotes(spark: org.apache.spark.sql.SparkSession,
+                   catalogDir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(catalogDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    catalogVersions(fs, catalogDir).flatMap { v =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(catalogDir,
+        s"catalog-v$v.json"))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      JsonMethods.parse(body) \ "note" match {
+        case JString(n) => Some(n)
+        case _ => None
+      }
+    }.toSet
   }
 
   /** Read `table` through the catalog at `version` (default latest):

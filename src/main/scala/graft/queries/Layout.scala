@@ -26,6 +26,42 @@ object Layout {
     // the pin leaked anywhere (expire dropped the manifest, vacuum
     // swept a data file, the ref resolved to the wrong id), the read
     // errors or hash-mismatches.
+    // Streaming multi-table publish (q334, r12): the corpus arrives as
+    // a file stream; each micro-batch fans out into two derived tables
+    // (per-lang partial aggregates + long-doc partial counts), both
+    // appended and pinned by ONE catalogCommit whose note IS the
+    // replay marker (commit and marker are one atomic rename). The
+    // result reads both tables through the catalog and re-aggregates
+    // the additive partials — the oracle recomputes everything from
+    // the source corpus, so a dropped batch, a torn publish, or a
+    // double-applied replay all hash-mismatch.
+    "q334_catalog_sink" -> { (s, d) =>
+      val base = Fixtures.fresh(
+        s"/tmp/graft_stream/${new java.io.File(d).getName}_catsink")
+      val in = s"$base/in"
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "n_chars")
+      docs.write.mode("overwrite").parquet(in)
+      graft.streaming.TableStreams.catalogSink(
+        s.readStream.schema(docs.schema).parquet(in),
+        s"$base/cat", s"$base/ckpt",
+        Map(
+          "bylang" -> ((s"$base/bylang", (b: DataFrame) =>
+            b.groupBy("lang").agg(count(lit(1)).as("n"),
+              sum("n_chars").as("chars")))),
+          "longdocs" -> ((s"$base/longdocs", (b: DataFrame) =>
+            b.filter(col("n_chars") > 100).groupBy("lang")
+              .agg(count(lit(1)).as("n_long"))))))
+      val a = L.catalogRead(s, s"$base/cat", "bylang")
+        .groupBy("lang").agg(sum("n").as("n_docs"),
+          sum("chars").as("sum_chars"))
+      val b = L.catalogRead(s, s"$base/cat", "longdocs")
+        .groupBy("lang").agg(sum("n_long").as("n_long"))
+      a.join(b, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          coalesce(col("n_long"), lit(0L)).as("n_long"))
+    },
+
     // Multi-table atomic catalog (q333, r12): two derived tables
     // published together under versioned catalog commits. v1 pins the
     // base aggregates, v2 pins both tables' appended batch in ONE
@@ -1093,6 +1129,19 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    // q334: the streamed multi-table publish re-derived from the
+    // source corpus (partial aggregates are additive, so any batch
+    // split re-aggregates to the same totals).
+    "q334_catalog_sink" ->
+      """WITH a AS (SELECT lang, count(*) AS n_docs, SUM(n_chars) AS sum_chars
+             FROM documents GROUP BY 1),
+          b AS (SELECT lang, count(*) AS n_long FROM documents
+                WHERE n_chars > 100 GROUP BY 1)
+          SELECT a.lang, CAST(a.n_docs AS BIGINT) AS n_docs,
+               CAST(a.sum_chars AS BIGINT) AS sum_chars,
+               CAST(coalesce(b.n_long, 0) AS BIGINT) AS n_long
+          FROM a LEFT JOIN b USING (lang)""",
+
     // q333: both catalog versions recomputed relationally — v1 = the
     // base aggregates, v2 = base + the supplier batch; the unpublished
     // 999-count append appears in NEITHER.

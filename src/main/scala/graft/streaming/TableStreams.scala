@@ -168,6 +168,65 @@ object TableStreams {
     q.awaitTermination()
   }
 
+  /** Streaming MULTI-TABLE publish: each micro-batch fans out into N
+    * derived tables (per-table transform of the batch), every derived
+    * frame appends to its snapshot dir, and then ONE
+    * [[Layout.catalogCommit]] pins all N new snapshots together —
+    * readers resolving through the catalog see each batch's outputs
+    * all-or-nothing, never a torn cross-table view.
+    *
+    * Idempotence is STRONGER than [[snapshotSink]]'s marker-file
+    * contract: the batch id rides INSIDE the catalog version as its
+    * `note`, so the commit and the replay marker are one atomic
+    * rename — no at-least-once window at all. A crash after the
+    * appends but before the commit leaves table snapshots that no
+    * catalog version references: invisible to catalog readers (the
+    * publish/land isolation property) and superseded by the replay's
+    * appends; expireSnapshots reclaims the orphaned attempt. A
+    * concurrent committer racing the version slot surfaces as the
+    * loud catalogCommit error — the batch retries on a re-read base.
+    */
+  def catalogSink(stream: DataFrame, catalogDir: String, checkpoint: String,
+                  tables: Map[String, (String, DataFrame => DataFrame)]): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    require(tables.nonEmpty, "catalogSink needs at least one table")
+    val id = sinkId(checkpoint)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val noteVal = s"$id-$batchId"
+        if (!Layout.catalogNotes(spark, catalogDir).contains(noteVal)) {
+          val pinned = batch.localCheckpoint() // N consumers, one compute
+          val updates = tables.toSeq.sortBy(_._1).map {
+            case (name, (dir, derive)) =>
+              val sid = Layout.snapshotAppend(derive(pinned), dir)
+              name -> ((dir, sid))
+          }.toMap
+          var committed = false
+          while (!committed) {
+            try {
+              Layout.catalogCommit(spark, catalogDir, updates,
+                note = Some(noteVal))
+              committed = true
+            } catch {
+              case e: RuntimeException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("concurrent") =>
+                // lost the version slot to another committer: our note
+                // is still unpublished — retry on the advanced base
+                committed =
+                  Layout.catalogNotes(spark, catalogDir).contains(noteVal)
+            }
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def snapshotSink(stream: DataFrame, dir: String, checkpoint: String,
                    statsCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.streaming.Trigger

@@ -2284,4 +2284,41 @@ test("catalog: cross-table atomic publish, isolation, and carry-forward") {
     losses.forEach(m => assert(m.contains("concurrent"), m))
     assert(Layout.catalogVersion(spark, cat) == 2L)
   }
+test("catalogSink: batch note suppresses replay double-apply; publish is all-or-nothing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_catsink").toString
+    val in = s"$root/in"; val cat = s"$root/cat"; val ckpt = s"$root/ckpt"
+    Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+      .toDF("id", "lang", "n").write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def run(): Unit = graft.streaming.TableStreams.catalogSink(
+      spark.readStream.schema(schema).parquet(in), cat, ckpt,
+      Map(
+        "counts" -> ((s"$root/counts", (b: org.apache.spark.sql.DataFrame) =>
+          b.groupBy("lang").agg(count(lit(1)).as("c")))),
+        "sums" -> ((s"$root/sums", (b: org.apache.spark.sql.DataFrame) =>
+          b.groupBy("lang").agg(sum("n").as("s"))))))
+    run()
+    val v1 = Layout.catalogVersion(spark, cat)
+    assert(v1 >= 1L)
+    def totals(): (Long, Long) = (
+      Layout.catalogRead(spark, cat, "counts")
+        .agg(sum("c")).as[Long].head(),
+      Layout.catalogRead(spark, cat, "sums")
+        .agg(sum("s")).as[Long].head())
+    assert(totals() == ((3L, 60L)))
+    // simulate a crash-replay: wipe the CHECKPOINT (batch ids restart
+    // at 0) but keep the catalog — the note embedded in each committed
+    // version must suppress every re-delivered batch
+    def rmAll(dir: String): Unit = {
+      val f = new java.io.File(dir)
+      if (f.isDirectory) f.listFiles().foreach(c => rmAll(c.getPath))
+      f.delete(); ()
+    }
+    rmAll(ckpt)
+    run()
+    assert(Layout.catalogVersion(spark, cat) == v1,
+      "replayed batches must not mint new catalog versions")
+    assert(totals() == ((3L, 60L)), "replay must not double-apply")
+  }
 }
