@@ -116,9 +116,20 @@ object Bench {
     // MaxSim — the rerank-only cost trend line next to q310's
     "q321_maxsim_funnel")
 
+  /** r12 additions: full baseline-JPEG decode over the corpus (the
+    * codec-bound mapPartitions shape), unigram-LM tokenizer training
+    * (the Viterbi-EM chain), balanced token sharding (global-rank
+    * two-phase prefix sum), RM3 pseudo-relevance feedback (two BM25
+    * passes + expansion mining), and the multi-table catalog
+    * transaction cycle (two derived tables, two versioned publishes,
+    * catalog reads at both versions).
+    */
+  private val headlineR12 = Seq("q326_jpeg_decode", "q324_unigram_train",
+    "q329_token_shards", "q331_bm25_prf", "q333_catalog_txn")
+
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++
-      headlineR10 ++ headlineR11
+      headlineR10 ++ headlineR11 ++ headlineR12
 
   /** 1/5/15-minute load averages as a JSON array ("[]" off-Linux). */
   private def loadavg(): String =
