@@ -178,7 +178,30 @@ class SnapshotSource extends RelationProvider
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     // DSv1 hands options through CaseInsensitiveMap, but be explicit
-    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val opts0 = parameters.map { case (k, v) => k.toLowerCase -> v }
+    // CATALOG resolution: `catalog` + `table` (+ optional
+    // `catalogVersion`) resolve to the dir and snapshot id the catalog
+    // version pinned — the multi-table-consistent read surface. The
+    // catalog IS the time-travel authority here, so the per-table
+    // travel options are refused.
+    val opts = opts0.get("catalog") match {
+      case Some(cat) =>
+        val tbl = opts0.getOrElse("table",
+          throw new IllegalArgumentException(
+            "catalog read needs .option(\"table\", <name>)"))
+        require(Seq("path", "snapshotid", "asoftimestamp", "ref")
+          .forall(!opts0.contains(_)),
+          "catalog read takes catalog/table/catalogVersion only — the " +
+            "catalog version pins the table dir and snapshot")
+        val ver = opts0.get("catalogversion").map(_.toLong).getOrElse(-1L)
+        val e = Layout.catalogEntries(spark, cat, ver).find(_.table == tbl)
+          .getOrElse(throw new IllegalArgumentException(
+            s"table '$tbl' not in catalog $cat" +
+              (if (ver >= 0) s" at version $ver" else "")))
+        opts0 - "catalog" - "table" - "catalogversion" +
+          ("path" -> e.dir) + ("snapshotid" -> e.snapshotId.toString)
+      case None => opts0
+    }
     val dir = opts.getOrElse("path",
       throw new IllegalArgumentException(
         "snapshot source needs .option(\"path\", <table dir>)"))

@@ -26,6 +26,47 @@ object Layout {
     // the pin leaked anywhere (expire dropped the manifest, vacuum
     // swept a data file, the ref resolved to the wrong id), the read
     // errors or hash-mismatches.
+    // Catalog SQL surface (q335, r12): q333's two-table publish read
+    // back through the pure `format("snapshot")` reader with
+    // catalog/table/catalogVersion options — the catalog version pins
+    // each table's dir AND snapshot, so cross-table consistency holds
+    // without any programmatic API. Reads v1 and latest side by side;
+    // the oracle recomputes both relationally.
+    "q335_catalog_sql" -> { (s, d) =>
+      val root = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/catsql")
+      val aDir = s"$root/tbl_a"; val bDir = s"$root/tbl_b"
+      val cat = s"$root/cat"
+      val cust = Tables.customer(s, d)
+      L.snapshotWrite(cust.groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("cnt")), aDir)
+      L.snapshotWrite(Tables.orders(s, d)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(sum("o_totalprice").as("total")), bDir)
+      val v1 = L.catalogCommitCurrent(s, cat, Map("a" -> aDir, "b" -> bDir))
+      val supp = Tables.supplier(s, d)
+      L.snapshotAppend(supp.groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("cnt")), aDir)
+      L.snapshotAppend(supp.groupBy(col("s_nationkey").as("nation"))
+        .agg(sum("s_acctbal").as("total")), bDir)
+      L.catalogCommitCurrent(s, cat, Map("a" -> aDir, "b" -> bDir))
+      def rd(table: String, ver: Long = -1L) = {
+        val r = s.read.format("snapshot")
+          .option("catalog", cat).option("table", table)
+        (if (ver >= 0) r.option("catalogVersion", ver) else r).load()
+      }
+      def agg(df: DataFrame, v: String, c: String) =
+        df.groupBy("nation").agg(sum(c).as(v))
+      agg(rd("a", v1), "cnt_v1", "cnt")
+        .join(agg(rd("a"), "cnt_latest", "cnt"), "nation")
+        .join(agg(rd("b", v1), "total_v1", "total"), "nation")
+        .join(agg(rd("b"), "total_latest", "total"), "nation")
+        .select(col("nation"), col("cnt_v1"), col("cnt_latest"),
+          round(col("total_v1"), 2).as("total_v1"),
+          round(col("total_latest"), 2).as("total_latest"))
+    },
+
     // Streaming multi-table publish (q334, r12): the corpus arrives as
     // a file stream; each micro-batch fans out into two derived tables
     // (per-lang partial aggregates + long-doc partial counts), both
@@ -1129,6 +1170,31 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    // q335: the SQL-surface catalog reads recomputed — identical CTE
+    // shape to q333 with latest == v2.
+    "q335_catalog_sql" ->
+      """WITH a1 AS (SELECT c_nationkey AS nation, count(*) AS cnt
+             FROM customer GROUP BY 1),
+          sa AS (SELECT s_nationkey AS nation, count(*) AS cnt
+                 FROM supplier GROUP BY 1),
+          a2 AS (SELECT nation, SUM(cnt) AS cnt FROM
+                   (SELECT * FROM a1 UNION ALL SELECT * FROM sa)
+                 GROUP BY 1),
+          b1 AS (SELECT c_nationkey AS nation, SUM(o_totalprice) AS total
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 GROUP BY 1),
+          sb AS (SELECT s_nationkey AS nation, SUM(s_acctbal) AS total
+                 FROM supplier GROUP BY 1),
+          b2 AS (SELECT nation, SUM(total) AS total FROM
+                   (SELECT * FROM b1 UNION ALL SELECT * FROM sb)
+                 GROUP BY 1)
+          SELECT a1.nation, CAST(a1.cnt AS BIGINT) AS cnt_v1,
+               CAST(a2.cnt AS BIGINT) AS cnt_latest,
+               round(b1.total, 2) AS total_v1,
+               round(b2.total, 2) AS total_latest
+          FROM a1 JOIN a2 USING (nation) JOIN b1 USING (nation)
+               JOIN b2 USING (nation)""",
+
     // q334: the streamed multi-table publish re-derived from the
     // source corpus (partial aggregates are additive, so any batch
     // split re-aggregates to the same totals).

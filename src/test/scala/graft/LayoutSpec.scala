@@ -2321,4 +2321,31 @@ test("catalogSink: batch note suppresses replay double-apply; publish is all-or-
       "replayed batches must not mint new catalog versions")
     assert(totals() == ((3L, 60L)), "replay must not double-apply")
   }
+test("catalog SQL surface: format(snapshot) resolves catalog/table/version") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_catsql").toString
+    val aDir = s"$root/a"; val cat = s"$root/cat"
+    Layout.snapshotWrite(Seq((1L, 10L)).toDF("k", "v"), aDir)
+    val v1 = Layout.catalogCommitCurrent(spark, cat, Map("a" -> aDir))
+    Layout.snapshotAppend(Seq((2L, 20L)).toDF("k", "v"), aDir)
+    Layout.catalogCommitCurrent(spark, cat, Map("a" -> aDir))
+    def rd(opts: (String, String)*) = {
+      val r = spark.read.format("snapshot")
+      opts.foreach { case (k, vv) => r.option(k, vv) }
+      r.load()
+    }
+    assert(rd("catalog" -> cat, "table" -> "a").count() == 2)
+    assert(rd("catalog" -> cat, "table" -> "a",
+      "catalogVersion" -> v1.toString).count() == 1)
+    // the catalog is the time-travel authority: per-table options refused
+    val e1 = intercept[IllegalArgumentException](
+      rd("catalog" -> cat, "table" -> "a", "snapshotId" -> "1"))
+    assert(e1.getMessage.contains("catalog"))
+    val e2 = intercept[IllegalArgumentException](
+      rd("catalog" -> cat, "table" -> "nope"))
+    assert(e2.getMessage.contains("not in catalog"))
+    // metadata tables compose: .files at the version-pinned snapshot
+    assert(rd("catalog" -> cat, "table" -> "a",
+      "catalogVersion" -> v1.toString, "metadata" -> "files").count() >= 1)
+  }
 }
