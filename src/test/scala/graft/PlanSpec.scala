@@ -537,4 +537,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(1200))
     assert(!plan.contains("Exchange"), plan.take(1200))
   }
+test("q326: JPEG decode is one narrow codec pass — no shuffle, no join") {
+    val plan = planOf("q326_jpeg_decode")
+    assert(!plan.contains("hashpartitioning"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
+  test("q331: both BM25 passes broadcast their stats sides, never a cartesian") {
+    val plan = planOf("q331_bm25_prf")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the only nested-loop joins are the 1-row corpus-stats attaches
+    // (crossJoin(broadcast(stats)) — the accepted broadcast-literal
+    // pattern): one per BM25 pass, never more
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
+      plan.take(1500))
+    // df tables ride broadcast hash joins into the postings
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("q329: token sharding has no single-partition window and no join") {
+    // the global rank is the two-phase prefix sum — a Window with an
+    // empty partition spec would be the single-task anti-pattern
+    val plan = planOf("q329_token_shards")
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
 }
