@@ -120,6 +120,62 @@ object Joins {
         col("fill_value"))
   }
 
+  /** Regular-grid resampling with LINEAR interpolation —
+    * [[gapFillDaily]]'s sibling for numeric series (the
+    * InfluxDB/Timescale `interpolate(gapfill(...))` shape): per key, a
+    * `stepSeconds` bucket spine spans the observed range, and each
+    * bucket takes pv + (nv − pv)·(t − pt)/(nt − pt) between its
+    * nearest past and future observations. Buckets outside the
+    * observed interior (no past or no future neighbor) stay null —
+    * strict interpolation, never extrapolation.
+    *
+    * Scale shape: ONE union of spine and observations, one shuffle on
+    * the key, and two partition-local window passes (ascending carry
+    * of the last past observation, descending carry of the first
+    * future one) — the asOfJoin plan run in both directions without a
+    * second shuffle. Equal-time ties: at a bucket that IS an
+    * observation time, past carries the greatest (ts, value) struct
+    * and future the smallest, and nt == pt short-circuits to pv — both
+    * deterministic.
+    */
+  def interpolateLinear(events: DataFrame, keyCol: String, tsCol: String,
+                        valCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"bad step $stepSeconds")
+    val obs = events
+      .select(col(keyCol).as("k"),
+        unix_timestamp(col(tsCol)).as("t"), col(valCol).as("v"))
+      .filter(col("v").isNotNull)
+    val spine = obs.groupBy("k")
+      .agg((floor(min(col("t")) / stepSeconds) * stepSeconds).cast("long")
+          .as("_t0"),
+        (floor(max(col("t")) / stepSeconds) * stepSeconds).cast("long")
+          .as("_t1"))
+      .select(col("k"),
+        explode(sequence(col("_t0"), col("_t1"), lit(stepSeconds))).as("t"))
+    val u = spine
+      .select(col("k"), col("t"), lit(1).as("_is_left"),
+        lit(null).cast("struct<ot:bigint,v:double>").as("_p"))
+      .unionByName(obs.select(col("k"), col("t"), lit(0).as("_is_left"),
+        struct(col("t").as("ot"), col("v")).as("_p")))
+    val wPrev = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("_is_left").asc, col("_p").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("k")
+      .orderBy(col("t").desc, col("_is_left").asc, col("_p").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("_prev", last(col("_p"), ignoreNulls = true).over(wPrev))
+      .withColumn("_next", last(col("_p"), ignoreNulls = true).over(wNext))
+      .filter(col("_is_left") === 1)
+      .select(col("k").as(keyCol), col("t").as("bucket_ts"),
+        (round(
+          when(col("_prev").isNull || col("_next").isNull, lit(null))
+            .when(col("_next.ot") === col("_prev.ot"), col("_prev.v"))
+            .otherwise(col("_prev.v") + (col("_next.v") - col("_prev.v")) *
+              ((col("t") - col("_prev.ot")) /
+                (col("_next.ot") - col("_prev.ot")))), 4) + lit(0.0))
+          .as("v_interp"))
+  }
+
   /** Range join (point-in-interval): match every left "point" row to
     * the right interval rows containing it ([startCol, endCol], same
     * `key`). The naive `ts BETWEEN s AND e` join has no equi condition

@@ -75,6 +75,17 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Linear interpolation on a regular grid (q336, r12): per user, a
+    // 6-hour bucket spine over the observed range; each bucket takes
+    // pv + (nv−pv)·(t−pt)/(nt−pt) between its nearest past and future
+    // observations (strict interior — edges stay null). One shuffle,
+    // two window passes; the oracle replays the same union-window
+    // carries with identical tie rules.
+    "q336_interpolate" -> { (s, d) =>
+      graft.operators.Joins.interpolateLinear(Tables.events(s, d),
+        "user_id", "ts", "value", stepSeconds = 21600L)
+    },
+
     // Batch/stream PARITY under the oracle (not just StreamingSpec):
     // q40's windowed aggregation executed by Structured Streaming —
     // file source → watermarked window agg → parquet file sink (append
@@ -614,6 +625,39 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // q336: the union-window interpolation replayed — same spine
+    // arithmetic, same ascending/descending carries, same equal-time
+    // tie rules (past takes the greatest (ts, value) struct, future
+    // the smallest; nt == pt short-circuits to pv).
+    "q336_interpolate" ->
+      """WITH e AS (SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+               "value" AS v
+             FROM events WHERE "value" IS NOT NULL),
+          b AS (SELECT k, min(t) // 21600 * 21600 AS t0,
+                  max(t) // 21600 * 21600 AS t1
+                FROM e GROUP BY 1),
+          sp AS (SELECT k, unnest(generate_series(t0, t1, 21600)) AS t FROM b),
+          u AS (SELECT k, t, 1 AS is_left,
+                  CAST(NULL AS STRUCT(ot BIGINT, v DOUBLE)) AS p
+                FROM sp
+                UNION ALL
+                SELECT k, t, 0, {'ot': t, 'v': v} FROM e),
+          w AS (SELECT k, t, is_left,
+                  last_value(p IGNORE NULLS) OVER (PARTITION BY k
+                    ORDER BY t ASC, is_left ASC, p ASC
+                    ROWS UNBOUNDED PRECEDING) AS prev,
+                  last_value(p IGNORE NULLS) OVER (PARTITION BY k
+                    ORDER BY t DESC, is_left ASC, p DESC
+                    ROWS UNBOUNDED PRECEDING) AS nxt
+                FROM u)
+          SELECT k AS user_id, t AS bucket_ts,
+               round(CASE WHEN prev IS NULL OR nxt IS NULL THEN NULL
+                          WHEN nxt.ot = prev.ot THEN prev.v
+                          ELSE prev.v + (nxt.v - prev.v) *
+                            ((t - prev.ot) / (nxt.ot - prev.ot)) END, 4)
+                 + 0.0 AS v_interp
+          FROM w WHERE is_left = 1""",
+
     // q238: boundary deltas + global running sum ordered (t, delta) —
     // −1 before +1 at a shared instant (half-open intervals) — final
     // depth per instant at the last tie (arg_max on position).

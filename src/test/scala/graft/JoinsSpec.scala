@@ -187,4 +187,24 @@ class JoinsSpec extends AnyFunSuite {
     assert(got(7L) === ((None, None)))
     assert(got.size === 7, "multi-tile blocks must not duplicate matches")
   }
+test("interpolateLinear fills interior buckets exactly; edges stay null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = Seq(
+      (1L, 0L, 10.0), (1L, 100L, 30.0), // linear ramp 10 -> 30 over 100 s
+      (2L, 50L, 5.0)                    // single observation: no interior
+    ).toDF("user_id", "es", "value")
+      .withColumn("ts", to_timestamp(col("es")))
+    val got = graft.operators.Joins
+      .interpolateLinear(events, "user_id", "ts", "value", stepSeconds = 20L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    for ((t, v) <- Seq(0L -> 10.0, 20L -> 14.0, 40L -> 18.0,
+        60L -> 22.0, 80L -> 26.0, 100L -> 30.0))
+      assert(got((1L, t)) == Some(v), s"bucket $t")
+    // key 2: spine = [40, 40]; no PAST observation at 40 -> strict null
+    assert(got((2L, 40L)).isEmpty)
+    assert(got.size == 7)
+  }
 }
