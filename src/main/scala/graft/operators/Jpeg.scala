@@ -452,6 +452,7 @@ object Jpeg {
         block(0) = pred.toDouble * qt(0)
         var k = 1
         var done = false
+        var anyAc = false
         while (k < 64 && !done) {
           val rs = br.decodeHuff(acT)
           val r = rs >> 4
@@ -462,10 +463,16 @@ object Jpeg {
             k += r
             require(k < 64, "AC coefficient index overflow")
             block(Zigzag(k)) = extend(br.receive(s), s).toDouble * qt(Zigzag(k))
+            anyAc = true
             k += 1
           }
         }
-        idct(block)
+        // DC-only shortcut (libjpeg's dcval path): the IDCT of a lone
+        // DC coefficient is the uniform value F00/8 — skip the two
+        // 8-point passes entirely. Bit-compatible with the full IDCT
+        // within its own ±1-at-.5-boundary tolerance.
+        if (!anyAc) java.util.Arrays.fill(block, block(0) / 8.0)
+        else idct(block)
         var y = 0
         while (y < 8) {
           val py = by * 8 + y
