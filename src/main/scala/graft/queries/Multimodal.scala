@@ -157,6 +157,25 @@ object Multimodal {
         .crossJoin(broadcast(emb))
     },
 
+    // NPY shard round-trip (q337, r12): the embedding interchange
+    // format training/ANN pipelines ship — each partition writes an
+    // ids.npy + vec.npy pair (int64 / float32, real NumPy v1.0
+    // headers), read back one task per pair with headers validated.
+    // float32 source ⇒ the round trip is bit-exact; the oracle
+    // recomputes each vector's dimension-ordered sum from the source
+    // table, so a byte-order slip, a header off-by-one, or a
+    // pair-mismatch breaks the hash.
+    "q337_npy_roundtrip" -> { (s, d) =>
+      val dir = s"/tmp/graft_io/${new java.io.File(d).getName}/npy"
+      graft.io.Npy.write(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+      graft.io.Npy.read(s, dir)
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          (round(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast("double")), 6) + lit(0.0)).as("vec_sum"))
+    },
+
     // Schema evolution (q148): two corpus snapshots written at
     // different schema versions — v2 adds a `quality` column — read
     // back as ONE table via mergeSchema. The old snapshot's rows
@@ -439,6 +458,14 @@ object Multimodal {
          SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
               CAST(NULL AS BIGINT), true
          FROM documents WHERE doc_id % 10 = 0""",
+    // q337: dimension-ordered left fold with double accumulation — the
+    // engine's aggregate() order exactly.
+    "q337_npy_roundtrip" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+              round(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) + 0.0
+                AS vec_sum
+         FROM embeddings""",
     "q148_schema_evolution" ->
       """SELECT doc_id, md5(text) AS text_md5,
               CASE WHEN doc_id % 2 = 1 THEN n_chars END AS quality
