@@ -74,6 +74,14 @@ object Npy {
           val d = vecs.head.length
           require(vecs.forall(_.length == d),
             s"ragged embedding dimensions in one shard (expected $d)")
+          // The shard payload is buffered in one ByteBuffer, so a shard
+          // is capped at 2 GB (Int-indexed arrays). Check with Long
+          // arithmetic BEFORE allocating: silent Int wraparound in
+          // `n * d * 4` would size a too-small buffer and corrupt the
+          // shard. Oversized partitions must repartition first.
+          checkByteSize(ids.length.toLong * 8L, s"ids shard (partition)")
+          checkByteSize(vecs.length.toLong * d.toLong * 4L,
+            s"vec shard (partition, ${vecs.length} x $d float32)")
           val pid = TaskContext.getPartitionId()
           val fsw = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(confBc.value.toConf)
@@ -102,6 +110,20 @@ object Npy {
   }
 
   private[io] final case class NpyHeader(descr: String, rows: Int, cols: Int)
+
+  /** Loud guard against the Int/2GB buffer limit: every payload here is
+    * materialized in one Array[Byte], so `rows * width` computed in Int
+    * would wrap past 2^31 (NegativeArraySizeException at best, a silent
+    * short buffer at worst). All size arithmetic goes through Long and
+    * this check.
+    */
+  private def checkByteSize(bytes: Long, what: String): Int = {
+    require(bytes >= 0 && bytes <= Int.MaxValue.toLong,
+      s"$what is $bytes bytes — exceeds the 2GB single-shard limit of " +
+        "this NPY reader/writer; split into more shards (repartition) " +
+        "or use smaller partitions")
+    bytes.toInt
+  }
 
   /** Parse an NPY v1.x header from an open stream positioned at byte 0,
     * returning the dtype and shape; throws on anything malformed.
@@ -162,10 +184,12 @@ object Npy {
           require(vh.descr == "<f4", s"vec shard dtype ${vh.descr}, expected <f4")
           require(ih.rows == vh.rows,
             s"shard pair disagrees: ${ih.rows} ids vs ${vh.rows} vectors")
-          val idBytes = new Array[Byte](ih.rows * 8)
+          val idBytes = new Array[Byte](
+            checkByteSize(ih.rows.toLong * 8L, s"$base-ids.npy payload"))
           ii.readFully(idBytes)
           val ib = ByteBuffer.wrap(idBytes).order(ByteOrder.LITTLE_ENDIAN)
-          val vecBytes = new Array[Byte](vh.rows * vh.cols * 4)
+          val vecBytes = new Array[Byte](checkByteSize(
+            vh.rows.toLong * vh.cols.toLong * 4L, s"$base-vec.npy payload"))
           vi.readFully(vecBytes)
           val vb = ByteBuffer.wrap(vecBytes).order(ByteOrder.LITTLE_ENDIAN)
           (0 until ih.rows).map { _ =>

@@ -301,8 +301,18 @@ object Jpeg {
   private final class BitReader(bytes: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nBits = 0
+    private var sawMarker = false
     def readBit(): Int = {
       if (nBits == 0) {
+        // T.81 F.2.2.5: a marker mid-read supplies 1-fill bits to
+        // complete the CURRENT decode — one byte of fill covers the ≤7
+        // legal pad bits. A refill still hungry after that byte means
+        // the scan over-ran into the marker (truncated/corrupt stream),
+        // which must fail loudly, not decode the marker identifier
+        // byte (e.g. the D9 of EOI) as entropy data.
+        if (sawMarker)
+          throw new IllegalArgumentException(
+            "entropy stream over-ran into a marker — truncated or corrupt scan")
         require(pos < bytes.length, "truncated entropy stream")
         var b = bytes(pos) & 0xff
         pos += 1
@@ -310,7 +320,14 @@ object Jpeg {
           require(pos < bytes.length, "truncated after 0xFF")
           val m = bytes(pos) & 0xff
           if (m == 0x00) pos += 1 // stuffed byte: data 0xFF
-          else { b = 0xff } // marker reached mid-read: T.81 fills with 1s
+          else {
+            // marker reached mid-read: rewind so pos still points AT
+            // the 0xFF (restart() can consume an RST), latch the flag,
+            // and serve this one byte of 1-fill
+            pos -= 1
+            sawMarker = true
+            b = 0xff
+          }
         }
         acc = b; nBits = 8
       }
@@ -323,13 +340,17 @@ object Jpeg {
       while (i < n) { v = (v << 1) | readBit(); i += 1 }
       v
     }
-    /** Byte-align and consume an expected RSTn marker. */
+    /** Byte-align and consume an expected RSTn marker. Clears the
+      * marker latch: fill bits before an RST followed by resync is the
+      * one legal way a well-formed stream touches a marker mid-read.
+      */
     def restart(): Unit = {
       nBits = 0
       require(pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
         (bytes(pos + 1) & 0xf8) == 0xd0,
         f"expected RST marker at $pos, got ${bytes(pos) & 0xff}%02x ${bytes(pos + 1) & 0xff}%02x")
       pos += 2
+      sawMarker = false
     }
     def decodeHuff(t: HuffTable): Int = {
       var code = readBit()

@@ -4193,13 +4193,42 @@ object Layout {
       s".catalog-v$newVer.lock")
     val dest = new org.apache.hadoop.fs.Path(catalogDir,
       s"catalog-v$newVer.json")
-    if (!createExclusive(fs, lock) || fs.exists(dest)) {
+    if (!createExclusive(fs, lock)) {
       fs.delete(tmp, false)
+      // Distinguish the live race from its debris: a lock with no
+      // published version behind it means a previous committer crashed
+      // (or failed its rename) between createExclusive and rename —
+      // retrying against it can never succeed, so name the remediation
+      // instead of misdiagnosing it as a concurrent committer (the same
+      // contract the manifest commit's stale-.commit-lock message gives).
+      if (!fs.exists(dest))
+        sys.error(s"catalog version $newVer under $catalogDir is held by " +
+          s"a stale lock: .catalog-v$newVer.lock exists but " +
+          s"catalog-v$newVer.json does not — a previous committer crashed " +
+          "between lock and rename. Remove the stale lock to retry the " +
+          "version.")
       sys.error(s"catalog version $newVer under $catalogDir was taken " +
         "by a concurrent committer — re-read the catalog, re-derive on " +
         "top of it, and retry")
     }
-    require(fs.rename(tmp, dest), s"catalog rename failed for v$newVer")
+    // Legacy catalogs (pre-lock commits) publish versions without
+    // tokens: winning the lock for a version that already exists must
+    // refuse — and release the token it wrongly acquired, so the next
+    // base re-read is not wedged behind our debris.
+    if (fs.exists(dest)) {
+      fs.delete(tmp, false)
+      fs.delete(lock, false)
+      sys.error(s"catalog version $newVer under $catalogDir was taken " +
+        "by a concurrent committer — re-read the catalog, re-derive on " +
+        "top of it, and retry")
+    }
+    if (!fs.rename(tmp, dest)) {
+      // A failed rename must not strand the lock: with the token left
+      // behind and no dest, every future committer of this version
+      // would hit the stale-lock error above instead of retrying.
+      fs.delete(lock, false)
+      sys.error(s"catalog rename failed for v$newVer under $catalogDir")
+    }
     newVer
   }
 

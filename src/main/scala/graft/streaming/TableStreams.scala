@@ -202,8 +202,19 @@ object TableStreams {
               val sid = Layout.snapshotAppend(derive(pinned), dir)
               name -> ((dir, sid))
           }.toMap
+          // Bounded retry with linear backoff: a LIVE race resolves in
+          // one or two re-reads (the winner published, our base
+          // advances), so a commit still failing after maxAttempts is
+          // environmental — most likely a stale lock from a crashed
+          // committer (catalogCommit names that case explicitly) — and
+          // busy-spinning on it would wedge the stream forever. Fail
+          // the batch loudly instead; the checkpoint replays it once
+          // the operator clears the debris.
+          val maxAttempts = 8
           var committed = false
+          var attempt = 0
           while (!committed) {
+            attempt += 1
             try {
               Layout.catalogCommit(spark, catalogDir, updates,
                 note = Some(noteVal))
@@ -211,11 +222,13 @@ object TableStreams {
             } catch {
               case e: RuntimeException
                   if e.getMessage != null &&
-                    e.getMessage.contains("concurrent") =>
+                    e.getMessage.contains("concurrent") &&
+                    attempt < maxAttempts =>
                 // lost the version slot to another committer: our note
                 // is still unpublished — retry on the advanced base
                 committed =
                   Layout.catalogNotes(spark, catalogDir).contains(noteVal)
+                if (!committed) Thread.sleep(200L * attempt)
             }
           }
         }
