@@ -1937,7 +1937,12 @@ object Corpus {
     var vocab = Parallelism.ensure(docs)
       .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(lower(col("tok")).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
+      // {1,12} word-length cap — the unigram-family contract ([a-z]{1,16}
+      // there): an EXPLICIT bound both engine and oracle enforce, so the
+      // oracle's fixed greedy-segmentation chain depth (12 steps — each
+      // consumes ≥1 char) is guaranteed by the data contract, not by a
+      // comment about the fixture.
+      .filter(col("word").rlike("^[a-z]{1,12}$"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"),
         concat_ws("", transform(chars, c => concat(lit("("), c, lit(")"))))
@@ -2018,7 +2023,7 @@ object Corpus {
     val words = docs
       .select(explode(filter(
         transform(TextFunctions.tokens(col(textCol)), t => lower(t)),
-        w => w.rlike("^[a-z]+$"))).as("word"))
+        w => w.rlike("^[a-z]{1,12}$"))).as("word")) // train's word cap
       .distinct()
     val segmented = words.as[String].mapPartitions { it =>
       it.map { w =>
@@ -2040,7 +2045,7 @@ object Corpus {
       .select(col(idCol).as("doc_id"),
         explode_outer(filter(
           transform(TextFunctions.tokens(col(textCol)), t => lower(t)),
-          w => w.rlike("^[a-z]+$"))).as("word"))
+          w => w.rlike("^[a-z]{1,12}$"))).as("word"))
       .join(broadcast(segmented), Seq("word"), "left")
     perDoc.groupBy("doc_id")
       .agg(count(col("word")).cast("int").as("n_words"),

@@ -159,7 +159,11 @@ class CurationOpsSpec extends AnyFunSuite {
     // pair scores: (a,b) = 3/21, (a,a) = 2/49, (x,y) = 1/1 → WordPiece
     // merges the RARE-but-exclusive (x,y) first (BPE would take (a,b)).
     // Round 2: (a,b) 3/(7·3); round 3: (a,a) 2/(4·4); then no pairs.
-    val docs = Seq((1L, "aa ab aa"), (2L, "ab ab xy")).toDF("doc_id", "text")
+    // the 13-char word is over the {1,12} word-length cap (the unigram
+    // family's explicit-bound contract) — excluded from training, so
+    // the expected merge table is unchanged by its presence
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab ab xy"),
+      (3L, "abababababaab")).toDF("doc_id", "text")
     val out = Corpus.wordpieceTrain(docs, "text", merges = 5)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6)))
