@@ -68,6 +68,28 @@ object Jpeg {
     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
     0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
 
+  // Standard Annex K CHROMINANCE Huffman tables (T.81 Tables K.4/K.6) —
+  // the color encoder's tables 1; the decoder still reads all tables
+  // from DHT.
+  private val DcBitsC = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcValsC = (0 to 11).map(_.toByte).toArray
+  private val AcBitsC = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcValsC: Array[Byte] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
   /** Flat quantization table: DC step 1 keeps uniform blocks exact (the
     * oracle contract); a real deployment swaps in a perceptual table —
     * the pipeline is identical.
@@ -151,6 +173,62 @@ object Jpeg {
     t
   }
 
+  /** Per-component block encoder: gather an 8×8 block from a plane
+    * (edge replication past the plane bounds), level shift, FDCT,
+    * quantize, DC-diff + AC-run-length Huffman. One instance per scan
+    * component — `pred` is that component's DC predictor.
+    */
+  private final class BlockEncoder(bw: BitWriter, quant: Array[Int],
+                                   dcTab: Array[(Int, Int)],
+                                   acTab: Array[(Int, Int)]) {
+    private val block = new Array[Double](64)
+    private val coef = new Array[Int](64)
+    var pred = 0
+    def encode(plane: Array[Byte], pw: Int, ph: Int, ox: Int, oy: Int): Unit = {
+      var y = 0
+      while (y < 8) {
+        val sy = math.min(oy + y, ph - 1)
+        var x = 0
+        while (x < 8) {
+          val sx = math.min(ox + x, pw - 1)
+          block(y * 8 + x) = (plane(sy * pw + sx) & 0xff) - 128.0
+          x += 1
+        }
+        y += 1
+      }
+      fdct(block)
+      var i = 0
+      while (i < 64) { coef(i) = Math.round(block(i) / quant(i)).toInt; i += 1 }
+      // DC
+      val diff = coef(0) - pred
+      pred = coef(0)
+      val t = category(diff)
+      val (dcCode, dcLen) = dcTab(t)
+      bw.put(dcCode, dcLen)
+      if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      // AC
+      var run = 0
+      var lastNz = 0
+      var k = 1
+      while (k < 64) { if (coef(Zigzag(k)) != 0) lastNz = k; k += 1 }
+      k = 1
+      while (k <= lastNz) {
+        val v = coef(Zigzag(k))
+        if (v == 0) run += 1
+        else {
+          while (run > 15) { val (c, l) = acTab(0xf0); bw.put(c, l); run -= 16 }
+          val s = category(v)
+          val (c, l) = acTab((run << 4) | s)
+          bw.put(c, l)
+          bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (lastNz < 63) { val (c, l) = acTab(0x00); bw.put(c, l) } // EOB
+    }
+  }
+
   /** Encode 8-bit grayscale pixels as a baseline sequential JPEG: SOI,
     * DQT (`quant`, natural order in, zigzag on the wire), SOF0, DHT
     * (standard luminance DC+AC), optional DRI, SOS, entropy-coded
@@ -181,14 +259,11 @@ object Jpeg {
     if (restartInterval > 0)
       segment(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
     segment(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS
-    val dcTab = buildEncodeTable(DcBits, DcVals)
-    val acTab = buildEncodeTable(AcBits, AcVals)
     val bw = new BitWriter(out)
+    val enc = new BlockEncoder(bw, quant,
+      buildEncodeTable(DcBits, DcVals), buildEncodeTable(AcBits, AcVals))
     val bw8 = (width + 7) / 8
     val bh8 = (height + 7) / 8
-    val block = new Array[Double](64)
-    val coef = new Array[Int](64)
-    var pred = 0
     var mcu = 0
     var rstIdx = 0
     var by = 0
@@ -199,54 +274,109 @@ object Jpeg {
           bw.flush()
           marker(0xd0 + rstIdx)
           rstIdx = (rstIdx + 1) % 8
-          pred = 0
+          enc.pred = 0
         }
-        // gather with edge replication + level shift
-        var y = 0
-        while (y < 8) {
-          val sy = math.min(by * 8 + y, height - 1)
-          var x = 0
-          while (x < 8) {
-            val sx = math.min(bx * 8 + x, width - 1)
-            block(y * 8 + x) = (pixels(sy * width + sx) & 0xff) - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        fdct(block)
-        var i = 0
-        while (i < 64) { coef(i) = Math.round(block(i) / quant(i)).toInt; i += 1 }
-        // DC
-        val diff = coef(0) - pred
-        pred = coef(0)
-        val t = category(diff)
-        val (dcCode, dcLen) = dcTab(t)
-        bw.put(dcCode, dcLen)
-        if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
-        // AC
-        var run = 0
-        var lastNz = 0
-        var k = 1
-        while (k < 64) { if (coef(Zigzag(k)) != 0) lastNz = k; k += 1 }
-        k = 1
-        while (k <= lastNz) {
-          val v = coef(Zigzag(k))
-          if (v == 0) run += 1
-          else {
-            while (run > 15) { val (c, l) = acTab(0xf0); bw.put(c, l); run -= 16 }
-            val s = category(v)
-            val (c, l) = acTab((run << 4) | s)
-            bw.put(c, l)
-            bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
-            run = 0
-          }
-          k += 1
-        }
-        if (lastNz < 63) { val (c, l) = acTab(0x00); bw.put(c, l) } // EOB
+        enc.encode(pixels, width, height, bx * 8, by * 8)
         mcu += 1
         bx += 1
       }
       by += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a COLOR baseline sequential JPEG from YCbCr planes (JFIF
+    * full-range): SOI, APP0 JFIF, two DQTs (luma table 0, chroma table
+    * 1), 3-component SOF0 with sampling factors `hSamp`×`vSamp` on Y
+    * and 1×1 on chroma — (1,1) = 4:4:4, (2,1) = 4:2:2, (2,2) = 4:2:0 —
+    * four DHTs (Annex K luma + chroma), optional DRI, one interleaved
+    * scan in MCU order (Y's vSamp×hSamp blocks raster-order, then Cb,
+    * then Cr; per-component DC predictors; RSTn resets all three).
+    * The chroma planes are supplied at THEIR resolution
+    * (ceil(width/hSamp) × ceil(height/vSamp)) — the caller picks the
+    * downsampling; block edges past any plane replicate.
+    */
+  def encodeColor(width: Int, height: Int,
+                  yPlane: Array[Byte], cbPlane: Array[Byte], crPlane: Array[Byte],
+                  hSamp: Int = 2, vSamp: Int = 2,
+                  quantY: Array[Int] = FlatQuant, quantC: Array[Int] = FlatQuant,
+                  restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && yPlane.length == width * height,
+      s"bad dimensions: $width x $height for ${yPlane.length} luma pixels")
+    require(hSamp >= 1 && hSamp <= 2 && vSamp >= 1 && vSamp <= 2,
+      s"sampling factors ${hSamp}x$vSamp outside 1..2 (4:4:4/4:2:2/4:2:0)")
+    val cw = (width + hSamp - 1) / hSamp
+    val ch = (height + vSamp - 1) / vSamp
+    require(cbPlane.length == cw * ch && crPlane.length == cw * ch,
+      s"chroma planes must be $cw x $ch for ${hSamp}x$vSamp sampling")
+    Seq(quantY, quantC).foreach(q => require(
+      q.length == 64 && q.forall(v => v >= 1 && v <= 255),
+      "quant tables must be 64 entries in 1..255"))
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    // APP0 JFIF v1.02, no thumbnail: declares the full-range YCbCr
+    // interpretation every JFIF reader assumes for 3-component frames
+    segment(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 2, 0, 0, 1, 0, 1, 0, 0))
+    segment(0xdb, 0x00 +: Zigzag.map(quantY)) // DQT Tq=0
+    segment(0xdb, 0x01 +: Zigzag.map(quantC)) // DQT Tq=1
+    segment(0xc0, Array(8, height >> 8, height & 0xff, width >> 8,
+      width & 0xff, 3,
+      1, (hSamp << 4) | vSamp, 0, // Y: tables 0
+      2, 0x11, 1, // Cb: 1x1, tables 1
+      3, 0x11, 1)) // Cr
+    segment(0xc4, 0x00 +: (DcBits ++ DcVals.map(_ & 0xff)))
+    segment(0xc4, 0x10 +: (AcBits ++ AcVals.map(_ & 0xff)))
+    segment(0xc4, 0x01 +: (DcBitsC ++ DcValsC.map(_ & 0xff)))
+    segment(0xc4, 0x11 +: (AcBitsC ++ AcValsC.map(_ & 0xff)))
+    if (restartInterval > 0)
+      segment(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
+    segment(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)) // SOS
+    val bw = new BitWriter(out)
+    val encY = new BlockEncoder(bw, quantY,
+      buildEncodeTable(DcBits, DcVals), buildEncodeTable(AcBits, AcVals))
+    val encCb = new BlockEncoder(bw, quantC,
+      buildEncodeTable(DcBitsC, DcValsC), buildEncodeTable(AcBitsC, AcValsC))
+    val encCr = new BlockEncoder(bw, quantC,
+      buildEncodeTable(DcBitsC, DcValsC), buildEncodeTable(AcBitsC, AcValsC))
+    val mcusX = (width + 8 * hSamp - 1) / (8 * hSamp)
+    val mcusY = (height + 8 * vSamp - 1) / (8 * vSamp)
+    var mcu = 0
+    var rstIdx = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          marker(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          encY.pred = 0; encCb.pred = 0; encCr.pred = 0
+        }
+        var by = 0
+        while (by < vSamp) {
+          var bx = 0
+          while (bx < hSamp) {
+            encY.encode(yPlane, width, height,
+              (mx * hSamp + bx) * 8, (my * vSamp + by) * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        encCb.encode(cbPlane, cw, ch, mx * 8, my * 8)
+        encCr.encode(crPlane, cw, ch, mx * 8, my * 8)
+        mcu += 1
+        mx += 1
+      }
+      my += 1
     }
     bw.flush()
     marker(0xd9) // EOI
@@ -367,16 +497,37 @@ object Jpeg {
   private def extend(v: Int, t: Int): Int =
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
-  /** Decode a baseline sequential grayscale JPEG: full marker walk
-    * (APPn/COM skipped, multi-table DQT with 8- or 16-bit precision,
-    * multi-table DHT, DRI), SOF0 (rejects progressive SOF2 and
-    * multi-component frames loudly), then the entropy-coded scan with
-    * byte unstuffing and restart handling, per-block Huffman decode →
-    * dequantize → IDCT → +128 level shift → clamp, finally cropped
-    * from the padded block grid to the declared dimensions. Throws on
-    * anything malformed — corrupt payloads must fail loudly.
+  /** Decoded multi-channel image: `channels` 1 (gray) or 3 (RGB,
+    * interleaved r g b per pixel).
     */
-  def decode(bytes: Array[Byte]): Image = {
+  final case class ColorImage(width: Int, height: Int, channels: Int,
+                              pixels: Array[Byte])
+
+  /** One frame component: SOF identity + sampling + its decoded plane
+    * at COMPONENT resolution, padded to the block grid.
+    */
+  private final class FrameComp(val id: Int, val h: Int, val v: Int,
+                                val tq: Int) {
+    var td = 0
+    var ta = 0
+    var plane: Array[Byte] = null
+    var pw = 0
+    var ph = 0
+  }
+
+  /** The shared marker walk + entropy scan behind [[decode]] and
+    * [[decodeColor]]: APPn/COM skipped, multi-table DQT (8/16-bit) and
+    * DHT, DRI, SOF0/1 with 1 or 3 components and per-component
+    * sampling factors, one INTERLEAVED scan in MCU order (per T.81
+    * A.2.3: each MCU carries v×h data units per component in raster
+    * order; per-component DC predictors; RSTn resets all). Each block:
+    * Huffman decode → dequantize → IDCT (DC-only shortcut for blocks
+    * with no AC) → +128 level shift → clamp → into that component's
+    * padded plane. Returns (width, height, components, maxH, maxV).
+    * Throws on anything malformed — corrupt payloads must fail loudly.
+    */
+  private def decodePlanes(bytes: Array[Byte])
+      : (Int, Int, Array[FrameComp], Int, Int) = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
     var p = 2
@@ -384,7 +535,7 @@ object Jpeg {
     val dcTabs = new Array[HuffTable](4)
     val acTabs = new Array[HuffTable](4)
     var width, height = -1
-    var qSel, dcSel, acSel = 0
+    var comps: Array[FrameComp] = null
     var restartInterval = 0
     var scanStart = -1
     def u16(at: Int) = ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
@@ -429,17 +580,39 @@ object Jpeg {
           require((bytes(body) & 0xff) == 8, "only 8-bit precision supported")
           height = u16(body + 1); width = u16(body + 3)
           val nComp = bytes(body + 5) & 0xff
-          require(nComp == 1,
-            s"grayscale decoder: expected 1 component, got $nComp")
-          qSel = bytes(body + 8) & 0x0f
+          require(nComp == 1 || nComp == 3,
+            s"expected 1 (grayscale) or 3 (YCbCr) components, got $nComp " +
+              "(CMYK/unknown color model)")
+          comps = Array.tabulate(nComp) { i =>
+            val at = body + 6 + 3 * i
+            val hv = bytes(at + 1) & 0xff
+            val c = new FrameComp(bytes(at) & 0xff, hv >> 4, hv & 0x0f,
+              bytes(at + 2) & 0x0f)
+            require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
+              s"sampling factors ${c.h}x${c.v} outside 1..2 " +
+                "(4:4:4/4:2:2/4:2:0 supported)")
+            c
+          }
         case 0xc2 =>
           throw new IllegalArgumentException(
             "progressive JPEG (SOF2) not supported by this baseline decoder")
         case 0xdd => restartInterval = u16(body)
         case 0xda => // SOS
-          require((bytes(body) & 0xff) == 1, "expected single-component scan")
-          dcSel = (bytes(body + 2) & 0xff) >> 4
-          acSel = bytes(body + 2) & 0x0f
+          require(comps != null, "SOS before SOF")
+          val ns = bytes(body) & 0xff
+          require(ns == comps.length,
+            s"expected one interleaved scan covering all ${comps.length} " +
+              s"components, got a $ns-component scan")
+          var i = 0
+          while (i < ns) {
+            val cs = bytes(body + 1 + 2 * i) & 0xff
+            val c = comps.find(_.id == cs).getOrElse(
+              throw new IllegalArgumentException(
+                s"scan references unknown component id $cs"))
+            c.td = (bytes(body + 2 + 2 * i) & 0xff) >> 4
+            c.ta = bytes(body + 2 + 2 * i) & 0x0f
+            i += 1
+          }
           scanStart = body + segLen - 2
         case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
         case _ => // APPn / COM / others: skip
@@ -447,76 +620,167 @@ object Jpeg {
       if (scanStart < 0) p = body + segLen - 2
     }
     require(width > 0 && height > 0, "missing SOF before SOS")
-    val qt = quant(qSel)
-    require(qt != null, s"missing quant table $qSel")
-    val dcT = dcTabs(dcSel)
-    val acT = acTabs(acSel)
-    require(dcT != null && acT != null, "missing Huffman tables")
-    val bw8 = (width + 7) / 8
-    val bh8 = (height + 7) / 8
+    // A single-component frame ignores sampling factors (T.81 A.2.2:
+    // non-interleaved data is a plain ceil(w/8) x ceil(h/8) block
+    // grid) — normalize to 1x1 so the MCU loop below covers it.
+    val maxH = if (comps.length == 1) 1 else comps.map(_.h).max
+    val maxV = if (comps.length == 1) 1 else comps.map(_.v).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    comps.foreach { c =>
+      require(quant(c.tq) != null, s"missing quant table ${c.tq}")
+      require(dcTabs(c.td) != null && acTabs(c.ta) != null,
+        s"missing Huffman tables ${c.td}/${c.ta}")
+      val ch = if (comps.length == 1) 1 else c.h
+      val cv = if (comps.length == 1) 1 else c.v
+      c.pw = mcusX * ch * 8
+      c.ph = mcusY * cv * 8
+      c.plane = new Array[Byte](c.pw * c.ph)
+    }
     val br = new BitReader(bytes, scanStart)
-    val pix = new Array[Byte](width * height)
     val block = new Array[Double](64)
-    var pred = 0
+    val preds = new Array[Int](comps.length)
+    def decodeBlock(c: FrameComp, ci: Int, bCol: Int, bRow: Int): Unit = {
+      val qt = quant(c.tq)
+      val dcT = dcTabs(c.td)
+      val acT = acTabs(c.ta)
+      java.util.Arrays.fill(block, 0.0)
+      val t = br.decodeHuff(dcT)
+      preds(ci) += extend(br.receive(t), t)
+      block(0) = preds(ci).toDouble * qt(0)
+      var k = 1
+      var done = false
+      var anyAc = false
+      while (k < 64 && !done) {
+        val rs = br.decodeHuff(acT)
+        val r = rs >> 4
+        val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 else done = true // ZRL vs EOB
+        } else {
+          k += r
+          require(k < 64, "AC coefficient index overflow")
+          block(Zigzag(k)) = extend(br.receive(s), s).toDouble * qt(Zigzag(k))
+          anyAc = true
+          k += 1
+        }
+      }
+      // DC-only shortcut (libjpeg's dcval path): the IDCT of a lone
+      // DC coefficient is the uniform value F00/8 — skip the two
+      // 8-point passes entirely. Bit-compatible with the full IDCT
+      // within its own ±1-at-.5-boundary tolerance.
+      if (!anyAc) java.util.Arrays.fill(block, block(0) / 8.0)
+      else idct(block)
+      var y = 0
+      while (y < 8) {
+        val row = (bRow * 8 + y) * c.pw + bCol * 8
+        var x = 0
+        while (x < 8) {
+          val v = Math.round(block(y * 8 + x) + 128.0).toInt
+          c.plane(row + x) =
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
     var mcu = 0
-    var by = 0
-    while (by < bh8) {
-      var bx = 0
-      while (bx < bw8) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           br.restart()
-          pred = 0
+          java.util.Arrays.fill(preds, 0)
         }
-        java.util.Arrays.fill(block, 0.0)
-        val t = br.decodeHuff(dcT)
-        pred += extend(br.receive(t), t)
-        block(0) = pred.toDouble * qt(0)
-        var k = 1
-        var done = false
-        var anyAc = false
-        while (k < 64 && !done) {
-          val rs = br.decodeHuff(acT)
-          val r = rs >> 4
-          val s = rs & 0x0f
-          if (s == 0) {
-            if (r == 15) k += 16 else done = true // ZRL vs EOB
-          } else {
-            k += r
-            require(k < 64, "AC coefficient index overflow")
-            block(Zigzag(k)) = extend(br.receive(s), s).toDouble * qt(Zigzag(k))
-            anyAc = true
-            k += 1
-          }
-        }
-        // DC-only shortcut (libjpeg's dcval path): the IDCT of a lone
-        // DC coefficient is the uniform value F00/8 — skip the two
-        // 8-point passes entirely. Bit-compatible with the full IDCT
-        // within its own ±1-at-.5-boundary tolerance.
-        if (!anyAc) java.util.Arrays.fill(block, block(0) / 8.0)
-        else idct(block)
-        var y = 0
-        while (y < 8) {
-          val py = by * 8 + y
-          if (py < height) {
-            var x = 0
-            while (x < 8) {
-              val px = bx * 8 + x
-              if (px < width) {
-                val v = Math.round(block(y * 8 + x) + 128.0).toInt
-                pix(py * width + px) =
-                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-              }
-              x += 1
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          val ch = if (comps.length == 1) 1 else c.h
+          val cv = if (comps.length == 1) 1 else c.v
+          var by = 0
+          while (by < cv) {
+            var bx = 0
+            while (bx < ch) {
+              decodeBlock(c, ci, mx * ch + bx, my * cv + by)
+              bx += 1
             }
+            by += 1
           }
-          y += 1
+          ci += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    Image(width, height, pix)
+    (width, height, comps, maxH, maxV)
+  }
+
+  /** Crop a component's padded plane to the declared frame size. */
+  private def cropPlane(c: FrameComp, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(c.plane, y * c.pw, out, y * w, w)
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a baseline sequential GRAYSCALE JPEG (the historical API —
+    * refuses color frames; use [[decodeColor]] for those).
+    */
+  def decode(bytes: Array[Byte]): Image = {
+    val (w, h, comps, _, _) = decodePlanes(bytes)
+    require(comps.length == 1,
+      s"grayscale decode: expected 1 component, got ${comps.length} — " +
+        "use decodeColor")
+    Image(w, h, cropPlane(comps(0), w, h))
+  }
+
+  /** Decode a baseline sequential JPEG of either color model: 1
+    * component → gray channel through [[decodePlanes]]; 3 components →
+    * JFIF YCbCr with chroma upsampled by sample replication (each
+    * full-res pixel reads component sample (x·h/maxH, y·v/maxV)) and
+    * converted to interleaved RGB with the JFIF full-range equations
+    * (R = Y + 1.402·(Cr−128), G = Y − 0.344136·(Cb−128) −
+    * 0.714136·(Cr−128), B = Y + 1.772·(Cb−128)), rounded half-up via
+    * floor(x+0.5) — the exact arithmetic the q339 oracle replays — and
+    * clamped to 0..255.
+    */
+  def decodeColor(bytes: Array[Byte]): ColorImage = {
+    val (w, h, comps, maxH, maxV) = decodePlanes(bytes)
+    if (comps.length == 1)
+      return ColorImage(w, h, 1, cropPlane(comps(0), w, h))
+    require(comps.map(_.id).sameElements(Array(1, 2, 3)),
+      s"3-component frame with ids ${comps.map(_.id).mkString(",")} — " +
+        "only JFIF YCbCr (ids 1,2,3) is supported")
+    val Array(cY, cCb, cCr) = comps
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val yRow = y * cY.pw
+      val cbRow = (y * cCb.v / maxV) * cCb.pw
+      val crRow = (y * cCr.v / maxV) * cCr.pw
+      var x = 0
+      while (x < w) {
+        val yv = (cY.plane(yRow + x) & 0xff).toDouble
+        val cbv = (cCb.plane(cbRow + x * cCb.h / maxH) & 0xff).toDouble
+        val crv = (cCr.plane(crRow + x * cCr.h / maxH) & 0xff).toDouble
+        val r = math.floor(yv + 1.402 * (crv - 128.0) + 0.5).toInt
+        val g = math.floor(
+          yv - 0.344136 * (cbv - 128.0) - 0.714136 * (crv - 128.0) + 0.5).toInt
+        val b = math.floor(yv + 1.772 * (cbv - 128.0) + 0.5).toInt
+        val o = (y * w + x) * 3
+        out(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+        out(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
+        out(o + 2) = (if (b < 0) 0 else if (b > 255) 255 else b).toByte
+        x += 1
+      }
+      y += 1
+    }
+    ColorImage(w, h, 3, out)
   }
 
   // ---- fixture + operators -------------------------------------------------
@@ -570,6 +834,114 @@ object Jpeg {
       }
       .select(col("doc_id"), col("payload"),
         struct(col("format"), col("width"), col("height")).as("meta"))
+  }
+
+  // ---- color fixture + operators -------------------------------------------
+
+  /** Color block rule (the q339 oracle contract): text bytes '.'-padded
+    * to 16-BYTE groups (two block-rows — 4:2:0 needs the luma height to
+    * be a multiple of 16 so the half-resolution chroma grid is whole
+    * 8×8 blocks). Luma = the grayscale block rule over the padded
+    * bytes. Chroma (32×h/2 planes) is block-uniform too: the chroma
+    * block covering the 2×2 luma-block group at rows 2r..2r+1, cols
+    * 2c..2c+1 takes its values from that group's TOP-LEFT byte g —
+    * Cb = 255 − g, Cr = (g + 85) mod 256. Every plane is uniform per
+    * 8×8 block with flat quant, so the whole 4:2:0 lossy pipeline
+    * (downsampled encode → interleaved MCU scan → decode → replicate
+    * upsample → RGB) is EXACT and the oracle replays each block's RGB
+    * triple arithmetically.
+    */
+  private[graft] def colorBlockBytesOf(text: String): Array[Byte] = {
+    val tb = text.getBytes("UTF-8")
+    val n = math.max(1, (tb.length + 15) / 16) * 16
+    val bt = new Array[Byte](n)
+    java.util.Arrays.fill(bt, '.'.toByte)
+    System.arraycopy(tb, 0, bt, 0, tb.length)
+    bt
+  }
+
+  /** (Y 64×h, Cb 32×h/2, Cr 32×h/2) planes for the color block rule. */
+  private[graft] def colorPlanesOf(text: String)
+      : (Array[Byte], Array[Byte], Array[Byte], Int) = {
+    val bt = colorBlockBytesOf(text)
+    val h = bt.length // one pixel row per byte: 8 blocks/row, 8 rows/block
+    val yP = new Array[Byte](64 * h)
+    var i = 0
+    while (i < yP.length) {
+      val r = i / 64
+      val c = i % 64
+      yP(i) = bt((r / 8) * BlocksPerRow + c / 8)
+      i += 1
+    }
+    val cw = 32
+    val chh = h / 2
+    val cbP = new Array[Byte](cw * chh)
+    val crP = new Array[Byte](cw * chh)
+    i = 0
+    while (i < cbP.length) {
+      val cy = i / cw
+      val cx = i % cw
+      val g = bt(16 * (cy / 8) + 2 * (cx / 8)) & 0xff
+      cbP(i) = (255 - g).toByte
+      crP(i) = ((g + 85) % 256).toByte
+      i += 1
+    }
+    (yP, cbP, crP, h)
+  }
+
+  /** Attach a REAL 4:2:0 COLOR JPEG payload per document via
+    * [[colorPlanesOf]]: full color encode (3 planes, subsampled
+    * chroma, interleaved MCU scan), one narrow mapPartitions pass.
+    */
+  def asColorJpegMedia(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val (yP, cbP, crP, h) = colorPlanesOf(text)
+          Multimodal.Media(id, encodeColor(64, h, yP, cbP, crP),
+            "image/jpeg", 64, h)
+        }
+      }
+      .select(col("doc_id"), col("payload"),
+        struct(col("format"), col("width"), col("height")).as("meta"))
+  }
+
+  final case class JpegColorMeta(doc_id: Long, width: Int, height: Int,
+                                 channels: Int, n_pixels: Int,
+                                 rgb_md5: String, rgb_sum: Long)
+
+  /** REAL color decode pass: full baseline decode (interleaved MCUs,
+    * chroma upsample, YCbCr→RGB) per payload; emits dimensions plus
+    * digest and exact sum of the decoded RGB bytes. The digest is md5
+    * over the LOWERCASE-HEX dump of the interleaved RGB bytes (2 chars
+    * per byte) — RGB values exceed ASCII, and the DuckDB oracle can
+    * only hash strings, so both sides hash the hex text instead.
+    */
+  def parseColorMeta(media: DataFrame): Dataset[JpegColorMeta] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
+      .mapPartitions { records =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        records.map { r =>
+          val img = decodeColor(r.payload)
+          var s = 0L
+          val hex = new StringBuilder(img.pixels.length * 2)
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i) & 0xff
+            s += v
+            hex.append(Character.forDigit(v >> 4, 16))
+            hex.append(Character.forDigit(v & 0xf, 16))
+            i += 1
+          }
+          JpegColorMeta(r.doc_id, img.width, img.height, img.channels,
+            img.width * img.height,
+            md.digest(hex.toString.getBytes("US-ASCII"))
+              .map(b => f"$b%02x").mkString, s)
+        }
+      }
   }
 
   final case class JpegMeta(doc_id: Long, width: Int, height: Int,

@@ -286,6 +286,23 @@ object Multimodal {
           col("pixel_md5"), col("pixel_sum"))
     },
 
+    // Full COLOR baseline JPEG decode (q339, r13 — closes the r12
+    // verdict's top gap: real web images are YCbCr, not grayscale):
+    // the fixture plants block-uniform Y AND block-uniform subsampled
+    // chroma (each chroma block keyed to its 2×2 luma group's top-left
+    // byte), so the whole 4:2:0 pipeline — downsampled encode,
+    // interleaved MCU scan, 4-table Huffman, decode, replicate
+    // upsample, JFIF YCbCr→RGB — is bit-exact and the oracle replays
+    // every block's RGB triple arithmetically. JpegSpec cross-validates
+    // color both directions against javax.imageio.
+    "q339_jpeg_color" -> { (s, d) =>
+      val media = graft.operators.Jpeg.asColorJpegMedia(Tables.documents(s, d))
+      graft.operators.Jpeg.parseColorMeta(media)
+        .select(col("doc_id"), lit("image/jpeg").as("format"),
+          col("width"), col("height"), col("channels"),
+          col("n_pixels"), col("rgb_md5"), col("rgb_sum"))
+    },
+
     // REAL video-container frame sampling (q189): 3 complete PNGs per
     // payload (frame f = pixels rotated left by f), structural chunk
     // walk to find frame boundaries, real decode of every 2nd frame,
@@ -407,9 +424,72 @@ object Multimodal {
         FROM fs JOIN sm USING (doc_id)"""
   }
 
+  /** q339's oracle: the COLOR block rule replayed — per luma block
+    * (br, bc) the decoded RGB triple is constant: y = the block's
+    * byte, (cb, cr) derived from its 2×2 group's top-left byte, then
+    * the exact JFIF equations with floor(x+0.5) rounding (DuckDB and
+    * the engine compute the same IEEE doubles in the same order, so
+    * the rounded ints agree exactly — the half-up form because DuckDB
+    * round() is half-away-from-zero while Java Math.round is floor
+    * (x+0.5)). The hash is md5 over the lowercase-hex dump of the
+    * interleaved RGB bytes (values >127 would be multi-byte UTF-8 in a
+    * DuckDB string; hex text is ASCII on both sides). Per block-row
+    * the hex row is 8 blocks × (6 hex chars × 8 pixels); the 8
+    * identical pixel rows collapse to repeat(rowhex, 8).
+    */
+  private def jpegColorOracle: String = {
+    def clamp(e: String) = s"LEAST(255, GREATEST(0, CAST(floor($e) AS INTEGER)))"
+    val rExpr = clamp("yv + 1.402*(crv - 128) + 0.5")
+    val gExpr = clamp("yv - 0.344136*(cbv - 128) - 0.714136*(crv - 128) + 0.5")
+    val bExpr = clamp("yv + 1.772*(cbv - 128) + 0.5")
+    def hx(c: String) = s"lpad(lower(to_hex($c)), 2, '0')"
+    s"""WITH p AS (SELECT doc_id,
+             rpad(text, CAST(greatest(CAST(ceil(length(text) / 16.0) AS BIGINT),
+               1) * 16 AS INTEGER), '.') AS bt
+           FROM documents),
+        blk AS (SELECT doc_id, bt,
+                  unnest(generate_series(0, length(bt) // 8 - 1)) AS br
+                FROM p),
+        cell AS (SELECT doc_id, bt, br,
+                   unnest(generate_series(0, 7)) AS bc
+                 FROM blk),
+        ycc AS (SELECT doc_id, br, bc,
+                  ascii(substr(bt, CAST(br * 8 + bc + 1 AS INTEGER), 1)) AS yv,
+                  255 - ascii(substr(bt,
+                    CAST((br // 2) * 16 + (bc // 2) * 2 + 1 AS INTEGER), 1))
+                    AS cbv,
+                  (ascii(substr(bt,
+                    CAST((br // 2) * 16 + (bc // 2) * 2 + 1 AS INTEGER), 1))
+                    + 85) % 256 AS crv
+                FROM cell),
+        rgb AS (SELECT doc_id, br, bc,
+                  $rExpr AS rr, $gExpr AS gg, $bExpr AS bb
+                FROM ycc),
+        bh AS (SELECT doc_id, br, bc,
+                 repeat(${hx("rr")} || ${hx("gg")} || ${hx("bb")}, 8) AS hex8,
+                 CAST(rr + gg + bb AS BIGINT) AS psum
+               FROM rgb),
+        rw AS (SELECT doc_id, br,
+                 string_agg(hex8, '' ORDER BY bc) AS rowhex,
+                 SUM(psum) AS rowsum
+               FROM bh GROUP BY doc_id, br),
+        img AS (SELECT doc_id,
+                  string_agg(repeat(rowhex, 8), '' ORDER BY br) AS hexpix,
+                  SUM(rowsum) AS blocksum
+                FROM rw GROUP BY doc_id)
+        SELECT doc_id, 'image/jpeg' AS format, 64 AS width,
+             CAST(length(hexpix) / (6 * 64) AS INTEGER) AS height,
+             3 AS channels,
+             CAST(length(hexpix) / 6 AS INTEGER) AS n_pixels,
+             md5(hexpix) AS rgb_md5,
+             CAST(blocksum * 64 AS BIGINT) AS rgb_sum
+        FROM img"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q211_image_patches" -> patchOracle,
     "q326_jpeg_decode" -> jpegOracle,
+    "q339_jpeg_color" -> jpegColorOracle,
 
     // q212: the sample rule replayed, frames by integer division of the
     // 0-based sample index, exact integer energy/peak per frame.

@@ -114,6 +114,166 @@ class JpegSpec extends AnyFunSuite {
       Jpeg.decode(java.util.Arrays.copyOfRange(ok, 0, ok.length - 12)))
   }
 
+  // ---- color ---------------------------------------------------------------
+
+  /** The JFIF full-range conversion the decoder claims, re-stated
+    * independently for the expectation side.
+    */
+  private def ycc2rgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def cl(v: Double) = math.max(0, math.min(255, math.floor(v + 0.5).toInt))
+    (cl(y + 1.402 * (cr - 128.0)),
+      cl(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)),
+      cl(y + 1.772 * (cb - 128.0)))
+  }
+
+  private def jdkDecodeRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val rgb = img.getRGB(i % w, i / w)
+      px(3 * i) = (rgb >> 16) & 0xff
+      px(3 * i + 1) = (rgb >> 8) & 0xff
+      px(3 * i + 2) = rgb & 0xff
+      i += 1
+    }
+    (w, h, px)
+  }
+
+  test("color block fixture is BIT-EXACT through the full 4:2:0 pipeline") {
+    for (text <- Seq("color jpeg: ycbcr four-two-zero", "q" * 50, "", "ab")) {
+      val (yP, cbP, crP, h) = Jpeg.colorPlanesOf(text)
+      val img = Jpeg.decodeColor(Jpeg.encodeColor(64, h, yP, cbP, crP))
+      assert(img.width == 64 && img.height == h && img.channels == 3)
+      // expected: replicate-upsampled planes through the JFIF equations
+      val exp = new Array[Byte](64 * h * 3)
+      for (y <- 0 until h; x <- 0 until 64) {
+        val (r, g, b) = ycc2rgb(yP(y * 64 + x) & 0xff,
+          cbP((y / 2) * 32 + x / 2) & 0xff, crP((y / 2) * 32 + x / 2) & 0xff)
+        val o = (y * 64 + x) * 3
+        exp(o) = r.toByte; exp(o + 1) = g.toByte; exp(o + 2) = b.toByte
+      }
+      assert(java.util.Arrays.equals(img.pixels, exp), s"text '$text'")
+    }
+  }
+
+  test("4:4:4 and 4:2:2 sampling modes decode exactly on block-uniform planes") {
+    val (yP, _, _, h) = Jpeg.colorPlanesOf("all three sampling modes")
+    for ((hs, vs) <- Seq((1, 1), (2, 1))) {
+      val cw = 64 / hs
+      val ch = h / vs
+      // constant chroma at each mode's own resolution: uniform blocks
+      val cbP = Array.fill(cw * ch)(90.toByte)
+      val crP = Array.fill(cw * ch)(170.toByte)
+      val img = Jpeg.decodeColor(Jpeg.encodeColor(64, h, yP, cbP, crP, hs, vs))
+      assert(img.width == 64 && img.height == h && img.channels == 3)
+      for (i <- 0 until 64 * h) {
+        val (r, g, b) = ycc2rgb(yP(i) & 0xff, 90, 170)
+        assert((img.pixels(3 * i) & 0xff) == r &&
+          (img.pixels(3 * i + 1) & 0xff) == g &&
+          (img.pixels(3 * i + 2) & 0xff) == b, s"mode ${hs}x$vs pixel $i")
+      }
+    }
+  }
+
+  test("JDK ImageIO decodes OUR 4:2:0 color bytes (chroma-uniform, within tolerance)") {
+    val (yP, _, _, h) = Jpeg.colorPlanesOf("the JDK reads our color MCUs")
+    // constant chroma: libjpeg's fancy (triangle) upsampling equals our
+    // replication exactly when the chroma plane is flat, so the only
+    // differences left are the two IDCTs and the two color converts
+    val cbP = Array.fill(32 * (h / 2))(64.toByte)
+    val crP = Array.fill(32 * (h / 2))(200.toByte)
+    val bytes = Jpeg.encodeColor(64, h, yP, cbP, crP)
+    val ours = Jpeg.decodeColor(bytes)
+    val (jw, jh, jdkPix) = jdkDecodeRgb(bytes)
+    assert(jw == 64 && jh == h)
+    val maxDiff = (0 until 64 * h * 3)
+      .map(i => math.abs((ours.pixels(i) & 0xff) - jdkPix(i))).max
+    assert(maxDiff <= 2, s"JDK color decode deviates by $maxDiff")
+  }
+
+  test("our decoder reads the JDK encoder's COLOR JPEGs (within tolerance)") {
+    // (a) gray-valued RGB: Cb=Cr=128 everywhere, so chroma upsampling
+    // differences vanish and the comparison isolates IDCT + conversion;
+    // (b) one saturated constant color: flat planes end to end, the
+    // color-conversion path itself under test.
+    val rng = new scala.util.Random(47)
+    val images = Seq(
+      Array.tabulate(48 * 32) { i =>
+        val v = ((i % 48) * 3 + (i / 48) * 2 + rng.nextInt(3)).min(255)
+        (v << 16) | (v << 8) | v
+      } -> ((48, 32)),
+      Array.fill(40 * 24)((200 << 16) | (80 << 8) | 40) -> ((40, 24)))
+    for ((px, (w, h)) <- images) {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      bi.setRGB(0, 0, w, h, px, 0, w)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "jpg", out))
+      val bytes = out.toByteArray
+      val ours = Jpeg.decodeColor(bytes)
+      val (jw, jh, jdkPix) = jdkDecodeRgb(bytes)
+      assert(ours.width == jw && ours.height == jh && jw == w && jh == h)
+      assert(ours.channels == 3)
+      val maxDiff = (0 until w * h * 3)
+        .map(i => math.abs((ours.pixels(i) & 0xff) - jdkPix(i))).max
+      assert(maxDiff <= 2, s"$w x $h: max per-pixel diff $maxDiff vs ImageIO")
+    }
+  }
+
+  test("color restart intervals decode exactly and reset all three DC chains") {
+    val (yP, cbP, crP, h) = Jpeg.colorPlanesOf("color restart markers " * 3)
+    val plain = Jpeg.decodeColor(Jpeg.encodeColor(64, h, yP, cbP, crP))
+    for (ri <- Seq(1, 3)) {
+      val img = Jpeg.decodeColor(
+        Jpeg.encodeColor(64, h, yP, cbP, crP, restartInterval = ri))
+      assert(java.util.Arrays.equals(img.pixels, plain.pixels), s"interval $ri")
+    }
+  }
+
+  test("color malformed inputs are rejected loudly") {
+    val (yP, cbP, crP, h) = Jpeg.colorPlanesOf("truncate the color scan")
+    val ok = Jpeg.encodeColor(64, h, yP, cbP, crP)
+    assertThrows[IllegalArgumentException](
+      Jpeg.decodeColor(java.util.Arrays.copyOfRange(ok, 0, ok.length - 16)))
+    // the grayscale API refuses color frames by name
+    val e = intercept[IllegalArgumentException](Jpeg.decode(ok))
+    assert(e.getMessage.contains("decodeColor"))
+    // decodeColor passes grayscale through as channels=1
+    val gray = Jpeg.blockPixelsOf("gray through the color api")
+    val img = Jpeg.decodeColor(Jpeg.encodeGray(64, gray.length / 64, gray))
+    assert(img.channels == 1 && java.util.Arrays.equals(img.pixels, gray))
+  }
+
+  test("asColorJpegMedia → parseColorMeta round-trips the color block rule") {
+    import spark.implicits._
+    val docs = Seq((1L, "color end to end"), (2L, "")).toDF("doc_id", "text")
+    val metas = Jpeg.parseColorMeta(Jpeg.asColorJpegMedia(docs)).collect()
+      .map(m => m.doc_id -> m).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((id, text) <- Seq((1L, "color end to end"), (2L, ""))) {
+      val (yP, cbP, crP, h) = Jpeg.colorPlanesOf(text)
+      val exp = new Array[Byte](64 * h * 3)
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until 64) {
+        val (r, g, b) = ycc2rgb(yP(y * 64 + x) & 0xff,
+          cbP((y / 2) * 32 + x / 2) & 0xff, crP((y / 2) * 32 + x / 2) & 0xff)
+        val o = (y * 64 + x) * 3
+        exp(o) = r.toByte; exp(o + 1) = g.toByte; exp(o + 2) = b.toByte
+        s += r + g + b
+      }
+      val hex = exp.map(v => f"${v & 0xff}%02x").mkString
+      val m = metas(id)
+      assert(m.width == 64 && m.height == h && m.channels == 3 &&
+        m.n_pixels == 64 * h)
+      assert(m.rgb_md5 ==
+        md.digest(hex.getBytes("US-ASCII")).map(b => f"$b%02x").mkString)
+      assert(m.rgb_sum == s, s"doc $id")
+    }
+  }
+
   test("asJpegMedia → parseMeta round-trips the block rule end to end") {
     import spark.implicits._
     val docs = Seq(
