@@ -1030,7 +1030,7 @@ object Similarity {
     */
   def ivfAdcBuildIndex(vectors: DataFrame, indexDir: String,
                        nCells: Int = 16, m: Int = 8, ksub: Int = 16,
-                       iters: Int = 1): Unit = {
+                       iters: Int = 1, attrCols: Seq[String] = Nil): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val v = withNorm(vectors).localCheckpoint()
@@ -1043,20 +1043,33 @@ object Similarity {
     val (base, books, _) = pqPrepare(vectors, m, ksub, iters)
     val coded = base.select(
       col("id") +: (0 until m).map(s => pqAssign(s, books(s)).as(s"a$s")): _*)
-    val codes = coded.join(cells, "id")
+    val codes = withAttrs(coded.join(cells, "id")
       .select(col("id"), col("cell"),
-        array((0 until m).map(s => col(s"a$s").cast("long")): _*).as("codes"))
+        array((0 until m).map(s => col(s"a$s").cast("long")): _*).as("codes")),
+      vectors, attrCols)
     Layout.snapshotWrite(cent, s"$indexDir/centroids")
     Layout.snapshotWrite(
       books.zipWithIndex.flatMap { case (cb, s) =>
         cb.map { case (cid, ce, _) => (s, cid, ce.toSeq) }
       }.toSeq.toDF("s", "cid", "ce"),
       s"$indexDir/codebooks")
-    Layout.snapshotWrite(codes, s"$indexDir/codes", statsCols = Seq("cell"))
+    // attrs ride IN the codes table with min/max stats: a filtered
+    // search pushes its predicate into the codes parquet scan and
+    // prunes files — the filtered-ANN story needs no side join at all
+    Layout.snapshotWrite(codes, s"$indexDir/codes",
+      statsCols = "cell" +: attrCols)
     Layout.snapshotWrite(
-      Seq((nCells, m, ksub, dim)).toDF("n_cells", "m", "ksub", "dim"),
+      Seq((nCells, m, ksub, dim, attrCols.mkString(",")))
+        .toDF("n_cells", "m", "ksub", "dim", "attrs"),
       s"$indexDir/meta")
   }
+
+  /** Denormalize filterable metadata columns into the codes rows. */
+  private def withAttrs(codes: DataFrame, vectors: DataFrame,
+                        attrCols: Seq[String]): DataFrame =
+    if (attrCols.isEmpty) codes
+    else codes.join(
+      vectors.select((col("id") +: attrCols.map(col)): _*), "id")
 
   /** INCREMENTAL index maintenance — assign + encode ONLY the new
     * vectors against the FROZEN centroids and codebooks and append
@@ -1077,10 +1090,24 @@ object Similarity {
     val base = pqBase(newVectors, m, dsub)
     val coded = base.select(
       col("id") +: (0 until m).map(s => pqAssign(s, books(s)).as(s"a$s")): _*)
-    val codes = coded.join(cells, "id")
+    val codes = withAttrs(coded.join(cells, "id")
       .select(col("id"), col("cell"),
-        array((0 until m).map(s => col(s"a$s").cast("long")): _*).as("codes"))
+        array((0 until m).map(s => col(s"a$s").cast("long")): _*).as("codes")),
+      newVectors, indexAttrCols(spark, indexDir))
     Layout.snapshotAppend(codes, s"$indexDir/codes")
+  }
+
+  /** The attr columns the index was built with (meta `attrs`; empty
+    * for indexes predating filtered search).
+    */
+  private def indexAttrCols(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String): Seq[String] = {
+    val meta = Layout.snapshotRead(spark, s"$indexDir/meta")
+    if (!meta.columns.contains("attrs")) Nil
+    else meta.select("attrs").head().getString(0) match {
+      case null | "" => Nil
+      case s => s.split(',').toSeq
+    }
   }
 
   /** SEARCH through the persisted index: the same three-rung funnel as
@@ -1093,9 +1120,22 @@ object Similarity {
     * convention of the other retrieval rungs); WHO can be found is
     * governed by the index: a vector absent from `codes` is invisible
     * until [[ivfAdcIndexAppend]] lands it.
+    *
+    * `neighborFilter` is the FILTERED-SEARCH path (production
+    * retrieval filters by lang/date/license during search): a
+    * predicate over the attr columns stored in the codes table
+    * (ivfAdcBuildIndex `attrCols`), applied as a PRE-filter — before
+    * the ADC join — so the whole candidate budget (`shortlist`) is
+    * spent on eligible neighbors. A post-filter at the same k throws
+    * away most of its shortlist on a selective predicate (q341
+    * measures the recall gap). Because the attrs are snapshot-table
+    * columns with min/max stats, the predicate prunes code FILES
+    * before the scan and pushes into parquet — filtering costs a
+    * smaller scan, not an extra join.
     */
   def ivfAdcSearchWith(vectors: DataFrame, indexDir: String, k: Int,
-                       nProbe: Int = 12, shortlist: Int = 256): DataFrame = {
+                       nProbe: Int = 12, shortlist: Int = 256,
+                       neighborFilter: Option[Column] = None): DataFrame = {
     require(k >= 1, s"bad k $k")
     val spark = vectors.sparkSession
     val (books, m, dsub) = loadIndexBooks(spark, indexDir)
@@ -1116,7 +1156,8 @@ object Similarity {
       col("id").as("query_id") +: col("cell") +:
         (0 until m).flatMap(s => Seq(col(s"sub$s").as(s"qsub$s"),
           col(s"nv$s").as(s"qnv$s"))): _*)
-    val c = Layout.snapshotRead(spark, s"$indexDir/codes").select(
+    val codesTable = Layout.snapshotRead(spark, s"$indexDir/codes")
+    val c = neighborFilter.fold(codesTable)(codesTable.filter).select(
       col("id").as("neighbor_id") +: col("cell").as("ncell") +:
         (0 until m).map(s =>
           element_at(col("codes"), s + 1).as(s"a$s")): _*)
