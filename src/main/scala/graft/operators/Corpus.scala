@@ -1912,6 +1912,103 @@ object Corpus {
         .cast("int").as("n_bpe"))
   }
 
+  /** BYTE-LEVEL BPE training (the GPT-2 recipe, Radford et al. 2019 —
+    * public): the base alphabet is the word's UTF-8 BYTES, not its
+    * characters, so EVERY string is representable (byte fallback is
+    * structural — a byte that never participates in a merge simply
+    * stays its own token; there is no <unk>). Whitespace-split words
+    * train as-is — no lowercasing, no `^[a-z]+$` gate — because at the
+    * byte level there is no out-of-alphabet word, only a byte-length
+    * cap (`maxWordBytes`, both engines enforce it) bounding the repr.
+    *
+    * Representation: each byte renders as its 2-digit lowercase hex
+    * inside the paren-delimited symbol string ("the" → "(74)(68)(65)",
+    * "🚀" → "(f0)(9f)(9a)(80)"), so a symbol is an even-length hex run
+    * and multi-byte UTF-8 merges are ordinary pair merges. Everything
+    * else is [[bpeTrain]]'s loop verbatim: per round one vocab-sized
+    * pair aggregation, a 1-row argmax fetch (count desc, pair asc),
+    * one literal replace — 100 TB costs ONE corpus aggregation plus
+    * `merges` vocab-sized rounds.
+    */
+  def byteBpeTrain(docs: DataFrame, textCol: String, merges: Int,
+                   maxWordBytes: Int = 16): DataFrame = {
+    require(merges >= 1 && merges <= 64,
+      s"merges $merges outside sane bounds (1..64)")
+    require(maxWordBytes >= 1 && maxWordBytes <= 64,
+      s"maxWordBytes $maxWordBytes outside sane bounds (1..64)")
+    val spark = docs.sparkSession
+    var vocab = Parallelism.ensure(docs)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), lower(hex(encode(col("word"), "UTF-8"))).as("h"))
+      .filter(length(col("h")).between(2, maxWordBytes * 2))
+      .select(col("cnt"),
+        regexp_replace(col("h"), "([0-9a-f]{2})", "($1)").as("repr"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val syms = regexp_extract_all(col("repr"), lit("\\([0-9a-f]+\\)"), lit(0))
+      val best = vocab
+        .select(col("cnt"), syms.as("syms"))
+        .select(col("cnt"), explode(when(size(col("syms")) > 1,
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("s1"),
+              element_at(col("syms"), i + 1).as("s2"))))
+          .otherwise(array())).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("s1").asc, col("s2").asc)
+        .limit(1)
+        .collect() // exactly one row (or none) — bounded driver fetch
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        val (s1, s2, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        val i1 = s1.substring(1, s1.length - 1)
+        val i2 = s2.substring(1, s2.length - 1)
+        learned += ((r, i1, i2, i1 + i2, c))
+        vocab = vocab
+          .withColumn("repr",
+            replace(col("repr"), lit(s1 + s2), lit("(" + i1 + i2 + ")")))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("round", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** Byte-level BPE ENCODING under [[byteBpeTrain]]'s merge table —
+    * [[bpeEncode]]'s twin with the byte alphabet. Every word within
+    * the byte cap encodes (byte FALLBACK: a word none of whose byte
+    * pairs ever merged still tokenizes, one token per UTF-8 byte — the
+    * property that makes byte-level vocabularies closed). The merge
+    * list is a driver-held constant, so encoding is ONE narrow
+    * zero-shuffle pass: render words as space-joined paren-hex (no
+    * "(xx)(yy)" pattern can span the space), chain the literal
+    * replaces in training order, count surviving "(".
+    */
+  def byteBpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)],
+                    maxWordBytes: Int = 16): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 64,
+      s"merge table size ${merges.size} outside sane bounds (1..64)")
+    val kept = filter(
+      transform(TextFunctions.tokens(col(textCol)),
+        w => lower(hex(encode(w, "UTF-8")))),
+      h => length(h) <= lit(maxWordBytes * 2))
+    val repr0 = concat_ws(" ", transform(kept,
+      h => regexp_replace(h, lit("([0-9a-f]{2})"), lit("($1)"))))
+    val encoded = merges.foldLeft(repr0) { case (c, (l, r)) =>
+      replace(c, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+    docs.select(col(idCol).as("doc_id"), size(kept).as("n_words"),
+      (length(encoded) - length(replace(encoded, lit("("), lit(""))))
+        .cast("int").as("n_tokens"))
+  }
+
   /** WordPiece tokenizer training (Schuster & Nakajima 2012 — BERT's
     * tokenizer), completing the production triad next to [[bpeTrain]]
     * and [[unigramTrain]]. The loop shape is BPE's (grow a merge table

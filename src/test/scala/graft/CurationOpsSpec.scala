@@ -153,6 +153,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows(2L) == ((2, 3)))
   }
 
+  test("byteBpeTrain merges across UTF-8 continuation bytes") {
+    import spark.implicits._
+    // vocab: éé×3 (bytes c3 a9 c3 a9), ab×2 (61 62). Round-1 pair counts:
+    // (c3,a9)=6, (a9,c3)=3, (61,62)=2 → merge c3a9; round 2 (c3a9,c3a9)=3;
+    // round 3 (61,62)=2; then no pairs → early stop.
+    val docs = Seq((1L, "éé ab éé"), (2L, "ab éé")).toDF("doc_id", "text")
+    val out = Corpus.byteBpeTrain(docs, "text", merges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1, "c3", "a9", "c3a9", 6L),
+      (2, "c3a9", "c3a9", "c3a9c3a9", 3L),
+      (3, "61", "62", "6162", 2L)))
+  }
+
+  test("byteBpeEncode: byte fallback tokenizes unmerged words, cap excludes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "éé ab"),              // both fully merged → 1 token each
+      (2L, "xy 🚀"),              // no merge applies: 2 + 4 byte tokens
+      (3L, "aaaaaaaaaaaaaaaaa")   // 17 bytes > 16-byte cap → excluded
+    ).toDF("doc_id", "text")
+    val rows = Corpus.byteBpeEncode(docs, "doc_id", "text",
+      Seq(("c3", "a9"), ("c3a9", "c3a9"), ("61", "62")))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(rows(1L) == ((2, 2)))
+    assert(rows(2L) == ((2, 6))) // fallback: every UTF-8 byte a token
+    assert(rows(3L) == ((0, 0)))
+  }
+
   test("wordpieceTrain picks the LIKELIHOOD argmax, not the count argmax") {
     import spark.implicits._
     // words: aa×2, ab×3, xy×1. Round-1 symbol counts a=7, b=3, x=1, y=1;
