@@ -916,6 +916,66 @@ object Corpus {
     }.toDF("doc_id", "n_tokens", "shard")
   }
 
+  /** INCREMENTAL shard maintenance — [[tokenShards]]'s delta twin for
+    * the production export loop: new documents arrive, and their shard
+    * assignments must be derived WITHOUT re-ranking (and re-shuffling)
+    * the already-assigned corpus. The rule: snake the delta (ranked
+    * n_tokens desc, doc_id asc — the same two-phase distributed prefix
+    * sum) over a LIGHTEST-FIRST shard permutation computed from the
+    * current totals, so the heaviest new documents land in the
+    * lightest shards first and imbalance self-corrects.
+    *
+    * Drift bound vs a full re-shard: within each zigzag cycle of 2N
+    * delta docs every shard receives exactly two, and the per-shard
+    * received totals differ by at most that cycle's (max − min) doc
+    * size; cycle maxima/minima are monotone under the descending rank
+    * order, so the differences TELESCOPE — merged spread ≤ initial
+    * spread + the largest delta document's token count, independent of
+    * delta size. Cost scales with the DELTA only (the incrementalDedup
+    * / ivfAdcIndexAppend doctrine): one delta-sized range exchange,
+    * one nShards-row totals aggregate at the driver (bounded — the
+    * k-means centroid-fetch contract).
+    */
+  def tokenShardsIncremental(current: DataFrame, delta: DataFrame,
+                             idCol: String, textCol: String,
+                             nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 65536, s"bad shard count $nShards")
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val totals = current
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(sum("n_tokens").as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val perm = (0 until nShards)
+      .map(s => (s, totals.getOrElse(s, 0L)))
+      .sortBy { case (s, t) => (t, s) }
+      .map(_._1).toArray
+    val sorted = delta
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("n_tokens").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("n_tokens").desc, col("doc_id").asc)
+      .as[(Long, Long)]
+      .localCheckpoint() // pin the sampled range boundaries across jobs
+      .rdd
+    val partCounts = sorted.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single((pid, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val bases = partCounts.scanLeft(0L)(_ + _).dropRight(1)
+    val bc = spark.sparkContext.broadcast(bases)
+    val bp = spark.sparkContext.broadcast(perm)
+    val n = nShards.toLong
+    sorted.mapPartitionsWithIndex { (pid, it) =>
+      var rank = bc.value(pid)
+      it.map { case (d, t) =>
+        val s = rank % (2 * n)
+        rank += 1
+        (d, t, bp.value((if (s < n) s else 2 * n - 1 - s).toInt))
+      }
+    }.toDF("doc_id", "n_tokens", "shard")
+  }
+
   /** Inverted-index postings: one row per distinct term with document
     * frequency and a digest of the doc-id-ORDERED posting list (the
     * artifact a distributed index build materializes; the digest keeps

@@ -248,6 +248,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(sums.max.toDouble / sums.min <= 1.15, sums.mkString(","))
   }
 
+  test("tokenShardsIncremental snakes the delta lightest-shard-first") {
+    import spark.implicits._
+    // current totals: shard 0 = 10, shard 1 = 4 → permutation [1, 0].
+    val current = Seq((100L, 10L, 0), (101L, 4L, 1))
+      .toDF("doc_id", "n_tokens", "shard")
+    // delta token counts 8, 6, 5, 3 → ranks 0..3 fold to idx 0,1,1,0 →
+    // shards 1, 0, 0, 1. Merged: shard 0 = 10+6+5 = 21, shard 1 = 4+8+3 = 15
+    // (spread 6 ≤ initial spread 6 + largest delta doc 8 — the bound).
+    val delta = Seq(
+      (1L, Seq.fill(8)("w").mkString(" ")),
+      (2L, Seq.fill(6)("w").mkString(" ")),
+      (3L, Seq.fill(5)("w").mkString(" ")),
+      (4L, Seq.fill(3)("w").mkString(" "))).toDF("doc_id", "text")
+    val got = Corpus.tokenShardsIncremental(current, delta,
+      "doc_id", "text", nShards = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 1))
+  }
+
+  test("tokenShardsIncremental treats never-assigned shards as empty") {
+    import spark.implicits._
+    // current covers only shard 2 of 3 → permutation [0, 1, 2]: the
+    // heaviest delta doc lands in shard 0.
+    val current = Seq((100L, 9L, 2)).toDF("doc_id", "n_tokens", "shard")
+    val delta = Seq(
+      (1L, "w w w"), (2L, "w w"), (3L, "w")).toDF("doc_id", "text")
+    val got = Corpus.tokenShardsIncremental(current, delta,
+      "doc_id", "text", nShards = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
   test("bm25PrfTopK mines expansion terms from feedback docs and re-ranks") {
     import spark.implicits._
     val docs = Seq(
