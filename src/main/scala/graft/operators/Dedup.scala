@@ -273,7 +273,11 @@ object Dedup {
     var labels = edges.select(col("u").as("id"), col("u").as("lbl"))
       .groupBy("id").agg(min("lbl").as("lbl"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum("lbl")).first().getLong(0)
+    // coalesce: an EMPTY pair list (a corpus with zero near-dups — legal
+    // and common on clean data) sums to NULL, and getLong on it threw
+    // before r13; 0 == 0 converges the loop on the first round instead.
+    var prevSum = labels.agg(coalesce(sum("lbl"), lit(0L)))
+      .first().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -295,7 +299,7 @@ object Dedup {
         .select(col("x.id").as("id"),
           least(col("x.lbl"), coalesce(col("jlbl"), col("x.lbl"))).as("lbl"))
         .localCheckpoint()
-      val s = labels.agg(sum("lbl")).first().getLong(0)
+      val s = labels.agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
       converged = s == prevSum
       prevSum = s
       iter += 1

@@ -58,6 +58,14 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.length == 12 && cc.forall(_._2 == 1L))
   }
 
+  test("connectedComponents on an EMPTY pair list returns no clusters") {
+    import spark.implicits._
+    // a corpus with zero near-dups is legal — the empty label table's
+    // NULL sum must converge, not throw (pre-r13 getLong NPE shape)
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(none).count() == 0L)
+  }
+
   test("decontaminate flags docs sharing an n-gram with the bench set, keeps short docs") {
     val bench = {
       import spark.implicits._
