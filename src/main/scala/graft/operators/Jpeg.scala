@@ -383,6 +383,218 @@ object Jpeg {
     out.toByteArray
   }
 
+  // Progressive AC scans need EOBn symbols ((n<<4)|0, n = 1..14) that
+  // the Annex K sequential AC tables never define — a uniform 9-bit
+  // canonical table over symbols 0..254 covers every (run, size), ZRL,
+  // and EOBn the encoder can emit (Kraft sum 255/512; compression is
+  // not the point of the fixture encoder).
+  private val ProgAcBits =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals: Array[Byte] = (0 until 255).map(_.toByte).toArray
+
+  /** Encode a COLOR PROGRESSIVE JPEG (SOF2) from YCbCr planes — same
+    * geometry/sampling/quant contract as [[encodeColor]], with the
+    * canonical simple scan script (T.81 G.1.2):
+    *   1. interleaved DC first scan (Ah=0, Al=1),
+    *   2. interleaved DC refinement (Ah=1, Al=0),
+    *   3-5. one AC first scan per component (Ss=1, Se=63, Al=0) with
+    *        EOB-run aggregation across all-zero-tail blocks.
+    * The five scans carry every quantized coefficient exactly, so the
+    * decode is bit-identical to decoding [[encodeColor]]'s baseline
+    * stream of the same planes — which is what JpegSpec pins.
+    */
+  def encodeColorProgressive(width: Int, height: Int,
+                             yPlane: Array[Byte], cbPlane: Array[Byte],
+                             crPlane: Array[Byte],
+                             hSamp: Int = 2, vSamp: Int = 2,
+                             quantY: Array[Int] = FlatQuant,
+                             quantC: Array[Int] = FlatQuant): Array[Byte] = {
+    require(width > 0 && height > 0 && yPlane.length == width * height,
+      s"bad dimensions: $width x $height for ${yPlane.length} luma pixels")
+    require(hSamp >= 1 && hSamp <= 2 && vSamp >= 1 && vSamp <= 2,
+      s"sampling factors ${hSamp}x$vSamp outside 1..2 (4:4:4/4:2:2/4:2:0)")
+    val cw = (width + hSamp - 1) / hSamp
+    val chh = (height + vSamp - 1) / vSamp
+    require(cbPlane.length == cw * chh && crPlane.length == cw * chh,
+      s"chroma planes must be $cw x $chh for ${hSamp}x$vSamp sampling")
+    Seq(quantY, quantC).foreach(q => require(
+      q.length == 64 && q.forall(v => v >= 1 && v <= 255),
+      "quant tables must be 64 entries in 1..255"))
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    segment(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 2, 0, 0, 1, 0, 1, 0, 0))
+    segment(0xdb, 0x00 +: Zigzag.map(quantY))
+    segment(0xdb, 0x01 +: Zigzag.map(quantC))
+    segment(0xc2, Array(8, height >> 8, height & 0xff, width >> 8, // SOF2
+      width & 0xff, 3,
+      1, (hSamp << 4) | vSamp, 0,
+      2, 0x11, 1,
+      3, 0x11, 1))
+    segment(0xc4, 0x00 +: (DcBits ++ DcVals.map(_ & 0xff)))
+    segment(0xc4, 0x01 +: (DcBitsC ++ DcValsC.map(_ & 0xff)))
+    segment(0xc4, 0x10 +: (ProgAcBits ++ ProgAcVals.map(_ & 0xff)))
+    val mcusX = (width + 8 * hSamp - 1) / (8 * hSamp)
+    val mcusY = (height + 8 * vSamp - 1) / (8 * vSamp)
+    // quantized coefficient grids, padded to the interleaved MCU grid
+    // (the same storage shape the decoder reconstructs)
+    final class PC(plane: Array[Byte], pw: Int, ph: Int,
+                   val h: Int, val v: Int, q: Array[Int]) {
+      val bw = mcusX * h
+      val bh = mcusY * v
+      val nw = ((width * h + hSamp - 1) / hSamp + 7) / 8
+      val nh = ((height * v + vSamp - 1) / vSamp + 7) / 8
+      val coef = new Array[Int](bw * bh * 64)
+      locally {
+        val block = new Array[Double](64)
+        var bRow = 0
+        while (bRow < bh) {
+          var bCol = 0
+          while (bCol < bw) {
+            var y = 0
+            while (y < 8) {
+              val sy = math.min(bRow * 8 + y, ph - 1)
+              var x = 0
+              while (x < 8) {
+                val sx = math.min(bCol * 8 + x, pw - 1)
+                block(y * 8 + x) = (plane(sy * pw + sx) & 0xff) - 128.0
+                x += 1
+              }
+              y += 1
+            }
+            fdct(block)
+            val base = (bRow * bw + bCol) * 64
+            var i = 0
+            while (i < 64) {
+              coef(base + i) = Math.round(block(i) / q(i)).toInt
+              i += 1
+            }
+            bCol += 1
+          }
+          bRow += 1
+        }
+      }
+    }
+    val pcs = Array(new PC(yPlane, width, height, hSamp, vSamp, quantY),
+      new PC(cbPlane, cw, chh, 1, 1, quantC),
+      new PC(crPlane, cw, chh, 1, 1, quantC))
+    val dcTabs = Array(buildEncodeTable(DcBits, DcVals),
+      buildEncodeTable(DcBitsC, DcValsC),
+      buildEncodeTable(DcBitsC, DcValsC))
+    val acTab = buildEncodeTable(ProgAcBits, ProgAcVals)
+    def mcuWalk(f: (Int, Int) => Unit): Unit = { // (ci, blockIndex)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var ci = 0
+          while (ci < 3) {
+            val c = pcs(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                f(ci, (my * c.v + by) * c.bw + (mx * c.h + bx))
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+    }
+    // scan 1: interleaved DC first, Al=1 — DPCM over (DC >> 1)
+    segment(0xda, Array(3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01))
+    val bw1 = new BitWriter(out)
+    val preds = new Array[Int](3)
+    mcuWalk { (ci, bi) =>
+      val dc = pcs(ci).coef(bi * 64) >> 1
+      val diff = dc - preds(ci)
+      preds(ci) = dc
+      val t = category(diff)
+      val (code, len) = dcTabs(ci)(t)
+      bw1.put(code, len)
+      if (t > 0) bw1.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+    }
+    bw1.flush()
+    // scan 2: interleaved DC refinement, Ah=1 Al=0 — the DC low bit
+    segment(0xda, Array(3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10))
+    val bw2 = new BitWriter(out)
+    mcuWalk { (ci, bi) => bw2.put(pcs(ci).coef(bi * 64) & 1, 1) }
+    bw2.flush()
+    // scans 3-5: per-component AC first, Ss=1 Se=63 Al=0, EOB runs
+    var ci = 0
+    while (ci < 3) {
+      val c = pcs(ci)
+      segment(0xda, Array(1, ci + 1, 0x00, 1, 63, 0x00))
+      val bw3 = new BitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        var n = 0
+        while ((2 << n) <= eobrun) n += 1 // n = floor(log2(eobrun))
+        val (code, len) = acTab(n << 4)
+        bw3.put(code, len)
+        if (n > 0) bw3.put(eobrun - (1 << n), n)
+        eobrun = 0
+      }
+      var row = 0
+      while (row < c.nh) {
+        var colB = 0
+        while (colB < c.nw) {
+          val base = (row * c.bw + colB) * 64
+          var lastNz = 0
+          var k = 1
+          while (k < 64) {
+            if (c.coef(base + Zigzag(k)) != 0) lastNz = k
+            k += 1
+          }
+          if (lastNz == 0) {
+            eobrun += 1
+            if (eobrun == 32767) flushEob()
+          } else {
+            flushEob()
+            var run = 0
+            k = 1
+            while (k <= lastNz) {
+              val v = c.coef(base + Zigzag(k))
+              if (v == 0) run += 1
+              else {
+                while (run > 15) {
+                  val (zc, zl) = acTab(0xf0)
+                  bw3.put(zc, zl)
+                  run -= 16
+                }
+                val s = category(v)
+                val (code, len) = acTab((run << 4) | s)
+                bw3.put(code, len)
+                bw3.put(if (v < 0) v + (1 << s) - 1 else v, s)
+                run = 0
+              }
+              k += 1
+            }
+            if (lastNz < 63) eobrun = 1 // this block's EOB, aggregatable
+          }
+          colB += 1
+        }
+        row += 1
+      }
+      flushEob()
+      bw3.flush()
+      ci += 1
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Separable 2-D DCT in place: rows then columns through [[Ct]]. The
     * same routine is its own inverse with the table transposed, so
     * [[idct]] shares it.
@@ -504,7 +716,11 @@ object Jpeg {
                               pixels: Array[Byte])
 
   /** One frame component: SOF identity + sampling + its decoded plane
-    * at COMPONENT resolution, padded to the block grid.
+    * at COMPONENT resolution, padded to the block grid. For progressive
+    * frames `coef` accumulates the quantized coefficients across scans
+    * (natural order per block, padded-grid stride `bw`); `nw`×`nh` is
+    * the NON-interleaved block grid single-component scans walk
+    * (T.81 A.2.2 — ceil of the component's own dimensions).
     */
   private final class FrameComp(val id: Int, val h: Int, val v: Int,
                                 val tq: Int) {
@@ -513,6 +729,11 @@ object Jpeg {
     var plane: Array[Byte] = null
     var pw = 0
     var ph = 0
+    var coef: Array[Int] = null
+    var bw = 0
+    var bh = 0
+    var nw = 0
+    var nh = 0
   }
 
   /** The shared marker walk + entropy scan behind [[decode]] and
@@ -525,6 +746,16 @@ object Jpeg {
     * with no AC) → +128 level shift → clamp → into that component's
     * padded plane. Returns (width, height, components, maxH, maxV).
     * Throws on anything malformed — corrupt payloads must fail loudly.
+    *
+    * PROGRESSIVE frames (SOF2) decode through the same walk: every SOS
+    * runs one spectral-selection / successive-approximation scan
+    * (T.81 G.1.2) into per-component COEFFICIENT buffers — DC first
+    * scans are DPCM like baseline but shifted left Al (interleaved or
+    * single-component), DC refinement supplies one raw bit per block,
+    * AC first scans are single-component with EOB-run coding, AC
+    * refinement applies the G.1.2.3 correction-bit algorithm — and EOI
+    * triggers one dequantize + IDCT pass over the accumulated
+    * coefficients. Restart markers reset predictors AND the EOB run.
     */
   private def decodePlanes(bytes: Array[Byte])
       : (Int, Int, Array[FrameComp], Int, Int) = {
@@ -538,104 +769,374 @@ object Jpeg {
     var comps: Array[FrameComp] = null
     var restartInterval = 0
     var scanStart = -1
+    var progressive = false
+    var gridReady = false
+    var sawScan = false
+    var eoi = false
+    var maxH, maxV = 1
+    var mcusX, mcusY = 0
     def u16(at: Int) = ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
-    while (scanStart < 0) {
-      require(p + 4 <= bytes.length, "truncated JPEG marker stream")
+    def parseSof(body: Int): Unit = {
+      require((bytes(body) & 0xff) == 8, "only 8-bit precision supported")
+      height = u16(body + 1); width = u16(body + 3)
+      val nComp = bytes(body + 5) & 0xff
+      require(nComp == 1 || nComp == 3,
+        s"expected 1 (grayscale) or 3 (YCbCr) components, got $nComp " +
+          "(CMYK/unknown color model)")
+      comps = Array.tabulate(nComp) { i =>
+        val at = body + 6 + 3 * i
+        val hv = bytes(at + 1) & 0xff
+        val c = new FrameComp(bytes(at) & 0xff, hv >> 4, hv & 0x0f,
+          bytes(at + 2) & 0x0f)
+        require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
+          s"sampling factors ${c.h}x${c.v} outside 1..2 " +
+            "(4:4:4/4:2:2/4:2:0 supported)")
+        c
+      }
+    }
+    // Allocate grids + coefficient buffers (progressive needs them at
+    // the FIRST scan; baseline allocates planes after its walk below).
+    def ensureGrid(): Unit = if (!gridReady) {
+      require(width > 0 && height > 0, "SOS before SOF")
+      maxH = if (comps.length == 1) 1 else comps.map(_.h).max
+      maxV = if (comps.length == 1) 1 else comps.map(_.v).max
+      mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+      mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+      comps.foreach { c =>
+        val ch = if (comps.length == 1) 1 else c.h
+        val cv = if (comps.length == 1) 1 else c.v
+        c.pw = mcusX * ch * 8
+        c.ph = mcusY * cv * 8
+        c.bw = c.pw / 8
+        c.bh = c.ph / 8
+        c.nw = ((width * ch + maxH - 1) / maxH + 7) / 8
+        c.nh = ((height * cv + maxV - 1) / maxV + 7) / 8
+        c.plane = new Array[Byte](c.pw * c.ph)
+        if (progressive) c.coef = new Array[Int](c.bw * c.bh * 64)
+      }
+      gridReady = true
+    }
+    /** First real marker at or after `from` — skips entropy bytes,
+      * stuffed 0xFF00 and RSTn debris after a finished scan.
+      */
+    def nextMarker(from: Int): Int = {
+      var q = from
+      var found = -1
+      while (found < 0) {
+        require(q + 1 < bytes.length, "truncated after entropy scan")
+        if ((bytes(q) & 0xff) == 0xff) {
+          val m2 = bytes(q + 1) & 0xff
+          if (m2 == 0xff) q += 1 // fill byte: the NEXT 0xff may start the marker
+          else if (m2 == 0x00 || (m2 >= 0xd0 && m2 <= 0xd7)) q += 2
+          else found = q
+        } else q += 1
+      }
+      found
+    }
+    /** One progressive scan (T.81 G.1.2): `sc` the scan's components
+      * (frame order for interleaved DC), returns the byte position
+      * after the scan's entropy data.
+      */
+    def progressiveScan(sc: Array[FrameComp], ss: Int, se: Int,
+                        ah: Int, al: Int, dataStart: Int): Int = {
+      val br = new BitReader(bytes, dataStart)
+      val preds = new Array[Int](sc.length)
+      var eobrun = 0
+      var unit = 0 // MCU (interleaved) or block (single-component) counter
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          br.restart()
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+        }
+      def dcFirst(c: FrameComp, ci: Int, bi: Int): Unit = {
+        val t = br.decodeHuff(dcTabs(c.td))
+        preds(ci) += extend(br.receive(t), t)
+        c.coef(bi * 64) = preds(ci) << al
+      }
+      def dcRefine(c: FrameComp, bi: Int): Unit =
+        if (br.readBit() == 1) c.coef(bi * 64) |= (1 << al)
+      def acFirst(c: FrameComp, bi: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          val rs = br.decodeHuff(acTabs(c.ta))
+          val r = rs >> 4
+          val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+              done = true
+            }
+          } else {
+            k += r
+            require(k <= se, "AC index overflow in progressive scan")
+            c.coef(bi * 64 + Zigzag(k)) = extend(br.receive(s), s) << al
+            k += 1
+          }
+        }
+      }
+      // G.1.2.3 / libjpeg decode_mcu_AC_refine: correction bits for
+      // every nonzero-history coefficient crossed; new ±1<<Al values
+      // land after `r` ZERO-history positions; EOB runs carry pure
+      // correction passes.
+      def acRefine(c: FrameComp, bi: Int): Unit = {
+        val p1 = 1 << al
+        val m1 = -1 << al
+        val base = bi * 64
+        def correct(pos: Int): Unit =
+          if (br.readBit() == 1 && (c.coef(pos) & p1) == 0)
+            c.coef(pos) += (if (c.coef(pos) >= 0) p1 else m1)
+        var k = ss
+        if (eobrun == 0) {
+          var brk = false
+          while (k <= se && !brk) {
+            val rs = br.decodeHuff(acTabs(c.ta))
+            var r = rs >> 4
+            val s = rs & 0x0f
+            var newVal = 0
+            if (s != 0) {
+              require(s == 1, "AC refinement magnitude category must be 1")
+              newVal = if (br.readBit() == 1) p1 else m1
+            } else if (r != 15) {
+              // unlike acFirst (where EOB ends the current block at
+              // once), the refinement EOB run INCLUDES the current
+              // block's correction tail — the eobrun>0 pass below
+              // handles it and decrements
+              eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+              brk = true
+            }
+            if (!brk) {
+              var placed = false
+              while (k <= se && !placed) {
+                val pos = base + Zigzag(k)
+                if (c.coef(pos) != 0) correct(pos)
+                else if (r == 0) {
+                  if (newVal != 0) c.coef(pos) = newVal
+                  placed = true
+                } else r -= 1
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val pos = base + Zigzag(k)
+            if (c.coef(pos) != 0) correct(pos)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      if (ss == 0) {
+        require(se == 0, "DC scan must have Se = 0 (T.81 G.1.1.1)")
+        if (sc.length > 1) { // interleaved DC scan over MCUs
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              maybeRestart()
+              var ci = 0
+              while (ci < sc.length) {
+                val c = sc(ci)
+                var by = 0
+                while (by < c.v) {
+                  var bx = 0
+                  while (bx < c.h) {
+                    val bi = (my * c.v + by) * c.bw + (mx * c.h + bx)
+                    if (ah == 0) dcFirst(c, ci, bi) else dcRefine(c, bi)
+                    bx += 1
+                  }
+                  by += 1
+                }
+                ci += 1
+              }
+              unit += 1
+              mx += 1
+            }
+            my += 1
+          }
+        } else { // single-component DC scan: non-interleaved grid
+          val c = sc(0)
+          var row = 0
+          while (row < c.nh) {
+            var colB = 0
+            while (colB < c.nw) {
+              maybeRestart()
+              val bi = row * c.bw + colB
+              if (ah == 0) dcFirst(c, 0, bi) else dcRefine(c, bi)
+              unit += 1
+              colB += 1
+            }
+            row += 1
+          }
+        }
+      } else { // AC scan: single component only (T.81 G.1.1.1)
+        require(sc.length == 1,
+          "AC progressive scan must cover exactly one component")
+        val c = sc(0)
+        var row = 0
+        while (row < c.nh) {
+          var colB = 0
+          while (colB < c.nw) {
+            maybeRestart()
+            val bi = row * c.bw + colB
+            if (ah == 0) acFirst(c, bi) else acRefine(c, bi)
+            unit += 1
+            colB += 1
+          }
+          row += 1
+        }
+      }
+      br.pos
+    }
+    while (scanStart < 0 && !eoi) {
+      require(p + 2 <= bytes.length, "truncated JPEG marker stream")
       require((bytes(p) & 0xff) == 0xff, f"bad marker byte at $p")
       val m = bytes(p + 1) & 0xff
-      val segLen = u16(p + 2)
-      val body = p + 4
-      require(body + segLen - 2 <= bytes.length, "truncated JPEG segment")
-      m match {
-        case 0xdb => // DQT: one or more tables
-          var q = body
-          while (q < body + segLen - 2) {
-            val pq = (bytes(q) & 0xff) >> 4
-            val tq = bytes(q) & 0x0f
-            require(pq <= 1 && tq < 4, "bad DQT header")
-            val tab = new Array[Int](64)
+      if (m == 0xd9) { // EOI: standalone marker, no length field
+        if (progressive && sawScan) eoi = true
+        else throw new IllegalArgumentException("EOI before SOS")
+      } else {
+        require(p + 4 <= bytes.length, "truncated JPEG marker stream")
+        val segLen = u16(p + 2)
+        val body = p + 4
+        require(body + segLen - 2 <= bytes.length, "truncated JPEG segment")
+        var next = body + segLen - 2
+        m match {
+          case 0xdb => // DQT: one or more tables
+            var q = body
+            while (q < body + segLen - 2) {
+              val pq = (bytes(q) & 0xff) >> 4
+              val tq = bytes(q) & 0x0f
+              require(pq <= 1 && tq < 4, "bad DQT header")
+              val tab = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                tab(Zigzag(i)) =
+                  if (pq == 0) bytes(q + 1 + i) & 0xff else u16(q + 1 + 2 * i)
+                i += 1
+              }
+              quant(tq) = tab
+              q += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xc4 => // DHT: one or more tables
+            var q = body
+            while (q < body + segLen - 2) {
+              val tc = (bytes(q) & 0xff) >> 4
+              val th = bytes(q) & 0x0f
+              require(tc <= 1 && th < 4, "bad DHT header")
+              val bits = Array.tabulate(16)(i => bytes(q + 1 + i) & 0xff)
+              val n = bits.sum
+              val vals = java.util.Arrays.copyOfRange(bytes, q + 17, q + 17 + n)
+              if (tc == 0) dcTabs(th) = new HuffTable(bits, vals)
+              else acTabs(th) = new HuffTable(bits, vals)
+              q += 17 + n
+            }
+          case 0xc0 | 0xc1 => // SOF0/1: baseline (extended-sequential ok)
+            parseSof(body)
+            progressive = false
+          case 0xc2 => // SOF2: progressive
+            parseSof(body)
+            progressive = true
+          case 0xdd => restartInterval = u16(body)
+          case 0xda => // SOS
+            require(comps != null, "SOS before SOF")
+            val ns = bytes(body) & 0xff
+            if (!progressive) {
+              require(ns == comps.length,
+                s"expected one interleaved scan covering all ${comps.length} " +
+                  s"components, got a $ns-component scan")
+              var i = 0
+              while (i < ns) {
+                val cs = bytes(body + 1 + 2 * i) & 0xff
+                val c = comps.find(_.id == cs).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"scan references unknown component id $cs"))
+                c.td = (bytes(body + 2 + 2 * i) & 0xff) >> 4
+                c.ta = bytes(body + 2 + 2 * i) & 0x0f
+                i += 1
+              }
+              scanStart = body + segLen - 2
+            } else {
+              ensureGrid()
+              require(ns >= 1 && ns <= comps.length, s"bad scan count $ns")
+              val sc = Array.tabulate(ns) { i =>
+                val cs = bytes(body + 1 + 2 * i) & 0xff
+                val c = comps.find(_.id == cs).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"scan references unknown component id $cs"))
+                c.td = (bytes(body + 2 + 2 * i) & 0xff) >> 4
+                c.ta = bytes(body + 2 + 2 * i) & 0x0f
+                c
+              }
+              val ss = bytes(body + 1 + 2 * ns) & 0xff
+              val se = bytes(body + 2 + 2 * ns) & 0xff
+              val ahAl = bytes(body + 3 + 2 * ns) & 0xff
+              require(ss <= 63 && se <= 63 && ss <= se,
+                s"bad spectral selection $ss..$se")
+              val end = progressiveScan(sc, ss, se, ahAl >> 4, ahAl & 0x0f,
+                body + segLen - 2)
+              sawScan = true
+              next = nextMarker(end)
+            }
+          case _ => // APPn / COM / others: skip
+        }
+        if (scanStart < 0) p = next
+      }
+    }
+    if (progressive) {
+      // All scans consumed: dequantize the accumulated coefficients and
+      // IDCT every block of every component's padded grid.
+      val block = new Array[Double](64)
+      comps.foreach { c =>
+        val qt = quant(c.tq)
+        require(qt != null, s"missing quant table ${c.tq}")
+        var bRow = 0
+        while (bRow < c.bh) {
+          var bCol = 0
+          while (bCol < c.bw) {
+            val base = (bRow * c.bw + bCol) * 64
+            var anyAc = false
             var i = 0
             while (i < 64) {
-              tab(Zigzag(i)) =
-                if (pq == 0) bytes(q + 1 + i) & 0xff else u16(q + 1 + 2 * i)
+              block(i) = c.coef(base + i).toDouble * qt(i)
+              if (i > 0 && c.coef(base + i) != 0) anyAc = true
               i += 1
             }
-            quant(tq) = tab
-            q += 1 + (if (pq == 0) 64 else 128)
+            if (!anyAc) java.util.Arrays.fill(block, block(0) / 8.0)
+            else idct(block)
+            var y = 0
+            while (y < 8) {
+              val row = (bRow * 8 + y) * c.pw + bCol * 8
+              var x = 0
+              while (x < 8) {
+                val v = Math.round(block(y * 8 + x) + 128.0).toInt
+                c.plane(row + x) =
+                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                x += 1
+              }
+              y += 1
+            }
+            bCol += 1
           }
-        case 0xc4 => // DHT: one or more tables
-          var q = body
-          while (q < body + segLen - 2) {
-            val tc = (bytes(q) & 0xff) >> 4
-            val th = bytes(q) & 0x0f
-            require(tc <= 1 && th < 4, "bad DHT header")
-            val bits = Array.tabulate(16)(i => bytes(q + 1 + i) & 0xff)
-            val n = bits.sum
-            val vals = java.util.Arrays.copyOfRange(bytes, q + 17, q + 17 + n)
-            if (tc == 0) dcTabs(th) = new HuffTable(bits, vals)
-            else acTabs(th) = new HuffTable(bits, vals)
-            q += 17 + n
-          }
-        case 0xc0 | 0xc1 => // SOF0/1: baseline (extended-sequential ok)
-          require((bytes(body) & 0xff) == 8, "only 8-bit precision supported")
-          height = u16(body + 1); width = u16(body + 3)
-          val nComp = bytes(body + 5) & 0xff
-          require(nComp == 1 || nComp == 3,
-            s"expected 1 (grayscale) or 3 (YCbCr) components, got $nComp " +
-              "(CMYK/unknown color model)")
-          comps = Array.tabulate(nComp) { i =>
-            val at = body + 6 + 3 * i
-            val hv = bytes(at + 1) & 0xff
-            val c = new FrameComp(bytes(at) & 0xff, hv >> 4, hv & 0x0f,
-              bytes(at + 2) & 0x0f)
-            require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
-              s"sampling factors ${c.h}x${c.v} outside 1..2 " +
-                "(4:4:4/4:2:2/4:2:0 supported)")
-            c
-          }
-        case 0xc2 =>
-          throw new IllegalArgumentException(
-            "progressive JPEG (SOF2) not supported by this baseline decoder")
-        case 0xdd => restartInterval = u16(body)
-        case 0xda => // SOS
-          require(comps != null, "SOS before SOF")
-          val ns = bytes(body) & 0xff
-          require(ns == comps.length,
-            s"expected one interleaved scan covering all ${comps.length} " +
-              s"components, got a $ns-component scan")
-          var i = 0
-          while (i < ns) {
-            val cs = bytes(body + 1 + 2 * i) & 0xff
-            val c = comps.find(_.id == cs).getOrElse(
-              throw new IllegalArgumentException(
-                s"scan references unknown component id $cs"))
-            c.td = (bytes(body + 2 + 2 * i) & 0xff) >> 4
-            c.ta = bytes(body + 2 + 2 * i) & 0x0f
-            i += 1
-          }
-          scanStart = body + segLen - 2
-        case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
-        case _ => // APPn / COM / others: skip
+          bRow += 1
+        }
       }
-      if (scanStart < 0) p = body + segLen - 2
+      return (width, height, comps, maxH, maxV)
     }
     require(width > 0 && height > 0, "missing SOF before SOS")
     // A single-component frame ignores sampling factors (T.81 A.2.2:
     // non-interleaved data is a plain ceil(w/8) x ceil(h/8) block
-    // grid) — normalize to 1x1 so the MCU loop below covers it.
-    val maxH = if (comps.length == 1) 1 else comps.map(_.h).max
-    val maxV = if (comps.length == 1) 1 else comps.map(_.v).max
-    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
-    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    // grid) — ensureGrid normalizes to 1x1 so the MCU loop covers it.
+    ensureGrid()
     comps.foreach { c =>
       require(quant(c.tq) != null, s"missing quant table ${c.tq}")
       require(dcTabs(c.td) != null && acTabs(c.ta) != null,
         s"missing Huffman tables ${c.td}/${c.ta}")
-      val ch = if (comps.length == 1) 1 else c.h
-      val cv = if (comps.length == 1) 1 else c.v
-      c.pw = mcusX * ch * 8
-      c.ph = mcusY * cv * 8
-      c.plane = new Array[Byte](c.pw * c.ph)
     }
     val br = new BitReader(bytes, scanStart)
     val block = new Array[Double](64)
@@ -901,6 +1402,28 @@ object Jpeg {
         rows.map { case (id, text) =>
           val (yP, cbP, crP, h) = colorPlanesOf(text)
           Multimodal.Media(id, encodeColor(64, h, yP, cbP, crP),
+            "image/jpeg", 64, h)
+        }
+      }
+      .select(col("doc_id"), col("payload"),
+        struct(col("format"), col("width"), col("height")).as("meta"))
+  }
+
+  /** [[asColorJpegMedia]]'s PROGRESSIVE twin: the same planted planes
+    * through [[encodeColorProgressive]] (SOF2, 5-scan spectral script).
+    * Because the scan script carries every quantized coefficient
+    * exactly, [[parseColorMeta]] over this media decodes to the SAME
+    * RGB as the baseline payload — which is why q345 shares q339's
+    * oracle verbatim: hash equality proves the progressive path.
+    */
+  def asProgressiveJpegMedia(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val (yP, cbP, crP, h) = colorPlanesOf(text)
+          Multimodal.Media(id, encodeColorProgressive(64, h, yP, cbP, crP),
             "image/jpeg", 64, h)
         }
       }

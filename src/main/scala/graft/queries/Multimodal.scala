@@ -303,6 +303,24 @@ object Multimodal {
           col("n_pixels"), col("rgb_md5"), col("rgb_sum"))
     },
 
+    // PROGRESSIVE JPEG decode (q345, r13): the same planted color
+    // fixture through the SOF2 5-scan spectral script (DC first at
+    // Al=1, DC refinement, per-component AC first with EOB runs) —
+    // the scans carry every quantized coefficient exactly, so the
+    // decode is bit-identical to q339's baseline stream and the
+    // oracle is SHARED verbatim: hash equality proves the whole
+    // progressive path (scan accumulation, refinement bit, EOBRUN,
+    // final dequant+IDCT). JpegSpec cross-validates against
+    // javax.imageio's progressive writer both directions.
+    "q345_jpeg_progressive" -> { (s, d) =>
+      val media = graft.operators.Jpeg.asProgressiveJpegMedia(
+        Tables.documents(s, d))
+      graft.operators.Jpeg.parseColorMeta(media)
+        .select(col("doc_id"), lit("image/jpeg").as("format"),
+          col("width"), col("height"), col("channels"),
+          col("n_pixels"), col("rgb_md5"), col("rgb_sum"))
+    },
+
     // REAL video-container frame sampling (q189): 3 complete PNGs per
     // payload (frame f = pixels rotated left by f), structural chunk
     // walk to find frame boundaries, real decode of every 2nd frame,
@@ -490,6 +508,10 @@ object Multimodal {
     "q211_image_patches" -> patchOracle,
     "q326_jpeg_decode" -> jpegOracle,
     "q339_jpeg_color" -> jpegColorOracle,
+    // q345: the progressive scan script reconstructs the SAME quantized
+    // coefficients as the baseline stream, so the RGB oracle is q339's
+    // verbatim — hash equality IS the progressive-correctness proof.
+    "q345_jpeg_progressive" -> jpegColorOracle,
 
     // q212: the sample rule replayed, frames by integer division of the
     // 0-based sample index, exact integer energy/peak per frame.

@@ -102,11 +102,11 @@ class JpegSpec extends AnyFunSuite {
 
   test("malformed inputs are rejected loudly") {
     assertThrows[IllegalArgumentException](Jpeg.decode("not a jpeg".getBytes))
-    // minimal progressive frame header → explicit SOF2 rejection
+    // a SOF2 header is ACCEPTED since r13 (progressive is supported) —
+    // but a header with no scans behind it still dies loudly
     val sof2 = Array(0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b,
       8, 0, 8, 0, 8, 1, 1, 0x11, 0).map(_.toByte)
-    val e = intercept[IllegalArgumentException](Jpeg.decode(sof2))
-    assert(e.getMessage.contains("progressive"))
+    assertThrows[IllegalArgumentException](Jpeg.decode(sof2))
     // truncated entropy stream
     val pix = Jpeg.blockPixelsOf("truncate me please")
     val ok = Jpeg.encodeGray(64, pix.length / 64, pix)
@@ -231,6 +231,103 @@ class JpegSpec extends AnyFunSuite {
         Jpeg.encodeColor(64, h, yP, cbP, crP, restartInterval = ri))
       assert(java.util.Arrays.equals(img.pixels, plain.pixels), s"interval $ri")
     }
+  }
+
+  test("progressive scan script decodes BIT-IDENTICAL to baseline (all samplings)") {
+    // encodeColorProgressive splits the same quantized coefficients
+    // over 5 scans (DC first Al=1, DC refine, per-component AC first
+    // with EOB runs) — so decode must equal the baseline stream's
+    // decode exactly, in every chroma mode.
+    val (yP, cbP, crP, h) = Jpeg.colorPlanesOf("progressive spectral scans")
+    val base420 = Jpeg.decodeColor(Jpeg.encodeColor(64, h, yP, cbP, crP))
+    val prog420 = Jpeg.decodeColor(
+      Jpeg.encodeColorProgressive(64, h, yP, cbP, crP))
+    assert(java.util.Arrays.equals(prog420.pixels, base420.pixels))
+    for ((hs, vs) <- Seq((1, 1), (2, 1))) {
+      val cw = 64 / hs
+      val ch = h / vs
+      val cb = Array.fill(cw * ch)(90.toByte)
+      val cr = Array.fill(cw * ch)(170.toByte)
+      val b = Jpeg.decodeColor(Jpeg.encodeColor(64, h, yP, cb, cr, hs, vs))
+      val p = Jpeg.decodeColor(
+        Jpeg.encodeColorProgressive(64, h, yP, cb, cr, hs, vs))
+      assert(java.util.Arrays.equals(p.pixels, b.pixels), s"mode ${hs}x$vs")
+    }
+  }
+
+  test("progressive encode of ARBITRARY planes still equals baseline decode") {
+    // non-uniform content: nonzero ACs exercise the (run, size) path,
+    // zero-tail blocks the EOB-run aggregation, odd dims the padding
+    val rng = new scala.util.Random(13)
+    val w = 44; val h = 26
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val yP = Array.tabulate(w * h)(i =>
+      (((i % w) * 5 + (i / w) * 3 + rng.nextInt(7)) % 256).toByte)
+    val cbP = Array.tabulate(cw * ch)(i => ((i * 11) % 256).toByte)
+    val crP = Array.tabulate(cw * ch)(i => ((255 - i * 7) % 256).toByte)
+    val base = Jpeg.decodeColor(Jpeg.encodeColor(w, h, yP, cbP, crP))
+    val prog = Jpeg.decodeColor(Jpeg.encodeColorProgressive(w, h, yP, cbP, crP))
+    assert(prog.width == w && prog.height == h && prog.channels == 3)
+    assert(java.util.Arrays.equals(prog.pixels, base.pixels))
+  }
+
+  test("JDK ImageIO decodes OUR progressive bytes (chroma-uniform, tolerance)") {
+    val (yP, _, _, h) = Jpeg.colorPlanesOf("the JDK reads our SOF2 scans")
+    val cbP = Array.fill(32 * (h / 2))(64.toByte)
+    val crP = Array.fill(32 * (h / 2))(200.toByte)
+    val bytes = Jpeg.encodeColorProgressive(64, h, yP, cbP, crP)
+    val ours = Jpeg.decodeColor(bytes)
+    val (jw, jh, jdkPix) = jdkDecodeRgb(bytes)
+    assert(jw == 64 && jh == h)
+    val maxDiff = (0 until 64 * h * 3)
+      .map(i => math.abs((ours.pixels(i) & 0xff) - jdkPix(i))).max
+    assert(maxDiff <= 2, s"JDK progressive decode deviates by $maxDiff")
+  }
+
+  test("our decoder reads the JDK's PROGRESSIVE JPEGs (within tolerance)") {
+    // the JDK writer's progressive script uses successive approximation
+    // on AC (Ah > 0), so this exercises the refinement path our own
+    // encoder's Al=0 script never hits
+    val rng = new scala.util.Random(29)
+    val images = Seq(
+      Array.tabulate(48 * 32) { i =>
+        val v = ((i % 48) * 3 + (i / 48) * 2 + rng.nextInt(3)).min(255)
+        (v << 16) | (v << 8) | v
+      } -> ((48, 32)),
+      Array.fill(40 * 24)((200 << 16) | (80 << 8) | 40) -> ((40, 24)))
+    for ((px, (w, h)) <- images) {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      bi.setRGB(0, 0, w, h, px, 0, w)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      ios.close()
+      writer.dispose()
+      val bytes = out.toByteArray
+      // confirm the writer actually emitted SOF2
+      val hasSof2 = (0 until bytes.length - 1).exists(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2)
+      assert(hasSof2, "JDK writer did not produce a progressive stream")
+      val ours = Jpeg.decodeColor(bytes)
+      val (jw, jh, jdkPix) = jdkDecodeRgb(bytes)
+      assert(ours.width == jw && ours.height == jh && jw == w && jh == h)
+      val maxDiff = (0 until w * h * 3)
+        .map(i => math.abs((ours.pixels(i) & 0xff) - jdkPix(i))).max
+      assert(maxDiff <= 2, s"$w x $h: max diff $maxDiff vs ImageIO progressive")
+    }
+  }
+
+  test("truncated progressive streams are rejected loudly") {
+    val (yP, cbP, crP, h) = Jpeg.colorPlanesOf("truncate the SOF2 scan")
+    val ok = Jpeg.encodeColorProgressive(64, h, yP, cbP, crP)
+    assertThrows[IllegalArgumentException](
+      Jpeg.decodeColor(java.util.Arrays.copyOfRange(ok, 0, ok.length - 16)))
   }
 
   test("color malformed inputs are rejected loudly") {
