@@ -84,6 +84,41 @@ object Web {
       .filter(col("href").startsWith("http://") ||
         col("href").startsWith("https://"))
 
+  /** Image-reference extraction — the LAION-recipe step between crawl
+    * ingestion and CLIP-style pair construction: every `<img>` tag's
+    * `src` (resolved against the page URL per RFC 3986, then
+    * canonicalized) with its `alt` caption text ('' when the attribute
+    * is absent — alt-less images are still joinable pairs, the caption
+    * model just sees an empty string). Deliberately regex-scoped like
+    * [[extractLinks]]: the tag regex captures whole `<img ...>` tags,
+    * the attribute regexes reuse the href discipline ((?<![\w-]) keeps
+    * `data-src` out; quote alternation pairs quotes properly).
+    *
+    * Scale shape: one narrow projection + explode per page, two
+    * codegen'd scalars (resolve + canonicalize), no shuffle — the
+    * downstream join to the fetched-image table is the only exchange,
+    * and it keys on the canonical URL both sides.
+    */
+  def extractImageRefs(pages: DataFrame, idCol: String, htmlCol: String,
+                       baseUrlCol: String): DataFrame = {
+    val srcRx = "(?i)(?<![\\w-])src\\s*=\\s*(\"[^\"]*\"|'[^']*')"
+    val altRx = "(?i)(?<![\\w-])alt\\s*=\\s*(\"[^\"]*\"|'[^']*')"
+    pages.select(col(idCol), col(baseUrlCol).as("_base"),
+        explode(regexp_extract_all(col(htmlCol),
+          lit("(?i)<img\\b[^>]*>"), lit(0))).as("tag"))
+      .select(col(idCol), col("_base"),
+        regexp_extract(col("tag"), srcRx, 1).as("srcq"),
+        regexp_extract(col("tag"), altRx, 1).as("altq"))
+      .filter(length(col("srcq")) >= 2)
+      .select(col(idCol),
+        canonicalizeUrl(resolveUrl(col("_base"),
+          expr("substring(srcq, 2, length(srcq) - 2)"))).as("img_url"),
+        when(length(col("altq")) >= 2,
+          expr("substring(altq, 2, length(altq) - 2)"))
+          .otherwise(lit("")).as("alt"))
+      .filter(col("img_url").isNotNull)
+  }
+
   /** URL-level dedup — the FIRST dedup stage of every published crawl
     * pipeline (it runs before fetching content is even considered):
     * canonicalize, group, keep the minimum id (the engine-wide

@@ -321,6 +321,47 @@ object Multimodal {
           col("n_pixels"), col("rgb_md5"), col("rgb_sum"))
     },
 
+    // IMAGE-TEXT PAIR EXTRACTION (q346, r13 — the CLIP-data flagship,
+    // q240 ∘ q339): every document renders a gallery page whose <img>
+    // tags reference OTHER documents' color-JPEG payloads by
+    // arithmetic rule (absolute and protocol-relative src shapes, one
+    // alt-less image, a data-src decoy that must NOT extract);
+    // extractImageRefs pulls (src, alt) per tag, resolves + canonical-
+    // izes the URL, and the refs join the decoded-image table on the
+    // canonical URL — alt caption next to real decoded RGB digest,
+    // the LAION pair-construction step end to end under one hash.
+    "q346_image_text_pairs" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).cast("long").as("n"))
+      val pages = docs.select(col("doc_id")).crossJoin(broadcast(n)).select(
+        col("doc_id"),
+        concat(lit("http://corpus.example/s"), pmod(col("doc_id"), lit(5)),
+          lit("/p"), col("doc_id"), lit(".html")).as("url"),
+        concat(
+          lit("<html><body><p>gallery "), col("doc_id"), lit("</p>"),
+          concat_ws("", transform(
+            sequence(lit(1), (lit(1) + pmod(col("doc_id"), lit(3))).cast("int")),
+            j => concat(lit("<img class='g' src=\"http://img.example/i"),
+              ((col("doc_id") * 31 + j * 7) % col("n")).cast("string"),
+              lit(".jpg\" alt=\"pic "), col("doc_id"), lit(" "),
+              j.cast("string"), lit("\">")))),
+          lit("<img src='//img.example/i"), pmod(col("doc_id"), lit(89)),
+          lit(".jpg'>"),
+          lit("<img data-src='http://img.example/i0.jpg' alt='decoy'>"),
+          lit("</body></html>")).as("html"))
+      val refs = graft.operators.Web.extractImageRefs(
+        pages, "doc_id", "html", "url")
+        .select(col("doc_id").as("page_id"), col("img_url"), col("alt"))
+      val meta = graft.operators.Jpeg.parseColorMeta(
+        graft.operators.Jpeg.asColorJpegMedia(docs))
+        .select(concat(lit("http://img.example/i"), col("doc_id"),
+          lit(".jpg")).as("img_url"),
+          col("width"), col("height"), col("rgb_md5"))
+      refs.join(meta, "img_url")
+        .select(col("page_id"), col("img_url"), col("alt"),
+          col("width"), col("height"), col("rgb_md5"))
+    },
+
     // REAL video-container frame sampling (q189): 3 complete PNGs per
     // payload (frame f = pixels rotated left by f), structural chunk
     // walk to find frame boundaries, real decode of every 2nd frame,
@@ -455,13 +496,17 @@ object Multimodal {
     * the hex row is 8 blocks × (6 hex chars × 8 pixels); the 8
     * identical pixel rows collapse to repeat(rowhex, 8).
     */
-  private def jpegColorOracle: String = {
+  /** The q339 CTE chain alone (ends at `img`: doc_id, hexpix,
+    * blocksum) — shared with q346, whose pair join needs per-image
+    * width/height/digest mid-query.
+    */
+  private def jpegColorCtes: String = {
     def clamp(e: String) = s"LEAST(255, GREATEST(0, CAST(floor($e) AS INTEGER)))"
     val rExpr = clamp("yv + 1.402*(crv - 128) + 0.5")
     val gExpr = clamp("yv - 0.344136*(cbv - 128) - 0.714136*(crv - 128) + 0.5")
     val bExpr = clamp("yv + 1.772*(cbv - 128) + 0.5")
     def hx(c: String) = s"lpad(lower(to_hex($c)), 2, '0')"
-    s"""WITH p AS (SELECT doc_id,
+    s"""p AS (SELECT doc_id,
              rpad(text, CAST(greatest(CAST(ceil(length(text) / 16.0) AS BIGINT),
                1) * 16 AS INTEGER), '.') AS bt
            FROM documents),
@@ -494,7 +539,11 @@ object Multimodal {
         img AS (SELECT doc_id,
                   string_agg(repeat(rowhex, 8), '' ORDER BY br) AS hexpix,
                   SUM(rowsum) AS blocksum
-                FROM rw GROUP BY doc_id)
+                FROM rw GROUP BY doc_id)"""
+  }
+
+  private def jpegColorOracle: String =
+    s"""WITH $jpegColorCtes
         SELECT doc_id, 'image/jpeg' AS format, 64 AS width,
              CAST(length(hexpix) / (6 * 64) AS INTEGER) AS height,
              3 AS channels,
@@ -502,7 +551,34 @@ object Multimodal {
              md5(hexpix) AS rgb_md5,
              CAST(blocksum * 64 AS BIGINT) AS rgb_sum
         FROM img"""
-  }
+
+  /** q346's oracle: the planted pair arithmetic (two resolvable img
+    * shapes per page family; the data-src decoy must not survive)
+    * joined to the q339 color-decode chain by image id — pairs AND
+    * decoded digests under one hash.
+    */
+  private def imageTextPairsOracle: String =
+    s"""WITH $jpegColorCtes,
+        meta AS (SELECT doc_id,
+                   CAST(length(hexpix) / (6 * 64) AS INTEGER) AS height,
+                   md5(hexpix) AS rgb_md5
+                 FROM img),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        refs AS (
+          SELECT d.doc_id AS page_id,
+                 (d.doc_id * 31 + j.j * 7) % nn.n AS img_id,
+                 'pic ' || CAST(d.doc_id AS VARCHAR) || ' ' ||
+                   CAST(j.j AS VARCHAR) AS alt
+          FROM documents d, nn, (VALUES (1), (2), (3)) AS j(j)
+          WHERE j.j <= 1 + d.doc_id % 3
+          UNION ALL
+          SELECT doc_id, doc_id % 89, '' FROM documents)
+        SELECT r.page_id,
+             'http://img.example/i' || CAST(r.img_id AS VARCHAR) || '.jpg'
+               AS img_url,
+             r.alt,
+             64 AS width, m.height, m.rgb_md5
+        FROM refs r JOIN meta m ON m.doc_id = r.img_id"""
 
   val oracles: Map[String, String] = Map(
     "q211_image_patches" -> patchOracle,
@@ -512,6 +588,7 @@ object Multimodal {
     // coefficients as the baseline stream, so the RGB oracle is q339's
     // verbatim — hash equality IS the progressive-correctness proof.
     "q345_jpeg_progressive" -> jpegColorOracle,
+    "q346_image_text_pairs" -> imageTextPairsOracle,
 
     // q212: the sample rule replayed, frames by integer division of the
     // 0-based sample index, exact integer energy/peak per frame.

@@ -195,6 +195,28 @@ class WebSpec extends AnyFunSuite {
       (4L, "https://c.com/3")))
   }
 
+  test("extractImageRefs: src/alt pairs, alt-less, decoys, resolution") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "http://h.com/d/p.html",
+        """<img src="http://img.com/a.jpg" alt="cap one">
+          |<IMG ALT='cap two' SRC='//cdn.com/b.png'>
+          |<img src="../up/c.gif">
+          |<img data-src='http://evil.com/d.jpg' alt='decoy'>
+          |<img alt="srcless">
+          |<img src="#frag" alt="frag">""".stripMargin)
+    ).toDF("id", "url", "html")
+    val out = WebOp.extractImageRefs(pages, "id", "html", "url")
+      .as[(Long, String, String)].collect().toSet
+    // attribute order is free (alt before src captures too); data-src
+    // is a different attribute; src-less and fragment-only tags drop;
+    // alt-less images survive with '' (still a joinable pair)
+    assert(out == Set(
+      (1L, "http://img.com/a.jpg", "cap one"),
+      (1L, "http://cdn.com/b.png", "cap two"),
+      (1L, "http://h.com/up/c.gif", "")))
+  }
+
   test("parseRobots: RFC 9309 group selection, merge, comments, empty disallow") {
     import graft.functions.Web.{parseRobots, RobotRule}
     val body =
