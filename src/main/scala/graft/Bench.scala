@@ -127,9 +127,21 @@ object Bench {
   private val headlineR12 = Seq("q326_jpeg_decode", "q324_unigram_train",
     "q329_token_shards", "q331_bm25_prf", "q333_catalog_txn")
 
+  /** r13 additions: the color-JPEG corpus decode (multi-component MCU
+    * scan + chroma upsample + YCbCr→RGB), the progressive twin (5-scan
+    * coefficient accumulation), byte-level BPE training, the
+    * pre-filtered IVF-ADC search, the incremental export cycle (full
+    * shard + catalog publish + delta assign + append + re-publish),
+    * and the CLIP pair-construction composition — each timed
+    * end-to-end with its fixture staging, the q119 convention.
+    */
+  private val headlineR13 = Seq("q339_jpeg_color", "q345_jpeg_progressive",
+    "q342_byte_bpe_train", "q340_filtered_ann", "q344_incremental_export",
+    "q346_image_text_pairs")
+
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++
-      headlineR10 ++ headlineR11 ++ headlineR12
+      headlineR10 ++ headlineR11 ++ headlineR12 ++ headlineR13
 
   /** 1/5/15-minute load averages as a JSON array ("[]" off-Linux). */
   private def loadavg(): String =
