@@ -185,20 +185,32 @@ object Jpeg {
     private val coef = new Array[Int](64)
     var pred = 0
     def encode(plane: Array[Byte], pw: Int, ph: Int, ox: Int, oy: Int): Unit = {
+      var uniform = true
+      val first = plane(math.min(oy, ph - 1) * pw + math.min(ox, pw - 1)) & 0xff
       var y = 0
       while (y < 8) {
         val sy = math.min(oy + y, ph - 1)
         var x = 0
         while (x < 8) {
           val sx = math.min(ox + x, pw - 1)
-          block(y * 8 + x) = (plane(sy * pw + sx) & 0xff) - 128.0
+          val v = plane(sy * pw + sx) & 0xff
+          if (v != first) uniform = false
+          block(y * 8 + x) = v - 128.0
           x += 1
         }
         y += 1
       }
-      fdct(block)
-      var i = 0
-      while (i < 64) { coef(i) = Math.round(block(i) / quant(i)).toInt; i += 1 }
+      if (uniform) {
+        // FDCT of a constant block is exactly DC = 8·(v−128), ACs = 0
+        // (the encode twin of the decoder's dcval shortcut) — skip the
+        // two 8-point passes; bit-identical to the full transform
+        java.util.Arrays.fill(coef, 0)
+        coef(0) = Math.round(8.0 * (first - 128) / quant(0)).toInt
+      } else {
+        fdct(block)
+        var i = 0
+        while (i < 64) { coef(i) = Math.round(block(i) / quant(i)).toInt; i += 1 }
+      }
       // DC
       val diff = coef(0) - pred
       pred = coef(0)
@@ -457,23 +469,35 @@ object Jpeg {
         while (bRow < bh) {
           var bCol = 0
           while (bCol < bw) {
+            var uniform = true
+            val first = plane(math.min(bRow * 8, ph - 1) * pw +
+              math.min(bCol * 8, pw - 1)) & 0xff
             var y = 0
             while (y < 8) {
               val sy = math.min(bRow * 8 + y, ph - 1)
               var x = 0
               while (x < 8) {
                 val sx = math.min(bCol * 8 + x, pw - 1)
-                block(y * 8 + x) = (plane(sy * pw + sx) & 0xff) - 128.0
+                val v = plane(sy * pw + sx) & 0xff
+                if (v != first) uniform = false
+                block(y * 8 + x) = v - 128.0
                 x += 1
               }
               y += 1
             }
-            fdct(block)
             val base = (bRow * bw + bCol) * 64
-            var i = 0
-            while (i < 64) {
-              coef(base + i) = Math.round(block(i) / q(i)).toInt
-              i += 1
+            if (uniform) {
+              // constant block: DC = 8·(v−128) exactly, ACs = 0
+              var i = 0
+              while (i < 64) { coef(base + i) = 0; i += 1 }
+              coef(base) = Math.round(8.0 * (first - 128) / q(0)).toInt
+            } else {
+              fdct(block)
+              var i = 0
+              while (i < 64) {
+                coef(base + i) = Math.round(block(i) / q(i)).toInt
+                i += 1
+              }
             }
             bCol += 1
           }
