@@ -362,6 +362,56 @@ object Multimodal {
           col("width"), col("height"), col("rgb_md5"))
     },
 
+    // CLIP-pair CURATION (q348, r13): content-level dedup of the q346
+    // pairs — every image is published under TWO urls (i<id> and the
+    // CDN-mirror m<id>, same payload), pages reference a mix of both
+    // families, and pairs sharing the DECODED-RGB digest collapse to
+    // one keeper chosen by caption richness (alt length desc, then
+    // alt, page, url — a total order). The window partitions by the
+    // content digest (per-image groups — scale-safe); the oracle
+    // replays refs, the color-decode digest, the rank, and the
+    // group rollup.
+    "q348_pair_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).cast("long").as("n"))
+      val pages = docs.select(col("doc_id")).crossJoin(broadcast(n)).select(
+        col("doc_id"),
+        concat(lit("http://corpus.example/s"), pmod(col("doc_id"), lit(5)),
+          lit("/p"), col("doc_id"), lit(".html")).as("url"),
+        concat(
+          lit("<html><body>"),
+          concat_ws("", transform(
+            sequence(lit(1), (lit(1) + pmod(col("doc_id"), lit(3))).cast("int")),
+            j => concat(lit("<img src=\"http://img.example/i"),
+              ((col("doc_id") * 31 + j * 7) % col("n")).cast("string"),
+              lit(".jpg\" alt=\"pic "), col("doc_id"), lit(" "),
+              j.cast("string"), lit("\">")))),
+          lit("<img src='//img.example/m"), pmod(col("doc_id"), lit(89)),
+          lit(".jpg'>"),
+          lit("</body></html>")).as("html"))
+      val refs = graft.operators.Web.extractImageRefs(
+        pages, "doc_id", "html", "url")
+        .select(col("doc_id").as("page_id"), col("img_url"), col("alt"))
+      val meta0 = graft.operators.Jpeg.parseColorMeta(
+        graft.operators.Jpeg.asColorJpegMedia(docs))
+        .select(col("doc_id"), col("rgb_md5"))
+      val meta = meta0.select(concat(lit("http://img.example/i"),
+          col("doc_id"), lit(".jpg")).as("img_url"), col("rgb_md5"))
+        .unionAll(meta0.select(concat(lit("http://img.example/m"),
+          col("doc_id"), lit(".jpg")).as("img_url"), col("rgb_md5")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("rgb_md5")
+        .orderBy(length(col("alt")).desc, col("alt").asc,
+          col("page_id").asc, col("img_url").asc)
+      refs.join(meta, "img_url")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("rgb_md5")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("img_url")).as("n_urls"),
+          max(when(col("rn") === 1, col("page_id"))).as("keeper_page"),
+          max(when(col("rn") === 1, col("alt"))).as("keeper_alt"))
+    },
+
     // REAL video-container frame sampling (q189): 3 complete PNGs per
     // payload (frame f = pixels rotated left by f), structural chunk
     // walk to find frame boundaries, real decode of every 2nd frame,
@@ -589,6 +639,37 @@ object Multimodal {
     // verbatim — hash equality IS the progressive-correctness proof.
     "q345_jpeg_progressive" -> jpegColorOracle,
     "q346_image_text_pairs" -> imageTextPairsOracle,
+    // q348: refs (both URL families) → decode digest → per-digest rank
+    // → rollup, replayed end to end.
+    "q348_pair_dedup" ->
+      s"""WITH $jpegColorCtes,
+          meta AS (SELECT doc_id, md5(hexpix) AS rgb_md5 FROM img),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          refs AS (
+            SELECT d.doc_id AS page_id,
+                   (d.doc_id * 31 + j.j * 7) % nn.n AS img_id,
+                   'i' AS fam,
+                   'pic ' || CAST(d.doc_id AS VARCHAR) || ' ' ||
+                     CAST(j.j AS VARCHAR) AS alt
+            FROM documents d, nn, (VALUES (1), (2), (3)) AS j(j)
+            WHERE j.j <= 1 + d.doc_id % 3
+            UNION ALL
+            SELECT doc_id, doc_id % 89, 'm', '' FROM documents),
+          pairs AS (SELECT r.page_id,
+                      'http://img.example/' || r.fam ||
+                        CAST(r.img_id AS VARCHAR) || '.jpg' AS img_url,
+                      r.alt, m.rgb_md5
+                    FROM refs r JOIN meta m ON m.doc_id = r.img_id),
+          rk AS (SELECT *, row_number() OVER (
+                   PARTITION BY rgb_md5
+                   ORDER BY length(alt) DESC, alt ASC, page_id ASC,
+                            img_url ASC) AS rn
+                 FROM pairs)
+          SELECT rgb_md5, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT img_url) AS BIGINT) AS n_urls,
+               max(CASE WHEN rn = 1 THEN page_id END) AS keeper_page,
+               max(CASE WHEN rn = 1 THEN alt END) AS keeper_alt
+          FROM rk GROUP BY 1""",
 
     // q212: the sample rule replayed, frames by integer division of the
     // 0-based sample index, exact integer energy/peak per frame.
