@@ -19,6 +19,55 @@ class PropertySpec extends AnyFunSuite {
   private def randDna(n: Int): String =
     (0 until n).map(_ => "ACGTN" (rnd.nextInt(5))).mkString
 
+  test("byteBpeEncode invariants on random multilingual text") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    // random words mixing 1-4-byte UTF-8 chars: token count after any
+    // merge table is bounded by [n_words, total UTF-8 bytes], and an
+    // empty merge table... is rejected, so train on the corpus itself.
+    val alphabet = "abzé日🚀"
+    def randWord(): String =
+      (0 until 1 + rnd.nextInt(4)).map(_ =>
+        alphabet.codePointAt(
+          alphabet.offsetByCodePoints(0, rnd.nextInt(6)))).map(
+        cp => new String(Character.toChars(cp))).mkString
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(8)).map(_ => randWord())
+        .mkString(" "))).toDF("doc_id", "text")
+    val merges = Corpus.byteBpeTrain(docs, "text", merges = 6)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val rows = Corpus.byteBpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val byText = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, nWords, nTokens) =>
+      val words = byText(id).split("\\s+").filter(_.nonEmpty)
+        .filter(_.getBytes("UTF-8").length <= 16)
+      val totalBytes = words.map(_.getBytes("UTF-8").length).sum
+      assert(nWords == words.length, s"doc $id word count")
+      assert(nTokens >= nWords && nTokens <= totalBytes,
+        s"doc $id: $nTokens tokens outside [$nWords, $totalBytes]")
+    }
+  }
+
+  test("progressive JPEG equals baseline on random planes (all samplings)") {
+    import graft.operators.Jpeg
+    for ((hs, vs) <- Seq((1, 1), (2, 1), (2, 2)); trial <- 1 to 2) {
+      val w = 17 + rnd.nextInt(40)
+      val h = 9 + rnd.nextInt(40)
+      val cw = (w + hs - 1) / hs
+      val ch = (h + vs - 1) / vs
+      val yP = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val cbP = Array.fill(cw * ch)(rnd.nextInt(256).toByte)
+      val crP = Array.fill(cw * ch)(rnd.nextInt(256).toByte)
+      val base = Jpeg.decodeColor(Jpeg.encodeColor(w, h, yP, cbP, crP, hs, vs))
+      val prog = Jpeg.decodeColor(
+        Jpeg.encodeColorProgressive(w, h, yP, cbP, crP, hs, vs))
+      assert(prog.width == w && prog.height == h)
+      assert(java.util.Arrays.equals(prog.pixels, base.pixels),
+        s"${hs}x$vs $w x $h trial $trial")
+    }
+  }
+
   test("reverseComplement is an involution and preserves length") {
     (1 to 200).foreach { _ =>
       val s = randDna(rnd.nextInt(80))
