@@ -4198,10 +4198,20 @@ object Layout {
       // Distinguish the live race from its debris: a lock with no
       // published version behind it means a previous committer crashed
       // (or failed its rename) between createExclusive and rename —
-      // retrying against it can never succeed, so name the remediation
-      // instead of misdiagnosing it as a concurrent committer (the same
-      // contract the manifest commit's stale-.commit-lock message gives).
-      if (!fs.exists(dest))
+      // retrying against it can never succeed, so name the remediation.
+      // BUT a lock-present/dest-missing snapshot also describes a LIVE
+      // winner between ITS createExclusive and rename (r13's racing-
+      // committers spec caught exactly that window being misdiagnosed,
+      // with "remove the lock" advice that would corrupt the live
+      // commit) — so staleness additionally requires the lock to be
+      // OLDER than any plausible lock→rename gap. A fresh lock is a
+      // concurrent committer; retry against it resolves.
+      val staleAfterMs = 10000L
+      val lockAge =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.FileNotFoundException => -1L }
+      if (!fs.exists(dest) && lockAge > staleAfterMs)
         sys.error(s"catalog version $newVer under $catalogDir is held by " +
           s"a stale lock: .catalog-v$newVer.lock exists but " +
           s"catalog-v$newVer.json does not — a previous committer crashed " +

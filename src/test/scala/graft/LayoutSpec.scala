@@ -2284,7 +2284,32 @@ test("catalog: cross-table atomic publish, isolation, and carry-forward") {
     losses.forEach(m => assert(m.contains("concurrent"), m))
     assert(Layout.catalogVersion(spark, cat) == 2L)
   }
-test("catalogSink: batch note suppresses replay double-apply; publish is all-or-nothing") {
+test("catalog: stale lock is age-gated — fresh lock reads as concurrent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cat3").toString
+    val aDir = s"$root/a"; val cat = s"$root/cat"
+    Layout.snapshotWrite(Seq((1L, 1L)).toDF("k", "v"), aDir)
+    Layout.catalogCommitCurrent(spark, cat, Map("a" -> aDir))
+    // plant the debris of a crashed committer: v2 lock, no v2 json
+    val lock = new java.io.File(s"$cat/.catalog-v2.lock")
+    assert(lock.createNewFile())
+    // FRESH lock → a live racer between lock and rename: the error must
+    // say concurrent (retryable), never advise deleting a live lock
+    val fresh = intercept[RuntimeException](
+      Layout.catalogCommit(spark, cat, Map("a" -> ((aDir, 1L)))))
+    assert(fresh.getMessage.contains("concurrent"), fresh.getMessage)
+    // OLD lock (past the 10 s staleness gate) → the crash diagnosis
+    // with the remove-the-lock remediation
+    assert(lock.setLastModified(System.currentTimeMillis() - 60000L))
+    val stale = intercept[RuntimeException](
+      Layout.catalogCommit(spark, cat, Map("a" -> ((aDir, 1L)))))
+    assert(stale.getMessage.contains("stale lock"), stale.getMessage)
+    // remediation works: drop the lock, the version commits
+    assert(lock.delete())
+    assert(Layout.catalogCommit(spark, cat, Map("a" -> ((aDir, 1L)))) == 2L)
+  }
+
+  test("catalogSink: batch note suppresses replay double-apply; publish is all-or-nothing") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_catsink").toString
     val in = s"$root/in"; val cat = s"$root/cat"; val ckpt = s"$root/ckpt"
