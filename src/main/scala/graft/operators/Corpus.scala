@@ -976,6 +976,69 @@ object Corpus {
     }.toDF("doc_id", "n_tokens", "shard")
   }
 
+  /** EPOCH-deterministic shuffle — the training-loader contract: every
+    * epoch reads its shard in a seeded pseudo-random order that any
+    * worker (or a re-run after a crash) can reproduce exactly. The
+    * order key is md5(doc_id ":" epoch) truncated to 63 bits — a new
+    * independent permutation per epoch, no RNG state to checkpoint.
+    * Output: one row per (epoch, shard) with the row count and the MD5
+    * of the comma-joined doc-id SEQUENCE in read order — the batch
+    * order itself under a digest both engines can replay.
+    *
+    * Scale shape: one narrow key projection, ONE exchange on
+    * (epoch, shard), a partition-local sort, then a streaming
+    * per-run digest in mapPartitions (constant memory — no
+    * collect_list of the shard). At 100 TB the same plan writes
+    * ordered shard files instead of digesting them; the digest is the
+    * verifiable stand-in.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, epochs: Int,
+                   nShards: Int): DataFrame = {
+    require(epochs >= 1 && epochs <= 64, s"bad epoch count $epochs")
+    require(nShards >= 1 && nShards <= 65536, s"bad shard count $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Parallelism.ensure(docs)
+      .select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("epoch", col("epoch").cast("int"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("int"))
+      .withColumn("okey",
+        conv(substring(md5(concat_ws(":",
+          col("doc_id").cast("string"), col("epoch").cast("string"))),
+          1, 8), 16, 10).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("epoch"), col("shard"))
+      .sortWithinPartitions("epoch", "shard", "okey", "doc_id")
+      .select(col("epoch"), col("shard"), col("doc_id"))
+      .as[(Int, Int, Long)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Int, Long, String)]
+        var cur: (Int, Int) = null
+        var n = 0L
+        var md: java.security.MessageDigest = null
+        def flush(): Unit = if (cur != null) {
+          out += ((cur._1, cur._2, n,
+            md.digest().map(b => f"$b%02x").mkString))
+        }
+        it.foreach { case (e, s, id) =>
+          if (cur == null || cur != ((e, s))) {
+            flush()
+            cur = (e, s)
+            n = 0L
+            md = java.security.MessageDigest.getInstance("MD5")
+          }
+          if (n > 0) md.update(','.toByte)
+          md.update(id.toString.getBytes("US-ASCII"))
+          n += 1
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("epoch", "shard", "n_docs", "order_md5")
+  }
+
   /** Inverted-index postings: one row per distinct term with document
     * frequency and a digest of the doc-id-ORDERED posting list (the
     * artifact a distributed index build materializes; the digest keeps

@@ -280,6 +280,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2))
   }
 
+  test("epochShuffle: order digests are partitioning-invariant, epochs differ") {
+    import spark.implicits._
+    val docs = (0L until 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def run(parts: Int) =
+      Corpus.epochShuffle(docs.repartition(parts), "doc_id",
+        epochs = 2, nShards = 2)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getString(3)))).toMap
+    val a = run(1)
+    val b = run(7)
+    assert(a == b, "digest must not depend on input partitioning")
+    assert(a.size == 4 && a.values.forall(_._1 == 32L))
+    // a new epoch is a new permutation: same membership, different order
+    assert(a((0, 0))._2 != a((1, 0))._2)
+    assert(a((0, 1))._2 != a((1, 1))._2)
+  }
+
   test("bm25PrfTopK mines expansion terms from feedback docs and re-ranks") {
     import spark.implicits._
     val docs = Seq(
