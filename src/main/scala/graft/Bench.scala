@@ -139,9 +139,20 @@ object Bench {
     "q342_byte_bpe_train", "q340_filtered_ann", "q344_incremental_export",
     "q346_image_text_pairs")
 
+  /** r14 additions: the color-PNG corpus decode (3 storage types
+    * through one unfilter/normalize path), the DCT-pHash near-dup
+    * join (codec + integer DCT + Manku block join), GPT-2-pretokenized
+    * byte-BPE training, the IVF maintenance cycle (build + 2 appends +
+    * optimize + search), and the resample→mel-filterbank audio pass —
+    * each timed end-to-end with its fixture staging.
+    */
+  private val headlineR14 = Seq("q350_png_color", "q351_phash_neardup",
+    "q352_gpt2_bpe_train", "q354_ivf_index_optimize", "q357_audio_mel")
+
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++
-      headlineR10 ++ headlineR11 ++ headlineR12 ++ headlineR13
+      headlineR10 ++ headlineR11 ++ headlineR12 ++ headlineR13 ++
+      headlineR14
 
   /** 1/5/15-minute load averages as a JSON array ("[]" off-Linux). */
   private def loadavg(): String =

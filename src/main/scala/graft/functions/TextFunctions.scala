@@ -41,6 +41,29 @@ object TextFunctions {
   private[graft] def tokensHof(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => t =!= "")
 
+  /** GPT-2-style pre-tokenization pattern (the published byte-BPE
+    * recipe: English contraction suffixes, then letter / number /
+    * punctuation runs each absorbing ONE preceding space — the
+    * leading-space convention that makes " the" and "the" distinct
+    * tokens), restricted to the RE2/Java common subset so the DuckDB
+    * oracle replays it verbatim (the q192 doctrine). The one published
+    * alternative RE2 cannot express is the `\s+(?!\S)` lookahead
+    * (split a whitespace run's LAST space onto the next token); here a
+    * multi-space run is a single whitespace token instead — identical
+    * on both engines, and single spaces (the overwhelming case) still
+    * attach to the following token.
+    */
+  val Gpt2PretokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** GPT-2-style pretokens of a text column (see
+    * [[Gpt2PretokenPattern]]): ordered leftmost-first matches; both
+    * Java regex and RE2 use first-alternative-wins at each position,
+    * so the token stream is cross-engine identical.
+    */
+  def gpt2Pretokens(c: Column): Column =
+    regexp_extract_all(c, lit(Gpt2PretokenPattern), lit(0))
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** Word n-gram shingles (distinct) from a MATERIALIZED tokens column.

@@ -979,8 +979,11 @@ object Corpus {
   /** EPOCH-deterministic shuffle — the training-loader contract: every
     * epoch reads its shard in a seeded pseudo-random order that any
     * worker (or a re-run after a crash) can reproduce exactly. The
-    * order key is md5(doc_id ":" epoch) truncated to 63 bits — a new
-    * independent permutation per epoch, no RNG state to checkpoint.
+    * order key is md5(doc_id ":" epoch) truncated to 60 bits (15 hex
+    * chars — 16 would overflow a signed BIGINT on the oracle side) — a
+    * new independent permutation per epoch, no RNG state to checkpoint,
+    * and key collisions (which would bias order toward doc_id-ascending
+    * among colliding pairs) are vanishingly rare at 2^60.
     * Output: one row per (epoch, shard) with the row count and the MD5
     * of the comma-joined doc-id SEQUENCE in read order — the batch
     * order itself under a digest both engines can replay.
@@ -1006,7 +1009,7 @@ object Corpus {
       .withColumn("okey",
         conv(substring(md5(concat_ws(":",
           col("doc_id").cast("string"), col("epoch").cast("string"))),
-          1, 8), 16, 10).cast("long"))
+          1, 15), 16, 10).cast("long"))
       .repartition(spark.sparkContext.defaultParallelism,
         col("epoch"), col("shard"))
       .sortWithinPartitions("epoch", "shard", "okey", "doc_id")
@@ -2039,10 +2042,14 @@ object Corpus {
     * public): the base alphabet is the word's UTF-8 BYTES, not its
     * characters, so EVERY string is representable (byte fallback is
     * structural — a byte that never participates in a merge simply
-    * stays its own token; there is no <unk>). Whitespace-split words
+    * stays its own token; there is no <unk>). Pre-tokenized words
     * train as-is — no lowercasing, no `^[a-z]+$` gate — because at the
     * byte level there is no out-of-alphabet word, only a byte-length
     * cap (`maxWordBytes`, both engines enforce it) bounding the repr.
+    * Pre-tokenization is pluggable via `tokensOf` (default: whitespace
+    * tokens); pass [[graft.functions.TextFunctions.gpt2Pretokens]] for
+    * the published GPT-2 contraction/category regex with the
+    * leading-space convention (q352/q353).
     *
     * Representation: each byte renders as its 2-digit lowercase hex
     * inside the paren-delimited symbol string ("the" → "(74)(68)(65)",
@@ -2054,14 +2061,16 @@ object Corpus {
     * `merges` vocab-sized rounds.
     */
   def byteBpeTrain(docs: DataFrame, textCol: String, merges: Int,
-                   maxWordBytes: Int = 16): DataFrame = {
+                   maxWordBytes: Int = 16,
+                   tokensOf: Column => Column =
+                     TextFunctions.tokens): DataFrame = {
     require(merges >= 1 && merges <= 64,
       s"merges $merges outside sane bounds (1..64)")
     require(maxWordBytes >= 1 && maxWordBytes <= 64,
       s"maxWordBytes $maxWordBytes outside sane bounds (1..64)")
     val spark = docs.sparkSession
     var vocab = Parallelism.ensure(docs)
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .select(explode(tokensOf(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), lower(hex(encode(col("word"), "UTF-8"))).as("h"))
       .filter(length(col("h")).between(2, maxWordBytes * 2))
@@ -2115,11 +2124,13 @@ object Corpus {
     */
   def byteBpeEncode(docs: DataFrame, idCol: String, textCol: String,
                     merges: Seq[(String, String)],
-                    maxWordBytes: Int = 16): DataFrame = {
+                    maxWordBytes: Int = 16,
+                    tokensOf: Column => Column =
+                      TextFunctions.tokens): DataFrame = {
     require(merges.nonEmpty && merges.size <= 64,
       s"merge table size ${merges.size} outside sane bounds (1..64)")
     val kept = filter(
-      transform(TextFunctions.tokens(col(textCol)),
+      transform(tokensOf(col(textCol)),
         w => lower(hex(encode(w, "UTF-8")))),
       h => length(h) <= lit(maxWordBytes * 2))
     val repr0 = concat_ws(" ", transform(kept,

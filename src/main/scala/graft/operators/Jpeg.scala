@@ -1102,6 +1102,16 @@ object Jpeg {
               val ahAl = bytes(body + 3 + 2 * ns) & 0xff
               require(ss <= 63 && se <= 63 && ss <= se,
                 s"bad spectral selection $ss..$se")
+              // Mirror the baseline path's loud missing-DHT checks: a
+              // malformed stream whose scan references a never-defined
+              // table must fail with the descriptive error, not an NPE.
+              // (DC refinement reads raw bits only — no table needed.)
+              sc.foreach { c =>
+                if (ss == 0 && (ahAl >> 4) == 0)
+                  require(dcTabs(c.td) != null, s"missing DC table ${c.td}")
+                if (ss > 0)
+                  require(acTabs(c.ta) != null, s"missing AC table ${c.ta}")
+              }
               val end = progressiveScan(sc, ss, se, ahAl >> 4, ahAl & 0x0f,
                 body + segLen - 2)
               sawScan = true

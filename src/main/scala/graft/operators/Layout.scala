@@ -3809,14 +3809,18 @@ object Layout {
     */
   def expireSnapshots(spark: org.apache.spark.sql.SparkSession,
                       dir: String, olderThanMs: Long,
-                      keepLast: Int = 1): (Int, Int) = {
+                      keepLast: Int = 1,
+                      pinnedIds: Set[Long] = Set.empty): (Int, Int) = {
     require(keepLast >= 1, s"must keep at least 1 snapshot, got $keepLast")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = listSnapshotIds(fs, dir).sorted
     require(ids.nonEmpty, s"no snapshot manifest under $dir")
-    // refs PIN snapshots: a tagged/branched id survives any horizon
-    val protectedIds = ids.takeRight(keepLast).toSet ++ refPinnedIds(fs, dir)
+    // refs PIN snapshots: a tagged/branched id survives any horizon —
+    // and so does anything the caller pins (catalogRetention passes
+    // every snapshot a retained catalog version references)
+    val protectedIds =
+      ids.takeRight(keepLast).toSet ++ refPinnedIds(fs, dir) ++ pinnedIds
     val expired = ids.filter { id =>
       !protectedIds.contains(id) &&
         fs.getFileStatus(new org.apache.hadoop.fs.Path(dir,
@@ -4157,7 +4161,8 @@ object Layout {
   def catalogCommit(spark: org.apache.spark.sql.SparkSession,
                     catalogDir: String,
                     updates: Map[String, (String, Long)],
-                    note: Option[String] = None): Long = {
+                    note: Option[String] = None,
+                    staleLockAfterMs: Long = 300000L): Long = {
     require(updates.nonEmpty, "catalogCommit needs at least one table")
     val p = new org.apache.hadoop.fs.Path(catalogDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -4204,19 +4209,23 @@ object Layout {
       // committers spec caught exactly that window being misdiagnosed,
       // with "remove the lock" advice that would corrupt the live
       // commit) — so staleness additionally requires the lock to be
-      // OLDER than any plausible lock→rename gap. A fresh lock is a
-      // concurrent committer; retry against it resolves.
-      val staleAfterMs = 10000L
+      // OLDER than any plausible lock→rename gap — the default is 5
+      // MINUTES (`staleLockAfterMs`), far above any GC pause, slow
+      // object-store rename, or modest clock skew; deployments on
+      // slower stores can raise it. A fresh lock is a concurrent
+      // committer; retry against it resolves.
       val lockAge =
         try System.currentTimeMillis() -
           fs.getFileStatus(lock).getModificationTime
         catch { case _: java.io.FileNotFoundException => -1L }
-      if (!fs.exists(dest) && lockAge > staleAfterMs)
+      if (!fs.exists(dest) && lockAge > staleLockAfterMs)
         sys.error(s"catalog version $newVer under $catalogDir is held by " +
           s"a stale lock: .catalog-v$newVer.lock exists but " +
-          s"catalog-v$newVer.json does not — a previous committer crashed " +
-          "between lock and rename. Remove the stale lock to retry the " +
-          "version.")
+          s"catalog-v$newVer.json does not, and the lock is older than " +
+          s"${staleLockAfterMs} ms — a previous committer most likely " +
+          "crashed between lock and rename. VERIFY no committer is still " +
+          "running (a long-paused live committer looks identical), then " +
+          "remove the stale lock to retry the version.")
       sys.error(s"catalog version $newVer under $catalogDir was taken " +
         "by a concurrent committer — re-read the catalog, re-derive on " +
         "top of it, and retry")
@@ -4283,6 +4292,52 @@ object Layout {
     * the table's data AS OF the snapshot that catalog version pinned —
     * appends no catalog version has published are invisible.
     */
+  /** CATALOG-WIDE retention (the r13 verdict's item 8): per-table
+    * expire/vacuum exists, but a multi-table catalog needs ONE pass
+    * that ages out history without ever breaking a published version.
+    * Keeps the last `keepVersions` catalog versions; every (table,
+    * snapshot) any RETAINED version references is PINNED — it survives
+    * regardless of age, so every retained version stays byte-complete
+    * (LayoutSpec proves a pinned version reads identically after
+    * retention) — then each referenced table runs [[expireSnapshots]]
+    * with that pin set and the age horizon, and the dropped catalog
+    * version files are removed. A table directory no retained version
+    * references at all is left untouched (conservative: it may be
+    * shared with another catalog). Returns (catalog versions dropped,
+    * table snapshots expired, data files deleted).
+    */
+  def catalogRetention(spark: org.apache.spark.sql.SparkSession,
+                       catalogDir: String, keepVersions: Int,
+                       olderThanMs: Long = Long.MaxValue): (Int, Int, Int) = {
+    require(keepVersions >= 1,
+      s"must keep at least 1 catalog version, got $keepVersions")
+    val p = new org.apache.hadoop.fs.Path(catalogDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = catalogVersions(fs, catalogDir).sorted
+    require(versions.nonEmpty, s"no catalog versions under $catalogDir")
+    val retained = versions.takeRight(keepVersions)
+    val dropped = versions.dropRight(keepVersions)
+    val pins: Map[String, Set[Long]] = retained
+      .flatMap(v => catalogEntries(spark, catalogDir, v))
+      .groupBy(_.dir)
+      .map { case (d, es) => d -> es.map(_.snapshotId).toSet }
+    var expired = 0
+    var deleted = 0
+    pins.foreach { case (dir, ids) =>
+      val (e, del) = expireSnapshots(spark, dir, olderThanMs,
+        keepLast = 1, pinnedIds = ids)
+      expired += e
+      deleted += del
+    }
+    dropped.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(catalogDir,
+        s"catalog-v$v.json"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(catalogDir,
+        s".catalog-v$v.lock"), false)
+    }
+    (dropped.length, expired, deleted)
+  }
+
   def catalogRead(spark: org.apache.spark.sql.SparkSession,
                   catalogDir: String, table: String,
                   version: Long = -1L): DataFrame = {

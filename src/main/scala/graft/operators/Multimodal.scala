@@ -169,6 +169,222 @@ object Multimodal {
       }
       Image(width, height, bitDepth, colorType, pix)
     }
+
+    /** Bytes per pixel in the RAW (pre-palette) scanline stream for an
+      * 8-bit-depth image of the given colour type — also the filter
+      * stride `bpp` of RFC 2083 §6.
+      */
+    private def rawChannels(colorType: Int): Int = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // truecolor RGB
+      case 3 => 1 // palette indices
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // RGBA
+      case t => throw new IllegalArgumentException(s"bad PNG colour type $t")
+    }
+
+    private def deflate(raw: Array[Byte]): Array[Byte] = {
+      val deflater = new Deflater()
+      deflater.setInput(raw)
+      deflater.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      comp.toByteArray
+    }
+
+    /** Shared color-capable encoder core: filter-0 scanlines of
+      * `rawChannels(colorType)` bytes per pixel, optional PLTE (palette
+      * type only, ≤256 RGB triples) emitted before IDAT.
+      */
+    private def encodeRaw(width: Int, height: Int, colorType: Int,
+                          raw: Array[Byte],
+                          palette: Array[Byte] = null): Array[Byte] = {
+      val bpp = rawChannels(colorType)
+      require(width > 0 && height > 0 && raw.length == width * height * bpp,
+        s"bad dimensions: $width x $height x $bpp for ${raw.length} bytes")
+      val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      ihdr.putInt(width).putInt(height)
+      ihdr.put(8.toByte).put(colorType.toByte)
+      ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+      val stride = width * bpp
+      val lines = new Array[Byte]((stride + 1) * height)
+      var r = 0
+      while (r < height) {
+        lines(r * (stride + 1)) = 0 // filter: None
+        System.arraycopy(raw, r * stride, lines, r * (stride + 1) + 1, stride)
+        r += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Signature)
+      out.write(chunk("IHDR", ihdr.array()))
+      if (colorType == 3) {
+        require(palette != null && palette.length % 3 == 0 &&
+          palette.length <= 256 * 3, "palette PNG needs a PLTE of <=256 RGB triples")
+        out.write(chunk("PLTE", palette))
+      }
+      out.write(chunk("IDAT", deflate(lines)))
+      out.write(chunk("IEND", Array.empty[Byte]))
+      out.toByteArray
+    }
+
+    /** Truecolor PNG (colour type 2): `width*height*3` interleaved RGB. */
+    def encodeRgb(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
+      encodeRaw(width, height, 2, rgb)
+
+    /** Truecolor+alpha PNG (colour type 6): `width*height*4` RGBA. */
+    def encodeRgba(width: Int, height: Int, rgba: Array[Byte]): Array[Byte] =
+      encodeRaw(width, height, 6, rgba)
+
+    /** Palette PNG (colour type 3): one index byte per pixel + a PLTE
+      * of RGB triples (index i → palette[3i..3i+2]).
+      */
+    def encodePalette(width: Int, height: Int, indices: Array[Byte],
+                      palette: Array[Byte]): Array[Byte] =
+      encodeRaw(width, height, 3, indices, palette)
+
+    /** Decoded color image: pixels ALWAYS materialized as interleaved
+      * RGBA (alpha 255 for opaque storage types; palette alpha from
+      * tRNS when present). `channels` is the STORAGE channel count —
+      * bytes per pixel in the raw scanline stream (palette = 1).
+      */
+    final case class ColorImage(width: Int, height: Int, bitDepth: Int,
+                                colorType: Int, channels: Int,
+                                rgba: Array[Byte])
+
+    /** Decode any 8-bit-depth non-interlaced PNG — colour types 0
+      * (gray), 2 (RGB), 3 (palette + PLTE [+ tRNS]), 4 (gray+alpha),
+      * 6 (RGBA) — with the same loud-failure contract as [[decode]]:
+      * signature + every chunk CRC verified, IDAT concatenated and
+      * inflated, all five row filters reversed at the colour type's
+      * byte stride (RFC 2083 §6: `a`/`c` are the bytes `bpp` positions
+      * back). Output is normalized to RGBA so downstream passes see
+      * one pixel layout regardless of storage.
+      */
+    def decodeColor(png: Array[Byte]): ColorImage = {
+      require(png.length >= 8 && (0 until 8).forall(i => png(i) == Signature(i)),
+        "not a PNG (bad signature)")
+      val bb = ByteBuffer.wrap(png, 8, png.length - 8).order(ByteOrder.BIG_ENDIAN)
+      var width, height, bitDepth, colorType, interlace = -1
+      var palette: Array[Byte] = null
+      var trns: Array[Byte] = null
+      val idat = new java.io.ByteArrayOutputStream()
+      var seenEnd = false
+      while (!seenEnd) {
+        require(bb.remaining() >= 12, "truncated PNG chunk")
+        val len = bb.getInt
+        require(len >= 0 && bb.remaining() >= len + 8, "truncated PNG chunk body")
+        val tagAndBody = new Array[Byte](4 + len)
+        bb.get(tagAndBody)
+        val declared = bb.getInt
+        val crc = new CRC32()
+        crc.update(tagAndBody)
+        require(crc.getValue.toInt == declared, "PNG chunk CRC mismatch")
+        new String(tagAndBody, 0, 4, "US-ASCII") match {
+          case "IHDR" =>
+            require(len == 13, "bad IHDR length")
+            val h = ByteBuffer.wrap(tagAndBody, 4, 13).order(ByteOrder.BIG_ENDIAN)
+            width = h.getInt; height = h.getInt
+            bitDepth = h.get() & 0xff; colorType = h.get() & 0xff
+            h.get(); h.get()
+            interlace = h.get() & 0xff
+          case "PLTE" =>
+            require(len % 3 == 0 && len <= 256 * 3, "bad PLTE length")
+            palette = java.util.Arrays.copyOfRange(tagAndBody, 4, 4 + len)
+          case "tRNS" =>
+            trns = java.util.Arrays.copyOfRange(tagAndBody, 4, 4 + len)
+          case "IDAT" => idat.write(tagAndBody, 4, len)
+          case "IEND" => seenEnd = true
+          case _ => // ancillary chunk: skip
+        }
+      }
+      require(width > 0 && height > 0, "PNG missing IHDR")
+      require(bitDepth == 8 && interlace == 0,
+        s"unsupported PNG format: depth=$bitDepth interlace=$interlace" +
+          " (this decoder handles 8-bit depth, non-interlaced)")
+      val bpp = rawChannels(colorType)
+      if (colorType == 3)
+        require(palette != null, "palette PNG missing PLTE")
+      val stride = width * bpp
+      val raw = new Array[Byte]((stride + 1) * height)
+      val inflater = new Inflater()
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        require(n > 0 || inflater.finished() || !inflater.needsInput(),
+          "truncated IDAT stream")
+        off += n
+      }
+      inflater.end()
+      require(off == raw.length, s"IDAT inflated to $off of ${raw.length} bytes")
+      // reverse the row filters at stride bpp (unfiltered bytes kept in
+      // `un`, one flat buffer, so Up/Average/Paeth read the prior ROW's
+      // reconstructed bytes)
+      val un = new Array[Byte](stride * height)
+      var r = 0
+      while (r < height) {
+        val filter = raw(r * (stride + 1)) & 0xff
+        var c = 0
+        while (c < stride) {
+          val x = raw(r * (stride + 1) + 1 + c) & 0xff
+          val a = if (c < bpp) 0 else un(r * stride + c - bpp) & 0xff
+          val b = if (r == 0) 0 else un((r - 1) * stride + c) & 0xff
+          val pa = if (r == 0 || c < bpp) 0
+            else un((r - 1) * stride + c - bpp) & 0xff
+          val recon = filter match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 =>
+              val p = a + b - pa
+              val da = math.abs(p - a); val db = math.abs(p - b)
+              val dc = math.abs(p - pa)
+              x + (if (da <= db && da <= dc) a else if (db <= dc) b else pa)
+            case f => throw new IllegalArgumentException(s"bad PNG filter $f")
+          }
+          un(r * stride + c) = (recon & 0xff).toByte
+          c += 1
+        }
+        r += 1
+      }
+      // normalize to RGBA
+      val rgba = new Array[Byte](width * height * 4)
+      var i = 0
+      val n = width * height
+      while (i < n) {
+        colorType match {
+          case 0 =>
+            val v = un(i)
+            rgba(i * 4) = v; rgba(i * 4 + 1) = v; rgba(i * 4 + 2) = v
+            rgba(i * 4 + 3) = 0xff.toByte
+          case 2 =>
+            rgba(i * 4) = un(i * 3); rgba(i * 4 + 1) = un(i * 3 + 1)
+            rgba(i * 4 + 2) = un(i * 3 + 2); rgba(i * 4 + 3) = 0xff.toByte
+          case 3 =>
+            val idx = un(i) & 0xff
+            require(idx * 3 + 2 < palette.length,
+              s"palette index $idx outside PLTE of ${palette.length / 3}")
+            rgba(i * 4) = palette(idx * 3)
+            rgba(i * 4 + 1) = palette(idx * 3 + 1)
+            rgba(i * 4 + 2) = palette(idx * 3 + 2)
+            rgba(i * 4 + 3) =
+              if (trns != null && idx < trns.length) trns(idx)
+              else 0xff.toByte
+          case 4 =>
+            val v = un(i * 2)
+            rgba(i * 4) = v; rgba(i * 4 + 1) = v; rgba(i * 4 + 2) = v
+            rgba(i * 4 + 3) = un(i * 2 + 1)
+          case 6 =>
+            rgba(i * 4) = un(i * 4); rgba(i * 4 + 1) = un(i * 4 + 1)
+            rgba(i * 4 + 2) = un(i * 4 + 2); rgba(i * 4 + 3) = un(i * 4 + 3)
+        }
+        i += 1
+      }
+      ColorImage(width, height, bitDepth, colorType, bpp, rgba)
+    }
   }
 
   /** JPEG (width, height) via the SOF marker walk — the second real
@@ -503,6 +719,121 @@ object Multimodal {
       }
   }
 
+  /** Deterministic COLOR rule shared with the oracle, applied to the
+    * gray pixel rule's byte `b` at every position: R = b, G = 255 − b,
+    * B = (b + 85) mod 256, A = 255 − (b mod 32). All integer — both
+    * engines derive identical channel bytes from the text.
+    */
+  private[graft] def colorOf(b: Int): (Int, Int, Int, Int) =
+    (b, 255 - b, (b + 85) % 256, 255 - (b % 32))
+
+  /** The 256-entry PLTE used by the palette fixture: entry i IS the
+    * color rule evaluated at i, so index-byte == gray-rule byte and the
+    * decoded RGB equals the other storage types' exactly.
+    */
+  private[graft] lazy val FixturePalette: Array[Byte] = {
+    val p = new Array[Byte](256 * 3)
+    var i = 0
+    while (i < 256) {
+      val (r, g, b, _) = colorOf(i)
+      p(i * 3) = r.toByte; p(i * 3 + 1) = g.toByte; p(i * 3 + 2) = b.toByte
+      i += 1
+    }
+    p
+  }
+
+  /** Attach a real COLOR PNG payload, cycling the three web-reality
+    * storage types by doc_id mod 3 — 0 → truecolor RGB (colour type
+    * 2), 1 → palette + PLTE (type 3), 2 → RGBA (type 6) — all three
+    * encoding the SAME decoded RGB per the [[colorOf]] rule, so one
+    * oracle replay covers every storage path. One narrow mapPartitions
+    * pass; payloads never at the driver.
+    */
+  def asColorMedia(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val pix = pixelsOf(text)
+          val h = pix.length / ImgWidth
+          val payload = (id % 3) match {
+            case 0 =>
+              val rgb = new Array[Byte](pix.length * 3)
+              var i = 0
+              while (i < pix.length) {
+                val (r, g, b, _) = colorOf(pix(i) & 0xff)
+                rgb(i * 3) = r.toByte; rgb(i * 3 + 1) = g.toByte
+                rgb(i * 3 + 2) = b.toByte
+                i += 1
+              }
+              Png.encodeRgb(ImgWidth, h, rgb)
+            case 1 =>
+              Png.encodePalette(ImgWidth, h, pix, FixturePalette)
+            case _ =>
+              val rgba = new Array[Byte](pix.length * 4)
+              var i = 0
+              while (i < pix.length) {
+                val (r, g, b, a) = colorOf(pix(i) & 0xff)
+                rgba(i * 4) = r.toByte; rgba(i * 4 + 1) = g.toByte
+                rgba(i * 4 + 2) = b.toByte; rgba(i * 4 + 3) = a.toByte
+                i += 1
+              }
+              Png.encodeRgba(ImgWidth, h, rgba)
+          }
+          Media(id, payload, "image/png", ImgWidth, h)
+        }
+      }
+      .select(col("doc_id"), col("payload"),
+        struct(col("format"), col("width"), col("height")).as("meta"))
+  }
+
+  final case class ColorMeta(doc_id: Long, width: Int, height: Int,
+                             color_type: Int, channels: Int, n_pixels: Int,
+                             rgb_md5: String, rgb_sum: Long, alpha_sum: Long)
+
+  /** REAL color decode pass: every field below comes out of
+    * [[Png.decodeColor]] — parsed colour type, storage channel count,
+    * a digest over the DECODED RGB (as the lowercase-hex dump, the
+    * q339 doctrine: channel values >127 would be multi-byte UTF-8 in a
+    * DuckDB string), the exact RGB sum, and the exact alpha sum
+    * (opaque storage types decode to alpha 255). A mis-stride in the
+    * unfilter, a bad PLTE lookup, or a dropped alpha byte all break
+    * the oracle hash.
+    */
+  def parseColorMeta(media: DataFrame): Dataset[ColorMeta] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord]
+      .mapPartitions { records =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        records.map { r =>
+          val img = Png.decodeColor(r.payload)
+          val n = img.width * img.height
+          val sb = new java.lang.StringBuilder(n * 6)
+          var rgbSum = 0L
+          var aSum = 0L
+          var i = 0
+          while (i < n) {
+            var ch = 0
+            while (ch < 3) {
+              val v = img.rgba(i * 4 + ch) & 0xff
+              sb.append(hex(v >> 4)).append(hex(v & 0xf))
+              rgbSum += v
+              ch += 1
+            }
+            aSum += img.rgba(i * 4 + 3) & 0xff
+            i += 1
+          }
+          ColorMeta(r.doc_id, img.width, img.height, img.colorType,
+            img.channels, n,
+            md.digest(sb.toString.getBytes("US-ASCII"))
+              .map(b => f"$b%02x").mkString,
+            rgbSum, aSum)
+        }
+      }
+  }
+
   final case class AHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
 
   /** 8×8 average hash (aHash — the classic public perceptual-hash
@@ -547,17 +878,16 @@ object Multimodal {
       }
   }
 
-  /** Perceptual near-duplicate IMAGE pairs within aHash Hamming
-    * `radius` — the multimodal dedup twin of the text-side SimHash
-    * radius search: 4 blocks of 16 bits, pigeonhole candidate
-    * equi-join (any pair within Hamming ≤ 3 agrees on ≥ 1 whole
-    * block), exact 64-bit Hamming verify via xor + bit_count. Never
-    * all-pairs; the shuffle carries (id, block, 16 bits).
+  /** Manku pigeonhole pair search over a 64-bit hash carried as 4×16-
+    * bit blocks (`doc_id, b0..b3`): candidate equi-join on any whole
+    * block (a pair within Hamming ≤ 3 must agree on ≥ 1 of 4 blocks),
+    * exact Hamming verify via xor + bit_count. Never all-pairs; the
+    * shuffle carries (id, block, 16 bits). Shared by the aHash and
+    * pHash dedup families.
     */
-  def imageNearDupPairs(media: DataFrame, radius: Int = 3): DataFrame = {
+  private def blockHashPairs(hs: DataFrame, radius: Int): DataFrame = {
     require(radius >= 0 && radius <= 3,
       s"radius $radius outside the 4-block pigeonhole guarantee (0..3)")
-    val hs = aHash(media).toDF().localCheckpoint()
     val blocks = hs.select(col("doc_id").as("id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("blk", "key")))
@@ -578,4 +908,111 @@ object Multimodal {
       .filter(col("hamming") <= radius)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Perceptual near-duplicate IMAGE pairs within aHash Hamming
+    * `radius` — the multimodal dedup twin of the text-side SimHash
+    * radius search (see [[blockHashPairs]] for the join shape).
+    */
+  def imageNearDupPairs(media: DataFrame, radius: Int = 3): DataFrame =
+    blockHashPairs(aHash(media).toDF().localCheckpoint(), radius)
+
+  /** The 8×32 scaled-integer DCT basis shared with the oracle:
+    * C[u][k] = round(cos(π(2k+1)u/64) · 1024). Integer so both
+    * engines compute IDENTICAL coefficients (the float cos is
+    * evaluated once HERE and the literal table is interpolated into
+    * the oracle SQL — no cross-engine cos/rounding drift can flip a
+    * bit near the median threshold).
+    */
+  private[graft] lazy val PHashCos: Array[Array[Int]] =
+    Array.tabulate(8, 32)((u, k) =>
+      math.round(math.cos(math.Pi * (2 * k + 1) * u / 64.0) * 1024.0).toInt)
+
+  final case class PHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** DCT perceptual hash (pHash — the LAION-pipeline image-dedup
+    * recipe, strictly stronger than [[aHash]] against brightness and
+    * local-noise edits): decode the COLOR JPEG payload
+    * ([[Jpeg.decodeColor]]), take integer Rec.601 luma
+    * ((77R + 150G + 29B) >> 8), nearest-sample a 32×32 grid (source
+    * pixel (r·H/32, c·W/32)), apply the separable scaled-integer DCT
+    * ([[PHashCos]] — exact longs, no float in the hash path), keep
+    * the top-left 8×8 coefficients in row-major order, and set bit k
+    * iff coefficient k exceeds the lower median (sorted index 31 of
+    * 64 — deterministic for ties). Emitted as 4×16-bit Manku blocks.
+    * One narrow mapPartitions pass; payloads never at the driver.
+    */
+  def pHash(media: DataFrame): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord]
+      .mapPartitions { records =>
+        val cTab = PHashCos
+        records.map { r =>
+          val img = Jpeg.decodeColor(r.payload)
+          val w = img.width
+          val h = img.height
+          val l32 = new Array[Int](32 * 32)
+          var rr = 0
+          while (rr < 32) {
+            val sr = rr * h / 32
+            var cc = 0
+            while (cc < 32) {
+              val sc = cc * w / 32
+              val o = (sr * w + sc) * img.channels
+              l32(rr * 32 + cc) =
+                if (img.channels == 3)
+                  (77 * (img.pixels(o) & 0xff) +
+                    150 * (img.pixels(o + 1) & 0xff) +
+                    29 * (img.pixels(o + 2) & 0xff)) >> 8
+                else img.pixels(o) & 0xff
+              cc += 1
+            }
+            rr += 1
+          }
+          // separable integer DCT, top-left 8×8 only
+          val m1 = new Array[Long](8 * 32)
+          var u = 0
+          while (u < 8) {
+            var c = 0
+            while (c < 32) {
+              var s = 0L
+              var k = 0
+              while (k < 32) { s += cTab(u)(k).toLong * l32(k * 32 + c); k += 1 }
+              m1(u * 32 + c) = s
+              c += 1
+            }
+            u += 1
+          }
+          val f = new Array[Long](64)
+          u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var s = 0L
+              var c = 0
+              while (c < 32) { s += m1(u * 32 + c) * cTab(v)(c); c += 1 }
+              f(u * 8 + v) = s
+              v += 1
+            }
+            u += 1
+          }
+          val sorted = f.clone()
+          java.util.Arrays.sort(sorted)
+          val med = sorted(31)
+          val b = new Array[Int](4)
+          var k = 0
+          while (k < 64) {
+            if (f(k) > med) b(k / 16) |= 1 << (k % 16)
+            k += 1
+          }
+          PHash(r.doc_id, b(0), b(1), b(2), b(3))
+        }
+      }
+  }
+
+  /** Perceptual near-duplicate pairs by DCT pHash within Hamming
+    * `radius` over color-JPEG payloads — same Manku block join as
+    * [[imageNearDupPairs]], stronger hash.
+    */
+  def pHashNearDupPairs(media: DataFrame, radius: Int = 3): DataFrame =
+    blockHashPairs(pHash(media).toDF().localCheckpoint(), radius)
 }

@@ -26,6 +26,37 @@ object Layout {
     // the pin leaked anywhere (expire dropped the manifest, vacuum
     // swept a data file, the ref resolved to the wrong id), the read
     // errors or hash-mismatches.
+    // CATALOG-WIDE retention (q358, r14): three published catalog
+    // versions, each pinning a different snapshot of the same table
+    // (doc_id % 4 ≤ k−1 per version k), then ONE retention pass keeps
+    // the last two versions and expires everything they don't
+    // reference (age horizon = everything). The query then reads the
+    // OLDEST RETAINED version through the catalog — retention must
+    // leave every retained version byte-complete (the v1 json and the
+    // snapshot only IT pinned are gone; v2's snapshot survived the
+    // expiry sweep because the catalog pinned it). The oracle
+    // recomputes v2's content and the retention counts relationally;
+    // LayoutSpec additionally proves the dropped version refuses to
+    // read and the pinned files all survive on disk.
+    "q358_catalog_retention" -> { (s, d) =>
+      val root = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/catret")
+      val aDir = s"$root/docs"; val cat = s"$root/cat"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      (1 to 3).foreach { k =>
+        L.snapshotWrite(docs.filter(col("doc_id") % 4 <= k - 1), aDir)
+        L.catalogCommitCurrent(s, cat, Map("docs" -> aDir))
+      }
+      val (vDropped, snapExpired, _) =
+        L.catalogRetention(s, cat, keepVersions = 2)
+      L.catalogRead(s, cat, "docs", version = 2)
+        .withColumn("versions_dropped", lit(vDropped))
+        .withColumn("snapshots_expired", lit(snapExpired))
+        .withColumn("latest_version",
+          lit(L.catalogVersion(s, cat)).cast("long"))
+    },
+
     // Catalog SQL surface (q335, r12): q333's two-table publish read
     // back through the pure `format("snapshot")` reader with
     // catalog/table/catalogVersion options — the catalog version pins
@@ -1170,6 +1201,14 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    // q358: version 2's content (doc_id % 4 <= 1) + the retention
+    // counts — one catalog version dropped (v1 of 3, keep 2), one
+    // table snapshot expired (the one only v1 pinned).
+    "q358_catalog_retention" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+           1 AS versions_dropped, 1 AS snapshots_expired,
+           CAST(3 AS BIGINT) AS latest_version
+         FROM documents WHERE doc_id % 4 <= 1""",
     // q335: the SQL-surface catalog reads recomputed — identical CTE
     // shape to q333 with latest == v2.
     "q335_catalog_sql" ->

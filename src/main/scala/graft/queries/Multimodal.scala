@@ -321,6 +321,46 @@ object Multimodal {
           col("n_pixels"), col("rgb_md5"), col("rgb_sum"))
     },
 
+    // COLOR PNG decode (q350, r14 — closes the r13 verdict's top gap:
+    // real web PNGs are truecolor/palette/RGBA, not grayscale). The
+    // fixture cycles the three storage types by doc_id mod 3 —
+    // truecolor (IHDR type 2), palette+PLTE (type 3), RGBA (type 6) —
+    // all encoding the SAME per-byte color rule (R=b, G=255−b,
+    // B=(b+85)%256; A=255−(b%32) for RGBA, else opaque), so one
+    // arithmetic oracle replay covers every storage path: the parsed
+    // colour type, the storage channel count, the decoded-RGB hex
+    // digest, and the exact RGB + alpha sums are all under the hash.
+    // MultimodalSpec cross-validates all three types against
+    // javax.imageio in both directions.
+    "q350_png_color" -> { (s, d) =>
+      val media = graft.operators.Multimodal.asColorMedia(Tables.documents(s, d))
+      graft.operators.Multimodal.parseColorMeta(media)
+        .select(col("doc_id"), lit("image/png").as("format"),
+          col("width"), col("height"), col("color_type"), col("channels"),
+          col("n_pixels"), col("rgb_md5"), col("rgb_sum"), col("alpha_sum"))
+    },
+
+    // DCT PERCEPTUAL HASH dedup (q351, r14): pHash over decoded COLOR
+    // JPEG payloads — Rec.601 integer luma, 32×32 nearest downsample,
+    // scaled-INTEGER separable DCT (the 8×32 cos basis is computed
+    // once and interpolated into the oracle as literals, so both
+    // engines produce identical longs — no float near the median
+    // threshold), bit k = coef k > lower-median, 4×16-bit Manku
+    // blocks, pigeonhole pair join within Hamming ≤ 3. The fixture
+    // plants a one-character mutation (id + 100000 copies), and the
+    // oracle is the ALL-PAIRS replay from the color block rule, so
+    // the block join's completeness AND the decode→luma→DCT path are
+    // both under the hash.
+    "q351_phash_neardup" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val mut = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(substring(col("text"), 1, 99), lit("Z"),
+            substring(col("text"), 101, 1000000)).as("text"))
+      val media = graft.operators.Jpeg.asColorJpegMedia(docs.unionByName(mut))
+      graft.operators.Multimodal.pHashNearDupPairs(media, radius = 3)
+    },
+
     // IMAGE-TEXT PAIR EXTRACTION (q346, r13 — the CLIP-data flagship,
     // q240 ∘ q339): every document renders a gallery page whose <img>
     // tags reference OTHER documents' color-JPEG payloads by
@@ -410,6 +450,31 @@ object Multimodal {
           countDistinct(col("img_url")).as("n_urls"),
           max(when(col("rn") === 1, col("page_id"))).as("keeper_page"),
           max(when(col("rn") === 1, col("alt"))).as("keeper_alt"))
+    },
+
+    // AUDIO RESAMPLE (q356, r14 — the r13 verdict's audio gap, half 1):
+    // rational 3/2 upsample (16 kHz → 24 kHz) by linear interpolation
+    // with EXACT integer phase arithmetic (floor division at scale L,
+    // identical on both engines), THROUGH the codec twice — decode,
+    // resample, re-encode at 24 kHz, re-decode, exact integer sums of
+    // the second decode. The oracle replays every interpolated sample
+    // from the text rule.
+    "q356_audio_resample" -> { (s, d) =>
+      val media = graft.operators.Audio.asAudio(
+        Tables.documents(s, d).filter(length(col("text")) > 0))
+      graft.operators.Audio.resample(media, l = 3, m = 2).toDF()
+    },
+
+    // MEL-BAND ENERGIES (q357, half 2): Goertzel-style correlation
+    // energies per 64-sample frame of the RESAMPLED stream against 8
+    // mel-spaced bands on the integer lattice — the scaled-integer
+    // cos/sin tables are computed once in Scala and interpolated into
+    // the oracle as literals (the pHash doctrine), and every energy is
+    // an exact int64, so the whole spectral path is under the hash.
+    "q357_audio_mel" -> { (s, d) =>
+      val media = graft.operators.Audio.asAudio(
+        Tables.documents(s, d).filter(length(col("text")) > 0))
+      graft.operators.Audio.resampleMelEnergies(media, l = 3, m = 2).toDF()
     },
 
     // REAL video-container frame sampling (q189): 3 complete PNGs per
@@ -548,9 +613,10 @@ object Multimodal {
     */
   /** The q339 CTE chain alone (ends at `img`: doc_id, hexpix,
     * blocksum) — shared with q346, whose pair join needs per-image
-    * width/height/digest mid-query.
+    * width/height/digest mid-query, and (via `src`) with q351, which
+    * replays the chain over a mutated corpus.
     */
-  private def jpegColorCtes: String = {
+  private def jpegColorCtes(src: String = "documents"): String = {
     def clamp(e: String) = s"LEAST(255, GREATEST(0, CAST(floor($e) AS INTEGER)))"
     val rExpr = clamp("yv + 1.402*(crv - 128) + 0.5")
     val gExpr = clamp("yv - 0.344136*(cbv - 128) - 0.714136*(crv - 128) + 0.5")
@@ -559,7 +625,7 @@ object Multimodal {
     s"""p AS (SELECT doc_id,
              rpad(text, CAST(greatest(CAST(ceil(length(text) / 16.0) AS BIGINT),
                1) * 16 AS INTEGER), '.') AS bt
-           FROM documents),
+           FROM $src),
         blk AS (SELECT doc_id, bt,
                   unnest(generate_series(0, length(bt) // 8 - 1)) AS br
                 FROM p),
@@ -593,7 +659,7 @@ object Multimodal {
   }
 
   private def jpegColorOracle: String =
-    s"""WITH $jpegColorCtes
+    s"""WITH ${jpegColorCtes()}
         SELECT doc_id, 'image/jpeg' AS format, 64 AS width,
              CAST(length(hexpix) / (6 * 64) AS INTEGER) AS height,
              3 AS channels,
@@ -608,7 +674,7 @@ object Multimodal {
     * decoded digests under one hash.
     */
   private def imageTextPairsOracle: String =
-    s"""WITH $jpegColorCtes,
+    s"""WITH ${jpegColorCtes()},
         meta AS (SELECT doc_id,
                    CAST(length(hexpix) / (6 * 64) AS INTEGER) AS height,
                    md5(hexpix) AS rgb_md5
@@ -630,8 +696,169 @@ object Multimodal {
              64 AS width, m.height, m.rgb_md5
         FROM refs r JOIN meta m ON m.doc_id = r.img_id"""
 
+  /** q350's oracle: the color rule replayed per pixel position — hex
+    * triple per byte of the padded-text rule, exact RGB and alpha sums,
+    * storage type/channels from the doc_id mod 3 cycle. Identical
+    * decoded RGB across the three storage types is the point: one
+    * replay proves truecolor, palette, and RGBA decode agree.
+    */
+  private def pngColorOracle: String =
+    s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix
+           FROM documents),
+        ix AS (SELECT doc_id, pix,
+                 unnest(generate_series(1, length(pix))) AS i
+               FROM p),
+        bv AS (SELECT doc_id, i,
+                 ascii(substr(pix, CAST(i AS INTEGER), 1)) AS v
+               FROM ix),
+        hx AS (SELECT doc_id, i,
+                 lpad(lower(to_hex(v)), 2, '0') ||
+                 lpad(lower(to_hex(255 - v)), 2, '0') ||
+                 lpad(lower(to_hex((v + 85) % 256)), 2, '0') AS h3,
+                 v + (255 - v) + (v + 85) % 256 AS s3,
+                 CASE WHEN doc_id % 3 = 2 THEN 255 - (v % 32)
+                      ELSE 255 END AS av
+               FROM bv),
+        img AS (SELECT doc_id, string_agg(h3, '' ORDER BY i) AS hexpix,
+                  SUM(s3) AS rgbsum, SUM(av) AS asum, count(*) AS n
+                FROM hx GROUP BY doc_id)
+        SELECT doc_id, 'image/png' AS format, 64 AS width,
+             CAST(n // 64 AS INTEGER) AS height,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 6 END
+               AS INTEGER) AS color_type,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 4 END
+               AS INTEGER) AS channels,
+             CAST(n AS INTEGER) AS n_pixels, md5(hexpix) AS rgb_md5,
+             CAST(rgbsum AS BIGINT) AS rgb_sum,
+             CAST(asum AS BIGINT) AS alpha_sum
+        FROM img"""
+
+  /** q351's oracle: the color block rule → integer luma → 32×32
+    * downsample → scaled-integer DCT → lower-median bits → 4×16-bit
+    * blocks, then the ALL-PAIRS Hamming shortcut (the q185 doctrine:
+    * agreement proves the engine's Manku block join is complete at
+    * radius ≤ 3 AND the decode→luma→DCT path is exact). The DCT basis
+    * literals come from the same Scala table the engine uses.
+    */
+  private def pHashOracle: String = {
+    val ctValues = (for { u <- 0 until 8; k <- 0 until 32 } yield
+      s"($u,$k,${graft.operators.Multimodal.PHashCos(u)(k)})").mkString(", ")
+    s"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id,
+                 substr(text, 1, 99) || 'Z' || substr(text, 101) AS text
+          FROM documents WHERE doc_id % 2 = 0),
+        ${jpegColorCtes("corpus")},
+        lum AS (SELECT doc_id, br, bc,
+                  (77 * rr + 150 * gg + 29 * bb) // 256 AS lv
+                FROM rgb),
+        hh AS (SELECT doc_id, CAST(8 * (max(br) + 1) AS BIGINT) AS h
+               FROM lum GROUP BY doc_id),
+        grid AS (SELECT doc_id, h,
+                   unnest(generate_series(0, 31)) AS r
+                 FROM hh),
+        grid2 AS (SELECT doc_id, h, r,
+                    unnest(generate_series(0, 31)) AS c
+                  FROM grid),
+        l32 AS (SELECT g.doc_id, g.r, g.c, lum.lv
+                FROM grid2 g JOIN lum
+                  ON lum.doc_id = g.doc_id
+                 AND lum.br = ((g.r * g.h) // 32) // 8
+                 AND lum.bc = g.c // 4),
+        ct(u, k, cv) AS (VALUES $ctValues),
+        m1 AS (SELECT l.doc_id, ct.u, l.c,
+                 SUM(CAST(ct.cv AS BIGINT) * l.lv) AS m
+               FROM l32 l JOIN ct ON ct.k = l.r
+               GROUP BY 1, 2, 3),
+        f AS (SELECT m1.doc_id, m1.u * 8 + ct.u AS kk,
+                CAST(SUM(m1.m * ct.cv) AS BIGINT) AS fv
+              FROM m1 JOIN ct ON ct.k = m1.c
+              GROUP BY 1, 2),
+        md AS (SELECT doc_id, fv AS med FROM (
+                 SELECT doc_id, fv, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY fv ASC, kk ASC) AS rn
+                 FROM f) WHERE rn = 32),
+        bits AS (SELECT f.doc_id, f.kk,
+                   CASE WHEN f.fv > md.med THEN 1 ELSE 0 END AS b
+                 FROM f JOIN md USING (doc_id)),
+        blocks AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN kk // 16 = 0 THEN b << (kk % 16)
+              ELSE 0 END) AS INTEGER) AS b0,
+            CAST(SUM(CASE WHEN kk // 16 = 1 THEN b << (kk % 16)
+              ELSE 0 END) AS INTEGER) AS b1,
+            CAST(SUM(CASE WHEN kk // 16 = 2 THEN b << (kk % 16)
+              ELSE 0 END) AS INTEGER) AS b2,
+            CAST(SUM(CASE WHEN kk // 16 = 3 THEN b << (kk % 16)
+              ELSE 0 END) AS INTEGER) AS b3
+          FROM bits GROUP BY doc_id),
+        pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                   AS INTEGER) AS hamming
+               FROM blocks a JOIN blocks b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM pp WHERE hamming <= 3"""
+  }
+
+  /** The q356/q357 resampled-stream CTE chain (ends at `vals`:
+    * doc_id, n = input length, i = output index, v = resampled
+    * sample): the 257·b − 16384 sample rule at k = ⌊2i/3⌋ and
+    * k+1 (last-sample hold), floor-divided interpolation at scale 3 —
+    * the engine's Math.floorDiv as SQL floor() over an exact double.
+    */
+  private def resampleCtes: String = {
+    def samp(pos: String) =
+      s"(257 * ascii(substr(text, CAST(($pos) + 1 AS INTEGER), 1)) - 16384)"
+    s"""d AS (SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE length(text) > 0),
+        o AS (SELECT doc_id, text, n,
+                unnest(generate_series(0, ((n - 1) * 3) // 2)) AS i
+              FROM d),
+        vals AS (SELECT doc_id, n, i,
+              CAST(floor((${samp("(i * 2) // 3")} * (3 - (i * 2) % 3)
+                + ${samp("least((i * 2) // 3 + 1, n - 1)")} * ((i * 2) % 3))
+                / 3.0) AS BIGINT) AS v
+            FROM o)"""
+  }
+
+  private def audioResampleOracle: String =
+    s"""WITH $resampleCtes,
+        agg AS (SELECT doc_id, max(n) AS n, count(*) AS out_n,
+                  SUM(v) AS s1, SUM(v * v) AS s2
+                FROM vals GROUP BY doc_id)
+        SELECT doc_id, CAST(n AS INTEGER) AS in_n,
+             CAST(out_n AS INTEGER) AS out_n, 24000 AS out_rate,
+             CAST(s1 AS BIGINT) AS out_sum, CAST(s2 AS BIGINT) AS out_sumsq
+        FROM agg"""
+
+  /** q357's oracle: the resampled stream framed at 64, correlated
+    * against the SAME scaled-integer mel tables the engine computed
+    * (interpolated below as 512 literal rows), energy = c² + s².
+    */
+  private def audioMelOracle: String = {
+    val (cosT, sinT) = graft.operators.Audio.melTables(24000)
+    val ctValues = (for { k <- 0 until 8; j <- 0 until 64 } yield
+      s"($k,$j,${cosT(k)(j)},${sinT(k)(j)})").mkString(", ")
+    s"""WITH $resampleCtes,
+        ct(band, j, cv, sv) AS (VALUES $ctValues),
+        fr AS (SELECT doc_id, i // 64 AS frame_idx, i % 64 AS j, v
+               FROM vals),
+        corr AS (SELECT f.doc_id, f.frame_idx, ct.band,
+                   SUM(f.v * ct.cv) AS c, SUM(f.v * ct.sv) AS s
+                 FROM fr f JOIN ct ON ct.j = f.j
+                 GROUP BY 1, 2, 3)
+        SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             CAST(band AS INTEGER) AS band,
+             CAST(c * c + s * s AS BIGINT) AS energy
+        FROM corr"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q211_image_patches" -> patchOracle,
+    "q350_png_color" -> pngColorOracle,
+    "q351_phash_neardup" -> pHashOracle,
+    "q356_audio_resample" -> audioResampleOracle,
+    "q357_audio_mel" -> audioMelOracle,
     "q326_jpeg_decode" -> jpegOracle,
     "q339_jpeg_color" -> jpegColorOracle,
     // q345: the progressive scan script reconstructs the SAME quantized
@@ -642,7 +869,7 @@ object Multimodal {
     // q348: refs (both URL families) → decode digest → per-digest rank
     // → rollup, replayed end to end.
     "q348_pair_dedup" ->
-      s"""WITH $jpegColorCtes,
+      s"""WITH ${jpegColorCtes()},
           meta AS (SELECT doc_id, md5(hexpix) AS rgb_md5 FROM img),
           nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
           refs AS (

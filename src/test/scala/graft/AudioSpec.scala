@@ -111,6 +111,60 @@ class AudioSpec extends AnyFunSuite {
     assert(f2.dec_n == 1 && f2.dec_sum == 14456L)
   }
 
+  test("resampleSamples: exact integer interpolation, both directions") {
+    // 3/2 upsample of a ramp: positions 0, 2/3, 4/3, 2, ... — hand
+    // values with floor division on negatives
+    val s = Array[Short](-300, 0, 300, 600)
+    val up = Audio.resampleSamples(s, 3, 2)
+    // nOut = (3*3)/2 + 1 = 5; phases p = (2n mod 3): 0,2,1,0,2
+    assert(up.toSeq == Seq[Short](
+      -300, // n=0: k=0 p=0
+      Math.floorDiv(-300 * 1 + 0 * 2, 3).toShort, // n=1: k=0 p=2 → -100
+      Math.floorDiv(0 * 2 + 300 * 1, 3).toShort, // n=2: k=1 p=1 → 100
+      300, // n=3: k=2 p=0
+      Math.floorDiv(300 * 1 + 600 * 2, 3).toShort)) // n=4: k=2 p=2 → 500
+    // downsample 1/2 keeps every other sample
+    assert(Audio.resampleSamples(s, 1, 2).toSeq == Seq[Short](-300, 300))
+    // degenerate single sample holds
+    assert(Audio.resampleSamples(Array[Short](42), 3, 2).toSeq == Seq[Short](42))
+    assert(Audio.resampleSamples(Array.emptyShortArray, 3, 2).isEmpty)
+  }
+
+  test("resample through the codec matches a direct hand computation") {
+    import spark.implicits._
+    val docs = Seq((1L, "resample me please")).toDF("doc_id", "text")
+    val r = Audio.resample(Audio.asAudio(docs), 3, 2).collect().head
+    val direct = Audio.resampleSamples(Audio.samplesOf("resample me please"), 3, 2)
+    assert(r.in_n == 18 && r.out_n == direct.length && r.out_rate == 24000)
+    assert(r.out_sum == direct.map(_.toLong).sum)
+    assert(r.out_sumsq == direct.map(v => v.toLong * v).sum)
+  }
+
+  test("mel-band energies match the direct Goertzel computation") {
+    import spark.implicits._
+    val text = "mel band energies over the resampled pcm stream exercise frames"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = Audio.resampleMelEnergies(Audio.asAudio(docs), 3, 2)
+      .collect().map(e => (e.frame_idx, e.band) -> e.energy).toMap
+    val out = Audio.resampleSamples(Audio.samplesOf(text), 3, 2)
+    val (cosT, sinT) = Audio.melTables(24000)
+    val nFrames = (out.length + 63) / 64
+    assert(rows.size == nFrames * 8)
+    for (fi <- 0 until nFrames; k <- 0 until 8) {
+      val start = fi * 64
+      val end = math.min(start + 64, out.length)
+      var c = 0L; var s = 0L
+      for (i <- start until end) {
+        c += out(i).toLong * cosT(k)(i - start)
+        s += out(i).toLong * sinT(k)(i - start)
+      }
+      assert(rows((fi, k)) == c * c + s * s, s"frame $fi band $k")
+    }
+    // the band lattice is mel-monotone: cycle counts strictly ordered
+    val cyc = Audio.melCycles(24000)
+    assert(cyc.toSeq == cyc.sorted.toSeq && cyc.head >= 1 && cyc.last <= 31)
+  }
+
   test("asAudio payloads carry typed metadata and decode to the rule") {
     import spark.implicits._
     val docs = Seq((7L, "hello world")).toDF("doc_id", "text")

@@ -330,6 +330,32 @@ class JpegSpec extends AnyFunSuite {
       Jpeg.decodeColor(java.util.Arrays.copyOfRange(ok, 0, ok.length - 16)))
   }
 
+  test("progressive scan referencing a never-defined DHT fails descriptively") {
+    // Excise every DHT (0xFFC4) segment: the first scan must then hit
+    // the loud missing-table require, not a NullPointerException —
+    // same error shape as the baseline path.
+    val (yP, cbP, crP, h) = Jpeg.colorPlanesOf("strip the huffman tables")
+    val ok = Jpeg.encodeColorProgressive(64, h, yP, cbP, crP)
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    out.write(ok, 0, 2) // SOI
+    p = 2
+    var inScan = false
+    while (p + 4 <= ok.length && !inScan) {
+      val marker = ok(p + 1) & 0xff
+      val segLen = ((ok(p + 2) & 0xff) << 8) | (ok(p + 3) & 0xff)
+      if (marker == 0xda) { out.write(ok, p, ok.length - p); inScan = true }
+      else {
+        if (marker != 0xc4) out.write(ok, p, 2 + segLen)
+        p += 2 + segLen
+      }
+    }
+    val e = intercept[IllegalArgumentException](
+      Jpeg.decodeColor(out.toByteArray))
+    assert(e.getMessage.contains("missing DC table") ||
+      e.getMessage.contains("missing AC table"), e.getMessage)
+  }
+
   test("color malformed inputs are rejected loudly") {
     val (yP, cbP, crP, h) = Jpeg.colorPlanesOf("truncate the color scan")
     val ok = Jpeg.encodeColor(64, h, yP, cbP, crP)

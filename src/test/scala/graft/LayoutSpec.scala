@@ -2298,15 +2298,41 @@ test("catalog: stale lock is age-gated — fresh lock reads as concurrent") {
     val fresh = intercept[RuntimeException](
       Layout.catalogCommit(spark, cat, Map("a" -> ((aDir, 1L)))))
     assert(fresh.getMessage.contains("concurrent"), fresh.getMessage)
-    // OLD lock (past the 10 s staleness gate) → the crash diagnosis
-    // with the remove-the-lock remediation
-    assert(lock.setLastModified(System.currentTimeMillis() - 60000L))
+    // OLD lock (past the 5-minute default staleness gate) → the crash
+    // diagnosis with the (hedged) remove-the-lock remediation
+    assert(lock.setLastModified(System.currentTimeMillis() - 600000L))
     val stale = intercept[RuntimeException](
       Layout.catalogCommit(spark, cat, Map("a" -> ((aDir, 1L)))))
     assert(stale.getMessage.contains("stale lock"), stale.getMessage)
     // remediation works: drop the lock, the version commits
     assert(lock.delete())
     assert(Layout.catalogCommit(spark, cat, Map("a" -> ((aDir, 1L)))) == 2L)
+  }
+
+  test("catalogRetention: retained versions stay byte-complete; dropped version refuses") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_catret").toString
+    val aDir = s"$root/a"; val cat = s"$root/cat"
+    (1 to 3).foreach { k =>
+      Layout.snapshotWrite(
+        (1L to k * 10L).map(i => (i, s"v$k-$i")).toDF("k", "v"), aDir)
+      Layout.catalogCommitCurrent(spark, cat, Map("a" -> aDir))
+    }
+    val before = Layout.catalogRead(spark, cat, "a", 2)
+      .collect().map(_.toString).sorted.toSeq
+    val (vd, se, fd) = Layout.catalogRetention(spark, cat, keepVersions = 2)
+    assert(vd == 1 && se == 1 && fd >= 1, s"($vd, $se, $fd)")
+    // the OLDEST RETAINED version reads byte-complete after retention
+    val after = Layout.catalogRead(spark, cat, "a", 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(before == after)
+    assert(Layout.catalogRead(spark, cat, "a", 3).count() == 30)
+    // the dropped version refuses loudly; its pinned-only snapshot is gone
+    val e = intercept[RuntimeException](Layout.catalogRead(spark, cat, "a", 1))
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    assert(!new java.io.File(s"$aDir/manifest-1.json").exists())
+    // idempotent: a second pass finds nothing to age out
+    assert(Layout.catalogRetention(spark, cat, keepVersions = 2) == ((0, 0, 0)))
   }
 
   test("catalogSink: batch note suppresses replay double-apply; publish is all-or-nothing") {

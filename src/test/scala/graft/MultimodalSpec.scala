@@ -40,6 +40,189 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("color encode → decodeColor round-trips all storage types") {
+    val rng = new scala.util.Random(29)
+    val (w, h) = (13, 7)
+    // truecolor
+    val rgb = Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+    val t2 = Png.decodeColor(Png.encodeRgb(w, h, rgb))
+    assert(t2.colorType == 2 && t2.channels == 3 && t2.width == w && t2.height == h)
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert(t2.rgba(i * 4 + c) == rgb(i * 3 + c))
+    assert((0 until w * h).forall(i => (t2.rgba(i * 4 + 3) & 0xff) == 255))
+    // RGBA
+    val rgba = Array.fill(w * h * 4)(rng.nextInt(256).toByte)
+    val t6 = Png.decodeColor(Png.encodeRgba(w, h, rgba))
+    assert(t6.colorType == 6 && t6.channels == 4)
+    assert(java.util.Arrays.equals(t6.rgba, rgba))
+    // palette
+    val palette = Array.fill(256 * 3)(rng.nextInt(256).toByte)
+    val idx = Array.fill(w * h)(rng.nextInt(256).toByte)
+    val t3 = Png.decodeColor(Png.encodePalette(w, h, idx, palette))
+    assert(t3.colorType == 3 && t3.channels == 1)
+    for (i <- 0 until w * h) {
+      val k = idx(i) & 0xff
+      for (c <- 0 until 3) assert(t3.rgba(i * 4 + c) == palette(k * 3 + c))
+      assert((t3.rgba(i * 4 + 3) & 0xff) == 255)
+    }
+    // grayscale normalizes through the color api too
+    val gray = Array.fill(w * h)(rng.nextInt(256).toByte)
+    val t0 = Png.decodeColor(Png.encodeGray(w, h, gray))
+    assert(t0.colorType == 0 && t0.channels == 1)
+    for (i <- 0 until w * h) {
+      assert(t0.rgba(i * 4) == gray(i) && t0.rgba(i * 4 + 1) == gray(i) &&
+        t0.rgba(i * 4 + 2) == gray(i) && (t0.rgba(i * 4 + 3) & 0xff) == 255)
+    }
+  }
+
+  test("JDK ImageIO reads OUR color PNGs (all three storage types)") {
+    val rng = new scala.util.Random(31)
+    val (w, h) = (21, 9)
+    def argbOf(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null, "JDK refused our PNG")
+      bi
+    }
+    val rgb = Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+    val b2 = argbOf(Png.encodeRgb(w, h, rgb))
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = b2.getRGB(x, y); val i = (y * w + x) * 3
+      assert(((p >> 16) & 0xff) == (rgb(i) & 0xff) &&
+        ((p >> 8) & 0xff) == (rgb(i + 1) & 0xff) &&
+        (p & 0xff) == (rgb(i + 2) & 0xff), s"rgb mismatch at $x,$y")
+    }
+    val rgba = Array.fill(w * h * 4)(rng.nextInt(256).toByte)
+    val b6 = argbOf(Png.encodeRgba(w, h, rgba))
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = b6.getRGB(x, y); val i = (y * w + x) * 4
+      assert(((p >>> 24) & 0xff) == (rgba(i + 3) & 0xff) &&
+        ((p >> 16) & 0xff) == (rgba(i) & 0xff) &&
+        ((p >> 8) & 0xff) == (rgba(i + 1) & 0xff) &&
+        (p & 0xff) == (rgba(i + 2) & 0xff), s"rgba mismatch at $x,$y")
+    }
+    val palette = Array.fill(256 * 3)(rng.nextInt(256).toByte)
+    val idx = Array.fill(w * h)(rng.nextInt(256).toByte)
+    val b3 = argbOf(Png.encodePalette(w, h, idx, palette))
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = b3.getRGB(x, y); val k = idx(y * w + x) & 0xff
+      assert(((p >> 16) & 0xff) == (palette(k * 3) & 0xff) &&
+        ((p >> 8) & 0xff) == (palette(k * 3 + 1) & 0xff) &&
+        (p & 0xff) == (palette(k * 3 + 2) & 0xff), s"palette mismatch at $x,$y")
+    }
+  }
+
+  test("decodeColor reads the JDK encoder's color PNGs (adaptive filters)") {
+    import java.awt.image.BufferedImage
+    val rng = new scala.util.Random(37)
+    for ((typ, name) <- Seq(
+      (BufferedImage.TYPE_INT_RGB, "rgb"),
+      (BufferedImage.TYPE_INT_ARGB, "argb"),
+      (BufferedImage.TYPE_BYTE_INDEXED, "indexed"))) {
+      val (w, h) = (57, 23)
+      val bi = new BufferedImage(w, h, typ)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.setRGB(x, y, rng.nextInt() |
+          (if (typ == BufferedImage.TYPE_INT_ARGB) 0 else 0xff000000))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "png", out))
+      val img = Png.decodeColor(out.toByteArray)
+      assert(img.width == w && img.height == h, name)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = bi.getRGB(x, y) // post-quantization truth for indexed
+        val i = (y * w + x) * 4
+        assert((img.rgba(i) & 0xff) == ((want >> 16) & 0xff) &&
+          (img.rgba(i + 1) & 0xff) == ((want >> 8) & 0xff) &&
+          (img.rgba(i + 2) & 0xff) == (want & 0xff) &&
+          (img.rgba(i + 3) & 0xff) == ((want >>> 24) & 0xff),
+          s"$name mismatch at $x,$y")
+      }
+    }
+  }
+
+  test("color malformed inputs are rejected loudly") {
+    // palette stream stripped of its PLTE must fail by name
+    val pal = Png.encodePalette(4, 2, Array.fill(8)(3.toByte),
+      Array.fill(12)(0.toByte))
+    val noPlte = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(pal, 0, 8)
+      var p = 8
+      while (p < pal.length) {
+        val len = ((pal(p) & 0xff) << 24) | ((pal(p + 1) & 0xff) << 16) |
+          ((pal(p + 2) & 0xff) << 8) | (pal(p + 3) & 0xff)
+        val tag = new String(pal, p + 4, 4, "US-ASCII")
+        if (tag != "PLTE") out.write(pal, p, 12 + len)
+        p += 12 + len
+      }
+      out.toByteArray
+    }
+    val e = intercept[IllegalArgumentException](Png.decodeColor(noPlte))
+    assert(e.getMessage.contains("PLTE"), e.getMessage)
+    // an index beyond the palette must fail, not read garbage
+    val short = Png.encodePalette(4, 2, Array.fill(8)(7.toByte),
+      Array.fill(12)(0.toByte)) // 4-entry PLTE, index 7 used
+    val e2 = intercept[IllegalArgumentException](Png.decodeColor(short))
+    assert(e2.getMessage.contains("palette index"), e2.getMessage)
+    // CRC damage fails through the color path too
+    val bad = Png.encodeRgb(4, 2, Array.fill(24)(9.toByte))
+    bad(20) = (bad(20) ^ 0xff).toByte
+    assertThrows[IllegalArgumentException](Png.decodeColor(bad))
+  }
+
+  test("asColorMedia → parseColorMeta matches the color rule end to end") {
+    import spark.implicits._
+    val docs = Seq((0L, "truecolor doc"), (1L, "palette doc"),
+      (2L, "rgba doc"), (4L, "")).toDF("doc_id", "text")
+    val metas = Multimodal.parseColorMeta(Multimodal.asColorMedia(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((id, text) <- Seq((0L, "truecolor doc"), (1L, "palette doc"),
+      (2L, "rgba doc"), (4L, ""))) {
+      val pix = Multimodal.pixelsOf(text)
+      val sb = new StringBuilder
+      var rgbSum = 0L; var aSum = 0L
+      pix.foreach { b =>
+        val (r, g, bl, a) = Multimodal.colorOf(b & 0xff)
+        sb.append(f"$r%02x$g%02x$bl%02x")
+        rgbSum += r + g + bl
+        aSum += (if (id % 3 == 2) a else 255)
+      }
+      val m = metas(id)
+      assert(m.color_type == (id % 3 match {
+        case 0 => 2; case 1 => 3; case _ => 6 }), s"doc $id")
+      assert(m.channels == (id % 3 match {
+        case 0 => 3; case 1 => 1; case _ => 4 }), s"doc $id")
+      assert(m.n_pixels == pix.length && m.rgb_sum == rgbSum &&
+        m.alpha_sum == aSum, s"doc $id")
+      assert(m.rgb_md5 == md.digest(sb.toString.getBytes("US-ASCII"))
+        .map(b => f"$b%02x").mkString, s"doc $id digest")
+    }
+  }
+
+  test("pHash: identical payloads collide; block join complete vs brute force") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, s"phash fixture doc $i with content ${i % 7}"))
+      .toDF("doc_id", "text")
+    // doc 100 duplicates doc 3's text exactly → identical decoded RGB
+    val dup = Seq((100L, "phash fixture doc 3 with content 3"))
+      .toDF("doc_id", "text")
+    val media = graft.operators.Jpeg.asColorJpegMedia(docs.unionByName(dup))
+    val hs = Multimodal.pHash(media).collect()
+      .map(h => h.doc_id -> Seq(h.b0, h.b1, h.b2, h.b3)).toMap
+    assert(hs(3L) == hs(100L), "identical payloads must hash identically")
+    def ham(a: Seq[Int], b: Seq[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val brute = (for {
+      (i, hi) <- hs; (j, hj) <- hs if i < j
+      d = ham(hi, hj) if d <= 3
+    } yield (i, j, d)).toSet
+    val got = Multimodal.pHashNearDupPairs(media, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"block join missed/invented pairs: $got vs $brute")
+  }
+
   test("corrupt chunk CRC and non-PNG bytes are rejected loudly") {
     val png = Png.encodeGray(8, 2, Array.fill(16)(7.toByte))
     val bad = png.clone()

@@ -67,6 +67,30 @@ class TokensSpec extends AnyFunSuite {
     assert(r.getInt(1) == 0)
   }
 
+  test("gpt2Pretokens: contractions, leading-space convention, categories") {
+    import spark.implicits._
+    def toks(t: String): Seq[String] =
+      Seq(t).toDF("text")
+        .select(TextFunctions.gpt2Pretokens(col("text")).as("t"))
+        .head().getSeq[String](0)
+    // contraction suffixes split as their own tokens
+    assert(toks("it's we're don't") ==
+      Seq("it", "'s", " we", "'re", " don", "'t"))
+    // leading space attaches to the following letter/number/punct run;
+    // "42nd" splits at the number/letter category edge
+    assert(toks("the 42nd #tag!!") ==
+      Seq("the", " 42", "nd", " #", "tag", "!!"))
+    // accented letters are \p{L}
+    assert(toks("naïve café") == Seq("naïve", " café"))
+    // apostrophe that is NOT a contraction is a punct run
+    assert(toks("l'été") == Seq("l", "'", "été"))
+    // a multi-space run is ONE whitespace token (the documented RE2
+    // lookahead divergence); single spaces still attach forward
+    assert(toks("a  b") == Seq("a", "  ", "b"))
+    // CJK letter runs, 4-byte emoji as punct-category run
+    assert(toks("東京 データ 🚀") == Seq("東京", " データ", " 🚀"))
+  }
+
   test("tokens stays inside whole-stage codegen (the point of the rewrite)") {
     import spark.implicits._
     // parquet-backed input: a literal Seq constant-folds to a
