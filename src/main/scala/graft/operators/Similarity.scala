@@ -1030,7 +1030,8 @@ object Similarity {
     */
   def ivfAdcBuildIndex(vectors: DataFrame, indexDir: String,
                        nCells: Int = 16, m: Int = 8, ksub: Int = 16,
-                       iters: Int = 1, attrCols: Seq[String] = Nil): Unit = {
+                       iters: Int = 1, attrCols: Seq[String] = Nil,
+                       clusterCodes: Boolean = false): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val v = withNorm(vectors).localCheckpoint()
@@ -1055,8 +1056,19 @@ object Similarity {
       s"$indexDir/codebooks")
     // attrs ride IN the codes table with min/max stats: a filtered
     // search pushes its predicate into the codes parquet scan and
-    // prunes files — the filtered-ANN story needs no side join at all
-    Layout.snapshotWrite(codes, s"$indexDir/codes",
+    // prunes files — the filtered-ANN story needs no side join at all.
+    // clusterCodes (the optimize path) range-partitions + sorts the
+    // write by cell so per-file cell stats are TIGHT on the first
+    // write — no second rewrite needed to get pruned probe scans. The
+    // file count is bounded by the cell count (one file can never
+    // usefully serve less than a cell's probe scans), capped at 32 so
+    // a large-nCells index still writes executor-sized files.
+    val codesOut =
+      if (clusterCodes)
+        codes.repartitionByRange(math.max(1, math.min(nCells, 32)),
+          col("cell")).sortWithinPartitions("cell")
+      else codes
+    Layout.snapshotWrite(codesOut, s"$indexDir/codes",
       statsCols = "cell" +: attrCols)
     Layout.snapshotWrite(
       Seq((nCells, m, ksub, dim, attrCols.mkString(",")))
@@ -1111,10 +1123,12 @@ object Similarity {
     *     publish centroids/codebooks/codes/meta as NEW snapshots —
     *     readers of prior snapshots keep their consistent view (time
     *     travel across an optimize works; vacuum reclaims later).
-    *  2. COMPACT the re-coded table clustered by `cell`
-    *     ([[Layout.optimizeClustered]]): few files, tight per-file
-    *     cell stats, so nProbe-restricted scans prune at planning
-    *     time instead of opening one fragment per historical append.
+    *  2. write the re-coded table CLUSTERED by `cell` (range
+    *     partition + sort in the rebuild write itself): few files,
+    *     tight per-file cell stats, so nProbe-restricted scans prune
+    *     at planning time instead of opening one fragment per
+    *     historical append — the [[Layout.optimizeClustered]] outcome
+    *     without paying a second full rewrite of the codes table.
     *
     * Training arithmetic is [[ivfAdcBuildIndex]]'s verbatim, so a
     * search through the optimized index equals the direct full-corpus
@@ -1126,8 +1140,8 @@ object Similarity {
     val knobs = Layout.snapshotRead(spark, s"$indexDir/meta")
       .select("n_cells", "m", "ksub").head()
     ivfAdcBuildIndex(vectors, indexDir, knobs.getInt(0), knobs.getInt(1),
-      knobs.getInt(2), iters, indexAttrCols(spark, indexDir))
-    Layout.optimizeClustered(spark, s"$indexDir/codes", Seq("cell"))
+      knobs.getInt(2), iters, indexAttrCols(spark, indexDir),
+      clusterCodes = true)
   }
 
   /** The attr columns the index was built with (meta `attrs`; empty

@@ -367,6 +367,50 @@ class DedupSpec extends AnyFunSuite {
     assert(top1(0L) === 3L) // existing rows keep their pre-delta twin
   }
 
+  test("ivfAdcIndexOptimize: retrain == fresh build; codes come out cell-clustered") {
+    import spark.implicits._
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f))
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, dirs(i % 3).map(x => x * (1f + 0.01f * (i / 3)))))
+      .toDF("id", "embedding")
+    val base = mk(0 until 6)
+    val delta = mk(6 until 12)
+    val all = base.unionByName(delta)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfopt").toString
+    Similarity.ivfAdcBuildIndex(base, idx, nCells = 3, m = 2, ksub = 4)
+    Similarity.ivfAdcIndexAppend(delta, idx)
+    val preOptSnapshots = graft.operators.Layout
+      .snapshotHistory(spark, s"$idx/codes").count()
+    Similarity.ivfAdcIndexOptimize(all, idx)
+    // optimize == a from-scratch full-corpus build, searched identically
+    val fresh = java.nio.file.Files.createTempDirectory("graft_ivffr").toString
+    Similarity.ivfAdcBuildIndex(all, fresh, nCells = 3, m = 2, ksub = 4)
+    val a = Similarity.ivfAdcSearchWith(all, idx, 1, nProbe = 1,
+      shortlist = 3).collect().map(_.toSeq).toSet
+    val b = Similarity.ivfAdcSearchWith(all, fresh, 1, nProbe = 1,
+      shortlist = 3).collect().map(_.toSeq).toSet
+    assert(a === b)
+    // a NEW snapshot was published (prior views keep serving)…
+    assert(graft.operators.Layout.snapshotHistory(spark, s"$idx/codes")
+      .count() === preOptSnapshots + 1)
+    // …and the rewritten codes are cell-clustered: the MANIFEST's
+    // per-file cell ranges must not overlap, so a probe-restricted
+    // scan prunes files at planning time
+    val ranges = graft.operators.Layout.snapshotFiles(spark, s"$idx/codes")
+      .flatMap { e =>
+        val st = e.stats("cell")
+        for (mn <- st.min; mx <- st.max) yield (mn.toLong, mx.toLong)
+      }.sortBy(_._1)
+    assert(ranges.nonEmpty)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi <= lo
+      case _ => true
+    }, s"overlapping cell ranges across files: $ranges")
+  }
+
   test("pqAdcTopK finds each vector's planted near-twin from codes alone") {
     import spark.implicits._
     // three well-separated directions in dim 8, two vectors per

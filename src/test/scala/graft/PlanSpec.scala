@@ -54,6 +54,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q351: the pHash pair search is a banded equi-join, never all-pairs") {
+    // candidate generation must be the pigeonhole (blk, key) equi-join;
+    // a cartesian or nested-loop here is the scale-killer the Manku
+    // block layout exists to avoid
+    val plan = planOf("q351_phash_neardup")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("q141: the CMS gate filters BEFORE the single aggregation exchange") {
     val plan = planOf("q141_cms_heavy_hitters")
     val exchanges = "Exchange".r.findAllIn(plan).size
