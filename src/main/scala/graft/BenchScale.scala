@@ -74,7 +74,13 @@ object BenchScale {
   }
 
   private val TrendRows = Seq("q310_maxsim", "q312_quality_classifier",
-    "q217_full_pipeline", "q128_ivf_adc_rerank", "q326_jpeg_decode")
+    "q217_full_pipeline", "q128_ivf_adc_rerank", "q326_jpeg_decode",
+    // r14 rows: the pHash banded join (decode + integer DCT per doc,
+    // pigeonhole candidate pairs — should track the corpus) and the
+    // color-PNG decode (pure narrow codec pass). q354 is not a trend
+    // row: its funnel is q128's fixed-knob harness shape, whose sized
+    // story the q128sized row already measures.
+    "q351_phash_neardup", "q350_png_color")
 
   private def runOnce(f: => Unit, label: String): Double = {
     val t0 = System.nanoTime()

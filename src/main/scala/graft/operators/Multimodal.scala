@@ -233,9 +233,65 @@ object Multimodal {
     def encodeRgb(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
       encodeRaw(width, height, 2, rgb)
 
+    /** Adam7 pass geometry: (x0, y0, dx, dy) per RFC 2083 §2.6. */
+    private val Adam7 = Array(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    /** INTERLACED truecolor PNG (Adam7, colour type 2): the seven
+      * sub-images serialized pass by pass, each with its own filter-0
+      * scanlines — the progressive-download layout real web PNGs
+      * still ship. Exercises [[decodeColor]]'s deinterlacer; pixel
+      * content is identical to [[encodeRgb]]'s.
+      */
+    def encodeRgbInterlaced(width: Int, height: Int,
+                            rgb: Array[Byte]): Array[Byte] = {
+      require(width > 0 && height > 0 && rgb.length == width * height * 3,
+        s"bad dimensions: $width x $height for ${rgb.length} bytes")
+      val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      ihdr.putInt(width).putInt(height)
+      ihdr.put(8.toByte).put(2.toByte)
+      ihdr.put(0.toByte).put(0.toByte).put(1.toByte) // interlace: Adam7
+      val lines = new java.io.ByteArrayOutputStream()
+      Adam7.foreach { case (x0, y0, dx, dy) =>
+        val wp = if (width > x0) (width - x0 + dx - 1) / dx else 0
+        val hp = if (height > y0) (height - y0 + dy - 1) / dy else 0
+        if (wp > 0 && hp > 0) {
+          var r = 0
+          while (r < hp) {
+            lines.write(0) // filter: None
+            var c = 0
+            while (c < wp) {
+              val sy = y0 + r * dy
+              val sx = x0 + c * dx
+              val o = (sy * width + sx) * 3
+              lines.write(rgb(o)); lines.write(rgb(o + 1))
+              lines.write(rgb(o + 2))
+              c += 1
+            }
+            r += 1
+          }
+        }
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Signature)
+      out.write(chunk("IHDR", ihdr.array()))
+      out.write(chunk("IDAT", deflate(lines.toByteArray)))
+      out.write(chunk("IEND", Array.empty[Byte]))
+      out.toByteArray
+    }
+
     /** Truecolor+alpha PNG (colour type 6): `width*height*4` RGBA. */
     def encodeRgba(width: Int, height: Int, rgba: Array[Byte]): Array[Byte] =
       encodeRaw(width, height, 6, rgba)
+
+    /** Gray+alpha PNG (colour type 4): `width*height*2` interleaved
+      * (gray, alpha) — the fourth 8-bit storage type; completes the
+      * encoder set over everything [[decodeColor]] reads.
+      */
+    def encodeGrayAlpha(width: Int, height: Int,
+                        ga: Array[Byte]): Array[Byte] =
+      encodeRaw(width, height, 4, ga)
 
     /** Palette PNG (colour type 3): one index byte per pixel + a PLTE
       * of RGB triples (index i → palette[3i..3i+2]).
@@ -300,14 +356,25 @@ object Multimodal {
         }
       }
       require(width > 0 && height > 0, "PNG missing IHDR")
-      require(bitDepth == 8 && interlace == 0,
+      require(bitDepth == 8 && (interlace == 0 || interlace == 1),
         s"unsupported PNG format: depth=$bitDepth interlace=$interlace" +
-          " (this decoder handles 8-bit depth, non-interlaced)")
+          " (this decoder handles 8-bit depth, interlace 0 or Adam7)")
       val bpp = rawChannels(colorType)
       if (colorType == 3)
         require(palette != null, "palette PNG missing PLTE")
-      val stride = width * bpp
-      val raw = new Array[Byte]((stride + 1) * height)
+      // pass geometry: one (width, height, x0, y0, dx, dy) per
+      // sub-image — a single full-frame pass when non-interlaced, the
+      // seven Adam7 passes otherwise (empty passes dropped)
+      val passes: Array[(Int, Int, Int, Int, Int, Int)] =
+        if (interlace == 0) Array((width, height, 0, 0, 1, 1))
+        else Adam7.map { case (x0, y0, dx, dy) =>
+          val wp = if (width > x0) (width - x0 + dx - 1) / dx else 0
+          val hp = if (height > y0) (height - y0 + dy - 1) / dy else 0
+          (wp, hp, x0, y0, dx, dy)
+        }.filter(p => p._1 > 0 && p._2 > 0)
+      val rawLen = passes.map { case (wp, hp, _, _, _, _) =>
+        (wp * bpp + 1) * hp }.sum
+      val raw = new Array[Byte](rawLen)
       val inflater = new Inflater()
       inflater.setInput(idat.toByteArray)
       var off = 0
@@ -319,36 +386,55 @@ object Multimodal {
       }
       inflater.end()
       require(off == raw.length, s"IDAT inflated to $off of ${raw.length} bytes")
-      // reverse the row filters at stride bpp (unfiltered bytes kept in
-      // `un`, one flat buffer, so Up/Average/Paeth read the prior ROW's
-      // reconstructed bytes)
+      // reverse the row filters PER PASS at stride bpp (filters never
+      // cross a pass boundary — each sub-image unfilters independently,
+      // RFC 2083 §2.6/§6) and scatter the pass pixels into the full
+      // image at (y0 + r·dy, x0 + c·dx)
+      val stride = width * bpp
       val un = new Array[Byte](stride * height)
-      var r = 0
-      while (r < height) {
-        val filter = raw(r * (stride + 1)) & 0xff
-        var c = 0
-        while (c < stride) {
-          val x = raw(r * (stride + 1) + 1 + c) & 0xff
-          val a = if (c < bpp) 0 else un(r * stride + c - bpp) & 0xff
-          val b = if (r == 0) 0 else un((r - 1) * stride + c) & 0xff
-          val pa = if (r == 0 || c < bpp) 0
-            else un((r - 1) * stride + c - bpp) & 0xff
-          val recon = filter match {
-            case 0 => x
-            case 1 => x + a
-            case 2 => x + b
-            case 3 => x + (a + b) / 2
-            case 4 =>
-              val p = a + b - pa
-              val da = math.abs(p - a); val db = math.abs(p - b)
-              val dc = math.abs(p - pa)
-              x + (if (da <= db && da <= dc) a else if (db <= dc) b else pa)
-            case f => throw new IllegalArgumentException(s"bad PNG filter $f")
+      var base = 0
+      passes.foreach { case (wp, hp, x0, y0, dx, dy) =>
+        val ps = wp * bpp
+        val pun = new Array[Byte](ps * hp)
+        var r = 0
+        while (r < hp) {
+          val filter = raw(base + r * (ps + 1)) & 0xff
+          var c = 0
+          while (c < ps) {
+            val x = raw(base + r * (ps + 1) + 1 + c) & 0xff
+            val a = if (c < bpp) 0 else pun(r * ps + c - bpp) & 0xff
+            val b = if (r == 0) 0 else pun((r - 1) * ps + c) & 0xff
+            val pa = if (r == 0 || c < bpp) 0
+              else pun((r - 1) * ps + c - bpp) & 0xff
+            val recon = filter match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + b
+              case 3 => x + (a + b) / 2
+              case 4 =>
+                val p = a + b - pa
+                val da = math.abs(p - a); val db = math.abs(p - b)
+                val dc = math.abs(p - pa)
+                x + (if (da <= db && da <= dc) a
+                  else if (db <= dc) b else pa)
+              case f => throw new IllegalArgumentException(s"bad PNG filter $f")
+            }
+            pun(r * ps + c) = (recon & 0xff).toByte
+            c += 1
           }
-          un(r * stride + c) = (recon & 0xff).toByte
-          c += 1
+          r += 1
         }
-        r += 1
+        r = 0
+        while (r < hp) {
+          var c = 0
+          while (c < wp) {
+            System.arraycopy(pun, (r * wp + c) * bpp, un,
+              ((y0 + r * dy) * width + (x0 + c * dx)) * bpp, bpp)
+            c += 1
+          }
+          r += 1
+        }
+        base += (ps + 1) * hp
       }
       // normalize to RGBA
       val rgba = new Array[Byte](width * height * 4)
@@ -782,6 +868,34 @@ object Multimodal {
               Png.encodeRgba(ImgWidth, h, rgba)
           }
           Media(id, payload, "image/png", ImgWidth, h)
+        }
+      }
+      .select(col("doc_id"), col("payload"),
+        struct(col("format"), col("width"), col("height")).as("meta"))
+  }
+
+  /** The [[asColorMedia]] rule stored INTERLACED (Adam7, truecolor):
+    * same decoded RGB as the sequential fixture, progressive-download
+    * layout — [[Png.decodeColor]]'s deinterlacer under the oracle.
+    */
+  def asInterlacedMedia(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val pix = pixelsOf(text)
+          val h = pix.length / ImgWidth
+          val rgb = new Array[Byte](pix.length * 3)
+          var i = 0
+          while (i < pix.length) {
+            val (r, g, b, _) = colorOf(pix(i) & 0xff)
+            rgb(i * 3) = r.toByte; rgb(i * 3 + 1) = g.toByte
+            rgb(i * 3 + 2) = b.toByte
+            i += 1
+          }
+          Media(id, Png.encodeRgbInterlaced(ImgWidth, h, rgb),
+            "image/png", ImgWidth, h)
         }
       }
       .select(col("doc_id"), col("payload"),

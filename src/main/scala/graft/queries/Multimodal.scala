@@ -340,6 +340,21 @@ object Multimodal {
           col("n_pixels"), col("rgb_md5"), col("rgb_sum"), col("alpha_sum"))
     },
 
+    // INTERLACED PNG decode (q359, r14): the same color rule stored
+    // Adam7-interlaced (truecolor) — the progressive-download layout
+    // real web PNGs still ship. The decoder unfilters each of the
+    // seven sub-images independently and scatters them into place;
+    // hash equality with the arithmetic replay proves pass geometry,
+    // per-pass filtering, and the scatter are all exact.
+    "q359_png_interlaced" -> { (s, d) =>
+      val media = graft.operators.Multimodal.asInterlacedMedia(
+        Tables.documents(s, d))
+      graft.operators.Multimodal.parseColorMeta(media)
+        .select(col("doc_id"), lit("image/png").as("format"),
+          col("width"), col("height"), col("color_type"), col("channels"),
+          col("n_pixels"), col("rgb_md5"), col("rgb_sum"), col("alpha_sum"))
+    },
+
     // DCT PERCEPTUAL HASH dedup (q351, r14): pHash over decoded COLOR
     // JPEG payloads — Rec.601 integer luma, 32×32 nearest downsample,
     // scaled-INTEGER separable DCT (the 8×32 cos basis is computed
@@ -702,7 +717,14 @@ object Multimodal {
     * decoded RGB across the three storage types is the point: one
     * replay proves truecolor, palette, and RGBA decode agree.
     */
-  private def pngColorOracle: String =
+  private def pngColorOracle(
+      typeSql: String =
+        "CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 6 END",
+      chanSql: String =
+        "CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 4 END",
+      alphaSql: String =
+        "CASE WHEN doc_id % 3 = 2 THEN 255 - (v % 32) ELSE 255 END")
+      : String =
     s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix
            FROM documents),
         ix AS (SELECT doc_id, pix,
@@ -716,18 +738,15 @@ object Multimodal {
                  lpad(lower(to_hex(255 - v)), 2, '0') ||
                  lpad(lower(to_hex((v + 85) % 256)), 2, '0') AS h3,
                  v + (255 - v) + (v + 85) % 256 AS s3,
-                 CASE WHEN doc_id % 3 = 2 THEN 255 - (v % 32)
-                      ELSE 255 END AS av
+                 $alphaSql AS av
                FROM bv),
         img AS (SELECT doc_id, string_agg(h3, '' ORDER BY i) AS hexpix,
                   SUM(s3) AS rgbsum, SUM(av) AS asum, count(*) AS n
                 FROM hx GROUP BY doc_id)
         SELECT doc_id, 'image/png' AS format, 64 AS width,
              CAST(n // 64 AS INTEGER) AS height,
-             CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 6 END
-               AS INTEGER) AS color_type,
-             CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 4 END
-               AS INTEGER) AS channels,
+             CAST($typeSql AS INTEGER) AS color_type,
+             CAST($chanSql AS INTEGER) AS channels,
              CAST(n AS INTEGER) AS n_pixels, md5(hexpix) AS rgb_md5,
              CAST(rgbsum AS BIGINT) AS rgb_sum,
              CAST(asum AS BIGINT) AS alpha_sum
@@ -855,7 +874,11 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "q211_image_patches" -> patchOracle,
-    "q350_png_color" -> pngColorOracle,
+    "q350_png_color" -> pngColorOracle(),
+    // q359: interlaced storage decodes to the SAME RGB — the oracle is
+    // q350's replay with the fixed truecolor/opaque columns; hash
+    // equality proves the Adam7 deinterlace exact.
+    "q359_png_interlaced" -> pngColorOracle("2", "3", "255"),
     "q351_phash_neardup" -> pHashOracle,
     "q356_audio_resample" -> audioResampleOracle,
     "q357_audio_mel" -> audioMelOracle,

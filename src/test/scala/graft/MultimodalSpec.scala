@@ -73,6 +73,25 @@ class MultimodalSpec extends AnyFunSuite {
       assert(t0.rgba(i * 4) == gray(i) && t0.rgba(i * 4 + 1) == gray(i) &&
         t0.rgba(i * 4 + 2) == gray(i) && (t0.rgba(i * 4 + 3) & 0xff) == 255)
     }
+    // gray+alpha (type 4): gray replicates to RGB, alpha carries
+    val ga = Array.fill(w * h * 2)(rng.nextInt(256).toByte)
+    val t4 = Png.decodeColor(Png.encodeGrayAlpha(w, h, ga))
+    assert(t4.colorType == 4 && t4.channels == 2)
+    for (i <- 0 until w * h) {
+      assert(t4.rgba(i * 4) == ga(i * 2) && t4.rgba(i * 4 + 1) == ga(i * 2) &&
+        t4.rgba(i * 4 + 2) == ga(i * 2) && t4.rgba(i * 4 + 3) == ga(i * 2 + 1))
+    }
+    // the JDK reads our type-4 stream to the same raw samples (raster
+    // level — getRGB would push gray through a colorspace transform)
+    val b4 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Png.encodeGrayAlpha(w, h, ga)))
+    assert(b4 != null, "JDK refused our gray+alpha PNG")
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 2
+      assert(b4.getRaster.getSample(x, y, 0) == (ga(i) & 0xff) &&
+        b4.getRaster.getSample(x, y, 1) == (ga(i + 1) & 0xff),
+        s"gray+alpha mismatch $x,$y")
+    }
   }
 
   test("JDK ImageIO reads OUR color PNGs (all three storage types)") {
@@ -197,6 +216,52 @@ class MultimodalSpec extends AnyFunSuite {
         m.alpha_sum == aSum, s"doc $id")
       assert(m.rgb_md5 == md.digest(sb.toString.getBytes("US-ASCII"))
         .map(b => f"$b%02x").mkString, s"doc $id digest")
+    }
+  }
+
+  test("Adam7 interlaced PNGs decode to the sequential pixels, both codecs") {
+    val rng = new scala.util.Random(41)
+    // odd/sub-8 dimensions exercise empty and partial passes
+    for ((w, h) <- Seq((64, 9), (7, 3), (1, 1), (8, 8), (13, 21), (3, 1))) {
+      val rgb = Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+      val seq = Png.decodeColor(Png.encodeRgb(w, h, rgb))
+      val int = Png.decodeColor(Png.encodeRgbInterlaced(w, h, rgb))
+      assert(java.util.Arrays.equals(int.rgba, seq.rgba), s"$w x $h")
+      // the JDK reads OUR interlaced stream to the same pixels
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Png.encodeRgbInterlaced(w, h, rgb)))
+      assert(bi != null, s"JDK refused our interlaced PNG $w x $h")
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = bi.getRGB(x, y); val i = (y * w + x) * 3
+        assert(((p >> 16) & 0xff) == (rgb(i) & 0xff) &&
+          ((p >> 8) & 0xff) == (rgb(i + 1) & 0xff) &&
+          (p & 0xff) == (rgb(i + 2) & 0xff), s"JDK mismatch $w x $h at $x,$y")
+      }
+    }
+    // ...and we read the JDK's OWN interlaced (progressive-mode) PNGs
+    import javax.imageio.{ImageIO, ImageWriteParam}
+    val (w, h) = (37, 11)
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, rng.nextInt() | 0xff000000)
+    val writer = ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    assert((bytes(28) & 0xff) == 1, "JDK writer did not interlace")
+    val img = Png.decodeColor(bytes)
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = bi.getRGB(x, y); val i = (y * w + x) * 4
+      assert((img.rgba(i) & 0xff) == ((want >> 16) & 0xff) &&
+        (img.rgba(i + 1) & 0xff) == ((want >> 8) & 0xff) &&
+        (img.rgba(i + 2) & 0xff) == (want & 0xff),
+        s"JDK progressive mismatch at $x,$y")
     }
   }
 
