@@ -142,17 +142,23 @@ object BenchScale {
     // while the data grows is NOT how production scales — q128 pins
     // nCells = 8 (cells get 10× fatter while the query count also
     // grows 10× → quadratic probe volume); at 100 TB nCells tracks N.
-    // q310's HEADLINE fixture was re-pinned to the sized shape in r14
-    // (vec_id // 5: docs ∝ N, 5 chunks/doc — the old %100 fixture
-    // measured harness-quadratic because chunks/doc grew with N), so
-    // its q310sized row below is now the same shape as the headline —
-    // kept for trend continuity with the recorded r13sized point.
+    // q310's HEADLINE fixture was re-pinned to the docs-∝-N shape in
+    // r14 (vec_id // 5, 5 chunks/doc — the old %100 fixture measured
+    // harness-quadratic because chunks/doc grew with N). The REMAINING
+    // fixed knob is the LSH gate's key width: at 4 bits a table has 16
+    // buckets, so bucket occupancy — and with it candidate pairs per
+    // chunk — still grows ∝ N. Production sizes key bits with log₂ N
+    // (constant occupancy); within the 64-dim slice budget
+    // (tables·bits ≤ dim) that means trading tables for bits:
+    // bits = 4 + ceil(log₂ scale), tables = 64 / bits.
     def maxsimSized(dir: String, scale: Int): Unit = {
       import graft.operators.Similarity
+      val bits = 4 + math.ceil(math.log(scale.toDouble) / math.log(2.0)).toInt
       val e = Tables.embeddings(spark, dir).select(
         floor(col("vec_id") / 5).cast("long").as("doc_id"),
         col("vec_id"), col("embedding"))
-      Similarity.maxSimTopK(e, "doc_id", "vec_id", "embedding", k = 3)
+      Similarity.maxSimTopK(e, "doc_id", "vec_id", "embedding", k = 3,
+        bits = bits, tables = 64 / bits)
         .count()
     }
     def ivfSized(dir: String, scale: Int): Unit = {
