@@ -1016,28 +1016,26 @@ object Corpus {
       .select(col("epoch"), col("shard"), col("doc_id"))
       .as[(Int, Int, Long)]
       .mapPartitions { it =>
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Int, Int, Long, String)]
-        var cur: (Int, Int) = null
-        var n = 0L
-        var md: java.security.MessageDigest = null
-        def flush(): Unit = if (cur != null) {
-          out += ((cur._1, cur._2, n,
-            md.digest().map(b => f"$b%02x").mkString))
-        }
-        it.foreach { case (e, s, id) =>
-          if (cur == null || cur != ((e, s))) {
-            flush()
-            cur = (e, s)
-            n = 0L
-            md = java.security.MessageDigest.getInstance("MD5")
+        // iterator-chained group digest: exactly ONE group's digest
+        // state is live at a time (constant memory regardless of how
+        // many (epoch, shard) runs land in a partition) — the output
+        // row materializes only when the consumer pulls it
+        val in = it.buffered
+        new Iterator[(Int, Int, Long, String)] {
+          override def hasNext: Boolean = in.hasNext
+          override def next(): (Int, Int, Long, String) = {
+            val (e, s, id0) = in.next()
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.update(id0.toString.getBytes("US-ASCII"))
+            var n = 1L
+            while (in.hasNext && in.head._1 == e && in.head._2 == s) {
+              md.update(','.toByte)
+              md.update(in.next()._3.toString.getBytes("US-ASCII"))
+              n += 1
+            }
+            (e, s, n, md.digest().map(b => f"$b%02x").mkString)
           }
-          if (n > 0) md.update(','.toByte)
-          md.update(id.toString.getBytes("US-ASCII"))
-          n += 1
         }
-        flush()
-        out.iterator
       }
       .toDF("epoch", "shard", "n_docs", "order_md5")
   }

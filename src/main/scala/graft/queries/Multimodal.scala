@@ -492,6 +492,32 @@ object Multimodal {
       graft.operators.Audio.resampleMelEnergies(media, l = 3, m = 2).toDF()
     },
 
+    // STREAMING pHash extraction (q360, r14): the perceptual-hash pass
+    // of an online image-ingest pipeline — color-JPEG payloads land as
+    // files, Structured Streaming tails them, and the SAME pHash
+    // mapPartitions pass (stateless, so no watermark) emits the
+    // 4×16-bit blocks exactly-once into a parquet sink. The oracle is
+    // the q351 block chain over the plain corpus: batch decode→DCT→
+    // median bits and the streaming run pin to one hash (the q116/q122
+    // ingest-parity doctrine extended to the multimodal family).
+    "q360_phash_stream" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val base = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/phash_stream")
+      graft.operators.Jpeg.asColorJpegMedia(Tables.documents(s, d))
+        .select("doc_id", "payload")
+        .write.mode("overwrite").parquet(s"$base/in")
+      val in = s.readStream.schema("doc_id LONG, payload BINARY")
+        .parquet(s"$base/in")
+      val hashed = graft.operators.Multimodal.pHash(in).toDF()
+      val q = hashed.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.schema(hashed.schema).parquet(s"$base/out")
+    },
+
     // REAL video-container frame sampling (q189): 3 complete PNGs per
     // payload (frame f = pixels rotated left by f), structural chunk
     // walk to find frame boundaries, real decode of every 2nd frame,
@@ -759,16 +785,15 @@ object Multimodal {
     * radius ≤ 3 AND the decode→luma→DCT path is exact). The DCT basis
     * literals come from the same Scala table the engine uses.
     */
-  private def pHashOracle: String = {
+  /** The pHash CTE chain (color block rule → luma → 32×32 → integer
+    * DCT → median bits → 4×16-bit blocks), ending at `blocks`
+    * (doc_id, b0..b3) — over whatever `corpus` CTE precedes it.
+    * Shared by q351 (pair search) and q360 (streaming parity).
+    */
+  private def pHashBlockCtes: String = {
     val ctValues = (for { u <- 0 until 8; k <- 0 until 32 } yield
       s"($u,$k,${graft.operators.Multimodal.PHashCos(u)(k)})").mkString(", ")
-    s"""WITH corpus AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 100000 AS doc_id,
-                 substr(text, 1, 99) || 'Z' || substr(text, 101) AS text
-          FROM documents WHERE doc_id % 2 = 0),
-        ${jpegColorCtes("corpus")},
+    s"""${jpegColorCtes("corpus")},
         lum AS (SELECT doc_id, br, bc,
                   (77 * rr + 150 * gg + 29 * bb) // 256 AS lv
                 FROM rgb),
@@ -810,14 +835,31 @@ object Multimodal {
               ELSE 0 END) AS INTEGER) AS b2,
             CAST(SUM(CASE WHEN kk // 16 = 3 THEN b << (kk % 16)
               ELSE 0 END) AS INTEGER) AS b3
-          FROM bits GROUP BY doc_id),
+          FROM bits GROUP BY doc_id)"""
+  }
+
+  private def pHashOracle: String =
+    s"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id,
+                 substr(text, 1, 99) || 'Z' || substr(text, 101) AS text
+          FROM documents WHERE doc_id % 2 = 0),
+        $pHashBlockCtes,
         pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
                       bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
                    AS INTEGER) AS hamming
                FROM blocks a JOIN blocks b ON a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, hamming FROM pp WHERE hamming <= 3"""
-  }
+
+  /** q360's oracle: the pHash block chain over the plain documents —
+    * the streaming extraction must land exactly these rows.
+    */
+  private def pHashStreamOracle: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+        $pHashBlockCtes
+        SELECT doc_id, b0, b1, b2, b3 FROM blocks"""
 
   /** The q356/q357 resampled-stream CTE chain (ends at `vals`:
     * doc_id, n = input length, i = output index, v = resampled
@@ -880,6 +922,7 @@ object Multimodal {
     // equality proves the Adam7 deinterlace exact.
     "q359_png_interlaced" -> pngColorOracle("2", "3", "255"),
     "q351_phash_neardup" -> pHashOracle,
+    "q360_phash_stream" -> pHashStreamOracle,
     "q356_audio_resample" -> audioResampleOracle,
     "q357_audio_mel" -> audioMelOracle,
     "q326_jpeg_decode" -> jpegOracle,
