@@ -1,0 +1,337 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Exif metadata for JPEG payloads — the metadata layer real web
+  * images carry (camera make/model, capture time, pixel dimensions,
+  * and above all ORIENTATION): a multimodal curation pipeline must
+  * parse the APP1 TIFF structure and NORMALIZE orientation before any
+  * pixel-level dedup/hash step, or the same photo stored rotated
+  * hashes differently.
+  *
+  * Pure-JVM implementation of the public TIFF 6.0 / Exif 2.x layout:
+  * an APP1 segment holding "Exif\0\0" + a TIFF byte stream (II or MM
+  * byte order, IFD0 entry table, out-of-line values for ASCII/RATIONAL
+  * longer than 4 bytes, an Exif sub-IFD via tag 0x8769), and the
+  * 8-value Orientation tag (0x0112) with its canonical upright
+  * transforms. ExifSpec cross-validates the writer against the JDK's
+  * javax.imageio JPEG reader (which surfaces unknown APPn segments)
+  * and pins the orientation group laws (o6∘o6 = o3, o5∘o5 = id).
+  */
+object Exif {
+
+  // TIFF tag ids (public TIFF 6.0 / Exif 2.32 numbering)
+  private val TagMake = 0x010f
+  private val TagModel = 0x0110
+  private val TagOrientation = 0x0112
+  private val TagXResolution = 0x011a
+  private val TagDateTime = 0x0132
+  private val TagExifIfd = 0x8769
+  private val TagPixelX = 0xa002
+  private val TagPixelY = 0xa003
+
+  final case class Meta(orientation: Int, make: String, model: String,
+                        dateTime: String, xresNum: Long, xresDen: Long,
+                        pixelX: Long, pixelY: Long, littleEndian: Boolean)
+
+  private final class TiffWriter(littleEndian: Boolean) {
+    val buf = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit =
+      if (littleEndian) { buf.write(v & 0xff); buf.write((v >> 8) & 0xff) }
+      else { buf.write((v >> 8) & 0xff); buf.write(v & 0xff) }
+    def u32(v: Long): Unit =
+      if (littleEndian) {
+        buf.write((v & 0xff).toInt); buf.write(((v >> 8) & 0xff).toInt)
+        buf.write(((v >> 16) & 0xff).toInt); buf.write(((v >> 24) & 0xff).toInt)
+      } else {
+        buf.write(((v >> 24) & 0xff).toInt); buf.write(((v >> 16) & 0xff).toInt)
+        buf.write(((v >> 8) & 0xff).toInt); buf.write((v & 0xff).toInt)
+      }
+  }
+
+  /** Build the APP1 payload ("Exif\0\0" + TIFF): IFD0 carries
+    * make/model/orientation/XResolution/DateTime and the Exif-IFD
+    * pointer; the Exif sub-IFD carries PixelX/YDimension. ASCII and
+    * RATIONAL values exceeding 4 bytes live in the data area, so the
+    * offset arithmetic the parser must get right is genuinely
+    * exercised.
+    */
+  def buildApp1(meta: Meta): Array[Byte] = {
+    val le = meta.littleEndian
+    // entry = (tag, type, count, either inline value or data bytes)
+    sealed trait V
+    case class Inline(v: Long) extends V
+    case class Data(bytes: Array[Byte]) extends V
+    def ascii(s: String): Array[Byte] = (s + "\u0000").getBytes("US-ASCII")
+    def rational(n: Long, d: Long): Array[Byte] = {
+      val w = new TiffWriter(le); w.u32(n); w.u32(d); w.buf.toByteArray
+    }
+    // IFD0 entries must be sorted by tag per TIFF 6.0
+    val ifd0 = Seq[(Int, Int, Long, V)](
+      (TagMake, 2, ascii(meta.make).length.toLong, Data(ascii(meta.make))),
+      (TagModel, 2, ascii(meta.model).length.toLong, Data(ascii(meta.model))),
+      (TagOrientation, 3, 1L, Inline(meta.orientation.toLong)),
+      (TagXResolution, 5, 1L, Data(rational(meta.xresNum, meta.xresDen))),
+      (TagDateTime, 2, ascii(meta.dateTime).length.toLong,
+        Data(ascii(meta.dateTime))),
+      (TagExifIfd, 4, 1L, Inline(-1L)) // patched to the sub-IFD offset
+    )
+    val exifIfd = Seq[(Int, Int, Long, V)](
+      (TagPixelX, 4, 1L, Inline(meta.pixelX)),
+      (TagPixelY, 4, 1L, Inline(meta.pixelY)))
+
+    // layout: header(8) | IFD0 | exif-IFD | data area
+    val ifd0Size = 2 + ifd0.size * 12 + 4
+    val exifIfdOff = 8L + ifd0Size
+    val exifIfdSize = 2 + exifIfd.size * 12 + 4
+    var dataOff = exifIfdOff + exifIfdSize
+    val data = new java.io.ByteArrayOutputStream()
+    def writeIfd(w: TiffWriter, entries: Seq[(Int, Int, Long, V)]): Unit = {
+      w.u16(entries.size)
+      entries.foreach { case (tag, typ, count, v) =>
+        w.u16(tag); w.u16(typ); w.u32(count)
+        v match {
+          case Inline(x) if tag == TagExifIfd => w.u32(exifIfdOff)
+          case Inline(x) =>
+            // SHORT inline values occupy the FIRST two bytes of the
+            // 4-byte field (type-sized packing, TIFF 6.0 §2)
+            if (typ == 3) { w.u16(x.toInt); w.u16(0) } else w.u32(x)
+          case Data(bytes) if bytes.length <= 4 =>
+            bytes.foreach(b => w.buf.write(b & 0xff))
+            (bytes.length until 4).foreach(_ => w.buf.write(0))
+          case Data(bytes) =>
+            w.u32(dataOff)
+            data.write(bytes, 0, bytes.length)
+            dataOff += bytes.length
+        }
+      }
+      w.u32(0L) // next-IFD pointer: none
+    }
+    val w = new TiffWriter(le)
+    // TIFF header
+    val bom = if (le) "II" else "MM"
+    w.buf.write(bom.getBytes("US-ASCII"), 0, 2)
+    w.u16(42)
+    w.u32(8L) // IFD0 offset
+    writeIfd(w, ifd0)
+    writeIfd(w, exifIfd)
+    val tiff = w.buf.toByteArray ++ data.toByteArray
+    "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff
+  }
+
+  /** Splice an APP1 segment into a JPEG immediately after SOI (ahead
+    * of APP0 — Exif spec order; readers accept either).
+    */
+  def insertApp1(jpeg: Array[Byte], app1: Array[Byte]): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+    val segLen = app1.length + 2
+    require(segLen <= 0xffff, "APP1 payload too large")
+    val out = new Array[Byte](jpeg.length + 4 + app1.length)
+    out(0) = 0xff.toByte; out(1) = 0xd8.toByte
+    out(2) = 0xff.toByte; out(3) = 0xe1.toByte
+    out(4) = ((segLen >> 8) & 0xff).toByte; out(5) = (segLen & 0xff).toByte
+    System.arraycopy(app1, 0, out, 6, app1.length)
+    System.arraycopy(jpeg, 2, out, 6 + app1.length, jpeg.length - 2)
+    out
+  }
+
+  /** Parse the Exif APP1 out of a JPEG: marker walk to APP1/"Exif",
+    * then the TIFF structure in either byte order — IFD0, the data
+    * area, and the Exif sub-IFD. Returns None when no Exif APP1 is
+    * present; throws on a STRUCTURALLY corrupt one (truncated IFD,
+    * out-of-range offsets) — malformed metadata must fail loudly.
+    */
+  def parseExif(jpeg: Array[Byte]): Option[Meta] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+    var p = 2
+    var tiff: Array[Byte] = null
+    var scanning = true
+    while (scanning && p + 4 <= jpeg.length) {
+      require((jpeg(p) & 0xff) == 0xff, f"bad marker byte at $p")
+      val m = jpeg(p + 1) & 0xff
+      if (m == 0xd9 || m == 0xda) scanning = false // EOI / SOS: no APP1 ahead
+      else {
+        val len = ((jpeg(p + 2) & 0xff) << 8) | (jpeg(p + 3) & 0xff)
+        require(len >= 2 && p + 2 + len <= jpeg.length, "truncated JPEG segment")
+        if (m == 0xe1 && len >= 8 &&
+            new String(jpeg, p + 4, 4, "US-ASCII") == "Exif") {
+          tiff = java.util.Arrays.copyOfRange(jpeg, p + 10, p + 2 + len)
+          scanning = false
+        } else p += 2 + len
+      }
+    }
+    if (tiff == null) return None
+    require(tiff.length >= 8, "truncated TIFF header")
+    val le = tiff(0) == 'I'.toByte && tiff(1) == 'I'.toByte
+    require(le || (tiff(0) == 'M'.toByte && tiff(1) == 'M'.toByte),
+      "bad TIFF byte-order mark")
+    def u16(at: Int): Int = {
+      require(at >= 0 && at + 2 <= tiff.length, s"TIFF read past end at $at")
+      if (le) (tiff(at) & 0xff) | ((tiff(at + 1) & 0xff) << 8)
+      else ((tiff(at) & 0xff) << 8) | (tiff(at + 1) & 0xff)
+    }
+    def u32(at: Int): Long = {
+      require(at >= 0 && at + 4 <= tiff.length, s"TIFF read past end at $at")
+      if (le) (tiff(at) & 0xffL) | ((tiff(at + 1) & 0xffL) << 8) |
+        ((tiff(at + 2) & 0xffL) << 16) | ((tiff(at + 3) & 0xffL) << 24)
+      else ((tiff(at) & 0xffL) << 24) | ((tiff(at + 1) & 0xffL) << 16) |
+        ((tiff(at + 2) & 0xffL) << 8) | (tiff(at + 3) & 0xffL)
+    }
+    require(u16(2) == 42, "bad TIFF magic")
+    var orientation = 1
+    var make = ""; var model = ""; var dateTime = ""
+    var xn = 0L; var xd = 1L; var px = 0L; var py = 0L
+    var exifIfdOff = -1L
+    def asciiAt(off: Int, count: Int): String = {
+      require(off >= 0 && off + count <= tiff.length, "ASCII value past end")
+      val raw = new String(tiff, off, count, "US-ASCII")
+      if (raw.nonEmpty && raw.last == '\u0000') raw.dropRight(1) else raw
+    }
+    def walkIfd(ifdOff: Long): Unit = {
+      val base = ifdOff.toInt
+      val n = u16(base)
+      (0 until n).foreach { i =>
+        val e = base + 2 + i * 12
+        val tag = u16(e); val typ = u16(e + 2); val count = u32(e + 4)
+        val valueSize = (typ match {
+          case 1 | 2 | 7 => 1L; case 3 => 2L; case 4 | 9 => 4L
+          case 5 | 10 => 8L
+          case other => throw new IllegalArgumentException(s"TIFF type $other")
+        }) * count
+        val vOff = if (valueSize <= 4) e + 8 else u32(e + 8).toInt
+        tag match {
+          case TagOrientation => orientation = u16(vOff)
+          case TagMake => make = asciiAt(vOff, count.toInt)
+          case TagModel => model = asciiAt(vOff, count.toInt)
+          case TagDateTime => dateTime = asciiAt(vOff, count.toInt)
+          case TagXResolution => xn = u32(vOff); xd = u32(vOff + 4)
+          case TagPixelX => px = if (typ == 3) u16(vOff).toLong else u32(vOff)
+          case TagPixelY => py = if (typ == 3) u16(vOff).toLong else u32(vOff)
+          case TagExifIfd => exifIfdOff = u32(vOff)
+          case _ => // unknown tag: skip (forward compatibility)
+        }
+      }
+    }
+    walkIfd(u32(4))
+    if (exifIfdOff > 0) walkIfd(exifIfdOff)
+    require(orientation >= 1 && orientation <= 8,
+      s"Exif orientation $orientation out of range")
+    Some(Meta(orientation, make, model, dateTime, xn, xd, px, py, le))
+  }
+
+  /** Apply the canonical upright transform for an Exif orientation to
+    * interleaved RGB pixels. Returns (outWidth, outHeight, rgb). The
+    * mapping follows the TIFF 6.0 Orientation table: 1 identity,
+    * 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 transpose, 6 rotate 90 CW,
+    * 7 transverse, 8 rotate 270 CW.
+    */
+  def orientRgb(rgb: Array[Byte], w: Int, h: Int,
+                orientation: Int): (Int, Int, Array[Byte]) = {
+    require(rgb.length == w * h * 3, "RGB buffer size mismatch")
+    require(orientation >= 1 && orientation <= 8, s"orientation $orientation")
+    if (orientation == 1) return (w, h, rgb)
+    val swap = orientation >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Byte](rgb.length)
+    var uy = 0
+    while (uy < oh) {
+      var ux = 0
+      while (ux < ow) {
+        val (sx, sy) = orientation match {
+          case 2 => (w - 1 - ux, uy)
+          case 3 => (w - 1 - ux, h - 1 - uy)
+          case 4 => (ux, h - 1 - uy)
+          case 5 => (uy, ux)
+          case 6 => (uy, h - 1 - ux)
+          case 7 => (w - 1 - uy, h - 1 - ux)
+          case _ => (w - 1 - uy, ux) // 8
+        }
+        val s = (sy * w + sx) * 3
+        val d = (uy * ow + ux) * 3
+        out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+        ux += 1
+      }
+      uy += 1
+    }
+    (ow, oh, out)
+  }
+
+  // ------------------------------------------------------------------
+  // Dataset operators
+  // ------------------------------------------------------------------
+
+  /** Attach color-JPEG payloads CARRYING Exif APP1 metadata by
+    * arithmetic rule: orientation 1 + doc_id%8, byte order II/MM by
+    * parity, make/model/DateTime/XResolution varying with doc_id, and
+    * PixelX/YDimension = the true encoded dims. Built on
+    * [[Jpeg.asColorJpegMedia]]'s payloads via [[insertApp1]].
+    */
+  def asExifJpegMedia(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    Jpeg.asColorJpegMedia(docs)
+      .select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.doc_id
+          val (dw, dh) = Multimodal.jpegDims(r.payload).getOrElse(
+            throw new IllegalArgumentException("payload has no SOF"))
+          val meta = Meta(
+            orientation = (1 + id % 8).toInt,
+            make = s"Cam${id % 3}",
+            model = s"M-${id % 5}",
+            dateTime = f"2026:08:${1 + id % 9}%02d 00:00:00",
+            xresNum = 72 + (id % 4) * 10, xresDen = 1,
+            pixelX = dw.toLong, pixelY = dh.toLong,
+            littleEndian = id % 2 == 0)
+          Multimodal.MediaRecord(id, insertApp1(r.payload, buildApp1(meta)))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  final case class Oriented(doc_id: Long, orientation: Int, make: String,
+                            model: String, date_time: String, xres_num: Long,
+                            pixel_x: Long, pixel_y: Long, out_width: Int,
+                            out_height: Int, rgb_md5: String, rgb_sum: Long)
+
+  /** Parse Exif, decode, and NORMALIZE orientation — the auto-rotate
+    * step a pixel-dedup pipeline needs before hashing. Emits the
+    * upright image's dims + RGB digest (rgb_sum is transform-invariant,
+    * a built-in sanity split: a digest mismatch with an equal sum is a
+    * PERMUTATION error, not a decode error). One narrow mapPartitions
+    * pass; payloads never at the driver.
+    */
+  def orientNormalized(media: DataFrame): Dataset[Oriented] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
+      .mapPartitions { records =>
+        val hex = "0123456789abcdef".toCharArray
+        records.map { r =>
+          val meta = parseExif(r.payload).getOrElse(
+            throw new IllegalArgumentException(
+              s"doc ${r.doc_id}: payload has no Exif APP1"))
+          val img = Jpeg.decodeColor(r.payload)
+          val (ow, oh, rgb) =
+            orientRgb(img.pixels, img.width, img.height, meta.orientation)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val sb = new java.lang.StringBuilder(rgb.length * 2)
+          var sum = 0L
+          var i = 0
+          while (i < rgb.length) {
+            val v = rgb(i) & 0xff
+            sb.append(hex(v >> 4)).append(hex(v & 0xf))
+            sum += v
+            i += 1
+          }
+          Oriented(r.doc_id, meta.orientation, meta.make, meta.model,
+            meta.dateTime, meta.xresNum, meta.pixelX, meta.pixelY, ow, oh,
+            md.digest(sb.toString.getBytes("US-ASCII"))
+              .map(b => f"$b%02x").mkString, sum)
+        }
+      }
+  }
+}

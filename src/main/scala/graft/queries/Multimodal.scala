@@ -355,6 +355,55 @@ object Multimodal {
           col("n_pixels"), col("rgb_md5"), col("rgb_sum"), col("alpha_sum"))
     },
 
+    // GIF decode (q361, r14): the THIRD real web-image container. The
+    // fixture stores the pixelsOf index bytes under the shared 256-entry
+    // color-rule palette (GCT entry i = colorOf(i)), odd doc_ids
+    // INTERLACED (the 4-pass GIF row shuffle), so one arithmetic replay
+    // proves the LZW decompressor (variable-width LSB-first codes,
+    // CLEAR/EOI, KwKwK), the sub-block reassembly, the palette→RGB
+    // mapping, AND the de-interlace scatter. GifSpec cross-validates
+    // both directions against javax.imageio's GIF reader and writer.
+    "q361_gif_decode" -> { (s, d) =>
+      val media = graft.operators.Gif.asGifMedia(Tables.documents(s, d))
+      graft.operators.Gif.parseGifMeta(media)
+        .select(col("doc_id"), lit("image/gif").as("format"),
+          col("width"), col("height"), col("n_frames"), col("interlaced"),
+          col("n_pixels"), col("rgb_md5"), col("rgb_sum"))
+    },
+
+    // ANIMATED GIF frame sampling (q362, r14): the video-frame-sample
+    // contract over a real multi-frame container — decode once, stride-2
+    // keep, per-frame GCE delay + palette-resolved RGB digest. Frame f's
+    // indices are (byte + 17f) mod 256, so the oracle replays every kept
+    // frame exactly; a wrong frame boundary, a delay misparse, or a
+    // dictionary carry-over between frames breaks the hash.
+    "q362_gif_frames" -> { (s, d) =>
+      val media = graft.operators.Gif.asAnimatedGifMedia(Tables.documents(s, d))
+      graft.operators.Gif.sampleGifFrames(media, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          col("delay_cs"), col("rgb_md5"), col("rgb_sum"))
+    },
+
+    // EXIF PARSE + ORIENTATION NORMALIZATION (q363, r14): the metadata
+    // layer real web JPEGs carry. The fixture splices an APP1 Exif/TIFF
+    // segment (byte order II/MM by doc parity, out-of-line ASCII and
+    // RATIONAL values, an Exif sub-IFD) into the q339 color payloads
+    // with orientation 1 + doc_id%8; the engine parses the TIFF walk,
+    // decodes, and applies the canonical upright transform BEFORE
+    // hashing — the auto-rotate step pixel dedup needs. The oracle
+    // replays the tag arithmetic AND the block-permutation per
+    // orientation, so a wrong transform direction, a bad IFD offset, or
+    // an endianness slip all break the hash. rgb_sum is transform-
+    // invariant by construction (a digest mismatch with equal sums
+    // isolates a permutation bug from a decode bug).
+    "q363_exif_orient" -> { (s, d) =>
+      val media = graft.operators.Exif.asExifJpegMedia(Tables.documents(s, d))
+      graft.operators.Exif.orientNormalized(media)
+        .select(col("doc_id"), col("orientation"), col("make"), col("model"),
+          col("date_time"), col("xres_num"), col("pixel_x"), col("pixel_y"),
+          col("out_width"), col("out_height"), col("rgb_md5"), col("rgb_sum"))
+    },
+
     // DCT PERCEPTUAL HASH dedup (q351, r14): pHash over decoded COLOR
     // JPEG payloads — Rec.601 integer luma, 32×32 nearest downsample,
     // scaled-INTEGER separable DCT (the 8×32 cos basis is computed
@@ -921,6 +970,124 @@ object Multimodal {
     // q350's replay with the fixed truecolor/opaque columns; hash
     // equality proves the Adam7 deinterlace exact.
     "q359_png_interlaced" -> pngColorOracle("2", "3", "255"),
+    // q361: palette storage means decoded RGB = colorOf(text byte) —
+    // the q350 replay with GIF framing columns; interlace changes only
+    // the STORED row order, so hash equality proves the scatter exact.
+    "q361_gif_decode" ->
+      s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix
+             FROM documents),
+          ix AS (SELECT doc_id, pix,
+                   unnest(generate_series(1, length(pix))) AS i
+                 FROM p),
+          bv AS (SELECT doc_id, i,
+                   ascii(substr(pix, CAST(i AS INTEGER), 1)) AS v
+                 FROM ix),
+          hx AS (SELECT doc_id, i,
+                   lpad(lower(to_hex(v)), 2, '0') ||
+                   lpad(lower(to_hex(255 - v)), 2, '0') ||
+                   lpad(lower(to_hex((v + 85) % 256)), 2, '0') AS h3,
+                   v + (255 - v) + (v + 85) % 256 AS s3
+                 FROM bv),
+          img AS (SELECT doc_id, string_agg(h3, '' ORDER BY i) AS hexpix,
+                    SUM(s3) AS rgbsum, count(*) AS n
+                  FROM hx GROUP BY doc_id)
+          SELECT doc_id, 'image/gif' AS format, 64 AS width,
+               CAST(n // 64 AS INTEGER) AS height, 1 AS n_frames,
+               CAST(doc_id % 2 AS INTEGER) AS interlaced,
+               CAST(n AS INTEGER) AS n_pixels, md5(hexpix) AS rgb_md5,
+               CAST(rgbsum AS BIGINT) AS rgb_sum
+          FROM img""",
+
+    // q362: frame f's index byte is (text byte + 17f) mod 256; the
+    // stride-2 keep and the 10(f+1) cs delays are replayed per frame.
+    "q362_gif_frames" ->
+      s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix
+             FROM documents),
+          fr AS (SELECT doc_id, pix,
+                   unnest(generate_series(0, CAST(doc_id % 4 AS INTEGER))) AS f
+                 FROM p),
+          keep AS (SELECT * FROM fr WHERE f % 2 = 0),
+          ix AS (SELECT doc_id, pix, f,
+                   unnest(generate_series(1, length(pix))) AS i
+                 FROM keep),
+          bv AS (SELECT doc_id, f, i,
+                   (ascii(substr(pix, CAST(i AS INTEGER), 1)) + 17 * f) % 256
+                     AS v
+                 FROM ix),
+          hx AS (SELECT doc_id, f, i,
+                   lpad(lower(to_hex(v)), 2, '0') ||
+                   lpad(lower(to_hex(255 - v)), 2, '0') ||
+                   lpad(lower(to_hex((v + 85) % 256)), 2, '0') AS h3,
+                   v + (255 - v) + (v + 85) % 256 AS s3
+                 FROM bv)
+          SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+               CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
+               CAST(10 * (f + 1) AS INTEGER) AS delay_cs,
+               md5(string_agg(h3, '' ORDER BY i)) AS rgb_md5,
+               CAST(SUM(s3) AS BIGINT) AS rgb_sum
+          FROM hx GROUP BY doc_id, f""",
+
+    // q363: tag arithmetic + the orientation block permutation over the
+    // q339 color chain. Blocks are 8×8-uniform, so each of the 8
+    // canonical transforms is a pure BLOCK-GRID remap (nr,nc)→(sbr,sbc);
+    // the source grid is R block-rows × 8 block-cols.
+    "q363_exif_orient" ->
+      s"""WITH ${jpegColorCtes()},
+          hx6 AS (SELECT doc_id, br, bc,
+                    lpad(lower(to_hex(rr)), 2, '0') ||
+                    lpad(lower(to_hex(gg)), 2, '0') ||
+                    lpad(lower(to_hex(bb)), 2, '0') AS h6,
+                    CAST(rr + gg + bb AS BIGINT) AS s3
+                  FROM rgb),
+          dims AS (SELECT doc_id, length(bt) // 8 AS R,
+                     CAST(1 + doc_id % 8 AS INTEGER) AS o
+                   FROM p),
+          grid AS (SELECT doc_id, R, o,
+                     unnest(generate_series(0,
+                       CAST(CASE WHEN o < 5 THEN R - 1 ELSE 7 END
+                         AS INTEGER))) AS nr
+                   FROM dims),
+          grid2 AS (SELECT doc_id, R, o, nr,
+                      unnest(generate_series(0,
+                        CAST(CASE WHEN o < 5 THEN 7 ELSE R - 1 END
+                          AS INTEGER))) AS nc
+                    FROM grid),
+          map AS (SELECT doc_id, R, o, nr, nc,
+                    CASE o WHEN 1 THEN nr WHEN 2 THEN nr
+                           WHEN 3 THEN R - 1 - nr WHEN 4 THEN R - 1 - nr
+                           WHEN 5 THEN nc WHEN 6 THEN R - 1 - nc
+                           WHEN 7 THEN R - 1 - nc ELSE nc END AS sbr,
+                    CASE o WHEN 1 THEN nc WHEN 2 THEN 7 - nc
+                           WHEN 3 THEN 7 - nc WHEN 4 THEN nc
+                           WHEN 5 THEN nr WHEN 6 THEN nr
+                           WHEN 7 THEN 7 - nr ELSE 7 - nr END AS sbc
+                  FROM grid2),
+          rw2 AS (SELECT m.doc_id, m.nr,
+                    string_agg(repeat(h.h6, 8), '' ORDER BY m.nc) AS rh,
+                    SUM(h.s3) * 8 AS rsum
+                  FROM map m JOIN hx6 h
+                    ON h.doc_id = m.doc_id AND h.br = m.sbr AND h.bc = m.sbc
+                  GROUP BY 1, 2),
+          img2 AS (SELECT doc_id,
+                     string_agg(repeat(rh, 8), '' ORDER BY nr) AS hexpix,
+                     SUM(rsum) * 8 AS total
+                   FROM rw2 GROUP BY doc_id)
+          SELECT d.doc_id, d.o AS orientation,
+               'Cam' || CAST(d.doc_id % 3 AS VARCHAR) AS make,
+               'M-' || CAST(d.doc_id % 5 AS VARCHAR) AS model,
+               '2026:08:' || lpad(CAST(1 + d.doc_id % 9 AS VARCHAR), 2, '0')
+                 || ' 00:00:00' AS date_time,
+               CAST(72 + (d.doc_id % 4) * 10 AS BIGINT) AS xres_num,
+               CAST(64 AS BIGINT) AS pixel_x,
+               CAST(8 * d.R AS BIGINT) AS pixel_y,
+               CAST(CASE WHEN d.o < 5 THEN 64 ELSE 8 * d.R END AS INTEGER)
+                 AS out_width,
+               CAST(CASE WHEN d.o < 5 THEN 8 * d.R ELSE 64 END AS INTEGER)
+                 AS out_height,
+               md5(i.hexpix) AS rgb_md5,
+               CAST(i.total AS BIGINT) AS rgb_sum
+          FROM dims d JOIN img2 i ON i.doc_id = d.doc_id""",
+
     "q351_phash_neardup" -> pHashOracle,
     "q360_phash_stream" -> pHashStreamOracle,
     "q356_audio_resample" -> audioResampleOracle,

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.{Exif, Jpeg}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exif APP1 writer/parser and the orientation-normalization
+  * transforms: TIFF roundtrips in both byte orders, JDK coexistence
+  * (an Exif segment must not break javax.imageio's JPEG decode), the
+  * orientation group laws, and hand-computed tiny-image transforms.
+  */
+class ExifSpec extends AnyFunSuite {
+
+  private def meta(le: Boolean, o: Int = 6) = Exif.Meta(
+    orientation = o, make = "CamCo", model = "M-7",
+    dateTime = "2026:08:16 12:00:00", xresNum = 72, xresDen = 1,
+    pixelX = 64, pixelY = 128, littleEndian = le)
+
+  private def sampleJpeg(text: String = "exif sample payload"): Array[Byte] = {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    Jpeg.asColorJpegMedia(docs).select("payload").as[Array[Byte]].head()
+  }
+
+  test("APP1 roundtrips through build → insert → parse (both byte orders)") {
+    val jpeg = sampleJpeg()
+    for (le <- Seq(true, false)) {
+      val m = meta(le)
+      val withExif = Exif.insertApp1(jpeg, Exif.buildApp1(m))
+      val parsed = Exif.parseExif(withExif)
+      assert(parsed.contains(m), s"roundtrip mismatch (littleEndian=$le)")
+    }
+  }
+
+  test("a payload without APP1 parses as None; corrupt TIFF fails loudly") {
+    val jpeg = sampleJpeg()
+    assert(Exif.parseExif(jpeg).isEmpty)
+    val app1 = Exif.buildApp1(meta(le = true))
+    // flip the byte-order mark into garbage
+    val bad = app1.clone()
+    bad(6) = 'X'.toByte; bad(7) = 'X'.toByte
+    intercept[IllegalArgumentException](
+      Exif.parseExif(Exif.insertApp1(jpeg, bad)))
+    // truncate the TIFF mid-IFD
+    val short = Exif.buildApp1(meta(le = false)).take(20)
+    intercept[IllegalArgumentException](
+      Exif.parseExif(Exif.insertApp1(jpeg, short)))
+  }
+
+  test("Exif segment does not break JDK ImageIO's JPEG decode") {
+    val jpeg = sampleJpeg()
+    val withExif = Exif.insertApp1(jpeg, Exif.buildApp1(meta(le = true)))
+    val bi = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(withExif))
+    assert(bi != null && bi.getWidth == 64)
+    // and our own color decoder still reads it bit-identically
+    val a = Jpeg.decodeColor(jpeg)
+    val b = Jpeg.decodeColor(withExif)
+    assert(a.pixels.toSeq == b.pixels.toSeq)
+  }
+
+  test("orientRgb: hand-computed transforms on a 2x1 strip") {
+    // pixels: A=(1,2,3) left, B=(4,5,6) right
+    val rgb = Array[Byte](1, 2, 3, 4, 5, 6)
+    def px(out: (Int, Int, Array[Byte]), x: Int, y: Int): Seq[Byte] = {
+      val (w, _, a) = out; a.slice((y * w + x) * 3, (y * w + x) * 3 + 3).toSeq
+    }
+    val o2 = Exif.orientRgb(rgb, 2, 1, 2) // mirror H: B A
+    assert(px(o2, 0, 0) == Seq[Byte](4, 5, 6) && px(o2, 1, 0) == Seq[Byte](1, 2, 3))
+    val o6 = Exif.orientRgb(rgb, 2, 1, 6) // rotate 90 CW: A above B
+    assert(o6._1 == 1 && o6._2 == 2)
+    assert(px(o6, 0, 0) == Seq[Byte](1, 2, 3) && px(o6, 0, 1) == Seq[Byte](4, 5, 6))
+    val o8 = Exif.orientRgb(rgb, 2, 1, 8) // rotate 270 CW: B above A
+    assert(px(o8, 0, 0) == Seq[Byte](4, 5, 6) && px(o8, 0, 1) == Seq[Byte](1, 2, 3))
+  }
+
+  test("orientation group laws: t6∘t6 = t3, t5∘t5 = id, t2∘t2 = id") {
+    val r = new scala.util.Random(5)
+    val w = 8; val h = 24
+    val rgb = new Array[Byte](w * h * 3)
+    r.nextBytes(rgb)
+    def t(o: Int)(in: (Int, Int, Array[Byte])): (Int, Int, Array[Byte]) =
+      Exif.orientRgb(in._3, in._1, in._2, o)
+    val id = (w, h, rgb)
+    val r66 = t(6)(t(6)(id))
+    val r3 = t(3)(id)
+    assert(r66._3.toSeq == r3._3.toSeq && r66._1 == r3._1)
+    assert(t(5)(t(5)(id))._3.toSeq == rgb.toSeq)
+    assert(t(2)(t(2)(id))._3.toSeq == rgb.toSeq)
+    assert(t(4)(t(4)(id))._3.toSeq == rgb.toSeq)
+  }
+
+  test("orientNormalized: distributed parse+decode+transform, sums invariant") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq((4L, "landscape text"), (5L, "portrait doc"),
+      (6L, "rotate me " * 9)).toDF("doc_id", "text")
+    val rows = Exif.orientNormalized(Exif.asExifJpegMedia(docs))
+      .collect().map(o => o.doc_id -> o).toMap
+    assert(rows(4L).orientation == 5 && rows(5L).orientation == 6 &&
+      rows(6L).orientation == 7)
+    // transposed orientations swap dims
+    assert(rows(4L).out_width == rows(4L).pixel_y.toInt &&
+      rows(4L).out_height == 64)
+    // rgb_sum equals the unrotated decode's sum (transform invariance)
+    val plain = Jpeg.parseColorMeta(Jpeg.asColorJpegMedia(docs))
+      .collect().map(m => m.doc_id -> m.rgb_sum).toMap
+    rows.foreach { case (id, o) => assert(o.rgb_sum == plain(id), s"doc $id") }
+    // tag arithmetic
+    assert(rows(5L).make == "Cam2" && rows(5L).model == "M-0")
+    assert(rows(6L).date_time == "2026:08:07 00:00:00")
+    assert(rows(4L).xres_num == 72)
+  }
+}
