@@ -374,6 +374,191 @@ object Audio {
       }
   }
 
+  private[graft] val CepCoefs = 4
+
+  /** Scaled-integer DCT-II basis over the [[MelBands]] log-energies
+    * (the MFCC step): DCT[q][k] = round(cos(π·q·(2k+1)/16)·256) —
+    * computed once here, interpolated into the oracle as literals
+    * (the pHash doctrine), so the cepstral path has no float anywhere.
+    */
+  private[graft] lazy val CepDct: Array[Array[Int]] =
+    Array.tabulate(CepCoefs, MelBands)((q, k) =>
+      math.round(math.cos(math.Pi * q * (2 * k + 1) / (2.0 * MelBands))
+        * MelScale).toInt)
+
+  /** Integer log with 4 fractional bits — the deterministic stand-in
+    * for the MFCC log step (the PMI/DSIR doctrine: pin the fold to an
+    * integer definition both engines replay exactly): for E ≥ 1,
+    * ilog16(E) = 16·bitlen(E) + (E normalized to [16,32)) − 16 —
+    * i.e. 16·(⌊log2 E⌋ + 1) plus the 4 bits after the leading one.
+    * Monotonic, 0 ↔ E=0, and pure shifts in both engines.
+    */
+  private[graft] def ilog16(e: Long): Long =
+    if (e <= 0L) 0L
+    else {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(e)
+      val x = if (bl >= 5) e >> (bl - 5) else e << (5 - bl) // ∈ [16,32)
+      bl.toLong * 16 + (x - 16)
+    }
+
+  final case class Cepstra(doc_id: Long, frame_idx: Int,
+                           c0: Long, c1: Long, c2: Long, c3: Long)
+
+  /** Cepstral coefficients over the resampled stream — the MFCC shape
+    * (filterbank → log → DCT) with every stage on the integer lattice:
+    * the q357 mel energies, [[ilog16]] instead of float log, and the
+    * scaled-integer [[CepDct]] basis, keeping the first [[CepCoefs]]
+    * coefficients per frame. Exact int64 end to end, so the oracle
+    * replays every coefficient to the last bit.
+    */
+  def resampleCepstra(media: DataFrame, l: Int, m: Int): Dataset[Cepstra] = {
+    require(l >= 1 && l <= 16 && m >= 1 && m <= 16, s"bad ratio $l/$m")
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[AudioRecord]
+      .mapPartitions { records =>
+        var tabsFor = -1
+        var cosT: Array[Array[Int]] = null
+        var sinT: Array[Array[Int]] = null
+        records.flatMap { r =>
+          val pcm = Wav.decode(r.payload)
+          require(pcm.sampleRate.toLong * l % m == 0,
+            s"rate ${pcm.sampleRate}·$l/$m is not integral")
+          val outRate = (pcm.sampleRate.toLong * l / m).toInt
+          if (tabsFor != outRate) {
+            val (c, s) = melTables(outRate)
+            cosT = c; sinT = s; tabsFor = outRate
+          }
+          val out = resampleSamples(pcm.samples, l, m)
+          val nFrames = (out.length + MelFrame - 1) / MelFrame
+          (0 until nFrames).iterator.map { fi =>
+            val start = fi * MelFrame
+            val end = math.min(start + MelFrame, out.length)
+            val lv = new Array[Long](MelBands)
+            var k = 0
+            while (k < MelBands) {
+              var c = 0L
+              var s = 0L
+              var i = start
+              while (i < end) {
+                val v = out(i).toLong
+                c += v * cosT(k)(i - start)
+                s += v * sinT(k)(i - start)
+                i += 1
+              }
+              lv(k) = ilog16(c * c + s * s)
+              k += 1
+            }
+            val cc = new Array[Long](CepCoefs)
+            var q = 0
+            while (q < CepCoefs) {
+              var acc = 0L
+              k = 0
+              while (k < MelBands) { acc += CepDct(q)(k) * lv(k); k += 1 }
+              cc(q) = acc
+              q += 1
+            }
+            Cepstra(r.doc_id, fi, cc(0), cc(1), cc(2), cc(3))
+          }
+        }
+      }
+  }
+
+  /** G.711 µ-law / A-law — the telephony companding codecs speech
+    * corpora arrive in. Integer bit-exact per the public G.711
+    * reference implementation (Sun g711.c lineage: BIAS 0x84 / CLIP
+    * 32635 µ-law; 13-bit A-law with the 0x55 toggle), so the DuckDB
+    * oracle replays both the code bytes and the reconstruction levels
+    * with shifts and bin() arithmetic. G711Spec pins roundtrip error
+    * bounds, quantization idempotence, code monotonicity, and the
+    * spec's landmark values.
+    */
+  object G711 {
+    private val UBias = 0x84
+    private val UClip = 32635
+
+    def ulawEncode(x0: Int): Int = {
+      val sign = if (x0 < 0) 0x80 else 0
+      var x = if (x0 < 0) -x0 else x0
+      if (x > UClip) x = UClip
+      x += UBias
+      val exp = (31 - Integer.numberOfLeadingZeros(x)) - 7 // bitlen-8
+      val mant = (x >> (exp + 3)) & 0x0f
+      255 - (sign | (exp << 4) | mant)
+    }
+
+    def ulawDecode(code: Int): Int = {
+      val u = 255 - (code & 0xff)
+      var t = ((u & 0x0f) << 3) + UBias
+      t <<= (u >> 4) & 7
+      if ((u & 0x80) != 0) UBias - t else t - UBias
+    }
+
+    def alawEncode(x0: Int): Int = {
+      val mask = if (x0 >= 0) 0xd5 else 0x55
+      // 16→13 bit arithmetic shift, then the reference's -p-1 fold for
+      // negatives == (|x|-1)//8 — nonnegative operands only, so the
+      // oracle's truncating // agrees
+      val m0 = if (x0 >= 0) x0 >> 3 else (-x0 - 1) >> 3
+      val m = if (m0 > 0xfff) 0xfff else m0
+      val seg = math.max(0, (32 - Integer.numberOfLeadingZeros(m)) - 5)
+      val aval =
+        if (seg < 2) (seg << 4) | ((m >> 1) & 0x0f)
+        else (seg << 4) | ((m >> seg) & 0x0f)
+      aval ^ mask
+    }
+
+    def alawDecode(code: Int): Int = {
+      val a = (code & 0xff) ^ 0x55
+      var t = (a & 0x0f) << 4
+      val seg = (a >> 4) & 7
+      if (seg == 0) t += 8
+      else if (seg == 1) t += 0x108
+      else { t += 0x108; t <<= seg - 1 }
+      if ((a & 0x80) != 0) t else -t
+    }
+  }
+
+  final case class Companded(doc_id: Long, n_samples: Int,
+                             ulaw_md5: String, ulaw_dec_sum: Long,
+                             alaw_md5: String, alaw_dec_sum: Long)
+
+  /** Compand every clip through BOTH G.711 laws: decode the WAV,
+    * encode each sample to µ-law and A-law code bytes (digested as
+    * lowercase hex), decode back, and sum the reconstruction levels —
+    * the telephony-ingest normalization step, with codes AND
+    * reconstruction under one hash. One narrow mapPartitions pass.
+    */
+  def g711Compand(media: DataFrame): Dataset[Companded] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[AudioRecord]
+      .mapPartitions { records =>
+        val hex = "0123456789abcdef".toCharArray
+        records.map { r =>
+          val s = Wav.decode(r.payload).samples
+          val ub = new java.lang.StringBuilder(s.length * 2)
+          val ab = new java.lang.StringBuilder(s.length * 2)
+          var us = 0L
+          var as = 0L
+          var i = 0
+          while (i < s.length) {
+            val x = s(i).toInt
+            val uc = G711.ulawEncode(x)
+            val ac = G711.alawEncode(x)
+            ub.append(hex(uc >> 4)).append(hex(uc & 0xf))
+            ab.append(hex(ac >> 4)).append(hex(ac & 0xf))
+            us += G711.ulawDecode(uc)
+            as += G711.alawDecode(ac)
+            i += 1
+          }
+          def md5(sb: java.lang.StringBuilder): String =
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(sb.toString.getBytes("US-ASCII"))
+              .map(b => f"$b%02x").mkString
+          Companded(r.doc_id, s.length, md5(ub), us, md5(ab), as)
+        }
+      }
+  }
+
   final case class AudioFrame(doc_id: Long, frame_idx: Int, n_samples: Int,
                               energy: Long, peak: Int)
 

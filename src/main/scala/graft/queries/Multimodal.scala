@@ -541,6 +541,29 @@ object Multimodal {
       graft.operators.Audio.resampleMelEnergies(media, l = 3, m = 2).toDF()
     },
 
+    // CEPSTRAL COEFFICIENTS (q364, r14): the MFCC shape — q357's mel
+    // filterbank, then an integer log (ilog16: 16·bitlen + the 4 bits
+    // after the leading one — the PMI/DSIR doctrine applied to the log
+    // fold) and a scaled-integer DCT-II over the 8 bands, keeping 4
+    // coefficients per frame. Exact int64 end to end; the oracle
+    // replays the whole filterbank→log→DCT chain with bin()/shifts.
+    "q364_audio_cepstra" -> { (s, d) =>
+      val media = graft.operators.Audio.asAudio(
+        Tables.documents(s, d).filter(length(col("text")) > 0))
+      graft.operators.Audio.resampleCepstra(media, l = 3, m = 2).toDF()
+    },
+
+    // G.711 COMPANDING (q365, r14): µ-law AND A-law per the public
+    // G.711 reference arithmetic (BIAS 0x84/CLIP µ-law; 13-bit A-law
+    // with the 0x55 toggle) — the telephony codecs speech corpora ship
+    // in. Code-byte digests and reconstruction-level sums are both
+    // under the hash; the oracle replays the companders bit for bit.
+    "q365_g711_compand" -> { (s, d) =>
+      val media = graft.operators.Audio.asAudio(
+        Tables.documents(s, d).filter(length(col("text")) > 0))
+      graft.operators.Audio.g711Compand(media).toDF()
+    },
+
     // STREAMING pHash extraction (q360, r14): the perceptual-hash pass
     // of an online image-ingest pipeline — color-JPEG payloads land as
     // files, Structured Streaming tails them, and the SAME pHash
@@ -963,7 +986,110 @@ object Multimodal {
         FROM corr"""
   }
 
+  /** q364's oracle: the q357 chain extended by the integer-log and the
+    * scaled-integer DCT-II (32 literal basis rows from the SAME Scala
+    * table the engine uses). bin(e) gives the bitlen; the 4 fractional
+    * bits come from pure shifts, so no float exists anywhere.
+    */
+  private def audioCepstraOracle: String = {
+    val (cosT, sinT) = graft.operators.Audio.melTables(24000)
+    val ctValues = (for { k <- 0 until 8; j <- 0 until 64 } yield
+      s"($k,$j,${cosT(k)(j)},${sinT(k)(j)})").mkString(", ")
+    val dtValues = (for { q <- 0 until graft.operators.Audio.CepCoefs
+                          k <- 0 until 8 } yield
+      s"($q,$k,${graft.operators.Audio.CepDct(q)(k)})").mkString(", ")
+    s"""WITH $resampleCtes,
+        ct(band, j, cv, sv) AS (VALUES $ctValues),
+        dt(q, band, dv) AS (VALUES $dtValues),
+        fr AS (SELECT doc_id, i // 64 AS frame_idx, i % 64 AS j, v
+               FROM vals),
+        corr AS (SELECT f.doc_id, f.frame_idx, ct.band,
+                   SUM(f.v * ct.cv) AS c, SUM(f.v * ct.sv) AS s
+                 FROM fr f JOIN ct ON ct.j = f.j
+                 GROUP BY 1, 2, 3),
+        en AS (SELECT doc_id, frame_idx, band,
+                 CAST(c * c + s * s AS BIGINT) AS e
+               FROM corr),
+        lg AS (SELECT doc_id, frame_idx, band,
+                 CASE WHEN e <= 0 THEN 0
+                      ELSE length(bin(e)) * 16 +
+                        (CASE WHEN length(bin(e)) >= 5
+                              THEN e >> (length(bin(e)) - 5)
+                              ELSE e << (5 - length(bin(e))) END) - 16
+                 END AS lv
+               FROM en),
+        cep AS (SELECT l.doc_id, l.frame_idx, d.q,
+                  SUM(d.dv * l.lv) AS cc
+                FROM lg l JOIN dt d ON d.band = l.band
+                GROUP BY 1, 2, 3)
+        SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             CAST(SUM(CASE WHEN q = 0 THEN cc END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN q = 1 THEN cc END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN q = 2 THEN cc END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN q = 3 THEN cc END) AS BIGINT) AS c3
+        FROM cep GROUP BY doc_id, frame_idx"""
+  }
+
+  /** q365's oracle: both G.711 companders replayed bit for bit on the
+    * RAW sample rule (no resample) — µ-law via bias/bitlen/mantissa
+    * shifts, A-law via the 13-bit fold, segment bitlen, and the 0x55
+    * toggle (xor). Code hex streams digest in sample order; decode
+    * levels sum exactly. Negative folds use nonnegative operands only,
+    * so DuckDB's truncating // agrees with the engine's shifts.
+    */
+  private def g711Oracle: String =
+    s"""WITH s AS (SELECT doc_id, length(text) AS n, text FROM documents
+           WHERE length(text) > 0),
+        ix AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS i, text
+               FROM s),
+        v AS (SELECT doc_id, n, i,
+                257 * ascii(substr(text, CAST(i AS INTEGER), 1)) - 16384 AS x
+              FROM ix),
+        uq AS (SELECT doc_id, n, i,
+                 CASE WHEN x < 0 THEN 128 ELSE 0 END AS usign,
+                 least(abs(x), 32635) + 132 AS ux,
+                 CASE WHEN x >= 0 THEN 213 ELSE 85 END AS amask,
+                 least(CASE WHEN x >= 0 THEN x // 8
+                            ELSE (-x - 1) // 8 END, 4095) AS am
+               FROM v),
+        cd AS (SELECT doc_id, n, i,
+                 255 - (usign + (length(bin(ux)) - 8) * 16 +
+                   ((ux >> (length(bin(ux)) - 5)) & 15)) AS ucode,
+                 xor(CASE WHEN am = 0 THEN 0
+                          ELSE greatest(0, length(bin(am)) - 5) END * 16 +
+                     (CASE WHEN am < 64 THEN (am >> 1) & 15
+                           ELSE (am >> greatest(0, length(bin(am)) - 5))
+                             & 15 END),
+                   amask) AS acode
+               FROM uq),
+        dec AS (SELECT doc_id, n, i, ucode, acode,
+                  CASE WHEN ((255 - ucode) & 128) != 0
+                       THEN 132 - ((((255 - ucode) & 15) * 8 + 132)
+                         << (((255 - ucode) >> 4) & 7))
+                       ELSE ((((255 - ucode) & 15) * 8 + 132)
+                         << (((255 - ucode) >> 4) & 7)) - 132
+                  END AS udec,
+                  CASE WHEN (xor(acode, 85) & 128) != 0 THEN 1 ELSE -1 END *
+                  (CASE WHEN ((xor(acode, 85) >> 4) & 7) = 0
+                        THEN (xor(acode, 85) & 15) * 16 + 8
+                        WHEN ((xor(acode, 85) >> 4) & 7) = 1
+                        THEN (xor(acode, 85) & 15) * 16 + 264
+                        ELSE ((xor(acode, 85) & 15) * 16 + 264)
+                          << (((xor(acode, 85) >> 4) & 7) - 1)
+                   END) AS adec
+                FROM cd)
+        SELECT doc_id, CAST(max(n) AS INTEGER) AS n_samples,
+             md5(string_agg(lpad(lower(to_hex(ucode)), 2, '0'), ''
+               ORDER BY i)) AS ulaw_md5,
+             CAST(SUM(udec) AS BIGINT) AS ulaw_dec_sum,
+             md5(string_agg(lpad(lower(to_hex(acode)), 2, '0'), ''
+               ORDER BY i)) AS alaw_md5,
+             CAST(SUM(adec) AS BIGINT) AS alaw_dec_sum
+        FROM dec GROUP BY doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "q364_audio_cepstra" -> audioCepstraOracle,
+    "q365_g711_compand" -> g711Oracle,
     "q211_image_patches" -> patchOracle,
     "q350_png_color" -> pngColorOracle(),
     // q359: interlaced storage decodes to the SAME RGB — the oracle is
