@@ -1677,6 +1677,38 @@ object Corpus {
     * Scale shape: ONE mapPartitions pass, per-document arithmetic
     * only — no shuffle at any size.
     */
+  /** Unicode NFC normalization (UAX #15 canonical composition) — the
+    * text-cleaning pass multilingual corpora need before any
+    * byte-level dedup or tokenization: the same word stored composed
+    * ("é") and decomposed ("e" + U+0301) hashes differently until
+    * normalized. java.text.Normalizer implements the same published
+    * algorithm DuckDB's nfc_normalize does (canonical reordering by
+    * combining class, pairwise + Hangul algorithmic composition), so
+    * the oracle replays the digest exactly. Emits per doc: whether
+    * normalization changed anything, codepoint counts before/after,
+    * and the md5 of the normalized UTF-8 — one narrow mapPartitions
+    * pass, no shuffle at any size.
+    */
+  def nfcNormalize(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, t) =>
+          val norm = java.text.Normalizer
+            .normalize(t, java.text.Normalizer.Form.NFC)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(norm.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+          (id, if (norm == t) 0 else 1,
+            t.codePointCount(0, t.length), norm.codePointCount(0, norm.length),
+            md5)
+        }
+      }
+      .toDF("doc_id", "changed", "n_before", "n_after", "nfc_md5")
+  }
+
   def c4Clean(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text",
               badPhrases: Seq[String] = Seq("lorem ipsum"))

@@ -620,6 +620,104 @@ object Multimodal {
     * payload bytes never touching the driver — swap the sampling loop
     * for a real resampling kernel and the plumbing is unchanged.
     */
+  /** Fixed-point bilinear resize of interleaved RGB — the real
+    * resampling kernel behind CLIP-style preprocessing, on the integer
+    * lattice so both engines replay it exactly: source position in
+    * 1/256ths via the half-pixel (align_corners=false) convention
+    * fx = floorDiv((2·dx+1)·srcW·128, dstW) − 128, neighbors clamped at
+    * the borders, blend = Σ wᵢ·pᵢ >> 16 with 8-bit weights. All
+    * arithmetic is nonnegative after the +256 shift, so the oracle's
+    * truncating division agrees.
+    */
+  private[graft] def bilinearResizeRgb(rgb: Array[Byte], w: Int, h: Int,
+                                       ow: Int, oh: Int): Array[Byte] = {
+    require(rgb.length == w * h * 3, "RGB buffer size mismatch")
+    require(ow > 0 && oh > 0, s"bad target ${ow}x$oh")
+    val out = new Array[Byte](ow * oh * 3)
+    var dy = 0
+    while (dy < oh) {
+      val fy = Math.floorDiv((2L * dy + 1) * h * 128, oh).toInt - 128
+      val y0 = Math.floorDiv(fy, 256)
+      val wy = fy - y0 * 256
+      val y0c = math.max(0, math.min(y0, h - 1))
+      val y1c = math.max(0, math.min(y0 + 1, h - 1))
+      var dx = 0
+      while (dx < ow) {
+        val fx = Math.floorDiv((2L * dx + 1) * w * 128, ow).toInt - 128
+        val x0 = Math.floorDiv(fx, 256)
+        val wx = fx - x0 * 256
+        val x0c = math.max(0, math.min(x0, w - 1))
+        val x1c = math.max(0, math.min(x0 + 1, w - 1))
+        val w00 = (256 - wx) * (256 - wy)
+        val w10 = wx * (256 - wy)
+        val w01 = (256 - wx) * wy
+        val w11 = wx * wy
+        var ch = 0
+        while (ch < 3) {
+          val p00 = rgb((y0c * w + x0c) * 3 + ch) & 0xff
+          val p10 = rgb((y0c * w + x1c) * 3 + ch) & 0xff
+          val p01 = rgb((y1c * w + x0c) * 3 + ch) & 0xff
+          val p11 = rgb((y1c * w + x1c) * 3 + ch) & 0xff
+          out((dy * ow + dx) * 3 + ch) =
+            ((w00 * p00 + w10 * p10 + w01 * p01 + w11 * p11) >> 16).toByte
+          ch += 1
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    out
+  }
+
+  final case class ClipPre(doc_id: Long, src_w: Int, src_h: Int,
+                           out_w: Int, out_h: Int, rgb_md5: String,
+                           rgb_sum: Long)
+
+  /** The CLIP image-preprocessing shape over color-JPEG payloads:
+    * decode → bilinear resize to `size`×`size` → center-crop
+    * `crop`×`crop` → digest. (The float normalize step that follows in
+    * a real CLIP stack is a per-channel affine map the training side
+    * owns; the Spark-side contract is decode+resize+crop, and those
+    * are exact here.) One narrow mapPartitions pass; payloads never at
+    * the driver.
+    */
+  def clipPreprocess(media: DataFrame, size: Int = 32,
+                     crop: Int = 24): Dataset[ClipPre] = {
+    require(size > 0 && crop > 0 && crop <= size, s"bad $size/$crop")
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord]
+      .mapPartitions { records =>
+        val hex = "0123456789abcdef".toCharArray
+        val off = (size - crop) / 2
+        records.map { r =>
+          val img = Jpeg.decodeColor(r.payload)
+          val rs = bilinearResizeRgb(img.pixels, img.width, img.height,
+            size, size)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val sb = new java.lang.StringBuilder(crop * crop * 6)
+          var sum = 0L
+          var dy = 0
+          while (dy < crop) {
+            var dx = 0
+            while (dx < crop) {
+              var ch = 0
+              while (ch < 3) {
+                val v = rs(((dy + off) * size + dx + off) * 3 + ch) & 0xff
+                sb.append(hex(v >> 4)).append(hex(v & 0xf))
+                sum += v
+                ch += 1
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          ClipPre(r.doc_id, img.width, img.height, crop, crop,
+            md.digest(sb.toString.getBytes("US-ASCII"))
+              .map(b => f"$b%02x").mkString, sum)
+        }
+      }
+  }
+
   def resizeNearest(media: DataFrame, factor: Int): Dataset[ResizedImage] = {
     require(factor > 0, s"bad resize factor $factor")
     import media.sparkSession.implicits._

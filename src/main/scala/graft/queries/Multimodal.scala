@@ -541,6 +541,21 @@ object Multimodal {
       graft.operators.Audio.resampleMelEnergies(media, l = 3, m = 2).toDF()
     },
 
+    // CLIP PREPROCESS (q367, r14): decode → fixed-point BILINEAR
+    // resize to 32×32 → center-crop 24×24 → digest, the image half of
+    // a CLIP-style training-input pipeline with the resampling kernel
+    // on the integer lattice (half-pixel convention, 8-bit weights,
+    // >>16 blend). The source images are 8×8-block-uniform, so every
+    // crop pixel blends up to four NEIGHBORING block colors — the
+    // oracle replays each blend from the block rule, and a wrong
+    // weight, a flipped axis, or an off-by-one crop offset breaks the
+    // hash.
+    "q367_clip_preprocess" -> { (s, d) =>
+      val media = graft.operators.Jpeg.asColorJpegMedia(Tables.documents(s, d))
+      graft.operators.Multimodal.clipPreprocess(media, size = 32, crop = 24)
+        .toDF()
+    },
+
     // CEPSTRAL COEFFICIENTS (q364, r14): the MFCC shape — q357's mel
     // filterbank, then an integer log (ilog16: 16·bitlen + the 4 bits
     // after the leading one — the PMI/DSIR doctrine applied to the log
@@ -1087,7 +1102,72 @@ object Multimodal {
              CAST(SUM(adec) AS BIGINT) AS alaw_dec_sum
         FROM dec GROUP BY doc_id"""
 
+  /** q367's oracle: the bilinear blend replayed per crop pixel from
+    * the block rule. fx is always ≥ 0 here (crop starts at column 4);
+    * fy can be −96 at R=1's first row, so the floor division uses the
+    * +256 shift to stay on nonnegative operands (DuckDB // truncates).
+    * wx is identically 128 at this geometry; wy varies with R.
+    */
+  private def clipPreprocessOracle: String =
+    s"""WITH ${jpegColorCtes()},
+        dims AS (SELECT doc_id, length(bt) // 8 AS R FROM p),
+        gy AS (SELECT doc_id, R, unnest(generate_series(4, 27)) AS ry
+               FROM dims),
+        g AS (SELECT doc_id, R, ry, unnest(generate_series(4, 27)) AS rx
+              FROM gy),
+        pos AS (SELECT doc_id, R, ry, rx,
+                  (2 * ry + 1) * 32 * R - 128 AS fy,
+                  (2 * rx + 1) * 256 - 128 AS fx
+                FROM g),
+        nb AS (SELECT doc_id, R, ry, rx,
+                 ((fy + 256) // 256) - 1 AS y0, fy - (((fy + 256) // 256) - 1)
+                   * 256 AS wy,
+                 fx // 256 AS x0, fx - (fx // 256) * 256 AS wx
+               FROM pos),
+        cl AS (SELECT doc_id, ry, rx, wy, wx,
+                 greatest(0, least(y0, 8 * R - 1)) AS y0c,
+                 greatest(0, least(y0 + 1, 8 * R - 1)) AS y1c,
+                 least(x0, 63) AS x0c, least(x0 + 1, 63) AS x1c
+               FROM nb),
+        px AS (SELECT c.doc_id, c.ry, c.rx,
+                 ((256 - c.wx) * (256 - c.wy) * b00.rr
+                  + c.wx * (256 - c.wy) * b10.rr
+                  + (256 - c.wx) * c.wy * b01.rr
+                  + c.wx * c.wy * b11.rr) // 65536 AS vr,
+                 ((256 - c.wx) * (256 - c.wy) * b00.gg
+                  + c.wx * (256 - c.wy) * b10.gg
+                  + (256 - c.wx) * c.wy * b01.gg
+                  + c.wx * c.wy * b11.gg) // 65536 AS vg,
+                 ((256 - c.wx) * (256 - c.wy) * b00.bb
+                  + c.wx * (256 - c.wy) * b10.bb
+                  + (256 - c.wx) * c.wy * b01.bb
+                  + c.wx * c.wy * b11.bb) // 65536 AS vb
+               FROM cl c
+               JOIN rgb b00 ON b00.doc_id = c.doc_id
+                 AND b00.br = c.y0c // 8 AND b00.bc = c.x0c // 8
+               JOIN rgb b10 ON b10.doc_id = c.doc_id
+                 AND b10.br = c.y0c // 8 AND b10.bc = c.x1c // 8
+               JOIN rgb b01 ON b01.doc_id = c.doc_id
+                 AND b01.br = c.y1c // 8 AND b01.bc = c.x0c // 8
+               JOIN rgb b11 ON b11.doc_id = c.doc_id
+                 AND b11.br = c.y1c // 8 AND b11.bc = c.x1c // 8),
+        hx2 AS (SELECT doc_id, ry, rx,
+                  lpad(lower(to_hex(vr)), 2, '0') ||
+                  lpad(lower(to_hex(vg)), 2, '0') ||
+                  lpad(lower(to_hex(vb)), 2, '0') AS h3,
+                  vr + vg + vb AS s3
+                FROM px),
+        img3 AS (SELECT doc_id,
+                   string_agg(h3, '' ORDER BY ry, rx) AS hexpix,
+                   SUM(s3) AS total
+                 FROM hx2 GROUP BY doc_id)
+        SELECT d.doc_id, 64 AS src_w, CAST(8 * d.R AS INTEGER) AS src_h,
+             24 AS out_w, 24 AS out_h, md5(i.hexpix) AS rgb_md5,
+             CAST(i.total AS BIGINT) AS rgb_sum
+        FROM dims d JOIN img3 i ON i.doc_id = d.doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "q367_clip_preprocess" -> clipPreprocessOracle,
     "q364_audio_cepstra" -> audioCepstraOracle,
     "q365_g711_compand" -> g711Oracle,
     "q211_image_patches" -> patchOracle,
