@@ -40,8 +40,19 @@ object Gif {
     val out = new java.io.ByteArrayOutputStream()
     var bitBuf = 0L
     var bitCnt = 0
+    // The emission width is the DECODER's register, mirrored exactly:
+    // the decoder adds a dictionary entry for every received data code
+    // except the first since a clear, then widens at next == 2^w. The
+    // add for code k lands between reading k and reading k+1, so the
+    // encoder applies it as PENDING bookkeeping before the next
+    // emission — including before EOI, where the final data code's add
+    // can cross a width boundary the in-loop (one-code-lagged)
+    // schedule never sees (the classic last-code/EOI width bug).
     var codeSize = mcs + 1
-    def emit(code: Int): Unit = {
+    var decNext = eoi + 1
+    var pending = false
+    var emitted = 0 // data codes emitted (GIF never clears mid-stream)
+    def put(code: Int): Unit = {
       bitBuf |= code.toLong << bitCnt
       bitCnt += codeSize
       while (bitCnt >= 8) {
@@ -50,11 +61,24 @@ object Gif {
         bitCnt -= 8
       }
     }
+    def applyPending(): Unit = if (pending) {
+      if (decNext < 4096) {
+        decNext += 1
+        if (decNext == (1 << codeSize) && codeSize < 12) codeSize += 1
+      }
+      pending = false
+    }
+    def emitData(code: Int): Unit = {
+      applyPending()
+      put(code)
+      pending = emitted >= 1
+      emitted += 1
+    }
     // dictionary: (prefix code, next byte) -> code, via a flat hashmap
     val dict = new java.util.HashMap[Integer, Integer](8192)
     def key(prefix: Int, b: Int): Integer = Integer.valueOf((prefix << 8) | b)
-    var next = eoi + 1
-    emit(clear)
+    var assign = eoi + 1 // entry numbering (== the decoder's)
+    put(clear)
     if (indices.nonEmpty) {
       var cur = indices(0) & 0xff
       var i = 1
@@ -63,24 +87,19 @@ object Gif {
         val hit = dict.get(key(cur, b))
         if (hit != null) cur = hit.intValue()
         else {
-          emit(cur)
-          if (next < 4096) {
-            dict.put(key(cur, b), Integer.valueOf(next))
-            next += 1
-            // the decoder's `next` runs ONE BEHIND the encoder's (it
-            // cannot add an entry for the first post-clear code), and
-            // both sides must widen exactly when the decoder's next
-            // free slot reaches 2^codeSize — hence the +1 here vs the
-            // decoder's `next == 1<<codeSize`.
-            if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          emitData(cur)
+          if (assign < 4096) { // table full: freeze (deferred clear)
+            dict.put(key(cur, b), Integer.valueOf(assign))
+            assign += 1
           }
           cur = b
         }
         i += 1
       }
-      emit(cur)
+      emitData(cur)
     }
-    emit(eoi)
+    applyPending()
+    put(eoi)
     if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
     out.toByteArray
   }

@@ -541,6 +541,23 @@ object Multimodal {
       graft.operators.Audio.resampleMelEnergies(media, l = 3, m = 2).toDF()
     },
 
+    // TIFF decode (q368, r14): the FOURTH real image container —
+    // scanned-document corpora ship TIFF. The fixture stores the shared
+    // color rule as RGB strips (RowsPerStrip 8) cycling the three
+    // baseline compressions by doc_id mod 3 — none, PackBits RLE, and
+    // the MSB-first LZW variant with EARLY CHANGE (one code earlier
+    // than GIF's width switch) — so one arithmetic replay proves the
+    // IFD walk, strip reassembly, and all three codecs. TiffSpec
+    // cross-validates both directions against the JDK's javax.imageio
+    // TIFF plugin.
+    "q368_tiff_decode" -> { (s, d) =>
+      val media = graft.operators.Tiff.asTiffMedia(Tables.documents(s, d))
+      graft.operators.Tiff.parseTiffMeta(media)
+        .select(col("doc_id"), lit("image/tiff").as("format"),
+          col("width"), col("height"), col("channels"), col("compression"),
+          col("n_pixels"), col("rgb_md5"), col("rgb_sum"))
+    },
+
     // CLIP PREPROCESS (q367, r14): decode → fixed-point BILINEAR
     // resize to 32×32 → center-crop 24×24 → digest, the image half of
     // a CLIP-style training-input pipeline with the resampling kernel
@@ -1167,6 +1184,34 @@ object Multimodal {
         FROM dims d JOIN img3 i ON i.doc_id = d.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    // q368: the q350 color-rule replay with TIFF framing — the decoded
+    // RGB is storage-independent, so hash equality across the three
+    // compression variants proves all three codecs at once.
+    "q368_tiff_decode" ->
+      s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix
+             FROM documents),
+          ix AS (SELECT doc_id, pix,
+                   unnest(generate_series(1, length(pix))) AS i
+                 FROM p),
+          bv AS (SELECT doc_id, i,
+                   ascii(substr(pix, CAST(i AS INTEGER), 1)) AS v
+                 FROM ix),
+          hx AS (SELECT doc_id, i,
+                   lpad(lower(to_hex(v)), 2, '0') ||
+                   lpad(lower(to_hex(255 - v)), 2, '0') ||
+                   lpad(lower(to_hex((v + 85) % 256)), 2, '0') AS h3,
+                   v + (255 - v) + (v + 85) % 256 AS s3
+                 FROM bv),
+          img AS (SELECT doc_id, string_agg(h3, '' ORDER BY i) AS hexpix,
+                    SUM(s3) AS rgbsum, count(*) AS n
+                  FROM hx GROUP BY doc_id)
+          SELECT doc_id, 'image/tiff' AS format, 64 AS width,
+               CAST(n // 64 AS INTEGER) AS height, 3 AS channels,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 32773
+                    ELSE 5 END AS INTEGER) AS compression,
+               CAST(n AS INTEGER) AS n_pixels, md5(hexpix) AS rgb_md5,
+               CAST(rgbsum AS BIGINT) AS rgb_sum
+          FROM img""",
     "q367_clip_preprocess" -> clipPreprocessOracle,
     "q364_audio_cepstra" -> audioCepstraOracle,
     "q365_g711_compand" -> g711Oracle,

@@ -56,6 +56,26 @@ class GifSpec extends AnyFunSuite {
       rep.toSeq)
   }
 
+  test("LZW width boundaries: exhaustive length sweep (the EOI bug)") {
+    // the decoder adds an entry for the FINAL data code (the encoder's
+    // in-loop schedule does not): when that add lands on a width
+    // threshold AND the stream ends byte-aligned, EOI reads truncated —
+    // LSB-first zero padding masks most cases, so sweep densely
+    val r = rng(33)
+    (0 until 1300).foreach { len =>
+      val a = new Array[Byte](len)
+      r.nextBytes(a)
+      assert(Gif.lzwDecode(Gif.lzwEncode(a, 8), 8, len).toSeq == a.toSeq,
+        s"random sweep failed at length $len")
+    }
+    val pattern = ("abcabcadbca" * 400).getBytes("US-ASCII")
+    (0 until 4000 by 7).foreach { len =>
+      val a = java.util.Arrays.copyOfRange(pattern, 0, len)
+      assert(Gif.lzwDecode(Gif.lzwEncode(a, 8), 8, len).toSeq == a.toSeq,
+        s"repetitive sweep failed at length $len")
+    }
+  }
+
   test("encode → decode roundtrip, interlaced and not, exact indices") {
     val r = rng(7)
     for (interlaced <- Seq(false, true); h <- Seq(1, 2, 5, 13)) {
