@@ -149,10 +149,17 @@ object Bench {
   private val headlineR14 = Seq("q350_png_color", "q351_phash_neardup",
     "q352_gpt2_bpe_train", "q354_ivf_index_optimize", "q357_audio_mel")
 
+  // The r14 second batch: the GIF/TIFF codecs (LZW both bit orders),
+  // Exif parse + orientation transform, G.711 companding, NFC
+  // normalization, and the bilinear CLIP-preprocess kernel.
+  private val headlineR14b = Seq("q361_gif_decode", "q363_exif_orient",
+    "q365_g711_compand", "q366_nfc_normalize", "q367_clip_preprocess",
+    "q368_tiff_decode")
+
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++
       headlineR10 ++ headlineR11 ++ headlineR12 ++ headlineR13 ++
-      headlineR14
+      headlineR14 ++ headlineR14b
 
   /** 1/5/15-minute load averages as a JSON array ("[]" off-Linux). */
   private def loadavg(): String =

@@ -80,7 +80,11 @@ object BenchScale {
     // color-PNG decode (pure narrow codec pass). q354 is not a trend
     // row: its funnel is q128's fixed-knob harness shape, whose sized
     // story the q128sized row already measures.
-    "q351_phash_neardup", "q350_png_color")
+    "q351_phash_neardup", "q350_png_color",
+    // r14 second batch: the GIF and TIFF codec passes and the bilinear
+    // CLIP-preprocess kernel — all narrow per-row work whose trend
+    // should track the corpus linearly at any scale.
+    "q361_gif_decode", "q368_tiff_decode", "q367_clip_preprocess")
 
   private def runOnce(f: => Unit, label: String): Double = {
     val t0 = System.nanoTime()

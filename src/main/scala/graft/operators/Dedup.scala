@@ -918,4 +918,88 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("int")
           .as("n_cut"))
   }
+
+  // ------------------------------------------------------------------
+  // Content-defined chunking (CDC)
+  // ------------------------------------------------------------------
+
+  private[graft] val CdcWindow = 16
+  private[graft] val CdcP = 257L
+  private[graft] val CdcM = 1000000007L
+  private[graft] lazy val CdcPow: Array[Long] = {
+    val a = new Array[Long](CdcWindow)
+    a(0) = 1L
+    (1 until CdcWindow).foreach(k => a(k) = a(k - 1) * CdcP % CdcM)
+    a
+  }
+
+  /** Content-defined chunk boundaries over the text's bytes: position
+    * i (0-based, i ≥ window−1) is a boundary iff the polynomial hash of
+    * the 16-byte window ENDING at i — Σₖ b(i−k)·Pᵏ mod M — satisfies
+    * h % 64 == 63, splitting AFTER i. Pure per-position arithmetic
+    * (no min/max chunk clamps), so chunking is STATELESS: boundaries
+    * depend only on a 16-byte neighborhood, the property that lets CDC
+    * parallelize per document (and even per split with window overlap)
+    * at 100 TB, and that keeps an insertion from reshifting every
+    * later chunk the way fixed-size blocking does.
+    */
+  private[graft] def cdcBoundaries(bytes: Array[Byte]): Array[Int] = {
+    val out = Array.newBuilder[Int]
+    var i = CdcWindow - 1
+    while (i < bytes.length - 1) { // a split after the last byte is moot
+      var h = 0L
+      var k = 0
+      while (k < CdcWindow) {
+        h = (h + (bytes(i - k) & 0xff) * CdcPow(k)) % CdcM
+        k += 1
+      }
+      if (h % 64 == 63) out += i
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Content-defined chunk dedup — the blob/dataset dedup primitive
+    * (LBFS/FastCDC lineage): split every document at content-defined
+    * boundaries, digest each chunk, and aggregate per digest. A
+    * passage shared across documents chunks IDENTICALLY once the
+    * 16-byte window is inside it (boundaries are content-local), so
+    * shared chunks collapse regardless of their byte offset — the
+    * property fixed-size blocking lacks. Emits per distinct chunk:
+    * its length, total copies, and distinct carrying documents.
+    *
+    * Scale shape: one narrow mapPartitions pass per document (digest
+    * + length only — chunk BYTES never shuffle), then a groupBy on the
+    * digest; at 100 TB the shuffle carries ~48 bytes per chunk.
+    */
+  def cdcChunkDedup(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    Parallelism.ensure(docs)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          if (bytes.isEmpty) Iterator.empty
+          else {
+            val bs = cdcBoundaries(bytes)
+            val starts = 0 +: bs.map(_ + 1)
+            val ends = bs.map(_ + 1) :+ bytes.length
+            starts.iterator.zip(ends.iterator).zipWithIndex.map {
+              case ((s, e), ci) =>
+                val md = java.security.MessageDigest.getInstance("MD5")
+                val digest = md.digest(
+                  java.util.Arrays.copyOfRange(bytes, s, e))
+                  .map(b => f"$b%02x").mkString
+                (id, ci, digest, e - s)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "chunk_md5", "chunk_len")
+      .groupBy("chunk_md5", "chunk_len")
+      .agg(count(lit(1)).cast("long").as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
 }

@@ -596,6 +596,19 @@ object Multimodal {
       graft.operators.Audio.g711Compand(media).toDF()
     },
 
+    // IMA ADPCM (q370, r14): the 4-bit adaptive-delta audio codec,
+    // block-independent by construction (header carries the predictor,
+    // step index resets per 65-sample block — the seek property a
+    // distributed reader needs). The oracle replays the adaptive
+    // quantizer as a 64-level recursive CTE over (doc, block) with the
+    // 89-entry step table as literals — code bytes (headers + packed
+    // nibbles) AND the reconstruction recurrence under one hash.
+    "q370_adpcm" -> { (s, d) =>
+      val media = graft.operators.Audio.asAudio(
+        Tables.documents(s, d).filter(length(col("text")) > 0))
+      graft.operators.Audio.adpcmRoundtrip(media).toDF()
+    },
+
     // STREAMING pHash extraction (q360, r14): the perceptual-hash pass
     // of an online image-ingest pipeline — color-JPEG payloads land as
     // files, Structured Streaming tails them, and the SAME pHash
@@ -1183,7 +1196,92 @@ object Multimodal {
              CAST(i.total AS BIGINT) AS rgb_sum
         FROM dims d JOIN img3 i ON i.doc_id = d.doc_id"""
 
+  /** q370's oracle: the IMA quantizer recurrence as a recursive CTE —
+    * state (pred, idx) advances one nibble per level, ≤ 64 levels, all
+    * (doc, block) pairs in lockstep; the step table is 89 literal rows
+    * and every operand stays a nonnegative-division integer. DuckDB's
+    * lateral column aliases keep each stage readable.
+    */
+  private def adpcmOracle: String = {
+    val stepVals = graft.operators.Audio.ImaAdpcm.StepTable.zipWithIndex
+      .map { case (v, i) => s"($i,$v)" }.mkString(", ")
+    s"""WITH RECURSIVE d AS (SELECT doc_id, length(text) AS n, text
+             FROM documents WHERE length(text) > 0),
+        ix AS (SELECT doc_id, n,
+                 unnest(generate_series(0, n - 1)) AS i, text
+               FROM d),
+        smp AS (SELECT doc_id, CAST(i // 65 AS INTEGER) AS blk,
+                  CAST(i % 65 AS INTEGER) AS j,
+                  257 * ascii(substr(text, CAST(i + 1 AS INTEGER), 1))
+                    - 16384 AS v
+                FROM ix),
+        stp(idx, st) AS (VALUES $stepVals),
+        rec AS (
+          SELECT doc_id, blk, 0 AS j, v AS pred, 0 AS idx,
+               CAST(NULL AS INTEGER) AS nib
+          FROM smp WHERE j = 0
+          UNION ALL
+          SELECT r.doc_id, r.blk, r.j + 1,
+               CAST(greatest(-32768, least(32767,
+                 r.pred + CASE WHEN sign8 = 8 THEN -dq ELSE dq END))
+                 AS INTEGER) AS pred,
+               CAST(greatest(0, least(88, r.idx +
+                 CASE WHEN delta < 4 THEN -1 ELSE (delta - 3) * 2 END))
+                 AS INTEGER) AS idx,
+               CAST(sign8 + delta AS INTEGER) AS nib
+          FROM (
+            SELECT r0.*, s.v AS sv, t.st,
+                 CASE WHEN s.v - r0.pred < 0 THEN 8 ELSE 0 END AS sign8,
+                 abs(s.v - r0.pred) AS ad,
+                 CASE WHEN abs(s.v - r0.pred) >= t.st THEN 1 ELSE 0 END
+                   AS b4,
+                 ad - b4 * t.st AS r1,
+                 CASE WHEN ad - b4 * t.st >= t.st // 2 THEN 1 ELSE 0 END
+                   AS b2,
+                 r1 - b2 * (t.st // 2) AS r2,
+                 CASE WHEN r1 - b2 * (t.st // 2) >= t.st // 4
+                   THEN 1 ELSE 0 END AS b1,
+                 4 * b4 + 2 * b2 + b1 AS delta,
+                 t.st // 8 + b4 * t.st + b2 * (t.st // 2)
+                   + b1 * (t.st // 4) AS dq
+            FROM rec r0
+            JOIN smp s ON s.doc_id = r0.doc_id AND s.blk = r0.blk
+              AND s.j = r0.j + 1
+            JOIN stp t ON t.idx = r0.idx
+          ) r
+        ),
+        db AS (SELECT doc_id, blk, (j - 1) // 2 AS k,
+                 SUM(CASE WHEN (j - 1) % 2 = 0 THEN nib
+                     ELSE 16 * nib END) AS byte
+               FROM rec WHERE j >= 1 GROUP BY 1, 2, 3),
+        dhex AS (SELECT doc_id, blk,
+                   string_agg(lpad(lower(to_hex(byte)), 2, '0'), ''
+                     ORDER BY k) AS datahex
+                 FROM db GROUP BY 1, 2),
+        hdr AS (SELECT doc_id, blk,
+                  (pred + 65536) % 65536 AS m
+                FROM rec WHERE j = 0),
+        blkhex AS (SELECT h.doc_id, h.blk,
+                     lpad(lower(to_hex(h.m % 256)), 2, '0') ||
+                     lpad(lower(to_hex(h.m // 256)), 2, '0') || '0000' ||
+                     coalesce(x.datahex, '') AS bh
+                   FROM hdr h LEFT JOIN dhex x
+                     ON x.doc_id = h.doc_id AND x.blk = h.blk),
+        agg AS (SELECT doc_id,
+                  md5(string_agg(bh, '' ORDER BY blk)) AS adpcm_md5,
+                  count(*) AS nb
+                FROM blkhex GROUP BY doc_id),
+        recon AS (SELECT doc_id, SUM(CAST(pred AS BIGINT)) AS s1,
+                    SUM(CAST(pred AS BIGINT) * pred) AS s2, count(*) AS ns
+                  FROM rec GROUP BY doc_id)
+        SELECT a.doc_id, CAST(r.ns AS INTEGER) AS n_samples,
+             CAST(a.nb AS INTEGER) AS n_blocks, a.adpcm_md5,
+             CAST(r.s1 AS BIGINT) AS dec_sum, CAST(r.s2 AS BIGINT) AS dec_sumsq
+        FROM agg a JOIN recon r ON r.doc_id = a.doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q370_adpcm" -> adpcmOracle,
     // q368: the q350 color-rule replay with TIFF framing — the decoded
     // RGB is storage-independent, so hash equality across the three
     // compression variants proves all three codecs at once.

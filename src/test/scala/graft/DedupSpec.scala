@@ -884,4 +884,52 @@ class DedupSpec extends AnyFunSuite {
     assert(exp.exists(_._3 == 0), "exact twins must land at Hamming 0")
     assert(got == exp, s"missed ${exp -- got}, extra ${got -- exp}")
   }
+
+  test("cdcBoundaries: window-hash rule, content locality") {
+    // hand-check against the shared polynomial rule
+    val P = 257L; val M = 1000000007L
+    val text = ("boundary locality check passage with enough bytes to " +
+      "carry several windows and at least one split point somewhere")
+    val bytes = text.getBytes("UTF-8")
+    val expect = (15 until bytes.length - 1).filter { i =>
+      var h = 0L; var pk = 1L
+      (0 until 16).foreach { k =>
+        h = (h + (bytes(i - k) & 0xff) * pk) % M
+        pk = pk * P % M
+      }
+      h % 64 == 63
+    }
+    assert(Dedup.cdcBoundaries(bytes).toSeq == expect)
+    // content locality: a shared passage placed after DIFFERENT
+    // prefixes yields identical interior boundaries relative to the
+    // passage (for windows fully inside it)
+    val passage = "0123456789 the shared deduplicatable passage body " * 4
+    val a = ("prefix one: " + passage).getBytes("UTF-8")
+    val b = ("a much longer and different prefix text here: " + passage)
+      .getBytes("UTF-8")
+    val offA = a.length - passage.length
+    val offB = b.length - passage.length
+    val inA = Dedup.cdcBoundaries(a).filter(_ >= offA + 15).map(_ - offA)
+    val inB = Dedup.cdcBoundaries(b).filter(_ >= offB + 15).map(_ - offB)
+    assert(inA.toSeq == inB.toSeq && inA.nonEmpty)
+  }
+
+  test("cdcChunkDedup: shared passages collapse across documents") {
+    import spark.implicits._
+    val passage = " SHARED tail passage for the cdc dedup check, long " +
+      "enough to carry interior boundaries: abcdefghij klmnopqrst " +
+      "uvwxyz0123 4567890abc defghijklm nopqrstuvw xyz"
+    val docs = Seq(
+      (1L, "doc one body text " + passage),
+      (2L, "a different and rather longer second document " + passage),
+      (3L, "third " + passage)).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkDedup(docs).collect()
+    // chunks reassemble: total chunk bytes per corpus == total bytes
+    val totalBytes = docs.collect().map(_.getString(1).getBytes("UTF-8").length).sum
+    assert(out.map(r => r.getAs[Int]("chunk_len") * r.getAs[Long]("n_copies")).sum
+      == totalBytes)
+    // at least one chunk is carried by all three documents
+    assert(out.exists(r => r.getAs[Long]("n_docs") == 3L),
+      "no cross-document shared chunk found")
+  }
 }

@@ -146,4 +146,56 @@ class G711Spec extends AnyFunSuite {
       samples.map(s => G711.alawDecode(G711.alawEncode(s.toInt)).toLong).sum)
     assert(row.n_samples == samples.length)
   }
+
+  test("ImaAdpcm: roundtrip tracks the signal within step-table bounds") {
+    import graft.operators.Audio.ImaAdpcm
+    val r = new scala.util.Random(3)
+    // a smooth-ish signal the adaptive quantizer can track
+    val smooth = Array.tabulate[Short](700)(i =>
+      (8000 * math.sin(i / 25.0) + r.nextInt(200) - 100).toShort)
+    val back = ImaAdpcm.decode(ImaAdpcm.encode(smooth), smooth.length)
+    assert(back.length == smooth.length)
+    // block headers are raw: sample 0 of each 65-block is EXACT
+    (0 until smooth.length by 65).foreach(i => assert(back(i) == smooth(i)))
+    // tracking error: after the per-block cold start (index resets to
+    // 0), the quantizer locks on; bound the mean absolute error
+    val mae = smooth.indices.map(i => math.abs(back(i) - smooth(i))).sum /
+      smooth.length.toDouble
+    assert(mae < 900, s"mean abs error $mae too large")
+  }
+
+  test("ImaAdpcm: blocks decode independently (the seek property)") {
+    import graft.operators.Audio.ImaAdpcm
+    val r = new scala.util.Random(9)
+    val s = Array.fill[Short](65 * 3 + 17)((r.nextInt(65536) - 32768).toShort)
+    val code = ImaAdpcm.encode(s)
+    val full = ImaAdpcm.decode(code, s.length)
+    // decoding only the second block's bytes yields the same 65 samples
+    val blockBytes = 4 + 32
+    val second = ImaAdpcm.decode(
+      java.util.Arrays.copyOfRange(code, blockBytes, 2 * blockBytes), 65)
+    assert(second.toSeq == full.slice(65, 130).toSeq)
+    // truncation fails loudly
+    intercept[IllegalArgumentException](
+      ImaAdpcm.decode(code.dropRight(1), s.length))
+  }
+
+  test("adpcmRoundtrip: distributed digests match a local replay") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.operators.Audio.ImaAdpcm
+    val docs = Seq((11L, "adaptive delta pulse code modulation check"))
+      .toDF("doc_id", "text")
+    val row = Audio.adpcmRoundtrip(Audio.asAudio(docs)).collect().head
+    val samples = Audio.samplesOf("adaptive delta pulse code modulation check")
+    val code = ImaAdpcm.encode(samples)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hexs = code.map(b => f"${b & 0xff}%02x").mkString
+    assert(row.adpcm_md5 ==
+      md.digest(hexs.getBytes("US-ASCII")).map(b => f"$b%02x").mkString)
+    val back = ImaAdpcm.decode(code, samples.length)
+    assert(row.dec_sum == back.map(_.toLong).sum)
+    assert(row.n_samples == samples.length)
+    assert(row.n_blocks == (samples.length + 64) / 65)
+  }
 }
