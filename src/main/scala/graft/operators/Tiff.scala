@@ -450,6 +450,147 @@ object Tiff {
       .toDF("doc_id", "payload")
   }
 
+  // ------------------------------------------------------------------
+  // BMP (Windows DIB) — the fifth image container: uncompressed 24-bit
+  // BITMAPINFOHEADER, bottom-up rows, BGR order, 4-byte row padding.
+  // Small enough to live beside TIFF; BmpSpec cross-validates both
+  // directions against javax.imageio.
+  // ------------------------------------------------------------------
+
+  object Bmp {
+    /** Encode interleaved RGB as a 24-bit bottom-up BMP. */
+    def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3, "RGB buffer size")
+      val rowBytes = (width * 3 + 3) & ~3
+      val dataSize = rowBytes * height
+      val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte)
+      out.putInt(54 + dataSize)
+      out.putInt(0)
+      out.putInt(54)
+      out.putInt(40) // BITMAPINFOHEADER
+      out.putInt(width)
+      out.putInt(height) // positive: bottom-up
+      out.putShort(1)    // planes
+      out.putShort(24)   // bpp
+      out.putInt(0)      // BI_RGB
+      out.putInt(dataSize)
+      out.putInt(2835).putInt(2835) // 72 dpi in px/m
+      out.putInt(0).putInt(0)
+      var y = height - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val i = (y * width + x) * 3
+          out.put(rgb(i + 2)).put(rgb(i + 1)).put(rgb(i)) // BGR
+          x += 1
+        }
+        var pad = rowBytes - width * 3
+        while (pad > 0) { out.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+      out.array()
+    }
+
+    final case class Image(width: Int, height: Int, pixels: Array[Byte])
+
+    /** Decode a 24-bit BI_RGB BMP (bottom-up or top-down): validates
+      * the headers and materializes interleaved RGB. Throws on
+      * anything malformed or outside the 24-bit uncompressed scope.
+      */
+    def decode(bytes: Array[Byte]): Image = {
+      require(bytes.length >= 54 && bytes(0) == 'B'.toByte &&
+        bytes(1) == 'M'.toByte, "not a BMP")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataOff = bb.getInt(10)
+      val dibSize = bb.getInt(14)
+      require(dibSize >= 40, s"DIB header $dibSize out of scope")
+      val width = bb.getInt(18)
+      val rawHeight = bb.getInt(22)
+      val topDown = rawHeight < 0
+      val height = math.abs(rawHeight)
+      require(width > 0 && height > 0, "bad BMP dimensions")
+      require((bb.getShort(26) & 0xffff) == 1, "BMP planes != 1")
+      val bpp = bb.getShort(28) & 0xffff
+      val comp = bb.getInt(30)
+      require(bpp == 24 && comp == 0,
+        s"unsupported BMP: bpp=$bpp compression=$comp (24-bit BI_RGB only)")
+      val rowBytes = (width * 3 + 3) & ~3
+      require(dataOff >= 54 && dataOff.toLong + rowBytes.toLong * height
+        <= bytes.length, "truncated BMP pixel data")
+      val rgb = new Array[Byte](width * height * 3)
+      var r = 0
+      while (r < height) {
+        val srcRow = dataOff + r * rowBytes
+        val y = if (topDown) r else height - 1 - r
+        var x = 0
+        while (x < width) {
+          val s = srcRow + x * 3
+          val d = (y * width + x) * 3
+          rgb(d) = bytes(s + 2); rgb(d + 1) = bytes(s + 1)
+          rgb(d + 2) = bytes(s)
+          x += 1
+        }
+        r += 1
+      }
+      Image(width, height, rgb)
+    }
+  }
+
+  /** Attach a real 24-bit BMP payload per document (the shared color
+    * rule) and the dataset-level meta parse — same contract shape as
+    * the sibling containers.
+    */
+  def asBmpMedia(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val w = Multimodal.ImgWidth
+        rows.map { case (id, text) =>
+          val pix = Multimodal.pixelsOf(text)
+          val h = pix.length / w
+          val rgb = new Array[Byte](pix.length * 3)
+          var i = 0
+          while (i < pix.length) {
+            val (r, g, b, _) = Multimodal.colorOf(pix(i) & 0xff)
+            rgb(i * 3) = r.toByte; rgb(i * 3 + 1) = g.toByte
+            rgb(i * 3 + 2) = b.toByte
+            i += 1
+          }
+          Multimodal.MediaRecord(id, Bmp.encode(w, h, rgb))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  final case class BmpMeta(doc_id: Long, width: Int, height: Int,
+                           n_pixels: Int, rgb_md5: String, rgb_sum: Long)
+
+  def parseBmpMeta(media: DataFrame): Dataset[BmpMeta] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
+      .mapPartitions { records =>
+        val hex = "0123456789abcdef".toCharArray
+        records.map { r =>
+          val img = Bmp.decode(r.payload)
+          val sb = new java.lang.StringBuilder(img.pixels.length * 2)
+          var sum = 0L
+          img.pixels.foreach { b =>
+            val v = b & 0xff
+            sb.append(hex(v >> 4)).append(hex(v & 0xf))
+            sum += v
+          }
+          BmpMeta(r.doc_id, img.width, img.height, img.width * img.height,
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(sb.toString.getBytes("US-ASCII"))
+              .map(b => f"$b%02x").mkString, sum)
+        }
+      }
+  }
+
   final case class TiffMeta(doc_id: Long, width: Int, height: Int,
                             channels: Int, compression: Int, n_pixels: Int,
                             rgb_md5: String, rgb_sum: Long)

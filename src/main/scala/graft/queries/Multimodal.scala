@@ -558,6 +558,20 @@ object Multimodal {
           col("n_pixels"), col("rgb_md5"), col("rgb_sum"))
     },
 
+    // BMP decode (q371, r14): the FIFTH image container — 24-bit
+    // BI_RGB with bottom-up rows, BGR byte order, and 4-byte row
+    // padding, the exact inversions a decoder most easily gets wrong.
+    // 64·3 = 192 is 4-aligned, so the oracle hash would NOT catch a
+    // padding bug on this width; BmpSpec covers padded widths and
+    // top-down rows against javax.imageio both directions.
+    "q371_bmp_decode" -> { (s, d) =>
+      val media = graft.operators.Tiff.asBmpMedia(Tables.documents(s, d))
+      graft.operators.Tiff.parseBmpMeta(media)
+        .select(col("doc_id"), lit("image/bmp").as("format"),
+          col("width"), col("height"), col("n_pixels"),
+          col("rgb_md5"), col("rgb_sum"))
+    },
+
     // CLIP PREPROCESS (q367, r14): decode → fixed-point BILINEAR
     // resize to 32×32 → center-crop 24×24 → digest, the image half of
     // a CLIP-style training-input pipeline with the resampling kernel
@@ -594,6 +608,51 @@ object Multimodal {
       val media = graft.operators.Audio.asAudio(
         Tables.documents(s, d).filter(length(col("text")) > 0))
       graft.operators.Audio.g711Compand(media).toDF()
+    },
+
+    // WEBDATASET INGEST (q372, r14): the tar-shard layout multimodal
+    // training data actually ships in — per sample, adjacent members
+    // <id>.jpg + <id>.txt inside POSIX tar shards. The fixture PACKS
+    // shards in-task (8 tars via pmod sharding), then the query runs
+    // the real ingest: expandArchives → extension split → color-JPEG
+    // decode → caption join by sample id. Shard packing, the ustar
+    // reader, the codec, and the pairing are all under one hash.
+    "q372_webdataset" -> { (s, d) =>
+      import s.implicits._
+      val dir = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/wds")
+      new java.io.File(dir).mkdirs()
+      graft.operators.Jpeg.asColorJpegMedia(Tables.documents(s, d))
+        .select(col("doc_id"), col("payload"))
+        .repartition(8, pmod(col("doc_id"), lit(8)))
+        .as[(Long, Array[Byte])]
+        .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+          val entries = it.flatMap { case (id, p) =>
+            Seq((s"$id.jpg", p),
+              (s"$id.txt",
+                s"cap $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }.toVector
+          if (entries.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val fo = new java.io.FileOutputStream(
+              new java.io.File(dir, f"shard-$pid%03d.tar"))
+            try fo.write(graft.io.WholeFiles.tarBytes(entries))
+            finally fo.close()
+          }
+        }
+      val parsed = graft.io.WholeFiles.expandArchives(s, dir)
+        .select(regexp_extract(col("entry"), "(\\d+)\\.(jpg|txt)$", 1)
+          .cast("long").as("doc_id"),
+          regexp_extract(col("entry"), "\\.(jpg|txt)$", 1).as("ext"),
+          col("content"))
+      val metas = graft.operators.Jpeg.parseColorMeta(
+        parsed.filter(col("ext") === "jpg")
+          .select(col("doc_id"), col("content").as("payload")))
+      val caps = parsed.filter(col("ext") === "txt")
+        .select(col("doc_id"), col("content").cast("string").as("caption"))
+      metas.join(caps, "doc_id")
+        .select(col("doc_id"), col("caption"), col("width"), col("height"),
+          col("rgb_md5"), col("rgb_sum"))
     },
 
     // IMA ADPCM (q370, r14): the 4-bit adaptive-delta audio codec,
@@ -1282,6 +1341,42 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "q370_adpcm" -> adpcmOracle,
+    // q372: the q339 decode chain + the arithmetic caption — pairing
+    // through the tar shards must land exactly on this.
+    "q372_webdataset" ->
+      s"""WITH ${jpegColorCtes()}
+          SELECT doc_id, 'cap ' || CAST(doc_id AS VARCHAR) AS caption,
+               64 AS width,
+               CAST(length(hexpix) / (6 * 64) AS INTEGER) AS height,
+               md5(hexpix) AS rgb_md5,
+               CAST(blocksum * 64 AS BIGINT) AS rgb_sum
+          FROM img""",
+    // q371: the color-rule replay with BMP framing — the stored stream
+    // is bottom-up BGR, but the DECODED output is row-major RGB, so the
+    // oracle is the same per-byte chain as the sibling containers.
+    "q371_bmp_decode" ->
+      s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix
+             FROM documents),
+          ix AS (SELECT doc_id, pix,
+                   unnest(generate_series(1, length(pix))) AS i
+                 FROM p),
+          bv AS (SELECT doc_id, i,
+                   ascii(substr(pix, CAST(i AS INTEGER), 1)) AS v
+                 FROM ix),
+          hx AS (SELECT doc_id, i,
+                   lpad(lower(to_hex(v)), 2, '0') ||
+                   lpad(lower(to_hex(255 - v)), 2, '0') ||
+                   lpad(lower(to_hex((v + 85) % 256)), 2, '0') AS h3,
+                   v + (255 - v) + (v + 85) % 256 AS s3
+                 FROM bv),
+          img AS (SELECT doc_id, string_agg(h3, '' ORDER BY i) AS hexpix,
+                    SUM(s3) AS rgbsum, count(*) AS n
+                  FROM hx GROUP BY doc_id)
+          SELECT doc_id, 'image/bmp' AS format, 64 AS width,
+               CAST(n // 64 AS INTEGER) AS height,
+               CAST(n AS INTEGER) AS n_pixels, md5(hexpix) AS rgb_md5,
+               CAST(rgbsum AS BIGINT) AS rgb_sum
+          FROM img""",
     // q368: the q350 color-rule replay with TIFF framing — the decoded
     // RGB is storage-independent, so hash equality across the three
     // compression variants proves all three codecs at once.
