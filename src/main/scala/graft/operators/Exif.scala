@@ -293,6 +293,97 @@ object Exif {
       .toDF("doc_id", "payload")
   }
 
+  /** 4:4:4 Y/Cb/Cr planes from a block-byte grid: block (br, bc)
+    * carries y = b, cb = 255−b, cr = (b+85)%256 from its OWN byte —
+    * per-block chroma, so any block permutation (rotation included)
+    * stays exactly representable at 4:4:4.
+    */
+  private def planesOfBlocks(bb: Array[Byte], bRows: Int, bCols: Int)
+      : (Array[Byte], Array[Byte], Array[Byte]) = {
+    val w = bCols * 8
+    val h = bRows * 8
+    val y = new Array[Byte](w * h)
+    val cb = new Array[Byte](w * h)
+    val cr = new Array[Byte](w * h)
+    var i = 0
+    while (i < y.length) {
+      val b = bb((i / w / 8) * bCols + (i % w) / 8) & 0xff
+      y(i) = b.toByte
+      cb(i) = (255 - b).toByte
+      cr(i) = ((b + 85) % 256).toByte
+      i += 1
+    }
+    (y, cb, cr)
+  }
+
+  /** Attach, per document, TWO payloads of the SAME upright content:
+    * the original (orientation 1) and a twin at doc_id+200000 stored
+    * physically ROTATED 90° CCW with orientation tag 6 (so the upright
+    * transform rotates it back). Both are 4:4:4 color JPEGs of
+    * block-uniform planes (exactly representable), so after
+    * normalization the decoded RGB is bit-identical — the fixture that
+    * makes orientation-normalized dedup provable.
+    */
+  def asOrientedPairMedia(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val bt = Jpeg.colorBlockBytesOf(text)
+          val bRows = bt.length / 8
+          // stored(nr, nc) = upright(br = nc, bc = 7 − nr): the block
+          // grid of the upright rotated 90° CCW
+          val sb = new Array[Byte](bt.length)
+          var nr = 0
+          while (nr < 8) {
+            var nc = 0
+            while (nc < bRows) {
+              sb(nr * bRows + nc) = bt(nc * 8 + (7 - nr))
+              nc += 1
+            }
+            nr += 1
+          }
+          val (yu, cbu, cru) = planesOfBlocks(bt, bRows, 8)
+          val (ys, cbs, crs) = planesOfBlocks(sb, 8, bRows)
+          def meta(o: Int) = Meta(o, "Cam", "M", "2026:08:16 00:00:00",
+            72, 1, 0, 0, littleEndian = true)
+          val up = insertApp1(
+            Jpeg.encodeColor(64, bRows * 8, yu, cbu, cru, 1, 1),
+            buildApp1(meta(1)))
+          val rot = insertApp1(
+            Jpeg.encodeColor(bRows * 8, 64, ys, cbs, crs, 1, 1),
+            buildApp1(meta(6)))
+          Seq(Multimodal.MediaRecord(id, up),
+            Multimodal.MediaRecord(id + 200000, rot))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Orientation-NORMALIZED perceptual near-dup pairs: parse Exif,
+    * decode, apply the upright transform, THEN pHash and band-join —
+    * the composition that makes a rotated re-upload of the same photo
+    * hash-identical. Without the normalization step the stored pixels
+    * differ and the pair is invisible; with it the planted twins land
+    * at Hamming 0.
+    */
+  def orientedPHashPairs(media: DataFrame, radius: Int = 2): DataFrame = {
+    import media.sparkSession.implicits._
+    val hs = media.select(col("doc_id"), col("payload"))
+      .as[Multimodal.MediaRecord]
+      .mapPartitions { records =>
+        records.map { r =>
+          val o = parseExif(r.payload).map(_.orientation).getOrElse(1)
+          val img = Jpeg.decodeColor(r.payload)
+          val (ow, oh, rgb) = orientRgb(img.pixels, img.width, img.height, o)
+          val b = Multimodal.pHashBlocksOfRgb(rgb, ow, oh, 3)
+          Multimodal.PHash(r.doc_id, b(0), b(1), b(2), b(3))
+        }
+      }
+    Multimodal.blockHashPairs(hs.toDF().localCheckpoint(), radius)
+  }
+
   final case class Oriented(doc_id: Long, orientation: Int, make: String,
                             model: String, date_time: String, xres_num: Long,
                             pixel_x: Long, pixel_y: Long, out_width: Int,

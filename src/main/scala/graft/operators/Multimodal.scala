@@ -1097,7 +1097,7 @@ object Multimodal {
     * shuffle carries (id, block, 16 bits). Shared by the aHash and
     * pHash dedup families.
     */
-  private def blockHashPairs(hs: DataFrame, radius: Int): DataFrame = {
+  private[graft] def blockHashPairs(hs: DataFrame, radius: Int): DataFrame = {
     require(radius >= 0 && radius <= 3,
       s"radius $radius outside the 4-block pigeonhole guarantee (0..3)")
     val blocks = hs.select(col("doc_id").as("id"),
@@ -1153,69 +1153,79 @@ object Multimodal {
     * 64 — deterministic for ties). Emitted as 4×16-bit Manku blocks.
     * One narrow mapPartitions pass; payloads never at the driver.
     */
+  /** The pHash kernel over decoded pixels (shared by [[pHash]] and the
+    * orientation-normalized variant in [[Exif]]): integer luma → 32×32
+    * nearest grid → separable scaled-integer DCT → lower-median bits →
+    * 4×16-bit Manku blocks.
+    */
+  private[graft] def pHashBlocksOfRgb(pixels: Array[Byte], w: Int, h: Int,
+                                      channels: Int): Array[Int] = {
+    val cTab = PHashCos
+    val l32 = new Array[Int](32 * 32)
+    var rr = 0
+    while (rr < 32) {
+      val sr = rr * h / 32
+      var cc = 0
+      while (cc < 32) {
+        val sc = cc * w / 32
+        val o = (sr * w + sc) * channels
+        l32(rr * 32 + cc) =
+          if (channels == 3)
+            (77 * (pixels(o) & 0xff) +
+              150 * (pixels(o + 1) & 0xff) +
+              29 * (pixels(o + 2) & 0xff)) >> 8
+          else pixels(o) & 0xff
+        cc += 1
+      }
+      rr += 1
+    }
+    // separable integer DCT, top-left 8×8 only
+    val m1 = new Array[Long](8 * 32)
+    var u = 0
+    while (u < 8) {
+      var c = 0
+      while (c < 32) {
+        var s = 0L
+        var k = 0
+        while (k < 32) { s += cTab(u)(k).toLong * l32(k * 32 + c); k += 1 }
+        m1(u * 32 + c) = s
+        c += 1
+      }
+      u += 1
+    }
+    val f = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var c = 0
+        while (c < 32) { s += m1(u * 32 + c) * cTab(v)(c); c += 1 }
+        f(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = f.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    val b = new Array[Int](4)
+    var k = 0
+    while (k < 64) {
+      if (f(k) > med) b(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    b
+  }
+
   def pHash(media: DataFrame): Dataset[PHash] = {
     import media.sparkSession.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRecord]
       .mapPartitions { records =>
-        val cTab = PHashCos
         records.map { r =>
           val img = Jpeg.decodeColor(r.payload)
-          val w = img.width
-          val h = img.height
-          val l32 = new Array[Int](32 * 32)
-          var rr = 0
-          while (rr < 32) {
-            val sr = rr * h / 32
-            var cc = 0
-            while (cc < 32) {
-              val sc = cc * w / 32
-              val o = (sr * w + sc) * img.channels
-              l32(rr * 32 + cc) =
-                if (img.channels == 3)
-                  (77 * (img.pixels(o) & 0xff) +
-                    150 * (img.pixels(o + 1) & 0xff) +
-                    29 * (img.pixels(o + 2) & 0xff)) >> 8
-                else img.pixels(o) & 0xff
-              cc += 1
-            }
-            rr += 1
-          }
-          // separable integer DCT, top-left 8×8 only
-          val m1 = new Array[Long](8 * 32)
-          var u = 0
-          while (u < 8) {
-            var c = 0
-            while (c < 32) {
-              var s = 0L
-              var k = 0
-              while (k < 32) { s += cTab(u)(k).toLong * l32(k * 32 + c); k += 1 }
-              m1(u * 32 + c) = s
-              c += 1
-            }
-            u += 1
-          }
-          val f = new Array[Long](64)
-          u = 0
-          while (u < 8) {
-            var v = 0
-            while (v < 8) {
-              var s = 0L
-              var c = 0
-              while (c < 32) { s += m1(u * 32 + c) * cTab(v)(c); c += 1 }
-              f(u * 8 + v) = s
-              v += 1
-            }
-            u += 1
-          }
-          val sorted = f.clone()
-          java.util.Arrays.sort(sorted)
-          val med = sorted(31)
-          val b = new Array[Int](4)
-          var k = 0
-          while (k < 64) {
-            if (f(k) > med) b(k / 16) |= 1 << (k % 16)
-            k += 1
-          }
+          val b = pHashBlocksOfRgb(img.pixels, img.width, img.height,
+            img.channels)
           PHash(r.doc_id, b(0), b(1), b(2), b(3))
         }
       }

@@ -610,6 +610,20 @@ object Multimodal {
       graft.operators.Audio.g711Compand(media).toDF()
     },
 
+    // ORIENTATION-NORMALIZED pHASH DEDUP (q373, r14 — q363 ∘ q351,
+    // the composition that PROVES why auto-rotate must precede pixel
+    // dedup): every doc gets a twin at id+200000 storing the SAME
+    // upright content physically rotated 90° CCW with Exif orientation
+    // 6 (4:4:4 block-uniform planes, exactly representable). The
+    // engine parses Exif, decodes, uprights, THEN pHashes and
+    // band-joins — the planted twins land at Hamming 0; without the
+    // normalization the stored pixels differ and the pairs vanish.
+    "q373_oriented_phash" -> { (s, d) =>
+      val media = graft.operators.Exif.asOrientedPairMedia(
+        Tables.documents(s, d))
+      graft.operators.Exif.orientedPHashPairs(media, radius = 2)
+    },
+
     // WEBDATASET INGEST (q372, r14): the tar-shard layout multimodal
     // training data actually ships in — per sample, adjacent members
     // <id>.jpg + <id>.txt inside POSIX tar shards. The fixture PACKS
@@ -1339,8 +1353,96 @@ object Multimodal {
         FROM agg a JOIN recon r ON r.doc_id = a.doc_id"""
   }
 
+  /** q373's oracle: the UPRIGHT image's pHash chain (per-block 4:4:4
+    * chroma rule — yv = b, cbv = 255−b, crv = (b+85)%256 — through the
+    * JFIF equations, luma, 32×32 grid, integer DCT, median bits), with
+    * the twin ids carrying the SAME blocks by the normalization
+    * contract, then the all-pairs Hamming shortcut. A wrong upright
+    * transform in the engine breaks the twin rows' hash equality.
+    */
+  private def orientedPHashOracle: String = {
+    def clamp(e: String) = s"LEAST(255, GREATEST(0, CAST(floor($e) AS INTEGER)))"
+    val rExpr = clamp("yv + 1.402*(crv - 128) + 0.5")
+    val gExpr = clamp("yv - 0.344136*(cbv - 128) - 0.714136*(crv - 128) + 0.5")
+    val bExpr = clamp("yv + 1.772*(cbv - 128) + 0.5")
+    val ctValues = (for { u <- 0 until 8; k <- 0 until 32 } yield
+      s"($u,$k,${graft.operators.Multimodal.PHashCos(u)(k)})").mkString(", ")
+    s"""WITH p AS (SELECT doc_id,
+             rpad(text, CAST(greatest(CAST(ceil(length(text) / 16.0)
+               AS BIGINT), 1) * 16 AS INTEGER), '.') AS bt
+           FROM documents),
+        blk AS (SELECT doc_id, bt,
+                  unnest(generate_series(0, length(bt) // 8 - 1)) AS br
+                FROM p),
+        cell AS (SELECT doc_id, bt, br,
+                   unnest(generate_series(0, 7)) AS bc
+                 FROM blk),
+        ycc AS (SELECT doc_id, br, bc,
+                  ascii(substr(bt, CAST(br * 8 + bc + 1 AS INTEGER), 1)) AS yv,
+                  255 - ascii(substr(bt, CAST(br * 8 + bc + 1 AS INTEGER), 1))
+                    AS cbv,
+                  (ascii(substr(bt, CAST(br * 8 + bc + 1 AS INTEGER), 1))
+                    + 85) % 256 AS crv
+                FROM cell),
+        rgbq AS (SELECT doc_id, br, bc,
+                   $rExpr AS rr, $gExpr AS gg, $bExpr AS bb
+                 FROM ycc),
+        lum AS (SELECT doc_id, br, bc,
+                  (77 * rr + 150 * gg + 29 * bb) // 256 AS lv
+                FROM rgbq),
+        hh AS (SELECT doc_id, CAST(8 * (max(br) + 1) AS BIGINT) AS h
+               FROM lum GROUP BY doc_id),
+        grid AS (SELECT doc_id, h,
+                   unnest(generate_series(0, 31)) AS r
+                 FROM hh),
+        grid2 AS (SELECT doc_id, h, r,
+                    unnest(generate_series(0, 31)) AS c
+                  FROM grid),
+        l32 AS (SELECT g.doc_id, g.r, g.c, lum.lv
+                FROM grid2 g JOIN lum
+                  ON lum.doc_id = g.doc_id
+                 AND lum.br = ((g.r * g.h) // 32) // 8
+                 AND lum.bc = g.c // 4),
+        ct(u, k, cv) AS (VALUES $ctValues),
+        m1 AS (SELECT l.doc_id, ct.u, l.c,
+                 SUM(CAST(ct.cv AS BIGINT) * l.lv) AS m
+               FROM l32 l JOIN ct ON ct.k = l.r
+               GROUP BY 1, 2, 3),
+        f AS (SELECT m1.doc_id, m1.u * 8 + ct.u AS kk,
+                CAST(SUM(m1.m * ct.cv) AS BIGINT) AS fv
+              FROM m1 JOIN ct ON ct.k = m1.c
+              GROUP BY 1, 2),
+        md AS (SELECT doc_id, fv AS med FROM (
+                 SELECT doc_id, fv, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY fv ASC, kk ASC) AS rn
+                 FROM f) WHERE rn = 32),
+        bits AS (SELECT f.doc_id, f.kk,
+                   CASE WHEN f.fv > md.med THEN 1 ELSE 0 END AS b
+                 FROM f JOIN md USING (doc_id)),
+        blocks0 AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN kk // 16 = 0 THEN b << (kk % 16)
+              ELSE 0 END) AS INTEGER) AS b0,
+            CAST(SUM(CASE WHEN kk // 16 = 1 THEN b << (kk % 16)
+              ELSE 0 END) AS INTEGER) AS b1,
+            CAST(SUM(CASE WHEN kk // 16 = 2 THEN b << (kk % 16)
+              ELSE 0 END) AS INTEGER) AS b2,
+            CAST(SUM(CASE WHEN kk // 16 = 3 THEN b << (kk % 16)
+              ELSE 0 END) AS INTEGER) AS b3
+          FROM bits GROUP BY doc_id),
+        blocks AS (SELECT doc_id, b0, b1, b2, b3 FROM blocks0
+                   UNION ALL
+                   SELECT doc_id + 200000, b0, b1, b2, b3 FROM blocks0),
+        pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                   AS INTEGER) AS hamming
+               FROM blocks a JOIN blocks b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM pp WHERE hamming <= 2"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q370_adpcm" -> adpcmOracle,
+    "q373_oriented_phash" -> orientedPHashOracle,
     // q372: the q339 decode chain + the arithmetic caption — pairing
     // through the tar shards must land exactly on this.
     "q372_webdataset" ->

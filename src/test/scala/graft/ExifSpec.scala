@@ -111,4 +111,23 @@ class ExifSpec extends AnyFunSuite {
     assert(rows(6L).date_time == "2026:08:07 00:00:00")
     assert(rows(4L).xres_num == 72)
   }
+
+  test("orientedPHashPairs: rotated twins land at Hamming 0") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq((1L, "rotated twin one " * 3), (2L, "second body " * 5))
+      .toDF("doc_id", "text")
+    val pairs = Exif.orientedPHashPairs(
+      Exif.asOrientedPairMedia(docs), radius = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 200001L, 0)), s"missing twin pair: ${pairs.toSeq}")
+    assert(pairs.contains((2L, 200002L, 0)))
+    // and WITHOUT normalization the twins do NOT pair: hash the stored
+    // pixels directly
+    val raw = Exif.asOrientedPairMedia(docs)
+    val rawPairs = graft.operators.Multimodal.pHashNearDupPairs(raw, radius = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!rawPairs.contains((1L, 200001L)),
+      "rotated twin paired without normalization - fixture not rotating")
+  }
 }
