@@ -718,6 +718,67 @@ object Audio {
       }
   }
 
+  final case class VadSegment(doc_id: Long, seg_idx: Int, start_frame: Int,
+                              n_frames: Int, energy_sum: Long, peak: Int)
+
+  /** Energy-gated voice-activity segmentation — the cut step before
+    * any per-utterance processing in a speech-curation pipeline: frame
+    * the PCM at `frameLen`, mark frames with Σs² ≥ `threshold` active,
+    * and emit each MAXIMAL RUN of active frames as a segment with its
+    * start, length, exact energy sum, and peak. Pure integer
+    * thresholding (no float spectral gate), so the oracle replays the
+    * frame energies and reconstructs the runs with window functions.
+    * One narrow mapPartitions pass; segments are per-clip local.
+    */
+  def vadSegments(media: DataFrame, frameLen: Int,
+                  threshold: Long): Dataset[VadSegment] = {
+    require(frameLen > 0 && threshold >= 0, s"bad $frameLen/$threshold")
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[AudioRecord]
+      .mapPartitions { records =>
+        records.flatMap { r =>
+          val s = Wav.decode(r.payload).samples
+          val nFrames = (s.length + frameLen - 1) / frameLen
+          val out = Vector.newBuilder[VadSegment]
+          var segIdx = 0
+          var segStart = -1
+          var segEnergy = 0L
+          var segPeak = 0
+          var fi = 0
+          while (fi <= nFrames) {
+            var active = false
+            var e = 0L
+            var peak = 0
+            if (fi < nFrames) {
+              val start = fi * frameLen
+              val end = math.min(start + frameLen, s.length)
+              var i = start
+              while (i < end) {
+                val v = s(i).toInt
+                e += v.toLong * v
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                i += 1
+              }
+              active = e >= threshold
+            }
+            if (active) {
+              if (segStart < 0) { segStart = fi; segEnergy = 0L; segPeak = 0 }
+              segEnergy += e
+              if (peak > segPeak) segPeak = peak
+            } else if (segStart >= 0) {
+              out += VadSegment(r.doc_id, segIdx, segStart, fi - segStart,
+                segEnergy, segPeak)
+              segIdx += 1
+              segStart = -1
+            }
+            fi += 1
+          }
+          out.result()
+        }
+      }
+  }
+
   final case class AudioFrame(doc_id: Long, frame_idx: Int, n_samples: Int,
                               energy: Long, peak: Int)
 

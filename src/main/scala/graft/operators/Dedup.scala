@@ -972,10 +972,14 @@ object Dedup {
     * + length only — chunk BYTES never shuffle), then a groupBy on the
     * digest; at 100 TB the shuffle carries ~48 bytes per chunk.
     */
-  def cdcChunkDedup(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+  /** The chunk-extraction stage alone (doc_id, chunk_idx, chunk_md5,
+    * chunk_len) — STATELESS per document, so it runs unchanged on a
+    * Structured Streaming dataset (the online half of CDC dedup).
+    */
+  def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
     import docs.sparkSession.implicits._
-    Parallelism.ensure(docs)
+    docs
       .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
       .as[(Long, String)]
       .mapPartitions { rows =>
@@ -998,8 +1002,12 @@ object Dedup {
         }
       }
       .toDF("doc_id", "chunk_idx", "chunk_md5", "chunk_len")
+  }
+
+  def cdcChunkDedup(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    cdcChunks(Parallelism.ensure(docs), idCol, textCol)
       .groupBy("chunk_md5", "chunk_len")
       .agg(count(lit(1)).cast("long").as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"))
-  }
 }

@@ -669,6 +669,24 @@ object Multimodal {
           col("rgb_md5"), col("rgb_sum"))
     },
 
+    // VAD SEGMENTATION (q374, r14): energy-gated voice-activity cuts —
+    // the per-utterance segmentation step before any speech-model
+    // processing. The fixture plants near-silence runs ('@' → sample
+    // 64, frame energy ≈ 2.6e5 vs ≈ 7.9e9 for text) inside and after
+    // the clip, so every doc splits into multiple maximal active runs;
+    // the oracle replays frame energies and reconstructs the runs with
+    // the gaps-and-islands window idiom.
+    "q374_vad_segments" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+        .select(col("doc_id"), concat(
+          substring(col("text"), 1, 100), lit("@" * 128),
+          substring(col("text"), 101, 1000000), lit("@" * 64),
+          lit("FINAL LOUD TAIL OF THE CLIP 999")).as("text"))
+      graft.operators.Audio.vadSegments(
+        graft.operators.Audio.asAudio(docs), frameLen = 64,
+        threshold = 2000000000L).toDF()
+    },
+
     // IMA ADPCM (q370, r14): the 4-bit adaptive-delta audio codec,
     // block-independent by construction (header carries the predictor,
     // step index resets per 65-sample block — the seek property a
@@ -1443,6 +1461,39 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "q370_adpcm" -> adpcmOracle,
     "q373_oriented_phash" -> orientedPHashOracle,
+    // q374: frame energies from the planted-silence fixture, active
+    // gate at the threshold, maximal runs via gaps-and-islands
+    // (grp = frame − row_number over active frames).
+    "q374_vad_segments" ->
+      """WITH s AS (SELECT doc_id,
+             substr(text, 1, 100) || repeat('@', 128) || substr(text, 101)
+               || repeat('@', 64) || 'FINAL LOUD TAIL OF THE CLIP 999' AS t
+           FROM documents WHERE length(text) > 0),
+         ix AS (SELECT doc_id, unnest(generate_series(1, length(t))) AS i, t
+                FROM s),
+         v AS (SELECT doc_id, CAST((i - 1) // 64 AS INTEGER) AS f,
+                 257 * ascii(substr(t, CAST(i AS INTEGER), 1)) - 16384 AS smp
+               FROM ix),
+         fe AS (SELECT doc_id, f,
+                  SUM(CAST(smp AS BIGINT) * smp) AS e,
+                  max(abs(smp)) AS pk
+                FROM v GROUP BY 1, 2),
+         act AS (SELECT doc_id, f, e, pk,
+                   f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+                     AS grp
+                 FROM fe WHERE e >= 2000000000),
+         seg AS (SELECT doc_id, grp, min(f) AS start_frame,
+                   count(*) AS n_frames, SUM(e) AS energy_sum,
+                   max(pk) AS peak
+                 FROM act GROUP BY 1, 2)
+         SELECT doc_id,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY start_frame) - 1 AS INTEGER) AS seg_idx,
+              CAST(start_frame AS INTEGER) AS start_frame,
+              CAST(n_frames AS INTEGER) AS n_frames,
+              CAST(energy_sum AS BIGINT) AS energy_sum,
+              CAST(peak AS INTEGER) AS peak
+         FROM seg""",
     // q372: the q339 decode chain + the arithmetic caption — pairing
     // through the tar shards must land exactly on this.
     "q372_webdataset" ->

@@ -175,4 +175,27 @@ class AudioSpec extends AnyFunSuite {
     val pcm = Wav.decode(row.getAs[Array[Byte]](1))
     assert(java.util.Arrays.equals(pcm.samples, Audio.samplesOf("hello world")))
   }
+
+  test("vadSegments: maximal active runs with exact stats") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.operators.Audio
+    // '@' -> sample 64 (near-silence); 'Z' -> sample 6746 (loud).
+    // 64-char frames: [loud][silent][loud][silent tail]
+    val text = "Z" * 64 + "@" * 128 + "Z" * 64 + "@" * 32
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val segs = Audio.vadSegments(Audio.asAudio(docs), frameLen = 64,
+      threshold = 1000000L).collect().sortBy(_.seg_idx)
+    assert(segs.length == 2, s"expected 2 segments, got ${segs.toSeq}")
+    assert(segs(0).start_frame == 0 && segs(0).n_frames == 1)
+    assert(segs(1).start_frame == 3 && segs(1).n_frames == 1)
+    val loudE = 64L * 6746L * 6746L
+    assert(segs(0).energy_sum == loudE && segs(1).energy_sum == loudE)
+    assert(segs(0).peak == 6746)
+    // an all-silent clip yields no segments
+    val none = Audio.vadSegments(
+      Audio.asAudio(Seq((2L, "@" * 100)).toDF("doc_id", "text")),
+      64, 1000000L).collect()
+    assert(none.isEmpty)
+  }
 }
