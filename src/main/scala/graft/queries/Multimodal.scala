@@ -669,6 +669,55 @@ object Multimodal {
           col("rgb_md5"), col("rgb_sum"))
     },
 
+    // SRT SUBTITLE ROUND-TRIP (q376, r14): cues by arithmetic rule →
+    // canonical SRT text (renderSrt: zero-padded HH:MM:SS,mmm stamps)
+    // → parseCues back — the caption-side grammar of a video-text
+    // pipeline, serializer AND parser under the hash.
+    "q376_srt_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      val srt = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val cues = (0 to (id % 4).toInt).map { i =>
+            graft.operators.Subtitles.Cue(id, i,
+              10000L * i + (id % 7) * 10,
+              10000L * i + (id % 7) * 10 + 900 + (i % 3) * 50,
+              s"cue $id $i")
+          }
+          (id, graft.operators.Subtitles.renderSrt(cues))
+        }.toDF("doc_id", "srt")
+      graft.operators.Subtitles.parseCues(srt).toDF()
+    },
+
+    // FRAME–CAPTION ALIGNMENT (q377, r14 — q362 ∘ q376): the video-text
+    // pairing step on real containers. Frame time spans come from the
+    // DECODED GCE delays (cumulative window sum — a delay misparse
+    // shifts every span); cues go through the SRT render+parse loop;
+    // the interval join pairs them per document. Frame content digests
+    // ride along, so decode, timing, grammar, and the overlap join are
+    // all under one hash.
+    "q377_frame_captions" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val frames = graft.operators.Gif.sampleGifFrames(
+        graft.operators.Gif.asAnimatedGifMedia(docs), stride = 1).toDF()
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val fr = frames.withColumn("f_start_ms",
+          (coalesce(sum(col("delay_cs")).over(w), lit(0)) * 10).cast("long"))
+        .withColumn("f_end_ms",
+          col("f_start_ms") + col("delay_cs").cast("long") * 10)
+      val srt = docs.select(col("doc_id")).as[Long].map { id =>
+        val cues = (0 to (id % 4).toInt).map { i =>
+          graft.operators.Subtitles.Cue(id, i, 150L * i, 150L * i + 250,
+            s"cap $id $i")
+        }
+        (id, graft.operators.Subtitles.renderSrt(cues))
+      }.toDF("doc_id", "srt")
+      val cues = graft.operators.Subtitles.parseCues(srt).toDF()
+      graft.operators.Subtitles.alignFramesToCues(fr, cues)
+    },
+
     // VAD SEGMENTATION (q374, r14): energy-gated voice-activity cuts —
     // the per-utterance segmentation step before any speech-model
     // processing. The fixture plants near-silence runs ('@' → sample
@@ -1461,6 +1510,64 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "q370_adpcm" -> adpcmOracle,
     "q373_oriented_phash" -> orientedPHashOracle,
+    // q376: the cue rule regenerated arithmetically — render+parse must
+    // land exactly on it.
+    "q376_srt_roundtrip" ->
+      """WITH c AS (SELECT doc_id,
+             unnest(generate_series(0, CAST(doc_id % 4 AS INTEGER))) AS i
+           FROM documents)
+         SELECT doc_id, CAST(i AS INTEGER) AS cue_idx,
+              CAST(10000 * i + (doc_id % 7) * 10 AS BIGINT) AS start_ms,
+              CAST(10000 * i + (doc_id % 7) * 10 + 900 + (i % 3) * 50
+                AS BIGINT) AS end_ms,
+              'cue ' || CAST(doc_id AS VARCHAR) || ' ' ||
+                CAST(i AS VARCHAR) AS caption
+         FROM c""",
+
+    // q377: frame spans from the delay rule (cumulative 100·(f+1) ms),
+    // per-frame digest from the q362 chain, cue rule regenerated, and
+    // the interval-overlap join replayed.
+    "q377_frame_captions" ->
+      s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix
+             FROM documents),
+          fr AS (SELECT doc_id, pix,
+                   unnest(generate_series(0, CAST(doc_id % 4 AS INTEGER)))
+                     AS f
+                 FROM p),
+          ix AS (SELECT doc_id, pix, f,
+                   unnest(generate_series(1, length(pix))) AS i
+                 FROM fr),
+          bv AS (SELECT doc_id, f, i,
+                   (ascii(substr(pix, CAST(i AS INTEGER), 1)) + 17 * f) % 256
+                     AS v
+                 FROM ix),
+          hx2 AS (SELECT doc_id, f, i,
+                   lpad(lower(to_hex(v)), 2, '0') ||
+                   lpad(lower(to_hex(255 - v)), 2, '0') ||
+                   lpad(lower(to_hex((v + 85) % 256)), 2, '0') AS h3
+                 FROM bv),
+          fd AS (SELECT doc_id, f,
+                   md5(string_agg(h3, '' ORDER BY i)) AS rgb_md5,
+                   CAST(100 * f * (f + 1) // 2 AS BIGINT) AS f_start_ms,
+                   CAST(100 * f * (f + 1) // 2 + 100 * (f + 1) AS BIGINT)
+                     AS f_end_ms
+                 FROM hx2 GROUP BY doc_id, f),
+          cu AS (SELECT doc_id,
+                   unnest(generate_series(0, CAST(doc_id % 4 AS INTEGER)))
+                     AS ci
+                 FROM documents),
+          cues AS (SELECT doc_id, ci,
+                     CAST(150 * ci AS BIGINT) AS start_ms,
+                     CAST(150 * ci + 250 AS BIGINT) AS end_ms,
+                     'cap ' || CAST(doc_id AS VARCHAR) || ' ' ||
+                       CAST(ci AS VARCHAR) AS caption
+                   FROM cu)
+          SELECT f.doc_id, CAST(f.f AS INTEGER) AS frame_idx,
+               CAST(c.ci AS INTEGER) AS cue_idx,
+               f.f_start_ms, f.f_end_ms, c.caption, f.rgb_md5
+          FROM fd f JOIN cues c ON c.doc_id = f.doc_id
+           AND f.f_start_ms < c.end_ms AND c.start_ms < f.f_end_ms""",
+
     // q374: frame energies from the planted-silence fixture, active
     // gate at the threshold, maximal runs via gaps-and-islands
     // (grp = frame − row_number over active frames).
