@@ -38,25 +38,35 @@ object Audio {
     /** Encode mono PCM16 samples as a canonical WAV byte stream:
       * RIFF header, 16-byte fmt chunk, data chunk (LE int16).
       */
-    def encodePcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    def encodePcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] =
+      encodePcm16N(sampleRate, 1, samples)
+
+    /** Encode interleaved PCM16 at 1 or 2 channels (stereo frames are
+      * L,R pairs per the RIFF spec).
+      */
+    def encodePcm16N(sampleRate: Int, channels: Int,
+                     interleaved: Array[Short]): Array[Byte] = {
       require(sampleRate > 0, s"bad sample rate $sampleRate")
-      val dataLen = samples.length * 2
+      require(channels == 1 || channels == 2, s"channels $channels")
+      require(interleaved.length % channels == 0,
+        s"${interleaved.length} samples not a multiple of $channels channels")
+      val dataLen = interleaved.length * 2
       val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
       bb.put("RIFF".getBytes("US-ASCII"))
       bb.putInt(36 + dataLen)
       bb.put("WAVE".getBytes("US-ASCII"))
       bb.put("fmt ".getBytes("US-ASCII"))
-      bb.putInt(16)               // PCM fmt chunk size
-      bb.putShort(1)              // audio format: PCM
-      bb.putShort(1)              // channels: mono
+      bb.putInt(16)                          // PCM fmt chunk size
+      bb.putShort(1)                         // audio format: PCM
+      bb.putShort(channels.toShort)
       bb.putInt(sampleRate)
-      bb.putInt(sampleRate * 2)   // byte rate = rate * channels * 2
-      bb.putShort(2)              // block align
-      bb.putShort(16)             // bits per sample
+      bb.putInt(sampleRate * channels * 2)   // byte rate
+      bb.putShort((channels * 2).toShort)    // block align
+      bb.putShort(16)                        // bits per sample
       bb.put("data".getBytes("US-ASCII"))
       bb.putInt(dataLen)
       var i = 0
-      while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+      while (i < interleaved.length) { bb.putShort(interleaved(i)); i += 1 }
       bb.array()
     }
 
@@ -94,9 +104,10 @@ object Audio {
             bb.getInt            // byte rate
             bb.getShort          // block align
             bits = bb.getShort & 0xffff
-            require(audioFormat == 1 && channels == 1 && bits == 16,
+            require(audioFormat == 1 && (channels == 1 || channels == 2) &&
+              bits == 16,
               s"unsupported WAV format: fmt=$audioFormat ch=$channels bits=$bits" +
-                " (this decoder handles PCM16 mono)")
+                " (this decoder handles PCM16 mono/stereo)")
             bb.position(fmtStart + len + (len & 1)) // skip extension + pad
             haveFmt = true
           case "data" =>
@@ -714,6 +725,73 @@ object Audio {
               .digest(sb.toString.getBytes("US-ASCII"))
               .map(b => f"$b%02x").mkString,
             s1, s2)
+        }
+      }
+  }
+
+  /** Attach a STEREO WAV payload per document: the left channel is the
+    * q212 sample rule, the right channel is the NEXT character's sample
+    * (last character held) — both SQL-replayable, and distinct enough
+    * that a channel-swap or de-interleave bug changes the mix.
+    */
+  def asStereoAudio(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val l = samplesOf(text)
+          val inter = new Array[Short](l.length * 2)
+          var i = 0
+          while (i < l.length) {
+            inter(2 * i) = l(i)
+            inter(2 * i + 1) = l(math.min(i + 1, l.length - 1))
+            i += 1
+          }
+          AudioMedia(id, Wav.encodePcm16N(SampleRate, 2, inter),
+            "audio/wav", SampleRate, l.length)
+        }
+      }
+      .select(col("doc_id"), col("payload"),
+        struct(col("format"), col("sample_rate"), col("n_samples")).as("meta"))
+  }
+
+  final case class Downmixed(doc_id: Long, n_samples: Int, mix_sum: Long,
+                             mix_sumsq: Long, mix_peak: Int)
+
+  /** Downmix stereo to mono — the rate/channel normalization step a
+    * speech corpus needs before training: de-interleave, m = ⌊(L+R)/2⌋
+    * (floorDiv, so the oracle's floor() over exact doubles agrees on
+    * negative sums), re-encode mono THROUGH the codec, re-decode, and
+    * emit exact integer aggregates of the second decode.
+    */
+  def downmixStereo(media: DataFrame): Dataset[Downmixed] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[AudioRecord]
+      .mapPartitions { records =>
+        records.map { r =>
+          val pcm = Wav.decode(r.payload)
+          require(pcm.channels == 2,
+            s"downmixStereo needs stereo input, got ${pcm.channels}")
+          val n = pcm.samples.length / 2
+          val mono = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            mono(i) = Math.floorDiv(
+              pcm.samples(2 * i) + pcm.samples(2 * i + 1), 2).toShort
+            i += 1
+          }
+          val back = Wav.decode(
+            Wav.encodePcm16N(pcm.sampleRate, 1, mono)).samples
+          var s1 = 0L
+          var s2 = 0L
+          var peak = 0
+          back.foreach { v =>
+            s1 += v; s2 += v.toLong * v
+            val a = math.abs(v.toInt)
+            if (a > peak) peak = a
+          }
+          Downmixed(r.doc_id, back.length, s1, s2, peak)
         }
       }
   }

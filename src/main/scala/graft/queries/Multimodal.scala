@@ -718,6 +718,19 @@ object Multimodal {
       graft.operators.Subtitles.alignFramesToCues(fr, cues)
     },
 
+    // STEREO DOWNMIX (q378, r14): the channel-normalization step —
+    // stereo WAV (left = the sample rule, right = the NEXT character's
+    // sample, so a channel swap or de-interleave bug changes the mix),
+    // m = ⌊(L+R)/2⌋ via floorDiv (negative sums round like the
+    // oracle's floor() over exact doubles), re-encoded mono THROUGH
+    // the codec and re-decoded — stereo parse, interleave order, the
+    // mix arithmetic, and the mono encode all under the hash.
+    "q378_stereo_downmix" -> { (s, d) =>
+      graft.operators.Audio.downmixStereo(
+        graft.operators.Audio.asStereoAudio(
+          Tables.documents(s, d).filter(length(col("text")) > 0))).toDF()
+    },
+
     // VAD SEGMENTATION (q374, r14): energy-gated voice-activity cuts —
     // the per-utterance segmentation step before any speech-model
     // processing. The fixture plants near-silence runs ('@' → sample
@@ -1510,6 +1523,28 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "q370_adpcm" -> adpcmOracle,
     "q373_oriented_phash" -> orientedPHashOracle,
+    // q378: L/R from the character rule, floor((l+r)/2.0) = the
+    // engine's floorDiv on negative sums, exact integer aggregates.
+    "q378_stereo_downmix" ->
+      """WITH s AS (SELECT doc_id, length(text) AS n, text FROM documents
+           WHERE length(text) > 0),
+         ix AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS i, text
+                FROM s),
+         v AS (SELECT doc_id, n,
+                 257 * ascii(substr(text, CAST(i AS INTEGER), 1)) - 16384
+                   AS l,
+                 257 * ascii(substr(text, CAST(least(i + 1, n) AS INTEGER),
+                   1)) - 16384 AS r
+               FROM ix),
+         m AS (SELECT doc_id, n,
+                 CAST(floor((l + r) / 2.0) AS BIGINT) AS mv
+               FROM v)
+         SELECT doc_id, CAST(max(n) AS INTEGER) AS n_samples,
+              CAST(SUM(mv) AS BIGINT) AS mix_sum,
+              CAST(SUM(mv * mv) AS BIGINT) AS mix_sumsq,
+              CAST(max(abs(mv)) AS INTEGER) AS mix_peak
+         FROM m GROUP BY doc_id""",
+
     // q376: the cue rule regenerated arithmetically — render+parse must
     // land exactly on it.
     "q376_srt_roundtrip" ->

@@ -77,9 +77,10 @@ class AudioSpec extends AnyFunSuite {
     val good = Wav.encodePcm16(16000, shorts(5, 6))
     assertThrows[IllegalArgumentException](Wav.decode(good.take(30)))
     assertThrows[IllegalArgumentException](Wav.decode("not a wav at all".getBytes))
-    val stereo = good.clone() // channels lives at offset 22 (LE short)
-    stereo(22) = 2
-    assertThrows[IllegalArgumentException](Wav.decode(stereo))
+    // stereo became supported in r14; 3 channels stays out of scope
+    val multi = good.clone() // channels lives at offset 22 (LE short)
+    multi(22) = 3
+    assertThrows[IllegalArgumentException](Wav.decode(multi))
   }
 
   test("sample rule: sign structure makes word boundaries zero crossings") {
@@ -197,5 +198,28 @@ class AudioSpec extends AnyFunSuite {
       Audio.asAudio(Seq((2L, "@" * 100)).toDF("doc_id", "text")),
       64, 1000000L).collect()
     assert(none.isEmpty)
+  }
+
+  test("stereo WAV: JDK parses ours; downmix matches a hand computation") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.operators.Audio
+    // JDK cross-validation of the stereo encode
+    val inter = Array[Short](100, -200, 300, -400, 32767, -32768)
+    val wav = Audio.Wav.encodePcm16N(16000, 2, inter)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getChannels == 2)
+    assert(ais.getFormat.getSampleRate == 16000f)
+    val pcm = Audio.Wav.decode(wav)
+    assert(pcm.channels == 2 && pcm.samples.toSeq == inter.toSeq)
+    // downmix floors toward negative infinity on odd negative sums
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val row = Audio.downmixStereo(Audio.asStereoAudio(docs)).collect().head
+    val a = 97 * 257 - 16384; val b = 98 * 257 - 16384
+    val m0 = Math.floorDiv(a + b, 2); val m1 = Math.floorDiv(b + b, 2)
+    assert(row.n_samples == 2)
+    assert(row.mix_sum == m0.toLong + m1)
+    assert(row.mix_peak == math.max(math.abs(m0), math.abs(m1)))
   }
 }
