@@ -156,10 +156,17 @@ object Bench {
     "q365_g711_compand", "q366_nfc_normalize", "q367_clip_preprocess",
     "q368_tiff_decode")
 
+  // The r14 third batch: CDC dedup (the blob-dedup shuffle shape), the
+  // IMA ADPCM recurrence, WebDataset tar ingest, orientation-normalized
+  // pHash pairs, frame-caption alignment, and stereo downmix.
+  private val headlineR14c = Seq("q369_cdc_dedup", "q370_adpcm",
+    "q372_webdataset", "q373_oriented_phash", "q377_frame_captions",
+    "q378_stereo_downmix")
+
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++
       headlineR10 ++ headlineR11 ++ headlineR12 ++ headlineR13 ++
-      headlineR14 ++ headlineR14b
+      headlineR14 ++ headlineR14b ++ headlineR14c
 
   /** 1/5/15-minute load averages as a JSON array ("[]" off-Linux). */
   private def loadavg(): String =

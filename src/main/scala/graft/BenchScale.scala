@@ -84,7 +84,11 @@ object BenchScale {
     // r14 second batch: the GIF and TIFF codec passes and the bilinear
     // CLIP-preprocess kernel — all narrow per-row work whose trend
     // should track the corpus linearly at any scale.
-    "q361_gif_decode", "q368_tiff_decode", "q367_clip_preprocess")
+    "q361_gif_decode", "q368_tiff_decode", "q367_clip_preprocess",
+    // r14 third batch: CDC dedup — a narrow window-hash pass then ONE
+    // digest-keyed aggregation; the shuffle carries (digest, len) only,
+    // so the trend should track total corpus bytes.
+    "q369_cdc_dedup")
 
   private def runOnce(f: => Unit, label: String): Double = {
     val t0 = System.nanoTime()

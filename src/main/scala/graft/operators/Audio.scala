@@ -112,7 +112,9 @@ object Audio {
             haveFmt = true
           case "data" =>
             require(haveFmt, "WAV data chunk before fmt")
-            require(len % 2 == 0, s"odd PCM16 data length $len")
+            require(len % (2 * channels) == 0,
+              s"PCM16 data length $len not a whole number of" +
+                s" $channels-channel frames")
             val out = new Array[Short](len / 2)
             var i = 0
             while (i < out.length) { out(i) = bb.getShort; i += 1 }
@@ -123,6 +125,20 @@ object Audio {
       }
       require(samples != null, "WAV missing data chunk")
       Pcm(sampleRate, channels, bits, samples)
+    }
+
+    /** Decode and REQUIRE mono — the guard every single-stream
+      * operator uses, so a stereo payload reaching a mono analysis
+      * fails loudly instead of silently treating interleaved L/R as
+      * one stream (stereo decode itself is supported; route stereo
+      * through [[Audio.downmixStereo]] first).
+      */
+    def decodeMono(wav: Array[Byte]): Pcm = {
+      val pcm = decode(wav)
+      require(pcm.channels == 1,
+        s"expected mono PCM, got ${pcm.channels} channels" +
+          " (downmix stereo first)")
+      pcm
     }
   }
 
@@ -192,7 +208,7 @@ object Audio {
     media.select(col("doc_id"), col("payload")).as[AudioRecord]
       .mapPartitions { records =>
         records.map { r =>
-          val pcm = Wav.decode(r.payload)
+          val pcm = Wav.decodeMono(r.payload)
           val s = pcm.samples
           var sumSq = 0L
           var zc = 0
@@ -274,7 +290,7 @@ object Audio {
     media.select(col("doc_id"), col("payload")).as[AudioRecord]
       .mapPartitions { records =>
         records.map { r =>
-          val pcm = Wav.decode(r.payload)
+          val pcm = Wav.decodeMono(r.payload)
           require(pcm.sampleRate.toLong * l % m == 0,
             s"rate ${pcm.sampleRate}·$l/$m is not integral")
           val outRate = (pcm.sampleRate.toLong * l / m).toInt
@@ -355,7 +371,7 @@ object Audio {
         var cosT: Array[Array[Int]] = null
         var sinT: Array[Array[Int]] = null
         records.flatMap { r =>
-          val pcm = Wav.decode(r.payload)
+          val pcm = Wav.decodeMono(r.payload)
           require(pcm.sampleRate.toLong * l % m == 0,
             s"rate ${pcm.sampleRate}·$l/$m is not integral")
           val outRate = (pcm.sampleRate.toLong * l / m).toInt
@@ -431,7 +447,7 @@ object Audio {
         var cosT: Array[Array[Int]] = null
         var sinT: Array[Array[Int]] = null
         records.flatMap { r =>
-          val pcm = Wav.decode(r.payload)
+          val pcm = Wav.decodeMono(r.payload)
           require(pcm.sampleRate.toLong * l % m == 0,
             s"rate ${pcm.sampleRate}·$l/$m is not integral")
           val outRate = (pcm.sampleRate.toLong * l / m).toInt
@@ -545,7 +561,7 @@ object Audio {
       .mapPartitions { records =>
         val hex = "0123456789abcdef".toCharArray
         records.map { r =>
-          val s = Wav.decode(r.payload).samples
+          val s = Wav.decodeMono(r.payload).samples
           val ub = new java.lang.StringBuilder(s.length * 2)
           val ab = new java.lang.StringBuilder(s.length * 2)
           var us = 0L
@@ -709,7 +725,7 @@ object Audio {
       .mapPartitions { records =>
         val hex = "0123456789abcdef".toCharArray
         records.map { r =>
-          val s = Wav.decode(r.payload).samples
+          val s = Wav.decodeMono(r.payload).samples
           val code = ImaAdpcm.encode(s)
           val back = ImaAdpcm.decode(code, s.length)
           val sb = new java.lang.StringBuilder(code.length * 2)
@@ -815,7 +831,7 @@ object Audio {
     media.select(col("doc_id"), col("payload")).as[AudioRecord]
       .mapPartitions { records =>
         records.flatMap { r =>
-          val s = Wav.decode(r.payload).samples
+          val s = Wav.decodeMono(r.payload).samples
           val nFrames = (s.length + frameLen - 1) / frameLen
           val out = Vector.newBuilder[VadSegment]
           var segIdx = 0
@@ -874,7 +890,7 @@ object Audio {
     media.select(col("doc_id"), col("payload")).as[AudioRecord]
       .mapPartitions { records =>
         records.flatMap { r =>
-          val s = Wav.decode(r.payload).samples
+          val s = Wav.decodeMono(r.payload).samples
           val nFrames = (s.length + frameLen - 1) / frameLen
           (0 until nFrames).iterator.map { fi =>
             val start = fi * frameLen

@@ -945,15 +945,24 @@ object Dedup {
     */
   private[graft] def cdcBoundaries(bytes: Array[Byte]): Array[Int] = {
     val out = Array.newBuilder[Int]
+    if (bytes.length < CdcWindow) return out.result()
+    val pTop = CdcPow(CdcWindow - 1)
+    // rolling form of the window hash (bit-identical to the direct
+    // sum): h(i+1) = b(i+1) + P·(h(i) − b(i−15)·P¹⁵) mod M — one
+    // mul/sub/mod per byte instead of 16.
+    var h = 0L
+    var k = 0
+    while (k < CdcWindow) {
+      h = (h + (bytes(CdcWindow - 1 - k) & 0xff) * CdcPow(k)) % CdcM
+      k += 1
+    }
     var i = CdcWindow - 1
     while (i < bytes.length - 1) { // a split after the last byte is moot
-      var h = 0L
-      var k = 0
-      while (k < CdcWindow) {
-        h = (h + (bytes(i - k) & 0xff) * CdcPow(k)) % CdcM
-        k += 1
-      }
       if (h % 64 == 63) out += i
+      // slide to end at i+1 (the final slide is unused when i+1 is the
+      // last byte, but it keeps the loop branch-free)
+      val dropped = (bytes(i - CdcWindow + 1) & 0xff) * pTop % CdcM
+      h = (((h - dropped + CdcM) % CdcM) * CdcP + (bytes(i + 1) & 0xff)) % CdcM
       i += 1
     }
     out.result()

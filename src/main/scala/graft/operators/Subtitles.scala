@@ -67,10 +67,17 @@ object Subtitles {
     out.result()
   }
 
-  /** Render cues back to canonical SRT text (the write side). */
+  /** Render cues back to canonical SRT text (the write side). Stamps
+    * are the grammar's fixed two-digit hour field, so cues at or past
+    * 100 hours are refused rather than rendered unparseable by the
+    * paired [[parseSrt]].
+    */
   def renderSrt(cues: Seq[Cue]): String = {
-    def stamp(t: Long): String =
+    def stamp(t: Long): String = {
+      require(t >= 0 && t < 100L * 3600000L,
+        s"SRT timestamp $t ms outside the 2-digit-hour grammar")
       f"${t / 3600000}%02d:${t / 60000 % 60}%02d:${t / 1000 % 60}%02d,${t % 1000}%03d"
+    }
     cues.zipWithIndex.map { case (c, i) =>
       s"${i + 1}\n${stamp(c.start_ms)} --> ${stamp(c.end_ms)}\n${c.caption}\n"
     }.mkString("\n")

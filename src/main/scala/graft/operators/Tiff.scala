@@ -289,12 +289,11 @@ object Tiff {
     if (channels == 3) dataOff += 6
     val soOff = dataOff
     if (nStrips > 1) dataOff += 4L * nStrips
-    val sbcOff = dataOff
-    if (nStrips > 2) dataOff += 4L * nStrips
-    else if (nStrips == 2) dataOff += 0 // two SHORTs fit inline as LONG? use LONG area below
-    // strip byte counts: keep it simple — always LONG; inline only if 1 strip
+    // strip byte counts: always LONG; inline only when there is 1 strip
     val sbcInline = nStrips == 1
-    val sbcOff2 = if (nStrips > 1 && nStrips <= 2) { val o = dataOff; dataOff += 4L * nStrips; o } else sbcOff
+    val sbcOff =
+      if (nStrips > 1) { val o = dataOff; dataOff += 4L * nStrips; o }
+      else 0L
     val stripDataOff = dataOff
     val stripOffsets = strips.scanLeft(stripDataOff)((acc, s) => acc + s.length)
     u16(nEntries)
@@ -313,7 +312,7 @@ object Tiff {
     entry(TSamplesPerPixel, 3, 1, channels)
     entry(TRowsPerStrip, 3, 1, RowsPerStrip)
     if (sbcInline) entry(TStripByteCounts, 4, 1, strips(0).length)
-    else entry(TStripByteCounts, 4, nStrips, sbcOff2)
+    else entry(TStripByteCounts, 4, nStrips, sbcOff)
     u32(0) // next IFD
     if (channels == 3) { u16(8); u16(8); u16(8) }
     if (nStrips > 1) stripOffsets.init.foreach(u32)

@@ -35,6 +35,9 @@ class SubtitlesSpec extends AnyFunSuite {
       Subtitles.parseSrt("1\n00:00:05,000 --> 00:00:01,000\nx\n"))
     intercept[IllegalArgumentException]( // truncated before timing
       Subtitles.parseSrt("1"))
+    intercept[IllegalArgumentException]( // 100h exceeds 2-digit hours
+      Subtitles.renderSrt(Seq(
+        Subtitles.Cue(0, 0, 100L * 3600000L, 100L * 3600000L + 1, "x"))))
   }
 
   test("alignFramesToCues: interval semantics, per-document locality") {
