@@ -745,6 +745,179 @@ object Audio {
       }
   }
 
+  /** ID3v2.3 tag + MPEG-1 Layer III frame-header metadata — the
+    * container metadata layer MP3 corpora carry (the audio analog of
+    * [[Exif]]): a curation pipeline reads title/artist/track from the
+    * tag and derives duration from the frame walk WITHOUT decoding any
+    * audio. Writer + parser per the public ID3v2.3 layout (syncsafe
+    * 28-bit tag size, 4-char frame ids, ISO-8859-1 text frames) and
+    * the MPEG audio frame header (sync, version/layer bits, bitrate
+    * and sample-rate tables, padding bit; 1152 samples per Layer III
+    * frame). The audio payload itself stays opaque — the frame walk
+    * is real, the PCM is out of scope by design (the stubbed-decode
+    * doctrine for formats whose codecs are beyond a metadata pass).
+    */
+  object Id3 {
+    private[graft] val BitrateKbps = // MPEG-1 Layer III, indices 1..14
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private[graft] val SampleRates = Array(44100, 48000, 32000)
+
+    private def syncsafe(v: Int): Array[Byte] = Array(
+      ((v >> 21) & 0x7f).toByte, ((v >> 14) & 0x7f).toByte,
+      ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+
+    final case class Tag(title: String, artist: String, album: String,
+                         track: Int)
+
+    /** Build an ID3v2.3 tag followed by `nFrames` MPEG-1 Layer III
+      * frames (header real, body opaque zeros).
+      */
+    def build(tag: Tag, bitrateIdx: Int, sampleRateIdx: Int,
+              nFrames: Int): Array[Byte] = {
+      require(bitrateIdx >= 1 && bitrateIdx <= 14, s"bitrate idx $bitrateIdx")
+      require(sampleRateIdx >= 0 && sampleRateIdx <= 2, s"rate idx $sampleRateIdx")
+      def textFrame(id: String, text: String): Array[Byte] = {
+        val body = 0.toByte +: text.getBytes("ISO-8859-1") // encoding 0
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(id.getBytes("US-ASCII"))
+        val n = body.length
+        out.write((n >> 24) & 0xff); out.write((n >> 16) & 0xff)
+        out.write((n >> 8) & 0xff); out.write(n & 0xff)
+        out.write(0); out.write(0) // frame flags
+        out.write(body, 0, body.length)
+        out.toByteArray
+      }
+      val frames = textFrame("TIT2", tag.title) ++
+        textFrame("TPE1", tag.artist) ++ textFrame("TALB", tag.album) ++
+        textFrame("TRCK", tag.track.toString)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("ID3".getBytes("US-ASCII"))
+      out.write(3); out.write(0) // v2.3.0
+      out.write(0)               // flags
+      out.write(syncsafe(frames.length))
+      out.write(frames, 0, frames.length)
+      // MPEG-1 Layer III frames: 0xFF 0xFB (sync, MPEG1, L3, no CRC)
+      val br = BitrateKbps(bitrateIdx) * 1000
+      val sr = SampleRates(sampleRateIdx)
+      val frameLen = 144 * br / sr // padding bit 0
+      (0 until nFrames).foreach { _ =>
+        val f = new Array[Byte](frameLen)
+        f(0) = 0xff.toByte
+        f(1) = 0xfb.toByte
+        f(2) = ((bitrateIdx << 4) | (sampleRateIdx << 2)).toByte
+        f(3) = 0
+        out.write(f)
+      }
+      out.toByteArray
+    }
+
+    final case class Meta(title: String, artist: String, album: String,
+                          track: Int, bitrate_kbps: Int, sample_rate: Int,
+                          n_frames: Int, total_samples: Long)
+
+    /** Parse the ID3v2 tag and walk every MPEG frame header. Throws on
+      * malformed tags, bad sync, reserved bitrate/rate indices, or a
+      * truncated final frame.
+      */
+    def parse(bytes: Array[Byte]): Meta = {
+      require(bytes.length >= 10 && bytes(0) == 'I'.toByte &&
+        bytes(1) == 'D'.toByte && bytes(2) == '3'.toByte, "no ID3v2 tag")
+      require((bytes(3) & 0xff) == 3, s"ID3v2.${bytes(3)} unsupported")
+      val tagSize = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      require(10 + tagSize <= bytes.length, "truncated ID3v2 tag")
+      var p = 10
+      var title = ""; var artist = ""; var album = ""; var track = 0
+      while (p + 10 <= 10 + tagSize &&
+        bytes(p) != 0) { // zero byte = padding area
+        val id = new String(bytes, p, 4, "US-ASCII")
+        val n = ((bytes(p + 4) & 0xff) << 24) | ((bytes(p + 5) & 0xff) << 16) |
+          ((bytes(p + 6) & 0xff) << 8) | (bytes(p + 7) & 0xff)
+        require(n >= 0 && p + 10 + n <= 10 + tagSize,
+          s"ID3 frame $id overruns the tag")
+        if (id.startsWith("T") && n >= 1) {
+          require(bytes(p + 10) == 0, s"$id: only ISO-8859-1 text supported")
+          val text = new String(bytes, p + 11, n - 1, "ISO-8859-1")
+          id match {
+            case "TIT2" => title = text
+            case "TPE1" => artist = text
+            case "TALB" => album = text
+            case "TRCK" => track = text.toInt
+            case _ => // other text frame: skip
+          }
+        }
+        p += 10 + n
+      }
+      // frame walk
+      p = 10 + tagSize
+      var nFrames = 0
+      var bitrate = -1
+      var sr = -1
+      while (p < bytes.length) {
+        require(p + 4 <= bytes.length, "truncated MPEG frame header")
+        require((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xe0) == 0xe0,
+          f"bad MPEG sync at $p: ${bytes(p)}%02x${bytes(p + 1)}%02x")
+        require((bytes(p + 1) & 0xff) == 0xfb,
+          "only MPEG-1 Layer III without CRC in scope")
+        val bIdx = (bytes(p + 2) & 0xf0) >> 4
+        val sIdx = (bytes(p + 2) & 0x0c) >> 2
+        require(bIdx >= 1 && bIdx <= 14, s"reserved bitrate index $bIdx")
+        require(sIdx <= 2, s"reserved sample-rate index $sIdx")
+        val pad = (bytes(p + 2) & 0x02) >> 1
+        val thisBr = BitrateKbps(bIdx)
+        val thisSr = SampleRates(sIdx)
+        require(bitrate < 0 || (bitrate == thisBr && sr == thisSr),
+          "VBR / mid-stream format change out of scope")
+        bitrate = thisBr; sr = thisSr
+        val frameLen = 144 * (thisBr * 1000) / thisSr + pad
+        require(p + frameLen <= bytes.length, s"truncated MPEG frame at $p")
+        p += frameLen
+        nFrames += 1
+      }
+      require(nFrames > 0, "no MPEG frames after the tag")
+      Meta(title, artist, album, track, bitrate, sr, nFrames,
+        nFrames.toLong * 1152)
+    }
+  }
+
+  /** Attach ID3v2-tagged MP3 payloads by arithmetic rule and parse
+    * them back — tag text, bitrate/rate tables, and the frame walk all
+    * under the hash.
+    */
+  def asMp3Media(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val tag = Id3.Tag(s"Title $id", s"Artist ${id % 10}",
+            s"Album ${id % 5}", (id % 20).toInt + 1)
+          val payload = Id3.build(tag,
+            bitrateIdx = (1 + id % 14).toInt,
+            sampleRateIdx = (id % 3).toInt,
+            nFrames = (1 + id % 5).toInt)
+          Multimodal.MediaRecord(id, payload)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  final case class Mp3Meta(doc_id: Long, title: String, artist: String,
+                           album: String, track: Int, bitrate_kbps: Int,
+                           sample_rate: Int, n_frames: Int,
+                           total_samples: Long)
+
+  def parseMp3Meta(media: DataFrame): Dataset[Mp3Meta] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[AudioRecord]
+      .mapPartitions { records =>
+        records.map { r =>
+          val m = Id3.parse(r.payload)
+          Mp3Meta(r.doc_id, m.title, m.artist, m.album, m.track,
+            m.bitrate_kbps, m.sample_rate, m.n_frames, m.total_samples)
+        }
+      }
+  }
+
   /** Attach a STEREO WAV payload per document: the left channel is the
     * q212 sample rule, the right channel is the NEXT character's sample
     * (last character held) — both SQL-replayable, and distinct enough

@@ -718,6 +718,17 @@ object Multimodal {
       graft.operators.Subtitles.alignFramesToCues(fr, cues)
     },
 
+    // ID3v2 + MPEG FRAME-HEADER METADATA (q379, r14): the container
+    // metadata layer MP3 corpora carry — the EXIF analog for audio.
+    // Tag text (syncsafe size, ISO-8859-1 text frames), the bitrate/
+    // sample-rate tables, and the REAL frame walk (sizes from the
+    // header arithmetic, 1152 samples per Layer III frame) are all
+    // under the hash; the PCM stays opaque by design.
+    "q379_mp3_meta" -> { (s, d) =>
+      graft.operators.Audio.parseMp3Meta(
+        graft.operators.Audio.asMp3Media(Tables.documents(s, d))).toDF()
+    },
+
     // STEREO DOWNMIX (q378, r14): the channel-normalization step —
     // stereo WAV (left = the sample rule, right = the NEXT character's
     // sample, so a channel swap or de-interleave bug changes the mix),
@@ -1523,6 +1534,30 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "q370_adpcm" -> adpcmOracle,
     "q373_oriented_phash" -> orientedPHashOracle,
+    // q379: the tag/bitrate/frame-count rule regenerated; the bitrate
+    // table is interpolated from the SAME Scala array the engine uses.
+    "q379_mp3_meta" -> {
+      val br = graft.operators.Audio.Id3.BitrateKbps.zipWithIndex
+        .filter(_._2 >= 1).map { case (v, i) => s"($i,$v)" }.mkString(", ")
+      s"""WITH br(idx, kbps) AS (VALUES $br),
+          sr(idx, rate) AS (VALUES (0,44100), (1,48000), (2,32000)),
+          d AS (SELECT doc_id,
+                  CAST(1 + doc_id % 14 AS INTEGER) AS bidx,
+                  CAST(doc_id % 3 AS INTEGER) AS sidx,
+                  CAST(1 + doc_id % 5 AS INTEGER) AS nf
+                FROM documents)
+          SELECT d.doc_id,
+               'Title ' || CAST(d.doc_id AS VARCHAR) AS title,
+               'Artist ' || CAST(d.doc_id % 10 AS VARCHAR) AS artist,
+               'Album ' || CAST(d.doc_id % 5 AS VARCHAR) AS album,
+               CAST(d.doc_id % 20 + 1 AS INTEGER) AS track,
+               CAST(br.kbps AS INTEGER) AS bitrate_kbps,
+               CAST(sr.rate AS INTEGER) AS sample_rate,
+               d.nf AS n_frames,
+               CAST(d.nf * 1152 AS BIGINT) AS total_samples
+          FROM d JOIN br ON br.idx = d.bidx JOIN sr ON sr.idx = d.sidx"""
+    },
+
     // q378: L/R from the character rule, floor((l+r)/2.0) = the
     // engine's floorDiv on negative sums, exact integer aggregates.
     "q378_stereo_downmix" ->

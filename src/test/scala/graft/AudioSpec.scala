@@ -222,4 +222,33 @@ class AudioSpec extends AnyFunSuite {
     assert(row.mix_sum == m0.toLong + m1)
     assert(row.mix_peak == math.max(math.abs(m0), math.abs(m1)))
   }
+
+  test("Id3: tag+frame roundtrip, malformed and out-of-scope fail loudly") {
+    import graft.operators.Audio.Id3
+    val tag = Id3.Tag("A Song", "Some Artist", "The Album", 7)
+    val payload = Id3.build(tag, bitrateIdx = 9, sampleRateIdx = 0,
+      nFrames = 3)
+    val m = Id3.parse(payload)
+    assert(m.title == "A Song" && m.artist == "Some Artist" &&
+      m.album == "The Album" && m.track == 7)
+    assert(m.bitrate_kbps == 128 && m.sample_rate == 44100)
+    assert(m.n_frames == 3 && m.total_samples == 3 * 1152L)
+    // truncated final frame
+    intercept[IllegalArgumentException](Id3.parse(payload.dropRight(1)))
+    // no tag
+    intercept[IllegalArgumentException](Id3.parse("MP3?".getBytes))
+    // reserved bitrate index in a frame header
+    val bad = payload.clone()
+    // find the first frame sync and zero its bitrate nibble
+    val sync = payload.indices.find(k => (payload(k) & 0xff) == 0xff &&
+      k + 1 < payload.length && (payload(k + 1) & 0xff) == 0xfb).get
+    bad(sync + 2) = (bad(sync + 2) & 0x0f).toByte // bitrate idx 0 = reserved
+    intercept[IllegalArgumentException](Id3.parse(bad))
+    // VBR (mid-stream bitrate change) refused
+    val two = Id3.build(tag, 9, 0, 2)
+    val second = two.length - (144 * 128000 / 44100)
+    val vbr = two.clone()
+    vbr(second + 2) = ((10 << 4) | 0).toByte // frame 2 at 160 kbps
+    intercept[IllegalArgumentException](Id3.parse(vbr))
+  }
 }
