@@ -161,7 +161,7 @@ object Bench {
   // pHash pairs, frame-caption alignment, and stereo downmix.
   private val headlineR14c = Seq("q369_cdc_dedup", "q370_adpcm",
     "q372_webdataset", "q373_oriented_phash", "q377_frame_captions",
-    "q378_stereo_downmix")
+    "q378_stereo_downmix", "q380_multimodal_pipeline")
 
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++

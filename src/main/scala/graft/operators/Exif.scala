@@ -368,9 +368,13 @@ object Exif {
     * differ and the pair is invisible; with it the planted twins land
     * at Hamming 0.
     */
-  def orientedPHashPairs(media: DataFrame, radius: Int = 2): DataFrame = {
+  /** Per-document orientation-NORMALIZED pHash: parse Exif, decode,
+    * upright, hash — the building block of [[orientedPHashPairs]] and
+    * the rotation-robust dedup compositions.
+    */
+  def orientedPHash(media: DataFrame): Dataset[Multimodal.PHash] = {
     import media.sparkSession.implicits._
-    val hs = media.select(col("doc_id"), col("payload"))
+    media.select(col("doc_id"), col("payload"))
       .as[Multimodal.MediaRecord]
       .mapPartitions { records =>
         records.map { r =>
@@ -381,8 +385,11 @@ object Exif {
           Multimodal.PHash(r.doc_id, b(0), b(1), b(2), b(3))
         }
       }
-    Multimodal.blockHashPairs(hs.toDF().localCheckpoint(), radius)
   }
+
+  def orientedPHashPairs(media: DataFrame, radius: Int = 2): DataFrame =
+    Multimodal.blockHashPairs(
+      orientedPHash(media).toDF().localCheckpoint(), radius)
 
   final case class Oriented(doc_id: Long, orientation: Int, make: String,
                             model: String, date_time: String, xres_num: Long,

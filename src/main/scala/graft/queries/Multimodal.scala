@@ -718,6 +718,33 @@ object Multimodal {
       graft.operators.Subtitles.alignFramesToCues(fr, cues)
     },
 
+    // MULTIMODAL CURATION PIPELINE (q380, r14 flagship composition —
+    // q373 ∘ q367): the image half of a CLIP-data curation pass, end
+    // to end on verified pieces. The oriented-pair corpus (every doc +
+    // its rotated Exif-6 twin) goes through orientation-normalized
+    // pHash; EXACT-hash dedup groups each twin with its original
+    // (keeper = min doc_id = the upright original, n_copies counts the
+    // collapse); keepers then pay the CLIP preprocess (bilinear 32×32 +
+    // center-crop 24×24) and emit the crop digest. A wrong upright
+    // transform, hash, group, keeper rule, or resample weight all
+    // break one hash.
+    "q380_multimodal_pipeline" -> { (s, d) =>
+      val media = graft.operators.Exif.asOrientedPairMedia(
+        Tables.documents(s, d)).localCheckpoint()
+      val hs = graft.operators.Exif.orientedPHash(media).toDF()
+      val groups = hs.groupBy("b0", "b1", "b2", "b3")
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).cast("long").as("n_copies"))
+      val keepers = groups.join(media, "doc_id")
+        .select(col("doc_id"), col("n_copies"), col("payload"))
+      graft.operators.Multimodal.clipPreprocess(
+          keepers.select("doc_id", "payload"), size = 32, crop = 24)
+        .toDF()
+        .join(keepers.select("doc_id", "n_copies"), "doc_id")
+        .select(col("doc_id"), col("n_copies"), col("out_w"), col("out_h"),
+          col("rgb_md5"), col("rgb_sum"))
+    },
+
     // ID3v2 + MPEG FRAME-HEADER METADATA (q379, r14): the container
     // metadata layer MP3 corpora carry — the EXIF analog for audio.
     // Tag text (syncsafe size, ISO-8859-1 text frames), the bitrate/
@@ -1451,14 +1478,20 @@ object Multimodal {
     * contract, then the all-pairs Hamming shortcut. A wrong upright
     * transform in the engine breaks the twin rows' hash equality.
     */
-  private def orientedPHashOracle: String = {
+  /** The oriented-fixture CTE chain shared by q373 and q380: the
+    * UPRIGHT image's per-block 4:4:4 chroma rule (yv = b, cbv = 255−b,
+    * crv = (b+85)%256) through the JFIF equations (`rgbq`), luma,
+    * 32×32 grid, integer DCT, median bits → `blocks0`
+    * (doc_id, b0..b3), plus `p` (doc_id, bt) and `rgbq` for reuse.
+    */
+  private def orientedCtes: String = {
     def clamp(e: String) = s"LEAST(255, GREATEST(0, CAST(floor($e) AS INTEGER)))"
     val rExpr = clamp("yv + 1.402*(crv - 128) + 0.5")
     val gExpr = clamp("yv - 0.344136*(cbv - 128) - 0.714136*(crv - 128) + 0.5")
     val bExpr = clamp("yv + 1.772*(cbv - 128) + 0.5")
     val ctValues = (for { u <- 0 until 8; k <- 0 until 32 } yield
       s"($u,$k,${graft.operators.Multimodal.PHashCos(u)(k)})").mkString(", ")
-    s"""WITH p AS (SELECT doc_id,
+    s"""p AS (SELECT doc_id,
              rpad(text, CAST(greatest(CAST(ceil(length(text) / 16.0)
                AS BIGINT), 1) * 16 AS INTEGER), '.') AS bt
            FROM documents),
@@ -1519,7 +1552,16 @@ object Multimodal {
               ELSE 0 END) AS INTEGER) AS b2,
             CAST(SUM(CASE WHEN kk // 16 = 3 THEN b << (kk % 16)
               ELSE 0 END) AS INTEGER) AS b3
-          FROM bits GROUP BY doc_id),
+          FROM bits GROUP BY doc_id)"""
+  }
+
+  /** q373's oracle: the UPRIGHT image's pHash chain, with the twin ids
+    * carrying the SAME blocks by the normalization contract, then the
+    * all-pairs Hamming shortcut. A wrong upright transform in the
+    * engine breaks the twin rows' hash equality.
+    */
+  private def orientedPHashOracle: String =
+    s"""WITH $orientedCtes,
         blocks AS (SELECT doc_id, b0, b1, b2, b3 FROM blocks0
                    UNION ALL
                    SELECT doc_id + 200000, b0, b1, b2, b3 FROM blocks0),
@@ -1529,11 +1571,81 @@ object Multimodal {
                    AS INTEGER) AS hamming
                FROM blocks a JOIN blocks b ON a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, hamming FROM pp WHERE hamming <= 2"""
-  }
+
+  /** q380's oracle: exact-hash groups over the twin-extended corpus
+    * (keeper = min doc_id = the upright original; n_copies counts the
+    * collapse, 2 per group barring cross-doc 64-bit collisions), then
+    * the bilinear 32×32 + 24×24-crop chain over the keeper's per-block
+    * color rule — the q367 replay with `rgbq` swapped in.
+    */
+  private def multimodalPipelineOracle: String =
+    s"""WITH $orientedCtes,
+        corpus2 AS (SELECT doc_id, b0, b1, b2, b3 FROM blocks0
+                    UNION ALL
+                    SELECT doc_id + 200000, b0, b1, b2, b3 FROM blocks0),
+        grp AS (SELECT min(doc_id) AS doc_id,
+                  CAST(count(*) AS BIGINT) AS n_copies
+                FROM corpus2 GROUP BY b0, b1, b2, b3),
+        dims AS (SELECT doc_id, length(bt) // 8 AS R FROM p),
+        gy AS (SELECT doc_id, R, unnest(generate_series(4, 27)) AS ry
+               FROM dims),
+        g AS (SELECT doc_id, R, ry, unnest(generate_series(4, 27)) AS rx
+              FROM gy),
+        pos AS (SELECT doc_id, R, ry, rx,
+                  (2 * ry + 1) * 32 * R - 128 AS fy,
+                  (2 * rx + 1) * 256 - 128 AS fx
+                FROM g),
+        nb AS (SELECT doc_id, R, ry, rx,
+                 ((fy + 256) // 256) - 1 AS y0, fy - (((fy + 256) // 256) - 1)
+                   * 256 AS wy,
+                 fx // 256 AS x0, fx - (fx // 256) * 256 AS wx
+               FROM pos),
+        cl AS (SELECT doc_id, ry, rx, wy, wx,
+                 greatest(0, least(y0, 8 * R - 1)) AS y0c,
+                 greatest(0, least(y0 + 1, 8 * R - 1)) AS y1c,
+                 least(x0, 63) AS x0c, least(x0 + 1, 63) AS x1c
+               FROM nb),
+        px AS (SELECT c.doc_id, c.ry, c.rx,
+                 ((256 - c.wx) * (256 - c.wy) * b00.rr
+                  + c.wx * (256 - c.wy) * b10.rr
+                  + (256 - c.wx) * c.wy * b01.rr
+                  + c.wx * c.wy * b11.rr) // 65536 AS vr,
+                 ((256 - c.wx) * (256 - c.wy) * b00.gg
+                  + c.wx * (256 - c.wy) * b10.gg
+                  + (256 - c.wx) * c.wy * b01.gg
+                  + c.wx * c.wy * b11.gg) // 65536 AS vg,
+                 ((256 - c.wx) * (256 - c.wy) * b00.bb
+                  + c.wx * (256 - c.wy) * b10.bb
+                  + (256 - c.wx) * c.wy * b01.bb
+                  + c.wx * c.wy * b11.bb) // 65536 AS vb
+               FROM cl c
+               JOIN rgbq b00 ON b00.doc_id = c.doc_id
+                 AND b00.br = c.y0c // 8 AND b00.bc = c.x0c // 8
+               JOIN rgbq b10 ON b10.doc_id = c.doc_id
+                 AND b10.br = c.y0c // 8 AND b10.bc = c.x1c // 8
+               JOIN rgbq b01 ON b01.doc_id = c.doc_id
+                 AND b01.br = c.y1c // 8 AND b01.bc = c.x0c // 8
+               JOIN rgbq b11 ON b11.doc_id = c.doc_id
+                 AND b11.br = c.y1c // 8 AND b11.bc = c.x1c // 8),
+        hx2 AS (SELECT doc_id, ry, rx,
+                  lpad(lower(to_hex(vr)), 2, '0') ||
+                  lpad(lower(to_hex(vg)), 2, '0') ||
+                  lpad(lower(to_hex(vb)), 2, '0') AS h3,
+                  vr + vg + vb AS s3
+                FROM px),
+        img3 AS (SELECT doc_id,
+                   string_agg(h3, '' ORDER BY ry, rx) AS hexpix,
+                   SUM(s3) AS total
+                 FROM hx2 GROUP BY doc_id)
+        SELECT gr.doc_id, gr.n_copies, 24 AS out_w, 24 AS out_h,
+             md5(i.hexpix) AS rgb_md5, CAST(i.total AS BIGINT) AS rgb_sum
+        FROM grp gr JOIN img3 i ON i.doc_id = gr.doc_id"""
+
 
   val oracles: Map[String, String] = Map(
     "q370_adpcm" -> adpcmOracle,
     "q373_oriented_phash" -> orientedPHashOracle,
+    "q380_multimodal_pipeline" -> multimodalPipelineOracle,
     // q379: the tag/bitrate/frame-count rule regenerated; the bitrate
     // table is interpolated from the SAME Scala array the engine uses.
     "q379_mp3_meta" -> {
