@@ -756,6 +756,31 @@ object Multimodal {
         graft.operators.Audio.asMp3Media(Tables.documents(s, d))).toDF()
     },
 
+    // STREAMING G.711 TRANSCODE (q381, r14): the online half of the
+    // telephony-ingest path — WAV payloads land as files, Structured
+    // Streaming tails them, and the SAME g711Compand mapPartitions
+    // pass (stateless) emits per-clip code digests exactly-once into a
+    // parquet sink; the sink must equal the batch rows bit for bit
+    // (the q360/q375 ingest-parity doctrine on the audio family).
+    "q381_g711_stream" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val base = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/g711_stream")
+      graft.operators.Audio.asAudio(
+          Tables.documents(s, d).filter(length(col("text")) > 0))
+        .select("doc_id", "payload")
+        .write.mode("overwrite").parquet(s"$base/in")
+      val in = s.readStream.schema("doc_id LONG, payload BINARY")
+        .parquet(s"$base/in")
+      val coded = graft.operators.Audio.g711Compand(in).toDF()
+      val q = coded.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.schema(coded.schema).parquet(s"$base/out")
+    },
+
     // STEREO DOWNMIX (q378, r14): the channel-normalization step —
     // stereo WAV (left = the sample rule, right = the NEXT character's
     // sample, so a channel swap or de-interleave bug changes the mix),
@@ -1850,6 +1875,9 @@ object Multimodal {
     "q367_clip_preprocess" -> clipPreprocessOracle,
     "q364_audio_cepstra" -> audioCepstraOracle,
     "q365_g711_compand" -> g711Oracle,
+    // q381: the streaming transcode must land exactly the batch rows —
+    // the oracle IS q365's.
+    "q381_g711_stream" -> g711Oracle,
     "q211_image_patches" -> patchOracle,
     "q350_png_color" -> pngColorOracle(),
     // q359: interlaced storage decodes to the SAME RGB — the oracle is
