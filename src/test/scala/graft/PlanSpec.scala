@@ -571,4 +571,22 @@ test("q326: JPEG decode is one narrow codec pass — no shuffle, no join") {
     assert(!plan.contains("Window"), plan.take(1200))
     assert(!plan.contains("Join"), plan.take(1200))
   }
+
+  test("q369: CDC digest rollup combines map-side (hot shared chunks collapse before the shuffle)") {
+    val plan = planOf("q369_cdc_dedup")
+    // The slogan chunks appear in EVERY document — at 100 TB those
+    // digests are hot keys. Partial + final HashAggregate around one
+    // Exchange means each task collapses its copies before shuffling,
+    // so a hot digest costs one row per task, not one per document.
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1200))
+    assert(plan.contains("Exchange"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("q380: the multimodal pipeline plans without a cartesian; dedup combines map-side") {
+    val plan = planOf("q380_multimodal_pipeline")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+  }
 }
