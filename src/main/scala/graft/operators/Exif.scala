@@ -163,7 +163,15 @@ object Exif {
         } else p += 2 + len
       }
     }
-    if (tiff == null) return None
+    if (tiff == null) None else Some(parseTiff(tiff))
+  }
+
+  /** Parse a raw TIFF byte stream (either byte order) into [[Meta]] —
+    * shared by the JPEG APP1 path and PNG's standardized eXIf chunk
+    * (which carries the TIFF bytes WITHOUT the JPEG path's
+    * Exif-plus-two-NUL prefix, per the PNG 1.2 extension spec).
+    */
+  def parseTiff(tiff: Array[Byte]): Meta = {
     require(tiff.length >= 8, "truncated TIFF header")
     val le = tiff(0) == 'I'.toByte && tiff(1) == 'I'.toByte
     require(le || (tiff(0) == 'M'.toByte && tiff(1) == 'M'.toByte),
@@ -219,7 +227,64 @@ object Exif {
     if (exifIfdOff > 0) walkIfd(exifIfdOff)
     require(orientation >= 1 && orientation <= 8,
       s"Exif orientation $orientation out of range")
-    Some(Meta(orientation, make, model, dateTime, xn, xd, px, py, le))
+    Meta(orientation, make, model, dateTime, xn, xd, px, py, le)
+  }
+
+  /** Splice an eXIf chunk (raw TIFF payload, no JPEG prefix) into a
+    * PNG immediately after IHDR. Ancillary by case, so every existing
+    * PNG reader skips it untouched.
+    */
+  def insertPngExif(png: Array[Byte], tiff: Array[Byte]): Array[Byte] = {
+    require(png.length >= 33 && (png(0) & 0xff) == 0x89 &&
+      png(1) == 'P'.toByte, "not a PNG")
+    val insertAt = 8 + 12 + 13 // signature + IHDR chunk
+    val chunk = new java.io.ByteArrayOutputStream()
+    val tag = "eXIf".getBytes("US-ASCII")
+    chunk.write((tiff.length >> 24) & 0xff); chunk.write((tiff.length >> 16) & 0xff)
+    chunk.write((tiff.length >> 8) & 0xff); chunk.write(tiff.length & 0xff)
+    chunk.write(tag, 0, 4)
+    chunk.write(tiff, 0, tiff.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tag)
+    crc.update(tiff)
+    val c = crc.getValue.toInt
+    chunk.write((c >> 24) & 0xff); chunk.write((c >> 16) & 0xff)
+    chunk.write((c >> 8) & 0xff); chunk.write(c & 0xff)
+    val body = chunk.toByteArray
+    val out = new Array[Byte](png.length + body.length)
+    System.arraycopy(png, 0, out, 0, insertAt)
+    System.arraycopy(body, 0, out, insertAt, body.length)
+    System.arraycopy(png, insertAt, out, insertAt + body.length,
+      png.length - insertAt)
+    out
+  }
+
+  /** Find and parse a PNG eXIf chunk (None when absent); chunk CRC
+    * verified — corrupt metadata fails loudly.
+    */
+  def parsePngExif(png: Array[Byte]): Option[Meta] = {
+    require(png.length >= 8 && (png(0) & 0xff) == 0x89 &&
+      png(1) == 'P'.toByte, "not a PNG")
+    var p = 8
+    while (p + 12 <= png.length) {
+      val len = ((png(p) & 0xff) << 24) | ((png(p + 1) & 0xff) << 16) |
+        ((png(p + 2) & 0xff) << 8) | (png(p + 3) & 0xff)
+      require(len >= 0 && p + 12 + len <= png.length, "truncated PNG chunk")
+      val tag = new String(png, p + 4, 4, "US-ASCII")
+      if (tag == "eXIf") {
+        val crc = new java.util.zip.CRC32()
+        crc.update(png, p + 4, 4 + len)
+        val declared = ((png(p + 8 + len) & 0xff) << 24) |
+          ((png(p + 9 + len) & 0xff) << 16) |
+          ((png(p + 10 + len) & 0xff) << 8) | (png(p + 11 + len) & 0xff)
+        require(crc.getValue.toInt == declared, "eXIf chunk CRC mismatch")
+        return Some(parseTiff(
+          java.util.Arrays.copyOfRange(png, p + 8, p + 8 + len)))
+      }
+      if (tag == "IEND") return None
+      p += 12 + len
+    }
+    None
   }
 
   /** Apply the canonical upright transform for an Exif orientation to
@@ -390,6 +455,76 @@ object Exif {
   def orientedPHashPairs(media: DataFrame, radius: Int = 2): DataFrame =
     Multimodal.blockHashPairs(
       orientedPHash(media).toDF().localCheckpoint(), radius)
+
+  /** Attach eXIf-carrying color PNGs: [[Multimodal.asColorMedia]]'s
+    * payloads (all three storage types) with the q363 tag rule spliced
+    * in as a raw-TIFF eXIf chunk — PNG's standardized metadata path
+    * since the 1.2 extension.
+    */
+  def asExifPngMedia(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    Multimodal.asColorMedia(docs)
+      .select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.doc_id
+          val meta = Meta(
+            orientation = (1 + id % 8).toInt,
+            make = s"Cam${id % 3}",
+            model = s"M-${id % 5}",
+            dateTime = f"2026:08:${1 + id % 9}%02d 00:00:00",
+            xresNum = 72 + (id % 4) * 10, xresDen = 1,
+            pixelX = 64, pixelY = 0,
+            littleEndian = id % 2 == 0)
+          // buildApp1 emits the JPEG wrapper; eXIf carries bare TIFF
+          val tiff = buildApp1(meta).drop(6)
+          Multimodal.MediaRecord(id, insertPngExif(r.payload, tiff))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  final case class OrientedPng(doc_id: Long, orientation: Int,
+                               out_width: Int, out_height: Int,
+                               rgb_md5: String, rgb_sum: Long)
+
+  /** The PNG twin of [[orientNormalized]]: parse the eXIf chunk,
+    * decode (any of the three storage types), upright, digest RGB.
+    */
+  def orientNormalizedPng(media: DataFrame): Dataset[OrientedPng] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
+      .mapPartitions { records =>
+        val hex = "0123456789abcdef".toCharArray
+        records.map { r =>
+          val o = parsePngExif(r.payload).map(_.orientation).getOrElse(1)
+          val img = Multimodal.Png.decodeColor(r.payload)
+          val n = img.width * img.height
+          val rgb = new Array[Byte](n * 3)
+          var i = 0
+          while (i < n) {
+            rgb(i * 3) = img.rgba(i * 4)
+            rgb(i * 3 + 1) = img.rgba(i * 4 + 1)
+            rgb(i * 3 + 2) = img.rgba(i * 4 + 2)
+            i += 1
+          }
+          val (ow, oh, up) = orientRgb(rgb, img.width, img.height, o)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val sb = new java.lang.StringBuilder(up.length * 2)
+          var sum = 0L
+          i = 0
+          while (i < up.length) {
+            val v = up(i) & 0xff
+            sb.append(hex(v >> 4)).append(hex(v & 0xf))
+            sum += v
+            i += 1
+          }
+          OrientedPng(r.doc_id, o, ow, oh,
+            md.digest(sb.toString.getBytes("US-ASCII"))
+              .map(b => f"$b%02x").mkString, sum)
+        }
+      }
+  }
 
   final case class Oriented(doc_id: Long, orientation: Int, make: String,
                             model: String, date_time: String, xres_num: Long,

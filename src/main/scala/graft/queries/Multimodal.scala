@@ -404,6 +404,20 @@ object Multimodal {
           col("out_width"), col("out_height"), col("rgb_md5"), col("rgb_sum"))
     },
 
+    // PNG eXIf ORIENTATION (q383, r14): PNG has carried Exif since the
+    // 1.2 extension's standardized eXIf chunk (raw TIFF, no JPEG
+    // prefix) — this is q363's contract on the PNG container: parse
+    // the chunk (CRC verified), decode any of the three storage types,
+    // apply the upright transform, digest. PNG pixels are PER-PIXEL
+    // (not block-uniform), so the oracle replays a true pixel
+    // permutation of the q350 color chain.
+    "q383_png_exif_orient" -> { (s, d) =>
+      val media = graft.operators.Exif.asExifPngMedia(Tables.documents(s, d))
+      graft.operators.Exif.orientNormalizedPng(media)
+        .select(col("doc_id"), col("orientation"), col("out_width"),
+          col("out_height"), col("rgb_md5"), col("rgb_sum"))
+    },
+
     // DCT PERCEPTUAL HASH dedup (q351, r14): pHash over decoded COLOR
     // JPEG payloads — Rec.601 integer luma, 32×32 nearest downsample,
     // scaled-INTEGER separable DCT (the 8×32 cos basis is computed
@@ -2001,6 +2015,55 @@ object Multimodal {
                md5(i.hexpix) AS rgb_md5,
                CAST(i.total AS BIGINT) AS rgb_sum
           FROM dims d JOIN img2 i ON i.doc_id = d.doc_id""",
+
+    // q383: the q350 color chain under a PER-PIXEL orientation
+    // permutation — upright position (ux, uy) pulls the stored byte at
+    // the inverse-mapped index, hex chain ordered by (uy, ux); the sum
+    // is permutation-invariant.
+    "q383_png_exif_orient" ->
+      s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix,
+             CAST(1 + doc_id % 8 AS INTEGER) AS o
+           FROM documents),
+          d AS (SELECT doc_id, pix, o, length(pix) // 64 AS H FROM p),
+          oy AS (SELECT doc_id, pix, o, H,
+                   unnest(generate_series(0,
+                     CAST(CASE WHEN o < 5 THEN H - 1 ELSE 63 END
+                       AS INTEGER))) AS uy
+                 FROM d),
+          ox AS (SELECT doc_id, pix, o, H, uy,
+                   unnest(generate_series(0,
+                     CAST(CASE WHEN o < 5 THEN 63 ELSE H - 1 END
+                       AS INTEGER))) AS ux
+                 FROM oy),
+          mp AS (SELECT doc_id, pix, o, H, uy, ux,
+                   CASE o WHEN 1 THEN ux WHEN 2 THEN 63 - ux
+                          WHEN 3 THEN 63 - ux WHEN 4 THEN ux
+                          WHEN 5 THEN uy WHEN 6 THEN uy
+                          WHEN 7 THEN 63 - uy ELSE 63 - uy END AS sx,
+                   CASE o WHEN 1 THEN uy WHEN 2 THEN uy
+                          WHEN 3 THEN H - 1 - uy WHEN 4 THEN H - 1 - uy
+                          WHEN 5 THEN ux WHEN 6 THEN H - 1 - ux
+                          WHEN 7 THEN H - 1 - ux ELSE ux END AS sy
+                 FROM ox),
+          hx3 AS (SELECT doc_id, uy, ux,
+                    ascii(substr(pix, CAST(sy * 64 + sx + 1 AS INTEGER), 1))
+                      AS v
+                  FROM mp),
+          img4 AS (SELECT doc_id,
+                     string_agg(
+                       lpad(lower(to_hex(v)), 2, '0') ||
+                       lpad(lower(to_hex(255 - v)), 2, '0') ||
+                       lpad(lower(to_hex((v + 85) % 256)), 2, '0'),
+                       '' ORDER BY uy, ux) AS hexpix,
+                     SUM(v + (255 - v) + (v + 85) % 256) AS rgbsum
+                   FROM hx3 GROUP BY doc_id)
+          SELECT d.doc_id, d.o AS orientation,
+               CAST(CASE WHEN d.o < 5 THEN 64 ELSE d.H END AS INTEGER)
+                 AS out_width,
+               CAST(CASE WHEN d.o < 5 THEN d.H ELSE 64 END AS INTEGER)
+                 AS out_height,
+               md5(i.hexpix) AS rgb_md5, CAST(i.rgbsum AS BIGINT) AS rgb_sum
+          FROM d JOIN img4 i ON i.doc_id = d.doc_id""",
 
     "q351_phash_neardup" -> pHashOracle,
     "q360_phash_stream" -> pHashStreamOracle,

@@ -130,4 +130,27 @@ class ExifSpec extends AnyFunSuite {
     assert(!rawPairs.contains((1L, 200001L)),
       "rotated twin paired without normalization - fixture not rotating")
   }
+
+  test("PNG eXIf: chunk roundtrip, CRC verified, readers skip it") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq((0L, "png exif body")).toDF("doc_id", "text")
+    val plain = graft.operators.Multimodal.asColorMedia(docs)
+      .select("doc_id", "payload").as[(Long, Array[Byte])].head()._2
+    val m = meta(le = false, o = 7).copy(pixelX = 64, pixelY = 0)
+    val tiff = Exif.buildApp1(m).drop(6)
+    val withExif = Exif.insertPngExif(plain, tiff)
+    assert(Exif.parsePngExif(withExif).contains(m))
+    assert(Exif.parsePngExif(plain).isEmpty)
+    // the decoder (and the JDK) skip the ancillary chunk untouched
+    val a = graft.operators.Multimodal.Png.decodeColor(plain)
+    val b = graft.operators.Multimodal.Png.decodeColor(withExif)
+    assert(a.rgba.toSeq == b.rgba.toSeq)
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(withExif)) != null)
+    // corrupt the chunk body: CRC must catch it
+    val bad = withExif.clone()
+    bad(8 + 25 + 8 + 4) = (bad(8 + 25 + 8 + 4) ^ 0x5a).toByte
+    intercept[IllegalArgumentException](Exif.parsePngExif(bad))
+  }
 }
