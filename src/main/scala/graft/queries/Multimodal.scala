@@ -404,6 +404,21 @@ object Multimodal {
           col("out_width"), col("out_height"), col("rgb_md5"), col("rgb_sum"))
     },
 
+    // GPS METADATA SCRUB (q384, r14): the geo-PII pass every public
+    // image corpus needs — even doc_ids carry a GPS sub-IFD (lat/lon
+    // in microdegrees); the engine records the coordinates (the audit
+    // trail), strips the block by canonical APP1 rebuild, and proves
+    // on the SCRUBBED bytes that GPS is gone, the camera tags and
+    // orientation survive, and the decoded pixels are bit-identical
+    // (the q339 digest).
+    "q384_gps_scrub" -> { (s, d) =>
+      val media = graft.operators.Exif.asGpsJpegMedia(Tables.documents(s, d))
+      graft.operators.Exif.gpsScrub(media)
+        .select(col("doc_id"), col("had_gps"), col("lat_udeg"),
+          col("lon_udeg"), col("gps_after"), col("orientation"),
+          col("rgb_md5"), col("rgb_sum"))
+    },
+
     // PNG eXIf ORIENTATION (q383, r14): PNG has carried Exif since the
     // 1.2 extension's standardized eXIf chunk (raw TIFF, no JPEG
     // prefix) — this is q363's contract on the PNG container: parse
@@ -2015,6 +2030,23 @@ object Multimodal {
                md5(i.hexpix) AS rgb_md5,
                CAST(i.total AS BIGINT) AS rgb_sum
           FROM dims d JOIN img2 i ON i.doc_id = d.doc_id""",
+
+    // q384: coordinates and flags by the parity rule; the scrubbed
+    // payload's pixels must still land exactly on the q339 chain.
+    "q384_gps_scrub" ->
+      s"""WITH ${jpegColorCtes()}
+          SELECT doc_id,
+               CAST(CASE doc_id % 2 WHEN 0 THEN 1 ELSE 0 END AS INTEGER)
+                 AS had_gps,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 90000000
+                    ELSE -1 END AS BIGINT) AS lat_udeg,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 180000000
+                    ELSE -1 END AS BIGINT) AS lon_udeg,
+               0 AS gps_after,
+               CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+               md5(hexpix) AS rgb_md5,
+               CAST(blocksum * 64 AS BIGINT) AS rgb_sum
+          FROM img""",
 
     // q383: the q350 color chain under a PER-PIXEL orientation
     // permutation — upright position (ux, uy) pulls the stored byte at

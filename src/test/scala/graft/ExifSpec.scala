@@ -153,4 +153,25 @@ class ExifSpec extends AnyFunSuite {
     bad(8 + 25 + 8 + 4) = (bad(8 + 25 + 8 + 4) ^ 0x5a).toByte
     intercept[IllegalArgumentException](Exif.parsePngExif(bad))
   }
+
+  test("GPS: build/parse roundtrip; strip removes GPS, keeps everything else") {
+    val jpeg = sampleJpeg("gps scrub body")
+    val m = meta(le = true, o = 3).copy(pixelX = 64, pixelY = 0)
+    val gps = Exif.Gps(37774900L, 122419400L)
+    val withGps = Exif.insertApp1(jpeg, Exif.buildApp1WithGps(m, gps))
+    assert(Exif.parseGps(withGps).contains(gps))
+    assert(Exif.parseExif(withGps).contains(m), "tag surface survives GPS")
+    val scrubbed = Exif.stripGps(withGps)
+    assert(Exif.parseGps(scrubbed).isEmpty, "GPS must be gone")
+    assert(Exif.parseExif(scrubbed).contains(m), "camera tags survive")
+    // pixels bit-identical through the scrub
+    val a = Jpeg.decodeColor(withGps)
+    val b = Jpeg.decodeColor(scrubbed)
+    assert(a.pixels.toSeq == b.pixels.toSeq)
+    // a GPS-free payload parses as None, and the JDK still reads the
+    // GPS-carrying one
+    assert(Exif.parseGps(Exif.insertApp1(jpeg, Exif.buildApp1(m))).isEmpty)
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(withGps)) != null)
+  }
 }
