@@ -317,7 +317,9 @@ object Gif {
           if (label == 0xf9) { // graphic control
             val sz = u8()
             require(sz == 4, s"bad GCE block size $sz")
-            u8() // packed (disposal/transparency) — no transparency in scope
+            val gcePacked = u8() // disposal/transparency flags
+            require((gcePacked & 0x01) == 0,
+              "GIF transparency out of scope — would decode to wrong RGB")
             pendingDelay = u16()
             u8() // transparent color index
             val term = u8()

@@ -174,4 +174,69 @@ class ExifSpec extends AnyFunSuite {
     assert(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(withGps)) != null)
   }
+
+  test("stripGps removes EVERY Exif APP1 — duplicate segments cannot leak GPS") {
+    val jpeg = sampleJpeg("double app1 body")
+    val m = meta(le = true, o = 1).copy(pixelX = 64, pixelY = 0)
+    val gps = Exif.Gps(10000000L, 20000000L)
+    // first APP1 WITHOUT GPS, second WITH: the naive first-only scrub
+    // would keep the GPS-carrying second segment
+    val doubled = Exif.insertApp1(
+      Exif.insertApp1(jpeg, Exif.buildApp1WithGps(m, gps)),
+      Exif.buildApp1(m))
+    val scrubbed = Exif.stripGps(doubled)
+    assert(Exif.parseGps(scrubbed).isEmpty, "GPS survived in a later APP1")
+    // exactly one APP1 remains, and the tag surface survives
+    assert(Exif.parseExif(scrubbed).contains(m))
+    val a = Jpeg.decodeColor(doubled)
+    val b = Jpeg.decodeColor(scrubbed)
+    assert(a.pixels.toSeq == b.pixels.toSeq)
+  }
+
+  test("parseGps honors S/W hemisphere refs; bad refs fail loudly") {
+    val jpeg = sampleJpeg("hemisphere body")
+    val m = meta(le = true, o = 1).copy(pixelX = 64, pixelY = 0)
+    val gps = Exif.Gps(33865100L, 151209300L)
+    val withGps = Exif.insertApp1(jpeg, Exif.buildApp1WithGps(m, gps))
+    // flip the refs in-place: N→S, E→W (2-byte inline ASCII values)
+    val flipped = withGps.clone()
+    var i = 0
+    var n = 0
+    while (i + 1 < flipped.length && n < 2) {
+      if (flipped(i) == 'N'.toByte && flipped(i + 1) == 0 && n == 0) {
+        flipped(i) = 'S'.toByte; n += 1
+      } else if (flipped(i) == 'E'.toByte && flipped(i + 1) == 0 && n == 1) {
+        flipped(i) = 'W'.toByte; n += 1
+      }
+      i += 1
+    }
+    assert(n == 2, "fixture did not locate both refs")
+    assert(Exif.parseGps(flipped).contains(
+      Exif.Gps(-33865100L, -151209300L)))
+    // garbage ref byte: loud failure, not a silent sign guess
+    val bad = withGps.clone()
+    i = 0
+    var done = false
+    while (i + 1 < bad.length && !done) {
+      if (bad(i) == 'N'.toByte && bad(i + 1) == 0) {
+        bad(i) = 'Q'.toByte; done = true
+      }
+      i += 1
+    }
+    intercept[IllegalArgumentException](Exif.parseGps(bad))
+  }
+
+  test("truncated JPEG tails fail with a descriptive require, not AIOOBE") {
+    val jpeg = sampleJpeg("truncation body")
+    val m = meta(le = true, o = 1).copy(pixelX = 64, pixelY = 0)
+    val withGps = Exif.insertApp1(
+      jpeg, Exif.buildApp1WithGps(m, Exif.Gps(1000000L, 2000000L)))
+    // cut inside the APP1 length field (marker present, length bytes gone)
+    val cut = withGps.take(4)
+    val e1 = intercept[IllegalArgumentException](Exif.parseGps(cut))
+    assert(e1.getMessage.contains("truncated"))
+    val e2 = intercept[IllegalArgumentException](Exif.stripGps(withGps.take(5)))
+    assert(e2.getMessage.contains("truncated") ||
+      e2.getMessage.contains("no Exif"))
+  }
 }

@@ -184,6 +184,20 @@ class GifSpec extends AnyFunSuite {
     assert(f1.palette.toSeq == localPal.toSeq, "local palette must win")
   }
 
+  test("GCE transparency flag is out of scope and fails loudly") {
+    val good = Gif.encode(8, 1, Multimodal.FixturePalette,
+      Seq(Gif.FrameSpec(0, 0, 8, 1, 0, interlaced = false,
+        Array.fill[Byte](8)(3))))
+    // single frame: GCE packed byte sits at header(13) + GCT(768) + 3
+    val at = 13 + 768 + 3
+    assert(good(at - 2) == 0xf9.toByte && good(at - 1) == 4 && good(at) == 0,
+      "fixture offset drifted")
+    val trans = good.clone()
+    trans(at) = (trans(at) | 0x01).toByte
+    val e = intercept[IllegalArgumentException](Gif.decode(trans))
+    assert(e.getMessage.contains("transparency"))
+  }
+
   test("malformed payloads fail loudly") {
     val good = Gif.encode(64, 1, Multimodal.FixturePalette,
       Seq(Gif.FrameSpec(0, 0, 64, 1, 0, interlaced = false,
