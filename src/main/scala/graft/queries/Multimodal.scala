@@ -176,6 +176,40 @@ object Multimodal {
             (a, x) => a + x.cast("double")), 6) + lit(0.0)).as("vec_sum"))
     },
 
+    // SafeTensors shard round-trip (q385, r15): the training-stack
+    // interchange format (u64-LE header length + JSON header + aligned
+    // tensor buffer). Ids and embeddings travel as two tensors per
+    // shard; the reader re-validates dtype/shape/offset contiguity, so
+    // a header slip, an offset overlap, or a byte-order mistake breaks
+    // the hash. float32 source ⇒ bit-exact round trip; same oracle
+    // shape as q337 (dimension-ordered fold from the source table).
+    "q385_safetensors_roundtrip" -> { (s, d) =>
+      val dir = s"/tmp/graft_io/${new java.io.File(d).getName}/safetensors"
+      graft.io.SafeTensors.write(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+      graft.io.SafeTensors.read(s, dir)
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          (round(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast("double")), 6) + lit(0.0)).as("vec_sum"))
+    },
+
+    // PDF text extraction (q386, r15): the document-modality codec
+    // story — every document rendered through OUR classic-PDF writer
+    // (6 words/line, 4 lines/page; show style doc_id%3 across
+    // Tj/TJ-with-kerns/quote-hex, FlateDecode on even ids), then
+    // extracted back by the real parser: xref walk, object grammar,
+    // page tree, content-stream text machine, WinAnsi decode. The
+    // oracle replays the layout arithmetically — a kern-rule slip, a
+    // filter bug, or a page-tree walk error breaks the hash.
+    "q386_pdf_extract" -> { (s, d) =>
+      graft.operators.Pdf.extractTexts(
+        graft.operators.Pdf.asPdfMedia(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_pages"),
+          md5(col("text")).as("text_md5"))
+    },
+
     // Schema evolution (q148): two corpus snapshots written at
     // different schema versions — v2 adds a `quality` column — read
     // back as ONE table via mergeSchema. The old snapshot's rows
@@ -2195,6 +2229,28 @@ object Multimodal {
                 x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) + 0.0
                 AS vec_sum
          FROM embeddings""",
+    // q385: same fold as q337 — the safetensors container must be
+    // value-transparent.
+    "q385_safetensors_roundtrip" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+              round(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) + 0.0
+                AS vec_sum
+         FROM embeddings""",
+    // q386: the 6-words-per-line / 4-lines-per-page layout replayed
+    // arithmetically; text = all lines joined with \n (page breaks are
+    // also line breaks), so the hash pins the extraction end to end.
+    "q386_pdf_extract" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+            l AS (SELECT doc_id, ws,
+                     CAST(ceil(len(ws) / 6.0) AS BIGINT) AS nlines FROM w)
+         SELECT doc_id,
+              CAST(ceil(nlines / 4.0) AS INTEGER) AS n_pages,
+              md5(array_to_string(list_transform(range(1, nlines + 1),
+                i -> array_to_string(ws[(i-1)*6+1 : least(i*6, len(ws))],
+                  ' ')), chr(10))) AS text_md5
+         FROM l""",
     "q148_schema_evolution" ->
       """SELECT doc_id, md5(text) AS text_md5,
               CASE WHEN doc_id % 2 = 1 THEN n_chars END AS quality
