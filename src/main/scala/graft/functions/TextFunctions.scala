@@ -94,6 +94,17 @@ object TextFunctions {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  /** Encoding repair (mojibake): undo UTF-8 text mis-decoded as
+    * CP-1252/Latin-1 and re-encoded (Ã¤-class damage, double-encoding
+    * included), leaving genuine text untouched — the cleanup real
+    * crawls need before any tokenizer. Native codegen expression;
+    * decision rule documented at [[graft.plans.NativeText]].
+    */
+  def fixEncoding(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.FixEncodingExpression(
+        org.apache.spark.sql.graft.Bridge.expression(c)))
+
   /** Whole-document fingerprint: md5 of the whitespace-normalized,
     * lower-cased text (SURVEY.md north-star "document fingerprinting").
     */

@@ -348,6 +348,111 @@ case class StripAccentsExpression(child: Expression)
     copy(child = newChild)
 }
 
+/** Mojibake repair kernel (the deterministic ftfy-core subset): detect
+  * and undo UTF-8 text that was mis-decoded as CP-1252/Latin-1 and
+  * re-encoded ("Ã¤" → "ä"), including the double-encoded form. Table
+  * driven, zero heuristics beyond the decision rule below — the same
+  * rule is replayable byte-exactly, which is what makes it safe to run
+  * unsupervised over 100 TB of crawl text.
+  *
+  * One repair round: every char must map to a byte under SLOPPY
+  * CP-1252 (the published table, [[graft.functions.Cp1252]], plus the
+  * five undefined 0x80–0x9F slots as their C1 code points — the
+  * "sloppy-windows-1252" convention mojibake actually round-trips
+  * through); the byte string must then decode as STRICT UTF-8 with at
+  * least one multibyte sequence. If any condition fails the text is
+  * returned unchanged — genuine CP-1252/Latin-1 text (a lone "é") is
+  * never valid UTF-8, so it is never touched. Rounds iterate to a
+  * fixed point (≤ 3), which unwinds double-encoding.
+  */
+object NativeText {
+
+  def fixEncodingOnce(s: String): String = {
+    var hasHigh = false
+    var i = 0
+    while (i < s.length && !hasHigh) {
+      if (s.charAt(i) >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return s // pure ASCII: nothing to repair
+    val bytes = new Array[Byte](s.length)
+    i = 0
+    while (i < s.length) {
+      val cp = s.charAt(i).toInt
+      val b =
+        if (cp >= 0x80 && cp <= 0x9f) cp // sloppy C1 fallback
+        else graft.functions.Cp1252.fromChar(cp)
+      if (b < 0) return s // not CP-1252-encodable: not this mojibake class
+      bytes(i) = b.toByte
+      i += 1
+    }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      // a successful strict decode of a string with high bytes always
+      // consumed a multibyte sequence (a lone high byte is malformed),
+      // so out != s here; returned as the repaired round
+      out
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => s
+    }
+  }
+
+  def fixEncoding(u: UTF8String): UTF8String = {
+    var cur = u.toString
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 3) {
+      val nxt = fixEncodingOnce(cur)
+      changed = nxt != cur
+      cur = nxt
+      rounds += 1
+    }
+    UTF8String.fromString(cur)
+  }
+
+  /** The CORRUPTION this kernel undoes — UTF-8 bytes mis-decoded as
+    * sloppy CP-1252 — exposed for fixtures and specs (apply N times to
+    * plant N-times-encoded mojibake).
+    */
+  private[graft] def mojibake(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    bytes.foreach { b =>
+      val v = b & 0xff
+      val cp = graft.functions.Cp1252.toChar(v)
+      sb.append((if (cp >= 0) cp else v).toChar) // sloppy C1 fallback
+    }
+    sb.toString
+  }
+}
+
+/** Encoding repair as a native codegen expression — the "clean the
+  * crawl before any tokenizer" scalar. Narrow, zero shuffle; stays
+  * inside whole-stage codegen like its NFC sibling.
+  */
+case class FixEncodingExpression(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fix_encoding_native requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fix_encoding_native"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NativeText.fixEncoding(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeText.fixEncoding($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** X5 as a Catalyst Generator: one output row per k-mer, streamed —
   * the `explode(transform(sequence(...)))` formulation materializes an
   * O(len·k) array per row first; this emits substrings lazily.
@@ -986,6 +1091,7 @@ object NativeFunctions {
     "kmers_native" -> (exprs => KmerGenerator(exprs(0), exprs(1))),
     "dot_native" -> (exprs => DotProductExpression(exprs(0), exprs(1))),
     "nfc_native" -> (exprs => NfcNormalizeExpression(exprs.head)),
+    "fix_encoding_native" -> (exprs => FixEncodingExpression(exprs.head)),
     "strip_accents_native" -> (exprs => StripAccentsExpression(exprs.head)),
     "tokens_native" -> (exprs => TokensExpression(exprs.head)),
     "avg_quality_native" -> (exprs => AvgQualityExpression(exprs.head)),
@@ -1032,6 +1138,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("nfc_native"),
       new ExpressionInfo(classOf[NfcNormalizeExpression].getName, "nfc_native"),
       (exprs: Seq[Expression]) => NfcNormalizeExpression(exprs.head)))
+    e.injectFunction((FunctionIdentifier("fix_encoding_native"),
+      new ExpressionInfo(classOf[FixEncodingExpression].getName,
+        "fix_encoding_native"),
+      (exprs: Seq[Expression]) => FixEncodingExpression(exprs.head)))
     e.injectFunction((FunctionIdentifier("strip_accents_native"),
       new ExpressionInfo(classOf[StripAccentsExpression].getName,
         "strip_accents_native"),

@@ -69,6 +69,37 @@ class NativeExprSpec extends AnyFunSuite {
     assert(got("plain ascii") == "plain ascii")
   }
 
+  test("fix_encoding_native repairs 1x and 2x mojibake, never touches clean text") {
+    NativeFunctions.register(spark)
+    import graft.plans.NativeText
+    import spark.implicits._
+    // build every string from codepoint constants (q366 doctrine)
+    val clean = "caf" + new String(Array(0xe9), 0, 1) +
+      " " + new String(Array(0xe4, 0x20ac, 0x201c), 0, 3)
+    val once = NativeText.mojibake(clean)
+    val twice = NativeText.mojibake(once)
+    assert(once != clean && twice != once, "fixture failed to corrupt")
+    val rows = Seq(clean, once, twice, "pure ascii").toDF("s")
+    rows.createOrReplaceTempView("fixenc_in")
+    val got = spark.sql(
+      "SELECT s, fix_encoding_native(s) AS f FROM fixenc_in").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got(once) == clean, "single-encoded not repaired")
+    assert(got(twice) == clean, "double-encoded not repaired")
+    assert(got(clean) == clean, "genuine non-ASCII text was damaged")
+    assert(got("pure ascii") == "pure ascii")
+    // kernel edges: a lone high char is genuine CP-1252, never touched
+    val lone = new String(Array(0xe9), 0, 1)
+    assert(NativeText.fixEncoding(
+      org.apache.spark.unsafe.types.UTF8String.fromString(lone))
+      .toString == lone)
+    // non-CP-1252-encodable chars (CJK) pass through unchanged
+    val cjk = new String(Array(0x6771, 0x4eac), 0, 2)
+    assert(NativeText.fixEncoding(
+      org.apache.spark.unsafe.types.UTF8String.fromString(cjk))
+      .toString == cjk)
+  }
+
   test("binary_quantize_native matches the HOF pack loop; empty packs to empty") {
     NativeFunctions.register(spark)
     import org.apache.spark.sql.functions._
