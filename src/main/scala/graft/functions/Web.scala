@@ -69,6 +69,118 @@ object Web {
     normalizeWhitespace(out.toString)
   }
 
+  /** The stopword list shared by the main-content classifier and its
+    * DuckDB oracle (mirrors TextFunctions' quality-score list).
+    */
+  val MainStopWords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** One segmented HTML block for main-content extraction: normalized
+    * single-line text, the summed length of its normalized `<a>`
+    * segments, its word count, and its stopword count.
+    */
+  final case class HtmlBlock(text: String, linkChars: Int, words: Int,
+                             stopwords: Int)
+
+  /** jusText/trafilatura-style block segmentation: split the page at
+    * [[BlockTags]] boundaries (script/style/comments dropped, entities
+    * decoded, other tags read as word separators), normalize each
+    * block to one line, and measure the three densities the
+    * main-content rule needs. A link spanning a block boundary counts
+    * into each block's tally for the part it covers; nested `<a>` is
+    * treated as a new segment.
+    */
+  def mainContentBlocks(html: String): Vector[HtmlBlock] = {
+    val n = html.length
+    val blocks = Vector.newBuilder[HtmlBlock]
+    val buf = new java.lang.StringBuilder()
+    val linkBuf = new java.lang.StringBuilder()
+    var linkChars = 0
+    var inLink = false
+
+    def oneLine(s: String): String = {
+      val out = new java.lang.StringBuilder(s.length)
+      var pending = false
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == ' ' || c == '\t' || c == '\r' || c == '\n') pending = true
+        else {
+          if (pending && out.length > 0) out.append(' ')
+          pending = false
+          out.append(c)
+        }
+        i += 1
+      }
+      out.toString
+    }
+
+    def endLinkSegment(): Unit = {
+      if (inLink || linkBuf.length > 0) {
+        linkChars += oneLine(linkBuf.toString).length
+        linkBuf.setLength(0)
+      }
+    }
+
+    def flush(): Unit = {
+      endLinkSegment()
+      val t = oneLine(buf.toString)
+      if (t.nonEmpty) {
+        val ws = t.split(' ')
+        val stop = ws.count(MainStopWords.contains)
+        blocks += HtmlBlock(t, linkChars, ws.length, stop)
+      }
+      buf.setLength(0)
+      linkChars = 0
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (tagNameAt(html, i) == "script") {
+          i = skipElement(html, i, "script")
+        } else if (tagNameAt(html, i) == "style") {
+          i = skipElement(html, i, "style")
+        } else {
+          val name = tagNameAt(html, i)
+          if (name == "a") {
+            endLinkSegment()
+            inLink = i + 1 < n && html.charAt(i + 1) != '/'
+          }
+          if (BlockTags.contains(name)) flush() else buf.append(' ')
+          i = skipTag(html, i)
+        }
+      } else if (c == '&') {
+        val (decoded, next) = decodeEntity(html, i)
+        buf.append(decoded)
+        if (inLink) linkBuf.append(decoded)
+        i = next
+      } else {
+        buf.append(c)
+        if (inLink) linkBuf.append(c)
+        i += 1
+      }
+    }
+    flush()
+    blocks.result()
+  }
+
+  /** The main-content classification rule — integer thresholds only,
+    * so the DuckDB oracle replays it verbatim: a block is CONTENT iff
+    * it has at least 5 words, its link density is under 1/3
+    * (3·linkChars < chars), and its stopword density is at least 1/8
+    * (8·stopwords ≥ words). Navigation/footer blocks die on length or
+    * link density; cookie banners and keyword soup die on stopword
+    * density; running prose survives.
+    */
+  def isContentBlock(b: HtmlBlock): Boolean =
+    b.words >= 5 && 3 * b.linkChars < b.text.length &&
+      8 * b.stopwords >= b.words
+
   /** Lower-cased element name of the tag opening at `i` (which must
     * point at '<'); "" when it is not a well-formed tag start.
     */

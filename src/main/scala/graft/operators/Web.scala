@@ -200,6 +200,37 @@ object Web {
       .drop("_rf_allowed")
   }
 
+  /** Main-content extraction (the jusText/trafilatura recipe, made
+    * deterministic): segment the page into blocks at block-tag
+    * boundaries, measure per-block word count / link density /
+    * stopword density, and keep only blocks passing
+    * [[graft.functions.Web.isContentBlock]]'s integer thresholds.
+    * This removes PER-PAGE boilerplate (nav, footers, cookie banners)
+    * structurally — the complement of [[lineDedup]], which removes
+    * CORPUS-frequent lines and needs a second pass over the data.
+    * Returns (id, n_blocks, n_good, main_text) with surviving blocks
+    * joined by newlines in document order.
+    *
+    * Scale shape: one narrow mapPartitions pass, no shuffle — a page's
+    * classification needs nothing beyond the page. Compose with
+    * [[lineDedup]] for template lines that survive the density rule.
+    */
+  def mainContent(pages: DataFrame, idCol: String,
+                  htmlCol: String): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col(idCol).cast("long"), col(htmlCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, html) =>
+          val blocks = graft.functions.Web.mainContentBlocks(html)
+          val good = blocks.filter(graft.functions.Web.isContentBlock)
+          (id, blocks.size, good.size, good.map(_.text).mkString("\n"))
+        }
+      }
+      .toDF(idCol, "n_blocks", "n_good", "main_text")
+  }
+
   /** Boilerplate removal by GLOBAL line frequency (the RefinedWeb /
     * FineWeb recipe): split each document into lines, count how many
     * DISTINCT documents each exact line occurs in, drop lines occurring

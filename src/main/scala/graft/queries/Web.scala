@@ -125,6 +125,45 @@ object Web {
         .select(col("doc_id"), col("clean_text"), col("n_kept"))
     },
 
+    // MAIN-CONTENT EXTRACTION (q388, r15): the jusText-style per-block
+    // classifier — every document rendered into a full page with
+    // planted boilerplate (title, nav of links, a stopword-free cookie
+    // banner, a link-heavy footer, script/style noise) around the
+    // article text as 8-word <p> blocks (doc_id%3==0 pages carry an
+    // inline link in the first paragraph). The integer rule (>=5
+    // words, link density < 1/3, stopword density >= 1/8) provably
+    // removes every planted boilerplate block while article prose
+    // survives; the oracle replays segmentation and rule arithmetic.
+    "q388_main_content" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val words = text.split(" ")
+          val paras = words.grouped(8).map(_.mkString(" ")).toVector
+          val body = paras.zipWithIndex.map { case (p, i) =>
+            if (i == 0 && id % 3 == 0) {
+              val sp = p.indexOf(' ')
+              if (sp < 0) s"""<p><a href="/w">$p</a></p>"""
+              else
+                s"""<p><a href="/w">${p.substring(0, sp)}</a>${p.substring(sp)}</p>"""
+            } else s"<p>$p</p>"
+          }.mkString("\n")
+          val html =
+            s"""<html><head><title>Doc $id</title><style>p { color: red }</style>
+               |<script>var tracker = 1;</script></head><body>
+               |<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>
+               |<div>Cookie consent banner accept decline ok</div>
+               |$body
+               |<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a> site map</footer>
+               |</body></html>""".stripMargin
+          (id, html)
+        }.toDF("doc_id", "html")
+      graft.operators.Web.mainContent(media, "doc_id", "html")
+        .select(col("doc_id"), col("n_blocks"), col("n_good"),
+          md5(col("main_text")).as("main_md5"))
+    },
+
     // Aho-Corasick blocklist sweep: K patterns in ONE automaton pass
     // per document (vs K regex scans). The oracle recomputes each
     // pattern's substring-occurrence count by replace-arithmetic —
@@ -615,6 +654,39 @@ object Web {
          FROM lines l JOIN freq f ON l.ln = f.ln
          WHERE f.nd <= 5
          GROUP BY l.doc_id""",
+    // q388: the 8-word block segmentation and the integer content rule
+    // replayed; the planted boilerplate blocks (title/nav/cookie/
+    // footer) contribute the fixed +4 to n_blocks and never to
+    // main_text (title/nav/footer die on words<5, the cookie banner on
+    // stopword density, nav/footer also on link density).
+    "q388_main_content" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+          b AS (SELECT doc_id, ws,
+                   CAST(ceil(len(ws) / 8.0) AS BIGINT) AS nblk FROM w),
+          e AS (SELECT doc_id, ws, nblk,
+                   unnest(range(1, nblk + 1)) AS i FROM b),
+          blk AS (SELECT doc_id, nblk, i,
+                   ws[(i-1)*8+1 : least(i*8, len(ws))] AS bws,
+                   CASE WHEN i = 1 AND doc_id % 3 = 0
+                        THEN length(ws[1]) ELSE 0 END AS lchars
+                FROM e),
+          g AS (SELECT doc_id, nblk, i,
+                   array_to_string(bws, ' ') AS btext,
+                   (len(bws) >= 5
+                    AND 3 * lchars < length(array_to_string(bws, ' '))
+                    AND 8 * len(list_filter(bws, x -> list_contains(
+                          ['the','a','and','of','to','in','is'], x)))
+                        >= len(bws)) AS good
+                FROM blk)
+         SELECT doc_id,
+              CAST(max(nblk) + 4 AS INTEGER) AS n_blocks,
+              CAST(coalesce(count(*) FILTER (WHERE good), 0) AS INTEGER)
+                AS n_good,
+              md5(coalesce(array_to_string(array_agg(btext ORDER BY i)
+                FILTER (WHERE good), chr(10)), '')) AS main_md5
+         FROM g GROUP BY doc_id""",
+
     "q175_pagerank" -> pageRankOracle(5),
     "q278_robots_filter" ->
       """WITH urls AS (

@@ -296,4 +296,62 @@ class WebSpec extends AnyFunSuite {
     assert(!graft.operators.Web.robotsFilter(stray, "url", rules,
       defaultAllow = false).as[(String, Boolean)].head()._2)
   }
+
+  test("mainContentBlocks: segmentation, link accounting, densities") {
+    import graft.functions.Web
+    val html =
+      """<html><head><title>My Page</title><style>p{}</style>
+        |<script>var x = '<p>not a block</p>';</script></head><body>
+        |<nav><a href="/">Home</a> <a href="/x">About us</a></nav>
+        |<p>the quick brown fox jumps over the lazy dog</p>
+        |<p>short one</p>
+        |<div><a href="/a">a link heavy block of mostly anchors</a> x</div>
+        |<p>alpha beta gamma delta epsilon zeta</p>
+        |<!-- <p>comment</p> --><footer><a href="/p">Privacy</a></footer>
+        |</body></html>""".stripMargin
+    val blocks = Web.mainContentBlocks(html)
+    val byText = blocks.map(b => b.text -> b).toMap
+    assert(blocks.map(_.text) == Vector(
+      "My Page",
+      "Home About us",
+      "the quick brown fox jumps over the lazy dog",
+      "short one",
+      "a link heavy block of mostly anchors x",
+      "alpha beta gamma delta epsilon zeta",
+      "Privacy"))
+    // link accounting: per-segment normalized lengths
+    assert(byText("Home About us").linkChars == 4 + 8)
+    assert(byText("a link heavy block of mostly anchors x").linkChars ==
+      "a link heavy block of mostly anchors".length)
+    assert(byText("the quick brown fox jumps over the lazy dog").linkChars == 0)
+    // densities
+    val prose = byText("the quick brown fox jumps over the lazy dog")
+    assert(prose.words == 9 && prose.stopwords == 2) // the x2
+    // classification: only the prose block passes all three thresholds
+    assert(blocks.filter(Web.isContentBlock).map(_.text) == Vector(
+      "the quick brown fox jumps over the lazy dog"))
+  }
+
+  test("mainContent: planted boilerplate removed, article text survives") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val html =
+      """<html><body><nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+        |<div>Cookie consent banner accept decline ok</div>
+        |<p>the data of a pipeline is moved to the warehouse</p>
+        |<footer><a href="/p">Privacy</a> <a href="/t">Terms</a> site map</footer>
+        |</body></html>""".stripMargin
+    val got = graft.operators.Web.mainContent(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect().head
+    assert(got.getInt(1) == 4) // nav, cookie, article, footer
+    assert(got.getInt(2) == 1)
+    assert(got.getString(3) ==
+      "the data of a pipeline is moved to the warehouse")
+    // a link spanning a block boundary counts into both parts
+    val spanning = "<p>one <a href='/'>two</p><p>three</a> four five</p>"
+    val b2 = graft.functions.Web.mainContentBlocks(spanning)
+    assert(b2.map(_.text) == Vector("one two", "three four five"))
+    assert(b2(0).linkChars == 3 && b2(1).linkChars == 5)
+  }
 }
