@@ -1237,4 +1237,39 @@ object Multimodal {
     */
   def pHashNearDupPairs(media: DataFrame, radius: Int = 3): DataFrame =
     blockHashPairs(pHash(media).toDF().localCheckpoint(), radius)
+
+  /** Cross-modal JOINT dedup (the LAION-style pair-curation keeper
+    * rule): an image-text pair is a duplicate if its IMAGE is a
+    * perceptual near-dup ([[pHashNearDupPairs]], Hamming ≤ `radius`)
+    * OR its CAPTION is a MinHash near-dup
+    * ([[Dedup.minhashLshPairs]], Jaccard ≥ `threshold`) of another
+    * pair's — connected components over the UNION of both pair
+    * families, so near-dup-ness is transitive ACROSS modalities
+    * (A≈B by image, B≈C by caption ⇒ {A,B,C} one cluster, one
+    * keeper). Returns one row per input pair:
+    * (doc_id, cluster_id = min id of its joint component, is_keeper).
+    *
+    * Scale shape: both pair generators are banded/blocked candidate
+    * joins (never all-pairs); the union pair set is sparse (near-dups
+    * only), and [[Dedup.connectedComponents]] iterates over exactly
+    * that sparse edge list with pointer jumping — the same shapes the
+    * single-modality dedups (q31/q351) run at corpus scale.
+    */
+  def crossModalDedup(media: DataFrame, captions: DataFrame, idCol: String,
+                      captionCol: String, radius: Int = 3,
+                      threshold: Double = 0.5): DataFrame = {
+    val imgPairs = pHashNearDupPairs(media, radius)
+      .select(col("doc_a"), col("doc_b"))
+    val capPairs = Dedup.minhashLshPairs(captions, idCol, captionCol,
+        threshold = threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val pairs = imgPairs.unionByName(capPairs).dropDuplicates()
+    val cc = Dedup.connectedComponents(pairs)
+    captions.select(col(idCol).cast("long").as("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper",
+        when(col("cluster_id") === col("doc_id"), 1).otherwise(0))
+  }
 }

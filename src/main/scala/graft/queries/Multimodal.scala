@@ -210,6 +210,41 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // CROSS-MODAL JOINT DEDUP (q389, r15 — q348's extension): one
+    // keeper per component of the UNION of image-pHash pairs and
+    // caption-MinHash pairs. The fixture plants both signals so the
+    // closure crosses modalities: every even doc gets an image twin at
+    // +100000 (one-char pixel mutation, q351's plant — pairs by IMAGE
+    // only, its caption is unrelated), every %3 doc a caption twin at
+    // +200000 (caption + ' extra' — pairs by CAPTION only, its image
+    // is the reversed text). For doc_id%6==0 all three must land in
+    // ONE cluster keyed by the original — transitive across
+    // modalities. The oracle replays the pHash block chain, the LSH
+    // funnel, and reachability (recursive CTE) from scratch.
+    "q389_joint_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val originals = docs.select(col("doc_id"),
+        col("text").as("img_text"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("caption"))
+      val imgTwins = docs.filter(col("doc_id") % 2 === 0).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(substring(col("text"), 1, 99), lit("Z"),
+          substring(col("text"), 101, 1000000)).as("img_text"),
+        concat(lit("img copy "),
+          (col("doc_id") + 100000).cast("string")).as("caption"))
+      val capTwins = docs.filter(col("doc_id") % 3 === 0).select(
+        (col("doc_id") + 200000).as("doc_id"),
+        reverse(col("text")).as("img_text"),
+        concat(array_join(slice(split(col("text"), " "), 1, 8), " "),
+          lit(" extra")).as("caption"))
+      val corpus = originals.unionByName(imgTwins).unionByName(capTwins)
+        .localCheckpoint()
+      val media = graft.operators.Jpeg.asColorJpegMedia(
+        corpus.select(col("doc_id"), col("img_text").as("text")))
+      graft.operators.Multimodal.crossModalDedup(
+        media, corpus, "doc_id", "caption")
+    },
+
     // Schema evolution (q148): two corpus snapshots written at
     // different schema versions — v2 adds a `quality` column — read
     // back as ONE table via mergeSchema. The old snapshot's rows
@@ -1186,10 +1221,15 @@ object Multimodal {
     * (doc_id, b0..b3) — over whatever `corpus` CTE precedes it.
     * Shared by q351 (pair search) and q360 (streaming parity).
     */
-  private def pHashBlockCtes: String = {
+  private def pHashBlockCtes: String = pHashBlockCtesOver("corpus")
+
+  /** [[pHashBlockCtes]] over an arbitrary (doc_id, text) CTE — q389
+    * hashes a corpus whose image text differs from its caption text.
+    */
+  private def pHashBlockCtesOver(src: String): String = {
     val ctValues = (for { u <- 0 until 8; k <- 0 until 32 } yield
       s"($u,$k,${graft.operators.Multimodal.PHashCos(u)(k)})").mkString(", ")
-    s"""${jpegColorCtes("corpus")},
+    s"""${jpegColorCtes(src)},
         lum AS (SELECT doc_id, br, bc,
                   (77 * rr + 150 * gg + 29 * bb) // 256 AS lv
                 FROM rgb),
@@ -2237,6 +2277,66 @@ object Multimodal {
                 x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) + 0.0
                 AS vec_sum
          FROM embeddings""",
+    // q389: corpus (3 families) → pHash block chain over img_text →
+    // all-pairs Hamming ≤ 3; caption LSH funnel (shared sigCtesFor) →
+    // Jaccard ≥ 0.5; union → recursive-CTE reachability → min-label
+    // clusters. Both candidate generators AND the cross-modal closure
+    // replay from scratch.
+    "q389_joint_dedup" -> {
+      s"""WITH RECURSIVE corpus AS (
+            SELECT doc_id, text AS img_text,
+                 array_to_string((string_split(text, ' '))[1:8], ' ')
+                   AS caption
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 100000,
+                 substr(text, 1, 99) || 'Z' || substr(text, 101),
+                 'img copy ' || (doc_id + 100000)
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id + 200000, reverse(text),
+                 array_to_string((string_split(text, ' '))[1:8], ' ')
+                   || ' extra'
+            FROM documents WHERE doc_id % 3 = 0),
+          icorpus AS (SELECT doc_id, img_text AS text FROM corpus),
+          ${pHashBlockCtesOver("icorpus")},
+          imgpairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM blocks a JOIN blocks b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                  bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                  <= 3),
+          capcorpus AS (SELECT doc_id, caption AS text FROM corpus),
+          ${LlmText.sigCtesFor("capcorpus", "cap")},
+          capcand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM capbands a JOIN capbands b
+                 ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id),
+          capj AS (SELECT da, db,
+                 len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))
+                   * 1.0 AS inter,
+                 len(sa.shs) + len(sb.shs) AS tot
+               FROM capcand JOIN caps2 sa ON da = sa.doc_id
+                 JOIN caps2 sb ON db = sb.doc_id),
+          cappairs AS (SELECT da, db FROM capj
+                 WHERE round(inter / (tot - inter), 4) >= 0.5),
+          allp AS (SELECT da, db FROM imgpairs
+                 UNION SELECT da, db FROM cappairs),
+          edges AS (SELECT da AS u, db AS v FROM allp
+                 UNION SELECT db, da FROM allp),
+          nodes AS (SELECT DISTINCT u FROM edges),
+          reach(u, v) AS (SELECT u, u FROM nodes
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          cl AS (SELECT u AS doc_id, min(v) AS cluster_id
+               FROM reach GROUP BY u)
+         SELECT c.doc_id,
+              coalesce(cl.cluster_id, c.doc_id) AS cluster_id,
+              CASE WHEN coalesce(cl.cluster_id, c.doc_id) = c.doc_id
+                   THEN 1 ELSE 0 END AS is_keeper
+         FROM corpus c LEFT JOIN cl ON c.doc_id = cl.doc_id"""
+    },
+
     // q386: the 6-words-per-line / 4-lines-per-page layout replayed
     // arithmetically; text = all lines joined with \n (page breaks are
     // also line breaks), so the hash pins the extraction end to end.

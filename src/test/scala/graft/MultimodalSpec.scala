@@ -363,4 +363,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException](Multimodal.resizeNearest(media, 0))
   }
+
+  test("crossModalDedup: closure crosses modalities, one keeper per component") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val t1 = "identical image body one " * 4
+    val t2 = "a completely different picture " * 4
+    val t3 = "yet another unrelated payload " * 4
+    // 1-2 pair by IMAGE (same payload), 2-3 pair by CAPTION (same
+    // text), 4 is alone — the joint component {1,2,3} exists only if
+    // the closure crosses modalities.
+    val docs = Seq((1L, t1), (2L, t1), (3L, t2), (4L, t3))
+      .toDF("doc_id", "text")
+    val media = graft.operators.Jpeg.asColorJpegMedia(docs)
+    val captions = Seq(
+      (1L, "caption one unique alpha beta gamma delta"),
+      (2L, "shared caption words here for pair test"),
+      (3L, "shared caption words here for pair test"),
+      (4L, "totally distinct words nothing in common"))
+      .toDF("doc_id", "caption")
+    val got = Multimodal.crossModalDedup(media, captions, "doc_id", "caption")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got(1L) == (1L, 1) && got(2L) == (1L, 0) && got(3L) == (1L, 0),
+      s"joint cluster wrong: $got")
+    assert(got(4L) == (4L, 1))
+  }
 }
