@@ -499,6 +499,533 @@ object Audio {
     * bounds, quantization idempotence, code monotonicity, and the
     * spec's landmark values.
     */
+  /** FLAC codec — the lossless audio analog of the PNG path, common in
+    * speech corpora. Implements the published FLAC bitstream (xiph
+    * spec / RFC 9639) for the integer-exact subset: "fLaC" marker +
+    * STREAMINFO (incl. the unencoded-PCM MD5, which the decoder
+    * VERIFIES — a built-in end-to-end check), fixed-blocking frames
+    * with CONSTANT / VERBATIM / FIXED-predictor (orders 0–4) subframes,
+    * Rice-coded residuals (both 4-bit and 5-bit parameter methods on
+    * read; partition order 0 on write), UTF-8-style coded frame
+    * numbers, CRC-8 header and CRC-16 frame checksums (verified).
+    * Mono 16-bit only; LPC subframes, wasted bits, multi-channel
+    * assignments, and unknown block-size/sample-rate codes REFUSE
+    * loudly — this decoder never guesses.
+    *
+    * No external FLAC tool exists in this container; cross-validation
+    * is via AudioSpec's byte-pinned frame (CRC constants generated
+    * independently from the polynomial definitions) plus the MD5
+    * self-check the format itself carries.
+    */
+  object Flac {
+
+    private final class BitWriter {
+      val out = new java.io.ByteArrayOutputStream()
+      private var cur = 0
+      private var nb = 0
+      def bit(b: Int): Unit = {
+        cur = (cur << 1) | (b & 1)
+        nb += 1
+        if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
+      }
+      def bits(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) { bit(((v >>> i) & 1L).toInt); i -= 1 }
+      }
+      def aligned: Boolean = nb == 0
+      def bytes: Array[Byte] = {
+        require(nb == 0, "unaligned bit stream")
+        out.toByteArray
+      }
+    }
+
+    private final class BitReader(bytes: Array[Byte], start: Int) {
+      var p: Int = start // bit position
+      def bits(n: Int): Long = {
+        var v = 0L
+        var i = 0
+        while (i < n) {
+          require(p < bytes.length * 8, "truncated FLAC bit stream")
+          v = (v << 1) | ((bytes(p >> 3) >> (7 - (p & 7))) & 1)
+          p += 1
+          i += 1
+        }
+        v
+      }
+      def unary(): Int = {
+        var q = 0
+        while (bits(1) == 0L) {
+          q += 1
+          require(q < (1 << 24), "runaway unary code (corrupt Rice stream)")
+        }
+        q
+      }
+      def align(): Unit = p = (p + 7) & ~7
+      def bytePos: Int = { require((p & 7) == 0, "not byte aligned"); p >> 3 }
+    }
+
+    /** CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — the FLAC frame
+      * header checksum.
+      */
+    private[graft] def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0
+      var i = from
+      while (i < until) {
+        crc ^= bytes(i) & 0xff
+        var b = 0
+        while (b < 8) {
+          crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+                else (crc << 1) & 0xff
+          b += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    /** CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — the FLAC
+      * whole-frame checksum.
+      */
+    private[graft] def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0
+      var i = from
+      while (i < until) {
+        crc ^= (bytes(i) & 0xff) << 8
+        var b = 0
+        while (b < 8) {
+          crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+                else (crc << 1) & 0xffff
+          b += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    /** UTF-8-style coded number (the frame-number encoding). */
+    private def writeCodedNumber(w: BitWriter, v: Long): Unit = {
+      require(v >= 0 && v < (1L << 31), s"coded number $v out of range")
+      if (v < 0x80) w.bits(v, 8)
+      else {
+        // count payload bits → continuation byte count
+        var nBytes = 2
+        while (v >= (1L << (nBytes * 5 + 1)) && nBytes < 6) nBytes += 1
+        // leading byte: nBytes ones, a zero, then the high payload bits
+        var i = 0
+        while (i < nBytes) { w.bit(1); i += 1 }
+        w.bit(0)
+        val payloadBits = 7 - nBytes + 1 - 1 // bits in the lead byte
+        w.bits(v >>> (6 * (nBytes - 1)), payloadBits)
+        var k = nBytes - 2
+        while (k >= 0) {
+          w.bits(2L, 2) // 10 continuation marker
+          w.bits((v >>> (6 * k)) & 0x3f, 6)
+          k -= 1
+        }
+      }
+    }
+
+    private def readCodedNumber(r: BitReader): Long = {
+      val first = r.bits(8).toInt
+      if ((first & 0x80) == 0) first.toLong
+      else {
+        var nBytes = 0
+        var mask = 0x80
+        while ((first & mask) != 0) { nBytes += 1; mask >>= 1 }
+        require(nBytes >= 2 && nBytes <= 7, s"bad coded-number lead $first")
+        var v = (first & (0xff >> (nBytes + 1))).toLong
+        var i = 1
+        while (i < nBytes) {
+          val cont = r.bits(8).toInt
+          require((cont & 0xc0) == 0x80, "bad coded-number continuation")
+          v = (v << 6) | (cont & 0x3f)
+          i += 1
+        }
+        v
+      }
+    }
+
+    /** Fixed-predictor residuals of order `o` over `s[from until to]`
+      * (the published order-0..4 difference polynomials).
+      */
+    private def fixedResidual(s: Array[Int], from: Int, to: Int,
+                              o: Int): Array[Long] = {
+      val out = new Array[Long](to - from - o)
+      var i = from + o
+      while (i < to) {
+        val r: Long = o match {
+          case 0 => s(i)
+          case 1 => s(i).toLong - s(i - 1)
+          case 2 => s(i).toLong - 2L * s(i - 1) + s(i - 2)
+          case 3 => s(i).toLong - 3L * s(i - 1) + 3L * s(i - 2) - s(i - 3)
+          case _ => s(i).toLong - 4L * s(i - 1) + 6L * s(i - 2) -
+            4L * s(i - 3) + s(i - 4)
+        }
+        out(i - from - o) = r
+        i += 1
+      }
+      out
+    }
+
+    private def zigzag(r: Long): Long = if (r >= 0) 2 * r else -2 * r - 1
+    private def unzigzag(u: Long): Long =
+      if ((u & 1) == 0) u >>> 1 else -((u >>> 1) + 1)
+
+    /** Smallest total-bits Rice parameter for a residual block (ties →
+      * smaller k; deterministic).
+      */
+    private def bestRiceParam(res: Array[Long]): Int = {
+      var bestK = 0
+      var bestBits = Long.MaxValue
+      var k = 0
+      while (k < 15) {
+        var bits = 0L
+        var i = 0
+        while (i < res.length) {
+          bits += (zigzag(res(i)) >>> k) + 1 + k
+          i += 1
+        }
+        if (bits < bestBits) { bestBits = bits; bestK = k }
+        k += 1
+      }
+      bestK
+    }
+
+    /** Encode mono PCM16 as a FLAC stream. Subframe choice per block:
+      * CONSTANT when all samples agree; VERBATIM when `forceVerbatim`;
+      * else the FIXED order (0–4) with the smallest total |residual|.
+      */
+    def encode(sampleRate: Int, samples: Array[Short], blockSize: Int = 4096,
+               forceVerbatim: Boolean = false): Array[Byte] = {
+      require(sampleRate > 0 && sampleRate < (1 << 20), s"rate $sampleRate")
+      require(blockSize >= 16 && blockSize <= 65535, s"blockSize $blockSize")
+      require(samples.nonEmpty, "empty sample stream")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("US-ASCII"))
+      // STREAMINFO (last-metadata flag set, type 0, length 34)
+      val si = new BitWriter
+      si.bits(1, 1); si.bits(0, 7); si.bits(34, 24)
+      si.bits(blockSize.toLong, 16) // min block size
+      si.bits(blockSize.toLong, 16) // max block size
+      si.bits(0, 24); si.bits(0, 24) // frame sizes unknown
+      si.bits(sampleRate.toLong, 20)
+      si.bits(0, 3) // channels - 1
+      si.bits(15, 5) // bits per sample - 1
+      si.bits(samples.length.toLong, 36)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val pcmBytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcmBytes(i * 2) = (samples(i) & 0xff).toByte
+        pcmBytes(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      si.bytes.foreach(b => out.write(b & 0xff))
+      out.write(md.digest(pcmBytes), 0, 16)
+
+      val sInt = samples.map(_.toInt)
+      var frameNo = 0L
+      var pos = 0
+      while (pos < samples.length) {
+        val n = math.min(blockSize, samples.length - pos)
+        val w = new BitWriter
+        w.bits(0x3ffe, 14) // sync
+        w.bits(0, 1) // reserved
+        w.bits(0, 1) // fixed blocking
+        w.bits(7, 4) // block size: 16-bit value - 1 at header end
+        w.bits(0, 4) // sample rate: from STREAMINFO
+        w.bits(0, 4) // channel assignment: mono
+        w.bits(4, 3) // sample size: 16 bits
+        w.bits(0, 1) // reserved
+        writeCodedNumber(w, frameNo)
+        w.bits(n.toLong - 1, 16)
+        val headerBytes = w.out.toByteArray
+        require(w.aligned, "frame header must be byte aligned")
+        w.bits(crc8(headerBytes, 0, headerBytes.length).toLong, 8)
+
+        // subframe header: padding 0, 6-bit type, wasted-bits 0
+        val allEqual = {
+          var eq = true
+          var j = pos + 1
+          while (eq && j < pos + n) { eq = sInt(j) == sInt(pos); j += 1 }
+          eq
+        }
+        if (allEqual) {
+          w.bits(0, 1); w.bits(0, 6); w.bits(0, 1)
+          w.bits(sInt(pos).toLong & 0xffff, 16)
+        } else if (forceVerbatim) {
+          w.bits(0, 1); w.bits(1, 6); w.bits(0, 1)
+          var j = pos
+          while (j < pos + n) { w.bits(sInt(j).toLong & 0xffff, 16); j += 1 }
+        } else {
+          val maxOrder = math.min(4, n - 1)
+          val order = (0 to maxOrder).minBy { o =>
+            fixedResidual(sInt, pos, pos + n, o).map(r => math.abs(r)).sum
+          }
+          w.bits(0, 1); w.bits(8L + order, 6); w.bits(0, 1)
+          var j = pos
+          while (j < pos + order) { w.bits(sInt(j).toLong & 0xffff, 16); j += 1 }
+          val res = fixedResidual(sInt, pos, pos + n, order)
+          val k = bestRiceParam(res)
+          w.bits(0, 2) // residual method: 4-bit Rice
+          w.bits(0, 4) // partition order 0
+          w.bits(k.toLong, 4)
+          var ri = 0
+          while (ri < res.length) {
+            val u = zigzag(res(ri))
+            val q = (u >>> k).toInt
+            var qq = 0
+            while (qq < q) { w.bit(0); qq += 1 }
+            w.bit(1)
+            w.bits(u & ((1L << k) - 1), k)
+            ri += 1
+          }
+        }
+        // byte-align with zeros, then CRC-16 of the whole frame
+        while (!w.aligned) w.bit(0)
+        val frameBytes = w.out.toByteArray
+        w.bits(crc16(frameBytes, 0, frameBytes.length).toLong, 16)
+        val full = w.bytes
+        out.write(full, 0, full.length)
+        frameNo += 1
+        pos += n
+      }
+      out.toByteArray
+    }
+
+    final case class Decoded(sampleRate: Int, nFrames: Int,
+                             samples: Array[Short])
+
+    /** Decode a FLAC stream within this codec's subset; every checksum
+      * (CRC-8, CRC-16, STREAMINFO MD5, total-sample count) is VERIFIED
+      * — corruption and out-of-scope features fail loudly.
+      */
+    def decode(flac: Array[Byte]): Decoded = {
+      require(flac.length > 42 &&
+        new String(flac, 0, 4, "US-ASCII") == "fLaC", "not a FLAC stream")
+      val r = new BitReader(flac, 32)
+      // metadata blocks: STREAMINFO first (spec), skip others
+      var last = false
+      var sampleRate = -1
+      var totalSamples = -1L
+      var declaredMd5: Array[Byte] = null
+      var first = true
+      while (!last) {
+        last = r.bits(1) == 1
+        val typ = r.bits(7).toInt
+        val len = r.bits(24).toInt
+        if (first) {
+          require(typ == 0, s"first metadata block type $typ, expected STREAMINFO")
+          require(len == 34, s"STREAMINFO length $len")
+          r.bits(16); r.bits(16); r.bits(24); r.bits(24)
+          sampleRate = r.bits(20).toInt
+          val channels = r.bits(3).toInt + 1
+          require(channels == 1, s"$channels channels out of scope (mono only)")
+          val bps = r.bits(5).toInt + 1
+          require(bps == 16, s"$bps bits/sample out of scope")
+          totalSamples = r.bits(36)
+          declaredMd5 = new Array[Byte](16)
+          var i = 0
+          while (i < 16) { declaredMd5(i) = r.bits(8).toByte; i += 1 }
+          first = false
+        } else {
+          var sk = 0
+          while (sk < len) { r.bits(8); sk += 1 } // skip block body
+        }
+      }
+      require(!first, "no STREAMINFO block")
+      val outSamples = new Array[Short](
+        { require(totalSamples <= Int.MaxValue / 2, "stream too large"); totalSamples.toInt })
+      var written = 0
+      var nFrames = 0
+      while (r.p < flac.length * 8) {
+        val frameStart = r.bytePos
+        require(r.bits(14) == 0x3ffe, "lost frame sync")
+        require(r.bits(1) == 0, "reserved bit set")
+        r.bits(1) // blocking strategy
+        val bsCode = r.bits(4).toInt
+        val srCode = r.bits(4).toInt
+        val chan = r.bits(4).toInt
+        val ssCode = r.bits(3).toInt
+        require(r.bits(1) == 0, "reserved bit set")
+        require(chan == 0, s"channel assignment $chan out of scope (mono)")
+        require(ssCode == 4, s"sample-size code $ssCode out of scope (16-bit)")
+        readCodedNumber(r)
+        val blockSize = bsCode match {
+          case 1 => 192
+          case c if c >= 2 && c <= 5 => 576 << (c - 2)
+          case 6 => r.bits(8).toInt + 1
+          case 7 => r.bits(16).toInt + 1
+          case c if c >= 8 => 256 << (c - 8)
+          case c => throw new IllegalArgumentException(s"block-size code $c")
+        }
+        srCode match {
+          case 0 => // from STREAMINFO
+          case 12 => r.bits(8)
+          case 13 | 14 => r.bits(16)
+          case c if c >= 1 && c <= 11 => // table codes: no extra bits
+          case c => throw new IllegalArgumentException(s"sample-rate code $c")
+        }
+        val headerEnd = r.bytePos
+        val declaredCrc8 = r.bits(8).toInt
+        require(crc8(flac, frameStart, headerEnd) == declaredCrc8,
+          "frame header CRC-8 mismatch")
+        // subframe
+        require(r.bits(1) == 0, "subframe padding bit set")
+        val sfType = r.bits(6).toInt
+        require(r.bits(1) == 0, "wasted bits out of scope")
+        val block = new Array[Int](blockSize)
+        def s16(v: Long): Int = (v.toInt << 16) >> 16
+        sfType match {
+          case 0 =>
+            val v = s16(r.bits(16))
+            java.util.Arrays.fill(block, v)
+          case 1 =>
+            var j = 0
+            while (j < blockSize) { block(j) = s16(r.bits(16)); j += 1 }
+          case t if t >= 8 && t <= 12 =>
+            val order = t - 8
+            require(order <= blockSize, "fixed order exceeds block")
+            var j = 0
+            while (j < order) { block(j) = s16(r.bits(16)); j += 1 }
+            val method = r.bits(2).toInt
+            require(method == 0 || method == 1,
+              s"residual method $method out of scope")
+            val pOrder = r.bits(4).toInt
+            val nPartitions = 1 << pOrder
+            require(blockSize % nPartitions == 0,
+              "partition order does not divide block size")
+            val pBits = if (method == 0) 4 else 5
+            val escape = (1 << pBits) - 1
+            var part = 0
+            var idx = order
+            while (part < nPartitions) {
+              val count =
+                if (pOrder == 0) blockSize - order
+                else if (part == 0) blockSize / nPartitions - order
+                else blockSize / nPartitions
+              val k = r.bits(pBits).toInt
+              if (k == escape) {
+                val rawBits = r.bits(5).toInt
+                var c = 0
+                while (c < count) {
+                  val raw = r.bits(rawBits)
+                  block(idx) = restoreFixed(block, idx, order,
+                    (raw << (64 - rawBits)) >> (64 - rawBits))
+                  idx += 1; c += 1
+                }
+              } else {
+                var c = 0
+                while (c < count) {
+                  val q = r.unary().toLong
+                  val rem = r.bits(k)
+                  val res = unzigzag((q << k) | rem)
+                  block(idx) = restoreFixed(block, idx, order, res)
+                  idx += 1; c += 1
+                }
+              }
+              part += 1
+            }
+          case t =>
+            throw new IllegalArgumentException(
+              s"subframe type $t out of scope (LPC not supported)")
+        }
+        r.align()
+        val frameEnd = r.bytePos
+        val declaredCrc16 = (r.bits(16)).toInt
+        require(crc16(flac, frameStart, frameEnd) == declaredCrc16,
+          "frame CRC-16 mismatch")
+        require(written + blockSize <= outSamples.length,
+          "more samples than STREAMINFO declared")
+        var j = 0
+        while (j < blockSize) {
+          outSamples(written + j) = block(j).toShort
+          j += 1
+        }
+        written += blockSize
+        nFrames += 1
+      }
+      require(written == outSamples.length,
+        s"decoded $written of ${outSamples.length} declared samples")
+      // the format's own end-to-end check: MD5 of the unencoded PCM
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val pcmBytes = new Array[Byte](outSamples.length * 2)
+      var k = 0
+      while (k < outSamples.length) {
+        pcmBytes(k * 2) = (outSamples(k) & 0xff).toByte
+        pcmBytes(k * 2 + 1) = ((outSamples(k) >> 8) & 0xff).toByte
+        k += 1
+      }
+      require(java.util.Arrays.equals(md.digest(pcmBytes), declaredMd5),
+        "STREAMINFO MD5 mismatch — decoded PCM differs from encoded PCM")
+      Decoded(sampleRate, nFrames, outSamples)
+    }
+
+    /** Reverse a fixed predictor: sample = residual + prediction from
+      * the already-restored neighbors.
+      */
+    private def restoreFixed(block: Array[Int], idx: Int, order: Int,
+                             res: Long): Int = {
+      val v: Long = order match {
+        case 0 => res
+        case 1 => res + block(idx - 1)
+        case 2 => res + 2L * block(idx - 1) - block(idx - 2)
+        case 3 => res + 3L * block(idx - 1) - 3L * block(idx - 2) +
+          block(idx - 3)
+        case _ => res + 4L * block(idx - 1) - 6L * block(idx - 2) +
+          4L * block(idx - 3) - block(idx - 4)
+      }
+      require(v >= Short.MinValue && v <= Short.MaxValue,
+        s"restored sample $v outside 16-bit range (corrupt stream)")
+      v.toInt
+    }
+  }
+
+  final case class FlacRoundtrip(doc_id: Long, n_samples: Int, n_frames: Int,
+                                 sample_sum: Long, sum_sq: Long, peak: Int)
+
+  /** FLAC round-trip features: per document, samples by the text rule
+    * (plus a planted constant tail on doc_id%5==0 so CONSTANT subframes
+    * occur), encoded through [[Flac.encode]] (VERBATIM forced on
+    * doc_id%7==0, FIXED otherwise), decoded back with every checksum
+    * verified, and reduced to exact integer aggregates the oracle
+    * replays from the rule. One narrow mapPartitions pass.
+    */
+  def flacRoundtrip(docs: DataFrame, blockSize: Int = 256): Dataset[FlacRoundtrip] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val base = samplesOf(text)
+          // tail value stays on the byte lattice (<=127·257−16384), so
+          // the oracle's integer arithmetic never sees a 16-bit wrap
+          val tail: Array[Short] =
+            if (id % 5 == 0)
+              Array.fill(300)(((id % 120) * 257 - 16384).toShort)
+            else Array.emptyShortArray
+          val s = base ++ tail
+          val payload = Flac.encode(SampleRate, s, blockSize,
+            forceVerbatim = id % 7 == 0)
+          val dec = Flac.decode(payload)
+          require(java.util.Arrays.equals(dec.samples, s),
+            s"doc $id: FLAC round trip not bit-exact")
+          var sum = 0L
+          var sumSq = 0L
+          var peak = 0
+          var i = 0
+          while (i < dec.samples.length) {
+            val v = dec.samples(i).toInt
+            sum += v
+            sumSq += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          FlacRoundtrip(id, dec.samples.length, dec.nFrames, sum, sumSq, peak)
+        }
+      }
+  }
+
   object G711 {
     private val UBias = 0x84
     private val UClip = 32635

@@ -210,6 +210,19 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // FLAC ROUND TRIP (q390, r15): the lossless-audio analog of the
+    // PNG path — text-rule samples (plus a planted constant tail on
+    // doc_id%5==0 so CONSTANT subframes occur; VERBATIM forced on
+    // doc_id%7==0, best-FIXED-order Rice frames otherwise) encoded
+    // through our own FLAC writer and decoded back with CRC-8/CRC-16/
+    // STREAMINFO-MD5 all verified. Rice residuals are integer-exact,
+    // so the oracle replays the sample values arithmetically; the
+    // aggregates (sum, sum of squares, peak, frame count) pin the
+    // round trip end to end.
+    "q390_flac_roundtrip" -> { (s, d) =>
+      graft.operators.Audio.flacRoundtrip(Tables.documents(s, d)).toDF()
+    },
+
     // CROSS-MODAL JOINT DEDUP (q389, r15 — q348's extension): one
     // keeper per component of the UNION of image-pHash pairs and
     // caption-MinHash pairs. The fixture plants both signals so the
@@ -2277,6 +2290,33 @@ object Multimodal {
                 x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) + 0.0
                 AS vec_sum
          FROM embeddings""",
+    // q390: the q129 sample rule + the planted constant tail; frames
+    // of 256 ⇒ n_frames = ceil(n/256). All aggregates exact integers.
+    "q390_flac_roundtrip" ->
+      """WITH v AS (
+           SELECT doc_id,
+                ascii(substr(text, CAST(i AS INTEGER), 1)) * 257 - 16384
+                  AS smp
+           FROM (SELECT doc_id, text,
+                    unnest(generate_series(1, length(text))) AS i
+               FROM documents WHERE length(text) > 0)
+           UNION ALL
+           SELECT doc_id,
+                CAST((doc_id % 120) * 257 - 16384 AS INTEGER) AS smp
+           FROM documents CROSS JOIN range(300)
+           WHERE doc_id % 5 = 0),
+          a AS (SELECT doc_id, count(*) AS n,
+                 sum(CAST(smp AS BIGINT)) AS ssum,
+                 sum(CAST(smp AS BIGINT) * smp) AS ssq,
+                 max(abs(smp)) AS pk
+              FROM v GROUP BY doc_id)
+         SELECT doc_id, CAST(n AS INTEGER) AS n_samples,
+              CAST(ceil(n / 256.0) AS INTEGER) AS n_frames,
+              CAST(ssum AS BIGINT) AS sample_sum,
+              CAST(ssq AS BIGINT) AS sum_sq,
+              CAST(pk AS INTEGER) AS peak
+         FROM a""",
+
     // q389: corpus (3 families) → pHash block chain over img_text →
     // all-pairs Hamming ≤ 3; caption LSH funnel (shared sigCtesFor) →
     // Jaccard ≥ 0.5; union → recursive-CTE reachability → min-label

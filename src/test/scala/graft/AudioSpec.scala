@@ -251,4 +251,95 @@ class AudioSpec extends AnyFunSuite {
     vbr(second + 2) = ((10 << 4) | 0).toByte // frame 2 at 160 kbps
     intercept[IllegalArgumentException](Id3.parse(vbr))
   }
+
+  test("FLAC: byte-pinned constant frame against independent CRC constants") {
+    import Audio.Flac
+    // 4 equal samples → one CONSTANT frame. Expected frame bytes were
+    // generated OUTSIDE the codec (python loops over the published
+    // CRC-8 0x07 / CRC-16 0x8005 polynomial definitions), so encoder
+    // and pins cannot share a bug.
+    val flac = Flac.encode(16000, Array[Short](5, 5, 5, 5), blockSize = 16)
+    // layout: fLaC(4) + streaminfo header(4) + body(34) = 42, frame after
+    assert(flac.length == 42 + 13)
+    val frame = flac.slice(42, 55).map(_ & 0xff)
+    assert(frame.toSeq == Seq(0xff, 0xf8, 0x70, 0x08, 0x00, 0x00, 0x03,
+      0x13, 0x00, 0x00, 0x05, 0x8e, 0xeb), frame.map(b => f"$b%02x").toSeq)
+    // STREAMINFO carries the true MD5 of the unencoded PCM
+    val md5Hex = flac.slice(26, 42).map(b => f"${b & 0xff}%02x").mkString
+    assert(md5Hex == "7f199e1363c4b754eb03cf4d0ba8d343")
+    val dec = Flac.decode(flac)
+    assert(dec.sampleRate == 16000 && dec.nFrames == 1)
+    assert(dec.samples.toSeq == Seq[Short](5, 5, 5, 5))
+  }
+
+  test("FLAC: round trips exactly across styles, lengths, and extremes") {
+    import Audio.Flac
+    val rng = new scala.util.Random(42)
+    val cases = Seq(
+      Array.fill(1000)((rng.nextInt(65536) - 32768).toShort), // random
+      Array.tabulate(700)(i => (i * 13 % 3000 - 1500).toShort), // ramps
+      Array.fill(512)(123.toShort), // all constant, multiple frames
+      Array[Short](Short.MinValue, Short.MaxValue, 0, -1, 1), // extremes
+      Array.tabulate(257)(i => (math.sin(i / 5.0) * 8000).toShort))
+    for (s <- cases; verbatim <- Seq(false, true)) {
+      val enc = Flac.encode(16000, s, blockSize = 256,
+        forceVerbatim = verbatim)
+      val dec = Flac.decode(enc)
+      assert(dec.samples.toSeq == s.toSeq, s"len ${s.length} vb=$verbatim")
+      assert(dec.nFrames == (s.length + 255) / 256)
+      // fixed-predictor frames beat verbatim on the smooth signals
+      if (!verbatim && s.length == 257)
+        assert(enc.length < Flac.encode(16000, s, 256,
+          forceVerbatim = true).length, "FIXED should compress the sine")
+    }
+  }
+
+  test("FLAC: corruption and out-of-scope features fail loudly") {
+    import Audio.Flac
+    val s = Array.tabulate(300)(i => (i * 7 - 1000).toShort)
+    val good = Flac.encode(16000, s, blockSize = 256)
+    // flip a residual byte: CRC-16 (or the MD5/range check) must catch it
+    val bad = good.clone()
+    bad(good.length - 5) = (bad(good.length - 5) ^ 0x40).toByte
+    intercept[Exception](Flac.decode(bad))
+    // LPC subframe type (32..63) refuses by name: patch the constant
+    // fixture's subframe header byte (offset 50, value 0x00) to type 32
+    val cflac = Flac.encode(16000, Array[Short](5, 5, 5, 5), 16)
+    val lpc = cflac.clone()
+    lpc(50) = 0x40.toByte
+    val e = intercept[IllegalArgumentException](Flac.decode(lpc))
+    assert(e.getMessage.contains("LPC"))
+    // truncation
+    intercept[IllegalArgumentException](Flac.decode(good.take(60)))
+    // not FLAC at all
+    intercept[IllegalArgumentException](
+      Flac.decode("RIFFdata".getBytes("US-ASCII")))
+    // a wrong STREAMINFO MD5 fails the end-to-end check
+    val badMd5 = cflac.clone()
+    badMd5(30) = (badMd5(30) ^ 0x01).toByte
+    val e2 = intercept[IllegalArgumentException](Flac.decode(badMd5))
+    assert(e2.getMessage.contains("MD5"))
+  }
+
+  test("flacRoundtrip: distributed op matches directly computed aggregates") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq((5L, "hello flac"), (7L, "verbatim doc body"),
+      (9L, "plain fixed one")).toDF("doc_id", "text")
+    val got = Audio.flacRoundtrip(docs).collect()
+      .map(r => r.doc_id -> r).toMap
+    // doc 5: %5==0 → 300-sample constant tail; %7!=0 → fixed frames
+    val base5 = Audio.samplesOf("hello flac")
+    assert(got(5L).n_samples == base5.length + 300)
+    assert(got(5L).n_frames == (base5.length + 300 + 255) / 256)
+    val tail5 = (5 % 120) * 257 - 16384
+    assert(got(5L).sample_sum ==
+      base5.map(_.toLong).sum + 300L * tail5)
+    // doc 7: verbatim-forced, no tail
+    val base7 = Audio.samplesOf("verbatim doc body")
+    assert(got(7L).n_samples == base7.length && got(7L).n_frames == 1)
+    assert(got(7L).sum_sq == base7.map(v => v.toLong * v).sum)
+    assert(got(9L).peak == Audio.samplesOf("plain fixed one")
+      .map(v => math.abs(v.toInt)).max)
+  }
 }
