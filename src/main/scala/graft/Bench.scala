@@ -163,10 +163,21 @@ object Bench {
     "q372_webdataset", "q373_oriented_phash", "q377_frame_captions",
     "q378_stereo_downmix", "q380_multimodal_pipeline")
 
+  /** r15 additions: PDF text extraction (writer+parser, the
+    * document-codec mapPartitions shape), jusText main-content
+    * classification, the cross-modal joint dedup (two candidate
+    * generators + connected components), the FLAC round trip (Rice
+    * coding both directions + checksums), and the safetensors shard
+    * round trip — each timed end-to-end with its fixture staging.
+    */
+  private val headlineR15 = Seq("q385_safetensors_roundtrip",
+    "q386_pdf_extract", "q388_main_content", "q389_joint_dedup",
+    "q390_flac_roundtrip", "q391_webp_roundtrip")
+
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++
       headlineR10 ++ headlineR11 ++ headlineR12 ++ headlineR13 ++
-      headlineR14 ++ headlineR14b ++ headlineR14c
+      headlineR14 ++ headlineR14b ++ headlineR14c ++ headlineR15
 
   /** 1/5/15-minute load averages as a JSON array ("[]" off-Linux). */
   private def loadavg(): String =

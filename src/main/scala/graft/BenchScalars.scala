@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
   * numbers here). Prints one JSON line; recorded in BASELINE.md.
   */
 object BenchScalars {
+
+  /** The 30 most common mojibake victims (Latin-1 letters + Windows
+    * punctuation) — the replace-tower comparator repairs exactly
+    * these; the native kernel needs no table at all.
+    */
+  private val MojChars: Seq[Char] = Seq(
+    0xe4, 0xe9, 0xe8, 0xfc, 0xf6, 0xf1, 0xf3, 0xe1, 0xe7, 0xea,
+    0xed, 0xfa, 0xe0, 0xe2, 0xee, 0xf4, 0xfb, 0xc4, 0xd6, 0xdc,
+    0x2019, 0x2018, 0x201c, 0x201d, 0x2013, 0x2014, 0x20ac, 0x2026,
+    0xab, 0xbb).map(_.toChar)
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -144,6 +155,26 @@ object BenchScalars {
         val r1 = regexp_replace(u, "#.*$", "")
         val r2 = regexp_replace(r1, "(?i)[?&](utm_[^&#]*|fbclid=[^&#]*)", "?")
         text.select(sum(length(lower(r2)))).collect()
+      },
+      // fix_encoding: the one-pass native repair (encode-check-decode)
+      // vs the digraph replace tower a SQL user would write (30
+      // literal mojibake→char replacements — approximate semantics: it
+      // never validates UTF-8, misses rare sequences, and cannot
+      // handle double-encoding without a second tower)
+      "fix_encoding_native" -> timed {
+        val moj = concat(col("text"),
+          lit(" " + graft.plans.NativeText.mojibake(MojChars.mkString)))
+        text.select(sum(length(
+          call_function("fix_encoding_native", moj)))).collect()
+      },
+      "fix_encoding_regex_tower" -> timed {
+        val moj = concat(col("text"),
+          lit(" " + graft.plans.NativeText.mojibake(MojChars.mkString)))
+        val repaired = MojChars.foldLeft(moj) { (c, ch) =>
+          replace(c, lit(graft.plans.NativeText.mojibake(ch.toString)),
+            lit(ch.toString))
+        }
+        text.select(sum(length(repaired))).collect()
       },
       // blocklist sweep, K=100 literal patterns: one Aho-Corasick pass
       // (mapPartitions, broadcast automaton) vs one alternation regex —

@@ -210,6 +210,19 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // WEBP-LOSSLESS ROUND TRIP (q391, r15): the last common web image
+    // format — VP8L spatial coding (canonical prefix codes in both
+    // transmitted forms, LZ77 distance-1 runs, degenerate 0-bit trees)
+    // through our own encoder and back. Same 64-wide color rule as the
+    // PNG family plus the alpha rule on every row, so the oracle
+    // replays pixels arithmetically; transforms/cache/meta/2D-map
+    // refuse loudly (WebpSpec) and the byte layout is pinned against
+    // an independent spec derivation.
+    "q391_webp_roundtrip" -> { (s, d) =>
+      graft.operators.Webp.parseWebpMeta(
+        graft.operators.Webp.asWebpMedia(Tables.documents(s, d))).toDF()
+    },
+
     // FLAC ROUND TRIP (q390, r15): the lossless-audio analog of the
     // PNG path — text-rule samples (plus a planted constant tail on
     // doc_id%5==0 so CONSTANT subframes occur; VERBATIM forced on
@@ -2290,6 +2303,34 @@ object Multimodal {
                 x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) + 0.0
                 AS vec_sum
          FROM embeddings""",
+    // q391: the q350 color chain with the alpha rule on every row —
+    // the WebP container must be pixel-transparent.
+    "q391_webp_roundtrip" ->
+      s"""WITH p AS (SELECT doc_id, rpad(text, $plenSql, '.') AS pix
+           FROM documents),
+          ix AS (SELECT doc_id, pix,
+                   unnest(generate_series(1, length(pix))) AS i
+               FROM p),
+          bv AS (SELECT doc_id, i,
+                   ascii(substr(pix, CAST(i AS INTEGER), 1)) AS v
+               FROM ix),
+          hx AS (SELECT doc_id, i,
+                   lpad(lower(to_hex(v)), 2, '0') ||
+                   lpad(lower(to_hex(255 - v)), 2, '0') ||
+                   lpad(lower(to_hex((v + 85) % 256)), 2, '0') AS h3,
+                   v + (255 - v) + (v + 85) % 256 AS s3,
+                   255 - (v % 32) AS av
+               FROM bv),
+          img AS (SELECT doc_id, string_agg(h3, '' ORDER BY i) AS hexpix,
+                   SUM(s3) AS rgbsum, SUM(av) AS asum, count(*) AS n
+                FROM hx GROUP BY doc_id)
+         SELECT doc_id, 'image/webp' AS format, 64 AS width,
+              CAST(n // 64 AS INTEGER) AS height,
+              CAST(n AS INTEGER) AS n_pixels, md5(hexpix) AS rgb_md5,
+              CAST(rgbsum AS BIGINT) AS rgb_sum,
+              CAST(asum AS BIGINT) AS alpha_sum
+         FROM img""",
+
     // q390: the q129 sample rule + the planted constant tail; frames
     // of 256 ⇒ n_frames = ceil(n/256). All aggregates exact integers.
     "q390_flac_roundtrip" ->
