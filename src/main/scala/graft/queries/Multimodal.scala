@@ -853,8 +853,15 @@ object Multimodal {
     // transform, hash, group, keeper rule, or resample weight all
     // break one hash.
     "q380_multimodal_pipeline" -> { (s, d) =>
-      val media = graft.operators.Exif.asOrientedPairMedia(
-        Tables.documents(s, d)).localCheckpoint()
+      // DURABLE pin (r14 verdict watch item): the fixture feeds both
+      // the hash pass and the keeper join, and at preemptible-100×
+      // scale a composition-point pin must survive executor loss —
+      // Staging.pin's snapshot tier, not executor-lifetime blocks.
+      val base = Fixtures.fresh(
+        s"/tmp/graft_io/${new java.io.File(d).getName}/q380_stage")
+      val media = graft.operators.Staging.pin(
+        graft.operators.Exif.asOrientedPairMedia(Tables.documents(s, d)),
+        Some(base), "media")
       val hs = graft.operators.Exif.orientedPHash(media).toDF()
       val groups = hs.groupBy("b0", "b1", "b2", "b3")
         .agg(min(col("doc_id")).as("doc_id"),
