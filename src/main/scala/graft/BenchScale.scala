@@ -88,7 +88,14 @@ object BenchScale {
     // r14 third batch: CDC dedup — a narrow window-hash pass then ONE
     // digest-keyed aggregation; the shuffle carries (digest, len) only,
     // so the trend should track total corpus bytes.
-    "q369_cdc_dedup")
+    "q369_cdc_dedup",
+    // r15 rows: PDF write+extract, FLAC encode+decode, and VP8L
+    // encode+decode are all narrow per-document codec passes (trend
+    // tracks corpus bytes); main-content classification is one
+    // mapPartitions pass; the cross-modal joint dedup composes two
+    // banded candidate joins + CC, the same shape q351 already trends.
+    "q386_pdf_extract", "q388_main_content", "q390_flac_roundtrip",
+    "q391_webp_roundtrip", "q389_joint_dedup")
 
   private def runOnce(f: => Unit, label: String): Double = {
     val t0 = System.nanoTime()

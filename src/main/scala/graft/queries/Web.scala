@@ -19,6 +19,39 @@ import org.apache.spark.sql.functions._
   */
 object Web {
 
+  /** The q388/q392 fixture: every document rendered into a full page
+    * with planted boilerplate (title, link-only nav, a stopword-free
+    * cookie banner, a link-heavy footer, script/style noise) around
+    * the article text as 8-word paragraphs; doc_id%3==0 pages carry an
+    * inline link in the first paragraph.
+    */
+  private def boilerplatePages(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split(" ")
+        val paras = words.grouped(8).map(_.mkString(" ")).toVector
+        val body = paras.zipWithIndex.map { case (p, i) =>
+          if (i == 0 && id % 3 == 0) {
+            val sp = p.indexOf(' ')
+            if (sp < 0) s"""<p><a href="/w">$p</a></p>"""
+            else
+              s"""<p><a href="/w">${p.substring(0, sp)}</a>${p.substring(sp)}</p>"""
+          } else s"<p>$p</p>"
+        }.mkString("\n")
+        val html =
+          s"""<html><head><title>Doc $id</title><style>p { color: red }</style>
+             |<script>var tracker = 1;</script></head><body>
+             |<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>
+             |<div>Cookie consent banner accept decline ok</div>
+             |$body
+             |<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a> site map</footer>
+             |</body></html>""".stripMargin
+        (id, html)
+      }.toDF("doc_id", "html")
+  }
+
   private def tmp(d: String, name: String): String =
     s"/tmp/graft_io/${new java.io.File(d).getName}/$name"
 
@@ -135,33 +168,34 @@ object Web {
     // removes every planted boilerplate block while article prose
     // survives; the oracle replays segmentation and rule arithmetic.
     "q388_main_content" -> { (s, d) =>
-      import s.implicits._
-      val media = Tables.documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          val words = text.split(" ")
-          val paras = words.grouped(8).map(_.mkString(" ")).toVector
-          val body = paras.zipWithIndex.map { case (p, i) =>
-            if (i == 0 && id % 3 == 0) {
-              val sp = p.indexOf(' ')
-              if (sp < 0) s"""<p><a href="/w">$p</a></p>"""
-              else
-                s"""<p><a href="/w">${p.substring(0, sp)}</a>${p.substring(sp)}</p>"""
-            } else s"<p>$p</p>"
-          }.mkString("\n")
-          val html =
-            s"""<html><head><title>Doc $id</title><style>p { color: red }</style>
-               |<script>var tracker = 1;</script></head><body>
-               |<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>
-               |<div>Cookie consent banner accept decline ok</div>
-               |$body
-               |<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a> site map</footer>
-               |</body></html>""".stripMargin
-          (id, html)
-        }.toDF("doc_id", "html")
-      graft.operators.Web.mainContent(media, "doc_id", "html")
+      graft.operators.Web.mainContent(boilerplatePages(s, d), "doc_id", "html")
         .select(col("doc_id"), col("n_blocks"), col("n_good"),
           md5(col("main_text")).as("main_md5"))
+    },
+
+    // STREAMING MAIN-CONTENT (q392, r15): the block classifier is ONE
+    // stateless mapPartitions pass, so it runs inside Structured
+    // Streaming unchanged — the q290/q375 ingest-parity doctrine on
+    // the web family. Pages land as files, the stream tails them, the
+    // SAME mainContent pass classifies per micro-batch, and the
+    // parquet sink must equal the batch rows bit for bit (the oracle
+    // IS q388's).
+    "q392_main_content_stream" -> { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val base = Fixtures.fresh(
+        s"/tmp/graft_stream/${new java.io.File(d).getName}_maincontent")
+      boilerplatePages(s, d).write.mode("overwrite").parquet(s"$base/in")
+      val in = s.readStream.schema("doc_id LONG, html STRING")
+        .parquet(s"$base/in")
+      val q = graft.operators.Web.mainContent(in, "doc_id", "html")
+        .select(col("doc_id"), col("n_blocks"), col("n_good"),
+          md5(col("main_text")).as("main_md5"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
     },
 
     // Aho-Corasick blocklist sweep: K patterns in ONE automaton pass
@@ -524,6 +558,39 @@ object Web {
   private val BlockPatterns =
     Seq("spark", "join", "window", "filter", "merge", "stream")
 
+  /** q388/q392 shared oracle: the 8-word block segmentation and the
+    * integer content rule replayed over the planted fixture.
+    * DECLARED BEFORE `oracles` — object vals initialize in order, and
+    * a forward reference from the map literal would read null.
+    */
+  private val mainContentOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+          b AS (SELECT doc_id, ws,
+                   CAST(ceil(len(ws) / 8.0) AS BIGINT) AS nblk FROM w),
+          e AS (SELECT doc_id, ws, nblk,
+                   unnest(range(1, nblk + 1)) AS i FROM b),
+          blk AS (SELECT doc_id, nblk, i,
+                   ws[(i-1)*8+1 : least(i*8, len(ws))] AS bws,
+                   CASE WHEN i = 1 AND doc_id % 3 = 0
+                        THEN length(ws[1]) ELSE 0 END AS lchars
+                FROM e),
+          g AS (SELECT doc_id, nblk, i,
+                   array_to_string(bws, ' ') AS btext,
+                   (len(bws) >= 5
+                    AND 3 * lchars < length(array_to_string(bws, ' '))
+                    AND 8 * len(list_filter(bws, x -> list_contains(
+                          ['the','a','and','of','to','in','is'], x)))
+                        >= len(bws)) AS good
+                FROM blk)
+         SELECT doc_id,
+              CAST(max(nblk) + 4 AS INTEGER) AS n_blocks,
+              CAST(coalesce(count(*) FILTER (WHERE good), 0) AS INTEGER)
+                AS n_good,
+              md5(coalesce(array_to_string(array_agg(btext ORDER BY i)
+                FILTER (WHERE good), chr(10)), '')) AS main_md5
+         FROM g GROUP BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     // q240: the oracle is the PLANTED ground truth (q175's edge
     // arithmetic + the per-shape resolution results) — equality proves
@@ -659,33 +726,10 @@ object Web {
     // footer) contribute the fixed +4 to n_blocks and never to
     // main_text (title/nav/footer die on words<5, the cookie banner on
     // stopword density, nav/footer also on link density).
-    "q388_main_content" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-                 FROM documents),
-          b AS (SELECT doc_id, ws,
-                   CAST(ceil(len(ws) / 8.0) AS BIGINT) AS nblk FROM w),
-          e AS (SELECT doc_id, ws, nblk,
-                   unnest(range(1, nblk + 1)) AS i FROM b),
-          blk AS (SELECT doc_id, nblk, i,
-                   ws[(i-1)*8+1 : least(i*8, len(ws))] AS bws,
-                   CASE WHEN i = 1 AND doc_id % 3 = 0
-                        THEN length(ws[1]) ELSE 0 END AS lchars
-                FROM e),
-          g AS (SELECT doc_id, nblk, i,
-                   array_to_string(bws, ' ') AS btext,
-                   (len(bws) >= 5
-                    AND 3 * lchars < length(array_to_string(bws, ' '))
-                    AND 8 * len(list_filter(bws, x -> list_contains(
-                          ['the','a','and','of','to','in','is'], x)))
-                        >= len(bws)) AS good
-                FROM blk)
-         SELECT doc_id,
-              CAST(max(nblk) + 4 AS INTEGER) AS n_blocks,
-              CAST(coalesce(count(*) FILTER (WHERE good), 0) AS INTEGER)
-                AS n_good,
-              md5(coalesce(array_to_string(array_agg(btext ORDER BY i)
-                FILTER (WHERE good), chr(10)), '')) AS main_md5
-         FROM g GROUP BY doc_id""",
+    "q388_main_content" -> mainContentOracle,
+    // q392 is q388 through Structured Streaming — identical oracle:
+    // hash equality proves batch/stream parity.
+    "q392_main_content_stream" -> mainContentOracle,
 
     "q175_pagerank" -> pageRankOracle(5),
     "q278_robots_filter" ->
