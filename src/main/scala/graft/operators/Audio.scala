@@ -993,7 +993,8 @@ object Audio {
     */
   def flacRoundtrip(docs: DataFrame, blockSize: Int = 256): Dataset[FlacRoundtrip] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>

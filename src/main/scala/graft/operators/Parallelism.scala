@@ -15,6 +15,9 @@ private[operators] object Parallelism {
 
   def ensure(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    // a streaming frame cannot be probed with df.rdd (and its
+    // micro-batch partitioning is the source's concern): pass through
+    if (df.isStreaming) return df
     val derived = df.queryExecution.optimizedPlan.find {
       case _: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.Sort |
            _: lp.RepartitionByExpression => true

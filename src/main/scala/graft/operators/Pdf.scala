@@ -746,7 +746,8 @@ object Pdf {
     */
   def asPdfMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>

@@ -219,7 +219,8 @@ object Web {
                   htmlCol: String): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.select(col(idCol).cast("long"), col(htmlCol).cast("string"))
+    Parallelism.ensure(pages)
+      .select(col(idCol).cast("long"), col(htmlCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, html) =>

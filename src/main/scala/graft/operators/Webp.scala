@@ -527,7 +527,11 @@ object Webp {
     */
   def asWebpMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    // VP8L encode (package-merge + canonical codes per doc) is the
+    // most expensive per-row media builder here; a byte-small scan
+    // folding into one task serializes it (the q193/q391 lesson)
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>

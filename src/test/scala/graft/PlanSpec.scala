@@ -589,4 +589,30 @@ test("q326: JPEG decode is one narrow codec pass — no shuffle, no join") {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
   }
+
+  test("q386: PDF write+extract is one narrow codec pass — no shuffle, no join") {
+    val plan = planOf("q386_pdf_extract")
+    assert(!plan.contains("hashpartitioning"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
+  test("q388: main-content classification is one narrow pass — no shuffle, no join") {
+    val plan = planOf("q388_main_content")
+    assert(!plan.contains("hashpartitioning"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
+  test("q389: the joint-dedup pair generators are equi joins, never cartesian") {
+    val plan = planOf("q389_joint_dedup")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("q390/q391: the codec round trips are narrow passes — no shuffle, no join") {
+    Seq("q390_flac_roundtrip", "q391_webp_roundtrip").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("hashpartitioning"), s"$q: ${plan.take(1200)}")
+      assert(!plan.contains("Join"), s"$q: ${plan.take(1200)}")
+    }
+  }
 }
