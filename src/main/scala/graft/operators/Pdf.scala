@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   *
   *   - file structure: header, indirect objects (`N G obj … endobj`),
   *     cross-reference TABLE sections chained via `/Prev`, trailer,
-  *     `startxref`;
+  *     `startxref` — AND the PDF 1.5 form: cross-reference STREAMS
+  *     (`/Type /XRef`, /W field widths, /Index subsections, optional
+  *     FlateDecode + PNG row predictors 10–15) and OBJECT streams
+  *     (`/Type /ObjStm`), in any /Prev mix;
   *   - the object grammar: numbers, names (with `#xx` escapes), literal
   *     strings (nested parens, all spec escapes incl. octal and
   *     line continuations), hex strings, arrays, dictionaries,
@@ -26,10 +29,10 @@ import org.apache.spark.sql.functions._
   *   - text bytes decoded as WinAnsi/CP-1252 ([[graft.functions.Cp1252]]).
   *
   * OUT OF SCOPE — loud refusal, never silent garbage: encrypted files
-  * (`/Encrypt`), cross-reference STREAMS (PDF 1.5 `/Type /XRef` — the
-  * `xref` keyword must sit at the startxref offset), object streams,
-  * any filter other than FlateDecode, `/DecodeParms` predictors, and
-  * inline images (`BI`).
+  * (`/Encrypt`), any filter other than FlateDecode, `/DecodeParms` on
+  * CONTENT streams (predictors are an image-data feature; on xref
+  * streams they are supported), the TIFF predictor 2, and inline
+  * images (`BI`).
   *
   * Fixture doctrine (like JPEG/WAV/GIF): [[asPdfMedia]] renders each
   * document's text through OUR OWN writer [[encode]] — plain and
@@ -297,6 +300,13 @@ object Pdf {
   // File structure: xref + objects
   // ------------------------------------------------------------------
 
+  /** Where an object lives: at a top-level byte offset, or inside an
+    * object stream (PDF 1.5) at a given index.
+    */
+  private sealed trait Loc
+  private final case class AtOffset(off: Long) extends Loc
+  private final case class InObjStm(stm: Int, idx: Int) extends Loc
+
   private final class Doc(bytes: Array[Byte]) {
     require(bytes.length >= 8 &&
       new String(bytes, 0, 5, "US-ASCII") == "%PDF-", "not a PDF (no header)")
@@ -305,86 +315,17 @@ object Pdf {
     // a later `= _` declaration would re-null it after the fact.
     var trailerDict: PDict = _
 
-    /** object number → byte offset (newest xref section wins) */
-    val xref: Map[Int, Long] = {
-      val tailStart = math.max(0, bytes.length - 64)
-      val tail = new String(bytes, tailStart, bytes.length - tailStart,
-        "US-ASCII")
-      val sx = tail.lastIndexOf("startxref")
-      require(sx >= 0, "no startxref — truncated or not a classic PDF")
-      val px = new Parser(bytes, tailStart + sx + "startxref".length,
-        content = false)
-      val off = px.parseNumber()
-      require(off.isInt && off.v >= 0 && off.v < bytes.length,
-        s"startxref offset ${off.v} out of range")
-      val acc = scala.collection.mutable.Map.empty[Int, Long]
-      var sectionOff = off.v.toLong
-      var guard = 0
-      while (sectionOff >= 0) {
-        require(guard < 64, "xref /Prev chain too deep (cycle?)")
-        guard += 1
-        val pr = new Parser(bytes, sectionOff.toInt, content = false)
-        pr.skipWs()
-        val kw = pr.keyword()
-        require(kw == "xref",
-          s"'$kw' at the xref offset — cross-reference STREAMS (PDF 1.5+) " +
-            "are out of scope for this classic-PDF reader")
-        pr.skipWs()
-        // subsections until 'trailer'
-        var inSections = true
-        while (inSections) {
-          pr.skipWs()
-          if (bytes(pr.p) == 't') {
-            pr.expectKeyword("trailer")
-            inSections = false
-          } else {
-            val start = pr.parseNumber()
-            val count = pr.parseNumber()
-            require(start.isInt && count.isInt, "bad xref subsection header")
-            (0 until count.v.toInt).foreach { i =>
-              pr.skipWs()
-              require(pr.p + 18 <= bytes.length, "truncated xref entry")
-              val entry = new String(bytes, pr.p, 18, "US-ASCII")
-              val eOff = entry.substring(0, 10).toLong
-              val kind = entry.charAt(17)
-              require(kind == 'n' || kind == 'f', s"bad xref entry '$entry'")
-              val num = start.v.toInt + i
-              // older sections must not override newer ones
-              if (kind == 'n' && !acc.contains(num)) acc(num) = eOff
-              pr.p += 18
-            }
-          }
-        }
-        val trailer = pr.parseObject() match {
-          case d: PDict => d
-          case other => pr.fail(s"trailer is not a dictionary: $other")
-        }
-        require(!trailer.m.contains("Encrypt"),
-          "encrypted PDF — out of scope, refusing rather than extracting garbage")
-        if (trailerDict == null) trailerDict = trailer
-        sectionOff = trailer.m.get("Prev") match {
-          case Some(PNum(v, true)) => v.toLong
-          case None => -1L
-          case other => pr.fail(s"bad /Prev: $other")
-        }
-      }
-      acc.toMap
-    }
-
-    private val cache = scala.collection.mutable.Map.empty[Int, PObj]
-
-    def resolve(o: PObj): PObj = o match {
-      case PRef(num, _) => fetch(num)
-      case other => other
-    }
-
-    def fetch(num: Int): PObj = cache.getOrElseUpdate(num, {
-      val off = xref.getOrElse(num,
-        throw new IllegalArgumentException(s"object $num not in xref"))
+    /** Parse a top-level `N G obj …` at `off`. `directLengthOnly` is
+      * the xref-stream bootstrap mode (the xref table is not built yet,
+      * so an indirect /Length cannot resolve — the spec's own writers
+      * keep cross-reference-stream lengths direct for this reason).
+      */
+    private def parseTop(off: Long, expectNum: Int,
+                         directLengthOnly: Boolean): PObj = {
       val pr = new Parser(bytes, off.toInt, content = false)
       val n = pr.parseNumber()
-      require(n.isInt && n.v.toInt == num,
-        s"xref points object $num at an 'obj' numbered ${n.v}")
+      require(expectNum < 0 || (n.isInt && n.v.toInt == expectNum),
+        s"xref points object $expectNum at an 'obj' numbered ${n.v}")
       pr.parseNumber() // generation
       pr.expectKeyword("obj")
       val body = pr.next()
@@ -400,10 +341,12 @@ object Pdf {
         if (bytes(pr.p) == '\r') pr.p += 1
         require(bytes(pr.p) == '\n', "stream keyword not followed by EOL")
         pr.p += 1
-        val len = resolve(dict.m.getOrElse("Length",
-          pr.fail("stream without /Length"))) match {
+        val lenObj = dict.m.getOrElse("Length", pr.fail("stream without /Length"))
+        val len = (if (directLengthOnly) lenObj else resolve(lenObj)) match {
           case PNum(v, true) => v.toInt
-          case other => pr.fail(s"bad /Length: $other")
+          case other => pr.fail(
+            s"bad /Length: $other" + (if (directLengthOnly)
+              " (cross-reference streams need a direct length)" else ""))
         }
         require(pr.p + len <= bytes.length, "stream data past end of file")
         val raw = java.util.Arrays.copyOfRange(bytes, pr.p, pr.p + len)
@@ -415,12 +358,293 @@ object Pdf {
         pr.expectKeyword("endobj")
         body
       }
+    }
+
+    /** object number → location; classic `xref` TABLE sections and
+      * PDF 1.5 cross-reference STREAMS both parse, chained via /Prev in
+      * any mix (newest section wins per object).
+      */
+    val xref: Map[Int, Loc] = {
+      val tailStart = math.max(0, bytes.length - 64)
+      val tail = new String(bytes, tailStart, bytes.length - tailStart,
+        "US-ASCII")
+      val sx = tail.lastIndexOf("startxref")
+      require(sx >= 0, "no startxref — truncated or not a PDF")
+      val px = new Parser(bytes, tailStart + sx + "startxref".length,
+        content = false)
+      val off = px.parseNumber()
+      require(off.isInt && off.v >= 0 && off.v < bytes.length,
+        s"startxref offset ${off.v} out of range")
+      val acc = scala.collection.mutable.Map.empty[Int, Loc]
+      var sectionOff = off.v.toLong
+      var guard = 0
+      while (sectionOff >= 0) {
+        require(guard < 64, "xref /Prev chain too deep (cycle?)")
+        guard += 1
+        val peek = new Parser(bytes, sectionOff.toInt, content = false)
+        peek.skipWs()
+        val trailer: PDict =
+          if (bytes(peek.p) == 'x') parseClassicSection(sectionOff, acc)
+          else parseXrefStreamSection(sectionOff, acc)
+        require(!trailer.m.contains("Encrypt"),
+          "encrypted PDF — out of scope, refusing rather than extracting garbage")
+        if (trailerDict == null) trailerDict = trailer
+        sectionOff = trailer.m.get("Prev") match {
+          case Some(PNum(v, true)) => v.toLong
+          case None => -1L
+          case other => throw new IllegalArgumentException(s"bad /Prev: $other")
+        }
+      }
+      acc.toMap
+    }
+
+    /** A classic `xref` table section + its `trailer` dictionary. */
+    private def parseClassicSection(
+        off: Long, acc: scala.collection.mutable.Map[Int, Loc]): PDict = {
+      val pr = new Parser(bytes, off.toInt, content = false)
+      pr.expectKeyword("xref")
+      pr.skipWs()
+      var inSections = true
+      while (inSections) {
+        pr.skipWs()
+        if (bytes(pr.p) == 't') {
+          pr.expectKeyword("trailer")
+          inSections = false
+        } else {
+          val start = pr.parseNumber()
+          val count = pr.parseNumber()
+          require(start.isInt && count.isInt, "bad xref subsection header")
+          (0 until count.v.toInt).foreach { i =>
+            pr.skipWs()
+            require(pr.p + 18 <= bytes.length, "truncated xref entry")
+            val entry = new String(bytes, pr.p, 18, "US-ASCII")
+            val eOff = entry.substring(0, 10).toLong
+            val kind = entry.charAt(17)
+            require(kind == 'n' || kind == 'f', s"bad xref entry '$entry'")
+            val num = start.v.toInt + i
+            // older sections must not override newer ones
+            if (kind == 'n' && !acc.contains(num)) acc(num) = AtOffset(eOff)
+            pr.p += 18
+          }
+        }
+      }
+      pr.parseObject() match {
+        case d: PDict => d
+        case other => pr.fail(s"trailer is not a dictionary: $other")
+      }
+    }
+
+    /** A PDF 1.5 cross-reference STREAM section: `N G obj` holding a
+      * /Type /XRef stream whose dict doubles as the trailer. Entries
+      * decode per /W field widths over the (optionally predicted)
+      * stream data; /Index subsections honored.
+      */
+    private def parseXrefStreamSection(
+        off: Long, acc: scala.collection.mutable.Map[Int, Loc]): PDict = {
+      val (dict, raw) =
+        parseTop(off, expectNum = -1, directLengthOnly = true) match {
+          case PStream(d, r) => (d, r)
+          case other => throw new IllegalArgumentException(
+            s"startxref points at a non-stream object: $other")
+        }
+      require(dict.m.get("Type").contains(PName("XRef")),
+        s"object at the xref offset is not /Type /XRef: ${dict.m.get("Type")}")
+      val data = decodeXrefData(dict, raw)
+      def intOf(o: PObj, what: String): Int = o match {
+        case PNum(v, true) => v.toInt
+        case other => throw new IllegalArgumentException(s"bad $what: $other")
+      }
+      val size = intOf(dict.m.getOrElse("Size",
+        throw new IllegalArgumentException("XRef stream without /Size")), "/Size")
+      val w = dict.m.getOrElse("W",
+        throw new IllegalArgumentException("XRef stream without /W")) match {
+        case PArr(items) if items.length == 3 =>
+          items.map(intOf(_, "/W width")).toArray
+        case other => throw new IllegalArgumentException(s"bad /W: $other")
+      }
+      require(w.forall(x => x >= 0 && x <= 8), s"/W widths ${w.toSeq}")
+      val index: Seq[(Int, Int)] = dict.m.get("Index") match {
+        case None => Seq((0, size))
+        case Some(PArr(items)) =>
+          require(items.length % 2 == 0, "odd /Index array")
+          items.map(intOf(_, "/Index")).grouped(2)
+            .map(g => (g(0), g(1))).toSeq
+        case Some(other) =>
+          throw new IllegalArgumentException(s"bad /Index: $other")
+      }
+      val rowW = w.sum
+      var p = 0
+      def field(width: Int, default: Long): Long = {
+        if (width == 0) default
+        else {
+          var v = 0L
+          var i = 0
+          while (i < width) { v = (v << 8) | (data(p + i) & 0xffL); i += 1 }
+          p += width
+          v
+        }
+      }
+      index.foreach { case (start, count) =>
+        require(p + count.toLong * rowW <= data.length,
+          "XRef stream data shorter than /Index declares")
+        (0 until count).foreach { i =>
+          val typ = field(w(0), 1L) // absent type field defaults to 1
+          val f2 = field(w(1), 0L)
+          val f3 = field(w(2), 0L)
+          val num = start + i
+          if (!acc.contains(num)) typ match {
+            case 0L => // free
+            case 1L => acc(num) = AtOffset(f2)
+            case 2L => acc(num) = InObjStm(f2.toInt, f3.toInt)
+            case t => throw new IllegalArgumentException(
+              s"XRef entry type $t for object $num")
+          }
+        }
+      }
+      dict
+    }
+
+    /** Filter + predictor decode for XRef stream data: none or
+      * FlateDecode, then /DecodeParms /Predictor 1 (none) or 10–15
+      * (the PNG row predictors real writers emit — each row carries
+      * its own filter byte, unfiltered at 1 byte/pixel over /Columns).
+      * TIFF predictor 2 refuses.
+      */
+    private def decodeXrefData(dict: PDict, raw: Array[Byte]): Array[Byte] = {
+      val flat = dict.m.get("Filter") match {
+        case None => raw
+        case Some(PName("FlateDecode")) => inflate(raw)
+        case Some(PArr(Vector(PName("FlateDecode")))) => inflate(raw)
+        case Some(other) => throw new IllegalArgumentException(
+          s"unsupported XRef stream filter $other")
+      }
+      dict.m.get("DecodeParms") match {
+        case None => flat
+        case Some(PDict(pm)) =>
+          val pred = pm.get("Predictor") match {
+            case None => 1
+            case Some(PNum(v, true)) => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"bad /Predictor: $other")
+          }
+          if (pred == 1) flat
+          else {
+            require(pred >= 10 && pred <= 15,
+              s"predictor $pred out of scope (PNG predictors 10-15 only)")
+            val cols = pm.get("Columns") match {
+              case Some(PNum(v, true)) => v.toInt
+              case None => 1
+              case other => throw new IllegalArgumentException(
+                s"bad /Columns: $other")
+            }
+            require(cols > 0 && flat.length % (cols + 1) == 0,
+              s"predicted data ${flat.length}B not rows of ${cols + 1}")
+            val nRows = flat.length / (cols + 1)
+            val out = new Array[Byte](nRows * cols)
+            var r = 0
+            while (r < nRows) {
+              val ft = flat(r * (cols + 1)) & 0xff
+              var i = 0
+              while (i < cols) {
+                val x = flat(r * (cols + 1) + 1 + i) & 0xff
+                val a = if (i > 0) out(r * cols + i - 1) & 0xff else 0
+                val b = if (r > 0) out((r - 1) * cols + i) & 0xff else 0
+                val c = if (r > 0 && i > 0) out((r - 1) * cols + i - 1) & 0xff
+                        else 0
+                val v = ft match {
+                  case 0 => x
+                  case 1 => x + a
+                  case 2 => x + b
+                  case 3 => x + (a + b) / 2
+                  case 4 =>
+                    val pp = a + b - c
+                    val pa = math.abs(pp - a)
+                    val pb = math.abs(pp - b)
+                    val pc = math.abs(pp - c)
+                    x + (if (pa <= pb && pa <= pc) a
+                         else if (pb <= pc) b else c)
+                  case other => throw new IllegalArgumentException(
+                    s"bad PNG filter type $other in predicted XRef data")
+                }
+                out(r * cols + i) = (v & 0xff).toByte
+                i += 1
+              }
+              r += 1
+            }
+            out
+          }
+        case Some(other) => throw new IllegalArgumentException(
+          s"bad /DecodeParms: $other")
+      }
+    }
+
+    private val cache = scala.collection.mutable.Map.empty[Int, PObj]
+    private val objStmCache =
+      scala.collection.mutable.Map.empty[Int, Vector[(Int, PObj)]]
+
+    def resolve(o: PObj): PObj = o match {
+      case PRef(num, _) => fetch(num)
+      case other => other
+    }
+
+    def fetch(num: Int): PObj = cache.getOrElseUpdate(num, {
+      xref.getOrElse(num,
+        throw new IllegalArgumentException(s"object $num not in xref")) match {
+        case AtOffset(off) => parseTop(off, num, directLengthOnly = false)
+        case InObjStm(stm, idx) => objFromStream(num, stm, idx)
+      }
     })
+
+    /** Extract an object from a /Type /ObjStm object stream: decode
+      * once, parse the N (number, offset) header pairs, cache all
+      * members. Object streams hold no streams and cannot nest.
+      */
+    private def objFromStream(num: Int, stm: Int, idx: Int): PObj = {
+      val entries = objStmCache.getOrElseUpdate(stm, {
+        require(xref.get(stm).exists(_.isInstanceOf[AtOffset]),
+          s"object stream $stm is itself compressed — nesting is illegal")
+        fetch(stm) match {
+          case s @ PStream(dict, _) =>
+            require(dict.m.get("Type").contains(PName("ObjStm")),
+              s"object $stm is not /Type /ObjStm")
+            def intOf(key: String): Int =
+              resolve(dict.m.getOrElse(key, throw new IllegalArgumentException(
+                s"ObjStm without /$key"))) match {
+                case PNum(v, true) => v.toInt
+                case other => throw new IllegalArgumentException(
+                  s"bad ObjStm /$key: $other")
+              }
+            val n = intOf("N")
+            val first = intOf("First")
+            val data = decodedStream(s)
+            val hp = new Parser(data, 0, content = false)
+            val pairs = (0 until n).map { _ =>
+              val onum = hp.parseNumber()
+              val ooff = hp.parseNumber()
+              require(onum.isInt && ooff.isInt, "bad ObjStm header pair")
+              (onum.v.toInt, ooff.v.toInt)
+            }
+            pairs.map { case (onum, ooff) =>
+              require(first + ooff < data.length, "ObjStm offset past data")
+              val op = new Parser(data, first + ooff, content = false)
+              (onum, op.parseObject())
+            }.toVector
+          case other => throw new IllegalArgumentException(
+            s"object stream $stm is not a stream: $other")
+        }
+      })
+      require(idx >= 0 && idx < entries.length,
+        s"ObjStm index $idx outside $stm's ${entries.length} objects")
+      val (onum, obj) = entries(idx)
+      require(onum == num,
+        s"ObjStm $stm index $idx holds object $onum, xref said $num")
+      obj
+    }
 
     def decodedStream(obj: PObj): Array[Byte] = obj match {
       case PStream(dict, raw) =>
         require(!dict.m.contains("DecodeParms"),
-          "/DecodeParms predictors are out of scope")
+          "/DecodeParms predictors are out of scope for content streams")
         dict.m.get("Filter").map(resolve) match {
           case None => raw
           case Some(PName("FlateDecode")) => inflate(raw)
@@ -661,22 +885,48 @@ object Pdf {
     * font, one content stream per page (zlib-deflated when `compress`),
     * a single-section xref table, trailer, startxref.
     */
-  def encode(pageLines: Seq[Seq[String]], style: Int,
-             compress: Boolean): Array[Byte] = {
+  private def deflate(plain: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(plain); d.finish()
+    val buf = new Array[Byte](plain.length + 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
+  }
+
+  /** `xrefStream = false` emits the classic structure (xref table +
+    * trailer keyword); `true` emits the PDF 1.5 structure: the
+    * catalog/pages/font/page dictionaries packed into ONE `/Type
+    * /ObjStm` object stream (content streams stay top-level — streams
+    * cannot nest) and a `/Type /XRef` cross-reference stream whose
+    * dict doubles as the trailer, with W=[1 4 2] binary entries —
+    * `predictor = true` additionally runs those entries through the
+    * PNG Up predictor (/DecodeParms /Predictor 12), the layout real
+    * writers emit.
+    */
+  def encode(pageLines: Seq[Seq[String]], style: Int, compress: Boolean,
+             xrefStream: Boolean = false,
+             predictor: Boolean = false): Array[Byte] = {
     require(pageLines.nonEmpty, "a PDF needs at least one page")
+    require(!predictor || xrefStream, "predictor implies the 1.5 structure")
     val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     // header with the conventional binary comment line
-    ascii("%PDF-1.4\n%")
+    ascii(if (xrefStream) "%PDF-1.5\n%" else "%PDF-1.4\n%")
     out.write(Array[Byte](0xe2.toByte, 0xe3.toByte, 0xcf.toByte, 0xd3.toByte))
     ascii("\n")
 
     val nPages = pageLines.size
     // object numbering: 1 catalog, 2 pages, 3 font,
     // 4..3+n page dicts, 4+n..3+2n content streams
+    // (+ObjStm at 4+2n and the XRef stream at 5+2n in 1.5 mode)
     val firstPageObj = 4
     val firstContentObj = 4 + nPages
-    val offsets = new Array[Long](4 + 2 * nPages) // index = obj number - 1
+    val nDictObjs = 3 + nPages
+    val objStmNum = 4 + 2 * nPages
+    val xrefStmNum = 5 + 2 * nPages
+    val offsets = new Array[Long](xrefStmNum) // index = obj number - 1
 
     def obj(num: Int)(body: => Unit): Unit = {
       offsets(num - 1) = out.size().toLong
@@ -685,33 +935,28 @@ object Pdf {
       ascii("\nendobj\n")
     }
 
-    obj(1)(ascii("<< /Type /Catalog /Pages 2 0 R >>"))
-    obj(2) {
-      val kids = (0 until nPages)
-        .map(i => s"${firstPageObj + i} 0 R").mkString(" ")
-      ascii(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>")
-    }
-    obj(3)(ascii("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
-      "/Encoding /WinAnsiEncoding >>"))
-    (0 until nPages).foreach { i =>
-      obj(firstPageObj + i)(ascii(
-        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-          s"/Resources << /Font << /F1 3 0 R >> >> " +
-          s"/Contents ${firstContentObj + i} 0 R >>"))
-    }
+    val dictBodies: Seq[(Int, String)] =
+      Seq(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> {
+          val kids = (0 until nPages)
+            .map(i => s"${firstPageObj + i} 0 R").mkString(" ")
+          s"<< /Type /Pages /Kids [$kids] /Count $nPages >>"
+        },
+        3 -> ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          "/Encoding /WinAnsiEncoding >>")) ++
+        (0 until nPages).map { i =>
+          (firstPageObj + i) ->
+            (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+              s"/Resources << /Font << /F1 3 0 R >> >> " +
+              s"/Contents ${firstContentObj + i} 0 R >>")
+        }
+
+    if (!xrefStream) dictBodies.foreach { case (n, b) => obj(n)(ascii(b)) }
+
     pageLines.zipWithIndex.foreach { case (lines, i) =>
       val plain = contentFor(lines, style).getBytes("US-ASCII")
-      val data =
-        if (!compress) plain
-        else {
-          val d = new java.util.zip.Deflater()
-          d.setInput(plain); d.finish()
-          val buf = new Array[Byte](plain.length + 64)
-          val bos = new java.io.ByteArrayOutputStream()
-          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-          d.end()
-          bos.toByteArray
-        }
+      val data = if (compress) deflate(plain) else plain
       obj(firstContentObj + i) {
         val filter = if (compress) " /Filter /FlateDecode" else ""
         ascii(s"<< /Length ${data.length}$filter >>\nstream\n")
@@ -720,13 +965,91 @@ object Pdf {
       }
     }
 
+    if (!xrefStream) {
+      val xrefOff = out.size().toLong
+      val total = 3 + 2 * nPages
+      ascii(s"xref\n0 ${total + 1}\n")
+      ascii("0000000000 65535 f \n")
+      (0 until total).foreach(k => ascii(f"${offsets(k)}%010d 00000 n \n"))
+      ascii(s"trailer\n<< /Size ${total + 1} /Root 1 0 R >>\n" +
+        s"startxref\n$xrefOff\n%%EOF\n")
+      return out.toByteArray
+    }
+
+    // --- PDF 1.5 structure ---
+    // object stream holding every dictionary object
+    val stmBody = new java.io.ByteArrayOutputStream()
+    val headerParts = new StringBuilder
+    dictBodies.foreach { case (n, b) =>
+      headerParts.append(s"$n ${stmBody.size()} ")
+      stmBody.write(b.getBytes("US-ASCII"))
+      stmBody.write(' ')
+    }
+    val header = headerParts.toString.getBytes("US-ASCII")
+    val objStmPlain = header ++ stmBody.toByteArray
+    val objStmData = if (compress) deflate(objStmPlain) else objStmPlain
+    obj(objStmNum) {
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      ascii(s"<< /Type /ObjStm /N ${dictBodies.size} " +
+        s"/First ${header.length} /Length ${objStmData.length}$filter >>" +
+        "\nstream\n")
+      out.write(objStmData)
+      ascii("\nendstream")
+    }
+
+    // cross-reference stream: W = [1 4 2], one row per object 0..self
     val xrefOff = out.size().toLong
-    val total = 4 + 2 * nPages
-    ascii(s"xref\n0 ${total + 1}\n")
-    ascii("0000000000 65535 f \n")
-    offsets.foreach(o => ascii(f"$o%010d 00000 n \n"))
-    ascii(s"trailer\n<< /Size ${total + 1} /Root 1 0 R >>\n" +
-      s"startxref\n$xrefOff\n%%EOF\n")
+    offsets(xrefStmNum - 1) = xrefOff
+    val size = xrefStmNum + 1
+    val cols = 1 + 4 + 2
+    val rows = new Array[Byte](size * cols)
+    def putRow(num: Int, typ: Int, f2: Long, f3: Int): Unit = {
+      val base = num * cols
+      rows(base) = typ.toByte
+      rows(base + 1) = ((f2 >> 24) & 0xff).toByte
+      rows(base + 2) = ((f2 >> 16) & 0xff).toByte
+      rows(base + 3) = ((f2 >> 8) & 0xff).toByte
+      rows(base + 4) = (f2 & 0xff).toByte
+      rows(base + 5) = ((f3 >> 8) & 0xff).toByte
+      rows(base + 6) = (f3 & 0xff).toByte
+    }
+    putRow(0, 0, 0L, 0xffff) // the free head
+    dictBodies.zipWithIndex.foreach { case ((n, _), idx) =>
+      putRow(n, 2, objStmNum.toLong, idx)
+    }
+    (0 until nPages).foreach(i =>
+      putRow(firstContentObj + i, 1, offsets(firstContentObj + i - 1), 0))
+    putRow(objStmNum, 1, offsets(objStmNum - 1), 0)
+    putRow(xrefStmNum, 1, xrefOff, 0)
+    val (xrefData, parms) =
+      if (!predictor) (rows, "")
+      else {
+        // PNG Up filter: each row minus the previous row, filter byte 2
+        val filtered = new Array[Byte](size * (cols + 1))
+        var r = 0
+        while (r < size) {
+          filtered(r * (cols + 1)) = 2
+          var i = 0
+          while (i < cols) {
+            val up = if (r > 0) rows((r - 1) * cols + i) & 0xff else 0
+            filtered(r * (cols + 1) + 1 + i) =
+              (((rows(r * cols + i) & 0xff) - up) & 0xff).toByte
+            i += 1
+          }
+          r += 1
+        }
+        (filtered,
+          s" /DecodeParms << /Predictor 12 /Columns $cols >>")
+      }
+    // the xref stream itself is always Flate-compressed — the layout
+    // every real writer emits (and /DecodeParms parameterizes a filter)
+    val xrefPayload = deflate(xrefData)
+    ascii(s"$xrefStmNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] " +
+      s"/Root 1 0 R /Length ${xrefPayload.length} /Filter /FlateDecode" +
+      s"$parms >>\nstream\n")
+    out.write(xrefPayload)
+    ascii("\nendstream\nendobj\n")
+    ascii(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 
@@ -742,7 +1065,11 @@ object Pdf {
 
   /** Render each document's text through the writer: words wrap at
     * [[WordsPerLine]], pages at [[LinesPerPage]]; show style =
-    * doc_id % 3, Flate compression on even doc_ids.
+    * doc_id % 3. EVEN doc_ids write the classic structure with Flate
+    * content; ODD ids write the PDF 1.5 structure (object stream +
+    * cross-reference stream), with the PNG Up predictor on the xref
+    * entries for doc_id % 4 == 3 — every structural family the reader
+    * supports appears in the corpus under the one q386 oracle.
     */
   def asPdfMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -755,7 +1082,8 @@ object Pdf {
           val lines = words.grouped(WordsPerLine).map(_.mkString(" ")).toSeq
           val pages = lines.grouped(LinesPerPage).map(_.toSeq).toSeq
           val payload = encode(if (pages.isEmpty) Seq(Seq("")) else pages,
-            style = (id % 3).toInt, compress = id % 2 == 0)
+            style = (id % 3).toInt, compress = id % 2 == 0,
+            xrefStream = id % 2 == 1, predictor = id % 4 == 3)
           Multimodal.MediaRecord(id, payload)
         }
       }

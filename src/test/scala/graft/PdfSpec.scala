@@ -15,16 +15,37 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PdfSpec extends AnyFunSuite {
 
-  test("encode → extractText round-trips all styles × compression") {
+  test("encode → extractText round-trips all styles × compression × structure") {
     val pages = Seq(
       Seq("the quick brown fox", "jumps over the lazy dog"),
       Seq("second page line one", "and line two"))
-    for (style <- 0 to 2; compress <- Seq(false, true)) {
-      val pdf = Pdf.encode(pages, style, compress)
+    for (style <- 0 to 2; compress <- Seq(false, true);
+         (xs, pred) <- Seq((false, false), (true, false), (true, true))) {
+      val pdf = Pdf.encode(pages, style, compress, xrefStream = xs,
+        predictor = pred)
       val got = Pdf.extractText(pdf)
       assert(got == pages.map(_.mkString("\n")),
-        s"style=$style compress=$compress")
+        s"style=$style compress=$compress xrefStream=$xs predictor=$pred")
     }
+  }
+
+  test("1.5 structure: the object stream and xref stream actually exist") {
+    val pdf = Pdf.encode(Seq(Seq("structural check body")), 0,
+      compress = false, xrefStream = true, predictor = true)
+    val s = new String(pdf, "ISO-8859-1")
+    assert(s.contains("/Type /ObjStm"), "no object stream emitted")
+    assert(s.contains("/Type /XRef"), "no cross-reference stream emitted")
+    assert(s.contains("/Predictor 12"), "no predictor parms emitted")
+    assert(!s.contains("trailer"), "1.5 files carry no trailer keyword")
+    // the catalog dictionary must NOT appear as a top-level object
+    assert(!s.contains("1 0 obj\n<< /Type /Catalog"),
+      "catalog should live inside the ObjStm")
+    // corrupting the predicted xref data fails loudly (inflate or
+    // row-shape check), never a silent wrong offset
+    val at = s.indexOf("stream\n", s.indexOf("/Type /XRef"))
+    val bad = pdf.clone()
+    bad(at + 10) = (bad(at + 10) ^ 0x55).toByte
+    intercept[Exception](Pdf.extractText(bad))
   }
 
   test("WinAnsi high bytes survive octal escapes and hex strings") {
@@ -118,18 +139,19 @@ class PdfSpec extends AnyFunSuite {
     val good = Pdf.encode(Seq(Seq("hello")), 0, compress = false)
     // encrypted — the swap shifts no offsets (trailer sits after xref)
     val enc = new String(good, "ISO-8859-1").replace(
-      "/Size 7 /Root 1 0 R", "/Size 7 /Root 1 0 R /Encrypt 9 0 R")
+      "/Size 6 /Root 1 0 R", "/Size 6 /Root 1 0 R /Encrypt 9 0 R")
     assert(enc.contains("/Encrypt"), "trailer replace missed")
     val e1 = intercept[IllegalArgumentException](
       Pdf.extractText(enc.getBytes("ISO-8859-1")))
     assert(e1.getMessage.contains("encrypted"))
-    // xref stream: startxref pointing at an object, not a table
+    // startxref pointing at a NON-stream object (object 1, offset 15):
+    // the 1.5 dispatch tries the xref-stream path and refuses loudly
     val xs = new String(good, "ISO-8859-1")
     val sx = xs.lastIndexOf("startxref")
     val hacked = xs.substring(0, sx) + "startxref\n15\n%%EOF\n"
     val e2 = intercept[IllegalArgumentException](
       Pdf.extractText(hacked.getBytes("ISO-8859-1")))
-    assert(e2.getMessage.contains("cross-reference"))
+    assert(e2.getMessage.contains("non-stream"))
     // unsupported filter: same-length name swap keeps every offset
     val bad = new String(Pdf.encode(Seq(Seq("hi")), 0, compress = true),
       "ISO-8859-1").replace("/FlateDecode", "/FlateXecode")
