@@ -210,6 +210,20 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // DOCX TEXT EXTRACTION (q393, r15): the office-document source
+    // next to PDF — every document rendered as a real OPC ZIP package
+    // (ECMA-376) whose WordprocessingML splits each 9-word paragraph
+    // into 3-word runs with xml:space="preserve" space carriers, then
+    // extracted back by the ZIP walk + tag walk + entity decode. The
+    // oracle replays the paragraph layout arithmetically.
+    "q393_docx_extract" -> { (s, d) =>
+      graft.operators.Docx.extractTexts(
+        graft.operators.Docx.asDocxMedia(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_paragraphs"),
+          md5(col("text")).as("text_md5"))
+    },
+
     // WEBP-LOSSLESS ROUND TRIP (q391, r15): the last common web image
     // format — VP8L spatial coding (canonical prefix codes in both
     // transmitted forms, LZ77 distance-1 runs, degenerate 0-bit trees)
@@ -2310,6 +2324,20 @@ object Multimodal {
                 x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) + 0.0
                 AS vec_sum
          FROM embeddings""",
+    // q393: 9-word paragraphs joined by newlines — the OPC container
+    // and the run/space/entity machinery must be text-transparent.
+    "q393_docx_extract" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+            l AS (SELECT doc_id, ws,
+                     CAST(ceil(len(ws) / 9.0) AS BIGINT) AS np FROM w)
+         SELECT doc_id,
+              CAST(np AS INTEGER) AS n_paragraphs,
+              md5(array_to_string(list_transform(range(1, np + 1),
+                i -> array_to_string(ws[(i-1)*9+1 : least(i*9, len(ws))],
+                  ' ')), chr(10))) AS text_md5
+         FROM l""",
+
     // q391: the q350 color chain with the alpha rule on every row —
     // the WebP container must be pixel-transparent.
     "q391_webp_roundtrip" ->
