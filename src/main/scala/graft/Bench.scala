@@ -172,7 +172,8 @@ object Bench {
     */
   private val headlineR15 = Seq("q385_safetensors_roundtrip",
     "q386_pdf_extract", "q388_main_content", "q389_joint_dedup",
-    "q390_flac_roundtrip", "q391_webp_roundtrip", "q393_docx_extract")
+    "q390_flac_roundtrip", "q391_webp_roundtrip", "q393_docx_extract",
+    "q394_document_ingest")
 
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++

@@ -210,6 +210,51 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // DOCUMENT-INGESTION FLAGSHIP (q394, r15 — the document-modality
+    // q380): a MIXED corpus — even ids rendered as PDFs (both
+    // structural families), odd ids as DOCX packages — where ids%3==0
+    // carry planted mojibake INSIDE the document (the crawled-file
+    // reality). The pipeline extracts per container, repairs encoding
+    // with fix_encoding_native, and emits token counts + text digests:
+    // container transparency, the repair rule, and token preservation
+    // across both formats all under ONE hash.
+    "q394_document_ingest" -> { (s, d) =>
+      import s.implicits._
+      val umlaut = new String(Array(0xe4), 0, 1)
+      val injected = s"d${umlaut}t$umlaut"
+      val prepared = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val clean =
+            if (id % 3 == 0) text.replace("data", injected) else text
+          val corrupted =
+            if (id % 3 == 0) graft.plans.NativeText.mojibake(clean)
+            else clean
+          (id, corrupted)
+        }.toDF("doc_id", "text")
+      val pdfText = graft.operators.Pdf.extractTexts(
+          graft.operators.Pdf.asPdfMedia(
+            prepared.filter(col("doc_id") % 2 === 0))).toDF()
+        .select(col("doc_id"), lit("pdf").as("format"),
+          col("n_pages").as("n_units"), col("text"))
+      val docxText = graft.operators.Docx.extractTexts(
+          graft.operators.Docx.asDocxMedia(
+            prepared.filter(col("doc_id") % 2 === 1))).toDF()
+        .select(col("doc_id"), lit("docx").as("format"),
+          col("n_paragraphs").as("n_units"), col("text"))
+      pdfText.unionByName(docxText)
+        .select(col("doc_id"), col("format"), col("n_units"),
+          col("text").as("raw"),
+          graft.functions.TextFunctions.fixEncoding(col("text"))
+            .as("fixed"))
+        .select(col("doc_id"), col("format"), col("n_units"),
+          when(col("fixed") =!= col("raw"), 1).otherwise(0)
+            .as("was_repaired"),
+          graft.functions.TextFunctions.tokenCount(col("fixed"))
+            .as("n_tokens"),
+          md5(col("fixed")).as("text_md5"))
+    },
+
     // DOCX TEXT EXTRACTION (q393, r15): the office-document source
     // next to PDF — every document rendered as a real OPC ZIP package
     // (ECMA-376) whose WordprocessingML splits each 9-word paragraph
@@ -2324,6 +2369,35 @@ object Multimodal {
                 x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) + 0.0
                 AS vec_sum
          FROM embeddings""",
+    // q394: per-format layout reconstruction over the CLEAN text (the
+    // repair must exactly undo the planted corruption), token counts
+    // preserved through both containers.
+    "q394_document_ingest" ->
+      """WITH c AS (SELECT doc_id, text,
+              CASE WHEN doc_id % 3 = 0
+                   THEN replace(text, 'data',
+                        'd' || chr(228) || 't' || chr(228))
+                   ELSE text END AS clean
+            FROM documents),
+          w AS (SELECT doc_id, text, string_split(clean, ' ') AS ws,
+                   CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 9 END AS k
+               FROM c),
+          t AS (SELECT doc_id, text, ws, k,
+                   CAST(ceil(len(ws) * 1.0 / k) AS BIGINT) AS ng
+               FROM w)
+         SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'docx' END
+                AS format,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN ceil(ng / 4.0)
+                   ELSE ng END AS INTEGER) AS n_units,
+              CASE WHEN doc_id % 3 = 0 AND contains(text, 'data')
+                   THEN 1 ELSE 0 END AS was_repaired,
+              CAST(len(ws) AS INTEGER) AS n_tokens,
+              md5(array_to_string(list_transform(range(1, ng + 1),
+                i -> array_to_string(ws[(i-1)*k+1 : least(i*k, len(ws))],
+                  ' ')), chr(10))) AS text_md5
+         FROM t""",
+
     // q393: 9-word paragraphs joined by newlines — the OPC container
     // and the run/space/entity machinery must be text-transparent.
     "q393_docx_extract" ->
