@@ -173,7 +173,7 @@ object Bench {
   private val headlineR15 = Seq("q385_safetensors_roundtrip",
     "q386_pdf_extract", "q388_main_content", "q389_joint_dedup",
     "q390_flac_roundtrip", "q391_webp_roundtrip", "q393_docx_extract",
-    "q394_document_ingest")
+    "q394_document_ingest", "q395_epub_extract")
 
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++

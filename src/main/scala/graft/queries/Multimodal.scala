@@ -210,6 +210,20 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // EPUB TEXT EXTRACTION (q395, r15): books — every document packed
+    // as a real OCF container (stored mimetype, container.xml →
+    // rootfile → OPF manifest + spine, XHTML chapters) and extracted
+    // back in SPINE order through the engine's own html_to_text rules.
+    // The oracle replays the 5-words-per-line / 2-lines-per-chapter
+    // layout arithmetically.
+    "q395_epub_extract" -> { (s, d) =>
+      graft.operators.Epub.extractTexts(
+        graft.operators.Epub.asEpubMedia(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_chapters"),
+          md5(col("text")).as("text_md5"))
+    },
+
     // DOCUMENT-INGESTION FLAGSHIP (q394, r15 — the document-modality
     // q380): a MIXED corpus — even ids rendered as PDFs (both
     // structural families), odd ids as DOCX packages — where ids%3==0
@@ -2369,6 +2383,20 @@ object Multimodal {
                 x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) + 0.0
                 AS vec_sum
          FROM embeddings""",
+    // q395: 5-word lines, chapters of 2 — chapter joins are also line
+    // joins, so the hash is over all lines joined by newlines.
+    "q395_epub_extract" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+            l AS (SELECT doc_id, ws,
+                     CAST(ceil(len(ws) / 5.0) AS BIGINT) AS nl FROM w)
+         SELECT doc_id,
+              CAST(ceil(nl / 2.0) AS INTEGER) AS n_chapters,
+              md5(array_to_string(list_transform(range(1, nl + 1),
+                i -> array_to_string(ws[(i-1)*5+1 : least(i*5, len(ws))],
+                  ' ')), chr(10))) AS text_md5
+         FROM l""",
+
     // q394: per-format layout reconstruction over the CLEAN text (the
     // repair must exactly undo the planted corruption), token counts
     // preserved through both containers.
