@@ -360,4 +360,39 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(got == expected)
   }
+
+  test("document containers round-trip arbitrary text exactly (PDF/DOCX/EPUB)") {
+    import graft.operators.{Docx, Epub, Pdf}
+    // words over the CP-1252-safe alphabet (the PDF WinAnsi contract):
+    // ASCII letters/digits/punct the writers must escape, plus Latin-1
+    // and Windows-addition code points
+    val alphabet: IndexedSeq[Char] =
+      ('a' to 'z') ++ ('0' to '9') ++ "().,&<>\"'\\#/[]%-" ++
+        Seq(0xe9, 0xe4, 0xdf, 0x2019, 0x20ac).map(_.toChar)
+    def randWord(): String =
+      (0 until 1 + rnd.nextInt(9)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    (0 until 25).foreach { trial =>
+      val nLines = 1 + rnd.nextInt(6)
+      val lines = (0 until nLines).map(_ =>
+        (0 until 1 + rnd.nextInt(7)).map(_ => randWord()).mkString(" "))
+      // PDF: lines per page, every style/compression/structure combo
+      val pages = lines.grouped(1 + rnd.nextInt(3)).map(_.toSeq).toSeq
+      val style = rnd.nextInt(3)
+      val (xs, pred) =
+        Seq((false, false), (true, false), (true, true))(rnd.nextInt(3))
+      val pdf = Pdf.encode(pages, style, compress = rnd.nextBoolean(),
+        xrefStream = xs, predictor = pred)
+      assert(Pdf.extractText(pdf) == pages.map(_.mkString("\n")),
+        s"pdf trial $trial style=$style xs=$xs pred=$pred")
+      // DOCX: each line a paragraph, random run width
+      val docx = Docx.encode(lines, wordsPerRun = 1 + rnd.nextInt(4))
+      assert(Docx.extractText(docx) == lines.toVector, s"docx trial $trial")
+      // EPUB: random chapter grouping
+      val chapters = lines.grouped(1 + rnd.nextInt(3)).map(_.toSeq).toSeq
+      val epub = Epub.encode(chapters)
+      assert(Epub.extractText(epub) ==
+        chapters.map(_.mkString("\n")).toVector, s"epub trial $trial")
+    }
+  }
 }
