@@ -151,7 +151,14 @@ object Web {
             endLinkSegment()
             inLink = i + 1 < n && html.charAt(i + 1) != '/'
           }
-          if (BlockTags.contains(name)) flush() else buf.append(' ')
+          if (BlockTags.contains(name)) flush()
+          else {
+            buf.append(' ')
+            // an inline tag inside an anchor separates link words too,
+            // or linkChars undercounts markup-split anchors and link
+            // density is understated
+            if (inLink) linkBuf.append(' ')
+          }
           i = skipTag(html, i)
         }
       } else if (c == '&') {

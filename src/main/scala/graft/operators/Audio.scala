@@ -997,7 +997,7 @@ object Audio {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
-        rows.map { case (id, text) =>
+        rows.flatMap { case (id, text) =>
           val base = samplesOf(text)
           // tail value stays on the byte lattice (<=127·257−16384), so
           // the oracle's integer arithmetic never sees a 16-bit wrap
@@ -1006,6 +1006,9 @@ object Audio {
               Array.fill(300)(((id % 120) * 257 - 16384).toShort)
             else Array.emptyShortArray
           val s = base ++ tail
+          // an empty-text doc with no tail has nothing to encode — emit
+          // no row, exactly as the oracle's length(text) > 0 gate does
+          if (s.isEmpty) None else Some {
           val payload = Flac.encode(SampleRate, s, blockSize,
             forceVerbatim = id % 7 == 0)
           val dec = Flac.decode(payload)
@@ -1023,6 +1026,7 @@ object Audio {
             i += 1
           }
           FlacRoundtrip(id, dec.samples.length, dec.nFrames, sum, sumSq, peak)
+          }
         }
       }
   }

@@ -33,7 +33,7 @@ object Docx {
   // Writer
   // ------------------------------------------------------------------
 
-  private def xmlEscape(s: String): String = {
+  private[operators] def xmlEscape(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 8)
     s.foreach {
       case '&' => sb.append("&amp;")

@@ -25,16 +25,9 @@ object Epub {
   // Writer
   // ------------------------------------------------------------------
 
-  private def xmlEscape(s: String): String = {
-    val sb = new java.lang.StringBuilder(s.length + 8)
-    s.foreach {
-      case '&' => sb.append("&amp;")
-      case '<' => sb.append("&lt;")
-      case '>' => sb.append("&gt;")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
+  // one escaper for both OPC writers — Docx's escapes quotes too,
+  // which is harmless in element content and required in attributes
+  private def xmlEscape(s: String): String = Docx.xmlEscape(s)
 
   /** Serialize chapters (each a seq of lines) as a minimal valid EPUB:
     * stored mimetype, container.xml, OPF with manifest + spine in
@@ -122,16 +115,23 @@ object Epub {
     out.result()
   }
 
-  /** `name="value"` attribute lookup inside one tag body. */
+  /** `name="value"` attribute lookup inside one tag body. The match
+    * requires a whitespace boundary BEFORE the name — a bare substring
+    * scan would read `guid="g1"` when asked for `id` (real EPUBs carry
+    * such sibling attributes).
+    */
   private def attr(tag: String, name: String): Option[String] = {
     val needle = name + "=\""
-    val at = tag.indexOf(needle)
-    if (at < 0) None
-    else {
-      val end = tag.indexOf('"', at + needle.length)
-      require(end >= 0, s"unterminated $name attribute")
-      Some(tag.substring(at + needle.length, end))
+    var at = tag.indexOf(needle)
+    while (at >= 0) {
+      if (at > 0 && tag.charAt(at - 1).isWhitespace) {
+        val end = tag.indexOf('"', at + needle.length)
+        require(end >= 0, s"unterminated $name attribute")
+        return Some(tag.substring(at + needle.length, end))
+      }
+      at = tag.indexOf(needle, at + 1)
     }
+    None
   }
 
   /** Every `<tagName … >` (or self-closing) tag body in `xml`. */

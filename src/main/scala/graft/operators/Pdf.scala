@@ -587,12 +587,17 @@ object Pdf {
       case other => other
     }
 
+    private val fetching = scala.collection.mutable.Set.empty[Int]
+
     def fetch(num: Int): PObj = cache.getOrElseUpdate(num, {
-      xref.getOrElse(num,
+      // a /Length (or any field) whose indirect ref cycles back into
+      // the object being parsed must refuse, not recurse forever
+      require(fetching.add(num), s"cyclic indirect reference at object $num")
+      try xref.getOrElse(num,
         throw new IllegalArgumentException(s"object $num not in xref")) match {
         case AtOffset(off) => parseTop(off, num, directLengthOnly = false)
         case InObjStm(stm, idx) => objFromStream(num, stm, idx)
-      }
+      } finally fetching.remove(num)
     })
 
     /** Extract an object from a /Type /ObjStm object stream: decode
@@ -701,24 +706,30 @@ object Pdf {
 
     // walk the page tree (nested /Pages nodes allowed)
     val pages = Vector.newBuilder[PDict]
-    def walk(node: PObj): Unit = doc.resolve(node) match {
-      case d: PDict =>
-        doc.resolve(d.m.getOrElse("Type", PNull)) match {
-          case PName("Pages") =>
-            doc.resolve(d.m.getOrElse("Kids",
-              throw new IllegalArgumentException("/Pages without /Kids"))) match {
-              case PArr(kids) => kids.foreach(walk)
-              case other =>
-                throw new IllegalArgumentException(s"bad /Kids: $other")
-            }
-          case PName("Page") => pages += d
-          case other =>
-            throw new IllegalArgumentException(s"bad page-tree node: $other")
-        }
-      case other =>
-        throw new IllegalArgumentException(s"page-tree node not a dict: $other")
+    def walk(node: PObj, depth: Int): Unit = {
+      // a crafted /Kids cycle must refuse loudly, not StackOverflow —
+      // the page tree is the one recursive walk, so it gets the same
+      // bounded-depth doctrine as the /Prev chain
+      require(depth < 64, "page tree deeper than 64 levels (cycle?)")
+      doc.resolve(node) match {
+        case d: PDict =>
+          doc.resolve(d.m.getOrElse("Type", PNull)) match {
+            case PName("Pages") =>
+              doc.resolve(d.m.getOrElse("Kids",
+                throw new IllegalArgumentException("/Pages without /Kids"))) match {
+                case PArr(kids) => kids.foreach(walk(_, depth + 1))
+                case other =>
+                  throw new IllegalArgumentException(s"bad /Kids: $other")
+              }
+            case PName("Page") => pages += d
+            case other =>
+              throw new IllegalArgumentException(s"bad page-tree node: $other")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"page-tree node not a dict: $other")
+      }
     }
-    walk(pagesRoot)
+    walk(pagesRoot, 0)
 
     pages.result().map { page =>
       val content = doc.resolve(page.m.getOrElse("Contents", PNull)) match {
@@ -779,8 +790,11 @@ object Pdf {
                   items.foreach {
                     case s: PStr => show(s)
                     case PNum(v, _) =>
-                      if (v <= WordKernThreshold && lineHasText &&
-                        sb.charAt(sb.length - 1) != ' ') sb.append(' ')
+                      // every deep kern is one space — consecutive deep
+                      // kerns (an empty show string between them) carry
+                      // consecutive source spaces and must all survive
+                      if (v <= WordKernThreshold && lineHasText)
+                        sb.append(' ')
                     case other => pr.fail(s"bad TJ element: $other")
                   }
                 case other => pr.fail(s"TJ without an array operand: $other")

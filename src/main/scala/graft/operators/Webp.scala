@@ -469,7 +469,9 @@ object Webp {
         "and extended VP8X are not supported)")
     val chunkLen = (webp(16) & 0xff) | ((webp(17) & 0xff) << 8) |
       ((webp(18) & 0xff) << 16) | ((webp(19) & 0xff) << 24)
-    require(chunkLen > 0 && 20 + chunkLen <= webp.length,
+    // Long arithmetic: a crafted length near Int.MaxValue would wrap
+    // 20 + chunkLen negative and sneak past an Int comparison
+    require(chunkLen > 0 && 20L + chunkLen <= webp.length,
       "truncated VP8L chunk")
     val r = new BitReader(webp, 20, 20 + chunkLen)
     require(r.readBits(8) == 0x2f, "bad VP8L signature byte")

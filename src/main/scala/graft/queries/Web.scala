@@ -27,10 +27,15 @@ object Web {
     */
   private def boilerplatePages(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // length > 0 gate on BOTH sides (mainContentOracle carries it too):
+    // an empty-text doc would render a no-block page while the oracle's
+    // string_split('') still counts one empty pseudo-block
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .filter(length(col("text")) > 0)
+      .as[(Long, String)]
       .map { case (id, text) =>
-        val words = text.split(" ")
+        val words = text.split(" ", -1)
         val paras = words.grouped(8).map(_.mkString(" ")).toVector
         val body = paras.zipWithIndex.map { case (p, i) =>
           if (i == 0 && id % 3 == 0) {
@@ -565,7 +570,7 @@ object Web {
     */
   private val mainContentOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-                 FROM documents),
+                 FROM documents WHERE length(text) > 0),
           b AS (SELECT doc_id, ws,
                    CAST(ceil(len(ws) / 8.0) AS BIGINT) AS nblk FROM w),
           e AS (SELECT doc_id, ws, nblk,

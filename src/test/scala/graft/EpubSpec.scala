@@ -61,6 +61,24 @@ class EpubSpec extends AnyFunSuite {
       Vector("second text", "first text"))
   }
 
+  test("attribute lookup needs a name boundary (guid= must not match id=)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, body: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes("UTF-8")); z.closeEntry()
+    }
+    entry("META-INF/container.xml",
+      """<container><rootfiles><rootfile full-path="p.opf"/></rootfiles></container>""")
+    entry("p.opf",
+      """<package><manifest>
+        |<item guid="WRONG" id="c" href="c.xhtml" media-type="application/xhtml+xml"/>
+        |</manifest><spine><itemref data-idref="DECOY" idref="c"/></spine></package>""".stripMargin)
+    entry("c.xhtml", "<html><body><p>boundary ok</p></body></html>")
+    z.close()
+    assert(Epub.extractText(bos.toByteArray) == Vector("boundary ok"))
+  }
+
   test("malformed packages fail loudly") {
     intercept[IllegalArgumentException](
       Epub.extractText("not a zip".getBytes("US-ASCII")))

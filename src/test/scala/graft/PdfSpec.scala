@@ -78,6 +78,21 @@ class PdfSpec extends AnyFunSuite {
     // exactly at the threshold is a break
     val at = "BT [(a) -180 (b)] TJ ET"
     assert(Pdf.extractFromContent(at.getBytes("US-ASCII")) == "a b")
+    // consecutive deep kerns (an empty show between them) carry
+    // consecutive source spaces — each survives
+    val dbl = "BT [(a) -250 () -250 (b)] TJ ET"
+    assert(Pdf.extractFromContent(dbl.getBytes("US-ASCII")) == "a  b")
+  }
+
+  test("crafted cycles refuse loudly instead of overflowing the stack") {
+    // a /Kids cycle: object 2 lists itself as its own kid
+    val good = new String(Pdf.encode(Seq(Seq("hello")), 0, false),
+      "ISO-8859-1")
+    val cyc = good.replace("/Kids [4 0 R]", "/Kids [2 0 R]")
+    assert(cyc.contains("/Kids [2 0 R]"), "kids replace missed")
+    val e = intercept[IllegalArgumentException](
+      Pdf.extractText(cyc.getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("cycle"))
   }
 
   /** Hand-assembled PDF: independent offset bookkeeping, nested page

@@ -353,5 +353,11 @@ class WebSpec extends AnyFunSuite {
     val b2 = graft.functions.Web.mainContentBlocks(spanning)
     assert(b2.map(_.text) == Vector("one two", "three four five"))
     assert(b2(0).linkChars == 3 && b2(1).linkChars == 5)
+    // markup-split anchor text: the inline-tag separator counts into
+    // linkChars too, or link density is understated
+    val markup = "<p><a href='/'>one<b>two</b></a> x</p>"
+    val b3 = graft.functions.Web.mainContentBlocks(markup)
+    assert(b3.map(_.text) == Vector("one two x"))
+    assert(b3(0).linkChars == "one two".length, b3(0).toString)
   }
 }
