@@ -210,6 +210,23 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // RTF TEXT EXTRACTION (q396, r15): the legacy rich-text source
+    // that rounds out the document suite (PDF/DOCX/EPUB/RTF) — every
+    // document rendered as a real RTF stream (font-table + ignorable
+    // destinations, bold groups on every 4th word, stride-driven
+    // \'hh hex escapes, \uN? for non-ASCII) and extracted back by the
+    // full tokenizer: group-scoped \uc state, destination skipping,
+    // unknown-control-word forward-compat rule. The oracle replays
+    // the 7-words-per-paragraph layout arithmetically, so an escape
+    // or group-state slip breaks the hash.
+    "q396_rtf_extract" -> { (s, d) =>
+      graft.operators.Rtf.extractTexts(
+        graft.operators.Rtf.asRtfMedia(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_paragraphs"),
+          md5(col("text")).as("text_md5"))
+    },
+
     // EPUB TEXT EXTRACTION (q395, r15): books — every document packed
     // as a real OCF container (stored mimetype, container.xml →
     // rootfile → OPF manifest + spine, XHTML chapters) and extracted
@@ -2383,6 +2400,20 @@ object Multimodal {
                 x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) + 0.0
                 AS vec_sum
          FROM embeddings""",
+    // q396: 7-word paragraphs joined by newlines — the RTF escape and
+    // group machinery must be text-transparent.
+    "q396_rtf_extract" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+            l AS (SELECT doc_id, ws,
+                     CAST(ceil(len(ws) / 7.0) AS BIGINT) AS np FROM w)
+         SELECT doc_id,
+              CAST(np AS INTEGER) AS n_paragraphs,
+              md5(array_to_string(list_transform(range(1, np + 1),
+                i -> array_to_string(ws[(i-1)*7+1 : least(i*7, len(ws))],
+                  ' ')), chr(10))) AS text_md5
+         FROM l""",
+
     // q395: 5-word lines, chapters of 2 — chapter joins are also line
     // joins, so the hash is over all lines joined by newlines.
     "q395_epub_extract" ->

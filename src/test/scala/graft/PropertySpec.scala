@@ -361,8 +361,8 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("document containers round-trip arbitrary text exactly (PDF/DOCX/EPUB)") {
-    import graft.operators.{Docx, Epub, Pdf}
+  test("document containers round-trip arbitrary text exactly (PDF/DOCX/EPUB/RTF)") {
+    import graft.operators.{Docx, Epub, Pdf, Rtf}
     // words over the CP-1252-safe alphabet (the PDF WinAnsi contract):
     // ASCII letters/digits/punct the writers must escape, plus Latin-1
     // and Windows-addition code points
@@ -393,6 +393,9 @@ class PropertySpec extends AnyFunSuite {
       val epub = Epub.encode(chapters)
       assert(Epub.extractText(epub) ==
         chapters.map(_.mkString("\n")).toVector, s"epub trial $trial")
+      // RTF: each line a paragraph through the escape/group machinery
+      val rtf = Rtf.encode(lines)
+      assert(Rtf.extractText(rtf) == lines.toVector, s"rtf trial $trial")
     }
   }
 }
