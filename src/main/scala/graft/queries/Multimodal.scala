@@ -210,6 +210,23 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // MARKDOWN TEXT EXTRACTION (q397, r15): the dominant markup of
+    // code-hosting corpora — every document rendered as markdown by a
+    // fixed layout rule (6-word lines; heading/bullet/quote/ordered by
+    // line stride; bold/em/code-span/link by global word stride; every
+    // ASCII punct backslash-escaped; ids%4==0 carry a fenced code
+    // block) and extracted back through the block+inline walk. Code
+    // fences route to their own channel and never touch the text; the
+    // oracle replays the 6-word layout arithmetically, so any marker
+    // or escape slip breaks the hash.
+    "q397_markdown_extract" -> { (s, d) =>
+      graft.operators.Markdown.extractTexts(
+        graft.operators.Markdown.asMarkdownDocs(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_lines"), col("n_code_blocks"),
+          md5(col("text")).as("text_md5"))
+    },
+
     // RTF TEXT EXTRACTION (q396, r15): the legacy rich-text source
     // that rounds out the document suite (PDF/DOCX/EPUB/RTF) — every
     // document rendered as a real RTF stream (font-table + ignorable
@@ -2400,6 +2417,22 @@ object Multimodal {
                 x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) + 0.0
                 AS vec_sum
          FROM embeddings""",
+    // q397: 6-word lines joined by newlines; fenced blocks counted but
+    // excluded — markdown decorations must be text-transparent.
+    "q397_markdown_extract" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+            l AS (SELECT doc_id, ws,
+                     CAST(ceil(len(ws) / 6.0) AS BIGINT) AS nl FROM w)
+         SELECT doc_id,
+              CAST(nl AS INTEGER) AS n_lines,
+              CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER)
+                AS n_code_blocks,
+              md5(array_to_string(list_transform(range(1, nl + 1),
+                i -> array_to_string(ws[(i-1)*6+1 : least(i*6, len(ws))],
+                  ' ')), chr(10))) AS text_md5
+         FROM l""",
+
     // q396: 7-word paragraphs joined by newlines — the RTF escape and
     // group machinery must be text-transparent.
     "q396_rtf_extract" ->
