@@ -227,6 +227,25 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // NOTEBOOK (ipynb) TEXT EXTRACTION (q398, r15): the container of
+    // code corpora — every document rendered as an nbformat-4 notebook
+    // (5-word source lines, 2 lines per cell, cells alternating
+    // markdown/code starting with markdown) and extracted back by a
+    // fully DECLARATIVE plan: from_json with the nbformat schema +
+    // higher-order filter/transform/array_join, no hand parser on the
+    // read side. Prose and code surface as separate channels; the
+    // oracle replays the line/cell layout arithmetically, so an escape
+    // slip in the writer or a channel-split slip in the reader breaks
+    // either hash.
+    "q398_notebook_extract" -> { (s, d) =>
+      graft.operators.Notebook.extractCells(
+        graft.operators.Notebook.asNotebookDocs(Tables.documents(s, d)))
+        .select(col("doc_id"), col("nbformat"), col("n_cells"),
+          col("n_code_cells"),
+          md5(col("md_text")).as("md_md5"),
+          md5(col("code_text")).as("code_md5"))
+    },
+
     // RTF TEXT EXTRACTION (q396, r15): the legacy rich-text source
     // that rounds out the document suite (PDF/DOCX/EPUB/RTF) — every
     // document rendered as a real RTF stream (font-table + ignorable
@@ -2432,6 +2451,32 @@ object Multimodal {
                 i -> array_to_string(ws[(i-1)*6+1 : least(i*6, len(ws))],
                   ' ')), chr(10))) AS text_md5
          FROM l""",
+
+    // q398: 5-word lines, cells of 2, alternating markdown/code from
+    // markdown — each channel is its lines joined by newlines, so the
+    // notebook JSON (writer) and the from_json walk (reader) are both
+    // text-transparent under the two channel hashes.
+    "q398_notebook_extract" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+            l AS (SELECT doc_id, ws,
+                     CAST(ceil(len(ws) / 5.0) AS BIGINT) AS nl FROM w),
+            t AS (SELECT doc_id, nl,
+                     list_transform(range(1, nl + 1),
+                       i -> array_to_string(
+                         ws[(i-1)*5+1 : least(i*5, len(ws))], ' ')) AS ls
+                  FROM l)
+         SELECT doc_id,
+              4 AS nbformat,
+              CAST(ceil(nl / 2.0) AS INTEGER) AS n_cells,
+              CAST(floor(ceil(nl / 2.0) / 2) AS INTEGER) AS n_code_cells,
+              md5(coalesce(array_to_string(list_transform(
+                list_filter(range(1, nl + 1), i -> ((i-1) // 2) % 2 = 0),
+                i -> ls[i]), chr(10)), '')) AS md_md5,
+              md5(coalesce(array_to_string(list_transform(
+                list_filter(range(1, nl + 1), i -> ((i-1) // 2) % 2 = 1),
+                i -> ls[i]), chr(10)), '')) AS code_md5
+         FROM t""",
 
     // q396: 7-word paragraphs joined by newlines — the RTF escape and
     // group machinery must be text-transparent.
