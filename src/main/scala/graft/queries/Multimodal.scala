@@ -227,6 +227,25 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // WIKITEXT EXTRACTION (q399, r15): the markup of the most-used
+    // pretraining corpus (Wikipedia dumps ship wikitext, not HTML) —
+    // every document rendered by a fixed layout rule (8-word lines;
+    // heading/bullet/indent/numbered by line stride; bold/italic/
+    // internal-link/external-link by word stride; refs, comments and
+    // templates attached to stride words with id-derived content;
+    // metacharacter words nowiki-wrapped; ids%4==0 carry a table
+    // block) and extracted back through the structure removers + line
+    // walk + apostrophe-run inline pass. Refs and tables are counted
+    // by arithmetic the oracle replays, so a removal slip or a toggle
+    // slip breaks the hash.
+    "q399_wikitext_extract" -> { (s, d) =>
+      graft.operators.Wikitext.extractTexts(
+        graft.operators.Wikitext.asWikitextDocs(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_lines"), col("n_tables"),
+          col("n_refs"), md5(col("text")).as("text_md5"))
+    },
+
     // NOTEBOOK (ipynb) TEXT EXTRACTION (q398, r15): the container of
     // code corpora — every document rendered as an nbformat-4 notebook
     // (5-word source lines, 2 lines per cell, cells alternating
@@ -2449,6 +2468,25 @@ object Multimodal {
                 AS n_code_blocks,
               md5(array_to_string(list_transform(range(1, nl + 1),
                 i -> array_to_string(ws[(i-1)*6+1 : least(i*6, len(ws))],
+                  ' ')), chr(10))) AS text_md5
+         FROM l""",
+
+    // q399: 8-word lines joined by newlines; the ref count replays the
+    // word-stride rule (global index j%10==6), tables the id rule —
+    // every decoration and structure must be text-transparent.
+    "q399_wikitext_extract" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+            l AS (SELECT doc_id, ws,
+                     CAST(ceil(len(ws) / 8.0) AS BIGINT) AS nl FROM w)
+         SELECT doc_id,
+              CAST(nl AS INTEGER) AS n_lines,
+              CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER)
+                AS n_tables,
+              CAST(CASE WHEN len(ws) > 6 THEN (len(ws) - 7) // 10 + 1
+                   ELSE 0 END AS INTEGER) AS n_refs,
+              md5(array_to_string(list_transform(range(1, nl + 1),
+                i -> array_to_string(ws[(i-1)*8+1 : least(i*8, len(ws))],
                   ' ')), chr(10))) AS text_md5
          FROM l""",
 
