@@ -227,6 +227,26 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // LATEX EXTRACTION (q400, r15): the arXiv source format — every
+    // document rendered by a fixed layout rule (10-word paragraphs;
+    // section/itemize/size-group by line stride; bold/emph/tt by word
+    // stride; inline math, footnotes and cites attached to stride
+    // words with index-derived content; TeX specials escaped) and
+    // extracted back through the command-dispatch walk. Math routes to
+    // its own channel whose content the oracle REGENERATES from the
+    // stride arithmetic, so both hashes pin the whole grammar: a
+    // dropped escape, a mis-skipped argument, or a math-capture slip
+    // breaks one of them.
+    "q400_latex_extract" -> { (s, d) =>
+      graft.operators.Latex.extractTexts(
+        graft.operators.Latex.asLatexDocs(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_lines"), col("n_math"),
+          col("n_footnotes"),
+          md5(col("text")).as("text_md5"),
+          md5(col("math")).as("math_md5"))
+    },
+
     // WIKITEXT EXTRACTION (q399, r15): the markup of the most-used
     // pretraining corpus (Wikipedia dumps ship wikitext, not HTML) —
     // every document rendered by a fixed layout rule (8-word lines;
@@ -2470,6 +2490,38 @@ object Multimodal {
                 i -> array_to_string(ws[(i-1)*6+1 : least(i*6, len(ws))],
                   ' ')), chr(10))) AS text_md5
          FROM l""",
+
+    // q400: 10-word paragraphs joined by newlines; the math channel is
+    // regenerated from the word-stride rule (j%9==4 → x_{j}+1) plus
+    // the id-rule display equation — decorations, attachments, and the
+    // whole TeX escape grammar must be text-transparent.
+    "q400_latex_extract" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+            l AS (SELECT doc_id, ws, len(ws) AS nw,
+                     CAST(ceil(len(ws) / 10.0) AS BIGINT) AS nl FROM w),
+            m AS (SELECT doc_id, ws, nw, nl,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       list_append(list_transform(
+                         list_filter(range(1, nw + 1), i -> (i-1) % 9 = 4),
+                         i -> 'x_{' || (i-1) || '}+1'), 'E = m c^2')
+                     ELSE
+                       list_transform(
+                         list_filter(range(1, nw + 1), i -> (i-1) % 9 = 4),
+                         i -> 'x_{' || (i-1) || '}+1')
+                     END AS maths
+                  FROM l)
+         SELECT doc_id,
+              CAST(nl AS INTEGER) AS n_lines,
+              CAST(len(maths) AS INTEGER) AS n_math,
+              CAST(CASE WHEN nw > 6 THEN (nw - 7) // 10 + 1
+                   ELSE 0 END AS INTEGER) AS n_footnotes,
+              md5(array_to_string(list_transform(range(1, nl + 1),
+                i -> array_to_string(ws[(i-1)*10+1 : least(i*10, nw)],
+                  ' ')), chr(10))) AS text_md5,
+              md5(coalesce(array_to_string(maths, chr(10)), ''))
+                AS math_md5
+         FROM m""",
 
     // q399: 8-word lines joined by newlines; the ref count replays the
     // word-stride rule (global index j%10==6), tables the id rule —
