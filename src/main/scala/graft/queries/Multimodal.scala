@@ -227,6 +227,23 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // CHAT-TEMPLATE ROUND TRIP (q401, r15): the SFT data-prep step —
+    // every document rendered as a ChatML conversation (6-word
+    // messages alternating user/assistant from user; ids%5==0 carry a
+    // system turn with id-derived content) and parsed back by the
+    // fully DECLARATIVE reader (split + higher-order functions +
+    // substring_index arithmetic, malformed segments raise). The two
+    // role channels are the loss-mask split; the oracle replays the
+    // message layout arithmetically, so a delimiter slip or a role
+    // mis-assignment breaks a channel hash.
+    "q401_chat_template" -> { (s, d) =>
+      graft.operators.Chat.parseChatML(
+        graft.operators.Chat.asChatDocs(Tables.documents(s, d)))
+        .select(col("doc_id"), col("n_msgs"), col("n_system"),
+          md5(col("user_text")).as("user_md5"),
+          md5(col("asst_text")).as("asst_md5"))
+    },
+
     // LATEX EXTRACTION (q400, r15): the arXiv source format — every
     // document rendered by a fixed layout rule (10-word paragraphs;
     // section/itemize/size-group by line stride; bold/emph/tt by word
@@ -2490,6 +2507,33 @@ object Multimodal {
                 i -> array_to_string(ws[(i-1)*6+1 : least(i*6, len(ws))],
                   ' ')), chr(10))) AS text_md5
          FROM l""",
+
+    // q401: 6-word messages, roles alternating user/assistant from
+    // user, a system turn on the id rule — each channel is its
+    // messages joined by newlines, so the template serialization and
+    // the declarative parse must both be content-transparent.
+    "q401_chat_template" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+            l AS (SELECT doc_id, ws,
+                     CAST(ceil(len(ws) / 6.0) AS BIGINT) AS nm FROM w),
+            t AS (SELECT doc_id, nm,
+                     list_transform(range(1, nm + 1),
+                       i -> array_to_string(
+                         ws[(i-1)*6+1 : least(i*6, len(ws))], ' ')) AS ms
+                  FROM l)
+         SELECT doc_id,
+              CAST(nm + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS n_msgs,
+              CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
+                AS n_system,
+              md5(coalesce(array_to_string(list_transform(
+                list_filter(range(1, nm + 1), i -> (i-1) % 2 = 0),
+                i -> ms[i]), chr(10)), '')) AS user_md5,
+              md5(coalesce(array_to_string(list_transform(
+                list_filter(range(1, nm + 1), i -> (i-1) % 2 = 1),
+                i -> ms[i]), chr(10)), '')) AS asst_md5
+         FROM t""",
 
     // q400: 10-word paragraphs joined by newlines; the math channel is
     // regenerated from the word-stride rule (j%9==4 → x_{j}+1) plus
