@@ -227,6 +227,24 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // TFRECORD ROUND TRIP (q402, r15): the TensorFlow training-data
+    // interchange format — u64-LE length + masked-CRC32C framing (both
+    // checksums verified per record on read) around tf.train.Example
+    // protobufs (hand-built wire format: varints, length-delimited
+    // fields, packed numeric lists, unknown-field skipping). float32
+    // source ⇒ bit-exact round trip; same fold oracle as q337/q385 —
+    // the container must be value-transparent.
+    "q402_tfrecord_roundtrip" -> { (s, d) =>
+      val dir = s"/tmp/graft_io/${new java.io.File(d).getName}/tfrecord"
+      graft.io.TfRecord.write(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+      graft.io.TfRecord.read(s, dir)
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          (round(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast("double")), 6) + lit(0.0)).as("vec_sum"))
+    },
+
     // CHAT-TEMPLATE ROUND TRIP (q401, r15): the SFT data-prep step —
     // every document rendered as a ChatML conversation (6-word
     // messages alternating user/assistant from user; ids%5==0 carry a
@@ -2507,6 +2525,15 @@ object Multimodal {
                 i -> array_to_string(ws[(i-1)*6+1 : least(i*6, len(ws))],
                   ' ')), chr(10))) AS text_md5
          FROM l""",
+
+    // q402: same fold as q337/q385 — the TFRecord container must be
+    // value-transparent.
+    "q402_tfrecord_roundtrip" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+              round(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) + 0.0
+                AS vec_sum
+         FROM embeddings""",
 
     // q401: 6-word messages, roles alternating user/assistant from
     // user, a system turn on the id rule — each channel is its
