@@ -227,6 +227,23 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // MP4 / ISO-BMFF METADATA (q403, r15): the video-corpus container
+    // — every document rendered as a structurally valid MP4 (ftyp +
+    // full moov tree + accounting-exact mdat; one frame per word, all
+    // header fields id-derived) and read back by the real box walk:
+    // nested containers, leaf parses for mvhd/tkhd/mdhd/hdlr/stts/
+    // stsz, unknown boxes skipped by size, mdat-vs-stsz accounting and
+    // stts-vs-mdhd duration cross-checked. The oracle replays every
+    // field arithmetically — a box-walk slip breaks a column.
+    "q403_mp4_metadata" -> { (s, d) =>
+      graft.operators.Mp4.extractMeta(
+        graft.operators.Mp4.asVideoDocs(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("brand"), col("timescale"),
+          col("n_frames"), col("duration_ms"), col("width"),
+          col("height"), col("lang"), col("sample_bytes"))
+    },
+
     // TFRECORD ROUND TRIP (q402, r15): the TensorFlow training-data
     // interchange format — u64-LE length + masked-CRC32C framing (both
     // checksums verified per record on read) around tf.train.Example
@@ -2524,6 +2541,29 @@ object Multimodal {
               md5(array_to_string(list_transform(range(1, nl + 1),
                 i -> array_to_string(ws[(i-1)*6+1 : least(i*6, len(ws))],
                   ' ')), chr(10))) AS text_md5
+         FROM l""",
+
+    // q403: every container field regenerated from the id/word-count
+    // arithmetic — frames = words, duration = frames*delta at the id's
+    // timescale, sizes from the shared per-sample rule.
+    "q403_mp4_metadata" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+            l AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nf,
+                     24 + doc_id % 7 AS delta,
+                     600 + (doc_id % 3) * 300 AS ts FROM w)
+         SELECT doc_id,
+              'isom' AS brand,
+              CAST(ts AS INTEGER) AS timescale,
+              CAST(nf AS INTEGER) AS n_frames,
+              CAST(nf * delta * 1000 // ts AS BIGINT) AS duration_ms,
+              CAST(160 + (doc_id % 5) * 32 AS INTEGER) AS width,
+              CAST(120 + (doc_id % 4) * 24 AS INTEGER) AS height,
+              CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'eng'
+                   WHEN 1 THEN 'und' WHEN 2 THEN 'fra'
+                   ELSE 'deu' END AS lang,
+              CAST(coalesce(list_sum(list_transform(range(0, nf),
+                i -> 64 + (i * 7) % 128)), 0) AS BIGINT) AS sample_bytes
          FROM l""",
 
     // q402: same fold as q337/q385 — the TFRecord container must be
