@@ -227,6 +227,31 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // PARQUET FOOTER INSPECTOR (q404, r15): metadata-only file triage
+    // — documents written bucket-partitioned (doc_id%4, one file per
+    // bucket), then every footer read back by OUR from-scratch Thrift
+    // compact-protocol walker (PAR1 magic + footer length, zigzag
+    // varints, unknown fields skipped): num_rows, row-group count, and
+    // the doc_id column's min/max STATISTICS, never a data page. The
+    // oracle recomputes all of it relationally, so the footer grammar
+    // and Spark's statistics writer are cross-checked against DuckDB.
+    "q404_parquet_footer" -> { (s, d) =>
+      val dir = s"/tmp/graft_io/${new java.io.File(d).getName}/pqfooter"
+      Tables.documents(s, d)
+        .withColumn("bucket", (col("doc_id") % 4).cast("int"))
+        .repartition(8, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      graft.io.ParquetFooter.scanDir(s, dir, "doc_id")
+        .withColumn("bucket",
+          regexp_extract(col("file"), "bucket=(\\d+)", 1).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("int").as("n_files"),
+          sum("num_rows").as("num_rows"),
+          sum("n_row_groups").cast("int").as("n_row_groups"),
+          min("min_stat").as("min_doc"),
+          max("max_stat").as("max_doc"))
+    },
+
     // MP4 / ISO-BMFF METADATA (q403, r15): the video-corpus container
     // — every document rendered as a structurally valid MP4 (ftyp +
     // full moov tree + accounting-exact mdat; one frame per word, all
@@ -2542,6 +2567,18 @@ object Multimodal {
                 i -> array_to_string(ws[(i-1)*6+1 : least(i*6, len(ws))],
                   ' ')), chr(10))) AS text_md5
          FROM l""",
+
+    // q404: the footer fields are exactly the relational aggregates of
+    // the bucketed write — one file and one row group per bucket at
+    // this scale, stats = true min/max.
+    "q404_parquet_footer" ->
+      """SELECT CAST(doc_id % 4 AS INTEGER) AS bucket,
+              1 AS n_files,
+              count(*) AS num_rows,
+              1 AS n_row_groups,
+              min(doc_id) AS min_doc,
+              max(doc_id) AS max_doc
+         FROM documents GROUP BY 1""",
 
     // q403: every container field regenerated from the id/word-count
     // arithmetic — frames = words, duration = frames*delta at the id's
