@@ -227,6 +227,21 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // AVRO WIRE ROUND TRIP (q405, r15): the q224 avro-jar round trip
+    // re-proved at the BYTE level — documents through OUR from-scratch
+    // container writer/parser (Obj\1 magic, metadata map, zigzag
+    // varints, per-block sync verification, raw-deflate blocks), no
+    // avro jar anywhere on the path. AvroWireSpec cross-validates both
+    // directions against the jar; here the oracle pins values.
+    "q405_avro_wire" -> { (s, d) =>
+      val dir = s"/tmp/graft_io/${new java.io.File(d).getName}/avrowire"
+      graft.io.AvroWire.writeDocs(
+        Tables.documents(s, d).select("doc_id", "text"), dir)
+      graft.io.AvroWire.readDocs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          length(col("text")).as("n_chars"))
+    },
+
     // PARQUET FOOTER INSPECTOR (q404, r15): metadata-only file triage
     // — documents written bucket-partitioned (doc_id%4, one file per
     // bucket), then every footer read back by OUR from-scratch Thrift
@@ -2567,6 +2582,12 @@ object Multimodal {
                 i -> array_to_string(ws[(i-1)*6+1 : least(i*6, len(ws))],
                   ' ')), chr(10))) AS text_md5
          FROM l""",
+
+    // q405: the wire container must be value-transparent.
+    "q405_avro_wire" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+              CAST(length(text) AS INTEGER) AS n_chars
+         FROM documents""",
 
     // q404: the footer fields are exactly the relational aggregates of
     // the bucketed write — one file and one row group per bucket at
