@@ -175,10 +175,22 @@ object Bench {
     "q390_flac_roundtrip", "q391_webp_roundtrip", "q393_docx_extract",
     "q394_document_ingest", "q395_epub_extract")
 
+  /** r15 second batch: the corpus-format sweep — wikitext + LaTeX
+    * extraction (state-machine text walks), the notebook from_json
+    * HOF plan, ChatML render+parse, TFRecord and Avro wire round
+    * trips (checksummed framing + proto/zigzag codecs), MP4 box-walk
+    * metadata, and the parquet footer scan (metadata-only triage).
+    */
+  private val headlineR15b = Seq("q398_notebook_extract",
+    "q399_wikitext_extract", "q400_latex_extract", "q401_chat_template",
+    "q402_tfrecord_roundtrip", "q403_mp4_metadata", "q404_parquet_footer",
+    "q405_avro_wire")
+
   private val headline =
     headlineR5 ++ headlineR6 ++ headlineR7 ++ headlineR8 ++ headlineR9 ++
       headlineR10 ++ headlineR11 ++ headlineR12 ++ headlineR13 ++
-      headlineR14 ++ headlineR14b ++ headlineR14c ++ headlineR15
+      headlineR14 ++ headlineR14b ++ headlineR14c ++ headlineR15 ++
+      headlineR15b
 
   /** 1/5/15-minute load averages as a JSON array ("[]" off-Linux). */
   private def loadavg(): String =
