@@ -379,6 +379,33 @@ object Web {
     // cascades settle toward the dense core (the link-farm/community-
     // core signal). The oracle unrolls every round: degree HAVING gate
     // then the double semi-join edge restriction.
+    // REGISTRABLE DOMAIN / eTLD+1 (q406, r15): the public-suffix
+    // algorithm — domain caps and per-site dedup are only correct on
+    // the registrable domain, and only the suffix rules can find it.
+    // Hosts derive from doc_id across six strata (normal/longest-
+    // match/private-registry/wildcard/exception/default-rule); the
+    // planted rule table carries every rule kind. The declarative
+    // candidate-explode → broadcast-rule-join → max(struct) winner
+    // runs per DISTINCT host; the oracle replays each stratum's
+    // expected eTLD+1 arithmetically.
+    "q406_registrable_domain" -> { (s, d) =>
+      val rules = graft.operators.PublicSuffix.ruleTable(s,
+        Seq("com", "uk", "co.uk", "github.io", "*.ck", "!www.ck"))
+      val m6 = pmod(col("doc_id"), lit(6))
+      val sub = concat(lit("sub"), pmod(col("doc_id"), lit(3)))
+      val hosts = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("w"), col("doc_id"), lit("."),
+          when(m6 === 0, concat(sub, lit(".com")))
+            .when(m6 === 1, concat(sub, lit(".co.uk")))
+            .when(m6 === 2, concat(sub, lit(".github.io")))
+            .when(m6 === 3, concat(sub, lit(".ck")))
+            .when(m6 === 4, lit("www.ck"))
+            .otherwise(concat(sub, lit(".zz")))).as("host"))
+      graft.operators.PublicSuffix
+        .registrableDomains(hosts, "host", rules)
+        .select(col("doc_id"), col("host"), col("reg_domain"))
+    },
+
     // robots.txt politeness filter (q278): RFC 9309 longest-match
     // verdicts over a URL frontier — hosts carry prefix, wildcard
     // (`*`), and end-anchored (`$`) rules with mixed allow/disallow;
@@ -597,6 +624,29 @@ object Web {
          FROM g GROUP BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    // q406: each stratum's eTLD+1 is the planted ground truth — the
+    // suffix-rule winner (normal longest-match, private registry,
+    // wildcard, exception, default *) replayed as id arithmetic.
+    "q406_registrable_domain" ->
+      """SELECT doc_id,
+              'w' || doc_id || '.' ||
+                CASE CAST(doc_id % 6 AS INTEGER)
+                  WHEN 0 THEN 'sub' || (doc_id % 3) || '.com'
+                  WHEN 1 THEN 'sub' || (doc_id % 3) || '.co.uk'
+                  WHEN 2 THEN 'sub' || (doc_id % 3) || '.github.io'
+                  WHEN 3 THEN 'sub' || (doc_id % 3) || '.ck'
+                  WHEN 4 THEN 'www.ck'
+                  ELSE 'sub' || (doc_id % 3) || '.zz' END AS host,
+              CASE CAST(doc_id % 6 AS INTEGER)
+                  WHEN 0 THEN 'sub' || (doc_id % 3) || '.com'
+                  WHEN 1 THEN 'sub' || (doc_id % 3) || '.co.uk'
+                  WHEN 2 THEN 'sub' || (doc_id % 3) || '.github.io'
+                  WHEN 3 THEN 'w' || doc_id || '.sub' || (doc_id % 3)
+                    || '.ck'
+                  WHEN 4 THEN 'www.ck'
+                  ELSE 'sub' || (doc_id % 3) || '.zz' END AS reg_domain
+         FROM documents""",
+
     // q240: the oracle is the PLANTED ground truth (q175's edge
     // arithmetic + the per-shape resolution results) — equality proves
     // the regex + resolution tier loses/duplicates nothing; '#frag',
