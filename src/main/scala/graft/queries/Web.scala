@@ -379,6 +379,21 @@ object Web {
     // cascades settle toward the dense core (the link-farm/community-
     // core signal). The oracle unrolls every round: degree HAVING gate
     // then the double semi-join edge restriction.
+    // SITEMAP FRONTIER EXTRACTION (q407, r15): the crawl-seeding side
+    // of q278's robots gate — every document rendered as a protocol
+    // urlset (one <url> per 4-word group; loc/lastmod/changefreq/
+    // priority from id+index arithmetic) and parsed back by the strict
+    // tag walk (entity decode, namespace-extension elements skipped,
+    // missing <loc> refuses). The oracle replays the entry arithmetic
+    // including the wrap-around date rule.
+    "q407_sitemap_extract" -> { (s, d) =>
+      graft.operators.Sitemap.extractEntries(
+        graft.operators.Sitemap.asSitemapDocs(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_urls"), col("locs_md5"),
+          col("lastmod_min"), col("lastmod_max"), col("priority_milli"))
+    },
+
     // REGISTRABLE DOMAIN / eTLD+1 (q406, r15): the public-suffix
     // algorithm — domain caps and per-site dedup are only correct on
     // the registrable domain, and only the suffix rules can find it.
@@ -624,6 +639,31 @@ object Web {
          FROM g GROUP BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    // q407: one url per 4-word group; locs, dates ((id+i)%365 days
+    // from 2024-01-01, wrap included), and priorities replayed.
+    "q407_sitemap_extract" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+            l AS (SELECT doc_id,
+                     greatest(1, CAST(ceil(len(ws) / 4.0) AS BIGINT))
+                       AS n FROM w),
+            t AS (SELECT doc_id, n,
+                     list_transform(range(0, n), i ->
+                       strftime(DATE '2024-01-01'
+                         + CAST((doc_id + i) % 365 AS INTEGER),
+                         '%Y-%m-%d')) AS days
+                  FROM l)
+         SELECT doc_id,
+              CAST(n AS INTEGER) AS n_urls,
+              md5(array_to_string(list_transform(range(0, n),
+                i -> 'https://w' || doc_id || '.example.com/p' || i),
+                chr(10))) AS locs_md5,
+              list_min(days) AS lastmod_min,
+              list_max(days) AS lastmod_max,
+              CAST(list_sum(list_transform(range(0, n),
+                i -> (i % 10) * 100)) AS BIGINT) AS priority_milli
+         FROM t""",
+
     // q406: each stratum's eTLD+1 is the planted ground truth — the
     // suffix-rule winner (normal longest-match, private registry,
     // wildcard, exception, default *) replayed as id arithmetic.
