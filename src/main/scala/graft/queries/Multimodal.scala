@@ -227,6 +227,23 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // OGG/VORBIS CONTAINER METADATA (q408, r15): the audio-corpus
+    // container (RFC 3533 pages + Vorbis I headers) — every document
+    // rendered as a real Ogg stream (BOS ident header, a comment
+    // packet that ALWAYS spans lacing segments via a 300-byte pad,
+    // rising granules, EOS) and read back by the page walk: per-page
+    // CRC (non-reflected 0x04C11DB7) verified, lacing reassembly,
+    // ident + VorbisComment parse. Every field id/word-count
+    // arithmetic the oracle replays.
+    "q408_ogg_metadata" -> { (s, d) =>
+      graft.operators.Ogg.extractMeta(
+        graft.operators.Ogg.asOggDocs(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("serial"), col("channels"),
+          col("sample_rate"), col("vendor"), col("n_comments"),
+          col("comments_md5"), col("last_granule"), col("n_pages"))
+    },
+
     // AVRO WIRE ROUND TRIP (q405, r15): the q224 avro-jar round trip
     // re-proved at the BYTE level — documents through OUR from-scratch
     // container writer/parser (Obj\1 magic, metadata map, zigzag
@@ -2581,6 +2598,32 @@ object Multimodal {
               md5(array_to_string(list_transform(range(1, nl + 1),
                 i -> array_to_string(ws[(i-1)*6+1 : least(i*6, len(ws))],
                   ' ')), chr(10))) AS text_md5
+         FROM l""",
+
+    // q408: pages/granules from the 16-word grouping, tags from id
+    // arithmetic — the page walk and both Vorbis headers must be
+    // metadata-transparent.
+    "q408_ogg_metadata" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+            l AS (SELECT doc_id,
+                     greatest(1, CAST(ceil(len(ws) / 16.0) AS BIGINT))
+                       AS ap FROM w)
+         SELECT doc_id,
+              CAST(doc_id AS INTEGER) AS serial,
+              CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+              CAST(8000 * (1 + doc_id % 5) AS INTEGER) AS sample_rate,
+              'graft-0.1' AS vendor,
+              4 AS n_comments,
+              md5('TITLE=doc ' || doc_id || chr(10) ||
+                  'ARTIST=writer ' || (doc_id % 7) || chr(10) ||
+                  'LANGUAGE=' ||
+                  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'eng'
+                    WHEN 1 THEN 'und' WHEN 2 THEN 'fra'
+                    ELSE 'deu' END || chr(10) ||
+                  'PAD=' || repeat('x', 300)) AS comments_md5,
+              CAST(ap * 1024 AS BIGINT) AS last_granule,
+              CAST(2 + ap AS INTEGER) AS n_pages
          FROM l""",
 
     // q405: the wire container must be value-transparent.
