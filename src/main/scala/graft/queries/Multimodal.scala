@@ -227,6 +227,21 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // MIME EMAIL EXTRACTION (q409, r15): mail archives as a corpus
+    // source — every document rendered as a multipart/alternative EML
+    // (folded headers, preamble/epilogue, quoted-printable text/plain
+    // + base64 text/html) and extracted back through the RFC 5322/2045
+    // walk: header unfolding, boundary split, both transfer decodings.
+    // The bodies must round-trip byte-exactly, so the oracle hashes
+    // the source text for BOTH alternative parts.
+    "q409_mime_extract" -> { (s, d) =>
+      graft.operators.Mime.extractEmails(
+        graft.operators.Mime.asEmailDocs(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("subject"), col("from"),
+          col("n_parts"), col("plain_md5"), col("html_md5"))
+    },
+
     // OGG/VORBIS CONTAINER METADATA (q408, r15): the audio-corpus
     // container (RFC 3533 pages + Vorbis I headers) — every document
     // rendered as a real Ogg stream (BOS ident header, a comment
@@ -2599,6 +2614,17 @@ object Multimodal {
                 i -> array_to_string(ws[(i-1)*6+1 : least(i*6, len(ws))],
                   ' ')), chr(10))) AS text_md5
          FROM l""",
+
+    // q409: envelope fields from id arithmetic; the quoted-printable
+    // and base64 paths must both be byte-transparent on the text.
+    "q409_mime_extract" ->
+      """SELECT doc_id,
+              'doc ' || doc_id AS subject,
+              'writer-' || (doc_id % 7) || '@example.com' AS "from",
+              2 AS n_parts,
+              md5(text) AS plain_md5,
+              md5('<p>' || text || '</p>') AS html_md5
+         FROM documents""",
 
     // q408: pages/granules from the 16-word grouping, tags from id
     // arithmetic — the page walk and both Vorbis headers must be
