@@ -227,6 +227,51 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // LICENSE HEADER SCAN (q410, r15): the code-corpus legal gate —
+    // headers planted by id stride (an SPDX tag CONTRADICTING an MIT
+    // phrase proves tag precedence; each fingerprint family; a bare
+    // stratum yields null/untrainable), scanned by the codegen'd
+    // regexp/contains chain. The oracle replays the stratum table.
+    "q410_license_scan" -> { (s, d) =>
+      val m6 = pmod(col("doc_id"), lit(6))
+      val header =
+        when(m6 === 0, lit("// SPDX-License-Identifier: GPL-2.0-only\n" +
+          "/* Permission is hereby granted, free of charge */\n"))
+          .when(m6 === 1,
+            lit("/* Permission is hereby granted, free of charge */\n"))
+          .when(m6 === 2,
+            lit("/* Licensed under the Apache License, Version 2.0 */\n"))
+          .when(m6 === 3,
+            lit("/* terms of the GNU General Public License apply */\n"))
+          .when(m6 === 4, lit(
+            "/* Redistribution and use in source and binary forms */\n"))
+          .otherwise(lit(""))
+      val src = Tables.documents(s, d).select(col("doc_id"),
+        concat(header, coalesce(col("text"), lit(""))).as("text"))
+      graft.operators.Code.licenseScan(src, "text")
+        .select(col("doc_id"), col("license"), col("permissive"))
+    },
+
+    // SOURCE-SHAPE QUALITY SIGNALS (q411, r15): the StarCoder file
+    // filters — documents laid out as 7-word source lines (a 1200-char
+    // minified line appended on ids%5==0), then max/avg line length
+    // and alphabetic-fraction metrics with the keep verdict, all
+    // integer arithmetic both engines replay identically.
+    "q411_source_signals" -> { (s, d) =>
+      val ws = split(coalesce(col("text"), lit("")), " ", -1)
+      val nl = ceil(size(ws) / lit(7.0)).cast("int")
+      val baseLines = transform(sequence(lit(1), nl), i =>
+        array_join(slice(ws, (i - lit(1)) * 7 + 1, lit(7)), " "))
+      val lines = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(baseLines, array(repeat(lit("z"), 1200))))
+        .otherwise(baseLines)
+      val src = Tables.documents(s, d).select(col("doc_id"),
+        array_join(lines, "\n").as("text"))
+      graft.operators.Code.sourceSignals(src, "text")
+        .select(col("doc_id"), col("n_lines"), col("max_line_len"),
+          col("avg_line_milli"), col("alpha_ppm"), col("kept"))
+    },
+
     // MIME EMAIL EXTRACTION (q409, r15): mail archives as a corpus
     // source — every document rendered as a multipart/alternative EML
     // (folded headers, preamble/epilogue, quoted-printable text/plain
@@ -2614,6 +2659,65 @@ object Multimodal {
                 i -> array_to_string(ws[(i-1)*6+1 : least(i*6, len(ws))],
                   ' ')), chr(10))) AS text_md5
          FROM l""",
+
+    // q410: the stratum table IS the expected output — SPDX beats the
+    // planted contradicting phrase, each family maps to its id.
+    "q410_license_scan" ->
+      """SELECT doc_id,
+              CASE CAST(doc_id % 6 AS INTEGER)
+                WHEN 0 THEN 'GPL-2.0-only'
+                WHEN 1 THEN 'MIT'
+                WHEN 2 THEN 'Apache-2.0'
+                WHEN 3 THEN 'GPL-3.0-only'
+                WHEN 4 THEN 'BSD-3-Clause'
+                ELSE NULL END AS license,
+              CAST(doc_id % 6 AS INTEGER) IN (1, 2, 4) AS permissive
+         FROM documents""",
+
+    // q411: the 7-word line layout + appended minified line, then the
+    // same integer metric arithmetic — thresholds replayed, not
+    // hard-coded verdicts.
+    "q411_source_signals" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+            l AS (SELECT doc_id, ws,
+                     CAST(ceil(len(ws) / 7.0) AS BIGINT) AS nl FROM w),
+            t AS (SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       list_append(list_transform(range(1, nl + 1),
+                         i -> array_to_string(
+                           ws[(i-1)*7+1 : least(i*7, len(ws))], ' ')),
+                         repeat('z', 1200))
+                     ELSE
+                       list_transform(range(1, nl + 1),
+                         i -> array_to_string(
+                           ws[(i-1)*7+1 : least(i*7, len(ws))], ' '))
+                     END AS ls
+                  FROM l),
+            m AS (SELECT doc_id, ls,
+                     CAST(len(ls) AS BIGINT) AS n,
+                     CAST(list_max(list_transform(ls, x -> length(x)))
+                       AS BIGINT) AS mx,
+                     CAST(list_sum(list_transform(ls, x -> length(x)))
+                       AS BIGINT) AS total,
+                     array_to_string(ls, chr(10)) AS whole
+                  FROM t),
+            v AS (SELECT doc_id, n, mx,
+                     total * 1000 // n AS avg_milli,
+                     CASE WHEN length(whole) > 0 THEN
+                       CAST(length(regexp_replace(whole,
+                         '[^A-Za-z]', '', 'g')) AS BIGINT)
+                         * 1000000 // length(whole)
+                     ELSE 0 END AS alpha_ppm
+                  FROM m)
+         SELECT doc_id,
+              CAST(n AS INTEGER) AS n_lines,
+              CAST(mx AS INTEGER) AS max_line_len,
+              avg_milli AS avg_line_milli,
+              alpha_ppm,
+              (mx <= 1000 AND avg_milli <= 100000
+                AND alpha_ppm >= 250000) AS kept
+         FROM v""",
 
     // q409: envelope fields from id arithmetic; the quoted-printable
     // and base64 paths must both be byte-transparent on the text.
