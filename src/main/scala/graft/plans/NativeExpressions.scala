@@ -595,6 +595,40 @@ object NativeVec {
   * hot kernel of every cosine operator (brute-force, ANN, IVF, k-means,
   * embedding near-dup).
   */
+/** Hilbert xy2d as a native codegen expression — the unrolled Column
+  * form re-references x/y several times per level, growing the
+  * expression TREE ~5^order nodes (minutes of analysis at order 8);
+  * this compiles to one kernel call inside whole-stage codegen.
+  * Out-of-grid inputs fail loudly in the kernel.
+  */
+case class HilbertExpression(left: Expression, right: Expression,
+    order: Int) extends BinaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hilbert_native requires BIGINT inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "hilbert_native"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    graft.operators.Hilbert.xy2dLong(order,
+      l.asInstanceOf[Long], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.operators.Hilbert.xy2dLong($order, $l, $r);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class DotProductExpression(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -227,6 +227,21 @@ object Multimodal {
           md5(col("text")).as("text_md5"))
     },
 
+    // HILBERT CLUSTERING VALUE (q412, r15): the locality-preserving
+    // sibling of the shipped Z-order — unit-step linearization means
+    // tighter per-file bounding boxes and better two-dimensional
+    // min/max pruning (HilbertSpec measures Z losing on bbox area;
+    // every Hilbert file of a full grid is a perfect square). The
+    // Column form is the xy2d loop UNROLLED into codegen'd bitwise
+    // arithmetic; the oracle replays the SAME loop as a recursive CTE.
+    "q412_hilbert_value" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        (col("doc_id") % 256).cast("long").as("x"),
+        ((col("doc_id") * 7) % 256).cast("long").as("y"))
+        .withColumn("h_val",
+          graft.operators.Hilbert.hilbertValue(8, col("x"), col("y")))
+    },
+
     // LICENSE HEADER SCAN (q410, r15): the code-corpus legal gate —
     // headers planted by id stride (an SPDX tag CONTRADICTING an MIT
     // phrase proves tag precedence; each fingerprint family; a bare
@@ -2659,6 +2674,33 @@ object Multimodal {
                 i -> array_to_string(ws[(i-1)*6+1 : least(i*6, len(ws))],
                   ' ')), chr(10))) AS text_md5
          FROM l""",
+
+    // q412: the rot-and-reflect loop as a recursive CTE — 8 levels of
+    // (rx, ry, flip, swap) per point, terminal rows at s = 0.
+    "q412_hilbert_value" ->
+      """WITH RECURSIVE pts AS (
+              SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS x,
+                     CAST((doc_id * 7) % 256 AS BIGINT) AS y
+                FROM documents),
+            h AS (
+              SELECT doc_id, x, y, CAST(0 AS BIGINT) AS d,
+                     CAST(128 AS BIGINT) AS s
+                FROM pts
+              UNION ALL
+              SELECT doc_id,
+                   CASE WHEN (y & s) = 0 THEN
+                     CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END
+                   ELSE x END,
+                   CASE WHEN (y & s) = 0 THEN
+                     CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END
+                   ELSE y END,
+                   d + s * s * xor(
+                     CASE WHEN (x & s) > 0 THEN 3 ELSE 0 END,
+                     CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+                   s // 2
+                FROM h WHERE s >= 1)
+         SELECT p.doc_id, p.x, p.y, h.d AS h_val
+           FROM pts p JOIN h ON h.doc_id = p.doc_id AND h.s = 0""",
 
     // q410: the stratum table IS the expected output — SPDX beats the
     // planted contradicting phrase, each family maps to its id.
