@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dump `.explain("formatted")` for named queries to files — the
+  * before/after plan evidence for optimization rounds (plans/rNN/).
+  * Usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> <q1> [q2 ...]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val names = args.drop(3)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val f = new java.io.File(outDir, s"${name}_$suffix.txt")
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.write(plan) finally w.close()
+      println(s"[plandump] wrote ${f.getPath} (${plan.length} chars)")
+    }
+    spark.stop()
+  }
+}

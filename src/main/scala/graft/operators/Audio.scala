@@ -168,7 +168,8 @@ object Audio {
     */
   def asAudio(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -1418,7 +1419,8 @@ object Audio {
     */
   def asMp3Media(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Parallelism.ensure(docs)
+      .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val tag = Id3.Tag(s"Title $id", s"Artist ${id % 10}",
@@ -1457,7 +1459,8 @@ object Audio {
     */
   def asStereoAudio(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>

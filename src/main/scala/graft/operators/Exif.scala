@@ -588,7 +588,10 @@ object Exif {
     */
   def asOrientedPairMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    // two color encodes per row; a byte-small scan folding into one
+    // task serializes them (the q193/q391 lesson)
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
@@ -636,7 +639,10 @@ object Exif {
     */
   def orientedPHash(media: DataFrame): Dataset[Multimodal.PHash] = {
     import media.sparkSession.implicits._
-    media.select(col("doc_id"), col("payload"))
+    // decode + upright + DCT per row over what is often a pinned
+    // byte-small parquet scan (q380): spread before paying the codec
+    Parallelism.ensure(media)
+      .select(col("doc_id"), col("payload"))
       .as[Multimodal.MediaRecord]
       .mapPartitions { records =>
         records.map { r =>

@@ -390,7 +390,8 @@ object Gif {
     */
   def asGifMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val w = Multimodal.ImgWidth
@@ -412,7 +413,8 @@ object Gif {
     */
   def asAnimatedGifMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val w = Multimodal.ImgWidth
@@ -470,7 +472,7 @@ object Gif {
     */
   def parseGifMeta(media: DataFrame): Dataset[GifMeta] = {
     import media.sparkSession.implicits._
-    media.select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
+    Parallelism.ensure(media).select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
       .mapPartitions { records =>
         records.map { r =>
           val g = decode(r.payload)
@@ -490,7 +492,7 @@ object Gif {
   def sampleGifFrames(media: DataFrame, stride: Int): Dataset[GifFrame] = {
     require(stride >= 1, s"bad stride $stride")
     import media.sparkSession.implicits._
-    media.select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
+    Parallelism.ensure(media).select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
       .mapPartitions { records =>
         records.flatMap { r =>
           val g = decode(r.payload)

@@ -1358,7 +1358,10 @@ object Jpeg {
     */
   def asJpegMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    // JPEG encode per row is codec-priced; a byte-small scan folding
+    // into one task serializes it (the q193/q391 lesson)
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -1430,7 +1433,8 @@ object Jpeg {
     */
   def asColorJpegMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -1452,7 +1456,8 @@ object Jpeg {
     */
   def asProgressiveJpegMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -1478,7 +1483,7 @@ object Jpeg {
     */
   def parseColorMeta(media: DataFrame): Dataset[JpegColorMeta] = {
     import media.sparkSession.implicits._
-    media.select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
+    Parallelism.ensure(media).select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
       .mapPartitions { records =>
         val md = java.security.MessageDigest.getInstance("MD5")
         records.map { r =>
@@ -1511,7 +1516,7 @@ object Jpeg {
     */
   def parseMeta(media: DataFrame): Dataset[JpegMeta] = {
     import media.sparkSession.implicits._
-    media.select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
+    Parallelism.ensure(media).select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
       .mapPartitions { records =>
         val md = java.security.MessageDigest.getInstance("MD5")
         records.map { r =>

@@ -531,7 +531,10 @@ object Multimodal {
     */
   def asMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    // PNG encode per row is codec-priced; a byte-small scan folding
+    // into one task serializes it (the q193/q391 lesson)
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -560,7 +563,7 @@ object Multimodal {
     */
   def parseMeta(media: DataFrame): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
-    media.select(col("doc_id"), col("payload")).as[MediaRecord]
+    Parallelism.ensure(media).select(col("doc_id"), col("payload")).as[MediaRecord]
       .mapPartitions { records =>
         val md = java.security.MessageDigest.getInstance("MD5")
         records.map { r =>
@@ -685,7 +688,7 @@ object Multimodal {
                      crop: Int = 24): Dataset[ClipPre] = {
     require(size > 0 && crop > 0 && crop <= size, s"bad $size/$crop")
     import media.sparkSession.implicits._
-    media.select(col("doc_id"), col("payload")).as[MediaRecord]
+    Parallelism.ensure(media).select(col("doc_id"), col("payload")).as[MediaRecord]
       .mapPartitions { records =>
         val hex = "0123456789abcdef".toCharArray
         val off = (size - crop) / 2
@@ -935,7 +938,8 @@ object Multimodal {
     */
   def asColorMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -978,7 +982,8 @@ object Multimodal {
     */
   def asInterlacedMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -1015,7 +1020,7 @@ object Multimodal {
     */
   def parseColorMeta(media: DataFrame): Dataset[ColorMeta] = {
     import media.sparkSession.implicits._
-    media.select(col("doc_id"), col("payload")).as[MediaRecord]
+    Parallelism.ensure(media).select(col("doc_id"), col("payload")).as[MediaRecord]
       .mapPartitions { records =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val hex = "0123456789abcdef".toCharArray
@@ -1220,7 +1225,7 @@ object Multimodal {
 
   def pHash(media: DataFrame): Dataset[PHash] = {
     import media.sparkSession.implicits._
-    media.select(col("doc_id"), col("payload")).as[MediaRecord]
+    Parallelism.ensure(media).select(col("doc_id"), col("payload")).as[MediaRecord]
       .mapPartitions { records =>
         records.map { r =>
           val img = Jpeg.decodeColor(r.payload)

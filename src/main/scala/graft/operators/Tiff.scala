@@ -423,7 +423,8 @@ object Tiff {
     */
   def asTiffMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val w = Multimodal.ImgWidth
@@ -544,7 +545,8 @@ object Tiff {
     */
   def asBmpMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    Parallelism.ensure(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val w = Multimodal.ImgWidth
@@ -570,7 +572,7 @@ object Tiff {
 
   def parseBmpMeta(media: DataFrame): Dataset[BmpMeta] = {
     import media.sparkSession.implicits._
-    media.select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
+    Parallelism.ensure(media).select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
       .mapPartitions { records =>
         val hex = "0123456789abcdef".toCharArray
         records.map { r =>
@@ -600,7 +602,7 @@ object Tiff {
     */
   def parseTiffMeta(media: DataFrame): Dataset[TiffMeta] = {
     import media.sparkSession.implicits._
-    media.select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
+    Parallelism.ensure(media).select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
       .mapPartitions { records =>
         val hex = "0123456789abcdef".toCharArray
         records.map { r =>
