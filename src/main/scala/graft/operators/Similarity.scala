@@ -989,13 +989,27 @@ object Similarity {
     val c = coded.join(cells, "id").select(
       col("id").as("neighbor_id") +: col("cell").as("ncell") +:
         (0 until m).map(s => col(s"a$s")): _*)
-    val adc = q.join(c,
+    // EXPLICIT co-partitioning on the cell key for the scoring join:
+    // its inputs are byte-small but its output is Σ|cell|² scored pairs
+    // — per-PAIR compute, so AQE's byte-based coalescing folds it into
+    // ONE task (the q193 lesson). User-specified repartition(n, key) is
+    // AQE-non-coalescible and the join reuses it, so scoring spreads
+    // over min(nCells, parallelism) tasks — at production cell counts
+    // (thousands) that is full spread; broadcasting either side would
+    // ship a corpus-sized table and is NOT the 100 TB shape.
+    val par = vectors.sparkSession.sparkContext.defaultParallelism
+    val adc = q.repartition(par, col("cell"))
+      .join(c.repartition(par, col("ncell")),
         col("cell") === col("ncell") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(adcTerms(books, m, ksub, dsub).reduce(_ + _), 4).as("adist"))
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)
-    val short = adc.withColumn("srank", row_number().over(wShort))
+    // explicit repartition on the window key, same reason: the
+    // shortlist sort over the candidate pairs must not fold into one
+    // byte-small post-shuffle partition
+    val short = adc.repartition(par, col("query_id"))
+      .withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= shortlist)
       .select("query_id", "neighbor_id")
     val scored = short
@@ -1208,13 +1222,19 @@ object Similarity {
       col("id").as("neighbor_id") +: col("cell").as("ncell") +:
         (0 until m).map(s =>
           element_at(col("codes"), s + 1).as(s"a$s")): _*)
-    val adc = q.join(c,
+    // explicit co-partitioning on the cell key + spread shortlist sort —
+    // same per-pair-compute-vs-byte-coalescing reasoning as
+    // ivfAdcRerankTopK (the q193 lesson)
+    val par = spark.sparkContext.defaultParallelism
+    val adc = q.repartition(par, col("cell"))
+      .join(c.repartition(par, col("ncell")),
         col("cell") === col("ncell") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(adcTerms(books, m, ksub, dsub).reduce(_ + _), 4).as("adist"))
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)
-    val short = adc.withColumn("srank", row_number().over(wShort))
+    val short = adc.repartition(par, col("query_id"))
+      .withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= shortlist)
       .select("query_id", "neighbor_id")
     val scored = short
