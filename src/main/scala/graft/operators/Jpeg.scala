@@ -1135,25 +1135,39 @@ object Jpeg {
           while (bCol < c.bw) {
             val base = (bRow * c.bw + bCol) * 64
             var anyAc = false
-            var i = 0
-            while (i < 64) {
-              block(i) = c.coef(base + i).toDouble * qt(i)
-              if (i > 0 && c.coef(base + i) != 0) anyAc = true
-              i += 1
-            }
-            if (!anyAc) java.util.Arrays.fill(block, block(0) / 8.0)
-            else idct(block)
-            var y = 0
-            while (y < 8) {
-              val row = (bRow * 8 + y) * c.pw + bCol * 8
-              var x = 0
-              while (x < 8) {
-                val v = Math.round(block(y * 8 + x) + 128.0).toInt
-                c.plane(row + x) =
-                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-                x += 1
+            var i = 1
+            while (i < 64 && !anyAc) { anyAc = c.coef(base + i) != 0; i += 1 }
+            if (!anyAc) {
+              // DC-only shortcut, rounded/clamped once (bit-identical)
+              val v = Math.round(
+                c.coef(base).toDouble * qt(0) / 8.0 + 128.0).toInt
+              val b = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+              var y = 0
+              while (y < 8) {
+                val row = (bRow * 8 + y) * c.pw + bCol * 8
+                var x = 0
+                while (x < 8) { c.plane(row + x) = b; x += 1 }
+                y += 1
               }
-              y += 1
+            } else {
+              i = 0
+              while (i < 64) {
+                block(i) = c.coef(base + i).toDouble * qt(i)
+                i += 1
+              }
+              idct(block)
+              var y = 0
+              while (y < 8) {
+                val row = (bRow * 8 + y) * c.pw + bCol * 8
+                var x = 0
+                while (x < 8) {
+                  val v = Math.round(block(y * 8 + x) + 128.0).toInt
+                  c.plane(row + x) =
+                    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                  x += 1
+                }
+                y += 1
+              }
             }
             bCol += 1
           }
@@ -1179,10 +1193,9 @@ object Jpeg {
       val qt = quant(c.tq)
       val dcT = dcTabs(c.td)
       val acT = acTabs(c.ta)
-      java.util.Arrays.fill(block, 0.0)
       val t = br.decodeHuff(dcT)
       preds(ci) += extend(br.receive(t), t)
-      block(0) = preds(ci).toDouble * qt(0)
+      val dc = preds(ci).toDouble * qt(0)
       var k = 1
       var done = false
       var anyAc = false
@@ -1195,28 +1208,45 @@ object Jpeg {
         } else {
           k += r
           require(k < 64, "AC coefficient index overflow")
+          if (!anyAc) { // first AC: zero the buffer the IDCT will read
+            java.util.Arrays.fill(block, 0.0)
+            block(0) = dc
+            anyAc = true
+          }
           block(Zigzag(k)) = extend(br.receive(s), s).toDouble * qt(Zigzag(k))
-          anyAc = true
           k += 1
         }
       }
-      // DC-only shortcut (libjpeg's dcval path): the IDCT of a lone
-      // DC coefficient is the uniform value F00/8 — skip the two
-      // 8-point passes entirely. Bit-compatible with the full IDCT
-      // within its own ±1-at-.5-boundary tolerance.
-      if (!anyAc) java.util.Arrays.fill(block, block(0) / 8.0)
-      else idct(block)
-      var y = 0
-      while (y < 8) {
-        val row = (bRow * 8 + y) * c.pw + bCol * 8
-        var x = 0
-        while (x < 8) {
-          val v = Math.round(block(y * 8 + x) + 128.0).toInt
-          c.plane(row + x) =
-            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-          x += 1
+      // DC-only shortcut (libjpeg's dcval path): the IDCT of a lone DC
+      // coefficient is the uniform value F00/8 — skip the two 8-point
+      // passes AND round/clamp once instead of per pixel (same double,
+      // same Math.round: bit-identical output). Block-uniform fixture
+      // corpora take this path for every block, so the zeroing of the
+      // coefficient buffer is also deferred to the first AC hit above.
+      if (!anyAc) {
+        val v = Math.round(dc / 8.0 + 128.0).toInt
+        val b = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+        var y = 0
+        while (y < 8) {
+          val row = (bRow * 8 + y) * c.pw + bCol * 8
+          var x = 0
+          while (x < 8) { c.plane(row + x) = b; x += 1 }
+          y += 1
         }
-        y += 1
+      } else {
+        idct(block)
+        var y = 0
+        while (y < 8) {
+          val row = (bRow * 8 + y) * c.pw + bCol * 8
+          var x = 0
+          while (x < 8) {
+            val v = Math.round(block(y * 8 + x) + 128.0).toInt
+            c.plane(row + x) =
+              (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+            x += 1
+          }
+          y += 1
+        }
       }
     }
     var mcu = 0
@@ -1489,19 +1519,21 @@ object Jpeg {
         records.map { r =>
           val img = decodeColor(r.payload)
           var s = 0L
-          val hex = new StringBuilder(img.pixels.length * 2)
+          // hex dump straight into an ASCII byte buffer: same md5 input
+          // bytes as the StringBuilder→String→getBytes chain, without
+          // the two intermediate copies and per-char appends
+          val hex = new Array[Byte](img.pixels.length * 2)
           var i = 0
           while (i < img.pixels.length) {
             val v = img.pixels(i) & 0xff
             s += v
-            hex.append(Character.forDigit(v >> 4, 16))
-            hex.append(Character.forDigit(v & 0xf, 16))
+            hex(2 * i) = Character.forDigit(v >> 4, 16).toByte
+            hex(2 * i + 1) = Character.forDigit(v & 0xf, 16).toByte
             i += 1
           }
           JpegColorMeta(r.doc_id, img.width, img.height, img.channels,
             img.width * img.height,
-            md.digest(hex.toString.getBytes("US-ASCII"))
-              .map(b => f"$b%02x").mkString, s)
+            md.digest(hex).map(b => f"$b%02x").mkString, s)
         }
       }
   }

@@ -692,11 +692,11 @@ object Multimodal {
       .mapPartitions { records =>
         val hex = "0123456789abcdef".toCharArray
         val off = (size - crop) / 2
+        val md = java.security.MessageDigest.getInstance("MD5")
         records.map { r =>
           val img = Jpeg.decodeColor(r.payload)
           val rs = bilinearResizeRgb(img.pixels, img.width, img.height,
             size, size)
-          val md = java.security.MessageDigest.getInstance("MD5")
           val sb = new java.lang.StringBuilder(crop * crop * 6)
           var sum = 0L
           var dy = 0
@@ -1027,7 +1027,10 @@ object Multimodal {
         records.map { r =>
           val img = Png.decodeColor(r.payload)
           val n = img.width * img.height
-          val sb = new java.lang.StringBuilder(n * 6)
+          // hex dump straight into an ASCII byte buffer: same md5 input
+          // bytes as the StringBuilder→String→getBytes chain, without
+          // the two intermediate copies and per-char appends
+          val hb = new Array[Byte](n * 6)
           var rgbSum = 0L
           var aSum = 0L
           var i = 0
@@ -1035,7 +1038,8 @@ object Multimodal {
             var ch = 0
             while (ch < 3) {
               val v = img.rgba(i * 4 + ch) & 0xff
-              sb.append(hex(v >> 4)).append(hex(v & 0xf))
+              hb(i * 6 + 2 * ch) = hex(v >> 4).toByte
+              hb(i * 6 + 2 * ch + 1) = hex(v & 0xf).toByte
               rgbSum += v
               ch += 1
             }
@@ -1044,8 +1048,7 @@ object Multimodal {
           }
           ColorMeta(r.doc_id, img.width, img.height, img.colorType,
             img.channels, n,
-            md.digest(sb.toString.getBytes("US-ASCII"))
-              .map(b => f"$b%02x").mkString,
+            md.digest(hb).map(b => f"$b%02x").mkString,
             rgbSum, aSum)
         }
       }
