@@ -2676,10 +2676,18 @@ object Corpus {
     val df = Parallelism.ensure(features)
       .select((labelCol +: featureCols).map(c => col(c).cast("double")): _*)
       .localCheckpoint()
+    graft.plans.NativeFunctions.register(features.sparkSession)
     var w = Array.fill(featureCols.size + 1)(0.0)
     var it = 0
     while (it < iterations) {
-      val err = logisticScore(w, featureCols) - col(labelCol)
+      // σ via the logistic_score_native kernel (bit-identical to the
+      // literal fold [[logisticScore]] — NativeExprSpec pins it): the
+      // weights ride a reference object, not the generated source, so
+      // every iteration's aggregation reuses ONE compiled codegen unit
+      // instead of paying a fresh Janino compile per weight update
+      // (q312's 40 iterations were analysis/codegen-bound).
+      val err = call_function("logistic_score_native",
+        (typedlit(w.toSeq) +: featureCols.map(col)): _*) - col(labelCol)
       val aggs = avg(err) +: featureCols.map(c => avg(err * col(c)))
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       w = w.zipWithIndex.map { case (wi, i) => wi - lr * row.getDouble(i) }

@@ -32,4 +32,41 @@ private[operators] object Parallelism {
       if (df.rdd.getNumPartitions < p) df.repartition(p) else df
     }
   }
+
+  /** Run INDEPENDENT driver-side actions as concurrent Spark jobs —
+    * the guide-§2.6 overlap: Spark's scheduler happily runs several
+    * jobs at once inside one application; maintenance ladders (index
+    * build publishing 4 snapshot tables, search loading 3 artifacts)
+    * were sequential only because the driver code called them
+    * sequentially, so the wall clock paid the SUM of per-job fixed
+    * costs instead of the max. Caller must guarantee independence
+    * (distinct output dirs / no ordering contract between thunks).
+    *
+    * A fresh bounded pool per call: these are metadata-scale ladders
+    * (a handful of thunks, called a handful of times per operation),
+    * so pool construction is noise and nothing leaks between callers.
+    * Threads are created at submit time and inherit the caller's
+    * SparkContext local properties (job group/description). The first
+    * failure propagates with its ORIGINAL exception (operators throw
+    * typed errors the specs assert on), after every thunk settles.
+    */
+  private[operators] def inParallel[A](thunks: (() => A)*): Seq[A] = {
+    require(thunks.nonEmpty, "inParallel needs at least one thunk")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    try {
+      val futs = thunks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[A] {
+          def call(): A = t()
+        }))
+      val results = futs.map { f =>
+        try Right(f.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Left(Option(e.getCause).getOrElse(e))
+        }
+      }
+      results.collectFirst { case Left(e) => throw e }
+      results.collect { case Right(a) => a }
+    } finally pool.shutdown()
+  }
 }

@@ -826,6 +826,35 @@ object Similarity {
     }
   }
 
+  /** The m-term ADC sum as ONE native kernel call (adc_sum_native) —
+    * bit-identical to `adcTerms(...).reduce(_ + _)` (same left-to-right
+    * term accumulation, same dot order; DedupSpec pins the two paths
+    * equal through the full pqAdcTopK funnel). The literal form inlines
+    * m×(2 nested-literal element_at + a dot) per candidate pair — the
+    * hottest per-pair expression of the IVF funnel (Σ|cell|²
+    * evaluations); the kernel is one call with primitive loops over a
+    * driver-held table riding `references[]`, so the scoring
+    * projection's generated code is also m× smaller.
+    */
+  private def adcSum(books: Array[Codebook], m: Int, ksub: Int,
+                     dsub: Int): Column = {
+    val ce: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      val t = Array.fill(ksub)(Seq.fill(dsub)(0.0))
+      books(s).foreach { case (cid, cev, _) => t(cid.toInt) = cev.toSeq }
+      t.toSeq
+    }
+    val nc: Seq[Seq[Double]] = (0 until m).map { s =>
+      val t = Array.fill(ksub)(0.0)
+      books(s).foreach { case (cid, _, ncv) => t(cid.toInt) = ncv }
+      t.toSeq
+    }
+    val args = Seq(typedlit(ce), typedlit(nc)) ++
+      (0 until m).map(s => col(s"a$s").cast("long")) ++
+      (0 until m).map(s => col(s"qsub$s")) ++
+      (0 until m).map(s => col(s"qnv$s"))
+    call_function("adc_sum_native", args: _*)
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query keeps its
     * exact sub-vectors, the corpus side is REPRESENTED BY ITS CODES —
     * distance ≈ Σ_s ‖q_s − centroid(code_s)‖², each term via the dot
@@ -840,11 +869,22 @@ object Similarity {
     * expression.
     */
   def pqAdcTopK(vectors: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
-                iters: Int = 1): DataFrame = {
+                iters: Int = 1): DataFrame =
+    pqAdcTopKWith(vectors, k, m, ksub, iters, useLitTerms = false)
+
+  /** ADC top-k through either distance path — the parity harness for
+    * the adc_sum_native kernel (DedupSpec pins kernel == literal terms
+    * row-for-row through the full funnel, the pqEncodeWith doctrine).
+    */
+  private[graft] def pqAdcTopKWith(vectors: DataFrame, k: Int, m: Int,
+                                   ksub: Int, iters: Int,
+                                   useLitTerms: Boolean): DataFrame = {
     val (base, books, dsub) = pqPrepare(vectors, m, ksub, iters)
     val coded = base.select(
       col("id") +: (0 until m).map(s => pqAssign(s, books(s)).as(s"a$s")): _*)
-    val terms = adcTerms(books, m, ksub, dsub)
+    val dist =
+      if (useLitTerms) adcTerms(books, m, ksub, dsub).reduce(_ + _)
+      else adcSum(books, m, ksub, dsub)
     val q = base.select(col("id").as("query_id") +:
       (0 until m).flatMap(s => Seq(col(s"sub$s").as(s"qsub$s"),
         col(s"nv$s").as(s"qnv$s"))): _*)
@@ -852,7 +892,7 @@ object Similarity {
       (0 until m).map(s => col(s"a$s")): _*)
     val pairs = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(terms.reduce(_ + _), 4).as("adist"))
+        round(dist, 4).as("adist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w).cast("int"))
@@ -954,24 +994,35 @@ object Similarity {
   def ivfAdcRerankTopK(vectors: DataFrame, k: Int, nCells: Int = 16,
                        nProbe: Int = 12, shortlist: Int = 256, m: Int = 8,
                        ksub: Int = 16, iters: Int = 1): DataFrame = {
-    // reused by the coarse assignment AND the final re-rank
-    val v = withNorm(vectors).localCheckpoint()
-    val cent = v.orderBy(col("id")).limit(nCells)
-      .select(col("id").as("cid"), col("embedding").as("ce"),
-        col("norm").as("cnorm"))
-    val wProbe = Window.partitionBy("id")
-      .orderBy(col("rc").desc, col("cid").asc)
-    // ONE broadcast assignment pass, materialized as the skinny
-    // (id, cell, crn) table (n·nProbe rows of three longs) that BOTH
-    // consumers below read — without pinning it, the cross-join subtree
-    // would execute twice
-    val ranked = v.crossJoin(broadcast(cent))
-      .withColumn("rc", round(dotN(col("embedding"), col("ce")) /
-        (col("norm") * col("cnorm")), 4))
-      .withColumn("crn", row_number().over(wProbe))
-      .filter(col("crn") <= nProbe)
-      .select(col("id"), col("cid").as("cell"), col("crn"))
-      .localCheckpoint()
+    // The coarse probe-assignment chain (v → ranked) and PQ training
+    // are INDEPENDENT lineages over `vectors` — overlap them as
+    // concurrent jobs (guide §2.6).
+    val par0 = Parallelism.inParallel[Any](
+      () => {
+        // reused by the coarse assignment AND the final re-rank
+        val v = withNorm(vectors).localCheckpoint()
+        val cent = v.orderBy(col("id")).limit(nCells)
+          .select(col("id").as("cid"), col("embedding").as("ce"),
+            col("norm").as("cnorm"))
+        val wProbe = Window.partitionBy("id")
+          .orderBy(col("rc").desc, col("cid").asc)
+        // ONE broadcast assignment pass, materialized as the skinny
+        // (id, cell, crn) table (n·nProbe rows of three longs) that
+        // BOTH consumers below read — without pinning it, the
+        // cross-join subtree would execute twice
+        val ranked = v.crossJoin(broadcast(cent))
+          .withColumn("rc", round(dotN(col("embedding"), col("ce")) /
+            (col("norm") * col("cnorm")), 4))
+          .withColumn("crn", row_number().over(wProbe))
+          .filter(col("crn") <= nProbe)
+          .select(col("id"), col("cid").as("cell"), col("crn"))
+          .localCheckpoint()
+        (v, ranked)
+      },
+      () => pqPrepare(vectors, m, ksub, iters))
+    val (v, ranked) = par0(0).asInstanceOf[(DataFrame, DataFrame)]
+    val (base, books, dsub) =
+      par0(1).asInstanceOf[(DataFrame, Array[Codebook], Int)]
     // corpus side: every vector lives in exactly ONE cell (its argmax —
     // crn 1)…
     val cells = ranked.filter(col("crn") === 1).select("id", "cell")
@@ -979,7 +1030,6 @@ object Similarity {
     // (pairs stay unique: a corpus vector can meet a query through its
     // single home cell only)
     val probes = ranked.select("id", "cell")
-    val (base, books, dsub) = pqPrepare(vectors, m, ksub, iters)
     val coded = base.select(
       col("id") +: (0 until m).map(s => pqAssign(s, books(s)).as(s"a$s")): _*)
     val q = base.join(probes, "id").select(
@@ -1002,7 +1052,7 @@ object Similarity {
       .join(c.repartition(par, col("ncell")),
         col("cell") === col("ncell") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(adcTerms(books, m, ksub, dsub).reduce(_ + _), 4).as("adist"))
+        round(adcSum(books, m, ksub, dsub), 4).as("adist"))
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     // explicit repartition on the window key, same reason: the
@@ -1048,26 +1098,32 @@ object Similarity {
                        clusterCodes: Boolean = false): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val v = withNorm(vectors).localCheckpoint()
-    val dim = v.select(size(col("embedding"))).head().getInt(0)
-    val cent = v.orderBy(col("id")).limit(nCells)
-      .select(col("id").as("cid"), col("embedding").as("ce"),
-        col("norm").as("cnorm"))
-      .localCheckpoint() // home-cell assignment + persist read it
+    // The coarse-cell checkpoint chain (v → cent) and PQ training
+    // (pqPrepare) are INDEPENDENT lineages over `vectors`: overlap
+    // them as concurrent jobs (guide §2.6) instead of paying their
+    // fixed costs back to back. dim comes from training (dsub·m) —
+    // the old separate `v.select(size).head()` job is gone.
+    val par0 = Parallelism.inParallel[Any](
+      () => {
+        val v = withNorm(vectors).localCheckpoint()
+        val cent = v.orderBy(col("id")).limit(nCells)
+          .select(col("id").as("cid"), col("embedding").as("ce"),
+            col("norm").as("cnorm"))
+          .localCheckpoint() // home-cell assignment + persist read it
+        (v, cent)
+      },
+      () => pqPrepare(vectors, m, ksub, iters))
+    val (v, cent) = par0(0).asInstanceOf[(DataFrame, DataFrame)]
+    val (base, books, dsub) =
+      par0(1).asInstanceOf[(DataFrame, Array[Codebook], Int)]
+    val dim = dsub * m
     val cells = ivfHomeCells(v, cent)
-    val (base, books, _) = pqPrepare(vectors, m, ksub, iters)
     val coded = base.select(
       col("id") +: (0 until m).map(s => pqAssign(s, books(s)).as(s"a$s")): _*)
     val codes = withAttrs(coded.join(cells, "id")
       .select(col("id"), col("cell"),
         array((0 until m).map(s => col(s"a$s").cast("long")): _*).as("codes")),
       vectors, attrCols)
-    Layout.snapshotWrite(cent, s"$indexDir/centroids")
-    Layout.snapshotWrite(
-      books.zipWithIndex.flatMap { case (cb, s) =>
-        cb.map { case (cid, ce, _) => (s, cid, ce.toSeq) }
-      }.toSeq.toDF("s", "cid", "ce"),
-      s"$indexDir/codebooks")
     // attrs ride IN the codes table with min/max stats: a filtered
     // search pushes its predicate into the codes parquet scan and
     // prunes files — the filtered-ANN story needs no side join at all.
@@ -1082,12 +1138,25 @@ object Similarity {
         codes.repartitionByRange(math.max(1, math.min(nCells, 32)),
           col("cell")).sortWithinPartitions("cell")
       else codes
-    Layout.snapshotWrite(codesOut, s"$indexDir/codes",
-      statsCols = "cell" +: attrCols)
-    Layout.snapshotWrite(
-      Seq((nCells, m, ksub, dim, attrCols.mkString(",")))
-        .toDF("n_cells", "m", "ksub", "dim", "attrs"),
-      s"$indexDir/meta")
+    // Four INDEPENDENT snapshot tables (distinct dirs, no cross-table
+    // atomicity contract — the maintenance cycle is single-writer, and
+    // the sequential form never had a multi-table commit either):
+    // publish them as concurrent jobs (guide §2.6), so the phase pays
+    // the slowest write + stats pass, not the sum of four.
+    Parallelism.inParallel[Long](
+      () => Layout.snapshotWrite(cent, s"$indexDir/centroids"),
+      () => Layout.snapshotWrite(
+        books.zipWithIndex.flatMap { case (cb, s) =>
+          cb.map { case (cid, ce, _) => (s, cid, ce.toSeq) }
+        }.toSeq.toDF("s", "cid", "ce"),
+        s"$indexDir/codebooks"),
+      () => Layout.snapshotWrite(codesOut, s"$indexDir/codes",
+        statsCols = "cell" +: attrCols),
+      () => Layout.snapshotWrite(
+        Seq((nCells, m, ksub, dim, attrCols.mkString(",")))
+          .toDF("n_cells", "m", "ksub", "dim", "attrs"),
+        s"$indexDir/meta"))
+    ()
   }
 
   /** Denormalize filterable metadata columns into the codes rows. */
@@ -1108,10 +1177,20 @@ object Similarity {
     */
   def ivfAdcIndexAppend(newVectors: DataFrame, indexDir: String): Long = {
     val spark = newVectors.sparkSession
-    val (books, m, dsub) = loadIndexBooks(spark, indexDir)
-    val cent = Layout.snapshotRead(spark, s"$indexDir/centroids")
-      .localCheckpoint()
-    val v = withNorm(newVectors).localCheckpoint()
+    // four independent artifact loads (frozen quantizers, centroid
+    // table, the batch's norm checkpoint, the attr contract) — overlap
+    // them (guide §2.6) instead of serializing their fixed costs
+    val par0 = Parallelism.inParallel[Any](
+      () => loadIndexBooks(spark, indexDir),
+      () => Layout.snapshotRead(spark, s"$indexDir/centroids")
+        .localCheckpoint(),
+      () => withNorm(newVectors).localCheckpoint(),
+      () => indexAttrCols(spark, indexDir))
+    val (books, m, dsub) =
+      par0(0).asInstanceOf[(Array[Codebook], Int, Int)]
+    val cent = par0(1).asInstanceOf[DataFrame]
+    val v = par0(2).asInstanceOf[DataFrame]
+    val attrCols = par0(3).asInstanceOf[Seq[String]]
     val cells = ivfHomeCells(v, cent)
     val base = pqBase(newVectors, m, dsub)
     val coded = base.select(
@@ -1119,7 +1198,7 @@ object Similarity {
     val codes = withAttrs(coded.join(cells, "id")
       .select(col("id"), col("cell"),
         array((0 until m).map(s => col(s"a$s").cast("long")): _*).as("codes")),
-      newVectors, indexAttrCols(spark, indexDir))
+      newVectors, attrCols)
     Layout.snapshotAppend(codes, s"$indexDir/codes")
   }
 
@@ -1199,11 +1278,17 @@ object Similarity {
                        neighborFilter: Option[Column] = None): DataFrame = {
     require(k >= 1, s"bad k $k")
     val spark = vectors.sparkSession
-    val (books, m, dsub) = loadIndexBooks(spark, indexDir)
+    // three independent artifact loads — overlap them (guide §2.6)
+    val par0 = Parallelism.inParallel[Any](
+      () => loadIndexBooks(spark, indexDir),
+      () => Layout.snapshotRead(spark, s"$indexDir/centroids")
+        .localCheckpoint(),
+      () => withNorm(vectors).localCheckpoint())
+    val (books, m, dsub) =
+      par0(0).asInstanceOf[(Array[Codebook], Int, Int)]
     val ksub = books.head.length
-    val cent = Layout.snapshotRead(spark, s"$indexDir/centroids")
-      .localCheckpoint()
-    val v = withNorm(vectors).localCheckpoint()
+    val cent = par0(1).asInstanceOf[DataFrame]
+    val v = par0(2).asInstanceOf[DataFrame]
     val wProbe = Window.partitionBy("id")
       .orderBy(col("rc").desc, col("cid").asc)
     val probes = v.crossJoin(broadcast(cent))
@@ -1230,7 +1315,7 @@ object Similarity {
       .join(c.repartition(par, col("ncell")),
         col("cell") === col("ncell") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(adcTerms(books, m, ksub, dsub).reduce(_ + _), 4).as("adist"))
+        round(adcSum(books, m, ksub, dsub), 4).as("adist"))
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     val short = adc.repartition(par, col("query_id"))

@@ -1029,6 +1029,266 @@ case class L2ArgminExpression(sub: Expression, nv: Expression,
       cvecs = newChildren(3), cnormsSq = newChildren(4))
 }
 
+/** Driver-held weight vector for [[LogisticScoreExpression]] — one
+  * plain JVM object handed to generated code via `addReferenceObj`
+  * (the [[CosineArgmaxKernel]] doctrine). The POINT of the reference
+  * object is CODEGEN STABILITY across training iterations: the
+  * gradient-descent driver loop re-plans its aggregation every
+  * iteration with UPDATED weights, and weights inlined as double
+  * literals change the generated Java source each time, so every
+  * iteration pays a fresh Janino compilation (analysis + codegen
+  * dominated q312's 40-iteration training at 4-5 s). With the weights
+  * riding in `references[]`, the generated source is IDENTICAL across
+  * iterations and the codegen cache hits after the first.
+  *
+  * Arithmetic is the EXACT twin of the literal fold
+  * ([[graft.operators.Corpus.logisticScore]]): z accumulates left-
+  * associated in feature order (((b + x₁w₁) + x₂w₂) + …), then
+  * 1.0 / (1.0 + StrictMath.exp(-z)) — same IEEE op sequence, same exp
+  * (Spark 4's `Exp` generates java.lang.StrictMath.exp; Math.exp may
+  * differ by 1 ulp — the parity spec caught exactly that), so σ is
+  * bit-identical and the training trajectory is unchanged.
+  */
+final class LogisticScoreKernel(w: Array[Double]) extends Serializable {
+  def apply(xs: Array[Double]): Double = {
+    var z = w(0)
+    var i = 0
+    while (i < xs.length) { z += xs(i) * w(i + 1); i += 1 }
+    1.0 / (1.0 + java.lang.StrictMath.exp(-z))
+  }
+}
+
+/** σ(b + Σ wᵢ·xᵢ) over a driver-held weight vector — the codegen-
+  * stable scoring expression of the GD trainer. Child 0 must be
+  * FOLDABLE (the weights as an array<double> literal): it is evaluated
+  * once on the driver into a [[LogisticScoreKernel]]; the remaining
+  * children are the feature columns (all double). NULL in any feature
+  * yields NULL, matching the literal fold's null propagation.
+  */
+case class LogisticScoreExpression(weights: Expression,
+    features: Seq[Expression]) extends Expression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def children: Seq[Expression] = weights +: features
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = features.exists(_.nullable)
+  override def prettyName: String = "logistic_score_native"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val wOk = weights.foldable && (weights.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (!wOk)
+      TypeCheckResult.TypeCheckFailure(
+        "logistic_score_native weights must be an ARRAY<DOUBLE> literal")
+    else if (features.isEmpty || features.exists(_.dataType != DoubleType))
+      TypeCheckResult.TypeCheckFailure(
+        "logistic_score_native features must be 1+ DOUBLE columns")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val kernel: LogisticScoreKernel = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val w = weights.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    require(w.length == features.length + 1,
+      s"${w.length} weights for ${features.length} features + bias")
+    new LogisticScoreKernel(w)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val xs = new Array[Double](features.length)
+    var i = 0
+    while (i < features.length) {
+      val v = features(i).eval(input)
+      if (v == null) return null
+      xs(i) = v.asInstanceOf[Double]
+      i += 1
+    }
+    kernel(xs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val kRef = ctx.addReferenceObj("logisticKernel", kernel,
+      classOf[LogisticScoreKernel].getName)
+    val fCodes = features.map(_.genCode(ctx))
+    val anyNull =
+      if (fCodes.exists(_.isNull.toString != "false"))
+        fCodes.map(_.isNull).mkString(" || ")
+      else "false"
+    val xsArr = fCodes.map(_.value).mkString(", ")
+    ev.copy(code =
+      code"""
+        ${fCodes.map(_.code).reduce(_ + _)}
+        boolean ${ev.isNull} = $anyNull;
+        double ${ev.value} = ${ev.isNull}
+          ? 0.0 : $kRef.apply(new double[]{$xsArr});
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(weights = newChildren.head, features = newChildren.tail)
+}
+
+/** Driver-held PQ lookup tables for [[AdcSumExpression]] — the ADC
+  * distance's per-subspace centroid vectors (ce) and squared norms
+  * (nc), cid-indexed with zero-filled slots for emptied clusters,
+  * exactly the tables the literal `element_at(typedlit(...))` form
+  * holds inline. One kernel call computes the whole m-term sum:
+  * Σ_s (qnv_s + nc_s[code_s]) − 2·(qsub_s · ce_s[code_s]), terms
+  * accumulated left-to-right in subspace order and each dot in index
+  * order — the exact IEEE op sequence of
+  * `adcTerms(...).reduce(_ + _)`, so `round(…, 4)` over either form
+  * is bit-identical (DedupSpec pins it). Null semantics mirror the
+  * literal form: a dim-mismatched codebook slice or a null sub-vector
+  * element nulls the SUM (dot_native's null propagated through Add).
+  * An out-of-range code fails loudly (the literal path's ANSI
+  * element_at would too).
+  *
+  * Why a kernel: the literal form inlines m×(2 element_at over nested
+  * array literals + a dot call + adds) per CANDIDATE PAIR — the inner
+  * loop of the IVF-ADC funnel, Σ|cell|² evaluations per query batch.
+  * One flat call with primitive loops cuts the per-pair constant and
+  * shrinks the scoring projection's codegen.
+  */
+final class AdcSumKernel(ce: Array[Array[Array[Double]]],
+    nc: Array[Array[Double]]) extends Serializable {
+
+  def apply(codes: Array[Long],
+            qsubs: Array[org.apache.spark.sql.catalyst.util.ArrayData],
+            qnvs: Array[Double]): java.lang.Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < codes.length) {
+      val c = codes(s).toInt
+      val cev = ce(s)(c)
+      val q = qsubs(s)
+      if (q.numElements() != cev.length) return null
+      var d = 0.0
+      var i = 0
+      while (i < cev.length) {
+        if (q.isNullAt(i)) return null
+        d += q.getDouble(i) * cev(i)
+        i += 1
+      }
+      val t = qnvs(s) + nc(s)(c) - 2.0 * d
+      acc = if (s == 0) t else acc + t
+      s += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** The full m-subspace ADC distance as ONE expression node. Children:
+  * two FOLDABLE lookup-table literals (ce: array<array<array<double>>>,
+  * nc: array<array<double>>), then the m corpus codes (bigint), the m
+  * query sub-vectors (array<double>) and the m query squared norms
+  * (double). NULL in any data child yields NULL, matching the literal
+  * form's propagation.
+  */
+case class AdcSumExpression(ceLit: Expression, ncLit: Expression,
+    data: Seq[Expression]) extends Expression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def children: Seq[Expression] = ceLit +: ncLit +: data
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_sum_native"
+
+  private def m: Int = data.length / 3
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isDblArr(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (!(ceLit.foldable && ncLit.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        "adc_sum_native lookup tables must be literals")
+    else if (data.isEmpty || data.length % 3 != 0)
+      TypeCheckResult.TypeCheckFailure(
+        "adc_sum_native needs 3m data children (codes, qsubs, qnvs)")
+    else if (!data.slice(0, m).forall(_.dataType == LongType) ||
+      !data.slice(m, 2 * m).forall(e => isDblArr(e.dataType)) ||
+      !data.slice(2 * m, 3 * m).forall(_.dataType == DoubleType))
+      TypeCheckResult.TypeCheckFailure(
+        "adc_sum_native children must be m BIGINT codes, " +
+          "m ARRAY<DOUBLE> sub-vectors, m DOUBLE norms")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val kernel: AdcSumKernel = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val ce = ceLit.eval(null).asInstanceOf[ArrayData]
+      .toObjectArray(ArrayType(ArrayType(DoubleType)))
+      .map(_.asInstanceOf[ArrayData]
+        .toObjectArray(ArrayType(DoubleType))
+        .map(_.asInstanceOf[ArrayData].toDoubleArray()))
+    val nc = ncLit.eval(null).asInstanceOf[ArrayData]
+      .toObjectArray(ArrayType(DoubleType))
+      .map(_.asInstanceOf[ArrayData].toDoubleArray())
+    require(ce.length == m && nc.length == m,
+      s"lookup tables for ${ce.length}/${nc.length} subspaces, need $m")
+    new AdcSumKernel(ce, nc)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val codes = new Array[Long](m)
+    val qsubs = new Array[ArrayData](m)
+    val qnvs = new Array[Double](m)
+    var s = 0
+    while (s < m) {
+      val c = data(s).eval(input)
+      val q = data(m + s).eval(input)
+      val n = data(2 * m + s).eval(input)
+      if (c == null || q == null || n == null) return null
+      codes(s) = c.asInstanceOf[Long]
+      qsubs(s) = q.asInstanceOf[ArrayData]
+      qnvs(s) = n.asInstanceOf[Double]
+      s += 1
+    }
+    kernel(codes, qsubs, qnvs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val kRef = ctx.addReferenceObj("adcKernel", kernel,
+      classOf[AdcSumKernel].getName)
+    val dCodes = data.map(_.genCode(ctx))
+    val anyNull =
+      if (dCodes.exists(_.isNull.toString != "false"))
+        dCodes.map(_.isNull).mkString(" || ")
+      else "false"
+    val codesArr = dCodes.slice(0, m).map(_.value).mkString(", ")
+    val qsubArr = dCodes.slice(m, 2 * m).map(_.value).mkString(", ")
+    val qnvArr = dCodes.slice(2 * m, 3 * m).map(_.value).mkString(", ")
+    val res = ctx.freshName("adcRes")
+    val adCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+    ev.copy(code =
+      code"""
+        ${dCodes.map(_.code).reduce(_ + _)}
+        boolean ${ev.isNull} = $anyNull;
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          java.lang.Double $res = $kRef.apply(
+            new long[]{$codesArr},
+            new $adCls[]{$qsubArr},
+            new double[]{$qnvArr});
+          if ($res == null) { ${ev.isNull} = true; }
+          else { ${ev.value} = $res.doubleValue(); }
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(ceLit = newChildren(0), ncLit = newChildren(1),
+      data = newChildren.drop(2))
+}
+
 /** HTML→text extraction as a native unary expression
   * ([[graft.functions.Web.htmlToText]] rules). A per-document string
   * pass this size written as SQL string functions would be a tower of
@@ -1135,6 +1395,10 @@ object NativeFunctions {
       CosineArgmaxExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))),
     "l2_argmin_native" -> (exprs =>
       L2ArgminExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))),
+    "logistic_score_native" -> (exprs =>
+      LogisticScoreExpression(exprs.head, exprs.tail)),
+    "adc_sum_native" -> (exprs =>
+      AdcSumExpression(exprs(0), exprs(1), exprs.drop(2))),
     "binary_quantize_native" -> (exprs => BinaryQuantizeExpression(exprs.head)),
     "hamming_native" -> (exprs =>
       HammingDistanceExpression(exprs(0), exprs(1))),
@@ -1197,6 +1461,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[L2ArgminExpression].getName, "l2_argmin_native"),
       (exprs: Seq[Expression]) =>
         L2ArgminExpression(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))))
+    e.injectFunction((FunctionIdentifier("adc_sum_native"),
+      new ExpressionInfo(classOf[AdcSumExpression].getName,
+        "adc_sum_native"),
+      (exprs: Seq[Expression]) =>
+        AdcSumExpression(exprs(0), exprs(1), exprs.drop(2))))
+    e.injectFunction((FunctionIdentifier("logistic_score_native"),
+      new ExpressionInfo(classOf[LogisticScoreExpression].getName,
+        "logistic_score_native"),
+      (exprs: Seq[Expression]) =>
+        LogisticScoreExpression(exprs.head, exprs.tail)))
     e.injectFunction((FunctionIdentifier("binary_quantize_native"),
       new ExpressionInfo(classOf[BinaryQuantizeExpression].getName, "binary_quantize_native"),
       (exprs: Seq[Expression]) => BinaryQuantizeExpression(exprs.head)))

@@ -283,6 +283,22 @@ class DedupSpec extends AnyFunSuite {
     assert(run(useLit = false) == run(useLit = true))
   }
 
+  test("ADC distance: adc_sum_native matches the literal term sum bit-for-bit") {
+    import spark.implicits._
+    val vecs = (0L until 80L).map { i =>
+      (i, Array.tabulate(16)(d => ((i * 37 + d * 101) % 31 - 15).toFloat))
+    }.toDF("id", "embedding")
+    def run(useLit: Boolean) =
+      Similarity.pqAdcTopKWith(vecs, 3, m = 4, ksub = 8, iters = 1,
+        useLitTerms = useLit)
+        .collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("neighbor_id"),
+          // bit-compare the rounded distance (the funnel's ordering key)
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("adist"))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(useLit = false) == run(useLit = true))
+  }
+
   test("redact replaces URLs and emails with placeholder tags") {
     import spark.implicits._
     import graft.functions.TextFunctions

@@ -164,6 +164,77 @@ class NativeExprSpec extends AnyFunSuite {
     assert(uneq(0).isNullAt(0) && uneq(0).isNullAt(1))
   }
 
+  test("logistic_score_native is bit-identical to the literal fold") {
+    NativeFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic pseudo-random grid incl. extremes that stress exp()
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      def v() = i % 17 match {
+        case 0 => 0.0
+        case 1 => -0.0
+        case 2 => 1e300
+        case 3 => -1e300
+        case 4 => 1e-300
+        case _ => rng.nextGaussian() * 10
+      }
+      (v(), v(), v())
+    }.toDF("x1", "x2", "x3")
+    val w = Array(0.37, -1.25, 4.0, -0.0625)
+    val fold = graft.operators.Corpus.logisticScore(w, Seq("x1", "x2", "x3"))
+    val got = rows.select(fold.as("f"),
+      call_function("logistic_score_native",
+        typedlit(w.toSeq), col("x1"), col("x2"), col("x3")).as("n"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+    }
+    // null propagation matches the fold (null feature -> null score)
+    val withNull = Seq((Some(1.0), None: Option[Double], Some(2.0)))
+      .toDF("x1", "x2", "x3")
+      .select(graft.operators.Corpus.logisticScore(w, Seq("x1", "x2", "x3")).as("f"),
+        call_function("logistic_score_native",
+          typedlit(w.toSeq), col("x1"), col("x2"), col("x3")).as("n"))
+      .collect()
+    assert(withNull(0).isNullAt(0) && withNull(0).isNullAt(1))
+  }
+
+  test("GD training trajectory is unchanged by the native score kernel") {
+    NativeFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val feats = (0 until 500).map { i =>
+      val x1 = rng.nextDouble(); val x2 = rng.nextDouble() * 2 - 1
+      val x3 = rng.nextGaussian()
+      val y = if (x1 + 0.5 * x2 - x3 > 0.4) 1.0 else 0.0
+      (y, x1, x2, x3)
+    }.toDF("y", "x1", "x2", "x3").repartition(4).localCheckpoint()
+    val cols = Seq("x1", "x2", "x3")
+    // the kernel-based trainer under test
+    val wNew = graft.operators.Corpus.logisticRegression(
+      feats, "y", cols, iterations = 12, lr = 2.0)
+    // the pre-kernel literal-fold loop, replayed verbatim
+    var wOld = Array.fill(cols.size + 1)(0.0)
+    val df = feats.select(("y" +: cols).map(c => col(c).cast("double")): _*)
+      .localCheckpoint()
+    for (_ <- 1 to 12) {
+      val err = graft.operators.Corpus.logisticScore(wOld, cols) - col("y")
+      val aggs = avg(err) +: cols.map(c => avg(err * col(c)))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      wOld = wOld.zipWithIndex.map { case (wi, i) =>
+        wi - 2.0 * row.getDouble(i) }
+    }
+    // per-row sigma is bit-identical (previous test); the trajectory can
+    // differ only through shuffle-fetch merge order of the avg partials,
+    // which is sub-ulp-per-step — far below the 4dp scoring contract
+    wNew.zip(wOld).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"weights diverged: $a vs $b")
+    }
+  }
+
   test("extensions class registers the same functions at session build") {
     // smoke: the injector runs without error on a fresh builder config
     // (full withExtensions sessions share the JVM; runtime registry is
