@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ProbeJobs {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // cores from the bench contract's env var (ADVICE r15: hardcoded
+    // local[32] could diverge from the benched configuration)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -20,7 +23,10 @@ object ProbeJobs {
     // warm run
     SparkEntry.queries(name)(spark, sf).count()
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
-    var t0 = 0L
+    // written on the main thread after listener registration, read on
+    // the listener-bus thread (ADVICE r15: a stale read printed
+    // absolute-epoch offsets)
+    @volatile var t0 = 0L
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)

@@ -40,7 +40,16 @@ object Curation {
     // and the dedup join — without the pin the scan+gate subtree
     // executes once per consumer (measured: curate at sf0.1 spent most
     // of its 4.7 s recomputing narrow stages, see BASELINE r7 notes).
-    val gated = Staging.pin(docs
+    // Parallelism.ensurePinned: the gate is narrow over the raw corpus
+    // scan, so a small-file input would run the whole token-heavy pass
+    // as ONE task (q217's probe showed a 1.35 s single-task pin stage
+    // — the same fold the r15 media builders fixed). ensure alone is
+    // NOT enough here: deterministic filters push below a bare
+    // Repartition, putting the gate right back into the single map
+    // task — the pinned variant is the pushdown barrier. Per-row gates
+    // are partitioning-insensitive and every downstream stage keys on
+    // exact ids/fingerprints, so the spread changes no result.
+    val gated = Staging.pin(Parallelism.ensurePinned(docs)
       .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
       .filter(TextFunctions.langId(col(textCol)).isin(langs: _*)),
       staging, "gated")

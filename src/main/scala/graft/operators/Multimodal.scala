@@ -138,32 +138,65 @@ object Multimodal {
       }
       inflater.end()
       require(off == raw.length, s"IDAT inflated to $off of ${raw.length} bytes")
-      // reverse the row filters (RFC 2083 §6; bpp = 1 for gray8)
+      // reverse the row filters (RFC 2083 §6; bpp = 1 for gray8). The
+      // filter id is CONSTANT within a row, so the branch is hoisted
+      // out of the byte loop: a None row is one arraycopy (our own
+      // writer emits filter 0 for every row — the corpus-decode hot
+      // path), and each other case drops the per-byte match plus the
+      // dead neighbor loads. Same mod-256 arithmetic per case as the
+      // fused loop — bit-identical output (the imageio
+      // cross-validation specs cover filters 1-4 via JDK-written
+      // PNGs).
       val pix = new Array[Byte](width * height)
-      def prior(r: Int, c: Int): Int =
-        if (r == 0) 0 else pix((r - 1) * width + c) & 0xff
       var r = 0
       while (r < height) {
         val filter = raw(r * (width + 1)) & 0xff
-        var c = 0
-        while (c < width) {
-          val x = raw(r * (width + 1) + 1 + c) & 0xff
-          val a = if (c == 0) 0 else pix(r * width + c - 1) & 0xff
-          val b = prior(r, c)
-          val pa = if (c == 0) 0 else prior(r, c - 1)
-          val recon = filter match {
-            case 0 => x
-            case 1 => x + a
-            case 2 => x + b
-            case 3 => x + (a + b) / 2
-            case 4 => // Paeth predictor
+        val in = r * (width + 1) + 1
+        val out = r * width
+        filter match {
+          case 0 => System.arraycopy(raw, in, pix, out, width)
+          case 1 =>
+            var c = 0
+            while (c < width) {
+              val a = if (c == 0) 0 else pix(out + c - 1) & 0xff
+              pix(out + c) = (((raw(in + c) & 0xff) + a) & 0xff).toByte
+              c += 1
+            }
+          case 2 =>
+            if (r == 0) System.arraycopy(raw, in, pix, out, width) // b = 0
+            else {
+              var c = 0
+              while (c < width) {
+                val b = pix(out - width + c) & 0xff
+                pix(out + c) = (((raw(in + c) & 0xff) + b) & 0xff).toByte
+                c += 1
+              }
+            }
+          case 3 =>
+            var c = 0
+            while (c < width) {
+              val a = if (c == 0) 0 else pix(out + c - 1) & 0xff
+              val b = if (r == 0) 0 else pix(out - width + c) & 0xff
+              pix(out + c) =
+                (((raw(in + c) & 0xff) + (a + b) / 2) & 0xff).toByte
+              c += 1
+            }
+          case 4 =>
+            var c = 0
+            while (c < width) {
+              val a = if (c == 0) 0 else pix(out + c - 1) & 0xff
+              val b = if (r == 0) 0 else pix(out - width + c) & 0xff
+              val pa = if (c == 0 || r == 0) 0
+                else pix(out - width + c - 1) & 0xff
               val p = a + b - pa
-              val da = math.abs(p - a); val db = math.abs(p - b); val dc = math.abs(p - pa)
-              x + (if (da <= db && da <= dc) a else if (db <= dc) b else pa)
-            case f => throw new IllegalArgumentException(s"bad PNG filter $f")
-          }
-          pix(r * width + c) = (recon & 0xff).toByte
-          c += 1
+              val da = math.abs(p - a); val db = math.abs(p - b)
+              val dc = math.abs(p - pa)
+              val pred = if (da <= db && da <= dc) a
+                else if (db <= dc) b else pa
+              pix(out + c) = (((raw(in + c) & 0xff) + pred) & 0xff).toByte
+              c += 1
+            }
+          case f => throw new IllegalArgumentException(s"bad PNG filter $f")
         }
         r += 1
       }
@@ -396,31 +429,59 @@ object Multimodal {
       passes.foreach { case (wp, hp, x0, y0, dx, dy) =>
         val ps = wp * bpp
         val pun = new Array[Byte](ps * hp)
+        // filter branch hoisted per row (constant within a row), same
+        // per-case mod-256 arithmetic as the fused loop — see the
+        // gray8 decoder above for the rationale; filter-0 rows (our
+        // own writer's output) become one arraycopy each.
         var r = 0
         while (r < hp) {
           val filter = raw(base + r * (ps + 1)) & 0xff
-          var c = 0
-          while (c < ps) {
-            val x = raw(base + r * (ps + 1) + 1 + c) & 0xff
-            val a = if (c < bpp) 0 else pun(r * ps + c - bpp) & 0xff
-            val b = if (r == 0) 0 else pun((r - 1) * ps + c) & 0xff
-            val pa = if (r == 0 || c < bpp) 0
-              else pun((r - 1) * ps + c - bpp) & 0xff
-            val recon = filter match {
-              case 0 => x
-              case 1 => x + a
-              case 2 => x + b
-              case 3 => x + (a + b) / 2
-              case 4 =>
+          val in = base + r * (ps + 1) + 1
+          val out = r * ps
+          filter match {
+            case 0 => System.arraycopy(raw, in, pun, out, ps)
+            case 1 =>
+              var c = 0
+              while (c < ps) {
+                val a = if (c < bpp) 0 else pun(out + c - bpp) & 0xff
+                pun(out + c) = (((raw(in + c) & 0xff) + a) & 0xff).toByte
+                c += 1
+              }
+            case 2 =>
+              if (r == 0) System.arraycopy(raw, in, pun, out, ps) // b = 0
+              else {
+                var c = 0
+                while (c < ps) {
+                  val b = pun(out - ps + c) & 0xff
+                  pun(out + c) = (((raw(in + c) & 0xff) + b) & 0xff).toByte
+                  c += 1
+                }
+              }
+            case 3 =>
+              var c = 0
+              while (c < ps) {
+                val a = if (c < bpp) 0 else pun(out + c - bpp) & 0xff
+                val b = if (r == 0) 0 else pun(out - ps + c) & 0xff
+                pun(out + c) =
+                  (((raw(in + c) & 0xff) + (a + b) / 2) & 0xff).toByte
+                c += 1
+              }
+            case 4 =>
+              var c = 0
+              while (c < ps) {
+                val a = if (c < bpp) 0 else pun(out + c - bpp) & 0xff
+                val b = if (r == 0) 0 else pun(out - ps + c) & 0xff
+                val pa = if (r == 0 || c < bpp) 0
+                  else pun(out - ps + c - bpp) & 0xff
                 val p = a + b - pa
                 val da = math.abs(p - a); val db = math.abs(p - b)
                 val dc = math.abs(p - pa)
-                x + (if (da <= db && da <= dc) a
-                  else if (db <= dc) b else pa)
-              case f => throw new IllegalArgumentException(s"bad PNG filter $f")
-            }
-            pun(r * ps + c) = (recon & 0xff).toByte
-            c += 1
+                val pred = if (da <= db && da <= dc) a
+                  else if (db <= dc) b else pa
+                pun(out + c) = (((raw(in + c) & 0xff) + pred) & 0xff).toByte
+                c += 1
+              }
+            case f => throw new IllegalArgumentException(s"bad PNG filter $f")
           }
           r += 1
         }

@@ -33,6 +33,24 @@ private[operators] object Parallelism {
     }
   }
 
+  /** [[ensure]] + a checkpoint pin WHEN (and only when) a spread was
+    * actually inserted. A bare round-robin Repartition is transparent
+    * to PushDownPredicates: a deterministic filter ABOVE it is pushed
+    * BELOW it, so an expensive per-row gate stacked on the spread runs
+    * in the pre-shuffle map stage — one task over a one-partition
+    * scan, the exact fold the spread was inserted to fix (q217's
+    * quality/langid gate measured 1.35 s single-task that way). The
+    * localCheckpoint is the pushdown barrier: the gate then runs over
+    * the spread blocks. Already-parallel and derived inputs return
+    * UNTOUCHED — at 100 TB this is a no-op pass-through, never a
+    * corpus materialization; only an under-parallel small input pays
+    * the (small, by definition) pin.
+    */
+  def ensurePinned(df: DataFrame): DataFrame = {
+    val e = ensure(df)
+    if (e eq df) df else e.localCheckpoint()
+  }
+
   /** Run INDEPENDENT driver-side actions as concurrent Spark jobs —
     * the guide-§2.6 overlap: Spark's scheduler happily runs several
     * jobs at once inside one application; maintenance ladders (index

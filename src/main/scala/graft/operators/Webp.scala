@@ -53,15 +53,28 @@ object Webp {
       nb += 1
       if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
     }
-    /** n natural bits, LSB first (the spec's ReadBits inverse). */
+    /** n natural bits, LSB first (the spec's ReadBits inverse).
+      * Buffered: the bit-at-a-time loop paid a call + branch PER BIT
+      * of every emitted code — the encoder's hottest path; this folds
+      * the n bits into the byte accumulator in one step and flushes
+      * whole bytes. Identical bit order and padding, so the wire bytes
+      * are unchanged (WebpSpec's independent byte pins hold).
+      */
     def writeBits(v: Long, n: Int): Unit = {
-      var i = 0
-      while (i < n) { writeBit(((v >>> i) & 1L).toInt); i += 1 }
+      if (n == 0) return
+      var acc = cur.toLong | ((v & ((1L << n) - 1)) << nb)
+      var bits = nb + n
+      while (bits >= 8) { out.write((acc & 0xffL).toInt); acc >>>= 8; bits -= 8 }
+      cur = acc.toInt
+      nb = bits
     }
-    /** A canonical prefix code: MSB of the code first. */
+    /** A canonical prefix code: MSB of the code first — the code's
+      * bits reversed into LSB-first order ride the buffered path.
+      */
     def writeCode(code: Int, len: Int): Unit = {
-      var i = len - 1
-      while (i >= 0) { writeBit((code >>> i) & 1); i -= 1 }
+      if (len == 0) return
+      writeBits((Integer.reverse(code) >>> (32 - len)).toLong & 0xffffffffL,
+        len)
     }
     def bytes: Array[Byte] = {
       if (nb > 0) { out.write(cur); cur = 0; nb = 0 }
@@ -363,20 +376,24 @@ object Webp {
       s"dimensions ${width}x$height outside VP8L's 14-bit range")
     require(argb.length == width * height, "pixel buffer size mismatch")
 
-    // tokenize: literal or distance-1 run (length capped by the ladder)
-    sealed trait Tok
-    final case class Lit(px: Int) extends Tok
-    final case class Run(len: Int) extends Tok
-    val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
-    var i = 0
-    while (i < argb.length) {
-      if (i > 0 && argb(i) == argb(i - 1)) {
-        var run = 0
-        while (i + run < argb.length && argb(i + run) == argb(i - 1) &&
-          run < 4096) run += 1
-        toks += Run(run)
-        i += run
-      } else { toks += Lit(argb(i)); i += 1 }
+    // tokenize: literal or distance-1 run (length capped by the
+    // ladder). The token walk is deterministic and cheap, so instead
+    // of MATERIALIZING the token stream (one boxed case-class per
+    // pixel — dominated the encoder's per-image cost as allocation/GC
+    // work), both consumers below replay the identical walk over the
+    // primitive pixel array: pass 1 histograms, pass 2 emits. Same
+    // token sequence by construction ⇒ same wire bytes.
+    def walkToks(lit: Int => Unit, run: Int => Unit): Unit = {
+      var i = 0
+      while (i < argb.length) {
+        if (i > 0 && argb(i) == argb(i - 1)) {
+          var r = 0
+          while (i + r < argb.length && argb(i + r) == argb(i - 1) &&
+            r < 4096) r += 1
+          run(r)
+          i += r
+        } else { lit(argb(i)); i += 1 }
+      }
     }
 
     // histograms
@@ -386,16 +403,17 @@ object Webp {
     val aFreq = new Array[Long](256)
     val dFreq = new Array[Long](40)
     val distCode = prefixEncode(1 + 120)._1
-    toks.foreach {
-      case Lit(px) =>
+    walkToks(
+      px => {
         gFreq((px >> 8) & 0xff) += 1
         rFreq((px >> 16) & 0xff) += 1
         bFreq(px & 0xff) += 1
         aFreq((px >>> 24) & 0xff) += 1
-      case Run(len) =>
+      },
+      len => {
         gFreq(256 + prefixEncode(len)._1) += 1
         dFreq(distCode) += 1
-    }
+      })
 
     val w = new BitWriter
     // VP8L header
@@ -420,20 +438,21 @@ object Webp {
       if (l.count(_ > 0) == 1) new Array[Int](l.length) else l)
     def emit(k: Int, sym: Int): Unit =
       w.writeCode(codes(k)(sym), emitLens(k)(sym))
-    toks.foreach {
-      case Lit(px) =>
+    walkToks(
+      px => {
         emit(0, (px >> 8) & 0xff)
         emit(1, (px >> 16) & 0xff)
         emit(2, px & 0xff)
         emit(3, (px >>> 24) & 0xff)
-      case Run(len) =>
+      },
+      len => {
         val (lc, leb, lev) = prefixEncode(len)
         emit(0, 256 + lc)
         if (leb > 0) w.writeBits(lev.toLong, leb)
         val (dc, deb, dev) = prefixEncode(121)
         emit(4, dc)
         if (deb > 0) w.writeBits(dev.toLong, deb)
-    }
+      })
     val payload = w.bytes
 
     // RIFF container
